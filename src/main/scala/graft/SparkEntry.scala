@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` / `oracleSql` aggregate the per-family QueryModules; every
+  * operator from SURVEY.md §2 (plus the LLM-pipeline extensions) is a named
+  * entry here, and names present in `oracleSql` are hash-verified against
+  * DuckDB by the driver.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  private val modules: Seq[QueryModule] =
+    Seq(RelationalOps, WindowOps, JoinOps)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Star join (facts ⋈ broadcast dims) → filtered revenue per region ×
+    * return flag → top-k. Exercises scan, pushdown, broadcast join,
+    * big-big shuffle join, hash agg, and TakeOrderedAndProject in one plan.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    Tables.lineitem(spark, d)
+      .filter(col("l_quantity") > 5)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "l_returnflag")
+      .agg(Sql.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc)
+      .limit(20)
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(_.queries).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver's rows-only check. */
+  def oracleSql: Map[String, String] =
+    modules.map(_.oracles).reduce(_ ++ _)
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{QueryModule, Sql, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join / set operators over the star schema — SURVEY.md §2.6. The
+  * reference's only joins are scalar cross joins (J2, src/analyze.py:82),
+  * but its upsert/subscribe sinks are semantically anti-joins
+  * (src/load.py:35-42, src/telegram_listener.py:25-49) and a complete
+  * engine needs the full join surface; FIXTURES.md §B assigns the star
+  * schema to exercise it.
+  *
+  * Scale notes:
+  *  - Dimension tables (region/nation/customer at fact-relative size) are
+  *    broadcast explicitly — at 100 TB the fact table never shuffles for a
+  *    dim join; only the final groupBy shuffles, on the (small) group key.
+  *  - The lineitem⋈orders join is a genuine big-big join: it shuffles on
+  *    the join key once; at scale both sides would be bucketed on
+  *    orderkey to make it a zero-shuffle sort-merge join — the code is
+  *    layout-agnostic so bucketing is a storage decision, not a rewrite.
+  *  - semi/anti joins never materialize the probe side's payload.
+  *  - rollup/cube: one shuffle; Spark expands grouping sets map-side.
+  */
+object JoinOps extends QueryModule {
+  import graft.Sql._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // big-big equi-join + grouped agg (revenue per order priority)
+    "join_inner_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")),
+
+    // 5-way star join, dims broadcast (revenue per region)
+    "join_star_region" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("r_name")),
+
+    // left-semi (EXISTS): customers having a big order
+    "join_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // left-anti (NOT EXISTS): parts never shipped in quantity >= 48
+    "join_anti" -> ((s, d) =>
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 48),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")),
+
+    // ROLLUP over (returnflag, linestatus)
+    "agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
+    // CUBE over (orderstatus, orderpriority)
+    "agg_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+             dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)))
+
+  private val rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+
+  def oracles: Map[String, String] = Map(
+    "join_inner_agg" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(SUM($rev) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_star_region" ->
+      s"""SELECT r_name,
+         |  CAST(SUM($rev) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 48)
+        |ORDER BY p_partkey""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         |  ${Sql.oSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,
+         |  ${Sql.oSum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+}

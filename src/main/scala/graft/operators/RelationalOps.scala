@@ -1,0 +1,277 @@
+package graft.operators
+
+import graft.{QueryModule, Sql, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Projection / derivation / filter / aggregation / sort / scalar-function
+  * operators — reference parity per SURVEY.md §2.3, §2.4, §2.7, §2.8,
+  * transposed onto the driver testdata (FIXTURES.md §B).
+  *
+  * Reference semantics being reproduced (cited file:line are in the
+  * reference repo /root/reference):
+  *  - P1 projection                  src/transform.py:23
+  *  - P2 derived column (rate*100)   src/transform.py:27
+  *  - P3 date parse dd.MM.yyyy       src/transform.py:25
+  *  - P4 IN-list filter              src/transform.py:29
+  *  - P5 equality predicate          src/analyze.py:22 et al.
+  *  - P6 date-range predicate        src/analyze.py:45,50
+  *  - A1..A6 global/grouped aggs     src/analyze.py:20-109
+  *  - O1 top-1 by date, O2 sort      src/analyze.py:26-39
+  *  - F1..F13 scalar functions       SURVEY.md §2.8
+  *
+  * Scale notes: every filter/projection here is expressible to the parquet
+  * scan (check `.explain`: PushedFilters + pruned ReadSchema); aggregations
+  * are hash aggregates with map-side partials; ORDER BY ... LIMIT plans as
+  * TakeOrderedAndProject (no full sort). Nothing collects to the driver.
+  */
+object RelationalOps extends QueryModule {
+  import graft.Sql._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 — column projection (pruned scan: ReadSchema carries 4 of 11 cols)
+    "p1_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata — sort
+        // by every output column for a deterministic oracle compare
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+
+    // P2 — derived arithmetic column (rate_per_100 analog)
+    "p2_derive" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_totalprice") * 100).as("price_per_100"))
+        .orderBy("o_orderkey")),
+
+    // P3 — dd.MM.yyyy parse + format round-trip (F6/F7)
+    "p3_date_roundtrip" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "dd.MM.yyyy").as("ddmmyyyy"),
+          to_date(date_format(col("o_orderdate"), "dd.MM.yyyy"), "dd.MM.yyyy")
+            .as("parsed_day"))
+        .orderBy("o_orderkey")),
+
+    // P4 — IN-list filter (pushed to scan)
+    "p4_in_filter" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")),
+
+    // P5 — equality predicate
+    "p5_eq_filter" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    // P6 — date-range predicate (fixed literal; see SURVEY §7.3 on
+    // keeping current_date() out of verified queries)
+    "p6_range_filter" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // A1 — grouped AVG (the single-groupBy collapse of the reference's
+    // per-currency query duplication, SURVEY §2.4)
+    "a1_avg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(davg(col("l_extendedprice")).as("avg_price"))
+        .orderBy("l_returnflag")),
+
+    // A2 — MIN+MAX over a date-bounded year slice
+    "a2_minmax_year" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00")) &&
+                col("l_shipdate") <  to_timestamp(lit("2001-01-01 00:00:00")))
+        .groupBy("l_returnflag")
+        .agg(min("l_extendedprice").as("min_price"),
+             max("l_extendedprice").as("max_price"))
+        .orderBy("l_returnflag")),
+
+    // A3 — COUNT(*) per group
+    "a3_count" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // A4 — MIN/MAX over dates per group (first/last observation)
+    "a4_date_minmax" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(min("o_orderdate").as("first_day"),
+             max("o_orderdate").as("last_day"))
+        .orderBy("o_orderstatus")),
+
+    // A5 — COUNT(DISTINCT) (exact; HLL variant is a5_approx_distinct)
+    "a5_count_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    // A5' — approx_count_distinct (HLL; the 100 TB-safe variant).
+    // No oracle: HLL estimates are engine-specific.
+    "a5_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(approx_count_distinct(col("l_partkey")).as("n_parts_approx"),
+             approx_count_distinct(col("l_orderkey")).as("n_orders_approx"))),
+
+    // A6/C3 — single-row wide conditional-agg report (the reference's
+    // 11-query fan collapsed into one pass, src/analyze.py:135-160)
+    "a6_scalar_report" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def cond(f: String) = col("l_returnflag") === f
+      li.agg(
+        (sum(when(cond("A"), col("l_extendedprice")).cast(dec(2))).cast("double") /
+          count(when(cond("A"), lit(1)))).as("avg_price_a"),
+        (sum(when(cond("R"), col("l_extendedprice")).cast(dec(2))).cast("double") /
+          count(when(cond("R"), lit(1)))).as("avg_price_r"),
+        count(when(cond("A"), lit(1))).as("n_a"),
+        count(when(cond("R"), lit(1))).as("n_r"),
+        min("l_shipdate").as("first_ship"),
+        max("l_shipdate").as("last_ship"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+    }),
+
+    // O1 — top-1 by date (TakeOrderedAndProject, not a full sort)
+    "o1_top1_latest" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(1)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")),
+
+    // O2 — top-k sort (bounded output keeps the oracle dump small)
+    "o2_topk_sort" -> ((s, d) =>
+      Tables.events(s, d)
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(100)
+        .select("event_id", "user_id", "value")),
+
+    // F — scalar-function battery (least/greatest, arith, string, date)
+    "f_scalars" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          least(col("o_totalprice"), lit(150000.0)).as("capped"),
+          greatest(col("o_totalprice"), lit(150000.0)).as("floored"),
+          (col("o_totalprice") - 1000.0).as("minus_1k"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+          lower(col("o_orderpriority")).as("pr_lower"),
+          substring(col("o_orderpriority"), 1, 1).as("pr_code"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"),
+          format_string("%+.2f", col("o_totalprice")).as("signed_price"))
+        .orderBy("o_orderkey")),
+
+    // F/JSON — semi-structured extraction from events.props
+    "e_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+          .cast("long"))
+        .groupBy("event_type")
+        .agg((sum("k").cast("double") / count("k")).as("avg_k"),
+             count("k").as("n"))
+        .orderBy("event_type")),
+
+    // J2 — cross join of two 1-row aggregates (src/analyze.py:82-83)
+    "j2_cross_join_scalars" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val s1 = o.agg(davg(col("o_totalprice")).as("avg_price"))
+      val s2 = o.agg(count(lit(1)).as("n_orders"))
+      s1.crossJoin(s2)
+        .select(col("avg_price"), col("n_orders"),
+          (col("avg_price") / col("n_orders")).as("price_per_order"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "p1_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+    "p2_derive" ->
+      """SELECT o_orderkey, o_totalprice, o_totalprice * 100 AS price_per_100
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p3_date_roundtrip" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%d.%m.%Y') AS ddmmyyyy,
+        |  CAST(strptime(strftime(o_orderdate, '%d.%m.%Y'), '%d.%m.%Y') AS DATE) AS parsed_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p4_in_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem WHERE l_returnflag IN ('A','R')
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin,
+    "p5_eq_filter" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "p6_range_filter" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+    "a1_avg" ->
+      s"""SELECT l_returnflag, ${Sql.oAvg("l_extendedprice")} AS avg_price
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a2_minmax_year" ->
+      """SELECT l_returnflag, min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a3_count" ->
+      """SELECT l_returnflag, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a4_date_minmax" ->
+      """SELECT o_orderstatus, min(o_orderdate) AS first_day,
+        |  max(o_orderdate) AS last_day
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a5_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin,
+    "a6_scalar_report" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / COUNT(CASE WHEN l_returnflag='A' THEN 1 END) AS avg_price_a,
+        |  CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / COUNT(CASE WHEN l_returnflag='R' THEN 1 END) AS avg_price_r,
+        |  COUNT(CASE WHEN l_returnflag='A' THEN 1 END) AS n_a,
+        |  COUNT(CASE WHEN l_returnflag='R' THEN 1 END) AS n_r,
+        |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+        |  count(DISTINCT l_returnflag) AS n_flags
+        |FROM lineitem""".stripMargin,
+    "o1_top1_latest" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""".stripMargin,
+    "o2_topk_sort" ->
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin,
+    "f_scalars" ->
+      """SELECT o_orderkey,
+        |  least(o_totalprice, 150000.0) AS capped,
+        |  greatest(o_totalprice, 150000.0) AS floored,
+        |  o_totalprice - 1000.0 AS minus_1k,
+        |  concat(o_orderstatus, '-', o_orderpriority) AS tag,
+        |  lower(o_orderpriority) AS pr_lower,
+        |  substr(o_orderpriority, 1, 1) AS pr_code,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+        |  printf('%+.2f', o_totalprice) AS signed_price
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
+    "e_json_extract" ->
+      """WITH x AS (SELECT event_type,
+        |  TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+        |FROM events)
+        |SELECT event_type, CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+        |  COUNT(k) AS n
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "j2_cross_join_scalars" ->
+      s"""WITH s1 AS (SELECT ${Sql.oAvg("o_totalprice")} AS avg_price FROM orders),
+         |s2 AS (SELECT count(*) AS n_orders FROM orders)
+         |SELECT avg_price, n_orders, avg_price / n_orders AS price_per_order
+         |FROM s1, s2""".stripMargin)
+}

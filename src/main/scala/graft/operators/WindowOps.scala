@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{QueryModule, Sql, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / time-series operators — SURVEY.md §2.5, §2.6, §2.9, transposed
+  * onto the `events` table (user_id ≙ currency code, ts ≙ exchangedate,
+  * value ≙ rate).
+  *
+  * Reference semantics (cited in /root/reference):
+  *  - W1 ROW_NUMBER newest-first          src/analyze.py:68-73
+  *  - W2 rolling 7-ROW mean, shrinking    dags/currency_etl.py:35-41
+  *       frame at series start (pandas min_periods=1) — rowsBetween(-6,0),
+  *       NOT rangeBetween (SURVEY §7.3)
+  *  - W3 last-value extraction            dags/currency_etl.py:43-48
+  *  - J1 30-back delta with LEAST clamp   src/analyze.py:64-84 (clamp :80)
+  *  - C1 moving-average forecast          dags/currency_etl.py:34-52
+  *  - C2 last-write-wins keyed upsert     src/load.py:35-42
+  *
+  * Scale notes: all windows partition by user_id — one hash shuffle, then
+  * per-partition sort; no global sort anywhere. J1's reference formulation
+  * (two CTE scans + cross join) is collapsed into ONE pass: a single
+  * window + conditional aggregation, which is the shape that survives a
+  * 100× scale-up (the reference shape re-scans the fact table 4×).
+  * C2's dedup-by-recency window is the standard Spark MERGE substitute;
+  * on a real cluster the same plan runs per key-range partition and never
+  * materializes the union on one node.
+  */
+object WindowOps extends QueryModule {
+  import graft.Sql._
+
+  private def newestFirst = Window.partitionBy("user_id")
+    .orderBy(col("ts").desc, col("event_id").desc)
+  private def oldestFirst = Window.partitionBy("user_id")
+    .orderBy(col("ts").asc, col("event_id").asc)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1 — latest row per key via row_number (one window, all keys at once)
+    "w1_latest_per_key" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(newestFirst))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("value").as("last_value"), col("event_id").as("last_event_id"))
+        .orderBy("user_id")),
+
+    // W2 — trailing 7-ROW rolling mean with shrinking frame
+    "w2_rolling_avg7" -> ((s, d) => {
+      val w = oldestFirst.rowsBetween(-6, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          davgOver(col("value"), w).as("roll_avg"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // W3 — last value per key via max_by/arg_max ((user_id, ts) is unique
+    // in the testdata; verified — so ts alone is a sound arg)
+    "w3_last_value" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max_by(col("value"), col("ts")).as("last_value"),
+             max("ts").as("last_ts"))
+        .orderBy("user_id")),
+
+    // J1 — delta between newest row and the row 30 back, clamped to the
+    // oldest row on short history (LEAST(cnt, 31), src/analyze.py:80).
+    // Single-pass: window rn + per-key count + conditional agg.
+    "j1_delta_30back" -> ((s, d) => {
+      val byKey = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(newestFirst))
+        .withColumn("cnt", count(lit(1)).over(byKey))
+        .groupBy("user_id")
+        .agg(max(when(col("rn") === 1, col("value"))).as("last_value"),
+             max(when(col("rn") === least(col("cnt"), lit(31)), col("value")))
+               .as("ago_value"))
+        .withColumn("delta", col("last_value") - col("ago_value"))
+        .orderBy("user_id")
+    }),
+
+    // C1 — moving-average forecast: per key take the final 7-row rolling
+    // mean, then emit 5 future daily rows flat at that value.
+    "c1_forecast" -> ((s, d) => {
+      val roll = oldestFirst.rowsBetween(-6, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("last_day"),
+          davgOver(col("value"), roll).as("roll_avg"),
+          row_number().over(newestFirst).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("last_day"), col("roll_avg"),
+          explode(sequence(lit(1), lit(5))).as("i"))
+        .select(col("user_id"),
+          date_add(col("last_day"), col("i")).as("day"),
+          col("roll_avg").as("forecast"))
+        .orderBy("user_id", "day")
+    }),
+
+    // C2 — last-write-wins keyed upsert: newest row per (user_id,
+    // event_type) survives; replay-order-safe because recency is taken
+    // from the data (ts), not arrival order.
+    "c2_upsert_lww" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "ts", "value", "event_id")
+        .orderBy("user_id", "event_type")
+    }))
+
+  private val rollOver =
+    "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+
+  def oracles: Map[String, String] = Map(
+    "w1_latest_per_key" ->
+      """WITH r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events)
+        |SELECT user_id, ts AS last_ts, value AS last_value,
+        |  event_id AS last_event_id
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "w2_rolling_avg7" ->
+      s"""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |  ${Sql.oAvgOver("value", rollOver)} AS roll_avg
+         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    "w3_last_value" ->
+      """SELECT user_id, arg_max(value, ts) AS last_value,
+        |  CAST(max(ts) AS TIMESTAMP) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "j1_delta_30back" ->
+      """WITH cnts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |ordered AS (SELECT user_id, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events),
+        |latest AS (SELECT user_id, value AS last_value FROM ordered WHERE rn = 1),
+        |ago AS (SELECT o.user_id, o.value AS ago_value
+        |  FROM ordered o JOIN cnts c ON o.user_id = c.user_id
+        |  WHERE o.rn = LEAST(c.cnt, 31))
+        |SELECT l.user_id AS user_id, l.last_value, a.ago_value,
+        |  l.last_value - a.ago_value AS delta
+        |FROM latest l JOIN ago a ON l.user_id = a.user_id
+        |ORDER BY l.user_id""".stripMargin,
+    "c1_forecast" ->
+      s"""WITH rolled AS (SELECT user_id, CAST(ts AS DATE) AS last_day,
+         |  ${Sql.oAvgOver("value", rollOver)} AS roll_avg,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |FROM events),
+         |latest AS (SELECT user_id, last_day, roll_avg FROM rolled WHERE rn = 1)
+         |SELECT l.user_id, l.last_day + CAST(g.i AS INT) AS day,
+         |  l.roll_avg AS forecast
+         |FROM latest l CROSS JOIN generate_series(1, 5) AS g(i)
+         |ORDER BY user_id, day""".stripMargin,
+    "c2_upsert_lww" ->
+      """WITH r AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events)
+        |SELECT user_id, event_type, ts, value, event_id
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+}
