@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`/`embeddings` — extension tier
+  * (BASELINE.json north_star): exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - exact dedup = one hash-shuffle on a 16-byte digest, never on the
+  *    full text; group state is (min_id, count) — constant memory.
+  *  - MinHash: shingle explode → ONE groupBy computing all 64 signature
+  *    slots as parallel partial aggregates (no per-permutation pass, no
+  *    per-doc collect); LSH banding turns the O(n²) pair space into
+  *    per-bucket self-joins. Hot buckets (boilerplate docs) are the skew
+  *    risk — AQE skew-join handles moderate cases; degenerate buckets
+  *    should be capped/salted upstream.
+  *  - SimHash: 64 conditional-sum partial aggregates in one pass, then
+  *    16-bit band buckets for Hamming-neighbor candidate generation.
+  *  - embedding near-dup: exact NN for a bounded probe set via broadcast
+  *    of the probes (the 100 TB path swaps the broadcast cross for the
+  *    LSH-bucketed join in Similarity.scala).
+  *
+  * MinHash/SimHash outputs depend on xxhash64 and are not expressible in
+  * the oracle → rows-only checks; their semantics are pinned by
+  * DedupSpec (planted near-duplicates must be found).
+  */
+object Dedup extends QueryModule {
+
+  /** MinHash signatures: doc_id + 64 slot columns m0..m63. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 5)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val slots = (0 until 64).map(i => minhashSlot(col("h"), i).as(s"m$i"))
+    sh.groupBy("doc_id").agg(slots.head, slots.tail: _*)
+  }
+
+  /** LSH banding of a signature frame: (doc_id, band, bh). 16 bands × 4
+    * rows ⇒ docs with Jaccard ≳ 0.5 collide in ≥1 band w.h.p. */
+  def lshBands(sig: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${rowsPerBand * b + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Distinct candidate pairs (doc_a < doc_b) from LSH bucket collisions. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val bands = lshBands(minhashSignatures(docs))
+    bands.as("x")
+      .join(bands.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact word-shingle Jaccard for given (doc_a, doc_b) pairs. */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, k: Int = 5): DataFrame = {
+    val sets = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), k)).as("sset"))
+    pairs
+      .join(sets.withColumnRenamed("doc_id", "doc_a")
+                .withColumnRenamed("sset", "set_a"), Seq("doc_a"))
+      .join(sets.withColumnRenamed("doc_id", "doc_b")
+                .withColumnRenamed("sset", "set_b"), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** SimHash (64-bit) per doc: one pass, 64 conditional-sum aggregates. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64)
+      .map(i => when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: group on content digest, keep lowest doc_id
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")),
+
+    // n-gram (word-set) Jaccard between consecutive doc_ids — the exact
+    // verifier that backs the MinHash approximation, oracle-checked
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sets = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      val a = sets.select(col("doc_id").as("doc_a"), col("toks").as("set_a"))
+      val b = sets.select(col("doc_id").as("doc_b"), col("toks").as("set_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (size(col("set_a")) + size(col("set_b")) - col("inter")))
+            .as("jaccard"))
+        .orderBy("doc_a")
+    }),
+
+    // MinHash+LSH near-dup: per-doc candidate count (left join keeps
+    // dup-free docs visible with 0 — output is always |documents| rows)
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = minhashCandidates(docs)
+      val perDoc = cand.select(col("doc_a").as("doc_id"))
+        .unionAll(cand.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_candidates"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup: signature + Hamming-ball (≤6 bits) neighbor count
+    // via 16-bit band buckets
+    "dedup_simhash" -> ((s, d) => {
+      val sig = simhashSignatures(Tables.documents(s, d))
+      val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("simhash"), 16 * b).bitwiseAND(0xFFFFL).as("bh"))): _*))
+          .as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val pairs = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+        .distinct()
+        .filter(expr("bit_count(sim_a ^ sim_b)") <= 6)
+      val perDoc = pairs.select(col("doc_a").as("doc_id"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sig.select(col("doc_id"), col("simhash"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("simhash"),
+          coalesce(col("n"), lit(0L)).as("n_near"))
+        .orderBy("doc_id")
+    }),
+
+    // embedding-cosine near-dup: exact NN for probe set vec_id < 100
+    "dedup_embed_nn" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      val q = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      q.join(e, col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("vec_id").as("nn_id"), col("cos").as("nn_cos"),
+          (col("cos") >= 0.95).as("is_dup"))
+        .orderBy("q_id")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sets AS (SELECT doc_id,
+        |  list_distinct(string_split(text,' ')) AS toks FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |    AS jaccard
+        |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+    "dedup_embed_nn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 100),
+        |s AS (SELECT q_id, e.vec_id, round(
+        |    list_inner_product(q_emb, emb) /
+        |    (sqrt(list_inner_product(q_emb, q_emb)) *
+        |     sqrt(list_inner_product(emb, emb))), 6) AS cos
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, cos, ROW_NUMBER() OVER
+        |    (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM s)
+        |SELECT q_id, vec_id AS nn_id, cos AS nn_cos, cos >= 0.95 AS is_dup
+        |FROM r WHERE rk = 1 ORDER BY q_id""".stripMargin)
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table — extension tier.
+  *
+  * Two paths, per the north-star design:
+  *  - Brute-force exact top-k (`sim_topk`): probe set × corpus via a
+  *    broadcast of the (small) probe side; cosine in codegen'd
+  *    higher-order functions; per-probe top-k via window rank. At 100 TB
+  *    this is the "ground truth on a sample" path: cost is
+  *    O(|probes|·|corpus|) but perfectly parallel over corpus partitions
+  *    and shuffle-free until the tiny top-k aggregation.
+  *  - LSH-bucketed ANN (`sim_lsh_ann`): 16 deterministic random
+  *    hyperplanes → 16-bit sign bucket per vector; candidate set = same
+  *    bucket (plus probe-side multi-probe flips of 1 bit); exact cosine
+  *    re-rank inside the bucket. The corpus side is one shuffle on the
+  *    bucket id; at 100 TB the bucketed layout would be written once and
+  *    reused across queries (storage-partitioned join, no re-shuffle).
+  */
+object Similarity extends QueryModule {
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed, driver-side
+    * constants baked into the plan as literals). */
+  val NumPlanes = 8 // 256 buckets — sized so local test corpora (500-50k
+                    // vecs) keep a few candidates per bucket; at corpus
+                    // scale this grows (buckets ≈ corpus/target-candidates)
+
+  private def planes(nPlanes: Int = NumPlanes, dim: Int = 64): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bucket (NumPlanes bits) for a double-array embedding column. */
+  def lshBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    planes().zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(emb, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact brute-force cosine top-5 for probes vec_id < 3
+    "sim_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("c_id").asc)
+      broadcast(q).join(e.select(col("vec_id").as("c_id"), col("emb")),
+          col("c_id") =!= col("q_id"))
+        .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("c_id"), col("cos"), col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    }),
+
+    // LSH-bucketed ANN: per probe (vec_id < 10), candidates sharing the
+    // sign-bucket, exact cosine re-rank, top-3. Rows-only (bucket ids are
+    // float-sign dependent — deterministic within the engine, not oracle-
+    // expressible); recall vs sim_topk is asserted in SimilaritySpec.
+    "sim_lsh_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("bucket", lshBucket(col("emb")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("bucket").as("q_bucket"))
+      // multi-probe: exact bucket + all 1-bit flips (NumPlanes+1 probes)
+      val probes = q.select(col("q_id"), col("q_emb"),
+        explode(array((Seq(col("q_bucket")) ++
+          (0 until NumPlanes).map(i => col("q_bucket").bitwiseXOR(lit(1L << i)))): _*))
+          .as("bucket"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("c_id").asc)
+      broadcast(probes)
+        .join(e.select(col("vec_id").as("c_id"), col("emb"), col("bucket")),
+          Seq("bucket"))
+        .filter(col("c_id") =!= col("q_id"))
+        .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("c_id"), col("cos"), col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 3),
+        |s AS (SELECT q_id, e.vec_id AS c_id, round(
+        |    list_inner_product(q_emb, emb) /
+        |    (sqrt(list_inner_product(q_emb, q_emb)) *
+        |     sqrt(list_inner_product(emb, emb))), 6) AS cos
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, c_id, cos, ROW_NUMBER() OVER
+        |    (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk FROM s)
+        |SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
+}
