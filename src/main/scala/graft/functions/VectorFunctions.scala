@@ -20,15 +20,29 @@ import org.apache.spark.sql.functions._
   * operators/Similarity.scala), not this arithmetic.
   */
 object VectorFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
   /** Cast any numeric array to ARRAY<DOUBLE> (float → double is exact). */
   def asDouble(a: Column): Column = a.cast("array<double>")
 
+  /** Codegen'd single-loop cosine (native Catalyst expression — see
+    * ArrayMathExpressions). The hot path for similarity/dedup scans. */
+  def cosine(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  /** Codegen'd dot product. */
   def dot(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  /** Higher-order-function formulations (interpreted; kept as the
+    * executable spec the native expressions are asserted against). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def normHof(a: Column): Column = sqrt(dotHof(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (normHof(a) * normHof(b))
 
   /** Euclidean (L2) distance. */
   def l2(a: Column, b: Column): Column =

@@ -78,19 +78,14 @@ object Dedup extends QueryModule {
           .as("jaccard"))
   }
 
-  /** SimHash (64-bit) per doc: one pass, 64 conditional-sum aggregates. */
+  /** SimHash (64-bit) per doc: token hashes folded by the native
+    * SimHash64 expression — a shuffle-free per-row map (no explode, no
+    * 64-way aggregate; see ArrayMathExpressions). */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$i"))
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64)
-      .map(i => when(col(s"b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    agg.select(col("doc_id"), sim.as("simhash"))
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val hashes = transform(tokens(col("text")), w => xxhash64(w))
+    docs.select(col("doc_id"),
+      column(graft.functions.SimHash64(expression(hashes))).as("simhash"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -164,7 +159,9 @@ object Dedup extends QueryModule {
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("vec_id").asc)
-      q.join(e, col("vec_id") =!= col("q_id"))
+      // broadcast the bounded probe set; the corpus side streams
+      // partition-parallel (the only shape that survives corpus scale)
+      broadcast(q).join(e, col("vec_id") =!= col("q_id"))
         .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)

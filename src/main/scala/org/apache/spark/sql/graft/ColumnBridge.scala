@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` Column ↔ Expression converters — the
+  * standard extension-library pattern for exposing custom Catalyst
+  * expressions through the public Column API (Spark 4 moved these behind
+  * ExpressionUtils in org.apache.spark.sql.classic). */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register an expression constructor as a SQL temp function. */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}

@@ -20,6 +20,27 @@ class SimilaritySpec extends SparkSuite {
     assert(df.select(l2(col("a"), col("b"))).as[Double].head() === 5.0)
   }
 
+  test("native codegen cosine == interpreted HOF cosine, bit for bit") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val a = e.select(col("vec_id").as("ia"), col("emb").as("ea")).filter(col("ia") < 50)
+    val b = e.select(col("vec_id").as("ib"), col("emb").as("eb")).filter(col("ib") >= 50)
+    val diffs = a.crossJoin(b)
+      .select((cosine(col("ea"), col("eb")) - cosineHof(col("ea"), col("eb"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diffs === 0L, "native expression must match the HOF spec exactly")
+  }
+
+  test("native expressions usable from SQL after registration") {
+    org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark,
+      "cosine_sim", exprs => graft.functions.CosineSimilarity(exprs.head, exprs(1)))
+    val c = spark.sql(
+      "SELECT cosine_sim(CAST(array(1.0,0.0,1.0) AS ARRAY<DOUBLE>), " +
+        "CAST(array(1.0,1.0,0.0) AS ARRAY<DOUBLE>)) AS c")
+      .as[Double].head()
+    assert(math.abs(c - 0.5) < 1e-12)
+  }
+
   test("brute-force top-k is exact and LSH ANN finds same-bucket truth") {
     val topk = SparkEntry.queries("sim_topk")(spark, sf())
       .select("q_id", "c_id", "rk").as[(Long, Long, Long)].collect()
