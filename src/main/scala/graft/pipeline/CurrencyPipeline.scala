@@ -48,11 +48,15 @@ object CurrencyPipeline {
 
   /** P1-P4/F6: project → parse dd.MM.yyyy → derive rate_per_100 → keep
     * USD/EUR. One codegen stage over the scan. */
-  def transform(raw: DataFrame, keep: Seq[String] = Seq("USD", "EUR")): DataFrame =
-    raw.select(col("cc"), col("txt"), col("rate"),
-        to_date(col("exchangedate"), "dd.MM.yyyy").as("exchangedate"))
+  def transform(raw: DataFrame, keep: Seq[String] = Seq("USD", "EUR")): DataFrame = {
+    // P1 projection; an ingest_ts stamp (backfill replay) passes through
+    val passthrough = raw.columns.filter(_ == "ingest_ts").toSeq.map(col)
+    raw.select(Seq(col("cc"), col("txt"), col("rate"),
+        to_date(col("exchangedate"), "dd.MM.yyyy").as("exchangedate")) ++
+        passthrough: _*)
       .withColumn("rate_per_100", col("rate") * 100)
       .filter(col("cc").isin(keep: _*))
+  }
 
   /** Stamp a batch with its ingest time (the recency tie-break carried as
     * data so replays stay order-independent). */

@@ -1,0 +1,65 @@
+package graft
+
+import graft.pipeline.{CurrencyPipeline, Ingest, ReportSinks, Subscriptions}
+import org.apache.spark.sql.functions._
+
+/** Landing, discovery, backfill replay, subscriptions, report fan-out. */
+class IngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ingest").toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  test("land raw + latest-partition discovery + backfill merge") {
+    val rawDir = tmpDir()
+    val fixture = getClass.getResource("/nbu_sample.json").getPath
+    Ingest.landRaw(spark, fixture, rawDir, "2025-09-19")
+    Ingest.landRaw(spark, fixture, rawDir, "2025-09-20")
+    assert(Ingest.latestPartition(rawDir).contains("2025-09-20"))
+    val table = Ingest.backfill(spark, rawDir)
+    // same (cc, exchangedate) landed twice → newest ingest wins, 2 rows
+    assert(table.count() === 2)
+    assert(table.select(date_format(col("ingest_ts"), "yyyy-MM-dd"))
+      .as[String].collect().forall(_ == "2025-09-20"))
+    assert(table.select("cc").as[String].collect().sorted.toSeq ===
+      Seq("EUR", "USD"))
+  }
+
+  test("subscribe is insert-ignore; unsubscribe is keyed delete") {
+    def users(rows: (Long, String, String)*) =
+      rows.toDF("chat_id", "username", "j").select(col("chat_id"),
+        col("username"), to_timestamp(col("j")).as("joined_at"))
+    val existing = users((1L, "alice", "2025-01-01 10:00:00"))
+    val incoming = users(
+      (1L, "alice2", "2025-02-01 10:00:00"),  // conflict → ignored
+      (2L, "bob", "2025-02-01 11:00:00"),
+      (2L, "bob_dup", "2025-02-01 12:00:00")) // in-batch dup → first wins
+    val after = Subscriptions.subscribe(existing, incoming)
+    assert(after.count() === 2)
+    val byId = after.collect().map(r =>
+      r.getAs[Long]("chat_id") -> r.getAs[String]("username")).toMap
+    assert(byId(1L) === "alice" && byId(2L) === "bob")
+    val afterDelete = Subscriptions.unsubscribe(after, Seq(Tuple1(1L)).toDF("chat_id"))
+    assert(afterDelete.select("chat_id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("report fan-out: JSON document + CSV files") {
+    val rates = Seq(
+      ("USD", java.sql.Date.valueOf("2025-09-19"), 41.5),
+      ("EUR", java.sql.Date.valueOf("2025-09-19"), 48.5))
+      .toDF("cc", "exchangedate", "rate")
+    val per = CurrencyPipeline.reportPerCurrency(rates,
+      java.sql.Date.valueOf("2025-09-19"))
+    val json = ReportSinks.reportJson(CurrencyPipeline.reportStruct(per))
+    assert(json.contains("\"usd\"") && json.contains("\"last\":41.5"))
+    val out = tmpDir()
+    ReportSinks.writeCsvReports(per, out)
+    val usdCsv = new java.io.File(s"$out/usd_report").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(usdCsv.nonEmpty)
+    val lines = scala.io.Source.fromFile(usdCsv.head).getLines().toSeq
+    assert(lines.head.startsWith("cc,") && lines(1).startsWith("USD,"))
+  }
+}
