@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.{Event, Session}
+
+/** Stateful streaming sessionization vs the batch gap-island semantics. */
+class StreamingSessionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("flatMapGroupsWithState closes sessions on gap > 30 min") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Sessionize.run(spark, input.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    val s = 1000000L // µs per second
+    input.addData(
+      Event(1, 1, 0), Event(1, 2, 10 * s),          // session A
+      Event(1, 3, 4000 * s), Event(1, 4, 4010 * s), // closes A, opens B
+      Event(1, 5, 9000 * s),                        // closes B, opens C
+      Event(2, 6, 0))                               // user 2, stays open
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions_out").as[Session].collect()
+      .sortBy(_.session_start_us)
+    assert(closed.toSeq === Seq(
+      Session(1, 0, 10 * s, 2),
+      Session(1, 4000 * s, 4010 * s, 2)))
+  }
+
+  test("streamed closed sessions match batch w5_sessionize islands") {
+    // batch formulation on the same synthetic data
+    val s = 1000000L
+    val batch = Seq((1L, 1L, 0L), (1L, 2L, 10 * s), (1L, 3L, 4000 * s),
+      (1L, 4L, 4010 * s), (1L, 5L, 9000 * s), (2L, 6L, 0L))
+      .toDF("user_id", "event_id", "us")
+      .selectExpr("user_id", "event_id", "timestamp_micros(us) AS ts",
+        "CAST(0.0 AS DOUBLE) AS value", "'' AS props")
+    batch.createOrReplaceTempView("sess_batch_events")
+    val islands = spark.sql(
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |FROM sess_batch_events),
+        |m AS (SELECT user_id, ts,
+        |  CASE WHEN prev_ts IS NULL
+        |    OR unix_micros(ts) - unix_micros(prev_ts) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess FROM g),
+        |x AS (SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id
+        |  ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |FROM m)
+        |SELECT user_id, sid, COUNT(*) AS n, min(ts) AS start, max(ts) AS fin
+        |FROM x GROUP BY user_id, sid""".stripMargin)
+      .selectExpr("user_id", "unix_micros(start) AS s", "unix_micros(fin) AS f", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // every streamed-closed session must be a batch island
+    val streamedClosed = Set(
+      (1L, 0L, 10 * s, 2L), (1L, 4000 * s, 4010 * s, 2L))
+    assert(streamedClosed.subsetOf(islands))
+    assert(islands.size === 4) // 3 sessions for user 1 + 1 for user 2
+  }
+}
