@@ -68,6 +68,31 @@ object JoinOps extends QueryModule {
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")),
 
+    // LEFT OUTER: every customer with order stats, null-safe counts
+    "join_left_outer" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 350000),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_big_orders"),
+             dsum(col("o_totalprice")).as("sum_big"))
+        .orderBy("c_custkey")),
+
+    // FULL OUTER on disjoint-ish filtered sides (nulls both directions)
+    "join_full_outer" -> ((s, d) => {
+      val hi = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_hi"))
+      val lo = Tables.orders(s, d).filter(col("o_totalprice") < 5000)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_lo"))
+      hi.withColumnRenamed("k", "k_hi")
+        .join(lo.withColumnRenamed("k", "k_lo"),
+          col("k_hi") === col("k_lo"), "full_outer")
+        .select(coalesce(col("k_hi"), col("k_lo")).as("custkey"),
+          coalesce(col("n_hi"), lit(0L)).as("n_hi"),
+          coalesce(col("n_lo"), lit(0L)).as("n_lo"))
+        .orderBy("custkey")
+    }),
+
     // ROLLUP over (returnflag, linestatus)
     "agg_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -114,6 +139,22 @@ object JoinOps extends QueryModule {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
         |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 48)
         |ORDER BY p_partkey""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_big
+        |FROM customer LEFT OUTER JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 350000) o
+        |  ON c_custkey = o.o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """WITH hi AS (SELECT o_custkey AS k, count(*) AS n_hi FROM orders
+        |  WHERE o_totalprice > 400000 GROUP BY o_custkey),
+        |lo AS (SELECT o_custkey AS k, count(*) AS n_lo FROM orders
+        |  WHERE o_totalprice < 5000 GROUP BY o_custkey)
+        |SELECT COALESCE(hi.k, lo.k) AS custkey,
+        |  COALESCE(n_hi, 0) AS n_hi, COALESCE(n_lo, 0) AS n_lo
+        |FROM hi FULL OUTER JOIN lo ON hi.k = lo.k
+        |ORDER BY custkey""".stripMargin,
     "agg_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
          |  ${Sql.oSum("l_quantity")} AS sum_qty
