@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Sql, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join / set operators over the star schema — SURVEY.md §2.6. The
@@ -67,6 +68,32 @@ object JoinOps extends QueryModule {
           col("p_partkey") === col("l_partkey"), "left_anti")
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")),
+
+    // AS-OF join: for each purchase, the user's last click value at or
+    // before the purchase time. Spark lacks a native as-of join; the
+    // scalable composition is union + carry-forward window (one shuffle
+    // on user_id, no range cross-join) — the DuckDB oracle uses its
+    // native ASOF JOIN, making this a true cross-engine semantic check.
+    "join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("click_value"), lit(0).as("is_probe"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("double").as("click_value"), lit(1).as("is_probe"))
+      // clicks sort before a purchase at the same ts (<= semantics)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_probe"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      clicks.unionByName(purchases)
+        .withColumn("asof_value",
+          last("click_value", ignoreNulls = true).over(w))
+        .filter(col("is_probe") === 1)
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("asof_value"))
+        .orderBy("user_id", "purchase_id")
+    }),
 
     // LEFT OUTER: every customer with order stats, null-safe counts
     "join_left_outer" -> ((s, d) =>
@@ -139,6 +166,16 @@ object JoinOps extends QueryModule {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
         |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 48)
         |ORDER BY p_partkey""".stripMargin,
+    "join_asof" ->
+      """WITH clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  p.ts AS purchase_ts, c.value AS asof_value
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY user_id, purchase_id""".stripMargin,
     "join_left_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_big_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_big

@@ -179,6 +179,37 @@ object RelationalOps extends QueryModule {
              count("k").as("n"))
         .orderBy("event_type")),
 
+    // S2 — multiLine JSON scan of an NBU-style raw payload (rows-only:
+    // the fixture is repo-local, outside the oracle's table views)
+    "s2_json_scan" -> ((s, _) =>
+      graft.pipeline.CurrencyPipeline.readRaw(s,
+        "/root/repo/src/test/resources/nbu_sample.json")
+        .orderBy("cc")),
+
+    // A7 — typed Aggregator[IN,BUF,OUT] surface (SURVEY §2.11): one-pass
+    // min/max/count per group through the Dataset API
+    "a7_typed_agg" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .as[(String, Double)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.RateStatsAggregator.toColumn)
+        .toDF("l_returnflag", "stats")
+        .select(col("l_returnflag"),
+          col("stats.min").as("min_price"), col("stats.max").as("max_price"),
+          col("stats.n").as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A8 — sketch battery (HLL distinct + approx percentiles): the
+    // 100 TB-safe variants; rows-only (estimates are engine-specific)
+    "a8_sketches" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(approx_count_distinct(col("l_partkey")).as("nd_parts"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)")
+            .as("price_quantiles"))),
+
     // J2 — cross join of two 1-row aggregates (src/analyze.py:82-83)
     "j2_cross_join_scalars" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -269,6 +300,10 @@ object RelationalOps extends QueryModule {
         |SELECT event_type, CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
         |  COUNT(k) AS n
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a7_typed_agg" ->
+      """SELECT l_returnflag, min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "j2_cross_join_scalars" ->
       s"""WITH s1 AS (SELECT ${Sql.oAvg("o_totalprice")} AS avg_price FROM orders),
          |s2 AS (SELECT count(*) AS n_orders FROM orders)
