@@ -142,6 +142,21 @@ object ExtendedOps extends QueryModule {
           last_day(to_date(col("o_orderdate"))).as("month_end"))
         .orderBy("o_orderkey")),
 
+    // array-function battery over the token arrays
+    "f_arrays" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n"),
+          array_contains(toks, "spark").as("has_spark"),
+          element_at(sort_array(toks), 1).as("first_sorted"),
+          element_at(sort_array(toks, asc = false), 1).as("last_sorted"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          slice(sort_array(array_distinct(toks)), 1, 3).as("top3_sorted"))
+        .orderBy("doc_id")
+    }),
+
     // JSON-path extraction (real JSON parser, not regex)
     "e_json_path" -> ((s, d) =>
       Tables.events(s, d)
@@ -251,6 +266,16 @@ object ExtendedOps extends QueryModule {
         |  CAST(o_orderdate AS DATE) + 90 AS plus_90d,
         |  last_day(CAST(o_orderdate AS DATE)) AS month_end
         |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+    "f_arrays" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  list_sort(toks)[1] AS first_sorted,
+        |  list_reverse_sort(toks)[1] AS last_sorted,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  list_sort(list_distinct(toks))[1:3] AS top3_sorted
+        |FROM t ORDER BY doc_id""".stripMargin,
     "e_json_path" ->
       """SELECT event_id,
         |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

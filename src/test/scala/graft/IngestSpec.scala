@@ -45,6 +45,23 @@ class IngestSpec extends SparkSuite {
     assert(afterDelete.select("chat_id").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("partitioned parquet sink enables partition pruning") {
+    val out = tmpDir()
+    val rates = Seq(
+      ("USD", java.sql.Date.valueOf("2025-09-19"), 41.5),
+      ("USD", java.sql.Date.valueOf("2025-09-20"), 41.7))
+      .toDF("cc", "exchangedate", "rate")
+    CurrencyPipeline.writePartitioned(rates, out)
+    assert(new java.io.File(s"$out/ingest_date=2025-09-19").isDirectory)
+    val pruned = spark.read.parquet(out)
+      .filter(col("ingest_date") === "2025-09-20")
+    assert(pruned.count() === 1)
+    // partition filter must prune at planning, not post-scan
+    val scan = pruned.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("ingest_date"), scan)
+  }
+
   test("report fan-out: JSON document + CSV files") {
     val rates = Seq(
       ("USD", java.sql.Date.valueOf("2025-09-19"), 41.5),
