@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import graft.functions.{CosineSimilarity, DotProduct, SimHash64}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Extension injection (SparkSessionExtensions): registers the engine's
+  * native expressions as SQL functions at session build, so
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `withExtensions`) exposes them to pure-SQL users on any cluster. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+  }
+}
+
+/** Session factory with the engine's recommended configuration — the
+  * settings SURVEY.md §4/§7 calls out as scale-critical defaults. In
+  * production these come from spark-submit conf; locally this is the
+  * one-stop builder. */
+object GraftSession {
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .withExtensions(new GraftExtensions)
+      // shuffle parallelism sized to the executor slots, not the 200
+      // default (local mode); a real cluster sets this to 2-3× slots
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      // AQE: runtime re-plan (coalesce partitions, skew-join split)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // oracle/report determinism
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions function injection + empty-input robustness. */
+class SessionSpec extends AnyFunSuite {
+
+  // extensions only apply at session BUILD time — getOrCreate would
+  // silently reuse the suite-shared session, so stop it first (suites
+  // run sequentially; later suites rebuild via their own getOrCreate)
+  private lazy val gspark = {
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(_.stop())
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    GraftSession.builder(cores = 2).appName("graft-ext-test").getOrCreate()
+  }
+
+  test("extension-injected SQL functions resolve") {
+    val r = gspark.sql(
+      """SELECT
+        |  cosine_sim(CAST(array(1.0,0.0) AS ARRAY<DOUBLE>),
+        |             CAST(array(0.0,1.0) AS ARRAY<DOUBLE>)) AS c,
+        |  dot_product(CAST(array(1.0,2.0) AS ARRAY<DOUBLE>),
+        |              CAST(array(3.0,4.0) AS ARRAY<DOUBLE>)) AS d,
+        |  simhash64(array(CAST(0 AS LONG))) AS sh""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getDouble(1) === 11.0)
+    assert(r.getLong(2) === 0L) // all bits vote -1 except none set
+  }
+
+  test("pipeline operators tolerate empty inputs") {
+    import gspark.implicits._
+    val empty = Seq.empty[(String, java.sql.Date, Double)]
+      .toDF("cc", "exchangedate", "rate")
+    assert(graft.pipeline.CurrencyPipeline.forecast(empty).count() === 0)
+    assert(graft.pipeline.CurrencyPipeline
+      .reportPerCurrency(empty, java.sql.Date.valueOf("2025-01-01"))
+      .count() === 0)
+    val emptyStamped = empty
+      .withColumn("ingest_ts",
+        org.apache.spark.sql.functions.current_timestamp())
+    // merge of empty + empty stays empty; merge of x + empty = x
+    assert(graft.pipeline.CurrencyPipeline
+      .merge(emptyStamped, emptyStamped).count() === 0)
+  }
+}
