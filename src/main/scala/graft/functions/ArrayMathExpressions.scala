@@ -149,3 +149,61 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Winnowing fingerprint (Karp-Rabin rolling hash + min-in-window) from a
+  * STRING, in one codegen pass: polynomial rolling hash (base 257, mod
+  * 2^61-1) over each `k`-char window, then the minimum window hash per
+  * winnowing window of `w` — the classic local document fingerprint
+  * (Schleimer et al., SIGMOD'03 "winnowing") reduced to its smallest
+  * useful form: the global minimum k-gram hash, a 1-slot MinHash that is
+  * stable under content shifts. Shuffle-free per-row map.
+  */
+case class RollingMinHash(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "rolling_min_hash"
+
+  private val Mod = (1L << 61) - 1
+  private val Base = 257L
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    if (s.length < k) return java.lang.Long.valueOf(-1L)
+    // modmul via Math.multiplyHigh-free 128-bit split (base < 2^9 keeps
+    // products < 2^70; split into high/low to stay exact)
+    def mulmod(a: Long, b: Long): Long = {
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      // fold 128-bit product mod 2^61-1: (hi*2^64 + lo) mod (2^61-1)
+      val r = ((hi << 3) | (lo >>> 61)) + (lo & Mod)
+      val f = (r & Mod) + (r >>> 61)
+      if (f >= Mod) f - Mod else f
+    }
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow = mulmod(pow, Base); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (mulmod(h, Base) + s.charAt(i)) % Mod; i += 1 }
+    var minH = h
+    while (i < s.length) {
+      h = (h + Mod - mulmod(s.charAt(i - k), pow) % Mod) % Mod
+      h = (mulmod(h, Base) + s.charAt(i)) % Mod
+      if (h < minH) minH = h
+      i += 1
+    }
+    java.lang.Long.valueOf(minH)
+  }
+
+  // interpreted eval is already a tight loop over the string; fall back
+  // to it from generated code via the standard codegen-fallback shape
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("rollingMinHash", this,
+      classOf[RollingMinHash].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (Long) $self.nullSafeEval($a.toString());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -42,7 +42,58 @@ object Similarity extends QueryModule {
       when(dot(emb, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
+  /** IVF index: KMeans coarse quantizer (spark.ml, fixed seed) over the
+    * corpus; returns (assigned corpus with cluster ids, centroid table).
+    * At 100 TB the centroids are trained on a sample and the assignment
+    * is one broadcast-map pass; the per-cluster layout would be written
+    * bucketed-by-cluster so probes touch only nprobe buckets. */
+  def ivfIndex(e: DataFrame, k: Int = 16): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val feat = e.withColumn("features", array_to_vector(col("emb")))
+    val model = new KMeans().setK(k).setSeed(42)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(feat)
+    val assigned = model.transform(feat).drop("features")
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val spark = e.sparkSession
+    import spark.implicits._
+    (assigned, centroids.toDF("cluster", "centroid"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF ANN: nearest-2-centroid probe, exact cosine re-rank within the
+    // probed clusters. Rows-only (KMeans assignment is engine-internal);
+    // SimilaritySpec bounds it against brute force.
+    "sim_ivf_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      val (assigned, centroids) = ivfIndex(e)
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      // rank centroids per probe, keep nprobe=2
+      val probeClusters = broadcast(q).crossJoin(broadcast(centroids))
+        .withColumn("c_cos", cosine(col("q_emb"), col("centroid")))
+        .withColumn("crk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("c_cos").desc, col("cluster"))))
+        .filter(col("crk") <= 2)
+        .select(col("q_id"), col("q_emb"), col("cluster"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("c_id").asc)
+      broadcast(probeClusters)
+        .join(assigned.select(col("vec_id").as("c_id"), col("emb"),
+          col("cluster")), Seq("cluster"))
+        .filter(col("c_id") =!= col("q_id"))
+        .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("c_id"), col("cos"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    }),
+
     // exact brute-force cosine top-5 for probes vec_id < 3
     "sim_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)

@@ -60,6 +60,27 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // BPE-ish regex tokenization (robust to punctuation/whitespace runs)
+    "t_tokens_bpe" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokensWs(col("text"))).cast("long").as("n_tokens_ws"),
+          size(array_distinct(tokensWs(col("text")))).cast("long")
+            .as("n_unique_ws"))
+        .orderBy("doc_id")),
+
+    // winnowing-style rolling-hash fingerprint (native RollingMinHash
+    // expression; shift-stable local fingerprint). Rows-only: the
+    // Karp-Rabin constants are engine-internal; TextSpec pins semantics.
+    "t_fingerprint_roll" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          column(graft.functions.RollingMinHash(expression(col("text")), 16))
+            .as("fp_roll16"))
+        .orderBy("doc_id")
+    }),
+
     // document fingerprinting: whole-doc, prefix, and min-word-hash
     // (md5-based so the oracle can reproduce it bit-for-bit)
     "t_fingerprint" -> ((s, d) =>
@@ -99,6 +120,13 @@ object TextAnalysis extends QueryModule {
          |  CASE WHEN en_hits * 20 >= n_tokens THEN 'en'
          |       WHEN en_hits > 0 THEN 'en_low' ELSE 'unk' END AS lang_guess
          |FROM t ORDER BY doc_id""".stripMargin,
+    "t_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\W+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(list_distinct(list_filter(string_split_regex(text, '\W+'),
+        |    x -> len(x) > 0))) AS BIGINT) AS n_unique_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_doc,
         |  md5(substr(text, 1, 64)) AS fp_prefix,

@@ -58,4 +58,22 @@ class SimilaritySpec extends SparkSuite {
       .select("q_id", "c_id").as[(Long, Long)].collect()
     assert(ann.nonEmpty && ann.forall(t => t._1 != t._2))
   }
+
+  test("IVF ANN is bounded by brute force and returns per-probe top-3") {
+    val bf = SparkEntry.queries("sim_topk")(spark, sf())
+      .filter(col("rk") === 1)
+      .select("q_id", "cos").as[(Long, Double)].collect().toMap
+    val ivf = SparkEntry.queries("sim_ivf_ann")(spark, sf())
+      .select("q_id", "c_id", "cos", "rk")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(ivf.nonEmpty)
+    val byProbe = ivf.groupBy(_._1)
+    byProbe.foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length))
+    }
+    // approximate results can never beat the exact max cosine
+    byProbe.collect { case (q, rows) if bf.contains(q) =>
+      assert(rows.map(_._3).max <= bf(q) + 1e-9)
+    }
+  }
 }
