@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** DataSourceV2 source: parallel per-file parse of pretty-printed JSON
+  * arrays must agree with the multiLine JSON reader, prune columns, and
+  * plan one partition per file. */
+class NbuRawSourceSpec extends SparkSuite {
+
+  private def landTwo(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("nbu_dsv2").toFile
+    dir.deleteOnExit()
+    val fixture = java.nio.file.Paths.get(
+      getClass.getResource("/nbu_sample.json").getPath)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir.getPath, "ingest_date=2025-09-19"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir.getPath, "ingest_date=2025-09-20"))
+    java.nio.file.Files.copy(fixture, java.nio.file.Paths.get(
+      dir.getPath, "ingest_date=2025-09-19", "response.json"))
+    java.nio.file.Files.copy(fixture, java.nio.file.Paths.get(
+      dir.getPath, "ingest_date=2025-09-20", "response.json"))
+    dir.getPath
+  }
+
+  test("matches the multiLine JSON reader row-for-row") {
+    val dir = landTwo()
+    val dsv2 = spark.read.format("graft.sources.NbuRawSource")
+      .option("path", dir).load()
+      .orderBy("cc", "exchangedate")
+    val builtin = spark.read.option("multiLine", value = true)
+      .schema(graft.pipeline.CurrencyPipeline.rawSchema)
+      .json(s"$dir/ingest_date=*")
+      .select(dsv2.columns.map(col): _*)
+      .orderBy("cc", "exchangedate")
+    assert(dsv2.collect().toSeq === builtin.collect().toSeq)
+  }
+
+  test("one input partition per file; pruning reaches the reader") {
+    val dir = landTwo()
+    val df = spark.read.format("graft.sources.NbuRawSource")
+      .option("path", dir).load()
+    assert(df.rdd.getNumPartitions === 2)
+    val pruned = df.select("cc", "rate")
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReadSchema") || plan.contains("cc"), plan)
+    assert(pruned.columns.toSeq === Seq("cc", "rate"))
+    assert(pruned.count() === 8)
+    // transform composes directly on the custom source
+    val t = graft.pipeline.CurrencyPipeline.transform(df)
+    assert(t.count() === 4) // 2 files × (USD, EUR)
+  }
+}
