@@ -120,6 +120,22 @@ object JoinOps extends QueryModule {
         .orderBy("custkey")
     }),
 
+    // RANGE join: quantity → bucket dimension via interval containment.
+    // The naive form is a nested-loop BETWEEN join (O(n·buckets)); the
+    // scalable rewrite below computes the bucket KEY on the fact side and
+    // equi-joins — one broadcast hash join, no theta join at all. The
+    // oracle runs the naive BETWEEN form, proving the rewrite equivalent.
+    "join_range_bucketed" -> ((s, d) => {
+      val buckets = s.range(0, 5).select(col("id").as("bucket_id"),
+        concat(lit("B"), col("id") + 1).as("bucket_name"))
+      val li = Tables.lineitem(s, d)
+        .withColumn("bucket_id", floor((col("l_quantity") - 1) / 10))
+      li.join(broadcast(buckets), Seq("bucket_id"))
+        .groupBy("bucket_name")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("bucket_name")
+    }),
+
     // ROLLUP over (returnflag, linestatus)
     "agg_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -192,6 +208,13 @@ object JoinOps extends QueryModule {
         |  COALESCE(n_hi, 0) AS n_hi, COALESCE(n_lo, 0) AS n_lo
         |FROM hi FULL OUTER JOIN lo ON hi.k = lo.k
         |ORDER BY custkey""".stripMargin,
+    "join_range_bucketed" ->
+      s"""WITH buckets AS (SELECT (i*10 + 1) AS lo, (i+1)*10 AS hi,
+         |  'B' || (i+1) AS bucket_name FROM range(0, 5) r(i))
+         |SELECT bucket_name, count(*) AS n_items,
+         |  ${Sql.oSum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN buckets ON l_quantity BETWEEN lo AND hi
+         |GROUP BY bucket_name ORDER BY bucket_name""".stripMargin,
     "agg_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
          |  ${Sql.oSum("l_quantity")} AS sum_qty
