@@ -157,6 +157,31 @@ object ExtendedOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // null-handling battery (nullif/coalesce/ifnull/CASE over derived nulls)
+    "f_nulls" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          nullif(col("l_returnflag"), lit("A")).as("flag_or_null"),
+          coalesce(nullif(col("l_returnflag"), lit("A")), lit("WAS_A"))
+            .as("flag_defaulted"),
+          expr("ifnull(nullif(l_linestatus, 'F'), 'WAS_F')").as("status_defaulted"),
+          when(col("l_quantity") > 25, col("l_quantity")).as("qty_if_big"),
+          (nullif(col("l_returnflag"), lit("A")).isNull).as("was_a"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("status_defaulted"), col("qty_if_big").asc_nulls_first)),
+
+    // regex battery: extract-all counts + match predicate
+    "f_regex" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, 's\\\\w+', 0)")).cast("long")
+            .as("n_s_words"),
+          col("text").rlike("spark").as("has_spark"),
+          regexp_extract(col("text"), "(s\\w+)", 1).as("first_s_word"))
+        .orderBy("doc_id")),
+
     // JSON-path extraction (real JSON parser, not regex)
     "e_json_path" -> ((s, d) =>
       Tables.events(s, d)
@@ -276,6 +301,22 @@ object ExtendedOps extends QueryModule {
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
         |  list_sort(list_distinct(toks))[1:3] AS top3_sorted
         |FROM t ORDER BY doc_id""".stripMargin,
+    "f_nulls" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  nullif(l_returnflag, 'A') AS flag_or_null,
+        |  coalesce(nullif(l_returnflag, 'A'), 'WAS_A') AS flag_defaulted,
+        |  ifnull(nullif(l_linestatus, 'F'), 'WAS_F') AS status_defaulted,
+        |  CASE WHEN l_quantity > 25 THEN l_quantity END AS qty_if_big,
+        |  nullif(l_returnflag, 'A') IS NULL AS was_a
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag,
+        |  status_defaulted, qty_if_big ASC NULLS FIRST""".stripMargin,
+    "f_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 's\w+')) AS BIGINT) AS n_s_words,
+        |  regexp_matches(text, 'spark') AS has_spark,
+        |  regexp_extract(text, '(s\w+)', 1) AS first_s_word
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "e_json_path" ->
       """SELECT event_id,
         |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
