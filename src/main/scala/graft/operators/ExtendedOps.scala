@@ -198,6 +198,33 @@ object ExtendedOps extends QueryModule {
         .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("w"))
         .orderBy("doc_id", "pos")),
 
+    // UNPIVOT/melt: the wide single-row report reshaped to (metric, value)
+    // rows — the inverse of C3's pivot-style assembly
+    "unpivot_report" -> ((s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).cast("double").as("n_rows"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    }),
+
+    // map-type functions (scalar extraction keeps the output portable)
+    "f_maps" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          element_at(map_from_arrays(
+            array(lit("status"), lit("priority")),
+            array(col("o_orderstatus"), col("o_orderpriority"))),
+            "priority").as("prio_via_map"),
+          size(map_from_arrays(array(lit("a"), lit("b")),
+            array(lit(1), lit(2)))).cast("long").as("map_size"))
+        .orderBy("o_orderkey")),
+
     // sliding event-time windows (2-day window, 1-day slide) — batch
     // analog of the streaming sliding agg
     "w6_sliding_window" -> ((s, d) =>
@@ -327,6 +354,24 @@ object ExtendedOps extends QueryModule {
         |SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
         |  unnest(toks) AS w
         |FROM t ORDER BY doc_id, pos""".stripMargin,
+    "unpivot_report" ->
+      s"""WITH wide AS (SELECT l_returnflag,
+         |  ${Sql.oSum("l_quantity")} AS sum_qty,
+         |  ${Sql.oSum("l_extendedprice")} AS sum_price,
+         |  CAST(count(*) AS DOUBLE) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_price', sum_price FROM wide
+         |UNION ALL
+         |SELECT l_returnflag, 'n_rows', n_rows FROM wide
+         |ORDER BY l_returnflag, metric""".stripMargin,
+    "f_maps" ->
+      """SELECT o_orderkey,
+        |  map(['status', 'priority'],
+        |      [o_orderstatus, o_orderpriority])['priority'][1] AS prio_via_map,
+        |  CAST(cardinality(map(['a','b'], [1,2])) AS BIGINT) AS map_size
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
     "w6_sliding_window" ->
       s"""WITH ws AS (SELECT event_type, value,
          |  unnest([date_trunc('day', ts) - INTERVAL 1 DAY,

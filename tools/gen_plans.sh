@@ -1,0 +1,32 @@
+#!/bin/bash
+# Regenerate PLANS.md: scale-relevant physical-plan lines for the
+# headline queries. Requires compiled classes (sbt compile).
+set -e
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.01}
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent \
+         java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
+         sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+QUERIES="p4_in_filter a1_avg join_star_region w2_rolling_avg7 sim_topk \
+dedup_minhash_lsh c2_upsert_lww join_asof"
+{
+  echo "# PLANS — physical-plan audit of headline queries ($SF)"
+  echo
+  echo "Auto-generated from \`graft.Smoke <query>\` formatted explains: the"
+  echo "scale-relevant lines (scan pushdown, exchanges, codegen, join strategies)."
+  echo "Regenerate: \`tools/gen_plans.sh\`."
+  for q in $QUERIES; do
+    echo; echo "## $q"; echo '```'
+    java $ADD_OPENS -Xmx8g \
+      -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+      graft.Smoke "$q" "$SF" 2>/dev/null \
+      | grep -E '^\([0-9]+\) |PushedFilters|ReadSchema' \
+      | grep -vE 'PushedFilters: \[\]' | head -40
+    echo '```'
+  done
+} > PLANS.md
+echo "wrote PLANS.md"
