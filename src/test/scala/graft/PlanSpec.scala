@@ -1,0 +1,40 @@
+package graft
+
+/** Plan-shape regression guards: the scale-critical plan properties the
+  * README/PLANS.md claims must keep holding as queries evolve. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString()
+
+  test("filters and pruning reach the parquet scan") {
+    val p = plan("p4_in_filter")
+    assert(p.contains("PushedFilters: [In(l_returnflag"), p.take(2000))
+    assert(!p.contains("l_shipdate"), "pruned column must not be read")
+  }
+
+  test("star join broadcasts every dimension") {
+    val p = plan("join_star_region")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no cartesian fallback")
+  }
+
+  test("simhash signatures plan shuffle-free") {
+    val p = graft.operators.Dedup
+      .simhashSignatures(Tables.documents(spark, sf("sf0.01")))
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"signature stage must be a map:\n$p")
+  }
+
+  test("top-1-by-date plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("o1_top1_latest")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("semi/anti joins never materialize probe payload") {
+    assert(plan("join_semi").contains("LeftSemi"))
+    assert(plan("join_anti").contains("LeftAnti"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.pipeline.CurrencyPipeline
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based semantics (SURVEY.md §5.3): upsert idempotence and
+  * replay-order invariance, rolling mean vs brute force — over generated
+  * histories, not hand-picked examples. */
+class PropertySpec extends SparkSuite {
+
+  /** scalatestplus isn't in the offline cache: drive Gen directly with
+    * fixed seeds (deterministic across runs). */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  import spark.implicits._
+
+  private val ratesGen: Gen[List[(String, Int, Double, Int)]] =
+    Gen.listOfN(30, for {
+      cc <- Gen.oneOf("USD", "EUR")
+      day <- Gen.choose(1, 20)
+      rate <- Gen.choose(100, 9999).map(_ / 100.0)
+      ingest <- Gen.choose(1, 5)
+    } yield (cc, day, rate, ingest))
+
+  private def toDf(rows: List[(String, Int, Double, Int)]) =
+    rows.toDF("cc", "day", "rate", "ingest")
+      .select(col("cc"), col("rate"),
+        expr("date_add(DATE '2025-01-01', day)").as("exchangedate"),
+        expr("timestamp_micros(CAST(ingest AS LONG) * 1000000 + " +
+          "CAST(rate * 100 AS LONG))").as("ingest_ts"))
+
+  test("merge is idempotent and replay-order independent") {
+    samples(ratesGen, 10).filter(_.nonEmpty).foreach { rows =>
+      {
+        val df = toDf(rows)
+        val (a, b) = (toDf(rows.take(rows.length / 2)),
+          toDf(rows.drop(rows.length / 2)))
+        def rowsOf(d: org.apache.spark.sql.DataFrame) =
+          d.select("cc", "exchangedate", "rate")
+            .as[(String, java.sql.Date, Double)].collect().toSet
+        val merged = CurrencyPipeline.merge(a, b)
+        // idempotent: merging the result with either input is a no-op
+        assert(rowsOf(CurrencyPipeline.merge(merged, merged)) === rowsOf(merged))
+        // replay-order independent (ingest_ts ties broken by rate inside
+        // the generated ts, so ordering is total)
+        assert(rowsOf(CurrencyPipeline.merge(b, a)) === rowsOf(merged))
+        // one row per key
+        val keys = merged.select("cc", "exchangedate").collect()
+        assert(keys.length === keys.distinct.length)
+        assert(rowsOf(merged) === rowsOf(CurrencyPipeline.merge(df, df.limit(0))))
+      }
+    }
+  }
+
+  test("rolling 7-row mean equals brute force over any history") {
+    samples(Gen.listOfN(25, Gen.choose(1, 10000).map(_ / 100.0)), 10)
+        .filter(_.nonEmpty).foreach { values =>
+      {
+        val df = values.zipWithIndex.map { case (v, i) => ("USD", i, v) }
+          .toDF("cc", "idx", "rate")
+          .select(col("cc"), col("rate"),
+            expr("date_add(DATE '2025-01-01', idx)").as("exchangedate"))
+        val got = CurrencyPipeline.forecast(df, horizon = 1)
+          .select("forecast_rate").as[Double].head()
+        val last7 = values.takeRight(7)
+        val expected = last7.map(BigDecimal(_)).sum / last7.length
+        assert(math.abs(got - expected.toDouble) < 1e-9)
+      }
+    }
+  }
+}
