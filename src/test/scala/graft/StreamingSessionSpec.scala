@@ -29,6 +29,34 @@ class StreamingSessionSpec extends SparkSuite {
       Session(1, 4000 * s, 4010 * s, 2)))
   }
 
+  test("foreachBatch streaming merge converges with re-delivered files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_smerge").toFile
+    dir.deleteOnExit()
+    val raw = s"${dir.getPath}/raw"
+    val table = s"${dir.getPath}/rates"
+    val fixture = java.nio.file.Paths.get(
+      getClass.getResource("/nbu_sample.json").getPath)
+    def land(date: String): Unit = {
+      val d = java.nio.file.Paths.get(raw, s"ingest_date=$date")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(fixture, d.resolve("response.json"))
+      ()
+    }
+    land("2025-09-19")
+    val q1 = graft.streaming.StreamMerge.run(spark, raw, table)
+    q1.awaitTermination()
+    assert(spark.read.parquet(table).count() === 2) // USD+EUR, one day
+    // re-deliver the same payload under a new landing date → converges,
+    // no duplicates (same cc+exchangedate keys win by recency)
+    land("2025-09-20")
+    val q2 = graft.streaming.StreamMerge.run(spark, raw, table)
+    q2.awaitTermination()
+    val t = spark.read.parquet(table)
+    assert(t.count() === 2)
+    assert(t.select("cc").as[String].collect().sorted.toSeq ===
+      Seq("EUR", "USD"))
+  }
+
   test("streamed closed sessions match batch w5_sessionize islands") {
     // batch formulation on the same synthetic data
     val s = 1000000L
