@@ -26,6 +26,15 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
     .otherwise(array(concat_ws(" ", toks)))
 
+  /** Strict word k-shingles: empty array (not whole-text fallback) when
+    * the doc has fewer than k tokens — for overlap/repetition ops where
+    * a degenerate shingle would fabricate matches. */
+  def shinglesStrict(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+    .otherwise(array().cast("array<string>"))
+
   /** One MinHash signature slot: min over re-hashed shingle hashes.
     * Slot independence comes from mixing the slot index into xxhash64
     * (rather than a*h+b permutation arithmetic, which trips Spark 4's

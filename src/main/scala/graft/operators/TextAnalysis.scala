@@ -60,6 +60,38 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // repetition ratio (Gopher-style quality signal): share of duplicate
+    // word 2-grams — high values mark degenerate/boilerplate text
+    "t_repetition" -> ((s, d) => {
+      val grams = shinglesStrict(tokens(col("text")), 2)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(grams).cast("long").as("n_2grams"),
+          size(array_distinct(grams)).cast("long").as("n_distinct_2grams"))
+        .withColumn("dup_ratio",
+          when(col("n_2grams") > 0,
+            lit(1.0) - col("n_distinct_2grams").cast("double") / col("n_2grams"))
+            .otherwise(0.0))
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: docs sharing any 8-gram with the
+    // "benchmark set" (docs 0-4) — the shingle-hash semi-join that runs
+    // contamination checks at corpus scale (benchmark side broadcasts)
+    "t_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(shinglesStrict(tokens(col("text")), 8))).as("sh"))
+      val bench = sh.filter(col("doc_id") < 5).select("sh").distinct()
+      val counts = sh.filter(col("doc_id") >= 5)
+        .join(broadcast(bench), Seq("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      docs.filter(col("doc_id") >= 5).select("doc_id")
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_shared_8grams"))
+        .orderBy("doc_id")
+    }),
+
     // BPE-ish regex tokenization (robust to punctuation/whitespace runs)
     "t_tokens_bpe" -> ((s, d) =>
       Tables.documents(s, d)
@@ -120,6 +152,29 @@ object TextAnalysis extends QueryModule {
          |  CASE WHEN en_hits * 20 >= n_tokens THEN 'en'
          |       WHEN en_hits > 0 THEN 'en_low' ELSE 'unk' END AS lang_guess
          |FROM t ORDER BY doc_id""".stripMargin,
+    "t_repetition" ->
+      """WITH g AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |r AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
+        |    list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |  ELSE [] END AS grams FROM g)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_2grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_2grams,
+        |  CASE WHEN len(grams) > 0 THEN
+        |    1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |  ELSE 0.0 END AS dup_ratio
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "t_contamination" ->
+      """WITH g AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 8 THEN
+        |    list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))
+        |  ELSE [] END)) AS s FROM g),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+        |cnt AS (SELECT sh.doc_id, count(*) AS n FROM sh
+        |  JOIN bench USING (s) WHERE sh.doc_id >= 5 GROUP BY sh.doc_id)
+        |SELECT d.doc_id, COALESCE(cnt.n, 0) AS n_shared_8grams
+        |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+        |WHERE d.doc_id >= 5 ORDER BY d.doc_id""".stripMargin,
     "t_tokens_bpe" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '\W+'),
