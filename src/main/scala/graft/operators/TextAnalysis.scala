@@ -92,6 +92,51 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // PII redaction: regex scrub of emails/long digit runs (synthesized
+    // onto the corpus so the redaction actually fires)
+    "t_redact_pii" -> ((s, d) => {
+      val withPii = concat(col("text"), lit(" contact: "), col("source"),
+        lit("@example.com id 1234567890"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(withPii,
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+            "\\d{6,}", "<NUM>").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // stratified per-language cap: first N docs per lang — the
+    // deterministic form of language-balanced corpus sampling
+    "t_stratified_cap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+        .orderBy("lang", "rn")
+    }),
+
+    // sequence packing: assign docs to training packs by cumulative token
+    // budget (2048): pack_id = floor(exclusive-prefix-tokens / budget).
+    // NOTE the global-order window is single-reducer — correct here, and
+    // at 100 TB the same two lines run per shard (partitionBy(shard_id))
+    // since packs never need to span shards; global order is only for
+    // the oracle's determinism.
+    "t_pack_sequences" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+        .withColumn("prev_cum", coalesce(sum("n_tok").over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tok"),
+          floor(col("prev_cum") / 2048).as("pack_id"))
+        .orderBy("doc_id")
+    }),
+
     // BPE-ish regex tokenization (robust to punctuation/whitespace runs)
     "t_tokens_bpe" -> ((s, d) =>
       Tables.documents(s, d)
@@ -152,6 +197,29 @@ object TextAnalysis extends QueryModule {
          |  CASE WHEN en_hits * 20 >= n_tokens THEN 'en'
          |       WHEN en_hits > 0 THEN 'en_low' ELSE 'unk' END AS lang_guess
          |FROM t ORDER BY doc_id""".stripMargin,
+    "t_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact: ' || source || '@example.com id 1234567890',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '\d{6,}', '<NUM>', 'g') AS redacted
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "t_stratified_cap" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |FROM documents)
+        |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "t_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |FROM documents)
+        |SELECT doc_id, n_tok,
+        |  CAST(floor(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 2048) AS BIGINT) AS pack_id
+        |FROM t ORDER BY doc_id""".stripMargin,
     "t_repetition" ->
       """WITH g AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |r AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
