@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // NOTE: keep the INT96 default for result dumps — readers interpret
+      // INT96 as naive timestamps, matching the DuckDB oracle's output;
+      // TIMESTAMP_MICROS mode writes isAdjustedToUTC=true and every
+      // timestamp comes back tz-aware ≠ oracle (verified empirically)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
