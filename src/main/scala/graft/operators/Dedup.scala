@@ -88,6 +88,55 @@ object Dedup extends QueryModule {
       column(graft.functions.SimHash64(expression(hashes))).as("simhash"))
   }
 
+  /** Connected components over candidate pairs: iterative min-label
+    * propagation (the survivor-selection stage after LSH candidate
+    * generation — near-dup CLUSTERS, not just pairs, decide who is kept).
+    *
+    * Each iteration is one distributed join + groupBy; convergence takes
+    * O(log(cluster diameter)) rounds and dup clusters are shallow in
+    * practice, so `maxIter` bounds pathological chains. Returns
+    * (id, component) where component = min doc_id of the cluster. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("component"))
+      val next = labels.unionAll(prop)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Survivor selection: every doc keeps its component's min id; docs
+    * without candidates survive as their own component. */
+  def survivors(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(connectedComponents(pairs).withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+          .as("is_survivor"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: group on content digest, keep lowest doc_id
     "dedup_exact" -> ((s, d) =>
