@@ -210,6 +210,30 @@ object RelationalOps extends QueryModule {
           expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)")
             .as("price_quantiles"))),
 
+    // A9 — second-moment statistics from exact decimal moments: native
+    // stddev/corr accumulate doubles (order-dependent across engines);
+    // deriving them from exact SUM/SUM-of-squares/SUM-of-products makes
+    // the result bit-reproducible on any partitioning (the same property
+    // Sql.dsum gives first moments)
+    "a9_stats_moments" -> ((s, d) => {
+      val q = col("l_quantity"); val p = col("l_extendedprice")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(q).as("s_q"), dsum(p).as("s_p"),
+          sum((q * q).cast(dec(4))).cast("double").as("s_qq"),
+          sum((p * p).cast(dec(4))).cast("double").as("s_pp"),
+          sum((q * p).cast(dec(4))).cast("double").as("s_qp"))
+        .select(col("l_returnflag"), col("n"),
+          sqrt((col("s_qq") - col("s_q") * col("s_q") / col("n")) /
+            (col("n") - 1)).as("stddev_qty"),
+          ((col("s_qp") - col("s_q") * col("s_p") / col("n")) /
+            (sqrt(col("s_qq") - col("s_q") * col("s_q") / col("n")) *
+             sqrt(col("s_pp") - col("s_p") * col("s_p") / col("n"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // J2 — cross join of two 1-row aggregates (src/analyze.py:82-83)
     "j2_cross_join_scalars" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -300,6 +324,20 @@ object RelationalOps extends QueryModule {
         |SELECT event_type, CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
         |  COUNT(k) AS n
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a9_stats_moments" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
+        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s_qq,
+        |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s_pp,
+        |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s_qp
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  sqrt((s_qq - s_q * s_q / n) / (n - 1)) AS stddev_qty,
+        |  (s_qp - s_q * s_p / n) /
+        |    (sqrt(s_qq - s_q * s_q / n) * sqrt(s_pp - s_p * s_p / n))
+        |    AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "a7_typed_agg" ->
       """SELECT l_returnflag, min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price, count(*) AS n_rows
