@@ -8,19 +8,21 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table — extension tier.
   *
-  * Two paths, per the north-star design:
+  * Three paths, per the north-star design:
   *  - Brute-force exact top-k (`sim_topk`): probe set × corpus via a
-  *    broadcast of the (small) probe side; cosine in codegen'd
-  *    higher-order functions; per-probe top-k via window rank. At 100 TB
-  *    this is the "ground truth on a sample" path: cost is
+  *    broadcast of the (small) probe side; cosine via the native codegen
+  *    CosineSimilarity expression; per-probe top-k via window rank. At
+  *    100 TB this is the "ground truth on a sample" path: cost is
   *    O(|probes|·|corpus|) but perfectly parallel over corpus partitions
   *    and shuffle-free until the tiny top-k aggregation.
-  *  - LSH-bucketed ANN (`sim_lsh_ann`): 16 deterministic random
-  *    hyperplanes → 16-bit sign bucket per vector; candidate set = same
-  *    bucket (plus probe-side multi-probe flips of 1 bit); exact cosine
-  *    re-rank inside the bucket. The corpus side is one shuffle on the
-  *    bucket id; at 100 TB the bucketed layout would be written once and
-  *    reused across queries (storage-partitioned join, no re-shuffle).
+  *  - LSH-bucketed ANN (`sim_lsh_ann`): NumPlanes deterministic random
+  *    hyperplanes → sign bucket per vector; candidate set = same bucket
+  *    (plus probe-side multi-probe flips of 1 bit); exact cosine re-rank
+  *    inside the bucket. The corpus side is one shuffle on the bucket
+  *    id; at 100 TB the bucketed layout would be written once and reused
+  *    across queries (storage-partitioned join, no re-shuffle).
+  *  - IVF ANN (`sim_ivf_ann`): KMeans coarse quantizer, nearest-nprobe
+  *    centroid probing, exact re-rank within probed clusters.
   */
 object Similarity extends QueryModule {
 
@@ -49,7 +51,7 @@ object Similarity extends QueryModule {
     * bucketed-by-cluster so probes touch only nprobe buckets. */
   def ivfIndex(e: DataFrame, k: Int = 16): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.functions.array_to_vector
     val feat = e.withColumn("features", array_to_vector(col("emb")))
     val model = new KMeans().setK(k).setSeed(42)
       .setFeaturesCol("features").setPredictionCol("cluster")
