@@ -24,7 +24,7 @@ object SqlOps extends QueryModule {
   private val sqlTexts: Map[String, String] = Map(
     "sql_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice > 2 * (
+        |WHERE o_totalprice > 1.5 * (
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
