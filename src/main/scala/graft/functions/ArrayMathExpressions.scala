@@ -207,3 +207,46 @@ case class RollingMinHash(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Jaccard similarity of two ARRAY<STRING> treated as sets, in one
+  * hash-set pass — replaces array_intersect/array_union (which sort or
+  * rescan per pair) in the dedup verification join, where millions of
+  * candidate pairs each carry shingle sets. Interpreted kernel invoked
+  * from generated code (same shape as RollingMinHash): the per-row cost
+  * is the HashSet build, already optimal, so fused codegen arithmetic
+  * would not help here — avoiding the per-pair intermediate arrays is
+  * the win. */
+case class JaccardSets(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sets"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val set = new java.util.HashSet[Any](x.numElements() * 2)
+    var i = 0
+    while (i < x.numElements()) { set.add(x.getUTF8String(i)); i += 1 }
+    val seen = new java.util.HashSet[Any](y.numElements() * 2)
+    var inter = 0
+    var j = 0
+    while (j < y.numElements()) {
+      val v = y.getUTF8String(j)
+      if (seen.add(v) && set.contains(v)) inter += 1
+      j += 1
+    }
+    val union = set.size() + seen.size() - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("jaccardSets", this,
+      classOf[JaccardSets].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (Double) $self.nullSafeEval($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

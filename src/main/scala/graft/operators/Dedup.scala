@@ -62,8 +62,12 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
-  /** Exact word-shingle Jaccard for given (doc_a, doc_b) pairs. */
+  /** Exact word-shingle Jaccard for given (doc_a, doc_b) pairs — single
+    * hash-set pass per pair via the native JaccardSets expression (no
+    * per-pair intermediate arrays; DedupSpec asserts equality with the
+    * array_intersect formulation). */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val sets = docs.select(col("doc_id"),
       array_distinct(shingles(tokens(col("text")), k)).as("sset"))
     pairs
@@ -71,10 +75,9 @@ object Dedup extends QueryModule {
                 .withColumnRenamed("sset", "set_a"), Seq("doc_a"))
       .join(sets.withColumnRenamed("doc_id", "doc_b")
                 .withColumnRenamed("sset", "set_b"), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (size(col("set_a")) + size(col("set_b")) - col("inter")))
+        column(graft.functions.JaccardSets(
+          expression(col("set_a")), expression(col("set_b"))))
           .as("jaccard"))
   }
 

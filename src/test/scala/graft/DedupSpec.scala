@@ -41,6 +41,23 @@ class DedupSpec extends SparkSuite {
     assert(j((0L, 10L)) < 0.05, "unrelated jaccard should be ~0")
   }
 
+  test("native JaccardSets equals the array_intersect formulation") {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("s"))
+    val pairs = sets.select(col("doc_id").as("ia"), col("s").as("sa"))
+      .crossJoin(sets.select(col("doc_id").as("ib"), col("s").as("sb")))
+      .filter(col("ia") < col("ib"))
+    val diffs = pairs.select(
+      (column(graft.functions.JaccardSets(expression(col("sa")),
+        expression(col("sb")))) -
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          (size(col("sa")) + size(col("sb")) -
+            size(array_intersect(col("sa"), col("sb"))))).as("d"))
+      .filter(abs(col("d")) > 1e-12).count()
+    assert(diffs === 0L)
+  }
+
   test("simhash: near-dups within small Hamming distance, unrelated far") {
     val sig = simhashSignatures(corpus)
       .as[(Long, Long)].collect().toMap
