@@ -203,6 +203,16 @@ object Dedup extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // end-to-end dedup pipeline: MinHash-LSH candidates → exact Jaccard
+    // verification (≥ 0.8) → connected-component survivor selection.
+    // Rows-only (hash-dependent); every stage is individually specced.
+    "dedup_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val verified = verifyJaccard(minhashCandidates(docs), docs)
+        .filter(col("jaccard") >= 0.8)
+      survivors(docs, verified).orderBy("doc_id")
+    }),
+
     // embedding-cosine near-dup: exact NN for probe set vec_id < 100
     "dedup_embed_nn" -> ((s, d) => {
       val e = Tables.embeddings(s, d)

@@ -53,7 +53,7 @@ object Similarity extends QueryModule {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = e.withColumn("features", array_to_vector(col("emb")))
-    val model = new KMeans().setK(k).setSeed(42)
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cluster")
       .fit(feat)
     val assigned = model.transform(feat).drop("features")
