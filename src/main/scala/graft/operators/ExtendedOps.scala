@@ -112,6 +112,53 @@ object ExtendedOps extends QueryModule {
         .orderBy("user_id", "session_id")
     }),
 
+    // percent_rank / cume_dist distribution windows
+    "w7_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "pct_rank")
+    }),
+
+    // fixed-width histogram (10 × 50k buckets over order totals)
+    "agg_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(least(floor(col("o_totalprice") / 50000), lit(9L)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // corpus vocabulary with frequency ranks (tokenizer-vocab building)
+    "t_vocab" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("word"))).cast("long"))
+        .orderBy("rank")
+    }),
+
+    // event funnel: per-user first signup → first click after signup →
+    // first purchase after that; stage conversion flags
+    "e_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def firstOf(t: String) = ev.filter(col("event_type") === t)
+        .groupBy("user_id").agg(min("ts").as(s"first_$t"))
+      firstOf("signup")
+        .join(firstOf("click"), Seq("user_id"), "left")
+        .join(firstOf("purchase"), Seq("user_id"), "left")
+        .select(col("user_id"),
+          col("first_signup"),
+          (col("first_click") > col("first_signup")).as("clicked_after"),
+          (col("first_purchase") > col("first_click") &&
+            col("first_click") > col("first_signup")).as("full_funnel"))
+        .orderBy("user_id")
+    }),
+
     // string-function battery
     "f_strings" -> ((s, d) =>
       Tables.documents(s, d)
@@ -297,6 +344,39 @@ object ExtendedOps extends QueryModule {
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "w7_percent_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM lineitem WHERE l_orderkey < 500
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, pct_rank""".stripMargin,
+    "agg_histogram" ->
+      """SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "t_vocab" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |f AS (SELECT word, count(*) AS freq FROM w GROUP BY word)
+        |SELECT word, freq, CAST(ROW_NUMBER() OVER
+        |  (ORDER BY freq DESC, word) AS BIGINT) AS rank
+        |FROM f ORDER BY rank""".stripMargin,
+    "e_funnel" ->
+      """WITH s AS (SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS first_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS first_click
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS first_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT s.user_id AS user_id, s.first_signup,
+        |  c.first_click > s.first_signup AS clicked_after,
+        |  p.first_purchase > c.first_click
+        |    AND c.first_click > s.first_signup AS full_funnel
+        |FROM s LEFT JOIN c ON s.user_id = c.user_id
+        |       LEFT JOIN p ON s.user_id = p.user_id
+        |ORDER BY s.user_id""".stripMargin,
     "f_strings" ->
       """SELECT doc_id,
         |  regexp_replace(text, 'the', 'THE', 'g') AS subst,
