@@ -124,6 +124,35 @@ object ExtendedOps extends QueryModule {
         .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "pct_rank")
     }),
 
+    // first_value / last_value / nth_value navigation windows
+    "w8_value_windows" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          first("value").over(w).as("first_val"),
+          last("value").over(w).as("last_val"),
+          nth_value(col("value"), 3).over(w).as("third_val"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // day-N retention: users with a signup who are active again exactly
+    // 7+ days later (cohort retention, the analytics staple)
+    "e_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val first = ev.groupBy("user_id")
+        .agg(to_date(min("ts")).as("cohort_day"))
+      val active = ev.select(col("user_id").as("a_user"),
+        to_date(col("ts")).as("a_day")).distinct()
+      first.join(active,
+          col("a_user") === col("user_id") &&
+            col("a_day") >= date_add(col("cohort_day"), 7), "left_semi")
+        .select(col("user_id"), col("cohort_day"))
+        .orderBy("user_id")
+    }),
+
     // fixed-width histogram (10 × 50k buckets over order totals)
     "agg_histogram" -> ((s, d) =>
       Tables.orders(s, d)
@@ -352,6 +381,24 @@ object ExtendedOps extends QueryModule {
         |WINDOW w AS (PARTITION BY l_returnflag
         |  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
         |ORDER BY l_orderkey, l_linenumber, l_returnflag, pct_rank""".stripMargin,
+    "w8_value_windows" ->
+      """SELECT user_id, event_id,
+        |  first_value(value) OVER w AS first_val,
+        |  last_value(value) OVER w AS last_val,
+        |  nth_value(value, 3) OVER w AS third_val
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "e_retention" ->
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id AS a_user, CAST(ts AS DATE) AS a_day
+        |  FROM events)
+        |SELECT user_id, cohort_day FROM f
+        |WHERE EXISTS (SELECT 1 FROM a
+        |  WHERE a.a_user = f.user_id AND a.a_day >= f.cohort_day + 7)
+        |ORDER BY user_id""".stripMargin,
     "agg_histogram" ->
       """SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
         |  count(*) AS n
