@@ -68,8 +68,14 @@ object Dedup extends QueryModule {
     * array_intersect formulation). */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-    val sets = docs.select(col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), k)).as("sset"))
+    // shingle only candidate members — at corpus scale the candidate set
+    // is a tiny fraction of the corpus and this semi-join keeps the
+    // verify stage O(candidates), not O(corpus)
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = docs.join(members, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), k)).as("sset"))
     pairs
       .join(sets.withColumnRenamed("doc_id", "doc_a")
                 .withColumnRenamed("sset", "set_a"), Seq("doc_a"))
