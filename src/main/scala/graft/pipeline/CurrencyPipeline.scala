@@ -49,13 +49,17 @@ object CurrencyPipeline {
   /** P1-P4/F6: project → parse dd.MM.yyyy → derive rate_per_100 → keep
     * USD/EUR. One codegen stage over the scan. */
   def transform(raw: DataFrame, keep: Seq[String] = Seq("USD", "EUR")): DataFrame = {
-    // P1 projection; an ingest_ts stamp (backfill replay) passes through
+    // P1 projection; an ingest_ts stamp (backfill replay) passes through.
+    // try_to_date, not to_date: under Spark 4's default ANSI mode a single
+    // malformed record would fail the whole job — malformed dates become
+    // nulls and are dropped (dead-letter semantics; at scale the null
+    // branch would be routed to a quarantine sink instead of filtered).
     val passthrough = raw.columns.filter(_ == "ingest_ts").toSeq.map(col)
     raw.select(Seq(col("cc"), col("txt"), col("rate"),
-        to_date(col("exchangedate"), "dd.MM.yyyy").as("exchangedate")) ++
+        expr("try_to_date(exchangedate, 'dd.MM.yyyy')").as("exchangedate")) ++
         passthrough: _*)
       .withColumn("rate_per_100", col("rate") * 100)
-      .filter(col("cc").isin(keep: _*))
+      .filter(col("cc").isin(keep: _*) && col("exchangedate").isNotNull)
   }
 
   /** Stamp a batch with its ingest time (the recency tie-break carried as

@@ -23,6 +23,21 @@ class PipelineSpec extends SparkSuite {
     assert(eur.getAs[Double]("rate_per_100") === 48.6712 * 100)
   }
 
+  test("transform: malformed dates and schema drift don't kill the job") {
+    import org.apache.spark.sql.functions._
+    // extra fields are ignored by projection; missing r030 is fine; a
+    // malformed exchangedate is dead-lettered, not thrown (ANSI mode)
+    val messy = Seq(
+      ("USD", "Dollar", 41.0, "19.09.2025"),
+      ("USD", "Dollar", 42.0, "not-a-date"),
+      ("EUR", "Euro", 48.0, "20.09.2025"))
+      .toDF("cc", "txt", "rate", "exchangedate")
+    val out = graft.pipeline.CurrencyPipeline.transform(messy)
+      .orderBy("cc").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Double]("rate")).toSeq === Seq(48.0, 41.0))
+  }
+
   test("merge: last write wins, idempotent, replay-order independent") {
     def batch(rate: Double, ingest: String) = stamped(
       Seq(("USD", "Dollar", rate, day("2025-09-19"), rate * 100))
