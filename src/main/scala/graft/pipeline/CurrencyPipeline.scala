@@ -62,6 +62,17 @@ object CurrencyPipeline {
       .filter(col("cc").isin(keep: _*) && col("exchangedate").isNotNull)
   }
 
+  /** Attach inline data-quality metrics to a rates frame: row count,
+    * dead-lettered (null-date) count, distinct currencies — collected as
+    * a side channel of the NEXT action on the returned frame (no extra
+    * pass over the data; at 100 TB an extra counting pass is a real
+    * cost). Read metrics via `obs.get` after an action. */
+  def observed(df: DataFrame, obs: org.apache.spark.sql.Observation): DataFrame =
+    df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      count(when(col("exchangedate").isNull, 1)).as("n_bad_dates"),
+      approx_count_distinct(col("cc")).as("n_currencies"))
+
   /** Stamp a batch with its ingest time (the recency tie-break carried as
     * data so replays stay order-independent). */
   def stamped(batch: DataFrame, ingestTs: java.sql.Timestamp): DataFrame =

@@ -38,6 +38,18 @@ class PipelineSpec extends SparkSuite {
     assert(out.map(_.getAs[Double]("rate")).toSeq === Seq(48.0, 41.0))
   }
 
+  test("observed: inline quality metrics ride the action, no extra pass") {
+    val obs = new org.apache.spark.sql.Observation("quality")
+    val rates = Seq(("USD", java.sql.Date.valueOf("2025-09-19"), 41.5),
+                    ("EUR", null.asInstanceOf[java.sql.Date], 48.5))
+      .toDF("cc", "exchangedate", "rate")
+    val n = graft.pipeline.CurrencyPipeline.observed(rates, obs).count()
+    assert(n === 2)
+    val m = obs.get
+    assert(m("n_rows") === 2L && m("n_bad_dates") === 1L)
+    assert(m("n_currencies").asInstanceOf[Long] >= 2L)
+  }
+
   test("merge: last write wins, idempotent, replay-order independent") {
     def batch(rate: Double, ingest: String) = stamped(
       Seq(("USD", "Dollar", rate, day("2025-09-19"), rate * 100))
