@@ -161,6 +161,31 @@ object ExtendedOps extends QueryModule {
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")),
 
+    // deterministic MODE (most frequent value, ties broken by value)
+    "agg_mode" -> ((s, d) => {
+      val counts = Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      counts.withColumn("rk", row_number().over(
+          Window.partitionBy("o_orderstatus")
+            .orderBy(col("n").desc, col("o_orderpriority"))))
+        .filter(col("rk") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ordered collect: array/string aggregation made deterministic by
+    // sorting inside the aggregate (collect_list alone is partition-
+    // order-dependent and would never match an oracle)
+    "agg_collect" -> ((s, d) =>
+      Tables.nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name"))))
+               .as("nations_csv"),
+             sort_array(collect_set(col("n_name"))).as("nations_arr"))
+        .orderBy("n_regionkey")),
+
     // corpus vocabulary with frequency ranks (tokenizer-vocab building)
     "t_vocab" -> ((s, d) => {
       Tables.documents(s, d)
@@ -403,6 +428,18 @@ object ExtendedOps extends QueryModule {
       """SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY n DESC, o_orderpriority) AS rk FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
+    "agg_collect" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+        |  list_sort(list(DISTINCT n_name)) AS nations_arr
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "t_vocab" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
         |  FROM documents),
