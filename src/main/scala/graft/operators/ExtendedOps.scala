@@ -177,22 +177,34 @@ object ExtendedOps extends QueryModule {
 
     // ordered collect: array/string aggregation made deterministic by
     // sorting inside the aggregate (collect_list alone is partition-
-    // order-dependent and would never match an oracle)
+    // order-dependent and would never match an oracle); the set is
+    // serialized to JSON so the output schema is all-scalar
     "agg_collect" -> ((s, d) =>
       Tables.nation(s, d)
         .groupBy("n_regionkey")
         .agg(concat_ws(",", sort_array(collect_list(col("n_name"))))
                .as("nations_csv"),
-             sort_array(collect_set(col("n_name"))).as("nations_arr"))
+             to_json(sort_array(collect_set(col("n_name"))))
+               .as("nations_json"))
         .orderBy("n_regionkey")),
 
-    // corpus vocabulary with frequency ranks (tokenizer-vocab building)
+    // corpus vocabulary with frequency ranks (tokenizer-vocab building).
+    // A Window.orderBy with no partitionBy would funnel the whole
+    // vocabulary through ONE partition for the global row_number — fatal
+    // on a 100 TB corpus. Instead: distributed range-partitioned sort,
+    // then zipWithIndex, which assigns contiguous global indices from
+    // per-partition offsets (one extra count job, no data movement).
+    // (freq desc, word) is a total order, so index+1 == row_number.
     "t_vocab" -> ((s, d) => {
+      import s.implicits._
       Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("freq").desc, col("word"))).cast("long"))
+        .orderBy(col("freq").desc, col("word"))
+        .as[(String, Long)]
+        .rdd.zipWithIndex()
+        .map { case ((w, f), i) => (w, f, i + 1L) }
+        .toDF("word", "freq", "rank")
         .orderBy("rank")
     }),
 
@@ -254,7 +266,8 @@ object ExtendedOps extends QueryModule {
           element_at(sort_array(toks), 1).as("first_sorted"),
           element_at(sort_array(toks, asc = false), 1).as("last_sorted"),
           size(array_distinct(toks)).cast("long").as("n_distinct"),
-          slice(sort_array(array_distinct(toks)), 1, 3).as("top3_sorted"))
+          to_json(slice(sort_array(array_distinct(toks)), 1, 3))
+            .as("top3_json"))
         .orderBy("doc_id")
     }),
 
@@ -438,7 +451,7 @@ object ExtendedOps extends QueryModule {
     "agg_collect" ->
       """SELECT n_regionkey,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
-        |  list_sort(list(DISTINCT n_name)) AS nations_arr
+        |  to_json(list_sort(list(DISTINCT n_name))) AS nations_json
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "t_vocab" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
@@ -490,7 +503,7 @@ object ExtendedOps extends QueryModule {
         |  list_sort(toks)[1] AS first_sorted,
         |  list_reverse_sort(toks)[1] AS last_sorted,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-        |  list_sort(list_distinct(toks))[1:3] AS top3_sorted
+        |  to_json(list_sort(list_distinct(toks))[1:3]) AS top3_json
         |FROM t ORDER BY doc_id""".stripMargin,
     "f_nulls" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,

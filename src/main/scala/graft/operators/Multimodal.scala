@@ -78,10 +78,11 @@ object Multimodal extends QueryModule {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // binary column + typed metadata (oracle-verified: byte-exact payload)
+    // binary column + typed metadata (oracle-verified: byte-exactness is
+    // proven via md5 of the payload — raw bytes are unhashable downstream)
     "mm_meta" -> ((s, d) =>
       mediaTable(s, d).toDF()
-        .select(col("doc_id"), col("media"),
+        .select(col("doc_id"), md5(col("media")).as("media_md5"),
           octet_length(col("media")).cast("long").as("n_bytes"),
           col("mime"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
@@ -105,7 +106,7 @@ object Multimodal extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "mm_meta" ->
-      """SELECT doc_id, encode(text) AS media,
+      """SELECT doc_id, md5(text) AS media_md5,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
         |    WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,

@@ -203,12 +203,16 @@ object RelationalOps extends QueryModule {
     }),
 
     // A8 — sketch battery (HLL distinct + approx percentiles): the
-    // 100 TB-safe variants; rows-only (estimates are engine-specific)
+    // 100 TB-safe variants; rows-only (estimates are engine-specific).
+    // Quantiles are split into scalar columns so the harness can hash them.
     "a8_sketches" -> ((s, d) =>
       Tables.lineitem(s, d)
         .agg(approx_count_distinct(col("l_partkey")).as("nd_parts"),
           expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)")
-            .as("price_quantiles"))),
+            .as("pq"))
+        .select(col("nd_parts"),
+          element_at(col("pq"), 1).as("price_p50"),
+          element_at(col("pq"), 2).as("price_p90"))),
 
     // A9 — second-moment statistics from exact decimal moments: native
     // stddev/corr accumulate doubles (order-dependent across engines);

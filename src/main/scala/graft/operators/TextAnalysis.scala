@@ -121,17 +121,27 @@ object TextAnalysis extends QueryModule {
 
     // sequence packing: assign docs to training packs by cumulative token
     // budget (2048): pack_id = floor(exclusive-prefix-tokens / budget).
-    // NOTE the global-order window is single-reducer — correct here, and
-    // at 100 TB the same two lines run per shard (partitionBy(shard_id))
-    // since packs never need to span shards; global order is only for
-    // the oracle's determinism.
+    // The exact global running sum is computed as a DISTRIBUTED prefix
+    // sum — range-partition by doc_id, per-partition local prefix
+    // window, plus a broadcast exclusive offset per partition (one tiny
+    // row per partition; the offset window runs over #partitions rows,
+    // not data rows). No single-reducer stage at any corpus size.
     "t_pack_sequences" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
+      val W = org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
         .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
-        .withColumn("prev_cum", coalesce(sum("n_tok").over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tok"))
+        .repartitionByRange(col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = W.partitionBy("pid").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val offsets = toks.groupBy("pid").agg(sum("n_tok").as("ptot"))
+        .withColumn("offset", coalesce(sum("ptot").over(
+          W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "offset")
+      toks.join(broadcast(offsets), "pid")
+        .withColumn("prev_cum",
+          coalesce(sum("n_tok").over(wLocal), lit(0L)) + col("offset"))
         .select(col("doc_id"), col("n_tok"),
           floor(col("prev_cum") / 2048).as("pack_id"))
         .orderBy("doc_id")

@@ -59,6 +59,21 @@ for path in sorted(glob.glob(f"{OUT}/*/")):
     n = con.execute(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
     results[name] = f"rows-only: {n} rows" + ("" if n > 0 else " !! EMPTY")
 
+# driver-compat gate: the external driver pandas-sorts every result by all
+# columns before hashing; list/binary columns raise "unhashable type" there
+# even when the value compare above passes. Reproduce that here.
+for path in sorted(glob.glob(f"{OUT}/*/")):
+    name = path.rstrip("/").split("/")[-1]
+    files = glob.glob(f"{path}*.parquet")
+    if not files:
+        continue
+    try:
+        df = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table().to_pandas()
+        df.sort_values(by=sorted(df.columns), inplace=True)
+    except Exception as e:
+        results[name] = f"DRIVER-UNHASHABLE {type(e).__name__}: {e}"
+
 fails = 0
 for name, r in sorted(results.items()):
     ok = r.startswith("OK") or (r.startswith("rows-only") and "EMPTY" not in r)
