@@ -52,14 +52,50 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  /** Distinct candidate pairs (doc_a < doc_b) from LSH bucket collisions. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val bands = lshBands(minhashSignatures(docs))
-    bands.as("x")
-      .join(bands.as("y"), Seq("band", "bh"))
+  /** Distinct candidate pairs (doc_a < doc_b) from LSH bucket collisions.
+    *
+    * Scale controls — the two knobs that keep this stage sub-quadratic
+    * on a real corpus:
+    *
+    *  1. The banded frame is materialized ONCE (`localCheckpoint`)
+    *     before the self-join. Without it the scan→shingle→64-slot
+    *     signature subtree appears on BOTH sides of the join and the
+    *     most expensive stage of the whole pipeline runs twice. (At
+    *     cluster scale swap localCheckpoint for a reliable checkpoint
+    *     dir or write-and-reread — same shape, executor-loss-safe.)
+    *
+    *  2. Hot buckets are capped: a bucket with more than `maxBucket`
+    *     members (boilerplate — license headers, templates, empty
+    *     docs) emits a STAR to its min doc_id (O(n) pairs, and the
+    *     hub keeps the bucket connected for the component stage)
+    *     instead of all pairs. Uncapped, one 1M-doc boilerplate
+    *     bucket emits 5·10¹¹ pairs and no cluster survives that.
+    *     True duplicates inside a hot bucket still verify (hub↔member
+    *     Jaccard is high for boilerplate clones); what is sacrificed
+    *     is only member↔member pairs that are similar to each other
+    *     yet dissimilar to the hub — rare, and a price every
+    *     production LSH dedup pays to bound the pair space.
+    */
+  def minhashCandidates(docs: DataFrame, maxBucket: Int = 256): DataFrame = {
+    val bands = lshBands(minhashSignatures(docs)).localCheckpoint()
+    val stats = bands.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bsz"), min("doc_id").as("hub"))
+    val keep = bands.join(
+      stats.filter(col("bsz") <= maxBucket).select("band", "bh"),
+      Seq("band", "bh"))
+    val allPairs = keep.as("x")
+      .join(keep.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val starPairs = bands.join(
+        stats.filter(col("bsz") > maxBucket).select("band", "bh", "hub"),
+        Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+    // materialize the (small) pair set: downstream consumers scan it
+    // several times (verify joins, edge union) — never recompute the
+    // LSH join per scan
+    allPairs.unionAll(starPairs).distinct().localCheckpoint()
   }
 
   /** Exact word-shingle Jaccard for given (doc_a, doc_b) pairs — single
@@ -73,9 +109,13 @@ object Dedup extends QueryModule {
     // verify stage O(candidates), not O(corpus)
     val members = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // materialize the candidate-member shingle sets once: the frame is
+    // O(candidates) small but its shingling is the expensive part, and
+    // it feeds BOTH sides of the pair join below
     val sets = docs.join(members, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(shingles(tokens(col("text")), k)).as("sset"))
+      .localCheckpoint()
     pairs
       .join(sets.withColumnRenamed("doc_id", "doc_a")
                 .withColumnRenamed("sset", "set_a"), Seq("doc_a"))
@@ -98,40 +138,68 @@ object Dedup extends QueryModule {
   }
 
   /** Connected components over candidate pairs: iterative min-label
-    * propagation (the survivor-selection stage after LSH candidate
-    * generation — near-dup CLUSTERS, not just pairs, decide who is kept).
+    * propagation with POINTER JUMPING (the survivor-selection stage
+    * after LSH candidate generation — near-dup CLUSTERS, not just
+    * pairs, decide who is kept).
     *
-    * Each iteration is one distributed join + groupBy; convergence takes
-    * O(log(cluster diameter)) rounds and dup clusters are shallow in
-    * practice, so `maxIter` bounds pathological chains. Returns
-    * (id, component) where component = min doc_id of the cluster. */
+    * Per iteration, one propagation join + groupBy, then a path-halving
+    * join (each label is replaced by its label's label — valid because
+    * labels only ever move down within a component), so convergence is
+    * O(log diameter) rounds, not O(diameter). Each iteration is
+    * materialized with `localCheckpoint`, which (a) caps lineage growth
+    * so round k doesn't re-plan rounds 1..k-1 and (b) makes the
+    * convergence test a cheap scan of cached data instead of an extra
+    * join + full recompute. Throws if `maxIter` rounds don't converge —
+    * silently wrong components would corrupt dedup survivors.
+    * Returns (id, component) where component = min doc_id of the
+    * cluster. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val prop = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("component"))
-      val next = labels.unionAll(prop)
-        .groupBy("id").agg(min("component").as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.as("n")
-        .join(labels.as("o"), Seq("id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
-      labels.unpersist()
-      labels = next
+        .select(col("src").as("id"), col("component"), lit(false).as("own"))
+      val merged = labels.select(col("id"), col("component"), lit(true).as("own"))
+        .unionAll(prop)
+        .groupBy("id")
+        .agg(min("component").as("next_c"),
+          min(when(col("own"), col("component"))).as("old_c"))
+      // path halving: component := label(component). Every component
+      // value is itself a node id, so the lookup is a self-join; the
+      // jumped label is ≤ next_c and stays inside the same component.
+      val next = merged
+        .join(merged.select(col("id").as("next_c"), col("next_c").as("jump")),
+          Seq("next_c"), "left")
+        .select(col("id"),
+          coalesce(col("jump"), col("next_c")).as("component"),
+          (coalesce(col("jump"), col("next_c")) =!= col("old_c")).as("changed"))
+        .localCheckpoint()
+      // cheap: limit-1 scan over the checkpointed frame, no recompute.
+      // At a fixed point of bidirectional min-propagation every edge has
+      // equal labels, so "no next_c changed" implies the jump is a no-op
+      // too — comparing post-jump labels is strictly conservative.
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select("id", "component")
       i += 1
     }
     edges.unpersist()
+    p.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no convergence after $maxIter pointer-jumped " +
+          s"rounds (covers diameter ~2^$maxIter); candidate graph is " +
+          "pathological — raise maxIter or investigate the pair generator")
     labels
   }
 
@@ -214,8 +282,11 @@ object Dedup extends QueryModule {
     // Rows-only (hash-dependent); every stage is individually specced.
     "dedup_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // materialize the verified pairs: the component loop scans them
+      // every iteration (edge union) and must not re-run the verify join
       val verified = verifyJaccard(minhashCandidates(docs), docs)
         .filter(col("jaccard") >= 0.8)
+        .localCheckpoint()
       survivors(docs, verified).orderBy("doc_id")
     }),
 

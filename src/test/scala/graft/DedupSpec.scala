@@ -67,6 +67,32 @@ class DedupSpec extends SparkSuite {
     assert(hamming(sig(0L), sig(15L)) > 6, "unrelated doc outside ball")
   }
 
+  test("hot LSH bucket is star-capped: no quadratic pair blow-up, " +
+    "clones still clustered") {
+    // 1000 identical boilerplate docs: every band bucket holds all 1000,
+    // so uncapped all-pairs would emit 1000*999/2 ≈ 500k pairs. The cap
+    // must reduce that to a star (999 hub pairs) while keeping every
+    // clone connected to the hub so the component stage dedups them.
+    val boiler = (0L until 1000L).map(i => (i, base)).toDF("doc_id", "text")
+    val cand = minhashCandidates(boiler, maxBucket = 256)
+    val n = cand.count()
+    assert(n === 999L, s"expected 999 star pairs, got $n")
+    assert(cand.agg(min("doc_a"), max("doc_a")).as[(Long, Long)].head() ===
+      ((0L, 0L)), "all pairs must anchor at the hub (min doc_id)")
+    val surv = survivors(boiler, cand).filter(col("is_survivor")).count()
+    assert(surv === 1L, "exact clones must collapse to a single survivor")
+  }
+
+  test("connected components converge on a long chain (pointer jumping)") {
+    // a 200-link chain has diameter 200: one-hop propagation would need
+    // 200 rounds and silently mislabel at maxIter=10; path halving must
+    // converge within 10 and put every node in component 0
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = connectedComponents(chain, maxIter = 10)
+    assert(comp.select(countDistinct("component")).as[Long].head() === 1L)
+    assert(comp.agg(max("component")).as[Long].head() === 0L)
+  }
+
   test("exact dedup keeps lowest doc_id per content group") {
     val res = corpus.groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
