@@ -249,6 +249,12 @@ object RelationalOps extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    // S2: DuckDB's read_json_auto reads the same multiLine array file the
+    // Spark JSON scan does, with matching inferred types
+    "s2_json_scan" ->
+      """SELECT r030, txt, rate, cc, exchangedate
+        |FROM read_json_auto('/root/repo/src/test/resources/nbu_sample.json')
+        |ORDER BY cc""".stripMargin,
     "p1_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

@@ -15,34 +15,45 @@ import org.apache.spark.sql.functions._
   *    100 TB this is the "ground truth on a sample" path: cost is
   *    O(|probes|·|corpus|) but perfectly parallel over corpus partitions
   *    and shuffle-free until the tiny top-k aggregation.
-  *  - LSH-bucketed ANN (`sim_lsh_ann`): NumPlanes deterministic random
-  *    hyperplanes → sign bucket per vector; candidate set = same bucket
-  *    (plus probe-side multi-probe flips of 1 bit); exact cosine re-rank
-  *    inside the bucket. The corpus side is one shuffle on the bucket
-  *    id; at 100 TB the bucketed layout would be written once and reused
-  *    across queries (storage-partitioned join, no re-shuffle).
+  *  - LSH-bucketed ANN (`sim_lsh_ann`): MULTI-TABLE sign LSH — L
+  *    independent tables of k random hyperplanes each; a pair is a
+  *    candidate if it shares the exact bucket in ANY table, then exact
+  *    cosine re-rank. Multi-table beats single-table-multi-probe on
+  *    recall for the same candidate budget (standard LSH theory: per-
+  *    table collision p^k, overall 1-(1-p^k)^L). Tuning law at scale:
+  *    k grows with ln(corpus) to keep buckets small, L buys recall.
+  *    The corpus side shuffles (vec_id, emb) once per table (×L data);
+  *    at 100 TB the per-table bucket layout would be written once and
+  *    reused across all queries (storage-partitioned join, no
+  *    re-shuffle per probe batch).
   *  - IVF ANN (`sim_ivf_ann`): KMeans coarse quantizer, nearest-nprobe
   *    centroid probing, exact re-rank within probed clusters.
   */
 object Similarity extends QueryModule {
 
-  /** Deterministic pseudo-random hyperplanes (fixed seed, driver-side
-    * constants baked into the plan as literals). */
-  val NumPlanes = 8 // 256 buckets — sized so local test corpora (500-50k
-                    // vecs) keep a few candidates per bucket; at corpus
-                    // scale this grows (buckets ≈ corpus/target-candidates)
+  /** Multi-table sign LSH: L independent tables × k planes. k=4 over
+    * 64-dim keeps per-table collision p^4 meaningful even for moderate
+    * cosines; L=8 tables push recall (1-(1-p^k)^L). Deterministic seed —
+    * the hyperplanes are driver-side constants baked into the plan. */
+  val NumTables = 8
+  val PlanesPerTable = 4
 
-  private def planes(nPlanes: Int = NumPlanes, dim: Int = 64): Seq[Seq[Double]] = {
+  private def tablePlanes(l: Int = NumTables, k: Int = PlanesPerTable,
+                          dim: Int = 64): Seq[Seq[Seq[Double]]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    Seq.fill(l)(Seq.fill(k)(Seq.fill(dim)(rnd.nextGaussian())))
   }
 
-  /** Sign-bucket (NumPlanes bits) for a double-array embedding column. */
-  def lshBucket(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    planes().zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      when(dot(emb, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+  /** Array of (tbl, bucket) structs for a double-array embedding column —
+    * explode to get one row per table. */
+  def lshTableBuckets(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array(tablePlanes().zipWithIndex.map { case (ps, t) =>
+      val bucket = ps.zipWithIndex.map { case (p, i) =>
+        when(dot(emb, array(p.map(lit): _*)) >= 0, shiftleft(lit(1L), i))
+          .otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }: _*)
 
   /** IVF index: KMeans coarse quantizer (spark.ml, fixed seed) over the
     * corpus; returns (assigned corpus with cluster ids, centroid table).
@@ -75,12 +86,13 @@ object Similarity extends QueryModule {
       val (assigned, centroids) = ivfIndex(e)
       val q = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      // rank centroids per probe, keep nprobe=2
+      // rank centroids per probe, keep nprobe=4 (recall/cost knob: 4 of
+      // 16 clusters ⇒ ~25% of the corpus re-ranked per probe)
       val probeClusters = broadcast(q).crossJoin(broadcast(centroids))
         .withColumn("c_cos", cosine(col("q_emb"), col("centroid")))
         .withColumn("crk", row_number().over(Window.partitionBy("q_id")
           .orderBy(col("c_cos").desc, col("cluster"))))
-        .filter(col("crk") <= 2)
+        .filter(col("crk") <= 4)
         .select(col("q_id"), col("q_emb"), col("cluster"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("c_id").asc)
@@ -113,29 +125,30 @@ object Similarity extends QueryModule {
         .orderBy("q_id", "rk")
     }),
 
-    // LSH-bucketed ANN: per probe (vec_id < 10), candidates sharing the
-    // sign-bucket, exact cosine re-rank, top-3. Rows-only (bucket ids are
+    // LSH-bucketed ANN: per probe (vec_id < 10), candidates = exact
+    // bucket match in ANY of the L tables, then exact cosine re-rank,
+    // top-3. A pair colliding in several tables is deduped by the
+    // (q_id, c_id) groupBy before ranking. Rows-only (bucket ids are
     // float-sign dependent — deterministic within the engine, not oracle-
-    // expressible); recall vs sim_topk is asserted in SimilaritySpec.
+    // expressible); recall@3 vs brute force is asserted in SimilaritySpec.
     "sim_lsh_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-        .withColumn("bucket", lshBucket(col("emb")))
+        .select(col("vec_id"), col("emb"),
+          explode(lshTableBuckets(col("emb"))).as("tb"))
+        .select(col("vec_id"), col("emb"),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-          col("bucket").as("q_bucket"))
-      // multi-probe: exact bucket + all 1-bit flips (NumPlanes+1 probes)
-      val probes = q.select(col("q_id"), col("q_emb"),
-        explode(array((Seq(col("q_bucket")) ++
-          (0 until NumPlanes).map(i => col("q_bucket").bitwiseXOR(lit(1L << i)))): _*))
-          .as("bucket"))
+          col("tbl"), col("bucket"))
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("c_id").asc)
-      broadcast(probes)
-        .join(e.select(col("vec_id").as("c_id"), col("emb"), col("bucket")),
-          Seq("bucket"))
+      broadcast(q)
+        .join(e.select(col("vec_id").as("c_id"), col("emb"), col("tbl"),
+          col("bucket")), Seq("tbl", "bucket"))
         .filter(col("c_id") =!= col("q_id"))
         .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+        .groupBy("q_id", "c_id").agg(first("cos").as("cos"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("q_id"), col("c_id"), col("cos"), col("rk").cast("long").as("rk"))

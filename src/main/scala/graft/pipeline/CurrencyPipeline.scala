@@ -151,14 +151,26 @@ object CurrencyPipeline {
       struct(countDistinct(col("cc")).as("num_currencies")).as("general"))
   }
 
-  /** K7: 7-line human-readable TXT report (src/analyze.py:191-203). */
+  /** K7: 7-line human-readable TXT report (src/analyze.py:191-203).
+    * Nullable aggregates (year_min/year_max are null when no row falls
+    * within 365 days of asOf) render as a "no data" range, mirroring the
+    * reference's empty-range branch (analyze.py:180-186) instead of
+    * NPE-ing on unboxing. */
   def reportTxt(perCurrency: DataFrame, asOf: java.sql.Date): String = {
     val rows = perCurrency.orderBy("cc").collect()
+    def opt(r: org.apache.spark.sql.Row, field: String): Option[Double] =
+      if (r.isNullAt(r.fieldIndex(field))) None
+      else Some(r.getAs[Double](field))
     def line(cc: String): Seq[String] =
       rows.find(_.getAs[String]("cc") == cc).toSeq.map { r =>
+        val range = (opt(r, "year_min"), opt(r, "year_max")) match {
+          case (Some(lo), Some(hi)) => f"year $lo%.2f-$hi%.2f"
+          case _ => "year: no data"
+        }
+        val change = opt(r, "change_month")
+          .map(c => f"$c%+.2f / 30d").getOrElse("n/a / 30d")
         f"$cc: ${r.getAs[Double]("last_rate")}%.2f UAH " +
-          f"(${r.getAs[Double]("change_month")}%+.2f / 30d, " +
-          f"year ${r.getAs[Double]("year_min")}%.2f-${r.getAs[Double]("year_max")}%.2f, " +
+          s"($change, $range, " +
           f"avg ${r.getAs[Double]("avg_all_time")}%.2f over ${r.getAs[Long]("days")}%d days)"
       }
     (Seq(s"Exchange rate report $asOf", "=" * 40) ++

@@ -118,10 +118,15 @@ class NbuRawFileReader(file: String, required: StructType)
       parser.nextToken()
       val idx = required.fieldNames.indexOf(name)
       if (idx >= 0) {
-        values(idx) = required.fields(idx).dataType match {
-          case LongType => parser.getLongValue
-          case DoubleType => parser.getDoubleValue
-          case _ => UTF8String.fromString(parser.getText)
+        // JSON null → SQL NULL (leave the slot unset), matching Spark's
+        // built-in JSON reader on sparse payloads; getLongValue/getText
+        // on VALUE_NULL would yield 0 / the literal string "null"
+        if (parser.currentToken() != JsonToken.VALUE_NULL) {
+          values(idx) = required.fields(idx).dataType match {
+            case LongType => parser.getLongValue
+            case DoubleType => parser.getDoubleValue
+            case _ => UTF8String.fromString(parser.getText)
+          }
         }
       } else parser.skipChildren() // pruned or unknown field
       tok = parser.nextToken()

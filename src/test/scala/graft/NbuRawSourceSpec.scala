@@ -36,6 +36,28 @@ class NbuRawSourceSpec extends SparkSuite {
     assert(dsv2.collect().toSeq === builtin.collect().toSeq)
   }
 
+  test("JSON null values become SQL NULL, matching the built-in reader") {
+    val dir = java.nio.file.Files.createTempDirectory("nbu_nulls").toFile
+    dir.deleteOnExit()
+    val sub = java.nio.file.Paths.get(dir.getPath, "ingest_date=2025-09-19")
+    java.nio.file.Files.createDirectories(sub)
+    java.nio.file.Files.write(sub.resolve("response.json"),
+      """[
+        |  {"r030": null, "txt": null, "rate": null, "cc": "USD", "exchangedate": null},
+        |  {"r030": 978, "txt": "x", "rate": 48.1, "cc": null, "exchangedate": "19.09.2025"}
+        |]""".stripMargin.getBytes("UTF-8"))
+    val dsv2 = spark.read.format("graft.sources.NbuRawSource")
+      .option("path", dir.getPath).load().orderBy("r030")
+    val builtin = spark.read.option("multiLine", value = true)
+      .schema(graft.pipeline.CurrencyPipeline.rawSchema)
+      .json(s"${dir.getPath}/ingest_date=*")
+      .select(dsv2.columns.map(col): _*).orderBy("r030")
+    assert(dsv2.collect().toSeq === builtin.collect().toSeq)
+    val nullRow = dsv2.filter(col("cc") === "USD").collect().head
+    assert(nullRow.isNullAt(nullRow.fieldIndex("rate")))
+    assert(nullRow.isNullAt(nullRow.fieldIndex("txt")))
+  }
+
   test("one input partition per file; pruning reaches the reader") {
     val dir = landTwo()
     val df = spark.read.format("graft.sources.NbuRawSource")

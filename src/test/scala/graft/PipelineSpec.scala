@@ -122,6 +122,18 @@ class PipelineSpec extends SparkSuite {
     assert(txt.linesIterator.size === 7)
   }
 
+  test("report txt: stale history (no rows within 365d) renders 'no data'" +
+    " instead of NPE") {
+    // all rates older than a year before asOf → year_min/year_max are null
+    val rates = Seq(("USD", day("2020-01-02"), 24.0),
+                    ("USD", day("2020-01-03"), 24.5))
+      .toDF("cc", "exchangedate", "rate")
+    val per = reportPerCurrency(rates, day("2025-09-19"))
+    val txt = reportTxt(per, day("2025-09-19"))
+    assert(txt.contains("year: no data"), txt)
+    assert(txt.contains("USD: 24.50 UAH"), txt)
+  }
+
   test("flagship entry returns rows (driver t1 analog)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

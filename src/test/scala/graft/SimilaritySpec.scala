@@ -59,6 +59,38 @@ class SimilaritySpec extends SparkSuite {
     assert(ann.nonEmpty && ann.forall(t => t._1 != t._2))
   }
 
+  test("ANN recall@3 vs exact ground truth stays above a fixed floor") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(desc("cos"), col("c_id"))
+    val truth = q.crossJoin(e.select(col("vec_id").as("c_id"), col("emb")))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(name: String): Double = {
+      val got = SparkEntry.queries(name)(spark, sf())
+        .select("q_id", "c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val hits = truth.map { case (qid, t) =>
+        (got.getOrElse(qid, Set.empty[Long]) & t).size }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    val lsh = recall("sim_lsh_ann")
+    val ivf = recall("sim_ivf_ann")
+    info(f"recall@3: lsh=$lsh%.2f ivf=$ivf%.2f")
+    // measured on the near-random synthetic embeddings (top-1 cos ≈ 0.37,
+    // the hardest regime for sign LSH): lsh=0.77, ivf=0.57. On real
+    // near-dup corpora (cos ≥ 0.9) per-table collision rises from ~0.14
+    // to ~0.54 and recall approaches 1.
+    assert(lsh >= 0.60, f"multi-table LSH recall@3 $lsh%.2f below floor 0.60")
+    assert(ivf >= 0.50, f"IVF nprobe=4 recall@3 $ivf%.2f below floor 0.50")
+  }
+
   test("IVF ANN is bounded by brute force and returns per-probe top-3") {
     val bf = SparkEntry.queries("sim_topk")(spark, sf())
       .filter(col("rk") === 1)
