@@ -150,6 +150,83 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Full 64-slot MinHash signature from an ARRAY<STRING> of shingles, in
+  * one fused pass per row: each shingle is XXH64-hashed from its UTF-8
+  * bytes (bit-identical to SQL `xxhash64(shingle)`, seed 42), then
+  * slot i = min over shingles of xxhash64(shingle_hash, i) — exactly
+  * the `min(xxhash64(xxhash64(sh), lit(i)))` aggregate formulation.
+  * Replaces explode(shingles) → 64-slot groupBy with a shuffle-free
+  * narrow map, and hashes the strings natively rather than through an
+  * interpreted `transform` lambda: at corpus scale the signature stage
+  * stops shuffling shingle rows entirely and becomes embarrassingly
+  * parallel (the only remaining shuffle in LSH dedup is the bucket join
+  * itself). Returns null for an empty shingle array (no shingles ⇒ no
+  * signature, matching explode's drop semantics). */
+case class MinHash64(child: Expression, slots: Int = 64)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "minhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    if (hs.numElements() == 0) return null
+    val mins = Array.fill(slots)(Long.MaxValue)
+    var i = 0
+    while (i < hs.numElements()) {
+      val sh = hs.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(
+        sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
+      val h0 = XXH64.hashLong(h, 42L)
+      var s = 0
+      while (s < slots) {
+        val v = XXH64.hashInt(s, h0)
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[org.apache.spark.sql.catalyst.expressions.XXH64].getName
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val sh = ctx.freshName("sh")
+      val h = ctx.freshName("h")
+      val h0 = ctx.freshName("h0")
+      val v = ctx.freshName("v")
+      s"""
+         |if ($a.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$slots];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    UTF8String $sh = $a.getUTF8String($i);
+         |    long $h = $xxh.hashUnsafeBytes(
+         |      $sh.getBaseObject(), $sh.getBaseOffset(), $sh.numBytes(), 42L);
+         |    long $h0 = $xxh.hashLong($h, 42L);
+         |    for (int $s = 0; $s < $slots; $s++) {
+         |      long $v = $xxh.hashInt($s, $h0);
+         |      if ($v < $mins[$s]) $mins[$s] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprint (Karp-Rabin rolling hash + min-in-window) from a
   * STRING, in one codegen pass: polynomial rolling hash (base 257, mod
   * 2^61-1) over each `k`-char window, then the minimum window hash per

@@ -32,20 +32,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  /** MinHash signatures: doc_id + 64 slot columns m0..m63. */
+  /** MinHash signatures: (doc_id, sig ARRAY<LONG>[64]) via the native
+    * MinHash64 expression — one shuffle-free map per doc (shingle
+    * string → XXH64 → 64 mins fused in codegen), replacing the former
+    * explode-shingles + 64-slot groupBy. Same XXH64 mixing as
+    * `minhashSlot`, so slot values are unchanged (DedupSpec pins the
+    * equality). No isNotNull filter: `shingles` always yields ≥1
+    * shingle (whole-text fallback), and a filter would let predicate
+    * pushdown duplicate the signature computation. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 5)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val slots = (0 until 64).map(i => minhashSlot(col("h"), i).as(s"m$i"))
-    sh.groupBy("doc_id").agg(slots.head, slots.tail: _*)
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    docs.select(col("doc_id"),
+      column(graft.functions.MinHash64(
+        expression(shingles(tokens(col("text")), 5)))).as("sig"))
   }
 
   /** LSH banding of a signature frame: (doc_id, band, bh). 16 bands × 4
     * rows ⇒ docs with Jaccard ≳ 0.5 collide in ≥1 band w.h.p. */
   def lshBands(sig: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"m${rowsPerBand * b + r}"))
+      val cols = (0 until rowsPerBand).map(r =>
+        col("sig").getItem(rowsPerBand * b + r))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))

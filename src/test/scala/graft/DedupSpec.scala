@@ -58,6 +58,25 @@ class DedupSpec extends SparkSuite {
     assert(diffs === 0L)
   }
 
+  test("native MinHash64 equals the min(xxhash64(h,i)) aggregate, slot " +
+    "for slot") {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val native = corpus.select(col("doc_id"),
+      column(graft.functions.MinHash64(
+        expression(shingles(tokens(col("text")), 5)))).as("sig"))
+    val sh = corpus
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 5)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val slots = (0 until 64).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val agg = sh.groupBy("doc_id").agg(slots.head, slots.tail: _*)
+    val bad = native.join(agg, "doc_id")
+      .filter((0 until 64).map(i =>
+        col("sig").getItem(i) =!= col(s"m$i")).reduce(_ || _))
+      .count()
+    assert(bad === 0L, "native signature must match the aggregate bit-for-bit")
+  }
+
   test("simhash: near-dups within small Hamming distance, unrelated far") {
     val sig = simhashSignatures(corpus)
       .as[(Long, Long)].collect().toMap
