@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions.xxhash64
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+/** Bloom-filter sketch surface over Spark's built-in
+  * BloomFilterAggregate / BloomFilterMightContain expressions — the same
+  * machinery Spark's own runtime row-level filtering
+  * (spark.sql.optimizer.runtime.bloomFilter) injects, exposed for
+  * explicit use where the optimizer can't see the opportunity (e.g. a
+  * semi-join whose build side comes from a separate pipeline stage).
+  *
+  * 100 TB shape: the build side is aggregated into a few-KB..MB binary
+  * sketch (one pass, partial-merged), which then rides the plan as a
+  * LITERAL — the probe side filters map-side with zero shuffle and only
+  * the surviving (probable-match) rows pay the exact-join shuffle. False
+  * positives are eliminated by the exact join that follows, so results
+  * are identical to the plain join; the sketch only sheds rows early.
+  */
+object SketchFunctions {
+
+  /** Aggregate column: bloom filter (binary) over xxhash64(keys). */
+  def bloomAgg(keys: Column, expectedItems: Long, numBits: Long): Column =
+    column(new BloomFilterAggregate(expression(xxhash64(keys)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+
+  /** Build the sketch now: one tiny job, returns the serialized filter
+    * (the only driver-side value — a sketch, not data rows). */
+  def buildBloom(build: DataFrame, key: Column,
+                 expectedItems: Long, numBits: Long): Array[Byte] =
+    build.agg(bloomAgg(key, expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+  /** Membership probe of `key` against a pre-built sketch literal. */
+  def mightContain(bloom: Array[Byte], key: Column): Column =
+    column(BloomFilterMightContain(Literal(bloom),
+      expression(xxhash64(key))))
+}

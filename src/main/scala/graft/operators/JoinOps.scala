@@ -95,6 +95,51 @@ object JoinOps extends QueryModule {
         .orderBy("user_id", "purchase_id")
     }),
 
+    // RANGE (interval) join: event.value BETWEEN band.lo AND band.hi,
+    // bands overlap so an event can land in several. Executed as a
+    // BUCKETED EQUI-JOIN: both sides key on floor(value/width); a band
+    // spanning k buckets explodes into k rows. This turns the
+    // O(rows × bands) theta-join (BNLJ) into a hash join + residual
+    // filter — the only interval-join shape that survives a 100 TB
+    // fact side when the band table is too large to nest-loop.
+    "join_range" -> ((s, d) => {
+      val bucketW = 50
+      val bands = s.range(10).toDF("band_id")
+        .withColumn("lo", col("band_id") * 50.0)
+        .withColumn("hi", col("band_id") * 50.0 + 75.0)
+      val bandBuckets = bands.withColumn("bucket",
+        explode(sequence(floor(col("lo") / bucketW),
+          floor(col("hi") / bucketW))))
+      Tables.events(s, d)
+        .withColumn("bucket", floor(col("value") / bucketW))
+        .join(broadcast(bandBuckets), Seq("bucket"))
+        .filter(col("value") >= col("lo") && col("value") <= col("hi"))
+        .select(col("event_id"), col("band_id"), col("value"))
+        .orderBy("event_id", "band_id")
+    }),
+
+    // Bloom-prefiltered semi-join: the build side (big orders) is
+    // aggregated into a bloom sketch; the fact side drops non-members
+    // MAP-SIDE (sketch rides as a literal, zero shuffle) and only
+    // probable matches pay the exact semi-join shuffle that removes
+    // bloom false positives. Result ≡ plain semi-join (oracle-checked);
+    // at 100 TB this sheds the bulk of the fact scan before any
+    // exchange — the manual form of Spark's runtime row-level filtering.
+    "join_bloom_semi" -> ((s, d) => {
+      import graft.functions.SketchFunctions._
+      val bigOrders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+      val bloom = buildBloom(bigOrders, col("o_orderkey"),
+        expectedItems = 4096L, numBits = 65536L)
+      Tables.lineitem(s, d)
+        .filter(mightContain(bloom, col("l_orderkey")))
+        .join(bigOrders.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_semi")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_orderkey")
+    }),
+
     // LEFT OUTER: every customer with order stats, null-safe counts
     "join_left_outer" -> ((s, d) =>
       Tables.customer(s, d)
@@ -208,6 +253,24 @@ object JoinOps extends QueryModule {
         |  COALESCE(n_hi, 0) AS n_hi, COALESCE(n_lo, 0) AS n_lo
         |FROM hi FULL OUTER JOIN lo ON hi.k = lo.k
         |ORDER BY custkey""".stripMargin,
+    // general interval join with OVERLAPPING bands: the oracle runs the
+    // naive BETWEEN theta-join; the Spark side's bucketed rewrite must
+    // produce identical pairs
+    "join_range" ->
+      """WITH bands AS (SELECT i AS band_id, i*50.0 AS lo, i*50.0+75.0 AS hi
+        |  FROM range(10) t(i))
+        |SELECT e.event_id, b.band_id, e.value
+        |FROM events e JOIN bands b ON e.value BETWEEN b.lo AND b.hi
+        |ORDER BY e.event_id, b.band_id""".stripMargin,
+    // bloom prefilter is a pure early-shed: result equals the plain
+    // semi-join aggregate
+    "join_bloom_semi" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "join_range_bucketed" ->
       s"""WITH buckets AS (SELECT (i*10 + 1) AS lo, (i+1)*10 AS hi,
          |  'B' || (i+1) AS bucket_name FROM range(0, 5) r(i))

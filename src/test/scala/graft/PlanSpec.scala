@@ -37,4 +37,25 @@ class PlanSpec extends SparkSuite {
     assert(plan("join_semi").contains("LeftSemi"))
     assert(plan("join_anti").contains("LeftAnti"))
   }
+
+  test("minhash signatures plan shuffle-free (native MinHash64 map)") {
+    val p = graft.operators.Dedup
+      .minhashSignatures(Tables.documents(spark, sf("sf0.01")))
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"signature stage must be a map:\n$p")
+    assert(p.contains("minhash64"), p.take(2000))
+  }
+
+  test("interval join plans as hash join + residual, never a nested loop") {
+    val p = plan("join_range")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the bucketed rewrite must not fall back to a theta join")
+  }
+
+  test("bloom semi-join probes map-side before the exact join") {
+    val p = plan("join_bloom_semi")
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
 }
