@@ -37,24 +37,11 @@ object StreamMerge {
           expr(s"timestamp_micros(${batchId}L)"))
         val existing = existingTable(spark, tablePath, stamped)
         val merged = CurrencyPipeline.merge(existing, stamped)
-        // write-then-swap for atomicity without a transactional format.
-        // The old table is renamed ASIDE (not deleted) before promoting
-        // tmp, so no crash window ever leaves zero copies: a crash
-        // before the promote leaves `.old` restorable, one after leaves
-        // the new table live. Plain if/throw — never assert, which
-        // -Xelide-below would silently strip.
-        val tmp = new java.io.File(tablePath + ".tmp")
-        merged.write.mode("overwrite").parquet(tmp.getPath)
-        val live = new java.io.File(tablePath)
-        val old = new java.io.File(tablePath + ".old")
-        if (old.exists()) delete(old)
-        if (live.exists() && !live.renameTo(old))
-          throw new java.io.IOException(s"cannot set aside $live -> $old")
-        if (!tmp.renameTo(live)) {
-          if (old.exists()) old.renameTo(live) // roll back to the old copy
-          throw new java.io.IOException(s"cannot promote $tmp -> $live")
-        }
-        if (old.exists()) delete(old)
+        // write-then-swap for atomicity without a transactional format
+        // (crash-safety contract documented on TableSwap.promote)
+        val tmp = tablePath + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        graft.pipeline.TableSwap.promote(tablePath, tmp)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -68,8 +55,4 @@ object StreamMerge {
       spark.read.schema(like.schema).parquet(path)
     else like.limit(0)
 
-  private def delete(f: java.io.File): Unit = {
-    Option(f.listFiles()).toSeq.flatten.foreach(delete)
-    f.delete(); ()
-  }
 }

@@ -67,11 +67,49 @@ object StreamingOps extends QueryModule {
           graft.Sql.dsum(col("value")).as("sum_value"))
       runToMemory(s, agg, "graft_stream_daily")
         .orderBy("day", "event_type")
+    }),
+
+    // stream-stream INNER JOIN with watermarks + event-time range: each
+    // purchase joined to the same user's clicks in the preceding hour.
+    // Both watermarks plus the time-range condition bound the join state
+    // (Spark drops click state older than purchase watermark - 1h), so
+    // state is O(recent window), not O(stream) — the only stream-stream
+    // join shape that runs forever. Event-time semantics make the final
+    // result deterministic and equal to the batch theta-join (oracle).
+    "stream_join_interval" -> ((s, d) => {
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") <= col("purchase_ts"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("click_value"))
+      runToMemory(s, joined, "graft_stream_join", mode = "append")
+        .orderBy("user_id", "purchase_id", "click_id")
     }))
 
   def oracles: Map[String, String] = Map(
     "stream_tumbling_daily" ->
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
          |  count(*) AS n_events, ${graft.Sql.oSum("value")} AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
+         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "stream_join_interval" ->
+      """SELECT c.user_id AS user_id, p.event_id AS purchase_id,
+        |  c.event_id AS click_id, c.value AS click_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND CAST(c.ts AS TIMESTAMP)
+        |    BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        |    AND CAST(p.ts AS TIMESTAMP)
+        |ORDER BY user_id, purchase_id, click_id""".stripMargin)
 }
