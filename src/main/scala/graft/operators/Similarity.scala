@@ -108,6 +108,49 @@ object Similarity extends QueryModule {
         .orderBy("q_id", "rk")
     }),
 
+    // per-group embedding centroid through the typed VectorAvgAggregator:
+    // one fixed-width (dim longs + count) buffer per group with map-side
+    // combine — not the |rows|×dim explosion of posexplode+groupBy; the
+    // fixed-point accumulation makes the result partition-order-exact
+    // and therefore oracle-checkable (output unrolled per dim: scalars)
+    "agg_vector_centroid" -> ((s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select((col("vec_id") % 8).as("grp"),
+          asDouble(col("embedding")).as("emb"))
+        .as[(Long, Array[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.VectorAvgAggregator.toColumn.name("centroid"))
+        .toDF("grp", "centroid")
+        .select(col("grp"), posexplode(col("centroid")).as(Seq("dim", "c")))
+        .select(col("grp"), col("dim").cast("long").as("dim"),
+          round(col("c"), 6).as("centroid"))
+        .orderBy("grp", "dim")
+    }),
+
+    // int8 symmetric quantization (the 4× embedding-storage reduction
+    // every vector store applies): per-vector scale m = max|x|,
+    // q = round(x·127/m). Emitted as per-vector scalars — scale,
+    // worst-case dequantization error (err = m/127·|u − round(u)|,
+    // u = x·127/m, an identity that avoids re-materializing the
+    // dequantized vector), and the integer L1 norm of the codes.
+    // Pure narrow map over the corpus; oracle-checked.
+    "sim_quantize_int8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      val u = (x: org.apache.spark.sql.Column) => x * 127 / col("m")
+      e.withColumn("m", array_max(transform(col("emb"), x => abs(x))))
+        .filter(col("m") > 0)
+        .withColumn("q", transform(col("emb"), x => round(u(x)).cast("int")))
+        .select(col("vec_id"),
+          round(col("m"), 6).as("scale_m"),
+          round(col("m") / 127 * array_max(transform(col("emb"),
+            x => abs(u(x) - round(u(x))))), 6).as("max_abs_err"),
+          aggregate(col("q"), lit(0L), (acc, v) => acc + abs(v).cast("long"))
+            .as("l1_q"))
+        .orderBy("vec_id")
+    }),
+
     // exact brute-force cosine top-5 for probes vec_id < 3
     "sim_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -156,6 +199,28 @@ object Similarity extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    // zipped unnest + generate_subscripts (DuckDB's lateral-free array
+    // unroll); fixed-point long sums reproduce the aggregator exactly
+    "agg_vector_centroid" ->
+      """WITH e AS (SELECT vec_id % 8 AS grp,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |  generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+        |FROM embeddings)
+        |SELECT grp, CAST(i - 1 AS BIGINT) AS dim,
+        |  round(SUM(CAST(floor(x * 1e9) AS BIGINT)) / (1e9 * count(*)), 6)
+        |    AS centroid
+        |FROM e GROUP BY grp, i ORDER BY grp, dim""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, emb,
+        |  list_max(list_transform(emb, x -> abs(x))) AS m FROM e)
+        |SELECT vec_id, round(m, 6) AS scale_m,
+        |  round(m / 127 * list_max(list_transform(emb,
+        |    x -> abs(x * 127 / m - round(x * 127 / m)))), 6) AS max_abs_err,
+        |  CAST(list_sum(list_transform(emb,
+        |    x -> abs(CAST(round(x * 127 / m) AS INT)))) AS BIGINT) AS l1_q
+        |FROM q WHERE m > 0 ORDER BY vec_id""".stripMargin,
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),
