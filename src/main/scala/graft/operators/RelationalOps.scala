@@ -214,6 +214,28 @@ object RelationalOps extends QueryModule {
           element_at(col("pq"), 1).as("price_p50"),
           element_at(col("pq"), 2).as("price_p90"))),
 
+    // A10 — z-score outlier detection: per-group mean/std from the same
+    // exact-decimal moments as A9 (bit-reproducible on any
+    // partitioning), broadcast back to the stream, filter on |z|.
+    // One agg + one broadcast join + narrow filter — nothing in this
+    // shape grows with corpus size except the scan. The filter uses the
+    // ROUNDED z on both engines so boundary rows agree.
+    "a10_zscore_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sv"),
+          sum((col("value") * col("value")).cast(dec(4))).cast("double")
+            .as("svv"))
+        .select(col("event_type"), (col("sv") / col("n")).as("mean"),
+          sqrt((col("svv") - col("sv") * col("sv") / col("n")) /
+            (col("n") - 1)).as("std"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", round((col("value") - col("mean")) / col("std"), 6))
+        .filter(abs(col("z")) > 1.5)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+        .orderBy("event_id")
+    }),
+
     // A9 — second-moment statistics from exact decimal moments: native
     // stddev/corr accumulate doubles (order-dependent across engines);
     // deriving them from exact SUM/SUM-of-squares/SUM-of-products makes
@@ -229,11 +251,14 @@ object RelationalOps extends QueryModule {
           sum((p * p).cast(dec(4))).cast("double").as("s_pp"),
           sum((q * p).cast(dec(4))).cast("double").as("s_qp"))
         .select(col("l_returnflag"), col("n"),
-          sqrt((col("s_qq") - col("s_q") * col("s_q") / col("n")) /
-            (col("n") - 1)).as("stddev_qty"),
-          ((col("s_qp") - col("s_q") * col("s_p") / col("n")) /
+          // round(…,6): the moments are exact, but the final
+          // divide/sqrt chain is double arithmetic that can differ in
+          // the last ulp across engines
+          round(sqrt((col("s_qq") - col("s_q") * col("s_q") / col("n")) /
+            (col("n") - 1)), 6).as("stddev_qty"),
+          round((col("s_qp") - col("s_q") * col("s_p") / col("n")) /
             (sqrt(col("s_qq") - col("s_q") * col("s_q") / col("n")) *
-             sqrt(col("s_pp") - col("s_p") * col("s_p") / col("n"))))
+             sqrt(col("s_pp") - col("s_p") * col("s_p") / col("n"))), 6)
             .as("corr_qty_price"))
         .orderBy("l_returnflag")
     }),
@@ -334,6 +359,18 @@ object RelationalOps extends QueryModule {
         |SELECT event_type, CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
         |  COUNT(k) AS n
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a10_zscore_outliers" ->
+      """WITH s AS (SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+        |  CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS svv
+        |  FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, sv / n AS mean,
+        |  sqrt((svv - sv * sv / n) / (n - 1)) AS std FROM s)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - m.mean) / m.std, 6) AS z
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE abs(round((e.value - m.mean) / m.std, 6)) > 1.5
+        |ORDER BY e.event_id""".stripMargin,
     "a9_stats_moments" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
@@ -343,9 +380,9 @@ object RelationalOps extends QueryModule {
         |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s_qp
         |FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  sqrt((s_qq - s_q * s_q / n) / (n - 1)) AS stddev_qty,
-        |  (s_qp - s_q * s_p / n) /
-        |    (sqrt(s_qq - s_q * s_q / n) * sqrt(s_pp - s_p * s_p / n))
+        |  round(sqrt((s_qq - s_q * s_q / n) / (n - 1)), 6) AS stddev_qty,
+        |  round((s_qp - s_q * s_p / n) /
+        |    (sqrt(s_qq - s_q * s_q / n) * sqrt(s_pp - s_p * s_p / n)), 6)
         |    AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
     "a7_typed_agg" ->

@@ -147,6 +147,30 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF top term per document — the canonical corpus-statistics op.
+    // tf/df from one tokenize pass; N rides as a broadcast scalar; the
+    // score is ROUNDED BEFORE ranking so both engines rank identical
+    // values (ln differs in the last ulp across libm implementations).
+    // Scale: two shuffles (doc-term, term) + per-doc window; at corpus
+    // scale df would be freq-pruned then broadcast.
+    "t_tfidf_top" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+      tf.join(df, "word").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("word").as("top_word"), col("score"))
+        .orderBy("doc_id")
+    }),
+
     // BPE-ish regex tokenization (robust to punctuation/whitespace runs)
     "t_tokens_bpe" -> ((s, d) =>
       Tables.documents(s, d)
@@ -230,6 +254,19 @@ object TextAnalysis extends QueryModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    / 2048) AS BIGINT) AS pack_id
         |FROM t ORDER BY doc_id""".stripMargin,
+    "t_tfidf_top" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, tf.word AS word,
+        |  round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+        |r AS (SELECT doc_id, word, score, ROW_NUMBER() OVER
+        |  (PARTITION BY doc_id ORDER BY score DESC, word) AS rk FROM sc)
+        |SELECT doc_id, word AS top_word, score FROM r WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin,
     "t_repetition" ->
       """WITH g AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |r AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
