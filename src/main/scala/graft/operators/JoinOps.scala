@@ -140,6 +140,23 @@ object JoinOps extends QueryModule {
         .orderBy("l_orderkey")
     }),
 
+    // Salted equi-join: l_returnflag has 3 distinct values — maximal key
+    // skew, every key hot. The deterministic salt spreads each key over
+    // 8 reducers and the right side is replicated 8×; results ≡ plain
+    // join (oracle-checked). The technique matters when the right side
+    // is too big to broadcast and AQE can't split the skew (bucketed /
+    // storage-partitioned inputs).
+    "skew_join_salted" -> ((s, d) => {
+      import s.implicits._
+      val labels = Seq(("A", "returned"), ("N", "normal"), ("R", "refunded"))
+        .toDF("flag", "label")
+      Skew.saltedJoin(Tables.lineitem(s, d), labels,
+          col("l_returnflag"), col("flag"), col("l_orderkey"), buckets = 8)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("label")
+    }),
+
     // LEFT OUTER: every customer with order stats, null-safe counts
     "join_left_outer" -> ((s, d) =>
       Tables.customer(s, d)
@@ -253,6 +270,12 @@ object JoinOps extends QueryModule {
         |  COALESCE(n_hi, 0) AS n_hi, COALESCE(n_lo, 0) AS n_lo
         |FROM hi FULL OUTER JOIN lo ON hi.k = lo.k
         |ORDER BY custkey""".stripMargin,
+    "skew_join_salted" ->
+      """SELECT CASE l_returnflag WHEN 'A' THEN 'returned'
+        |  WHEN 'N' THEN 'normal' ELSE 'refunded' END AS label,
+        |  count(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY label""".stripMargin,
     // general interval join with OVERLAPPING bands: the oracle runs the
     // naive BETWEEN theta-join; the Spark side's bucketed rewrite must
     // produce identical pairs

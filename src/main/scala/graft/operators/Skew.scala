@@ -27,4 +27,25 @@ object Skew {
       .groupBy(col("__key"))
       .agg(combine.head, combine.tail: _*)
       .withColumnRenamed("__key", "key")
+
+  /** Salted equi-join for a SKEWED left side against a right side too
+    * big to broadcast: the left's hot keys are spread over `buckets`
+    * reducers by a deterministic salt, the right side is replicated
+    * `buckets`× (explode), and the join runs on (key, salt). Join
+    * cardinality is unchanged — each left row still meets each matching
+    * right row exactly once (at its own salt) — so results are
+    * identical to the plain join; only the partitioning changes. The
+    * portable form of AQE's skew-join splitting, usable when the skew
+    * is known ahead of time or AQE can't see it (e.g. bucketed inputs,
+    * storage-partitioned joins). */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: Column, rightKey: Column,
+                 saltSource: Column, buckets: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(saltSource), lit(buckets.toLong)))
+    val r = right.withColumn("__salt_r",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    l.join(r, leftKey === rightKey && col("__salt") === col("__salt_r"))
+      .drop("__salt", "__salt_r")
+  }
 }

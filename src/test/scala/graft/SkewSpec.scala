@@ -21,4 +21,17 @@ class SkewSpec extends SparkSuite {
       .as[(String, Long, Long)].collect().toSet
     assert(salted === direct)
   }
+
+  test("saltedJoin matches the plain join on a skewed key") {
+    val left = (1 to 5000).map(i =>
+      (if (i % 20 == 0) s"k${i % 5}" else "HOT", i.toLong)).toDF("k", "v")
+    val right = Seq(("HOT", 100L), ("k0", 0L), ("k1", 1L), ("k4", 4L),
+      ("MISS", -1L)).toDF("rk", "w")
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "v", "w").as[(String, Long, Long)].collect().sorted
+    val salted = Skew.saltedJoin(left, right, col("k"), col("rk"),
+        saltSource = col("v"), buckets = 8)
+      .select("k", "v", "w").as[(String, Long, Long)].collect().sorted
+    assert(salted === plain, "salting must not change join cardinality")
+  }
 }
