@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{CosineSimilarity, DotProduct, SimHash64}
+import graft.functions.{CosineSimilarity, DotProduct, JaccardSets, MinHash64, RollingMinHash, SimHash64}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Extension injection (SparkSessionExtensions): registers the engine's
   * native expressions as SQL functions at session build, so
@@ -20,6 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
     e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("minhash64"), info("minhash64"),
+      (exprs: Seq[Expression]) => MinHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("jaccard_sets"), info("jaccard_sets"),
+      (exprs: Seq[Expression]) => JaccardSets(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("rolling_min_hash"),
+      info("rolling_min_hash"),
+      (exprs: Seq[Expression]) => RollingMinHash(exprs.head,
+        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
   }
 }
 

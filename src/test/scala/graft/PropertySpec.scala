@@ -55,6 +55,33 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("connected components equal driver-side union-find on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] = Gen.listOfN(60, for {
+      a <- Gen.choose(0L, 39L)
+      b <- Gen.choose(0L, 39L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    samples(edgeGen, 8).filter(_.nonEmpty).foreach { edges =>
+      val got = graft.operators.Dedup
+        .connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      // reference: plain union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.foreach { n =>
+        assert(got(n) === find(n),
+          s"node $n: spark=${got(n)} union-find=${find(n)} edges=$edges")
+      }
+    }
+  }
+
   test("rolling 7-row mean equals brute force over any history") {
     samples(Gen.listOfN(25, Gen.choose(1, 10000).map(_ / 100.0)), 10)
         .filter(_.nonEmpty).foreach { values =>

@@ -22,11 +22,17 @@ class SessionSpec extends AnyFunSuite {
         |             CAST(array(0.0,1.0) AS ARRAY<DOUBLE>)) AS c,
         |  dot_product(CAST(array(1.0,2.0) AS ARRAY<DOUBLE>),
         |              CAST(array(3.0,4.0) AS ARRAY<DOUBLE>)) AS d,
-        |  simhash64(array(CAST(0 AS LONG))) AS sh""".stripMargin)
+        |  simhash64(array(CAST(0 AS LONG))) AS sh,
+        |  minhash64(array('a b c d e')) AS mh,
+        |  jaccard_sets(array('a','b'), array('b','c')) AS js,
+        |  rolling_min_hash('abcdefghij', 4) AS rmh""".stripMargin)
       .collect().head
     assert(r.getDouble(0) === 0.0)
     assert(r.getDouble(1) === 11.0)
     assert(r.getLong(2) === 0L) // all bits vote -1 except none set
+    assert(r.getSeq[Long](3).length === 64)
+    assert(math.abs(r.getDouble(4) - 1.0 / 3) < 1e-12)
+    assert(r.getLong(5) >= 0L)
   }
 
   test("pipeline operators tolerate empty inputs") {
