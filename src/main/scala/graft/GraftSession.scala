@@ -26,8 +26,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => JaccardSets(exprs.head, exprs(1))))
     e.injectFunction((FunctionIdentifier("rolling_min_hash"),
       info("rolling_min_hash"),
-      (exprs: Seq[Expression]) => RollingMinHash(exprs.head,
-        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            "rolling_min_hash(text, k) takes exactly 2 arguments")
+        // constant folding hasn't run at function-resolution time, so
+        // accept any foldable integer expression (literal, cast literal)
+        val k = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) => v.toInt
+          case Literal(v: Short, _) => v.toInt
+          case other if other.foldable => other.eval() match {
+            case v: java.lang.Number => v.intValue()
+            case v => throw new IllegalArgumentException(
+              s"rolling_min_hash: k must be an integer constant, got $v")
+          }
+          case other => throw new IllegalArgumentException(
+            s"rolling_min_hash: k must be an integer constant, got $other")
+        }
+        RollingMinHash(exprs.head, k)
+      }))
   }
 }
 

@@ -168,6 +168,10 @@ case class MinHash64(child: Expression, slots: Int = 64)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.LongType, containsNull = false)
+  // nullable even over a non-nullable child: an EMPTY shingle array maps
+  // to null (without this, codegen would emit an assignment to a
+  // FalseLiteral isNull and fall back to interpreted mode)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash64"
 
   override def nullSafeEval(input: Any): Any = {

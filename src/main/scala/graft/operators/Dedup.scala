@@ -50,6 +50,10 @@ object Dedup extends QueryModule {
   /** LSH banding of a signature frame: (doc_id, band, bh). 16 bands × 4
     * rows ⇒ docs with Jaccard ≳ 0.5 collide in ≥1 band w.h.p. */
   def lshBands(sig: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // getItem past the signature width would yield nulls (xxhash64 then
+    // silently hashes fewer slots and every doc collides) — fail loudly
+    require(bands * rowsPerBand <= 64,
+      s"bands*rowsPerBand = ${bands * rowsPerBand} exceeds the 64-slot signature")
     val bandStructs = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r =>
         col("sig").getItem(rowsPerBand * b + r))
@@ -162,15 +166,33 @@ object Dedup extends QueryModule {
     * cluster. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val sc = pairs.sparkSession.sparkContext
+    // each iteration's localCheckpoint materializes into block storage;
+    // release the previous iteration's blocks deterministically (GC +
+    // ContextCleaner would reclaim them eventually, but "eventually"
+    // can pin executor storage through the rest of the pipeline)
+    var prevCkptIds: Set[Int] = Set.empty
+    def checkpointTracked(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      val fresh = sc.getPersistentRDDs.keySet.diff(before)
+      prevCkptIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkptIds = fresh.toSet
+      out
+    }
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    // materialize the pair/edge caches BEFORE checkpoint tracking starts,
+    // so their persistent-RDD ids are never mistaken for a stale
+    // iteration checkpoint and released mid-loop
+    edges.count()
+    var labels = checkpointTracked(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -185,13 +207,12 @@ object Dedup extends QueryModule {
       // path halving: component := label(component). Every component
       // value is itself a node id, so the lookup is a self-join; the
       // jumped label is ≤ next_c and stays inside the same component.
-      val next = merged
+      val next = checkpointTracked(merged
         .join(merged.select(col("id").as("next_c"), col("next_c").as("jump")),
           Seq("next_c"), "left")
         .select(col("id"),
           coalesce(col("jump"), col("next_c")).as("component"),
-          (coalesce(col("jump"), col("next_c")) =!= col("old_c")).as("changed"))
-        .localCheckpoint()
+          (coalesce(col("jump"), col("next_c")) =!= col("old_c")).as("changed")))
       // cheap: limit-1 scan over the checkpointed frame, no recompute.
       // At a fixed point of bidirectional min-propagation every edge has
       // equal labels, so "no next_c changed" implies the jump is a no-op

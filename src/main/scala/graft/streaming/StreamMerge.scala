@@ -50,9 +50,14 @@ object StreamMerge {
   }
 
   private def existingTable(spark: SparkSession, path: String,
-                            like: DataFrame): DataFrame =
+                            like: DataFrame): DataFrame = {
+    // a crash between the swap's two renames leaves the table only in
+    // .old — restore it BEFORE reading, or this merge would see an
+    // empty warehouse and the next promote would discard the history
+    graft.pipeline.TableSwap.recover(path)
     if (new java.io.File(path).exists())
       spark.read.schema(like.schema).parquet(path)
     else like.limit(0)
+  }
 
 }

@@ -25,6 +25,40 @@ class MaintenanceSpec extends SparkSuite {
     assert(!new java.io.File(dir + ".old").exists())
   }
 
+  test("compact preserves a Hive-partitioned layout and its pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_p")
+      .resolve("t").toString
+    spark.range(4000).select(col("id"), (col("id") % 3).as("k"))
+      .repartition(20).write.partitionBy("k").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .agg(sum("id"), count(lit(1))).as[(Long, Long)].head()
+    val (nb, na) = Maintenance.compact(spark, dir, targetBytes = 1L << 20)
+    assert(na < nb)
+    // partition directories survive → pruning still works
+    assert(new java.io.File(dir, "k=0").isDirectory, "partition dirs kept")
+    val after = spark.read.parquet(dir)
+      .agg(sum("id"), count(lit(1))).as[(Long, Long)].head()
+    assert(after === before)
+    assert(spark.read.parquet(dir).filter(col("k") === 1).count() ===
+      before._2 / 3)
+  }
+
+  test("recover restores a table stranded in .old by a mid-swap crash") {
+    val base = java.nio.file.Files.createTempDirectory("graft_recover")
+    val live = base.resolve("t").toString
+    Seq(7L).toDF("tag").write.parquet(live)
+    // simulate a crash between the two renames: live moved aside, no tmp
+    assert(new java.io.File(live).renameTo(new java.io.File(live + ".old")))
+    assert(TableSwap.recover(live), "recover must restore the copy")
+    assert(spark.read.parquet(live).as[Long].head() === 7L)
+    assert(!new java.io.File(live + ".old").exists())
+    // and promote() self-heals the same state rather than deleting .old
+    assert(new java.io.File(live).renameTo(new java.io.File(live + ".old")))
+    Seq(8L).toDF("tag").write.parquet(live + ".tmp")
+    TableSwap.promote(live, live + ".tmp")
+    assert(spark.read.parquet(live).as[Long].head() === 8L)
+  }
+
   test("promote replaces the live table and rolls cleanly from no-table") {
     val base = java.nio.file.Files.createTempDirectory("graft_swap")
     val live = base.resolve("t").toString

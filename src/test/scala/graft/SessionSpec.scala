@@ -33,6 +33,14 @@ class SessionSpec extends AnyFunSuite {
     assert(r.getSeq[Long](3).length === 64)
     assert(math.abs(r.getDouble(4) - 1.0 / 3) < 1e-12)
     assert(r.getLong(5) >= 0L)
+    // empty shingle array → SQL NULL (nullable expression over a
+    // non-nullable CreateArray child — codegen must not choke)
+    val n = gspark.sql(
+      "SELECT minhash64(CAST(array() AS ARRAY<STRING>)) AS mh").collect().head
+    assert(n.isNullAt(0))
+    // bigint literal k resolves too
+    assert(gspark.sql("SELECT rolling_min_hash('abcdefgh', CAST(4 AS BIGINT))")
+      .collect().head.getLong(0) >= 0L)
   }
 
   test("pipeline operators tolerate empty inputs") {
