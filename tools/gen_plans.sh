@@ -12,7 +12,8 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 QUERIES="p4_in_filter a1_avg join_star_region w2_rolling_avg7 sim_topk \
-dedup_minhash_lsh c2_upsert_lww join_asof"
+dedup_minhash_lsh c2_upsert_lww join_asof join_range join_bloom_semi \
+skew_join_salted t_tfidf_top"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
