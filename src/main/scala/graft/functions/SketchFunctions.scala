@@ -38,4 +38,24 @@ object SketchFunctions {
   def mightContain(bloom: Array[Byte], key: Column): Column =
     column(BloomFilterMightContain(Literal(bloom),
       expression(xxhash64(key))))
+
+  /** Count-min sketch over a key column (Spark's built-in
+    * `count_min_sketch` aggregate; fixed seed for reproducibility):
+    * one pass, few-KB binary, answers "how often does key k appear"
+    * with one-sided error ≤ eps·N at confidence `conf` — the
+    * heavy-hitter / frequency primitive that replaces a full groupBy
+    * when only approximate per-key counts are needed. */
+  def cmsAgg(key: Column, eps: Double = 0.001, conf: Double = 0.99,
+             seed: Int = 42): Column =
+    org.apache.spark.sql.functions.count_min_sketch(
+      key, org.apache.spark.sql.functions.lit(eps),
+      org.apache.spark.sql.functions.lit(conf),
+      org.apache.spark.sql.functions.lit(seed))
+
+  /** Build the sketch now and return the driver-side probe handle. */
+  def buildCms(build: DataFrame, key: Column, eps: Double = 0.001,
+               conf: Double = 0.99): org.apache.spark.util.sketch.CountMinSketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      build.agg(cmsAgg(key, eps, conf).as("cms"))
+        .head().getAs[Array[Byte]](0))
 }

@@ -236,6 +236,28 @@ object RelationalOps extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // A11 — count-min heavy hitters: one-pass few-KB frequency sketch
+    // (seeded, deterministic) probed for the exact top-10 keys. The
+    // oracle can't reproduce the sketch, so it verifies the CONTRACT
+    // instead: the emitted boolean claims est ∈ [exact, exact+eps·N],
+    // and the oracle pins it to true — a false bound would hash-mismatch.
+    // Only the 10-row top-k and the sketch bytes ever reach the driver.
+    "a11_cms_heavy" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.SketchFunctions._
+      val li = Tables.lineitem(s, d)
+      val cms = buildCms(li, col("l_partkey"), eps = 0.005, conf = 0.99)
+      val bound = math.ceil(0.005 * cms.totalCount()).toLong
+      val top = li.groupBy("l_partkey").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("l_partkey")).limit(10)
+        .as[(Long, Long)].collect()
+      top.toSeq.map { case (k, c) =>
+        val e = cms.estimateCount(k)
+        (k, c, e >= c && e <= c + bound)
+      }.toDF("l_partkey", "n_exact", "cms_within_bound")
+        .orderBy(col("n_exact").desc, col("l_partkey"))
+    }),
+
     // A9 — second-moment statistics from exact decimal moments: native
     // stddev/corr accumulate doubles (order-dependent across engines);
     // deriving them from exact SUM/SUM-of-squares/SUM-of-products makes
@@ -359,6 +381,10 @@ object RelationalOps extends QueryModule {
         |SELECT event_type, CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
         |  COUNT(k) AS n
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a11_cms_heavy" ->
+      """SELECT l_partkey, count(*) AS n_exact, true AS cms_within_bound
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY n_exact DESC, l_partkey LIMIT 10""".stripMargin,
     "a10_zscore_outliers" ->
       """WITH s AS (SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
