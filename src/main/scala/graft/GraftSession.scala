@@ -32,12 +32,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "rolling_min_hash(text, k) takes exactly 2 arguments")
         // constant folding hasn't run at function-resolution time, so
         // accept any foldable integer expression (literal, cast literal)
+        // never truncate: a Long/BigInt k outside Int range must error,
+        // not silently wrap (2^32+4 would become k=4)
+        def toK(v: Long): Int = {
+          if (v < 1 || v > Int.MaxValue)
+            throw new IllegalArgumentException(
+              s"rolling_min_hash: k must be a positive Int, got $v")
+          v.toInt
+        }
         val k = exprs(1) match {
-          case Literal(v: Int, _) => v
-          case Literal(v: Long, _) => v.toInt
-          case Literal(v: Short, _) => v.toInt
+          case Literal(v: Int, _) => toK(v.toLong)
+          case Literal(v: Long, _) => toK(v)
+          case Literal(v: Short, _) => toK(v.toLong)
           case other if other.foldable => other.eval() match {
-            case v: java.lang.Number => v.intValue()
+            case v: java.lang.Integer => toK(v.longValue())
+            case v: java.lang.Long => toK(v.longValue())
+            case v: java.lang.Short => toK(v.longValue())
             case v => throw new IllegalArgumentException(
               s"rolling_min_hash: k must be an integer constant, got $v")
           }

@@ -34,9 +34,14 @@ object SketchFunctions {
     build.agg(bloomAgg(key, expectedItems, numBits).as("bf"))
       .head().getAs[Array[Byte]](0)
 
-  /** Membership probe of `key` against a pre-built sketch literal. */
+  /** Membership probe of `key` against a pre-built sketch literal. An
+    * empty build side yields a NULL sketch from BloomFilterAggregate
+    * (buildBloom returns null); the empty set has no members, so the
+    * probe is constant-false rather than a NullType literal that fails
+    * BloomFilterMightContain's analysis. */
   def mightContain(bloom: Array[Byte], key: Column): Column =
-    column(BloomFilterMightContain(Literal(bloom),
+    if (bloom == null) org.apache.spark.sql.functions.lit(false)
+    else column(BloomFilterMightContain(Literal(bloom),
       expression(xxhash64(key))))
 
   /** Count-min sketch over a key column (Spark's built-in

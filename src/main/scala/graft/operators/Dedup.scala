@@ -63,17 +63,31 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  /** Distinct candidate pairs (doc_a < doc_b) from LSH bucket collisions.
+  /** Distinct candidate pairs (doc_a < doc_b) from MinHash-LSH bucket
+    * collisions — `cappedSelfJoin` over the banded signatures (see that
+    * method for the scale controls). */
+  def minhashCandidates(docs: DataFrame, maxBucket: Int = 256): DataFrame =
+    // materialize the (small) pair set: downstream consumers scan it
+    // several times (verify joins, edge union) — never recompute the
+    // LSH join per scan
+    cappedSelfJoin(lshBands(minhashSignatures(docs)), maxBucket = maxBucket)
+      .localCheckpoint()
+
+  /** Capped per-bucket self-join — THE pair generator both LSH paths
+    * (MinHash bands, SimHash bands) share, so the hot-bucket guard can
+    * never drift between them. Input: (doc_id, band, bh [, payload…]);
+    * output: distinct (doc_a < doc_b) pairs, each payload column emitted
+    * as `<c>_a`/`<c>_b`.
     *
     * Scale controls — the two knobs that keep this stage sub-quadratic
     * on a real corpus:
     *
     *  1. The banded frame is materialized ONCE (`localCheckpoint`)
-    *     before the self-join. Without it the scan→shingle→64-slot
-    *     signature subtree appears on BOTH sides of the join and the
-    *     most expensive stage of the whole pipeline runs twice. (At
-    *     cluster scale swap localCheckpoint for a reliable checkpoint
-    *     dir or write-and-reread — same shape, executor-loss-safe.)
+    *     before the self-join. Without it the scan→shingle→signature
+    *     subtree appears on BOTH sides of the join and the most
+    *     expensive stage of the whole pipeline runs twice. (At cluster
+    *     scale swap localCheckpoint for a reliable checkpoint dir or
+    *     write-and-reread — same shape, executor-loss-safe.)
     *
     *  2. Hot buckets are capped: a bucket with more than `maxBucket`
     *     members (boilerplate — license headers, templates, empty
@@ -82,31 +96,39 @@ object Dedup extends QueryModule {
     *     instead of all pairs. Uncapped, one 1M-doc boilerplate
     *     bucket emits 5·10¹¹ pairs and no cluster survives that.
     *     True duplicates inside a hot bucket still verify (hub↔member
-    *     Jaccard is high for boilerplate clones); what is sacrificed
+    *     similarity is high for boilerplate clones); what is sacrificed
     *     is only member↔member pairs that are similar to each other
     *     yet dissimilar to the hub — rare, and a price every
-    *     production LSH dedup pays to bound the pair space.
-    */
-  def minhashCandidates(docs: DataFrame, maxBucket: Int = 256): DataFrame = {
-    val bands = lshBands(minhashSignatures(docs)).localCheckpoint()
+    *     production LSH dedup pays to bound the pair space. */
+  def cappedSelfJoin(bandsIn: DataFrame, payload: Seq[String] = Nil,
+                     maxBucket: Int = 256): DataFrame = {
+    val bands = bandsIn.localCheckpoint()
+    // min(struct(doc_id, payload…)) picks the hub row WITH its payload
+    // in the same aggregate (struct min is lexicographic, doc_id first)
     val stats = bands.groupBy("band", "bh")
-      .agg(count(lit(1)).as("bsz"), min("doc_id").as("hub"))
+      .agg(count(lit(1)).as("bsz"),
+        min(struct((col("doc_id") +: payload.map(col)): _*)).as("hubrow"))
     val keep = bands.join(
       stats.filter(col("bsz") <= maxBucket).select("band", "bh"),
       Seq("band", "bh"))
     val allPairs = keep.as("x")
       .join(keep.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a") +:
+        col("y.doc_id").as("doc_b") +:
+        (payload.map(c => col(s"x.$c").as(s"${c}_a")) ++
+         payload.map(c => col(s"y.$c").as(s"${c}_b"))): _*)
+    // hub = min doc_id of the bucket, so doc_a < doc_b holds by
+    // construction for every star pair
     val starPairs = bands.join(
-        stats.filter(col("bsz") > maxBucket).select("band", "bh", "hub"),
+        stats.filter(col("bsz") > maxBucket).select("band", "bh", "hubrow"),
         Seq("band", "bh"))
-      .filter(col("doc_id") =!= col("hub"))
-      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
-    // materialize the (small) pair set: downstream consumers scan it
-    // several times (verify joins, edge union) — never recompute the
-    // LSH join per scan
-    allPairs.unionAll(starPairs).distinct().localCheckpoint()
+      .filter(col("doc_id") =!= col("hubrow.doc_id"))
+      .select(col("hubrow.doc_id").as("doc_a") +:
+        col("doc_id").as("doc_b") +:
+        (payload.map(c => col(s"hubrow.$c").as(s"${c}_a")) ++
+         payload.map(c => col(c).as(s"${c}_b"))): _*)
+    allPairs.unionAll(starPairs).distinct()
   }
 
   /** Exact word-shingle Jaccard for given (doc_a, doc_b) pairs — single
@@ -148,6 +170,18 @@ object Dedup extends QueryModule {
       column(graft.functions.SimHash64(expression(hashes))).as("simhash"))
   }
 
+  /** 16-bit band buckets of a (doc_id, simhash) frame. Pigeonhole: with
+    * 4 bands, any pair within Hamming distance ≤ 3 is GUARANTEED a clean
+    * band; distance 4–6 pairs collide unless every differing bit lands
+    * in a distinct band (rare — most of the ≤ 6 ball is recovered). */
+  def simhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), 16 * b).bitwiseAND(0xFFFFL).as("bh"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+
   /** Connected components over candidate pairs: iterative min-label
     * propagation with POINTER JUMPING (the survivor-selection stage
     * after LSH candidate generation — near-dup CLUSTERS, not just
@@ -166,19 +200,25 @@ object Dedup extends QueryModule {
     * cluster. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sc = pairs.sparkSession.sparkContext
     // each iteration's localCheckpoint materializes into block storage;
     // release the previous iteration's blocks deterministically (GC +
     // ContextCleaner would reclaim them eventually, but "eventually"
-    // can pin executor storage through the rest of the pipeline)
-    var prevCkptIds: Set[Int] = Set.empty
+    // can pin executor storage through the rest of the pipeline).
+    // Track the checkpointed RDD HANDLE (the LogicalRDD the checkpoint
+    // plan wraps), never a diff of global persistent-RDD state — a
+    // concurrent query's checkpoint in the same SparkContext must not
+    // be unpersisted from here (its lineage is truncated; dropping its
+    // blocks would destroy the only copy). The FINAL iteration's blocks
+    // back the returned frame and are deliberately retained; the
+    // ContextCleaner reclaims them once callers drop the frame.
+    var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     def checkpointTracked(df: DataFrame): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint()
-      val fresh = sc.getPersistentRDDs.keySet.diff(before)
-      prevCkptIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevCkptIds = fresh.toSet
+      val fresh = out.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = fresh
       out
     }
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
@@ -187,9 +227,8 @@ object Dedup extends QueryModule {
       .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize the pair/edge caches BEFORE checkpoint tracking starts,
-    // so their persistent-RDD ids are never mistaken for a stale
-    // iteration checkpoint and released mid-loop
+    // materialize the edge cache before the loop so iteration 1's two
+    // scans (label seed + propagation join) don't both recompute it
     edges.count()
     var labels = checkpointTracked(edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")))
@@ -280,20 +319,16 @@ object Dedup extends QueryModule {
     }),
 
     // SimHash near-dup: signature + Hamming-ball (≤6 bits) neighbor count
-    // via 16-bit band buckets
+    // via 16-bit band buckets. The band self-join goes through the SAME
+    // capped generator as the MinHash path (hot buckets star-capped) —
+    // an all-identical-boilerplate corpus collapses one bucket and an
+    // uncapped join would go quadratic; the signature rides as payload
+    // so the Hamming filter needs no extra join back to `sig`.
     "dedup_simhash" -> ((s, d) => {
       val sig = simhashSignatures(Tables.documents(s, d))
-      val bands = sig.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-          shiftright(col("simhash"), 16 * b).bitwiseAND(0xFFFFL).as("bh"))): _*))
-          .as("bb"))
-        .select(col("doc_id"), col("simhash"),
-          col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val pairs = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
-        .distinct()
+      val pairs = cappedSelfJoin(simhashBands(sig), payload = Seq("simhash"))
+        .withColumnRenamed("simhash_a", "sim_a")
+        .withColumnRenamed("simhash_b", "sim_b")
         .filter(expr("bit_count(sim_a ^ sim_b)") <= 6)
       val perDoc = pairs.select(col("doc_a").as("doc_id"))
         .unionAll(pairs.select(col("doc_b").as("doc_id")))

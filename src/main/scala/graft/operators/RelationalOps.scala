@@ -226,9 +226,14 @@ object RelationalOps extends QueryModule {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sv"),
           sum((col("value") * col("value")).cast(dec(4))).cast("double")
             .as("svv"))
+        // a single-row group (n-1 = 0) or a constant group (std = 0)
+        // has no defined z-score: drop it BEFORE the divide — ANSI mode
+        // would throw where the oracle's NULL std silently drops the row
+        .filter(col("n") > 1)
         .select(col("event_type"), (col("sv") / col("n")).as("mean"),
           sqrt((col("svv") - col("sv") * col("sv") / col("n")) /
             (col("n") - 1)).as("std"))
+        .filter(col("std") > 0)
       ev.join(broadcast(stats), "event_type")
         .withColumn("z", round((col("value") - col("mean")) / col("std"), 6))
         .filter(abs(col("z")) > 1.5)
@@ -391,11 +396,11 @@ object RelationalOps extends QueryModule {
         |  CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS svv
         |  FROM events GROUP BY event_type),
         |m AS (SELECT event_type, sv / n AS mean,
-        |  sqrt((svv - sv * sv / n) / (n - 1)) AS std FROM s)
+        |  sqrt((svv - sv * sv / n) / (n - 1)) AS std FROM s WHERE n > 1)
         |SELECT e.event_id, e.event_type, e.value,
         |  round((e.value - m.mean) / m.std, 6) AS z
         |FROM events e JOIN m ON e.event_type = m.event_type
-        |WHERE abs(round((e.value - m.mean) / m.std, 6)) > 1.5
+        |WHERE m.std > 0 AND abs(round((e.value - m.mean) / m.std, 6)) > 1.5
         |ORDER BY e.event_id""".stripMargin,
     "a9_stats_moments" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,

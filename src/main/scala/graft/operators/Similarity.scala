@@ -55,18 +55,34 @@ object Similarity extends QueryModule {
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }: _*)
 
-  /** IVF index: KMeans coarse quantizer (spark.ml, fixed seed) over the
-    * corpus; returns (assigned corpus with cluster ids, centroid table).
-    * At 100 TB the centroids are trained on a sample and the assignment
-    * is one broadcast-map pass; the per-cluster layout would be written
-    * bucketed-by-cluster so probes touch only nprobe buckets. */
-  def ivfIndex(e: DataFrame, k: Int = 16): (DataFrame, DataFrame) = {
+  /** IVF index: KMeans coarse quantizer (spark.ml, fixed seed) trained
+    * on a seeded bounded SAMPLE of the corpus; returns (assigned corpus
+    * with cluster ids, centroid table). The multi-pass KMeans fit —
+    * maxIter full scans if run on the whole table — touches only
+    * O(trainPerCluster·k) rows; centroid quality saturates at a few
+    * hundred points per cluster, so the full-corpus fit buys nothing at
+    * scale. The ASSIGNMENT stays full-corpus and is one broadcast-map
+    * pass; the per-cluster layout would be written bucketed-by-cluster
+    * so probes touch only nprobe buckets. */
+  def ivfIndex(e: DataFrame, k: Int = 16,
+               trainPerCluster: Int = 256): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = e.withColumn("features", array_to_vector(col("emb")))
+    // sample-then-limit, sized to the train budget: the seeded fraction
+    // (2× over-draw so the limit is actually reached) sheds the bulk
+    // scan-side, the limit hard-bounds the fit input. A corpus already
+    // inside the budget trains whole — sampling there only degrades the
+    // centroids. The row count is parquet-footer metadata, not a data
+    // scan (and would come from catalog stats on a real warehouse).
+    val budget = trainPerCluster.toLong * k
+    val n = e.count()
+    val train = if (n <= budget) feat
+      else feat.sample(withReplacement = false,
+        math.min(1.0, 2.0 * budget / n), seed = 42).limit(budget.toInt)
     val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(feat)
+      .fit(train)
     val assigned = model.transform(feat).drop("features")
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray)

@@ -128,11 +128,18 @@ object TextAnalysis extends QueryModule {
     // not data rows). No single-reducer stage at any corpus size.
     "t_pack_sequences" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
+      // materialized ONCE (localCheckpoint): the offsets aggregate and
+      // the main branch below both read `pid`, and spark_partition_id is
+      // only consistent between them if they read the SAME physical
+      // partitioning — two independent evaluations of the range
+      // repartition could be coalesced differently by AQE and silently
+      // attach offsets to the wrong partitions
       val toks = Tables.documents(s, d)
         .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
         .select(col("doc_id"), col("n_tok"))
         .repartitionByRange(col("doc_id"))
         .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
       val wLocal = W.partitionBy("pid").orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, -1)
       val offsets = toks.groupBy("pid").agg(sum("n_tok").as("ptot"))

@@ -102,6 +102,24 @@ class DedupSpec extends SparkSuite {
     assert(surv === 1L, "exact clones must collapse to a single survivor")
   }
 
+  test("simhash band join is star-capped on a degenerate bucket, " +
+    "signature payload rides through") {
+    // 1000 identical docs put all 1000 in every 16-bit band bucket:
+    // uncapped, the band self-join emits ~500k pairs; the shared
+    // cappedSelfJoin must bound it to the 999-pair hub star, and the
+    // simhash payload must survive so the Hamming filter needs no
+    // re-join against the signature frame
+    val boiler = (0L until 1000L).map(i => (i, base)).toDF("doc_id", "text")
+    val pairs = cappedSelfJoin(simhashBands(simhashSignatures(boiler)),
+      payload = Seq("simhash"))
+    val n = pairs.count()
+    assert(n === 999L, s"expected 999 star pairs, got $n")
+    assert(pairs.columns.toSet ===
+      Set("doc_a", "doc_b", "simhash_a", "simhash_b"))
+    assert(pairs.filter(expr("bit_count(simhash_a ^ simhash_b)") =!= 0)
+      .count() === 0L, "identical docs must carry identical signatures")
+  }
+
   test("connected components converge on a long chain (pointer jumping)") {
     // a 200-link chain has diameter 200: one-hop propagation would need
     // 200 rounds and silently mislabel at maxIter=10; path halving must

@@ -91,6 +91,20 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf >= 0.50, f"IVF nprobe=4 recall@3 $ivf%.2f below floor 0.50")
   }
 
+  test("IVF fit stays inside the train budget yet assigns the full corpus") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val n = e.count()
+    // budget 8 ≪ corpus forces the sample-fit path; every row must still
+    // get a cluster and exactly k centroids must come back
+    val (assigned, centroids) =
+      graft.operators.Similarity.ivfIndex(e, k = 4, trainPerCluster = 2)
+    assert(n > 8, "corpus must exceed the train budget for this test")
+    assert(assigned.count() === n)
+    assert(centroids.count() === 4L)
+    assert(assigned.select("cluster").distinct().count() <= 4L)
+  }
+
   test("IVF ANN is bounded by brute force and returns per-probe top-3") {
     val bf = SparkEntry.queries("sim_topk")(spark, sf())
       .filter(col("rk") === 1)
