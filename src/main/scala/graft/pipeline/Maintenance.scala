@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Table maintenance for the parquet warehouse — the operations a
@@ -12,7 +13,12 @@ import org.apache.spark.sql.SparkSession
   * listing work. `compact` rewrites a table directory to
   * ceil(bytes / targetBytes) files in one narrow repartition pass and
   * promotes the rewrite atomically (TableSwap), so concurrent readers
-  * see either the old or the new layout, both complete. */
+  * see either the old or the new layout, both complete.
+  *
+  * All file metadata goes through the Hadoop `FileSystem` resolved from
+  * the session's `hadoopConfiguration`, so the same code compacts
+  * `file://`, HDFS, or any mounted Hadoop filesystem (TableSwap
+  * documents the object-store commit caveat). */
 object Maintenance {
 
   /** Rewrite `path` to ~targetBytes-sized parquet files, preserving a
@@ -22,22 +28,28 @@ object Maintenance {
     * partition pruning intact. Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    TableSwap.recover(path) // heal a previous crash mid-swap first
-    def parquetFiles(dir: java.io.File): Seq[java.io.File] = {
-      val kids = Option(dir.listFiles()).toSeq.flatten
-      kids.filter(f => f.isFile && f.getName.endsWith(".parquet")) ++
-        kids.filter(_.isDirectory).flatMap(parquetFiles)
+    val conf = spark.sparkContext.hadoopConfiguration
+    TableSwap.recover(path, conf) // heal a previous crash mid-swap first
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    def parquetFiles(dir: Path): Seq[FileStatus] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+      val it = fs.listFiles(dir, true) // recursive, one listing stream
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
     }
     // partition columns from the directory chain: path/k=v/[j=w/...]
-    def partCols(dir: java.io.File): Seq[String] =
-      Option(dir.listFiles()).toSeq.flatten
-        .find(d => d.isDirectory && d.getName.contains("="))
-        .map(d => d.getName.takeWhile(_ != '=') +: partCols(d))
+    def partCols(dir: Path): Seq[String] =
+      fs.listStatus(dir).toSeq
+        .find(d => d.isDirectory && d.getPath.getName.contains("="))
+        .map(d => d.getPath.getName.takeWhile(_ != '=') +: partCols(d.getPath))
         .getOrElse(Seq.empty)
-    val root = new java.io.File(path)
     val before = parquetFiles(root)
     val parts = partCols(root)
-    val totalBytes = before.map(_.length()).sum
+    val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = path + ".compact_tmp"
     val df = spark.read.parquet(path)
@@ -47,7 +59,7 @@ object Maintenance {
         parts.map(org.apache.spark.sql.functions.col): _*)
     val writer = repartitioned.write.mode("overwrite")
     (if (parts.isEmpty) writer else writer.partitionBy(parts: _*)).parquet(tmp)
-    TableSwap.promote(path, tmp)
+    TableSwap.promote(path, tmp, conf)
     (before.length, parquetFiles(root).length)
   }
 }

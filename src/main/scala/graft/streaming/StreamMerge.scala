@@ -41,7 +41,8 @@ object StreamMerge {
         // (crash-safety contract documented on TableSwap.promote)
         val tmp = tablePath + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        graft.pipeline.TableSwap.promote(tablePath, tmp)
+        graft.pipeline.TableSwap.promote(tablePath, tmp,
+          spark.sparkContext.hadoopConfiguration)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -54,8 +55,9 @@ object StreamMerge {
     // a crash between the swap's two renames leaves the table only in
     // .old — restore it BEFORE reading, or this merge would see an
     // empty warehouse and the next promote would discard the history
-    graft.pipeline.TableSwap.recover(path)
-    if (new java.io.File(path).exists())
+    val conf = spark.sparkContext.hadoopConfiguration
+    graft.pipeline.TableSwap.recover(path, conf)
+    if (graft.pipeline.TableSwap.exists(path, conf))
       spark.read.schema(like.schema).parquet(path)
     else like.limit(0)
   }

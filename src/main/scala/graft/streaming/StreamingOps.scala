@@ -45,16 +45,32 @@ object StreamingOps extends QueryModule {
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and
-    * return the materialized result. */
+    * return the materialized result.
+    *
+    * Stateful streaming cost is dominated by a FIXED per-micro-batch
+    * state-store charge: every shuffle partition opens/commits/snapshots
+    * its store each batch regardless of data volume. The partition count
+    * is therefore pinned LOW for the query's lifetime (first checkpoint
+    * wins) and restored afterwards — state partitioning should track
+    * state SIZE (bounded here by watermark × keys), not the batch
+    * engine's scan parallelism. At cluster scale the same knob is sized
+    * to state-store bytes per partition, still far below the batch
+    * shuffle width. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
-                  mode: String = "complete"): DataFrame = {
+                  mode: String = "complete",
+                  statePartitions: Int = 8): DataFrame = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val q = streamed.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try {
+      streamed.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 

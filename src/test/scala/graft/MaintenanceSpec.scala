@@ -8,8 +8,11 @@ class MaintenanceSpec extends SparkSuite {
   import spark.implicits._
 
   test("compact merges small files and preserves every row") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+    // explicit file:// scheme: the whole path — listing, swap, rewrite —
+    // must resolve through the Hadoop FileSystem API, not java.io.File
+    val local = java.nio.file.Files.createTempDirectory("graft_compact")
       .resolve("t").toString
+    val dir = "file:" + local
     // 40 tiny files
     spark.range(10000).select(col("id"), (col("id") % 7).as("k"))
       .repartition(40).write.parquet(dir)
@@ -21,8 +24,8 @@ class MaintenanceSpec extends SparkSuite {
     val checksumAfter = spark.read.parquet(dir)
       .agg(sum("id"), count(lit(1))).as[(Long, Long)].head()
     assert(checksumAfter === checksumBefore)
-    assert(!new java.io.File(dir + ".compact_tmp").exists())
-    assert(!new java.io.File(dir + ".old").exists())
+    assert(!new java.io.File(local + ".compact_tmp").exists())
+    assert(!new java.io.File(local + ".old").exists())
   }
 
   test("compact preserves a Hive-partitioned layout and its pruning") {
@@ -61,7 +64,8 @@ class MaintenanceSpec extends SparkSuite {
 
   test("promote replaces the live table and rolls cleanly from no-table") {
     val base = java.nio.file.Files.createTempDirectory("graft_swap")
-    val live = base.resolve("t").toString
+    // scheme-qualified: promote/recover run through the Hadoop FS
+    val live = "file:" + base.resolve("t").toString
     def writeTag(path: String, tag: Long): Unit =
       Seq(tag).toDF("tag").write.mode("overwrite").parquet(path)
     // first promote: no live table yet
@@ -72,6 +76,6 @@ class MaintenanceSpec extends SparkSuite {
     writeTag(live + ".tmp", 2L)
     TableSwap.promote(live, live + ".tmp")
     assert(spark.read.parquet(live).as[Long].head() === 2L)
-    assert(!new java.io.File(live + ".old").exists())
+    assert(!new java.io.File(base.resolve("t.old").toString).exists())
   }
 }
