@@ -24,6 +24,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => MinHash64(exprs.head)))
     e.injectFunction((FunctionIdentifier("jaccard_sets"), info("jaccard_sets"),
       (exprs: Seq[Expression]) => JaccardSets(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("cms_estimate"), info("cms_estimate"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            "cms_estimate(key, sketch) takes exactly 2 arguments")
+        val bytes = exprs(1) match {
+          case Literal(b: Array[Byte], _) => b
+          case other if other.foldable => other.eval() match {
+            case b: Array[Byte] => b
+            case v => throw new IllegalArgumentException(
+              s"cms_estimate: sketch must be a BINARY constant, got $v")
+          }
+          case other => throw new IllegalArgumentException(
+            s"cms_estimate: sketch must be a BINARY constant, got $other")
+        }
+        graft.functions.CmsEstimate(exprs.head, bytes)
+      }))
     e.injectFunction((FunctionIdentifier("rolling_min_hash"),
       info("rolling_min_hash"),
       (exprs: Seq[Expression]) => {

@@ -1,10 +1,56 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.xxhash64
 import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native probe of a pre-built count-min sketch: estimateCount(key) as a
+  * codegen'd narrow map over a LONG key column. The few-KB sketch bytes
+  * ride the plan as a reference object and deserialize ONCE per executor
+  * (lazily, into generated-class state), so probing a key dictionary is
+  * shuffle-free and broadcast-free — the shape that lets a frequency
+  * ranking run over a 100 TB-derived dictionary without ever building
+  * the full exact aggregate. */
+case class CmsEstimate(child: Expression, sketch: Array[Byte])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cms_estimate needs a BIGINT key, got ${child.dataType.catalogString}")
+
+  @transient private lazy val cms =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketch))
+
+  override def nullSafeEval(k: Any): Any =
+    cms.estimateCount(k.asInstanceOf[java.lang.Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cmsClass = "org.apache.spark.util.sketch.CountMinSketch"
+    val bytesRef = ctx.addReferenceObj("cmsBytes", sketch, "byte[]")
+    val field = ctx.addMutableState(cmsClass, "cmsSketch")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |if ($field == null) {
+       |  try {
+       |    $field = $cmsClass.readFrom(new java.io.ByteArrayInputStream($bytesRef));
+       |  } catch (java.io.IOException e) { throw new RuntimeException(e); }
+       |}
+       |${ev.value} = $field.estimateCount((Object) $c);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
+    copy(child = newChild)
+}
 
 /** Bloom-filter sketch surface over Spark's built-in
   * BloomFilterAggregate / BloomFilterMightContain expressions — the same
@@ -57,10 +103,21 @@ object SketchFunctions {
       org.apache.spark.sql.functions.lit(conf),
       org.apache.spark.sql.functions.lit(seed))
 
+  /** Build the sketch now and return its serialized bytes (the plan-side
+    * currency: feed to `cmsEstimate` / `CountMinSketch.readFrom`). */
+  def buildCmsBytes(build: DataFrame, key: Column, eps: Double = 0.001,
+                    conf: Double = 0.99): Array[Byte] =
+    build.agg(cmsAgg(key, eps, conf).as("cms"))
+      .head().getAs[Array[Byte]](0)
+
   /** Build the sketch now and return the driver-side probe handle. */
   def buildCms(build: DataFrame, key: Column, eps: Double = 0.001,
                conf: Double = 0.99): org.apache.spark.util.sketch.CountMinSketch =
     org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      build.agg(cmsAgg(key, eps, conf).as("cms"))
-        .head().getAs[Array[Byte]](0))
+      new java.io.ByteArrayInputStream(buildCmsBytes(build, key, eps, conf)))
+
+  /** Executor-side estimateCount of `key` (BIGINT) against the sketch —
+    * see [[CmsEstimate]]. */
+  def cmsEstimate(sketch: Array[Byte], key: Column): Column =
+    column(CmsEstimate(expression(key), sketch))
 }

@@ -241,25 +241,46 @@ object RelationalOps extends QueryModule {
         .orderBy("event_id")
     }),
 
-    // A11 — count-min heavy hitters: one-pass few-KB frequency sketch
-    // (seeded, deterministic) probed for the exact top-10 keys. The
-    // oracle can't reproduce the sketch, so it verifies the CONTRACT
-    // instead: the emitted boolean claims est ∈ [exact, exact+eps·N],
-    // and the oracle pins it to true — a false bound would hash-mismatch.
-    // Only the 10-row top-k and the sketch bytes ever reach the driver.
+    // A11 — count-min heavy hitters, SKETCH-DRIVEN: the candidates are
+    // FOUND by the sketch, not by a full exact aggregate. One pass
+    // builds the ~1 MB sketch; the part DICTIONARY (dimension table,
+    // tiny vs the fact) is probed map-side with the native CmsEstimate
+    // expression and ranked by estimate; exact counts are then computed
+    // ONLY for the top-200 candidates (broadcast-scoped semi join) —
+    // 20× over-fetch so a one-sided CMS overcount on a light key can't
+    // evict a true heavy hitter from the candidate set.
+    //
+    // Sizing law: estimate RANKING (as opposed to thresholding) needs
+    // sketch width ≳ live dictionary size, or collisions drown the
+    // count gaps on a flat distribution — hence eps=2e-5 (width ~136k,
+    // ~7× the 20k keys at sf0.1, so an all-depth collision — the only
+    // way an estimate inflates — hits ~1 key in 20k). At 100 TB you size eps to the
+    // heavy-hitter threshold θ instead (width ~ k/θ), because real
+    // corpora are Zipfian and the heavies separate cleanly.
+    //
+    // The oracle can't reproduce the sketch, so it verifies the
+    // CONTRACT: the emitted boolean claims est ∈ [exact, exact+eps·N]
+    // and the oracle pins it true — a false bound (or a candidate set
+    // that missed a true top-10 key) hash-mismatches.
     "a11_cms_heavy" -> ((s, d) => {
-      import s.implicits._
       import graft.functions.SketchFunctions._
       val li = Tables.lineitem(s, d)
-      val cms = buildCms(li, col("l_partkey"), eps = 0.005, conf = 0.99)
-      val bound = math.ceil(0.005 * cms.totalCount()).toLong
-      val top = li.groupBy("l_partkey").agg(count(lit(1)).as("n_exact"))
+      val sketch = buildCmsBytes(li, col("l_partkey"), eps = 0.00002,
+        conf = 0.99)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketch))
+      val bound = math.ceil(0.00002 * cms.totalCount()).toLong
+      val cand = Tables.part(s, d)
+        .select(col("p_partkey").as("l_partkey"))
+        .withColumn("est", cmsEstimate(sketch, col("l_partkey")))
+        .orderBy(col("est").desc, col("l_partkey")).limit(200)
+      li.join(broadcast(cand), "l_partkey")
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_exact"), first("est").as("est"))
         .orderBy(col("n_exact").desc, col("l_partkey")).limit(10)
-        .as[(Long, Long)].collect()
-      top.toSeq.map { case (k, c) =>
-        val e = cms.estimateCount(k)
-        (k, c, e >= c && e <= c + bound)
-      }.toDF("l_partkey", "n_exact", "cms_within_bound")
+        .select(col("l_partkey"), col("n_exact"),
+          (col("est") >= col("n_exact") &&
+            col("est") <= col("n_exact") + bound).as("cms_within_bound"))
         .orderBy(col("n_exact").desc, col("l_partkey"))
     }),
 

@@ -40,4 +40,40 @@ class SketchSpec extends SparkSuite {
         s"CMS overshoot for $k: $est vs $c + $overshootBound")
     }
   }
+
+  test("native CmsEstimate probe == driver-side estimateCount, key for key") {
+    val li = Tables.lineitem(spark, sf())
+    val bytes = buildCmsBytes(li, col("l_partkey"), eps = 0.005, conf = 0.99)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    // probe the executor-side expression over the part dictionary and
+    // compare every estimate against the driver handle
+    val probed = Tables.part(spark, sf())
+      .select(col("p_partkey"), cmsEstimate(bytes, col("p_partkey")).as("est"))
+      .as[(Long, Long)].collect()
+    assert(probed.nonEmpty)
+    probed.foreach { case (k, est) =>
+      assert(est === cms.estimateCount(k),
+        s"executor probe diverged from driver estimate for key $k")
+    }
+  }
+
+  test("sketch-driven heavy hitters: candidate over-fetch covers the " +
+    "exact top-10") {
+    // the a11 contract requires estimate-ranked top-200 ⊇ exact top-10;
+    // verify directly on the real data so a regression shows up here
+    // before the oracle gate
+    val li = Tables.lineitem(spark, sf())
+    val bytes = buildCmsBytes(li, col("l_partkey"), eps = 0.00002, conf = 0.99)
+    val candidates = Tables.part(spark, sf())
+      .select(col("p_partkey"), cmsEstimate(bytes, col("p_partkey")).as("est"))
+      .orderBy(col("est").desc, col("p_partkey")).limit(200)
+      .select("p_partkey").as[Long].collect().toSet
+    val top10 = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_partkey")).limit(10)
+      .select("l_partkey").as[Long].collect()
+    val missed = top10.filterNot(candidates.contains)
+    assert(missed.isEmpty,
+      s"true heavy hitters missing from sketch candidates: ${missed.toSeq}")
+  }
 }
