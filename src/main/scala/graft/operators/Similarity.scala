@@ -55,6 +55,57 @@ object Similarity extends QueryModule {
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }: _*)
 
+  /** Write the ×L-exploded corpus ONCE as a (tbl, bucket)-partitioned
+    * parquet layout — the "write-once bucket layout" the module doc
+    * promises: the per-table LSH shuffle is paid at index-build time,
+    * and every probe batch afterwards reads ONLY its matching bucket
+    * directories (static partition pruning), never re-hashing or
+    * re-shuffling the corpus. Storage is ×L (8×) the corpus — the
+    * standard multi-table-LSH trade of space for probe locality. */
+  def writeLshLayout(e: DataFrame, path: String): Unit =
+    e.select(col("vec_id"), col("emb"),
+        explode(lshTableBuckets(col("emb"))).as("tb"))
+      .select(col("vec_id"), col("emb"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
+
+  /** ANN probes against a pre-built layout. The probe set is bounded by
+    * contract, so its (tbl, bucket) pairs are collected into LITERAL
+    * partition filters — the layout scan touches at most
+    * |probes|·L of the L·2^k bucket directories and the plan shows the
+    * pruning (asserted in SimilaritySpec). */
+  def lshProbe(spark: SparkSession, layoutPath: String, probes: DataFrame,
+               k: Int = 3): DataFrame = {
+    // bucketize the probes once; this frame is joined below AND drives
+    // the partition-filter collect
+    val pb = probes.select(col("q_id"), col("q_emb"),
+        explode(lshTableBuckets(col("q_emb"))).as("tb"))
+      .select(col("q_id"), col("q_emb"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .localCheckpoint()
+    val wanted = pb.select(col("tbl").cast("int"), col("bucket").cast("long"))
+      .distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
+    val prune = wanted.map { case (t, b) =>
+      col("tbl") === t && col("bucket") === b
+    }.reduce(_ || _)
+    val corpus = spark.read.parquet(layoutPath)
+      .filter(prune)
+      .select(col("vec_id").as("c_id"), col("emb"),
+        col("tbl").cast("int").as("tbl"), col("bucket").cast("long").as("bucket"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(pb.withColumn("bucket", col("bucket").cast("long")))
+      .join(corpus, Seq("tbl", "bucket"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+      .groupBy("q_id", "c_id").agg(first("cos").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("q_id", "rk")
+  }
+
   /** IVF index: KMeans coarse quantizer (spark.ml, fixed seed) trained
     * on a seeded bounded SAMPLE of the corpus; returns (assigned corpus
     * with cluster ids, centroid table). The multi-pass KMeans fit —
@@ -182,6 +233,24 @@ object Similarity extends QueryModule {
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("c_id"), col("cos"), col("rk").cast("long").as("rk"))
         .orderBy("q_id", "rk")
+    }),
+
+    // LSH ANN served from the WRITE-ONCE bucket layout: build the
+    // (tbl, bucket)-partitioned index, then answer the probe batch from
+    // partition-pruned scans — the corpus is never re-hashed or
+    // re-shuffled at probe time. The build cost is amortized over every
+    // subsequent probe batch in production; here it runs in-query so the
+    // whole path is exercised end-to-end. Result is identical to
+    // sim_lsh_ann (asserted in SimilaritySpec); rows-only, like it.
+    "sim_lsh_ann_bucketed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_lsh_layout").getAbsolutePath
+      writeLshLayout(e, path)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      lshProbe(s, path, q)
     }),
 
     // LSH-bucketed ANN: per probe (vec_id < 10), candidates = exact

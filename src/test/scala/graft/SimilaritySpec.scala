@@ -91,6 +91,33 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf >= 0.50, f"IVF nprobe=4 recall@3 $ivf%.2f below floor 0.50")
   }
 
+  test("LSH bucket layout: probe == query-time ANN and the scan is " +
+    "partition-pruned") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh")
+      .resolve("layout").toString
+    Similarity.writeLshLayout(e, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val probed = Similarity.lshProbe(spark, dir, q)
+    val got = probed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val direct = SparkEntry.queries("sim_lsh_ann")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(got === direct,
+      "layout-served ANN must equal the query-time LSH path")
+    // the layout scan must carry literal partition filters on both
+    // partition columns — that is what makes a probe touch only its
+    // buckets instead of the whole corpus
+    val plan = probed.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*tbl[^\\]]*bucket[^\\]]*\\]".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"expected non-empty PartitionFilters on the layout scan in:\n$plan")
+  }
+
   test("IVF fit stays inside the train budget yet assigns the full corpus") {
     val e = Tables.embeddings(spark, sf())
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
