@@ -186,6 +186,25 @@ object RelationalOps extends QueryModule {
         "/root/repo/src/test/resources/nbu_sample.json")
         .orderBy("cc")),
 
+    // S8 — CSV scan with explicit schema, header, and dd.MM.yyyy date
+    // parsing (the K5 report format read back in — closes the
+    // write/read loop on the reference's CSV surface). Schema is
+    // DECLARED, not inferred: inference is a full extra pass at scale.
+    "s8_csv_scan" -> ((s, _) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("r030", LongType),
+        StructField("txt", StringType),
+        StructField("rate", DoubleType),
+        StructField("cc", StringType),
+        StructField("exchangedate", DateType)))
+      s.read.schema(schema)
+        .option("header", "true")
+        .option("dateFormat", "dd.MM.yyyy")
+        .csv("/root/repo/src/test/resources/rates_sample.csv")
+        .orderBy("cc")
+    }),
+
     // A7 — typed Aggregator[IN,BUF,OUT] surface (SURVEY §2.11): one-pass
     // min/max/count per group through the Dataset API
     "a7_typed_agg" -> ((s, d) => {
@@ -311,6 +330,31 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // C5 — incremental aggregate maintenance (materialized-view
+    // refresh): history is held as mergeable per-group STATE
+    // (count + exact DECIMAL sum) and a delta batch's state MERGES into
+    // it — associative and exact, so a refresh costs O(delta + groups),
+    // never a history rescan. Here the split is simulated at a ts
+    // cutoff and the history state is materialized (localCheckpoint)
+    // to make the "stored MV" real; the oracle is the full recompute,
+    // which must agree to the bit because the state is decimal-exact.
+    "c5_incremental_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = to_timestamp(lit("2024-01-20 00:00:00"))
+      def state(df: DataFrame): DataFrame =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(dec(4))).as("sv"))
+      val history = state(ev.filter(col("ts") < cut)).localCheckpoint()
+      val merged = history.unionByName(state(ev.filter(col("ts") >= cut)))
+        .groupBy("event_type")
+        .agg(sum("cnt").as("cnt"), sum("sv").as("sv"))
+      merged.select(col("event_type"), col("cnt").as("n_events"),
+          col("sv").cast("double").as("sum_value"),
+          round(col("sv").cast("double") / col("cnt"), 6).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
     // J2 — cross join of two 1-row aggregates (src/analyze.py:82-83)
     "j2_cross_join_scalars" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -327,6 +371,15 @@ object RelationalOps extends QueryModule {
     "s2_json_scan" ->
       """SELECT r030, txt, rate, cc, exchangedate
         |FROM read_json_auto('/root/repo/src/test/resources/nbu_sample.json')
+        |ORDER BY cc""".stripMargin,
+    // S8: DuckDB reads the same CSV with the same declared column types
+    // and date format
+    "s8_csv_scan" ->
+      """SELECT r030, txt, rate, cc, exchangedate
+        |FROM read_csv('/root/repo/src/test/resources/rates_sample.csv',
+        |  header = true, dateformat = '%d.%m.%Y',
+        |  columns = {'r030':'BIGINT','txt':'VARCHAR','rate':'DOUBLE',
+        |             'cc':'VARCHAR','exchangedate':'DATE'})
         |ORDER BY cc""".stripMargin,
     "p1_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -411,6 +464,13 @@ object RelationalOps extends QueryModule {
       """SELECT l_partkey, count(*) AS n_exact, true AS cms_within_bound
         |FROM lineitem GROUP BY l_partkey
         |ORDER BY n_exact DESC, l_partkey LIMIT 10""".stripMargin,
+    // C5: full recompute — must equal the merged incremental state
+    "c5_incremental_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)
+        |    AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a10_zscore_outliers" ->
       """WITH s AS (SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,

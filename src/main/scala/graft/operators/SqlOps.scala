@@ -41,6 +41,43 @@ object SqlOps extends QueryModule {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // recursive CTE (Spark 4 WITH RECURSIVE): a month calendar SPINE —
+    // the gap-filling pattern every reporting pipeline needs (a month
+    // with no orders must still appear, at 0). The recursion generates
+    // 12 driver-side rows; the fact side is one pushed-down grouped
+    // scan — recursion never touches data volume.
+    "sql_recursive_spine" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < TIMESTAMP '1995-12-01 00:00:00')
+        |SELECT m AS month,
+        |  COALESCE(r.revenue, 0.0) AS revenue,
+        |  COALESCE(r.n_orders, 0) AS n_orders
+        |FROM months LEFT JOIN (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |    COUNT(*) AS n_orders
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY 1) r ON r.mo = months.m
+        |ORDER BY month""".stripMargin,
+    // correlated LATERAL subquery: per-customer top-3 orders — the
+    // per-entity top-N idiom as SQL text (the DataFrame twin is the
+    // window-rank path, w1/o2). Spark decorrelates the LIMIT subquery
+    // into a ranked join, not a per-row re-execution.
+    "sql_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 3) o ON true
+        |WHERE c.c_custkey <= 50
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     // the reference's 30-back delta in its original CTE shape
     // (/root/reference/src/analyze.py:64-84), generalized per key
     "sql_cte_delta" ->

@@ -154,6 +154,40 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // BPE-style merge-pair counting — ONE round of the tokenizer-training
+    // loop: count adjacent token pairs corpus-wide, rank the merge
+    // candidates. zip_with over two slices forms the pairs without a
+    // positional self-join; one shuffle (pair groupBy) + TakeOrdered.
+    // Real BPE iterates this with a vocabulary rewrite between rounds —
+    // each round is exactly this plan.
+    "t_bpe_pairs" -> ((s, d) => {
+      val t = tokens(col("text"))
+      val n1 = greatest(size(t) - 1, lit(0))
+      val pairs = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))
+      Tables.documents(s, d)
+        .select(explode(pairs).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
+    }),
+
+    // language-mixture sampling weights: per-language doc share and the
+    // temperature-rebalanced (alpha = 0.5) sampling share every
+    // multilingual training mix uses to up-weight low-resource
+    // languages. Two tiny aggregates over the lang dictionary — the
+    // corpus is scanned once.
+    "t_mix_weights" -> ((s, d) => {
+      val byLang = Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tot = byLang.agg(sum("n_docs").as("n_total"),
+        sum(sqrt(col("n_docs"))).as("z"))
+      byLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          round(col("n_docs") / col("n_total"), 6).as("raw_share"),
+          round(sqrt(col("n_docs")) / col("z"), 6).as("temp_share"))
+        .orderBy("lang")
+    }),
+
     // TF-IDF top term per document — the canonical corpus-statistics op.
     // tf/df from one tokenize pass; N rides as a broadcast scalar; the
     // score is ROUNDED BEFORE ranking so both engines rank identical
@@ -213,6 +247,23 @@ object TextAnalysis extends QueryModule {
   private val stopList = stopwords.map(s => s"'$s'").mkString("[", ",", "]")
 
   def oracles: Map[String, String] = Map(
+    // adjacent pairs via a positional self-join on unnested tokens
+    // (DuckDB's lateral-free subscript idiom)
+    "t_bpe_pairs" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS w,
+        |  generate_subscripts(string_split(text, ' '), 1) AS i
+        |FROM documents)
+        |SELECT a.w || ' ' || b.w AS pair, count(*) AS n
+        |FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "t_mix_weights" ->
+      """WITH l AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(n_docs) AS n_total, SUM(sqrt(n_docs)) AS z FROM l)
+        |SELECT lang, n_docs,
+        |  round(n_docs / n_total, 6) AS raw_share,
+        |  round(sqrt(n_docs) / z, 6) AS temp_share
+        |FROM l, t ORDER BY lang""".stripMargin,
     "t_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS len_chars, n_chars

@@ -111,6 +111,22 @@ object StreamingOps extends QueryModule {
           col("click_value"))
       runToMemory(s, joined, "graft_stream_join", mode = "append")
         .orderBy("user_id", "purchase_id", "click_id")
+    }),
+
+    // late-duplicate handling (§2.10 upsert contract), oracle-verified:
+    // every event is delivered TWICE (the source unioned with itself —
+    // the at-least-once re-delivery case), and
+    // dropDuplicatesWithinWatermark on the natural key collapses the
+    // re-deliveries with state bounded by the 1-hour watermark, not the
+    // stream length. The deduped stream must equal the original table.
+    "stream_dedup_late" -> ((s, d) => {
+      val deduped = eventsStream(s, d)
+        .unionByName(eventsStream(s, d))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"), col("value"))
+      runToMemory(s, deduped, "graft_stream_dedup", mode = "append")
+        .orderBy("event_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -118,6 +134,9 @@ object StreamingOps extends QueryModule {
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
          |  count(*) AS n_events, ${graft.Sql.oSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "stream_dedup_late" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
     "stream_join_interval" ->
       """SELECT c.user_id AS user_id, p.event_id AS purchase_id,
         |  c.event_id AS click_id, c.value AS click_value
