@@ -152,6 +152,18 @@ object RelationalOps extends QueryModule {
         .limit(100)
         .select("event_id", "user_id", "value")),
 
+    // O4 — Z-order (Morton) clustering key: the multi-dimensional
+    // layout curve `Layout.zorderWrite` clusters by, exposed as a
+    // query so the bit math itself is oracle-verified (LayoutSpec
+    // quantifies the file-pruning win of the layout it drives)
+    "o4_zorder_key" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          graft.pipeline.Layout.morton16(
+            col("o_custkey").bitwiseAND(65535),
+            col("o_orderkey").bitwiseAND(65535)).as("zkey"))
+        .orderBy("o_orderkey")),
+
     // F — scalar-function battery (least/greatest, arith, string, date)
     "f_scalars" -> ((s, d) =>
       Tables.orders(s, d)
@@ -355,6 +367,49 @@ object RelationalOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // C6 — change-data-capture table diff: two snapshot versions of a
+    // keyed table reconciled in ONE full-outer join on the key —
+    // added / removed / changed rows (unchanged rows are dropped
+    // early). The CDC primitive behind incremental downstream refresh:
+    // cost is one co-partitioned join, never a full-history replay.
+    // Snapshots are simulated deterministically from events (v1 drops
+    // id%10==0, v2 drops id%7==0 and doubles click values).
+    "c6_table_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      val v1 = ev.filter(col("event_id") % 10 =!= 0)
+        .select(col("event_id"), col("value").as("old_value"))
+      val v2 = ev.filter(col("event_id") % 7 =!= 0)
+        .select(col("event_id"),
+          when(col("event_type") === "click", round(col("value") * 2, 6))
+            .otherwise(col("value")).as("new_value"))
+      v1.join(v2, Seq("event_id"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_value").isNull, "added")
+            .when(col("new_value").isNull, "removed")
+            .when(col("old_value") =!= col("new_value"), "changed"))
+        .filter(col("change_type").isNotNull)
+        .select(col("event_id"), col("change_type"),
+          col("old_value"), col("new_value"))
+        .orderBy("event_id")
+    }),
+
+    // A12 — partitioned HLL sketch maintenance: per-(day, type) HLL
+    // states built once, then MERGED (hll_union_agg) to the type level
+    // — the distinct-count analog of C5's mergeable MV state. At scale
+    // the daily sketches are stored with the partition and every
+    // rollup (weekly, monthly, all-time) is a sketch merge over a few
+    // KB per partition, never a re-scan. Rows-only (estimates);
+    // SketchSpec bounds the estimate against the exact distinct count.
+    "a12_hll_partitioned" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("nd_users_approx"))
+        .orderBy("event_type")
+    }),
+
     // J2 — cross join of two 1-row aggregates (src/analyze.py:82-83)
     "j2_cross_join_scalars" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -464,6 +519,28 @@ object RelationalOps extends QueryModule {
       """SELECT l_partkey, count(*) AS n_exact, true AS cms_within_bound
         |FROM lineitem GROUP BY l_partkey
         |ORDER BY n_exact DESC, l_partkey LIMIT 10""".stripMargin,
+    // O4: identical bit-interleave fold, generated from the same code
+    "o4_zorder_key" ->
+      s"""SELECT o_orderkey,
+         |  ${graft.pipeline.Layout.morton16Sql("(o_custkey & 65535)",
+                "(o_orderkey & 65535)")} AS zkey
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // C6: same diff in SQL — full outer join of the two snapshots
+    "c6_table_diff" ->
+      """WITH v1 AS (SELECT event_id, value AS old_value FROM events
+        |  WHERE event_id % 10 <> 0),
+        |v2 AS (SELECT event_id,
+        |  CASE WHEN event_type = 'click' THEN round(value * 2, 6)
+        |       ELSE value END AS new_value
+        |  FROM events WHERE event_id % 7 <> 0),
+        |d AS (SELECT COALESCE(v1.event_id, v2.event_id) AS event_id,
+        |  CASE WHEN v1.event_id IS NULL THEN 'added'
+        |       WHEN v2.event_id IS NULL THEN 'removed'
+        |       WHEN old_value <> new_value THEN 'changed' END AS change_type,
+        |  old_value, new_value
+        |FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id)
+        |SELECT event_id, change_type, old_value, new_value FROM d
+        |WHERE change_type IS NOT NULL ORDER BY event_id""".stripMargin,
     // C5: full recompute — must equal the merged incremental state
     "c5_incremental_agg" ->
       """SELECT event_type, count(*) AS n_events,

@@ -41,6 +41,20 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("partitioned HLL sketches merge to a near-exact distinct count") {
+    val est = SparkEntry.queries("a12_hll_partitioned")(spark, sf())
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sf())
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (t, n) =>
+      assert(math.abs(est(t) - n).toDouble / n < 0.05,
+        s"$t: merged-HLL estimate ${est(t)} too far from exact $n")
+    }
+  }
+
   test("native CmsEstimate probe == driver-side estimateCount, key for key") {
     val li = Tables.lineitem(spark, sf())
     val bytes = buildCmsBytes(li, col("l_partkey"), eps = 0.005, conf = 0.99)
