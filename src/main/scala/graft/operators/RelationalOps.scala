@@ -410,6 +410,39 @@ object RelationalOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // A13 — equal-frequency binning (the ML feature-bucketizer): decile
+    // boundaries from ONE exact-percentile aggregate, broadcast back,
+    // bin assignment as a narrow comparison fold — never a global
+    // ntile window (a partition-less sort that dies at scale). Both
+    // engines interpolate percentiles identically; boundaries are
+    // rounded before comparison so bin edges agree.
+    "a13_equifreq_bins" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val bs = (1 to 9).map(i =>
+        round(expr(s"percentile(l_extendedprice, 0.$i)"), 6).as(s"b$i"))
+      val bounds = li.agg(bs.head, bs.tail: _*)
+      val bin = (1 to 9).map(i =>
+        when(col("l_extendedprice") > col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _) + 1
+      li.select(col("l_extendedprice")).crossJoin(broadcast(bounds))
+        .select(bin.cast("long").as("bin"), col("l_extendedprice"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+        .orderBy("bin")
+    }),
+
+    // E — VARIANT ingestion (Spark 4 semi-structured type): props parsed
+    // once to VARIANT, typed extraction at query time — schema-on-read
+    // without a fixed struct, the open-schema path for event payloads.
+    "e_variant_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
     // J2 — cross join of two 1-row aggregates (src/analyze.py:82-83)
     "j2_cross_join_scalars" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -525,6 +558,25 @@ object RelationalOps extends QueryModule {
          |  ${graft.pipeline.Layout.morton16Sql("(o_custkey & 65535)",
                 "(o_orderkey & 65535)")} AS zkey
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // A13: same decile fold; quantile_cont interpolates like Spark's
+    // percentile
+    "a13_equifreq_bins" ->
+      s"""WITH b AS (SELECT
+         |  ${(1 to 9).map(i =>
+              s"round(quantile_cont(l_extendedprice, 0.$i), 6) AS b$i")
+              .mkString(", ")}
+         |  FROM lineitem)
+         |SELECT CAST(${(1 to 9).map(i =>
+              s"CASE WHEN l_extendedprice > b$i THEN 1 ELSE 0 END")
+              .mkString(" + ")} + 1 AS BIGINT) AS bin,
+         |  count(*) AS n_rows, min(l_extendedprice) AS lo,
+         |  max(l_extendedprice) AS hi
+         |FROM lineitem, b GROUP BY 1 ORDER BY bin""".stripMargin,
+    "e_variant_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // C6: same diff in SQL — full outer join of the two snapshots
     "c6_table_diff" ->
       """WITH v1 AS (SELECT event_id, value AS old_value FROM events

@@ -97,6 +97,32 @@ object WindowOps extends QueryModule {
         .orderBy("user_id", "day")
     }),
 
+    // W9 — time-series resampling with LOCF gap fill: a per-key daily
+    // spine (sequence + explode — never a driver loop) left-joined to
+    // the observations, missing days carried forward by
+    // last(ignoreNulls) over a keyed running frame. Spine size is
+    // keys × days (bounded), observations join co-partitioned by key —
+    // both sides scale. Leading days before a key's first observation
+    // stay NULL by design.
+    "w9_locf_resample" -> ((s, d) => {
+      val obs = Tables.events(s, d)
+        .filter(col("user_id") < 20 && col("event_type") === "purchase")
+      val daily = obs
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(max("value").as("v"))
+      val days = obs.sparkSession.range(1).select(explode(sequence(
+        to_timestamp(lit("2024-01-01 00:00:00")),
+        to_timestamp(lit("2024-01-30 00:00:00")),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      obs.select("user_id").distinct().crossJoin(days)
+        .join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last("v", ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy("user_id", "day")
+    }),
+
     // C2 — last-write-wins keyed upsert: newest row per (user_id,
     // event_type) survives; replay-order-safe because recency is taken
     // from the data (ts), not arrival order.
@@ -129,6 +155,22 @@ object WindowOps extends QueryModule {
       """SELECT user_id, arg_max(value, ts) AS last_value,
         |  CAST(max(ts) AS TIMESTAMP) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w9_locf_resample" ->
+      """WITH obs AS (SELECT * FROM events
+        |  WHERE user_id < 20 AND event_type = 'purchase'),
+        |daily AS (SELECT user_id,
+        |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |  max(value) AS v FROM obs GROUP BY 1, 2),
+        |days AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+        |  TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS day),
+        |sp AS (SELECT user_id, day
+        |  FROM (SELECT DISTINCT user_id FROM obs) u CROSS JOIN days)
+        |SELECT sp.user_id, sp.day,
+        |  last_value(d.v IGNORE NULLS) OVER (PARTITION BY sp.user_id
+        |    ORDER BY sp.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM sp LEFT JOIN daily d ON d.user_id = sp.user_id AND d.day = sp.day
+        |ORDER BY sp.user_id, sp.day""".stripMargin,
     "j1_delta_30back" ->
       """WITH cnts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
         |ordered AS (SELECT user_id, value,
