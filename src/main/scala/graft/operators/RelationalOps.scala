@@ -164,6 +164,28 @@ object RelationalOps extends QueryModule {
             col("o_orderkey").bitwiseAND(65535)).as("zkey"))
         .orderBy("o_orderkey")),
 
+    // O5 — manifest-driven data skipping: orders range-clustered on
+    // o_totalprice (16 files with disjoint value ranges), a per-file
+    // min/max manifest built in one scan, and the band probe reads ONLY
+    // the files whose interval intersects — O(matching range) files
+    // opened, not O(table). Residual filter re-applied, so the answer
+    // is exactly the full scan's (the oracle). SkippingSpec asserts the
+    // probe's file list is actually pruned.
+    "o5_minmax_skipping" -> ((s, d) => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_skip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val (tbl, man) = (s"$base/orders", s"$base/manifest")
+      Tables.orders(s, d)
+        .repartitionByRange(16, col("o_totalprice"))
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite").parquet(tbl)
+      graft.pipeline.Skipping.writeManifest(s, tbl, "o_totalprice", man)
+      graft.pipeline.Skipping
+        .prunedRead(s, tbl, man, "o_totalprice", 30000.0, 60000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // F — scalar-function battery (least/greatest, arith, string, date)
     "f_scalars" -> ((s, d) =>
       Tables.orders(s, d)
@@ -215,6 +237,25 @@ object RelationalOps extends QueryModule {
         .option("dateFormat", "dd.MM.yyyy")
         .csv("/root/repo/src/test/resources/rates_sample.csv")
         .orderBy("cc")
+    }),
+
+    // S9 — ORC sink + scan round-trip: the supplier table written as a
+    // nationkey-partitioned ORC layout, then read back through a
+    // partition filter — format-portable storage with the same pruning
+    // contract as parquet (the probe scans only 5 of 25 partition
+    // dirs). Partition columns come back as inferred ints and move to
+    // the tail, so the probe re-casts and re-orders explicitly.
+    "s9_orc_roundtrip" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_orc_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      Tables.supplier(s, d)
+        .write.mode("overwrite").partitionBy("s_nationkey").orc(dir)
+      s.read.orc(dir)
+        .filter(col("s_nationkey") < 5)
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("s_nationkey"),
+          col("s_acctbal"))
+        .orderBy("s_suppkey")
     }),
 
     // A7 — typed Aggregator[IN,BUF,OUT] surface (SURVEY §2.11): one-pass
@@ -418,9 +459,13 @@ object RelationalOps extends QueryModule {
     // rounded before comparison so bin edges agree.
     "a13_equifreq_bins" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val bs = (1 to 9).map(i =>
-        round(expr(s"percentile(l_extendedprice, 0.$i)"), 6).as(s"b$i"))
-      val bounds = li.agg(bs.head, bs.tail: _*)
+      // ONE array-percentile aggregate: nine scalar percentile() calls
+      // would each keep their own value map and 9× the merge work
+      val pcts = (1 to 9).map(i => s"0.$i").mkString(", ")
+      val bounds = li
+        .agg(expr(s"percentile(l_extendedprice, array($pcts))").as("bs"))
+        .select((1 to 9).map(i =>
+          round(element_at(col("bs"), i), 6).as(s"b$i")): _*)
       val bin = (1 to 9).map(i =>
         when(col("l_extendedprice") > col(s"b$i"), 1).otherwise(0))
         .reduce(_ + _) + 1
@@ -469,6 +514,11 @@ object RelationalOps extends QueryModule {
         |  columns = {'r030':'BIGINT','txt':'VARCHAR','rate':'DOUBLE',
         |             'cc':'VARCHAR','exchangedate':'DATE'})
         |ORDER BY cc""".stripMargin,
+    // S9: the round-trip must reproduce the parquet contents exactly
+    "s9_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier WHERE s_nationkey < 5
+        |ORDER BY s_suppkey""".stripMargin,
     "p1_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
@@ -558,6 +608,11 @@ object RelationalOps extends QueryModule {
          |  ${graft.pipeline.Layout.morton16Sql("(o_custkey & 65535)",
                 "(o_orderkey & 65535)")} AS zkey
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // O5: skipping is sound — the pruned read must equal the full scan
+    "o5_minmax_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice BETWEEN 30000 AND 60000
+        |ORDER BY o_orderkey""".stripMargin,
     // A13: same decile fold; quantile_cont interpolates like Spark's
     // percentile
     "a13_equifreq_bins" ->

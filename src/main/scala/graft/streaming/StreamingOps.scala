@@ -113,6 +113,28 @@ object StreamingOps extends QueryModule {
         .orderBy("user_id", "purchase_id", "click_id")
     }),
 
+    // event-time SESSION windows via the built-in session_window: state
+    // is a per-key set of open sessions that MERGE when a new event
+    // bridges two of them — the dynamic-gap shape flatMapGroupsWithState
+    // (Sessionize) hand-rolls, here as one declarative aggregate.
+    // Complete mode (no watermark) because the file source replays a
+    // finite table; the long-running variant adds a watermark + append.
+    // Sessions close after 30 idle minutes; [start, start+gap) half-open
+    // merge semantics match the batch gap-islands oracle (break at
+    // diff >= gap).
+    "stream_session_window" -> ((s, d) => {
+      val sess = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.Sql.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+      runToMemory(s, sess, "graft_stream_session")
+        .orderBy("user_id", "session_start")
+    }),
+
     // late-duplicate handling (§2.10 upsert contract), oracle-verified:
     // every event is delivered TWICE (the source unioned with itself —
     // the at-least-once re-delivery case), and
@@ -137,6 +159,22 @@ object StreamingOps extends QueryModule {
     "stream_dedup_late" ->
       """SELECT event_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
+    // batch gap-islands formulation of the same sessions: a session
+    // breaks when the gap to the previous event is >= 30 min (Spark's
+    // [ts, ts+gap) merge interval is half-open)
+    "stream_session_window" ->
+      s"""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |m AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+         |    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+         |  ${graft.Sql.oSum("value")} AS sum_value
+         |FROM g GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
     "stream_join_interval" ->
       """SELECT c.user_id AS user_id, p.event_id AS purchase_id,
         |  c.event_id AS click_id, c.value AS click_value

@@ -118,6 +118,22 @@ class SimilaritySpec extends SparkSuite {
       s"expected non-empty PartitionFilters on the layout scan in:\n$plan")
   }
 
+  test("LSH layout build is write-once per corpus tag") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_once")
+      .resolve("layout").toString
+    Similarity.writeLshLayoutOnce(e, dir, tag = "v1")
+    // plant a sentinel: a rebuild (overwrite) would delete it
+    val sentinel = new java.io.File(dir, "sentinel.txt")
+    assert(sentinel.createNewFile())
+    Similarity.writeLshLayoutOnce(e, dir, tag = "v1")
+    assert(sentinel.exists(), "same tag must not rebuild the layout")
+    Similarity.writeLshLayoutOnce(e, dir, tag = "v2")
+    assert(!sentinel.exists(), "a new corpus tag must rebuild the layout")
+  }
+
   test("IVF fit stays inside the train budget yet assigns the full corpus") {
     val e = Tables.embeddings(spark, sf())
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
