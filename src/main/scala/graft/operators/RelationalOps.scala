@@ -477,6 +477,27 @@ object RelationalOps extends QueryModule {
         .orderBy("bin")
     }),
 
+    // A14 — winsorization (outlier clipping at [p05, p95]): same
+    // one-aggregate-then-broadcast shape as A13 — the clip bounds come
+    // from a single array-percentile pass, the clip itself is a narrow
+    // map. Sums in exact decimal so both engines agree bit-for-bit.
+    "a14_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val bounds = li
+        .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("bs"))
+        .select(round(element_at(col("bs"), 1), 6).as("lo"),
+          round(element_at(col("bs"), 2), 6).as("hi"))
+      li.crossJoin(broadcast(bounds))
+        .select(col("l_returnflag"),
+          greatest(least(col("l_extendedprice"), col("hi")), col("lo"))
+            .as("w"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.Sql.dsum(col("w"), scale = 6).as("sum_w"),
+          min("w").as("min_w"), max("w").as("max_w"))
+        .orderBy("l_returnflag")
+    }),
+
     // E — VARIANT ingestion (Spark 4 semi-structured type): props parsed
     // once to VARIANT, typed extraction at query time — schema-on-read
     // without a fixed struct, the open-schema path for event payloads.
@@ -627,6 +648,19 @@ object RelationalOps extends QueryModule {
          |  count(*) AS n_rows, min(l_extendedprice) AS lo,
          |  max(l_extendedprice) AS hi
          |FROM lineitem, b GROUP BY 1 ORDER BY bin""".stripMargin,
+    // A14: identical clip fold over quantile_cont bounds, decimal sums
+    "a14_winsorize" ->
+      s"""WITH b AS (SELECT
+         |  round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+         |  round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+         |  FROM lineitem)
+         |SELECT l_returnflag, count(*) AS n_rows,
+         |  ${graft.Sql.oSum("greatest(least(l_extendedprice, hi), lo)", 6)}
+         |    AS sum_w,
+         |  min(greatest(least(l_extendedprice, hi), lo)) AS min_w,
+         |  max(greatest(least(l_extendedprice, hi), lo)) AS max_w
+         |FROM lineitem, b GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     "e_variant_agg" ->
       """SELECT event_type, count(*) AS n,
         |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,

@@ -188,6 +188,24 @@ object TextAnalysis extends QueryModule {
         .orderBy("lang")
     }),
 
+    // deterministic train/val/test assignment — the reproducible-split
+    // contract every training pipeline needs: membership is a pure
+    // function of the stable doc_id (first md5 byte, lexicographic hex
+    // compare ≈ 90/5/5), so re-runs, engines, and cluster sizes all
+    // agree, and no shuffle is needed to ASSIGN (only the small audit
+    // rollup aggregates). Never use random() or row position: both
+    // change under re-partitioning.
+    "t_split_assign" -> ((s, d) => {
+      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(b < "e6", "train").when(b < "f2", "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("split", "lang")
+    }),
+
     // TF-IDF top term per document — the canonical corpus-statistics op.
     // tf/df from one tokenize pass; N rides as a broadcast scalar; the
     // score is ROUNDED BEFORE ranking so both engines rank identical
@@ -257,6 +275,17 @@ object TextAnalysis extends QueryModule {
         |SELECT a.w || ' ' || b.w AS pair, count(*) AS n
         |FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
         |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "t_split_assign" ->
+      """WITH s AS (SELECT lang, n_chars,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f2'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "t_mix_weights" ->
       """WITH l AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         |t AS (SELECT SUM(n_docs) AS n_total, SUM(sqrt(n_docs)) AS z FROM l)

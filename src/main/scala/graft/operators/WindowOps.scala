@@ -123,6 +123,23 @@ object WindowOps extends QueryModule {
         .orderBy("user_id", "day")
     }),
 
+    // W10 — time-RANGE window frame: per-user trailing-7-day totals
+    // ordered by event time, frame bounded by VALUE distance (micros),
+    // not row count — the frame w2's row-frame can't express when event
+    // density varies. Partitioned by user, so state per key is the 7-day
+    // span; decimal window sum keeps both engines bit-identical.
+    "w10_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-7L * 86400L * 1000000L, 0)
+      Tables.events(s, d)
+        .filter(col("user_id") < 50 && col("event_type") === "purchase")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("n_7d"),
+          graft.Sql.dsumOver(col("value"), w).as("sum_7d"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // C2 — last-write-wins keyed upsert: newest row per (user_id,
     // event_type) survives; replay-order-safe because recency is taken
     // from the data (ts), not arrival order.
@@ -171,6 +188,15 @@ object WindowOps extends QueryModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
         |FROM sp LEFT JOIN daily d ON d.user_id = sp.user_id AND d.day = sp.day
         |ORDER BY sp.user_id, sp.day""".stripMargin,
+    "w10_range_frame" ->
+      s"""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |  count(*) OVER w AS n_7d,
+         |  ${graft.Sql.oSumOver("value", "w")} AS sum_7d
+         |FROM events
+         |WHERE user_id < 50 AND event_type = 'purchase'
+         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+         |  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin,
     "j1_delta_30back" ->
       """WITH cnts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
         |ordered AS (SELECT user_id, value,
