@@ -258,6 +258,29 @@ object RelationalOps extends QueryModule {
         .orderBy("s_suppkey")
     }),
 
+    // typed COGROUP (Dataset API): two keyed datasets co-partitioned and
+    // streamed per key through arbitrary Scala — the escape hatch for
+    // per-key logic a join+agg can't express, and the ONLY place this
+    // module accepts iterator code: it stays distributed (one shuffle
+    // per side on the key, no driver collect). Decimal-exact per-element
+    // rounding keeps the fold order-independent, so the result is
+    // deterministic and oracle-checkable against a LEFT JOIN aggregate.
+    "typed_cogroup" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d).filter(col("c_custkey") < 100)
+        .select(col("c_custkey"), col("c_name")).as[(Long, String)]
+      val ords = Tables.orders(s, d).filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+      cust.groupByKey(_._1).cogroup(ords.groupByKey(_._1)) { (k, cs, os) =>
+        cs.toSeq.headOption.iterator.map { case (_, name) =>
+          val prices = os.map(p => BigDecimal(p._2)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP)).toSeq
+          (k, name, prices.size.toLong, prices.sum.toDouble)
+        }
+      }.toDF("c_custkey", "c_name", "n_orders", "sum_spend")
+        .orderBy("c_custkey")
+    }),
+
     // A7 — typed Aggregator[IN,BUF,OUT] surface (SURVEY §2.11): one-pass
     // min/max/count per group through the Dataset API
     "a7_typed_agg" -> ((s, d) => {
@@ -648,6 +671,16 @@ object RelationalOps extends QueryModule {
          |  count(*) AS n_rows, min(l_extendedprice) AS lo,
          |  max(l_extendedprice) AS hi
          |FROM lineitem, b GROUP BY 1 ORDER BY bin""".stripMargin,
+    // typed_cogroup ≡ left-join aggregate with exact-decimal sums
+    "typed_cogroup" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  count(o.o_custkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+        |    AS DOUBLE) AS sum_spend
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey < 100
+        |GROUP BY c.c_custkey, c.c_name
+        |ORDER BY c.c_custkey""".stripMargin,
     // A14: identical clip fold over quantile_cont bounds, decimal sums
     "a14_winsorize" ->
       s"""WITH b AS (SELECT

@@ -92,6 +92,53 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // cross-doc exact SPAN dedup (the span-level complement of whole-doc
+    // dedup): an 8-token span occurring in more than one document marks
+    // boilerplate/duplication the doc-level hash can't see. One shingle
+    // explode, one groupBy(span) — the shuffle partitions BY SPAN, which
+    // is the distributed suffix-scan substitute; at corpus scale the
+    // group key would be xxhash64(span) (8 bytes instead of the text),
+    // same plan. Verified exactly: the span key here is the raw string.
+    "dedup_span_8gram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(shinglesStrict(tokens(col("text")), 8)))
+          .as("sh"))
+      val dup = sh.groupBy("sh")
+        .agg(count(lit(1)).as("nd")) // per-doc distinct ⇒ count = #docs
+        .filter(col("nd") > 1).select("sh")
+      val counts = sh.join(dup, Seq("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+      docs.select("doc_id").join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+        .orderBy("doc_id")
+    }),
+
+    // composed quality-filter funnel: the per-stage survivor counts a
+    // curation run reports. ONE scan computes every cumulative flag;
+    // thresholds are integer-arithmetic comparisons so both engines
+    // agree exactly (no float ratio compares at the boundary).
+    "t_filter_pipeline" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stops = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+      val g2 = shinglesStrict(toks, 2)
+      val f1 = nTok >= lit(20L)                       // length floor
+      val f2 = f1 && stops * 10 >= nTok               // stopword ratio ≥ .1
+      val f3 = f2 && size(array_distinct(g2)).cast("long") * 5 >=
+        size(g2).cast("long") * 4                     // dup-2gram ≤ .2
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("n0"),
+          sum(when(f1, 1L).otherwise(0L)).as("n1"),
+          sum(when(f2, 1L).otherwise(0L)).as("n2"),
+          sum(when(f3, 1L).otherwise(0L)).as("n3"))
+        .selectExpr("""stack(4,
+          '0_all', n0, '1_minlen', n1, '2_stopword', n2, '3_repetition', n3)
+          AS (stage, n_docs)""")
+        .orderBy("stage")
+    }),
+
     // PII redaction: regex scrub of emails/long digit runs (synthesized
     // onto the corpus so the redaction actually fires)
     "t_redact_pii" -> ((s, d) => {
@@ -275,6 +322,39 @@ object TextAnalysis extends QueryModule {
         |SELECT a.w || ' ' || b.w AS pair, count(*) AS n
         |FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
         |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "dedup_span_8gram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS sh
+        |  FROM toks, unnest(range(1, len(l) - 6)) AS t(i)
+        |  WHERE len(l) >= 8),
+        |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1),
+        |cnt AS (SELECT doc_id, count(*) AS n_dup_spans
+        |  FROM sh JOIN dup USING (sh) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(cnt.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+        |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "t_filter_pipeline" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+        |f AS (SELECT len(l) AS n_tok,
+        |  len(list_filter(l, x -> list_contains(['the','a'], x))) AS stops,
+        |  CASE WHEN len(l) >= 2 THEN
+        |    list_transform(range(1, len(l)), i -> array_to_string(l[i:i+1], ' '))
+        |  ELSE [] END AS g2 FROM t),
+        |g AS (SELECT n_tok >= 20 AS f1,
+        |  n_tok >= 20 AND stops * 10 >= n_tok AS f2,
+        |  n_tok >= 20 AND stops * 10 >= n_tok
+        |    AND len(list_distinct(g2)) * 5 >= len(g2) * 4 AS f3 FROM f),
+        |a AS (SELECT count(*) AS n0,
+        |  CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3 FROM g)
+        |SELECT '0_all' AS stage, n0 AS n_docs FROM a
+        |UNION ALL SELECT '1_minlen', n1 FROM a
+        |UNION ALL SELECT '2_stopword', n2 FROM a
+        |UNION ALL SELECT '3_repetition', n3 FROM a
+        |ORDER BY stage""".stripMargin,
     "t_split_assign" ->
       """WITH s AS (SELECT lang, n_chars,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
