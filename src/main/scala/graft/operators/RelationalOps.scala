@@ -239,6 +239,38 @@ object RelationalOps extends QueryModule {
         .orderBy("cc")
     }),
 
+    // S10 — malformed-record tolerance: NDJSON scan with a declared
+    // schema in DROPMALFORMED mode — corrupt lines are shed at the
+    // reader (at scale: count them via PERMISSIVE + _corrupt_record
+    // before shedding; the read stays splittable because NDJSON is
+    // line-delimited, unlike the multiLine S2 array format).
+    "s10_corrupt_json_scan" -> ((s, _) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("kind", StringType),
+        StructField("amount", DoubleType)))
+      s.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json("/root/repo/src/test/resources/events_corrupt.ndjson")
+        .orderBy("event_id")
+    }),
+
+    // F — higher-order array functions (lambda surface): fold, zip,
+    // quantified predicates — all codegen-free Catalyst lambdas that
+    // stay inside the row, no explode+shuffle detour.
+    "f_higher_order" -> ((s, d) => {
+      val arr = sequence(lit(1L), col("o_orderkey") % 10 + 1)
+      Tables.orders(s, d).filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          aggregate(arr, lit(0L), (acc, x) => acc + x).as("agg_sum"),
+          aggregate(zip_with(arr, reverse(arr), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).as("dot_rev"),
+          exists(arr, x => x % 7 === 0).as("has_mult7"),
+          forall(arr, x => x <= 10).as("all_le10"))
+        .orderBy("o_orderkey")
+    }),
+
     // S9 — ORC sink + scan round-trip: the supplier table written as a
     // nationkey-partitioned ORC layout, then read back through a
     // partition filter — format-portable storage with the same pruning
@@ -558,6 +590,25 @@ object RelationalOps extends QueryModule {
         |  columns = {'r030':'BIGINT','txt':'VARCHAR','rate':'DOUBLE',
         |             'cc':'VARCHAR','exchangedate':'DATE'})
         |ORDER BY cc""".stripMargin,
+    // S10: ignore_errors nulls the bad lines; shedding them matches
+    // DROPMALFORMED exactly (good rows always carry event_id)
+    "s10_corrupt_json_scan" ->
+      """SELECT event_id, kind, amount
+        |FROM read_json('/root/repo/src/test/resources/events_corrupt.ndjson',
+        |  format = 'newline_delimited', ignore_errors = true,
+        |  columns = {'event_id':'BIGINT','kind':'VARCHAR','amount':'DOUBLE'})
+        |WHERE event_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "f_higher_order" ->
+      """WITH t AS (SELECT o_orderkey, range(1, o_orderkey % 10 + 2) AS l
+        |  FROM orders WHERE o_orderkey < 200)
+        |SELECT o_orderkey,
+        |  CAST(list_reduce(l, (a, b) -> a + b) AS BIGINT) AS agg_sum,
+        |  CAST(list_reduce(list_transform(list_zip(l, list_reverse(l)),
+        |    x -> x[1] * x[2]), (a, b) -> a + b) AS BIGINT) AS dot_rev,
+        |  len(list_filter(l, x -> x % 7 = 0)) > 0 AS has_mult7,
+        |  len(list_filter(l, x -> x > 10)) = 0 AS all_le10
+        |FROM t ORDER BY o_orderkey""".stripMargin,
     // S9: the round-trip must reproduce the parquet contents exactly
     "s9_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
