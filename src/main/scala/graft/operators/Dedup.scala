@@ -353,6 +353,28 @@ object Dedup extends QueryModule {
       survivors(docs, verified).orderBy("doc_id")
     }),
 
+    // the component engine itself, ORACLE-verified: a deterministic
+    // chain graph (each doc linked to the next doc_id in its
+    // (lang, source) group — worst-case diameter for a given node
+    // count) run through the same pointer-jumped connectedComponents
+    // the dedup pipeline uses. The oracle knows the answer in closed
+    // form (min doc_id per group), so the O(log diameter) loop is
+    // hash-checked end-to-end, not just spec-sampled.
+    "graph_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source")
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      val edges = docs
+        .withColumn("nxt", lead("doc_id", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
+      docs.select("doc_id")
+        .join(connectedComponents(edges, maxIter = 16)
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy("doc_id")
+    }),
+
     // embedding-cosine near-dup: exact NN for probe set vec_id < 100
     "dedup_embed_nn" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -386,6 +408,11 @@ object Dedup extends QueryModule {
         |    AS jaccard
         |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
+    // chain components have a closed-form answer: min id per group
+    "graph_components" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY lang, source) AS component
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_embed_nn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),
