@@ -375,6 +375,44 @@ object Dedup extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // sorted-neighborhood blocking — the non-hashing dedup strategy:
+    // sort by a cheap key (length band, then n_chars, doc_id), pair each
+    // doc with its next 2 neighbors IN SORT ORDER, verify with exact
+    // token-set Jaccard. Zero self-joins: candidate generation is a
+    // window `lead`, O(n·w) pairs total, and the window partitions by
+    // the 16-char length band so the sort distributes (no global
+    // ordering — at corpus scale bands would be salted if skewed).
+    // Complements LSH: catches near-dups whose edit noise breaks
+    // shingle hashing but not length locality.
+    "dedup_sorted_neighborhood" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          array_distinct(tokens(col("text"))).as("toks"))
+        .withColumn("band", expr("n_chars DIV 16"))
+      val w = Window.partitionBy("band").orderBy("n_chars", "doc_id")
+      val neighbors = docs
+        .withColumn("nbr1", lead("doc_id", 1).over(w))
+        .withColumn("toks1", lead("toks", 1).over(w))
+        .withColumn("nbr2", lead("doc_id", 2).over(w))
+        .withColumn("toks2", lead("toks", 2).over(w))
+      val pairs = neighbors
+        .select(col("doc_id").as("doc_a"), col("nbr1").as("doc_b"),
+          col("toks").as("set_a"), col("toks1").as("set_b"))
+        .filter(col("doc_b").isNotNull)
+        .unionAll(neighbors
+          .select(col("doc_id").as("doc_a"), col("nbr2").as("doc_b"),
+            col("toks").as("set_a"), col("toks2").as("set_b"))
+          .filter(col("doc_b").isNotNull))
+      pairs
+        .select(col("doc_a"), col("doc_b"),
+          round(column(graft.functions.JaccardSets(
+            expression(col("set_a")), expression(col("set_b")))), 6)
+            .as("jaccard"))
+        .withColumn("is_dup", col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // embedding-cosine near-dup: exact NN for probe set vec_id < 100
     "dedup_embed_nn" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -408,6 +446,29 @@ object Dedup extends QueryModule {
         |    AS jaccard
         |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
+    "dedup_sorted_neighborhood" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |    list_distinct(string_split(text, ' ')) AS toks,
+        |    n_chars // 16 AS band
+        |  FROM documents),
+        |nb AS (SELECT doc_id, toks,
+        |    lead(doc_id, 1) OVER w AS nbr1, lead(toks, 1) OVER w AS toks1,
+        |    lead(doc_id, 2) OVER w AS nbr2, lead(toks, 2) OVER w AS toks2
+        |  FROM s WINDOW w AS (PARTITION BY band ORDER BY n_chars, doc_id)),
+        |pairs AS (
+        |  SELECT doc_id AS doc_a, nbr1 AS doc_b, toks AS set_a, toks1 AS set_b
+        |    FROM nb WHERE nbr1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id AS doc_a, nbr2 AS doc_b, toks AS set_a, toks2 AS set_b
+        |    FROM nb WHERE nbr2 IS NOT NULL)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(len(list_intersect(set_a, set_b)) AS DOUBLE)
+        |    / (len(set_a) + len(set_b) - len(list_intersect(set_a, set_b))),
+        |    6) AS jaccard,
+        |  round(CAST(len(list_intersect(set_a, set_b)) AS DOUBLE)
+        |    / (len(set_a) + len(set_b) - len(list_intersect(set_a, set_b))),
+        |    6) >= 0.8 AS is_dup
+        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
     // chain components have a closed-form answer: min id per group
     "graph_components" ->
       """SELECT doc_id,

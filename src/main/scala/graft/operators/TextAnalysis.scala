@@ -253,6 +253,64 @@ object TextAnalysis extends QueryModule {
         .orderBy("split", "lang")
     }),
 
+    // Population-stability drift (PSI) between the deterministic train
+    // split and the rest — the drift monitor a training pipeline runs
+    // when a new crawl lands. Feature = n_chars in fixed-width bins;
+    // PSI term per bin = (pa - pb) * ln(pa / pb). One pass: a single
+    // groupBy(bin) with conditional counts (no per-split scans), share
+    // division is exact-count double division, and ln-derived terms are
+    // ROUNDED per determinism rules (libm last-ulp drift). Bins empty
+    // on either side yield NULL psi (the standard epsilon dodge is a
+    // policy choice; surfacing NULL is honest). Scale: one shuffle on
+    // ≤10 bin keys after map-side partial counts.
+    "t_psi_drift" -> ((s, d) => {
+      val split = when(
+        substring(md5(col("doc_id").cast("string")), 1, 2) < "e6", "a")
+        .otherwise("b")
+      val binned = Tables.documents(s, d)
+        .withColumn("bin", least(lit(9L), expr("n_chars DIV 32")))
+        .withColumn("split", split)
+      val counts = binned.groupBy("bin")
+        .agg(sum(when(col("split") === "a", 1L).otherwise(0L)).as("na"),
+          sum(when(col("split") === "b", 1L).otherwise(0L)).as("nb"))
+      val totals = broadcast(counts.agg(
+        sum("na").as("ta"), sum("nb").as("tb")))
+      counts.crossJoin(totals)
+        .select(col("bin"), col("na"), col("nb"),
+          round(col("na").cast("double") / col("ta"), 6).as("pa"),
+          round(col("nb").cast("double") / col("tb"), 6).as("pb"),
+          round(when(col("na") > 0 && col("nb") > 0,
+            (col("na").cast("double") / col("ta") -
+              col("nb").cast("double") / col("tb")) *
+              log(col("na").cast("double") / col("ta") /
+                (col("nb").cast("double") / col("tb")))), 6).as("psi_term"))
+        .orderBy("bin")
+    }),
+
+    // Token co-occurrence mining (market-basket over documents): which
+    // word pairs appear together in ≥ 3 docs. Pair generation is
+    // PER-DOC and map-side — sort+distinct the token array, emit all
+    // (a < b) pairs with a higher-order transform over slices — so the
+    // only shuffle is the final (tok_a, tok_b) count with map-side
+    // partial aggregation. The naive alternative (explode + self-join
+    // on doc_id) shuffles the exploded corpus twice and re-pairs via
+    // join; this shape never joins at all. Pairs per doc are O(t²) in
+    // DISTINCT tokens — bounded by doc length, and at corpus scale the
+    // min-support threshold prunes the long tail after the partial
+    // aggregate.
+    "t_cooccur" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(array_sort(array_distinct(tokens(col("text")))).as("toks"))
+        .select(explode(expr(
+          """flatten(transform(toks, (x, i) ->
+            |  transform(slice(toks, i + 2, size(toks) - i - 1),
+            |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 3)
+        .orderBy(col("n_docs").desc, col("tok_a"), col("tok_b"))
+        .limit(100)),
+
     // TF-IDF top term per document — the canonical corpus-statistics op.
     // tf/df from one tokenize pass; N rides as a broadcast scalar; the
     // score is ROUNDED BEFORE ranking so both engines rank identical
@@ -366,6 +424,33 @@ object TextAnalysis extends QueryModule {
         |SELECT split, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "t_psi_drift" ->
+      """WITH s AS (SELECT least(9, n_chars // 32) AS bin,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |       THEN 'a' ELSE 'b' END AS split
+        |  FROM documents),
+        |c AS (SELECT bin,
+        |  CAST(sum(CASE WHEN split = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(sum(CASE WHEN split = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM s GROUP BY bin),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |             CAST(sum(nb) AS BIGINT) AS tb FROM c)
+        |SELECT bin, na, nb,
+        |  round(CAST(na AS DOUBLE) / ta, 6) AS pa,
+        |  round(CAST(nb AS DOUBLE) / tb, 6) AS pb,
+        |  round(CASE WHEN na > 0 AND nb > 0 THEN
+        |    (CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
+        |      * ln(CAST(na AS DOUBLE) / ta / (CAST(nb AS DOUBLE) / tb))
+        |    END, 6) AS psi_term
+        |FROM c, t ORDER BY bin""".stripMargin,
+    "t_cooccur" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_docs
+        |FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.tok > a.tok
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY n_docs DESC, tok_a, tok_b LIMIT 100""".stripMargin,
     "t_mix_weights" ->
       """WITH l AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         |t AS (SELECT SUM(n_docs) AS n_total, SUM(sqrt(n_docs)) AS z FROM l)
