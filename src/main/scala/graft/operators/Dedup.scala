@@ -355,14 +355,19 @@ object Dedup extends QueryModule {
 
     // the component engine itself, ORACLE-verified: a deterministic
     // chain graph (each doc linked to the next doc_id in its
-    // (lang, source) group — worst-case diameter for a given node
-    // count) run through the same pointer-jumped connectedComponents
-    // the dedup pipeline uses. The oracle knows the answer in closed
-    // form (min doc_id per group), so the O(log diameter) loop is
-    // hash-checked end-to-end, not just spec-sampled.
+    // (lang, source, doc_id DIV 128) segment — a pure chain is the
+    // worst-case diameter for a given node count) run through the same
+    // pointer-jumped connectedComponents the dedup pipeline uses. The
+    // oracle knows the answer in closed form (min doc_id per segment),
+    // so the O(log diameter) loop is hash-checked end-to-end, not just
+    // spec-sampled. Segmenting at 128 keeps the stress multi-round
+    // (ceil(log2 128) = 7 jumps) while bounding rounds independent of
+    // corpus size — an UNsegmented chain's round count would grow with
+    // the data, which is the shape the engine exists to avoid.
     "graph_components" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "lang", "source")
-      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      val w = Window.partitionBy(col("lang"), col("source"),
+        expr("doc_id DIV 128")).orderBy("doc_id")
       val edges = docs
         .withColumn("nxt", lead("doc_id", 1).over(w))
         .filter(col("nxt").isNotNull)
@@ -469,10 +474,11 @@ object Dedup extends QueryModule {
         |    / (len(set_a) + len(set_b) - len(list_intersect(set_a, set_b))),
         |    6) >= 0.8 AS is_dup
         |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
-    // chain components have a closed-form answer: min id per group
+    // chain components have a closed-form answer: min id per segment
     "graph_components" ->
       """SELECT doc_id,
-        |  min(doc_id) OVER (PARTITION BY lang, source) AS component
+        |  min(doc_id) OVER (PARTITION BY lang, source, doc_id // 128)
+        |    AS component
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_embed_nn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

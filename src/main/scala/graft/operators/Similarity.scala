@@ -258,6 +258,70 @@ object Similarity extends QueryModule {
         .orderBy("q_id", "rk")
     }),
 
+    // Hard-negative triplet mining — the contrastive-training data op:
+    // per anchor, the most-similar SAME-label vector (hardest positive
+    // to keep) and the most-similar OTHER-label vector (hardest
+    // negative). One broadcast of the bounded anchor set, one corpus
+    // pass, one window over (anchor, polarity); cosines are ROUNDED
+    // BEFORE ranking (determinism rules). At corpus scale the anchor
+    // batch stays bounded (it's a training-batch construction), so the
+    // shape is probe-broadcast × corpus-stream like sim_topk.
+    "sim_triplet_mine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("emb").as("q_emb"))
+      val scored = broadcast(q)
+        .join(e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+          col("emb")), col("c_id") =!= col("q_id"))
+        .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+        .withColumn("is_pos", col("c_label") === col("q_label"))
+      val w = Window.partitionBy("q_id", "is_pos")
+        .orderBy(col("cos").desc, col("c_id").asc)
+      val top = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+      val pos = top.filter(col("is_pos"))
+        .select(col("q_id"), col("c_id").as("pos_id"), col("cos").as("pos_cos"))
+      val neg = top.filter(!col("is_pos"))
+        .select(col("q_id"), col("c_id").as("neg_id"), col("cos").as("neg_cos"))
+      q.select(col("q_id"), col("q_label"))
+        .join(pos, Seq("q_id")).join(neg, Seq("q_id"))
+        .withColumn("margin", round(col("pos_cos") - col("neg_cos"), 6))
+        .orderBy("q_id")
+    }),
+
+    // Leave-one-out 5-NN label evaluation — the embedding-quality gate
+    // a pipeline runs before trusting vectors for curation: does
+    // majority-label of the 5 nearest neighbors reproduce the true
+    // label? Majority vote ranks by (votes desc, label asc) so ties are
+    // engine-portable. Same broadcast-probe × corpus-stream shape.
+    "sim_knn_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("emb").as("q_emb"))
+      val wNN = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("c_id").asc)
+      val nn = broadcast(q)
+        .join(e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+          col("emb")), col("c_id") =!= col("q_id"))
+        .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+        .withColumn("rk", row_number().over(wNN))
+        .filter(col("rk") <= 5)
+      val wVote = Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("c_label").asc)
+      nn.groupBy("q_id", "q_label", "c_label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("q_id").as("vec_id"), col("q_label").as("true_label"),
+          col("c_label").as("pred_label"),
+          (col("c_label") === col("q_label")).as("correct"))
+        .orderBy("vec_id")
+    }),
+
     // LSH ANN served from the WRITE-ONCE bucket layout: build the
     // (tbl, bucket)-partitioned index, then answer the probe batch from
     // partition-pruned scans — the corpus is never re-hashed or
@@ -330,6 +394,45 @@ object Similarity extends QueryModule {
         |  CAST(list_sum(list_transform(emb,
         |    x -> abs(CAST(round(x * 127 / m) AS INT)))) AS BIGINT) AS l1_q
         |FROM q WHERE m > 0 ORDER BY vec_id""".stripMargin,
+    "sim_triplet_mine" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+        |  FROM e WHERE vec_id < 50),
+        |s AS (SELECT q_id, q_label, e.vec_id AS c_id, e.label AS c_label,
+        |    round(list_inner_product(q_emb, emb) /
+        |      (sqrt(list_inner_product(q_emb, q_emb)) *
+        |       sqrt(list_inner_product(emb, emb))), 6) AS cos,
+        |    e.label = q_label AS is_pos
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, is_pos
+        |    ORDER BY cos DESC, c_id ASC) AS rk FROM s)
+        |SELECT p.q_id, p.q_label,
+        |  p.c_id AS pos_id, p.cos AS pos_cos,
+        |  n.c_id AS neg_id, n.cos AS neg_cos,
+        |  round(p.cos - n.cos, 6) AS margin
+        |FROM (SELECT * FROM r WHERE is_pos AND rk = 1) p
+        |JOIN (SELECT * FROM r WHERE NOT is_pos AND rk = 1) n USING (q_id)
+        |ORDER BY q_id""".stripMargin,
+    "sim_knn_eval" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+        |  FROM e WHERE vec_id < 50),
+        |s AS (SELECT q_id, q_label, e.vec_id AS c_id, e.label AS c_label,
+        |    round(list_inner_product(q_emb, emb) /
+        |      (sqrt(list_inner_product(q_emb, q_emb)) *
+        |       sqrt(list_inner_product(emb, emb))), 6) AS cos
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |nn AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, c_id ASC) AS rk FROM s) WHERE rk <= 5),
+        |v AS (SELECT q_id, q_label, c_label, count(*) AS votes
+        |  FROM nn GROUP BY 1, 2, 3),
+        |p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY votes DESC, c_label ASC) AS vr FROM v)
+        |SELECT q_id AS vec_id, q_label AS true_label, c_label AS pred_label,
+        |  c_label = q_label AS correct
+        |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),

@@ -311,6 +311,28 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("n_docs").desc, col("tok_a"), col("tok_b"))
         .limit(100)),
 
+    // Vocabulary coverage / OOV rate per language — the tokenizer-fit
+    // check: what fraction of token OCCURRENCES a top-20 vocabulary
+    // covers. Vocab = one count shuffle + top-k (total order: count
+    // desc, token asc — deterministic); coverage = a broadcast semi-
+    // probe of the token stream + one conditional-count pass per lang.
+    // At corpus scale the vocab is always broadcast-sized (it's a
+    // vocabulary), so the big table never shuffles twice.
+    "t_oov_rate" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(20)
+      tok.join(broadcast(vocab.select(col("tok"),
+          lit(true).as("in_vocab"))), Seq("tok"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab"), 1L).otherwise(0L)).as("n_covered"))
+        .withColumn("oov_rate",
+          round(lit(1.0) - col("n_covered").cast("double") / col("n_tokens"), 6))
+        .orderBy("lang")
+    }),
+
     // TF-IDF top term per document — the canonical corpus-statistics op.
     // tf/df from one tokenize pass; N rides as a broadcast scalar; the
     // score is ROUNDED BEFORE ranking so both engines rank identical
@@ -424,6 +446,19 @@ object TextAnalysis extends QueryModule {
         |SELECT split, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "t_oov_rate" ->
+      """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM tk GROUP BY tok
+        |  ORDER BY n DESC, tok LIMIT 20)),
+        |m AS (SELECT lang, tk.tok, v.tok IS NOT NULL AS in_vocab
+        |  FROM tk LEFT JOIN v ON tk.tok = v.tok)
+        |SELECT lang, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN in_vocab THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_covered,
+        |  round(1.0 - CAST(sum(CASE WHEN in_vocab THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "t_psi_drift" ->
       """WITH s AS (SELECT least(9, n_chars // 32) AS bin,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
