@@ -25,6 +25,33 @@ class OperatorSpec extends SparkSuite {
       frames.filter(col("frame_idx") % 4 =!= 0).count() === 0)
   }
 
+  test("PNG codec kernel: header, per-pixel gradient, and filter pass") {
+    // id=3 -> 19×19 (16+3, 16+3): every decoded pixel must reproduce the
+    // gradient exactly — a wrong row order, channel order, or PNG filter
+    // reconstruction shows up as a wrong sum or pixel.
+    val bytes = Multimodal.pngBytes(3L)
+    assert(bytes.take(8).map(_ & 0xFF).toSeq ===
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A), "PNG magic")
+    val (w, h, sr, sg, sb) = Multimodal.decodePng(bytes)
+    assert((w, h) === (19L, 19L))
+    assert(sr === h * (w * (w - 1)) / 2)
+    assert(sg === w * (h * (h - 1)) / 2)
+    assert(sb === w * h * 3)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert((img.getRGB(7, 11) & 0xFFFFFF) === ((7 << 16) | (11 << 8) | 3))
+  }
+
+  test("WAV codec kernel: RIFF header fields and exact PCM fold") {
+    // id=5 -> 4096 + 5*256 = 5376 samples; ramp sum = -128 * n/256
+    val bytes = Multimodal.wavBytes(5L)
+    assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    val (rate, n, sum, mn, mx) = Multimodal.decodeWav(bytes)
+    assert(rate === 8000L && n === 5376L)
+    assert(sum === -128L * (n / 256))
+    assert(mn === -128L && mx === 127L)
+  }
+
   test("streaming tumbling agg equals batch equivalent") {
     val streamed = SparkEntry.queries("stream_tumbling_daily")(spark, sf())
       .select("day", "event_type", "n_events").as[(java.sql.Timestamp, String, Long)]
