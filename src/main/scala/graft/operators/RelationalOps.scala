@@ -290,6 +290,28 @@ object RelationalOps extends QueryModule {
         .orderBy("s_suppkey")
     }),
 
+    // S11 — schema evolution: two parquet generations with PARTIALLY
+    // DISJOINT columns (an old writer without o_totalprice, a new one
+    // without o_custkey) unified by a mergeSchema read — the capability
+    // every long-lived 100 TB table needs the day a column is added.
+    // Missing columns surface as NULL, never as a read error; the
+    // oracle reproduces the union semantics from the source table.
+    "s11_schema_merge" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_schmerge_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val o = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$dir/gen=old")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/gen=new")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("gen"))
+        .orderBy("o_orderkey")
+    }),
+
     // typed COGROUP (Dataset API): two keyed datasets co-partitioned and
     // streamed per key through arbitrary Scala — the escape hatch for
     // per-key logic a join+agg can't express, and the ONLY place this
@@ -614,6 +636,12 @@ object RelationalOps extends QueryModule {
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier WHERE s_nationkey < 5
         |ORDER BY s_suppkey""".stripMargin,
+    "s11_schema_merge" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END AS o_custkey,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'old' ELSE 'new' END AS gen
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
     "p1_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

@@ -311,6 +311,29 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("n_docs").desc, col("tok_a"), col("tok_b"))
         .limit(100)),
 
+    // Long-document chunking with overlap — the context-window prep op:
+    // window 16 tokens, stride 12 (prod: 2048/1536 — same arithmetic).
+    // Pure per-row explode: sequence() generates chunk starts, slice()
+    // takes each window, md5 pins the exact chunk CONTENT (not just
+    // boundaries) against the oracle's list slicing. Zero shuffles
+    // before the output sort; chunks inherit the doc's partition.
+    "t_chunk_overlap" -> ((s, d) => {
+      val window = 16
+      val stride = 12
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          posexplode(sequence(lit(0), col("n") - 1, lit(stride))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").cast("long").as("start_tok"),
+          least(lit(window), col("n") - col("col")).cast("long").as("len_tok"),
+          md5(concat_ws(" ",
+            slice(col("toks"), col("col") + 1,
+              least(lit(window), col("n") - col("col"))))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Vocabulary coverage / OOV rate per language — the tokenizer-fit
     // check: what fraction of token OCCURRENCES a top-20 vocabulary
     // covers. Vocab = one count shuffle + top-k (total order: count
@@ -446,6 +469,18 @@ object TextAnalysis extends QueryModule {
         |SELECT split, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "t_chunk_overlap" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(range(0, len(toks), 12)) AS start
+        |  FROM s)
+        |SELECT doc_id, CAST(start // 12 AS BIGINT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(least(16, n - start) AS BIGINT) AS len_tok,
+        |  md5(array_to_string(
+        |    toks[start + 1 : start + least(16, n - start)], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "t_oov_rate" ->
       """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),
