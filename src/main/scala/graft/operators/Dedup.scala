@@ -380,6 +380,32 @@ object Dedup extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL exact dedup — the production shape at 100 TB: a new
+    // batch (doc_id % 10 >= 8 stands in for today's crawl) is classified
+    // against the EXISTING corpus index (digest -> kept doc) without
+    // ever rescanning or re-shuffling history. One digest join against
+    // the index + one in-batch window; at scale the index is a table
+    // BUCKETED BY digest, so the probe co-locates and only the batch
+    // moves. Index collisions win over in-batch collisions (history is
+    // canonical).
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+      val index = docs.filter(col("doc_id") % 10 < 8)
+        .groupBy("digest").agg(min("doc_id").as("index_keep"))
+      val batch = docs.filter(col("doc_id") % 10 >= 8)
+      val wBatch = Window.partitionBy("digest")
+      batch
+        .join(index, Seq("digest"), "left")
+        .withColumn("batch_min", min("doc_id").over(wBatch))
+        .select(col("doc_id"),
+          when(col("index_keep").isNotNull, "dup_of_index")
+            .when(col("batch_min") < col("doc_id"), "dup_in_batch")
+            .otherwise("novel").as("status"),
+          coalesce(col("index_keep"), col("batch_min")).as("keep_id"))
+        .orderBy("doc_id")
+    }),
+
     // sorted-neighborhood blocking — the non-hashing dedup strategy:
     // sort by a cheap key (length band, then n_chars, doc_id), pair each
     // doc with its next 2 neighbors IN SORT ORDER, verify with exact
@@ -451,6 +477,20 @@ object Dedup extends QueryModule {
         |    AS jaccard
         |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
+    "dedup_incremental" ->
+      """WITH dd AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        |idx AS (SELECT digest, min(doc_id) AS index_keep FROM dd
+        |  WHERE doc_id % 10 < 8 GROUP BY digest),
+        |b AS (SELECT dd.doc_id, dd.digest, idx.index_keep,
+        |    min(dd.doc_id) OVER (PARTITION BY dd.digest) AS batch_min
+        |  FROM dd LEFT JOIN idx USING (digest)
+        |  WHERE dd.doc_id % 10 >= 8)
+        |SELECT doc_id,
+        |  CASE WHEN index_keep IS NOT NULL THEN 'dup_of_index'
+        |       WHEN batch_min < doc_id THEN 'dup_in_batch'
+        |       ELSE 'novel' END AS status,
+        |  coalesce(index_keep, batch_min) AS keep_id
+        |FROM b ORDER BY doc_id""".stripMargin,
     "dedup_sorted_neighborhood" ->
       """WITH s AS (SELECT doc_id, n_chars,
         |    list_distinct(string_split(text, ' ')) AS toks,
