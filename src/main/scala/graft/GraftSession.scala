@@ -14,6 +14,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
   def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator extension: per-key top-k with bounded heaps
+    // (partial + final execs — see graft.plans.TopK)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),

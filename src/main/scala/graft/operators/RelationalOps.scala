@@ -152,6 +152,19 @@ object RelationalOps extends QueryModule {
         .limit(100)
         .select("event_id", "user_id", "value")),
 
+    // O6 — per-key top-k through the custom TopKPerKey WHOLE-OPERATOR
+    // extension (logical node + strategy + partial/final physical
+    // execs, graft.plans.TopK): bounded per-key heaps replace the
+    // window plan's full sort — the exchange carries ≤ k rows per key
+    // per input partition, state is O(keys·k), nothing spills. The
+    // oracle is the window formulation, so the operator's semantics
+    // (rank by value desc, tie asc, exclude NULLs) are hash-pinned.
+    "o6_topk_per_key" -> ((s, d) =>
+      graft.plans.TopK.topKPerKey(
+        Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 2)
+        .orderBy("o_custkey", "o_orderkey")),
+
     // O4 — Z-order (Morton) clustering key: the multi-dimensional
     // layout curve `Layout.zorderWrite` clusters by, exposed as a
     // query so the bit math itself is oracle-verified (LayoutSpec
@@ -698,6 +711,13 @@ object RelationalOps extends QueryModule {
     "o1_top1_latest" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
         |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""".stripMargin,
+    "o6_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER
+        |    (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 2
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "o2_topk_sort" ->
       """SELECT event_id, user_id, value FROM events
         |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin,

@@ -1,0 +1,60 @@
+package graft
+
+import graft.plans.TopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The TopKPerKey whole-operator extension: equivalence with the window
+  * formulation, deterministic tie-breaks, NULL exclusion, and the plan
+  * shape that justifies its existence (partial before the exchange,
+  * no sort, no window). */
+class TopKSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("matches the window row_number formulation on real data") {
+    val o = Tables.orders(spark, sf())
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val got = TopK.topKPerKey(o, Seq("o_custkey"), "o_totalprice",
+        "o_orderkey", k = 3)
+      .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val want = o.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("ties rank by ascending tie column; NULL values excluded") {
+    val df = Seq(
+      ("a", 1L, Some(5.0)), ("a", 2L, Some(5.0)), ("a", 3L, Some(5.0)),
+      ("a", 4L, None), ("b", 5L, Some(1.0))
+    ).toDF("key", "id", "v")
+    val got = TopK.topKPerKey(df, Seq("key"), "v", "id", k = 2)
+      .select("key", "id").as[(String, Long)].collect().toSet
+    // key a: three tied 5.0s -> ids 1,2 win; the NULL row never places
+    assert(got === Set(("a", 1L), ("a", 2L), ("b", 5L)))
+  }
+
+  test("exact across partitionings (partial merge is lossless)") {
+    val df = (1L to 1000L).map(i => (i % 7, i, (i % 13).toDouble))
+      .toDF("key", "id", "v")
+    val expected = TopK.topKPerKey(df.coalesce(1), Seq("key"), "v", "id", 4)
+      .select("id").as[Long].collect().toSet
+    val sharded = TopK.topKPerKey(df.repartition(16), Seq("key"), "v", "id", 4)
+      .select("id").as[Long].collect().toSet
+    assert(sharded === expected)
+  }
+
+  test("plan: partial before the exchange, no Sort/Window in the operator") {
+    val o = Tables.orders(spark, sf())
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val plan = TopK.topKPerKey(o, Seq("o_custkey"), "o_totalprice",
+      "o_orderkey", k = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopKPerKey"))
+    assert(plan.contains("FinalTopKPerKey"))
+    assert(plan.indexOf("PartialTopKPerKey") > plan.indexOf("FinalTopKPerKey"),
+      "partial must sit below final (map side of the exchange)")
+    assert(!plan.contains("WindowExec") && !plan.toLowerCase.contains("sortexec"),
+      s"bounded-heap operator must not plan a sort/window:\n$plan")
+  }
+}
