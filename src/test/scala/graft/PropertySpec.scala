@@ -82,6 +82,46 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("chunking covers every token exactly; overlap = window - stride") {
+    // over random doc lengths: chunks tile [0, n) with stride steps,
+    // every chunk is non-empty and ≤ window long, consecutive chunks
+    // overlap by exactly window - stride except a shorter tail
+    val window = 16
+    val stride = 12
+    samples(Gen.choose(1, 200), 40).foreach { n =>
+      val starts = (0 until n by stride).toList
+      val chunks = starts.map(s => (s, math.min(window, n - s)))
+      assert(chunks.forall { case (_, len) => len >= 1 && len <= window })
+      // coverage: union of [s, s+len) is exactly [0, n)
+      val covered = chunks.flatMap { case (s, l) => s until (s + l) }.toSet
+      assert(covered === (0 until n).toSet)
+      chunks.sliding(2).foreach {
+        case List((s1, l1), (s2, _)) =>
+          val overlap = (s1 + l1) - s2
+          assert(overlap == window - stride || s1 + l1 >= n)
+        case _ =>
+      }
+    }
+  }
+
+  test("pageRank conserves bounded mass and hits the teleport floor") {
+    import graft.operators.Graph
+    val edgeGen = Gen.listOfN(40, for {
+      a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L) if a != b
+    } yield (a, b))
+    samples(edgeGen, 5).filter(_.nonEmpty).foreach { es =>
+      val edges = es.distinct.toDF("src", "dst")
+      val nodes = (0L to 19L).toDF("id")
+      val ranks = Graph.pageRank(edges, nodes, iters = 3)
+        .as[(Long, Double)].collect()
+      assert(ranks.length === 20)
+      // every node keeps at least the teleport share; total mass can
+      // only leak at sinks, never grow
+      assert(ranks.forall(_._2 >= 0.15 / 20 - 1e-12))
+      assert(ranks.map(_._2).sum <= 1.0 + 1e-9)
+    }
+  }
+
   test("rolling 7-row mean equals brute force over any history") {
     samples(Gen.listOfN(25, Gen.choose(1, 10000).map(_ / 100.0)), 10)
         .filter(_.nonEmpty).foreach { values =>
