@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-query timing harness for iterating on a single operator without a
   * full Bench sweep: `QTime name1 name2 …` times each named query
-  * REPS (default 3) times on SPARK_GRAFT_SF_DIR under the same session
-  * config as Bench, printing every run (first run shows warm-up cost,
-  * later runs steady state). */
+  * REPS (default 3) times on SPARK_GRAFT_SF_DIR. Session conf mirrors
+  * Bench's AQE settings but defaults to local[32] (the driver's Bench
+  * invocation) where bare Bench defaults to local[4] — set
+  * SPARK_GRAFT_CPUS explicitly when comparing against a Bench run. */
 object QTime {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -326,10 +326,15 @@ object Dedup extends QueryModule {
     // so the Hamming filter needs no extra join back to `sig`.
     "dedup_simhash" -> ((s, d) => {
       val sig = simhashSignatures(Tables.documents(s, d))
+      // materialize the filtered pair set ONCE: perDoc scans it from
+      // both sides of a union, and without this the band self-join +
+      // distinct would execute twice (same discipline as
+      // minhashCandidates)
       val pairs = cappedSelfJoin(simhashBands(sig), payload = Seq("simhash"))
         .withColumnRenamed("simhash_a", "sim_a")
         .withColumnRenamed("simhash_b", "sim_b")
         .filter(expr("bit_count(sim_a ^ sim_b)") <= 6)
+        .localCheckpoint()
       val perDoc = pairs.select(col("doc_a").as("doc_id"))
         .unionAll(pairs.select(col("doc_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -50,19 +50,33 @@ object Graph extends QueryModule {
     val e = edges.join(deg, Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize before the loop: every iteration scans it
-    var pr = nodes.select(col("id")).withColumn("rank", lit(1.0 / n))
-      .localCheckpoint()
+    // handle-based checkpoint tracking (same discipline as
+    // Dedup.connectedComponents): each round's localCheckpoint releases
+    // the PREVIOUS round's blocks deterministically — never by diffing
+    // global persistent-RDD state, and the final frame's blocks are
+    // retained for the caller (ContextCleaner reclaims them on drop)
+    var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    def checkpointTracked(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint()
+      val fresh = out.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = fresh
+      out
+    }
+    var pr = checkpointTracked(
+      nodes.select(col("id")).withColumn("rank", lit(1.0 / n)))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(pr.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("id").agg(sum("c").as("in_mass"))
-      pr = pr.select("id")
+      pr = checkpointTracked(pr.select("id")
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(teleport / n) +
-            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank")))
     }
     e.unpersist()
     pr

@@ -108,9 +108,13 @@ object Similarity extends QueryModule {
       .localCheckpoint()
     val wanted = pb.select(col("tbl").cast("int"), col("bucket").cast("long"))
       .distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
-    val prune = wanted.map { case (t, b) =>
-      col("tbl") === t && col("bucket") === b
-    }.reduce(_ || _)
+    // empty probe batch => no buckets wanted => scan nothing (a reduce
+    // over the empty predicate list would throw)
+    val prune =
+      if (wanted.isEmpty) lit(false)
+      else wanted.map { case (t, b) =>
+        col("tbl") === t && col("bucket") === b
+      }.reduce(_ || _)
     val corpus = spark.read.parquet(layoutPath)
       .filter(prune)
       .select(col("vec_id").as("c_id"), col("emb"),

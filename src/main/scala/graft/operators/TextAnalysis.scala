@@ -226,8 +226,13 @@ object TextAnalysis extends QueryModule {
     "t_mix_weights" -> ((s, d) => {
       val byLang = Tables.documents(s, d)
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      // the normalizer sums IRRATIONAL sqrt terms: route it through the
+      // decimal path (round each term to 9 places, sum exactly) so the
+      // total is summation-order-free — a raw double sum could differ
+      // in the last ulp between engines/partitionings and flip
+      // round(...,6) at a boundary
       val tot = byLang.agg(sum("n_docs").as("n_total"),
-        sum(sqrt(col("n_docs"))).as("z"))
+        sum(round(sqrt(col("n_docs")), 9).cast("decimal(28,9)")).as("z"))
       byLang.crossJoin(broadcast(tot))
         .select(col("lang"), col("n_docs"),
           round(col("n_docs") / col("n_total"), 6).as("raw_share"),
@@ -439,9 +444,9 @@ object TextAnalysis extends QueryModule {
         |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "t_filter_pipeline" ->
-      """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+      s"""WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
         |f AS (SELECT len(l) AS n_tok,
-        |  len(list_filter(l, x -> list_contains(['the','a'], x))) AS stops,
+        |  len(list_filter(l, x -> list_contains($stopList, x))) AS stops,
         |  CASE WHEN len(l) >= 2 THEN
         |    list_transform(range(1, len(l)), i -> array_to_string(l[i:i+1], ' '))
         |  ELSE [] END AS g2 FROM t),
@@ -523,7 +528,8 @@ object TextAnalysis extends QueryModule {
         |ORDER BY n_docs DESC, tok_a, tok_b LIMIT 100""".stripMargin,
     "t_mix_weights" ->
       """WITH l AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
-        |t AS (SELECT SUM(n_docs) AS n_total, SUM(sqrt(n_docs)) AS z FROM l)
+        |t AS (SELECT SUM(n_docs) AS n_total,
+        |  SUM(CAST(round(sqrt(n_docs), 9) AS DECIMAL(28,9))) AS z FROM l)
         |SELECT lang, n_docs,
         |  round(n_docs / n_total, 6) AS raw_share,
         |  round(sqrt(n_docs) / z, 6) AS temp_share

@@ -105,11 +105,20 @@ case class TopKPerKeyExec(keys: Seq[Expression], value: Expression,
         val ord = ordProj(row)
         if (!ord.isNullAt(0)) {
           val v = ord.getDouble(0)
-          val t = if (ord.isNullAt(1)) Long.MaxValue else ord.getLong(1)
+          // null tie -> MinValue: Spark's ASC window ordering puts NULLs
+          // first, so a null-tie row outranks equal-valued peers here too
+          // (among several null ties the pick is arbitrary, exactly as
+          // row_number over a non-total order is)
+          val t = if (ord.isNullAt(1)) Long.MinValue else ord.getLong(1)
           val buf = state.getOrElseUpdate(keyProj(row).copy(),
             new scala.collection.mutable.ArrayBuffer[(Double, Long, UnsafeRow)](k + 1))
-          def ranksBefore(a: (Double, Long), b: (Double, Long)): Boolean =
-            a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+          // Double.compare, not >: NaN must rank GREATEST (Spark's DESC
+          // ordering yields NaN first), and a plain > is false for every
+          // NaN comparison, which would also break the buffer invariant
+          def ranksBefore(a: (Double, Long), b: (Double, Long)): Boolean = {
+            val c = java.lang.Double.compare(a._1, b._1)
+            c > 0 || (c == 0 && a._2 < b._2)
+          }
           if (buf.length < k || ranksBefore((v, t), (buf.last._1, buf.last._2))) {
             var i = buf.length
             while (i > 0 && ranksBefore((v, t), (buf(i - 1)._1, buf(i - 1)._2))) i -= 1

@@ -54,7 +54,21 @@ class TopKSpec extends SparkSuite {
     assert(plan.contains("FinalTopKPerKey"))
     assert(plan.indexOf("PartialTopKPerKey") > plan.indexOf("FinalTopKPerKey"),
       "partial must sit below final (map side of the exchange)")
-    assert(!plan.contains("WindowExec") && !plan.toLowerCase.contains("sortexec"),
+    // executedPlan.toString strips the Exec suffix — match the node
+    // names as printed ("Window [", "Sort ["), not the class names
+    assert(!plan.contains("Window ") && !plan.contains("Sort ["),
       s"bounded-heap operator must not plan a sort/window:\n$plan")
+  }
+
+  test("NaN ranks greatest, matching the window DESC ordering") {
+    val df = Seq(
+      ("a", 1L, Double.NaN), ("a", 2L, 99.0), ("a", 3L, 1.0)
+    ).toDF("key", "id", "v")
+    val got = TopK.topKPerKey(df, Seq("key"), "v", "id", k = 2)
+      .select("id").as[Long].collect().toSet
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("id").asc)
+    val want = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .select("id").as[Long].collect().toSet
+    assert(got === want && got === Set(1L, 2L))
   }
 }
