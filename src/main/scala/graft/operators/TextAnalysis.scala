@@ -339,6 +339,27 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Deterministic weighted sampling (A-Res): 5 docs per language,
+    // inclusion probability ∝ n_chars, via priority u^(1/w) with u a
+    // PURE-ARITHMETIC hash of doc_id (Knuth multiplicative — both
+    // engines compute the identical BIGINT expression; no engine RNG,
+    // so the "random" sample is reproducible across engines, reruns,
+    // and repartitionings). Priorities are rounded BEFORE ranking;
+    // selection runs through the TopKPerKey operator — bounded heaps,
+    // no per-stratum sort — so this also exercises the custom plan
+    // path on a second query shape.
+    "t_weighted_sample" -> ((s, d) => {
+      val u = (col("doc_id") * lit(2654435761L)) % lit(2147483648L) /
+        lit(2147483648.0)
+      val prio = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(pow(u, lit(1.0) / col("n_chars")), 9).as("priority"))
+      graft.plans.TopK.topKPerKey(prio, Seq("lang"), "priority",
+          "doc_id", k = 5)
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("priority"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // Vocabulary coverage / OOV rate per language — the tokenizer-fit
     // check: what fraction of token OCCURRENCES a top-20 vocabulary
     // covers. Vocab = one count shuffle + top-k (total order: count
@@ -486,6 +507,15 @@ object TextAnalysis extends QueryModule {
         |  md5(array_to_string(
         |    toks[start + 1 : start + least(16, n - start)], ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "t_weighted_sample" ->
+      """WITH p AS (SELECT lang, doc_id, n_chars,
+        |    round(pow((doc_id * 2654435761) % 2147483648 / 2147483648.0,
+        |      1.0 / n_chars), 9) AS priority
+        |  FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY priority DESC, doc_id ASC) AS rk FROM p)
+        |SELECT lang, doc_id, n_chars, priority
+        |FROM r WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin,
     "t_oov_rate" ->
       """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),
