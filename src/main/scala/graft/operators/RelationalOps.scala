@@ -567,6 +567,24 @@ object RelationalOps extends QueryModule {
         .orderBy("bin")
     }),
 
+    // A15 — one-pass table profile (ANALYZE-style statistics): count,
+    // null counts, min/max, and EXACT ndv for the profiled columns in
+    // a single aggregate over one scan — the stats a cost-based
+    // optimizer, a data-quality monitor, or a layout advisor reads.
+    // At 100 TB the exact count_distincts become per-partition HLL
+    // sketches merged upward (the a12 path); the one-scan shape stays.
+    "a15_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("l_orderkey")).as("ndv_orderkey"),
+        count_distinct(col("l_returnflag")).as("ndv_returnflag"),
+        sum(when(col("l_tax").isNull, 1L).otherwise(0L)).as("null_tax"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+        min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"),
+        Sql.dsum(col("l_extendedprice"), 2).as("sum_price"))
+    }),
+
     // A14 — winsorization (outlier clipping at [p05, p95]): same
     // one-aggregate-then-broadcast shape as A13 — the clip bounds come
     // from a single array-percentile pass, the clip itself is a narrow
@@ -711,6 +729,17 @@ object RelationalOps extends QueryModule {
     "o1_top1_latest" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
         |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""".stripMargin,
+    "a15_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS ndv_orderkey,
+        |  count(DISTINCT l_returnflag) AS ndv_returnflag,
+        |  CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_tax,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS DOUBLE) AS sum_price
+        |FROM lineitem""".stripMargin,
     "o6_topk_per_key" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER

@@ -339,6 +339,35 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Compression-ratio quality signal — the classic cheap proxy for
+    // boilerplate/repetition (low ratio) vs natural text: deflate each
+    // doc with ONE per-partition Deflater instance (the batch-kernel
+    // shape — codec allocated once, rows streamed through it) and emit
+    // compressed/raw size. zlib output depends on the library build,
+    // so no SQL oracle exists: rows-only, with TextSpec pinning the
+    // discriminative ordering (repetitive ≪ varied) and determinism.
+    // At corpus scale this is a shuffle-free narrow map feeding the
+    // same threshold filters as t_quality.
+    "t_compress_ratio" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions { rows =>
+          val deflater = new java.util.zip.Deflater(6)
+          val buf = new Array[Byte](1 << 16)
+          rows.map { case (id, lang, text) =>
+            val in = text.getBytes("UTF-8")
+            deflater.reset(); deflater.setInput(in); deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            (id, lang, in.length.toLong, n,
+              math.round(n.toDouble / in.length * 1e6) / 1e6)
+          }
+        }
+        .toDF("doc_id", "lang", "n_bytes", "n_compressed", "ratio")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic weighted sampling (A-Res): 5 docs per language,
     // inclusion probability ∝ n_chars, via priority u^(1/w) with u a
     // PURE-ARITHMETIC hash of doc_id (Knuth multiplicative — both

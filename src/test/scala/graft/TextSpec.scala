@@ -32,6 +32,24 @@ class TextSpec extends SparkSuite {
     assert(fp(texts, 4) === texts.map(refModel(_, 4)))
   }
 
+  test("compression ratio discriminates repetition and is deterministic") {
+    val tmp = java.nio.file.Files.createTempDirectory("czr").toString
+    val docs = Seq(
+      (1L, ("spam " * 60).trim, "xx", "s", 299L),
+      (2L, (0 until 60).map(i => s"w${i * 7919 % 977}").mkString(" "),
+        "xx", "s", 299L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def run() = SparkEntry.queries("t_compress_ratio")(spark, tmp)
+      .select("doc_id", "ratio").as[(Long, Double)].collect().toMap
+    val r = run()
+    // repetitive text compresses far better than varied text
+    assert(r(1L) < r(2L) / 2,
+      s"repetitive ${r(1L)} should be well under varied ${r(2L)}")
+    assert(r(1L) > 0 && r(2L) > 0)
+    assert(run() === r, "deflate output must be deterministic across runs")
+  }
+
   test("shift-stable: prefix insertion far from the min window keeps fp") {
     val core = "zzz unique rare window payload qqq and lots of filler text"
     // the minimal 16-gram lives inside `core`; shifting it right by a
