@@ -385,6 +385,54 @@ object Dedup extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // EXACT similarity join via prefix filtering (PPJoin family) — the
+    // deterministic counterpart to LSH: finds ALL pairs with Jaccard
+    // ≥ 0.8, sub-quadratically, no hashing. Each doc's tokens are
+    // sorted by GLOBAL ascending frequency (rarest first, ties by
+    // token); only the first n - ceil(0.8n) + 1 tokens (its "prefix")
+    // become candidate keys — the prefix-filter theorem guarantees any
+    // qualifying pair shares a prefix token. All threshold math is
+    // INTEGER (ceil(0.8n) = (4n+4) DIV 5; J ≥ 0.8 ⇔ 5·inter ≥
+    // 4·union), so both engines agree exactly. Scale: candidate keys
+    // are rare tokens by construction (frequent tokens never make a
+    // prefix), so the per-key fan-out is inherently capped — the
+    // quadratic blowup LSH needs a bucket cap for cannot happen on the
+    // frequency-ordered prefix. Universe restricted to one language
+    // ONLY so the oracle's O(n²) brute force stays feasible; the
+    // operator itself never goes quadratic.
+    "dedup_prefix_join" -> ((s, d) => {
+      val u = Tables.documents(s, d).filter(col("lang") === "de")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+        .localCheckpoint() // feeds tokenization, prefixes, AND verify
+      val tok = u.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      val ordered = tok.join(freq, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
+        .select(col("doc_id"),
+          expr("transform(st, s -> s.tok)").as("sorted_toks"),
+          size(col("st")).as("n"))
+      val prefix = ordered.select(col("doc_id"),
+        explode(expr("slice(sorted_toks, 1, n - (4*n + 4) DIV 5 + 1)"))
+          .as("tok"))
+      val cand = prefix.as("x").join(prefix.as("y"), Seq("tok"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sets = u.select(col("doc_id"), col("toks"))
+      cand
+        .join(sets.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("toks", "set_a"), Seq("doc_a"))
+        .join(sets.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("toks", "set_b"), Seq("doc_b"))
+        .withColumn("i", size(array_intersect(col("set_a"), col("set_b"))))
+        .withColumn("un", size(col("set_a")) + size(col("set_b")) - col("i"))
+        .filter(col("i") * 5 >= col("un") * 4)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("i").cast("double") / col("un"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // INCREMENTAL exact dedup — the production shape at 100 TB: a new
     // batch (doc_id % 10 >= 8 stands in for today's crawl) is classified
     // against the EXISTING corpus index (digest -> kept doc) without
@@ -482,6 +530,20 @@ object Dedup extends QueryModule {
         |    AS jaccard
         |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
+    // brute force is CORRECT as an oracle precisely because the prefix
+    // filter is lossless for J >= t — outputs must be identical
+    "dedup_prefix_join" ->
+      """WITH u AS (SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents WHERE lang = 'de'),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.toks, b.toks)) AS i,
+        |    len(a.toks) AS na, len(b.toks) AS nb
+        |  FROM u a JOIN u b ON b.doc_id > a.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+        |FROM p WHERE 5 * i >= 4 * (na + nb - i)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_incremental" ->
       """WITH dd AS (SELECT doc_id, md5(text) AS digest FROM documents),
         |idx AS (SELECT digest, min(doc_id) AS index_keep FROM dd
