@@ -79,4 +79,24 @@ class IngestSpec extends SparkSuite {
     val lines = scala.io.Source.fromFile(usdCsv.head).getLines().toSeq
     assert(lines.head.startsWith("cc,") && lines(1).startsWith("USD,"))
   }
+
+  test("K10 chart sink: renders a decodable PNG with plotted series") {
+    val hist = (0 until 30).map { i =>
+      ("USD", java.sql.Date.valueOf(s"2025-09-${i % 28 + 1}"), 40.0 + i % 7)
+    }.toDF("cc", "exchangedate", "rate").orderBy("exchangedate")
+    val path = tmpDir() + "/rates.png"
+    ReportSinks.chartPng(hist, path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(bytes.take(8).map(_ & 0xFF).toSeq ===
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A), "PNG magic")
+    val img = javax.imageio.ImageIO.read(new java.io.File(path))
+    assert(img.getWidth === 640 && img.getHeight === 360)
+    // the series must have painted non-background, non-axis pixels
+    val colored = (for {
+      x <- 41 until 630; y <- 10 until 329
+      p = img.getRGB(x, y) & 0xFFFFFF
+      if p != 0xFFFFFF && p != 0x808080
+    } yield p).toSet
+    assert(colored.contains(0xC83C23), s"series color missing: $colored")
+  }
 }
