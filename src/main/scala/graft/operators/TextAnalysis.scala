@@ -362,7 +362,7 @@ object TextAnalysis extends QueryModule {
             while (!deflater.finished()) n += deflater.deflate(buf)
             (id, lang, in.length.toLong, n,
               math.round(n.toDouble / in.length * 1e6) / 1e6)
-          }
+          } ++ { deflater.end(); Iterator.empty } // release native memory
         }
         .toDF("doc_id", "lang", "n_bytes", "n_compressed", "ratio")
         .orderBy("doc_id")

@@ -15,7 +15,8 @@ QUERIES="p4_in_filter a1_avg join_star_region w2_rolling_avg7 sim_topk \
 dedup_minhash_lsh c2_upsert_lww join_asof join_range join_bloom_semi \
 skew_join_salted t_tfidf_top a13_equifreq_bins o5_minmax_skipping \
 sim_lsh_ann_bucketed w10_range_frame graph_pagerank dedup_sorted_neighborhood \
-t_cooccur sim_triplet_mine t_oov_rate mm_decode_png o6_topk_per_key"
+t_cooccur sim_triplet_mine t_oov_rate mm_decode_png o6_topk_per_key \
+dedup_prefix_join t_weighted_sample"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
