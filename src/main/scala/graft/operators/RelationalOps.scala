@@ -824,7 +824,8 @@ object RelationalOps extends QueryModule {
          |ORDER BY l_returnflag""".stripMargin,
     "e_variant_agg" ->
       """SELECT event_type, count(*) AS n,
-        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
         |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // C6: same diff in SQL — full outer join of the two snapshots

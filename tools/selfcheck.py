@@ -61,7 +61,10 @@ for path in sorted(glob.glob(f"{OUT}/*/")):
 
 # driver-compat gate: the external driver pandas-sorts every result by all
 # columns before hashing; list/binary columns raise "unhashable type" there
-# even when the value compare above passes. Reproduce that here.
+# even when the value compare above passes. Reproduce that here. The driver
+# hash is also dtype-sensitive (e.g. DuckDB SUM(BIGINT) -> HUGEINT ->
+# float64 while Spark emits int64), so compare pandas dtypes for oracle
+# queries too — to_pylist() above coerces both to Python int and hides it.
 for path in sorted(glob.glob(f"{OUT}/*/")):
     name = path.rstrip("/").split("/")[-1]
     files = glob.glob(f"{path}*.parquet")
@@ -73,6 +76,23 @@ for path in sorted(glob.glob(f"{OUT}/*/")):
         df.sort_values(by=sorted(df.columns), inplace=True)
     except Exception as e:
         results[name] = f"DRIVER-UNHASHABLE {type(e).__name__}: {e}"
+        continue
+    if name in oracle and results.get(name, "").startswith("OK"):
+        try:
+            odf = con.execute(oracle[name]).df()
+        except Exception:
+            continue
+        # the driver hash tolerates date-object-vs-datetime64 and
+        # int32-vs-int64 (all hash-green in r03) but NOT float-vs-int
+        # (e_variant_agg r03: DuckDB SUM(BIGINT)->HUGEINT->float64 vs
+        # Spark int64 broke it) — flag only the float/int kind mismatch
+        diff = {}
+        for c in set(df.columns) & set(odf.columns):
+            gk, ok = df[c].dtype.kind, odf[c].dtype.kind
+            if {gk, ok} == {"f", "i"} or {gk, ok} == {"f", "u"}:
+                diff[c] = (str(df[c].dtype), str(odf[c].dtype))
+        if diff:
+            results[name] = f"DTYPE spark-vs-oracle {diff}"
 
 fails = 0
 for name, r in sorted(results.items()):
