@@ -65,6 +65,34 @@ object ReportSinks {
     ()
   }
 
+  /** K11: push-delivery sink (reference dags/currency_etl.py:91-110 POSTs
+    * the forecast chart + caption to every subscribed chat_id via the
+    * Telegram Bot API). Engine-side contract: dedup the subscriber
+    * registry, fan the (chat_id, caption, media) payload out ON THE
+    * EXECUTORS (foreachPartition — the side-effect sink shape SURVEY §2.2
+    * names for K11), delivery itself behind a pluggable [[PushTransport]].
+    * The HTTP POST is an engine boundary (zero-egress sandbox): tests
+    * inject a filesystem transport, production injects an HTTP client.
+    *
+    * Scale/semantics notes: media bytes ride a broadcast, not the rows,
+    * so a million-subscriber fan-out moves only chat_ids; Spark task
+    * retries can re-invoke the transport for a partition, so transports
+    * must be idempotent per (chat_id, md5(caption)) — exactly the
+    * at-least-once contract every foreach sink in Structured Streaming
+    * carries. Returns the number of distinct subscribers targeted. */
+  def pushReport(subscribers: DataFrame, caption: String,
+                 media: Array[Byte], transport: PushTransport): Long = {
+    val spark = subscribers.sparkSession
+    val bMedia = spark.sparkContext.broadcast(media)
+    val targets = subscribers.select(col("chat_id").cast("long")).distinct()
+      .localCheckpoint() // one registry scan feeds both count and fan-out
+    targets.foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach(r => transport.send(r.getLong(0), caption, bMedia.value))
+    }
+    targets.count()
+  }
+
   /** K5: per-currency one-row CSV files + a general summary CSV. */
   def writeCsvReports(perCurrency: DataFrame, outDir: String): Unit = {
     perCurrency.cache()

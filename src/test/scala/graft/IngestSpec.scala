@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{CurrencyPipeline, Ingest, ReportSinks, Subscriptions}
+import graft.pipeline.{CurrencyPipeline, Ingest, ReportSinks, SpoolDirTransport, Subscriptions}
 import org.apache.spark.sql.functions._
 
 /** Landing, discovery, backfill replay, subscriptions, report fan-out. */
@@ -98,5 +98,24 @@ class IngestSpec extends SparkSuite {
       if p != 0xFFFFFF && p != 0x808080
     } yield p).toSet
     assert(colored.contains(0xC83C23), s"series color missing: $colored")
+  }
+
+  test("K11 push sink: executor-side fan-out to every distinct subscriber") {
+    val subs = Seq((101L, "2025-09-01"), (202L, "2025-09-02"),
+      (101L, "2025-09-03"), (303L, "2025-09-04")) // 101 twice: dedup
+      .toDF("chat_id", "joined_at")
+    val spool = tmpDir()
+    val media = Array[Byte](0x42, 0x43, 0x44)
+    val n = ReportSinks.pushReport(subs, """{"usd":{"last":41.5}}""",
+      media, new SpoolDirTransport(spool))
+    assert(n === 3L)
+    val files = new java.io.File(spool).listFiles().map(_.getName).toSet
+    assert(files === Set("chat_101.json", "chat_101.png",
+      "chat_202.json", "chat_202.png", "chat_303.json", "chat_303.png"))
+    val caption = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(spool, "chat_202.json").toPath), "UTF-8")
+    assert(caption.contains("\"last\":41.5"))
+    assert(java.nio.file.Files.readAllBytes(
+      new java.io.File(spool, "chat_303.png").toPath).toSeq === media.toSeq)
   }
 }
