@@ -497,6 +497,34 @@ object Dedup extends QueryModule {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // FUZZY entity resolution via blocked edit distance — the record-
+    // linkage strategy for structured entities (customers, vendors,
+    // addresses) where token sets are too short for shingles: block on
+    // cheap exact keys (nation × market segment), compare names ONLY
+    // within a block, match at edit distance ≤ 2. The self-join is on
+    // the block key, so the pair space is Σ b² over block sizes — at
+    // 100 TB the blocking key is chosen (or salted) to bound b, exactly
+    // like the LSH bucket cap; levenshtein is codegen'd and runs
+    // map-side after the co-partitioned join. All-integer output, so
+    // both engines agree exactly.
+    "dedup_fuzzy_block" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+      c.as("a").join(c.as("b"),
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+        .withColumn("edit_dist",
+          levenshtein(col("a.c_name"), col("b.c_name")).cast("long"))
+        .filter(col("edit_dist") <= 2)
+        .select(col("a.c_custkey").as("key_a"),
+          col("b.c_custkey").as("key_b"), col("edit_dist"),
+          round(abs(col("a.c_acctbal") - col("b.c_acctbal")), 2)
+            .as("bal_gap"))
+        .orderBy("key_a", "key_b")
+    }),
+
     // embedding-cosine near-dup: exact NN for probe set vec_id < 100
     "dedup_embed_nn" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -558,6 +586,16 @@ object Dedup extends QueryModule {
         |       ELSE 'novel' END AS status,
         |  coalesce(index_keep, batch_min) AS keep_id
         |FROM b ORDER BY doc_id""".stripMargin,
+    "dedup_fuzzy_block" ->
+      """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist,
+        |  round(abs(a.c_acctbal - b.c_acctbal), 2) AS bal_gap
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        |  AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY key_a, key_b""".stripMargin,
     "dedup_sorted_neighborhood" ->
       """WITH s AS (SELECT doc_id, n_chars,
         |    list_distinct(string_split(text, ' ')) AS toks,

@@ -325,6 +325,21 @@ object RelationalOps extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // S12 — binaryFile scan: the multimodal ingest entry point (SURVEY
+    // LLM-pipeline tier) — a directory of opaque files lands as
+    // (path, length, content BINARY) rows with NO decode at scan time;
+    // Multimodal.scala's batch decoders take it from there. One file
+    // per row keeps the scan splittable ACROSS files (a million images
+    // fan out over the cluster; maxPartitionBytes packs small files per
+    // task), and the digest projection shows content flows through
+    // whole — the same md5 DuckDB computes from the raw bytes.
+    "s12_binaryfile_scan" -> ((s, _) =>
+      s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources")
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
+          col("length").as("size"), md5(col("content")).as("digest"))
+        .orderBy("filename")),
+
     // typed COGROUP (Dataset API): two keyed datasets co-partitioned and
     // streamed per key through arbitrary Scala — the escape hatch for
     // per-key logic a join+agg can't express, and the ONLY place this
@@ -524,6 +539,32 @@ object RelationalOps extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // C7 — SCD Type-2 dimension build: collapse each user's event_type
+    // change log into validity intervals [valid_from, valid_to) with a
+    // version number and an open (NULL valid_to) current row — the
+    // standard warehouse shape for "what was this attribute WHEN". Two
+    // windows over the SAME key (change detection via lag on the raw
+    // log, then valid_to via lead over the change rows) → Catalyst
+    // reuses one hash exchange on user_id; no self-join, no global
+    // sort. At 100 TB the change log is ts-partitioned and the build
+    // is incremental per partition — the per-key window shape is
+    // unchanged.
+    "c7_scd2_intervals" -> ((s, d) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("prev_type", lag("event_type", 1).over(byUser))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to", lead("ts", 1).over(byUser))
+        .withColumn("version", row_number().over(byUser).cast("long"))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"), col("version"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
     // A12 — partitioned HLL sketch maintenance: per-(day, type) HLL
     // states built once, then MERGED (hll_union_agg) to the type level
     // — the distinct-count analog of C5's mergeable MV state. At scale
@@ -673,6 +714,15 @@ object RelationalOps extends QueryModule {
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 0 THEN 'old' ELSE 'new' END AS gen
         |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+    // S12: DuckDB reads the same directory's raw bytes; the files are
+    // UTF-8 text, so md5(decode(blob)) hashes identical bytes to
+    // Spark's md5(binary content) — decode(), NOT a VARCHAR cast,
+    // which renders escape sequences for quotes/newlines
+    "s12_binaryfile_scan" ->
+      """SELECT regexp_extract(filename, '([^/]+)$', 1) AS filename,
+        |  size, md5(decode(content)) AS digest
+        |FROM read_blob('/root/repo/src/test/resources/*')
+        |ORDER BY 1""".stripMargin,
     "p1_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
@@ -844,6 +894,23 @@ object RelationalOps extends QueryModule {
         |FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id)
         |SELECT event_id, change_type, old_value, new_value FROM d
         |WHERE change_type IS NOT NULL ORDER BY event_id""".stripMargin,
+    // C7: same two-window SCD2 build — change rows via lag over the raw
+    // log, then valid_to/version via lead/row_number over the changes
+    "c7_scd2_intervals" ->
+      """WITH raw AS (SELECT user_id, event_type,
+        |  CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_type
+        |FROM events),
+        |chg AS (SELECT * FROM raw
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     // C5: full recompute — must equal the merged incremental state
     "c5_incremental_agg" ->
       """SELECT event_type, count(*) AS n_events,

@@ -140,6 +140,33 @@ object WindowOps extends QueryModule {
         .orderBy("user_id", "event_id")
     }),
 
+    // W11 — exponentially-weighted moving average (the smoothing the
+    // reference's pandas ewm() would give): per-key trailing-20-row
+    // kernel, weight (1-α)^age with α=0.3, normalized by the kernel's
+    // own weight sum (pandas adjust=True). The kernel rides ONE
+    // collect_list window per key — the truncated-kernel formulation is
+    // the distributed shape: an exact infinite-history EWMA is a serial
+    // recurrence (y_i needs y_{i-1}), but (0.7)^20 ≈ 8e-4 bounds the
+    // truncation error below the 1e-6 output rounding, so the windowed
+    // kernel is exact at the emitted precision and each row computes
+    // independently. Weights are exact double powers; both engines fold
+    // the ≤20-element list left-to-right; round(6) absorbs the last-ulp.
+    "w11_ewma" -> ((s, d) => {
+      val w = oldestFirst.rowsBetween(-19, 0)
+      val xs = col("xs")
+      val wSum = aggregate(
+        transform(xs, (_, i) => pow(lit(0.7), size(xs).cast("double") - 1 - i)),
+        lit(0.0), _ + _)
+      val wxSum = aggregate(
+        transform(xs, (x, i) => x * pow(lit(0.7), size(xs).cast("double") - 1 - i)),
+        lit(0.0), _ + _)
+      Tables.events(s, d)
+        .withColumn("xs", collect_list("value").over(w))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(wxSum / wSum, 6).as("ewma"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // C2 — last-write-wins keyed upsert: newest row per (user_id,
     // event_type) survives; replay-order-safe because recency is taken
     // from the data (ts), not arrival order.
@@ -220,6 +247,17 @@ object WindowOps extends QueryModule {
          |  l.roll_avg AS forecast
          |FROM latest l CROSS JOIN generate_series(1, 5) AS g(i)
          |ORDER BY user_id, day""".stripMargin,
+    "w11_ewma" ->
+      """WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+        |FROM events)
+        |SELECT user_id, event_id, ts,
+        |  round(
+        |    list_sum(list_transform(xs, (x, i) -> x * pow(0.7, len(xs) - i)))
+        |    / list_sum(list_transform(xs, (x, i) -> pow(0.7, len(xs) - i))),
+        |  6) AS ewma
+        |FROM l ORDER BY user_id, ts, event_id""".stripMargin,
     "c2_upsert_lww" ->
       """WITH r AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
