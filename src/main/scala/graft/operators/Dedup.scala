@@ -506,9 +506,15 @@ object Dedup extends QueryModule {
     // 100 TB the blocking key is chosen (or salted) to bound b, exactly
     // like the LSH bucket cap; levenshtein is codegen'd and runs
     // map-side after the co-partitioned join. All-integer output, so
-    // both engines agree exactly.
+    // both engines agree exactly. Universe restricted to every 4th
+    // customer ONLY to bound the oracle's identical in-block pair
+    // space (the same discipline as dedup_prefix_join's one-language
+    // universe); block sizes, not universe filters, are the real
+    // scale control.
     "dedup_fuzzy_block" -> ((s, d) => {
-      val c = Tables.customer(s, d).select(
+      val c = Tables.customer(s, d)
+        .filter(col("c_custkey") % 4 === 0)
+        .select(
         col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"), col("c_acctbal"))
       c.as("a").join(c.as("b"),
@@ -590,7 +596,8 @@ object Dedup extends QueryModule {
       """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist,
         |  round(abs(a.c_acctbal - b.c_acctbal), 2) AS bal_gap
-        |FROM customer a JOIN customer b
+        |FROM (SELECT * FROM customer WHERE c_custkey % 4 = 0) a
+        |JOIN (SELECT * FROM customer WHERE c_custkey % 4 = 0) b
         |  ON a.c_nationkey = b.c_nationkey
         |  AND a.c_mktsegment = b.c_mktsegment
         |  AND a.c_custkey < b.c_custkey

@@ -583,25 +583,21 @@ object RelationalOps extends QueryModule {
     }),
 
     // A13 — equal-frequency binning (the ML feature-bucketizer): decile
-    // boundaries from ONE exact-percentile aggregate, broadcast back,
-    // bin assignment as a narrow comparison fold — never a global
-    // ntile window (a partition-less sort that dies at scale). Both
-    // engines interpolate percentiles identically; boundaries are
-    // rounded before comparison so bin edges agree.
+    // boundaries by DISTRIBUTED SELECTION (Quantiles.exactQuantiles —
+    // one range shuffle, bounded driver state; replaces the value-map
+    // `percentile` aggregate whose one-task merge was ~2.4 s here and
+    // an OOM at 100 TB), bin assignment as a narrow literal comparison
+    // fold — never a global ntile window. Both engines interpolate
+    // identically; boundaries are rounded to 6 before comparison so
+    // bin edges agree.
     "a13_equifreq_bins" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      // ONE array-percentile aggregate: nine scalar percentile() calls
-      // would each keep their own value map and 9× the merge work
-      val pcts = (1 to 9).map(i => s"0.$i").mkString(", ")
-      val bounds = li
-        .agg(expr(s"percentile(l_extendedprice, array($pcts))").as("bs"))
-        .select((1 to 9).map(i =>
-          round(element_at(col("bs"), i), 6).as(s"b$i")): _*)
-      val bin = (1 to 9).map(i =>
-        when(col("l_extendedprice") > col(s"b$i"), 1).otherwise(0))
+      val bs = Quantiles.exactQuantilesRounded6(
+        li, "l_extendedprice", (1 to 9).map(_ / 10.0))
+      val bin = bs.map(b =>
+        when(col("l_extendedprice") > lit(b), 1).otherwise(0))
         .reduce(_ + _) + 1
-      li.select(col("l_extendedprice")).crossJoin(broadcast(bounds))
-        .select(bin.cast("long").as("bin"), col("l_extendedprice"))
+      li.select(bin.cast("long").as("bin"), col("l_extendedprice"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_rows"),
           min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
@@ -626,20 +622,16 @@ object RelationalOps extends QueryModule {
         Sql.dsum(col("l_extendedprice"), 2).as("sum_price"))
     }),
 
-    // A14 — winsorization (outlier clipping at [p05, p95]): same
-    // one-aggregate-then-broadcast shape as A13 — the clip bounds come
-    // from a single array-percentile pass, the clip itself is a narrow
-    // map. Sums in exact decimal so both engines agree bit-for-bit.
+    // A14 — winsorization (outlier clipping at [p05, p95]): clip bounds
+    // by the same distributed selection as A13 (never a value-map
+    // percentile), the clip itself a narrow literal map. Sums in exact
+    // decimal so both engines agree bit-for-bit.
     "a14_winsorize" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val bounds = li
-        .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("bs"))
-        .select(round(element_at(col("bs"), 1), 6).as("lo"),
-          round(element_at(col("bs"), 2), 6).as("hi"))
-      li.crossJoin(broadcast(bounds))
-        .select(col("l_returnflag"),
-          greatest(least(col("l_extendedprice"), col("hi")), col("lo"))
-            .as("w"))
+      val Seq(lo, hi) = Quantiles.exactQuantilesRounded6(
+        li, "l_extendedprice", Seq(0.05, 0.95))
+      li.select(col("l_returnflag"),
+          greatest(least(col("l_extendedprice"), lit(hi)), lit(lo)).as("w"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           graft.Sql.dsum(col("w"), scale = 6).as("sum_w"),

@@ -8,6 +8,31 @@ import org.apache.spark.sql.functions._
 class OperatorSpec extends SparkSuite {
   import spark.implicits._
 
+  test("Quantiles selection ≡ percentile aggregate, including ties/edges") {
+    import graft.operators.Quantiles
+    // duplicates, negative values, and a null; probs hitting exact ranks
+    // (0, 1, median of even n) and interpolated positions
+    val df = Seq[java.lang.Double](5.0, 1.0, 3.0, 3.0, -2.0, 9.0, 7.0, null)
+      .toDF("x")
+    val probs = Seq(0.0, 0.1, 0.25, 0.5, 0.9, 1.0)
+    val got = Quantiles.exactQuantiles(df, "x", probs, parts = 3)
+    val want = df.agg(expr(
+      s"percentile(x, array(${probs.mkString(",")}))")).head.getSeq[Double](0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"got $got want $want") }
+    // more partitions than rows (empty partitions on both flanks)
+    val tiny = Seq(42.0).toDF("x")
+    assert(Quantiles.exactQuantiles(tiny, "x", Seq(0.0, 0.5, 1.0), parts = 8)
+      === Seq(42.0, 42.0, 42.0))
+    // distinct-heavy column at sf0.001 against the aggregate
+    val li = Tables.lineitem(spark, sf())
+    val g2 = Quantiles.exactQuantiles(li, "l_extendedprice", Seq(0.05, 0.95))
+    val w2 = li.agg(expr("percentile(l_extendedprice, array(0.05, 0.95))"))
+      .head.getSeq[Double](0)
+    g2.zip(w2).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-9 * math.abs(w), s"got $g2 want $w2") }
+  }
+
   test("multimodal: histogram normalized, frames sampled, bytes intact") {
     val media = Multimodal.mediaTable(spark, sf())
     val feats = Multimodal.extractFeatures(media).collect()
