@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{CosineSimilarity, DotProduct, JaccardSets, MinHash64, RollingMinHash, SimHash64}
+import graft.functions.{CosineSimilarity, DotProduct, IntersectSizeSorted, JaccardSets, MinHash64, RollingMinHash, SimHash64}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => MinHash64(exprs.head)))
     e.injectFunction((FunctionIdentifier("jaccard_sets"), info("jaccard_sets"),
       (exprs: Seq[Expression]) => JaccardSets(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("intersect_size_sorted"),
+      info("intersect_size_sorted"),
+      (exprs: Seq[Expression]) => IntersectSizeSorted(exprs.head, exprs(1))))
     e.injectFunction((FunctionIdentifier("cms_estimate"), info("cms_estimate"),
       (exprs: Seq[Expression]) => {
         if (exprs.length != 2)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for the embedding hot path.
   *
@@ -325,6 +325,48 @@ case class JaccardSets(left: Expression, right: Expression)
       classOf[JaccardSets].getName)
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = (Double) $self.nullSafeEval($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** |A ∩ B| of two LEXICOGRAPHICALLY SORTED, duplicate-free ARRAY<STRING>
+  * by linear merge — no hashing, no allocation, no materialized
+  * intersection (`array_intersect` builds a per-row hash set AND an
+  * output array the caller immediately reduces to a size). The verify
+  * stage of the exact prefix join runs this over every surviving
+  * candidate pair, so the per-pair constant is the stage's cost.
+  * Callers must pre-sort with `array_sort` (UTF8String binary order —
+  * the same ordering the merge compares with); sortedness is the
+  * caller's contract, not re-checked per row. */
+case class IntersectSizeSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_size_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    java.lang.Integer.valueOf(inter)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("intersectSizeSorted", this,
+      classOf[IntersectSizeSorted].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (Integer) $self.nullSafeEval($a, $b);")
   }
 
   override protected def withNewChildrenInternal(

@@ -401,6 +401,7 @@ object Dedup extends QueryModule {
     // ONLY so the oracle's O(n²) brute force stays feasible; the
     // operator itself never goes quadratic.
     "dedup_prefix_join" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
       val u = Tables.documents(s, d).filter(col("lang") === "de")
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
         .localCheckpoint() // feeds tokenization, prefixes, AND verify
@@ -412,20 +413,37 @@ object Dedup extends QueryModule {
         .select(col("doc_id"),
           expr("transform(st, s -> s.tok)").as("sorted_toks"),
           size(col("st")).as("n"))
-      val prefix = ordered.select(col("doc_id"),
-        explode(expr("slice(sorted_toks, 1, n - (4*n + 4) DIV 5 + 1)"))
-          .as("tok"))
+      // prefix keys with their 1-based position: the candidate join
+      // prunes with the LENGTH filter (5·min(na,nb) ≥ 4·max — else even
+      // a full overlap misses 0.8) and the POSITIONAL filter (the
+      // intersection is ≤ tokens-before + this token + min remaining
+      // suffix; 9i ≥ 4(na+nb) must still be reachable). Both are
+      // per-row-sound upper bounds, so every row of a qualifying pair
+      // survives — lossless, ~2× fewer candidates reach the verify.
+      val prefix = ordered.select(col("doc_id"), col("n"),
+          posexplode(expr("slice(sorted_toks, 1, n - (4*n + 4) DIV 5 + 1)")))
+        .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"),
+          col("col").as("tok"))
       val cand = prefix.as("x").join(prefix.as("y"), Seq("tok"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
+        .filter(col("x.doc_id") < col("y.doc_id") &&
+          lit(5) * least(col("x.n"), col("y.n")) >=
+            lit(4) * greatest(col("x.n"), col("y.n")) &&
+          lit(9) * (least(col("x.p"), col("y.p")) +
+            least(col("x.n") - col("x.p"), col("y.n") - col("y.p"))) >=
+            lit(4) * (col("x.n") + col("y.n")))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val sets = u.select(col("doc_id"), col("toks"))
+      // verify on lexicographically sorted sets with the native
+      // sorted-merge intersect — no per-pair hash set, no materialized
+      // intersection array
+      val sets = u.select(col("doc_id"), array_sort(col("toks")).as("stoks"))
       cand
         .join(sets.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("toks", "set_a"), Seq("doc_a"))
+          .withColumnRenamed("stoks", "set_a"), Seq("doc_a"))
         .join(sets.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("toks", "set_b"), Seq("doc_b"))
-        .withColumn("i", size(array_intersect(col("set_a"), col("set_b"))))
+          .withColumnRenamed("stoks", "set_b"), Seq("doc_b"))
+        .withColumn("i", column(graft.functions.IntersectSizeSorted(
+          expression(col("set_a")), expression(col("set_b")))))
         .withColumn("un", size(col("set_a")) + size(col("set_b")) - col("i"))
         .filter(col("i") * 5 >= col("un") * 4)
         .select(col("doc_a"), col("doc_b"),

@@ -137,4 +137,22 @@ class DedupSpec extends SparkSuite {
     assert(res.length === 1 && res.head.getAs[Long]("keep") === 0L &&
       res.head.getAs[Long]("n") === 2L)
   }
+
+  test("native IntersectSizeSorted equals size(array_intersect) on sorted sets") {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val pairs = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")), // partial overlap
+      (Seq("a", "b"), Seq("c", "d")),           // disjoint
+      (Seq("a", "b", "c"), Seq("a", "b", "c")), // identical
+      (Seq.empty[String], Seq("a")),            // empty side
+      (Seq("aa", "ab"), Seq("ab", "b"))         // shared prefixes
+    ).toDF("xs", "ys")
+      .select(array_sort(col("xs")).as("xs"), array_sort(col("ys")).as("ys"))
+    val got = pairs.select(column(graft.functions.IntersectSizeSorted(
+      expression(col("xs")), expression(col("ys")))).as("i"))
+      .as[Int].collect().toSeq
+    val want = pairs.select(size(array_intersect(col("xs"), col("ys"))))
+      .as[Int].collect().toSeq
+    assert(got === want && got === Seq(2, 0, 3, 0, 1))
+  }
 }
