@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryModule, Tables}
+import graft.{QueryModule, Sql, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -435,6 +435,38 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Bigram language-model scoring — the statistical quality signal a
+    // curation pipeline ranks documents with (low mean log-probability
+    // = unnatural/garbled text): corpus bigram counts with add-one
+    // smoothing, P(w2|w1) = (C(w1w2)+1)/(C(w1·)+V), per-doc mean log10.
+    // Three aggregates off ONE bigram explode (bigram counts, context
+    // counts, vocab size) joined back map-side; per-bigram logs rounded
+    // to 9 then decimal-summed so the per-doc mean is order-free and
+    // engine-identical (the a9 sqrt discipline). At 100 TB the count
+    // tables are exactly the LM-training shape: key-partitioned
+    // aggregates, no global state beyond the broadcast V scalar.
+    "t_bigram_lm" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val bi = t.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), " +
+            "i -> struct(ts[i] AS w1, concat(ts[i], ' ', ts[i+1]) AS bg))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
+      val cb = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = t.select(explode(col("ts")).as("w"))
+        .agg(count_distinct(col("w")).as("v"))
+      bi.join(cb, "bg").join(c1, "w1").crossJoin(broadcast(v))
+        .withColumn("lp", round(log10(
+          (col("cb") + lit(1)).cast("double") / (col("c1") + col("v"))), 9))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(Sql.davg(col("lp"), 9), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // BPE-ish regex tokenization (robust to punctuation/whitespace runs)
     "t_tokens_bpe" -> ((s, d) =>
       Tables.documents(s, d)
@@ -641,6 +673,23 @@ object TextAnalysis extends QueryModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    / 2048) AS BIGINT) AS pack_id
         |FROM t ORDER BY doc_id""".stripMargin,
+    "t_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> {'w1': ts[i], 'bg': ts[i] || ' ' || ts[i+1]})) AS z FROM t),
+        |b2 AS (SELECT doc_id, (z).w1 AS w1, (z).bg AS bg FROM bi),
+        |cb AS (SELECT bg, count(*) AS cb FROM b2 GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(ts) AS w FROM t)),
+        |sc AS (SELECT doc_id,
+        |  round(log10(CAST(cb + 1 AS DOUBLE) / (c1 + v)), 9) AS lp
+        |  FROM b2 JOIN cb USING (bg) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_tfidf_top" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
         |  FROM documents),
