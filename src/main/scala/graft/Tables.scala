@@ -40,6 +40,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
+  /** Fan a CPU-heavy narrow kernel out to every core when the upstream
+    * scan produced fewer partitions than the session's parallelism.
+    * Small inputs arrive as one file ⇒ one partition ⇒ a single-threaded
+    * kernel no matter how many cores the session has (measured: the
+    * whole MinHash signature pass ran on 1 of 32 cores at sf0.1). At
+    * 100 TB the file count already provides parallelism and this is a
+    * no-op — the guard keeps the extra exchange out of the plan when
+    * it buys nothing. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Explicit schema for the events table — needed by the Structured
     * Streaming file source (readStream requires a user schema). */
   val eventsSchema: StructType = StructType(Seq(

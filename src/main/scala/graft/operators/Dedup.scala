@@ -67,10 +67,17 @@ object Dedup extends QueryModule {
     * collisions — `cappedSelfJoin` over the banded signatures (see that
     * method for the scale controls). */
   def minhashCandidates(docs: DataFrame, maxBucket: Int = 256): DataFrame =
-    // materialize the (small) pair set: downstream consumers scan it
-    // several times (verify joins, edge union) — never recompute the
-    // LSH join per scan
-    cappedSelfJoin(lshBands(minhashSignatures(docs)), maxBucket = maxBucket)
+    // Signatures are computed over a FANNED-OUT scan (small corpora
+    // arrive as one file ⇒ one partition ⇒ the most CPU-expensive
+    // kernel of the pipeline on a single core) and PINNED before the
+    // band fan-out so the self-join's two sides and the stats window
+    // never re-run the shingle+hash pass. The final pair set is
+    // materialized too: downstream consumers scan it several times
+    // (verify joins, edge union) — never recompute the LSH join per
+    // scan.
+    cappedSelfJoin(
+        lshBands(minhashSignatures(Tables.fanOut(docs)).localCheckpoint()),
+        maxBucket = maxBucket)
       .localCheckpoint()
 
   /** Capped per-bucket self-join — THE pair generator both LSH paths
@@ -82,12 +89,13 @@ object Dedup extends QueryModule {
     * Scale controls — the two knobs that keep this stage sub-quadratic
     * on a real corpus:
     *
-    *  1. The banded frame is materialized ONCE (`localCheckpoint`)
-    *     before the self-join. Without it the scan→shingle→signature
-    *     subtree appears on BOTH sides of the join and the most
-    *     expensive stage of the whole pipeline runs twice. (At cluster
-    *     scale swap localCheckpoint for a reliable checkpoint dir or
-    *     write-and-reread — same shape, executor-loss-safe.)
+    *  1. The stats-enriched banded frame is materialized ONCE
+    *     (`localCheckpoint`) before the self-join. Without it the
+    *     scan→signature subtree appears on BOTH sides of the join and
+    *     the most expensive stage of the whole pipeline runs twice.
+    *     (At cluster scale swap localCheckpoint for a reliable
+    *     checkpoint dir or write-and-reread — same shape,
+    *     executor-loss-safe.)
     *
     *  2. Hot buckets are capped: a bucket with more than `maxBucket`
     *     members (boilerplate — license headers, templates, empty
@@ -102,17 +110,24 @@ object Dedup extends QueryModule {
     *     production LSH dedup pays to bound the pair space. */
   def cappedSelfJoin(bandsIn: DataFrame, payload: Seq[String] = Nil,
                      maxBucket: Int = 256): DataFrame = {
-    val bands = bandsIn.localCheckpoint()
-    // min(struct(doc_id, payload…)) picks the hub row WITH its payload
-    // in the same aggregate (struct min is lexicographic, doc_id first)
-    val stats = bands.groupBy("band", "bh")
-      .agg(count(lit(1)).as("bsz"),
-        min(struct((col("doc_id") +: payload.map(col)): _*)).as("hubrow"))
-    val keep = bands.join(
-      stats.filter(col("bsz") <= maxBucket).select("band", "bh"),
-      Seq("band", "bh"))
-    val allPairs = keep.as("x")
-      .join(keep.as("y"), Seq("band", "bh"))
+    // Bucket size and hub row ride a WINDOW over (band, bh) instead of a
+    // groupBy + join-back: the scan→shingle→signature subtree is planned
+    // ONCE (a join would put it on both sides), there is exactly one
+    // exchange, and the enriched frame is the single materialization
+    // point for the self-join/star split below — measured ~2× fewer
+    // jobs than checkpointing bands first and re-joining stats per
+    // consumer. min(struct(doc_id, payload…)) picks the hub row WITH
+    // its payload in the same pass (struct min is lexicographic,
+    // doc_id first).
+    val w = Window.partitionBy("band", "bh")
+    val enriched = bandsIn
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("hubrow",
+        min(struct((col("doc_id") +: payload.map(col)): _*)).over(w))
+      .localCheckpoint()
+    val small = enriched.filter(col("bsz") <= maxBucket)
+    val allPairs = small.as("x")
+      .join(small.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a") +:
         col("y.doc_id").as("doc_b") +:
@@ -120,10 +135,9 @@ object Dedup extends QueryModule {
          payload.map(c => col(s"y.$c").as(s"${c}_b"))): _*)
     // hub = min doc_id of the bucket, so doc_a < doc_b holds by
     // construction for every star pair
-    val starPairs = bands.join(
-        stats.filter(col("bsz") > maxBucket).select("band", "bh", "hubrow"),
-        Seq("band", "bh"))
-      .filter(col("doc_id") =!= col("hubrow.doc_id"))
+    val starPairs = enriched
+      .filter(col("bsz") > maxBucket &&
+        col("doc_id") =!= col("hubrow.doc_id"))
       .select(col("hubrow.doc_id").as("doc_a") +:
         col("doc_id").as("doc_b") +:
         (payload.map(c => col(s"hubrow.$c").as(s"${c}_a")) ++
@@ -325,7 +339,11 @@ object Dedup extends QueryModule {
     // uncapped join would go quadratic; the signature rides as payload
     // so the Hamming filter needs no extra join back to `sig`.
     "dedup_simhash" -> ((s, d) => {
-      val sig = simhashSignatures(Tables.documents(s, d))
+      // fanned out + pinned like minhashCandidates' signatures: the
+      // single-file scan would run the tokenize-hash-fold on one core,
+      // and the band fan-out plus the final join would re-run it
+      val sig = simhashSignatures(Tables.fanOut(Tables.documents(s, d)))
+        .localCheckpoint()
       // materialize the filtered pair set ONCE: perDoc scans it from
       // both sides of a union, and without this the band self-join +
       // distinct would execute twice (same discipline as
@@ -515,6 +533,31 @@ object Dedup extends QueryModule {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // CONTAINMENT scoring — the asymmetric cousin of Jaccard: |A∩B|/|A|
+    // detects quotes, excerpts, and supersets that near-dup Jaccard
+    // misses (a doc fully contained in a 10× larger one has J ≈ 0.1 but
+    // containment 1.0 — the train/test leak shape). Same consecutive-id
+    // pair universe as dedup_ngram_jaccard; intersection via the native
+    // sorted-merge expression, no per-pair hashing.
+    "dedup_containment" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      val sets = Tables.documents(s, d).select(col("doc_id"),
+        array_sort(array_distinct(tokens(col("text")))).as("st"))
+      val a = sets.select(col("doc_id").as("doc_a"), col("st").as("set_a"))
+      val b = sets.select((col("doc_id") - 1).as("doc_a"),
+        col("doc_id").as("doc_b"), col("st").as("set_b"))
+      a.join(b, "doc_a")
+        .withColumn("i", column(graft.functions.IntersectSizeSorted(
+          expression(col("set_a")), expression(col("set_b")))).cast("long"))
+        .select(col("doc_a"), col("doc_b"), col("i"),
+          round(col("i").cast("double") / size(col("set_a")), 6)
+            .as("cont_a"),
+          round(col("i").cast("double") / size(col("set_b")), 6)
+            .as("cont_b"),
+          (col("i") * 5 >= size(col("set_a")) * 4).as("a_in_b"))
+        .orderBy("doc_a")
+    }),
+
     // FUZZY entity resolution via blocked edit distance — the record-
     // linkage strategy for structured entities (customers, vendors,
     // addresses) where token sets are too short for shingles: block on
@@ -610,6 +653,19 @@ object Dedup extends QueryModule {
         |       ELSE 'novel' END AS status,
         |  coalesce(index_keep, batch_min) AS keep_id
         |FROM b ORDER BY doc_id""".stripMargin,
+    "dedup_containment" ->
+      """WITH sets AS (SELECT doc_id,
+        |  list_distinct(string_split(text, ' ')) AS toks FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS i,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(a.toks), 6) AS cont_a,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(b.toks), 6) AS cont_b,
+        |  len(list_intersect(a.toks, b.toks)) * 5 >= len(a.toks) * 4
+        |    AS a_in_b
+        |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
     "dedup_fuzzy_block" ->
       """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist,
