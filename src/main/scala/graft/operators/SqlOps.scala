@@ -32,6 +32,27 @@ object SqlOps extends QueryModule {
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |ORDER BY o_orderkey""".stripMargin,
+    // correlated EXISTS + NOT EXISTS in one predicate — Spark
+    // decorrelates both into semi/anti joins (never a per-row
+    // re-execution), which is the plan shape that survives scale
+    "sql_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |        WHERE o2.o_custkey = c.c_custkey
+        |          AND o2.o_totalprice < 2000)
+        |ORDER BY c_custkey""".stripMargin,
+    // bag-semantics set op: EXCEPT ALL keeps multiplicity (a customer
+    // with 5 big orders and 2 late ones survives 3 times) — the
+    // row-accounting semantics DISTINCT-based set_except can't express
+    "sql_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
     "sql_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15

@@ -304,7 +304,10 @@ object TextAnalysis extends QueryModule {
     // min-support threshold prunes the long tail after the partial
     // aggregate.
     "t_cooccur" -> ((s, d) =>
-      Tables.documents(s, d)
+      // fanned out: the O(k²) per-doc pair generation is the rare
+      // CPU-bound kernel heavy enough to beat the repartition cost of a
+      // one-file scan (see Tables.fanOut)
+      Tables.fanOut(Tables.documents(s, d))
         .select(array_sort(array_distinct(tokens(col("text")))).as("toks"))
         .select(explode(expr(
           """flatten(transform(toks, (x, i) ->
