@@ -609,9 +609,97 @@ object Dedup extends QueryModule {
         .select(col("q_id"), col("vec_id").as("nn_id"), col("cos").as("nn_cos"),
           (col("cos") >= 0.95).as("is_dup"))
         .orderBy("q_id")
+    }),
+
+    // SEGMENT-level exact dedup (the RefinedWeb/CCNet "drop duplicated
+    // paragraphs across the corpus, keep first occurrence" pass —
+    // /root/reference has no analogue; this is LLM-pipeline tier).
+    // Segments here are non-overlapping 3-token windows (this corpus
+    // has no paragraph breaks; the window width is the only corpus-
+    // specific knob). Two shuffles total: one groupBy-window on the
+    // segment string to find each segment's first (doc_id, k), one
+    // per-doc regroup to reassemble kept text — no self-join, no
+    // corpus-wide window, both keys high-cardinality ⇒ even partitions
+    // at 100 TB. First-occurrence is min(doc_id·10⁵+k), deterministic.
+    "dedup_segments" -> ((s, d) => {
+      val segW = 3
+      val wSeg = Window.partitionBy("seg")
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            ceil(size(col("toks")) / lit(segW.toDouble)) - 1)).as("k"))
+        .select(col("doc_id"), col("k"),
+          array_join(slice(col("toks"), (col("k") * segW + 1).cast("int"),
+            lit(segW)), " ").as("seg"))
+        .withColumn("key", col("doc_id") * 100000 + col("k"))
+        .withColumn("first_key", min("key").over(wSeg))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("key") =!= col("first_key"), 1L).otherwise(0L))
+            .as("n_dup_removed"),
+          array_join(transform(
+            array_sort(collect_list(when(col("key") === col("first_key"),
+              struct(col("k"), col("seg"))))),
+            x => x.getField("seg")), " ").as("kept_text"))
+        .orderBy("doc_id")
+    }),
+
+    // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): KMeans coarse
+    // clusters over the embeddings (sampled fit via Similarity.ivfIndex),
+    // pairwise cosine ONLY within a cluster (the pair space is Σ b² over
+    // cluster sizes, bounded exactly like an LSH bucket — and routed
+    // through the same cappedSelfJoin hub-star guard), threshold at
+    // cos ≥ 0.96, connected components, keep each component's min id.
+    // Rows-only (KMeans assignment is engine-internal); DedupSpec plants
+    // semantic near-duplicates and asserts they collapse.
+    "dedup_semantic" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      semanticSurvivors(e)
+        .select(col("vec_id"), col("component"), col("is_survivor"))
+        .orderBy("vec_id")
     }))
 
+  /** SemDeDup core: cluster-bounded cosine pairs → components →
+    * survivor flags. Separated from the query so DedupSpec can drive it
+    * with planted duplicates. `k` clusters bound the candidate space;
+    * the within-cluster join reuses cappedSelfJoin (cluster id as the
+    * bucket) so a degenerate cluster degrades to hub-star instead of b². */
+  def semanticSurvivors(e: DataFrame, k: Int = 16, tau: Double = 0.96,
+                        maxCluster: Int = 1024): DataFrame = {
+    val (assigned, _) = Similarity.ivfIndex(e, k)
+    val buckets = assigned.select(col("vec_id").as("doc_id"), col("emb"),
+      lit(0).as("band"), col("cluster").as("bh"))
+    val pairs = cappedSelfJoin(buckets, payload = Seq("emb"),
+        maxBucket = maxCluster)
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= tau)
+      .select("doc_a", "doc_b")
+    survivors(e.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("component"),
+        col("is_survivor"))
+  }
+
   def oracles: Map[String, String] = Map(
+    "dedup_segments" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |segs AS (SELECT doc_id, l,
+        |    unnest(range(0, CAST(ceil(len(l) / 3.0) AS BIGINT))) AS k
+        |  FROM d),
+        |seg2 AS (SELECT doc_id, k,
+        |    array_to_string(l[k*3+1 : k*3+3], ' ') AS seg,
+        |    doc_id * 100000 + k AS key
+        |  FROM segs),
+        |m AS (SELECT *, min(key) OVER (PARTITION BY seg) AS first_key
+        |  FROM seg2)
+        |SELECT doc_id, count(*) AS n_segs,
+        |  CAST(sum(CASE WHEN key <> first_key THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_removed,
+        |  coalesce(string_agg(CASE WHEN key = first_key THEN seg END,
+        |    ' ' ORDER BY k), '') AS kept_text
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

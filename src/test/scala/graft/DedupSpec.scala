@@ -138,6 +138,33 @@ class DedupSpec extends SparkSuite {
       res.head.getAs[Long]("n") === 2L)
   }
 
+  test("semantic dedup collapses planted embedding near-dups only") {
+    // two planted duplicate groups (cos > 0.99 within group) in a sea of
+    // independent gaussian vectors (pairwise cos ~ 0 at dim 16): SemDeDup
+    // must put each group in one component with the min id surviving, and
+    // must not merge any of the unrelated vectors
+    val rnd = new scala.util.Random(11)
+    def gauss(): Array[Double] = Array.fill(16)(rnd.nextGaussian())
+    def jitter(v: Array[Double]): Array[Double] =
+      v.map(_ + rnd.nextGaussian() * 0.01)
+    val a = gauss(); val b = gauss()
+    val rows = Seq((0L, a), (1L, jitter(a)), (2L, jitter(a)),
+      (10L, b), (11L, jitter(b))) ++
+      (100L until 130L).map(i => (i, gauss()))
+    val e = rows.toDF("vec_id", "emb")
+    val got = semanticSurvivors(e, k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(Seq(0L, 1L, 2L).map(got(_)._1).distinct === Seq(0L),
+      "group A must share component 0")
+    assert(Seq(10L, 11L).map(got(_)._1).distinct === Seq(10L),
+      "group B must share component 10")
+    assert(got(0L)._2 && !got(1L)._2 && !got(2L)._2 &&
+      got(10L)._2 && !got(11L)._2)
+    val unrelated = (100L until 130L).map(got(_))
+    assert(unrelated.forall(_._2), "independent vectors must all survive")
+  }
+
   test("native IntersectSizeSorted equals size(array_intersect) on sorted sets") {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val pairs = Seq(
