@@ -373,3 +373,80 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Product-quantization encoder: per-subspace nearest-centroid codes for
+  * an ARRAY<DOUBLE> vector against driver-trained codebooks (a plan
+  * constant carried inside the expression and reached from generated
+  * code via addReferenceObj). Replaces the builtin composition
+  * (m × ksub slice/zip_with/aggregate subtrees — a ~5000-node expression
+  * whose analysis + janino compile dominated query setup) with ONE
+  * expression evaluating a fused triple loop, no per-subspace allocation.
+  * Ties break to the lowest code, matching the
+  * array_position(array_min) spec formulation (asserted in
+  * SimilaritySpec). */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private val m = books.length
+  private val ksub = books(0).length
+  private val dsub = books(0)(0).length
+  // codebooks flattened to [((j·ksub)+c)·dsub + i] for a cache-friendly
+  // scan; rebuilt lazily on each deserialized executor copy
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](m * ksub * dsub)
+    var o = 0
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        var i = 0
+        while (i < dsub) { f(o) = books(j)(c)(i); o += 1; i += 1 }
+        c += 1
+      }
+      j += 1
+    }
+    f
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var s = 0.0
+        var i = 0
+        while (i < dsub) {
+          val t = v.getDouble(j * dsub + i) - flat(base + i)
+          s += t * t
+          i += 1
+        }
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  // interpreted kernel invoked from generated code (same shape as
+  // RollingMinHash): the per-row cost is the fused loop itself; inlining
+  // its source into the generated method would buy nothing
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEncode", this,
+      classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

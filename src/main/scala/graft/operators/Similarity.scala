@@ -170,7 +170,185 @@ object Similarity extends QueryModule {
     (assigned, centroids.toDF("cluster", "centroid"))
   }
 
+  /** Product-quantization codebooks (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): split the L2-normalized
+    * vector into `m` subspaces and learn `ksub` centroids per subspace by
+    * Lloyd's algorithm over a seeded bounded sample collected to the
+    * driver. The codebooks are a corpus-independent constant
+    * (m·ksub·(dim/m) doubles = one small literal in the plan); the
+    * corpus-scale passes — encode and the ADC scan — stay distributed.
+    * Deterministic end to end: seeded sample, first-distinct-points init,
+    * lowest-index tie-breaks, fixed iteration count. */
+  def pqCodebooks(e: DataFrame, m: Int = 16, ksub: Int = 16,
+                  sampleN: Int = 2048): Array[Array[Array[Double]]] = {
+    val n = e.count()
+    val sampled = if (n <= sampleN) e
+      else e.sample(withReplacement = false,
+        math.min(1.0, 2.0 * sampleN / n), seed = 42).limit(sampleN)
+    val pts = sampled.select(col("emb")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(pts.nonEmpty, "pqCodebooks: empty training sample")
+    val dim = pts.head.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val sub = pts.map(p =>
+        java.util.Arrays.copyOfRange(p, j * dsub, (j + 1) * dsub))
+      lloyd(sub, ksub, iters = 20)
+    }
+  }
+
+  /** Driver-local Lloyd's over a bounded sample (the training substrate
+    * every PQ implementation uses — the input is O(sampleN·dsub), not
+    * corpus-sized). Empty clusters retain their previous centroid. */
+  private def lloyd(pts: Array[Array[Double]], k: Int,
+                    iters: Int): Array[Array[Double]] = {
+    val d = pts.head.length
+    val init = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val seen = scala.collection.mutable.HashSet[Seq[Double]]()
+    for (p <- pts if init.length < k) if (seen.add(p.toSeq)) init += p
+    while (init.length < k) init += init.head // degenerate sample: pad
+    var cents = init.toArray
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k, d)(0.0)
+      val cnt = new Array[Long](k)
+      for (p <- pts) {
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          val dd = d2(p, cents(c))
+          if (dd < bd) { bd = dd; best = c }
+          c += 1
+        }
+        cnt(best) += 1
+        var i = 0; while (i < d) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (cnt(c) == 0) cents(c) else sums(c).map(_ / cnt(c)))
+    }
+    cents
+  }
+
+  /** PQ encode: ARRAY<INT>[m] of per-subspace nearest-centroid codes via
+    * the native PqEncode expression — one narrow shuffle-free map over
+    * the corpus, one fused loop per row. ksub=16 ⇒ 4 bits/sub, so m=16
+    * subspaces pack a 64-dim float vector into 8 bytes (32× smaller);
+    * codes, not vectors, are what the ADC scan reads. */
+  def pqEncode(emb: org.apache.spark.sql.Column,
+               books: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(graft.functions.PqEncode(expression(emb), books))
+  }
+
+  /** Builtin-composition formulation of pqEncode (slice/zip_with/
+    * aggregate/array_position) — kept as the executable spec the native
+    * expression is asserted against in SimilaritySpec. Not on the hot
+    * path: its m×ksub expression subtrees cost more to analyze+codegen
+    * than the data they process. */
+  def pqEncodeHof(emb: org.apache.spark.sql.Column,
+                  books: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
+    val dsub = books(0)(0).length
+    array(books.indices.map { j =>
+      val sub = slice(emb, j * dsub + 1, dsub)
+      val dists = array(books(j).map { cvec =>
+        aggregate(zip_with(sub, array(cvec.map(lit): _*),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** PQ-ADC ANN end to end: train codebooks on a bounded sample, encode
+    * the corpus (one narrow map), then answer a bounded probe batch by
+    * table-lookup scan + exact re-rank of the `shortlist` best codes.
+    * Probes are rows of `e` with vec_id < probeMax. Separated from the
+    * query entry so SimilaritySpec can drive planted corpora. */
+  def pqAnn(raw: DataFrame, probeMax: Long, shortlist: Int,
+            k: Int): DataFrame = {
+    // L2-normalize once: ADC ranks by squared-L2 over subspaces, and on
+    // unit vectors that ranking is exactly descending-cosine
+    val e = raw
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .filter(col("nrm") > 0)
+      .withColumn("nemb", transform(col("emb"), x => x / col("nrm")))
+      .select("vec_id", "emb", "nemb")
+    val books = pqCodebooks(e.select(col("vec_id"), col("nemb").as("emb")))
+    val dsub = books(0)(0).length
+    // pin the encoded corpus ONCE: the scan→normalize→encode subtree
+    // feeds four consumers below (probe collect, ADC scan, re-rank join,
+    // probe-vector join) and would otherwise be re-planned per consumer
+    val codes = e.withColumn("code", pqEncode(col("nemb"), books))
+      .select("vec_id", "emb", "nemb", "code")
+      .localCheckpoint()
+    // bounded probe batch: collect normalized probe vectors, precompute
+    // each probe's m×ksub squared-L2 table against the codebooks
+    val probes = codes.filter(col("vec_id") < probeMax)
+      .select(col("vec_id"), col("nemb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val dtabs = probes.toSeq.map { case (qid, qv) =>
+      (qid, books.indices.map { j =>
+        books(j).map { cvec =>
+          var s2 = 0.0; var i = 0
+          while (i < dsub) {
+            val t = qv(j * dsub + i) - cvec(i); s2 += t * t; i += 1
+          }
+          s2
+        }.toSeq
+      })
+    }
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val dtabDf = dtabs.toDF("q_id", "dtab")
+    // ADC scan: per (probe, corpus row) the approximate distance is m
+    // element_at lookups summed — the corpus side reads ONLY the code
+    // column (8 bytes/vector); the window keeps the shortlist per probe
+    val cw = Window.partitionBy("q_id")
+      .orderBy(col("adist").asc, col("c_id").asc)
+    val cand = codes.select(col("vec_id").as("c_id"), col("code"))
+      .crossJoin(broadcast(dtabDf))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("adist", aggregate(
+        transform(col("code"), (c, j) =>
+          element_at(element_at(col("dtab"), j + 1), c + 1)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("ark", row_number().over(cw))
+      .filter(col("ark") <= shortlist)
+      .select("q_id", "c_id")
+    // exact cosine re-rank of the shortlist only
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val qv = codes.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    cand.join(codes.select(col("vec_id").as("c_id"), col("emb")), Seq("c_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("q_id", "rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PQ ANN with asymmetric distance computation (ADC): the corpus is
+    // scanned as 8-byte codes; each probe's m×ksub distance table is
+    // precomputed driver-side (probe batches are bounded by contract, as
+    // in lshProbe) and the per-row approximate distance is m table
+    // lookups — no float math against corpus vectors until the exact
+    // re-rank of the top-32 shortlist. Vectors are L2-normalized before
+    // encoding so squared-L2 ADC ranking IS cosine ranking. Rows-only
+    // (codes depend on the learned codebooks); SimilaritySpec floors
+    // recall@3 against brute force.
+    "sim_pq_ann" -> ((s, d) => {
+      val raw = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      pqAnn(raw, probeMax = 10, shortlist = 32, k = 3)
+    }),
+
     // IVF ANN: nearest-2-centroid probe, exact cosine re-rank within the
     // probed clusters. Rows-only (KMeans assignment is engine-internal);
     // SimilaritySpec bounds it against brute force.

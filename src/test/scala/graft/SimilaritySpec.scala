@@ -82,13 +82,47 @@ class SimilaritySpec extends SparkSuite {
     }
     val lsh = recall("sim_lsh_ann")
     val ivf = recall("sim_ivf_ann")
-    info(f"recall@3: lsh=$lsh%.2f ivf=$ivf%.2f")
+    val pq = recall("sim_pq_ann")
+    info(f"recall@3: lsh=$lsh%.2f ivf=$ivf%.2f pq=$pq%.2f")
     // measured on the near-random synthetic embeddings (top-1 cos ≈ 0.37,
     // the hardest regime for sign LSH): lsh=0.77, ivf=0.57. On real
     // near-dup corpora (cos ≥ 0.9) per-table collision rises from ~0.14
     // to ~0.54 and recall approaches 1.
     assert(lsh >= 0.60, f"multi-table LSH recall@3 $lsh%.2f below floor 0.60")
     assert(ivf >= 0.50, f"IVF nprobe=4 recall@3 $ivf%.2f below floor 0.50")
+    // PQ-ADC re-ranks an exact-cosine shortlist; with shortlist=32 over
+    // the 50-vector sf0.001 corpus the miss risk is pure quantization
+    assert(pq >= 0.80, f"PQ-ADC recall@3 $pq%.2f below floor 0.80")
+  }
+
+  test("native PqEncode equals the builtin-composition formulation") {
+    val rnd = new scala.util.Random(17)
+    val e = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextGaussian())))
+      .toDF("vec_id", "emb")
+    val books = graft.operators.Similarity.pqCodebooks(e, sampleN = 40)
+    val native = e.select(col("vec_id"),
+      graft.operators.Similarity.pqEncode(col("emb"), books).as("c"))
+    val hof = e.select(col("vec_id"),
+      graft.operators.Similarity.pqEncodeHof(col("emb"), books).as("c"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  test("PQ-ADC retrieves planted near-duplicates as top-1") {
+    // the semantically meaningful regime: true near-dups (cos > 0.99) in
+    // a sea of independent gaussians — ADC must surface the planted
+    // neighbor even before the exact re-rank widens the shortlist
+    val rnd = new scala.util.Random(13)
+    def gauss(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    def jitter(v: Array[Double]): Array[Double] =
+      v.map(_ + rnd.nextGaussian() * 0.02)
+    val a = gauss(); val b = gauss()
+    val rows = Seq((0L, a), (1L, b), (100L, jitter(a)), (101L, jitter(b))) ++
+      (200L until 260L).map(i => (i, gauss()))
+    val e = rows.toDF("vec_id", "emb")
+    val top1 = graft.operators.Similarity
+      .pqAnn(e, probeMax = 2, shortlist = 16, k = 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(top1(0L) === 100L && top1(1L) === 101L)
   }
 
   test("LSH bucket layout: probe == query-time ANN and the scan is " +
