@@ -22,6 +22,54 @@ object TextAnalysis extends QueryModule {
 
   private val stopwords = Seq("the", "a")
 
+  /** Full BPE merge-training loop (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"). The corpus-scale
+    * pass is the distributed word-frequency count, capped to the top
+    * `maxVocab` words by (count desc, word asc) — the merge loop then
+    * runs driver-side over that bounded dictionary, exactly the
+    * substrate real tokenizer trainers (subword-nmt, HF tokenizers) use:
+    * pair statistics over a word-frequency dict are invariant to corpus
+    * size, so at 100 TB only the counting stage grows and it is one
+    * shuffle + a TakeOrdered cap. Deterministic end to end: merge picks
+    * (freq desc, left asc, right asc); in-word replacement is greedy
+    * left-to-right. Returns one row per merge:
+    * (step, left, right, merged, freq). */
+  def bpeTrain(docs: DataFrame, merges: Int = 20,
+               maxVocab: Int = 4096): Seq[(Int, String, String, String, Long)] = {
+    val wordFreq = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, n) => (w.map(_.toString).toArray :+ "</w>", n) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var step = 1
+    while (step <= merges) {
+      val pc = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((syms, n) <- words; i <- 0 until syms.length - 1)
+        pc.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + n))
+      if (pc.isEmpty) step = merges + 1
+      else {
+        val ((l, r), f) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((step, l, r, l + r, f))
+        words = words.map { case (syms, n) =>
+          val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              nb += l + r; i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          (nb.toArray, n)
+        }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token + char counting
     "t_tokens" -> ((s, d) =>
@@ -216,6 +264,20 @@ object TextAnalysis extends QueryModule {
         .select(explode(pairs).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(20)
+    }),
+
+    // BPE merge TRAINING — the full iterative loop t_bpe_pairs is one
+    // round of: distributed word-frequency count (capped), then 20
+    // deterministic merges over the bounded dictionary (see bpeTrain).
+    // Rows-only (iterative — not one-SQL-expressible); TextSpec pins the
+    // merge sequence on the Sennrich corpus against hand-computed truth.
+    "t_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      bpeTrain(Tables.documents(s, d))
+        .toDF("step", "left", "right", "merged", "freq")
+        .select(col("step").cast("long").as("step"), col("left"),
+          col("right"), col("merged"), col("freq"))
+        .orderBy("step")
     }),
 
     // language-mixture sampling weights: per-language doc share and the

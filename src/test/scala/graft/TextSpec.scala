@@ -50,6 +50,33 @@ class TextSpec extends SparkSuite {
     assert(run() === r, "deflate output must be deterministic across runs")
   }
 
+  test("BPE training reproduces the hand-computed Sennrich merge sequence") {
+    // the classic corpus: low×5 lower×2 newest×6 widest×3. Pair counts
+    // over {l o w </w>, l o w e r </w>, n e w e s t </w>, w i d e s t </w>}
+    // peak at 9 for (e,s), (s,t), (t,</w>); the (freq desc, pair asc)
+    // rule picks (e,s), then (es,t), then (est,</w>)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeTrain(docs, merges = 3)
+    assert(merges === Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "est", "</w>", "est</w>", 9L)))
+  }
+
+  test("BPE greedy left-to-right replacement handles overlapping pairs") {
+    // "aaa" = a a a </w>: the pair (a,a) occurs twice OVERLAPPING, and
+    // BPE pair statistics count both (8 = 2×4 docs) while replacement is
+    // greedy non-overlapping (→ [aa, a, </w>]), matching subword-nmt
+    val docs = Seq((0L, Seq.fill(4)("aaa").mkString(" "))).toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeTrain(docs, merges = 2)
+    assert(merges.head === ((1, "a", "a", "aa", 8L)))
+    // after merge 1 the word is [aa, a, </w>]: candidate pairs (aa,a)
+    // and (a,</w>) both at 4; (a,</w>) wins on left asc
+    assert(merges(1) === ((2, "a", "</w>", "a</w>", 4L)))
+  }
+
   test("shift-stable: prefix insertion far from the min window keeps fp") {
     val core = "zzz unique rare window payload qqq and lots of filler text"
     // the minimal 16-gram lives inside `core`; shifting it right by a
