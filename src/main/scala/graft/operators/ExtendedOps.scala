@@ -52,6 +52,17 @@ object ExtendedOps extends QueryModule {
       early.except(late).orderBy("o_custkey")
     }),
 
+    // INTERSECT ALL (bag semantics — multiplicity = min of the sides;
+    // Spark plans it as a counted left-semi aggregate, one shuffle)
+    "set_intersect_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val early = o.filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .select("o_custkey")
+      val late = o.filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01 00:00:00")))
+        .select("o_custkey")
+      early.intersectAll(late).orderBy("o_custkey")
+    }),
+
     // SELECT DISTINCT on a composite key
     "distinct_pairs" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -358,6 +369,13 @@ object ExtendedOps extends QueryModule {
       """SELECT o_custkey FROM orders
         |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |INTERSECT
+        |SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT o_custkey FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |INTERSECT ALL
         |SELECT o_custkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
         |ORDER BY o_custkey""".stripMargin,

@@ -216,6 +216,21 @@ object RelationalOps extends QueryModule {
           format_string("%+.2f", col("o_totalprice")).as("signed_price"))
         .orderBy("o_orderkey")),
 
+    // F — bitwise-function battery (AND/OR/XOR/NOT, shifts, popcount):
+    // all-integer outputs, so both engines agree exactly; pure narrow map
+    "f_bitwise" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("bor"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+          bitwise_not(col("o_orderkey")).as("bnot"),
+          shiftleft(col("o_orderkey"), 3).as("shl"),
+          shiftright(col("o_orderkey"), 2).as("shr"),
+          bit_count(col("o_orderkey")).cast("long").as("pop"))
+        .orderBy("o_orderkey")),
+
     // F/JSON — semi-structured extraction from events.props
     "e_json_extract" -> ((s, d) =>
       Tables.events(s, d)
@@ -805,6 +820,16 @@ object RelationalOps extends QueryModule {
         |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
         |  printf('%+.2f', o_totalprice) AS signed_price
         |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
+    "f_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 4096 AS bor,
+        |  xor(o_orderkey, o_custkey) AS bxor,
+        |  ~o_orderkey AS bnot,
+        |  o_orderkey << 3 AS shl,
+        |  o_orderkey >> 2 AS shr,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS pop
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
     "e_json_extract" ->
       """WITH x AS (SELECT event_type,
         |  TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k

@@ -149,6 +149,25 @@ object StreamingOps extends QueryModule {
         .select(col("event_id"), col("event_type"), col("value"))
       runToMemory(s, deduped, "graft_stream_dedup", mode = "append")
         .orderBy("event_id")
+    }),
+
+    // stream-STATIC enrichment join: the streaming fact joined to a
+    // batch dimension (the canonical enrich-then-aggregate topology).
+    // The static side is broadcast, so the stream side never shuffles
+    // for the join and NO join state is kept (unlike stream-stream) —
+    // the dimension is simply re-resolved per micro-batch, which is also
+    // what makes dimension updates visible mid-stream at cluster scale.
+    // Aggregate state is bounded by |segments|.
+    "stream_static_enrich" -> ((s, d) => {
+      val dim = broadcast(graft.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val enriched = eventsStream(s, d)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.Sql.dsum(col("value")).as("sum_value"))
+      runToMemory(s, enriched, "graft_stream_enrich")
+        .orderBy("segment")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -159,6 +178,11 @@ object StreamingOps extends QueryModule {
     "stream_dedup_late" ->
       """SELECT event_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
+    "stream_static_enrich" ->
+      s"""SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+         |  ${graft.Sql.oSum("e.value")} AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1 ORDER BY segment""".stripMargin,
     // batch gap-islands formulation of the same sessions: a session
     // breaks when the gap to the previous event is >= 30 min (Spark's
     // [ts, ts+gap) merge interval is half-open)
