@@ -450,3 +450,82 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** BPE tokenizer APPLY: segments each word of an ARRAY<STRING> input
+  * into subword units under a trained merge table (a plan constant —
+  * the output of TextAnalysis.bpeTrain), returning the flattened
+  * ARRAY<STRING> of subwords with the `</w>` end-of-word marker fused
+  * into the final unit of each word. Standard apply semantics
+  * (subword-nmt): repeatedly rewrite the LOWEST-RANK adjacent pair
+  * present in the word, greedy left-to-right within a pass, until no
+  * pair is in the table. One narrow map per row; the merge table is
+  * O(merges) and rides the closure once per executor. */
+case class BpeApply(child: Expression, merges: Array[(String, String)])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val rank: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply"
+
+  private def applyWord(w: String,
+      out: scala.collection.mutable.ArrayBuffer[org.apache.spark.unsafe.types.UTF8String]): Unit = {
+    var syms = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+    var ci = 0
+    while (ci < w.length) { syms += w.charAt(ci).toString; ci += 1 }
+    syms += "</w>"
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) bestRank = r
+        }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val (l, r) = merges(bestRank)
+        val nb = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            nb += l + r; j += 2
+          } else { nb += syms(j); j += 1 }
+        }
+        syms = nb
+      }
+    }
+    var k = 0
+    while (k < syms.length) {
+      out += org.apache.spark.unsafe.types.UTF8String.fromString(syms(k))
+      k += 1
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.unsafe.types.UTF8String]
+    var i = 0
+    while (i < words.numElements()) {
+      applyWord(words.getUTF8String(i).toString, out)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+
+  // interpreted kernel from generated code (RollingMinHash shape): the
+  // per-row work is string segmentation, not arithmetic codegen can fuse
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeApply", this, classOf[BpeApply].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

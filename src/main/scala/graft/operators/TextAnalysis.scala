@@ -280,6 +280,26 @@ object TextAnalysis extends QueryModule {
         .orderBy("step")
     }),
 
+    // BPE tokenizer APPLY — the trained merge table (t_bpe_train) pushed
+    // through the native BpeApply expression over every document: one
+    // narrow map pass, merge table rides the plan as a constant. Output
+    // is the per-doc subword count and fertility (subwords/word), the
+    // number every tokenizer-budget estimate needs. Rows-only; TextSpec
+    // pins segmentations on the Sennrich corpus.
+    "t_bpe_apply" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      val docs = Tables.documents(s, d)
+      val merges = bpeTrain(docs).map(m => (m._2, m._3)).toArray
+      val sub = column(graft.functions.BpeApply(
+        expression(tokens(col("text"))), merges))
+      docs.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_words"),
+          size(sub).cast("long").as("n_subwords"))
+        .withColumn("fertility",
+          round(col("n_subwords") / col("n_words"), 6))
+        .orderBy("doc_id")
+    }),
+
     // language-mixture sampling weights: per-language doc share and the
     // temperature-rebalanced (alpha = 0.5) sampling share every
     // multilingual training mix uses to up-weight low-resource

@@ -77,6 +77,21 @@ class TextSpec extends SparkSuite {
     assert(merges(1) === ((2, "a", "</w>", "a</w>", 4L)))
   }
 
+  test("BPE apply segments words under the trained merges") {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    // merges from the Sennrich corpus: es, est, est</w>. Applying to
+    // fresh words: "newest" → n e w est</w>; "west" → w est</w>;
+    // "low" (no merge applies) → l o w </w>
+    val merges = Array(("e", "s"), ("es", "t"), ("est", "</w>"))
+    val out = Seq((0L, Seq("newest", "west", "low")))
+      .toDF("id", "words")
+      .select(column(graft.functions.BpeApply(
+        expression(col("words")), merges)).as("sub"))
+      .as[Seq[String]].head()
+    assert(out === Seq("n", "e", "w", "est</w>",
+      "w", "est</w>", "l", "o", "w", "</w>"))
+  }
+
   test("shift-stable: prefix insertion far from the min window keeps fp") {
     val core = "zzz unique rare window payload qqq and lots of filler text"
     // the minimal 16-gram lives inside `core`; shifting it right by a
