@@ -95,6 +95,50 @@ object JoinOps extends QueryModule {
         .orderBy("user_id", "purchase_id")
     }),
 
+    // POINT-IN-TIME join (the feature-store correctness primitive): each
+    // fact row joined to the dimension VERSION valid at the fact's
+    // event time — here the SCD2 intervals built from the event change
+    // log (c7_scd2_intervals) probed by the purchase facts. Executed as
+    // carry-forward over a union (dimension change rows sort before
+    // facts at equal ts), so the whole join is ONE shuffle on user_id —
+    // never an interval theta-join; at 100 TB this is the only PIT
+    // shape that doesn't explode, and it needs no interval table at all
+    // (versions materialize in the same window pass). The DuckDB oracle
+    // runs the explicit interval-containment join against the SCD2
+    // table — a true cross-formulation semantic check.
+    "join_point_in_time" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val ev = Tables.events(s, d)
+      val chg = ev
+        .withColumn("prev_type", lag("event_type", 1).over(byUser))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(byUser).cast("long"))
+      val dimRows = chg.select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("long").as("fact_id"),
+        col("event_type").as("dim_type"), col("version"),
+        lit(0).as("is_fact"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_id").as("fact_id"),
+          lit(null).cast("string").as("dim_type"),
+          lit(null).cast("long").as("version"),
+          lit(1).as("is_fact"))
+      val carry = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_fact"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dimRows.unionByName(facts)
+        .withColumn("pit_version",
+          last("version", ignoreNulls = true).over(carry))
+        .withColumn("pit_type",
+          last("dim_type", ignoreNulls = true).over(carry))
+        .filter(col("is_fact") === 1)
+        .select(col("user_id"), col("fact_id").as("event_id"),
+          col("pit_version").as("version"), col("pit_type").as("dim_type"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // RANGE (interval) join: event.value BETWEEN band.lo AND band.hi,
     // bands overlap so an event can land in several. Executed as a
     // BUCKETED EQUI-JOIN: both sides key on floor(value/width); a band
@@ -254,6 +298,30 @@ object JoinOps extends QueryModule {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY user_id, purchase_id""".stripMargin,
+    // the oracle formulation is the EXPLICIT interval-containment join
+    // against the SCD2 dimension — semantically equal to the Spark
+    // side's carry-forward union (zero-length intervals from same-ts
+    // changes match nothing in both formulations)
+    "join_point_in_time" ->
+      """WITH raw AS (SELECT user_id, event_type,
+        |  CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_type
+        |FROM events),
+        |chg AS (SELECT * FROM raw
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |dim AS (SELECT user_id, event_type AS dim_type, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  CAST(row_number() OVER w AS BIGINT) AS version
+        |FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.user_id AS user_id, f.event_id AS event_id,
+        |  d.version, d.dim_type
+        |FROM f JOIN dim d ON f.user_id = d.user_id
+        |  AND f.ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        |ORDER BY f.user_id, f.event_id""".stripMargin,
     "join_left_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_big_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_big
