@@ -109,9 +109,63 @@ object Graph extends QueryModule {
         .withColumn("pr_norm", round(col("rank") * col("n_total"), 6))
         .select(col("id").as("doc_id"), col("pr_norm"))
         .orderBy("doc_id")
+    }),
+
+    // TRIANGLE counting (the clustering-coefficient/link-farm-density
+    // primitive) over the same deterministic 2-out graph: edges are
+    // already oriented (src < dst by construction — the distributed
+    // algorithm's degree-orientation step, which bounds the wedge join),
+    // so each triangle is counted exactly once as a wedge
+    // (a→b, b→c) closed by the edge (a→c). Two shuffles: the wedge
+    // join on b, then the closing semi-join on (a, c) — the canonical
+    // MapReduce triangle plan; no node ever materializes its full
+    // neighborhood. Every (lang, source) chain group of size g yields
+    // exactly g-2 triangles — closed-form, so the oracle is both a
+    // cross-engine AND an analytic check.
+    "graph_triangles" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source")
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      val base = docs
+        .withColumn("n1", lead("doc_id", 1).over(w))
+        .withColumn("n2", lead("doc_id", 2).over(w))
+      val edges = base
+        .select(col("lang"), col("source"),
+          col("doc_id").as("src"), col("n1").as("dst"))
+        .filter(col("dst").isNotNull)
+        .unionAll(base.select(col("lang"), col("source"),
+          col("doc_id").as("src"), col("n2").as("dst"))
+          .filter(col("dst").isNotNull))
+      val plain = edges.select("src", "dst")
+      edges.as("e1")
+        .join(plain.as("e2"), col("e1.dst") === col("e2.src"))
+        .join(plain.as("e3"),
+          col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"),
+          "left_semi")
+        .groupBy(col("e1.lang").as("lang"), col("e1.source").as("source"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy("lang", "source")
     }))
 
   def oracles: Map[String, String] = Map(
+    // inner join closes the wedge (edges are unique pairs, so inner ≡
+    // semi); count per chain group must equal g-2
+    "graph_triangles" ->
+      """WITH d AS (SELECT doc_id, lang, source FROM documents),
+        |base AS (SELECT doc_id, lang, source,
+        |  lead(doc_id, 1) OVER (PARTITION BY lang, source ORDER BY doc_id) AS n1,
+        |  lead(doc_id, 2) OVER (PARTITION BY lang, source ORDER BY doc_id) AS n2
+        |  FROM d),
+        |e0 AS (SELECT lang, source, doc_id AS src, n1 AS dst FROM base
+        |    WHERE n1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT lang, source, doc_id AS src, n2 AS dst FROM base
+        |    WHERE n2 IS NOT NULL)
+        |SELECT e1.lang AS lang, e1.source AS source,
+        |  count(*) AS n_triangles
+        |FROM e0 e1
+        |JOIN e0 e2 ON e1.dst = e2.src
+        |JOIN e0 e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
     "graph_pagerank" ->
       """WITH d AS (SELECT doc_id, lang, source FROM documents),
         |base AS (SELECT doc_id,
