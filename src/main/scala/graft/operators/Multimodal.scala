@@ -124,6 +124,51 @@ object Multimodal extends QueryModule {
     (img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
   }
 
+  /** Perceptual average-hash (aHash) of a decoded raster: 8×8
+    * block-average luminance (BT.601 integer weights, Long
+    * accumulation — fully deterministic), one bit per block set iff the
+    * block mean ≥ the global mean. Resolution- and brightness-offset-
+    * robust: a near-duplicate image (rescaled, lightly edited) lands on
+    * the same 64-bit hash, so image near-dup detection becomes the
+    * SAME hash-bucket groupBy as exact text dedup — no pairwise
+    * comparison, no pixel payload past the map stage. */
+  def aHash64(bytes: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val lum = 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+          114L * (p & 0xFF)
+        val b = by * 8 + x * 8 / w
+        sums(b) += lum
+        cnts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var totSum = 0L
+    var totCnt = 0L
+    var i = 0
+    while (i < 64) { totSum += sums(i); totCnt += cnts(i); i += 1 }
+    // compare block mean >= global mean in cross-multiplied integers —
+    // no floating point, no rounding hazard
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cnts(i) > 0 && sums(i) * totCnt >= totSum * cnts(i))
+        hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   /** Canonical 16-bit PCM mono WAV at 8 kHz: n = 4096 + (id%16)*256
     * samples of the ramp s_i = (i % 256) - 128 (sum = -128·n/256). */
   def wavBytes(id: Long): Array[Byte] = {
@@ -199,6 +244,30 @@ object Multimodal extends QueryModule {
         .toDF("doc_id", "sample_rate", "n_samples", "sum_samples",
           "min_sample", "max_sample")
         .orderBy("doc_id")
+    }),
+
+    // PERCEPTUAL image dedup: decode → 8×8 aHash inside mapPartitions,
+    // then near-dup groups are a plain hash-bucket groupBy (constant
+    // group state: min id + count) — the image-modality twin of
+    // dedup_exact; pixels never leave the map stage. The id-gradient
+    // corpus repeats every 256 ids, so (id, id+256) are exact dups —
+    // and aHash, being deliberately coarse (it exists to catch rescales
+    // and light edits), additionally groups the visually-near-identical
+    // gradient variants (~9 buckets over 500 images here). Rows-only
+    // (no PNG codec in the oracle); OperatorSpec pins aHash invariance
+    // under a 1-pixel edit AND a 2× rescale, and separation of a
+    // genuinely different image.
+    "mm_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map(id => (id, aHash64(pngBytes(id)))))
+        .toDF("doc_id", "ahash")
+        .groupBy("ahash")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_images"))
+        .select(col("keep_id"), col("n_images"),
+          format_string("%016x", col("ahash")).as("ahash_hex"))
+        .orderBy("keep_id")
     }),
 
     // binary column + typed metadata (oracle-verified: byte-exactness is

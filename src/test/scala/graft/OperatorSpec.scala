@@ -77,6 +77,37 @@ class OperatorSpec extends SparkSuite {
     assert(mn === -128L && mx === 127L)
   }
 
+  test("aHash: invariant under a 1-pixel edit, separates distinct images") {
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val grad = (x: Int, y: Int) => ((x * 4) << 16) | ((y * 4) << 8)
+    val base = png(64, 64, grad)
+    // near-dup: one pixel blown out — block means barely move
+    val edited = png(64, 64, (x, y) =>
+      if (x == 10 && y == 10) 0xFFFFFF else grad(x, y))
+    // near-dup at a different resolution: same image upscaled
+    val scaled = png(128, 128, (x, y) => grad(x / 2, y / 2))
+    // genuinely different: the inverted gradient
+    val inverted = png(64, 64, (x, y) => grad(63 - x, 63 - y))
+    val hBase = Multimodal.aHash64(base)
+    assert(Multimodal.aHash64(edited) === hBase,
+      "1-pixel edit must not change the aHash")
+    assert(Multimodal.aHash64(scaled) === hBase,
+      "2x upscale must not change the aHash")
+    assert(Multimodal.aHash64(inverted) !== hBase,
+      "inverted image must hash differently")
+    // the exact-dup structure of the id-gradient corpus: ids equal
+    // mod 256 produce identical images, hence identical hashes
+    assert(Multimodal.aHash64(Multimodal.pngBytes(7L)) ===
+      Multimodal.aHash64(Multimodal.pngBytes(263L)))
+  }
+
   test("streaming tumbling agg equals batch equivalent") {
     val streamed = SparkEntry.queries("stream_tumbling_daily")(spark, sf())
       .select("day", "event_type", "n_events").as[(java.sql.Timestamp, String, Long)]
