@@ -503,6 +503,32 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // A16 — ordinary-least-squares fit per group (the one-pass
+    // closed-form regression every metrics stack ships as regr_slope/
+    // regr_intercept): value regressed on hour-of-day. Same discipline
+    // as A9: the five sufficient statistics are EXACT decimal sums (one
+    // shuffle, constant group state), the final slope/intercept chain is
+    // a fixed double expression rounded after — so the whole fit is
+    // partition-order-free and oracle-checkable.
+    "a16_ols" -> ((s, d) => {
+      val x = hour(col("ts")).cast("double")
+      val y = col("value")
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          dsum(x).as("s_x"), dsum(y, 4).as("s_y"),
+          sum((x * x).cast(dec(4))).cast("double").as("s_xx"),
+          sum((x * y).cast(dec(4))).cast("double").as("s_xy"))
+        .select(col("event_type"), col("n"),
+          round((col("n") * col("s_xy") - col("s_x") * col("s_y")) /
+            (col("n") * col("s_xx") - col("s_x") * col("s_x")), 6)
+            .as("slope"),
+          round((col("s_y") - (col("n") * col("s_xy") - col("s_x") * col("s_y")) /
+            (col("n") * col("s_xx") - col("s_x") * col("s_x")) * col("s_x")) /
+            col("n"), 6).as("intercept"))
+        .orderBy("event_type")
+    }),
+
     // C5 — incremental aggregate maintenance (materialized-view
     // refresh): history is held as mergeable per-group STATE
     // (count + exact DECIMAL sum) and a delta batch's state MERGES into
@@ -947,6 +973,20 @@ object RelationalOps extends QueryModule {
         |FROM events e JOIN m ON e.event_type = m.event_type
         |WHERE m.std > 0 AND abs(round((e.value - m.mean) / m.std, 6)) > 1.5
         |ORDER BY e.event_id""".stripMargin,
+    "a16_ols" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(18,2)) ) AS DOUBLE) AS s_x,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s_y,
+        |  CAST(SUM(CAST(CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS s_xx,
+        |  CAST(SUM(CAST(CAST(hour(ts) AS DOUBLE) * value
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS s_xy
+        |FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((n * s_xy - s_x * s_y) / (n * s_xx - s_x * s_x), 6) AS slope,
+        |  round((s_y - (n * s_xy - s_x * s_y) / (n * s_xx - s_x * s_x) * s_x)
+        |    / n, 6) AS intercept
+        |FROM m ORDER BY event_type""".stripMargin,
     "a9_stats_moments" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
