@@ -128,6 +128,9 @@ object Graph extends QueryModule {
       val base = docs
         .withColumn("n1", lead("doc_id", 1).over(w))
         .withColumn("n2", lead("doc_id", 2).over(w))
+      // pin the edge list ONCE: it feeds three join legs below, and
+      // without the checkpoint each leg re-runs the scan+window subtree
+      // (3 window shuffles instead of 1)
       val edges = base
         .select(col("lang"), col("source"),
           col("doc_id").as("src"), col("n1").as("dst"))
@@ -135,6 +138,7 @@ object Graph extends QueryModule {
         .unionAll(base.select(col("lang"), col("source"),
           col("doc_id").as("src"), col("n2").as("dst"))
           .filter(col("dst").isNotNull))
+        .localCheckpoint()
       val plain = edges.select("src", "dst")
       edges.as("e1")
         .join(plain.as("e2"), col("e1.dst") === col("e2.src"))

@@ -17,7 +17,9 @@ skew_join_salted t_tfidf_top a13_equifreq_bins o5_minmax_skipping \
 sim_lsh_ann_bucketed w10_range_frame graph_pagerank dedup_sorted_neighborhood \
 t_cooccur sim_triplet_mine t_oov_rate mm_decode_png o6_topk_per_key \
 dedup_prefix_join t_weighted_sample w11_ewma c7_scd2_intervals \
-dedup_fuzzy_block s12_binaryfile_scan t_bigram_lm dedup_containment"
+dedup_fuzzy_block s12_binaryfile_scan t_bigram_lm dedup_containment \
+dedup_segments dedup_semantic sim_pq_ann join_point_in_time \
+graph_triangles a16_ols mm_phash_dedup t_bpe_apply"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
