@@ -529,6 +529,37 @@ object RelationalOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // C8 — data-quality quarantine gate (the dead-letter pattern): every
+    // row is scored against the rule set in ONE pass; failing rows route
+    // to quarantine, clean rows forward. Emitted as the per-rule audit
+    // report (counts are what the pipeline alerts on); the routing
+    // itself is the same predicates as filters. All-integer, exact.
+    "c8_quarantine" -> ((s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val f1 = when(!(col("value") >= 0 && col("value") <= 450), 1L)
+        .otherwise(0L)
+      val f2 = when(!col("event_type")
+        .isin("click", "view", "purchase", "signup"), 1L).otherwise(0L)
+      val f3 = when(k.isNull || k > 90, 1L).otherwise(0L)
+      val agged = Tables.events(s, d)
+        .select(f1.as("f1"), f2.as("f2"), f3.as("f3"))
+        .agg(sum(when(col("f1") + col("f2") + col("f3") === 0, 1L)
+            .otherwise(0L)).as("clean"),
+          sum("f2").as("known_type"),
+          sum("f3").as("props_k_range"),
+          sum(when(col("f1") + col("f2") + col("f3") > 0, 1L)
+            .otherwise(0L)).as("quarantined"),
+          sum("f1").as("value_range"))
+      agged.select(explode(map(
+          lit("clean"), col("clean"),
+          lit("known_type"), col("known_type"),
+          lit("props_k_range"), col("props_k_range"),
+          lit("quarantined"), col("quarantined"),
+          lit("value_range"), col("value_range")))
+          .as(Seq("rule", "n_rows")))
+        .orderBy("rule")
+    }),
+
     // C5 — incremental aggregate maintenance (materialized-view
     // refresh): history is held as mergeable per-group STATE
     // (count + exact DECIMAL sum) and a delta batch's state MERGES into
@@ -973,6 +1004,24 @@ object RelationalOps extends QueryModule {
         |FROM events e JOIN m ON e.event_type = m.event_type
         |WHERE m.std > 0 AND abs(round((e.value - m.mean) / m.std, 6)) > 1.5
         |ORDER BY e.event_id""".stripMargin,
+    "c8_quarantine" ->
+      """WITH f AS (SELECT
+        |  CASE WHEN NOT (value >= 0 AND value <= 450) THEN 1 ELSE 0 END AS f1,
+        |  CASE WHEN event_type NOT IN ('click','view','purchase','signup')
+        |    THEN 1 ELSE 0 END AS f2,
+        |  CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      IS NULL
+        |    OR TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+        |    THEN 1 ELSE 0 END AS f3
+        |FROM events)
+        |SELECT 'clean' AS rule,
+        |  CAST(count(*) FILTER (WHERE f1+f2+f3 = 0) AS BIGINT) AS n_rows FROM f
+        |UNION ALL SELECT 'known_type', CAST(sum(f2) AS BIGINT) FROM f
+        |UNION ALL SELECT 'props_k_range', CAST(sum(f3) AS BIGINT) FROM f
+        |UNION ALL SELECT 'quarantined',
+        |  CAST(count(*) FILTER (WHERE f1+f2+f3 > 0) AS BIGINT) FROM f
+        |UNION ALL SELECT 'value_range', CAST(sum(f1) AS BIGINT) FROM f
+        |ORDER BY rule""".stripMargin,
     "a16_ols" ->
       """WITH m AS (SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(18,2)) ) AS DOUBLE) AS s_x,
