@@ -38,10 +38,19 @@ object Bench {
       }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    def dict(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Full per-query map goes to a sidecar file; the stdout line keeps only
+    // the 24 most expensive queries so the whole line fits inside the
+    // driver's bounded output-tail capture and stays machine-parseable.
+    val all = results.toSeq.sortBy(-_._2)
+    val fullPath = "bench_full.json"
+    val pw = new java.io.PrintWriter(fullPath)
+    try pw.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"queries":${dict(all)},"sf":"$sfDir"}""")
+    finally pw.close()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"queries":${dict(all.take(24))},"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

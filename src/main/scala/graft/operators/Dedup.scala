@@ -403,6 +403,43 @@ object Dedup extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // CANONICAL-SURVIVOR selection — the step AFTER near-dup clustering
+    // that every curation pipeline runs: each duplicate cluster keeps
+    // exactly one document, the highest-quality member (here n_chars,
+    // standing in for any scored quality signal; ties break to the
+    // lowest doc_id). Clusters come from the same deterministic chain
+    // graph + pointer-jumped components as graph_components, so the
+    // whole path — cluster then select — is oracle-checked end to end.
+    // Shape at scale: component labeling is the O(log d) loop; the
+    // selection itself is ONE groupBy(component) max_by — map-side
+    // combinable, no window, no self-join; survivors then rejoin the
+    // (already clustered) members frame to emit per-cluster stats.
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      val w = Window.partitionBy(col("lang"), col("source"),
+        expr("doc_id DIV 128")).orderBy("doc_id")
+      val edges = docs
+        .withColumn("nxt", lead("doc_id", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
+      val labeled = docs
+        .join(connectedComponents(edges, maxIter = 16)
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      // argmax via max(struct(quality, -doc_id)): one aggregate pass,
+      // partial-aggregable — the window-rank formulation would shuffle
+      // every member row into a per-component sort for the same answer
+      labeled.groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+            .as("best"))
+        .select(col("component"), (-col("best.neg_id")).as("kept_doc"),
+          col("best.n_chars").as("kept_chars"), col("n_members"))
+        .orderBy("component")
+    }),
+
     // EXACT similarity join via prefix filtering (PPJoin family) — the
     // deterministic counterpart to LSH: finds ALL pairs with Jaccard
     // ≥ 0.8, sub-quadratically, no hashing. Each doc's tokens are
@@ -794,6 +831,18 @@ object Dedup extends QueryModule {
         |  min(doc_id) OVER (PARTITION BY lang, source, doc_id // 128)
         |    AS component
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    min(doc_id) OVER (PARTITION BY lang, source, doc_id // 128)
+        |      AS component
+        |  FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rk FROM c),
+        |n AS (SELECT component, count(*) AS n_members FROM c GROUP BY 1)
+        |SELECT component, doc_id AS kept_doc, n_chars AS kept_chars,
+        |  n_members
+        |FROM r JOIN n USING (component) WHERE rk = 1
+        |ORDER BY component""".stripMargin,
     "dedup_embed_nn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),

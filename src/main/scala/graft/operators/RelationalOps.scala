@@ -454,6 +454,27 @@ object RelationalOps extends QueryModule {
     // CONTRACT: the emitted boolean claims est ∈ [exact, exact+eps·N]
     // and the oracle pins it true — a false bound (or a candidate set
     // that missed a true top-10 key) hash-mismatches.
+    // SKETCHED heavy hitters via Spark 4's native approx_top_k (Apache
+    // DataSketches frequent-items under the hood) — the one-aggregate
+    // alternative to groupBy+rank when the key space is huge: every
+    // partition keeps ONE bounded buffer (maxItemsTracked slots, not
+    // |distinct| groups), partials merge on the driver, no key shuffle
+    // at all. Estimates are exact whenever #distinct ≤ capacity (65536
+    // here ⇒ exact for every SF this harness runs, which is what makes
+    // the query oracle-checkable); beyond capacity the error is bounded
+    // by the sketch contract and the CMS query (a11) shows the
+    // bound-checking discipline. The sketch's own top-k truncation is
+    // NOT trusted for order: the plan re-ranks (count desc, key asc)
+    // deterministically before the limit.
+    "a17_approx_topk" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .agg(expr("approx_top_k(l_suppkey, 128, 65536)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("l_suppkey"), col("e.count").as("n_items"))
+        .orderBy(col("n_items").desc, col("l_suppkey")).limit(10)
+        .orderBy(col("n_items").desc, col("l_suppkey"))
+    }),
+
     "a11_cms_heavy" -> ((s, d) => {
       import graft.functions.SketchFunctions._
       val li = Tables.lineitem(s, d)
@@ -898,6 +919,11 @@ object RelationalOps extends QueryModule {
       """SELECT l_partkey, count(*) AS n_exact, true AS cms_within_bound
         |FROM lineitem GROUP BY l_partkey
         |ORDER BY n_exact DESC, l_partkey LIMIT 10""".stripMargin,
+    // exact while #distinct suppliers ≤ sketch capacity (all SFs here)
+    "a17_approx_topk" ->
+      """SELECT l_suppkey, count(*) AS n_items FROM lineitem
+        |GROUP BY l_suppkey
+        |ORDER BY n_items DESC, l_suppkey LIMIT 10""".stripMargin,
     // O4: identical bit-interleave fold, generated from the same code
     "o4_zorder_key" ->
       s"""SELECT o_orderkey,

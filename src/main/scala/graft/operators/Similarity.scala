@@ -423,6 +423,28 @@ object Similarity extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // RADIUS (range) search — the "ALL neighbors above τ" primitive that
+    // complements top-k: near-dup link building, τ-thresholded retrieval
+    // and graph construction all want every match, not the best k. Same
+    // broadcast-probe × corpus-stream shape as sim_topk, but with NO
+    // window at all — the τ-filter runs inside the scan pass, so what
+    // shuffles is bounded by output size, not corpus size (top-k's rank
+    // window needs per-probe state; range search is embarrassingly
+    // parallel end to end). Cosines rounded BEFORE the τ compare so the
+    // kept set is engine-portable.
+    "sim_range_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      broadcast(q).join(e.select(col("vec_id").as("c_id"), col("emb")),
+          col("c_id") =!= col("q_id"))
+        .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+        .filter(col("cos") >= 0.30)
+        .select(col("q_id"), col("c_id"), col("cos"))
+        .orderBy("q_id", "c_id")
+    }),
+
     // exact brute-force cosine top-5 for probes vec_id < 3
     "sim_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -615,6 +637,17 @@ object Similarity extends QueryModule {
         |SELECT q_id AS vec_id, q_label AS true_label, c_label AS pred_label,
         |  c_label = q_label AS correct
         |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "sim_range_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 20),
+        |s AS (SELECT q_id, e.vec_id AS c_id, round(
+        |    list_inner_product(q_emb, emb) /
+        |    (sqrt(list_inner_product(q_emb, q_emb)) *
+        |     sqrt(list_inner_product(emb, emb))), 6) AS cos
+        |  FROM q JOIN e ON e.vec_id <> q.q_id)
+        |SELECT q_id, c_id, cos FROM s WHERE cos >= 0.30
+        |ORDER BY q_id, c_id""".stripMargin,
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),

@@ -167,6 +167,34 @@ object WindowOps extends QueryModule {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // W12 — overlapping-interval coalescing (merge [start, end) ranges
+    // per key): the span-algebra primitive behind redaction-span
+    // merging, dedup-span consolidation and availability-window
+    // stitching. Differs from gap-based sessionization (w5): an
+    // interval EXTENDS the current island only while its start is ≤ the
+    // RUNNING MAX of all previous ends — intervals here are ranges, not
+    // points, and an early-starting long interval can swallow many
+    // later ones. Classic two-window islands plan: running-max(end)
+    // over preceding rows flags island starts, a running sum of flags
+    // numbers islands, then ONE groupBy(key, island) emits merged
+    // spans. All state is per-key and single-pass — at 100 TB each key's
+    // windows evaluate inside its partition, no self-join, no loop.
+    "w12_interval_merge" -> ((s, d) => {
+      val end = col("ts") + expr("INTERVAL 15 MINUTES")
+      val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val prevMax = max(end).over(ord.rowsBetween(Window.unboundedPreceding, -1))
+      val island = sum(
+        when(prevMax.isNull || col("ts") > prevMax, 1L).otherwise(0L))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0))
+      Tables.events(s, d)
+        .filter(col("user_id") < 30)
+        .withColumn("island", island)
+        .groupBy("user_id", "island")
+        .agg(min("ts").as("merge_start"), max(end).as("merge_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "island")
+    }),
+
     // C2 — last-write-wins keyed upsert: newest row per (user_id,
     // event_type) survives; replay-order-safe because recency is taken
     // from the data (ts), not arrival order.
@@ -184,6 +212,24 @@ object WindowOps extends QueryModule {
     "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
 
   def oracles: Map[String, String] = Map(
+    "w12_interval_merge" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    ts + INTERVAL 15 MINUTE AS fin
+        |  FROM events WHERE user_id < 30),
+        |m AS (SELECT *, max(fin) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM e),
+        |f AS (SELECT *, CASE WHEN prev_max IS NULL OR ts > prev_max
+        |    THEN 1 ELSE 0 END AS flag FROM m),
+        |i AS (SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS island FROM f)
+        |SELECT user_id, island, min(ts) AS merge_start,
+        |  max(fin) AS merge_end, count(*) AS n_events
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
     "w1_latest_per_key" ->
       """WITH r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

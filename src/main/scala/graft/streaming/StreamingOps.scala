@@ -74,6 +74,32 @@ object StreamingOps extends QueryModule {
     spark.table(name)
   }
 
+  /** Exactly-once file sink through foreachBatch — the custom-sink
+    * escape hatch §2.10 leaves open (JDBC upserts, MERGEs, multi-table
+    * writes all ride this hook). Structured Streaming guarantees
+    * at-least-once foreachBatch invocation: after a crash between
+    * "batch written" and "offsets committed", the SAME batchId re-fires
+    * with the SAME data. Exactly-once therefore = idempotent write keyed
+    * on batchId — here `mode(overwrite)` into a `batch=<id>` directory,
+    * so a replay REPLACES its own partial output instead of appending a
+    * duplicate. This composes with the checkpoint's offset tracking: a
+    * restart with the same checkpoint resumes after the last committed
+    * batch and never reprocesses completed input files.
+    * (The same batchId-keyed discipline makes a JDBC/MERGE sink
+    * exactly-once: `DELETE WHERE batch_id = ?` + insert, in one txn.) */
+  def foreachBatchExactlyOnce(streamed: DataFrame, path: String,
+                              checkpoint: String): Unit = {
+    streamed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch=$batchId"); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_daily" -> ((s, d) => {
       val agg = eventsStream(s, d)

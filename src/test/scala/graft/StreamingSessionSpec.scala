@@ -3,6 +3,8 @@ package graft
 import graft.streaming.Sessionize
 import graft.streaming.Sessionize.{Event, Session}
 
+import scala.jdk.CollectionConverters._
+
 /** Stateful streaming sessionization vs the batch gap-island semantics. */
 class StreamingSessionSpec extends SparkSuite {
   import spark.implicits._
@@ -55,6 +57,47 @@ class StreamingSessionSpec extends SparkSuite {
     assert(t.count() === 2)
     assert(t.select("cc").as[String].collect().sorted.toSeq ===
       Seq("EUR", "USD"))
+  }
+
+  test("foreachBatch exactly-once sink: restart resumes, replay overwrites") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fb").toFile
+    dir.deleteOnExit()
+    val (in, out, ckpt) =
+      (s"${dir.getPath}/in", s"${dir.getPath}/out", s"${dir.getPath}/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(name: String, ids: Range): Unit =
+      ids.map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1).write.parquet(s"$in/$name")
+    def stream() = spark.readStream
+      .schema("id LONG, v STRING").parquet(s"$in/*")
+    def sunk(): Set[Long] = spark.read.parquet(s"$out/batch=*")
+      .select("id").as[Long].collect().toSet
+
+    land("a", 0 until 5)
+    graft.streaming.StreamingOps.foreachBatchExactlyOnce(stream(), out, ckpt)
+    assert(sunk() === (0L until 5L).toSet)
+    // restart with the same checkpoint and no new input: nothing re-runs
+    graft.streaming.StreamingOps.foreachBatchExactlyOnce(stream(), out, ckpt)
+    assert(sunk() === (0L until 5L).toSet)
+    // new file: only the delta lands, as its own batch directory
+    land("b", 5 until 8)
+    graft.streaming.StreamingOps.foreachBatchExactlyOnce(stream(), out, ckpt)
+    assert(sunk() === (0L until 8L).toSet)
+    // crash-replay: drop the newest batch's commit marker — on restart
+    // Structured Streaming re-fires that batchId with the same data, and
+    // the batchId-keyed overwrite must converge instead of duplicating
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val newest = java.nio.file.Files.list(commits).iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(newest)
+    // the local ChecksumFs keeps a .N.crc sidecar; a real HDFS/object
+    // store crash would lose both, so drop it with the marker
+    java.nio.file.Files.deleteIfExists(
+      newest.resolveSibling("." + newest.getFileName.toString + ".crc"))
+    graft.streaming.StreamingOps.foreachBatchExactlyOnce(stream(), out, ckpt)
+    assert(sunk() === (0L until 8L).toSet)
+    assert(spark.read.parquet(s"$out/batch=*").count() === 8)
   }
 
   test("streamed closed sessions match batch w5_sessionize islands") {
