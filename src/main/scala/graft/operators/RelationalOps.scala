@@ -719,6 +719,34 @@ object RelationalOps extends QueryModule {
     // by the same distributed selection as A13 (never a value-map
     // percentile), the clip itself a narrow literal map. Sums in exact
     // decimal so both engines agree bit-for-bit.
+    // ROBUST outlier gate — median/MAD replaces a10's mean/stddev
+    // z-score where the outliers themselves poison the location/scale
+    // estimate (the standard data-quality failure on heavy-tailed value
+    // columns). Both order statistics come from Quantiles.exactQuantiles
+    // distributed selection — range exchange + bounded driver
+    // round-trips, never percentile()'s one-task value map (the a13
+    // lesson; a median is just the 0.5 quantile). Quantiles are rounded
+    // to 6dp BEFORE downstream use (the a14 discipline) so every derived
+    // comparison is over engine-identical doubles. Flag threshold is the
+    // classic 3σ-equivalent 3·1.4826·MAD.
+    "a18_mad_outliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val Seq(med) = Quantiles.exactQuantilesRounded6(
+        li, "l_extendedprice", Seq(0.5))
+      val dev = li.select(col("l_returnflag"),
+        abs(col("l_extendedprice") - lit(med)).as("dev"))
+      val Seq(mad) = Quantiles.exactQuantilesRounded6(dev, "dev", Seq(0.5))
+      dev.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("dev") > lit(4.4478) * lit(mad), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .withColumn("med_price", lit(med))
+        .withColumn("mad", lit(mad))
+        .select(col("l_returnflag"), col("med_price"), col("mad"),
+          col("n_rows"), col("n_outliers"))
+        .orderBy("l_returnflag")
+    }),
+
     "a14_winsorize" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val Seq(lo, hi) = Quantiles.exactQuantilesRounded6(
@@ -960,6 +988,17 @@ object RelationalOps extends QueryModule {
         |GROUP BY c.c_custkey, c.c_name
         |ORDER BY c.c_custkey""".stripMargin,
     // A14: identical clip fold over quantile_cont bounds, decimal sums
+    "a18_mad_outliers" ->
+      """WITH m AS (SELECT round(quantile_cont(l_extendedprice, 0.5), 6)
+        |    AS med FROM lineitem),
+        |d AS (SELECT l_returnflag, abs(l_extendedprice - med) AS dev
+        |  FROM lineitem, m),
+        |md AS (SELECT round(quantile_cont(dev, 0.5), 6) AS mad FROM d)
+        |SELECT l_returnflag, (SELECT med FROM m) AS med_price,
+        |  (SELECT mad FROM md) AS mad, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN dev > 4.4478 * (SELECT mad FROM md)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a14_winsorize" ->
       s"""WITH b AS (SELECT
          |  round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,

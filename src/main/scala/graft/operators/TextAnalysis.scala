@@ -329,6 +329,34 @@ object TextAnalysis extends QueryModule {
     // agree, and no shuffle is needed to ASSIGN (only the small audit
     // rollup aggregates). Never use random() or row position: both
     // change under re-partitioning.
+    // END-TO-END curation funnel in ONE job — the composition the
+    // individual stages exist for: quality floor (t_filter_pipeline's
+    // length gate) → corpus-wide exact dedup keeping the first
+    // occurrence (dedup_exact's md5 keyed on the full text — the
+    // shuffle key is high-cardinality, so partitions stay even at any
+    // scale) → deterministic md5 split assignment (t_split_assign) →
+    // per-(split, lang) corpus manifest. One dedup shuffle + one
+    // manifest aggregation; every stage is individually oracle-verified
+    // elsewhere, and this entry verifies their composition.
+    "t_curate_e2e" -> ((s, d) => {
+      val wDup = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id")
+      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+        .filter(col("n_tok") >= 20L)
+        .withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(wDup))
+        .filter(col("rn") === 1)
+        .withColumn("split",
+          when(b < "e6", "train").when(b < "f2", "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("sum_tokens"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("split", "lang")
+    }),
+
     // EPOCH-order global shuffle — the op that turns a corpus into a
     // reproducible random read order per training epoch: key =
     // md5(epoch ':' doc_id), so each epoch is a DIFFERENT but fully
@@ -609,6 +637,24 @@ object TextAnalysis extends QueryModule {
   private val stopList = stopwords.map(s => s"'$s'").mkString("[", ",", "]")
 
   def oracles: Map[String, String] = Map(
+    "t_curate_e2e" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |f AS (SELECT * FROM t WHERE n_tok >= 20),
+        |dd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id) AS rn FROM f),
+        |k AS (SELECT *,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |           THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f2'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM dd WHERE rn = 1)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM k GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "t_epoch_shuffle" ->
       """WITH k AS (SELECT doc_id,
         |  md5('2:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
