@@ -19,7 +19,9 @@ t_cooccur sim_triplet_mine t_oov_rate mm_decode_png o6_topk_per_key \
 dedup_prefix_join t_weighted_sample w11_ewma c7_scd2_intervals \
 dedup_fuzzy_block s12_binaryfile_scan t_bigram_lm dedup_containment \
 dedup_segments dedup_semantic sim_pq_ann join_point_in_time \
-graph_triangles a16_ols mm_phash_dedup t_bpe_apply"
+graph_triangles a16_ols mm_phash_dedup t_bpe_apply \
+dedup_keep_best sim_range_search t_epoch_shuffle a17_approx_topk \
+w12_interval_merge a18_mad_outliers t_curate_e2e"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
