@@ -133,20 +133,22 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rk")
   }
 
-  /** IVF index: KMeans coarse quantizer (spark.ml, fixed seed) trained
-    * on a seeded bounded SAMPLE of the corpus; returns (assigned corpus
-    * with cluster ids, centroid table). The multi-pass KMeans fit —
-    * maxIter full scans if run on the whole table — touches only
-    * O(trainPerCluster·k) rows; centroid quality saturates at a few
-    * hundred points per cluster, so the full-corpus fit buys nothing at
-    * scale. The ASSIGNMENT stays full-corpus and is one broadcast-map
-    * pass; the per-cluster layout would be written bucketed-by-cluster
-    * so probes touch only nprobe buckets. */
+  /** IVF index: coarse quantizer trained by the shared driver-side
+    * Lloyd's kernel (the PQ training substrate) on a seeded bounded
+    * SAMPLE of the corpus; returns (assigned corpus with cluster ids,
+    * centroid table). A multi-pass fit over the whole table — maxIter
+    * full scans — buys nothing at scale: centroid quality saturates at
+    * a few hundred points per cluster, so training touches only
+    * O(trainPerCluster·k) rows and runs where that data fits — the
+    * driver (the spark.ml KMeans job graph costs ~1 s of fixed
+    * scheduling overhead for the same centroids at this budget). The
+    * ASSIGNMENT stays full-corpus and is ONE shuffle-free codegen map:
+    * the native PqEncode expression with a single subspace (m=1,
+    * ksub=k) IS nearest-centroid-by-squared-L2 assignment, lowest
+    * index on ties. The per-cluster layout would be written
+    * bucketed-by-cluster so probes touch only nprobe buckets. */
   def ivfIndex(e: DataFrame, k: Int = 16,
                trainPerCluster: Int = 256): (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = e.withColumn("features", array_to_vector(col("emb")))
     // sample-then-limit, sized to the train budget: the seeded fraction
     // (2× over-draw so the limit is actually reached) sheds the bulk
     // scan-side, the limit hard-bounds the fit input. A corpus already
@@ -155,19 +157,19 @@ object Similarity extends QueryModule {
     // scan (and would come from catalog stats on a real warehouse).
     val budget = trainPerCluster.toLong * k
     val n = e.count()
-    val train = if (n <= budget) feat
-      else feat.sample(withReplacement = false,
+    val train = if (n <= budget) e
+      else e.sample(withReplacement = false,
         math.min(1.0, 2.0 * budget / n), seed = 42).limit(budget.toInt)
-    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(train)
-    val assigned = model.transform(feat).drop("features")
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq
+    val pts = train.select(col("emb")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(pts.nonEmpty, "ivfIndex: empty training sample")
+    val cents = lloyd(pts, k, iters = 10)
+    val assigned = e.withColumn("cluster",
+      element_at(pqEncode(col("emb"), Array(cents)), 1))
     val spark = e.sparkSession
     import spark.implicits._
-    (assigned, centroids.toDF("cluster", "centroid"))
+    (assigned, cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster", "centroid"))
   }
 
   /** Product-quantization codebooks (Jégou et al., "Product Quantization

@@ -36,6 +36,29 @@ object WindowOps extends QueryModule {
   private def oldestFirst = Window.partitionBy("user_id")
     .orderBy(col("ts").asc, col("event_id").asc)
 
+  /** Merge overlapping [start, fin] intervals per key into disjoint
+    * spans (w12's core, reusable over any orderable type): an interval
+    * extends the current island while its start is ≤ the running max of
+    * all previous ends; a running sum of new-island flags numbers the
+    * islands; one groupBy emits the merged spans. All state per-key and
+    * single-pass — the two windows share one exchange on `key`.
+    * Returns (key, island, merge_start, merge_end, n_events). */
+  def mergeIntervals(df: org.apache.spark.sql.DataFrame, key: String,
+                     start: String, fin: String,
+                     tiebreak: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val ord = Window.partitionBy(key)
+      .orderBy((col(start) +: tiebreak.map(col)): _*)
+    val prevMax =
+      max(col(fin)).over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val island = sum(
+      when(prevMax.isNull || col(start) > prevMax, 1L).otherwise(0L))
+      .over(ord.rowsBetween(Window.unboundedPreceding, 0))
+    df.withColumn("island", island)
+      .groupBy(col(key), col("island"))
+      .agg(min(start).as("merge_start"), max(fin).as("merge_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W1 — latest row per key via row_number (one window, all keys at once)
     "w1_latest_per_key" -> ((s, d) =>
@@ -180,18 +203,12 @@ object WindowOps extends QueryModule {
     // spans. All state is per-key and single-pass — at 100 TB each key's
     // windows evaluate inside its partition, no self-join, no loop.
     "w12_interval_merge" -> ((s, d) => {
-      val end = col("ts") + expr("INTERVAL 15 MINUTES")
-      val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val prevMax = max(end).over(ord.rowsBetween(Window.unboundedPreceding, -1))
-      val island = sum(
-        when(prevMax.isNull || col("ts") > prevMax, 1L).otherwise(0L))
-        .over(ord.rowsBetween(Window.unboundedPreceding, 0))
-      Tables.events(s, d)
-        .filter(col("user_id") < 30)
-        .withColumn("island", island)
-        .groupBy("user_id", "island")
-        .agg(min("ts").as("merge_start"), max(end).as("merge_end"),
-          count(lit(1)).as("n_events"))
+      WindowOps.mergeIntervals(
+          Tables.events(s, d)
+            .filter(col("user_id") < 30)
+            .withColumn("fin", col("ts") + expr("INTERVAL 15 MINUTES")),
+          key = "user_id", start = "ts", fin = "fin",
+          tiebreak = Seq("event_id"))
         .orderBy("user_id", "island")
     }),
 

@@ -122,6 +122,61 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("interval merge equals driver-side sweep on random intervals") {
+    val ivGen: Gen[List[(Long, Long, Long)]] = Gen.listOfN(40, for {
+      key <- Gen.choose(0L, 3L)
+      start <- Gen.choose(0L, 200L)
+      len <- Gen.choose(1L, 30L)
+    } yield (key, start, start + len))
+    samples(ivGen, 8).filter(_.nonEmpty).foreach { ivs =>
+      val merged = graft.operators.WindowOps.mergeIntervals(
+          ivs.toDF("k", "s", "f"), key = "k", start = "s", fin = "f")
+        .select("k", "merge_start", "merge_end", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // driver-side sweep: sort per key, extend while start <= max end
+      val expected = ivs.groupBy(_._1).flatMap { case (k, rows) =>
+        val sorted = rows.map { case (_, s, f) => (s, f) }.sorted
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        var (cs, cf, n) = (sorted.head._1, sorted.head._2, 1L)
+        for ((s, f) <- sorted.tail) {
+          if (s <= cf) { cf = math.max(cf, f); n += 1 }
+          else { out += ((k, cs, cf, n)); cs = s; cf = f; n = 1 }
+        }
+        out += ((k, cs, cf, n))
+        out
+      }.toSet
+      assert(merged === expected)
+      // invariant: merged spans per key are pairwise disjoint
+      merged.groupBy(_._1).foreach { case (_, spans) =>
+        val ss = spans.toSeq.sortBy(_._2)
+        ss.zip(ss.drop(1)).foreach { case (a, b) => assert(a._3 < b._2) }
+      }
+    }
+  }
+
+  test("max(struct(quality, -id)) argmax matches driver-side selection") {
+    val rowGen: Gen[List[(Long, Long, Long)]] = Gen.listOfN(50, for {
+      grp <- Gen.choose(0L, 5L)
+      id <- Gen.choose(0L, 99L)
+      q <- Gen.choose(0L, 9L) // narrow range forces quality ties
+    } yield (grp, id, q))
+    samples(rowGen, 8).filter(_.nonEmpty).foreach { rows =>
+      val distinctRows = rows.distinct
+      val got = distinctRows.toDF("grp", "id", "q")
+        .groupBy("grp")
+        .agg(max(struct(col("q"), (-col("id")).as("neg_id"))).as("best"))
+        .select(col("grp"), (-col("best.neg_id")).as("kept"),
+          col("best.q").as("kq"))
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = distinctRows.groupBy(_._1).map { case (g, rs) =>
+        val best = rs.map { case (_, id, q) => (q, -id) }.max
+        (g, -best._2, best._1)
+      }.toSet
+      assert(got === expected)
+    }
+  }
+
   test("rolling 7-row mean equals brute force over any history") {
     samples(Gen.listOfN(25, Gen.choose(1, 10000).map(_ / 100.0)), 10)
         .filter(_.nonEmpty).foreach { values =>
