@@ -25,13 +25,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional subset for local A/B timing: SPARK_GRAFT_ONLY=q1,q2,...
+    val queries = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(list) =>
+        val keep = list.split(",").map(_.trim).toSet
+        SparkEntry.queries.filter { case (k, _) => keep(k) }
+      case None => SparkEntry.queries
+    }
     // warmup: exercise every plan once (JIT, codegen cache, file listing)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
     // two timed passes, report the min per query (drops scheduler noise)
     def timedPass(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

@@ -151,6 +151,35 @@ object ExtendedOps extends QueryModule {
 
     // day-N retention: users with a signup who are active again exactly
     // 7+ days later (cohort retention, the analytics staple)
+    // SESSION PATH MINING — the behavior-sequence primitive funnels
+    // (e_funnel) can't see: which ordered event-type sequences actually
+    // occur, and how often. Sessions are w5's exact-microsecond gap
+    // islands; each session's path is assembled ORDER-DETERMINISTICALLY
+    // by sort_array over (ts, event_id, type) structs — collect_list
+    // alone has no ordering contract under retries/AQE, so the sort is
+    // what makes the result reproducible on any cluster. Two shuffles
+    // (session regroup, path count) + a TakeOrdered top-20; per-session
+    // state is the session's own events, never a user's full history.
+    "e_top_paths" -> ((s, d) => {
+      val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = byTs.rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(byTs))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_sess").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("evs"))
+        .select(concat_ws(">",
+          transform(col("evs"), e => e.getField("event_type"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+        .orderBy(col("n_sessions").desc, col("path"))
+    }),
+
     "e_retention" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val first = ev.groupBy("user_id")
@@ -446,6 +475,23 @@ object ExtendedOps extends QueryModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+    "e_top_paths" ->
+      """WITH g AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess FROM g),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |p AS (SELECT user_id, sid,
+        |    array_to_string(list(event_type ORDER BY ts, event_id), '>')
+        |      AS path
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "e_retention" ->
       """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
         |  FROM events GROUP BY user_id),
