@@ -15,8 +15,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   def apply(e: SparkSessionExtensions): Unit = {
     // whole-operator extension: per-key top-k with bounded heaps
-    // (partial + final execs — see graft.plans.TopK)
+    // (partial + final execs — see graft.plans.TopK), plus the optimizer
+    // rewrite that plans the QUALIFY-style rank-limit window idiom onto
+    // it automatically when the rank column is dropped
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),

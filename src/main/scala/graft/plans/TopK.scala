@@ -26,8 +26,10 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *
   * State per partition is (#distinct keys present) × k row copies —
   * bounded and spill-free where the window plan's sort buffers the whole
-  * partition. Selection is deterministic: rank by (value DESC, tie ASC);
-  * null values are excluded (a NULL can never be in a "largest k").
+  * partition. Selection is deterministic: rank by (value DESC NULLS
+  * LAST, tie ASC) — null values order below every non-null, exactly the
+  * default window ordering, which keeps [[TopKRewrite]] semantics-
+  * preserving.
   *
   * Registered via SparkSessionExtensions.injectPlannerStrategy
   * (GraftExtensions) and, for plain sessions, lazily through
@@ -51,6 +53,81 @@ object TopKStrategy extends SparkStrategy {
           partial = true),
         partial = false) :: Nil
     case _ => Nil
+  }
+}
+
+/** Optimizer rewrite (SparkSessionExtensions.injectOptimizerRule): the
+  * QUALIFY-style rank-limit idiom
+  *
+  *   Project([cols not referencing rn],
+  *     Filter(rn <= k,                       -- also rn < k, rn = 1
+  *       Window([rn := row_number() OVER (PARTITION BY keys
+  *                ORDER BY value DESC, tie ASC)], ...)))
+  *
+  * is replanned onto the bounded-heap TopKPerKey operator — users write
+  * the idiomatic window query and get the partial/final heap plan (no
+  * per-group sort, exchange carries ≤ k rows per key per partition)
+  * whenever the rank column itself is dropped afterwards. Guards keep
+  * the rewrite exactly semantics-preserving:
+  *  - single row_number window expression, default DESC NULLS LAST /
+  *    ASC NULLS FIRST orderings (what the heap implements);
+  *  - value is a non-decimal numeric ≤ 32-bit or floating (its Double
+  *    cast is order-isomorphic; BIGINT/DECIMAL could collide past 2^53);
+  *  - tie is integral (exact in a Long);
+  *  - the surviving projection references only child columns, so the
+  *    dropped rank attribute is provably unused.
+  * Rows with NULL value order below all non-nulls in both formulations
+  * (TopKPerKeyExec ranks them last rather than excluding them). */
+object TopKRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+  import org.apache.spark.sql.types._
+
+  private def rankLimit(cond: Expression, rn: Attribute): Option[Int] =
+    cond match {
+      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+        if a.semanticEquals(rn) => Some(k)
+      case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+        if a.semanticEquals(rn) => Some(k - 1)
+      case EqualTo(a: Attribute, Literal(k: Int, IntegerType))
+        if a.semanticEquals(rn) && k == 1 => Some(1)
+      case _ => None
+    }
+
+  private def doubleSafe(t: DataType): Boolean = t match {
+    case DoubleType | FloatType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Project(projList,
+        Filter(cond,
+          Window(Seq(al @ Alias(WindowExpression(RowNumber(),
+              WindowSpecDefinition(part, Seq(
+                SortOrder(value, Descending, NullsLast, _),
+                SortOrder(tie, Ascending, NullsFirst, _)), _)), _)),
+            _, _, child, _)))
+      if rankLimit(cond, al.toAttribute).exists(_ > 0) &&
+        projList.forall(_.references.subsetOf(child.outputSet)) &&
+        doubleSafe(value.dataType) &&
+        Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(tie.dataType) &&
+        part.nonEmpty =>
+      val k = rankLimit(cond, al.toAttribute).get
+      // InferWindowGroupLimit (which runs before user rules) may already
+      // have planted its per-partition rank prefilter under the Window;
+      // the heap subsumes it, and keeping it would re-introduce the
+      // per-partition Sorts the rewrite exists to avoid
+      val base = child match {
+        case org.apache.spark.sql.catalyst.plans.logical
+          .WindowGroupLimit(_, _, _, limit, grandchild) if limit >= k =>
+          grandchild
+        case other => other
+      }
+      Project(projList,
+        TopKPerKey(part, Cast(value, DoubleType), Cast(tie, LongType),
+          k, base))
   }
 }
 
@@ -96,38 +173,45 @@ case class TopKPerKeyExec(keys: Seq[Expression], value: Expression,
       val keyProj = UnsafeProjection.create(keys, child.output)
       val ordProj = UnsafeProjection.create(Seq(value, tie), child.output)
       val rowProj = UnsafeProjection.create(child.output, child.output)
-      // per-key bounded buffers, each kept sorted by (value desc, tie
-      // asc); linear insertion — k is small by contract
+      // per-key bounded buffers, each kept sorted by (value desc NULLS
+      // LAST, tie asc); linear insertion — k is small by contract.
+      // Null values rank BELOW every non-null (Spark's DESC NULLS LAST),
+      // so they survive only in groups with fewer than k better rows —
+      // exactly row_number semantics, which the TopKRewrite rule relies
+      // on for equivalence.
       val state = new scala.collection.mutable.HashMap[
-        UnsafeRow, scala.collection.mutable.ArrayBuffer[(Double, Long, UnsafeRow)]]()
+        UnsafeRow, scala.collection.mutable.ArrayBuffer[(Boolean, Double, Long, UnsafeRow)]]()
       while (iter.hasNext) {
         val row = iter.next()
         val ord = ordProj(row)
-        if (!ord.isNullAt(0)) {
-          val v = ord.getDouble(0)
-          // null tie -> MinValue: Spark's ASC window ordering puts NULLs
-          // first, so a null-tie row outranks equal-valued peers here too
-          // (among several null ties the pick is arbitrary, exactly as
-          // row_number over a non-total order is)
-          val t = if (ord.isNullAt(1)) Long.MinValue else ord.getLong(1)
-          val buf = state.getOrElseUpdate(keyProj(row).copy(),
-            new scala.collection.mutable.ArrayBuffer[(Double, Long, UnsafeRow)](k + 1))
-          // Double.compare, not >: NaN must rank GREATEST (Spark's DESC
-          // ordering yields NaN first), and a plain > is false for every
-          // NaN comparison, which would also break the buffer invariant
-          def ranksBefore(a: (Double, Long), b: (Double, Long)): Boolean = {
-            val c = java.lang.Double.compare(a._1, b._1)
-            c > 0 || (c == 0 && a._2 < b._2)
+        val vNull = ord.isNullAt(0)
+        val v = if (vNull) 0.0 else ord.getDouble(0)
+        // null tie -> MinValue: Spark's ASC window ordering puts NULLs
+        // first, so a null-tie row outranks equal-valued peers here too
+        // (among several null ties the pick is arbitrary, exactly as
+        // row_number over a non-total order is)
+        val t = if (ord.isNullAt(1)) Long.MinValue else ord.getLong(1)
+        val buf = state.getOrElseUpdate(keyProj(row).copy(),
+          new scala.collection.mutable.ArrayBuffer[(Boolean, Double, Long, UnsafeRow)](k + 1))
+        // Double.compare, not >: NaN must rank GREATEST (Spark's DESC
+        // ordering yields NaN first), and a plain > is false for every
+        // NaN comparison, which would also break the buffer invariant
+        def ranksBefore(a: (Boolean, Double, Long), b: (Boolean, Double, Long)): Boolean =
+          if (a._1 != b._1) b._1 // non-null before null
+          else {
+            val c = java.lang.Double.compare(a._2, b._2)
+            c > 0 || (c == 0 && a._3 < b._3)
           }
-          if (buf.length < k || ranksBefore((v, t), (buf.last._1, buf.last._2))) {
-            var i = buf.length
-            while (i > 0 && ranksBefore((v, t), (buf(i - 1)._1, buf(i - 1)._2))) i -= 1
-            buf.insert(i, (v, t, rowProj(row).copy()))
-            if (buf.length > k) buf.remove(k)
-          }
+        if (buf.length < k ||
+            ranksBefore((vNull, v, t), (buf.last._1, buf.last._2, buf.last._3))) {
+          var i = buf.length
+          while (i > 0 &&
+              ranksBefore((vNull, v, t), (buf(i - 1)._1, buf(i - 1)._2, buf(i - 1)._3))) i -= 1
+          buf.insert(i, (vNull, v, t, rowProj(row).copy()))
+          if (buf.length > k) buf.remove(k)
         }
       }
-      state.valuesIterator.flatMap(_.iterator.map(_._3))
+      state.valuesIterator.flatMap(_.iterator.map(_._4))
     }
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =

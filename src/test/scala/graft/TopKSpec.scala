@@ -24,15 +24,55 @@ class TopKSpec extends SparkSuite {
     assert(got === want)
   }
 
-  test("ties rank by ascending tie column; NULL values excluded") {
+  test("ties rank by ascending tie column; NULL values rank last") {
     val df = Seq(
       ("a", 1L, Some(5.0)), ("a", 2L, Some(5.0)), ("a", 3L, Some(5.0)),
-      ("a", 4L, None), ("b", 5L, Some(1.0))
+      ("a", 4L, None), ("b", 5L, Some(1.0)), ("b", 6L, None),
+      ("c", 7L, None)
     ).toDF("key", "id", "v")
     val got = TopK.topKPerKey(df, Seq("key"), "v", "id", k = 2)
       .select("key", "id").as[(String, Long)].collect().toSet
-    // key a: three tied 5.0s -> ids 1,2 win; the NULL row never places
-    assert(got === Set(("a", 1L), ("a", 2L), ("b", 5L)))
+    // key a: three tied 5.0s -> ids 1,2 win, the NULL is outranked;
+    // key b: only one non-null, so the NULL fills the second slot;
+    // key c: all-null group still yields its rows (row_number semantics)
+    assert(got === Set(("a", 1L), ("a", 2L), ("b", 5L), ("b", 6L), ("c", 7L)))
+  }
+
+  test("optimizer rule rewrites the rank-filter idiom onto the heap plan") {
+    import graft.plans.{TopKRewrite, TopKStrategy}
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
+    try {
+      // ties AND nulls, rank column dropped afterwards — the QUALIFY shape
+      val df = Seq(
+        ("a", 1, Some(5.0)), ("a", 2, Some(5.0)), ("a", 3, Some(7.0)),
+        ("a", 4, None), ("b", 5, Some(1.0)), ("b", 6, None), ("c", 7, None)
+      ).toDF("key", "id", "v")
+      val w = Window.partitionBy("key").orderBy(col("v").desc, col("id").asc)
+      val q = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).select("key", "id")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("FinalTopKPerKey"), s"no heap operator in:\n$plan")
+      assert(!plan.contains("Window"), s"window machinery survived:\n$plan")
+      assert(!plan.contains("Sort "), s"sort survived the rewrite:\n$plan")
+      // same rows as the (unrewritten) rank-projecting formulation
+      val want = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).select("key", "id", "rn").drop("rn")
+        .as[(String, Int)].collect().toSet
+      assert(q.as[(String, Int)].collect().toSet === want)
+      // guard: projecting the rank column disables the rewrite
+      val keepRn = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).select("key", "id", "rn")
+      assert(!keepRn.queryExecution.executedPlan.toString
+        .contains("TopKPerKey"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == TopKRewrite)
+    }
   }
 
   test("exact across partitionings (partial merge is lossless)") {
