@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{CosineSimilarity, DotProduct, IntersectSizeSorted, JaccardSets, MinHash64, RollingMinHash, SimHash64}
+import graft.functions.{CosineSimilarity, DotProduct, IntersectSizeSorted, JaccardSets, MinHash64, RollingMinHash, ShingleExplode, SimHash64}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
@@ -56,32 +56,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (exprs.length != 2)
           throw new IllegalArgumentException(
             "rolling_min_hash(text, k) takes exactly 2 arguments")
-        // constant folding hasn't run at function-resolution time, so
-        // accept any foldable integer expression (literal, cast literal)
-        // never truncate: a Long/BigInt k outside Int range must error,
-        // not silently wrap (2^32+4 would become k=4)
-        def toK(v: Long): Int = {
-          if (v < 1 || v > Int.MaxValue)
-            throw new IllegalArgumentException(
-              s"rolling_min_hash: k must be a positive Int, got $v")
-          v.toInt
-        }
-        val k = exprs(1) match {
-          case Literal(v: Int, _) => toK(v.toLong)
-          case Literal(v: Long, _) => toK(v)
-          case Literal(v: Short, _) => toK(v.toLong)
-          case other if other.foldable => other.eval() match {
-            case v: java.lang.Integer => toK(v.longValue())
-            case v: java.lang.Long => toK(v.longValue())
-            case v: java.lang.Short => toK(v.longValue())
-            case v => throw new IllegalArgumentException(
-              s"rolling_min_hash: k must be an integer constant, got $v")
-          }
-          case other => throw new IllegalArgumentException(
-            s"rolling_min_hash: k must be an integer constant, got $other")
-        }
-        RollingMinHash(exprs.head, k)
+        RollingMinHash(exprs.head,
+          GraftExtensions.foldableK(exprs(1), "rolling_min_hash"))
       }))
+    // UDTF tier: the native shingle generator, LATERAL VIEW-able in SQL
+    e.injectFunction((FunctionIdentifier("shingle_explode"),
+      info("shingle_explode"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            "shingle_explode(text, k) takes exactly 2 arguments")
+        ShingleExplode(exprs.head,
+          GraftExtensions.foldableK(exprs(1), "shingle_explode"))
+      }))
+  }
+}
+
+object GraftExtensions {
+  /** Extract a positive Int from a foldable integer expression (constant
+    * folding hasn't run at function-resolution time, so accept any
+    * foldable shape). Never truncate: a Long outside Int range must
+    * error, not silently wrap (2^32+4 would become k=4). */
+  private[graft] def foldableK(e: Expression, fn: String): Int = {
+    def toK(v: Long): Int = {
+      if (v < 1 || v > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"$fn: k must be a positive Int, got $v")
+      v.toInt
+    }
+    e match {
+      case Literal(v: Int, _) => toK(v.toLong)
+      case Literal(v: Long, _) => toK(v)
+      case Literal(v: Short, _) => toK(v.toLong)
+      case other if other.foldable => other.eval() match {
+        case v: java.lang.Integer => toK(v.longValue())
+        case v: java.lang.Long => toK(v.longValue())
+        case v: java.lang.Short => toK(v.longValue())
+        case v => throw new IllegalArgumentException(
+          s"$fn: k must be an integer constant, got $v")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$fn: k must be an integer constant, got $other")
+    }
   }
 }
 

@@ -329,6 +329,23 @@ object TextAnalysis extends QueryModule {
     // agree, and no shuffle is needed to ASSIGN (only the small audit
     // rollup aggregates). Never use random() or row position: both
     // change under re-partitioning.
+    // Native UDTF: the ShingleExplode Generator streams (pos, shingle)
+    // rows from each document in one fused pass — unlike the builtin
+    // transform(sequence…)+posexplode composition, the full shingle
+    // array (k× the document bytes) is never materialized per row.
+    // Exercised here through the DataFrame generator path (multi-alias
+    // select → Generate node); SessionSpec drives the same expression
+    // from SQL via LATERAL VIEW. Oracle = DuckDB range unnest.
+    "t_shingle_explode" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          column(graft.functions.ShingleExplode(expression(col("text")), 3))
+            .as(Seq("pos", "shingle")))
+        .orderBy("doc_id", "pos")
+    }),
+
     // END-TO-END curation funnel in ONE job — the composition the
     // individual stages exist for: quality floor (t_filter_pipeline's
     // length gate) → corpus-wide exact dedup keeping the first
@@ -637,6 +654,14 @@ object TextAnalysis extends QueryModule {
   private val stopList = stopwords.map(s => s"'$s'").mkString("[", ",", "]")
 
   def oracles: Map[String, String] = Map(
+    "t_shingle_explode" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (SELECT doc_id, unnest(range(0, len(toks) - 2)) AS pos, toks
+        |  FROM t WHERE len(toks) >= 3)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  array_to_string(toks[pos + 1 : pos + 3], ' ') AS shingle
+        |FROM s ORDER BY doc_id, pos""".stripMargin,
     "t_curate_e2e" ->
       """WITH t AS (SELECT doc_id, lang, n_chars, text,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

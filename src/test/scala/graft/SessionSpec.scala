@@ -43,6 +43,34 @@ class SessionSpec extends AnyFunSuite {
       .collect().head.getLong(0) >= 0L)
   }
 
+  test("shingle_explode UDTF works from SQL LATERAL VIEW and matches builtins") {
+    import gspark.implicits._
+    Seq((1L, "a b c d"), (2L, "x y"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").createOrReplaceTempView("shex_docs")
+    val got = gspark.sql(
+      """SELECT doc_id, pos, shingle FROM shex_docs
+        |LATERAL VIEW shingle_explode(text, 3) t AS pos, shingle
+        |ORDER BY doc_id, pos""".stripMargin)
+      .as[(Long, Int, String)].collect().toSeq
+    // doc 1: two 3-shingles; doc 2 (< 3 tokens) and doc 3 (NULL): none
+    assert(got === Seq((1L, 0, "a b c"), (1L, 1, "b c d")))
+    // equivalence with the builtin composition on real data
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(gspark, "/root/testdata/sf0.001")
+    val viaGen = {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      docs.select(col("doc_id"),
+        column(graft.functions.ShingleExplode(expression(col("text")), 4))
+          .as(Seq("pos", "shingle")))
+    }
+    val viaBuiltin = docs.select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.shinglesStrict(
+          graft.functions.TextFunctions.tokens(col("text")), 4))
+          .as(Seq("pos", "shingle")))
+    assert(viaGen.as[(Long, Int, String)].collect().sorted.toSeq ===
+      viaBuiltin.as[(Long, Int, String)].collect().sorted.toSeq)
+  }
+
   test("pipeline operators tolerate empty inputs") {
     import gspark.implicits._
     val empty = Seq.empty[(String, java.sql.Date, Double)]
