@@ -719,6 +719,39 @@ object RelationalOps extends QueryModule {
     // by the same distributed selection as A13 (never a value-map
     // percentile), the clip itself a narrow literal map. Sums in exact
     // decimal so both engines agree bit-for-bit.
+    // Pairwise CORRELATION MATRIX — the feature-analysis profile op
+    // (which columns move together) as ONE aggregate pass: ten exact
+    // decimal moments (n, three sums, three square-sums, three
+    // cross-sums) computed in a single scan, then every pairwise
+    // Pearson r derived by stack + the a9 formula. The alternative —
+    // corr() per pair — is order-dependent double arithmetic AND
+    // re-reads the columns per pair; here moments are exact decimals
+    // (partition-order-free, a9's discipline) and adding columns grows
+    // the single pass by O(cols²) moment slots, not O(cols²) scans.
+    "a19_corr_matrix" -> ((s, d) => {
+      val q = col("l_quantity"); val p = col("l_extendedprice")
+      val dd = col("l_discount")
+      def sx(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        sum((a * b).cast(dec(4))).cast("double")
+      Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n"),
+          dsum(q).as("s_q"), dsum(p).as("s_p"), dsum(dd).as("s_d"),
+          sx(q, q).as("s_qq"), sx(p, p).as("s_pp"), sx(dd, dd).as("s_dd"),
+          sx(q, p).as("s_qp"), sx(q, dd).as("s_qd"), sx(p, dd).as("s_pd"))
+        .selectExpr(
+          """stack(3,
+            |  'l_quantity', 'l_extendedprice', s_qp, s_q, s_p, s_qq, s_pp,
+            |  'l_quantity', 'l_discount', s_qd, s_q, s_d, s_qq, s_dd,
+            |  'l_extendedprice', 'l_discount', s_pd, s_p, s_d, s_pp, s_dd)
+            |  AS (var_a, var_b, sxy, sx, sy, sxx, syy)""".stripMargin, "n")
+        .select(col("var_a"), col("var_b"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+             sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6)
+            .as("corr"))
+        .orderBy("var_a", "var_b")
+    }),
+
     // ROBUST outlier gate — median/MAD replaces a10's mean/stddev
     // z-score where the outliers themselves poison the location/scale
     // estimate (the standard data-quality failure on heavy-tailed value
@@ -988,6 +1021,29 @@ object RelationalOps extends QueryModule {
         |GROUP BY c.c_custkey, c.c_name
         |ORDER BY c.c_custkey""".stripMargin,
     // A14: identical clip fold over quantile_cont bounds, decimal sums
+    "a19_corr_matrix" ->
+      """WITH m AS (SELECT count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
+        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s_qq,
+        |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s_pp,
+        |  CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s_dd,
+        |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s_qp,
+        |  CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s_qd,
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s_pd
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b,
+        |    s_qp AS sxy, s_q AS sx, s_p AS sy, s_qq AS sxx, s_pp AS syy, n FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    s_qd, s_q, s_d, s_qq, s_dd, n FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    s_pd, s_p, s_d, s_pp, s_dd, n FROM m)
+        |SELECT var_a, var_b,
+        |  round((sxy - sx * sy / n) /
+        |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr
+        |FROM pairs ORDER BY var_a, var_b""".stripMargin,
     "a18_mad_outliers" ->
       """WITH m AS (SELECT round(quantile_cont(l_extendedprice, 0.5), 6)
         |    AS med FROM lineitem),

@@ -21,7 +21,8 @@ dedup_fuzzy_block s12_binaryfile_scan t_bigram_lm dedup_containment \
 dedup_segments dedup_semantic sim_pq_ann join_point_in_time \
 graph_triangles a16_ols mm_phash_dedup t_bpe_apply \
 dedup_keep_best sim_range_search t_epoch_shuffle a17_approx_topk \
-w12_interval_merge a18_mad_outliers t_curate_e2e"
+e_top_paths t_shingle_explode \
+w12_interval_merge a18_mad_outliers t_curate_e2e a19_corr_matrix"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
