@@ -24,8 +24,8 @@ for ln in lines:
     if ln.startswith("| query |"):
         cols = [c.strip() for c in ln.strip("|").split("|")][1:]
         # drop a trailing delta column if present
-        if cols and "-" in cols[-1] and not cols[-1].startswith("r"):
-            cols = cols[:-1]
+        if cols and "-" in cols[-1]:
+            cols = cols[:-1]  # trailing delta column like "r4e-r4"
         prev = cols[-1]
         out.append("| query | " + " | ".join(cols) + f" | {label} | {label}-{prev} |")
         header_done = True
