@@ -172,6 +172,74 @@ object Similarity extends QueryModule {
       .toDF("cluster", "centroid"))
   }
 
+  /** Write the IVF layout ONCE: the corpus assigned to its coarse
+    * cluster and written `partitionBy(cluster)`, centroids alongside in
+    * an underscore-prefixed side directory (invisible to the main
+    * partitioned read). Probe batches afterwards read ONLY their nprobe
+    * cluster directories (static partition pruning) — the IVF analogue
+    * of [[writeLshLayoutOnce]], closing the "would be written
+    * bucketed-by-cluster" promise in [[ivfIndex]]'s doc. Same
+    * write-once contract via the tag marker. */
+  def writeIvfLayoutOnce(e: DataFrame, path: String, tag: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_ivf_tag")
+    val fs = marker.getFileSystem(
+      e.sparkSession.sessionState.newHadoopConf())
+    val fresh = fs.exists(marker) && {
+      val in = fs.open(marker)
+      try {
+        val b = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+        in.readFully(b); new String(b, "UTF-8") == tag
+      } finally in.close()
+    }
+    if (!fresh) {
+      val (assigned, centroids) = ivfIndex(e)
+      assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+      centroids.write.mode("overwrite").parquet(s"$path/_centroids")
+      val out = fs.create(marker, true)
+      try out.write(tag.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** ANN probes against a pre-built IVF layout: rank the persisted
+    * centroids per probe, collect the wanted cluster ids into LITERAL
+    * partition filters (the layout scan touches ≤ |probes|·nprobe of
+    * the k cluster directories), exact cosine re-rank within them.
+    * Identical results to the in-query `sim_ivf_ann` path because the
+    * index build is deterministic end to end (seeded sample, driver
+    * Lloyd, PqEncode assignment). */
+  def ivfProbe(spark: SparkSession, layoutPath: String, probes: DataFrame,
+               nprobe: Int = 4, k: Int = 3): DataFrame = {
+    val centroids = broadcast(spark.read.parquet(s"$layoutPath/_centroids"))
+    val pb = probes.localCheckpoint()
+    val probeClusters = broadcast(pb).crossJoin(centroids)
+      .withColumn("c_cos", cosine(col("q_emb"), col("centroid")))
+      .withColumn("crk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("c_cos").desc, col("cluster"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cluster"))
+      .localCheckpoint()
+    val wanted = probeClusters.select(col("cluster").cast("int"))
+      .distinct().collect().map(_.getInt(0))
+    val prune =
+      if (wanted.isEmpty) lit(false)
+      else wanted.map(c => col("cluster") === c).reduce(_ || _)
+    val corpus = spark.read.parquet(layoutPath)
+      .filter(prune)
+      .select(col("vec_id").as("c_id"), col("emb"),
+        col("cluster").cast("int").as("cluster"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(probeClusters.withColumn("cluster", col("cluster").cast("int")))
+      .join(corpus, Seq("cluster"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("q_id", "rk")
+  }
+
   /** Product-quantization codebooks (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", TPAMI 2011): split the L2-normalized
     * vector into `m` subspaces and learn `ksub` centroids per subspace by
@@ -526,6 +594,25 @@ object Similarity extends QueryModule {
           col("c_label").as("pred_label"),
           (col("c_label") === col("q_label")).as("correct"))
         .orderBy("vec_id")
+    }),
+
+    // IVF ANN served from the WRITE-ONCE cluster layout: the assigned
+    // corpus persisted partitionBy(cluster) with its centroids, probes
+    // answered from partition-pruned scans of only the nprobe matching
+    // cluster directories — the corpus is never re-clustered or
+    // re-scanned whole at probe time. Identical output to sim_ivf_ann
+    // (deterministic index build; asserted in SimilaritySpec along with
+    // the pruned-scan plan shape). Rows-only, like it.
+    "sim_ivf_ann_bucketed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_layout_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        .getAbsolutePath
+      writeIvfLayoutOnce(e, path, tag = s"$d:${e.count()}")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      ivfProbe(s, path, q)
     }),
 
     // LSH ANN served from the WRITE-ONCE bucket layout: build the

@@ -152,6 +152,31 @@ class SimilaritySpec extends SparkSuite {
       s"expected non-empty PartitionFilters on the layout scan in:\n$plan")
   }
 
+  test("IVF layout: probe == query-time IVF ANN and the scan is " +
+    "partition-pruned") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf")
+      .resolve("layout").toString
+    Similarity.writeIvfLayoutOnce(e, dir, tag = "spec")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val probed = Similarity.ivfProbe(spark, dir, q)
+    val got = probed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val direct = SparkEntry.queries("sim_ivf_ann")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(got === direct,
+      "layout-served IVF must equal the query-time IVF path (the index " +
+        "build is deterministic end to end)")
+    val plan = probed.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cluster[^\\]]*\\]".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"expected non-empty PartitionFilters on the IVF layout scan in:\n$plan")
+  }
+
   test("LSH layout build is write-once per corpus tag") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sf())
