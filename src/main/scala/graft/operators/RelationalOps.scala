@@ -318,6 +318,20 @@ object RelationalOps extends QueryModule {
         .orderBy("s_suppkey")
     }),
 
+    // S13 — line-text sink + scan round-trip: the raw-corpus format
+    // every web-scale text pipeline starts from (one document per
+    // line, no schema). Written from `documents.text`, read back with
+    // the schemaless text source; content equality with the source
+    // table is the oracle. Line files split by newline offsets, so the
+    // scan parallelizes by byte ranges like any splittable format.
+    "s13_text_scan" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_text_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      Tables.documents(s, d).select("text")
+        .write.mode("overwrite").text(dir)
+      s.read.text(dir).select(col("value")).orderBy("value")
+    }),
+
     // S11 — schema evolution: two parquet generations with PARTIALLY
     // DISJOINT columns (an old writer without o_totalprice, a new one
     // without o_custkey) unified by a mergeSchema read — the capability
@@ -859,6 +873,9 @@ object RelationalOps extends QueryModule {
         |  len(list_filter(l, x -> x % 7 = 0)) > 0 AS has_mult7,
         |  len(list_filter(l, x -> x > 10)) = 0 AS all_le10
         |FROM t ORDER BY o_orderkey""".stripMargin,
+    // S13: the text round-trip must reproduce the corpus exactly
+    "s13_text_scan" ->
+      "SELECT text AS value FROM documents ORDER BY value",
     // S9: the round-trip must reproduce the parquet contents exactly
     "s9_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
