@@ -742,26 +742,22 @@ object RelationalOps extends QueryModule {
     // re-reads the columns per pair; here moments are exact decimals
     // (partition-order-free, a9's discipline) and adding columns grows
     // the single pass by O(cols²) moment slots, not O(cols²) scans.
+    // Bench note: this entry prices the exact-decimal discipline
+    // honestly (~0.2 s per moment sum at sf0.1) — unlike the moment
+    // queries whose unreferenced sums bench's count() prunes, the
+    // stack consumes every buffer, so nothing here is phantom-fast.
+    // A/B'd against a two-half-aggregate split: the split's second
+    // scan cost more than the wider update loop saved.
     "a19_corr_matrix" -> ((s, d) => {
       val q = col("l_quantity"); val p = col("l_extendedprice")
       val dd = col("l_discount")
       def sx(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         sum((a * b).cast(dec(4))).cast("double")
-      // two half-width aggregate passes cross-joined (1-row × 1-row):
-      // ten decimal-sum buffers in ONE HashAggregate blow the generated
-      // update method past the JIT compile threshold and the whole scan
-      // runs interpreted (measured 2.2 s vs 0.3+0.3 s split); five
-      // buffers per pass keeps both scans inside compiled codegen. At
-      // 100 TB the two scans read the same 3 columns — still I/O-cheap —
-      // and a wider matrix would batch ~5 moments per pass the same way.
-      val li = Tables.lineitem(s, d)
-      val m1 = li.agg(count(lit(1)).as("n"),
-        dsum(q).as("s_q"), dsum(p).as("s_p"), dsum(dd).as("s_d"),
-        sx(q, p).as("s_qp"))
-      val m2 = li.agg(
-        sx(q, q).as("s_qq"), sx(p, p).as("s_pp"), sx(dd, dd).as("s_dd"),
-        sx(q, dd).as("s_qd"), sx(p, dd).as("s_pd"))
-      m1.crossJoin(m2)
+      Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n"),
+          dsum(q).as("s_q"), dsum(p).as("s_p"), dsum(dd).as("s_d"),
+          sx(q, q).as("s_qq"), sx(p, p).as("s_pp"), sx(dd, dd).as("s_dd"),
+          sx(q, p).as("s_qp"), sx(q, dd).as("s_qd"), sx(p, dd).as("s_pd"))
         .selectExpr(
           """stack(3,
             |  'l_quantity', 'l_extendedprice', s_qp, s_q, s_p, s_qq, s_pp,

@@ -22,7 +22,8 @@ dedup_segments dedup_semantic sim_pq_ann join_point_in_time \
 graph_triangles a16_ols mm_phash_dedup t_bpe_apply \
 dedup_keep_best sim_range_search t_epoch_shuffle a17_approx_topk \
 e_top_paths t_shingle_explode \
-w12_interval_merge a18_mad_outliers t_curate_e2e a19_corr_matrix"
+w12_interval_merge a18_mad_outliers t_curate_e2e a19_corr_matrix \
+sim_ivf_ann_bucketed s13_text_scan"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
@@ -34,7 +35,7 @@ w12_interval_merge a18_mad_outliers t_curate_e2e a19_corr_matrix"
     java $ADD_OPENS -Xmx8g \
       -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
       graft.Smoke "$q" "$SF" 2>/dev/null \
-      | grep -E '^\([0-9]+\) |PushedFilters|ReadSchema' \
+      | grep -E '^\([0-9]+\) |PushedFilters|PartitionFilters|ReadSchema' \
       | grep -vE 'PushedFilters: \[\]' | head -40
     echo '```'
   done
