@@ -190,6 +190,46 @@ object WindowOps extends QueryModule {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // W13 — linear-interpolation gap fill over the daily spine: w9's
+    // LOCF holds the last value flat; interpolation draws the line
+    // between the surrounding observations — the resampling mode for
+    // continuous signals (sensor series, prices) where a step function
+    // biases downstream features. Bracketing observations come from two
+    // IGNORE-NULLS struct windows over ONE spine exchange (carry-back +
+    // carry-forward of (day, v)); edges degrade to nearest-observation.
+    // All per-key window state, no self-join, no loop.
+    "w13_interp_resample" -> ((s, d) => {
+      val obs = Tables.events(s, d)
+        .filter(col("user_id") < 20 && col("event_type") === "purchase")
+      val daily = obs
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(max("value").as("v"))
+      val days = obs.sparkSession.range(1).select(explode(sequence(
+        to_timestamp(lit("2024-01-01 00:00:00")),
+        to_timestamp(lit("2024-01-30 00:00:00")),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      val wB = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wF = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+      val marked = when(col("v").isNotNull,
+        struct(col("day").as("d"), col("v").as("vv")))
+      obs.select("user_id").distinct().crossJoin(days)
+        .join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pv", last(marked, ignoreNulls = true).over(wB))
+        .withColumn("nx", first(marked, ignoreNulls = true).over(wF))
+        .select(col("user_id"), col("day"),
+          round(
+            when(col("pv").isNull, col("nx.vv"))
+              .when(col("nx").isNull, col("pv.vv"))
+              .when(col("pv.d") === col("nx.d"), col("pv.vv"))
+              .otherwise(col("pv.vv") + (col("nx.vv") - col("pv.vv")) *
+                (datediff(col("day"), col("pv.d")).cast("double") /
+                 datediff(col("nx.d"), col("pv.d")).cast("double"))), 6)
+            .as("v_interp"))
+        .orderBy("user_id", "day")
+    }),
+
     // W12 — overlapping-interval coalescing (merge [start, end) ranges
     // per key): the span-algebra primitive behind redaction-span
     // merging, dedup-span consolidation and availability-window
@@ -229,6 +269,38 @@ object WindowOps extends QueryModule {
     "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
 
   def oracles: Map[String, String] = Map(
+    "w13_interp_resample" ->
+      """WITH obs AS (SELECT * FROM events
+        |  WHERE user_id < 20 AND event_type = 'purchase'),
+        |daily AS (SELECT user_id,
+        |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |  max(value) AS v FROM obs GROUP BY 1, 2),
+        |days AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+        |  TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS day),
+        |sp AS (SELECT user_id, day
+        |  FROM (SELECT DISTINCT user_id FROM obs) u CROSS JOIN days),
+        |j AS (SELECT sp.user_id, sp.day, d.v
+        |  FROM sp LEFT JOIN daily d ON d.user_id = sp.user_id
+        |    AND d.day = sp.day),
+        |m AS (SELECT *,
+        |  last_value(CASE WHEN v IS NOT NULL
+        |      THEN {'d': day, 'vv': v} END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  first_value(CASE WHEN v IS NOT NULL
+        |      THEN {'d': day, 'vv': v} END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        |  FROM j)
+        |SELECT user_id, day, round(CASE
+        |  WHEN pv IS NULL THEN (nx).vv
+        |  WHEN nx IS NULL THEN (pv).vv
+        |  WHEN (pv).d = (nx).d THEN (pv).vv
+        |  ELSE (pv).vv + ((nx).vv - (pv).vv) *
+        |    (CAST(date_diff('day', (pv).d, day) AS DOUBLE) /
+        |     CAST(date_diff('day', (pv).d, (nx).d) AS DOUBLE)) END, 6)
+        |  AS v_interp
+        |FROM m ORDER BY user_id, day""".stripMargin,
     "w12_interval_merge" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |    ts + INTERVAL 15 MINUTE AS fin
