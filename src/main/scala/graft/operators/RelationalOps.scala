@@ -772,6 +772,29 @@ object RelationalOps extends QueryModule {
         .orderBy("var_a", "var_b")
     }),
 
+    // Shannon ENTROPY of each user's event-type mix — the
+    // class-balance/diversity profile op (a skewed label mix is the
+    // first thing a training-data audit checks). One count aggregate,
+    // one per-key total window (≤ |event types| rows per key), then the
+    // t_bigram_lm determinism trick for the entropy sum: each
+    // p·log₂(p) term is rounded to 9 decimals and summed EXACTLY as
+    // decimals — the sum order stops mattering, so the result is
+    // engine-portable despite libm in the terms.
+    "a20_entropy" -> ((s, d) => {
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      Tables.events(s, d).filter(col("user_id") < 100)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .withColumn("n", sum("c").over(tot))
+        .withColumn("term",
+          round((col("c") / col("n")) * log2(col("c") / col("n")), 9))
+        .groupBy("user_id")
+        .agg(max("n").cast("long").as("n_events"),
+          count(lit(1)).as("n_types"),
+          round(-sum(col("term").cast(dec(9))).cast("double"), 6)
+            .as("entropy_bits"))
+        .orderBy("user_id")
+    }),
+
     // ROBUST outlier gate — median/MAD replaces a10's mean/stddev
     // z-score where the outliers themselves poison the location/scale
     // estimate (the standard data-quality failure on heavy-tailed value
@@ -1044,6 +1067,18 @@ object RelationalOps extends QueryModule {
         |GROUP BY c.c_custkey, c.c_name
         |ORDER BY c.c_custkey""".stripMargin,
     // A14: identical clip fold over quantile_cont bounds, decimal sums
+    "a20_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events
+        |  WHERE user_id < 100 GROUP BY 1, 2),
+        |t AS (SELECT *, sum(c) OVER (PARTITION BY user_id) AS n FROM c),
+        |x AS (SELECT user_id, n, round(
+        |    (CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n), 9)
+        |  AS term FROM t)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+        |  count(*) AS n_types,
+        |  round(-CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6)
+        |    AS entropy_bits
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a19_corr_matrix" ->
       """WITH m AS (SELECT count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,

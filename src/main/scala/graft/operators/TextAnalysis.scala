@@ -374,6 +374,43 @@ object TextAnalysis extends QueryModule {
         .orderBy("split", "lang")
     }),
 
+    // ZIPF-law fit — the corpus-statistics profile op: OLS slope of
+    // log10(freq) on log10(rank) over the frequency-ranked vocabulary
+    // (a healthy natural-language corpus slopes ≈ −1; a flat or broken
+    // slope flags templated/synthetic text). Ranks come from the
+    // t_vocab distributed sort+zipWithIndex shape; the regression is
+    // a16's exact-moment OLS with the round-9-then-decimal-sum
+    // discipline on the log terms, so the fit is engine-portable
+    // despite libm logs. One count shuffle + one global sort + one
+    // five-slot aggregate.
+    "t_zipf_fit" -> ((s, d) => {
+      import s.implicits._
+      val ranked = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word"))
+        .as[(String, Long)]
+        .rdd.zipWithIndex()
+        .map { case ((w, f), i) => (w, f, i + 1L) }
+        .toDF("word", "freq", "rank")
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 18)
+      ranked
+        .select(round(log10(col("rank").cast("double")), 9).as("x"),
+          round(log10(col("freq").cast("double")), 9).as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(Sql.dec(9))).cast("double").as("sx"),
+          sum(col("y").cast(Sql.dec(9))).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(d38)).cast("double").as("sxx"),
+          sum((col("x") * col("y")).cast(d38)).cast("double").as("sxy"))
+        .withColumn("slope_raw",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+        .select(col("n").as("n_words"),
+          round(col("slope_raw"), 6).as("zipf_slope"),
+          round((col("sy") - col("slope_raw") * col("sx")) / col("n"), 6)
+            .as("intercept"))
+    }),
+
     // EPOCH-order global shuffle — the op that turns a corpus into a
     // reproducible random read order per training epoch: key =
     // md5(epoch ':' doc_id), so each epoch is a DIFFERENT but fully
@@ -654,6 +691,25 @@ object TextAnalysis extends QueryModule {
   private val stopList = stopwords.map(s => s"'$s'").mkString("[", ",", "]")
 
   def oracles: Map[String, String] = Map(
+    "t_zipf_fit" ->
+      """WITH f AS (SELECT word, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents) GROUP BY word),
+        |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word)
+        |    AS rank FROM f),
+        |xy AS (SELECT round(log10(CAST(rank AS DOUBLE)), 9) AS x,
+        |    round(log10(CAST(freq AS DOUBLE)), 9) AS y FROM r),
+        |m AS (SELECT count(*) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+        |  FROM xy),
+        |s AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        |    AS slope_raw FROM m)
+        |SELECT n AS n_words, round(slope_raw, 6) AS zipf_slope,
+        |  round((sy - slope_raw * sx) / n, 6) AS intercept
+        |FROM s""".stripMargin,
     "t_shingle_explode" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE doc_id < 50),
