@@ -74,6 +74,36 @@ object JoinOps extends QueryModule {
     // scalable composition is union + carry-forward window (one shuffle
     // on user_id, no range cross-join) — the DuckDB oracle uses its
     // native ASOF JOIN, making this a true cross-engine semantic check.
+    // AS-OF with a LOOKBACK TOLERANCE — the feature-store lookup
+    // semantic: the latest click is only a valid feature if it is at
+    // most 1 hour stale; older matches must yield NULL, not a stale
+    // value (plain as-of silently serves arbitrarily old state). Same
+    // single-exchange carry-forward union as join_asof, but the carried
+    // struct keeps the match's OWN timestamp so the staleness test is
+    // one projection — no interval self-join, no extra shuffle.
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("click_value"), lit(0).as("is_probe"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("double").as("click_value"), lit(1).as("is_probe"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_probe"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val marked = when(col("is_probe") === 0,
+        struct(col("ts").as("cts"), col("click_value").as("cv")))
+      clicks.unionByName(purchases)
+        .withColumn("m", last(marked, ignoreNulls = true).over(w))
+        .filter(col("is_probe") === 1)
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"),
+          when(col("m.cts") >= col("ts") - expr("INTERVAL 1 HOUR"),
+            col("m.cv")).as("asof_value"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
     "join_asof" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -288,6 +318,23 @@ object JoinOps extends QueryModule {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
         |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 48)
         |ORDER BY p_partkey""".stripMargin,
+    // tolerance oracle: the correlated latest-click-within-window form
+    // (ties break to the highest event_id, matching the union window's
+    // (ts, is_probe, event_id) carry order)
+    "join_asof_tolerance" ->
+      """WITH clicks AS (SELECT user_id, event_id,
+        |  CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  p.ts AS purchase_ts,
+        |  (SELECT c.value FROM clicks c
+        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        |     AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_value
+        |FROM purchases p
+        |ORDER BY user_id, purchase_id""".stripMargin,
     "join_asof" ->
       """WITH clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
         |  FROM events WHERE event_type = 'click'),
