@@ -672,6 +672,66 @@ object RelationalOps extends QueryModule {
         .orderBy("user_id", "version")
     }),
 
+    // C9 — INCREMENTAL SCD2 apply (the warehouse MERGE every dimension
+    // pipeline runs nightly): an existing SCD2 dimension (built from
+    // the log before a cutoff) plus a new change batch → close the
+    // affected open rows at the batch's first change, append the new
+    // versions with continued version numbers. Touches ONLY the
+    // current rows and the batch — history rows pass through untouched,
+    // which is the property that makes the nightly run O(batch), not
+    // O(dimension). Correctness contract: apply(dim(<cutoff), batch)
+    // must equal the full rebuild over the whole log — the oracle IS
+    // c7's rebuild SQL, so the driver hash-checks the equivalence.
+    "c9_scd2_apply" -> ((s, d) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      def scd2(log: org.apache.spark.sql.DataFrame) = log
+        .withColumn("prev_type", lag("event_type", 1).over(byUser))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to", lead("ts", 1).over(byUser))
+        .withColumn("version", row_number().over(byUser).cast("long"))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"), col("version"),
+          col("valid_to").isNull.as("is_current"))
+      val cutoff = to_timestamp(lit("2024-01-20 00:00:00"))
+      val ev = Tables.events(s, d)
+      val dim = scd2(ev.filter(col("ts") < cutoff)).localCheckpoint()
+      val batch = ev.filter(col("ts") >= cutoff)
+      // batch change rows: within-batch lag on the RAW batch (like the
+      // rebuild's lag on the raw log); the first batch row per user
+      // compares against the dimension's current type instead
+      val cur = dim.filter(col("is_current"))
+        .select(col("user_id"), col("event_type").as("cur_type"),
+          col("version").as("cur_version"))
+      val bc = batch
+        .withColumn("prev_type", lag("event_type", 1).over(byUser))
+        .join(cur, Seq("user_id"), "left")
+        .filter(
+          (col("prev_type").isNull &&
+            (col("cur_type").isNull || col("cur_type") =!= col("event_type"))) ||
+          (col("prev_type").isNotNull &&
+            col("prev_type") =!= col("event_type")))
+        .withColumn("valid_to", lead("ts", 1).over(byUser))
+        .withColumn("bver", row_number().over(byUser))
+        .withColumn("version",
+          (coalesce(col("cur_version"), lit(0L)) + col("bver")).cast("long"))
+      val firstChange = bc.filter(col("bver") === 1)
+        .select(col("user_id"), col("ts").as("close_ts"))
+      val closedCurrent = dim.filter(col("is_current"))
+        .join(firstChange, Seq("user_id"), "left")
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          coalesce(col("close_ts"), col("valid_to")).as("valid_to"),
+          col("version"), col("close_ts").isNull.as("is_current"))
+      val newRows = bc.select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"), col("version"),
+        col("valid_to").isNull.as("is_current"))
+      dim.filter(!col("is_current"))
+        .unionByName(closedCurrent).unionByName(newRows)
+        .orderBy("user_id", "version")
+    }),
+
     // A12 — partitioned HLL sketch maintenance: per-(day, type) HLL
     // states built once, then MERGED (hll_union_agg) to the type level
     // — the distinct-count analog of C5's mergeable MV state. At scale
@@ -1149,6 +1209,23 @@ object RelationalOps extends QueryModule {
         |WHERE change_type IS NOT NULL ORDER BY event_id""".stripMargin,
     // C7: same two-window SCD2 build — change rows via lag over the raw
     // log, then valid_to/version via lead/row_number over the changes
+    // C9's oracle is the FULL REBUILD over the whole log — hash
+    // equality proves apply(dim(<cutoff), batch) ≡ rebuild(all)
+    "c9_scd2_apply" ->
+      """WITH raw AS (SELECT user_id, event_type,
+        |  CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_type
+        |FROM events),
+        |chg AS (SELECT * FROM raw
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "c7_scd2_intervals" ->
       """WITH raw AS (SELECT user_id, event_type,
         |  CAST(ts AS TIMESTAMP) AS ts, event_id,
