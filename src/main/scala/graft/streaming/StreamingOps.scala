@@ -111,6 +111,23 @@ object StreamingOps extends QueryModule {
         .orderBy("day", "event_type")
     }),
 
+    // SLIDING event-time windows (2-day window, 1-day slide): every
+    // event lands in TWO overlapping windows — the hopping-aggregation
+    // shape behind trailing-48h dashboards. Same bounded state story as
+    // tumbling (|windows in flight| × |event types|), each input row
+    // just fans into window-count buckets; the batch oracle makes the
+    // overlap explicit by exploding each event to its two window
+    // starts.
+    "stream_sliding_daily" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "2 days", "1 day")
+          .getField("start").as("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.Sql.dsum(col("value")).as("sum_value"))
+      runToMemory(s, agg, "graft_stream_sliding")
+        .orderBy("win_start", "event_type")
+    }),
+
     // stream-stream INNER JOIN with watermarks + event-time range: each
     // purchase joined to the same user's clicks in the preceding hour.
     // Both watermarks plus the time-range condition bound the join state
@@ -197,6 +214,16 @@ object StreamingOps extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "stream_sliding_daily" ->
+      s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+         |  FROM events),
+         |x AS (SELECT event_type, value,
+         |  unnest([date_trunc('day', ts),
+         |          date_trunc('day', ts) - INTERVAL 1 DAY]) AS win_start
+         |  FROM e)
+         |SELECT win_start, event_type, count(*) AS n_events,
+         |  ${graft.Sql.oSum("value")} AS sum_value
+         |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "stream_tumbling_daily" ->
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
          |  count(*) AS n_events, ${graft.Sql.oSum("value")} AS sum_value
