@@ -440,6 +440,31 @@ object Dedup extends QueryModule {
         .orderBy("component")
     }),
 
+    // DUPLICATE-CLUSTER SIZE DISTRIBUTION — the corpus-health metric
+    // read off a dedup run before deciding thresholds: how many
+    // singletons vs small clusters vs mega-clusters (a fat tail means
+    // boilerplate/templating; a mega-cluster means the threshold or a
+    // hub page needs attention). Components → one count per component →
+    // one count per size: two tiny aggregations after the component
+    // labeling, output bounded by |distinct sizes|.
+    "dedup_cluster_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source")
+      val w = Window.partitionBy(col("lang"), col("source"),
+        expr("doc_id DIV 128")).orderBy("doc_id")
+      val edges = docs
+        .withColumn("nxt", lead("doc_id", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
+      docs.select("doc_id")
+        .join(connectedComponents(edges, maxIter = 16)
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("component"))
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // EXACT similarity join via prefix filtering (PPJoin family) — the
     // deterministic counterpart to LSH: finds ALL pairs with Jaccard
     // ≥ 0.8, sub-quadratically, no hashing. Each doc's tokens are
@@ -831,6 +856,14 @@ object Dedup extends QueryModule {
         |  min(doc_id) OVER (PARTITION BY lang, source, doc_id // 128)
         |    AS component
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_stats" ->
+      """WITH c AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY lang, source, doc_id // 128)
+        |      AS component
+        |  FROM documents),
+        |s AS (SELECT component, count(*) AS sz FROM c GROUP BY component)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters
+        |FROM s GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "dedup_keep_best" ->
       """WITH c AS (SELECT doc_id, n_chars,
         |    min(doc_id) OVER (PARTITION BY lang, source, doc_id // 128)
