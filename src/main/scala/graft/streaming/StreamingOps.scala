@@ -111,6 +111,30 @@ object StreamingOps extends QueryModule {
         .orderBy("day", "event_type")
     }),
 
+    // APPEND-mode watermarked tumbling windows — the production
+    // emit-on-close contract (complete mode re-emits everything per
+    // micro-batch; append emits each window ONCE, when the watermark
+    // passes its end, and then frees its state). On a finite replay the
+    // watermark advances past every window at end-of-input, so the
+    // appended stream must equal the batch aggregation — which is the
+    // oracle. State held at any moment: only windows newer than
+    // (max event time − 1 hour), the bound that lets this topology run
+    // forever.
+    "stream_tumbling_append" -> ((s, d) => {
+      // group by the raw window() of the watermarked column — extracting
+      // .start inside the groupBy hides the event-time column and the
+      // planner rejects append mode (no watermark it can attribute)
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.Sql.dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("day"), col("event_type"),
+          col("n_events"), col("sum_value"))
+      runToMemory(s, agg, "graft_stream_tumbling_append", mode = "append")
+        .orderBy("day", "event_type")
+    }),
+
     // SLIDING event-time windows (2-day window, 1-day slide): every
     // event lands in TWO overlapping windows — the hopping-aggregation
     // shape behind trailing-48h dashboards. Same bounded state story as
@@ -214,6 +238,19 @@ object StreamingOps extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    // The oracle encodes the append-mode CONTRACT, not the full batch agg:
+    // a window is emitted iff its END has been passed by the final
+    // watermark (max event time − 1 hour). On this data the last day's
+    // window stays open forever — the oracle excludes it too.
+    "stream_tumbling_append" ->
+      s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+         |  FROM events),
+         |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e)
+         |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         |  count(*) AS n_events, ${graft.Sql.oSum("value")} AS sum_value
+         |FROM e WHERE date_trunc('day', ts) + INTERVAL 1 DAY <=
+         |  (SELECT w FROM wm)
+         |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "stream_sliding_daily" ->
       s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
          |  FROM events),
