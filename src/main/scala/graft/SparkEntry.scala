@@ -14,7 +14,8 @@ import graft.operators._
 object SparkEntry {
   private val modules: Seq[QueryModule] =
     Seq(RelationalOps, WindowOps, JoinOps, ExtendedOps, SqlOps, TextAnalysis,
-      Dedup, Similarity, Multimodal, Graph, graft.streaming.StreamingOps)
+      Dedup, Similarity, Multimodal, Graph, Quality,
+      graft.streaming.StreamingOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join (facts ⋈ broadcast dims) → filtered revenue per region ×

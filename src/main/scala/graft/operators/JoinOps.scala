@@ -53,6 +53,35 @@ object JoinOps extends QueryModule {
              count(lit(1)).as("n_items"))
         .orderBy("r_name")),
 
+    // DYNAMIC PARTITION PRUNING: the fact table is laid out partitioned
+    // by a key the query filters only INDIRECTLY (through a dimension
+    // attribute). At plan time no partition filter exists; at run time
+    // Spark reuses the broadcast dim to synthesize one, and the fact
+    // scan opens ONLY the surviving partition directories. At 100 TB
+    // this is the difference between scanning 7 years and 4 — PlanSpec
+    // asserts the `dynamicpruning` subquery is actually in the scan's
+    // PartitionFilters, so the capability can't silently regress.
+    "join_dpp_pruned" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_dpp_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+      val fact = s.read.parquet(dir)
+      // year dimension with a non-key attribute; the era filter is only
+      // resolvable to years at run time (from the dim's own data)
+      val yearDim = Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("y")).distinct()
+        .withColumn("era", when(col("y") >= 1999, "modern")
+          .otherwise("legacy"))
+      fact.join(broadcast(yearDim.filter(col("era") === "modern")),
+          col("o_year") === col("y"))
+        .groupBy(col("o_year").cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_year")
+    }),
+
     // left-semi (EXISTS): customers having a big order
     "join_semi" -> ((s, d) =>
       Tables.customer(s, d)
@@ -292,6 +321,13 @@ object JoinOps extends QueryModule {
   private val rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
 
   def oracles: Map[String, String] = Map(
+    // DPP changes WHICH FILES open, never the result: the oracle is the
+    // plain indirect-filter aggregate
+    "join_dpp_pruned" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  count(*) AS n_orders, ${Sql.oSum("o_totalprice")} AS sum_price
+         |FROM orders WHERE year(o_orderdate) >= 1999
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "join_inner_agg" ->
       s"""SELECT o_orderpriority,
          |  CAST(SUM($rev) AS DOUBLE) AS revenue,

@@ -58,4 +58,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("might_contain"), p.take(2000))
     assert(p.contains("LeftSemi"), p.take(2000))
   }
+
+  test("dim-attribute filter dynamically prunes fact partitions") {
+    // force the query once so the partitioned layout exists, then
+    // re-derive the plan: the fact scan's PartitionFilters must carry a
+    // dynamicpruning subquery on o_year (not scan-all-then-filter)
+    val df = SparkEntry.queries("join_dpp_pruned")(spark, sf("sf0.01"))
+    assert(df.count() > 0)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the fact scan in:\n${p.take(4000)}")
+  }
 }
