@@ -80,6 +80,60 @@ object TextAnalysis extends QueryModule {
           col("n_chars"))
         .orderBy("doc_id")),
 
+    // INVERTED INDEX build: term -> (document frequency, collection
+    // frequency, sorted postings list) — the retrieval-side structure a
+    // corpus search / BM25 / contamination-lookup service is built on.
+    // ONE shuffle, keyed by term; df and cf come from the same exchange
+    // as the postings (count_distinct folds into the groupBy). At 100 TB
+    // the only change is sharding hot terms' postings by a composite
+    // (term, doc_id DIV block) key — same plan, finer key — and
+    // delta-encoding each block; the single-shuffle shape is already the
+    // scale shape.
+    "t_inverted_index" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(count_distinct(col("doc_id")).as("df"),
+          count(lit(1)).as("cf"),
+          sort_array(collect_set(col("doc_id"))).as("postings"))
+        .orderBy("term")),
+
+    // BM25 retrieval scoring for a fixed query term set — what the
+    // inverted index above is FOR. Corpus stats (N, avgdl) and per-term
+    // df are report-scale frames broadcast against the tf stream; the
+    // only big exchange is the (doc, term) tf groupBy, already filtered
+    // to query terms AT THE SCAN (the filter precedes the shuffle, so
+    // the exchange carries query-term postings, not the corpus). Scoring
+    // doubles follow the t_bigram_lm discipline: per-term contribution
+    // rounded to 9 before the exact-decimal per-doc sum, so libm ulp
+    // drift can't break cross-engine equality.
+    "t_bm25" -> ((s, d) => {
+      val qterms = Seq("spark", "query", "fast")
+      val docs = Tables.documents(s, d)
+      val dls = docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"))
+      val stats = dls.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+      tf.join(broadcast(df), "term").join(dls, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("contrib", round(
+          log((col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5)) + lit(1)) *
+            col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 9))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          round(Sql.dsum(col("contrib"), 9), 6).as("bm25"))
+        .orderBy("doc_id")
+    }),
+
     // quality scoring: word stats + stopword ratio
     "t_quality" -> ((s, d) => {
       val toks = tokens(col("text"))
@@ -691,6 +745,39 @@ object TextAnalysis extends QueryModule {
   private val stopList = stopwords.map(s => s"'$s'").mkString("[", ",", "]")
 
   def oracles: Map[String, String] = Map(
+    "t_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |dls AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tk),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
+         |t AS (SELECT doc_id, unnest(ts) AS term FROM tk),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM t WHERE term IN ('spark', 'query', 'fast')
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tf GROUP BY term),
+         |j AS (SELECT tf.doc_id, tf.tf, df.df, dls.dl,
+         |    st.n_docs, CAST(st.sum_dl AS DOUBLE) / st.n_docs AS avgdl
+         |  FROM tf JOIN df ON tf.term = df.term
+         |  JOIN dls ON tf.doc_id = dls.doc_id CROSS JOIN st),
+         |c AS (SELECT doc_id,
+         |    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 /
+         |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9) AS contrib
+         |  FROM j)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |  round(${Sql.oSum("contrib", 9)}, 6) AS bm25
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_inverted_index" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |s AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |    CAST(count(*) AS BIGINT) AS cf
+        |  FROM t GROUP BY term),
+        |p AS (SELECT term, list(doc_id ORDER BY doc_id) AS postings
+        |  FROM (SELECT DISTINCT term, doc_id FROM t) GROUP BY term)
+        |SELECT s.term, df, cf, postings
+        |FROM s JOIN p ON s.term = p.term ORDER BY s.term""".stripMargin,
     "t_zipf_fit" ->
       """WITH f AS (SELECT word, count(*) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
