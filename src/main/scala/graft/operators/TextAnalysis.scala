@@ -22,6 +22,34 @@ object TextAnalysis extends QueryModule {
 
   private val stopwords = Seq("the", "a")
 
+  /** Per-doc statistical LM quality score: corpus bigram counts with
+    * add-one smoothing, mean log10 P(w2|w1) per doc. One explode feeds
+    * both count shuffles; log terms are rounded to 9 before the exact-
+    * decimal mean so the score hash-matches across engines. Shared by
+    * `t_bigram_lm` (the raw score) and `t_lm_bucket_sample` (the
+    * stratified-sampling composite). Emits (doc_id, n_bigrams,
+    * avg_logp), unordered. */
+  def bigramLmScores(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val bi = t.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), " +
+          "i -> struct(ts[i] AS w1, concat(ts[i], ' ', ts[i+1]) AS bg))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
+    val cb = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = t.select(explode(col("ts")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    bi.join(cb, "bg").join(c1, "w1").crossJoin(broadcast(v))
+      .withColumn("lp", round(log10(
+        (col("cb") + lit(1)).cast("double") / (col("c1") + col("v"))), 9))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(Sql.davg(col("lp"), 9), 6).as("avg_logp"))
+  }
+
   /** Full BPE merge-training loop (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units"). The corpus-scale
     * pass is the distributed word-frequency count, capped to the top
@@ -688,26 +716,31 @@ object TextAnalysis extends QueryModule {
     // engine-identical (the a9 sqrt discipline). At 100 TB the count
     // tables are exactly the LM-training shape: key-partitioned
     // aggregates, no global state beyond the broadcast V scalar.
-    "t_bigram_lm" -> ((s, d) => {
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 2)
-      val bi = t.select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ts) - 2), " +
-            "i -> struct(ts[i] AS w1, concat(ts[i], ' ', ts[i+1]) AS bg))"))
-          .as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
-      val cb = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
-      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val v = t.select(explode(col("ts")).as("w"))
-        .agg(count_distinct(col("w")).as("v"))
-      bi.join(cb, "bg").join(c1, "w1").crossJoin(broadcast(v))
-        .withColumn("lp", round(log10(
-          (col("cb") + lit(1)).cast("double") / (col("c1") + col("v"))), 9))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(Sql.davg(col("lp"), 9), 6).as("avg_logp"))
-        .orderBy("doc_id")
+    "t_bigram_lm" -> ((s, d) => bigramLmScores(s, d).orderBy("doc_id")),
+
+    // LM-SCORE-STRATIFIED SAMPLING — the "perplexity bucketing" step of
+    // a curation pipeline: score every doc with the corpus bigram LM,
+    // cut the score distribution into quartiles (distributed exact
+    // quantiles — no value map, no global sort), then keep a fixed
+    // per-bucket budget chosen by a deterministic hash priority through
+    // the bounded-heap TopKPerKey operator. The exchange after scoring
+    // carries ≤ k rows per bucket per partition — sampling cost is
+    // output-bounded even when one bucket holds half the corpus.
+    "t_lm_bucket_sample" -> ((s, d) => {
+      val scored = bigramLmScores(s, d).localCheckpoint()
+      val edges = Quantiles.exactQuantilesRounded6(
+        scored, "avg_logp", Seq(0.25, 0.5, 0.75))
+      val bucket = edges.map(e =>
+        when(col("avg_logp") > e, 1).otherwise(0)).reduce(_ + _)
+      val u = (col("doc_id") * lit(2654435761L)) % lit(2147483648L) /
+        lit(2147483648.0)
+      val prio = scored.withColumn("bucket", bucket.cast("long"))
+        .withColumn("priority", round(u, 9))
+      graft.plans.TopK.topKPerKey(prio, Seq("bucket"), "priority",
+          "doc_id", k = 30)
+        .select(col("bucket"), col("doc_id"), col("avg_logp"),
+          col("priority"))
+        .orderBy("bucket", "doc_id")
     }),
 
     // BPE-ish regex tokenization (robust to punctuation/whitespace runs)
@@ -1018,6 +1051,38 @@ object TextAnalysis extends QueryModule {
         |  round(CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
         |    AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_lm_bucket_sample" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> {'w1': ts[i], 'bg': ts[i] || ' ' || ts[i+1]})) AS z FROM t),
+        |b2 AS (SELECT doc_id, (z).w1 AS w1, (z).bg AS bg FROM bi),
+        |cb AS (SELECT bg, count(*) AS cb FROM b2 GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(ts) AS w FROM t)),
+        |sc AS (SELECT doc_id,
+        |  round(log10(CAST(cb + 1 AS DOUBLE) / (c1 + v)), 9) AS lp
+        |  FROM b2 JOIN cb USING (bg) JOIN c1 USING (w1) CROSS JOIN v),
+        |lm AS (SELECT doc_id,
+        |  round(CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_logp
+        |  FROM sc GROUP BY doc_id),
+        |e AS (SELECT round(quantile_cont(avg_logp, 0.25), 6) AS q1,
+        |    round(quantile_cont(avg_logp, 0.50), 6) AS q2,
+        |    round(quantile_cont(avg_logp, 0.75), 6) AS q3 FROM lm),
+        |b AS (SELECT doc_id, avg_logp,
+        |    CAST((CASE WHEN avg_logp > q1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN avg_logp > q2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN avg_logp > q3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bucket,
+        |    round((doc_id * 2654435761) % 2147483648 / 2147483648.0, 9)
+        |      AS priority
+        |  FROM lm, e),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+        |    ORDER BY priority DESC, doc_id ASC) AS rk FROM b)
+        |SELECT bucket, doc_id, avg_logp, priority
+        |FROM r WHERE rk <= 30 ORDER BY bucket, doc_id""".stripMargin,
     "t_tfidf_top" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
         |  FROM documents),
