@@ -180,6 +180,39 @@ object StreamingOps extends QueryModule {
         .orderBy("user_id", "purchase_id", "click_id")
     }),
 
+    // Stream-stream LEFT OUTER interval join — the hard part of outer
+    // streaming joins is the NULL side: an unmatched purchase may only
+    // emit its NULL row once the watermark proves no matching click can
+    // still arrive (match window fully below the watermark); matched
+    // pairs emit eagerly. On the finite replay the final watermark is
+    // (max event time − 1 h), so purchases later than that which never
+    // matched are STILL OPEN and must not appear — the oracle encodes
+    // exactly that contract, like stream_tumbling_append does for
+    // windows. State stays bounded by the 1-hour range on both sides.
+    "stream_join_left_outer" -> ((s, d) => {
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = purchases.join(clicks,
+          col("p_user") === col("user_id") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+            col("click_ts") <= col("purchase_ts"),
+          "left_outer")
+        .select(col("p_user").as("uid"), col("purchase_id"),
+          col("click_id"), col("click_value"))
+      runToMemory(s, joined, "graft_stream_join_lo", mode = "append")
+        .orderBy(col("uid"), col("purchase_id"),
+          col("click_id").asc_nulls_first)
+        .withColumnRenamed("uid", "user_id")
+    }),
+
     // event-time SESSION windows via the built-in session_window: state
     // is a per-key set of open sessions that MERGE when a new event
     // bridges two of them — the dynamic-gap shape flatMapGroupsWithState
@@ -289,6 +322,36 @@ object StreamingOps extends QueryModule {
          |  ${graft.Sql.oSum("value")} AS sum_value
          |FROM g GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+    // Matched pairs = the batch interval join; NULL rows = purchases
+    // with no match whose window the FINAL watermark closed. The query
+    // watermark is the MIN across the two watermarked inputs (each
+    // max event time − 1 h) — verified empirically: purchases between
+    // the per-stream boundaries stay open. Unmatched purchases above it
+    // are still state and excluded on both sides.
+    "stream_join_left_outer" ->
+      """WITH wm AS (SELECT least(
+        |    (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+        |      WHERE event_type = 'click'),
+        |    (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+        |      WHERE event_type = 'purchase')) - INTERVAL 1 HOUR AS w),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |    CAST(ts AS TIMESTAMP) AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, value AS click_value,
+        |    CAST(ts AS TIMESTAMP) AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |m AS (SELECT p.user_id, purchase_id, click_id, click_value
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND cts BETWEEN pts - INTERVAL 1 HOUR AND pts),
+        |um AS (SELECT p.user_id, purchase_id,
+        |    CAST(NULL AS BIGINT) AS click_id,
+        |    CAST(NULL AS DOUBLE) AS click_value
+        |  FROM p WHERE pts <= (SELECT w FROM wm) AND NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND c.cts BETWEEN p.pts - INTERVAL 1 HOUR AND p.pts))
+        |SELECT user_id, purchase_id, click_id, click_value
+        |FROM (SELECT * FROM m UNION ALL SELECT * FROM um)
+        |ORDER BY user_id, purchase_id, click_id NULLS FIRST""".stripMargin,
     "stream_join_interval" ->
       """SELECT c.user_id AS user_id, p.event_id AS purchase_id,
         |  c.event_id AS click_id, c.value AS click_value
