@@ -58,11 +58,13 @@ object StreamingOps extends QueryModule {
     * shuffle width. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
                   mode: String = "complete",
-                  statePartitions: Int = 8): DataFrame = {
+                  statePartitions: Int = 8,
+                  extraConf: Map[String, String] = Map.empty): DataFrame = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, statePartitions.toString)
+    val keys = "spark.sql.shuffle.partitions" :: extraConf.keys.toList
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       streamed.writeStream
         .format("memory").queryName(name)
@@ -70,7 +72,10 @@ object StreamingOps extends QueryModule {
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
-    } finally spark.conf.set(key, prev)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
     spark.table(name)
   }
 
@@ -180,6 +185,36 @@ object StreamingOps extends QueryModule {
         .orderBy("user_id", "purchase_id", "click_id")
     }),
 
+    // ARBITRARY STATEFUL PROCESSING on the transformWithState API
+    // (Spark 4): a typed StatefulProcessor keeps one ValueState of
+    // (count, exact cents) per user in a RocksDB-backed store and emits
+    // running totals per micro-batch — the custom-state tier BELOW
+    // declarative aggregation (per-key TTL, timers, multiple state
+    // variables live here). On the finite replay the running totals
+    // equal the batch aggregate; StreamingSessionSpec drives the same
+    // processor across multiple micro-batches to prove cross-batch
+    // accumulation through the store.
+    "stream_tws_totals" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, Long)]
+      val out = purchases.groupByKey(_._1)
+        .transformWithState(new RunningTotalProcessor,
+          TimeMode.None(), OutputMode.Update())
+      runToMemory(s, out.toDF(), "graft_stream_tws", mode = "update",
+          extraConf = Map(
+            "spark.sql.streaming.stateStore.providerClass" ->
+              ("org.apache.spark.sql.execution.streaming." +
+                "state.RocksDBStateStoreProvider")))
+        .select(col("user_id"), col("n_purchases"),
+          round(col("sum_cents") / 100.0, 2).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // Stream-stream LEFT OUTER interval join — the hard part of outer
     // streaming joins is the NULL side: an unmatched purchase may only
     // emit its NULL row once the watermark proves no matching click can
@@ -271,6 +306,12 @@ object StreamingOps extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    "stream_tws_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0, 2) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // The oracle encodes the append-mode CONTRACT, not the full batch agg:
     // a window is emitted iff its END has been passed by the final
     // watermark (max event time − 1 hour). On this data the last day's

@@ -31,6 +31,38 @@ class StreamingSessionSpec extends SparkSuite {
       Session(1, 4000 * s, 4010 * s, 2)))
   }
 
+  test("transformWithState accumulates across micro-batches (RocksDB)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.{RunningTotalProcessor, UserTotal}
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long)]
+      val out = input.toDS().groupByKey(_._1)
+        .transformWithState(new RunningTotalProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      input.addData((1L, 100L), (1L, 50L), (2L, 10L))
+      q.processAllAvailable()
+      input.addData((1L, 25L), (3L, 7L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_out").as[UserTotal].collect().toSet
+      // batch 1 emits users 1 and 2; batch 2 re-emits user 1 with the
+      // state CARRIED FORWARD (3 purchases, 175 cents) plus new user 3
+      assert(rows === Set(UserTotal(1, 2, 150), UserTotal(2, 1, 10),
+        UserTotal(1, 3, 175), UserTotal(3, 1, 7)), rows.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("foreachBatch streaming merge converges with re-delivered files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_smerge").toFile
     dir.deleteOnExit()
