@@ -515,6 +515,32 @@ object Similarity extends QueryModule {
         .orderBy("q_id", "c_id")
     }),
 
+    // MAXIMUM INNER PRODUCT search (MIPS) — the serving objective of
+    // recommender / dense-retrieval scorers, where vector NORM carries
+    // signal and cosine is the wrong metric. Brute-force top-5 by raw
+    // dot product (native DotProduct expression), probe side broadcast,
+    // corpus streams. At index scale MIPS reduces to cosine by the
+    // norm-augmentation transform (append sqrt(M^2 - |x|^2) to corpus
+    // vectors, 0 to queries; M = max corpus norm) and then any cosine
+    // index (LSH/IVF here) serves it — SimilaritySpec proves the
+    // augmented-cosine ranking IS the dot ranking on this corpus.
+    "sim_mips" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("ip").desc, col("c_id").asc)
+      broadcast(q).join(e.select(col("vec_id").as("c_id"), col("emb")),
+          col("c_id") =!= col("q_id"))
+        .withColumn("ip", round(dot(col("q_emb"), col("emb")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("c_id"), col("ip"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    }),
+
     // exact brute-force cosine top-5 for probes vec_id < 3
     "sim_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -737,6 +763,17 @@ object Similarity extends QueryModule {
         |  FROM q JOIN e ON e.vec_id <> q.q_id)
         |SELECT q_id, c_id, cos FROM s WHERE cos >= 0.30
         |ORDER BY q_id, c_id""".stripMargin,
+    "sim_mips" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 3),
+        |s AS (SELECT q_id, e.vec_id AS c_id,
+        |    round(list_inner_product(q_emb, emb), 6) AS ip
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, c_id, ip, ROW_NUMBER() OVER
+        |    (PARTITION BY q_id ORDER BY ip DESC, c_id ASC) AS rk FROM s)
+        |SELECT q_id, c_id, ip, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),

@@ -95,6 +95,31 @@ class SimilaritySpec extends SparkSuite {
     assert(pq >= 0.80, f"PQ-ADC recall@3 $pq%.2f below floor 0.80")
   }
 
+  test("MIPS norm-augmentation: augmented-cosine ranking == dot ranking") {
+    // append sqrt(M^2 - |x|^2) to corpus vectors and 0 to the query:
+    // cosine on the augmented space orders candidates exactly like the
+    // raw inner product, so any cosine index can serve MIPS
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val m2 = e.select(max(dot(col("emb"), col("emb")))).as[Double].head()
+    val aug = e.withColumn("aug",
+      concat(col("emb"), array(sqrt(lit(m2) - dot(col("emb"), col("emb"))))))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("q_emb"),
+        concat(col("emb"), array(lit(0.0))).as("q_aug"))
+    val ranked = aug.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        dot(col("q_emb"), col("emb")).as("ip"),
+        cosine(col("q_aug"), col("aug")).as("aug_cos"))
+      .collect()
+    val byIp = ranked.sortBy(r => (-r.getDouble(1), r.getLong(0))).map(_.getLong(0))
+    val byAug = ranked.sortBy(r => (-r.getDouble(2), r.getLong(0))).map(_.getLong(0))
+    // full ordering agreement on the head (ties beyond fp noise absent)
+    assert(byIp.take(20).toSeq === byAug.take(20).toSeq,
+      s"ip=${byIp.take(20).toSeq} aug=${byAug.take(20).toSeq}")
+  }
+
   test("native PqEncode equals the builtin-composition formulation") {
     val rnd = new scala.util.Random(17)
     val e = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextGaussian())))
