@@ -23,7 +23,9 @@ graph_triangles a16_ols mm_phash_dedup t_bpe_apply \
 dedup_keep_best sim_range_search t_epoch_shuffle a17_approx_topk \
 e_top_paths t_shingle_explode \
 w12_interval_merge a18_mad_outliers t_curate_e2e a19_corr_matrix \
-sim_ivf_ann_bucketed s13_text_scan"
+sim_ivf_ann_bucketed s13_text_scan \
+join_dpp_pruned dq_audit t_inverted_index t_bm25 t_lm_bucket_sample \
+sim_mips"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
