@@ -840,6 +840,24 @@ object RelationalOps extends QueryModule {
     // p·log₂(p) term is rounded to 9 decimals and summed EXACTLY as
     // decimals — the sum order stops mattering, so the result is
     // engine-portable despite libm in the terms.
+    // JOIN-CARDINALITY PRE-FLIGHT: the exact output size of
+    // lineitem ⋈ orders computed WITHOUT materializing the join —
+    // |A ⋈ B| = Σ_k cntA(k)·cntB(k) over the per-key count tables,
+    // which are ndv-sized, not row-sized (map-side combine shrinks each
+    // side before its shuffle). This is the guard a 100 TB pipeline
+    // runs before an untrusted join: a key-explosion (skew, accidental
+    // many-to-many) shows up here as a number, not as a dead cluster.
+    "a21_join_size" -> ((s, d) => {
+      val a = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+      val b = Tables.orders(s, d)
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+      a.join(b, "k")
+        .agg(sum(col("ca") * col("cb")).as("join_rows"),
+          count(lit(1)).as("n_matching_keys"),
+          max(col("ca") * col("cb")).as("max_key_fanout"))
+    }),
+
     "a20_entropy" -> ((s, d) => {
       val tot = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
       Tables.events(s, d).filter(col("user_id") < 100)
@@ -1126,6 +1144,15 @@ object RelationalOps extends QueryModule {
         |WHERE c.c_custkey < 100
         |GROUP BY c.c_custkey, c.c_name
         |ORDER BY c.c_custkey""".stripMargin,
+    "a21_join_size" ->
+      """WITH a AS (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem
+        |  GROUP BY 1),
+        |b AS (SELECT o_orderkey AS k, count(*) AS cb FROM orders
+        |  GROUP BY 1)
+        |SELECT CAST(sum(ca * cb) AS BIGINT) AS join_rows,
+        |  CAST(count(*) AS BIGINT) AS n_matching_keys,
+        |  CAST(max(ca * cb) AS BIGINT) AS max_key_fanout
+        |FROM a JOIN b ON a.k = b.k""".stripMargin,
     // A14: identical clip fold over quantile_cont bounds, decimal sums
     "a20_entropy" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events

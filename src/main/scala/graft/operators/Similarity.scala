@@ -515,6 +515,31 @@ object Similarity extends QueryModule {
         .orderBy("q_id", "c_id")
     }),
 
+    // PER-DIMENSION corpus statistics — the fit pass of embedding
+    // standardization (whitening, dead/degenerate-dimension detection,
+    // quantizer calibration all read these). posexplode streams
+    // (dim, value) pairs map-side; ONE groupBy on the 64 dims carries
+    // exact decimal moments (the a9 discipline), and the final
+    // divide/sqrt chain is rounded after. The exchange is
+    // dims × partitions rows regardless of corpus size.
+    "sim_dim_stats" -> ((s, d) => {
+      val v = col("v")
+      Tables.embeddings(s, d)
+        .select(posexplode(asDouble(col("embedding"))).as(Seq("dim", "v")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          graft.Sql.dsum(v, 9).as("s_v"),
+          sum((v * v).cast(graft.Sql.dec(9))).cast("double").as("s_vv"),
+          min(v).as("min_v"), max(v).as("max_v"))
+        .select(col("dim"), col("n"),
+          round(col("s_v") / col("n"), 6).as("mean"),
+          round(sqrt((col("s_vv") - col("s_v") * col("s_v") / col("n")) /
+            col("n")), 6).as("std"),
+          round(col("min_v"), 6).as("min_v"),
+          round(col("max_v"), 6).as("max_v"))
+        .orderBy("dim")
+    }),
+
     // MAXIMUM INNER PRODUCT search (MIPS) — the serving objective of
     // recommender / dense-retrieval scorers, where vector NORM carries
     // signal and cosine is the wrong metric. Brute-force top-5 by raw
@@ -763,6 +788,20 @@ object Similarity extends QueryModule {
         |  FROM q JOIN e ON e.vec_id <> q.q_id)
         |SELECT q_id, c_id, cos FROM s WHERE cos >= 0.30
         |ORDER BY q_id, c_id""".stripMargin,
+    "sim_dim_stats" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |x AS (SELECT CAST(i - 1 AS BIGINT) AS dim, emb[i] AS v
+        |  FROM e, unnest(range(1, len(emb) + 1)) AS t(i)),
+        |m AS (SELECT dim, count(*) AS n,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) AS s_v,
+        |    CAST(SUM(CAST(v * v AS DECIMAL(18,9))) AS DOUBLE) AS s_vv,
+        |    min(v) AS min_v, max(v) AS max_v
+        |  FROM x GROUP BY dim)
+        |SELECT dim, n, round(s_v / n, 6) AS mean,
+        |  round(sqrt((s_vv - s_v * s_v / n) / n), 6) AS std,
+        |  round(min_v, 6) AS min_v, round(max_v, 6) AS max_v
+        |FROM m ORDER BY dim""".stripMargin,
     "sim_mips" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),
