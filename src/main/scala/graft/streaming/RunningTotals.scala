@@ -21,6 +21,56 @@ import org.apache.spark.sql.streaming._
   */
 case class UserTotal(user_id: Long, n_purchases: Long, sum_cents: Long)
 
+/** Event-time session timeout via transformWithState TIMERS — the
+  * declarative replacement for the hand-rolled flatMapGroupsWithState
+  * sessionizer (`Sessionize`): per-user session state plus ONE
+  * registered event-time timer at (last event + gap); when the
+  * WATERMARK passes the timer, `handleExpiredTimer` emits the closed
+  * session and frees the state. Idle keys cost exactly one timer and
+  * one small state row until their timer fires — no per-batch scan of
+  * all keys, which is what makes timer-driven timeout the scale shape
+  * for billions of keys. (Sessions are tracked one-at-a-time per key;
+  * events inside one batch always extend the open session.) */
+case class ClosedSession(user_id: Long, session_start_ms: Long,
+                         session_last_ms: Long, n_events: Long)
+
+class SessionTimeoutProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, (Long, Long), ClosedSession] {
+
+  @transient private var sess: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timers: TimerValues)
+      : Iterator[ClosedSession] = {
+    var (start, last, n) =
+      if (sess.exists()) sess.get() else (Long.MaxValue, Long.MinValue, 0L)
+    rows.foreach { case (_, ts) =>
+      start = math.min(start, ts); last = math.max(last, ts); n += 1
+    }
+    // one live timer per key: re-arm the close at (last event + gap)
+    getHandle.listTimers().foreach(t =>
+      getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(last + gapMs)
+    sess.update((start, last, n))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  expired: ExpiredTimerInfo)
+      : Iterator[ClosedSession] = {
+    if (!sess.exists()) return Iterator.empty
+    val (start, last, n) = sess.get()
+    sess.clear()
+    Iterator.single(ClosedSession(key, start, last, n))
+  }
+}
+
 class RunningTotalProcessor
     extends StatefulProcessor[Long, (Long, Long), UserTotal] {
 

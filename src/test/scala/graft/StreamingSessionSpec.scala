@@ -63,6 +63,47 @@ class StreamingSessionSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState event-time timer closes idle sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.{ClosedSession, SessionTimeoutProcessor}
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long)]
+      val withTime = input.toDS().toDF("user_id", "ts_ms")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("ts_ms"))
+        .as[(Long, Long)]
+      val out = withTime.groupByKey(_._1)
+        .transformWithState(new SessionTimeoutProcessor(gapMs = 60000L),
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = out.toDF().writeStream.format("memory").queryName("tws_sess")
+        .outputMode("append").start()
+      // user 1: two events 4 s apart; nothing can close yet
+      input.addData((1L, 1000L), (1L, 5000L))
+      q.processAllAvailable()
+      assert(spark.table("tws_sess").isEmpty)
+      // a much later event advances the watermark past user 1's
+      // (last + gap) timer -> exactly user 1's session closes
+      input.addData((2L, 200000L))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_sess").as[ClosedSession].collect().toSet
+      assert(rows === Set(ClosedSession(1L, 1000L, 5000L, 2L)),
+        rows.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("foreachBatch streaming merge converges with re-delivered files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_smerge").toFile
     dir.deleteOnExit()
