@@ -117,13 +117,16 @@ object TextAnalysis extends QueryModule {
     // (term, doc_id DIV block) key — same plan, finer key — and
     // delta-encoding each block; the single-shuffle shape is already the
     // scale shape.
+    // (postings serialized to CSV: the harness hash cannot sort raw
+    // array cells — the agg_collect precedent)
     "t_inverted_index" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy("term")
         .agg(count_distinct(col("doc_id")).as("df"),
           count(lit(1)).as("cf"),
-          sort_array(collect_set(col("doc_id"))).as("postings"))
+          array_join(sort_array(collect_set(col("doc_id"))), ",")
+            .as("postings_csv"))
         .orderBy("term")),
 
     // BM25 retrieval scoring for a fixed query term set — what the
@@ -807,9 +810,11 @@ object TextAnalysis extends QueryModule {
         |s AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
         |    CAST(count(*) AS BIGINT) AS cf
         |  FROM t GROUP BY term),
-        |p AS (SELECT term, list(doc_id ORDER BY doc_id) AS postings
+        |p AS (SELECT term,
+        |    array_to_string(list(doc_id ORDER BY doc_id), ',')
+        |      AS postings_csv
         |  FROM (SELECT DISTINCT term, doc_id FROM t) GROUP BY term)
-        |SELECT s.term, df, cf, postings
+        |SELECT s.term, df, cf, postings_csv
         |FROM s JOIN p ON s.term = p.term ORDER BY s.term""".stripMargin,
     "t_zipf_fit" ->
       """WITH f AS (SELECT word, count(*) AS freq
