@@ -515,6 +515,33 @@ object Similarity extends QueryModule {
         .orderBy("q_id", "c_id")
     }),
 
+    // CLASS-SEPARATION AUDIT — the embedding-quality readout before
+    // training a classifier on labeled vectors: per-label centroids
+    // (fixed-point-exact typed aggregator, one shuffle of 64-double
+    // partials per label per partition), then the pairwise centroid
+    // cosine matrix. Centroid count is label-bounded, so the pair join
+    // is a driver-trivial broadcast self-join of L rows — corpus size
+    // only touches the first aggregate. Low off-diagonal cosine = well-
+    // separated classes; a pair near 1.0 names the two confusable ones.
+    "sim_class_separation" -> ((s, d) => {
+      import s.implicits._
+      val cents = Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          asDouble(col("embedding")).as("emb"))
+        .as[(Long, Array[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.VectorAvgAggregator.toColumn.name("centroid"))
+        .toDF("label", "centroid")
+      val a = cents.select(col("label").as("label_a"),
+        col("centroid").as("cent_a"))
+      val b = cents.select(col("label").as("label_b"),
+        col("centroid").as("cent_b"))
+      a.join(broadcast(b), col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(cosine(col("cent_a"), col("cent_b")), 6).as("cos"))
+        .orderBy("label_a", "label_b")
+    }),
+
     // PER-DIMENSION corpus statistics — the fit pass of embedding
     // standardization (whitening, dead/degenerate-dimension detection,
     // quantizer calibration all read these). posexplode streams
@@ -788,6 +815,25 @@ object Similarity extends QueryModule {
         |  FROM q JOIN e ON e.vec_id <> q.q_id)
         |SELECT q_id, c_id, cos FROM s WHERE cos >= 0.30
         |ORDER BY q_id, c_id""".stripMargin,
+    // centroids built from the SAME fixed-point accumulation as the
+    // typed aggregator (floor(x*1e9) longs), unrounded until the final
+    // cosine — so both engines cosine over bit-identical doubles
+    "sim_class_separation" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+        |  FROM embeddings),
+        |c AS (SELECT label, i,
+        |    SUM(CAST(floor(x * 1e9) AS BIGINT)) / (1e9 * count(*)) AS v
+        |  FROM e GROUP BY label, i),
+        |cent AS (SELECT label, list(v ORDER BY i) AS cent
+        |  FROM c GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(list_inner_product(a.cent, b.cent) /
+        |    (sqrt(list_inner_product(a.cent, a.cent)) *
+        |     sqrt(list_inner_product(b.cent, b.cent))), 6) AS cos
+        |FROM cent a JOIN cent b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin,
     "sim_dim_stats" ->
       """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),

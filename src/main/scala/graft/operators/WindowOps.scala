@@ -198,6 +198,22 @@ object WindowOps extends QueryModule {
     // IGNORE-NULLS struct windows over ONE spine exchange (carry-back +
     // carry-forward of (day, v)); edges degrade to nearest-observation.
     // All per-key window state, no self-join, no loop.
+    // Per-day percentile bands (P50/P95) — the latency-dashboard /
+    // SLO-report shape. EXACT interpolated percentiles per day: group
+    // sizes are time-bounded (one day of one metric), so the per-group
+    // value list is inherently capped and `percentile` is safe here —
+    // unlike a global percentile over an unbounded column, which goes
+    // through Quantiles.exactQuantiles' distributed selection (a13).
+    // One shuffle on day; final doubles rounded for engine portability.
+    "w14_daily_p95" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95D)"), 6).as("p95"),
+          round(max(col("value")), 6).as("p100"))
+        .orderBy("day")),
+
     "w13_interp_resample" -> ((s, d) => {
       val obs = Tables.events(s, d)
         .filter(col("user_id") < 20 && col("event_type") === "purchase")
@@ -269,6 +285,14 @@ object WindowOps extends QueryModule {
     "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
 
   def oracles: Map[String, String] = Map(
+    "w14_daily_p95" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |    AS day,
+        |  count(*) AS n_events,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(max(value), 6) AS p100
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "w13_interp_resample" ->
       """WITH obs AS (SELECT * FROM events
         |  WHERE user_id < 20 AND event_type = 'purchase'),
