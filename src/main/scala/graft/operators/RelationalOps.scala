@@ -318,6 +318,27 @@ object RelationalOps extends QueryModule {
         .orderBy("s_suppkey")
     }),
 
+    // S14 — NESTED schema pruning: struct-typed tables (the shape every
+    // document/event store with typed metadata converges on) must prune
+    // at the LEAF level — reading `info.totalprice` from a struct of
+    // three fields may only scan that one leaf column. Parquet stores
+    // each struct leaf as its own column chunk, so the pruned ReadSchema
+    // (PlanSpec asserts it) is a real I/O reduction, not cosmetics —
+    // at 100 TB a fat metadata struct read whole would dominate the scan.
+    "s14_nested_prune" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_nested_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      Tables.orders(s, d).select(col("o_orderkey"),
+          struct(col("o_custkey").as("custkey"),
+            col("o_totalprice").as("totalprice"),
+            col("o_orderstatus").as("status")).as("info"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("info.totalprice").as("totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // S13 — line-text sink + scan round-trip: the raw-corpus format
     // every web-scale text pipeline starts from (one document per
     // line, no schema). Written from `documents.text`, read back with
@@ -973,6 +994,9 @@ object RelationalOps extends QueryModule {
     // S13: the text round-trip must reproduce the corpus exactly
     "s13_text_scan" ->
       "SELECT text AS value FROM documents ORDER BY value",
+    "s14_nested_prune" ->
+      """SELECT o_orderkey, o_totalprice AS totalprice FROM orders
+        |WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
     // S9: the round-trip must reproduce the parquet contents exactly
     "s9_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal

@@ -59,6 +59,35 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("LeftSemi"), p.take(2000))
   }
 
+  test("nested struct scan prunes to the one leaf read") {
+    val df = SparkEntry.queries("s14_nested_prune")(spark, sf("sf0.01"))
+    assert(df.count() > 0)
+    val p = df.queryExecution.executedPlan.toString()
+    val read = "ReadSchema: ([^\n]*)".r.findAllMatchIn(p)
+      .map(_.group(1)).mkString("\n")
+    assert(read.contains("totalprice"), read)
+    assert(!read.contains("custkey") && !read.contains("status"),
+      s"unread struct leaves must be pruned from the scan:\n$read")
+  }
+
+  test("join strategy hints override the planner's choice") {
+    // the engine surface for when statistics mislead the optimizer:
+    // nation is broadcast-sized (planner picks BroadcastHashJoin), but
+    // a MERGE / SHUFFLE_HASH hint must flip the physical strategy
+    val d = sf("sf0.01")
+    Tables.supplier(spark, d).createOrReplaceTempView("hint_sup")
+    Tables.nation(spark, d).createOrReplaceTempView("hint_nat")
+    def planFor(hint: String): String = spark.sql(
+      s"""SELECT /*+ $hint(hint_nat) */ n_name, count(*) AS n
+         |FROM hint_sup JOIN hint_nat ON s_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin)
+      .queryExecution.executedPlan.toString()
+    assert(planFor("BROADCAST").contains("BroadcastHashJoin"))
+    assert(planFor("MERGE").contains("SortMergeJoin"), planFor("MERGE").take(1500))
+    assert(planFor("SHUFFLE_HASH").contains("ShuffledHashJoin"),
+      planFor("SHUFFLE_HASH").take(1500))
+  }
+
   test("dim-attribute filter dynamically prunes fact partitions") {
     // force the query once so the partitioned layout exists, then
     // re-derive the plan: the fact scan's PartitionFilters must carry a
