@@ -265,6 +265,39 @@ object ExtendedOps extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // TIME-WINDOWED conversion funnel — e_funnel counts lifetime stage
+    // order; real attribution is windowed: a purchase converts only if
+    // the SAME user clicked within the preceding hour. The carry-forward
+    // union (the join_asof shape — ONE user_id exchange, no interval
+    // self-join) tags each purchase with its latest click timestamp;
+    // conversion is then a projection, and the daily rate one groupBy.
+    "e_funnel_windowed" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0).as("is_probe"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(1).as("is_probe"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("is_probe"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val lastClick = when(col("is_probe") === 0, col("ts"))
+      clicks.unionByName(purchases)
+        .withColumn("c_ts", last(lastClick, ignoreNulls = true).over(w))
+        .filter(col("is_probe") === 1)
+        .withColumn("converted",
+          col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+        .withColumn("conv_rate",
+          round(col("n_converted").cast("double") / col("n_purchases"), 6))
+        .orderBy("day")
+    }),
+
     // string-function battery
     "f_strings" -> ((s, d) =>
       Tables.documents(s, d)
@@ -524,6 +557,24 @@ object ExtendedOps extends QueryModule {
         |SELECT word, freq, CAST(ROW_NUMBER() OVER
         |  (ORDER BY freq DESC, word) AS BIGINT) AS rank
         |FROM f ORDER BY rank""".stripMargin,
+    // windowed conversion via EXISTS-within-interval — the correlated
+    // form the carry-forward union computes in one exchange
+    "e_funnel_windowed" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (SELECT p.user_id, pts, EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND c.cts BETWEEN p.pts - INTERVAL 1 HOUR AND p.pts)
+        |    AS converted FROM p)
+        |SELECT CAST(date_trunc('day', pts) AS TIMESTAMP) AS day,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_converted,
+        |  round(CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS conv_rate
+        |FROM m GROUP BY 1 ORDER BY day""".stripMargin,
     "e_funnel" ->
       """WITH s AS (SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS first_signup
         |  FROM events WHERE event_type = 'signup' GROUP BY user_id),

@@ -624,6 +624,38 @@ object RelationalOps extends QueryModule {
     // cutoff and the history state is materialized (localCheckpoint)
     // to make the "stored MV" real; the oracle is the full recompute,
     // which must agree to the bit because the state is decimal-exact.
+    // INCREMENTAL VIEW MAINTENANCE for a JOIN aggregate — the delta-join
+    // algebra: Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, so refreshing a
+    // materialized join view costs |Δ|-proportional joins, never the
+    // A⋈B recompute (c5 is the single-table case; joins need all three
+    // delta terms or updates are silently lost). Partial sums stay
+    // DECIMAL through the merge — casting to double per partial and
+    // re-summing would break exactness, and the driver hash-proves
+    // incremental ≡ full recompute because the oracle IS the full
+    // recompute over (A∪ΔA)⋈(B∪ΔB).
+    "c10_join_ivm" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val newLi = (col("l_orderkey") + col("l_linenumber")) % 10 === 0
+      val newO = col("o_orderkey") % 7 === 0
+      val (liOld, liNew) = (li.filter(!newLi), li.filter(newLi))
+      val (oOld, oNew) = (o.filter(!newO), o.filter(newO))
+      def pagg(a: DataFrame, b: DataFrame): DataFrame =
+        a.join(b, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(dec(4))).as("rev_d"),
+            count(lit(1)).as("n"))
+      // the materialized view state, then the three delta terms
+      val parts = Seq(pagg(liOld, oOld), pagg(liNew, oOld),
+        pagg(liOld, oNew), pagg(liNew, oNew))
+      parts.reduce(_ unionByName _)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("rev_d")).cast("double").as("revenue"),
+          sum(col("n")).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
     "c5_incremental_agg" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val cut = to_timestamp(lit("2024-01-20 00:00:00"))
@@ -1292,6 +1324,15 @@ object RelationalOps extends QueryModule {
         |FROM chg
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // C10: the oracle is the FULL recompute — hash equality proves the
+    // three-term delta merge reconstructs it exactly
+    "c10_join_ivm" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // C5: full recompute — must equal the merged incremental state
     "c5_incremental_agg" ->
       """SELECT event_type, count(*) AS n_events,
