@@ -58,7 +58,7 @@ object StreamingOps extends QueryModule {
     * shuffle width. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
                   mode: String = "complete",
-                  statePartitions: Int = 8,
+                  statePartitions: Int = 4,
                   extraConf: Map[String, String] = Map.empty): DataFrame = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val keys = "spark.sql.shuffle.partitions" :: extraConf.keys.toList
