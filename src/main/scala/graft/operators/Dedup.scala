@@ -235,6 +235,20 @@ object Dedup extends QueryModule {
       prevCkpt = fresh
       out
     }
+    // The loop's frames are CANDIDATE PAIRS — orders of magnitude
+    // smaller than the corpus — but each of the ~log(d) rounds pays a
+    // fixed per-partition task/checkpoint charge, so the loop runs at
+    // its own LOW partition count (restored after), sized to pair-set
+    // bytes, not the session's scan parallelism. Same sizing rule as
+    // streaming state partitions (StreamingOps.runToMemory): iterative
+    // fixed costs track state size, not input width. At a corpus where
+    // pairs genuinely outgrow this width, raise it with pair count —
+    // the loop is partition-count-agnostic.
+    val spark = pairs.sparkSession
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    spark.conf.set(shuffleKey, math.min(4, prevShuffle.toInt).toString)
+    try {
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -282,6 +296,7 @@ object Dedup extends QueryModule {
           s"rounds (covers diameter ~2^$maxIter); candidate graph is " +
           "pathological — raise maxIter or investigate the pair generator")
     labels
+    } finally spark.conf.set(shuffleKey, prevShuffle)
   }
 
   /** Survivor selection: every doc keeps its component's min id; docs
