@@ -198,6 +198,22 @@ object WindowOps extends QueryModule {
     // IGNORE-NULLS struct windows over ONE spine exchange (carry-back +
     // carry-forward of (day, v)); edges degrade to nearest-observation.
     // All per-key window state, no self-join, no loop.
+    // Ratio-to-report: each event's share of its day's total — the
+    // percent-of-total idiom every BI layer compiles to an unframed
+    // window aggregate (one exchange on the report key, no self-join
+    // against a totals subquery). Denominator via the exact-decimal
+    // windowed sum so shares are engine-portable.
+    "w15_share_of_day" -> ((s, d) => {
+      val wDay = Window.partitionBy("day")
+      Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+          col("value"))
+        .withColumn("day_total",
+          round(graft.Sql.dsumOver(col("value"), wDay, 4), 6))
+        .withColumn("share", round(col("value") / col("day_total"), 6))
+        .orderBy("event_id")
+    }),
+
     // Per-day percentile bands (P50/P95) — the latency-dashboard /
     // SLO-report shape. EXACT interpolated percentiles per day: group
     // sizes are time-bounded (one day of one metric), so the per-group
@@ -285,6 +301,18 @@ object WindowOps extends QueryModule {
     "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
 
   def oracles: Map[String, String] = Map(
+    "w15_share_of_day" ->
+      s"""WITH e AS (SELECT event_id,
+         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+         |      AS day, value
+         |  FROM events WHERE user_id < 50),
+         |t AS (SELECT event_id, day, value,
+         |    round(${graft.Sql.oSumOver("value", "(PARTITION BY day)", 4)},
+         |      6) AS day_total
+         |  FROM e)
+         |SELECT event_id, day, value, day_total,
+         |  round(value / day_total, 6) AS share
+         |FROM t ORDER BY event_id""".stripMargin,
     "w14_daily_p95" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
         |    AS day,
