@@ -265,6 +265,61 @@ object ExtendedOps extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // CUMULATIVE DISTINCT USERS ("users to date") — the naive form is a
+    // distinct count over an expanding window, quadratic at scale; the
+    // scale shape is first-seen-day per user (one groupBy over the
+    // events), daily new-user counts, then a running sum over the DAYS
+    // frame — which is report-sized, so its single-partition window is
+    // free. Every day's cumulative distinct falls out of one pass.
+    "e_cumulative_users" -> ((s, d) => {
+      val firstDay = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(date_trunc("day", col("ts"))).as("day"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum("new_users").over(wCum))
+        .orderBy("day")
+    }),
+
+    // COHORT RETENTION MATRIX — cohort (first-seen day) × weeks-since,
+    // distinct active users: the full grid behind every retention
+    // dashboard (e_retention is its day-7 column). One groupBy for
+    // cohorts, one fact-side join back (broadcast: cohorts table is
+    // user-count-sized… which at true scale shuffles instead — the join
+    // key is user_id either way), one distinct-count exchange.
+    "e_cohort_matrix" -> ((s, d) => {
+      val f = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+      val cohorts = f.groupBy("user_id").agg(min("day").as("cohort"))
+      f.join(cohorts, "user_id")
+        .withColumn("week",
+          floor(datediff(col("day"), col("cohort")) / 7).cast("long"))
+        .groupBy("cohort", "week")
+        .agg(count_distinct(col("user_id")).as("active_users"))
+        .select(col("cohort").cast("timestamp").as("cohort"), col("week"),
+          col("active_users"))
+        .orderBy("cohort", "week")
+    }),
+
+    // EVENT TRANSITION COUNTS (first-order Markov) — per-user
+    // consecutive event pairs via ONE lead() window on the user_id
+    // exchange, then a count shuffle on the (from, to) pair. The
+    // behavioral-model fit step; t_cooccur is its unordered cousin.
+    "e_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // TIME-WINDOWED conversion funnel — e_funnel counts lifetime stage
     // order; real attribution is windowed: a purchase converts only if
     // the SAME user clicked within the preceding hour. The carry-forward
@@ -557,6 +612,35 @@ object ExtendedOps extends QueryModule {
         |SELECT word, freq, CAST(ROW_NUMBER() OVER
         |  (ORDER BY freq DESC, word) AS BIGINT) AS rank
         |FROM f ORDER BY rank""".stripMargin,
+    "e_cumulative_users" ->
+      """WITH f AS (SELECT user_id,
+        |    CAST(min(date_trunc('day', CAST(ts AS TIMESTAMP)))
+        |      AS TIMESTAMP) AS day
+        |  FROM events GROUP BY user_id),
+        |n AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM n ORDER BY day""".stripMargin,
+    "e_cohort_matrix" ->
+      """WITH f AS (SELECT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM f GROUP BY user_id)
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+        |  CAST(date_diff('day', cohort, day) // 7 AS BIGINT) AS week,
+        |  CAST(count(DISTINCT f.user_id) AS BIGINT) AS active_users
+        |FROM f JOIN c ON f.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, week""".stripMargin,
+    "e_transitions" ->
+      """WITH x AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n
+        |FROM x WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
     // windowed conversion via EXISTS-within-interval — the correlated
     // form the carry-forward union computes in one exchange
     "e_funnel_windowed" ->
