@@ -82,6 +82,24 @@ object JoinOps extends QueryModule {
         .orderBy("o_year")
     }),
 
+    // NULL-SAFE equality join (<=>): NULL keys MATCH each other instead
+    // of vanishing — the semantics CDC merge keys and optional foreign
+    // keys need (a plain equi-join silently drops every NULL-keyed row;
+    // <=> keeps them AND stays a hash join, not a nested loop). NULLs
+    // planted on a deterministic subset since the testdata has none.
+    "join_null_safe" -> ((s, d) => {
+      def nullable(df: DataFrame, key: String, m: Int) = df.withColumn(
+        "k", when(col(key) % m === 0, lit(null)).otherwise(col(key) % 100))
+      val a = nullable(Tables.orders(s, d), "o_orderkey", 13)
+        .select(col("k"), col("o_orderkey"))
+      val b = nullable(Tables.customer(s, d), "c_custkey", 11)
+        .select(col("k"), col("c_custkey"))
+      a.join(b, a("k") <=> b("k"))
+        .groupBy(a("k").as("k"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // left-semi (EXISTS): customers having a big order
     "join_semi" -> ((s, d) =>
       Tables.customer(s, d)
@@ -328,6 +346,14 @@ object JoinOps extends QueryModule {
          |  count(*) AS n_orders, ${Sql.oSum("o_totalprice")} AS sum_price
          |FROM orders WHERE year(o_orderdate) >= 1999
          |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "join_null_safe" ->
+      """WITH a AS (SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |    ELSE o_orderkey % 100 END AS k FROM orders),
+        |b AS (SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |    ELSE c_custkey % 100 END AS k FROM customer)
+        |SELECT a.k AS k, count(*) AS n_pairs
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY a.k ORDER BY k NULLS FIRST""".stripMargin,
     "join_inner_agg" ->
       s"""SELECT o_orderpriority,
          |  CAST(SUM($rev) AS DOUBLE) AS revenue,

@@ -43,6 +43,23 @@ class SessionSpec extends AnyFunSuite {
       .collect().head.getLong(0) >= 0L)
   }
 
+  test("typed Aggregator registers as a SQL UDAF (vec_avg)") {
+    // the remaining UDF-surface tier: a typed Aggregator exposed to SQL
+    // users via functions.udaf — same fixed-width buffer per group as
+    // the Dataset API path, callable from plain GROUP BY SQL
+    gspark.udf.register("vec_avg",
+      org.apache.spark.sql.functions.udaf(graft.functions.VectorAvgAggregator))
+    val r = gspark.sql(
+      """SELECT g, vec_avg(v) AS c FROM VALUES
+        |  (0, CAST(array(1.0, 3.0) AS ARRAY<DOUBLE>)),
+        |  (0, CAST(array(3.0, 5.0) AS ARRAY<DOUBLE>)),
+        |  (1, CAST(array(10.0, 0.0) AS ARRAY<DOUBLE>))
+        |  AS t(g, v) GROUP BY g ORDER BY g""".stripMargin)
+      .collect()
+    assert(r(0).getSeq[Double](1) === Seq(2.0, 4.0), r.mkString(";"))
+    assert(r(1).getSeq[Double](1) === Seq(10.0, 0.0))
+  }
+
   test("shingle_explode UDTF works from SQL LATERAL VIEW and matches builtins") {
     import gspark.implicits._
     Seq((1L, "a b c d"), (2L, "x y"), (3L, null.asInstanceOf[String]))
