@@ -893,6 +893,29 @@ object RelationalOps extends QueryModule {
     // p·log₂(p) term is rounded to 9 decimals and summed EXACTLY as
     // decimals — the sum order stops mattering, so the result is
     // engine-portable despite libm in the terms.
+    // TRIMMED MEAN per group — the outlier-robust location estimate
+    // between plain mean (a1) and winsorize (a14, which CLIPS instead
+    // of dropping): discard the bottom/top 10% of rows per group by a
+    // deterministic total order, average the core. One exchange on the
+    // group key; the trim bounds come from the same window pass
+    // (row_number + count), no per-group quantile job.
+    "a22_trimmed_mean" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wOrd = W.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+      val wAll = W.partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") > floor(col("n") * 0.1) &&
+          col("rn") <= col("n") - floor(col("n") * 0.1))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_core"),
+          round(davg(col("l_extendedprice"), 4), 6).as("trimmed_mean"))
+        .orderBy("l_returnflag")
+    }),
+
     // JOIN-CARDINALITY PRE-FLIGHT: the exact output size of
     // lineitem ⋈ orders computed WITHOUT materializing the join —
     // |A ⋈ B| = Σ_k cntA(k)·cntB(k) over the per-key count tables,
@@ -1200,6 +1223,17 @@ object RelationalOps extends QueryModule {
         |WHERE c.c_custkey < 100
         |GROUP BY c.c_custkey, c.c_name
         |ORDER BY c.c_custkey""".stripMargin,
+    "a22_trimmed_mean" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_core,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    AS DOUBLE) / count(*), 6) AS trimmed_mean
+        |FROM r WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a21_join_size" ->
       """WITH a AS (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem
         |  GROUP BY 1),

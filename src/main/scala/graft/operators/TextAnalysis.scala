@@ -590,6 +590,41 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("n_docs").desc, col("tok_a"), col("tok_b"))
         .limit(100)),
 
+    // ASSOCIATION RULES from the co-occurrence counts: support,
+    // confidence (both directions folded to a->b with a<b kept), and
+    // LIFT — the market-basket readout over the same map-side pair
+    // kernel as t_cooccur. Item doc-frequencies are vocabulary-sized
+    // and broadcast twice; N is a scalar. Lift > 1 = genuinely
+    // associated tokens, not just two common ones.
+    "t_assoc_rules" -> ((s, d) => {
+      val docs = Tables.fanOut(Tables.documents(s, d))
+        .select(array_sort(array_distinct(tokens(col("text")))).as("toks"))
+        .localCheckpoint()
+      val pairs = docs
+        .select(explode(expr(
+          """flatten(transform(toks, (x, i) ->
+            |  transform(slice(toks, i + 2, size(toks) - i - 1),
+            |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 50)
+      val items = docs.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      pairs
+        .join(broadcast(items.select(col("tok").as("tok_a"),
+          col("n_tok").as("n_a"))), Seq("tok_a"))
+        .join(broadcast(items.select(col("tok").as("tok_b"),
+          col("n_tok").as("n_b"))), Seq("tok_b"))
+        .crossJoin(broadcast(total))
+        .select(col("tok_a"), col("tok_b"), col("n_ab"),
+          round(col("n_ab") / col("n_docs"), 6).as("support"),
+          round(col("n_ab") / col("n_a"), 6).as("confidence"),
+          round(col("n_ab").cast("double") * col("n_docs") /
+            (col("n_a") * col("n_b")), 6).as("lift"))
+        .orderBy("tok_a", "tok_b")
+    }),
+
     // Long-document chunking with overlap — the context-window prep op:
     // window 16 tokens, stride 12 (prod: 2048/1536 — same arithmetic).
     // Pure per-row explode: sequence() generates chunk starts, slice()
@@ -983,6 +1018,25 @@ object TextAnalysis extends QueryModule {
         |FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.tok > a.tok
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY n_docs DESC, tok_a, tok_b LIMIT 100""".stripMargin,
+    "t_assoc_rules" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.tok > a.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 50),
+        |it AS (SELECT tok, count(*) AS n_tok FROM tk GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tok_a, tok_b, n_ab,
+        |  round(n_ab / n_docs, 6) AS support,
+        |  round(n_ab / ia.n_tok, 6) AS confidence,
+        |  round(CAST(n_ab AS DOUBLE) * n_docs / (ia.n_tok * ib.n_tok), 6)
+        |    AS lift
+        |FROM p
+        |JOIN it ia ON ia.tok = p.tok_a
+        |JOIN it ib ON ib.tok = p.tok_b
+        |CROSS JOIN n
+        |ORDER BY tok_a, tok_b""".stripMargin,
     "t_mix_weights" ->
       """WITH l AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         |t AS (SELECT SUM(n_docs) AS n_total,

@@ -198,6 +198,34 @@ object WindowOps extends QueryModule {
     // IGNORE-NULLS struct windows over ONE spine exchange (carry-back +
     // carry-forward of (day, v)); edges degrade to nearest-observation.
     // All per-key window state, no self-join, no loop.
+    // ROLLING z-score anomaly detection on the daily series — the
+    // monitoring-alert shape: trailing-7-day mean/std per event type
+    // from exact decimal moment windows (one exchange on event_type),
+    // flag |z| > 2. Std comes from the same (sum, sumsq, n) frame as
+    // w2's rolling mean — no second pass; warm-up rows (n <= 1) and
+    // flat windows emit NULL z rather than IEEE infinities, which
+    // differ across engines.
+    "w16_rolling_anomaly" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, 0)
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(graft.Sql.dsum(col("value"), 4).as("v"))
+      val vvar = (col("s2") - col("s") * col("s") / col("n")) /
+        (col("n") - 1)
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", graft.Sql.dsumOver(col("v"), w, 4))
+        .withColumn("s2", sum((col("v") * col("v"))
+          .cast(graft.Sql.dec(4))).over(w).cast("double"))
+        .withColumn("z", when(col("n") > 1 && vvar > 0,
+          round((col("v") - col("s") / col("n")) / sqrt(vvar), 6)))
+        .select(col("day"), col("event_type"), round(col("v"), 6).as("v"),
+          round(col("s") / col("n"), 6).as("mean_7d"), col("z"),
+          (abs(col("z")) > 2).as("flagged"))
+        .orderBy("day", "event_type")
+    }),
+
     // Ratio-to-report: each event's share of its day's total — the
     // percent-of-total idiom every BI layer compiles to an unframed
     // window aggregate (one exchange on the report key, no self-join
@@ -301,6 +329,27 @@ object WindowOps extends QueryModule {
     "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
 
   def oracles: Map[String, String] = Map(
+    "w16_rolling_anomaly" ->
+      s"""WITH daily AS (SELECT
+         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+         |      AS day, event_type,
+         |    ${graft.Sql.oSum("value", 4)} AS v
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT day, event_type, v,
+         |    COUNT(*) OVER w AS n,
+         |    ${graft.Sql.oSumOver("v", "w", 4)} AS s,
+         |    CAST(SUM(CAST(v * v AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s2
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+         |z AS (SELECT day, event_type, v, n, s,
+         |    CASE WHEN n > 1 AND (s2 - s * s / n) / (n - 1) > 0 THEN
+         |      round((v - s / n) / sqrt((s2 - s * s / n) / (n - 1)), 6)
+         |    END AS z
+         |  FROM r)
+         |SELECT day, event_type, round(v, 6) AS v,
+         |  round(s / n, 6) AS mean_7d, z, abs(z) > 2 AS flagged
+         |FROM z ORDER BY day, event_type""".stripMargin,
     "w15_share_of_day" ->
       s"""WITH e AS (SELECT event_id,
          |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
