@@ -59,10 +59,42 @@ object Quality extends QueryModule {
       .orderBy("check_name")
   }
 
+  /** Skew DETECTION — the diagnostic that decides whether a join key
+    * needs `Skew.saltedJoin`: the per-key count distribution (ndv-sized
+    * after one map-side-combined groupBy), its median/p99 via the
+    * distributed-selection quantiles (never a value map — the count
+    * table is ndv-sized, which at 100 TB is exactly where `percentile`
+    * OOMs), and the max/median skew factor. Run it BEFORE the join;
+    * a21_join_size prices the output, this prices the imbalance. */
+  def skewReport(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val Seq(p50, p99) = Quantiles.exactQuantilesRounded6(
+      counts, "c", Seq(0.5, 0.99))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum("c").as("n_rows"),
+      max("c").as("max_per_key"))
+      .select(col("n_keys"), col("n_rows"), col("max_per_key"),
+        lit(p50).as("p50_per_key"), lit(p99).as("p99_per_key"),
+        round(col("max_per_key") / lit(p50), 6).as("skew_factor"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dq_audit" -> ((s, d) => auditOrders(s, d)))
+    "dq_audit" -> ((s, d) => auditOrders(s, d)),
+    "dq_skew_report" -> ((s, d) => skewReport(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "dq_skew_report" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS c FROM lineitem
+        |  GROUP BY 1),
+        |q AS (SELECT round(quantile_cont(c, 0.5), 6) AS p50,
+        |    round(quantile_cont(c, 0.99), 6) AS p99 FROM c)
+        |SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  max(c) AS max_per_key, p50 AS p50_per_key, p99 AS p99_per_key,
+        |  round(max(c) / p50, 6) AS skew_factor
+        |FROM c, q GROUP BY p50, p99""".stripMargin,
     "dq_audit" ->
       """WITH a AS (SELECT count(*) AS n, count(o_orderkey) AS n_key,
         |    count(DISTINCT o_orderkey) AS ndv_key,
