@@ -339,6 +339,25 @@ object RelationalOps extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // S15 — DataSourceV2 round-trip through the GDX digest-index store:
+    // a TRANSACTIONAL connector write (tasks land tmp files, the driver
+    // commit publishes a manifest; readers plan only manifest files, so
+    // aborted jobs are invisible) read back with k-range and v-equality
+    // predicates pushed INTO the partition readers
+    // (SupportsPushDownFilters — GdxSourceSpec asserts both protocol
+    // halves; see sources/GdxSource.scala).
+    "s15_gdx_roundtrip" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdx_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
+        .write.format("graft.sources.GdxSource").option("path", dir)
+        .mode("append").save()
+      s.read.format("graft.sources.GdxSource").option("path", dir).load()
+        .filter(col("k") < 1000 && col("v") === "O")
+        .orderBy("k")
+    }),
+
     // S13 — line-text sink + scan round-trip: the raw-corpus format
     // every web-scale text pipeline starts from (one document per
     // line, no schema). Written from `documents.text`, read back with
@@ -1052,6 +1071,10 @@ object RelationalOps extends QueryModule {
     "s14_nested_prune" ->
       """SELECT o_orderkey, o_totalprice AS totalprice FROM orders
         |WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+    "s15_gdx_roundtrip" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS v FROM orders
+        |WHERE o_orderkey < 1000 AND o_orderstatus = 'O'
+        |ORDER BY k""".stripMargin,
     // S9: the round-trip must reproduce the parquet contents exactly
     "s9_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal

@@ -1,0 +1,228 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 digest-index store ("GDX") — the connector tier the
+  * engine's dedup/index workflows want AND the two DSv2 capabilities the
+  * NbuRawSource doesn't exercise:
+  *
+  *  - **Transactional writes** (`SupportsWrite`): tasks write
+  *    `part-*.tmp` files; only the driver-side `BatchWrite.commit`
+  *    publishes them, by writing a `_manifest` that LISTS the committed
+  *    files. Readers plan exclusively from the manifest, so a crashed or
+  *    aborted job (stray tmp files, half-written data) is invisible —
+  *    the object-store-safe commit pattern (one atomic manifest PUT;
+  *    no rename-into-place needed, which S3-style stores can't do
+  *    atomically anyway).
+  *  - **Filter pushdown** (`SupportsPushDownFilters`): k-range and
+  *    k/v-equality predicates are evaluated INSIDE the partition reader
+  *    (rows never materialize), and remain in `pushedFilters` so the
+  *    plan shows them; unsupported predicates stay post-scan.
+  *
+  * Schema is fixed: (k BIGINT, v STRING) — a digest index (doc_id,
+  * digest) or any key-value landing. Encoding is tab-separated lines;
+  * the point here is the PROTOCOL (manifest commit, pushdown), not the
+  * byte format. One input partition per committed file.
+  *
+  * Usage:
+  *   df.write.format("graft.sources.GdxSource").option("path", dir)
+  *     .mode("append").save()   // commit publishes the manifest
+  *   spark.read.format("graft.sources.GdxSource").option("path", dir)
+  *     .load().filter(...)
+  */
+class GdxSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GdxSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GdxTable(properties.get("path"))
+}
+
+object GdxSource {
+  val schema: StructType = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  def manifest(path: String) = new java.io.File(path, "_manifest")
+
+  /** Files the manifest has published (empty if never committed). */
+  def committedFiles(path: String): Seq[java.io.File] = {
+    val m = manifest(path)
+    if (!m.exists()) Seq.empty
+    else scala.io.Source.fromFile(m).getLines().filter(_.nonEmpty)
+      .map(new java.io.File(path, _)).toSeq
+  }
+}
+
+class GdxTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
+  override def name(): String = s"gdx($path)"
+  override def schema(): StructType = GdxSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GdxScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GdxWriteBuilder(path)
+}
+
+// ---------------------------------------------------------------- read
+
+class GdxScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition {
+      case EqualTo("k", _: Number)            => true
+      case GreaterThan("k", _: Number)        => true
+      case GreaterThanOrEqual("k", _: Number) => true
+      case LessThan("k", _: Number)           => true
+      case LessThanOrEqual("k", _: Number)    => true
+      case EqualTo("v", _: String)            => true
+      case _                                  => false
+    }
+    pushed = supported
+    residual // Spark re-checks residuals post-scan; pushed ones it trusts
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new GdxScan(path, pushed)
+}
+
+case class GdxFilePartition(file: String) extends InputPartition
+
+class GdxScan(path: String, pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = GdxSource.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GdxScan pushed=[${pushed.mkString(", ")}]"
+
+  // plan ONLY manifest-published files — stray tmp/uncommitted data is
+  // invisible by construction
+  override def planInputPartitions(): Array[InputPartition] =
+    GdxSource.committedFiles(path).sortBy(_.getPath)
+      .map(f => GdxFilePartition(f.getPath): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GdxReaderFactory(pushed)
+}
+
+class GdxReaderFactory(pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GdxFileReader(p.asInstanceOf[GdxFilePartition].file, pushed)
+}
+
+/** Line reader applying the pushed predicates before materializing. */
+class GdxFileReader(file: String, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val src = scala.io.Source.fromFile(file)
+  private val it = src.getLines()
+  private var row: InternalRow = _
+
+  private def keep(k: Long, v: String): Boolean = pushed.forall {
+    case EqualTo("k", want: Number)         => k == want.longValue
+    case GreaterThan("k", b: Number)        => k > b.longValue
+    case GreaterThanOrEqual("k", b: Number) => k >= b.longValue
+    case LessThan("k", b: Number)           => k < b.longValue
+    case LessThanOrEqual("k", b: Number)    => k <= b.longValue
+    case EqualTo("v", want: String)         => v == want
+    case _                                  => true
+  }
+
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val line = it.next()
+      val tab = line.indexOf('\t')
+      if (tab > 0) {
+        val k = line.substring(0, tab).toLong
+        val v = line.substring(tab + 1)
+        if (keep(k, v)) {
+          row = InternalRow(k, UTF8String.fromString(v))
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = src.close()
+}
+
+// --------------------------------------------------------------- write
+
+class GdxWriteBuilder(path: String) extends WriteBuilder {
+  override def build(): Write = new GdxWrite(path)
+}
+
+class GdxWrite(path: String) extends Write {
+  override def toBatch: BatchWrite = new GdxBatchWrite(path)
+}
+
+case class GdxCommitMessage(tmpName: String) extends WriterCommitMessage
+
+class GdxBatchWrite(path: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = new GdxWriterFactory(path)
+
+  /** Driver-side publish: rename each task's tmp file to its final name
+    * and write the manifest LAST — readers only ever see the manifest's
+    * list, so the commit point is the single manifest write. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    val finals = messages.collect { case GdxCommitMessage(tmp) =>
+      val fin = tmp.stripSuffix(".tmp")
+      val ok = new java.io.File(dir, tmp).renameTo(new java.io.File(dir, fin))
+      require(ok, s"gdx commit: rename $tmp -> $fin failed")
+      fin
+    }
+    val m = GdxSource.manifest(path)
+    val w = new java.io.PrintWriter(m)
+    try finals.sorted.foreach(w.println) finally w.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case GdxCommitMessage(tmp) =>
+      new java.io.File(new java.io.File(path), tmp).delete()
+    }
+}
+
+class GdxWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = new GdxDataWriter(path, partitionId, taskId)
+}
+
+/** Task-side writer: data lands in a uniquely-named `.tmp` file that
+  * only the driver commit publishes; a speculative duplicate or failed
+  * attempt leaves at most an unreferenced tmp (cleaned by abort, and
+  * harmless if leaked — readers never list the directory). */
+class GdxDataWriter(path: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val name = f"part-$partitionId%05d-$taskId.gdx.tmp"
+  locally { new java.io.File(path).mkdirs() }
+  private val out = new java.io.PrintWriter(new java.io.File(path, name))
+
+  override def write(r: InternalRow): Unit = {
+    out.print(r.getLong(0)); out.print('\t')
+    out.println(r.getUTF8String(1).toString)
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GdxCommitMessage(name)
+  }
+  override def abort(): Unit = { out.close(); new java.io.File(path, name).delete(); () }
+  override def close(): Unit = out.close()
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** GDX connector protocol: manifest-gated commit visibility and filter
+  * pushdown (see sources/GdxSource.scala). */
+class GdxSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"gdx_$tag").toString
+
+  private def write(dir: String, rows: Seq[(Long, String)]): Unit =
+    rows.toDF("k", "v").repartition(2)
+      .write.format("graft.sources.GdxSource")
+      .option("path", dir).mode("append").save()
+
+  private def read(dir: String) =
+    spark.read.format("graft.sources.GdxSource").option("path", dir).load()
+
+  test("round-trip preserves rows; commit publishes a manifest") {
+    val dir = freshDir("rt")
+    write(dir, Seq((1L, "a"), (2L, "b"), (3L, "a")))
+    assert(graft.sources.GdxSource.manifest(dir).exists())
+    assert(read(dir).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "a")))
+  }
+
+  test("uncommitted files are invisible (manifest gates the read)") {
+    val dir = freshDir("gate")
+    write(dir, Seq((1L, "a")))
+    // a crashed task's leftover tmp AND a non-manifest final file
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir, "part-99999-0.gdx.tmp"), "666\tghost\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir, "part-99998-0.gdx"), "667\tstray\n")
+    assert(read(dir).as[(Long, String)].collect().toSet ===
+      Set((1L, "a")), "only manifest-listed files may be read")
+  }
+
+  test("re-commit replaces the published set (last manifest wins)") {
+    val dir = freshDir("replace")
+    write(dir, Seq((1L, "old")))
+    write(dir, Seq((2L, "new")))
+    assert(read(dir).as[(Long, String)].collect().toSet === Set((2L, "new")))
+  }
+
+  test("supported predicates are pushed; others stay post-scan") {
+    val dir = freshDir("push")
+    write(dir, (1L to 100L).map(i => (i, if (i % 2 == 0) "e" else "o")))
+    val df = read(dir).filter(col("k") >= 10 && col("k") < 20 &&
+      col("v") === "e" && length(col("v")) === 1)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("GdxScan pushed=["), plan.take(1200))
+    assert(plan.contains("LessThan(k,20"), plan.take(1200))
+    assert(plan.contains("EqualTo(v,e)"), plan.take(1200))
+    // length() is not pushable — must remain a post-scan Filter
+    assert(plan.contains("Filter"), plan.take(1200))
+    assert(df.as[(Long, String)].collect().map(_._1).sorted.toSeq ===
+      Seq(10L, 12L, 14L, 16L, 18L))
+  }
+}
