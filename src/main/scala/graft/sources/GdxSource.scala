@@ -2,6 +2,9 @@ package graft.sources
 
 import java.util
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
@@ -23,13 +26,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    publishes them, by writing a `_manifest` that LISTS the committed
   *    files. Readers plan exclusively from the manifest, so a crashed or
   *    aborted job (stray tmp files, half-written data) is invisible —
-  *    the object-store-safe commit pattern (one atomic manifest PUT;
-  *    no rename-into-place needed, which S3-style stores can't do
-  *    atomically anyway).
+  *    the object-store-safe commit pattern (the commit point is ONE
+  *    manifest PUT; correctness never depends on rename atomicity,
+  *    which S3-style stores don't provide).
   *  - **Filter pushdown** (`SupportsPushDownFilters`): k-range and
   *    k/v-equality predicates are evaluated INSIDE the partition reader
   *    (rows never materialize), and remain in `pushedFilters` so the
   *    plan shows them; unsupported predicates stay post-scan.
+  *
+  * All I/O goes through the Hadoop `FileSystem` resolved from the path
+  * (the Maintenance/TableSwap discipline), so the same connector runs on
+  * file://, hdfs://, and object stores; executor-side tasks carry the
+  * driver's Hadoop configuration via [[SerializableHadoopConf]].
   *
   * Schema is fixed: (k BIGINT, v STRING) — a digest index (doc_id,
   * digest) or any key-value landing. Encoding is tab-separated lines;
@@ -50,18 +58,46 @@ class GdxSource extends TableProvider {
     new GdxTable(properties.get("path"))
 }
 
+/** Hadoop Configuration is not Serializable; ship it to executors via
+  * its own wire format (the standard Spark-internal trick, re-done here
+  * in public API only). */
+class SerializableHadoopConf(@transient var conf: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 object GdxSource {
   val schema: StructType = StructType(Seq(
     StructField("k", LongType), StructField("v", StringType)))
 
-  def manifest(path: String) = new java.io.File(path, "_manifest")
+  /** Driver-side Hadoop conf (active session's, else defaults). */
+  def driverConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  def manifest(path: String) = new Path(path, "_manifest")
 
   /** Files the manifest has published (empty if never committed). */
-  def committedFiles(path: String): Seq[java.io.File] = {
+  def committedFiles(path: String, conf: Configuration): Seq[Path] = {
     val m = manifest(path)
-    if (!m.exists()) Seq.empty
-    else scala.io.Source.fromFile(m).getLines().filter(_.nonEmpty)
-      .map(new java.io.File(path, _)).toSeq
+    val fs = m.getFileSystem(conf)
+    if (!fs.exists(m)) Seq.empty
+    else {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(m), "UTF-8"))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).map(new Path(path, _)).toList
+      finally in.close()
+    }
   }
 }
 
@@ -112,24 +148,28 @@ class GdxScan(path: String, pushed: Array[Filter]) extends Scan with Batch {
   // plan ONLY manifest-published files — stray tmp/uncommitted data is
   // invisible by construction
   override def planInputPartitions(): Array[InputPartition] =
-    GdxSource.committedFiles(path).sortBy(_.getPath)
-      .map(f => GdxFilePartition(f.getPath): InputPartition).toArray
+    GdxSource.committedFiles(path, GdxSource.driverConf())
+      .sortBy(_.toString)
+      .map(f => GdxFilePartition(f.toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GdxReaderFactory(pushed)
+    new GdxReaderFactory(pushed,
+      new SerializableHadoopConf(GdxSource.driverConf()))
 }
 
-class GdxReaderFactory(pushed: Array[Filter])
+class GdxReaderFactory(pushed: Array[Filter], conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GdxFileReader(p.asInstanceOf[GdxFilePartition].file, pushed)
+    new GdxFileReader(p.asInstanceOf[GdxFilePartition].file, pushed, conf)
 }
 
 /** Line reader applying the pushed predicates before materializing. */
-class GdxFileReader(file: String, pushed: Array[Filter])
+class GdxFileReader(file: String, pushed: Array[Filter],
+                    conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
-  private val src = scala.io.Source.fromFile(file)
-  private val it = src.getLines()
+  private val p = new Path(file)
+  private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+    p.getFileSystem(conf.conf).open(p), "UTF-8"))
   private var row: InternalRow = _
 
   private def keep(k: Long, v: String): Boolean = pushed.forall {
@@ -143,8 +183,8 @@ class GdxFileReader(file: String, pushed: Array[Filter])
   }
 
   override def next(): Boolean = {
-    while (it.hasNext) {
-      val line = it.next()
+    var line = in.readLine()
+    while (line != null) {
       val tab = line.indexOf('\t')
       if (tab > 0) {
         val k = line.substring(0, tab).toLong
@@ -154,12 +194,13 @@ class GdxFileReader(file: String, pushed: Array[Filter])
           return true
         }
       }
+      line = in.readLine()
     }
     false
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = src.close()
+  override def close(): Unit = in.close()
 }
 
 // --------------------------------------------------------------- write
@@ -176,44 +217,60 @@ case class GdxCommitMessage(tmpName: String) extends WriterCommitMessage
 
 class GdxBatchWrite(path: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = new GdxWriterFactory(path)
+      : DataWriterFactory = new GdxWriterFactory(path,
+    new SerializableHadoopConf(GdxSource.driverConf()))
 
   /** Driver-side publish: rename each task's tmp file to its final name
     * and write the manifest LAST — readers only ever see the manifest's
-    * list, so the commit point is the single manifest write. */
+    * list, so the commit point is the single manifest write (renames
+    * are tidiness, not the correctness boundary). */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new java.io.File(path)
+    val conf = GdxSource.driverConf()
+    val base = new Path(path)
+    val fs = base.getFileSystem(conf)
     val finals = messages.collect { case GdxCommitMessage(tmp) =>
       val fin = tmp.stripSuffix(".tmp")
-      val ok = new java.io.File(dir, tmp).renameTo(new java.io.File(dir, fin))
+      val dst = new Path(base, fin)
+      // a prior commit's same-named file is orphaned data (visibility is
+      // manifest-only) — clear it; Hadoop rename never overwrites
+      if (fs.exists(dst)) fs.delete(dst, false)
+      val ok = fs.rename(new Path(base, tmp), dst)
       require(ok, s"gdx commit: rename $tmp -> $fin failed")
       fin
     }
-    val m = GdxSource.manifest(path)
-    val w = new java.io.PrintWriter(m)
-    try finals.sorted.foreach(w.println) finally w.close()
+    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      fs.create(GdxSource.manifest(path), true), "UTF-8"))
+    try finals.sorted.foreach(out.println) finally out.close()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = GdxSource.driverConf()
+    val base = new Path(path)
+    val fs = base.getFileSystem(conf)
     messages.collect { case GdxCommitMessage(tmp) =>
-      new java.io.File(new java.io.File(path), tmp).delete()
+      fs.delete(new Path(base, tmp), false)
     }
+  }
 }
 
-class GdxWriterFactory(path: String) extends DataWriterFactory {
+class GdxWriterFactory(path: String, conf: SerializableHadoopConf)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
-      : DataWriter[InternalRow] = new GdxDataWriter(path, partitionId, taskId)
+      : DataWriter[InternalRow] =
+    new GdxDataWriter(path, partitionId, taskId, conf)
 }
 
 /** Task-side writer: data lands in a uniquely-named `.tmp` file that
   * only the driver commit publishes; a speculative duplicate or failed
   * attempt leaves at most an unreferenced tmp (cleaned by abort, and
   * harmless if leaked — readers never list the directory). */
-class GdxDataWriter(path: String, partitionId: Int, taskId: Long)
+class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
+                    conf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
   private val name = f"part-$partitionId%05d-$taskId.gdx.tmp"
-  locally { new java.io.File(path).mkdirs() }
-  private val out = new java.io.PrintWriter(new java.io.File(path, name))
+  private val target = new Path(path, name)
+  private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+    target.getFileSystem(conf.conf).create(target, true), "UTF-8"))
 
   override def write(r: InternalRow): Unit = {
     out.print(r.getLong(0)); out.print('\t')
@@ -223,6 +280,9 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long)
     out.close()
     GdxCommitMessage(name)
   }
-  override def abort(): Unit = { out.close(); new java.io.File(path, name).delete(); () }
+  override def abort(): Unit = {
+    out.close()
+    target.getFileSystem(conf.conf).delete(target, false); ()
+  }
   override def close(): Unit = out.close()
 }

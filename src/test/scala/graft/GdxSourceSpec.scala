@@ -21,7 +21,7 @@ class GdxSourceSpec extends SparkSuite {
   test("round-trip preserves rows; commit publishes a manifest") {
     val dir = freshDir("rt")
     write(dir, Seq((1L, "a"), (2L, "b"), (3L, "a")))
-    assert(graft.sources.GdxSource.manifest(dir).exists())
+    assert(new java.io.File(dir, "_manifest").exists())
     assert(read(dir).as[(Long, String)].collect().toSet ===
       Set((1L, "a"), (2L, "b"), (3L, "a")))
   }
