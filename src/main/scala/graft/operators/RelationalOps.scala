@@ -912,6 +912,68 @@ object RelationalOps extends QueryModule {
     // p·log₂(p) term is rounded to 9 decimals and summed EXACTLY as
     // decimals — the sum order stops mattering, so the result is
     // engine-portable despite libm in the terms.
+    // SPEARMAN rank correlation per group — the monotone-association
+    // complement to a9's Pearson: rank both variables inside each group
+    // (row_number with a deterministic tie key — ties are broken, not
+    // averaged; documented variant), then Pearson over the INTEGER
+    // ranks, which makes every moment exact (no decimal casts needed —
+    // rank sums are integers) and the result engine-identical up to the
+    // final rounded double chain. Two windows share one group exchange.
+    "a23_spearman" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val rq = row_number().over(W.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber")))
+      val rp = row_number().over(W.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber")))
+      li.withColumn("rq", rq.cast("long")).withColumn("rp", rp.cast("long"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("rq").as("sq"), sum("rp").as("sp"),
+          sum(col("rq") * col("rq")).as("sqq"),
+          sum(col("rp") * col("rp")).as("spp"),
+          sum(col("rq") * col("rp")).as("sqp"))
+        .select(col("l_returnflag"), col("n"),
+          // rank-sum PRODUCTS overflow long at scale (sq*sp ~ n^4/4):
+          // go double before multiplying, exactly like the oracle
+          round((col("sqp") - col("sq").cast("double") * col("sp") /
+              col("n")) /
+            (sqrt(col("sqq") - col("sq").cast("double") * col("sq") /
+              col("n")) *
+             sqrt(col("spp") - col("sp").cast("double") * col("sp") /
+              col("n"))), 6)
+            .as("spearman_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // CHI-SQUARE independence test on the event_type × day-of-week
+    // contingency table — the categorical-drift / A-B-sanity statistic.
+    // Observed counts from ONE groupBy; marginals by two tiny
+    // re-aggregations of the cell table (never a second scan); each
+    // cell's (o-e)^2/e term is rounded-9 then decimal-summed (the
+    // a20/t_bigram_lm discipline) so the statistic is engine-portable.
+    "a24_chisq" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val rows = cells.groupBy("event_type").agg(sum("o").as("row_n"))
+      val cols = cells.groupBy("dow").agg(sum("o").as("col_n"))
+      val tot = cells.agg(sum("o").as("n"))
+      cells.join(broadcast(rows), "event_type")
+        .join(broadcast(cols), "dow").crossJoin(broadcast(tot))
+        .withColumn("e",
+          col("row_n").cast("double") * col("col_n") / col("n"))
+        .withColumn("term", round((col("o") - col("e")) * (col("o") -
+          col("e")) / col("e"), 9))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(col("term").cast(dec(9))).cast("double"), 6)
+            .as("chi2"))
+    }),
+
     // TRIMMED MEAN per group — the outlier-robust location estimate
     // between plain mean (a1) and winsorize (a14, which CLIPS instead
     // of dropping): discard the bottom/top 10% of rows per group by a
@@ -1246,6 +1308,38 @@ object RelationalOps extends QueryModule {
         |WHERE c.c_custkey < 100
         |GROUP BY c.c_custkey, c.c_name
         |ORDER BY c.c_custkey""".stripMargin,
+    "a23_spearman" ->
+      """WITH r AS (SELECT l_returnflag,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rq,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rp
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(rq) AS sq, sum(rp) AS sp, sum(rq * rq) AS sqq,
+        |    sum(rp * rp) AS spp, sum(rq * rp) AS sqp
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((sqp - CAST(sq AS DOUBLE) * sp / n) /
+        |    (sqrt(sqq - CAST(sq AS DOUBLE) * sq / n) *
+        |     sqrt(spp - CAST(sp AS DOUBLE) * sp / n)), 6)
+        |    AS spearman_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "a24_chisq" ->
+      """WITH cells AS (SELECT event_type,
+        |    dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, sum(o) AS row_n FROM cells GROUP BY 1),
+        |c AS (SELECT dow, sum(o) AS col_n FROM cells GROUP BY 1),
+        |t AS (SELECT sum(o) AS n FROM cells),
+        |x AS (SELECT cells.o,
+        |    CAST(row_n AS DOUBLE) * col_n / n AS e
+        |  FROM cells JOIN r USING (event_type) JOIN c USING (dow)
+        |  CROSS JOIN t)
+        |SELECT count(*) AS n_cells,
+        |  round(CAST(SUM(CAST(round((o - e) * (o - e) / e, 9)
+        |    AS DECIMAL(18,9))) AS DOUBLE), 6) AS chi2
+        |FROM x""".stripMargin,
     "a22_trimmed_mean" ->
       """WITH r AS (SELECT l_returnflag, l_extendedprice,
         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
