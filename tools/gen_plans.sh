@@ -25,7 +25,8 @@ e_top_paths t_shingle_explode \
 w12_interval_merge a18_mad_outliers t_curate_e2e a19_corr_matrix \
 sim_ivf_ann_bucketed s13_text_scan \
 join_dpp_pruned dq_audit t_inverted_index t_bm25 t_lm_bucket_sample \
-sim_mips"
+sim_mips s15_gdx_roundtrip join_null_safe c10_join_ivm e_funnel_windowed \
+w16_rolling_anomaly a23_spearman sim_class_separation dq_skew_report"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
