@@ -358,6 +358,21 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // S16 — compression-codec surface: zstd parquet round-trip (the
+    // storage default at fleet scale — ~30% smaller than snappy at
+    // comparable scan cost; the codec is a WRITER OPTION, transparent to
+    // every reader and pushdown path, which is the point being pinned).
+    "s16_zstd_roundtrip" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_zstd_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .write.mode("overwrite").option("compression", "zstd").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("l_quantity") >= 45)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // S13 — line-text sink + scan round-trip: the raw-corpus format
     // every web-scale text pipeline starts from (one document per
     // line, no schema). Written from `documents.text`, read back with
@@ -1137,6 +1152,10 @@ object RelationalOps extends QueryModule {
       """SELECT o_orderkey AS k, o_orderstatus AS v FROM orders
         |WHERE o_orderkey < 1000 AND o_orderstatus = 'O'
         |ORDER BY k""".stripMargin,
+    "s16_zstd_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // S9: the round-trip must reproduce the parquet contents exactly
     "s9_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal

@@ -286,6 +286,29 @@ object StreamingOps extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // CHAINED STATEFUL OPERATORS in one streaming query — watermarked
+    // dedup feeding a watermarked windowed aggregation (the real ingest
+    // topology: at-least-once delivery collapsed BEFORE metrics). Until
+    // Spark 3.5 multiple stateful operators in append mode were
+    // rejected; this pins that the engine runs the fused pipeline and
+    // that its output equals dedup-then-aggregate run as batch, with the
+    // same emit-on-close window contract as stream_tumbling_append.
+    // State: dedup keys inside the watermark PLUS open windows — both
+    // bounded.
+    "stream_chained_stateful" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .unionByName(eventsStream(s, d)) // doubled delivery
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.Sql.dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("day"), col("event_type"),
+          col("n_events"), col("sum_value"))
+      runToMemory(s, agg, "graft_stream_chained", mode = "append")
+        .orderBy("day", "event_type")
+    }),
+
     // stream-STATIC enrichment join: the streaming fact joined to a
     // batch dimension (the canonical enrich-then-aggregate topology).
     // The static side is broadcast, so the stream side never shuffles
@@ -342,6 +365,18 @@ object StreamingOps extends QueryModule {
     "stream_dedup_late" ->
       """SELECT event_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
+    // dedup collapses the doubled delivery to the original table, so the
+    // oracle is stream_tumbling_append's: batch agg over ORIGINAL
+    // events, windows closed by the final watermark only
+    "stream_chained_stateful" ->
+      s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+         |  FROM events),
+         |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e)
+         |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         |  count(*) AS n_events, ${graft.Sql.oSum("value")} AS sum_value
+         |FROM e WHERE date_trunc('day', ts) + INTERVAL 1 DAY <=
+         |  (SELECT w FROM wm)
+         |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "stream_static_enrich" ->
       s"""SELECT c.c_mktsegment AS segment, count(*) AS n_events,
          |  ${graft.Sql.oSum("e.value")} AS sum_value
