@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, LessThan, LessThanOrEqual}
+  GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -116,8 +116,15 @@ class GdxTable(path: String) extends Table
 // ---------------------------------------------------------------- read
 
 class GdxScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{
+    Aggregation, CountStar, Max, Min}
+
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+  private var aggOps: Option[Seq[String]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, residual) = filters.partition {
@@ -127,6 +134,11 @@ class GdxScanBuilder(path: String)
       case LessThan("k", _: Number)           => true
       case LessThanOrEqual("k", _: Number)    => true
       case EqualTo("v", _: String)            => true
+      // k/v are never NULL in this format (every line parses both), so
+      // derived IsNotNull guards are trivially satisfied reader-side —
+      // accepting them keeps the post-scan filter EMPTY, which is the
+      // precondition for aggregate pushdown
+      case IsNotNull("k") | IsNotNull("v")    => true
       case _                                  => false
     }
     pushed = supported
@@ -134,16 +146,52 @@ class GdxScanBuilder(path: String)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new GdxScan(path, pushed)
+
+  /** LIMIT reaches the reader as a per-partition row cap; Spark still
+    * applies the global limit (isPartiallyPushed), but each file stops
+    * reading after `n` surviving rows instead of draining. */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Ungrouped COUNT(*) / MIN(k) / MAX(k) collapse to ONE partial row
+    * per file — the scan moves per-file statistics, not data; Spark
+    * runs the final merge (partial pushdown, not complete). */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions().nonEmpty) return false
+    def isK(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference => r.fieldNames().toSeq == Seq("k")
+        case _                 => false
+      }
+    val ops = agg.aggregateExpressions().map {
+      case _: CountStar            => "count"
+      case m: Min if isK(m.column) => "min"
+      case m: Max if isK(m.column) => "max"
+      case _                       => return false
+    }
+    aggOps = Some(ops.toSeq)
+    true
+  }
+
+  override def build(): Scan = new GdxScan(path, pushed, limit, aggOps)
 }
 
 case class GdxFilePartition(file: String) extends InputPartition
 
-class GdxScan(path: String, pushed: Array[Filter]) extends Scan with Batch {
-  override def readSchema(): StructType = GdxSource.schema
+class GdxScan(path: String, pushed: Array[Filter], limit: Int,
+              aggOps: Option[Seq[String]]) extends Scan with Batch {
+  override def readSchema(): StructType = aggOps match {
+    case Some(ops) => StructType(ops.zipWithIndex.map { case (op, i) =>
+      StructField(s"${op}_$i", LongType, nullable = op != "count")
+    })
+    case None => GdxSource.schema
+  }
   override def toBatch: Batch = this
   override def description(): String =
-    s"GdxScan pushed=[${pushed.mkString(", ")}]"
+    s"GdxScan pushed=[${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s" limit=$limit" else "") +
+      aggOps.map(o => s" agg=[${o.mkString(", ")}]").getOrElse("")
 
   // plan ONLY manifest-published files — stray tmp/uncommitted data is
   // invisible by construction
@@ -153,24 +201,36 @@ class GdxScan(path: String, pushed: Array[Filter]) extends Scan with Batch {
       .map(f => GdxFilePartition(f.toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GdxReaderFactory(pushed,
+    new GdxReaderFactory(pushed, limit, aggOps,
       new SerializableHadoopConf(GdxSource.driverConf()))
 }
 
-class GdxReaderFactory(pushed: Array[Filter], conf: SerializableHadoopConf)
+class GdxReaderFactory(pushed: Array[Filter], limit: Int,
+                       aggOps: Option[Seq[String]],
+                       conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GdxFileReader(p.asInstanceOf[GdxFilePartition].file, pushed, conf)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val base = new GdxFileReader(
+      p.asInstanceOf[GdxFilePartition].file, pushed, limit, conf)
+    aggOps match {
+      case Some(ops) => new GdxAggReader(base, ops)
+      case None      => base
+    }
+  }
 }
 
-/** Line reader applying the pushed predicates before materializing. */
-class GdxFileReader(file: String, pushed: Array[Filter],
+/** Line reader applying the pushed predicates before materializing and
+  * honoring a pushed per-partition limit. */
+class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
                     conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
   private val p = new Path(file)
   private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
     p.getFileSystem(conf.conf).open(p), "UTF-8"))
   private var row: InternalRow = _
+  private var emitted = 0L
+  var lastK: Long = _
+  var lastV: String = _
 
   private def keep(k: Long, v: String): Boolean = pushed.forall {
     case EqualTo("k", want: Number)         => k == want.longValue
@@ -179,10 +239,12 @@ class GdxFileReader(file: String, pushed: Array[Filter],
     case LessThan("k", b: Number)           => k < b.longValue
     case LessThanOrEqual("k", b: Number)    => k <= b.longValue
     case EqualTo("v", want: String)         => v == want
+    case IsNotNull(_)                       => true
     case _                                  => true
   }
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     var line = in.readLine()
     while (line != null) {
       val tab = line.indexOf('\t')
@@ -190,7 +252,9 @@ class GdxFileReader(file: String, pushed: Array[Filter],
         val k = line.substring(0, tab).toLong
         val v = line.substring(tab + 1)
         if (keep(k, v)) {
+          lastK = k; lastV = v
           row = InternalRow(k, UTF8String.fromString(v))
+          emitted += 1
           return true
         }
       }
@@ -201,6 +265,36 @@ class GdxFileReader(file: String, pushed: Array[Filter],
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Folds the (filtered) file stream into one partial-aggregate row —
+  * count/min/max per file; Spark's final aggregate merges the files. */
+class GdxAggReader(base: GdxFileReader, ops: Seq[String])
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    var n = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    while (base.next()) {
+      n += 1
+      if (base.lastK < mn) mn = base.lastK
+      if (base.lastK > mx) mx = base.lastK
+    }
+    row = InternalRow.fromSeq(ops.map {
+      case "count" => n
+      case "min"   => if (n == 0) null else mn
+      case "max"   => if (n == 0) null else mx
+    })
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = base.close()
 }
 
 // --------------------------------------------------------------- write

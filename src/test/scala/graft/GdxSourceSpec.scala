@@ -45,6 +45,31 @@ class GdxSourceSpec extends SparkSuite {
     assert(read(dir).as[(Long, String)].collect().toSet === Set((2L, "new")))
   }
 
+  test("ungrouped count/min/max collapse to per-file partials") {
+    val dir = freshDir("agg")
+    write(dir, (1L to 100L).map(i => (i, if (i % 2 == 0) "e" else "o")))
+    val df = read(dir).filter(col("v") === "e")
+      .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("agg=[count_0, min_1, max_2]") ||
+      plan.contains("agg=["), s"aggregates must reach the scan:\n" +
+      plan.take(1500))
+    assert(df.collect().head.toSeq === Seq(50L, 2L, 100L))
+    // empty match: count 0, NULL min/max (not Long sentinels)
+    val none = read(dir).filter(col("v") === "zzz")
+      .agg(count(lit(1)), min("k"), max("k")).collect().head
+    assert(none.getLong(0) === 0L && none.isNullAt(1) && none.isNullAt(2))
+  }
+
+  test("pushed limit caps per-partition reads") {
+    val dir = freshDir("limit")
+    write(dir, (1L to 100L).map(i => (i, "x")))
+    val df = read(dir).limit(7)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("limit=7"), plan.take(1200))
+    assert(df.count() === 7)
+  }
+
   test("supported predicates are pushed; others stay post-scan") {
     val dir = freshDir("push")
     write(dir, (1L to 100L).map(i => (i, if (i % 2 == 0) "e" else "o")))
