@@ -106,7 +106,8 @@ class GdxTable(path: String) extends Table
   override def name(): String = s"gdx($path)"
   override def schema(): StructType = GdxSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GdxScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -299,7 +300,12 @@ class GdxAggReader(base: GdxFileReader, ops: Seq[String])
 
 // --------------------------------------------------------------- write
 
-class GdxWriteBuilder(path: String) extends WriteBuilder {
+class GdxWriteBuilder(path: String)
+    extends WriteBuilder with SupportsTruncate {
+  // manifest visibility makes truncate free: every commit REPLACES the
+  // published file set, so overwrite == append + manifest swap; old
+  // files are orphaned (invisible) and reclaimable by compaction
+  override def truncate(): WriteBuilder = this
   override def build(): Write = new GdxWrite(path)
 }
 

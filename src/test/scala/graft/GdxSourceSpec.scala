@@ -45,6 +45,15 @@ class GdxSourceSpec extends SparkSuite {
     assert(read(dir).as[(Long, String)].collect().toSet === Set((2L, "new")))
   }
 
+  test("mode(overwrite) is accepted via SupportsTruncate") {
+    val dir = freshDir("trunc")
+    write(dir, Seq((1L, "old")))
+    Seq((9L, "ow")).toDF("k", "v")
+      .write.format("graft.sources.GdxSource")
+      .option("path", dir).mode("overwrite").save()
+    assert(read(dir).as[(Long, String)].collect().toSet === Set((9L, "ow")))
+  }
+
   test("ungrouped count/min/max collapse to per-file partials") {
     val dir = freshDir("agg")
     write(dir, (1L to 100L).map(i => (i, if (i % 2 == 0) "e" else "o")))
