@@ -177,6 +177,38 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("delta-join IVM equals full recompute for any old/new split") {
+    // the c10 algebra over generated universes: Δ(A⋈B) needs ALL THREE
+    // delta terms; dropping any one must be caught by some sample
+    val factGen = Gen.listOfN(40, for {
+      k <- Gen.choose(1, 8)
+      m <- Gen.choose(1L, 100L)
+      isNew <- Gen.oneOf(true, false)
+    } yield (k, m, isNew))
+    val dimGen = Gen.listOfN(12, for {
+      k <- Gen.choose(1, 8)
+      g <- Gen.oneOf("x", "y")
+      isNew <- Gen.oneOf(true, false)
+    } yield (k, g, isNew))
+    samples(Gen.zip(factGen, dimGen), 8).foreach { case (facts, dims) =>
+      val a = facts.toDF("k", "m", "newA")
+      val b = dims.toDF("k", "g", "newB")
+      def agg(x: org.apache.spark.sql.DataFrame) =
+        x.groupBy("g").agg(sum("m").as("s"), count(lit(1)).as("n"))
+      val full = agg(a.join(b, "k"))
+        .as[(String, Long, Long)].collect().toSet
+      val parts = Seq(
+        agg(a.filter(!col("newA")).join(b.filter(!col("newB")), "k")),
+        agg(a.filter(col("newA")).join(b.filter(!col("newB")), "k")),
+        agg(a.filter(!col("newA")).join(b.filter(col("newB")), "k")),
+        agg(a.filter(col("newA")).join(b.filter(col("newB")), "k")))
+      val inc = parts.reduce(_ unionByName _)
+        .groupBy("g").agg(sum("s").as("s"), sum("n").as("n"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(inc === full, s"facts=$facts dims=$dims")
+    }
+  }
+
   test("rolling 7-row mean equals brute force over any history") {
     samples(Gen.listOfN(25, Gen.choose(1, 10000).map(_ / 100.0)), 10)
         .filter(_.nonEmpty).foreach { values =>
