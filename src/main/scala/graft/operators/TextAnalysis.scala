@@ -193,6 +193,24 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // CLASSIFIER EVALUATION for the language-ID heuristic: the full
+    // confusion matrix (label × guess) plus per-label accuracy — the
+    // audit that decides whether a filter model is good enough to gate
+    // the corpus. One groupBy; the labeled `lang` column is the truth
+    // set every labeled corpus carries.
+    "t_langid_eval" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val hits = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+      val nTok = size(toks).cast("long")
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(hits * 20 >= nTok, "en").when(hits > 0, "en_low")
+            .otherwise("unk").as("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_guess")
+    }),
+
     // repetition ratio (Gopher-style quality signal): share of duplicate
     // word 2-grams — high values mark degenerate/boilerplate text
     "t_repetition" -> ((s, d) => {
@@ -1070,6 +1088,17 @@ object TextAnalysis extends QueryModule {
          |  CASE WHEN en_hits * 20 >= n_tokens THEN 'en'
          |       WHEN en_hits > 0 THEN 'en_low' ELSE 'unk' END AS lang_guess
          |FROM t ORDER BY doc_id""".stripMargin,
+    "t_langid_eval" ->
+      s"""WITH t AS (SELECT lang,
+         |  CAST(len(list_filter(string_split(text,' '),
+         |    x -> list_contains($stopList, x))) AS BIGINT) AS en_hits,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         |FROM documents)
+         |SELECT lang,
+         |  CASE WHEN en_hits * 20 >= n_tokens THEN 'en'
+         |       WHEN en_hits > 0 THEN 'en_low' ELSE 'unk' END AS lang_guess,
+         |  count(*) AS n
+         |FROM t GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin,
     "t_redact_pii" ->
       """SELECT doc_id,
         |  regexp_replace(
