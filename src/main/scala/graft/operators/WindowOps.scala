@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.{QueryModule, Sql, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Window / time-series operators — SURVEY.md §2.5, §2.6, §2.9, transposed
   * onto the `events` table (user_id ≙ currency code, ts ≙ exchangedate,
@@ -198,6 +199,70 @@ object WindowOps extends QueryModule {
     // IGNORE-NULLS struct windows over ONE spine exchange (carry-back +
     // carry-forward of (day, v)); edges degrade to nearest-observation.
     // All per-key window state, no self-join, no loop.
+    // ROLLING MEDIAN over the trailing-7-day frame — the robust
+    // smoother for spiky daily series (w16's mean/std flags anomalies;
+    // the median RIDES THROUGH them). The window frame is a bounded 7
+    // values per row, so collecting it in-row and selecting the middle
+    // is O(frame), not a per-group value map; interpolation for even
+    // frames matches quantile_cont(0.5) exactly.
+    // ROLLING CORRELATION — trailing-7-day Pearson correlation of each
+    // metric's daily series against total daily traffic (the "which
+    // metric tracks overall load" monitoring diagnostic; a decorrelating
+    // metric is drifting). All six moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    // come from ONE window over the event_type exchange — no self-join,
+    // no second pass; day totals are a day-count-sized frame, broadcast
+    // back onto the per-type series. Moment sums go through DECIMAL(30,2)
+    // so the windowed accumulation is order-free and engine-exact (the
+    // w16 discipline; products of identical doubles round identically);
+    // warm-up (n ≤ 1) and zero-variance frames emit NULL, not IEEE
+    // infinities. Series are day-grained, so per-key window state is
+    // bounded by days × metrics regardless of corpus size.
+    "w18_rolling_corr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(graft.Sql.dsum(col("value"), 4).as("x"))
+      val totals = daily.groupBy("day")
+        .agg(graft.Sql.dsum(col("x"), 4).as("y"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, 0)
+      def wsum(c: Column) =
+        sum(c.cast(DecimalType(30, 2))).over(w).cast("double")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      daily.join(broadcast(totals), "day")
+        .withColumn("n", count(lit(1)).over(w).cast("double"))
+        .withColumn("sx", wsum(col("x")))
+        .withColumn("sy", wsum(col("y")))
+        .withColumn("sxy", wsum(col("x") * col("y")))
+        .withColumn("sxx", wsum(col("x") * col("x")))
+        .withColumn("syy", wsum(col("y") * col("y")))
+        .select(col("day"), col("event_type"),
+          round(col("x"), 6).as("x"), round(col("y"), 6).as("y"),
+          round(when(col("n") > 1 && vx > 0 && vy > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt(vx * vy)), 6).as("corr7"))
+        .orderBy("day", "event_type")
+    }),
+
+    "w17_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, 0)
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(graft.Sql.dsum(col("value"), 4).as("v"))
+        .withColumn("win", sort_array(collect_list(col("v")).over(w)))
+        .withColumn("n", size(col("win")))
+        .withColumn("med7", round(
+          when(col("n") % 2 === 1,
+            element_at(col("win"), ((col("n") + 1) / 2).cast("int")))
+            .otherwise((element_at(col("win"), (col("n") / 2).cast("int")) +
+              element_at(col("win"), (col("n") / 2 + 1).cast("int"))) / 2.0),
+          6))
+        .select(col("day"), col("event_type"), round(col("v"), 6).as("v"),
+          col("med7"))
+        .orderBy("day", "event_type")
+    }),
+
     // ROLLING z-score anomaly detection on the daily series — the
     // monitoring-alert shape: trailing-7-day mean/std per event type
     // from exact decimal moment windows (one exchange on event_type),
@@ -329,6 +394,44 @@ object WindowOps extends QueryModule {
     "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
 
   def oracles: Map[String, String] = Map(
+    // same six DECIMAL(30,2) moments over the same 7-row frame; the
+    // final double chain is written in the identical operation order
+    "w18_rolling_corr" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS day, event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT day, CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS y FROM daily GROUP BY 1),
+        |j AS (SELECT daily.day, event_type, x, y
+        |  FROM daily JOIN tot USING (day)),
+        |m AS (SELECT day, event_type, x, y,
+        |    CAST(count(*) OVER w AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x*y AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x*x AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y*y AS DECIMAL(30,2))) OVER w AS DOUBLE) AS syy
+        |  FROM j WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, event_type, round(x, 6) AS x, round(y, 6) AS y,
+        |  round(CASE WHEN n > 1 AND (n*sxx - sx*sx) > 0
+        |      AND (n*syy - sy*sy) > 0
+        |    THEN (n*sxy - sx*sy) /
+        |      sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS corr7
+        |FROM m ORDER BY day, event_type""".stripMargin,
+    "w17_rolling_median" ->
+      s"""WITH daily AS (SELECT
+         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+         |      AS day, event_type,
+         |    ${graft.Sql.oSum("value", 4)} AS v
+         |  FROM events GROUP BY 1, 2)
+         |SELECT day, event_type, round(v, 6) AS v,
+         |  round(quantile_cont(v, 0.5) OVER (PARTITION BY event_type
+         |    ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+         |    AS med7
+         |FROM daily ORDER BY day, event_type""".stripMargin,
     "w16_rolling_anomaly" ->
       s"""WITH daily AS (SELECT
          |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
