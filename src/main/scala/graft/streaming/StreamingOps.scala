@@ -248,6 +248,42 @@ object StreamingOps extends QueryModule {
         .withColumnRenamed("uid", "user_id")
     }),
 
+    // Stream-stream FULL OUTER interval join — completes the join
+    // matrix (inner: stream_join_interval; left: stream_join_left_outer).
+    // Both NULL sides are watermark-gated: an unmatched purchase emits
+    // its NULL-click row once the watermark passes its match window
+    // [pts − 1 h, pts] (pts ≤ W), an unmatched click emits its
+    // NULL-purchase row once no future purchase can reach back to it
+    // (its forward match window [cts, cts + 1 h] closed: cts < W − 1 h,
+    // the state-eviction bound derived from the join's time range). On
+    // the finite replay W = min over inputs of (max event time − 1 h);
+    // rows above their gate stay open and must NOT appear — the oracle
+    // encodes both gates explicitly. State on each side stays bounded by
+    // the 1-hour range exactly as in the inner join.
+    "stream_join_full_outer" -> ((s, d) => {
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = purchases.join(clicks,
+          col("p_user") === col("user_id") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+            col("click_ts") <= col("purchase_ts"),
+          "full_outer")
+        .select(coalesce(col("p_user"), col("user_id")).as("uid"),
+          col("purchase_id"), col("click_id"), col("click_value"))
+      runToMemory(s, joined, "graft_stream_join_fo", mode = "append")
+        .orderBy(col("uid"), col("purchase_id").asc_nulls_first,
+          col("click_id").asc_nulls_first)
+        .withColumnRenamed("uid", "user_id")
+    }),
+
     // event-time SESSION windows via the built-in session_window: state
     // is a per-key set of open sessions that MERGE when a new event
     // bridges two of them — the dynamic-gap shape flatMapGroupsWithState
@@ -428,6 +464,42 @@ object StreamingOps extends QueryModule {
         |SELECT user_id, purchase_id, click_id, click_value
         |FROM (SELECT * FROM m UNION ALL SELECT * FROM um)
         |ORDER BY user_id, purchase_id, click_id NULLS FIRST""".stripMargin,
+    // Full outer = matched pairs ∪ watermark-closed unmatched purchases
+    // (pts ≤ W, as in left outer) ∪ watermark-evicted unmatched clicks
+    // (cts < W − 1 h: a click's forward match window is [cts, cts+1h];
+    // only when that is entirely below W can no purchase still reach it)
+    "stream_join_full_outer" ->
+      """WITH wm AS (SELECT least(
+        |    (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+        |      WHERE event_type = 'click'),
+        |    (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+        |      WHERE event_type = 'purchase')) - INTERVAL 1 HOUR AS w),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |    CAST(ts AS TIMESTAMP) AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, value AS click_value,
+        |    CAST(ts AS TIMESTAMP) AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |m AS (SELECT p.user_id, purchase_id, click_id, click_value
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND cts BETWEEN pts - INTERVAL 1 HOUR AND pts),
+        |up AS (SELECT p.user_id, purchase_id,
+        |    CAST(NULL AS BIGINT) AS click_id,
+        |    CAST(NULL AS DOUBLE) AS click_value
+        |  FROM p WHERE pts <= (SELECT w FROM wm) AND NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND c.cts BETWEEN p.pts - INTERVAL 1 HOUR AND p.pts)),
+        |uc AS (SELECT c.user_id, CAST(NULL AS BIGINT) AS purchase_id,
+        |    click_id, click_value
+        |  FROM c WHERE cts < (SELECT w FROM wm) - INTERVAL 1 HOUR
+        |    AND NOT EXISTS (
+        |    SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |      AND c.cts BETWEEN p.pts - INTERVAL 1 HOUR AND p.pts))
+        |SELECT user_id, purchase_id, click_id, click_value
+        |FROM (SELECT * FROM m UNION ALL SELECT * FROM up
+        |      UNION ALL SELECT * FROM uc)
+        |ORDER BY user_id, purchase_id NULLS FIRST,
+        |  click_id NULLS FIRST""".stripMargin,
     "stream_join_interval" ->
       """SELECT c.user_id AS user_id, p.event_id AS purchase_id,
         |  c.event_id AS click_id, c.value AS click_value
