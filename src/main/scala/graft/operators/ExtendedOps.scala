@@ -353,6 +353,45 @@ object ExtendedOps extends QueryModule {
         .orderBy("day")
     }),
 
+    // LAST-TOUCH ATTRIBUTION — every purchase credited to the user's
+    // most recent click/view (the marketing channel-credit primitive;
+    // e_funnel_windowed answers "did they convert", this answers "what
+    // gets the credit"). Same carry-forward-union shape: touches and
+    // purchases union once, ONE user_id exchange, the latest touch
+    // STRUCT (ts, id, type) rides a running IGNORE-NULLS window —
+    // never an interval self-join. Credit goes to the touch only while
+    // it is ≤ 1 h stale (the attribution window); older or absent →
+    // 'direct'. Tie order (ts, is_probe, event_id) makes a same-instant
+    // touch count and the winner deterministic. At 100 TB: state is one
+    // struct per row inside each user's sorted partition.
+    "e_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), lit(0).as("is_probe"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), lit(1).as("is_probe"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("is_probe"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val touchStruct = when(col("is_probe") === 0,
+        struct(col("ts").as("t_ts"), col("event_id").as("t_id"),
+          col("event_type").as("t_type")))
+      val within = col("t").isNotNull &&
+        col("t.t_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+      touches.unionByName(purchases)
+        .withColumn("t", last(touchStruct, ignoreNulls = true).over(w))
+        .filter(col("is_probe") === 1)
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          when(within, col("t.t_type")).otherwise(lit("direct"))
+            .as("channel"),
+          when(within, col("t.t_id")).as("touch_id"))
+        .orderBy("purchase_id")
+    }),
+
     // string-function battery
     "f_strings" -> ((s, d) =>
       Tables.documents(s, d)
@@ -659,6 +698,25 @@ object ExtendedOps extends QueryModule {
         |  round(CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS conv_rate
         |FROM m GROUP BY 1 ORDER BY day""".stripMargin,
+    // explicit form: latest preceding touch per purchase by
+    // (ts, event_id) DESC, credited only within the 1-hour window
+    "e_attribution" ->
+      """WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tts,
+        |    event_id AS tid, event_type AS ttype
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts,
+        |    event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT p.user_id, purchase_id, pts, tts, tid, ttype,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY tts DESC, tid DESC) AS rn
+        |  FROM p LEFT JOIN t ON p.user_id = t.user_id AND tts <= pts)
+        |SELECT user_id, purchase_id,
+        |  CASE WHEN tts IS NOT NULL AND tts >= pts - INTERVAL 1 HOUR
+        |    THEN ttype ELSE 'direct' END AS channel,
+        |  CASE WHEN tts IS NOT NULL AND tts >= pts - INTERVAL 1 HOUR
+        |    THEN tid END AS touch_id
+        |FROM r WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
     "e_funnel" ->
       """WITH s AS (SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS first_signup
         |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
