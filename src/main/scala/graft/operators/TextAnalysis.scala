@@ -536,6 +536,37 @@ object TextAnalysis extends QueryModule {
         .orderBy("pos")
     }),
 
+    // FEATURE HASHING (the Weinberger hashing trick) — bag-of-words
+    // folded into a FIXED 64-bucket vector: bucket and sign are pure
+    // functions of md5(token), so the feature space never needs a
+    // driver-side vocabulary, new tokens never resize anything, and any
+    // two runs (or engines — the oracle recomputes it) agree bucket for
+    // bucket. Signed counts cancel collision bias (Weinberger et al.,
+    // ICML'09). Shape: one explode + one (doc, bucket) count shuffle +
+    // one per-doc regroup; the sparse vector serializes as "b:v" text
+    // because raw array cells can't ride the harness hash. At prod scale
+    // the bucket count is 2^18+ — same plan, wider key space.
+    "t_feature_hash" -> ((s, d) => {
+      val h = md5(col("tok"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("bucket",
+          conv(substring(h, 1, 4), 16, 10).cast("long") % 64)
+        .withColumn("sign",
+          when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0, 1L)
+            .otherwise(-1L))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("cnt"), sum("sign").as("v"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").cast("long").as("n_tokens"),
+          count(lit(1)).as("nnz"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("bucket"), col("v")))),
+            x => concat(x.getField("bucket").cast("string"), lit(":"),
+              x.getField("v").cast("string"))), " ").as("vec"))
+        .orderBy("doc_id")
+    }),
+
     "t_split_assign" -> ((s, d) => {
       val b = substring(md5(col("doc_id").cast("string")), 1, 2)
       Tables.documents(s, d)
@@ -964,6 +995,24 @@ object TextAnalysis extends QueryModule {
         |UNION ALL SELECT '2_stopword', n2 FROM a
         |UNION ALL SELECT '3_repetition', n3 FROM a
         |ORDER BY stage""".stripMargin,
+    // same md5-derived bucket/sign arithmetic; vec re-serialized with
+    // the same "bucket:value" text contract
+    "t_feature_hash" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) % 64
+        |      AS BIGINT) AS bucket,
+        |    CASE WHEN CAST('0x' || substr(md5(tok), 5, 1) AS INTEGER) % 2
+        |      = 0 THEN 1 ELSE -1 END AS sign
+        |  FROM t),
+        |c AS (SELECT doc_id, bucket, count(*) AS cnt,
+        |    CAST(sum(sign) AS BIGINT) AS v
+        |  FROM h GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  count(*) AS nnz,
+        |  string_agg(bucket || ':' || v, ' ' ORDER BY bucket) AS vec
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_split_assign" ->
       """WITH s AS (SELECT lang, n_chars,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
