@@ -373,6 +373,58 @@ object RelationalOps extends QueryModule {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // S17 — XML sink + scan round-trip (Spark 4 native XML source): the
+    // interchange format regulatory/feed ingest still arrives in. The
+    // nation table is written one <nation> row element per record, read
+    // back with a DECLARED schema (inference would widen types), and
+    // must equal the parquet contents — writer escaping and reader
+    // unescaping included. Row-tag framing keeps files splittable per
+    // record block; schema declaration keeps the scan one pass with no
+    // inference job.
+    "s17_xml_roundtrip" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_xml_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      Tables.nation(s, d)
+        .write.mode("overwrite").option("rootTag", "nations")
+        .option("rowTag", "nation").format("xml").save(dir)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("rowTag", "nation").format("xml").load(dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
+    // S18 — dynamic partition overwrite: the partition-scoped MERGE
+    // substitute for append-only stores — rewriting ONE partition's data
+    // leaves every other partition untouched (static overwrite mode
+    // would truncate the whole table first). Here the events table lands
+    // partitioned by event_type, then a corrected 'click' feed (values
+    // doubled) overwrites ONLY partitions present in the new frame; the
+    // read-back must show corrected clicks and untouched everything
+    // else. At 100 TB this is the nightly-restatement path: the rewrite
+    // job's cost tracks the restated partition, not the table.
+    "s18_dynamic_partition_overwrite" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_dpo_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try ev.filter(col("event_type") === "click")
+        .withColumn("value", round(col("value") * 2, 6))
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      finally prev match {
+        case Some(v) => s.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(dir)
+        .select(col("event_id"), col("event_type").cast("string")
+          .as("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // S13 — line-text sink + scan round-trip: the raw-corpus format
     // every web-scale text pipeline starts from (one document per
     // line, no schema). Written from `documents.text`, read back with
@@ -1161,6 +1213,16 @@ object RelationalOps extends QueryModule {
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier WHERE s_nationkey < 5
         |ORDER BY s_suppkey""".stripMargin,
+    // XML round-trip must reproduce the source table exactly
+    "s17_xml_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // dynamic overwrite corrected only the click partition
+    "s18_dynamic_partition_overwrite" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN event_type = 'click' THEN round(round(value, 6) * 2, 6)
+        |       ELSE round(value, 6) END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
     "s11_schema_merge" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END AS o_custkey,
