@@ -352,9 +352,39 @@ object RelationalOps extends QueryModule {
       Tables.orders(s, d)
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
         .write.format("graft.sources.GdxSource").option("path", dir)
-        .mode("append").save()
+        .mode("overwrite").save()
       s.read.format("graft.sources.GdxSource").option("path", dir).load()
         .filter(col("k") < 1000 && col("v") === "O")
+        .orderBy("k")
+    }),
+
+    // S19 — snapshot isolation + time travel on the GDX connector: an
+    // overwrite commit (the base snapshot) followed by an append commit
+    // (the delta snapshot); reading the PINNED older version next to
+    // the latest proves commits never rewrite history — the base rows
+    // carry v_old from the old snapshot, the appended rows show NULL
+    // there. Versions are resolved RELATIVE to the directory's latest
+    // (absolute numbers grow per run; the query is idempotent because
+    // overwrite starts each run's base snapshot empty).
+    "s19_gdx_time_travel" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdxtt_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val fmt = "graft.sources.GdxSource"
+      def kv(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
+      kv(Tables.orders(s, d).filter(col("o_orderkey") < 800))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      kv(Tables.orders(s, d)
+          .filter(col("o_orderkey") >= 800 && col("o_orderkey") < 1200))
+        .write.format(fmt).option("path", dir).mode("append").save()
+      val baseVersion = graft.sources.GdxSource
+        .listVersions(dir, graft.sources.GdxSource.driverConf()).max - 1
+      val snap = s.read.format(fmt).option("path", dir)
+        .option("version", baseVersion.toString).load()
+        .withColumnRenamed("v", "v_old")
+      s.read.format(fmt).option("path", dir).load()
+        .join(snap, Seq("k"), "left")
+        .select(col("k"), col("v"), col("v_old"))
         .orderBy("k")
     }),
 
@@ -1217,6 +1247,13 @@ object RelationalOps extends QueryModule {
     "s17_xml_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // time travel: latest = base ∪ delta; the pinned old snapshot
+    // contributes v_old only for base rows
+    "s19_gdx_time_travel" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS v,
+        |  CASE WHEN o_orderkey < 800 THEN o_orderstatus END AS v_old
+        |FROM orders WHERE o_orderkey < 1200
+        |ORDER BY k""".stripMargin,
     // dynamic overwrite corrected only the click partition
     "s18_dynamic_partition_overwrite" ->
       """SELECT event_id, event_type,

@@ -33,6 +33,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *    k/v-equality predicates are evaluated INSIDE the partition reader
   *    (rows never materialize), and remain in `pushedFilters` so the
   *    plan shows them; unsupported predicates stay post-scan.
+  *  - **Snapshot isolation + time travel**: every commit writes a NEW
+  *    numbered manifest (`_manifest-00000001`, …) holding the FULL
+  *    published file list for that version; data file names embed the
+  *    version, so no commit ever touches a file an older manifest
+  *    references. Readers resolve the highest version at PLANNING time
+  *    and see exactly one consistent snapshot regardless of concurrent
+  *    commits; `option("version", n)` pins any retained snapshot (the
+  *    Delta/Iceberg read pattern, reduced to its manifest essentials).
+  *    `mode("append")` unions with the previous snapshot,
+  *    `mode("overwrite")` starts the new snapshot empty; neither
+  *    rewrites history. [[GdxSource.vacuum]] drops old manifests and
+  *    any data file no retained manifest references. Concurrent
+  *    committers are last-writer-wins on the version number — a real
+  *    deployment CASes the manifest PUT (documented object-store
+  *    caveat; the protocol point is snapshot reads, not multi-writer
+  *    arbitration).
   *
   * All I/O goes through the Hadoop `FileSystem` resolved from the path
   * (the Maintenance/TableSwap discipline), so the same connector runs on
@@ -85,11 +101,37 @@ object GdxSource {
       .getOrElse(new Configuration())
 
   def manifest(path: String) = new Path(path, "_manifest")
+  def manifestFor(path: String, version: Int) =
+    new Path(path, f"_manifest-$version%08d")
 
-  /** Files the manifest has published (empty if never committed). */
-  def committedFiles(path: String, conf: Configuration): Seq[Path] = {
-    val m = manifest(path)
-    val fs = m.getFileSystem(conf)
+  /** Retained snapshot versions, ascending (empty for a pre-versioning
+    * or never-committed directory). One LIST call. */
+  def listVersions(path: String, conf: Configuration): Seq[Int] = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) Seq.empty
+    else fs.globStatus(new Path(base, "_manifest-*")).toSeq
+      .map(_.getPath.getName.stripPrefix("_manifest-").toInt).sorted
+  }
+
+  /** Files the chosen snapshot has published (empty if never
+    * committed). `version < 0` resolves the LATEST version — falling
+    * back to the legacy un-numbered `_manifest` for directories written
+    * before versioning; an explicit version must exist (a vacuumed or
+    * never-written snapshot is an error, not an empty read). */
+  def committedFiles(path: String, conf: Configuration,
+                     version: Int = -1): Seq[Path] = {
+    val fs = new Path(path).getFileSystem(conf)
+    val m =
+      if (version >= 0) {
+        val vm = manifestFor(path, version)
+        require(fs.exists(vm),
+          s"gdx: snapshot version $version does not exist under $path")
+        vm
+      } else listVersions(path, conf) match {
+        case vs if vs.nonEmpty => manifestFor(path, vs.max)
+        case _                 => manifest(path)
+      }
     if (!fs.exists(m)) Seq.empty
     else {
       val in = new java.io.BufferedReader(
@@ -98,6 +140,28 @@ object GdxSource {
         .filter(_.nonEmpty).map(new Path(path, _)).toList
       finally in.close()
     }
+  }
+
+  /** Retention: keep the last `keepLast` snapshots, drop older
+    * manifests, then delete every data file NO retained manifest
+    * references (the VACUUM of the manifest-table pattern). Safe order:
+    * manifests first — a reader planning from a retained manifest never
+    * loses a file it references. Returns deleted data-file count. */
+  def vacuum(path: String, conf: Configuration, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "gdx vacuum: must retain at least one snapshot")
+    val base = new Path(path)
+    val fs = base.getFileSystem(conf)
+    val vs = listVersions(path, conf)
+    if (vs.isEmpty) return 0
+    vs.dropRight(keepLast).foreach(v => fs.delete(manifestFor(path, v), false))
+    val referenced = vs.takeRight(keepLast)
+      .flatMap(v => committedFiles(path, conf, v)).map(_.getName).toSet
+    val victims = fs.listStatus(base).filter { st =>
+      val n = st.getPath.getName
+      n.endsWith(".gdx") && !referenced(n)
+    }
+    victims.foreach(st => fs.delete(st.getPath, false))
+    victims.length
   }
 }
 
@@ -109,14 +173,15 @@ class GdxTable(path: String) extends Table
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GdxScanBuilder(path)
+    new GdxScanBuilder(path,
+      Option(options.get("version")).map(_.toInt).getOrElse(-1))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GdxWriteBuilder(path)
 }
 
 // ---------------------------------------------------------------- read
 
-class GdxScanBuilder(path: String)
+class GdxScanBuilder(path: String, version: Int)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -175,12 +240,13 @@ class GdxScanBuilder(path: String)
     true
   }
 
-  override def build(): Scan = new GdxScan(path, pushed, limit, aggOps)
+  override def build(): Scan = new GdxScan(path, version, pushed, limit,
+    aggOps)
 }
 
 case class GdxFilePartition(file: String) extends InputPartition
 
-class GdxScan(path: String, pushed: Array[Filter], limit: Int,
+class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
               aggOps: Option[Seq[String]]) extends Scan with Batch {
   override def readSchema(): StructType = aggOps match {
     case Some(ops) => StructType(ops.zipWithIndex.map { case (op, i) =>
@@ -191,13 +257,14 @@ class GdxScan(path: String, pushed: Array[Filter], limit: Int,
   override def toBatch: Batch = this
   override def description(): String =
     s"GdxScan pushed=[${pushed.mkString(", ")}]" +
+      (if (version >= 0) s" version=$version" else "") +
       (if (limit >= 0) s" limit=$limit" else "") +
       aggOps.map(o => s" agg=[${o.mkString(", ")}]").getOrElse("")
 
-  // plan ONLY manifest-published files — stray tmp/uncommitted data is
-  // invisible by construction
+  // plan ONLY the chosen snapshot's manifest-published files — stray
+  // tmp/uncommitted data AND later commits are invisible by construction
   override def planInputPartitions(): Array[InputPartition] =
-    GdxSource.committedFiles(path, GdxSource.driverConf())
+    GdxSource.committedFiles(path, GdxSource.driverConf(), version)
       .sortBy(_.toString)
       .map(f => GdxFilePartition(f.toString): InputPartition).toArray
 
@@ -302,45 +369,57 @@ class GdxAggReader(base: GdxFileReader, ops: Seq[String])
 
 class GdxWriteBuilder(path: String)
     extends WriteBuilder with SupportsTruncate {
-  // manifest visibility makes truncate free: every commit REPLACES the
-  // published file set, so overwrite == append + manifest swap; old
-  // files are orphaned (invisible) and reclaimable by compaction
-  override def truncate(): WriteBuilder = this
-  override def build(): Write = new GdxWrite(path)
+  // truncate = start the NEW snapshot from an empty file set instead of
+  // the previous snapshot's; history is untouched either way — old
+  // manifests keep referencing their own files until vacuumed
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+  override def build(): Write = new GdxWrite(path, replace)
 }
 
-class GdxWrite(path: String) extends Write {
-  override def toBatch: BatchWrite = new GdxBatchWrite(path)
+class GdxWrite(path: String, replace: Boolean) extends Write {
+  override def toBatch: BatchWrite = new GdxBatchWrite(path, replace)
 }
 
 case class GdxCommitMessage(tmpName: String) extends WriterCommitMessage
 
-class GdxBatchWrite(path: String) extends BatchWrite {
+class GdxBatchWrite(path: String, replace: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = new GdxWriterFactory(path,
     new SerializableHadoopConf(GdxSource.driverConf()))
 
-  /** Driver-side publish: rename each task's tmp file to its final name
-    * and write the manifest LAST — readers only ever see the manifest's
-    * list, so the commit point is the single manifest write (renames
-    * are tidiness, not the correctness boundary). */
+  /** Driver-side publish: rename each task's tmp file to its
+    * VERSION-PREFIXED final name, then write snapshot N+1's manifest —
+    * append carries snapshot N's file list forward, truncate starts
+    * empty. Readers only ever see a manifest's list, so the commit
+    * point is the single manifest write (renames are tidiness, not the
+    * correctness boundary), and version-unique file names mean no
+    * commit can ever clobber a file an older snapshot references. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GdxSource.driverConf()
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
+    val prev =
+      if (replace) Seq.empty
+      else GdxSource.committedFiles(path, conf).map(_.getName)
+    val newVersion = (GdxSource.listVersions(path, conf) :+ 0).max + 1
     val finals = messages.collect { case GdxCommitMessage(tmp) =>
-      val fin = tmp.stripSuffix(".tmp")
+      val fin = f"v$newVersion%08d-" + tmp.stripSuffix(".tmp")
       val dst = new Path(base, fin)
-      // a prior commit's same-named file is orphaned data (visibility is
-      // manifest-only) — clear it; Hadoop rename never overwrites
       if (fs.exists(dst)) fs.delete(dst, false)
       val ok = fs.rename(new Path(base, tmp), dst)
       require(ok, s"gdx commit: rename $tmp -> $fin failed")
       fin
     }
+    val published = (prev ++ finals).sorted
     val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      fs.create(GdxSource.manifestFor(path, newVersion), true), "UTF-8"))
+    try published.foreach(out.println) finally out.close()
+    // legacy mirror so pre-versioning readers of `_manifest` keep
+    // seeing the latest snapshot
+    val mirror = new java.io.PrintWriter(new java.io.OutputStreamWriter(
       fs.create(GdxSource.manifest(path), true), "UTF-8"))
-    try finals.sorted.foreach(out.println) finally out.close()
+    try published.foreach(mirror.println) finally mirror.close()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -38,11 +38,49 @@ class GdxSourceSpec extends SparkSuite {
       Set((1L, "a")), "only manifest-listed files may be read")
   }
 
-  test("re-commit replaces the published set (last manifest wins)") {
-    val dir = freshDir("replace")
+  test("append commits union with the previous snapshot") {
+    val dir = freshDir("append")
     write(dir, Seq((1L, "old")))
     write(dir, Seq((2L, "new")))
-    assert(read(dir).as[(Long, String)].collect().toSet === Set((2L, "new")))
+    assert(read(dir).as[(Long, String)].collect().toSet ===
+      Set((1L, "old"), (2L, "new")))
+  }
+
+  test("time travel: a pinned version is immune to later commits") {
+    val dir = freshDir("tt")
+    write(dir, Seq((1L, "a")))                       // v1
+    write(dir, Seq((2L, "b")))                       // v2 = v1 + delta
+    Seq((9L, "c")).toDF("k", "v")
+      .write.format("graft.sources.GdxSource")
+      .option("path", dir).mode("overwrite").save()  // v3 = fresh
+    val conf = graft.sources.GdxSource.driverConf()
+    assert(graft.sources.GdxSource.listVersions(dir, conf) === Seq(1, 2, 3))
+    def at(v: Int) = spark.read.format("graft.sources.GdxSource")
+      .option("path", dir).option("version", v.toString).load()
+      .as[(Long, String)].collect().toSet
+    assert(at(1) === Set((1L, "a")))
+    assert(at(2) === Set((1L, "a"), (2L, "b")))
+    assert(at(3) === Set((9L, "c")))
+    assert(read(dir).as[(Long, String)].collect().toSet === Set((9L, "c")),
+      "no version option = latest snapshot")
+    intercept[Exception] {
+      spark.read.format("graft.sources.GdxSource").option("path", dir)
+        .option("version", "7").load().collect()
+    }
+  }
+
+  test("vacuum drops old manifests and unreferenced data files only") {
+    val dir = freshDir("vac")
+    write(dir, Seq((1L, "a")))                       // v1
+    Seq((2L, "b")).toDF("k", "v")
+      .write.format("graft.sources.GdxSource")
+      .option("path", dir).mode("overwrite").save()  // v2 orphans v1's file
+    val conf = graft.sources.GdxSource.driverConf()
+    val deleted = graft.sources.GdxSource.vacuum(dir, conf, keepLast = 1)
+    assert(deleted >= 1, "v1's data file is unreferenced and must go")
+    assert(graft.sources.GdxSource.listVersions(dir, conf) === Seq(2))
+    assert(read(dir).as[(Long, String)].collect().toSet === Set((2L, "b")),
+      "the retained snapshot still reads intact after vacuum")
   }
 
   test("mode(overwrite) is accepted via SupportsTruncate") {
