@@ -536,6 +536,65 @@ object TextAnalysis extends QueryModule {
         .orderBy("pos")
     }),
 
+    // MODEL-BASED QUALITY FILTERING — the frozen-classifier gate every
+    // curation stack runs after the rule battery (t_filter_pipeline):
+    // a linear model over cheap text features, scored in-plan. Weights
+    // are FROZEN constants (training is offline; serving is this
+    // projection), so the whole scorer is one narrow codegen'd map —
+    // no UDF, no model server round-trip, shuffle-free. Determinism:
+    // the logit is rounded(9) BEFORE the sigmoid so both engines
+    // exponentiate the identical double; the final round(6) absorbs
+    // libm's last-ulp exp() drift (the t_bigram_lm discipline).
+    "t_quality_classifier" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stops = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+      val score = lit(1.0) / (lit(1.0) + exp(-col("z")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tokens"),
+          (stops.cast("double") / nTok).as("stop_ratio"),
+          ((length(col("text")).cast("long") - (nTok - 1)).cast("double") /
+            nTok).as("awl"))
+        .withColumn("z", round(
+          lit(-0.35) + lit(4.0) * col("stop_ratio") +
+            lit(0.01) * least(col("n_tokens"), lit(200L)).cast("double") -
+            lit(0.1) * col("awl"), 9))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(score, 6).as("score"),
+          (score >= 0.5).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // FILL-IN-THE-MIDDLE transform (Bavarian et al., 2022) — the
+    // prefix/middle/suffix document split infilling-capable model
+    // training runs over its corpus. Split points are pure md5
+    // functions of doc_id (the t_split_assign discipline): stable
+    // under re-runs, engines, partitionings — no RNG state anywhere.
+    // Narrow per-row string kernel, zero shuffles; spans are verified
+    // in-plan by re-concatenation (`reassembles`). Segment CONTENT
+    // rides as md5 (the t_chunk_overlap contract).
+    "t_fim_split" -> ((s, d) => {
+      def h(tag: String) = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(tag))), 1, 4), 16, 10)
+        .cast("long")
+      Tables.documents(s, d)
+        .withColumn("p1", h(":a") % length(col("text")))
+        .withColumn("p2", h(":b") % length(col("text")))
+        .withColumn("lo", least(col("p1"), col("p2")))
+        .withColumn("hi", greatest(col("p1"), col("p2")))
+        .withColumn("prefix", expr("substr(text, 1, lo)"))
+        .withColumn("middle", expr("substr(text, lo + 1, hi - lo)"))
+        .withColumn("suffix", expr("substr(text, hi + 1)"))
+        .select(col("doc_id"), col("lo"), col("hi"),
+          md5(col("prefix")).as("prefix_md5"),
+          md5(col("middle")).as("middle_md5"),
+          md5(col("suffix")).as("suffix_md5"),
+          (md5(concat(col("prefix"), col("middle"), col("suffix"))) ===
+            md5(col("text"))).as("reassembles"))
+        .orderBy("doc_id")
+    }),
+
     // FEATURE HASHING (the Weinberger hashing trick) — bag-of-words
     // folded into a FIXED 64-bucket vector: bucket and sign are pure
     // functions of md5(token), so the feature space never needs a
@@ -995,6 +1054,50 @@ object TextAnalysis extends QueryModule {
         |UNION ALL SELECT '2_stopword', n2 FROM a
         |UNION ALL SELECT '3_repetition', n3 FROM a
         |ORDER BY stage""".stripMargin,
+    // identical feature arithmetic and logit term order; z rounded(9)
+    // before the sigmoid on both sides
+    "t_quality_classifier" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> list_contains($stopList, x))) AS BIGINT) AS stops,
+         |    CAST(length(text) AS BIGINT) AS n_ch
+         |  FROM documents),
+         |g AS (SELECT doc_id, n_tokens,
+         |    CAST(stops AS DOUBLE) / n_tokens AS stop_ratio,
+         |    CAST(n_ch - (n_tokens - 1) AS DOUBLE) / n_tokens AS awl
+         |  FROM f),
+         |z AS (SELECT doc_id, n_tokens, stop_ratio,
+         |    round(-0.35 + 4.0 * stop_ratio +
+         |      0.01 * CAST(least(n_tokens, 200) AS DOUBLE) -
+         |      0.1 * awl, 9) AS z
+         |  FROM g)
+         |SELECT doc_id, n_tokens, round(stop_ratio, 6) AS stop_ratio,
+         |  round(1.0 / (1.0 + exp(-z)), 6) AS score,
+         |  1.0 / (1.0 + exp(-z)) >= 0.5 AS keep
+         |FROM z ORDER BY doc_id""".stripMargin,
+    // same md5-derived pivots and 1-based substr spans
+    "t_fim_split" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':a'), 1, 4)
+        |      AS INTEGER) % length(text) AS p1,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':b'), 1, 4)
+        |      AS INTEGER) % length(text) AS p2
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |    CAST(least(p1, p2) AS BIGINT) AS lo,
+        |    CAST(greatest(p1, p2) AS BIGINT) AS hi
+        |  FROM b),
+        |s AS (SELECT doc_id, lo, hi,
+        |    substr(text, 1, CAST(lo AS INTEGER)) AS prefix,
+        |    substr(text, CAST(lo + 1 AS INTEGER),
+        |      CAST(hi - lo AS INTEGER)) AS middle,
+        |    substr(text, CAST(hi + 1 AS INTEGER)) AS suffix, text
+        |  FROM c)
+        |SELECT doc_id, lo, hi, md5(prefix) AS prefix_md5,
+        |  md5(middle) AS middle_md5, md5(suffix) AS suffix_md5,
+        |  md5(prefix || middle || suffix) = md5(text) AS reassembles
+        |FROM s ORDER BY doc_id""".stripMargin,
     // same md5-derived bucket/sign arithmetic; vec re-serialized with
     // the same "bucket:value" text contract
     "t_feature_hash" ->
