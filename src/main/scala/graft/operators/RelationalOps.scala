@@ -1168,6 +1168,82 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // A/B EXPERIMENT READOUT — Welch's unequal-variance t-test between
+    // two arms' value distributions, from ONE conditional-moment
+    // aggregate pass (n, Σv, Σv² per arm — the a9 discipline: exact
+    // decimal sums make every moment engine-identical, the final double
+    // chain is written in one canonical order and rounded). No
+    // per-arm scans, no collect; at 100 TB the test costs exactly one
+    // map-side-combinable aggregate.
+    "a26_ab_ttest" -> ((s, d) => {
+      val isA = col("event_type") === "click"
+      val v = col("value")
+      val m = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .agg(
+          sum(when(isA, 1L).otherwise(0L)).as("na"),
+          sum(when(!isA, 1L).otherwise(0L)).as("nb"),
+          sum(when(isA, v).cast(dec(4))).cast("double").as("sa"),
+          sum(when(!isA, v).cast(dec(4))).cast("double").as("sb"),
+          sum(when(isA, v * v).cast(dec(4))).cast("double").as("qa"),
+          sum(when(!isA, v * v).cast(dec(4))).cast("double").as("qb"))
+      val ma = col("sa") / col("na"); val mb = col("sb") / col("nb")
+      val ra = ((col("qa") - col("sa") * col("sa") / col("na")) /
+        (col("na") - 1)) / col("na")
+      val rb = ((col("qb") - col("sb") * col("sb") / col("nb")) /
+        (col("nb") - 1)) / col("nb")
+      m.select(col("na"), col("nb"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round((ma - mb) / sqrt(ra + rb), 6).as("t_stat"),
+        round((ra + rb) * (ra + rb) /
+          (ra * ra / (col("na") - 1) + rb * rb / (col("nb") - 1)), 6)
+          .as("df"))
+    }),
+
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV drift statistic — the continuous
+    // counterpart to t_psi_drift's binned PSI and a24's categorical
+    // chi-square: max ECDF gap between the click and purchase value
+    // distributions, EXACT (no binning). The global cumulative counts
+    // that ECDFs need would naively be a one-partition window over
+    // every distinct value; instead the distinct-value frame is
+    // range-partitioned and cumulated per partition with broadcast
+    // partition offsets (the t_pack_sequences distributed-prefix-sum
+    // shape; checkpointed once so spark_partition_id stays consistent
+    // between the offsets aggregate and the main branch). The argmax
+    // row is a deterministic TakeOrdered(1) on (gap DESC, value ASC).
+    "a25_ks_drift" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val counts = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("value")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("na"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("nb"))
+        .repartitionByRange(col("value"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val totals = counts.agg(sum("na").as("ta"), sum("nb").as("tb"))
+      val wOff = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+      val offsets = counts.groupBy("pid")
+        .agg(sum("na").as("pna"), sum("nb").as("pnb"))
+        .withColumn("ona", coalesce(sum("pna").over(wOff), lit(0L)))
+        .withColumn("onb", coalesce(sum("pnb").over(wOff), lit(0L)))
+        .select("pid", "ona", "onb")
+      val wLoc = W.partitionBy("pid").orderBy("value")
+        .rowsBetween(W.unboundedPreceding, 0)
+      counts.join(broadcast(offsets), "pid")
+        .withColumn("cna", sum("na").over(wLoc) + col("ona"))
+        .withColumn("cnb", sum("nb").over(wLoc) + col("onb"))
+        .crossJoin(broadcast(totals))
+        .withColumn("dd", abs(col("cna").cast("double") / col("ta") -
+          col("cnb").cast("double") / col("tb")))
+        .orderBy(col("dd").desc, col("value").asc)
+        .limit(1)
+        .select(round(col("dd"), 6).as("ks_d"), col("value").as("at_value"),
+          col("ta").as("n_a"), col("tb").as("n_b"))
+    }),
+
     // E — VARIANT ingestion (Spark 4 semi-structured type): props parsed
     // once to VARIANT, typed extraction at query time — schema-on-read
     // without a fixed struct, the open-schema path for event payloads.
@@ -1537,6 +1613,56 @@ object RelationalOps extends QueryModule {
          |  max(greatest(least(l_extendedprice, hi), lo)) AS max_w
          |FROM lineitem, b GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+    // same conditional decimal moments; the double chain mirrors the
+    // Spark expression tree term for term
+    "a26_ab_ttest" ->
+      """WITH m AS (SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb,
+        |    CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS sa,
+        |    CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(CASE WHEN event_type = 'click'
+        |      THEN value * value END AS DECIMAL(18,4))) AS DOUBLE) AS qa,
+        |    CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+        |      THEN value * value END AS DECIMAL(18,4))) AS DOUBLE) AS qb
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |x AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+        |    ((qa - sa * sa / na) / (na - 1)) / na AS ra,
+        |    ((qb - sb * sb / nb) / (nb - 1)) / nb AS rb
+        |  FROM m)
+        |SELECT na, nb, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round((ma - mb) / sqrt(ra + rb), 6) AS t_stat,
+        |  round((ra + rb) * (ra + rb) /
+        |    (ra * ra / (na - 1) + rb * rb / (nb - 1)), 6) AS df
+        |FROM x""".stripMargin,
+    // ECDFs over the distinct-value axis; the argmax row is unique by
+    // (gap DESC, value ASC)
+    "a25_ks_drift" ->
+      """WITH x AS (SELECT value,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY value),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |    CAST(sum(nb) AS BIGINT) AS tb FROM x),
+        |c AS (SELECT value,
+        |    sum(na) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cna,
+        |    sum(nb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cnb
+        |  FROM x),
+        |d AS (SELECT value,
+        |    abs(CAST(cna AS DOUBLE) / ta - CAST(cnb AS DOUBLE) / tb) AS dd
+        |  FROM c, t)
+        |SELECT round(dd, 6) AS ks_d, value AS at_value,
+        |  (SELECT ta FROM t) AS n_a, (SELECT tb FROM t) AS n_b
+        |FROM d ORDER BY dd DESC, value ASC LIMIT 1""".stripMargin,
     "e_variant_agg" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)

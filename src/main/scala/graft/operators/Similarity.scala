@@ -620,6 +620,42 @@ object Similarity extends QueryModule {
         .orderBy("q_id", "rk")
     }),
 
+    // MATRYOSHKA PREFIX-DIMENSION EVAL — how much ranking quality
+    // survives truncating embeddings to their first 16 of 64 dims (the
+    // MRL serving trade: 4× less memory/bandwidth per vector if the
+    // prefix ranks nearly as well). Both rankings come from ONE
+    // broadcast-probe × corpus-stream pass — the full and sliced
+    // cosines are two columns of the same row, two windows share the
+    // q_id exchange; overlap@3 + top-1 agreement fall out of one
+    // aggregate. Rounded-before-rank cosines + id tie-breaks keep both
+    // rankings engine-exact. At corpus scale this is the evaluation a
+    // team runs BEFORE building the truncated-index serving tier.
+    "sim_prefix_dim_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val wF = Window.partitionBy("q_id")
+        .orderBy(col("cos_full").desc, col("c_id").asc)
+      val wP = Window.partitionBy("q_id")
+        .orderBy(col("cos_pre").desc, col("c_id").asc)
+      broadcast(q).join(e.select(col("vec_id").as("c_id"), col("emb")),
+          col("c_id") =!= col("q_id"))
+        .withColumn("cos_full", round(cosine(col("q_emb"), col("emb")), 6))
+        .withColumn("cos_pre", round(cosine(
+          slice(col("q_emb"), 1, 16), slice(col("emb"), 1, 16)), 6))
+        .withColumn("rk_full", row_number().over(wF))
+        .withColumn("rk_pre", row_number().over(wP))
+        .groupBy("q_id")
+        .agg(sum(when(col("rk_full") <= 3 && col("rk_pre") <= 3, 1L)
+            .otherwise(0L)).as("overlap3"),
+          max(when(col("rk_full") === 1, col("c_id"))).as("top1_full"),
+          max(when(col("rk_pre") === 1, col("c_id"))).as("top1_pre"))
+        .withColumn("recall3",
+          round(col("overlap3").cast("double") / 3, 6))
+        .orderBy("q_id")
+    }),
+
     // exact brute-force cosine top-5 for probes vec_id < 3
     "sim_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -903,6 +939,34 @@ object Similarity extends QueryModule {
         |    (PARTITION BY q_id ORDER BY ip DESC, c_id ASC) AS rk FROM s)
         |SELECT q_id, c_id, ip, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // same one-pass double ranking; DuckDB slices the lists [1:16]
+    "sim_prefix_dim_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, e.vec_id AS c_id,
+        |    round(list_inner_product(q_emb, emb) /
+        |      (sqrt(list_inner_product(q_emb, q_emb)) *
+        |       sqrt(list_inner_product(emb, emb))), 6) AS cos_full,
+        |    round(list_inner_product(q_emb[1:16], emb[1:16]) /
+        |      (sqrt(list_inner_product(q_emb[1:16], q_emb[1:16])) *
+        |       sqrt(list_inner_product(emb[1:16], emb[1:16]))), 6)
+        |      AS cos_pre
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos_full DESC, c_id ASC) AS rk_full,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos_pre DESC, c_id ASC) AS rk_pre
+        |  FROM s)
+        |SELECT q_id,
+        |  CAST(sum(CASE WHEN rk_full <= 3 AND rk_pre <= 3 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS overlap3,
+        |  max(CASE WHEN rk_full = 1 THEN c_id END) AS top1_full,
+        |  max(CASE WHEN rk_pre = 1 THEN c_id END) AS top1_pre,
+        |  round(CAST(sum(CASE WHEN rk_full <= 3 AND rk_pre <= 3 THEN 1
+        |    ELSE 0 END) AS DOUBLE) / 3, 6) AS recall3
+        |FROM r GROUP BY q_id ORDER BY q_id""".stripMargin,
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings),
