@@ -221,15 +221,18 @@ object WindowOps extends QueryModule {
       val daily = Tables.events(s, d)
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(graft.Sql.dsum(col("value"), 4).as("x"))
-      val totals = daily.groupBy("day")
-        .agg(graft.Sql.dsum(col("x"), 4).as("y"))
       val w = Window.partitionBy("event_type").orderBy("day")
         .rowsBetween(-6, 0)
       def wsum(c: Column) =
         sum(c.cast(DecimalType(30, 2))).over(w).cast("double")
       val vx = col("n") * col("sxx") - col("sx") * col("sx")
       val vy = col("n") * col("syy") - col("sy") * col("sy")
-      daily.join(broadcast(totals), "day")
+      daily
+        // day totals as an unframed window over the SAME daily frame —
+        // one scan of events total; a groupBy-totals + join-back would
+        // re-expand the lineage into a second full scan
+        .withColumn("y", sum(col("x").cast(graft.Sql.dec(4)))
+          .over(Window.partitionBy("day")).cast("double"))
         .withColumn("n", count(lit(1)).over(w).cast("double"))
         .withColumn("sx", wsum(col("x")))
         .withColumn("sy", wsum(col("y")))

@@ -26,7 +26,11 @@ w12_interval_merge a18_mad_outliers t_curate_e2e a19_corr_matrix \
 sim_ivf_ann_bucketed s13_text_scan \
 join_dpp_pruned dq_audit t_inverted_index t_bm25 t_lm_bucket_sample \
 sim_mips s15_gdx_roundtrip join_null_safe c10_join_ivm e_funnel_windowed \
-w16_rolling_anomaly a23_spearman sim_class_separation dq_skew_report"
+w16_rolling_anomaly a23_spearman sim_class_separation dq_skew_report \
+w17_rolling_median w18_rolling_corr e_attribution t_feature_hash \
+s17_xml_roundtrip s18_dynamic_partition_overwrite s19_gdx_time_travel \
+t_quality_classifier t_fim_split a25_ks_drift a26_ab_ttest \
+sim_prefix_dim_eval"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
