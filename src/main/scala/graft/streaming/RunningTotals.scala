@@ -71,6 +71,56 @@ class SessionTimeoutProcessor(gapMs: Long)
   }
 }
 
+/** CEP-style pattern detection on ListState — for every purchase, how
+  * many of the SAME user's clicks landed in the preceding window (the
+  * click-burst / fraud-velocity primitive). The per-key ListState holds
+  * only the clicks still inside the window behind the newest event seen
+  * for that key — state is O(clicks per key per window), never O(stream).
+  *
+  * Determinism: iterator order inside a micro-batch is arbitrary, so the
+  * batch is sorted (ts, purchases-after-clicks, id) before replay —
+  * same-timestamp clicks count toward a same-timestamp purchase, the
+  * e_attribution tie convention. Clicks arriving in earlier batches are
+  * in state and count across batches (spec-proved); this runs
+  * TimeMode.None with self-GC off the key's max seen event time — the
+  * long-running deployment swaps in TimeMode.EventTime + watermark GC,
+  * the SessionTimeoutProcessor pattern. */
+case class BurstHit(user_id: Long, purchase_id: Long,
+                    n_recent_clicks: Long)
+
+class ClickBurstProcessor(windowMs: Long)
+    extends StatefulProcessor[Long, (Long, Long, String, Long), BurstHit] {
+
+  @transient private var clicks: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    clicks = getHandle.getListState[Long]("clicks", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+                               rows: Iterator[(Long, Long, String, Long)],
+                               timers: TimerValues): Iterator[BurstHit] = {
+    val evs = rows.toArray.sortBy(r => (r._2, r._3 == "purchase", r._4))
+    var recent = clicks.get().toArray
+    val hits = Array.newBuilder[BurstHit]
+    var maxTs = Long.MinValue
+    evs.foreach { case (_, ts, typ, id) =>
+      maxTs = math.max(maxTs, ts)
+      if (typ == "click") recent :+= ts
+      else if (typ == "purchase")
+        hits += BurstHit(key, id,
+          recent.count(c => c <= ts && c > ts - windowMs))
+    }
+    // GC: only clicks that can still fall in a future purchase's window
+    // survive (events per key are near-monotone; the event-time variant
+    // GCs on the watermark instead). The store rejects empty list
+    // writes — an emptied window clears the state row instead.
+    val kept = recent.filter(_ > maxTs - windowMs)
+    if (kept.isEmpty) clicks.clear() else clicks.put(kept)
+    hits.result().iterator
+  }
+}
+
 class RunningTotalProcessor
     extends StatefulProcessor[Long, (Long, Long), UserTotal] {
 

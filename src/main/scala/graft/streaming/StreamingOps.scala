@@ -215,6 +215,31 @@ object StreamingOps extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // PATTERN DETECTION over ListState (transformWithState) — per
+    // purchase, the same user's click count in the trailing 30 minutes
+    // (the CEP click-burst primitive; see ClickBurstProcessor for the
+    // state/ordering/GC contract). On the finite replay the output
+    // equals the batch correlated count — the oracle.
+    "stream_pattern_burst" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val ev = eventsStream(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), expr("unix_millis(ts)").as("ts_ms"),
+          col("event_type"), col("event_id"))
+        .as[(Long, Long, String, Long)]
+      val out = ev.groupByKey(_._1)
+        .transformWithState(new ClickBurstProcessor(30L * 60 * 1000),
+          TimeMode.None(), OutputMode.Update())
+      runToMemory(s, out.toDF(), "graft_stream_burst", mode = "update",
+          extraConf = Map(
+            "spark.sql.streaming.stateStore.providerClass" ->
+              ("org.apache.spark.sql.execution.streaming." +
+                "state.RocksDBStateStoreProvider")))
+        .select(col("user_id"), col("purchase_id"), col("n_recent_clicks"))
+        .orderBy("purchase_id")
+    }),
+
     // Stream-stream LEFT OUTER interval join — the hard part of outer
     // streaming joins is the NULL side: an unmatched purchase may only
     // emit its NULL row once the watermark proves no matching click can
@@ -365,6 +390,18 @@ object StreamingOps extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    // correlated trailing-window count; (pts − 30 min, pts] with
+    // same-instant clicks counting (the processor's sort contract)
+    "stream_pattern_burst" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |  CAST((SELECT count(*) FROM events c
+        |    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |      AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |      AND CAST(c.ts AS TIMESTAMP) >
+        |        CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE)
+        |    AS BIGINT) AS n_recent_clicks
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
     "stream_tws_totals" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
         |  round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)

@@ -31,6 +31,44 @@ class StreamingSessionSpec extends SparkSuite {
       Session(1, 4000 * s, 4010 * s, 2)))
   }
 
+  test("ListState pattern detector counts clicks across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.{BurstHit, ClickBurstProcessor}
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val min = 60L * 1000
+      // (user_id, ts_ms, event_type, event_id)
+      val input = MemoryStream[(Long, Long, String, Long)]
+      val out = input.toDS().groupByKey(_._1)
+        .transformWithState(new ClickBurstProcessor(windowMs = 30 * min),
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().writeStream.format("memory").queryName("burst_out")
+        .outputMode("update").start()
+      // batch 1: two in-window clicks, one stale (35 min before the
+      // purchase), for user 1; a lone click for user 2
+      input.addData((1L, 0L, "click", 1L), (1L, 25 * min, "click", 2L),
+        (1L, 30 * min, "click", 3L), (2L, 0L, "click", 4L))
+      q.processAllAvailable()
+      // batch 2: the purchase counts batch-1 clicks FROM STATE; the
+      // t=0 click is outside (35−30) and must not count; a same-batch
+      // same-instant click counts too
+      input.addData((1L, 35 * min, "purchase", 5L),
+        (1L, 35 * min, "click", 6L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("burst_out").as[BurstHit].collect().toSet
+      assert(rows === Set(BurstHit(1L, 5L, 3L)), rows.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState accumulates across micro-batches (RocksDB)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
