@@ -121,6 +121,44 @@ class ClickBurstProcessor(windowMs: Long)
   }
 }
 
+/** Per-user modal event type on MapState — completes the state-type
+  * matrix (ValueState: RunningTotalProcessor, ListState:
+  * ClickBurstProcessor). The map holds one counter per (user, type);
+  * each batch bumps the touched counters POINTWISE (updateValue per
+  * key — never a read-modify-write of the whole map, which is what
+  * keeps a million-type key affordable in RocksDB) and re-emits the
+  * user's current leader. Integer counts commute, so batch-internal
+  * iterator order is irrelevant; ties break to the lexicographically
+  * smallest type for engine-portable determinism. */
+case class TypeLeader(user_id: Long, top_type: String, n_top: Long,
+                      n_events: Long)
+
+class TypeLeaderProcessor
+    extends StatefulProcessor[Long, (Long, String), TypeLeader] {
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                               timers: TimerValues): Iterator[TypeLeader] = {
+    rows.foreach { case (_, typ) =>
+      val cur = if (counts.containsKey(typ)) counts.getValue(typ) else 0L
+      counts.updateValue(typ, cur + 1L)
+    }
+    var total = 0L
+    var best: (String, Long) = (null, 0L)
+    counts.iterator().foreach { case (typ, n) =>
+      total += n
+      if (n > best._2 || (n == best._2 && (best._1 == null ||
+        typ < best._1))) best = (typ, n)
+    }
+    Iterator.single(TypeLeader(key, best._1, best._2, total))
+  }
+}
+
 class RunningTotalProcessor
     extends StatefulProcessor[Long, (Long, Long), UserTotal] {
 

@@ -215,6 +215,29 @@ object StreamingOps extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // MODAL EVENT TYPE over MapState (transformWithState) — per-user
+    // per-type counters bumped pointwise; the user's leader re-emits
+    // each batch (see TypeLeaderProcessor). Finite replay ⇒ final
+    // leaders equal the batch mode-with-tiebreak — the oracle.
+    "stream_type_leader" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val ev = eventsStream(s, d)
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)]
+      val out = ev.groupByKey(_._1)
+        .transformWithState(new TypeLeaderProcessor,
+          TimeMode.None(), OutputMode.Update())
+      runToMemory(s, out.toDF(), "graft_stream_leader", mode = "update",
+          extraConf = Map(
+            "spark.sql.streaming.stateStore.providerClass" ->
+              ("org.apache.spark.sql.execution.streaming." +
+                "state.RocksDBStateStoreProvider")))
+        .select(col("user_id"), col("top_type"), col("n_top"),
+          col("n_events"))
+        .orderBy("user_id")
+    }),
+
     // PATTERN DETECTION over ListState (transformWithState) — per
     // purchase, the same user's click count in the trailing 30 minutes
     // (the CEP click-burst primitive; see ClickBurstProcessor for the
@@ -390,6 +413,18 @@ object StreamingOps extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    // batch mode-with-tiebreak: max count, ties to the smallest type
+    "stream_type_leader" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n,
+        |    sum(n) OVER (PARTITION BY user_id) AS n_events,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type ASC) AS rk
+        |  FROM c)
+        |SELECT user_id, event_type AS top_type, n AS n_top,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
     // correlated trailing-window count; (pts − 30 min, pts] with
     // same-instant clicks counting (the processor's sort contract)
     "stream_pattern_burst" ->
