@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Sql, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -353,6 +353,46 @@ object ExtendedOps extends QueryModule {
         .orderBy("day")
     }),
 
+    // RFM SEGMENTATION — recency/frequency/monetary quintile scores per
+    // customer, the classic CRM cut. One purchase aggregate builds the
+    // user frame; the three quintile boundary sets come from
+    // Quantiles.exactQuantiles' distributed selection (the a13
+    // discipline — NEVER a global ntile window, which would funnel a
+    // billion-user frame through one partition) and broadcast back as
+    // literals, so scoring is a narrow map. Boundary ties take the
+    // lower bucket (strict >) on both engines.
+    "e_rfm_segmentation" -> ((s, d) => {
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+      val maxd = p.agg(max(date_trunc("day", col("ts"))).as("max_day"))
+      val users = p.groupBy("user_id")
+        .agg(max(date_trunc("day", col("ts"))).as("last_day"),
+          count(lit(1)).as("frequency"),
+          graft.Sql.dsum(col("value"), 4).as("monetary"))
+        .crossJoin(broadcast(maxd))
+        .withColumn("recency_days",
+          datediff(col("max_day"), col("last_day")).cast("long"))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"))
+        .localCheckpoint() // three selection jobs + the output read it
+      val probs = Seq(0.2, 0.4, 0.6, 0.8)
+      val rb = Quantiles.exactQuantilesRounded6(users, "recency_days", probs)
+      val fb = Quantiles.exactQuantilesRounded6(users, "frequency", probs)
+      val mb = Quantiles.exactQuantilesRounded6(users, "monetary", probs)
+      def sc(c: Column, bs: Seq[Double]) =
+        bs.map(b => when(c.cast("double") > b, 1).otherwise(0))
+          .reduce(_ + _) + lit(1)
+      users
+        .withColumn("r_score", sc(col("recency_days"), rb).cast("long"))
+        .withColumn("f_score", sc(col("frequency"), fb).cast("long"))
+        .withColumn("m_score", sc(col("monetary"), mb).cast("long"))
+        .withColumn("segment", concat_ws("-", col("r_score"),
+          col("f_score"), col("m_score")))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          round(col("monetary"), 6).as("monetary"), col("r_score"),
+          col("f_score"), col("m_score"), col("segment"))
+        .orderBy("user_id")
+    }),
+
     // LAST-TOUCH ATTRIBUTION — every purchase credited to the user's
     // most recent click/view (the marketing channel-credit primitive;
     // e_funnel_windowed answers "did they convert", this answers "what
@@ -698,6 +738,61 @@ object ExtendedOps extends QueryModule {
         |  round(CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS conv_rate
         |FROM m GROUP BY 1 ORDER BY day""".stripMargin,
+    // same quintile boundaries (rounded 6) and strict-> bucket ties
+    "e_rfm_segmentation" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS day, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT user_id, max(day) AS last_day, count(*) AS frequency,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |  FROM p GROUP BY 1),
+        |mx AS (SELECT max(last_day) AS max_day FROM u),
+        |r AS (SELECT user_id,
+        |    CAST(date_diff('day', last_day, max_day) AS BIGINT)
+        |      AS recency_days, frequency, monetary
+        |  FROM u, mx),
+        |b AS (SELECT
+        |    round(quantile_cont(CAST(recency_days AS DOUBLE), 0.2), 6) AS r1,
+        |    round(quantile_cont(CAST(recency_days AS DOUBLE), 0.4), 6) AS r2,
+        |    round(quantile_cont(CAST(recency_days AS DOUBLE), 0.6), 6) AS r3,
+        |    round(quantile_cont(CAST(recency_days AS DOUBLE), 0.8), 6) AS r4,
+        |    round(quantile_cont(CAST(frequency AS DOUBLE), 0.2), 6) AS f1,
+        |    round(quantile_cont(CAST(frequency AS DOUBLE), 0.4), 6) AS f2,
+        |    round(quantile_cont(CAST(frequency AS DOUBLE), 0.6), 6) AS f3,
+        |    round(quantile_cont(CAST(frequency AS DOUBLE), 0.8), 6) AS f4,
+        |    round(quantile_cont(monetary, 0.2), 6) AS m1,
+        |    round(quantile_cont(monetary, 0.4), 6) AS m2,
+        |    round(quantile_cont(monetary, 0.6), 6) AS m3,
+        |    round(quantile_cont(monetary, 0.8), 6) AS m4
+        |  FROM r),
+        |s AS (SELECT user_id, recency_days, frequency, monetary,
+        |    CAST((CASE WHEN CAST(recency_days AS DOUBLE) > r1 THEN 1
+        |        ELSE 0 END) +
+        |      (CASE WHEN CAST(recency_days AS DOUBLE) > r2 THEN 1
+        |        ELSE 0 END) +
+        |      (CASE WHEN CAST(recency_days AS DOUBLE) > r3 THEN 1
+        |        ELSE 0 END) +
+        |      (CASE WHEN CAST(recency_days AS DOUBLE) > r4 THEN 1
+        |        ELSE 0 END) + 1 AS BIGINT) AS r_score,
+        |    CAST((CASE WHEN CAST(frequency AS DOUBLE) > f1 THEN 1
+        |        ELSE 0 END) +
+        |      (CASE WHEN CAST(frequency AS DOUBLE) > f2 THEN 1
+        |        ELSE 0 END) +
+        |      (CASE WHEN CAST(frequency AS DOUBLE) > f3 THEN 1
+        |        ELSE 0 END) +
+        |      (CASE WHEN CAST(frequency AS DOUBLE) > f4 THEN 1
+        |        ELSE 0 END) + 1 AS BIGINT) AS f_score,
+        |    CAST((CASE WHEN monetary > m1 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN monetary > m2 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN monetary > m3 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN monetary > m4 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |      AS m_score
+        |  FROM r, b)
+        |SELECT user_id, recency_days, frequency,
+        |  round(monetary, 6) AS monetary, r_score, f_score, m_score,
+        |  r_score || '-' || f_score || '-' || m_score AS segment
+        |FROM s ORDER BY user_id""".stripMargin,
     // explicit form: latest preceding touch per purchase by
     // (ts, event_id) DESC, credited only within the 1-hour window
     "e_attribution" ->

@@ -200,6 +200,26 @@ object Similarity extends QueryModule {
     }
   }
 
+  /** Assignment with a FROZEN quantizer — the incremental index
+    * maintenance path: a new embedding batch joins the serving layout
+    * through ONE codegen map against the EXISTING centroids (append the
+    * result `partitionBy(cluster)` into the layout directory); nothing
+    * re-trains and history is never re-scanned, so nightly index upkeep
+    * costs O(batch), like c5/c9/c10's incremental-maintenance
+    * contract. Assignments are identical to what a full rebuild under
+    * the same centroids would produce (same expression, same
+    * tie-break), so probes over the extended layout stay exact —
+    * SimilaritySpec proves both halves. Re-clustering (quantizer drift
+    * after the corpus shifts) is a deliberate offline event: new
+    * centroids mean a NEW layout directory, swapped in atomically via
+    * the TableSwap protocol. */
+  def ivfAssignFrozen(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.orderBy("cluster").collect()
+      .map(_.getSeq[Double](1).toArray)
+    e.withColumn("cluster",
+      element_at(pqEncode(col("emb"), Array(cents)), 1))
+  }
+
   /** ANN probes against a pre-built IVF layout: rank the persisted
     * centroids per probe, collect the wanted cluster ids into LITERAL
     * partition filters (the layout scan touches ≤ |probes|·nprobe of
