@@ -1168,6 +1168,67 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // BENFORD FIRST-DIGIT AUDIT — observed leading-digit shares of the
+    // transaction amounts against Benford's law (the forensic
+    // fabricated-data screen). Amounts go to EXACT integer cents first
+    // (doubles format differently across engines; integers don't), the
+    // digit is the first character of the integer, and the nine
+    // expected log10(1+1/d) shares are pinned as shared rounded
+    // literals — no libm in the plan. One conditional-count pass.
+    "a27_benford" -> ((s, d) => {
+      val benford = Seq(0.301029996, 0.176091259, 0.124938737, 0.096910013,
+        0.079181246, 0.066946790, 0.057991947, 0.051152522, 0.045757491)
+      val expected = benford.zipWithIndex
+        .map { case (p, i) => (i + 1).toString -> p }
+        .foldLeft(lit(0.0)) { case (acc, (dig, p)) =>
+          when(col("digit") === dig, p).otherwise(acc) }
+      Tables.events(s, d)
+        .select(round(col("value") * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .withColumn("digit", substring(col("cents").cast("string"), 1, 1))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum("n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("share", round(col("n").cast("double") / col("total"), 6))
+        .withColumn("benford_p", expected)
+        .select(col("digit"), col("n"), col("share"), col("benford_p"),
+          round(col("n").cast("double") / col("total") - col("benford_p"), 6)
+            .as("excess"))
+        .orderBy("digit")
+    }),
+
+    // GINI COEFFICIENT of customer spend concentration — the
+    // inequality readout ("do 20% of users drive 80% of revenue").
+    // Needs every user's rank in the monetary ordering: ranks come from
+    // a distributed range sort + zipWithIndex (the t_vocab shape —
+    // never a one-partition rank window over the user frame), and the
+    // rank-weighted sum is decimal-cast so its accumulation order is
+    // free. Single-row output: G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx).
+    "a28_gini" -> ((s, d) => {
+      val sess = s
+      import sess.implicits._
+      val users = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(graft.Sql.dsum(col("value"), 4).as("monetary"))
+      val ranked = users.select(col("user_id"), col("monetary"))
+        .as[(Long, Double)]
+        .rdd.sortBy(r => (r._2, r._1))
+        .zipWithIndex()
+        .map { case ((_, x), i) => (x, i + 1L) }
+        .toDF("x", "rank")
+      ranked.agg(
+          count(lit(1)).as("n_users"),
+          sum(col("x").cast(graft.Sql.dec(4))).cast("double").as("sx"),
+          sum((col("x") * col("rank")).cast(graft.Sql.dec(2)))
+            .cast("double").as("sxi"))
+        .select(col("n_users"),
+          round(col("sx"), 6).as("total_spend"),
+          round((lit(2.0) * col("sxi") - (col("n_users") + 1) * col("sx")) /
+            (col("n_users") * col("sx")), 6).as("gini"))
+    }),
+
     // A/B EXPERIMENT READOUT — Welch's unequal-variance t-test between
     // two arms' value distributions, from ONE conditional-moment
     // aggregate pass (n, Σv, Σv² per arm — the a9 discipline: exact
@@ -1613,6 +1674,42 @@ object RelationalOps extends QueryModule {
          |  max(greatest(least(l_extendedprice, hi), lo)) AS max_w
          |FROM lineitem, b GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+    // same integer-cents digit extraction and pinned Benford literals
+    "a27_benford" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |dg AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit
+        |  FROM c WHERE cents > 0),
+        |g AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
+        |t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total
+        |  FROM g),
+        |b AS (SELECT * FROM (VALUES ('1', 0.301029996), ('2', 0.176091259),
+        |    ('3', 0.124938737), ('4', 0.096910013), ('5', 0.079181246),
+        |    ('6', 0.066946790), ('7', 0.057991947), ('8', 0.051152522),
+        |    ('9', 0.045757491)) AS v(digit, benford_p))
+        |SELECT t.digit, n, round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |  CAST(benford_p AS DOUBLE) AS benford_p,
+        |  round(CAST(n AS DOUBLE) / total - CAST(benford_p AS DOUBLE), 6)
+        |    AS excess
+        |FROM t JOIN b ON t.digit = b.digit
+        |ORDER BY t.digit""".stripMargin,
+    // same ascending (monetary, user_id) ranks and decimal-cast sums
+    "a28_gini" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT monetary AS x,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY monetary, user_id) AS BIGINT)
+        |      AS rank
+        |  FROM u),
+        |m AS (SELECT count(*) AS n_users,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x * rank AS DECIMAL(18,2))) AS DOUBLE) AS sxi
+        |  FROM r)
+        |SELECT n_users, round(sx, 6) AS total_spend,
+        |  round((2.0 * sxi - (n_users + 1) * sx) / (n_users * sx), 6)
+        |    AS gini
+        |FROM m""".stripMargin,
     // same conditional decimal moments; the double chain mirrors the
     // Spark expression tree term for term
     "a26_ab_ttest" ->

@@ -205,6 +205,35 @@ object WindowOps extends QueryModule {
     // values per row, so collecting it in-row and selecting the middle
     // is O(frame), not a per-group value map; interpolation for even
     // frames matches quantile_cont(0.5) exactly.
+    // DAY-OF-WEEK SEASONAL INDEX — each metric's weekday profile: mean
+    // daily volume per (metric, weekday) over its all-days mean (index
+    // 1.0 = no seasonality; the capacity-planning / anomaly-baseline
+    // readout that w16's rolling z-score implicitly assumes away). Two
+    // exchanges on day-grain frames (daily agg, then the 7-row dow
+    // frame); the all-days mean rides an unframed window over the SAME
+    // dow frame — no second scan (the w18 discipline). Exact decimal
+    // sums end to end; Spark's dayofweek (1=Sun) mirrored as
+    // DuckDB dayofweek()+1.
+    "w20_seasonal_index" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(graft.Sql.dsum(col("value"), 4).as("v"))
+      val wT = Window.partitionBy("event_type")
+      daily
+        .groupBy(col("event_type"), dayofweek(col("day")).cast("long")
+          .as("dow"))
+        .agg(sum(col("v").cast(graft.Sql.dec(4))).cast("double").as("sv"),
+          count(lit(1)).as("n_days"))
+        .withColumn("tot",
+          sum(col("sv").cast(graft.Sql.dec(4))).over(wT).cast("double"))
+        .withColumn("ntot", sum(col("n_days")).over(wT))
+        .select(col("event_type"), col("dow"), col("n_days"),
+          round(col("sv") / col("n_days"), 6).as("dow_mean"),
+          round((col("sv") / col("n_days")) /
+            (col("tot") / col("ntot")), 6).as("seasonal_index"))
+        .orderBy("event_type", "dow")
+    }),
+
     // ROLLING CORRELATION — trailing-7-day Pearson correlation of each
     // metric's daily series against total daily traffic (the "which
     // metric tracks overall load" monitoring diagnostic; a decorrelating
@@ -397,6 +426,27 @@ object WindowOps extends QueryModule {
     "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
 
   def oracles: Map[String, String] = Map(
+    // same two-level decimal means; dow aligned to Spark's 1=Sunday
+    "w20_seasonal_index" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS day, event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT event_type,
+        |    CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+        |    count(*) AS n_days
+        |  FROM daily GROUP BY 1, 2),
+        |t AS (SELECT event_type, dow, n_days, sv,
+        |    CAST(SUM(CAST(sv AS DECIMAL(18,4))) OVER
+        |      (PARTITION BY event_type) AS DOUBLE) AS tot,
+        |    sum(n_days) OVER (PARTITION BY event_type) AS ntot
+        |  FROM dw)
+        |SELECT event_type, dow, n_days,
+        |  round(sv / n_days, 6) AS dow_mean,
+        |  round((sv / n_days) / (tot / ntot), 6) AS seasonal_index
+        |FROM t ORDER BY event_type, dow""".stripMargin,
     // same six DECIMAL(30,2) moments over the same 7-row frame; the
     // final double chain is written in the identical operation order
     "w18_rolling_corr" ->
