@@ -63,6 +63,20 @@ object ExtendedOps extends QueryModule {
       early.intersectAll(late).orderBy("o_custkey")
     }),
 
+    // EXCEPT ALL (bag semantics — multiplicity = max(0, left − right);
+    // the counted anti-aggregate sibling of set_intersect_all, closing
+    // the set-operator family: union/intersect/except × distinct/all)
+    "set_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val early = o.filter(col("o_orderdate") <
+          to_timestamp(lit("1998-01-01 00:00:00")))
+        .select("o_custkey")
+      val late = o.filter(col("o_orderdate") >=
+          to_timestamp(lit("1998-01-01 00:00:00")))
+        .select("o_custkey")
+      early.exceptAll(late).orderBy("o_custkey")
+    }),
+
     // SELECT DISTINCT on a composite key
     "distinct_pairs" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -579,6 +593,13 @@ object ExtendedOps extends QueryModule {
       """SELECT o_custkey FROM orders
         |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |EXCEPT
+        |SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT o_custkey FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |EXCEPT ALL
         |SELECT o_custkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
         |ORDER BY o_custkey""".stripMargin,

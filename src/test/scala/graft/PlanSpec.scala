@@ -14,6 +14,25 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("l_shipdate"), "pruned column must not be read")
   }
 
+  test("AQE coalesces over-provisioned shuffle partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      // a tiny aggregate declared at 64 shuffle partitions: AQE must
+      // shrink the exchange read to a handful of coalesced partitions
+      // (the knob-forgiveness that lets one conf serve mixed sizes;
+      // at 100 TB the SAME mechanism right-sizes each stage off real
+      // map-output statistics instead of a static guess)
+      val df = Tables.nation(spark, sf("sf0.01"))
+        .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+      df.collect() // AQE finalizes the plan only on execution
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+        s"expected a coalesced AQEShuffleRead in:\n${p.take(2000)}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("star join broadcasts every dimension") {
     val p = plan("join_star_region")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length

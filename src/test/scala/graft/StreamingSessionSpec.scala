@@ -31,6 +31,30 @@ class StreamingSessionSpec extends SparkSuite {
       Session(1, 4000 * s, 4010 * s, 2)))
   }
 
+  test("watermark drops late rows and reports them in progress metrics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (id, event ms)
+    val agg = input.toDS().toDF("id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late_metrics")
+      .outputMode("append").start()
+    input.addData((1L, 100_000L)) // advances the watermark to 90 s
+    q.processAllAvailable()
+    input.addData((2L, 10_000L))  // 10 s << 90 s: dropped, not aggregated
+    q.processAllAvailable()
+    q.stop()
+    // the ops contract: lateness is OBSERVABLE per micro-batch, the
+    // alert a production pipeline pages on before data goes missing
+    val dropped = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped >= 1L, s"expected a recorded late-row drop; progress: " +
+      q.recentProgress.map(_.json).mkString("\n").take(1000))
+  }
+
   test("ListState pattern detector counts clicks across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
