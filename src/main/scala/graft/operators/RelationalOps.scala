@@ -1168,6 +1168,28 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // C11 — compaction round-trip, correctness-gated: a 64-small-file
+    // table (the streaming-sink accretion shape) compacted by
+    // Maintenance.compact (one narrow repartition pass + TableSwap
+    // atomic promote) must read back byte-identical with FEWER files.
+    // MaintenanceSpec pins the crash-recovery protocol; this query puts
+    // the data-preservation half under the per-round DuckDB oracle.
+    "c11_compact_roundtrip" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_compact_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(dir)
+      val (before, after) =
+        graft.pipeline.Maintenance.compact(s, dir)
+      s.read.parquet(dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("files_shrunk", lit(after < before))
+        .orderBy("event_id")
+    }),
+
     // BENFORD FIRST-DIGIT AUDIT — observed leading-digit shares of the
     // transaction amounts against Benford's law (the forensic
     // fabricated-data screen). Amounts go to EXACT integer cents first
@@ -1674,6 +1696,11 @@ object RelationalOps extends QueryModule {
          |  max(greatest(least(l_extendedprice, hi), lo)) AS max_w
          |FROM lineitem, b GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+    // compaction preserves every row; files_shrunk is the gated claim
+    "c11_compact_roundtrip" ->
+      """SELECT event_id, event_type, round(value, 6) AS value,
+        |  TRUE AS files_shrunk
+        |FROM events ORDER BY event_id""".stripMargin,
     // same integer-cents digit extraction and pinned Benford literals
     "a27_benford" ->
       """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents

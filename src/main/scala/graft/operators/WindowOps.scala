@@ -270,9 +270,13 @@ object WindowOps extends QueryModule {
         .withColumn("syy", wsum(col("y") * col("y")))
         .select(col("day"), col("event_type"),
           round(col("x"), 6).as("x"), round(col("y"), 6).as("y"),
+          // moments rounded to DECIMAL(30,2) can land a hair outside
+          // [-1,1] on a near-collinear frame (PropertySpec caught
+          // +1.000001 at sf0.001) — clamp before the final rounding
           round(when(col("n") > 1 && vx > 0 && vy > 0,
-            (col("n") * col("sxy") - col("sx") * col("sy")) /
-              sqrt(vx * vy)), 6).as("corr7"))
+            greatest(lit(-1.0), least(lit(1.0),
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                sqrt(vx * vy)))), 6).as("corr7"))
         .orderBy("day", "event_type")
     }),
 
@@ -471,8 +475,8 @@ object WindowOps extends QueryModule {
         |SELECT day, event_type, round(x, 6) AS x, round(y, 6) AS y,
         |  round(CASE WHEN n > 1 AND (n*sxx - sx*sx) > 0
         |      AND (n*syy - sy*sy) > 0
-        |    THEN (n*sxy - sx*sy) /
-        |      sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS corr7
+        |    THEN greatest(-1.0, least(1.0, (n*sxy - sx*sy) /
+        |      sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)))) END, 6) AS corr7
         |FROM m ORDER BY day, event_type""".stripMargin,
     "w17_rolling_median" ->
       s"""WITH daily AS (SELECT

@@ -32,6 +32,38 @@ class PropertySpec extends SparkSuite {
         expr("timestamp_micros(CAST(ingest AS LONG) * 1000000 + " +
           "CAST(rate * 100 AS LONG))").as("ingest_ts"))
 
+  test("statistic queries respect their mathematical ranges") {
+    import org.apache.spark.sql.functions._
+    // Oracle equivalence can't catch a formula wrong the SAME way in
+    // both engines; analytic range invariants can.
+    val ks = SparkEntry.queries("a25_ks_drift")(spark, sf())
+      .select("ks_d").as[Double].head()
+    assert(ks >= 0.0 && ks <= 1.0, s"KS statistic out of [0,1]: $ks")
+    val gini = SparkEntry.queries("a28_gini")(spark, sf())
+      .select("gini").as[Double].head()
+    assert(gini >= 0.0 && gini <= 1.0, s"Gini out of [0,1]: $gini")
+    val badCorr = SparkEntry.queries("w18_rolling_corr")(spark, sf())
+      .filter(col("corr7").isNotNull && abs(col("corr7")) > 1.0 + 1e-9)
+      .count()
+    assert(badCorr === 0L, "rolling correlation outside [-1,1]")
+    val scores = SparkEntry.queries("t_quality_classifier")(spark, sf())
+      .agg(min("score"), max("score")).head()
+    assert(scores.getDouble(0) > 0.0 && scores.getDouble(1) < 1.0,
+      s"sigmoid scores must stay inside (0,1): $scores")
+    // weighted mean of the seasonal index is 1 by construction
+    val si = SparkEntry.queries("w20_seasonal_index")(spark, sf())
+    val m = si.select(
+        sum(col("seasonal_index") * col("n_days")).as("w"),
+        sum("n_days").as("n"))
+      .head()
+    assert(math.abs(m.getDouble(0) / m.getLong(1) - 1.0) < 1e-3,
+      s"day-weighted seasonal index mean must be ~1: $m")
+    // Benford expectations are a probability distribution
+    val bp = SparkEntry.queries("a27_benford")(spark, sf())
+      .agg(sum("benford_p")).head().getDouble(0)
+    assert(math.abs(bp - 1.0) < 1e-6, s"Benford shares must sum to 1: $bp")
+  }
+
   test("merge is idempotent and replay-order independent") {
     samples(ratesGen, 10).filter(_.nonEmpty).foreach { rows =>
       {
