@@ -536,6 +536,31 @@ object TextAnalysis extends QueryModule {
         .orderBy("pos")
     }),
 
+    // DETERMINISTIC TOKEN DROPOUT — the denoising-objective /
+    // augmentation corruption (drop ~10% of tokens), made a PURE
+    // FUNCTION of (doc, position, token) via md5 instead of RNG state:
+    // the same corruption reproduces across re-runs, engines,
+    // partitionings, and epochs change it by salting the key — the
+    // t_split_assign reproducibility discipline applied to
+    // augmentation. One explode + one per-doc regroup; surviving text
+    // rides as md5 (the t_chunk_overlap contract).
+    "t_token_dropout" -> ((s, d) => {
+      val keyHash = conv(substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), col("pos").cast("string"),
+        col("tok"))), 1, 4), 16, 10).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("keep", keyHash >= 6554) // P(drop) ≈ 6554/65536 ≈ 10%
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+          md5(array_join(transform(sort_array(collect_list(
+              when(col("keep"), struct(col("pos"), col("tok"))))),
+            x => x.getField("tok")), " ")).as("kept_md5"))
+        .orderBy("doc_id")
+    }),
+
     // MODEL-BASED QUALITY FILTERING — the frozen-classifier gate every
     // curation stack runs after the rule battery (t_filter_pipeline):
     // a linear model over cheap text features, scored in-plan. Weights
@@ -1054,6 +1079,23 @@ object TextAnalysis extends QueryModule {
         |UNION ALL SELECT '2_stopword', n2 FROM a
         |UNION ALL SELECT '3_repetition', n3 FROM a
         |ORDER BY stage""".stripMargin,
+    // parallel unnests zip (pos, tok); same md5 keep key and threshold
+    "t_token_dropout" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |x AS (SELECT doc_id, unnest(range(0, len(l))) AS pos,
+        |    unnest(l) AS tok
+        |  FROM t),
+        |k AS (SELECT doc_id, pos, tok,
+        |    CAST('0x' || substr(md5(doc_id || ':' || pos || ':' || tok),
+        |      1, 4) AS INTEGER) >= 6554 AS keep
+        |  FROM x)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dropped,
+        |  md5(COALESCE(string_agg(CASE WHEN keep THEN tok END, ' '
+        |    ORDER BY pos), '')) AS kept_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // identical feature arithmetic and logit term order; z rounded(9)
     // before the sigmoid on both sides
     "t_quality_classifier" ->

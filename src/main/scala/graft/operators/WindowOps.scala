@@ -205,6 +205,37 @@ object WindowOps extends QueryModule {
     // values per row, so collecting it in-row and selecting the middle
     // is O(frame), not a per-group value map; interpolation for even
     // frames matches quantile_cont(0.5) exactly.
+    // LAG-7 AUTOCORRELATION — is each metric's daily series weekly-
+    // periodic? Pearson r between (vₜ, vₜ₋₇) per metric: one lag()
+    // window on the event_type exchange forms the pairs, then ONE
+    // grouped conditional-moment aggregate (the a26 discipline — exact
+    // decimal moments, canonical double chain, clamp, round). The
+    // hypothesis-forming companion to w20's seasonal index; both read
+    // the same day-grain frame shape.
+    "w19_autocorr7" -> ((s, d) => {
+      val wL = Window.partitionBy("event_type").orderBy("day")
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(graft.Sql.dsum(col("value"), 4).as("x"))
+        .withColumn("y", lag("x", 7).over(wL))
+        .filter(col("y").isNotNull)
+      def m(c: Column) =
+        sum(c.cast(DecimalType(30, 2))).cast("double")
+      val g = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), m(col("x")).as("sx"),
+          m(col("y")).as("sy"), m(col("x") * col("y")).as("sxy"),
+          m(col("x") * col("x")).as("sxx"),
+          m(col("y") * col("y")).as("syy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      g.select(col("event_type"), col("n").as("n_pairs"),
+        round(when(col("n") > 1 && vx > 0 && vy > 0,
+          greatest(lit(-1.0), least(lit(1.0),
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt(vx * vy)))), 6).as("acf7"))
+        .orderBy("event_type")
+    }),
+
     // DAY-OF-WEEK SEASONAL INDEX — each metric's weekday profile: mean
     // daily volume per (metric, weekday) over its all-days mean (index
     // 1.0 = no seasonality; the capacity-planning / anomaly-baseline
@@ -430,6 +461,30 @@ object WindowOps extends QueryModule {
     "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
 
   def oracles: Map[String, String] = Map(
+    // same lag pairs, decimal moments, clamp, and double chain
+    "w19_autocorr7" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS day, event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, x,
+        |    lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS y
+        |  FROM daily),
+        |q AS (SELECT * FROM p WHERE y IS NOT NULL),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x*y AS DECIMAL(30,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x*x AS DECIMAL(30,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y*y AS DECIMAL(30,2))) AS DOUBLE) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT event_type, n AS n_pairs,
+        |  round(CASE WHEN n > 1 AND (n*sxx - sx*sx) > 0
+        |      AND (n*syy - sy*sy) > 0
+        |    THEN greatest(-1.0, least(1.0, (n*sxy - sx*sy) /
+        |      sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)))) END, 6) AS acf7
+        |FROM g ORDER BY event_type""".stripMargin,
     // same two-level decimal means; dow aligned to Spark's 1=Sunday
     "w20_seasonal_index" ->
       """WITH daily AS (SELECT
