@@ -22,6 +22,75 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SqlOps extends QueryModule {
 
   private val sqlTexts: Map[String, String] = Map(
+    // TPC-H Q1 (pricing summary report) — the canonical wide-aggregate
+    // scan, verbatim on both engines; every money sum rides the exact
+    // DECIMAL discipline so the grouped report is hash-identical.
+    // One pushed-filter scan + one 4-group hash aggregate.
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_disc_price,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) *
+        |    (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_charge,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_qty,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / COUNT(*), 6) AS avg_price,
+        |  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // TPC-H Q3 shape (shipping-priority top-10) — segment dim filter,
+    // two date windows, revenue ranking with explicit tiebreaks
+    // (o_shippriority isn't in the fixture schema; o_orderpriority
+    // stands in). Plans as two broadcast-dim joins + TakeOrdered.
+    "tpch_q3" ->
+      """SELECT l_orderkey,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    // TPC-H Q5 (local supplier volume) — the 6-table star/snowflake
+    // join with the customer-nation = supplier-nation locality
+    // predicate; dims broadcast, the fact side never re-shuffles.
+    "tpch_q5" ->
+      """SELECT n_name,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    // TPC-H Q6 (forecast revenue change) — the pure pushed-predicate
+    // single-aggregate scan; the whole WHERE reaches the parquet reader
+    "tpch_q6" ->
+      """SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "sql_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 1.5 * (
@@ -120,7 +189,7 @@ object SqlOps extends QueryModule {
         |ORDER BY l.user_id""".stripMargin)
 
   private def run(s: SparkSession, d: String, name: String): DataFrame = {
-    Seq("orders", "lineitem", "customer")
+    Seq("orders", "lineitem", "customer", "supplier", "nation", "region")
       .foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
     Tables.events(s, d).createOrReplaceTempView("events")
     s.sql(sqlTexts(name))
