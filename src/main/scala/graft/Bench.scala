@@ -46,7 +46,10 @@ object Bench {
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def fmt(v: Double): String = f"$v%.3f"
+    // locale-pinned: the default-locale f"" interpolator would emit a
+    // comma decimal separator on some JVMs, breaking the JSON contract
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def dict(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // Full per-query map goes to a sidecar file; the stdout line keeps only

@@ -44,7 +44,10 @@ case class ShingleExplode(child: Expression, k: Int)
     val doc = child.eval(input)
     if (doc == null) Nil
     else {
-      val toks = doc.asInstanceOf[UTF8String].toString.split(' ')
+      // limit -1 keeps trailing empty tokens — parity with Spark's
+      // split() (shinglesStrict) and DuckDB string_split, which both
+      // keep them; Java's default split would drop them
+      val toks = doc.asInstanceOf[UTF8String].toString.split(" ", -1)
       if (toks.length < k) Nil
       else new Iterator[InternalRow] {
         private var i = 0

@@ -380,7 +380,9 @@ object Dedup extends QueryModule {
 
     // end-to-end dedup pipeline: MinHash-LSH candidates → exact Jaccard
     // verification (≥ 0.8) → connected-component survivor selection.
-    // Rows-only (hash-dependent); every stage is individually specced.
+    // ORACLE-checked against brute-force all-pairs Jaccard + transitive
+    // closure (see oracles) — the LSH path must find every true ≥0.8
+    // pair on the fixture, not just "some duplicates".
     "dedup_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // materialize the verified pairs: the component loop scans them
@@ -759,6 +761,51 @@ object Dedup extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    // BRUTE-FORCE ground truth for the end-to-end pipeline: all-pairs
+    // exact 5-shingle Jaccard (no LSH, no caps — shingle-inverted-index
+    // join, so zero-overlap pairs never materialize) ≥ 0.8 edges →
+    // transitive closure by recursive CTE → min-id component labels.
+    // Hash-matching this proves the capped-LSH candidate path loses NO
+    // true duplicate pair on the fixture — the strongest statement a
+    // probabilistic candidate generator can make. (The closure is
+    // O(cluster²) rows — an oracle-only luxury; the engine side stays
+    // the O(log d) pointer-jump loop.)
+    "dedup_pipeline" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sets AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 5
+        |      THEN list_distinct([array_to_string(t[i:i+4], ' ')
+        |                          FOR i IN range(1, len(t) - 3)])
+        |      ELSE [array_to_string(t, ' ')] END AS sh
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sets),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+        |             JOIN sz sb ON sb.doc_id = inter.doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+        |        UNION SELECT doc_b, doc_a FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(u, v) AS (
+        |    SELECT u, v FROM und
+        |    UNION
+        |    SELECT r.u, e.v FROM r JOIN und e ON r.v = e.u
+        |    WHERE e.v <> r.u)
+        |  SELECT * FROM r),
+        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+        |  FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        |  COALESCE(c.component, d.doc_id) AS component,
+        |  (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_survivor
+        |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_segments" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
         |  FROM documents),

@@ -349,6 +349,10 @@ object RelationalOps extends QueryModule {
     "s15_gdx_roundtrip" -> ((s, d) => {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_gdx_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      // tmp dir persists across verify/bench runs on a shared host:
+      // vacuum old snapshots so manifests/data files don't accumulate
+      graft.sources.GdxSource.vacuum(dir,
+        graft.sources.GdxSource.driverConf(), keepLast = 2)
       Tables.orders(s, d)
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
         .write.format("graft.sources.GdxSource").option("path", dir)
@@ -369,6 +373,10 @@ object RelationalOps extends QueryModule {
     "s19_gdx_time_travel" -> ((s, d) => {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_gdxtt_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      // keepLast = 2: the query itself pins latest-1, so both snapshots
+      // it reads survive the vacuum; anything older is unreferenced
+      graft.sources.GdxSource.vacuum(dir,
+        graft.sources.GdxSource.driverConf(), keepLast = 2)
       val fmt = "graft.sources.GdxSource"
       def kv(df: org.apache.spark.sql.DataFrame) =
         df.select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
@@ -1026,13 +1034,18 @@ object RelationalOps extends QueryModule {
       val rp = row_number().over(W.partitionBy("l_returnflag")
         .orderBy(col("l_extendedprice"), col("l_orderkey"),
           col("l_linenumber")))
+      // the MOMENT sums grow ~n^3/3 per group — Long overflows around
+      // 2M rows/group (≈ SF1): widen each product to exact decimal
+      // BEFORE summing, on both engines ((18,0)×(18,0) → (37,0) product,
+      // (38,0) sum — never lossy, never overflows below 1e38)
+      val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
       li.withColumn("rq", rq.cast("long")).withColumn("rp", rp.cast("long"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum("rq").as("sq"), sum("rp").as("sp"),
-          sum(col("rq") * col("rq")).as("sqq"),
-          sum(col("rp") * col("rp")).as("spp"),
-          sum(col("rq") * col("rp")).as("sqp"))
+          sum(col("rq").cast(d18) * col("rq").cast(d18)).as("sqq"),
+          sum(col("rp").cast(d18) * col("rp").cast(d18)).as("spp"),
+          sum(col("rq").cast(d18) * col("rp").cast(d18)).as("sqp"))
         .select(col("l_returnflag"), col("n"),
           // rank-sum PRODUCTS overflow long at scale (sq*sp ~ n^4/4):
           // go double before multiplying, exactly like the oracle
@@ -1593,8 +1606,10 @@ object RelationalOps extends QueryModule {
         |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rp
         |  FROM lineitem),
         |m AS (SELECT l_returnflag, count(*) AS n,
-        |    sum(rq) AS sq, sum(rp) AS sp, sum(rq * rq) AS sqq,
-        |    sum(rp * rp) AS spp, sum(rq * rp) AS sqp
+        |    sum(rq) AS sq, sum(rp) AS sp,
+        |    sum(CAST(rq AS DECIMAL(18,0)) * CAST(rq AS DECIMAL(18,0))) AS sqq,
+        |    sum(CAST(rp AS DECIMAL(18,0)) * CAST(rp AS DECIMAL(18,0))) AS spp,
+        |    sum(CAST(rq AS DECIMAL(18,0)) * CAST(rp AS DECIMAL(18,0))) AS sqp
         |  FROM r GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  round((sqp - CAST(sq AS DOUBLE) * sp / n) /

@@ -26,6 +26,10 @@ object SqlOps extends QueryModule {
     // scan, verbatim on both engines; every money sum rides the exact
     // DECIMAL discipline so the grouped report is hash-identical.
     // One pushed-filter scan + one 4-group hash aggregate.
+    // The cast scale must cover the EXACT product scale (price 2dp ×
+    // discount 2dp × tax 2dp = 6dp): a narrower DECIMAL(18,4) forces a
+    // round at the exact .xxxx50 half-way point, where Spark (HALF_UP)
+    // and DuckDB (half-even) disagree — the r4 sum_charge hash miss.
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
@@ -35,7 +39,7 @@ object SqlOps extends QueryModule {
         |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
         |    AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_disc_price,
         |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) *
-        |    (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_charge,
+        |    (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_charge,
         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |    / COUNT(*), 6) AS avg_qty,
         |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))

@@ -372,8 +372,9 @@ object TextAnalysis extends QueryModule {
     // BPE merge TRAINING — the full iterative loop t_bpe_pairs is one
     // round of: distributed word-frequency count (capped), then 20
     // deterministic merges over the bounded dictionary (see bpeTrain).
-    // Rows-only (iterative — not one-SQL-expressible); TextSpec pins the
-    // merge sequence on the Sennrich corpus against hand-computed truth.
+    // ORACLE-checked against a 20-step UNROLLED DuckDB reimplementation
+    // (bpeTrainOracle); TextSpec additionally pins the merge sequence on
+    // the Sennrich corpus against hand-computed truth.
     "t_bpe_train" -> ((s, d) => {
       import s.implicits._
       bpeTrain(Tables.documents(s, d))
@@ -948,7 +949,71 @@ object TextAnalysis extends QueryModule {
 
   private val stopList = stopwords.map(s => s"'$s'").mkString("[", ",", "]")
 
+  /** The BPE trainer's DuckDB oracle: the 20-round merge loop UNROLLED
+    * as 20 chained CTE blocks — a genuinely independent second
+    * implementation, not a golden snapshot. Per round: pair counts over
+    * the word dict (weighted by word freq), argmax by (freq desc, left,
+    * right), then GREEDY LEFT-TO-RIGHT NON-OVERLAPPING replacement via
+    * gaps-and-islands — consecutive match positions form a run, and
+    * greedy keeps exactly the even offsets within each maximal run
+    * (a chosen pair consumes its right symbol, blocking the next
+    * position). State CTEs are MATERIALIZED: DuckDB inlines CTEs per
+    * reference, and words_k feeds two consumers per round — uninlined
+    * the scan tree fans out 2^20.
+    * Matches bpeTrain (Sennrich merge loop) symbol for symbol. */
+  private def bpeTrainOracle: String = {
+    def step(k: Int): String = {
+      val p = s"words_${k - 1}"
+      s"""pc_$k AS (
+         |  SELECT l, r, CAST(sum(n) AS BIGINT) AS f FROM (
+         |    SELECT syms[i] AS l, syms[i+1] AS r, n
+         |    FROM (SELECT w, n, syms, unnest(range(1, len(syms))) AS i
+         |          FROM $p))
+         |  GROUP BY l, r),
+         |best_$k AS MATERIALIZED (
+         |  SELECT l, r, f FROM pc_$k ORDER BY f DESC, l, r LIMIT 1),
+         |m_$k AS (
+         |  SELECT w, n, pos, syms[pos] AS sym, b.l AS ml, b.r AS mr,
+         |    (pos < len(syms) AND syms[pos] = b.l AND syms[pos+1] = b.r)
+         |      AS mt
+         |  FROM (SELECT w, n, syms, unnest(range(1, len(syms) + 1)) AS pos
+         |        FROM $p)
+         |  CROSS JOIN best_$k b),
+         |r_$k AS (
+         |  SELECT *, (mt AND
+         |      (pos - min(pos) OVER (PARTITION BY w, mt, grp)) % 2 = 0)
+         |      AS ch
+         |  FROM (SELECT *,
+         |      pos - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY pos)
+         |        AS grp
+         |    FROM m_$k)),
+         |words_$k AS MATERIALIZED (
+         |  SELECT w, n,
+         |    list(CASE WHEN ch THEN ml || mr ELSE sym END ORDER BY pos)
+         |      AS syms
+         |  FROM (SELECT *,
+         |      COALESCE(lag(ch) OVER (PARTITION BY w ORDER BY pos), FALSE)
+         |        AS cons
+         |    FROM r_$k)
+         |  WHERE NOT cons GROUP BY w, n)""".stripMargin
+    }
+    val head =
+      """WITH words_0 AS MATERIALIZED (
+        |  SELECT w, n, list_append(string_split(w, ''), '</w>') AS syms
+        |  FROM (
+        |    SELECT w, count(*) AS n FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |    GROUP BY w ORDER BY n DESC, w LIMIT 4096))""".stripMargin
+    val steps = (1 to 20).map(step).mkString(",\n")
+    val out = (1 to 20).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, l AS "left", r AS "right",
+         |  l || r AS merged, f AS freq FROM best_$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"$head,\n$steps\n$out\nORDER BY step"
+  }
+
   def oracles: Map[String, String] = Map(
+    "t_bpe_train" -> bpeTrainOracle,
     "t_bm25" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts
          |  FROM documents),

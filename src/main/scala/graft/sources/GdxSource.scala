@@ -452,8 +452,13 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     target.getFileSystem(conf.conf).create(target, true), "UTF-8"))
 
   override def write(r: InternalRow): Unit = {
+    val v = r.getUTF8String(1).toString
+    // the line format has no escaping: a separator/terminator inside v
+    // would split the row on read — reject at write time, loudly
+    require(v.indexOf('\t') < 0 && v.indexOf('\n') < 0 && v.indexOf('\r') < 0,
+      "gdx write: value must not contain tab/newline (unescaped line format)")
     out.print(r.getLong(0)); out.print('\t')
-    out.println(r.getUTF8String(1).toString)
+    out.println(v)
   }
   override def commit(): WriterCommitMessage = {
     out.close()
