@@ -1203,6 +1203,34 @@ object RelationalOps extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // C12 — the OBJECT-STORE-SAFE compaction round-trip: same
+    // data-preservation gate as c11, but through the versioned
+    // marker-commit promote (TableSwap.nextVersion/commitVersion — no
+    // rename on the crash path, the protocol object stores need).
+    // Fresh version slots accrete across verify/bench runs on the
+    // shared tmp root; compactVersioned's own vacuum(keepLast=2)
+    // bounds them. MaintenanceSpec pins crash invisibility + version
+    // burning; this puts the read-back equality under the oracle.
+    "c12_compact_versioned" -> ((s, d) => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_vcompact_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val swap = graft.pipeline.TableSwap
+      val conf = s.sparkContext.hadoopConfiguration
+      val (v, dst) = swap.nextVersion(root, conf)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(dst)
+      swap.commitVersion(root, v, conf)
+      val (before, after) =
+        graft.pipeline.Maintenance.compactVersioned(s, root)
+      s.read.parquet(swap.liveVersionPath(root, conf).get)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("files_shrunk", lit(after < before))
+        .orderBy("event_id")
+    }),
+
     // BENFORD FIRST-DIGIT AUDIT — observed leading-digit shares of the
     // transaction amounts against Benford's law (the forensic
     // fabricated-data screen). Amounts go to EXACT integer cents first
@@ -1713,6 +1741,11 @@ object RelationalOps extends QueryModule {
          |ORDER BY l_returnflag""".stripMargin,
     // compaction preserves every row; files_shrunk is the gated claim
     "c11_compact_roundtrip" ->
+      """SELECT event_id, event_type, round(value, 6) AS value,
+        |  TRUE AS files_shrunk
+        |FROM events ORDER BY event_id""".stripMargin,
+    // versioned-promote compaction must preserve the same rows
+    "c12_compact_versioned" ->
       """SELECT event_id, event_type, round(value, 6) AS value,
         |  TRUE AS files_shrunk
         |FROM events ORDER BY event_id""".stripMargin,

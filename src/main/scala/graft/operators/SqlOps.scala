@@ -95,6 +95,42 @@ object SqlOps extends QueryModule {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    // TPC-H Q4 shape (order priority checking) — the classic CORRELATED
+    // EXISTS against the fact table. The fixture schema has no
+    // commit/receipt dates, so "late line" is l_shipdate more than 60
+    // days after the order date — a correlation on BOTH tables' columns
+    // (equi key + non-equi date), which Spark must decorrelate into ONE
+    // left-semi join (never a per-order re-scan of lineitem); the
+    // orders date window is pushed to the scan.
+    "tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |      WHERE l.l_orderkey = o.o_orderkey
+        |        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // TPC-H Q18 shape (large-volume customer) — the big-group HAVING
+    // filter: an aggregate subquery keeps only orders whose total
+    // quantity clears a high bar, then the three-table join re-groups
+    // the survivors. The IN-subquery plans as a semi join against a
+    // map-side-combined aggregate of the fact table; the outer join
+    // tree only ever sees the surviving orderkeys. Exact-decimal
+    // quantity sums on BOTH the HAVING bar and the output column.
+    "tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |    AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
     "sql_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 1.5 * (

@@ -388,8 +388,10 @@ object TextAnalysis extends QueryModule {
     // through the native BpeApply expression over every document: one
     // narrow map pass, merge table rides the plan as a constant. Output
     // is the per-doc subword count and fertility (subwords/word), the
-    // number every tokenizer-budget estimate needs. Rows-only; TextSpec
-    // pins segmentations on the Sennrich corpus.
+    // number every tokenizer-budget estimate needs. ORACLE-checked
+    // against the unrolled train+apply SQL reimplementation
+    // (bpeApplyOracle); TextSpec pins segmentations on the Sennrich
+    // corpus.
     "t_bpe_apply" -> ((s, d) => {
       import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
       val docs = Tables.documents(s, d)
@@ -961,7 +963,13 @@ object TextAnalysis extends QueryModule {
     * reference, and words_k feeds two consumers per round — uninlined
     * the scan tree fans out 2^20.
     * Matches bpeTrain (Sennrich merge loop) symbol for symbol. */
-  private def bpeTrainOracle: String = {
+  private def bpeTrainOracle: String =
+    s"$bpeTrainCtes\n${(1 to 20).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, l AS "left", r AS "right",
+         |  l || r AS merged, f AS freq FROM best_$k""".stripMargin)
+      .mkString("\nUNION ALL\n")}\nORDER BY step"
+
+  private def bpeTrainCtes: String = {
     def step(k: Int): String = {
       val p = s"words_${k - 1}"
       s"""pc_$k AS (
@@ -1005,15 +1013,91 @@ object TextAnalysis extends QueryModule {
         |      SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |    GROUP BY w ORDER BY n DESC, w LIMIT 4096))""".stripMargin
     val steps = (1 to 20).map(step).mkString(",\n")
-    val out = (1 to 20).map(k =>
-      s"""SELECT CAST($k AS BIGINT) AS step, l AS "left", r AS "right",
-         |  l || r AS merged, f AS freq FROM best_$k""".stripMargin)
-      .mkString("\nUNION ALL\n")
-    s"$head,\n$steps\n$out\nORDER BY step"
+    s"$head,\n$steps"
+  }
+
+  /** The BPE APPLY oracle: the trainer CTEs above (the rule table must
+    * come from the same SQL reimplementation, not a snapshot) + the
+    * subword-nmt application loop unrolled 8 steps over the DISTINCT
+    * vocabulary. Apply semantics differ from training: each round
+    * rewrites the LOWEST-RANK pair PRESENT IN THAT WORD (per-word
+    * argmin over the rule table, not a global argmax), greedy
+    * left-to-right, until no rule applies — so applied ranks need not
+    * be monotone (a later rule can create an earlier rule's pair). The
+    * unroll depth bounds per-word iterations; each iteration removes
+    * ≥1 symbol, so depth 8 covers every word up to 8 chars — the
+    * fixture vocabulary's max (guarded: longer words would surface as
+    * a row mismatch, not silent truncation, since unfinished words
+    * still carry reducible pairs). Words already irreducible fall
+    * through each round via the anti-join branch. */
+  private def bpeApplyOracle: String = {
+    def step(k: Int): String = {
+      val p = s"a_${k - 1}"
+      s"""ch_$k AS MATERIALIZED (
+         |  SELECT w, min(rk) AS rk FROM (
+         |    SELECT s.w, ru.rk FROM (
+         |      SELECT w, syms[i] AS l, syms[i+1] AS r
+         |      FROM (SELECT w, syms, unnest(range(1, len(syms))) AS i
+         |            FROM $p)) s
+         |    JOIN rules ru ON ru.l = s.l AND ru.r = s.r)
+         |  GROUP BY w),
+         |ap_$k AS (
+         |  SELECT px.w, px.pos, px.syms[px.pos] AS sym,
+         |    ru.l AS ml, ru.r AS mr,
+         |    (px.pos < px.nsym AND px.syms[px.pos] = ru.l AND
+         |     px.syms[px.pos + 1] = ru.r) AS mt
+         |  FROM (SELECT w, syms, len(syms) AS nsym,
+         |          unnest(range(1, len(syms) + 1)) AS pos FROM $p) px
+         |  JOIN ch_$k c ON c.w = px.w
+         |  JOIN rules ru ON ru.rk = c.rk),
+         |g_$k AS (
+         |  SELECT *, (mt AND
+         |      (pos - min(pos) OVER (PARTITION BY w, mt, grp)) % 2 = 0)
+         |      AS chn
+         |  FROM (SELECT *,
+         |      pos - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY pos)
+         |        AS grp
+         |    FROM ap_$k)),
+         |a_$k AS MATERIALIZED (
+         |  SELECT w,
+         |    list(CASE WHEN chn THEN ml || mr ELSE sym END ORDER BY pos)
+         |      AS syms
+         |  FROM (SELECT *,
+         |      COALESCE(lag(chn) OVER (PARTITION BY w ORDER BY pos), FALSE)
+         |        AS cons
+         |    FROM g_$k)
+         |  WHERE NOT cons GROUP BY w
+         |  UNION ALL
+         |  SELECT w, syms FROM $p
+         |  WHERE w NOT IN (SELECT w FROM ch_$k))""".stripMargin
+    }
+    val rules = "rules AS MATERIALIZED (" + (1 to 20).map(k =>
+      s"SELECT ${k - 1} AS rk, l, r FROM best_$k").mkString("\nUNION ALL\n") +
+      ")"
+    val a0 =
+      """a_0 AS MATERIALIZED (
+        |  SELECT w, list_append(string_split(w, ''), '</w>') AS syms
+        |  FROM (
+        |    SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        |    FROM documents))""".stripMargin
+    val steps = (1 to 8).map(step).mkString(",\n")
+    s"""$bpeTrainCtes,
+       |$rules,
+       |$a0,
+       |$steps,
+       |sub AS MATERIALIZED (SELECT w, len(syms) AS n_sub FROM a_8)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       |  round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS fertility
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) dw
+       |JOIN sub USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
     "t_bpe_train" -> bpeTrainOracle,
+    "t_bpe_apply" -> bpeApplyOracle,
     "t_bm25" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts
          |  FROM documents),

@@ -62,4 +62,42 @@ object Maintenance {
     TableSwap.promote(path, tmp, conf)
     (before.length, parquetFiles(root).length)
   }
+
+  /** Object-store-safe compaction over a VERSIONED table root
+    * (`root/v=N` + commit markers, see TableSwap): reads the live
+    * version, writes the compacted copy DIRECTLY into the next version
+    * slot (nobody reads it yet — no tmp dir, no rename), then commits
+    * with one marker PUT and vacuums old versions down to `keepLast`.
+    * A crash at any point leaves the live version untouched; a crashed
+    * half-written slot is an invisible orphan whose number is burned.
+    * Returns (filesBefore, filesAfter). */
+  def compactVersioned(spark: SparkSession, tableRoot: String,
+                       targetBytes: Long = 128L * 1024 * 1024,
+                       keepLast: Int = 2): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = TableSwap.liveVersionPath(tableRoot, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactVersioned: no committed version under $tableRoot"))
+    val fs = new Path(tableRoot).getFileSystem(conf)
+    def parquetCount(dir: String): Int = {
+      var n = 0
+      val it = fs.listFiles(new Path(dir), true)
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = parquetCount(live)
+    val totalBytes = {
+      var b = 0L
+      val it = fs.listFiles(new Path(live), true)
+      while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) b += f.getLen }
+      b
+    }
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val (v, dst) = TableSwap.nextVersion(tableRoot, conf)
+    spark.read.parquet(live).repartition(nOut)
+      .write.mode("overwrite").parquet(dst)
+    TableSwap.commitVersion(tableRoot, v, conf)
+    TableSwap.vacuumVersions(tableRoot, conf, keepLast)
+    (before, parquetCount(dst))
+  }
 }

@@ -181,7 +181,14 @@ object StreamingOps extends QueryModule {
           col("click_ts") <= col("purchase_ts"))
         .select(col("user_id"), col("purchase_id"), col("click_id"),
           col("click_value"))
-      runToMemory(s, joined, "graft_stream_join", mode = "append")
+      // ONE state partition: a stream-stream join opens FOUR stores per
+      // partition per micro-batch (left/right × two index maps), so the
+      // fixed open/commit/snapshot charge scales with partitions × 4
+      // while the watermark-bounded state here is KB-sized — the
+      // partition count tracks state bytes, not scan width (the
+      // runToMemory scaladoc rule, applied at its floor)
+      runToMemory(s, joined, "graft_stream_join", mode = "append",
+          statePartitions = 1)
         .orderBy("user_id", "purchase_id", "click_id")
     }),
 
@@ -290,7 +297,10 @@ object StreamingOps extends QueryModule {
           "left_outer")
         .select(col("p_user").as("uid"), col("purchase_id"),
           col("click_id"), col("click_value"))
-      runToMemory(s, joined, "graft_stream_join_lo", mode = "append")
+      // statePartitions = 1: see stream_join_interval — 4 stores per
+      // partition per batch, KB-scale watermarked state
+      runToMemory(s, joined, "graft_stream_join_lo", mode = "append",
+          statePartitions = 1)
         .orderBy(col("uid"), col("purchase_id"),
           col("click_id").asc_nulls_first)
         .withColumnRenamed("uid", "user_id")
@@ -326,7 +336,9 @@ object StreamingOps extends QueryModule {
           "full_outer")
         .select(coalesce(col("p_user"), col("user_id")).as("uid"),
           col("purchase_id"), col("click_id"), col("click_value"))
-      runToMemory(s, joined, "graft_stream_join_fo", mode = "append")
+      // statePartitions = 1: see stream_join_interval
+      runToMemory(s, joined, "graft_stream_join_fo", mode = "append",
+          statePartitions = 1)
         .orderBy(col("uid"), col("purchase_id").asc_nulls_first,
           col("click_id").asc_nulls_first)
         .withColumnRenamed("uid", "user_id")

@@ -62,6 +62,77 @@ class MaintenanceSpec extends SparkSuite {
     assert(spark.read.parquet(live).as[Long].head() === 8L)
   }
 
+  test("versioned promote: marker commit is the visibility point") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vswap")
+    val root = "file:" + base.resolve("t").toString
+    def writeTag(path: String, tag: Long): Unit =
+      Seq(tag).toDF("tag").write.mode("overwrite").parquet(path)
+    assert(TableSwap.liveVersionPath(root).isEmpty)
+    // promote from a tmp dir → v=1 live
+    writeTag(root + ".tmp", 1L)
+    assert(TableSwap.promoteVersioned(root, root + ".tmp") === 1)
+    assert(spark.read.parquet(TableSwap.liveVersionPath(root).get)
+      .as[Long].head() === 1L)
+    // direct write into the next slot: INVISIBLE until the marker lands
+    val (v2, dst2) = TableSwap.nextVersion(root)
+    assert(v2 === 2)
+    writeTag(dst2, 2L)
+    assert(TableSwap.liveVersionPath(root).get.endsWith("v=1"),
+      "uncommitted data must not be readable")
+    TableSwap.commitVersion(root, v2)
+    assert(spark.read.parquet(TableSwap.liveVersionPath(root).get)
+      .as[Long].head() === 2L)
+    // double-commit of the same version = lost race, loud error
+    intercept[java.io.IOException] { TableSwap.commitVersion(root, v2) }
+  }
+
+  test("versioned promote: crash between write and commit is invisible " +
+       "and its version number is never reused") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vcrash")
+    val root = "file:" + base.resolve("t").toString
+    def writeTag(path: String, tag: Long): Unit =
+      Seq(tag).toDF("tag").write.mode("overwrite").parquet(path)
+    writeTag(root + ".tmp", 1L)
+    TableSwap.promoteVersioned(root, root + ".tmp")
+    // simulate a crashed writer: data landed in v=2, marker never written
+    val (vOrphan, dstOrphan) = TableSwap.nextVersion(root)
+    writeTag(dstOrphan, 99L)
+    assert(spark.read.parquet(TableSwap.liveVersionPath(root).get)
+      .as[Long].head() === 1L, "orphan must stay invisible")
+    // the next writer burns the orphan's number rather than reusing it
+    val (vNext, dstNext) = TableSwap.nextVersion(root)
+    assert(vNext === vOrphan + 1)
+    writeTag(dstNext, 3L)
+    TableSwap.commitVersion(root, vNext)
+    assert(spark.read.parquet(TableSwap.liveVersionPath(root).get)
+      .as[Long].head() === 3L)
+    // vacuum drops the orphan (below latest) but keeps keepLast committed
+    TableSwap.vacuumVersions(root, keepLast = 2)
+    assert(!new java.io.File(base.resolve("t/v=" + vOrphan).toString)
+      .exists(), "orphan vacuumed")
+    assert(new java.io.File(base.resolve("t/v=1").toString).exists(),
+      "previous committed version retained for keepLast=2")
+  }
+
+  test("compactVersioned merges files with the live version always intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vcompact")
+    val root = "file:" + base.resolve("t").toString
+    spark.range(10000).select(col("id"), (col("id") % 7).as("k"))
+      .repartition(40).write.parquet(root + ".tmp")
+    TableSwap.promoteVersioned(root, root + ".tmp")
+    val before = spark.read.parquet(TableSwap.liveVersionPath(root).get)
+      .agg(sum("id"), count(lit(1))).as[(Long, Long)].head()
+    val (nb, na) = Maintenance.compactVersioned(spark, root,
+      targetBytes = 1L << 20)
+    assert(nb === 40)
+    assert(na < nb, s"expected fewer files, got $nb -> $na")
+    val after = spark.read.parquet(TableSwap.liveVersionPath(root).get)
+      .agg(sum("id"), count(lit(1))).as[(Long, Long)].head()
+    assert(after === before)
+    assert(TableSwap.committedVersions(root) === Seq(1, 2),
+      "keepLast=2 retains the pre-compaction version")
+  }
+
   test("promote replaces the live table and rolls cleanly from no-table") {
     val base = java.nio.file.Files.createTempDirectory("graft_swap")
     // scheme-qualified: promote/recover run through the Hadoop FS

@@ -31,7 +31,8 @@ w17_rolling_median w18_rolling_corr e_attribution t_feature_hash \
 s17_xml_roundtrip s18_dynamic_partition_overwrite s19_gdx_time_travel \
 t_quality_classifier t_fim_split a25_ks_drift a26_ab_ttest \
 sim_prefix_dim_eval w19_autocorr7 t_token_dropout c11_compact_roundtrip \
-e_rfm_segmentation w20_seasonal_index a27_benford a28_gini set_except_all"
+e_rfm_segmentation w20_seasonal_index a27_benford a28_gini set_except_all \
+tpch_q4 tpch_q18 dedup_pipeline"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
