@@ -131,6 +131,206 @@ object SqlOps extends QueryModule {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+    // TPC-H Q7 shape (volume shipping) — the two-nation bilateral-trade
+    // join: nation dims joined TWICE (supplier side and customer side)
+    // with the OR'd nation-pair predicate. Both nation joins broadcast;
+    // the disjunction stays a post-join filter on two broadcast-local
+    // columns, so the fact side shuffles only for the final group-by.
+    "tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 6)
+        |    AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                       AND TIMESTAMP '1997-12-31 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // TPC-H Q8 shape (national market share) — conditional-aggregate
+    // ratio over an 8-table snowflake: share = one nation's volume /
+    // all-nation volume, computed as two exact-decimal sums in a SINGLE
+    // pass (the CASE moves the predicate into the aggregate; no second
+    // scan, no self-join). Numerator and denominator become doubles from
+    // identical decimal sums on both engines, so the quotient is
+    // bit-identical before rounding.
+    "tpch_q8" ->
+      """SELECT o_year,
+        |  round(CAST(SUM(CASE WHEN nation = 'NATION_2'
+        |      THEN CAST(volume AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 6)
+        |    AS mkt_share
+        |FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part, supplier, lineitem, orders, customer, nation n1,
+        |    nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                        AND TIMESTAMP '1997-12-31 00:00:00'
+        |    AND p_type = 'PROMO') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // TPC-H Q10 (returned-item reporting) — top-20 customers by revenue
+    // lost to returns in one quarter. Wide group-by keys (the customer
+    // attributes ride the group-by, not a re-join), TakeOrdered caps the
+    // sort at k. c_address/c_phone/c_comment aren't in the fixture
+    // schema; the remaining output columns keep the canonical shape.
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // TPC-H Q13 (customer distribution) — the LEFT OUTER join with an
+    // extra non-key join predicate (the o_orderpriority filter must stay
+    // IN the join condition: pushing it below the outer join would drop
+    // zero-order customers), then a double aggregation: orders per
+    // customer, customers per order-count. The fixture has no o_comment,
+    // so the canonical NOT LIKE filter becomes a priority filter.
+    "tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // TPC-H Q14 (promotion effect) — conditional-aggregate percentage in
+    // one fact-dim join pass; same single-scan CASE discipline as q8.
+    "tpch_q14" ->
+      """SELECT
+        |  round(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    // TPC-H Q15 (top supplier) — CTE reused twice: once as the join
+    // input, once under MAX in a scalar subquery. The revenue aggregate
+    // is computed from the pushed-down date-window scan; the MAX is a
+    // one-row broadcast back onto the same aggregate. Equality on
+    // total_revenue is safe because both sides are the SAME double
+    // (exact decimal sum cast once).
+    "tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    // TPC-H Q17 shape (small-quantity-order revenue) — the correlated
+    // SCALAR AVG subquery: per-part average quantity compared against
+    // each line. Spark decorrelates into one grouped aggregate of
+    // lineitem joined back on partkey — never a per-row rescan. The
+    // p_container predicate isn't expressible on this schema; p_brand +
+    // p_size keep the selective-dim shape. AVG of whole-number
+    // quantities is exact in double on both engines.
+    "tpch_q17" ->
+      """SELECT
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#1' AND p_size < 5
+        |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    // TPC-H Q19 (discounted revenue) — the disjunction-of-conjunctions
+    // predicate. Every disjunct shares the p_partkey = l_partkey equi
+    // key, which Spark extracts into ONE hash join; the OR-of-ANDs
+    // residual evaluates post-join, and the per-table halves of each
+    // disjunct (brand/size on part, quantity on lineitem) are pushed to
+    // their scans as OR filters. l_shipmode/l_shipinstruct aren't in the
+    // fixture; brand × size × quantity bands keep the shape.
+    "tpch_q19" ->
+      """SELECT
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem, part
+        |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+        |    AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1
+        |    AND l_quantity <= 11)
+        |  OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+        |    AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10
+        |    AND l_quantity <= 20)
+        |  OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+        |    AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20
+        |    AND l_quantity <= 30)""".stripMargin,
+    // TPC-H Q21 shape (suppliers who kept orders waiting) — the classic
+    // EXISTS + NOT EXISTS pair of correlated self-references on the fact
+    // table: a supplier's line in a finished multi-supplier order where
+    // NO other supplier's line was flagged. Spark decorrelates into one
+    // left-semi and one left-anti join of lineitem against itself on
+    // orderkey (the <> supplier condition rides the join), never a
+    // per-row rescan. No commit/receipt dates in the fixture, so
+    // "late" is l_returnflag = 'R'.
+    "tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey
+        |        AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |      WHERE l3.l_orderkey = l1.l_orderkey
+        |        AND l3.l_suppkey <> l1.l_suppkey
+        |        AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    // TPC-H Q22 shape (global sales opportunity) — an uncorrelated
+    // scalar subquery (the positive-balance average, computed as an
+    // exact decimal sum so the threshold double is engine-identical)
+    // plus a correlated NOT EXISTS that plans as a left-anti join
+    // against orders. No c_phone in the fixture: market segment stands
+    // in for the country code, and "no orders" is scoped to the recent
+    // window so the anti join has survivors.
+    "tpch_q22" ->
+      """SELECT cntrycode, COUNT(*) AS numcust,
+        |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |    AS totacctbal
+        |FROM (SELECT c_mktsegment AS cntrycode, c_acctbal
+        |  FROM customer c
+        |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+        |    AND c_acctbal > (SELECT
+        |        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |          / COUNT(*)
+        |      FROM customer
+        |      WHERE c_acctbal > 0.00
+        |        AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE',
+        |          'MACHINERY'))
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey
+        |        AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'))
+        |  custsale
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
     "sql_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 1.5 * (
@@ -229,7 +429,8 @@ object SqlOps extends QueryModule {
         |ORDER BY l.user_id""".stripMargin)
 
   private def run(s: SparkSession, d: String, name: String): DataFrame = {
-    Seq("orders", "lineitem", "customer", "supplier", "nation", "region")
+    Seq("orders", "lineitem", "customer", "supplier", "nation", "region",
+        "part")
       .foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
     Tables.events(s, d).createOrReplaceTempView("events")
     s.sql(sqlTexts(name))
