@@ -1562,5 +1562,42 @@ object TextAnalysis extends QueryModule {
         |  md5(substr(text, 1, 64)) AS fp_prefix,
         |  list_min(list_transform(string_split(text,' '), w -> md5(w)))
         |    AS fp_minword
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // RollingMinHash reproduced exactly: min over every 16-char window of
+    // the polynomial hash sum(char * 257^j) mod 2^61-1. Each term
+    // multiplies a code point by the PRE-REDUCED power (257^j mod p, a
+    // compile-time constant) in HUGEINT — per-term products stay < 2^68
+    // and the 16-term sum < 2^65, so nothing overflows 128-bit before
+    // the final mod. Window positions come from a constant 1..4096
+    // series joined on i <= len-15 (DuckDB's generate_series takes no
+    // correlated bound; documents max length is 553 at the oracle SF,
+    // and the fixture text is pure ASCII so DuckDB code points ==
+    // JVM UTF-16 code units). LEFT JOIN + CASE keeps sub-16-char docs
+    // at the kernel's -1 sentinel.
+    "t_fingerprint_roll" ->
+      """SELECT d.doc_id,
+        |  CASE WHEN length(d.text) < 16 THEN CAST(-1 AS BIGINT)
+        |    ELSE CAST(MIN((
+        |      ord(substr(d.text, g.i + 0, 1)) * HUGEINT '2239439901988634850' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 1, 1)) * HUGEINT '1426313756255845444' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 2, 1)) * HUGEINT '1925590341354032494' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 3, 1)) * HUGEINT '1990338114309651345' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 4, 1)) * HUGEINT '851126774242789427' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 5, 1)) * HUGEINT '1788769982909602668' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 6, 1)) * HUGEINT '312013355238035786' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 7, 1)) * HUGEINT '584403925891549193' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 8, 1)) * HUGEINT '74051159531521793' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 9, 1)) * HUGEINT '288136807515649' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 10, 1)) * HUGEINT '1121154893057' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 11, 1)) * HUGEINT '4362470401' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 12, 1)) * HUGEINT '16974593' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 13, 1)) * HUGEINT '66049' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 14, 1)) * HUGEINT '257' % 2305843009213693951
+        |      + ord(substr(d.text, g.i + 15, 1)) * HUGEINT '1' % 2305843009213693951
+        |      ) % 2305843009213693951) AS BIGINT) END AS fp_roll16
+        |FROM documents d
+        |LEFT JOIN generate_series(1, 4096) g(i)
+        |  ON g.i <= length(d.text) - 15
+        |GROUP BY d.doc_id, length(d.text)
+        |ORDER BY d.doc_id""".stripMargin)
 }

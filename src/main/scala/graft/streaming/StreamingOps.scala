@@ -66,12 +66,20 @@ object StreamingOps extends QueryModule {
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      streamed.writeStream
+      val q = streamed.writeStream
         .format("memory").queryName(name)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
-        .awaitTermination()
+      q.awaitTermination()
+      // batch-level cost observability (opt-in): one line per micro-batch
+      // with the engine's own duration breakdown — the first place to
+      // look when a streaming query's FIXED cost (planning, state-store
+      // commit, offset log) needs explaining.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => Console.err.println(
+          s"[stream-debug] $name batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs}"))
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
