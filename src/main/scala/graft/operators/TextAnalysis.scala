@@ -266,6 +266,54 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // MAXIMAL duplicated-span extraction — the exact-substring dedup
+    // shape (Lee et al. 2022, "Deduplicating Training Data Makes
+    // Language Models Better") at span granularity: positions of
+    // 8-grams that occur in >1 document, merged per doc into maximal
+    // contiguous spans (union of [pos, pos+7] intervals via
+    // gaps-and-islands), reported as span count / covered words /
+    // duplicated fraction. The distributed suffix-array substitute:
+    // ONE positional explode, one shuffle BY GRAM (high-cardinality,
+    // skew-free) to find cross-doc grams, one shuffle BY DOC for the
+    // per-doc interval merge — both keys scale; no driver state. At
+    // corpus scale the gram key becomes xxhash64(gram); the raw string
+    // here keeps it oracle-verifiable.
+    "dedup_dup_spans" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id"),
+        posexplode(shinglesStrict(tokens(col("text")), 8))
+          .as(Seq("pos", "sh")))
+      val dup = base.groupBy("sh")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select("sh")
+      val pos = base.join(dup, Seq("sh")).select("doc_id", "pos")
+      // islands: a position extends the current span when its 8-word
+      // window [pos, pos+7] overlaps-or-touches the previous one
+      val spans = pos
+        .withColumn("brk",
+          when(col("pos") <= lag("pos", 1).over(w) + 8, 0L).otherwise(1L))
+        .withColumn("island", sum("brk").over(wRun))
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("s"), max("pos").as("e"))
+      val per = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("e") - col("s") + lit(8L)).as("dup_words"))
+      docs.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_words"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+          round(coalesce(col("dup_words").cast("double"), lit(0.0)) /
+            col("n_words"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // composed quality-filter funnel: the per-stage survivor counts a
     // curation run reports. ONE scan computes every cumulative flag;
     // thresholds are integer-arithmetic comparisons so both engines
@@ -1195,6 +1243,39 @@ object TextAnalysis extends QueryModule {
         |SELECT a.w || ' ' || b.w AS pair, count(*) AS n
         |FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
         |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // positional 8-gram spans: same lateral-unnest shape as
+    // dedup_span_8gram plus the gaps-and-islands interval merge
+    "dedup_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |    array_to_string(l[i:i+7], ' ') AS sh
+        |  FROM toks, unnest(range(1, len(l) - 6)) AS t(i)
+        |  WHERE len(l) >= 8),
+        |dup AS (SELECT sh FROM sh GROUP BY sh
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |pos AS (SELECT doc_id, pos FROM sh JOIN dup USING (sh)),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN pos <= LAG(pos) OVER
+        |        (PARTITION BY doc_id ORDER BY pos) + 8
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM pos),
+        |isl2 AS (SELECT doc_id, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e
+        |  FROM isl2 GROUP BY doc_id, island),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+        |    CAST(SUM(e - s + 8) AS BIGINT) AS dup_words
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(COALESCE(p.dup_words, 0) AS BIGINT) AS dup_words,
+        |  round(COALESCE(CAST(p.dup_words AS DOUBLE), 0.0)
+        |    / len(string_split(d.text, ' ')), 6) AS dup_frac
+        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_span_8gram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
         |  FROM documents),
