@@ -314,6 +314,45 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // duplicated-span REMOVAL — the curation step dedup_dup_spans only
+    // measures: tokens inside a cross-document 8-gram window whose
+    // FIRST occurrence (min doc_id over docs containing that gram) lies
+    // in an earlier document are stripped; the earliest holder keeps its
+    // text intact. Exact-substring corpus cleaning with deterministic
+    // first-wins ownership. Plan: gram shuffle for per-gram min owner,
+    // coverage explode (≤8 rows per removed position), one doc-keyed
+    // anti join of token positions against covered indexes, ordered
+    // reassembly via sorted struct collect — every shuffle key is
+    // doc_id or gram, both high-cardinality; no driver state.
+    "t_strip_dup_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id"),
+        posexplode(shinglesStrict(tokens(col("text")), 8))
+          .as(Seq("pos", "sh")))
+      val owner = base.groupBy("sh").agg(min("doc_id").as("own"))
+      val removed = base.join(owner, Seq("sh"))
+        .filter(col("own") < col("doc_id"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + 7)).as("widx"))
+        .distinct()
+      val toks = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("widx", "w")))
+      val kept = toks.join(removed, Seq("doc_id", "widx"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("widx"), col("w")))),
+            x => x.getField("w"))).as("cleaned_text"))
+      docs.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_words"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("n_words") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_removed_words"),
+          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+        .orderBy("doc_id")
+    }),
+
     // composed quality-filter funnel: the per-stage survivor counts a
     // curation run reports. ONE scan computes every cumulative flag;
     // thresholds are integer-arithmetic comparisons so both engines
@@ -1243,6 +1282,35 @@ object TextAnalysis extends QueryModule {
         |SELECT a.w || ' ' || b.w AS pair, count(*) AS n
         |FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
         |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // first-wins span removal: per-gram min-doc ownership, 8-wide
+    // coverage union, anti-join reassembly with ordered string_agg
+    "t_strip_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |    array_to_string(l[i:i+7], ' ') AS sh
+        |  FROM toks, unnest(range(1, len(l) - 6)) AS t(i)
+        |  WHERE len(l) >= 8),
+        |own AS (SELECT sh, MIN(doc_id) AS own FROM sh GROUP BY sh),
+        |rem AS (SELECT DISTINCT s.doc_id, s.pos + o.off AS widx
+        |  FROM (SELECT s2.doc_id, s2.pos FROM sh s2
+        |      JOIN own USING (sh) WHERE own.own < s2.doc_id) s,
+        |    unnest(range(0, 8)) AS o(off)),
+        |tok2 AS (SELECT doc_id,
+        |    generate_subscripts(l, 1) - 1 AS widx, unnest(l) AS w
+        |  FROM toks),
+        |keep AS (SELECT t.doc_id,
+        |    COUNT(*) AS n_kept,
+        |    string_agg(t.w, ' ' ORDER BY t.widx) AS cleaned_text
+        |  FROM tok2 t LEFT JOIN rem r
+        |    ON t.doc_id = r.doc_id AND t.widx = r.widx
+        |  WHERE r.widx IS NULL GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' '))
+        |    - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed_words,
+        |  COALESCE(k.cleaned_text, '') AS cleaned_text
+        |FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // positional 8-gram spans: same lateral-unnest shape as
     // dedup_span_8gram plus the gaps-and-islands interval merge
     "dedup_dup_spans" ->

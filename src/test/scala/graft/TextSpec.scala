@@ -92,6 +92,47 @@ class TextSpec extends SparkSuite {
       "w", "est</w>", "l", "o", "w", "</w>"))
   }
 
+  test("dup-span islands: overlap merges, touch merges, gaps split") {
+    val tmp = java.nio.file.Files.createTempDirectory("spans").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val sA = toks("a", 8); val sB = toks("b", 8)   // 8-token shared blocks
+    val sS = toks("s", 8); val sC = toks("c", 8)
+    val sT = toks("t", 9)                          // 9 tokens → 2 overlapping grams
+    val docs = Seq(
+      (1L, s"$sS ${toks("u", 10)} $sC"),           // two separated blocks
+      (2L, s"$sS ${toks("v", 10)} $sC"),
+      (3L, s"$sT ${toks("w", 5)}"),                // overlap: pos 0,1 → one span
+      (4L, s"${toks("x", 3)} $sT"),
+      (7L, s"$sA $sB"),                            // touch: pos 0,8 → one span
+      (8L, s"$sB ${toks("y", 3)} $sA")             // gap: pos 0,11 → two spans
+    ).map { case (id, t) => (id, t, "xx", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = SparkEntry.queries("dedup_dup_spans")(spark, tmp)
+      .select("doc_id", "n_dup_spans", "dup_words", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(1L) === ((2L, 16L, 0.615385)), "separated blocks stay two spans")
+    assert(r(2L) === ((2L, 16L, 0.615385)))
+    assert(r(3L) === ((1L, 9L, 0.642857)), "overlapping grams merge")
+    assert(r(4L) === ((1L, 9L, 0.75)))
+    assert(r(7L) === ((1L, 16L, 1.0)), "touching windows merge to full doc")
+    assert(r(8L) === ((2L, 16L, 0.842105)), "an 11-position gap splits")
+
+    // first-wins removal on the same fixture: the earliest doc holding a
+    // gram keeps its text; later holders lose the covered words
+    val c = SparkEntry.queries("t_strip_dup_spans")(spark, tmp)
+      .select("doc_id", "n_removed_words", "cleaned_text")
+      .as[(Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(c(1L)._1 === 0L, "first holder keeps everything")
+    assert(c(2L) === ((16L, toks("v", 10))), "both copied blocks stripped")
+    assert(c(3L)._1 === 0L)
+    assert(c(4L) === ((9L, toks("x", 3))), "9-token overlap span stripped")
+    assert(c(7L)._1 === 0L, "doc 7 owns both blocks (7 < 8)")
+    assert(c(8L) === ((16L, toks("y", 3))), "later doc loses both blocks")
+  }
+
   test("shift-stable: prefix insertion far from the min window keeps fp") {
     val core = "zzz unique rare window payload qqq and lots of filler text"
     // the minimal 16-gram lives inside `core`; shifting it right by a

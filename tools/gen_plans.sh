@@ -32,7 +32,9 @@ s17_xml_roundtrip s18_dynamic_partition_overwrite s19_gdx_time_travel \
 t_quality_classifier t_fim_split a25_ks_drift a26_ab_ttest \
 sim_prefix_dim_eval w19_autocorr7 t_token_dropout c11_compact_roundtrip \
 e_rfm_segmentation w20_seasonal_index a27_benford a28_gini set_except_all \
-tpch_q4 tpch_q18 dedup_pipeline"
+tpch_q4 tpch_q18 dedup_pipeline tpch_q7 tpch_q8 tpch_q10 tpch_q13 \
+tpch_q14 tpch_q15 tpch_q17 tpch_q19 tpch_q21 tpch_q22 t_fingerprint_roll \
+dedup_dup_spans"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
