@@ -408,6 +408,26 @@ object SqlOps extends QueryModule {
         |  LIMIT 3) o ON true
         |WHERE c.c_custkey <= 50
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    // front-door window-function parity: named WINDOW clause shared by
+    // three aggregates, a time-RANGE frame (INTERVAL PRECEDING over the
+    // event-time order — frame membership is BY VALUE, so ties are
+    // frame-inclusive and deterministic on both engines), and a row
+    //-frame lag beside it. Value sums ride the exact-decimal discipline
+    // because tie ORDER within the frame differs between engines while
+    // the frame CONTENT does not. The DataFrame twin is w10_range_frame;
+    // this is the identical-text parser/semantics check.
+    "sql_window_frames" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        |    OVER w3h AS DOUBLE), 6) AS sum_3h,
+        |  COUNT(*) OVER w3h AS n_3h,
+        |  round(CAST(MIN(CAST(value AS DECIMAL(18,6)))
+        |    OVER w3h AS DOUBLE), 6) AS min_3h
+        |FROM events
+        |WHERE user_id < 10
+        |WINDOW w3h AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     // the reference's 30-back delta in its original CTE shape
     // (/root/reference/src/analyze.py:64-84), generalized per key
     "sql_cte_delta" ->
