@@ -180,6 +180,46 @@ object SqlOps extends QueryModule {
         |                        AND TIMESTAMP '1997-12-31 00:00:00'
         |    AND p_type = 'PROMO') all_nations
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // TPC-H Q9 shape (product-type profit) — the 6-table profit rollup
+    // grouped by supplier nation × order year, with the part-name LIKE
+    // filter (the one TPC-H dim predicate shape not yet in the front
+    // door; it cannot reach the parquet reader as a pushed filter, so it
+    // evaluates in the scan's Filter operator before the join). The
+    // fixture has no partsupp/ps_supplycost: half the retail price
+    // stands in for unit cost, keeping the profit-expression shape.
+    // Cost arithmetic stays in the 4-decimal exact envelope.
+    "tpch_q9" ->
+      """SELECT nation, o_year,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,4)))
+        |    AS DOUBLE), 6) AS sum_profit
+        |FROM (SELECT n_name AS nation,
+        |    CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |    l_extendedprice, l_discount, l_quantity, p_retailprice
+        |  FROM part, supplier, lineitem, orders, nation
+        |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |    AND p_name LIKE '%a%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    // TPC-H Q12 shape (shipping modes / priority classes) — the
+    // two-class conditional count after a fact-fact join: every line in
+    // the date window classifies its order as critical-priority or not,
+    // in ONE pass (CASE inside SUM; no second scan or self-join). The
+    // fixture has no l_shipmode; l_returnflag takes the group role.
+    // Counts cast to BIGINT on both engines (DuckDB widens integer SUM
+    // to HUGEINT).
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT',
+        |    '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // TPC-H Q10 (returned-item reporting) — top-20 customers by revenue
     // lost to returns in one quarter. Wide group-by keys (the customer
     // attributes ride the group-by, not a re-join), TakeOrdered caps the
