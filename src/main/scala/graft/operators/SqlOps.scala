@@ -182,9 +182,9 @@ object SqlOps extends QueryModule {
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
     // TPC-H Q9 shape (product-type profit) — the 6-table profit rollup
     // grouped by supplier nation × order year, with the part-name LIKE
-    // filter (the one TPC-H dim predicate shape not yet in the front
-    // door; it cannot reach the parquet reader as a pushed filter, so it
-    // evaluates in the scan's Filter operator before the join). The
+    // filter — the one TPC-H dim predicate shape not yet in the front
+    // door; '%a%' pushes as a StringContains data filter to the part
+    // scan (PLANS.md shows it in PushedFilters) before the join. The
     // fixture has no partsupp/ps_supplycost: half the retail price
     // stands in for unit cost, keeping the profit-expression shape.
     // Cost arithmetic stays in the 4-decimal exact envelope.
