@@ -50,6 +50,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *    caveat; the protocol point is snapshot reads, not multi-writer
   *    arbitration).
   *
+  *  - **Zone-map file skipping**: each commit publishes per-file
+  *    statistics (row count, min/max of `k`) IN the manifest line;
+  *    `planInputPartitions` drops every file whose range provably
+  *    misses the pushed k-predicates, so a selective read plans a
+  *    slice of the snapshot instead of all of it (the data-skipping
+  *    half of the Iceberg/Delta manifest design — at 100 TB this is
+  *    the difference between a full-table scan and touching the few
+  *    files a key range lives in). Appends carry prior files' stats
+  *    forward untouched; legacy stats-less manifest lines are simply
+  *    never skipped.
+  *  - **Metadata-only aggregates**: ungrouped COUNT(*)/MIN(k)/MAX(k)
+  *    with no row-filtering predicate are answered COMPLETELY from the
+  *    manifest zone maps (`supportCompletePushDown`) — the driver folds
+  *    the stats at planning time and the "scan" ships one finished row,
+  *    opening zero data files.
+  *
   * All I/O goes through the Hadoop `FileSystem` resolved from the path
   * (the Maintenance/TableSwap discipline), so the same connector runs on
   * file://, hdfs://, and object stores; executor-side tasks carry the
@@ -90,6 +106,20 @@ class SerializableHadoopConf(@transient var conf: Configuration)
   }
 }
 
+/** Per-file zone map published in the manifest: row count + min/max of
+  * `k`. `rows == 0` files carry an empty range (minK > maxK) and are
+  * prunable by ANY k-predicate. Legacy manifest lines (file name only)
+  * parse to `stats = None` — never pruned. */
+case class GdxFileStats(rows: Long, minK: Long, maxK: Long)
+
+case class GdxFileEntry(name: String, stats: Option[GdxFileStats]) {
+  /** Manifest line: `name` alone (no stats) or `name\trows\tmin\tmax`. */
+  def manifestLine: String = stats match {
+    case Some(s) => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}"
+    case None    => name
+  }
+}
+
 object GdxSource {
   val schema: StructType = StructType(Seq(
     StructField("k", LongType), StructField("v", StringType)))
@@ -114,13 +144,14 @@ object GdxSource {
       .map(_.getPath.getName.stripPrefix("_manifest-").toInt).sorted
   }
 
-  /** Files the chosen snapshot has published (empty if never
-    * committed). `version < 0` resolves the LATEST version — falling
-    * back to the legacy un-numbered `_manifest` for directories written
-    * before versioning; an explicit version must exist (a vacuumed or
-    * never-written snapshot is an error, not an empty read). */
-  def committedFiles(path: String, conf: Configuration,
-                     version: Int = -1): Seq[Path] = {
+  /** Manifest entries (file name + optional zone-map stats) the chosen
+    * snapshot has published (empty if never committed). `version < 0`
+    * resolves the LATEST version — falling back to the legacy
+    * un-numbered `_manifest` for directories written before versioning;
+    * an explicit version must exist (a vacuumed or never-written
+    * snapshot is an error, not an empty read). */
+  def committedEntries(path: String, conf: Configuration,
+                       version: Int = -1): Seq[GdxFileEntry] = {
     val fs = new Path(path).getFileSystem(conf)
     val m =
       if (version >= 0) {
@@ -137,10 +168,44 @@ object GdxSource {
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(m), "UTF-8"))
       try Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .filter(_.nonEmpty).map(new Path(path, _)).toList
+        .filter(_.nonEmpty).map(parseManifestLine).toList
       finally in.close()
     }
   }
+
+  private def parseManifestLine(line: String): GdxFileEntry =
+    line.split('\t') match {
+      case Array(name, rows, mn, mx) =>
+        GdxFileEntry(name,
+          Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong)))
+      case _ => GdxFileEntry(line, None)
+    }
+
+  /** File paths of the chosen snapshot (stats dropped). */
+  def committedFiles(path: String, conf: Configuration,
+                     version: Int = -1): Seq[Path] =
+    committedEntries(path, conf, version).map(e => new Path(path, e.name))
+
+  /** Zone-map file skipping: keep an entry unless its published k-range
+    * PROVES no row can satisfy every pushed k-predicate. Stats-less
+    * (legacy) entries are never skipped; empty files (minK > maxK) are
+    * skipped by any k-predicate. Pure — unit-testable without a
+    * FileSystem. */
+  def pruneByStats(entries: Seq[GdxFileEntry],
+                   pushed: Seq[Filter]): Seq[GdxFileEntry] =
+    entries.filter { e =>
+      e.stats.forall { st =>
+        pushed.forall {
+          case EqualTo("k", w: Number) =>
+            st.minK <= w.longValue && w.longValue <= st.maxK
+          case GreaterThan("k", b: Number)        => st.maxK > b.longValue
+          case GreaterThanOrEqual("k", b: Number) => st.maxK >= b.longValue
+          case LessThan("k", b: Number)           => st.minK < b.longValue
+          case LessThanOrEqual("k", b: Number)    => st.minK <= b.longValue
+          case _                                  => true
+        }
+      }
+    }
 
   /** Retention: keep the last `keepLast` snapshots, drop older
     * manifests, then delete every data file NO retained manifest
@@ -219,12 +284,8 @@ class GdxScanBuilder(path: String, version: Int)
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def isPartiallyPushed(): Boolean = true
 
-  /** Ungrouped COUNT(*) / MIN(k) / MAX(k) collapse to ONE partial row
-    * per file — the scan moves per-file statistics, not data; Spark
-    * runs the final merge (partial pushdown, not complete). */
-  override def supportCompletePushDown(agg: Aggregation): Boolean = false
-  override def pushAggregation(agg: Aggregation): Boolean = {
-    if (agg.groupByExpressions().nonEmpty) return false
+  private def aggShape(agg: Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions().nonEmpty) return None
     def isK(e: org.apache.spark.sql.connector.expressions.Expression) =
       e match {
         case r: NamedReference => r.fieldNames().toSeq == Seq("k")
@@ -234,20 +295,48 @@ class GdxScanBuilder(path: String, version: Int)
       case _: CountStar            => "count"
       case m: Min if isK(m.column) => "min"
       case m: Max if isK(m.column) => "max"
-      case _                       => return false
+      case _                       => return None
     }
-    aggOps = Some(ops.toSeq)
-    true
+    Some(ops.toSeq)
   }
 
+  private var metaComplete = false
+
+  /** COMPLETE pushdown — the metadata-only query: when every manifest
+    * entry publishes a zone map and no row-filtering predicate is
+    * pushed (IsNotNull guards are vacuous — k/v never parse as NULL),
+    * ungrouped COUNT(*)/MIN(k)/MAX(k) are EXACTLY the manifest sums:
+    * no file is opened at all. Otherwise falls back to partial
+    * pushdown: ONE pre-aggregated row per file, Spark merges. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    metaComplete = aggShape(agg).isDefined &&
+      pushed.forall(_.isInstanceOf[IsNotNull]) &&
+      GdxSource.committedEntries(path, GdxSource.driverConf(), version)
+        .forall(_.stats.isDefined)
+    metaComplete
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    aggShape(agg) match {
+      case Some(ops) => aggOps = Some(ops); true
+      case None      => metaComplete = false; false
+    }
+
   override def build(): Scan = new GdxScan(path, version, pushed, limit,
-    aggOps)
+    aggOps, metaComplete && aggOps.isDefined)
 }
 
 case class GdxFilePartition(file: String) extends InputPartition
 
+/** The pre-computed answer of a metadata-only aggregate — the driver
+  * folds the manifest zone maps at planning time and ships the finished
+  * row; the "scan" reads nothing. */
+case class GdxMetaResultPartition(values: Seq[Option[Long]])
+    extends InputPartition
+
 class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
-              aggOps: Option[Seq[String]]) extends Scan with Batch {
+              aggOps: Option[Seq[String]], metaOnly: Boolean = false)
+    extends Scan with Batch {
   override def readSchema(): StructType = aggOps match {
     case Some(ops) => StructType(ops.zipWithIndex.map { case (op, i) =>
       StructField(s"${op}_$i", LongType, nullable = op != "count")
@@ -255,18 +344,46 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
     case None => GdxSource.schema
   }
   override def toBatch: Batch = this
+
+  // the snapshot's manifest entries and the zone-map-surviving subset,
+  // resolved once at planning time (driver-side manifest read only)
+  private lazy val entries: Seq[GdxFileEntry] =
+    GdxSource.committedEntries(path, GdxSource.driverConf(), version)
+      .sortBy(_.name)
+  private lazy val kept: Seq[GdxFileEntry] =
+    GdxSource.pruneByStats(entries, pushed.toSeq)
+
   override def description(): String =
     s"GdxScan pushed=[${pushed.mkString(", ")}]" +
+      s" files=${(if (metaOnly) 0 else kept.size)}/${entries.size}" +
       (if (version >= 0) s" version=$version" else "") +
       (if (limit >= 0) s" limit=$limit" else "") +
-      aggOps.map(o => s" agg=[${o.mkString(", ")}]").getOrElse("")
+      aggOps.map(o => s" agg=[${o.mkString(", ")}]" +
+        (if (metaOnly) " COMPLETE(manifest)" else "")).getOrElse("")
 
   // plan ONLY the chosen snapshot's manifest-published files — stray
-  // tmp/uncommitted data AND later commits are invisible by construction
+  // tmp/uncommitted data AND later commits are invisible by
+  // construction — and of those, only the files whose manifest zone map
+  // ([min,max] of k) can intersect the pushed k-predicates: at scale,
+  // stats-based file skipping turns a full-snapshot scan into a slice
+  // proportional to the selected range (the Iceberg/Delta data-skipping
+  // pattern, reduced to its manifest essentials)
   override def planInputPartitions(): Array[InputPartition] =
-    GdxSource.committedFiles(path, GdxSource.driverConf(), version)
-      .sortBy(_.toString)
-      .map(f => GdxFilePartition(f.toString): InputPartition).toArray
+    if (metaOnly) {
+      // fold the zone maps into the finished aggregate row right here —
+      // one partition, zero file reads
+      val stats = entries.flatMap(_.stats)
+      val live = stats.filter(_.rows > 0)
+      val n = stats.map(_.rows).sum
+      val row = aggOps.get.map {
+        case "count" => Some(n)
+        case "min"   => if (live.isEmpty) None else Some(live.map(_.minK).min)
+        case "max"   => if (live.isEmpty) None else Some(live.map(_.maxK).max)
+      }
+      Array(GdxMetaResultPartition(row))
+    } else
+      kept.map(e => GdxFilePartition(
+        new Path(path, e.name).toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GdxReaderFactory(pushed, limit, aggOps,
@@ -277,14 +394,23 @@ class GdxReaderFactory(pushed: Array[Filter], limit: Int,
                        aggOps: Option[Seq[String]],
                        conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val base = new GdxFileReader(
-      p.asInstanceOf[GdxFilePartition].file, pushed, limit, conf)
-    aggOps match {
-      case Some(ops) => new GdxAggReader(base, ops)
-      case None      => base
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case GdxMetaResultPartition(values) =>
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = { val r = !done; done = true; r }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(values.map(_.map(Long.box).orNull))
+          override def close(): Unit = ()
+        }
+      case GdxFilePartition(file) =>
+        val base = new GdxFileReader(file, pushed, limit, conf)
+        aggOps match {
+          case Some(ops) => new GdxAggReader(base, ops)
+          case None      => base
+        }
     }
-  }
 }
 
 /** Line reader applying the pushed predicates before materializing and
@@ -381,7 +507,8 @@ class GdxWrite(path: String, replace: Boolean) extends Write {
   override def toBatch: BatchWrite = new GdxBatchWrite(path, replace)
 }
 
-case class GdxCommitMessage(tmpName: String) extends WriterCommitMessage
+case class GdxCommitMessage(tmpName: String, stats: GdxFileStats)
+    extends WriterCommitMessage
 
 class GdxBatchWrite(path: String, replace: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
@@ -399,19 +526,22 @@ class GdxBatchWrite(path: String, replace: Boolean) extends BatchWrite {
     val conf = GdxSource.driverConf()
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
+    // append carries the previous snapshot's entries forward WITH their
+    // zone-map stats — a file's published range never changes, so stats
+    // survive any number of append commits without re-reading data
     val prev =
       if (replace) Seq.empty
-      else GdxSource.committedFiles(path, conf).map(_.getName)
+      else GdxSource.committedEntries(path, conf)
     val newVersion = (GdxSource.listVersions(path, conf) :+ 0).max + 1
-    val finals = messages.collect { case GdxCommitMessage(tmp) =>
+    val finals = messages.collect { case GdxCommitMessage(tmp, stats) =>
       val fin = f"v$newVersion%08d-" + tmp.stripSuffix(".tmp")
       val dst = new Path(base, fin)
       if (fs.exists(dst)) fs.delete(dst, false)
       val ok = fs.rename(new Path(base, tmp), dst)
       require(ok, s"gdx commit: rename $tmp -> $fin failed")
-      fin
+      GdxFileEntry(fin, Some(stats))
     }
-    val published = (prev ++ finals).sorted
+    val published = (prev ++ finals).sortBy(_.name).map(_.manifestLine)
     val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
       fs.create(GdxSource.manifestFor(path, newVersion), true), "UTF-8"))
     try published.foreach(out.println) finally out.close()
@@ -426,7 +556,7 @@ class GdxBatchWrite(path: String, replace: Boolean) extends BatchWrite {
     val conf = GdxSource.driverConf()
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
-    messages.collect { case GdxCommitMessage(tmp) =>
+    messages.collect { case GdxCommitMessage(tmp, _) =>
       fs.delete(new Path(base, tmp), false)
     }
   }
@@ -451,18 +581,29 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
   private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
     target.getFileSystem(conf.conf).create(target, true), "UTF-8"))
 
+  // zone map accumulated as rows stream through — an empty task keeps
+  // the inverted sentinel range (minK > maxK), which the manifest
+  // publishes and pruning treats as matching no predicate
+  private var rows = 0L
+  private var minK = Long.MaxValue
+  private var maxK = Long.MinValue
+
   override def write(r: InternalRow): Unit = {
     val v = r.getUTF8String(1).toString
     // the line format has no escaping: a separator/terminator inside v
     // would split the row on read — reject at write time, loudly
     require(v.indexOf('\t') < 0 && v.indexOf('\n') < 0 && v.indexOf('\r') < 0,
       "gdx write: value must not contain tab/newline (unescaped line format)")
-    out.print(r.getLong(0)); out.print('\t')
+    val k = r.getLong(0)
+    rows += 1
+    if (k < minK) minK = k
+    if (k > maxK) maxK = k
+    out.print(k); out.print('\t')
     out.println(v)
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    GdxCommitMessage(name)
+    GdxCommitMessage(name, GdxFileStats(rows, minK, maxK))
   }
   override def abort(): Unit = {
     out.close()

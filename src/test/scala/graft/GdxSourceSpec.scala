@@ -117,6 +117,90 @@ class GdxSourceSpec extends SparkSuite {
     assert(df.count() === 7)
   }
 
+  test("pruneByStats: zone-map boundary semantics, pure") {
+    import graft.sources.{GdxFileEntry, GdxFileStats, GdxSource}
+    import org.apache.spark.sql.sources._
+    val e = Seq(
+      GdxFileEntry("a", Some(GdxFileStats(5, 10, 20))),
+      GdxFileEntry("b", Some(GdxFileStats(5, 30, 40))),
+      GdxFileEntry("legacy", None),
+      GdxFileEntry("empty",
+        Some(GdxFileStats(0, Long.MaxValue, Long.MinValue))))
+    def names(fs: Filter*) = GdxSource.pruneByStats(e, fs).map(_.name)
+    assert(names(EqualTo("k", 20L)) === Seq("a", "legacy"))
+    assert(names(GreaterThan("k", 20L)) === Seq("b", "legacy"))
+    assert(names(GreaterThanOrEqual("k", 20L)) === Seq("a", "b", "legacy"))
+    assert(names(LessThan("k", 10L)) === Seq("legacy"))
+    assert(names(LessThanOrEqual("k", 10L)) === Seq("a", "legacy"))
+    assert(names(GreaterThan("k", 15L), LessThan("k", 35L)) ===
+      Seq("a", "b", "legacy"), "conjunction prunes per-predicate")
+    assert(names(EqualTo("v", "x")) === Seq("a", "b", "legacy", "empty"),
+      "v-predicates never prune (zone map covers k only)")
+    assert(names() === e.map(_.name))
+  }
+
+  test("zone maps prune files the pushed k-range cannot touch") {
+    val dir = freshDir("zm")
+    (1L to 1000L).map(i => (i, "x")).toDF("k", "v")
+      .repartitionByRange(10, col("k"))
+      .write.format("graft.sources.GdxSource")
+      .option("path", dir).mode("append").save()
+    assert(read(dir).rdd.getNumPartitions === 10)
+    val narrow = read(dir).filter(col("k") >= 150 && col("k") <= 160)
+    assert(narrow.rdd.getNumPartitions <= 2,
+      "only files whose [min,max] overlaps [150,160] may be planned")
+    assert(narrow.count() === 11, "pruning must not lose rows")
+    assert(read(dir).filter(col("k") > 5000).rdd.getNumPartitions === 0,
+      "a range beyond every zone map plans nothing")
+  }
+
+  test("empty files are pruned by any k-predicate") {
+    val dir = freshDir("emptyf")
+    write(dir, Seq((5L, "x"))) // repartition(2) leaves one empty file
+    val df = read(dir).filter(col("k") === 5)
+    assert(df.rdd.getNumPartitions === 1)
+    assert(df.count() === 1)
+  }
+
+  test("no-filter count/min/max answered from the manifest alone") {
+    val dir = freshDir("meta")
+    write(dir, (1L to 100L).map(i => (i, "x")))
+    write(dir, (101L to 150L).map(i => (i, "y"))) // append carries stats
+    val df = read(dir).agg(count(lit(1)).as("n"),
+      min("k").as("mn"), max("k").as("mx"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("COMPLETE(manifest)"), plan.take(1500))
+    assert(df.collect().head.toSeq === Seq(150L, 1L, 150L))
+    // the proof no data file is opened: corrupt them all, same answer
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gdx")).foreach { f =>
+        java.nio.file.Files.writeString(f.toPath, "garbage-no-tab\n")
+      }
+    assert(read(dir).agg(count(lit(1)), min("k"), max("k"))
+      .collect().head.toSeq === Seq(150L, 1L, 150L))
+  }
+
+  test("legacy stats-less manifests still read, never prune") {
+    import scala.jdk.CollectionConverters._
+    val dir = freshDir("legacy")
+    write(dir, (1L to 50L).map(i => (i, "x")))
+    for (mf <- new java.io.File(dir).listFiles()
+         if mf.getName.startsWith("_manifest")) {
+      val stripped = java.nio.file.Files.readAllLines(mf.toPath)
+        .asScala.map(_.split('\t')(0)).mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(mf.toPath, stripped)
+      // drop the LocalFileSystem checksum sidecar the rewrite stales
+      new java.io.File(dir, s".${mf.getName}.crc").delete()
+    }
+    val df = read(dir).filter(col("k") <= 5)
+    assert(df.rdd.getNumPartitions === 2, "no stats -> no pruning")
+    assert(df.count() === 5)
+    val agg = read(dir).agg(count(lit(1)))
+    assert(!agg.queryExecution.executedPlan.toString.contains("COMPLETE"),
+      "metadata-only path requires stats on every entry")
+    assert(agg.collect().head.getLong(0) === 50L)
+  }
+
   test("supported predicates are pushed; others stay post-scan") {
     val dir = freshDir("push")
     write(dir, (1L to 100L).map(i => (i, if (i % 2 == 0) "e" else "o")))
