@@ -92,4 +92,71 @@ object Quantiles {
                              probs: Seq[Double]): Seq[Double] =
     exactQuantiles(df, valueCol, probs).map(v =>
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** Per-group exact trimmed core by DISTRIBUTED RANK — the selection
+    * analog of `exactQuantiles` for "drop the bottom/top `frac` of rows
+    * per group under a deterministic total order". A per-group
+    * `row_number` window parallelizes by GROUP COUNT (3 tasks sort
+    * everything when there are 3 groups — the window shape dies first
+    * at 100 TB); here the range exchange on the FULL sort key spreads
+    * every group across all partitions, per-(partition, group) counts
+    * make one bounded driver round-trip (P·G longs), and global
+    * per-group ranks are then just local position + offset — each
+    * partition keeps only its slice of every group's core and emits
+    * one partial (count, exact scaled-long sum) per group it touched.
+    *
+    * Input columns (by name): `g` STRING group, `cents` LONG scaled
+    * value (also the leading sort dimension after `g`), `k1`/`k2` LONG
+    * tie-breakers completing the total order. Keeps 0-based ranks in
+    * [floor(n·frac), n - floor(n·frac)) per group — identical membership
+    * to the 1-based `rn > floor(n·frac) AND rn <= n - floor(n·frac)`
+    * window filter. Returns (g, n_core LONG, sum_cents LONG) with one
+    * row per group, exact. */
+  def trimmedCorePerGroup(df: DataFrame, frac: Double,
+                          parts: Int = 32): Seq[(String, Long, Long)] = {
+    // no checkpoint: both driver round-trips re-read the SAME shuffle
+    // stage output (Spark caches map-stage shuffle files across jobs in
+    // a session), so only the cheap post-shuffle sort re-runs
+    val laid = df
+      .repartitionByRange(parts, col("g"), col("cents"), col("k1"),
+        col("k2"))
+      .sortWithinPartitions("g", "cents", "k1", "k2")
+    val rdd = laid.select("g", "cents").rdd
+      .map(r => (r.getString(0), r.getLong(1)))
+    // (partition, group) -> rows, in partition-then-encounter order
+    val counts = rdd.mapPartitionsWithIndex((i, it) => {
+      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+      it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1) }
+      Iterator((i, m.toList))
+    }, preservesPartitioning = true).collect().sortBy(_._1)
+    val totals = scala.collection.mutable.Map[String, Long]()
+    val offsets = scala.collection.mutable.Map[(Int, String), Long]()
+    for ((pid, gs) <- counts; (g, c) <- gs) {
+      offsets((pid, g)) = totals.getOrElse(g, 0L)
+      totals(g) = totals.getOrElse(g, 0L) + c
+    }
+    val bounds: Map[String, (Long, Long)] = totals.map { case (g, n) =>
+      val lo = math.floor(n * frac).toLong
+      g -> (lo, n - lo)
+    }.toMap
+    val off = offsets.toMap
+    val partials = rdd.mapPartitionsWithIndex { (i, it) =>
+      val pos = scala.collection.mutable.Map[String, Long]()
+      val cnt = scala.collection.mutable.Map[String, Long]()
+      val sums = scala.collection.mutable.Map[String, Long]()
+      it.foreach { case (g, cents) =>
+        val r = pos.getOrElse(g, off.getOrElse((i, g), 0L))
+        pos(g) = r + 1
+        val (lo, hi) = bounds(g)
+        if (r >= lo && r < hi) {
+          cnt(g) = cnt.getOrElse(g, 0L) + 1
+          sums(g) = sums.getOrElse(g, 0L) + cents
+        }
+      }
+      cnt.keysIterator.map(g => (g, cnt(g), sums(g)))
+    }.collect()
+    partials.groupBy(_._1).toSeq.map { case (g, ps) =>
+      (g, ps.map(_._2).sum, ps.map(_._3).sum)
+    }.sortBy(_._1)
+  }
 }

@@ -33,6 +33,33 @@ class OperatorSpec extends SparkSuite {
       assert(math.abs(g - w) < 1e-9 * math.abs(w), s"got $g2 want $w2") }
   }
 
+  test("trimmedCorePerGroup ≡ per-group row_number window trim") {
+    import graft.operators.Quantiles
+    val W = org.apache.spark.sql.expressions.Window
+    // groups of very different sizes incl. a 1-row and a 4-row group
+    // (floor(n·0.1)=0 → nothing trimmed), duplicate cents values to
+    // exercise the k1/k2 tie-break, more partitions than one group fills
+    val rows = (1L to 200L).map(i => ("a", (i % 17) * 10, i, i % 3)) ++
+      (1L to 40L).map(i => ("b", (i % 5) * 100, i, 0L)) ++
+      Seq(("c", 7L, 1L, 0L)) ++
+      (1L to 4L).map(i => ("d", 50L - i, i, 0L))
+    val df = rows.toDF("g", "cents", "k1", "k2")
+    val got = Quantiles.trimmedCorePerGroup(df, 0.1, parts = 8)
+    val n = df.groupBy("g").agg(count(lit(1)).as("n"))
+    val want = df.join(broadcast(n), "g")
+      .withColumn("rn", row_number().over(W.partitionBy("g")
+        .orderBy(col("cents"), col("k1"), col("k2"))))
+      .filter(col("rn") > floor(col("n") * 0.1) &&
+        col("rn") <= col("n") - floor(col("n") * 0.1))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_core"), sum("cents").as("s"))
+      .orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === want)
+    assert(got.find(_._1 == "c").get._2 === 1L, "1-row group keeps its row")
+    assert(got.find(_._1 == "d").get._2 === 4L, "n=4, frac=0.1 trims none")
+  }
+
   test("multimodal: histogram normalized, frames sampled, bytes intact") {
     val media = Multimodal.mediaTable(spark, sf())
     val feats = Multimodal.extractFeatures(media).collect()
