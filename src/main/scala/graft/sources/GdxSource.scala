@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => rstreaming}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
@@ -65,6 +66,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    manifest zone maps (`supportCompletePushDown`) — the driver folds
   *    the stats at planning time and the "scan" ships one finished row,
   *    opening zero data files.
+  *  - **Changefeed** (`MICRO_BATCH_READ`): manifest versions double as
+  *    stream offsets — `readStream` on the same directory batch jobs
+  *    commit into delivers each commit's ADDED files as a micro-batch
+  *    ([[GdxMicroBatchStream]]); the table is its own changefeed, no
+  *    listing diffs or notification service.
   *
   * All I/O goes through the Hadoop `FileSystem` resolved from the path
   * (the Maintenance/TableSwap discipline), so the same connector runs on
@@ -236,7 +242,7 @@ class GdxTable(path: String) extends Table
   override def schema(): StructType = GdxSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GdxScanBuilder(path,
       Option(options.get("version")).map(_.toInt).getOrElse(-1))
@@ -388,6 +394,70 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   override def createReaderFactory(): PartitionReaderFactory =
     new GdxReaderFactory(pushed, limit, aggOps,
       new SerializableHadoopConf(GdxSource.driverConf()))
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : rstreaming.MicroBatchStream = new GdxMicroBatchStream(path, pushed)
+}
+
+/** Offset = manifest version. Snapshot N's manifest is the COMPLETE
+  * published file list, so the changefeed between offsets is a set
+  * difference of manifest entries — no listing, no notification
+  * service, no extra bookkeeping beyond what batch commits already
+  * write (the Delta/Iceberg "table is its own changefeed" property,
+  * manifest-essentials edition). */
+case class GdxOffset(version: Int) extends rstreaming.Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+/** Streaming read of a GDX directory: each micro-batch covers the
+  * manifest versions committed since the last processed offset and
+  * plans exactly the files those snapshots ADDED (version-unique file
+  * names make the set difference exact; an overwrite commit feeds only
+  * its fresh files — the old snapshot's rows were already streamed).
+  * Pushed k/v predicates apply inside the readers, and zone-map
+  * pruning skips added files the k-predicates cannot touch. A restart
+  * from an offset whose manifest was vacuumed fails loudly rather than
+  * silently re-streaming the world — retention must outlive the
+  * longest consumer lag, exactly as with any changefeed. */
+class GdxMicroBatchStream(path: String, pushed: Array[Filter])
+    extends rstreaming.MicroBatchStream {
+  private def conf = GdxSource.driverConf()
+  private def entriesAt(v: Int): Seq[GdxFileEntry] =
+    if (v <= 0) Seq.empty
+    else GdxSource.committedEntries(path, conf, v)
+
+  override def initialOffset(): rstreaming.Offset = GdxOffset(0)
+  override def latestOffset(): rstreaming.Offset =
+    GdxOffset((GdxSource.listVersions(path, conf) :+ 0).max)
+  override def deserializeOffset(json: String): rstreaming.Offset = {
+    val re = """\{"version":(\d+)\}""".r
+    json.trim match {
+      case re(v) => GdxOffset(v.toInt)
+      case _ =>
+        throw new IllegalArgumentException(s"gdx: bad stream offset $json")
+    }
+  }
+
+  override def planInputPartitions(start: rstreaming.Offset,
+                                   end: rstreaming.Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GdxOffset].version
+    val e = end.asInstanceOf[GdxOffset].version
+    if (e <= s) return Array.empty
+    val seen = entriesAt(s).map(_.name).toSet
+    val added = entriesAt(e).filterNot(en => seen(en.name))
+    GdxSource.pruneByStats(added, pushed.toSeq)
+      .sortBy(_.name)
+      .map(en => GdxFilePartition(
+        new Path(path, en.name).toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GdxReaderFactory(pushed, -1, None,
+      new SerializableHadoopConf(conf))
+  override def commit(end: rstreaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class GdxReaderFactory(pushed: Array[Filter], limit: Int,

@@ -420,6 +420,35 @@ object StreamingOps extends QueryModule {
     // the dimension is simply re-resolved per micro-batch, which is also
     // what makes dimension updates visible mid-stream at cluster scale.
     // Aggregate state is bounded by |segments|.
+    // GDX CHANGEFEED → streaming aggregate: the connector's numbered
+    // manifests double as stream offsets (GdxMicroBatchStream), so the
+    // same directory batch jobs commit into is consumed incrementally —
+    // each micro-batch plans exactly the files the new snapshots added,
+    // no listing diff, no notification service. Here: a base overwrite
+    // commit + an append commit, then the feed aggregates both (first
+    // batch = full snapshot, later batches = added files only; the
+    // GdxSourceSpec changefeed test pins the per-commit batching).
+    "stream_gdx_changefeed" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdxfeed_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.sources.GdxSource.vacuum(dir,
+        graft.sources.GdxSource.driverConf(), keepLast = 2)
+      val fmt = "graft.sources.GdxSource"
+      def kv(lo: Long, hi: Long) = graft.Tables.orders(s, d)
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
+      kv(0, 1000).write.format(fmt).option("path", dir)
+        .mode("overwrite").save()
+      kv(1000, 2000).write.format(fmt).option("path", dir)
+        .mode("append").save()
+      val feed = s.readStream.format(fmt).option("path", dir).load()
+        .filter(col("k") < 1800)
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"),
+          min("k").as("min_k"), max("k").as("max_k"))
+      runToMemory(s, feed, "graft_gdx_feed").orderBy("v")
+    }),
+
     "stream_static_enrich" -> ((s, d) => {
       val dim = broadcast(graft.Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment")))
@@ -505,6 +534,11 @@ object StreamingOps extends QueryModule {
          |FROM e WHERE date_trunc('day', ts) + INTERVAL 1 DAY <=
          |  (SELECT w FROM wm)
          |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "stream_gdx_changefeed" ->
+      """SELECT o_orderstatus AS v, count(*) AS n,
+        |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM orders WHERE o_orderkey < 1800
+        |GROUP BY v ORDER BY v""".stripMargin,
     "stream_static_enrich" ->
       s"""SELECT c.c_mktsegment AS segment, count(*) AS n_events,
          |  ${graft.Sql.oSum("e.value")} AS sum_value

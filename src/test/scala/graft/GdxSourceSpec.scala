@@ -201,6 +201,38 @@ class GdxSourceSpec extends SparkSuite {
     assert(agg.collect().head.getLong(0) === 50L)
   }
 
+  test("snapshots stream as a changefeed: one micro-batch per commit") {
+    val dir = freshDir("feed")
+    write(dir, Seq((1L, "a"), (2L, "a")))                  // v1
+    val q = spark.readStream.format("graft.sources.GdxSource")
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName("gdx_feed").start()
+    try {
+      q.processAllAvailable()
+      def feed() = spark.sql("SELECT k, v FROM gdx_feed")
+        .as[(Long, String)].collect().toSeq
+      assert(feed().sorted === Seq((1L, "a"), (2L, "a")),
+        "first batch = the full current snapshot")
+      write(dir, Seq((3L, "b")))                           // v2 (append)
+      q.processAllAvailable()
+      assert(feed().sorted === Seq((1L, "a"), (2L, "a"), (3L, "b")),
+        "an append commit feeds exactly its added files")
+      Seq((9L, "c")).toDF("k", "v")
+        .write.format("graft.sources.GdxSource")
+        .option("path", dir).mode("overwrite").save()      // v3 (fresh)
+      q.processAllAvailable()
+      assert(feed().sorted ===
+        Seq((1L, "a"), (2L, "a"), (3L, "b"), (9L, "c")),
+        "an overwrite commit feeds only its fresh files; " +
+          "already-streamed rows are not re-delivered")
+    } finally q.stop()
+    // offset round-trip
+    val off = graft.sources.GdxOffset(7)
+    assert(new graft.sources.GdxMicroBatchStream(dir, Array.empty)
+      .deserializeOffset(off.json())
+      .asInstanceOf[graft.sources.GdxOffset].version === 7)
+  }
+
   test("supported predicates are pushed; others stay post-scan") {
     val dir = freshDir("push")
     write(dir, (1L to 100L).map(i => (i, if (i % 2 == 0) "e" else "o")))
