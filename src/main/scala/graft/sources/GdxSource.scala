@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.{streaming => rstreaming}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => wstreaming}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -192,6 +193,41 @@ object GdxSource {
                      version: Int = -1): Seq[Path] =
     committedEntries(path, conf, version).map(e => new Path(path, e.name))
 
+  /** The single publish routine every commit path shares: rename each
+    * task's tmp file to its version-prefixed final name, then write
+    * snapshot N+1's manifest (append carries snapshot N's entries —
+    * WITH their zone-map stats — forward; truncate starts empty).
+    * Returns the committed version. */
+  def commitFiles(path: String, conf: Configuration, replace: Boolean,
+                  messages: Seq[
+                    org.apache.spark.sql.connector.write
+                      .WriterCommitMessage]): Int = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(conf)
+    val prev =
+      if (replace) Seq.empty
+      else committedEntries(path, conf)
+    val newVersion = (listVersions(path, conf) :+ 0).max + 1
+    val finals = messages.collect { case GdxCommitMessage(tmp, stats) =>
+      val fin = f"v$newVersion%08d-" + tmp.stripSuffix(".tmp")
+      val dst = new Path(base, fin)
+      if (fs.exists(dst)) fs.delete(dst, false)
+      val ok = fs.rename(new Path(base, tmp), dst)
+      require(ok, s"gdx commit: rename $tmp -> $fin failed")
+      GdxFileEntry(fin, Some(stats))
+    }
+    val published = (prev ++ finals).sortBy(_.name).map(_.manifestLine)
+    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      fs.create(manifestFor(path, newVersion), true), "UTF-8"))
+    try published.foreach(out.println) finally out.close()
+    // legacy mirror so pre-versioning readers of `_manifest` keep
+    // seeing the latest snapshot
+    val mirror = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      fs.create(manifest(path), true), "UTF-8"))
+    try published.foreach(mirror.println) finally mirror.close()
+    newVersion
+  }
+
   /** Zone-map file skipping: keep an entry unless its published k-range
     * PROVES no row can satisfy every pushed k-predicate. Stats-less
     * (legacy) entries are never skipped; empty files (minK > maxK) are
@@ -242,7 +278,8 @@ class GdxTable(path: String) extends Table
   override def schema(): StructType = GdxSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GdxScanBuilder(path,
       Option(options.get("version")).map(_.toInt).getOrElse(-1))
@@ -575,6 +612,62 @@ class GdxWriteBuilder(path: String)
 
 class GdxWrite(path: String, replace: Boolean) extends Write {
   override def toBatch: BatchWrite = new GdxBatchWrite(path, replace)
+  override def toStreaming: wstreaming.StreamingWrite =
+    new GdxStreamingWrite(path)
+}
+
+/** Exactly-once streaming sink: every micro-batch is one append commit
+  * through the SAME publish routine batch writes use, made idempotent
+  * by an epoch marker (`_txn-<epochId>`) written after the manifest.
+  * A replayed epoch (failure between sink commit and the engine
+  * recording progress) finds its marker, discards the re-attempt's tmp
+  * files, and leaves the original commit untouched — re-delivery
+  * cannot double rows. Crash BETWEEN manifest and marker replays as a
+  * duplicate commit (at-least-once for that one window); a real
+  * object-store deployment closes it by making the manifest PUT itself
+  * carry the epoch (one CAS'd metadata write), the same caveat as
+  * multi-writer arbitration. Together with [[GdxMicroBatchStream]] the
+  * directory is a full streaming table: writeStream in, readStream
+  * out, batch anywhere in between. */
+class GdxStreamingWrite(path: String) extends wstreaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : wstreaming.StreamingDataWriterFactory =
+    new GdxStreamingWriterFactory(path,
+      new SerializableHadoopConf(GdxSource.driverConf()))
+
+  def txnMarker(epochId: Long) = new Path(path, f"_txn-$epochId%016d")
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = GdxSource.driverConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val marker = txnMarker(epochId)
+    if (fs.exists(marker)) {
+      // replayed epoch: the original commit already published
+      messages.collect { case GdxCommitMessage(tmp, _) =>
+        fs.delete(new Path(path, tmp), false)
+      }
+      return
+    }
+    GdxSource.commitFiles(path, conf, replace = false, messages.toSeq)
+    fs.create(marker, true).close()
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(GdxSource.driverConf())
+    messages.collect { case GdxCommitMessage(tmp, _) =>
+      fs.delete(new Path(path, tmp), false)
+    }
+  }
+}
+
+class GdxStreamingWriterFactory(path: String, conf: SerializableHadoopConf)
+    extends wstreaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GdxDataWriter(path, partitionId, taskId, conf,
+      tag = f"e$epochId%08d-")
 }
 
 case class GdxCommitMessage(tmpName: String, stats: GdxFileStats)
@@ -592,35 +685,9 @@ class GdxBatchWrite(path: String, replace: Boolean) extends BatchWrite {
     * point is the single manifest write (renames are tidiness, not the
     * correctness boundary), and version-unique file names mean no
     * commit can ever clobber a file an older snapshot references. */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = GdxSource.driverConf()
-    val base = new Path(path)
-    val fs = base.getFileSystem(conf)
-    // append carries the previous snapshot's entries forward WITH their
-    // zone-map stats — a file's published range never changes, so stats
-    // survive any number of append commits without re-reading data
-    val prev =
-      if (replace) Seq.empty
-      else GdxSource.committedEntries(path, conf)
-    val newVersion = (GdxSource.listVersions(path, conf) :+ 0).max + 1
-    val finals = messages.collect { case GdxCommitMessage(tmp, stats) =>
-      val fin = f"v$newVersion%08d-" + tmp.stripSuffix(".tmp")
-      val dst = new Path(base, fin)
-      if (fs.exists(dst)) fs.delete(dst, false)
-      val ok = fs.rename(new Path(base, tmp), dst)
-      require(ok, s"gdx commit: rename $tmp -> $fin failed")
-      GdxFileEntry(fin, Some(stats))
-    }
-    val published = (prev ++ finals).sortBy(_.name).map(_.manifestLine)
-    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-      fs.create(GdxSource.manifestFor(path, newVersion), true), "UTF-8"))
-    try published.foreach(out.println) finally out.close()
-    // legacy mirror so pre-versioning readers of `_manifest` keep
-    // seeing the latest snapshot
-    val mirror = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-      fs.create(GdxSource.manifest(path), true), "UTF-8"))
-    try published.foreach(mirror.println) finally mirror.close()
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GdxSource.commitFiles(path, GdxSource.driverConf(), replace,
+      messages.toSeq)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GdxSource.driverConf()
@@ -644,9 +711,11 @@ class GdxWriterFactory(path: String, conf: SerializableHadoopConf)
   * attempt leaves at most an unreferenced tmp (cleaned by abort, and
   * harmless if leaked — readers never list the directory). */
 class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
-                    conf: SerializableHadoopConf)
+                    conf: SerializableHadoopConf, tag: String = "")
     extends DataWriter[InternalRow] {
-  private val name = f"part-$partitionId%05d-$taskId.gdx.tmp"
+  // `tag` carries the streaming epoch so re-attempts of the same
+  // (partition, task) across epochs can never collide on a tmp name
+  private val name = f"part-$tag$partitionId%05d-$taskId.gdx.tmp"
   private val target = new Path(path, name)
   private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
     target.getFileSystem(conf.conf).create(target, true), "UTF-8"))

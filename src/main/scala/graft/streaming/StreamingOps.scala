@@ -449,6 +449,36 @@ object StreamingOps extends QueryModule {
       runToMemory(s, feed, "graft_gdx_feed").orderBy("v")
     }),
 
+    // GDX EXACTLY-ONCE STREAMING SINK — the other half of the
+    // changefeed: the events stream lands in a GDX directory through
+    // the native StreamingWrite (one idempotent append commit per
+    // micro-batch, epoch-marker-deduplicated on replay; GdxSourceSpec
+    // proves the replay path), then a BATCH read aggregates what the
+    // stream committed. The table dir is wiped per invocation so the
+    // result is the events table exactly once, run after run.
+    "stream_gdx_sink" -> ((s, d) => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdxsink_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root); root.mkdirs()
+      val dir = new java.io.File(root, "table").getPath
+      val ck = new java.io.File(root, "ck").getPath
+      val q = eventsStream(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+        .writeStream.format("graft.sources.GdxSource")
+        .option("path", dir).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.format("graft.sources.GdxSource").option("path", dir).load()
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("v")
+    }),
+
     "stream_static_enrich" -> ((s, d) => {
       val dim = broadcast(graft.Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment")))
@@ -534,6 +564,10 @@ object StreamingOps extends QueryModule {
          |FROM e WHERE date_trunc('day', ts) + INTERVAL 1 DAY <=
          |  (SELECT w FROM wm)
          |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "stream_gdx_sink" ->
+      """SELECT event_type AS v, count(*) AS n,
+        |  min(event_id) AS min_k, max(event_id) AS max_k
+        |FROM events GROUP BY v ORDER BY v""".stripMargin,
     "stream_gdx_changefeed" ->
       """SELECT o_orderstatus AS v, count(*) AS n,
         |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k

@@ -233,6 +233,62 @@ class GdxSourceSpec extends SparkSuite {
       .asInstanceOf[graft.sources.GdxOffset].version === 7)
   }
 
+  test("streaming sink: micro-batches append-commit; read back intact") {
+    val src = freshDir("sinksrc")
+    val dir = freshDir("sink")
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "v")
+      .write.parquet(src + "/batch1")
+    val q = spark.readStream
+      .schema("k LONG, v STRING").parquet(src + "/*")
+      .writeStream.format("graft.sources.GdxSource")
+      .option("path", dir)
+      .option("checkpointLocation", freshDir("sinkck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(read(dir).as[(Long, String)].collect().toSet ===
+        Set((1L, "a"), (2L, "b"), (3L, "a")))
+      Seq((4L, "c")).toDF("k", "v").write.parquet(src + "/batch2")
+      q.processAllAvailable()
+      assert(read(dir).as[(Long, String)].collect().toSet ===
+        Set((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")),
+        "each micro-batch appends a snapshot")
+    } finally q.stop()
+    val conf = graft.sources.GdxSource.driverConf()
+    assert(graft.sources.GdxSource.listVersions(dir, conf).size >= 2,
+      "one committed version per non-empty micro-batch")
+  }
+
+  test("streaming sink replays are idempotent (epoch markers)") {
+    import graft.sources.{GdxCommitMessage, GdxFileStats, GdxStreamingWrite}
+    val dir = freshDir("replay")
+    new java.io.File(dir).mkdirs()
+    def tmp(name: String, line: String) =
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(dir, name), line + "\n")
+    val sw = new GdxStreamingWrite(dir)
+    tmp("part-x.gdx.tmp", "1\ta")
+    sw.commit(0L, Array(GdxCommitMessage("part-x.gdx.tmp",
+      GdxFileStats(1, 1, 1))))
+    // the engine failed before recording epoch 0 and replays it
+    tmp("part-y.gdx.tmp", "1\ta")
+    sw.commit(0L, Array(GdxCommitMessage("part-y.gdx.tmp",
+      GdxFileStats(1, 1, 1))))
+    assert(read(dir).as[(Long, String)].collect().toSeq === Seq((1L, "a")),
+      "a replayed epoch must not double its rows")
+    val conf = graft.sources.GdxSource.driverConf()
+    assert(graft.sources.GdxSource.listVersions(dir, conf) === Seq(1),
+      "the replay commits no new version")
+    // the replay's tmp is discarded, not leaked
+    assert(!new java.io.File(dir, "part-y.gdx.tmp").exists())
+    // a NEW epoch commits normally
+    tmp("part-z.gdx.tmp", "2\tb")
+    sw.commit(1L, Array(GdxCommitMessage("part-z.gdx.tmp",
+      GdxFileStats(1, 2, 2))))
+    assert(read(dir).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("supported predicates are pushed; others stay post-scan") {
     val dir = freshDir("push")
     write(dir, (1L to 100L).map(i => (i, if (i % 2 == 0) "e" else "o")))
