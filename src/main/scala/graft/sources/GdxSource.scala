@@ -291,7 +291,8 @@ class GdxTable(path: String) extends Table
 
 class GdxScanBuilder(path: String, version: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownLimit with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownAggregates
+    with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{
     Aggregation, CountStar, Max, Min}
@@ -299,6 +300,14 @@ class GdxScanBuilder(path: String, version: Int)
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
   private var aggOps: Option[Seq[String]] = None
+  private var required: StructType = GdxSource.schema
+
+  /** Column pruning: a k-only read never allocates a v string, a
+    * v-only read never boxes k — the reader materializes exactly the
+    * requested fields (both still PARSE per line; the byte format has
+    * no column stride to skip, the saving is materialization). */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, residual) = filters.partition {
@@ -366,7 +375,7 @@ class GdxScanBuilder(path: String, version: Int)
     }
 
   override def build(): Scan = new GdxScan(path, version, pushed, limit,
-    aggOps, metaComplete && aggOps.isDefined)
+    aggOps, metaComplete && aggOps.isDefined, required)
 }
 
 case class GdxFilePartition(file: String) extends InputPartition
@@ -378,13 +387,14 @@ case class GdxMetaResultPartition(values: Seq[Option[Long]])
     extends InputPartition
 
 class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
-              aggOps: Option[Seq[String]], metaOnly: Boolean = false)
+              aggOps: Option[Seq[String]], metaOnly: Boolean = false,
+              required: StructType = GdxSource.schema)
     extends Scan with Batch {
   override def readSchema(): StructType = aggOps match {
     case Some(ops) => StructType(ops.zipWithIndex.map { case (op, i) =>
       StructField(s"${op}_$i", LongType, nullable = op != "count")
     })
-    case None => GdxSource.schema
+    case None => required
   }
   override def toBatch: Batch = this
 
