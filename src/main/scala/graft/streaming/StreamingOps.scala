@@ -24,24 +24,30 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps extends QueryModule {
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) → read as long). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over the events table (nanos → µs timestamp). */
+  /** File-source stream over the events table. `readStream` needs a
+    * user-supplied schema, and the physical `ts` encoding has differed
+    * across testdata generations (TIMESTAMP(NANOS) → long under the
+    * legacy flag; TIMESTAMP(MICROS, NTZ) → TimestampNTZ). Pin the
+    * streaming schema to whatever a batch footer read infers — a
+    * metadata-only probe — then normalize to TimestampType exactly like
+    * the batch path (Tables.normalizeTs), so batch and stream agree. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsStored = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsStored),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
     // the file source requires a directory: point it at the sf dir and
     // glob-select the events file
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and
