@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   *    Payloads are deterministic gradients/ramps, so per-pixel and
   *    per-sample sums have CLOSED FORMS the DuckDB oracle computes from
   *    scratch — the decode is hash-verified, not just smoke-tested.
-  *  - A clearly-marked deterministic STUB (`fakeDecode`) standing in for
-  *    codecs the JVM lacks (video, modern image formats); everything
-  *    Spark-side around it is real: binary schema, typed Encoder
-  *    pipeline, mapPartitions batch shape, downstream feature columns.
+  *  - Feature kernels over the decoded media are REAL and hash-verified
+  *    too: `mm_tile_features` (4×4 tile channel pooling over the raster),
+  *    `mm_audio_features` (256-sample frame energy/DC/zero-crossings over
+  *    the PCM), `mm_frames` (stride frame sampling + digest). The only
+  *    remaining stand-in is `fakeDecode` — a library-level placeholder
+  *    for codecs the JVM lacks (video, modern image formats), kept to
+  *    document the partition-batch shape a real decoder drops into; no
+  *    suite query depends on it anymore.
   *
   * Scale notes: media bytes stay in executor space end-to-end (no
   * collect); mapPartitions amortizes per-batch decoder setup exactly like
@@ -169,25 +173,97 @@ object Multimodal extends QueryModule {
     hash
   }
 
-  /** Canonical 16-bit PCM mono WAV at 8 kHz: n = 4096 + (id%16)*256
-    * samples of the ramp s_i = (i % 256) - 128 (sum = -128·n/256). */
-  def wavBytes(id: Long): Array[Byte] = {
-    val n = 4096 + (id % 16).toInt * 256
-    val data = new Array[Byte](n * 2)
+  /** 16-bit LE PCM mono WAV at 8 kHz from explicit samples, written by
+    * the JDK's RIFF writer. */
+  def pcmWav(samples: Array[Short]): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
     var i = 0
-    while (i < n) {
-      val s = ((i % 256) - 128).toShort
-      data(2 * i) = (s & 0xFF).toByte
-      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xFF).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
       i += 1
     }
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
     val baos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
+  }
+
+  /** Canonical 16-bit PCM mono WAV at 8 kHz: n = 4096 + (id%16)*256
+    * samples of the ramp s_i = (i % 256) - 128 (sum = -128·n/256). */
+  def wavBytes(id: Long): Array[Byte] = {
+    val n = 4096 + (id % 16).toInt * 256
+    pcmWav(Array.tabulate(n)(i => ((i % 256) - 128).toShort))
+  }
+
+  /** Feature-lane WAV for doc `id`: the 251-periodic quadratic signal
+    * v_i = ((i² + id) mod 251) − 125. The prime period is deliberately
+    * coprime to the 256-sample analysis frame, so every frame sees a
+    * DIFFERENT slice of the waveform and the per-frame features below
+    * are all distinct — a constant-output decode bug cannot pass. */
+  def wavFeatureBytes(id: Long): Array[Byte] = {
+    val n = 4096 + (id % 16).toInt * 256
+    pcmWav(Array.tabulate(n)(i => (((i.toLong * i + id) % 251) - 125).toShort))
+  }
+
+  /** Decode a PCM WAV back to its samples via the JDK's RIFF parser. */
+  def wavSamples(bytes: Array[Byte]): Array[Short] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val raw = ais.readAllBytes()
+    Array.tabulate(raw.length / 2)(i =>
+      ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort)
+  }
+
+  /** Framed audio features over DECODED samples: per 256-sample frame,
+    * energy (Σv²), DC sum (Σv), and zero-crossing count (adjacent
+    * sign-bit changes, sign = v ≥ 0, frame-local). Integer-exact — the
+    * oracle recomputes every number from the signal's closed form. */
+  def audioFrameFeatures(samples: Array[Short], frame: Int = 256)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    (0 until samples.length / frame).map { f =>
+      var (energy, sum, zcr) = (0L, 0L, 0L)
+      var j = 0
+      while (j < frame) {
+        val v = samples(f * frame + j).toLong
+        energy += v * v; sum += v
+        if (j > 0 && ((v >= 0) != (samples(f * frame + j - 1) >= 0))) zcr += 1
+        j += 1
+      }
+      (f.toLong, frame.toLong, energy, sum, zcr)
+    }
+  }
+
+  /** 4×4 tile grid channel sums over a decoded raster: tile (tx, ty)
+    * with tx = x·4/w, ty = y·4/h accumulates (n_px, Σr, Σg, Σb). The
+    * image-modality "feature extract" kernel — pooled color statistics
+    * are the classic cheap embedding; everything is integer so the
+    * oracle reproduces it via generate_series closed forms. */
+  def tileFeatures(bytes: Array[Byte]): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = new Array[Long](16)
+    val sr = new Array[Long](16)
+    val sg = new Array[Long](16)
+    val sb = new Array[Long](16)
+    var y = 0
+    while (y < h) {
+      val ty = y * 4 / h
+      var x = 0
+      while (x < w) {
+        val t = ty * 4 + x * 4 / w
+        val p = img.getRGB(x, y)
+        n(t) += 1
+        sr(t) += (p >> 16) & 0xFF; sg(t) += (p >> 8) & 0xFF; sb(t) += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    (0 until 16).map(t => ((t % 4).toLong, (t / 4).toLong, n(t), sr(t), sg(t), sb(t)))
   }
 
   /** REAL WAV decode via the JDK's RIFF parser: header-derived format
@@ -280,16 +356,48 @@ object Multimodal extends QueryModule {
           col("height").cast("long").as("height"))
         .orderBy("doc_id")),
 
-    // decode + feature-extract through the partition-batch stub pipeline
-    "mm_features_stub" -> ((s, d) =>
-      extractFeatures(mediaTable(s, d)).toDF()
-        .select(col("doc_id"), col("mime"), col("n_bytes"),
-          round(element_at(col("histogram"), 7), 6).as("hist_bin6"),
-          col("n_frames").cast("long").as("n_frames"))
-        .orderBy("doc_id")),
+    // REAL image feature-extract, oracle-verified: gradient PNGs decode
+    // through javax.imageio inside mapPartitions and pool into a 4×4
+    // tile grid of integer channel sums (doc × 16 rows). The oracle
+    // rebuilds every tile from the gradient's closed form via
+    // generate_series — a wrong pixel, tile boundary, or channel order
+    // breaks the hash. Pixels never leave the map stage.
+    "mm_tile_features" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.flatMap { id =>
+          tileFeatures(pngBytes(id)).map { case (tx, ty, n, r, g, b) =>
+            (id, tx, ty, n, r, g, b) }
+        })
+        .toDF("doc_id", "tile_x", "tile_y", "n_px", "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id", "tile_y", "tile_x")
+    }),
 
-    // frame sampling: count + first-frame digest per doc
-    "mm_frames_stub" -> ((s, d) =>
+    // REAL audio feature-extract, oracle-verified: a 251-periodic
+    // quadratic test signal (period coprime to the 256-sample frame, so
+    // every frame differs) round-trips through the JDK WAV codec; the
+    // decoded samples are framed into energy / DC / zero-crossing rows.
+    // The oracle regenerates the signal with generate_series and a
+    // frame-local lag window — sample-exact agreement required.
+    "mm_audio_features" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.flatMap { id =>
+          audioFrameFeatures(wavSamples(wavFeatureBytes(id))).map {
+            case (f, n, e, sum, z) => (id, f, n, e, sum, z) }
+        })
+        .toDF("doc_id", "frame_idx", "n_samples", "energy", "sum_s", "zcr")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // frame sampling (video-lane shape): every 4th 16-byte block of the
+    // payload; count + first-frame digest per doc. The payload is the
+    // UTF-8 text (pure-ASCII corpus), so the oracle reproduces the
+    // digest with md5(substr(text, 1, 16)) — the sampler went from
+    // rows-only stub to hash-verified without changing its kernel.
+    "mm_frames" -> ((s, d) =>
       sampleFrames(mediaTable(s, d))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_sampled"),
@@ -323,5 +431,46 @@ object Multimodal extends QueryModule {
         |    WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
         |  CAST((n_chars % 64) * 16 + 16 AS BIGINT) AS width,
         |  CAST((n_chars % 48) * 16 + 16 AS BIGINT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_tile_features" ->
+      """WITH g AS (SELECT doc_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+        |    FROM documents WHERE doc_id < 500),
+        |xs AS (SELECT doc_id, (x * 4) // w AS tx,
+        |    count(*) AS nx, sum(x) AS sx
+        |  FROM g, generate_series(0, 31) t(x) WHERE x < w
+        |  GROUP BY doc_id, (x * 4) // w),
+        |ys AS (SELECT doc_id, (y * 4) // h AS ty,
+        |    count(*) AS ny, sum(y) AS sy
+        |  FROM g, generate_series(0, 23) t(y) WHERE y < h
+        |  GROUP BY doc_id, (y * 4) // h)
+        |SELECT xs.doc_id, CAST(tx AS BIGINT) AS tile_x, CAST(ty AS BIGINT) AS tile_y,
+        |  CAST(nx * ny AS BIGINT) AS n_px,
+        |  CAST(sx * ny AS BIGINT) AS sum_r,
+        |  CAST(nx * sy AS BIGINT) AS sum_g,
+        |  CAST(nx * ny * (g.doc_id % 256) AS BIGINT) AS sum_b
+        |FROM xs JOIN ys ON xs.doc_id = ys.doc_id JOIN g ON g.doc_id = xs.doc_id
+        |ORDER BY 1, 3, 2""".stripMargin,
+    "mm_audio_features" ->
+      """WITH g AS (SELECT doc_id, 4096 + (doc_id % 16) * 256 AS n
+        |    FROM documents WHERE doc_id < 500),
+        |s AS (SELECT doc_id, i, i // 256 AS frame_idx,
+        |    ((i * i + doc_id) % 251) - 125 AS v
+        |  FROM g, generate_series(0, 8191) t(i) WHERE i < n),
+        |x AS (SELECT doc_id, frame_idx, v, i,
+        |    lag(v) OVER (PARTITION BY doc_id, frame_idx ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(sum(v) AS BIGINT) AS sum_s,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+        |FROM x GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_frames" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    (octet_length(encode(text)) + 15) // 16 AS nblocks
+        |  FROM documents)
+        |SELECT doc_id, CAST((nblocks + 3) // 4 AS BIGINT) AS n_sampled,
+        |  md5(substr(text, 1, 16)) AS frame0_md5
+        |FROM c ORDER BY doc_id""".stripMargin)
 }
