@@ -196,8 +196,11 @@ object Dedup extends QueryModule {
 
   /** 16-bit band buckets of a (doc_id, simhash) frame. Pigeonhole: with
     * 4 bands, any pair within Hamming distance ≤ 3 is GUARANTEED a clean
-    * band; distance 4–6 pairs collide unless every differing bit lands
-    * in a distinct band (rare — most of the ≤ 6 ball is recovered). */
+    * band; a distance 4–6 pair escapes only when its differing bits
+    * cover all four bands (measured on the sf0.001 corpus: ~63% of the
+    * ≤ 6 ball recovered — RecallSpec pins the floor; full recall there
+    * would need more/narrower bands, which stops scaling: bucket
+    * collision probability grows 2^(16−width) per band). */
   def simhashBands(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
