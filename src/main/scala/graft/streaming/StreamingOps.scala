@@ -86,6 +86,25 @@ object StreamingOps extends QueryModule {
         q.recentProgress.foreach(p => Console.err.println(
           s"[stream-debug] $name batch=${p.batchId} rows=${p.numInputRows} " +
           s"durationMs=${p.durationMs}"))
+      // Zero-output watchdog (VERDICT r5 item 6): round 5's broken
+      // events reader made stream_tumbling_append dump an EMPTY table
+      // silently — input rows flowed, the watermark closed nothing, and
+      // Verify recorded 0 rows as if that were the answer. Consuming
+      // input while emitting nothing is legal mid-stream but is a red
+      // flag for a bounded AvailableNow replay, so it's reported loudly
+      // on stderr always, and escalated to a hard failure under
+      // SPARK_GRAFT_STREAM_STRICT (set it to allowlist via
+      // "name1,name2" when a query legitimately emits nothing).
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      if (inputRows > 0 && spark.table(name).isEmpty) {
+        val msg = s"[stream-watchdog] $name consumed $inputRows input rows " +
+          s"across ${q.recentProgress.length} micro-batches but emitted 0 " +
+          "output rows (mode=" + mode + ") — watermark/time-unit bug?"
+        Console.err.println(msg)
+        val strict = sys.env.get("SPARK_GRAFT_STREAM_STRICT")
+        if (strict.exists(v => !v.split(",").map(_.trim).contains(name)))
+          throw new IllegalStateException(msg)
+      }
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
