@@ -224,8 +224,20 @@ object Dedup extends QueryModule {
     * join + full recompute. Throws if `maxIter` rounds don't converge —
     * silently wrong components would corrupt dedup survivors.
     * Returns (id, component) where component = min doc_id of the
-    * cluster. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * cluster.
+    *
+    * SMALL-GRAPH FAST PATH (AQE-broadcast-style runtime switch): the
+    * edge cache is materialized with a count() anyway, so the edge
+    * count is known for free before the loop starts. At or below
+    * `driverMaxEdges` (default 200k pairs ≈ 3 MB of longs — far inside
+    * any driver budget) the loop's 2-3 jobs × O(log d) rounds are
+    * replaced by ONE collect + union-find, with identical min-label
+    * semantics. Candidate-pair graphs are orders of magnitude smaller
+    * than the corpus, so at local/test scale this is the common case;
+    * a 100 TB corpus whose dup graph outgrows the threshold takes the
+    * distributed pointer-jump loop automatically. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+                          driverMaxEdges: Long = 200000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // each iteration's localCheckpoint materializes into block storage;
     // release the previous iteration's blocks deterministically (GC +
@@ -258,11 +270,39 @@ object Dedup extends QueryModule {
     // pairs genuinely outgrow this width, raise it with pair count —
     // the loop is partition-count-agnostic.
     val spark = pairs.sparkSession
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the pair cache before anything scans it twice; the
+    // count doubles as the fast-path size probe
+    val nPairs = p.count()
+    if (nPairs <= driverMaxEdges) {
+      // driver-side union-find. Union-by-min (larger root attached under
+      // the smaller) makes every root the minimum id of its set, so the
+      // root IS the component label; path compression in find keeps the
+      // walk amortized-flat despite the min-biased unions.
+      val es = p.select("doc_a", "doc_b").collect()
+      p.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val labeled = parent.keysIterator.map(k => (k, find(k))).toSeq
+      import spark.implicits._
+      return labeled.toDF("id", "component")
+    }
     val shuffleKey = "spark.sql.shuffle.partitions"
     val prevShuffle = spark.conf.get(shuffleKey)
     spark.conf.set(shuffleKey, math.min(4, prevShuffle.toInt).toString)
     try {
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -491,8 +531,11 @@ object Dedup extends QueryModule {
         .withColumn("nxt", lead("doc_id", 1).over(w))
         .filter(col("nxt").isNotNull)
         .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
+      // driverMaxEdges = 0: this query IS the distributed loop's oracle
+      // gate, so the small-graph fast path is disabled here — the
+      // pointer-jump rounds must run and be hash-checked every round.
       docs.select("doc_id")
-        .join(connectedComponents(edges, maxIter = 16)
+        .join(connectedComponents(edges, maxIter = 16, driverMaxEdges = 0)
           .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("component"))

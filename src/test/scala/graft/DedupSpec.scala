@@ -125,9 +125,25 @@ class DedupSpec extends SparkSuite {
     // 200 rounds and silently mislabel at maxIter=10; path halving must
     // converge within 10 and put every node in component 0
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val comp = connectedComponents(chain, maxIter = 10)
+    // driverMaxEdges = 0 forces the distributed pointer-jump loop — the
+    // thing under test; the small-graph fast path has its own check below
+    val comp = connectedComponents(chain, maxIter = 10, driverMaxEdges = 0)
     assert(comp.select(countDistinct("component")).as[Long].head() === 1L)
     assert(comp.agg(max("component")).as[Long].head() === 0L)
+  }
+
+  test("driver union-find fast path labels exactly like the distributed loop") {
+    // multi-component graph with shuffled edge order and a chain long
+    // enough to stress path compression; both paths must agree row-for-row
+    val edges = ((0L until 150L).map(i => (i, i + 1)) ++           // chain 0-150
+      Seq((500L, 600L), (600L, 700L), (700L, 500L)) ++             // triangle
+      Seq((900L, 901L))).reverse.toDF("doc_a", "doc_b")
+    val fast = connectedComponents(edges).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dist = connectedComponents(edges, driverMaxEdges = 0).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fast === dist)
+    assert(fast.filter(_._1 >= 500L).filter(_._1 < 800L).forall(_._2 == 500L))
   }
 
   test("exact dedup keeps lowest doc_id per content group") {
