@@ -220,6 +220,126 @@ object SqlOps extends QueryModule {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // TPC-H Q2/Q11/Q16/Q20 — the four queries the fixture previously
+    // couldn't host because it ships no partsupp table. partsupp is
+    // SYNTHESIZED as a deterministic pure-arithmetic CTE (4 suppliers
+    // per part, unique (part, supplier) keys since the +i stride < n,
+    // integer availqty/supplycost so every aggregate is exact) — the
+    // IDENTICAL text runs on both engines, so the oracle builds the
+    // same table and the whole query is hash-gated like any other.
+    // Plans like the real thing: partsupp = part ⋈ broadcast(1-row
+    // count) × 4, i.e. a narrow fact derivation the optimizer treats
+    // exactly like a scanned table.
+    //
+    // Q2 (min-cost supplier): correlated MIN subquery over the same
+    // CTE — Spark decorrelates to an aggregate + join, never a
+    // per-part re-scan. Costs are distinct within a part by
+    // construction, so the min row is unique and the output
+    // deterministic. p_mfgr/addr/phone/comment aren't in the fixture
+    // schema; p_brand stands in for the output column.
+    "tpch_q2" ->
+      """WITH partsupp AS (
+        |  SELECT p_partkey AS ps_partkey,
+        |    1 + (p_partkey * 4 + i) % ns.n AS ps_suppkey,
+        |    (p_partkey * 31 + i * 17) % 9000 + 1 AS ps_availqty,
+        |    (p_partkey * 131 + i * 37) % 100000 + 100 AS ps_supplycost
+        |  FROM part,
+        |    (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2
+        |     UNION ALL SELECT 3) gen,
+        |    (SELECT count(*) AS n FROM supplier) ns)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+        |FROM part, supplier, partsupp, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_size <= 10 AND p_type = 'LARGE'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (SELECT min(ps2.ps_supplycost)
+        |    FROM partsupp ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.ps_partkey = p_partkey
+        |      AND s2.s_suppkey = ps2.ps_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    // Q11 (important stock): all-integer value sums (supplycost ×
+    // availqty in BIGINT — exact on both engines, no decimal dance);
+    // the HAVING threshold is the one double, derived identically from
+    // the same exact sum on both sides.
+    "tpch_q11" ->
+      """WITH partsupp AS (
+        |  SELECT p_partkey AS ps_partkey,
+        |    1 + (p_partkey * 4 + i) % ns.n AS ps_suppkey,
+        |    (p_partkey * 31 + i * 17) % 9000 + 1 AS ps_availqty,
+        |    (p_partkey * 131 + i * 37) % 100000 + 100 AS ps_supplycost
+        |  FROM part,
+        |    (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2
+        |     UNION ALL SELECT 3) gen,
+        |    (SELECT count(*) AS n FROM supplier) ns)
+        |SELECT ps_partkey,
+        |  CAST(SUM(ps_supplycost * ps_availqty) AS BIGINT) AS value
+        |FROM partsupp, supplier, nation
+        |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_7'
+        |GROUP BY ps_partkey
+        |HAVING SUM(ps_supplycost * ps_availqty) > (
+        |  SELECT SUM(ps_supplycost * ps_availqty) / 200.0
+        |  FROM partsupp, supplier, nation
+        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_7')
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+    // Q16 (parts/supplier relationship): COUNT(DISTINCT) under a
+    // NOT-IN anti join. The spec's complaint-comment filter has no
+    // fixture column; the deterministic s_suppkey % 7 exclusion keeps
+    // the anti-join shape (and excludes a real ~14% of suppliers).
+    "tpch_q16" ->
+      """WITH partsupp AS (
+        |  SELECT p_partkey AS ps_partkey,
+        |    1 + (p_partkey * 4 + i) % ns.n AS ps_suppkey,
+        |    (p_partkey * 31 + i * 17) % 9000 + 1 AS ps_availqty,
+        |    (p_partkey * 131 + i * 37) % 100000 + 100 AS ps_supplycost
+        |  FROM part,
+        |    (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2
+        |     UNION ALL SELECT 3) gen,
+        |    (SELECT count(*) AS n FROM supplier) ns)
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM partsupp, part
+        |WHERE p_partkey = ps_partkey
+        |  AND p_brand <> 'Brand#13' AND p_type NOT IN ('MEDIUM', 'PROMO')
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q20 (potential part promotion): the double-nested correlated
+    // shape — IN over partsupp whose rows must beat half a year's
+    // shipped quantity of the SAME (part, supplier), itself a
+    // correlated scalar aggregate over the fact table. Spark
+    // decorrelates both levels into joins; an absent lineitem match
+    // yields NULL > — filtered identically on both engines.
+    "tpch_q20" ->
+      """WITH partsupp AS (
+        |  SELECT p_partkey AS ps_partkey,
+        |    1 + (p_partkey * 4 + i) % ns.n AS ps_suppkey,
+        |    (p_partkey * 31 + i * 17) % 9000 + 1 AS ps_availqty,
+        |    (p_partkey * 131 + i * 37) % 100000 + 100 AS ps_supplycost
+        |  FROM part,
+        |    (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2
+        |     UNION ALL SELECT 3) gen,
+        |    (SELECT count(*) AS n FROM supplier) ns)
+        |SELECT s_name, s_acctbal
+        |FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp
+        |    WHERE ps_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+        |      AND ps_availqty > (
+        |        SELECT 0.5 * SUM(l_quantity) FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+        |ORDER BY s_name, s_acctbal""".stripMargin,
     // TPC-H Q10 (returned-item reporting) — top-20 customers by revenue
     // lost to returns in one quarter. Wide group-by keys (the customer
     // attributes ride the group-by, not a re-join), TakeOrdered caps the
