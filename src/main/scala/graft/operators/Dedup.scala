@@ -42,6 +42,28 @@ object Dedup extends QueryModule {
   private val indexSigCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** The frozen index — survivor ids of the already-deduped old corpus
+    * (doc_id < b) WITH their MinHash signatures — is amortized state in
+    * production (persisted as a banded layout, same write-once
+    * discipline as sim_lsh_ann_bucketed) and is cached per dataset dir
+    * here: the first invocation builds it (full old-corpus dedup), every
+    * later one measures the TRUE per-increment cost — hash the batch,
+    * band-join it against index ∪ batch, verify, label. Survivor
+    * signatures are 64 longs per doc: bounded cache, no text retained.
+    * Shared by the batch incremental query and the streaming ingest. */
+  def frozenIndexSig(s: SparkSession, d: String, b: Long): DataFrame =
+    indexSigCache.computeIfAbsent(d, _ => {
+      val old = Tables.documents(s, d).filter(col("doc_id") < b)
+      val oldVerified = verifyJaccard(minhashCandidates(old), old)
+        .filter(col("jaccard") >= 0.8)
+        .localCheckpoint()
+      val index = survivors(old, oldVerified)
+        .filter(col("is_survivor")).select("doc_id")
+      minhashSignatures(Tables.fanOut(old))
+        .join(index, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+    })
+
   /** MinHash signatures: (doc_id, sig ARRAY<LONG>[64]) via the native
     * MinHash64 expression — one shuffle-free map per doc (shingle
     * string → XXH64 → 64 mins fused in codegen), replacing the former
@@ -352,6 +374,34 @@ object Dedup extends QueryModule {
     } finally spark.conf.set(shuffleKey, prevShuffle)
   }
 
+  /** One dedup increment: classify `batch` docs against the frozen
+    * `indexSig` (survivor signatures, ids < b) ∪ the batch itself.
+    * Per-increment work is O(batch × collisions): only the BATCH is
+    * hashed; batch-touching pairs only (doc_a < doc_b ⇒ doc_b ≥ b
+    * touches the batch); index×index edges cannot exist — two survivors
+    * of the old graph are by construction not ≥0.8-similar. Returns
+    * (doc_id, attach_to, status ∈ kept|dup_of_index|dup_in_batch) for
+    * the batch ids. Shared verbatim by the batch incremental query and
+    * the streaming ingest (their equivalence is the point). */
+  def classifyIncrement(indexSig: DataFrame, batch: DataFrame,
+                        allDocs: DataFrame, b: Long): DataFrame = {
+    val probeSig = indexSig
+      .unionByName(minhashSignatures(Tables.fanOut(batch)))
+      .localCheckpoint()
+    val cand = cappedSelfJoin(lshBands(probeSig))
+      .filter(col("doc_b") >= b)
+      .localCheckpoint()
+    val verified = verifyJaccard(cand, allDocs)
+      .filter(col("jaccard") >= 0.8)
+      .localCheckpoint()
+    survivors(probeSig.select("doc_id"), verified)
+      .join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("component").as("attach_to"),
+        when(col("component") === col("doc_id"), "kept")
+          .when(col("component") < b, "dup_of_index")
+          .otherwise("dup_in_batch").as("status"))
+  }
+
   /** Survivor selection: every doc keeps its component's min id; docs
     * without candidates survive as their own component. */
   def survivors(docs: DataFrame, pairs: DataFrame): DataFrame =
@@ -471,44 +521,7 @@ object Dedup extends QueryModule {
       val maxId = all.agg(max("doc_id")).head.getLong(0)
       val b = (maxId + 1) * 4 / 5
       val batch = all.filter(col("doc_id") >= b)
-      // The frozen index — survivor ids WITH their MinHash signatures —
-      // is amortized state in production (persisted as a banded layout,
-      // same write-once discipline as sim_lsh_ann_bucketed) and is
-      // cached per dataset dir here: the first invocation builds it
-      // (full old-corpus dedup), every later one measures the TRUE
-      // per-increment cost — hash the batch, band-join it against
-      // index ∪ batch, verify, label. Survivor signatures are 64 longs
-      // per doc: bounded cache, no text retained.
-      val indexSig = indexSigCache.computeIfAbsent(d, _ => {
-        val old = all.filter(col("doc_id") < b)
-        val oldVerified = verifyJaccard(minhashCandidates(old), old)
-          .filter(col("jaccard") >= 0.8)
-          .localCheckpoint()
-        val index = survivors(old, oldVerified)
-          .filter(col("is_survivor")).select("doc_id")
-        minhashSignatures(Tables.fanOut(old))
-          .join(index, Seq("doc_id"), "left_semi")
-          .localCheckpoint()
-      })
-      // per-increment work starts here: only the BATCH is hashed
-      val probeSig = indexSig
-        .unionByName(minhashSignatures(Tables.fanOut(batch)))
-        .localCheckpoint()
-      // batch-touching pairs only (doc_a < doc_b ⇒ doc_b ≥ b touches
-      // the batch); index×index edges cannot exist — two survivors of
-      // the old graph are by construction not ≥0.8-similar
-      val cand = cappedSelfJoin(lshBands(probeSig))
-        .filter(col("doc_b") >= b)
-        .localCheckpoint()
-      val verified = verifyJaccard(cand, all)
-        .filter(col("jaccard") >= 0.8)
-        .localCheckpoint()
-      survivors(probeSig.select("doc_id"), verified)
-        .filter(col("doc_id") >= b)
-        .select(col("doc_id"), col("component").as("attach_to"),
-          when(col("component") === col("doc_id"), "kept")
-            .when(col("component") < b, "dup_of_index")
-            .otherwise("dup_in_batch").as("status"))
+      classifyIncrement(frozenIndexSig(s, d, b), batch, all, b)
         .orderBy("doc_id")
     }),
 

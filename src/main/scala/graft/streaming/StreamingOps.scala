@@ -504,6 +504,60 @@ object StreamingOps extends QueryModule {
         .orderBy("v")
     }),
 
+    // STREAMING CORPUS INGESTION WITH NEAR-DUP FILTERING — the
+    // production shape when documents arrive continuously: a file
+    // stream of the incoming batch is classified per micro-batch
+    // against the frozen survivor index (Dedup.frozenIndexSig) PLUS
+    // everything accepted so far, through the exact same
+    // Dedup.classifyIncrement the batch incremental query runs — so
+    // the streaming replay provably equals the batch answer (they
+    // share one oracle). Growing state = accepted signatures only
+    // (64 longs/doc, no text), extended per batch and re-checkpointed;
+    // at cluster scale that state is the persisted banded index the
+    // batch variant's scaladoc describes, and classifications append
+    // to an idempotent batch-keyed sink (stream_gdx_sink shows that
+    // half). Single-file source ⇒ one micro-batch here; with multiple
+    // arrivals the same loop classifies each batch against
+    // index ∪ accepted — the cross-batch drift (a doc dup-of a
+    // REJECTED earlier arrival re-attaches to that dup's survivor) is
+    // the standard incremental-dedup contract.
+    "stream_dedup_ingest" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      val all = graft.Tables.documents(s, d)
+      val maxId = all.agg(max("doc_id")).head.getLong(0)
+      val b = (maxId + 1) * 4 / 5
+      var accepted = graft.operators.Dedup.frozenIndexSig(s, d, b)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Long, String)]()
+      val docSchema = s.read.parquet(s"$d/documents.parquet").schema
+      s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter(col("doc_id") >= b)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) {
+            val classified = graft.operators.Dedup
+              .classifyIncrement(accepted, batch, all, b)
+              .localCheckpoint()
+            classified.collect().foreach(r =>
+              results.add((r.getLong(0), r.getLong(1), r.getString(2))))
+            // only KEPT docs join the probe index — same growth rule as
+            // the persisted production index
+            accepted = accepted.unionByName(
+              graft.operators.Dedup.minhashSignatures(batch)
+                .join(classified.filter(col("status") === "kept")
+                  .select("doc_id"), Seq("doc_id"), "left_semi"))
+              .localCheckpoint()
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      import s.implicits._
+      results.asScala.toSeq.toDF("doc_id", "attach_to", "status")
+        .orderBy("doc_id")
+    }),
+
     "stream_static_enrich" -> ((s, d) => {
       val dim = broadcast(graft.Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment")))
@@ -517,6 +571,10 @@ object StreamingOps extends QueryModule {
     }))
 
   def oracles: Map[String, String] = Map(
+    // the equivalence statement itself: the streaming replay must
+    // hash-match the BATCH incremental pipeline's brute-force oracle
+    "stream_dedup_ingest" ->
+      graft.operators.Dedup.oracles("dedup_pipeline_incremental"),
     // batch mode-with-tiebreak: max count, ties to the smallest type
     "stream_type_leader" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n

@@ -265,4 +265,17 @@ class StreamingSessionSpec extends SparkSuite {
     assert(streamedClosed.subsetOf(islands))
     assert(islands.size === 4) // 3 sessions for user 1 + 1 for user 2
   }
+
+  test("streaming dedup ingest equals the batch incremental pipeline") {
+    // the two queries share one brute-force oracle; assert the
+    // equivalence directly as well — row for row on the real corpus
+    val stream = graft.streaming.StreamingOps
+      .queries("stream_dedup_ingest")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val batch = graft.operators.Dedup
+      .queries("dedup_pipeline_incremental")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(stream.nonEmpty)
+    assert(stream === batch)
+  }
 }
