@@ -27,6 +27,29 @@ class TestdataContractSpec extends SparkSuite {
     assert(r.getAs[Int]("y1") == 2024)
   }
 
+  test("documents/embeddings/lineitem physical contracts hold") {
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(spark, sf())
+    val dt = docs.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(dt("doc_id") == LongType)
+    assert(dt("text") == StringType)
+    assert(dt("n_chars") == LongType || dt("n_chars") == IntegerType,
+      s"n_chars became ${dt("n_chars")}")
+    val emb = Tables.embeddings(spark, sf())
+    val et = emb.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(et("vec_id") == LongType)
+    assert(et("embedding").isInstanceOf[ArrayType],
+      s"embedding became ${et("embedding")}")
+    assert(emb.select(size(col("embedding"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(64),
+      "embedding dimensionality changed from 64")
+    val li = Tables.lineitem(spark, sf())
+    val lt = li.schema("l_shipdate").dataType
+    assert(lt == TimestampType || lt == TimestampNTZType || lt == DateType,
+      s"l_shipdate became $lt — date-literal comparisons in the SQL " +
+        "front door would silently change meaning")
+  }
+
   test("streaming events source agrees with the batch reader on time span") {
     import graft.streaming.StreamingOps
     val batchSpan = Tables.events(spark, sf())
