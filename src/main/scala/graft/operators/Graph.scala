@@ -43,6 +43,17 @@ object Graph extends QueryModule {
     // IEEE (1.0 - 0.85) = 0.15000000000000002 ≠ the double the oracle's
     // 0.15 literal parses to — the formula must use the same constant
     // bit pattern on both engines.
+    // The loop runs at a LOW pinned shuffle width (restored after) —
+    // the same sizing rule as Dedup.connectedComponents and streaming
+    // state: each iteration pays a fixed per-partition task/checkpoint
+    // charge, so partition count should track rank-frame bytes, not the
+    // session's scan parallelism. At web scale raise it with |nodes|;
+    // the loop is width-agnostic.
+    val spark = edges.sparkSession
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    spark.conf.set(shuffleKey, math.min(4, prevShuffle.toInt).toString)
+    try {
     // one scalar action: N calibrates the teleport term; everything
     // else stays declarative/distributed
     val n = nodes.count()
@@ -80,6 +91,7 @@ object Graph extends QueryModule {
     }
     e.unpersist()
     pr
+    } finally spark.conf.set(shuffleKey, prevShuffle)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
