@@ -13,16 +13,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // let AQE shrink tiny shuffles below the slot count: task-scheduling
-      // overhead dominates sub-64MB exchanges at high parallelism
+    // the engine's own session factory (extensions active — the bench
+    // measures the plans a library user gets, auto-replans included),
+    // plus AQE coalesce tuning: let AQE shrink tiny shuffles below the
+    // slot count — task-scheduling overhead dominates sub-64MB
+    // exchanges at high parallelism
+    val spark = GraftSession.builder(cpus.toInt)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional subset for local A/B timing: SPARK_GRAFT_ONLY=q1,q2,...

@@ -7,16 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // NOTE: keep the INT96 default for result dumps — readers interpret
-      // INT96 as naive timestamps, matching the DuckDB oracle's output;
-      // TIMESTAMP_MICROS mode writes isAdjustedToUTC=true and every
-      // timestamp comes back tz-aware ≠ oracle (verified empirically)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the engine's own session factory: extensions active (TopKRewrite,
+    // TopKStrategy, SQL-registered native functions), so the dumps
+    // exercise the same plans a library user gets.
+    // NOTE: keep the INT96 default for result dumps — readers interpret
+    // INT96 as naive timestamps, matching the DuckDB oracle's output;
+    // TIMESTAMP_MICROS mode writes isAdjustedToUTC=true and every
+    // timestamp comes back tz-aware ≠ oracle (verified empirically)
+    val spark = GraftSession.builder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Debug aid (same contract as Bench): SPARK_GRAFT_ONLY=q1,q2 dumps
