@@ -71,14 +71,4 @@ object Tables {
     // there it buys a 32× kernel speedup.
     if (df.inputFiles.length < p) df.repartition(p) else df
   }
-
-  /** Explicit schema for the events table — needed by the Structured
-    * Streaming file source (readStream requires a user schema). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
 }

@@ -514,34 +514,45 @@ object StreamingOps extends QueryModule {
     // share one oracle). Growing state = accepted signatures only
     // (64 longs/doc, no text), extended per batch and re-checkpointed;
     // at cluster scale that state is the persisted banded index the
-    // batch variant's scaladoc describes, and classifications append
-    // to an idempotent batch-keyed sink (stream_gdx_sink shows that
-    // half). Single-file source ⇒ one micro-batch here; with multiple
+    // batch variant's scaladoc describes. Classifications land in an
+    // idempotent batchId-keyed sink and the result is read back from
+    // it. Single-file source ⇒ one micro-batch here; with multiple
     // arrivals the same loop classifies each batch against
     // index ∪ accepted — the cross-batch drift (a doc dup-of a
     // REJECTED earlier arrival re-attaches to that dup's survivor) is
     // the standard incremental-dedup contract.
     "stream_dedup_ingest" -> ((s, d) => {
-      import scala.jdk.CollectionConverters._
       val all = graft.Tables.documents(s, d)
       val maxId = all.agg(max("doc_id")).head.getLong(0)
       val b = (maxId + 1) * 4 / 5
       var accepted = graft.operators.Dedup.frozenIndexSig(s, d, b)
-      val results = new java.util.concurrent.ConcurrentLinkedQueue[
-        (Long, Long, String)]()
+      // classifications land in an idempotent batchId-keyed sink (the
+      // foreachBatchExactlyOnce discipline: a replayed batch OVERWRITES
+      // its own directory, so at-least-once foreachBatch delivery still
+      // yields exactly-once output) — no driver-side accumulation; the
+      // result is read back from the sink like any downstream consumer
+      // would.
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_dedup_ingest_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root); root.mkdirs()
+      val out = new java.io.File(root, "out").getPath
       val docSchema = s.read.parquet(s"$d/documents.parquet").schema
       s.readStream.schema(docSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
         .filter(col("doc_id") >= b)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
+            org.apache.spark.sql.Row], batchId: Long) =>
           if (!batch.isEmpty) {
             val classified = graft.operators.Dedup
               .classifyIncrement(accepted, batch, all, b)
               .localCheckpoint()
-            classified.collect().foreach(r =>
-              results.add((r.getLong(0), r.getLong(1), r.getString(2))))
+            classified.write.mode("overwrite")
+              .parquet(s"$out/batch=$batchId")
             // only KEPT docs join the probe index — same growth rule as
             // the persisted production index
             accepted = accepted.unionByName(
@@ -553,8 +564,8 @@ object StreamingOps extends QueryModule {
           ()
         }
         .trigger(Trigger.AvailableNow()).start().awaitTermination()
-      import s.implicits._
-      results.asScala.toSeq.toDF("doc_id", "attach_to", "status")
+      s.read.option("basePath", out).parquet(out)
+        .select("doc_id", "attach_to", "status")
         .orderBy("doc_id")
     }),
 
