@@ -385,8 +385,14 @@ object Dedup extends QueryModule {
     * the streaming ingest (their equivalence is the point). */
   def classifyIncrement(indexSig: DataFrame, batch: DataFrame,
                         allDocs: DataFrame, b: Long): DataFrame = {
+    // dropDuplicates(doc_id): on RE-DELIVERY the index has already
+    // absorbed the batch's kept docs, so the union would carry two
+    // identical signature rows per kept id and every downstream row
+    // would double (caught by DedupSpec's idempotence test). Signatures
+    // are deterministic per doc, so either copy is the same payload.
     val probeSig = indexSig
       .unionByName(minhashSignatures(Tables.fanOut(batch)))
+      .dropDuplicates("doc_id")
       .localCheckpoint()
     val cand = cappedSelfJoin(lshBands(probeSig))
       .filter(col("doc_b") >= b)

@@ -132,6 +132,33 @@ class DedupSpec extends SparkSuite {
     assert(comp.agg(max("component")).as[Long].head() === 0L)
   }
 
+  test("incremental classifier is re-delivery idempotent") {
+    // the production failure mode: the SAME batch arrives twice (file
+    // re-delivered, stream replayed past its checkpoint). After the
+    // accepted index absorbed the first delivery's kept docs, the replay
+    // must classify every doc IDENTICALLY — same statuses, same attach
+    // targets — because a doc's identical signature collides only with
+    // its own index entry (self-pairs excluded by doc_a < doc_b) and
+    // with the same neighbors as before.
+    val docs = Tables.documents(spark, sf())
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val b = (maxId + 1) * 4 / 5
+    val batch = docs.filter(col("doc_id") >= b)
+    val index = frozenIndexSig(spark, sf(), b)
+    val first = classifyIncrement(index, batch, docs, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val kept = first.filter(_._3 == "kept").map(_._1).toSet
+    val grown = index.unionByName(
+      minhashSignatures(batch)
+        .filter(col("doc_id").isInCollection(kept)))
+    val replay = classifyIncrement(grown, batch, docs, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(first.nonEmpty)
+    assert(replay === first)
+  }
+
   test("driver union-find fast path labels exactly like the distributed loop") {
     // multi-component graph with shuffled edge order and a chain long
     // enough to stress path compression; both paths must agree row-for-row
