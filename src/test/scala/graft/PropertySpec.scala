@@ -93,8 +93,12 @@ class PropertySpec extends SparkSuite {
       b <- Gen.choose(0L, 39L) if a != b
     } yield (math.min(a, b), math.max(a, b)))
     samples(edgeGen, 8).filter(_.nonEmpty).foreach { edges =>
+      // driverMaxEdges = 0: the DISTRIBUTED pointer-jump loop is the
+      // thing compared against the reference here — without it every
+      // random graph (60 edges) would take the small-graph fast path,
+      // which is itself a union-find and would make this test circular
       val got = graft.operators.Dedup
-        .connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .connectedComponents(edges.toDF("doc_a", "doc_b"), driverMaxEdges = 0)
         .as[(Long, Long)].collect().toMap
       // reference: plain union-find with path compression
       val parent = scala.collection.mutable.Map.empty[Long, Long]
