@@ -50,6 +50,34 @@ class TestdataContractSpec extends SparkSuite {
         "front door would silently change meaning")
   }
 
+  test("legacy TIMESTAMP(NANOS) encoding still reads through the same branch") {
+    // the round-4 testdata stored ts as TIMESTAMP(NANOS); the committed
+    // fixture (pyarrow timestamp[ns], 50 rows of real sf0.001 events)
+    // keeps the legacy LongType-under-nanosAsLong branch of
+    // Tables.normalizeTs alive in CI — if the driver ever regenerates
+    // back to nanos, this branch must still produce 2024-range
+    // timestamps, not a silent 1000x compression
+    val dir = getClass.getResource("/nanos/events.parquet").getPath
+      .stripSuffix("/events.parquet")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val r = ev.agg(min(year(col("ts"))).as("y0"),
+      max(year(col("ts"))).as("y1"), count(lit(1)).as("n")).head()
+    assert(r.getAs[Long]("n") == 50L)
+    assert(r.getAs[Int]("y0") == 2024 && r.getAs[Int]("y1") == 2024)
+    // and it must agree row-for-row with the micros encoding of the
+    // same events
+    val micros = Tables.events(spark, sf()).filter(col("event_id") <=
+      ev.agg(max("event_id")).head.getLong(0))
+      .select("event_id", "ts").collect()
+      .map(r2 => r2.getLong(0) -> r2.getTimestamp(1)).toMap
+    ev.select("event_id", "ts").collect().foreach { r2 =>
+      assert(r2.getTimestamp(1) == micros(r2.getLong(0)),
+        s"event ${r2.getLong(0)}: nanos path disagrees with micros path")
+    }
+  }
+
   test("streaming events source agrees with the batch reader on time span") {
     import graft.streaming.StreamingOps
     val batchSpan = Tables.events(spark, sf())
