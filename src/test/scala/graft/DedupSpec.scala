@@ -120,6 +120,17 @@ class DedupSpec extends SparkSuite {
       .count() === 0L, "identical docs must carry identical signatures")
   }
 
+  test("cappedSelfJoin boundary: == maxBucket is all-pairs, +1 is the star") {
+    // pins the cap's comparison direction — an off-by-one drift would
+    // either quadratically explode the first over-cap bucket or
+    // needlessly star-degrade the largest legal one
+    val atCap = (0L until 256L).map(i => (i, base)).toDF("doc_id", "text")
+    assert(minhashCandidates(atCap, maxBucket = 256).count() ===
+      256L * 255 / 2)
+    val overCap = (0L until 257L).map(i => (i, base)).toDF("doc_id", "text")
+    assert(minhashCandidates(overCap, maxBucket = 256).count() === 256L)
+  }
+
   test("connected components converge on a long chain (pointer jumping)") {
     // a 200-link chain has diameter 200: one-hop propagation would need
     // 200 rounds and silently mislabel at maxIter=10; path halving must
