@@ -30,15 +30,30 @@ object Bench {
         SparkEntry.queries.filter { case (k, _) => keep(k) }
       case None => SparkEntry.queries
     }
+    // A query that throws ANYWHERE (warmup or timed) is a bench
+    // failure, not a fast query: its time-to-crash is meaningless, so
+    // every error is recorded per-query, reported in the JSON line, and
+    // fails the run loudly — a crash can never masquerade as a
+    // measurement again.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def describe(t: Throwable): String = {
+      val root = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .toSeq.last
+      s"${root.getClass.getSimpleName}: ${Option(root.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)}"
+    }
     // warmup: exercise every plan once (JIT, codegen cache, file listing)
-    queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch {
+        case t: Throwable => errors.getOrElseUpdate(name, describe(t))
+      }
     }
     // two timed passes, report the min per query (drops scheduler noise)
     def timedPass(): Map[String, Double] =
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable => errors.getOrElseUpdate(name, describe(t))
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val (p1, p2) = (timedPass(), timedPass())
@@ -54,11 +69,24 @@ object Bench {
     // the 24 most expensive queries so the whole line fits inside the
     // driver's bounded output-tail capture and stays machine-parseable.
     val all = results.toSeq.sortBy(-_._2)
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val fullPath = "bench_full.json"
     val pw = new java.io.PrintWriter(fullPath)
-    try pw.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"queries":${dict(all)},"sf":"$sfDir"}""")
+    try pw.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"queries":${dict(all)},"errors":$errJson,"sf":"$sfDir"}""")
     finally pw.close()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"queries":${dict(all.take(24))},"sf":"$sfDir","full":"$fullPath"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"queries":${dict(all.take(24))},"errors":$errJson,"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"BENCH FAILED: ${errors.size} quer${if (errors.size == 1) "y" else "ies"} raised - timings above are invalid for these")
+      errors.foreach { case (k, v) => System.err.println(s"  FAILED $k: $v") }
+      sys.exit(1)
+    }
   }
 }

@@ -439,11 +439,12 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
         new Path(path, e.name).toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GdxReaderFactory(pushed, limit, aggOps,
+    new GdxReaderFactory(pushed, limit, aggOps, required,
       new SerializableHadoopConf(GdxSource.driverConf()))
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : rstreaming.MicroBatchStream = new GdxMicroBatchStream(path, pushed)
+      : rstreaming.MicroBatchStream =
+    new GdxMicroBatchStream(path, pushed, required)
 }
 
 /** Offset = manifest version. Snapshot N's manifest is the COMPLETE
@@ -466,7 +467,8 @@ case class GdxOffset(version: Int) extends rstreaming.Offset {
   * from an offset whose manifest was vacuumed fails loudly rather than
   * silently re-streaming the world — retention must outlive the
   * longest consumer lag, exactly as with any changefeed. */
-class GdxMicroBatchStream(path: String, pushed: Array[Filter])
+class GdxMicroBatchStream(path: String, pushed: Array[Filter],
+                          required: StructType = GdxSource.schema)
     extends rstreaming.MicroBatchStream {
   private def conf = GdxSource.driverConf()
   private def entriesAt(v: Int): Seq[GdxFileEntry] =
@@ -501,7 +503,7 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GdxReaderFactory(pushed, -1, None,
+    new GdxReaderFactory(pushed, -1, None, required,
       new SerializableHadoopConf(conf))
   override def commit(end: rstreaming.Offset): Unit = ()
   override def stop(): Unit = ()
@@ -509,6 +511,7 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter])
 
 class GdxReaderFactory(pushed: Array[Filter], limit: Int,
                        aggOps: Option[Seq[String]],
+                       required: StructType,
                        conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -522,26 +525,56 @@ class GdxReaderFactory(pushed: Array[Filter], limit: Int,
           override def close(): Unit = ()
         }
       case GdxFilePartition(file) =>
-        val base = new GdxFileReader(file, pushed, limit, conf)
         aggOps match {
-          case Some(ops) => new GdxAggReader(base, ops)
-          case None      => base
+          // the agg fold consumes lastK off the UNPRUNED base — its own
+          // output schema is the aggregate row, not `required`
+          case Some(ops) => new GdxAggReader(
+            new GdxFileReader(file, pushed, limit, conf), ops)
+          case None => new GdxFileReader(file, pushed, limit, conf, required)
         }
     }
 }
 
 /** Line reader applying the pushed predicates before materializing and
-  * honoring a pushed per-partition limit. */
+  * honoring a pushed per-partition limit. Rows are PROJECTED to
+  * `required` — the pruned schema [[GdxScanBuilder.pruneColumns]]
+  * accepted and [[GdxScan.readSchema]] advertises — in required order:
+  * the reader's output contract is exactly readSchema(), for every
+  * column subset and ordering Catalyst may request (v-only, k-only,
+  * (v,k), or none, as a pruned-to-empty count-style scan plans). Both
+  * columns still PARSE per line (the byte format has no column stride
+  * to skip); the saving is materialization — a k-only read never
+  * allocates a UTF8String. */
 class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
-                    conf: SerializableHadoopConf)
+                    conf: SerializableHadoopConf,
+                    required: StructType = GdxSource.schema)
     extends PartitionReader[InternalRow] {
   private val p = new Path(file)
   private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
     p.getFileSystem(conf.conf).open(p), "UTF-8"))
+  // per-output-slot selector, resolved once: true = k, false = v
+  private val slotIsK: Array[Boolean] = required.fields.map { f =>
+    f.name match {
+      case "k" => true
+      case "v" => false
+      case other => throw new IllegalArgumentException(
+        s"gdx read: unknown required column '$other'")
+    }
+  }
   private var row: InternalRow = _
   private var emitted = 0L
   var lastK: Long = _
   var lastV: String = _
+
+  private def project(k: Long, v: String): InternalRow = {
+    val vals = new Array[Any](slotIsK.length)
+    var i = 0
+    while (i < slotIsK.length) {
+      vals(i) = if (slotIsK(i)) k else UTF8String.fromString(v)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
 
   private def keep(k: Long, v: String): Boolean = pushed.forall {
     case EqualTo("k", want: Number)         => k == want.longValue
@@ -564,7 +597,7 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
         val v = line.substring(tab + 1)
         if (keep(k, v)) {
           lastK = k; lastV = v
-          row = InternalRow(k, UTF8String.fromString(v))
+          row = project(k, v)
           emitted += 1
           return true
         }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 /** GDX connector protocol: manifest-gated commit visibility and filter
   * pushdown (see sources/GdxSource.scala). */
-class GdxSourceSpec extends SparkSuite {
+class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
   import spark.implicits._
 
   private def freshDir(tag: String): String =
@@ -287,6 +287,30 @@ class GdxSourceSpec extends SparkSuite {
       GdxFileStats(1, 2, 2))))
     assert(read(dir).as[(Long, String)].collect().toSet ===
       Set((1L, "a"), (2L, "b")))
+  }
+
+  test("column pruning: every subset and order matches readSchema") {
+    val dir = freshDir("prune")
+    write(dir, Seq((1L, "a"), (2L, "b"), (3L, "a")))
+    // shared audit: v-only, k-only, (v,k), (k,v), plus the maximally
+    // pruned count() shape — each must deliver exactly what the scan's
+    // readSchema() advertises (the round-6 CCE class: a v-only read
+    // crashed, a k-only read was right by position-luck)
+    auditColumnPruning(() => read(dir))
+    // pruning composes with pushed filters and zone-map skipping
+    import spark.implicits._
+    assert(read(dir).filter(col("k") >= 2).select("v")
+      .as[String].collect().sorted.toSeq === Seq("a", "b"))
+    // and with the streaming (changefeed) read path, which plans
+    // through its own reader factory
+    val q = spark.readStream.format("graft.sources.GdxSource")
+      .option("path", dir).load().select("v")
+      .writeStream.format("memory").queryName("gdx_prune_v").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT v FROM gdx_prune_v")
+        .as[String].collect().sorted.toSeq === Seq("a", "a", "b"))
+    } finally q.stop()
   }
 
   test("supported predicates are pushed; others stay post-scan") {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 /** DataSourceV2 source: parallel per-file parse of pretty-printed JSON
   * arrays must agree with the multiLine JSON reader, prune columns, and
   * plan one partition per file. */
-class NbuRawSourceSpec extends SparkSuite {
+class NbuRawSourceSpec extends SparkSuite with PruneAuditHelper {
 
   private def landTwo(): String = {
     val dir = java.nio.file.Files.createTempDirectory("nbu_dsv2").toFile
@@ -71,5 +71,11 @@ class NbuRawSourceSpec extends SparkSuite {
     // transform composes directly on the custom source
     val t = graft.pipeline.CurrencyPipeline.transform(df)
     assert(t.count() === 4) // 2 files × (USD, EUR)
+  }
+
+  test("column pruning: every subset and order matches readSchema") {
+    val dir = landTwo()
+    auditColumnPruning(() => spark.read
+      .format("graft.sources.NbuRawSource").option("path", dir).load())
   }
 }
