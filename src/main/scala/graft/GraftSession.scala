@@ -122,4 +122,9 @@ object GraftSession {
       // oracle/report determinism
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // legacy TIMESTAMP(NANOS) parquet support from birth: Tables
+      // .events / StreamingOps.eventsStream also set this flag (for
+      // foreign sessions), but an engine-built session carries it
+      // before any query plans, so no plan can ever observe it flip
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 }

@@ -41,7 +41,16 @@ object SparkEntry {
       .limit(20)
   }
 
-  /** One per implemented operator from SURVEY.md §2. */
+  /** One per implemented operator from SURVEY.md §2.
+    *
+    * Concurrency contract: entries are safe to build and run
+    * concurrently against ONE shared session. Queries that need a conf
+    * pinned for their lifetime (iterative loop widths, streaming state
+    * partitions, dynamic partition overwrite) pin it on a private
+    * session clone via [[graft.Sessions]] — never set-then-restore on
+    * the caller's session — and the one shared-session conf write the
+    * engine performs (the legacy parquet NANOS flag, Tables.events) is
+    * monotone and idempotent. ConcurrencySpec exercises the overlap. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)
 

@@ -36,6 +36,13 @@ object Tables {
     * wall-clock relabel under the UTC session zone every entrypoint pins,
     * so the DuckDB oracle (naive TIMESTAMP) sees identical values. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Concurrency note: this is a MONOTONE idempotent set — the engine
+    // only ever writes "true" and nothing ever restores or unsets it
+    // (GraftSession-built sessions already carry it from construction;
+    // this covers foreign sessions). After the first call the value is
+    // stable for the session's lifetime, so no concurrently planning
+    // query can observe a flip — unlike set-then-restore windows, which
+    // Sessions.pinned exists to eliminate.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeTs(apply(s, d, "events"))
   }

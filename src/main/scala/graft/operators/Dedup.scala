@@ -321,13 +321,16 @@ object Dedup extends QueryModule {
       import spark.implicits._
       return labeled.toDF("id", "component")
     }
+    // pinned on a PRIVATE session clone (Sessions.pinned) — a query
+    // planning concurrently against the shared session can never
+    // inherit the loop's width, and nothing needs restoring
     val shuffleKey = "spark.sql.shuffle.partitions"
-    val prevShuffle = spark.conf.get(shuffleKey)
-    spark.conf.set(shuffleKey, math.min(4, prevShuffle.toInt).toString)
-    try {
-    val edges = p
+    val loopWidth = math.min(4, spark.conf.get(shuffleKey).toInt).toString
+    val scoped = graft.Sessions.pinned(spark, shuffleKey -> loopWidth)
+    val sp = graft.Sessions.rebind(p, scoped)
+    val edges = sp
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionAll(sp.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // materialize the edge cache before the loop so iteration 1's two
@@ -371,7 +374,6 @@ object Dedup extends QueryModule {
           s"rounds (covers diameter ~2^$maxIter); candidate graph is " +
           "pathological — raise maxIter or investigate the pair generator")
     labels
-    } finally spark.conf.set(shuffleKey, prevShuffle)
   }
 
   /** One dedup increment: classify `batch` docs against the frozen

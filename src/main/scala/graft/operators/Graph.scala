@@ -43,22 +43,26 @@ object Graph extends QueryModule {
     // IEEE (1.0 - 0.85) = 0.15000000000000002 ≠ the double the oracle's
     // 0.15 literal parses to — the formula must use the same constant
     // bit pattern on both engines.
-    // The loop runs at a LOW pinned shuffle width (restored after) —
-    // the same sizing rule as Dedup.connectedComponents and streaming
-    // state: each iteration pays a fixed per-partition task/checkpoint
-    // charge, so partition count should track rank-frame bytes, not the
-    // session's scan parallelism. At web scale raise it with |nodes|;
-    // the loop is width-agnostic.
-    val spark = edges.sparkSession
+    // The loop runs at a LOW pinned shuffle width — the same sizing
+    // rule as Dedup.connectedComponents and streaming state: each
+    // iteration pays a fixed per-partition task/checkpoint charge, so
+    // partition count should track rank-frame bytes, not the session's
+    // scan parallelism. At web scale raise it with |nodes|; the loop is
+    // width-agnostic. The pin lives on a PRIVATE session clone
+    // (Sessions.pinned), so a query planning concurrently against the
+    // shared session can never inherit the loop's width.
     val shuffleKey = "spark.sql.shuffle.partitions"
-    val prevShuffle = spark.conf.get(shuffleKey)
-    spark.conf.set(shuffleKey, math.min(4, prevShuffle.toInt).toString)
-    try {
+    val loopWidth = math.min(4,
+      edges.sparkSession.conf.get(shuffleKey).toInt).toString
+    val scoped = graft.Sessions.pinned(edges.sparkSession,
+      shuffleKey -> loopWidth)
+    val sEdges = graft.Sessions.rebind(edges, scoped)
+    val sNodes = graft.Sessions.rebind(nodes, scoped)
     // one scalar action: N calibrates the teleport term; everything
     // else stays declarative/distributed
-    val n = nodes.count()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = edges.join(deg, Seq("src"))
+    val n = sNodes.count()
+    val deg = sEdges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = sEdges.join(deg, Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize before the loop: every iteration scans it
     // handle-based checkpoint tracking (same discipline as
@@ -77,7 +81,7 @@ object Graph extends QueryModule {
       out
     }
     var pr = checkpointTracked(
-      nodes.select(col("id")).withColumn("rank", lit(1.0 / n)))
+      sNodes.select(col("id")).withColumn("rank", lit(1.0 / n)))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(pr.withColumnRenamed("id", "src"), Seq("src"))
@@ -91,7 +95,6 @@ object Graph extends QueryModule {
     }
     e.unpersist()
     pr
-    } finally spark.conf.set(shuffleKey, prevShuffle)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -493,16 +493,15 @@ object RelationalOps extends QueryModule {
         .select(col("event_id"), col("event_type"),
           round(col("value"), 6).as("value"))
       ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
-      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try ev.filter(col("event_type") === "click")
-        .withColumn("value", round(col("value") * 2, 6))
+      // dynamic overwrite pinned on a private session clone
+      // (Sessions.pinned): a concurrent writer planning against the
+      // shared session keeps static overwrite semantics
+      graft.Sessions.rebind(
+        ev.filter(col("event_type") === "click")
+          .withColumn("value", round(col("value") * 2, 6)),
+        graft.Sessions.pinned(s,
+          "spark.sql.sources.partitionOverwriteMode" -> "dynamic"))
         .write.mode("overwrite").partitionBy("event_type").parquet(dir)
-      finally prev match {
-        case Some(v) => s.conf.set(
-          "spark.sql.sources.partitionOverwriteMode", v)
-        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
       s.read.parquet(dir)
         .select(col("event_id"), col("event_type").cast("string")
           .as("event_type"), col("value"))

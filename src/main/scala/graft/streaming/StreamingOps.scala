@@ -61,55 +61,55 @@ object StreamingOps extends QueryModule {
     * state SIZE (bounded here by watermark × keys), not the batch
     * engine's scan parallelism. At cluster scale the same knob is sized
     * to state-store bytes per partition, still far below the batch
-    * shuffle width. */
+    * shuffle width.
+    *
+    * The pins live on a PRIVATE session clone ([[graft.Sessions]]), so
+    * a query planning concurrently against the shared session can never
+    * inherit the stream's low width or its extraConf, and the memory
+    * sink's view registers in the clone — two concurrent runs of the
+    * same query name no longer collide on the shared catalog. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
                   mode: String = "complete",
                   statePartitions: Int = 4,
                   extraConf: Map[String, String] = Map.empty): DataFrame = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val keys = "spark.sql.shuffle.partitions" :: extraConf.keys.toList
-    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val q = streamed.writeStream
-        .format("memory").queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    val scoped = graft.Sessions.pinned(spark,
+      (Map("spark.sql.shuffle.partitions" -> statePartitions.toString) ++
+        extraConf).toSeq: _*)
+    val bound = graft.Sessions.rebind(streamed, scoped)
+    val q = bound.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
       // batch-level cost observability (opt-in): one line per micro-batch
       // with the engine's own duration breakdown — the first place to
       // look when a streaming query's FIXED cost (planning, state-store
       // commit, offset log) needs explaining.
-      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
-        q.recentProgress.foreach(p => Console.err.println(
-          s"[stream-debug] $name batch=${p.batchId} rows=${p.numInputRows} " +
-          s"durationMs=${p.durationMs}"))
-      // Zero-output watchdog (VERDICT r5 item 6): round 5's broken
-      // events reader made stream_tumbling_append dump an EMPTY table
-      // silently — input rows flowed, the watermark closed nothing, and
-      // Verify recorded 0 rows as if that were the answer. Consuming
-      // input while emitting nothing is legal mid-stream but is a red
-      // flag for a bounded AvailableNow replay, so it's reported loudly
-      // on stderr always, and escalated to a hard failure under
-      // SPARK_GRAFT_STREAM_STRICT (set it to allowlist via
-      // "name1,name2" when a query legitimately emits nothing).
-      val inputRows = q.recentProgress.map(_.numInputRows).sum
-      if (inputRows > 0 && spark.table(name).isEmpty) {
-        val msg = s"[stream-watchdog] $name consumed $inputRows input rows " +
-          s"across ${q.recentProgress.length} micro-batches but emitted 0 " +
-          "output rows (mode=" + mode + ") — watermark/time-unit bug?"
-        Console.err.println(msg)
-        val strict = sys.env.get("SPARK_GRAFT_STREAM_STRICT")
-        if (strict.exists(v => !v.split(",").map(_.trim).contains(name)))
-          throw new IllegalStateException(msg)
-      }
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach(p => Console.err.println(
+        s"[stream-debug] $name batch=${p.batchId} rows=${p.numInputRows} " +
+        s"durationMs=${p.durationMs}"))
+    // Zero-output watchdog (VERDICT r5 item 6): round 5's broken
+    // events reader made stream_tumbling_append dump an EMPTY table
+    // silently — input rows flowed, the watermark closed nothing, and
+    // Verify recorded 0 rows as if that were the answer. Consuming
+    // input while emitting nothing is legal mid-stream but is a red
+    // flag for a bounded AvailableNow replay, so it's reported loudly
+    // on stderr always, and escalated to a hard failure under
+    // SPARK_GRAFT_STREAM_STRICT (set it to allowlist via
+    // "name1,name2" when a query legitimately emits nothing).
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    if (inputRows > 0 && scoped.table(name).isEmpty) {
+      val msg = s"[stream-watchdog] $name consumed $inputRows input rows " +
+        s"across ${q.recentProgress.length} micro-batches but emitted 0 " +
+        "output rows (mode=" + mode + ") — watermark/time-unit bug?"
+      Console.err.println(msg)
+      val strict = sys.env.get("SPARK_GRAFT_STREAM_STRICT")
+      if (strict.exists(v => !v.split(",").map(_.trim).contains(name)))
+        throw new IllegalStateException(msg)
     }
-    spark.table(name)
+    scoped.table(name)
   }
 
   /** Exactly-once file sink through foreachBatch — the custom-sink

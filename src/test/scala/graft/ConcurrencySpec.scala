@@ -1,0 +1,121 @@
+package graft
+
+import java.util.concurrent.CountDownLatch
+
+import org.apache.spark.sql.functions._
+
+/** The engine's concurrency contract (SparkEntry.queries scaladoc):
+  * conf-pinned execution scopes must be invisible to queries planning
+  * concurrently against the shared session. Round 6 flagged the old
+  * set-then-restore windows as racy; Sessions.pinned replaces them with
+  * private session clones, and these tests hold a scope OPEN while a
+  * concurrent thread plans against the shared session — the
+  * deterministic interleaving the race needs. */
+class ConcurrencySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val shuffleKey = "spark.sql.shuffle.partitions"
+
+  /** The shuffle width the planner CHOSE (the conf read at plan time),
+    * extracted from the exchange's hashpartitioning — AQE may coalesce
+    * the executed partition count below it on tiny data, so
+    * rdd.getNumPartitions is not a faithful probe of the conf. */
+  private def plannedShuffleWidth(
+      df: org.apache.spark.sql.DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan.toString
+    "hashpartitioning\\([^)]*?(\\d+)\\)".r.findFirstMatchIn(plan)
+      .map(_.group(1).toInt)
+      .getOrElse(fail(s"no hashpartitioning in plan:\n$plan"))
+  }
+
+  test("Sessions.pinned scopes conf to the clone; parent never sees it") {
+    val parentWidth = spark.conf.get(shuffleKey)
+    val df = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val scoped = Sessions.pinned(spark, shuffleKey -> "2")
+    val bound = Sessions.rebind(df, scoped)
+    assert(scoped.conf.get(shuffleKey) === "2")
+    assert(spark.conf.get(shuffleKey) === parentWidth,
+      "pinning must not touch the shared session")
+    // the pin governs the clone's physical plans...
+    val agg = bound.groupBy("doc_a").agg(count(lit(1)).as("n"))
+    assert(plannedShuffleWidth(agg) === 2)
+    // ...and the parent's plans keep the parent width
+    val parentAgg = df.groupBy("doc_a").agg(count(lit(1)).as("n"))
+    assert(plannedShuffleWidth(parentAgg) === parentWidth.toInt)
+    // the clone inherits the parent's runtime conf (semantics equal,
+    // width aside)
+    assert(scoped.conf.get("spark.sql.session.timeZone") ===
+      spark.conf.get("spark.sql.session.timeZone"))
+    // values are intact through the rebind
+    assert(bound.as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("a concurrent query planned INSIDE an open pinned scope keeps " +
+      "the shared width") {
+    val parentWidth = spark.conf.get(shuffleKey).toInt
+    val scopeOpen = new CountDownLatch(1)
+    val observed = new CountDownLatch(1)
+    @volatile var concurrentWidth = -1
+    @volatile var concurrentErr: Throwable = null
+    val df = (1L to 100L).map(i => (i % 7, i)).toDF("k", "v")
+    val observer = new Thread(() => {
+      try {
+        scopeOpen.await()
+        // plan against the SHARED session while the pinned scope is
+        // open — under set-then-restore this inherited the loop's width
+        concurrentWidth =
+          plannedShuffleWidth(df.groupBy("k").agg(sum("v")))
+      } catch { case t: Throwable => concurrentErr = t }
+      finally observed.countDown()
+    })
+    observer.start()
+    val scoped = Sessions.pinned(spark, shuffleKey -> "2")
+    val bound = Sessions.rebind(df, scoped)
+    scopeOpen.countDown()
+    // hold the scope open across the observer's whole planning pass
+    val pinnedWidth = plannedShuffleWidth(bound.groupBy("k").agg(sum("v")))
+    observed.await()
+    observer.join()
+    if (concurrentErr != null) throw concurrentErr
+    assert(pinnedWidth === 2, "the scope itself must honor the pin")
+    assert(concurrentWidth === parentWidth,
+      "a concurrently planned query must keep the shared session's width")
+  }
+
+  test("two conf-pinning queries run concurrently in one context") {
+    // the verdict's acceptance shape: two queries whose implementations
+    // pin conf (pageRank's loop width; runToMemory's state partitions)
+    // overlap in one SparkContext and both come out correct, with the
+    // shared session's conf untouched throughout
+    val parentConf = spark.conf.get(shuffleKey)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L).toDF("id")
+    @volatile var prErr: Throwable = null
+    @volatile var prRows: Long = -1
+    val t = new Thread(() => {
+      try prRows = graft.operators.Graph.pageRank(edges, nodes, iters = 2)
+        .count()
+      catch { case e: Throwable => prErr = e }
+    })
+    t.start()
+    // concurrently: a streaming query through runToMemory (pins state
+    // partitions + extraConf on its own clone)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    input.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+    val streamed = input.toDF().toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("total"))
+    val out = graft.streaming.StreamingOps.runToMemory(
+      spark, streamed, "concurrency_spec_totals", statePartitions = 2)
+    t.join()
+    if (prErr != null) throw prErr
+    assert(prRows === 5, "pageRank must label every node")
+    assert(out.as[(Long, Double)].collect().toSet ===
+      Set((1L, 3.0), (2L, 5.0)))
+    assert(spark.conf.get(shuffleKey) === parentConf,
+      "neither query may leave a conf change behind on the shared session")
+  }
+}
