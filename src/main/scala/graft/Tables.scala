@@ -76,6 +76,24 @@ object Tables {
     // (the 100 TB case: thousands of splits ≫ cores ⇒ no extra exchange);
     // only the few-file local case pays the one round-robin shuffle, and
     // there it buys a 32× kernel speedup.
-    if (df.inputFiles.length < p) df.repartition(p) else df
+    val files = df.inputFiles
+    // no file listing (views, local relations, post-shuffle frames):
+    // parallelism is unknowable from metadata — don't guess a shuffle in
+    if (files.isEmpty || files.length >= p) return df
+    // few files may still SPLIT into >= p scan partitions when large
+    // (splittable formats divide at maxPartitionBytes); estimate splits
+    // from file sizes — at most p-1 getFileStatus calls, metadata-only
+    val maxSplit = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(df.sparkSession.conf
+        .get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val estSplits = files.map { f =>
+      val path = new org.apache.hadoop.fs.Path(f)
+      val len =
+        try path.getFileSystem(hconf).getFileStatus(path).getLen
+        catch { case _: Exception => 0L }
+      math.max(1L, (len + maxSplit - 1) / maxSplit)
+    }.sum
+    if (estSplits < p) df.repartition(p) else df
   }
 }

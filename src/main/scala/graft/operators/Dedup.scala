@@ -51,8 +51,15 @@ object Dedup extends QueryModule {
     * band-join it against index ∪ batch, verify, label. Survivor
     * signatures are 64 longs per doc: bounded cache, no text retained.
     * Shared by the batch incremental query and the streaming ingest. */
-  def frozenIndexSig(s: SparkSession, d: String, b: Long): DataFrame =
-    indexSigCache.computeIfAbsent(d, _ => {
+  def frozenIndexSig(s: SparkSession, d: String, b: Long): DataFrame = {
+    // keyed on (dir, boundary) — a different b is a DIFFERENT frozen
+    // index, not a cache hit — and a hit whose owning SparkContext has
+    // stopped (test suites cycle sessions) is rebuilt, not returned as
+    // a dangling handle on dead block storage
+    val key = s"$d#$b"
+    val hit = indexSigCache.get(key)
+    if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit
+    else indexSigCache.compute(key, (_, _) => {
       val old = Tables.documents(s, d).filter(col("doc_id") < b)
       val oldVerified = verifyJaccard(minhashCandidates(old), old)
         .filter(col("jaccard") >= 0.8)
@@ -63,6 +70,7 @@ object Dedup extends QueryModule {
         .join(index, Seq("doc_id"), "left_semi")
         .localCheckpoint()
     })
+  }
 
   /** MinHash signatures: (doc_id, sig ARRAY<LONG>[64]) via the native
     * MinHash64 expression — one shuffle-free map per doc (shingle

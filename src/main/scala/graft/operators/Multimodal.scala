@@ -466,10 +466,15 @@ object Multimodal extends QueryModule {
         |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zcr
         |FROM x GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin,
+    // empty payloads have no frames to sample, so they yield NO row —
+    // the oracle filters them exactly like the Spark side's grouped(16)
+    // naturally does (current corpora have none; the filter pins the
+    // semantics against a future corpus that does)
     "mm_frames" ->
       """WITH c AS (SELECT doc_id, text,
         |    (octet_length(encode(text)) + 15) // 16 AS nblocks
-        |  FROM documents)
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) > 0)
         |SELECT doc_id, CAST((nblocks + 3) // 4 AS BIGINT) AS n_sampled,
         |  md5(substr(text, 1, 16)) AS frame0_md5
         |FROM c ORDER BY doc_id""".stripMargin)

@@ -532,13 +532,12 @@ object StreamingOps extends QueryModule {
       // yields exactly-once output) — no driver-side accumulation; the
       // result is read back from the sink like any downstream consumer
       // would.
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_dedup_ingest_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(root); root.mkdirs()
+      // per-run unique sink root (Files.createTempDirectory): two
+      // concurrent runs over the same dataset (parallel suites, bench
+      // passes) must never clobber each other's batches mid-stream
+      val root = java.nio.file.Files.createTempDirectory(
+        "graft_dedup_ingest_").toFile
+      root.deleteOnExit()
       val out = new java.io.File(root, "out").getPath
       val docSchema = s.read.parquet(s"$d/documents.parquet").schema
       s.readStream.schema(docSchema)
