@@ -115,11 +115,26 @@ object RelationalOps extends QueryModule {
              countDistinct(col("l_suppkey")).as("n_supps"))),
 
     // A5' — approx_count_distinct (HLL; the 100 TB-safe variant).
-    // No oracle: HLL estimates are engine-specific.
+    // No oracle (HLL estimates are engine-specific), so the row carries
+    // its OWN verification: the exact counterpart and the relative
+    // error, which the driver's rows-check pins and SketchSpec asserts
+    // ≤ 4·rsd (4 standard deviations of the HLL estimator). At 100 TB
+    // the exact columns are dropped — they are the verification
+    // harness, not the operator.
     "a5_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .agg(approx_count_distinct(col("l_partkey")).as("n_parts_approx"),
-             approx_count_distinct(col("l_orderkey")).as("n_orders_approx"))),
+        .agg(approx_count_distinct(col("l_partkey"), 0.05)
+               .as("n_parts_approx"),
+             countDistinct(col("l_partkey")).as("n_parts_exact"),
+             approx_count_distinct(col("l_orderkey"), 0.05)
+               .as("n_orders_approx"),
+             countDistinct(col("l_orderkey")).as("n_orders_exact"))
+        .select(col("n_parts_approx"), col("n_parts_exact"),
+          round(abs(col("n_parts_approx") - col("n_parts_exact"))
+            / col("n_parts_exact"), 6).as("rel_err_parts"),
+          col("n_orders_approx"), col("n_orders_exact"),
+          round(abs(col("n_orders_approx") - col("n_orders_exact"))
+            / col("n_orders_exact"), 6).as("rel_err_orders"))),
 
     // A6/C3 — single-row wide conditional-agg report (the reference's
     // 11-query fan collapsed into one pass, src/analyze.py:135-160)
@@ -599,16 +614,40 @@ object RelationalOps extends QueryModule {
     }),
 
     // A8 — sketch battery (HLL distinct + approx percentiles): the
-    // 100 TB-safe variants; rows-only (estimates are engine-specific).
-    // Quantiles are split into scalar columns so the harness can hash them.
-    "a8_sketches" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .agg(approx_count_distinct(col("l_partkey")).as("nd_parts"),
+    // 100 TB-safe variants; rows-only (estimates are engine-specific),
+    // so the row audits ITSELF: the HLL estimate rides with its exact
+    // counterpart + relative error, and each percentile estimate with
+    // its RANK error — |rank(est)/N − p|, the quantity the
+    // approx_percentile contract actually bounds (≤ 1/accuracy); a
+    // value-space error has no theoretical bound. SketchSpec asserts
+    // both. One extra broadcast-and-reaggregate pass, dropped at
+    // production scale along with the exact columns.
+    "a8_sketches" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val est = li
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("nd_parts"),
+          countDistinct(col("l_partkey")).as("nd_parts_exact"),
           expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)")
             .as("pq"))
-        .select(col("nd_parts"),
+        .select(col("nd_parts"), col("nd_parts_exact"),
           element_at(col("pq"), 1).as("price_p50"),
-          element_at(col("pq"), 2).as("price_p90"))),
+          element_at(col("pq"), 2).as("price_p90"))
+      def rankErr(p: Double, estCol: String) = round(greatest(
+        count(when(col("l_extendedprice") < col(estCol), 1))
+          / count(lit(1)) - p,
+        lit(p) - count(when(col("l_extendedprice") <= col(estCol), 1))
+          / count(lit(1)),
+        lit(0.0)), 6)
+      li.crossJoin(broadcast(est))
+        .agg(first("nd_parts").as("nd_parts"),
+          first("nd_parts_exact").as("nd_parts_exact"),
+          round(abs(first("nd_parts") - first("nd_parts_exact"))
+            / first("nd_parts_exact"), 6).as("nd_rel_err"),
+          first("price_p50").as("price_p50"),
+          rankErr(0.5, "price_p50").as("p50_rank_err"),
+          first("price_p90").as("price_p90"),
+          rankErr(0.9, "price_p90").as("p90_rank_err"))
+    }),
 
     // A10 — z-score outlier detection: per-group mean/std from the same
     // exact-decimal moments as A9 (bit-reproducible on any
@@ -959,15 +998,25 @@ object RelationalOps extends QueryModule {
     // — the distinct-count analog of C5's mergeable MV state. At scale
     // the daily sketches are stored with the partition and every
     // rollup (weekly, monthly, all-time) is a sketch merge over a few
-    // KB per partition, never a re-scan. Rows-only (estimates);
-    // SketchSpec bounds the estimate against the exact distinct count.
+    // KB per partition, never a re-scan. Rows-only (estimates), so each
+    // row carries the exact distinct count and the relative error —
+    // pinned by the driver's rows-check, asserted ≤ the sketch's bound
+    // in SketchSpec; exact columns are the harness, dropped at scale.
     "a12_hll_partitioned" -> ((s, d) => {
-      val daily = Tables.events(s, d)
+      val ev = Tables.events(s, d)
+      val daily = ev
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      daily.groupBy("event_type")
+      val merged = daily.groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
           .as("nd_users_approx"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("nd_users_exact"))
+      merged.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("nd_users_approx"),
+          col("nd_users_exact"),
+          round(abs(col("nd_users_approx") - col("nd_users_exact"))
+            / col("nd_users_exact"), 6).as("rel_err"))
         .orderBy("event_type")
     }),
 

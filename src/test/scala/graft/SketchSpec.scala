@@ -42,17 +42,52 @@ class SketchSpec extends SparkSuite {
   }
 
   test("partitioned HLL sketches merge to a near-exact distinct count") {
-    val est = SparkEntry.queries("a12_hll_partitioned")(spark, sf())
-      .as[(String, Long)].collect().toMap
+    // the query row carries exact + rel_err itself (the self-auditing
+    // sketch contract); re-derive the error here so a broken in-query
+    // rel_err column can't vouch for itself
+    val rows = SparkEntry.queries("a12_hll_partitioned")(spark, sf())
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
     val exact = Tables.events(spark, sf())
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("nd"))
       .as[(String, Long)].collect().toMap
-    assert(est.keySet === exact.keySet)
-    exact.foreach { case (t, n) =>
-      assert(math.abs(est(t) - n).toDouble / n < 0.05,
-        s"$t: merged-HLL estimate ${est(t)} too far from exact $n")
+    assert(rows.map(_._1).toSet === exact.keySet)
+    rows.foreach { case (t, approx, exactCol, relErr) =>
+      assert(exactCol === exact(t), s"$t: in-query exact column is wrong")
+      val derived = math.abs(approx - exactCol).toDouble / exactCol
+      assert(math.abs(relErr - derived) < 1e-6,
+        s"$t: in-query rel_err $relErr != derived $derived")
+      // default lgConfigK=12 ⇒ rsd ≈ 1.04/√4096 ≈ 1.63%; 3σ ≈ 4.9%
+      assert(relErr < 0.05,
+        s"$t: merged-HLL estimate $approx too far from exact $exactCol")
     }
+  }
+
+  test("a5_approx_distinct: in-query relative error within 4 rsd") {
+    val r = SparkEntry.queries("a5_approx_distinct")(spark, sf())
+      .collect().head
+    val relParts = r.getAs[Double]("rel_err_parts")
+    val relOrders = r.getAs[Double]("rel_err_orders")
+    // rsd=0.05 requested in-query; 4 standard deviations
+    assert(relParts <= 0.2, s"HLL parts rel err $relParts > 4·rsd")
+    assert(relOrders <= 0.2, s"HLL orders rel err $relOrders > 4·rsd")
+    // the error column must agree with the approx/exact pair it rides with
+    val derived = math.abs(r.getAs[Long]("n_parts_approx") -
+      r.getAs[Long]("n_parts_exact")).toDouble / r.getAs[Long]("n_parts_exact")
+    assert(math.abs(relParts - derived) < 1e-6)
+  }
+
+  test("a8_sketches: percentile rank error within the 1/accuracy bound") {
+    val r = SparkEntry.queries("a8_sketches")(spark, sf()).collect().head
+    // approx_percentile(…, accuracy=1000) guarantees |rank/N − p| ≤
+    // 1/accuracy — a HARD deterministic bound, not probabilistic
+    assert(r.getAs[Double]("p50_rank_err") <= 0.001 + 1e-9,
+      s"p50 rank error ${r.getAs[Double]("p50_rank_err")} breaks the GK bound")
+    assert(r.getAs[Double]("p90_rank_err") <= 0.001 + 1e-9,
+      s"p90 rank error ${r.getAs[Double]("p90_rank_err")} breaks the GK bound")
+    assert(r.getAs[Double]("nd_rel_err") <= 0.2,
+      s"HLL rel err ${r.getAs[Double]("nd_rel_err")} > 4·rsd")
   }
 
   test("native CmsEstimate probe == driver-side estimateCount, key for key") {
