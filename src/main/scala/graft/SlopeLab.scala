@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-slope laboratory: synthesizes an N× copy of the driver
+  * testdata (events cohorts and word-shuffled document replicas —
+  * shuffling destroys the 5-gram shingles, so replicas are NOT
+  * near-dups and the candidate-pair regime stays realistic) and runs
+  * the GDX snapshot-count experiment. The point of every slope run is
+  * to EXCLUDE a super-linear regime empirically: a quadratic path
+  * prints ~N², a healthy one tracks N or the key count.
+  *
+  * Usage:
+  *   runMain graft.SlopeLab gen [srcDir] [outDir] [factor]
+  *     — write {events,documents}.parquet at factor× into outDir
+  *       (single-file layout matching the driver testdata; every other
+  *       table symlinked), then `SPARK_GRAFT_SF_DIR=outDir runMain
+  *       graft.Bench` times any query family at N×.
+  *   runMain graft.SlopeLab gdx [workDir]
+  *     — snapshot-count scaling for the GDX changefeed lane: fixed
+  *       total rows committed as 10 vs 50 vs 100 append snapshots;
+  *       reports full-drain streaming read time and manifest bytes per
+  *       commit count. The expected shape: drain time tracks TOTAL
+  *       FILES (each snapshot's adds are planned once), while the
+  *       manifest-rewrite cost per commit grows with the cumulative
+  *       file list — the documented retention/vacuum boundary of the
+  *       full-list manifest design.
+  */
+object SlopeLab {
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("gen")
+    val spark = GraftSession
+      .builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    mode match {
+      case "gen" => gen(spark,
+        args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).getOrElse("/tmp/graft_slope10x"),
+        args.lift(3).map(_.toInt).getOrElse(10))
+      case "gdx" => gdxSnapshots(spark,
+        args.lift(1).getOrElse("/tmp/graft_slope_gdx"))
+      case other => sys.error(s"unknown SlopeLab mode: $other")
+    }
+    spark.stop()
+  }
+
+  /** Write `df` as ONE parquet file at exactly `target` (the driver
+    * testdata is single-file-per-table; eventsStream's pathGlobFilter
+    * depends on the file being named events.parquet). */
+  private def writeSingleFile(df: DataFrame, target: String): Unit = {
+    val tmp = target + "_tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    Files.deleteIfExists(Paths.get(target))
+    Files.move(part.toPath, Paths.get(target))
+    new java.io.File(tmp).listFiles().foreach(_.delete())
+    Files.deleteIfExists(Paths.get(tmp))
+  }
+
+  def gen(spark: SparkSession, src: String, out: String,
+          factor: Int): Unit = {
+    new java.io.File(out).mkdirs()
+
+    // events: `factor` user cohorts over the SAME time span — state
+    // cardinality (keys × watermark) scales with users, raw volume
+    // with rows, exactly the axis the streaming-state slope measures
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evMax = ev.agg(max("event_id")).head.getLong(0) + 1
+    val evN = (0 until factor).map { c =>
+      ev.select(
+        (col("event_id") + lit(c * evMax)).as("event_id"), col("ts"),
+        (col("user_id") + lit(c * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+    writeSingleFile(evN, s"$out/events.parquet")
+
+    // documents: word-shuffled replicas (id-offset; shuffle seeded by
+    // replica doc_id so the corpus is deterministic run to run).
+    // n_chars is preserved exactly — a space-join of the same words.
+    val shuffleWords = udf { (text: String, seed: Long) =>
+      new scala.util.Random(seed).shuffle(text.split(" ").toList)
+        .mkString(" ")
+    }
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val dMax = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val docsN = (0 until factor).map { c =>
+      val id = col("doc_id") + lit(c * dMax)
+      docs.select(id.as("doc_id"),
+        (if (c == 0) col("text") else shuffleWords(col("text"), id))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+    writeSingleFile(docsN, s"$out/documents.parquet")
+
+    // everything else rides along via symlink — dimension joins keep
+    // their real shapes without copying bytes
+    Tables.names.filterNot(n => n == "events" || n == "documents")
+      .foreach { n =>
+        val link = Paths.get(out, s"$n.parquet")
+        Files.deleteIfExists(link)
+        Files.createSymbolicLink(link, Paths.get(src, s"$n.parquet"))
+      }
+    println(s"""{"slope_gen":"$out","factor":$factor,""" +
+      s""""events":${evN.count()},"documents":${docsN.count()}}""")
+  }
+
+  /** Changefeed snapshot scaling: same total rows, committed as V
+    * append snapshots of F files each; measure full-drain stream read
+    * and manifest growth. */
+  def gdxSnapshots(spark: SparkSession, work: String): Unit = {
+    import spark.implicits._
+    val fmt = "graft.sources.GdxSource"
+    for (commits <- Seq(10, 50, 100)) {
+      val dir = s"$work/v$commits"
+      val rowsPerCommit = 20000 / commits
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      for (c <- 0 until commits) {
+        (0 until rowsPerCommit).map(i =>
+          (c.toLong * rowsPerCommit + i, s"v$c")).toDF("k", "v")
+          .repartition(2)
+          .write.format(fmt).option("path", dir).mode("append").save()
+      }
+      val manifestBytes = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("_manifest")).map(_.length()).sum
+      def drain(): Double = {
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format(fmt).option("path", dir).load()
+          .groupBy("v").agg(count(lit(1)).as("n"))
+        val got = graft.streaming.StreamingOps
+          .runToMemory(spark, q, s"slope_gdx_$commits")
+        require(got.count() == commits,
+          s"drain saw ${got.count()} groups, want $commits")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = Seq(drain(), drain()).min
+      println(f"""{"gdx_snapshots":$commits,"rows":${commits * rowsPerCommit},"drain_sec":$t%.3f,"manifest_bytes":$manifestBytes}""")
+    }
+  }
+}
