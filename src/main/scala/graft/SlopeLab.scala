@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   *     — snapshot-count scaling for the GDX changefeed lane: fixed
   *       total rows committed as 10 vs 50 vs 100 append snapshots;
   *       reports full-drain streaming read time and manifest bytes per
-  *       commit count. The expected shape: drain time tracks TOTAL
-  *       FILES (each snapshot's adds are planned once), while the
-  *       manifest-rewrite cost per commit grows with the cumulative
-  *       file list — the documented retention/vacuum boundary of the
-  *       full-list manifest design.
+  *       commit count (retained, and after vacuum to one snapshot).
+  *       The expected shape: drain time tracks TOTAL FILES (each
+  *       snapshot's adds are planned once); with delta manifests an
+  *       append commit writes O(files added), checkpoints every
+  *       [[graft.sources.GdxSource.CheckpointInterval]] commits keep
+  *       reconstruction bounded, and vacuumed metadata is O(total
+  *       files) — this experiment is what exposed the old
+  *       full-list-per-commit O(N²) growth.
   */
 object SlopeLab {
   def main(args: Array[String]): Unit = {
@@ -143,7 +146,14 @@ object SlopeLab {
         (System.nanoTime() - t0) / 1e9
       }
       val t = Seq(drain(), drain()).min
-      println(f"""{"gdx_snapshots":$commits,"rows":${commits * rowsPerCommit},"drain_sec":$t%.3f,"manifest_bytes":$manifestBytes}""")
+      // the retention end-state: vacuum to one snapshot and re-measure —
+      // with delta manifests + checkpoints this is O(total files), the
+      // bound a long-lived 100 TB table actually lives at
+      graft.sources.GdxSource.vacuum(dir,
+        graft.sources.GdxSource.driverConf(), keepLast = 1)
+      val vacuumedBytes = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("_manifest")).map(_.length()).sum
+      println(f"""{"gdx_snapshots":$commits,"rows":${commits * rowsPerCommit},"drain_sec":$t%.3f,"manifest_bytes":$manifestBytes,"manifest_bytes_vacuumed":$vacuumedBytes}""")
     }
   }
 }

@@ -179,6 +179,49 @@ object JoinOps extends QueryModule {
         .orderBy("user_id", "purchase_id")
     }),
 
+    // NEAREST as-of join (pandas merge_asof direction='nearest'): each
+    // purchase takes whichever click — before OR after — is closest in
+    // time, ties to the backward match. Same single-exchange
+    // carry-forward union as join_asof, run BOTH directions in one
+    // sorted pass: `last` over the preceding frame gives the backward
+    // candidate, `first` over the following frame the forward one
+    // (same partitioning and sort order, so Catalyst plans ONE
+    // exchange + ONE sort); the winner is a projection on microsecond
+    // deltas. Never an |t1-t2| theta-join — at 100 TB that's a
+    // cross-product per user; this stays one shuffle on user_id.
+    // Tie-break ladder (identical in the oracle): smaller |Δt|, then
+    // backward over forward, then latest backward click id / earliest
+    // forward click id.
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("click_value"), lit(0).as("is_probe"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("double").as("click_value"), lit(1).as("is_probe"))
+      val wb = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_probe"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wf = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_probe"), col("event_id"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      val m = when(col("is_probe") === 0,
+        struct(col("ts").as("cts"), col("click_value").as("cv")))
+      val both = clicks.unionByName(purchases)
+        .withColumn("b", last(m, ignoreNulls = true).over(wb))
+        .withColumn("f", first(m, ignoreNulls = true).over(wf))
+        .filter(col("is_probe") === 1)
+      val dBack = abs(unix_micros(col("b.cts")) - unix_micros(col("ts")))
+      val dFwd = abs(unix_micros(col("f.cts")) - unix_micros(col("ts")))
+      both.select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"),
+          when(col("b.cts").isNotNull &&
+              (col("f.cts").isNull || dBack <= dFwd), col("b.cv"))
+            .otherwise(col("f.cv")).as("nearest_value"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
     // POINT-IN-TIME join (the feature-store correctness primitive): each
     // fact row joined to the dimension VERSION valid at the fact's
     // event time — here the SCD2 intervals built from the event change
@@ -402,6 +445,25 @@ object JoinOps extends QueryModule {
         |   WHERE c.user_id = p.user_id AND c.ts <= p.ts
         |     AND c.ts >= p.ts - INTERVAL 1 HOUR
         |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_value
+        |FROM purchases p
+        |ORDER BY user_id, purchase_id""".stripMargin,
+    // nearest oracle: rank ALL the user's clicks by the tie-break
+    // ladder — |Δt| in microseconds, backward-first, then click id
+    // (DESC for backward = the carry-forward window's last-at-equal-ts,
+    // ASC for forward = first-at-equal-ts)
+    "join_asof_nearest" ->
+      """WITH clicks AS (SELECT user_id, event_id,
+        |  CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  p.ts AS purchase_ts,
+        |  (SELECT c.value FROM clicks c WHERE c.user_id = p.user_id
+        |   ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+        |     CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+        |     CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END ASC
+        |   LIMIT 1) AS nearest_value
         |FROM purchases p
         |ORDER BY user_id, purchase_id""".stripMargin,
     "join_asof" ->

@@ -457,6 +457,30 @@ object RelationalOps extends QueryModule {
           min("k").as("min_k"), max("k").as("max_k"))
     }),
 
+    // S22 — GDX compaction (the table-format OPTIMIZE): a 32-small-file
+    // snapshot (the streaming-sink accretion shape) rewritten as 4
+    // files in ONE truncate commit; snapshot isolation means readers of
+    // the old version and time travel are untouched, and vacuum
+    // reclaims the small files later. Data preservation is the oracle
+    // gate: every (k, v) row must survive the rewrite byte-identically;
+    // the file-count halving rides along as a pinned boolean.
+    // GdxSourceSpec pins the version/history half.
+    "s22_gdx_compact" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdxcmp_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.sources.GdxSource.vacuum(dir,
+        graft.sources.GdxSource.driverConf(), keepLast = 2)
+      val fmt = "graft.sources.GdxSource"
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
+        .repartition(32)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      val (before, after) = graft.sources.GdxSource.compact(s, dir, 4)
+      s.read.format(fmt).option("path", dir).load()
+        .withColumn("files_shrunk", lit(after < before))
+        .orderBy("k")
+    }),
+
     // S16 — compression-codec surface: zstd parquet round-trip (the
     // storage default at fleet scale — ~30% smaller than snappy at
     // comparable scan cost; the codec is a WRITER OPTION, transparent to
@@ -1571,6 +1595,10 @@ object RelationalOps extends QueryModule {
     "s21_gdx_meta_agg" ->
       """SELECT count(*) AS n, min(o_orderkey) AS min_k,
         |  max(o_orderkey) AS max_k FROM orders""".stripMargin,
+    // compaction preserves every row; the rewrite provably shrank files
+    "s22_gdx_compact" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS v,
+        |  TRUE AS files_shrunk FROM orders ORDER BY k""".stripMargin,
     "s16_zstd_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity >= 45

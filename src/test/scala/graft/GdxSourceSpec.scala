@@ -83,6 +83,95 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
       "the retained snapshot still reads intact after vacuum")
   }
 
+  test("append commits publish delta manifests; checkpoints bound the chain") {
+    import scala.jdk.CollectionConverters._
+    val dir = freshDir("delta")
+    for (i <- 1L to 12L)
+      Seq((i, s"r$i")).toDF("k", "v").coalesce(1)
+        .write.format("graft.sources.GdxSource")
+        .option("path", dir).mode("append").save()
+    def lines(v: Int) = java.nio.file.Files.readAllLines(
+      java.nio.file.Path.of(dir, f"_manifest-$v%08d")).asScala
+      .filter(_.nonEmpty).toSeq
+    // v1 and v10 are full checkpoints; the rest record ONLY their own
+    // file — this is what keeps retained manifest bytes linear in
+    // commits instead of the full-list-per-commit O(N²)
+    assert(!lines(1).head.startsWith("#delta") && lines(1).size === 1)
+    for (v <- (2 to 9) ++ Seq(11, 12))
+      assert(lines(v).head === "#delta" && lines(v).size === 2,
+        s"version $v must be a single-entry delta")
+    assert(!lines(10).head.startsWith("#delta") && lines(10).size === 10)
+    // every snapshot reconstructs exactly through its chain
+    for (v <- 1 to 12)
+      assert(spark.read.format("graft.sources.GdxSource")
+        .option("path", dir).option("version", v.toString).load()
+        .as[(Long, String)].collect().toSet ===
+        (1L to v).map(i => (i, s"r$i")).toSet, s"snapshot $v")
+    // zone-map stats flow through deltas: metadata-only agg still
+    // COMPLETE, and file skipping still plans one file for a point read
+    val agg = read(dir).agg(count(lit(1)), min("k"), max("k"))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("COMPLETE(manifest)"))
+    assert(agg.collect().head.toSeq === Seq(12L, 1L, 12L))
+    assert(read(dir).filter(col("k") === 7).rdd.getNumPartitions === 1)
+  }
+
+  test("vacuum materializes the oldest retained delta before dropping " +
+      "its chain") {
+    import scala.jdk.CollectionConverters._
+    val dir = freshDir("vacdelta")
+    for (i <- 1L to 5L)
+      Seq((i, s"r$i")).toDF("k", "v").coalesce(1)
+        .write.format("graft.sources.GdxSource")
+        .option("path", dir).mode("append").save()
+    val conf = graft.sources.GdxSource.driverConf()
+    // v4/v5 are deltas whose reconstruction chain runs through v1..v3 —
+    // retention must checkpoint v4 or the retained snapshots go dark
+    val deleted = graft.sources.GdxSource.vacuum(dir, conf, keepLast = 2)
+    assert(deleted === 0, "appends orphan no data files")
+    assert(graft.sources.GdxSource.listVersions(dir, conf) === Seq(4, 5))
+    val v4 = java.nio.file.Files.readAllLines(
+      java.nio.file.Path.of(dir, "_manifest-00000004")).asScala
+      .filter(_.nonEmpty).toSeq
+    assert(!v4.head.startsWith("#delta") && v4.size === 4,
+      "oldest retained version is rewritten as a full checkpoint")
+    def at(v: Int) = spark.read.format("graft.sources.GdxSource")
+      .option("path", dir).option("version", v.toString).load()
+      .as[(Long, String)].collect().toSet
+    assert(at(4) === (1L to 4L).map(i => (i, s"r$i")).toSet)
+    assert(at(5) === (1L to 5L).map(i => (i, s"r$i")).toSet)
+    // stats survive the checkpoint rewrite: point read plans one file
+    assert(read(dir).filter(col("k") === 3).rdd.getNumPartitions === 1)
+    // a dropped version is a loud error, not an empty read
+    intercept[Exception] { at(2) }
+  }
+
+  test("compact rewrites small files as one new snapshot; history intact") {
+    val dir = freshDir("cmp")
+    (1L to 100L).map(i => (i, s"r$i")).toDF("k", "v").repartition(8)
+      .write.format("graft.sources.GdxSource")
+      .option("path", dir).mode("append").save()          // v1: 8 files
+    val conf = graft.sources.GdxSource.driverConf()
+    val (before, after) = graft.sources.GdxSource.compact(spark, dir, 2)
+    assert(before === 8 && after === 2)
+    val want = (1L to 100L).map(i => (i, s"r$i")).toSet
+    assert(read(dir).as[(Long, String)].collect().toSet === want,
+      "compaction must preserve every row")
+    assert(read(dir).rdd.getNumPartitions === 2,
+      "the live snapshot plans the compacted files")
+    // pre-compaction snapshot still time-travels (its files untouched)
+    val v1 = spark.read.format("graft.sources.GdxSource")
+      .option("path", dir).option("version", "1").load()
+    assert(v1.rdd.getNumPartitions === 8)
+    assert(v1.as[(Long, String)].collect().toSet === want)
+    // vacuum then reclaims the 8 small files
+    assert(graft.sources.GdxSource.vacuum(dir, conf, keepLast = 1) === 8)
+    assert(read(dir).as[(Long, String)].collect().toSet === want)
+    // already-compact tables are a no-op (no empty commit)
+    assert(graft.sources.GdxSource.compact(spark, dir, 2) === ((2, 2)))
+    assert(graft.sources.GdxSource.listVersions(dir, conf).size === 1)
+  }
+
   test("mode(overwrite) is accepted via SupportsTruncate") {
     val dir = freshDir("trunc")
     write(dir, Seq((1L, "old")))
