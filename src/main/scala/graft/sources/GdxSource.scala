@@ -45,11 +45,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `mode("append")` unions with the previous snapshot,
   *    `mode("overwrite")` starts the new snapshot empty; neither
   *    rewrites history. [[GdxSource.vacuum]] drops old manifests and
-  *    any data file no retained manifest references. Concurrent
-  *    committers are last-writer-wins on the version number — a real
-  *    deployment CASes the manifest PUT (documented object-store
-  *    caveat; the protocol point is snapshot reads, not multi-writer
-  *    arbitration).
+  *    any data file no retained manifest references.
+  *  - **Optimistic concurrency** (multi-writer): the version number is
+  *    a CLAIM — the manifest publishes atomically with no-replace
+  *    semantics (hard-link create on local FS, FileContext
+  *    Rename.NONE on HDFS; a true object store substitutes a
+  *    conditional PUT), and a writer that loses the race recomputes
+  *    the next version and retries. Appends are commutative so no
+  *    conflict check is needed: concurrent appends land as consecutive
+  *    snapshots, none lost (asserted by ConcurrencySpec). Within one
+  *    JVM a per-table commit lock removes the race entirely.
   *  - **Delta manifests + periodic checkpoints**: an append commit's
   *    manifest records ONLY the files that commit added (a `#delta`
   *    header line, then the added entries); readers reconstruct a
@@ -260,13 +265,91 @@ object GdxSource {
     try lines.foreach(out.println) finally out.close()
   }
 
+  /** In-process commit serialization, striped by table path: writers in
+    * the same JVM (concurrent queries on a local[n] session, parallel
+    * streaming sinks) never race the version claim at all. Cross-process
+    * writers are handled by [[publishExclusive]]'s atomic no-replace
+    * publish + retry. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Atomically publish `lines` as `dst` — failing (returning false)
+    * if `dst` already exists, so two writers claiming the same version
+    * cannot clobber each other's manifest. The content is written to a
+    * temp sibling first and moved into place whole; readers never see a
+    * partial manifest. Local FS claims via hard-link creation
+    * (O_CREAT-exclusive, POSIX-atomic); HDFS via FileContext rename
+    * with Rename.NONE (namenode-atomic no-replace). True object stores
+    * swap this for a conditional PUT (If-None-Match) — same contract,
+    * documented at the head of this file. */
+  private[graft] def publishExclusive(fs: FileSystem, conf: Configuration,
+                                      dst: Path, lines: Seq[String]): Boolean = {
+    if (fs.exists(dst)) return false // cheap early reject; claim is below
+    val tmp = new Path(dst.getParent,
+      s".${dst.getName}.tmp-${java.util.UUID.randomUUID}")
+    writeLines(fs, tmp, lines)
+    try {
+      if ("file" == Option(dst.toUri.getScheme).getOrElse("file")) {
+        val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
+        val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+        try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            // filesystem without hard links: best-effort check-then-move
+            !fs.exists(dst) && fs.rename(tmp, dst)
+        }
+      } else {
+        try {
+          org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+            .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.FileNotFoundException => false
+        }
+      }
+    } finally if (fs.exists(tmp)) fs.delete(tmp, false)
+  }
+
+  /** Atomically REPLACE `dst` with `lines` (vacuum's checkpoint
+    * materialization rewrites an existing manifest in place): content
+    * goes to a temp sibling, then an atomic overwriting move — a
+    * concurrent reader sees the old manifest or the new one, never a
+    * truncated in-progress write. */
+  private def replaceAtomic(fs: FileSystem, conf: Configuration,
+                            dst: Path, lines: Seq[String]): Unit = {
+    val tmp = new Path(dst.getParent,
+      s".${dst.getName}.tmp-${java.util.UUID.randomUUID}")
+    writeLines(fs, tmp, lines)
+    if ("file" == Option(dst.toUri.getScheme).getOrElse("file"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else
+      org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** The single publish routine every commit path shares: rename each
     * task's tmp file to its version-prefixed final name, then write
     * snapshot N+1's manifest. Append commits publish a DELTA manifest
     * listing only this commit's files — O(files added), no read of the
     * previous snapshot at all; truncate, version 1, and every
     * [[CheckpointInterval]]-th version publish a full checkpoint (prior
-    * entries carried forward WITH their zone-map stats). Returns the
+    * entries carried forward WITH their zone-map stats).
+    *
+    * OPTIMISTIC CONCURRENCY: the version number is a claim, not a fact
+    * — the manifest is published atomically with no-replace semantics
+    * ([[publishExclusive]]), and a writer that loses the race recomputes
+    * the next version (re-reading the now-advanced snapshot for
+    * checkpoint content) and retries. Appends are commutative, so
+    * NO conflict check is needed — both writers' rows land, in two
+    * consecutive snapshots (the Delta/Iceberg append path). Truncates
+    * are last-writer-wins by design. Within one JVM the race is
+    * eliminated outright by a per-table commit lock. Returns the
     * committed version. */
   def commitFiles(path: String, conf: Configuration, replace: Boolean,
                   messages: Seq[
@@ -274,29 +357,58 @@ object GdxSource {
                       .WriterCommitMessage]): Int = {
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
-    val newVersion = (listVersions(path, conf) :+ 0).max + 1
-    val finals = messages.collect { case GdxCommitMessage(tmp, stats) =>
-      val fin = f"v$newVersion%08d-" + tmp.stripSuffix(".tmp")
-      val dst = new Path(base, fin)
-      if (fs.exists(dst)) fs.delete(dst, false)
-      val ok = fs.rename(new Path(base, tmp), dst)
-      require(ok, s"gdx commit: rename $tmp -> $fin failed")
-      GdxFileEntry(fin, Some(stats))
+    val lockKey = fs.makeQualified(base).toString
+    commitLocks.computeIfAbsent(lockKey, _ => new Object).synchronized {
+      val finals = messages.collect { case GdxCommitMessage(tmp, stats) =>
+        (tmp, stats)
+      }
+      var attempt = (listVersions(path, conf) :+ 0).max + 1
+      var committed = -1
+      var renamed: Map[String, GdxFileEntry] = Map.empty
+      while (committed < 0) {
+        // (re)name each task file under the attempted version — names
+        // are cosmetic (the manifest is authoritative) but keeping the
+        // prefix equal to the committing version preserves the
+        // lexicographic file ordering invariant
+        val entries = finals.map { case (tmp, stats) =>
+          val fin = f"v$attempt%08d-" + tmp.stripSuffix(".tmp")
+          val src = renamed.get(tmp).map(e => new Path(base, e.name))
+            .getOrElse(new Path(base, tmp))
+          val dst = new Path(base, fin)
+          if (src != dst) {
+            if (fs.exists(dst)) fs.delete(dst, false)
+            require(fs.rename(src, dst),
+              s"gdx commit: rename $src -> $fin failed")
+          }
+          renamed += tmp -> GdxFileEntry(fin, Some(stats))
+          renamed(tmp)
+        }
+        val checkpoint =
+          replace || attempt == 1 || attempt % CheckpointInterval == 0
+        val published =
+          if (checkpoint) {
+            val prev =
+              if (replace) Seq.empty else committedEntries(path, conf)
+            (prev ++ entries).sortBy(_.name).map(_.manifestLine)
+          } else
+            DeltaHeader +: entries.sortBy(_.name).map(_.manifestLine)
+        if (publishExclusive(fs, conf, manifestFor(path, attempt),
+            published)) {
+          // legacy mirror for pre-versioning readers of `_manifest`;
+          // only consulted when NO numbered manifest exists, so
+          // checkpoint-cadence refresh costs nothing in correctness and
+          // keeps commits O(delta)
+          if (checkpoint) writeLines(fs, manifest(path), published)
+          committed = attempt
+        } else {
+          // lost the race: another writer published this version —
+          // recompute against the advanced snapshot and try again
+          attempt = math.max(attempt + 1,
+            (listVersions(path, conf) :+ 0).max + 1)
+        }
+      }
+      committed
     }
-    val checkpoint =
-      replace || newVersion == 1 || newVersion % CheckpointInterval == 0
-    if (checkpoint) {
-      val prev = if (replace) Seq.empty else committedEntries(path, conf)
-      val published = (prev ++ finals).sortBy(_.name).map(_.manifestLine)
-      writeLines(fs, manifestFor(path, newVersion), published)
-      // legacy mirror for pre-versioning readers of `_manifest`; only
-      // consulted when NO numbered manifest exists, so checkpoint-cadence
-      // refresh costs nothing in correctness and keeps commits O(delta)
-      writeLines(fs, manifest(path), published)
-    } else
-      writeLines(fs, manifestFor(path, newVersion),
-        DeltaHeader +: finals.sortBy(_.name).map(_.manifestLine))
-    newVersion
   }
 
   /** Zone-map file skipping: keep an entry unless its published k-range
@@ -358,7 +470,7 @@ object GdxSource {
     if (vs.isEmpty) return 0
     val keep = vs.takeRight(keepLast)
     val oldestFull = committedEntries(path, conf, keep.head)
-    writeLines(fs, manifestFor(path, keep.head),
+    replaceAtomic(fs, conf, manifestFor(path, keep.head),
       oldestFull.map(_.manifestLine))
     vs.dropRight(keepLast).foreach(v => fs.delete(manifestFor(path, v), false))
     val referenced = keep

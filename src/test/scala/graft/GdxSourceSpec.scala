@@ -402,6 +402,45 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     } finally q.stop()
   }
 
+  test("concurrent appends: no commit lost, snapshots stay consecutive") {
+    // 8 writers race the version claim; optimistic concurrency must land
+    // ALL of them (appends are commutative — no conflict to check) as
+    // consecutive snapshots, and the final snapshot must union every
+    // writer's rows. Before the claim-with-retry commit this was
+    // last-writer-wins on the manifest.
+    val dir = freshDir("concur")
+    val writers = (0 until 8).map { w =>
+      new Thread(() => write(dir, Seq((w.toLong, s"writer$w"))))
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join())
+    val vs = sources.GdxSource.listVersions(dir, sources.GdxSource.driverConf())
+    assert(vs === (1 to 8), s"lost or duplicated commit: versions $vs")
+    assert(read(dir).as[(Long, String)].collect().toSet ===
+      (0 until 8).map(w => (w.toLong, s"writer$w")).toSet,
+      "a concurrent append's rows went missing")
+  }
+
+  test("publishExclusive claims a version atomically; losers see false") {
+    // the cross-process arm of optimistic concurrency (the in-JVM lock
+    // never lets two local writers reach the claim together): first
+    // publish wins, a second publish of the SAME manifest path must
+    // return false and leave the winner's content untouched
+    val dir = freshDir("claim")
+    val conf = sources.GdxSource.driverConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val m = sources.GdxSource.manifestFor(dir, 1)
+    assert(sources.GdxSource.publishExclusive(fs, conf, m, Seq("winner")))
+    assert(!sources.GdxSource.publishExclusive(fs, conf, m, Seq("loser")),
+      "second claim of the same version must fail")
+    assert(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(m.toUri.getPath)).get(0) === "winner")
+    // no temp residue from the losing claim
+    val residue = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.contains(".tmp-"))
+    assert(residue.isEmpty, s"losing claim left temp files: ${residue.toSeq}")
+  }
+
   test("supported predicates are pushed; others stay post-scan") {
     val dir = freshDir("push")
     write(dir, (1L to 100L).map(i => (i, if (i % 2 == 0) "e" else "o")))
