@@ -28,6 +28,81 @@ import org.apache.spark.sql.functions._
 object RelationalOps extends QueryModule {
   import graft.Sql._
 
+  /** Self-audit frame behind `a5_approx_distinct`: HLL estimates riding
+    * with their exact counterparts and relative errors. The estimate
+    * columns are engine-specific (not oracle-expressible), so the QUERY
+    * projects only the deterministic claims (exact counts + bound
+    * flags) while SketchSpec asserts the raw errors from this frame. */
+  def a5ApproxDistinctAudit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(approx_count_distinct(col("l_partkey"), 0.05)
+             .as("n_parts_approx"),
+           countDistinct(col("l_partkey")).as("n_parts_exact"),
+           approx_count_distinct(col("l_orderkey"), 0.05)
+             .as("n_orders_approx"),
+           countDistinct(col("l_orderkey")).as("n_orders_exact"))
+      .select(col("n_parts_approx"), col("n_parts_exact"),
+        round(abs(col("n_parts_approx") - col("n_parts_exact"))
+          / col("n_parts_exact"), 6).as("rel_err_parts"),
+        col("n_orders_approx"), col("n_orders_exact"),
+        round(abs(col("n_orders_approx") - col("n_orders_exact"))
+          / col("n_orders_exact"), 6).as("rel_err_orders"))
+
+  /** Self-audit frame behind `a8_sketches`: HLL estimate + exact ndv +
+    * relative error, approx percentiles + their rank errors. Estimate
+    * columns are engine-specific; the query projects the deterministic
+    * claims and SketchSpec asserts the raw errors from here. One extra
+    * broadcast-and-reaggregate pass computes the rank errors — the
+    * verification harness, dropped at production scale. */
+  def a8SketchesAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val est = li
+      .agg(approx_count_distinct(col("l_partkey"), 0.05).as("nd_parts"),
+        countDistinct(col("l_partkey")).as("nd_parts_exact"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)")
+          .as("pq"))
+      .select(col("nd_parts"), col("nd_parts_exact"),
+        element_at(col("pq"), 1).as("price_p50"),
+        element_at(col("pq"), 2).as("price_p90"))
+    def rankErr(p: Double, estCol: String) = round(greatest(
+      count(when(col("l_extendedprice") < col(estCol), 1))
+        / count(lit(1)) - p,
+      lit(p) - count(when(col("l_extendedprice") <= col(estCol), 1))
+        / count(lit(1)),
+      lit(0.0)), 6)
+    li.crossJoin(broadcast(est))
+      .agg(first("nd_parts").as("nd_parts"),
+        first("nd_parts_exact").as("nd_parts_exact"),
+        round(abs(first("nd_parts") - first("nd_parts_exact"))
+          / first("nd_parts_exact"), 6).as("nd_rel_err"),
+        first("price_p50").as("price_p50"),
+        rankErr(0.5, "price_p50").as("p50_rank_err"),
+        first("price_p90").as("price_p90"),
+        rankErr(0.9, "price_p90").as("p90_rank_err"))
+  }
+
+  /** Self-audit frame behind `a12_hll_partitioned`: per-(day, type) HLL
+    * sketches merged to the type level, riding with the exact distinct
+    * count and relative error. The estimate column is engine-specific;
+    * the query projects the deterministic claims and SketchSpec asserts
+    * the raw error from here. */
+  def a12HllPartitionedAudit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("nd_users_approx"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("nd_users_exact"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("nd_users_approx"),
+        col("nd_users_exact"),
+        round(abs(col("nd_users_approx") - col("nd_users_exact"))
+          / col("nd_users_exact"), 6).as("rel_err"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1 — column projection (pruned scan: ReadSchema carries 4 of 11 cols)
     "p1_project" -> ((s, d) =>
@@ -115,26 +190,20 @@ object RelationalOps extends QueryModule {
              countDistinct(col("l_suppkey")).as("n_supps"))),
 
     // A5' — approx_count_distinct (HLL; the 100 TB-safe variant).
-    // No oracle (HLL estimates are engine-specific), so the row carries
-    // its OWN verification: the exact counterpart and the relative
-    // error, which the driver's rows-check pins and SketchSpec asserts
-    // ≤ 4·rsd (4 standard deviations of the HLL estimator). At 100 TB
-    // the exact columns are dropped — they are the verification
-    // harness, not the operator.
+    // FULLY oracle-checked despite the engine-specific estimate: the
+    // output carries the exact counterparts plus the sketch contract AS
+    // A CLAIM (relative error ≤ 4·rsd, a boolean the oracle pins to
+    // TRUE), so the driver hash-verifies both the exact values and that
+    // the estimate honored its bound. The raw estimate + error live in
+    // `a5ApproxDistinctAudit` (SketchSpec re-derives and asserts them —
+    // the flag can't vouch for itself). At 100 TB the exact columns are
+    // dropped — they are the verification harness, not the operator.
     "a5_approx_distinct" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .agg(approx_count_distinct(col("l_partkey"), 0.05)
-               .as("n_parts_approx"),
-             countDistinct(col("l_partkey")).as("n_parts_exact"),
-             approx_count_distinct(col("l_orderkey"), 0.05)
-               .as("n_orders_approx"),
-             countDistinct(col("l_orderkey")).as("n_orders_exact"))
-        .select(col("n_parts_approx"), col("n_parts_exact"),
-          round(abs(col("n_parts_approx") - col("n_parts_exact"))
-            / col("n_parts_exact"), 6).as("rel_err_parts"),
-          col("n_orders_approx"), col("n_orders_exact"),
-          round(abs(col("n_orders_approx") - col("n_orders_exact"))
-            / col("n_orders_exact"), 6).as("rel_err_orders"))),
+      a5ApproxDistinctAudit(s, d).select(
+        col("n_parts_exact"),
+        (col("rel_err_parts") <= 0.2).as("parts_within_4rsd"),
+        col("n_orders_exact"),
+        (col("rel_err_orders") <= 0.2).as("orders_within_4rsd"))),
 
     // A6/C3 — single-row wide conditional-agg report (the reference's
     // 11-query fan collapsed into one pass, src/analyze.py:135-160)
@@ -638,39 +707,26 @@ object RelationalOps extends QueryModule {
     }),
 
     // A8 — sketch battery (HLL distinct + approx percentiles): the
-    // 100 TB-safe variants; rows-only (estimates are engine-specific),
-    // so the row audits ITSELF: the HLL estimate rides with its exact
-    // counterpart + relative error, and each percentile estimate with
-    // its RANK error — |rank(est)/N − p|, the quantity the
-    // approx_percentile contract actually bounds (≤ 1/accuracy); a
-    // value-space error has no theoretical bound. SketchSpec asserts
-    // both. One extra broadcast-and-reaggregate pass, dropped at
-    // production scale along with the exact columns.
+    // 100 TB-safe variants, FULLY oracle-checked despite the
+    // engine-specific estimates. The output carries the exact
+    // counterparts (distinct count; interpolated p50/p90 via the same
+    // distributed selection as a13) plus each sketch contract AS A
+    // CLAIM the oracle pins to TRUE: relative error ≤ 4·rsd for the
+    // HLL, RANK error ≤ 1/accuracy for the percentiles — |rank(est)/N
+    // − p| is the quantity approx_percentile actually bounds (a
+    // value-space error has no theoretical bound). Raw estimates +
+    // errors live in `a8SketchesAudit`; SketchSpec re-derives and
+    // asserts them so the flags can't vouch for themselves.
     "a8_sketches" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val est = li
-        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("nd_parts"),
-          countDistinct(col("l_partkey")).as("nd_parts_exact"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)")
-            .as("pq"))
-        .select(col("nd_parts"), col("nd_parts_exact"),
-          element_at(col("pq"), 1).as("price_p50"),
-          element_at(col("pq"), 2).as("price_p90"))
-      def rankErr(p: Double, estCol: String) = round(greatest(
-        count(when(col("l_extendedprice") < col(estCol), 1))
-          / count(lit(1)) - p,
-        lit(p) - count(when(col("l_extendedprice") <= col(estCol), 1))
-          / count(lit(1)),
-        lit(0.0)), 6)
-      li.crossJoin(broadcast(est))
-        .agg(first("nd_parts").as("nd_parts"),
-          first("nd_parts_exact").as("nd_parts_exact"),
-          round(abs(first("nd_parts") - first("nd_parts_exact"))
-            / first("nd_parts_exact"), 6).as("nd_rel_err"),
-          first("price_p50").as("price_p50"),
-          rankErr(0.5, "price_p50").as("p50_rank_err"),
-          first("price_p90").as("price_p90"),
-          rankErr(0.9, "price_p90").as("p90_rank_err"))
+      val exact = Quantiles.exactQuantilesRounded6(
+        Tables.lineitem(s, d), "l_extendedprice", Seq(0.5, 0.9))
+      a8SketchesAudit(s, d).select(
+        col("nd_parts_exact"),
+        (col("nd_rel_err") <= 0.2).as("nd_within_4rsd"),
+        lit(exact.head).as("p50_exact"),
+        (col("p50_rank_err") <= 0.001 + 1e-9).as("p50_within_gk_bound"),
+        lit(exact(1)).as("p90_exact"),
+        (col("p90_rank_err") <= 0.001 + 1e-9).as("p90_within_gk_bound"))
     }),
 
     // A10 — z-score outlier detection: per-group mean/std from the same
@@ -1022,27 +1078,16 @@ object RelationalOps extends QueryModule {
     // — the distinct-count analog of C5's mergeable MV state. At scale
     // the daily sketches are stored with the partition and every
     // rollup (weekly, monthly, all-time) is a sketch merge over a few
-    // KB per partition, never a re-scan. Rows-only (estimates), so each
-    // row carries the exact distinct count and the relative error —
-    // pinned by the driver's rows-check, asserted ≤ the sketch's bound
-    // in SketchSpec; exact columns are the harness, dropped at scale.
-    "a12_hll_partitioned" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val daily = ev
-        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      val merged = daily.groupBy("event_type")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-          .as("nd_users_approx"))
-      val exact = ev.groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("nd_users_exact"))
-      merged.join(exact, Seq("event_type"))
-        .select(col("event_type"), col("nd_users_approx"),
-          col("nd_users_exact"),
-          round(abs(col("nd_users_approx") - col("nd_users_exact"))
-            / col("nd_users_exact"), 6).as("rel_err"))
-        .orderBy("event_type")
-    }),
+    // KB per partition, never a re-scan. FULLY oracle-checked: each row
+    // carries the exact distinct count plus the merged-sketch error
+    // bound AS A CLAIM (rel err < 3σ of the lgConfigK=12 estimator,
+    // pinned to TRUE by the oracle). Raw estimate + error live in
+    // `a12HllPartitionedAudit`; SketchSpec re-derives and asserts them.
+    "a12_hll_partitioned" -> ((s, d) =>
+      a12HllPartitionedAudit(s, d).select(
+        col("event_type"), col("nd_users_exact"),
+        (col("rel_err") < 0.05).as("within_3sigma"))
+        .orderBy("event_type")),
 
     // A13 — equal-frequency binning (the ML feature-bucketizer): decile
     // boundaries by DISTRIBUTED SELECTION (Quantiles.exactQuantiles —
@@ -1682,6 +1727,26 @@ object RelationalOps extends QueryModule {
     "a5_count_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin,
+    // the sketch-contract claims: the oracle pins the exact counts and
+    // asserts the bound flags are TRUE — the estimate itself is
+    // engine-specific but its contract is not
+    "a5_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts_exact,
+        |  TRUE AS parts_within_4rsd,
+        |  count(DISTINCT l_orderkey) AS n_orders_exact,
+        |  TRUE AS orders_within_4rsd FROM lineitem""".stripMargin,
+    "a8_sketches" ->
+      """SELECT count(DISTINCT l_partkey) AS nd_parts_exact,
+        |  TRUE AS nd_within_4rsd,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+        |  TRUE AS p50_within_gk_bound,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_exact,
+        |  TRUE AS p90_within_gk_bound
+        |FROM lineitem""".stripMargin,
+    "a12_hll_partitioned" ->
+      """SELECT event_type, count(DISTINCT user_id) AS nd_users_exact,
+        |  TRUE AS within_3sigma
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a6_scalar_report" ->
       """SELECT
         |  CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)

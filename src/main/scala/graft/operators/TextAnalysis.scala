@@ -567,6 +567,87 @@ object TextAnalysis extends QueryModule {
         .orderBy("split", "lang")
     }),
 
+    // GOPHER-STYLE QUALITY RULE BATTERY (Rae et al. 2021, "Scaling
+    // Language Models: ... Gopher", Appendix A) — the standard
+    // pre-training quality gate as ONE battery: word count band, mean
+    // word length band, minimum stopword evidence, alphabetic-word
+    // ratio, and a top-token repetition cap (the single-line corpus
+    // analog of Gopher's duplicate-n-gram rules; dedup_* handles the
+    // cross-doc family). Every rule is INTEGER-ARITHMETIC
+    // (cross-multiplied thresholds, never a float ratio) so both
+    // engines agree doc for doc. Shape: one explode + one (doc, tok)
+    // shuffle + one doc shuffle — the per-token regroup is what makes
+    // the repetition cap computable in the same pass as the length
+    // stats; nothing here grows faster than token count.
+    "t_gopher_rules" -> ((s, d) => {
+      val perTok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("cnt"))
+      val doc = perTok.groupBy("doc_id").agg(
+        sum("cnt").cast("long").as("n_words"),
+        sum(col("cnt") * length(col("tok"))).cast("long").as("sum_len"),
+        max("cnt").cast("long").as("max_freq"),
+        count(when(col("tok").isin("the", "a", "of", "to", "and"), 1))
+          .as("n_stop"),
+        sum(when(col("tok").rlike("[a-zA-Z]"), col("cnt"))
+          .otherwise(lit(0L))).cast("long").as("n_alpha"))
+      doc.select(col("doc_id"), col("n_words"),
+          (col("n_words") >= 20 && col("n_words") <= 100000)
+            .as("ok_word_count"),
+          (col("sum_len") >= col("n_words") * 3 &&
+            col("sum_len") <= col("n_words") * 10).as("ok_mean_word_len"),
+          (col("n_stop") >= 2).as("ok_stopwords"),
+          (col("n_alpha") * 5 >= col("n_words") * 4).as("ok_alpha_words"),
+          (col("max_freq") * 5 <= col("n_words")).as("ok_repetition"))
+        .withColumn("keep", col("ok_word_count") &&
+          col("ok_mean_word_len") && col("ok_stopwords") &&
+          col("ok_alpha_words") && col("ok_repetition"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR IMPORTANCE WEIGHTS (Xie et al., NeurIPS 2023, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every raw doc by how target-like it is under bag-of-hashed-token
+    // models — log w(doc) = Σ_tokens [log p_target(bucket) −
+    // log p_raw(bucket)], add-one smoothed over B=1024 md5 buckets
+    // (the t_feature_hash vocabulary-free hash, so two engines and two
+    // runs agree bucket for bucket). Target here = the `en` slice; in
+    // production it is the high-quality reference corpus and the raw
+    // side is the crawl. Per-token log terms are rounded-9 then
+    // DECIMAL-summed (t_bigram_lm discipline) — engine-portable
+    // despite libm logs. Shape: one token scan builds the B-row model
+    // (conditional counts, one ≤B-key shuffle), the model broadcasts
+    // back to a second token scan, one doc shuffle sums — the model
+    // never grows with the corpus, and the weights feed the
+    // TopKPerKey / A-Res samplers (t_weighted_sample) for the actual
+    // resample step.
+    "t_dsir_weights" -> ((s, d) => {
+      val buckets = 1024
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("bucket",
+          conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
+            % buckets)
+      val model = tok
+        .groupBy("bucket")
+        .agg(count(when(col("lang") === "en", 1)).as("ct"),
+          count(lit(1)).as("cr"))
+        .crossJoin(broadcast(tok.agg(
+          count(when(col("lang") === "en", 1)).as("tt"),
+          count(lit(1)).as("tn"))))
+        .select(col("bucket"), round(
+          log10((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
+            log10((col("cr") + 1).cast("double") / (col("tn") + buckets)),
+          9).as("llr"))
+      tok.join(broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(Sql.dsum(col("llr"), 9), 6).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     // ZIPF-law fit — the corpus-statistics profile op: OLS slope of
     // log10(freq) on log10(rank) over the frequency-ranked vocabulary
     // (a healthy natural-language corpus slopes ≈ −1; a flat or broken
@@ -1220,6 +1301,51 @@ object TextAnalysis extends QueryModule {
         |  FROM (SELECT DISTINCT term, doc_id FROM t) GROUP BY term)
         |SELECT s.term, df, cf, postings_csv
         |FROM s JOIN p ON s.term = p.term ORDER BY s.term""".stripMargin,
+    "t_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |d AS (SELECT doc_id,
+        |    CAST(sum(cnt) AS BIGINT) AS n_words,
+        |    CAST(sum(cnt * len(tok)) AS BIGINT) AS sum_len,
+        |    CAST(max(cnt) AS BIGINT) AS max_freq,
+        |    count(CASE WHEN tok IN ('the','a','of','to','and') THEN 1 END)
+        |      AS n_stop,
+        |    CAST(sum(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN cnt
+        |      ELSE 0 END) AS BIGINT) AS n_alpha
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_words,
+        |  n_words >= 20 AND n_words <= 100000 AS ok_word_count,
+        |  sum_len >= n_words * 3 AND sum_len <= n_words * 10
+        |    AS ok_mean_word_len,
+        |  n_stop >= 2 AS ok_stopwords,
+        |  n_alpha * 5 >= n_words * 4 AS ok_alpha_words,
+        |  max_freq * 5 <= n_words AS ok_repetition,
+        |  (n_words >= 20 AND n_words <= 100000
+        |   AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+        |   AND n_stop >= 2 AND n_alpha * 5 >= n_words * 4
+        |   AND max_freq * 5 <= n_words) AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "t_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |    CAST(CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) % 1024
+        |      AS BIGINT) AS bucket FROM t),
+        |tot AS (SELECT count(CASE WHEN lang = 'en' THEN 1 END) AS tt,
+        |    count(*) AS tn FROM h),
+        |bc AS (SELECT bucket,
+        |    count(CASE WHEN lang = 'en' THEN 1 END) AS ct,
+        |    count(*) AS cr FROM h GROUP BY 1),
+        |m AS (SELECT bucket,
+        |    round(log10(CAST(ct + 1 AS DOUBLE) / (tt + 1024))
+        |      - log10(CAST(cr + 1 AS DOUBLE) / (tn + 1024)), 9) AS llr
+        |  FROM bc CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(SUM(CAST(llr AS DECIMAL(18,9))) AS DOUBLE), 6)
+        |    AS log_weight
+        |FROM h JOIN m USING (bucket) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "t_zipf_fit" ->
       """WITH f AS (SELECT word, count(*) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word

@@ -42,10 +42,10 @@ class SketchSpec extends SparkSuite {
   }
 
   test("partitioned HLL sketches merge to a near-exact distinct count") {
-    // the query row carries exact + rel_err itself (the self-auditing
-    // sketch contract); re-derive the error here so a broken in-query
-    // rel_err column can't vouch for itself
-    val rows = SparkEntry.queries("a12_hll_partitioned")(spark, sf())
+    // the audit frame carries approx + exact + rel_err (the query
+    // projects only the oracle-checkable claims); re-derive the error
+    // here so a broken in-query rel_err column can't vouch for itself
+    val rows = operators.RelationalOps.a12HllPartitionedAudit(spark, sf())
       .as[(String, Long, Long, Double)].collect()
     assert(rows.nonEmpty)
     val exact = Tables.events(spark, sf())
@@ -65,7 +65,7 @@ class SketchSpec extends SparkSuite {
   }
 
   test("a5_approx_distinct: in-query relative error within 4 rsd") {
-    val r = SparkEntry.queries("a5_approx_distinct")(spark, sf())
+    val r = operators.RelationalOps.a5ApproxDistinctAudit(spark, sf())
       .collect().head
     val relParts = r.getAs[Double]("rel_err_parts")
     val relOrders = r.getAs[Double]("rel_err_orders")
@@ -79,7 +79,8 @@ class SketchSpec extends SparkSuite {
   }
 
   test("a8_sketches: percentile rank error within the 1/accuracy bound") {
-    val r = SparkEntry.queries("a8_sketches")(spark, sf()).collect().head
+    val r = operators.RelationalOps.a8SketchesAudit(spark, sf())
+      .collect().head
     // approx_percentile(…, accuracy=1000) guarantees |rank/N − p| ≤
     // 1/accuracy — a HARD deterministic bound, not probabilistic
     assert(r.getAs[Double]("p50_rank_err") <= 0.001 + 1e-9,
@@ -88,6 +89,21 @@ class SketchSpec extends SparkSuite {
       s"p90 rank error ${r.getAs[Double]("p90_rank_err")} breaks the GK bound")
     assert(r.getAs[Double]("nd_rel_err") <= 0.2,
       s"HLL rel err ${r.getAs[Double]("nd_rel_err")} > 4·rsd")
+  }
+
+  test("sketch queries project every contract flag as TRUE") {
+    // the oracle pins these flags to TRUE — catch a broken-bound
+    // regression here, before the driver's hash gate
+    for (q <- Seq("a5_approx_distinct", "a8_sketches", "a12_hll_partitioned")) {
+      val df = SparkEntry.queries(q)(spark, sf())
+      val flags = df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.BooleanType)
+        .map(_.name)
+      assert(flags.nonEmpty, s"$q: no claim flags in output")
+      df.collect().foreach { r =>
+        flags.foreach(f => assert(r.getAs[Boolean](f), s"$q: flag $f false"))
+      }
+    }
   }
 
   test("native CmsEstimate probe == driver-side estimateCount, key for key") {
