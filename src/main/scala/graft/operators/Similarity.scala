@@ -98,7 +98,19 @@ object Similarity extends QueryModule {
     * |probes|·L of the L·2^k bucket directories and the plan shows the
     * pruning (asserted in SimilaritySpec). */
   def lshProbe(spark: SparkSession, layoutPath: String, probes: DataFrame,
-               k: Int = 3): DataFrame = {
+               k: Int = 3): DataFrame =
+    lshProbePaths(spark, Seq(layoutPath), probes, k)
+
+  /** [[lshProbe]] over the UNION of several (tbl, bucket)-partitioned
+    * layout roots — the streaming-maintained index shape: a write-once
+    * base layout plus batchId-keyed delta roots appended by a stream.
+    * Every root is partition-pruned to the probes' buckets
+    * independently (the pruning survives the union because it is a
+    * per-scan partition filter, not a post-union predicate); extra
+    * partition columns under a root (the delta's `batch=N`) are
+    * discovered via basePath and dropped by the projection. */
+  def lshProbePaths(spark: SparkSession, roots: Seq[String],
+                    probes: DataFrame, k: Int = 3): DataFrame = {
     // bucketize the probes once; this frame is joined below AND drives
     // the partition-filter collect
     val pb = probes.select(col("q_id"), col("q_emb"),
@@ -115,10 +127,13 @@ object Similarity extends QueryModule {
       else wanted.map { case (t, b) =>
         col("tbl") === t && col("bucket") === b
       }.reduce(_ || _)
-    val corpus = spark.read.parquet(layoutPath)
-      .filter(prune)
-      .select(col("vec_id").as("c_id"), col("emb"),
-        col("tbl").cast("int").as("tbl"), col("bucket").cast("long").as("bucket"))
+    val corpus = roots.map { root =>
+      spark.read.option("basePath", root).parquet(root)
+        .filter(prune)
+        .select(col("vec_id").as("c_id"), col("emb"),
+          col("tbl").cast("int").as("tbl"),
+          col("bucket").cast("long").as("bucket"))
+    }.reduce(_ unionByName _)
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("c_id").asc)
     broadcast(pb.withColumn("bucket", col("bucket").cast("long")))

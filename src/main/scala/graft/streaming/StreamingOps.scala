@@ -568,6 +568,81 @@ object StreamingOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // STREAMING ANN INDEX MAINTENANCE — the serving-layer counterpart
+    // of stream_dedup_ingest: new vectors arrive as a stream and the
+    // write-once LSH bucket layout (sim_lsh_ann_bucketed) stays fresh
+    // WITHOUT a rebuild. Per micro-batch, arrivals are hashed through
+    // the same 8×4 hyperplane tables and appended as a batchId-keyed
+    // delta root of the same (tbl, bucket) partitioning — the overwrite
+    // of `batch=N` makes at-least-once replays idempotent (the
+    // foreachBatchExactlyOnce discipline), and probes serve from
+    // base ∪ deltas with per-root partition pruning intact. The output
+    // is the EQUIVALENCE CLAIM the oracle pins: for every probe, the
+    // streaming-maintained index answers exactly what a batch rebuild
+    // over the full corpus answers (null-safe top-k list equality),
+    // plus the delta-batch count so a silently-empty stream can't pass.
+    // At scale the deltas are periodically folded into the base by the
+    // same compaction contract as GDX ([[graft.sources.GdxSource
+    // .compact]]) — probe cost grows with delta COUNT, not corpus size.
+    "stream_lsh_index_ingest" -> ((s, d) => {
+      import graft.operators.Similarity
+      import graft.functions.VectorFunctions.asDouble
+      val e = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      val maxId = e.agg(max("vec_id")).head.getLong(0)
+      val b = (maxId + 1) * 4 / 5
+      // per-run unique roots: concurrent runs must not share deltas
+      val root = java.nio.file.Files.createTempDirectory(
+        "graft_lsh_ingest_").toFile
+      root.deleteOnExit()
+      val base = new java.io.File(root, "base").getPath
+      val delta = new java.io.File(root, "delta").getPath
+      Similarity.writeLshLayout(e.filter(col("vec_id") < b), base)
+      val embSchema = s.read.parquet(s"$d/embeddings.parquet").schema
+      s.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+        .filter(col("vec_id") >= b)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            batch.select(col("vec_id"),
+                asDouble(col("embedding")).as("emb"))
+              .select(col("vec_id"), col("emb"),
+                explode(Similarity.lshTableBuckets(col("emb"))).as("tb"))
+              .select(col("vec_id"), col("emb"),
+                col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+              .write.mode("overwrite").partitionBy("tbl", "bucket")
+              .parquet(s"$delta/batch=$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      val nDelta = s.read.option("basePath", delta).parquet(delta)
+        .select("batch").distinct().count()
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+        .localCheckpoint()
+      val streamed = Similarity.lshProbePaths(s, Seq(base, delta), q)
+      // reference: the batch-built layout over the FULL corpus — the
+      // very one sim_lsh_ann_bucketed serves (shared write-once path,
+      // so bench re-runs pay the rebuild exactly once per corpus)
+      val full = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_lsh_layout_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        .getAbsolutePath
+      Similarity.writeLshLayoutOnce(e, full, tag = s"$d:${e.count()}")
+      val batchRes = Similarity.lshProbe(s, full, q)
+      def packed(r: DataFrame, out: String) = r.groupBy("q_id")
+        .agg(sort_array(collect_list(
+          struct(col("rk"), col("c_id"), col("cos")))).as(out))
+      q.select(col("q_id"))
+        .join(packed(streamed, "res_s"), Seq("q_id"), "left")
+        .join(packed(batchRes, "res_b"), Seq("q_id"), "left")
+        .select(col("q_id"),
+          (col("res_s") <=> col("res_b")).as("stream_matches_batch"),
+          lit(nDelta).as("n_delta_batches"))
+        .orderBy("q_id")
+    }),
+
     "stream_static_enrich" -> ((s, d) => {
       val dim = broadcast(graft.Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment")))
@@ -585,6 +660,14 @@ object StreamingOps extends QueryModule {
     // hash-match the BATCH incremental pipeline's brute-force oracle
     "stream_dedup_ingest" ->
       graft.operators.Dedup.oracles("dedup_pipeline_incremental"),
+    // the equivalence claim: every probe answered from the
+    // streaming-maintained index must match the batch-rebuilt index,
+    // and exactly one delta batch must have landed (AvailableNow over
+    // the single source file) — a silently-empty stream can't pass
+    "stream_lsh_index_ingest" ->
+      """SELECT vec_id AS q_id, TRUE AS stream_matches_batch,
+        |  CAST(1 AS BIGINT) AS n_delta_batches
+        |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""".stripMargin,
     // batch mode-with-tiebreak: max count, ties to the smallest type
     "stream_type_leader" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n
