@@ -1428,6 +1428,38 @@ object RelationalOps extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // C13 — MERGE (LWW upsert) into the GDX table format: base snapshot
+    // of the even keys, then GdxSource.merge upserts the %3 keys
+    // (matched rows replaced, unmatched inserted, the rest carried
+    // forward) as ONE truncate commit. The oracle recomputes the merge
+    // as a FULL OUTER JOIN over the same source rows, and the
+    // `history_intact` claim pins the transactional half: the pre-merge
+    // snapshot must still read back exactly as written (commits never
+    // rewrite history — the MERGE is a new version, not an edit).
+    // Versions accrete across runs; vacuum(keepLast=2) bounds them and
+    // overwrite makes each run's base snapshot fresh.
+    "c13_gdx_upsert" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdxmrg_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val gdx = graft.sources.GdxSource
+      gdx.vacuum(dir, gdx.driverConf(), keepLast = 2)
+      val fmt = "graft.sources.GdxSource"
+      val base = Tables.events(s, d).filter(col("event_id") % 2 === 0)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+      base.write.format(fmt).option("path", dir).mode("overwrite").save()
+      val updates = Tables.events(s, d).filter(col("event_id") % 3 === 0)
+        .select(col("event_id").as("k"),
+          concat(lit("u_"), col("event_type")).as("v"))
+      val v = gdx.merge(s, dir, updates)
+      val pre = s.read.format(fmt).option("path", dir)
+        .option("version", (v - 1).toString).load()
+      val historyIntact = pre.except(base).isEmpty && base.except(pre).isEmpty
+      s.read.format(fmt).option("path", dir).load()
+        .select(col("k"), col("v"))
+        .withColumn("history_intact", lit(historyIntact))
+        .orderBy("k")
+    }),
+
     // BENFORD FIRST-DIGIT AUDIT — observed leading-digit shares of the
     // transaction amounts against Benford's law (the forensic
     // fabricated-data screen). Amounts go to EXACT integer cents first
@@ -1989,6 +2021,16 @@ object RelationalOps extends QueryModule {
       """SELECT event_id, event_type, round(value, 6) AS value,
         |  TRUE AS files_shrunk
         |FROM events ORDER BY event_id""".stripMargin,
+    // the MERGE recomputed relationally: updates win per key, unmatched
+    // sides pass through; the transactional claim is pinned TRUE
+    "c13_gdx_upsert" ->
+      """WITH b AS (SELECT event_id AS k, event_type AS v FROM events
+        |  WHERE event_id % 2 = 0),
+        |u AS (SELECT event_id AS k, 'u_' || event_type AS v FROM events
+        |  WHERE event_id % 3 = 0)
+        |SELECT coalesce(u.k, b.k) AS k, coalesce(u.v, b.v) AS v,
+        |  TRUE AS history_intact
+        |FROM b FULL OUTER JOIN u ON b.k = u.k ORDER BY k""".stripMargin,
     // same integer-cents digit extraction and pinned Benford literals
     "a27_benford" ->
       """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents

@@ -453,6 +453,43 @@ object GdxSource {
     (before, committedEntries(dir, conf).size)
   }
 
+  /** MERGE (last-writer-wins upsert) into a GDX table: per key, an
+    * `updates` row replaces the current snapshot's row; unmatched
+    * update keys insert; unmatched existing keys carry forward — the
+    * Delta `MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT`
+    * essentials. Emitted as ONE truncate commit of the merged rows, so
+    * snapshot isolation does the transactional work: concurrent readers
+    * of version N are untouched (commits never delete data files),
+    * time travel to the pre-merge snapshot keeps working, and
+    * [[vacuum]] reclaims superseded files later. The read-then-
+    * overwrite is safe for the same reason — the scan plans version
+    * N's files and nothing deletes them mid-job.
+    *
+    * Shape: one unionByName + one max-struct aggregate per key (update
+    * priority, then v as the deterministic tie-break among duplicate
+    * update keys) — no window, no self-join. At 100 TB the same merge
+    * runs k-range-wise: zone maps scope the rewrite to files whose
+    * range intersects the batch's keys (the Delta/Iceberg MERGE
+    * file-pruning path); the commit protocol is unchanged. Returns the
+    * committed version. */
+  def merge(spark: SparkSession, dir: String,
+            updates: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.functions._
+    val cur = spark.read.format("graft.sources.GdxSource")
+      .option("path", dir).load()
+      .withColumn("pri", lit(0))
+    val up = updates
+      .select(col("k").cast("long").as("k"), col("v").cast("string").as("v"))
+      .withColumn("pri", lit(1))
+    cur.unionByName(up)
+      .groupBy("k")
+      .agg(max(struct(col("pri"), col("v"))).as("w"))
+      .select(col("k"), col("w.v").as("v"))
+      .write.format("graft.sources.GdxSource").option("path", dir)
+      .mode("overwrite").save()
+    listVersions(dir, driverConf()).max
+  }
+
   /** Retention: keep the last `keepLast` snapshots, drop older
     * manifests, then delete every data file NO retained manifest
     * references (the VACUUM of the manifest-table pattern). The oldest

@@ -402,6 +402,25 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     } finally q.stop()
   }
 
+  test("merge: update wins per key, inserts land, history untouched") {
+    val dir = freshDir("merge")
+    write(dir, Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val v = sources.GdxSource.merge(spark, dir,
+      Seq((2L, "B"), (4L, "D")).toDF("k", "v"))
+    assert(read(dir).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    // the pre-merge snapshot is still fully readable (time travel)
+    val pre = spark.read.format("graft.sources.GdxSource")
+      .option("path", dir).option("version", (v - 1).toString).load()
+    assert(pre.as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // duplicate update keys resolve deterministically (max v wins)
+    sources.GdxSource.merge(spark, dir,
+      Seq((1L, "x"), (1L, "y")).toDF("k", "v"))
+    assert(read(dir).filter(col("k") === 1L).as[(Long, String)]
+      .collect().toSeq === Seq((1L, "y")))
+  }
+
   test("concurrent appends: no commit lost, snapshots stay consecutive") {
     // 8 writers race the version claim; optimistic concurrency must land
     // ALL of them (appends are commutative — no conflict to check) as
