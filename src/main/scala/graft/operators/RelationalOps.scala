@@ -1460,6 +1460,44 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // C14 — row-level DELETE via deletion vectors on the GDX table
+    // format: the full events keyset lands as the base snapshot, then
+    // GdxSource.delete subtracts `k % 7 == 2 OR v == 'error'` WITHOUT
+    // rewriting a single data file — per affected file a `.dvx`
+    // position sidecar is written and the new manifest references it
+    // (the Delta deletion-vector / Iceberg position-delete shape: at
+    // 100 TB a sparse delete costs kilobytes of sidecar, not a table
+    // rewrite). Two claims ride along: `files_untouched` pins the
+    // no-rewrite contract (identical data-file name+size set before and
+    // after), `history_intact` pins snapshot isolation (the pre-delete
+    // version still reads back complete). The oracle recomputes the
+    // delete as a WHERE NOT on the same rows.
+    "c14_gdx_delete" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdxdel_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val gdx = graft.sources.GdxSource
+      gdx.vacuum(dir, gdx.driverConf(), keepLast = 2)
+      val fmt = "graft.sources.GdxSource"
+      val base = Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+      base.write.format(fmt).option("path", dir).mode("overwrite").save()
+      val baseCount = base.count()
+      def dataFiles() = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".gdx"))
+        .map(f => (f.getName, f.length)).toSet
+      val before = dataFiles()
+      val (ver, _) = gdx.delete(s, dir,
+        col("k") % 7 === 2 || col("v") === "error")
+      val filesUntouched = dataFiles() == before
+      val historyIntact = s.read.format(fmt).option("path", dir)
+        .option("version", (ver - 1).toString).load().count() == baseCount
+      s.read.format(fmt).option("path", dir).load()
+        .select(col("k"), col("v"))
+        .withColumn("files_untouched", lit(filesUntouched))
+        .withColumn("history_intact", lit(historyIntact))
+        .orderBy("k")
+    }),
+
     // BENFORD FIRST-DIGIT AUDIT — observed leading-digit shares of the
     // transaction amounts against Benford's law (the forensic
     // fabricated-data screen). Amounts go to EXACT integer cents first
@@ -2031,6 +2069,14 @@ object RelationalOps extends QueryModule {
         |SELECT coalesce(u.k, b.k) AS k, coalesce(u.v, b.v) AS v,
         |  TRUE AS history_intact
         |FROM b FULL OUTER JOIN u ON b.k = u.k ORDER BY k""".stripMargin,
+    // the DELETE recomputed relationally: WHERE NOT(condition); both
+    // table-format claims are pinned TRUE
+    "c14_gdx_delete" ->
+      """SELECT event_id AS k, event_type AS v,
+        |  TRUE AS files_untouched, TRUE AS history_intact
+        |FROM events
+        |WHERE NOT (event_id % 7 = 2 OR event_type = 'error')
+        |ORDER BY k""".stripMargin,
     // same integer-cents digit extraction and pinned Benford literals
     "a27_benford" ->
       """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents

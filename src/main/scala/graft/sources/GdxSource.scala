@@ -133,17 +133,38 @@ class SerializableHadoopConf(@transient var conf: Configuration)
   }
 }
 
+/** A CAS commit (`expectedBaseVersion`) found the snapshot advanced
+  * past the version the writer computed against — the write-write
+  * conflict signal for non-commutative commits (MERGE/DELETE). The
+  * caller re-reads the current snapshot and retries its computation. */
+class GdxConcurrentModificationException(msg: String)
+    extends RuntimeException(msg)
+
 /** Per-file zone map published in the manifest: row count + min/max of
   * `k`. `rows == 0` files carry an empty range (minK > maxK) and are
   * prunable by ANY k-predicate. Legacy manifest lines (file name only)
   * parse to `stats = None` — never pruned. */
 case class GdxFileStats(rows: Long, minK: Long, maxK: Long)
 
-case class GdxFileEntry(name: String, stats: Option[GdxFileStats]) {
-  /** Manifest line: `name` alone (no stats) or `name\trows\tmin\tmax`. */
-  def manifestLine: String = stats match {
-    case Some(s) => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}"
-    case None    => name
+/** One committed data file: name, optional zone map, and an optional
+  * DELETION VECTOR sidecar (`dv`) — a `.dvx` file listing this data
+  * file's deleted line positions. A [[GdxSource.delete]] commit
+  * publishes DV references instead of rewriting data files (the
+  * Delta deletion-vector / Iceberg position-delete pattern): at 100 TB
+  * a sparse delete touches kilobytes of sidecar, not terabytes of
+  * data. Readers subtract the DV positions at scan time; `rows` stays
+  * the PHYSICAL line count (metadata-only aggregates disable when any
+  * DV is present), and the zone map stays a conservative bound. */
+case class GdxFileEntry(name: String, stats: Option[GdxFileStats],
+                        dv: Option[String] = None) {
+  /** Manifest line: `name` | `name\trows\tmin\tmax` |
+    * `name\trows\tmin\tmax\tdv` (`-` placeholders when a DV attaches
+    * to a legacy stats-less entry). */
+  def manifestLine: String = (stats, dv) match {
+    case (Some(s), Some(d)) => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}\t$d"
+    case (Some(s), None)    => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}"
+    case (None, Some(d))    => s"$name\t-\t-\t-\t$d"
+    case (None, None)       => name
   }
 }
 
@@ -250,6 +271,11 @@ object GdxSource {
       case Array(name, rows, mn, mx) =>
         GdxFileEntry(name,
           Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong)))
+      case Array(name, "-", "-", "-", dv) =>
+        GdxFileEntry(name, None, Some(dv))
+      case Array(name, rows, mn, mx, dv) =>
+        GdxFileEntry(name,
+          Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong)), Some(dv))
       case _ => GdxFileEntry(line, None)
     }
 
@@ -350,11 +376,21 @@ object GdxSource {
     * consecutive snapshots (the Delta/Iceberg append path). Truncates
     * are last-writer-wins by design. Within one JVM the race is
     * eliminated outright by a per-table commit lock. Returns the
-    * committed version. */
+    * committed version.
+    *
+    * `expectedBase >= 0` turns the claim into a CAS: the commit must
+    * land as exactly `expectedBase + 1` or throw
+    * [[GdxConcurrentModificationException]] — the conflict-DETECTING
+    * path non-commutative commits (MERGE's read-compute-truncate)
+    * need, where silently landing on a later version would erase a
+    * concurrent writer's rows. The caller re-reads and retries the
+    * whole computation (see [[merge]]); commutative appends keep the
+    * retry-forward default. */
   def commitFiles(path: String, conf: Configuration, replace: Boolean,
                   messages: Seq[
                     org.apache.spark.sql.connector.write
-                      .WriterCommitMessage]): Int = {
+                      .WriterCommitMessage],
+                  expectedBase: Int = -1): Int = {
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
     val lockKey = fs.makeQualified(base).toString
@@ -366,6 +402,18 @@ object GdxSource {
       var committed = -1
       var renamed: Map[String, GdxFileEntry] = Map.empty
       while (committed < 0) {
+        if (expectedBase >= 0 && attempt != expectedBase + 1) {
+          // tidy this attempt's tmp files before surfacing the conflict
+          finals.foreach { case (tmp, _) =>
+            val p = renamed.get(tmp).map(e => new Path(base, e.name))
+              .getOrElse(new Path(base, tmp))
+            if (fs.exists(p)) fs.delete(p, false)
+          }
+          throw new GdxConcurrentModificationException(
+            s"gdx commit: expected to publish version ${expectedBase + 1} " +
+              s"of $path but the snapshot advanced to ${attempt - 1} - " +
+              "re-read and retry the operation")
+        }
         // (re)name each task file under the attempted version — names
         // are cosmetic (the manifest is authoritative) but keeping the
         // prefix equal to the committing version preserves the
@@ -471,23 +519,170 @@ object GdxSource {
     * runs k-range-wise: zone maps scope the rewrite to files whose
     * range intersects the batch's keys (the Delta/Iceberg MERGE
     * file-pruning path); the commit protocol is unchanged. Returns the
-    * committed version. */
+    * committed version.
+    *
+    * CONFLICT DETECTION: read-compute-truncate is NOT commutative — if
+    * another commit lands between this merge's read and its publish, a
+    * blind truncate would silently erase that writer's rows. The merge
+    * therefore pins its read to the version it observed and publishes
+    * with a CAS (`expectedBaseVersion`); a lost race surfaces as
+    * [[GdxConcurrentModificationException]] and the whole
+    * read-compute-publish retries against the advanced snapshot — the
+    * Delta/Iceberg serializable-MERGE loop. */
   def merge(spark: SparkSession, dir: String,
-            updates: org.apache.spark.sql.DataFrame): Int = {
+            updates: org.apache.spark.sql.DataFrame,
+            maxRetries: Int = 10): Int = {
     import org.apache.spark.sql.functions._
-    val cur = spark.read.format("graft.sources.GdxSource")
-      .option("path", dir).load()
-      .withColumn("pri", lit(0))
-    val up = updates
-      .select(col("k").cast("long").as("k"), col("v").cast("string").as("v"))
-      .withColumn("pri", lit(1))
-    cur.unionByName(up)
-      .groupBy("k")
-      .agg(max(struct(col("pri"), col("v"))).as("w"))
-      .select(col("k"), col("w.v").as("v"))
-      .write.format("graft.sources.GdxSource").option("path", dir)
-      .mode("overwrite").save()
-    listVersions(dir, driverConf()).max
+    def isConflict(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[GdxConcurrentModificationException])
+    var attempt = 0
+    while (true) {
+      val readV = (listVersions(dir, driverConf()) :+ 0).max
+      val curReader = spark.read.format("graft.sources.GdxSource")
+        .option("path", dir)
+      val cur = (if (readV > 0) curReader.option("version", readV.toString)
+                 else curReader).load()
+        .withColumn("pri", lit(0))
+      val up = updates
+        .select(col("k").cast("long").as("k"),
+          col("v").cast("string").as("v"))
+        .withColumn("pri", lit(1))
+      try {
+        cur.unionByName(up)
+          .groupBy("k")
+          .agg(max(struct(col("pri"), col("v"))).as("w"))
+          .select(col("k"), col("w.v").as("v"))
+          .write.format("graft.sources.GdxSource").option("path", dir)
+          .option("expectedBaseVersion", readV.toString)
+          .mode("overwrite").save()
+        return readV + 1
+      } catch {
+        case t: Throwable if isConflict(t) && attempt < maxRetries =>
+          attempt += 1 // lost the race - recompute against the new snapshot
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Row-level DELETE via deletion vectors: rows matching `condition`
+    * (over columns `k`, `v`) are subtracted from the table WITHOUT
+    * rewriting any data file — per affected file, the matching line
+    * positions are written to a `.dvx` sidecar and the new manifest
+    * references it (the Delta deletion-vector / Iceberg position-delete
+    * design). At 100 TB this is the difference between a GDPR delete
+    * costing kilobytes of sidecar writes and one costing a full-table
+    * rewrite; [[compact]] later rewrites DV-carrying files clean, and
+    * [[vacuum]] reaps superseded sidecars.
+    *
+    * Execution shape: one distributed pass — a task per candidate file
+    * parses its lines (already-deleted positions skipped), the Catalyst
+    * `condition` filters them, and surviving (file, position) pairs
+    * aggregate per file; DV sidecars are written executor-side (UUID
+    * names: a retried task leaves an unreferenced orphan, never a
+    * clobbered committed sidecar). Zone maps pre-prune: files whose
+    * k-range cannot intersect a k-only condition never even get a task.
+    * The commit is a FULL manifest publish at `readVersion + 1` under
+    * CAS — a concurrent commit surfaces as conflict and the delete
+    * recomputes, same serializable loop as [[merge]]. Time travel to
+    * the pre-delete snapshot still sees every row (DVs are new files;
+    * nothing is rewritten). Returns (committed version, rows deleted);
+    * a no-match delete publishes nothing and returns the current
+    * version with 0. */
+  def delete(spark: SparkSession, dir: String,
+             condition: org.apache.spark.sql.Column,
+             maxRetries: Int = 10): (Int, Long) = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val conf0 = driverConf()
+    val sconf = new SerializableHadoopConf(conf0)
+    var attempt = 0
+    while (true) {
+      val readV = (listVersions(dir, conf0) :+ 0).max
+      val entries = committedEntries(dir, conf0,
+        if (readV > 0) readV else -1)
+      if (entries.isEmpty) return (readV, 0L)
+      val dvByName = entries.map(e => e.name -> e.dv).toMap
+      val dirStr = dir
+      // one task per file: parse lines (minus already-deleted
+      // positions), emit (file, pos, k, v) for the condition to filter
+      val live = spark.createDataset(entries.map(_.name))
+        .repartition(math.min(math.max(entries.size, 1),
+          spark.sparkContext.defaultParallelism))
+        .flatMap { name =>
+          val p = new Path(dirStr, name)
+          val fs = p.getFileSystem(sconf.conf)
+          val old = dvByName(name).map(d =>
+            GdxSource.readDvPositions(fs, new Path(dirStr, d)))
+            .getOrElse(java.util.Collections.emptySet[Long]())
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+          val it = Iterator.continually(in.readLine())
+            .takeWhile(_ != null).zipWithIndex
+            .flatMap { case (line, idx) =>
+              val tab = line.indexOf('\t')
+              if (tab > 0 && !old.contains(idx.toLong))
+                Some((name, idx.toLong,
+                  line.substring(0, tab).toLong, line.substring(tab + 1)))
+              else None
+            }
+          new Iterator[(String, Long, Long, String)] {
+            def hasNext: Boolean = { val h = it.hasNext; if (!h) in.close(); h }
+            def next(): (String, Long, Long, String) = it.next()
+          }
+        }
+        .toDF("_file", "_pos", "k", "v")
+      // sidecars written executor-side; ≤ one result row per file
+      val newDvs: Array[(String, String, Long)] = live.filter(condition)
+        .groupBy("_file")
+        .agg(collect_list("_pos").as("_dels"))
+        .as[(String, Seq[Long])]
+        .map { case (name, dels) =>
+          val base = new Path(dirStr)
+          val fs = base.getFileSystem(sconf.conf)
+          val old = dvByName(name).map(d =>
+            GdxSource.readDvPositions(fs, new Path(dirStr, d)))
+            .getOrElse(java.util.Collections.emptySet[Long]())
+          val all = new java.util.TreeSet[Long](old)
+          dels.foreach(all.add(_))
+          val dvName = s"dv-${java.util.UUID.randomUUID}.dvx"
+          val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+            fs.create(new Path(base, dvName), false), "UTF-8"))
+          try all.forEach(p => out.println(p)) finally out.close()
+          (name, dvName, dels.size.toLong)
+        }
+        .collect()
+      if (newDvs.isEmpty) return (readV, 0L)
+      val dvFor = newDvs.map(r => r._1 -> r._2).toMap
+      val updated = entries.map(e =>
+        dvFor.get(e.name).map(d => e.copy(dv = Some(d))).getOrElse(e))
+      // CAS publish of the full manifest at readV + 1
+      val base = new Path(dir)
+      val fs = base.getFileSystem(conf0)
+      val published = publishExclusive(fs, conf0,
+        manifestFor(dir, readV + 1), updated.map(_.manifestLine))
+      if (published) {
+        writeLines(fs, manifest(dir), updated.map(_.manifestLine))
+        return (readV + 1, newDvs.map(_._3).sum)
+      }
+      attempt += 1 // lost the race; orphan sidecars await vacuum
+      if (attempt > maxRetries) throw new GdxConcurrentModificationException(
+        s"gdx delete: lost the publish race $maxRetries times on $dir")
+    }
+    (-1, -1L) // unreachable
+  }
+
+  /** Parse a `.dvx` sidecar into its deleted-position set. */
+  private[graft] def readDvPositions(fs: FileSystem,
+                                     p: Path): java.util.Set[Long] = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try {
+      val s = new java.util.HashSet[Long]()
+      Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).foreach(l => s.add(l.toLong))
+      s
+    } finally in.close()
   }
 
   /** Retention: keep the last `keepLast` snapshots, drop older
@@ -510,11 +705,12 @@ object GdxSource {
     replaceAtomic(fs, conf, manifestFor(path, keep.head),
       oldestFull.map(_.manifestLine))
     vs.dropRight(keepLast).foreach(v => fs.delete(manifestFor(path, v), false))
-    val referenced = keep
-      .flatMap(v => committedFiles(path, conf, v)).map(_.getName).toSet
+    val keptEntries = keep.flatMap(v => committedEntries(path, conf, v))
+    val referenced =
+      (keptEntries.map(_.name) ++ keptEntries.flatMap(_.dv)).toSet
     val victims = fs.listStatus(base).filter { st =>
       val n = st.getPath.getName
-      n.endsWith(".gdx") && !referenced(n)
+      (n.endsWith(".gdx") || n.endsWith(".dvx")) && !referenced(n)
     }
     victims.foreach(st => fs.delete(st.getPath, false))
     victims.length
@@ -533,7 +729,9 @@ class GdxTable(path: String) extends Table
     new GdxScanBuilder(path,
       Option(options.get("version")).map(_.toInt).getOrElse(-1))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GdxWriteBuilder(path)
+    new GdxWriteBuilder(path,
+      Option(info.options.get("expectedBaseVersion")).map(_.toInt)
+        .getOrElse(-1))
 }
 
 // ---------------------------------------------------------------- read
@@ -610,10 +808,13 @@ class GdxScanBuilder(path: String, version: Int)
     * no file is opened at all. Otherwise falls back to partial
     * pushdown: ONE pre-aggregated row per file, Spark merges. */
   override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    // a deletion vector invalidates the manifest's row counts AND can
+    // have deleted the extremal k — DV'd snapshots fall back to partial
+    // pushdown (per-file fold over the DV-applied reader, still exact)
     metaComplete = aggShape(agg).isDefined &&
       pushed.forall(_.isInstanceOf[IsNotNull]) &&
       GdxSource.committedEntries(path, GdxSource.driverConf(), version)
-        .forall(_.stats.isDefined)
+        .forall(e => e.stats.isDefined && e.dv.isEmpty)
     metaComplete
   }
 
@@ -627,7 +828,8 @@ class GdxScanBuilder(path: String, version: Int)
     aggOps, metaComplete && aggOps.isDefined, required)
 }
 
-case class GdxFilePartition(file: String) extends InputPartition
+case class GdxFilePartition(file: String, dv: Option[String] = None)
+    extends InputPartition
 
 /** The pre-computed answer of a metadata-only aggregate — the driver
   * folds the manifest zone maps at planning time and ships the finished
@@ -685,7 +887,8 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       Array(GdxMetaResultPartition(row))
     } else
       kept.map(e => GdxFilePartition(
-        new Path(path, e.name).toString): InputPartition).toArray
+        new Path(path, e.name).toString,
+        e.dv.map(d => new Path(path, d).toString)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GdxReaderFactory(pushed, limit, aggOps, required,
@@ -744,10 +947,15 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter],
     if (e <= s) return Array.empty
     val seen = entriesAt(s).map(_.name).toSet
     val added = entriesAt(e).filterNot(en => seen(en.name))
+    // a delete commit adds no file names ⇒ contributes an EMPTY batch
+    // (the changefeed is append-flavored; deletes surface to consumers
+    // via fresh snapshot reads, not retractions); a file added in this
+    // window carries whatever DV version `e` attributes to it
     GdxSource.pruneByStats(added, pushed.toSeq)
       .sortBy(_.name)
       .map(en => GdxFilePartition(
-        new Path(path, en.name).toString): InputPartition)
+        new Path(path, en.name).toString,
+        en.dv.map(d => new Path(path, d).toString)): InputPartition)
       .toArray
   }
 
@@ -773,13 +981,14 @@ class GdxReaderFactory(pushed: Array[Filter], limit: Int,
             InternalRow.fromSeq(values.map(_.map(Long.box).orNull))
           override def close(): Unit = ()
         }
-      case GdxFilePartition(file) =>
+      case GdxFilePartition(file, dv) =>
         aggOps match {
           // the agg fold consumes lastK off the UNPRUNED base — its own
           // output schema is the aggregate row, not `required`
           case Some(ops) => new GdxAggReader(
-            new GdxFileReader(file, pushed, limit, conf), ops)
-          case None => new GdxFileReader(file, pushed, limit, conf, required)
+            new GdxFileReader(file, pushed, limit, conf, dv = dv), ops)
+          case None =>
+            new GdxFileReader(file, pushed, limit, conf, required, dv)
         }
     }
 }
@@ -796,11 +1005,19 @@ class GdxReaderFactory(pushed: Array[Filter], limit: Int,
   * allocates a UTF8String. */
 class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
                     conf: SerializableHadoopConf,
-                    required: StructType = GdxSource.schema)
+                    required: StructType = GdxSource.schema,
+                    dv: Option[String] = None)
     extends PartitionReader[InternalRow] {
   private val p = new Path(file)
+  private val fs = p.getFileSystem(conf.conf)
   private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-    p.getFileSystem(conf.conf).open(p), "UTF-8"))
+    fs.open(p), "UTF-8"))
+  // deletion vector: line positions subtracted from this file's rows
+  // (loaded once per task; empty when the snapshot carries no DV)
+  private val deleted: java.util.Set[Long] = dv
+    .map(d => GdxSource.readDvPositions(fs, new Path(d)))
+    .getOrElse(java.util.Collections.emptySet[Long]())
+  private var lineIdx = -1L
   // per-output-slot selector, resolved once: true = k, false = v
   private val slotIsK: Array[Boolean] = required.fields.map { f =>
     f.name match {
@@ -840,8 +1057,9 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
     if (limit >= 0 && emitted >= limit) return false
     var line = in.readLine()
     while (line != null) {
+      lineIdx += 1
       val tab = line.indexOf('\t')
-      if (tab > 0) {
+      if (tab > 0 && !deleted.contains(lineIdx)) {
         val k = line.substring(0, tab).toLong
         val v = line.substring(tab + 1)
         if (keep(k, v)) {
@@ -892,18 +1110,20 @@ class GdxAggReader(base: GdxFileReader, ops: Seq[String])
 
 // --------------------------------------------------------------- write
 
-class GdxWriteBuilder(path: String)
+class GdxWriteBuilder(path: String, expectedBase: Int = -1)
     extends WriteBuilder with SupportsTruncate {
   // truncate = start the NEW snapshot from an empty file set instead of
   // the previous snapshot's; history is untouched either way — old
   // manifests keep referencing their own files until vacuumed
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
-  override def build(): Write = new GdxWrite(path, replace)
+  override def build(): Write = new GdxWrite(path, replace, expectedBase)
 }
 
-class GdxWrite(path: String, replace: Boolean) extends Write {
-  override def toBatch: BatchWrite = new GdxBatchWrite(path, replace)
+class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1)
+    extends Write {
+  override def toBatch: BatchWrite =
+    new GdxBatchWrite(path, replace, expectedBase)
   override def toStreaming: wstreaming.StreamingWrite =
     new GdxStreamingWrite(path)
 }
@@ -965,7 +1185,8 @@ class GdxStreamingWriterFactory(path: String, conf: SerializableHadoopConf)
 case class GdxCommitMessage(tmpName: String, stats: GdxFileStats)
     extends WriterCommitMessage
 
-class GdxBatchWrite(path: String, replace: Boolean) extends BatchWrite {
+class GdxBatchWrite(path: String, replace: Boolean,
+                    expectedBase: Int = -1) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = new GdxWriterFactory(path,
     new SerializableHadoopConf(GdxSource.driverConf()))
@@ -980,7 +1201,7 @@ class GdxBatchWrite(path: String, replace: Boolean) extends BatchWrite {
     * commit can ever clobber a file an older snapshot references. */
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GdxSource.commitFiles(path, GdxSource.driverConf(), replace,
-      messages.toSeq)
+      messages.toSeq, expectedBase)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GdxSource.driverConf()

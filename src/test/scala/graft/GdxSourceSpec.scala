@@ -421,6 +421,109 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
       .collect().toSeq === Seq((1L, "y")))
   }
 
+  test("delete: deletion vector subtracts rows, rewrites nothing") {
+    val dir = freshDir("dv")
+    write(dir, (1L to 20L).map(i => (i, s"v$i")))
+    val dataFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gdx")).map(f => f.getName -> f.length).toMap
+    val (ver, n) = sources.GdxSource.delete(spark, dir, col("k") % 2 === 1)
+    assert(n === 10L)
+    assert(read(dir).as[(Long, String)].collect().map(_._1).sorted ===
+      (2L to 20L by 2).toArray)
+    // no data file was touched — same names, same sizes; only a .dvx
+    // sidecar and a new manifest appeared
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gdx")).map(f => f.getName -> f.length).toMap
+    assert(after === dataFiles, "delete must not rewrite data files")
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(".dvx")), "expected a DV sidecar")
+    // time travel: the pre-delete snapshot still sees every row
+    val pre = spark.read.format("graft.sources.GdxSource")
+      .option("path", dir).option("version", (ver - 1).toString).load()
+    assert(pre.count() === 20L)
+    // a second delete on the same file unions into a fresh DV
+    val (_, n2) = sources.GdxSource.delete(spark, dir, col("v") === "v4")
+    assert(n2 === 1L)
+    assert(read(dir).as[(Long, String)].collect().map(_._1).sorted ===
+      (2L to 20L by 2).filterNot(_ == 4L).toArray)
+    // aggregates stay exact post-delete (metadata-only path must have
+    // yielded to the per-file fold — counts reflect the DV, not stats)
+    val agg = read(dir).agg(count(lit(1)), min("k"), max("k"))
+      .head
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) === ((9L, 2L, 20L)))
+    // no-match delete publishes nothing
+    val vsBefore = sources.GdxSource
+      .listVersions(dir, sources.GdxSource.driverConf())
+    val (v3, n3) = sources.GdxSource.delete(spark, dir, col("k") > 999)
+    assert(n3 === 0L && v3 === vsBefore.max)
+    assert(sources.GdxSource
+      .listVersions(dir, sources.GdxSource.driverConf()) === vsBefore)
+  }
+
+  test("delete interops with pruning, pushdown, compact, and vacuum") {
+    val dir = freshDir("dvint")
+    write(dir, (1L to 100L).map(i => (i, if (i % 3 == 0) "fizz" else s"x$i")))
+    sources.GdxSource.delete(spark, dir, col("v") === "fizz")
+    // column pruning audit over a DV-carrying snapshot: every subset
+    // and order must still agree with the full scan
+    auditColumnPruning(() => read(dir))
+    // pushed k-range applies on the DV-subtracted rows
+    assert(read(dir).filter(col("k") >= 10 && col("k") <= 20)
+      .as[(Long, String)].collect().map(_._1).sorted ===
+      (10L to 20L).filterNot(_ % 3 == 0).toArray)
+    // compact rewrites the survivors clean: no DV reference remains
+    sources.GdxSource.compact(spark, dir, target = 1)
+    val conf = sources.GdxSource.driverConf()
+    val entries = sources.GdxSource.committedEntries(dir, conf)
+    assert(entries.forall(_.dv.isEmpty), "compact must purge DVs")
+    assert(read(dir).count() === 67L)
+    // vacuum reaps the superseded sidecar once no snapshot references it
+    sources.GdxSource.vacuum(dir, conf, keepLast = 1)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(".dvx")),
+      "vacuum must delete unreferenced DV sidecars")
+    assert(read(dir).count() === 67L)
+  }
+
+  test("CAS commit: a stale expectedBaseVersion surfaces as conflict") {
+    val dir = freshDir("cas")
+    write(dir, Seq((1L, "a")))                        // v1
+    intercept[Exception] { // Spark wraps the commit-time conflict
+      Seq((2L, "b")).toDF("k", "v")
+        .write.format("graft.sources.GdxSource").option("path", dir)
+        .option("expectedBaseVersion", "0")           // stale: base is 1
+        .mode("overwrite").save()
+    }
+    assert(read(dir).as[(Long, String)].collect().toSet === Set((1L, "a")),
+      "a conflicted commit must leave the table untouched")
+    assert(sources.GdxSource
+      .listVersions(dir, sources.GdxSource.driverConf()) === Seq(1),
+      "a conflicted commit must not claim a version")
+    // the matching expectation commits normally
+    Seq((2L, "b")).toDF("k", "v")
+      .write.format("graft.sources.GdxSource").option("path", dir)
+      .option("expectedBaseVersion", "1").mode("append").save()
+    assert(read(dir).count() === 2L)
+  }
+
+  test("concurrent merges: conflict detection serializes, no update lost") {
+    val dir = freshDir("mrace")
+    write(dir, (1L to 8L).map(i => (i, "base")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // two writers race read-compute-truncate on DISJOINT key sets; a
+    // blind truncate would let the loser erase the winner's update
+    val fs = Seq(Seq((1L, "A")), Seq((2L, "B"))).map(up => Future {
+      sources.GdxSource.merge(spark, dir, up.toDF("k", "v"))
+    })
+    Await.result(Future.sequence(fs), 120.seconds)
+    val got = read(dir).as[(Long, String)].collect().toMap
+    assert(got(1L) === "A" && got(2L) === "B",
+      s"an update was lost to the merge race: $got")
+    assert(got.size === 8)
+  }
+
   test("concurrent appends: no commit lost, snapshots stay consecutive") {
     // 8 writers race the version claim; optimistic concurrency must land
     // ALL of them (appends are commutative — no conflict to check) as
