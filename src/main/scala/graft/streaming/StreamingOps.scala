@@ -504,6 +504,60 @@ object StreamingOps extends QueryModule {
         .orderBy("v")
     }),
 
+    // STREAMING CDC APPLY — changefeed in, MERGE out: the GDX
+    // changefeed of a source table is applied per micro-batch as a
+    // last-writer-wins MERGE into a second GDX table (foreachBatch +
+    // GdxSource.merge, the Delta "apply CDC with MERGE" topology).
+    // Same-key rows across commits are UPDATES; the target converges
+    // to one row per user. Values embed the zero-padded event_id, so
+    // LWW-by-max-v is batching-invariant — whether the feed arrives as
+    // one micro-batch or one per commit, the final state equals the
+    // oracle's plain max(v) per key. Merge's CAS conflict loop
+    // (GdxSourceSpec) is what makes the per-batch truncate commit safe
+    // against any concurrent writer on the target.
+    "stream_gdx_upsert" -> ((s, d) => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdxups_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root); root.mkdirs()
+      val src = new java.io.File(root, "feed").getPath
+      val tgt = new java.io.File(root, "table").getPath
+      val ck = new java.io.File(root, "ck").getPath
+      val fmt = "graft.sources.GdxSource"
+      val maxId = graft.Tables.events(s, d)
+        .agg(max("event_id")).head.getLong(0)
+      // three ascending-commit CDC slices; user_id collides across them
+      def slice(lo: Long, hi: Long) = graft.Tables.events(s, d)
+        .filter(col("event_id") >= lo && col("event_id") < hi)
+        .select(col("user_id").as("k"),
+          concat(lpad(col("event_id").cast("string"), 20, "0"),
+            lit("_"), col("event_type")).as("v"))
+      val cut1 = maxId / 3; val cut2 = 2 * maxId / 3
+      slice(0, cut1).write.format(fmt).option("path", src)
+        .mode("overwrite").save()
+      slice(cut1, cut2).write.format(fmt).option("path", src)
+        .mode("append").save()
+      slice(cut2, maxId + 1).write.format(fmt).option("path", src)
+        .mode("append").save()
+      val q = s.readStream.format(fmt).option("path", src).load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) {
+            graft.sources.GdxSource.merge(s, tgt, batch)
+          }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.format(fmt).option("path", tgt).load()
+        .select(col("k"), col("v")).orderBy("k")
+    }),
+
     // STREAMING CORPUS INGESTION WITH NEAR-DUP FILTERING — the
     // production shape when documents arrive continuously: a file
     // stream of the incoming batch is classified per micro-batch
@@ -744,6 +798,13 @@ object StreamingOps extends QueryModule {
       """SELECT event_type AS v, count(*) AS n,
         |  min(event_id) AS min_k, max(event_id) AS max_k
         |FROM events GROUP BY v ORDER BY v""".stripMargin,
+    // the CDC-applied target state, batching-invariant: LWW by the
+    // zero-padded-event_id value = plain max(v) per key
+    "stream_gdx_upsert" ->
+      """SELECT user_id AS k,
+        |  max(lpad(CAST(event_id AS VARCHAR), 20, '0') || '_' ||
+        |    event_type) AS v
+        |FROM events GROUP BY user_id ORDER BY k""".stripMargin,
     "stream_gdx_changefeed" ->
       """SELECT o_orderstatus AS v, count(*) AS n,
         |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
