@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // it automatically when the rank column is dropped
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    // materialized-view auto-rewrite: aggregates over a registered base
+    // table are transparently answered from its summary (plans/MvRewrite)
+    e.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
     e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),

@@ -1498,6 +1498,41 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // C15 — MATERIALIZED-VIEW AUTO-REWRITE (plans/MvRewrite): a summary
+    // of lineitem at (l_returnflag, l_linestatus) grain is materialized
+    // and registered; the user query — written entirely against the
+    // BASE table, one grouping column coarser — is then transparently
+    // rewritten by the optimizer to re-aggregate the summary
+    // (sum-of-sums / Σsum/Σn compensation) instead of scanning
+    // lineitem. The `mv_used` claim pins the rewrite: every leaf of the
+    // optimized plan must be the summary, none the fact table. At
+    // 100 TB this is the BI-acceleration pattern — the fact scan
+    // happens once at materialization, every matching dashboard query
+    // after that reads thousands of rows, not billions. l_quantity is
+    // integral, so the double partial sums are exact and the rollup is
+    // bit-deterministic; avg is recomposed as Σsum/Σn on both sides.
+    "c15_mv_rewrite" -> ((s, d) => {
+      val mvPath = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_mv_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val base = Tables.lineitem(s, d)
+      graft.plans.MvRewrite.materialize(s, base,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), mvPath)
+      val q = base.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          avg("l_quantity").as("avg_qty"), max("l_quantity").as("max_qty"))
+      val mvUsed = q.queryExecution.optimizedPlan.collectLeaves().forall {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+          fs.location.rootPaths.forall(_.toString.endsWith(
+            new java.io.File(mvPath).getName))
+        case _ => false
+      }
+      q.withColumn("avg_qty", round(col("avg_qty"), 6))
+        .withColumn("mv_used", lit(mvUsed))
+        .orderBy("l_returnflag")
+    }),
+
     // BENFORD FIRST-DIGIT AUDIT — observed leading-digit shares of the
     // transaction amounts against Benford's law (the forensic
     // fabricated-data screen). Amounts go to EXACT integer cents first
@@ -2077,6 +2112,16 @@ object RelationalOps extends QueryModule {
         |FROM events
         |WHERE NOT (event_id % 7 = 2 OR event_type = 'error')
         |ORDER BY k""".stripMargin,
+    // the rollup recomputed directly on lineitem; integral quantities
+    // make the double sums exact, avg written as sum/count to mirror
+    // the Σsum/Σn recomposition; the rewrite claim is pinned TRUE
+    "c15_mv_rewrite" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
+        |  max(l_quantity) AS max_qty,
+        |  TRUE AS mv_used
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     // same integer-cents digit extraction and pinned Benford literals
     "a27_benford" ->
       """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents

@@ -1,0 +1,223 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+  AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
+  Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** MATERIALIZED-VIEW AUTO-REWRITE — an optimizer `Rule[LogicalPlan]`
+  * that transparently answers aggregates over a base table from a
+  * pre-computed summary, the classic OLAP MV-rewrite (Oracle query
+  * rewrite / BigQuery BI Engine / Databricks materialized views). The
+  * user keeps writing queries against the BASE table; when a registered
+  * summary can answer one, the plan is rewritten to scan the summary
+  * instead — at 100 TB that turns a full fact-table aggregate into a
+  * scan of a few thousand pre-aggregated rows.
+  *
+  * Two rewrite shapes:
+  *  - **exact**: the query groups by exactly the MV's grouping columns
+  *    → a pure column remap (Project over the MV scan), zero
+  *    aggregation at query time.
+  *  - **rollup**: the query groups by a SUBSET of the MV's grouping
+  *    columns → re-aggregate the summary (sum-of-sums, sum-of-counts,
+  *    min-of-mins, max-of-maxes; avg recomposed as Σsum/Σn), the
+  *    standard partial-aggregate compensation. Cost: an aggregate over
+  *    |MV| rows instead of |base| rows.
+  *
+  * Matching is RELATION-level: the rule recognizes the base table by
+  * its file-source root paths (robust to column pruning and projection
+  * reordering), requires every grouping expression to be a bare base
+  * column ⊆ the MV's grouping set, and every aggregate to be one of
+  * count(*) / sum / min / max / avg over a covered measure, undistinct
+  * and unfiltered. Anything else — an extra Filter, an uncovered
+  * measure, count(DISTINCT) — leaves the plan untouched: the rewrite
+  * is an optimization, never a semantics change.
+  *
+  * STALENESS CONTRACT: a registration answers for the base table AS OF
+  * materialization; [[MvRewrite.materialize]] recomputes the summary
+  * and re-registers atomically (keyed by summary path), so refreshing
+  * the MV is one call. A production deployment would pin base-snapshot
+  * versions (the GDX manifest version is exactly the right token) and
+  * invalidate on base commit; session-lifetime registration is the
+  * harness-scale reduction of that.
+  *
+  * Registered via `SparkSessionExtensions.injectOptimizerRule`
+  * (GraftExtensions) and, for foreign sessions, through
+  * `spark.experimental.extraOptimizations` — both end-of-optimizer
+  * batches, so the rule sees the settled Aggregate-over-Project-over-
+  * Relation shape and its output (fresh scan + compensating aggregate)
+  * needs no further analysis.
+  */
+object MvRewrite {
+
+  /** One registered summary: base-table identity (file root paths),
+    * grouping set, covered measures, and the summary's analyzed scan
+    * plan with its column attributes. */
+  case class MvDef(basePaths: Set[String], groupCols: Seq[String],
+                   measureCols: Set[String], mvPlan: LogicalPlan,
+                   mvAttr: Map[String, Attribute])
+
+  /** Keyed by summary path: re-materializing the same MV REPLACES its
+    * registration (fresh file listing), so bench warmup + timed passes
+    * never plan against a deleted summary directory. */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  private[graft] def clear(): Unit = registry.clear()
+
+  /** Build the summary for `base` grouped by `groupCols` — columns
+    * `n` (count), and `sum_m`/`min_m`/`max_m` per measure — write it
+    * to `path` (parquet, overwritten), register it for rewrite, and
+    * return the summary scan. The summary column set is exactly what
+    * [[MvRewriteRule]]'s compensation algebra needs: any
+    * count/sum/min/max/avg over a measure, at the MV grain or any
+    * coarser rollup of it, derives from these partials. */
+  /** Ensure the rewrite rule runs on `spark` even when the session was
+    * not built with GraftExtensions (foreign driver sessions):
+    * experimental.extraOptimizations is the runtime-injection arm of
+    * the same extension point. Idempotent. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(MvRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewriteRule
+
+  /** True while a summary is being (re)built on this thread: the
+    * rewrite rule stands down so the build always reads the BASE —
+    * otherwise a refresh of an already-registered MV would rewrite its
+    * own build query to scan the summary it is overwriting. */
+  private val building = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+  private[plans] def isBuilding: Boolean = building.get()
+
+  def materialize(spark: SparkSession, base: DataFrame,
+                  groupCols: Seq[String], measureCols: Seq[String],
+                  path: String): DataFrame = {
+    install(spark)
+    val aggs = count(lit(1)).as("n") +: measureCols.flatMap(m => Seq(
+      sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"),
+      max(col(m)).as(s"max_$m")))
+    building.set(true)
+    try base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(path)
+    finally building.set(false)
+    val mv = spark.read.parquet(path)
+    val mvPlan = mv.queryExecution.analyzed
+    val attrs = mvPlan.output.map(a => a.name -> a).toMap
+    registry.put(path, MvDef(rootPaths(base), groupCols,
+      measureCols.toSet, mvPlan, attrs))
+    mv
+  }
+
+  /** File-source root paths identifying a relation (empty for
+    * non-file-backed plans, which then never match). */
+  private def rootPaths(df: DataFrame): Set[String] =
+    df.queryExecution.analyzed.collectLeaves().flatMap {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+      case _ => Seq.empty
+    }.toSet
+
+  private[plans] def defs: Seq[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    registry.values.asScala.toSeq
+  }
+}
+
+object MvRewriteRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val defs = MvRewrite.defs
+    if (defs.isEmpty || MvRewrite.isBuilding) plan
+    else plan.transformDown {
+      case agg: Aggregate =>
+        defs.view.flatMap(d => tryRewrite(agg, d)).headOption.getOrElse(agg)
+    }
+  }
+
+  /** The relation a candidate Aggregate reads, looking through a pure
+    * column-selection Project (what column pruning leaves behind). */
+  private def baseRelationPaths(child: LogicalPlan): Option[Set[String]] = {
+    val rel = child match {
+      case Project(pl, r) if pl.forall(_.isInstanceOf[AttributeReference]) => r
+      case r => r
+    }
+    rel match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        Some(fs.location.rootPaths.map(_.toString).toSet)
+      case _ => None
+    }
+  }
+
+  private def tryRewrite(agg: Aggregate,
+                         d: MvRewrite.MvDef): Option[LogicalPlan] = {
+    val paths = baseRelationPaths(agg.child).getOrElse(return None)
+    if (paths != d.basePaths || paths.isEmpty) return None
+    // grouping: bare base columns, all covered by the MV's grain
+    val groupNames = agg.groupingExpressions.map {
+      case a: AttributeReference if d.groupCols.contains(a.name) => a.name
+      case _ => return None
+    }
+    val exact = groupNames.toSet == d.groupCols.toSet
+
+    // per output expression, the MV-side replacement (exact grain) or
+    // compensating aggregate (rollup grain)
+    def mv(c: String): Attribute = d.mvAttr(c)
+    def aggExpr(f: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateFunction): Expression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    val rewritten: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        Alias(mv(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, name)
+          if groupNames.contains(a.name) =>
+        Alias(mv(a.name), name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(fn, Complete, false, None, _),
+          name) =>
+        val repl: Option[Expression] = fn match {
+          case Count(Seq(Literal(1, _))) =>
+            Some(if (exact) mv("n") else aggExpr(Sum(mv("n"))))
+          case Sum(a: AttributeReference, _)
+              if d.measureCols.contains(a.name) =>
+            Some(if (exact) mv(s"sum_${a.name}")
+                 else aggExpr(Sum(mv(s"sum_${a.name}"))))
+          case Min(a: AttributeReference)
+              if d.measureCols.contains(a.name) =>
+            Some(if (exact) mv(s"min_${a.name}")
+                 else aggExpr(Min(mv(s"min_${a.name}"))))
+          case Max(a: AttributeReference)
+              if d.measureCols.contains(a.name) =>
+            Some(if (exact) mv(s"max_${a.name}")
+                 else aggExpr(Max(mv(s"max_${a.name}"))))
+          case Average(a: AttributeReference, _)
+              if d.measureCols.contains(a.name) =>
+            // avg decomposes: Σsum / Σn (exact grain: sum/n) — the
+            // partial-aggregate recomposition sum-of-sums over
+            // sum-of-counts, NOT avg-of-avgs
+            val (s, n) =
+              if (exact) (mv(s"sum_${a.name}"): Expression,
+                mv("n"): Expression)
+              else (aggExpr(Sum(mv(s"sum_${a.name}"))),
+                aggExpr(Sum(mv("n"))))
+            Some(Divide(Cast(s, DoubleType), Cast(n, DoubleType)))
+          case _ => None
+        }
+        repl match {
+          case Some(e) => Alias(e, name)(exprId = al.exprId)
+          case None    => return None
+        }
+      case _ => return None
+    }
+
+    if (exact) Some(Project(rewritten, d.mvPlan))
+    else Some(Aggregate(groupNames.map(mv), rewritten, d.mvPlan))
+  }
+}

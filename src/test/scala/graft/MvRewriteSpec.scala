@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Materialized-view auto-rewrite (plans/MvRewrite.scala): queries
+  * written against the base table must be answered from the summary
+  * when derivable — and left alone when not. */
+class MvRewriteSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"mv_$tag").toString
+
+  private def leafPaths(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) => fs.location.rootPaths.map(_.toString)
+      case _ => Seq.empty
+    }.toSet
+
+  private def writeBase(): String = {
+    val dir = tmp("base")
+    Seq(("a", "x", 1.0, 10L), ("a", "x", 2.0, 20L), ("a", "y", 3.0, 5L),
+      ("b", "x", 4.0, 7L), ("b", "y", 5.0, 9L), ("b", "y", 6.0, 1L))
+      .toDF("g1", "g2", "m1", "m2")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("exact-grain query becomes a pure MV column remap") {
+    val base = spark.read.parquet(writeBase())
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("g1", "g2"),
+      Seq("m1", "m2"), mvPath)
+    val q = base.groupBy("g1", "g2")
+      .agg(count(lit(1)).as("n"), sum("m1").as("s1"), avg("m1").as("a1"),
+        min("m2").as("mn2"), max("m2").as("mx2"))
+    assert(leafPaths(q) === Set(s"file:$mvPath"),
+      s"expected an MV-only plan, got ${q.queryExecution.optimizedPlan}")
+    // no aggregation at query time: the optimized plan has no Aggregate
+    assert(q.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty, "exact-grain rewrite must not re-aggregate")
+    val got = q.orderBy("g1", "g2").collect().map(_.toSeq)
+    assert(got === Array(
+      Seq("a", "x", 2L, 3.0, 1.5, 10L, 20L),
+      Seq("a", "y", 1L, 3.0, 3.0, 5L, 5L),
+      Seq("b", "x", 1L, 4.0, 4.0, 7L, 7L),
+      Seq("b", "y", 2L, 11.0, 5.5, 1L, 9L)))
+  }
+
+  test("rollup query re-aggregates the summary, not the base") {
+    val base = spark.read.parquet(writeBase())
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("g1", "g2"),
+      Seq("m1", "m2"), mvPath)
+    val q = base.groupBy("g1")
+      .agg(count(lit(1)).as("n"), sum("m1").as("s1"), avg("m1").as("a1"),
+        min("m2").as("mn2"), max("m2").as("mx2"))
+    assert(leafPaths(q) === Set(s"file:$mvPath"),
+      s"expected an MV-only plan, got ${q.queryExecution.optimizedPlan}")
+    val got = q.orderBy("g1").collect().map(_.toSeq)
+    assert(got === Array(
+      Seq("a", 3L, 6.0, 2.0, 5L, 20L),
+      Seq("b", 3L, 15.0, 5.0, 1L, 9L)))
+  }
+
+  test("uncoverable shapes are left on the base table") {
+    val baseDir = writeBase()
+    val base = spark.read.parquet(baseDir)
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("g1", "g2"),
+      Seq("m1"), mvPath)
+    val basePaths = Set(s"file:$baseDir")
+    // a filter between aggregate and scan changes semantics → no rewrite
+    assert(leafPaths(base.filter(col("m1") > 1.0).groupBy("g1")
+      .agg(sum("m1"))) === basePaths)
+    // an uncovered measure → no rewrite
+    assert(leafPaths(base.groupBy("g1").agg(sum("m2"))) === basePaths)
+    // count(DISTINCT) is not derivable from the summary → no rewrite
+    assert(leafPaths(base.groupBy("g1")
+      .agg(countDistinct("g2"))) === basePaths)
+    // grouping by a non-MV column → no rewrite
+    assert(leafPaths(base.groupBy("m2").agg(sum("m1"))) === basePaths)
+    // and the untouched queries still compute correctly
+    assert(base.groupBy("g1").agg(sum("m2")).orderBy("g1")
+      .collect().map(_.toSeq) === Array(Seq("a", 35L), Seq("b", 17L)))
+  }
+
+  test("re-materialize refreshes the registration (no stale file lists)") {
+    val baseDir = writeBase()
+    val base = spark.read.parquet(baseDir)
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("g1"), Seq("m1"), mvPath)
+    // base changes; refresh = one more materialize call at the same path
+    Seq(("c", "z", 100.0, 0L)).toDF("g1", "g2", "m1", "m2")
+      .write.mode("append").parquet(baseDir)
+    val base2 = spark.read.parquet(baseDir)
+    plans.MvRewrite.materialize(spark, base2, Seq("g1"), Seq("m1"), mvPath)
+    val q = base2.groupBy("g1").agg(sum("m1").as("s1"))
+    assert(leafPaths(q) === Set(s"file:$mvPath"))
+    assert(q.orderBy("g1").collect().map(_.toSeq) ===
+      Array(Seq("a", 6.0), Seq("b", 15.0), Seq("c", 100.0)))
+  }
+}
