@@ -1498,6 +1498,44 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // S23 — GDX SCHEMA EVOLUTION: the even-key half of events lands
+    // under the classic (k, v) schema, addColumn("w", double) evolves
+    // the table with ONE metadata-only manifest commit (no data file
+    // touched — the Delta/Iceberg ADD COLUMN cost model), and the odd
+    // half is appended WITH the new column. The final read null-fills
+    // w for every pre-evolution row and carries real values for the
+    // rest; the oracle recomputes exactly that CASE split. Zone maps,
+    // k-pushdown, and metadata aggregates all survive evolution
+    // because (k, v) stays the schema prefix (GdxSourceSpec pins each).
+    "s23_gdx_schema_evolution" -> ((s, d) => {
+      // fresh table per invocation: each run replays the full evolution
+      // story (classic write → ADD COLUMN → evolved append) from zero —
+      // an overwrite into last run's already-evolved table would be a
+      // schema DOWNGRADE, which analysis rightly rejects
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdxevo_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root); root.mkdirs()
+      val dir = new java.io.File(root, "table").getPath
+      val gdx = graft.sources.GdxSource
+      val fmt = "graft.sources.GdxSource"
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      gdx.addColumn(dir, "w", org.apache.spark.sql.types.DoubleType)
+      ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id").as("k"), col("event_type").as("v"),
+          round(col("value"), 6).as("w"))
+        .write.format(fmt).option("path", dir).mode("append").save()
+      s.read.format(fmt).option("path", dir).load()
+        .select(col("k"), col("v"), col("w"))
+        .orderBy("k")
+    }),
+
     // C15 — MATERIALIZED-VIEW AUTO-REWRITE (plans/MvRewrite): a summary
     // of lineitem at (l_returnflag, l_linestatus) grain is materialized
     // and registered; the user query — written entirely against the
@@ -2112,6 +2150,12 @@ object RelationalOps extends QueryModule {
         |FROM events
         |WHERE NOT (event_id % 7 = 2 OR event_type = 'error')
         |ORDER BY k""".stripMargin,
+    // the evolved table recomputed relationally: pre-evolution rows
+    // (even keys) null-fill w, post-evolution rows carry it
+    "s23_gdx_schema_evolution" ->
+      """SELECT event_id AS k, event_type AS v,
+        |  CASE WHEN event_id % 2 = 1 THEN round(value, 6) END AS w
+        |FROM events ORDER BY k""".stripMargin,
     // the rollup recomputed directly on lineitem; integral quantities
     // make the double sums exact, avg written as sum/count to mirror
     // the Σsum/Σn recomposition; the rewrite claim is pinned TRUE

@@ -110,11 +110,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .load().filter(...)
   */
 class GdxSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GdxSource.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    if (path == null) GdxSource.schema
+    else GdxSource.committedSchema(path, GdxSource.driverConf(),
+      Option(options.get("version")).map(_.toInt).getOrElse(-1))
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new GdxTable(properties.get("path"))
+    new GdxTable(properties.get("path"), schema)
 }
 
 /** Hadoop Configuration is not Serializable; ship it to executors via
@@ -172,6 +176,42 @@ object GdxSource {
   val schema: StructType = StructType(Seq(
     StructField("k", LongType), StructField("v", StringType)))
 
+  /** SCHEMA EVOLUTION (append-only): a table's current schema lives in
+    * its manifest (`#schema k:long,v:string,...`) — [[addColumn]]
+    * commits an evolved schema as a new snapshot, readers null-fill
+    * files written before the evolution (their lines simply have fewer
+    * fields), and writes are validated against the manifest schema by
+    * Spark's analysis. The classic `(k BIGINT, v STRING)` core is
+    * always the prefix, so zone maps, k/v pushdown, and metadata-only
+    * aggregates stay valid across every evolution. Manifests without a
+    * schema line (pre-evolution directories) read as the classic
+    * schema — full back-compat. */
+  private val typeNames: Map[DataType, String] = Map(
+    LongType -> "long", StringType -> "string", DoubleType -> "double")
+  private val namedTypes: Map[String, DataType] =
+    typeNames.map(_.swap)
+
+  private[graft] def schemaSpec(st: StructType): String =
+    st.fields.map(f => s"${f.name}:${typeNames.getOrElse(f.dataType,
+      throw new IllegalArgumentException(
+        s"gdx: unsupported column type ${f.dataType} for ${f.name}"))}")
+      .mkString(",")
+
+  private[graft] def parseSchemaSpec(s: String): StructType =
+    StructType(s.split(',').map { fld =>
+      val Array(n, t) = fld.split(':')
+      StructField(n, namedTypes.getOrElse(t,
+        throw new IllegalArgumentException(s"gdx: unknown type $t")))
+    })
+
+  /** Line prefix carrying the snapshot's schema; written in EVERY
+    * manifest (full and delta) so schema resolution is one read. */
+  private val SchemaHeader = "#schema "
+
+  /** NULL marker in the line format (hive-style); rejected as a
+    * literal string value at write time. */
+  private[graft] val NullMarker = "\\N"
+
   /** Driver-side Hadoop conf (active session's, else defaults). */
   def driverConf(): Configuration =
     SparkSession.getActiveSession
@@ -203,20 +243,40 @@ object GdxSource {
       .map(_.getPath.getName.stripPrefix("_manifest-").toInt).sorted
   }
 
-  /** One manifest file's lines: (isDelta, entries). */
-  private def readManifest(fs: FileSystem,
-                           m: Path): (Boolean, Seq[GdxFileEntry]) = {
+  /** One manifest file's lines: (isDelta, snapshot schema if recorded,
+    * entries). Header order: `#delta` (if any), then `#schema` (if
+    * any), then entries. */
+  private def readManifest(fs: FileSystem, m: Path)
+      : (Boolean, Option[StructType], Seq[GdxFileEntry]) = {
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(m), "UTF-8"))
     try {
-      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
+      var lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty).toList
-      lines match {
-        case h :: rest if h.startsWith(DeltaHeader) =>
-          (true, rest.map(parseManifestLine))
-        case all => (false, all.map(parseManifestLine))
-      }
+      val isDelta = lines.headOption.exists(_.startsWith(DeltaHeader))
+      if (isDelta) lines = lines.tail
+      val sch = lines.headOption.filter(_.startsWith(SchemaHeader))
+        .map(h => parseSchemaSpec(h.stripPrefix(SchemaHeader).trim))
+      if (sch.isDefined) lines = lines.tail
+      (isDelta, sch, lines.map(parseManifestLine))
     } finally in.close()
+  }
+
+  /** The schema the chosen snapshot recorded (classic `(k, v)` for
+    * pre-evolution manifests or never-written directories). */
+  def committedSchema(path: String, conf: Configuration,
+                      version: Int = -1): StructType = {
+    val fs = new Path(path).getFileSystem(conf)
+    val target: Option[Path] =
+      if (version >= 0) Some(manifestFor(path, version))
+      else listVersions(path, conf) match {
+        case vs if vs.nonEmpty => Some(manifestFor(path, vs.max))
+        case _ =>
+          val legacy = manifest(path)
+          if (fs.exists(legacy)) Some(legacy) else None
+      }
+    target.filter(fs.exists(_)).flatMap(readManifest(fs, _)._2)
+      .getOrElse(schema)
   }
 
   /** Manifest entries (file name + optional zone-map stats) the chosen
@@ -244,7 +304,7 @@ object GdxSource {
     target match {
       case None => // pre-versioning directory: single full `_manifest`
         val m = manifest(path)
-        if (!fs.exists(m)) Seq.empty else readManifest(fs, m)._2
+        if (!fs.exists(m)) Seq.empty else readManifest(fs, m)._3
       case Some(v) =>
         var deltas = List.empty[Seq[GdxFileEntry]]
         var base = Seq.empty[GdxFileEntry]
@@ -255,7 +315,7 @@ object GdxSource {
           require(fs.exists(mp),
             s"gdx: snapshot version $v is unreadable - its delta chain " +
               s"is broken at version $cur (vacuumed or never written)")
-          val (isDelta, es) = readManifest(fs, mp)
+          val (isDelta, _, es) = readManifest(fs, mp)
           if (isDelta) {
             deltas = es :: deltas
             cur -= 1
@@ -390,7 +450,8 @@ object GdxSource {
                   messages: Seq[
                     org.apache.spark.sql.connector.write
                       .WriterCommitMessage],
-                  expectedBase: Int = -1): Int = {
+                  expectedBase: Int = -1,
+                  writeSchema: StructType = schema): Int = {
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
     val lockKey = fs.makeQualified(base).toString
@@ -433,13 +494,23 @@ object GdxSource {
         }
         val checkpoint =
           replace || attempt == 1 || attempt % CheckpointInterval == 0
+        // every manifest records the snapshot's schema: a truncate pins
+        // the write's schema; an append carries the evolved table
+        // schema forward (analysis already proved the write matches it)
+        val schemaLine = SchemaHeader + schemaSpec(
+          if (replace) writeSchema
+          else {
+            val cur = committedSchema(path, conf)
+            if (cur.length >= writeSchema.length) cur else writeSchema
+          })
         val published =
           if (checkpoint) {
             val prev =
               if (replace) Seq.empty else committedEntries(path, conf)
-            (prev ++ entries).sortBy(_.name).map(_.manifestLine)
+            schemaLine +: (prev ++ entries).sortBy(_.name).map(_.manifestLine)
           } else
-            DeltaHeader +: entries.sortBy(_.name).map(_.manifestLine)
+            Seq(DeltaHeader, schemaLine) ++
+              entries.sortBy(_.name).map(_.manifestLine)
         if (publishExclusive(fs, conf, manifestFor(path, attempt),
             published)) {
           // legacy mirror for pre-versioning readers of `_manifest`;
@@ -620,10 +691,12 @@ object GdxSource {
           val it = Iterator.continually(in.readLine())
             .takeWhile(_ != null).zipWithIndex
             .flatMap { case (line, idx) =>
-              val tab = line.indexOf('\t')
-              if (tab > 0 && !old.contains(idx.toLong))
-                Some((name, idx.toLong,
-                  line.substring(0, tab).toLong, line.substring(tab + 1)))
+              // the (k, v) core is always fields 0 and 1, whatever the
+              // evolved schema appended — `condition` ranges over them
+              val fields = line.split("\t", -1)
+              if (fields.length >= 2 && fields(0).nonEmpty &&
+                  !old.contains(idx.toLong))
+                Some((name, idx.toLong, fields(0).toLong, fields(1)))
               else None
             }
           new Iterator[(String, Long, Long, String)] {
@@ -656,13 +729,16 @@ object GdxSource {
       val dvFor = newDvs.map(r => r._1 -> r._2).toMap
       val updated = entries.map(e =>
         dvFor.get(e.name).map(d => e.copy(dv = Some(d))).getOrElse(e))
-      // CAS publish of the full manifest at readV + 1
+      // CAS publish of the full manifest at readV + 1 (schema carried)
+      val lines = (SchemaHeader + schemaSpec(
+        committedSchema(dir, conf0, if (readV > 0) readV else -1))) +:
+        updated.map(_.manifestLine)
       val base = new Path(dir)
       val fs = base.getFileSystem(conf0)
       val published = publishExclusive(fs, conf0,
-        manifestFor(dir, readV + 1), updated.map(_.manifestLine))
+        manifestFor(dir, readV + 1), lines)
       if (published) {
-        writeLines(fs, manifest(dir), updated.map(_.manifestLine))
+        writeLines(fs, manifest(dir), lines)
         return (readV + 1, newDvs.map(_._3).sum)
       }
       attempt += 1 // lost the race; orphan sidecars await vacuum
@@ -670,6 +746,41 @@ object GdxSource {
         s"gdx delete: lost the publish race $maxRetries times on $dir")
     }
     (-1, -1L) // unreachable
+  }
+
+  /** Append a column to the table's schema — a METADATA-ONLY commit:
+    * the new manifest carries the evolved `#schema` line and the same
+    * file entries; no data file is touched (the Delta/Iceberg ADD
+    * COLUMN contract — at 100 TB, evolution costs one manifest write).
+    * Existing files' rows read as NULL for the new column; subsequent
+    * writes must carry it. Append-only by construction: the classic
+    * (k, v) prefix — and with it zone maps, pushdown, and metadata
+    * aggregates — survives every evolution. CAS + retry, same loop as
+    * [[delete]]. Returns the committed version. */
+  def addColumn(dir: String, name: String, dataType: DataType,
+                maxRetries: Int = 10): Int = {
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    var attempt = 0
+    while (true) {
+      val vs = listVersions(dir, conf)
+      require(vs.nonEmpty, s"gdx addColumn: no snapshot under $dir")
+      val readV = vs.max
+      val cur = committedSchema(dir, conf, readV)
+      require(!cur.fieldNames.contains(name),
+        s"gdx addColumn: column $name already exists")
+      val evolved = StructType(cur.fields :+ StructField(name, dataType))
+      val lines = (SchemaHeader + schemaSpec(evolved)) +:
+        committedEntries(dir, conf, readV).map(_.manifestLine)
+      if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
+        writeLines(fs, manifest(dir), lines)
+        return readV + 1
+      }
+      attempt += 1
+      if (attempt > maxRetries) throw new GdxConcurrentModificationException(
+        s"gdx addColumn: lost the publish race $maxRetries times on $dir")
+    }
+    -1 // unreachable
   }
 
   /** Parse a `.dvx` sidecar into its deleted-position set. */
@@ -703,7 +814,8 @@ object GdxSource {
     val keep = vs.takeRight(keepLast)
     val oldestFull = committedEntries(path, conf, keep.head)
     replaceAtomic(fs, conf, manifestFor(path, keep.head),
-      oldestFull.map(_.manifestLine))
+      (SchemaHeader + schemaSpec(committedSchema(path, conf, keep.head))) +:
+        oldestFull.map(_.manifestLine))
     vs.dropRight(keepLast).foreach(v => fs.delete(manifestFor(path, v), false))
     val keptEntries = keep.flatMap(v => committedEntries(path, conf, v))
     val referenced =
@@ -717,26 +829,29 @@ object GdxSource {
   }
 }
 
-class GdxTable(path: String) extends Table
-    with SupportsRead with SupportsWrite {
+class GdxTable(path: String, tableSchema: StructType = GdxSource.schema)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"gdx($path)"
-  override def schema(): StructType = GdxSource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GdxScanBuilder(path,
-      Option(options.get("version")).map(_.toInt).getOrElse(-1))
+      Option(options.get("version")).map(_.toInt).getOrElse(-1),
+      tableSchema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GdxWriteBuilder(path,
       Option(info.options.get("expectedBaseVersion")).map(_.toInt)
-        .getOrElse(-1))
+        .getOrElse(-1),
+      info.schema())
 }
 
 // ---------------------------------------------------------------- read
 
-class GdxScanBuilder(path: String, version: Int)
+class GdxScanBuilder(path: String, version: Int,
+                     tableSchema: StructType = GdxSource.schema)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownAggregates
     with SupportsPushDownRequiredColumns {
@@ -747,7 +862,7 @@ class GdxScanBuilder(path: String, version: Int)
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
   private var aggOps: Option[Seq[String]] = None
-  private var required: StructType = GdxSource.schema
+  private var required: StructType = tableSchema
 
   /** Column pruning: a k-only read never allocates a v string, a
     * v-only read never boxes k — the reader materializes exactly the
@@ -825,7 +940,7 @@ class GdxScanBuilder(path: String, version: Int)
     }
 
   override def build(): Scan = new GdxScan(path, version, pushed, limit,
-    aggOps, metaComplete && aggOps.isDefined, required)
+    aggOps, metaComplete && aggOps.isDefined, required, tableSchema)
 }
 
 case class GdxFilePartition(file: String, dv: Option[String] = None)
@@ -839,7 +954,8 @@ case class GdxMetaResultPartition(values: Seq[Option[Long]])
 
 class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
               aggOps: Option[Seq[String]], metaOnly: Boolean = false,
-              required: StructType = GdxSource.schema)
+              required: StructType = GdxSource.schema,
+              tableSchema: StructType = GdxSource.schema)
     extends Scan with Batch {
   override def readSchema(): StructType = aggOps match {
     case Some(ops) => StructType(ops.zipWithIndex.map { case (op, i) =>
@@ -891,12 +1007,12 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
         e.dv.map(d => new Path(path, d).toString)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GdxReaderFactory(pushed, limit, aggOps, required,
+    new GdxReaderFactory(pushed, limit, aggOps, required, tableSchema,
       new SerializableHadoopConf(GdxSource.driverConf()))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : rstreaming.MicroBatchStream =
-    new GdxMicroBatchStream(path, pushed, required)
+    new GdxMicroBatchStream(path, pushed, required, tableSchema)
 }
 
 /** Offset = manifest version. Snapshot N reconstructs to the COMPLETE
@@ -920,7 +1036,8 @@ case class GdxOffset(version: Int) extends rstreaming.Offset {
   * silently re-streaming the world — retention must outlive the
   * longest consumer lag, exactly as with any changefeed. */
 class GdxMicroBatchStream(path: String, pushed: Array[Filter],
-                          required: StructType = GdxSource.schema)
+                          required: StructType = GdxSource.schema,
+                          tableSchema: StructType = GdxSource.schema)
     extends rstreaming.MicroBatchStream {
   private def conf = GdxSource.driverConf()
   private def entriesAt(v: Int): Seq[GdxFileEntry] =
@@ -960,7 +1077,7 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GdxReaderFactory(pushed, -1, None, required,
+    new GdxReaderFactory(pushed, -1, None, required, tableSchema,
       new SerializableHadoopConf(conf))
   override def commit(end: rstreaming.Offset): Unit = ()
   override def stop(): Unit = ()
@@ -969,6 +1086,7 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter],
 class GdxReaderFactory(pushed: Array[Filter], limit: Int,
                        aggOps: Option[Seq[String]],
                        required: StructType,
+                       tableSchema: StructType,
                        conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -986,9 +1104,10 @@ class GdxReaderFactory(pushed: Array[Filter], limit: Int,
           // the agg fold consumes lastK off the UNPRUNED base — its own
           // output schema is the aggregate row, not `required`
           case Some(ops) => new GdxAggReader(
-            new GdxFileReader(file, pushed, limit, conf, dv = dv), ops)
-          case None =>
-            new GdxFileReader(file, pushed, limit, conf, required, dv)
+            new GdxFileReader(file, pushed, limit, conf,
+              tableSchema, tableSchema, dv), ops)
+          case None => new GdxFileReader(file, pushed, limit, conf,
+            required, tableSchema, dv)
         }
     }
 }
@@ -1006,6 +1125,7 @@ class GdxReaderFactory(pushed: Array[Filter], limit: Int,
 class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
                     conf: SerializableHadoopConf,
                     required: StructType = GdxSource.schema,
+                    tableSchema: StructType = GdxSource.schema,
                     dv: Option[String] = None)
     extends PartitionReader[InternalRow] {
   private val p = new Path(file)
@@ -1018,13 +1138,14 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
     .map(d => GdxSource.readDvPositions(fs, new Path(d)))
     .getOrElse(java.util.Collections.emptySet[Long]())
   private var lineIdx = -1L
-  // per-output-slot selector, resolved once: true = k, false = v
-  private val slotIsK: Array[Boolean] = required.fields.map { f =>
-    f.name match {
-      case "k" => true
-      case "v" => false
-      case other => throw new IllegalArgumentException(
-        s"gdx read: unknown required column '$other'")
+  // per-output-slot (table field index, type), resolved once against
+  // the snapshot's schema; a file written pre-evolution simply has
+  // fewer fields than the schema — missing slots read as NULL
+  private val slots: Array[(Int, DataType)] = {
+    val idx = tableSchema.fieldNames.zipWithIndex.toMap
+    required.fields.map { f =>
+      (idx.getOrElse(f.name, throw new IllegalArgumentException(
+        s"gdx read: unknown required column '${f.name}'")), f.dataType)
     }
   }
   private var row: InternalRow = _
@@ -1032,11 +1153,18 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
   var lastK: Long = _
   var lastV: String = _
 
-  private def project(k: Long, v: String): InternalRow = {
-    val vals = new Array[Any](slotIsK.length)
+  private def project(fields: Array[String]): InternalRow = {
+    val vals = new Array[Any](slots.length)
     var i = 0
-    while (i < slotIsK.length) {
-      vals(i) = if (slotIsK(i)) k else UTF8String.fromString(v)
+    while (i < slots.length) {
+      val (fi, dt) = slots(i)
+      vals(i) =
+        if (fi >= fields.length || fields(fi) == GdxSource.NullMarker) null
+        else dt match {
+          case LongType   => fields(fi).toLong
+          case DoubleType => fields(fi).toDouble
+          case _          => UTF8String.fromString(fields(fi))
+        }
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
@@ -1058,15 +1186,17 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
     var line = in.readLine()
     while (line != null) {
       lineIdx += 1
-      val tab = line.indexOf('\t')
-      if (tab > 0 && !deleted.contains(lineIdx)) {
-        val k = line.substring(0, tab).toLong
-        val v = line.substring(tab + 1)
-        if (keep(k, v)) {
-          lastK = k; lastV = v
-          row = project(k, v)
-          emitted += 1
-          return true
+      if (!deleted.contains(lineIdx)) {
+        val fields = line.split("\t", -1)
+        if (fields.length >= 2 && fields(0).nonEmpty) {
+          val k = fields(0).toLong
+          val v = fields(1)
+          if (keep(k, v)) {
+            lastK = k; lastV = v
+            row = project(fields)
+            emitted += 1
+            return true
+          }
         }
       }
       line = in.readLine()
@@ -1110,22 +1240,25 @@ class GdxAggReader(base: GdxFileReader, ops: Seq[String])
 
 // --------------------------------------------------------------- write
 
-class GdxWriteBuilder(path: String, expectedBase: Int = -1)
+class GdxWriteBuilder(path: String, expectedBase: Int = -1,
+                      writeSchema: StructType = GdxSource.schema)
     extends WriteBuilder with SupportsTruncate {
   // truncate = start the NEW snapshot from an empty file set instead of
   // the previous snapshot's; history is untouched either way — old
   // manifests keep referencing their own files until vacuumed
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
-  override def build(): Write = new GdxWrite(path, replace, expectedBase)
+  override def build(): Write =
+    new GdxWrite(path, replace, expectedBase, writeSchema)
 }
 
-class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1)
+class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1,
+               writeSchema: StructType = GdxSource.schema)
     extends Write {
   override def toBatch: BatchWrite =
-    new GdxBatchWrite(path, replace, expectedBase)
+    new GdxBatchWrite(path, replace, expectedBase, writeSchema)
   override def toStreaming: wstreaming.StreamingWrite =
-    new GdxStreamingWrite(path)
+    new GdxStreamingWrite(path, writeSchema)
 }
 
 /** Exactly-once streaming sink: every micro-batch is one append commit
@@ -1141,11 +1274,13 @@ class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1)
   * multi-writer arbitration. Together with [[GdxMicroBatchStream]] the
   * directory is a full streaming table: writeStream in, readStream
   * out, batch anywhere in between. */
-class GdxStreamingWrite(path: String) extends wstreaming.StreamingWrite {
+class GdxStreamingWrite(path: String,
+                        writeSchema: StructType = GdxSource.schema)
+    extends wstreaming.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : wstreaming.StreamingDataWriterFactory =
     new GdxStreamingWriterFactory(path,
-      new SerializableHadoopConf(GdxSource.driverConf()))
+      new SerializableHadoopConf(GdxSource.driverConf()), writeSchema)
 
   def txnMarker(epochId: Long) = new Path(path, f"_txn-$epochId%016d")
 
@@ -1161,7 +1296,8 @@ class GdxStreamingWrite(path: String) extends wstreaming.StreamingWrite {
       }
       return
     }
-    GdxSource.commitFiles(path, conf, replace = false, messages.toSeq)
+    GdxSource.commitFiles(path, conf, replace = false, messages.toSeq,
+      writeSchema = writeSchema)
     fs.create(marker, true).close()
   }
 
@@ -1174,22 +1310,25 @@ class GdxStreamingWrite(path: String) extends wstreaming.StreamingWrite {
   }
 }
 
-class GdxStreamingWriterFactory(path: String, conf: SerializableHadoopConf)
+class GdxStreamingWriterFactory(path: String, conf: SerializableHadoopConf,
+                                writeSchema: StructType = GdxSource.schema)
     extends wstreaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GdxDataWriter(path, partitionId, taskId, conf,
-      tag = f"e$epochId%08d-")
+      tag = f"e$epochId%08d-", schema = writeSchema)
 }
 
 case class GdxCommitMessage(tmpName: String, stats: GdxFileStats)
     extends WriterCommitMessage
 
 class GdxBatchWrite(path: String, replace: Boolean,
-                    expectedBase: Int = -1) extends BatchWrite {
+                    expectedBase: Int = -1,
+                    writeSchema: StructType = GdxSource.schema)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = new GdxWriterFactory(path,
-    new SerializableHadoopConf(GdxSource.driverConf()))
+    new SerializableHadoopConf(GdxSource.driverConf()), writeSchema)
 
   /** Driver-side publish: rename each task's tmp file to its
     * VERSION-PREFIXED final name, then write snapshot N+1's manifest —
@@ -1201,7 +1340,7 @@ class GdxBatchWrite(path: String, replace: Boolean,
     * commit can ever clobber a file an older snapshot references. */
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GdxSource.commitFiles(path, GdxSource.driverConf(), replace,
-      messages.toSeq, expectedBase)
+      messages.toSeq, expectedBase, writeSchema)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GdxSource.driverConf()
@@ -1213,11 +1352,13 @@ class GdxBatchWrite(path: String, replace: Boolean,
   }
 }
 
-class GdxWriterFactory(path: String, conf: SerializableHadoopConf)
+class GdxWriterFactory(path: String, conf: SerializableHadoopConf,
+                       writeSchema: StructType = GdxSource.schema)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new GdxDataWriter(path, partitionId, taskId, conf)
+    new GdxDataWriter(path, partitionId, taskId, conf,
+      schema = writeSchema)
 }
 
 /** Task-side writer: data lands in a uniquely-named `.tmp` file that
@@ -1225,7 +1366,8 @@ class GdxWriterFactory(path: String, conf: SerializableHadoopConf)
   * attempt leaves at most an unreferenced tmp (cleaned by abort, and
   * harmless if leaked — readers never list the directory). */
 class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
-                    conf: SerializableHadoopConf, tag: String = "")
+                    conf: SerializableHadoopConf, tag: String = "",
+                    schema: StructType = GdxSource.schema)
     extends DataWriter[InternalRow] {
   // `tag` carries the streaming epoch so re-attempts of the same
   // (partition, task) across epochs can never collide on a tmp name
@@ -1242,17 +1384,34 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
   private var maxK = Long.MinValue
 
   override def write(r: InternalRow): Unit = {
-    val v = r.getUTF8String(1).toString
-    // the line format has no escaping: a separator/terminator inside v
-    // would split the row on read — reject at write time, loudly
-    require(v.indexOf('\t') < 0 && v.indexOf('\n') < 0 && v.indexOf('\r') < 0,
-      "gdx write: value must not contain tab/newline (unescaped line format)")
+    require(!r.isNullAt(0), "gdx write: k (the key) must not be null")
     val k = r.getLong(0)
     rows += 1
     if (k < minK) minK = k
     if (k > maxK) maxK = k
-    out.print(k); out.print('\t')
-    out.println(v)
+    // fields joined by tab in schema order; NULL as the reserved \N
+    // marker. The line format has no escaping: a separator/terminator
+    // (or a literal \N) inside a string would corrupt the row on read
+    // — reject at write time, loudly.
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append('\t')
+      if (r.isNullAt(i)) sb.append(GdxSource.NullMarker)
+      else schema(i).dataType match {
+        case LongType   => sb.append(r.getLong(i))
+        case DoubleType => sb.append(r.getDouble(i))
+        case _ =>
+          val s = r.getUTF8String(i).toString
+          require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
+            s.indexOf('\r') < 0 && s != GdxSource.NullMarker,
+            s"gdx write: string field ${schema(i).name} must not contain " +
+              "tab/newline or the \\N null marker (unescaped line format)")
+          sb.append(s)
+      }
+      i += 1
+    }
+    out.println(sb)
   }
   override def commit(): WriterCommitMessage = {
     out.close()

@@ -95,12 +95,14 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
       .filter(_.nonEmpty).toSeq
     // v1 and v10 are full checkpoints; the rest record ONLY their own
     // file — this is what keeps retained manifest bytes linear in
-    // commits instead of the full-list-per-commit O(N²)
-    assert(!lines(1).head.startsWith("#delta") && lines(1).size === 1)
+    // commits instead of the full-list-per-commit O(N²). Every
+    // manifest carries one #schema header on top of its entries.
+    assert(lines(1).head.startsWith("#schema") && lines(1).size === 2)
     for (v <- (2 to 9) ++ Seq(11, 12))
-      assert(lines(v).head === "#delta" && lines(v).size === 2,
+      assert(lines(v).head === "#delta" &&
+        lines(v)(1).startsWith("#schema") && lines(v).size === 3,
         s"version $v must be a single-entry delta")
-    assert(!lines(10).head.startsWith("#delta") && lines(10).size === 10)
+    assert(lines(10).head.startsWith("#schema") && lines(10).size === 11)
     // every snapshot reconstructs exactly through its chain
     for (v <- 1 to 12)
       assert(spark.read.format("graft.sources.GdxSource")
@@ -133,7 +135,7 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     val v4 = java.nio.file.Files.readAllLines(
       java.nio.file.Path.of(dir, "_manifest-00000004")).asScala
       .filter(_.nonEmpty).toSeq
-    assert(!v4.head.startsWith("#delta") && v4.size === 4,
+    assert(v4.head.startsWith("#schema") && v4.size === 5,
       "oldest retained version is rewritten as a full checkpoint")
     def at(v: Int) = spark.read.format("graft.sources.GdxSource")
       .option("path", dir).option("version", v.toString).load()
@@ -483,6 +485,83 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
       .exists(_.getName.endsWith(".dvx")),
       "vacuum must delete unreferenced DV sidecars")
     assert(read(dir).count() === 67L)
+  }
+
+  test("schema evolution: addColumn is metadata-only, old files null-fill") {
+    val dir = freshDir("evo")
+    write(dir, Seq((1L, "a"), (2L, "b")))
+    val dataBefore = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gdx")).map(f => f.getName -> f.length).toMap
+    val v = sources.GdxSource.addColumn(dir, "w",
+      org.apache.spark.sql.types.DoubleType)
+    // metadata-only: same data files, one new manifest
+    assert(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gdx"))
+      .map(f => f.getName -> f.length).toMap === dataBefore)
+    val df = read(dir)
+    assert(df.schema.fieldNames.toSeq === Seq("k", "v", "w"))
+    assert(df.as[(Long, String, Option[Double])].collect().toSet ===
+      Set((1L, "a", None), (2L, "b", None)),
+      "pre-evolution rows must null-fill the new column")
+    // appends now carry the evolved schema; nulls round-trip as \N
+    Seq((3L, "c", Some(1.5)), (4L, "d", None))
+      .toDF("k", "v", "w")
+      .write.format("graft.sources.GdxSource").option("path", dir)
+      .mode("append").save()
+    assert(read(dir).as[(Long, String, Option[Double])].collect().toSet ===
+      Set((1L, "a", None), (2L, "b", None),
+        (3L, "c", Some(1.5)), (4L, "d", None)))
+    // the full pruning audit holds on the evolved, mixed-file table
+    auditColumnPruning(() => read(dir))
+    // k-pushdown and zone maps still work (classic prefix is intact)
+    assert(read(dir).filter(col("k") >= 3).count() === 2L)
+    // metadata-only aggregates still fold from the manifest
+    val agg = read(dir).agg(count(lit(1)), min("k"), max("k")).head
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) ===
+      ((4L, 1L, 4L)))
+    // time travel to the pre-evolution snapshot reads its OWN schema
+    val pre = spark.read.format("graft.sources.GdxSource")
+      .option("path", dir).option("version", (v - 1).toString).load()
+    assert(pre.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(pre.count() === 2L)
+    // evolving an existing name is rejected
+    intercept[IllegalArgumentException] {
+      sources.GdxSource.addColumn(dir, "v",
+        org.apache.spark.sql.types.StringType)
+    }
+  }
+
+  test("schema evolution composes with delete, compact, and streaming") {
+    val dir = freshDir("evo2")
+    write(dir, Seq((1L, "x"), (2L, "y")))
+    sources.GdxSource.addColumn(dir, "w",
+      org.apache.spark.sql.types.DoubleType)
+    Seq((3L, "x", Some(2.0)), (4L, "y", Some(4.0)))
+      .toDF("k", "v", "w")
+      .write.format("graft.sources.GdxSource").option("path", dir)
+      .mode("append").save()
+    // DV delete on the evolved table: condition over the (k, v) core
+    val (_, n) = sources.GdxSource.delete(spark, dir, col("v") === "x")
+    assert(n === 2L)
+    assert(read(dir).as[(Long, String, Option[Double])].collect().toSet ===
+      Set((2L, "y", None), (4L, "y", Some(4.0))))
+    // compact preserves the evolved schema and the surviving rows
+    sources.GdxSource.compact(spark, dir, target = 1)
+    assert(read(dir).schema.fieldNames.toSeq === Seq("k", "v", "w"))
+    assert(read(dir).as[(Long, String, Option[Double])].collect().toSet ===
+      Set((2L, "y", None), (4L, "y", Some(4.0))))
+    // the changefeed streams evolved rows with the evolved schema
+    val seen = spark.readStream.format("graft.sources.GdxSource")
+      .option("path", dir).load()
+    assert(seen.schema.fieldNames.toSeq === Seq("k", "v", "w"))
+    val q = seen.writeStream.format("memory").queryName("graft_evo_feed")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      assert(spark.table("graft_evo_feed")
+        .as[(Long, String, Option[Double])].collect().toSet ===
+        Set((2L, "y", None), (4L, "y", Some(4.0))))
+    } finally q.stop()
   }
 
   test("CAS commit: a stale expectedBaseVersion surfaces as conflict") {
