@@ -247,6 +247,19 @@ object GdxSource {
     * entries). Header order: `#delta` (if any), then `#schema` (if
     * any), then entries. */
   private def readManifest(fs: FileSystem, m: Path)
+      : (Boolean, Option[StructType], Seq[GdxFileEntry]) =
+    try readManifestOnce(fs, m)
+    catch {
+      // self-heal a directory poisoned before the crc-hygiene fix: a
+      // manifest rewritten through the NIO fast path under a stale
+      // fs.create-era sidecar. The sidecar is advisory (atomic publish
+      // guards manifest integrity); drop it and reread.
+      case _: org.apache.hadoop.fs.ChecksumException =>
+        dropStaleCrc(m)
+        readManifestOnce(fs, m)
+    }
+
+  private def readManifestOnce(fs: FileSystem, m: Path)
       : (Boolean, Option[StructType], Seq[GdxFileEntry]) = {
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(m), "UTF-8"))
@@ -376,9 +389,19 @@ object GdxSource {
     writeLines(fs, tmp, lines)
     try {
       if ("file" == Option(dst.toUri.getScheme).getOrElse("file")) {
+        // the content link below bypasses ChecksumFileSystem, so a
+        // stale `.dst.crc` from an fs.create-era write of the same
+        // name (a vacuumed+reclaimed version) would poison every later
+        // read — drop it before claiming, and link tmp's fresh crc in
+        // after winning (a missing crc is fine; a WRONG one is not)
+        dropStaleCrc(dst)
         val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
         val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
-        try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
+        try {
+          java.nio.file.Files.createLink(dstNio, tmpNio)
+          linkCrc(tmp, dst)
+          true
+        }
         catch {
           case _: java.nio.file.FileAlreadyExistsException => false
           case _: UnsupportedOperationException =>
@@ -398,6 +421,23 @@ object GdxSource {
     } finally if (fs.exists(tmp)) fs.delete(tmp, false)
   }
 
+  /** ChecksumFileSystem sidecar for a local path. The NIO fast paths
+    * below write CONTENT without Hadoop's checksum layer; any crc that
+    * no longer matches must go (readers verify only when a crc exists,
+    * so "no crc" is safe and "stale crc" is a read-time
+    * ChecksumException on every subsequent open). */
+  private def crcPath(p: Path): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      new Path(p.getParent, s".${p.getName}.crc").toUri.getPath)
+  private def dropStaleCrc(p: Path): Unit = {
+    java.nio.file.Files.deleteIfExists(crcPath(p)); ()
+  }
+  private def linkCrc(src: Path, dst: Path): Unit =
+    try {
+      if (java.nio.file.Files.exists(crcPath(src)))
+        java.nio.file.Files.createLink(crcPath(dst), crcPath(src))
+    } catch { case _: Exception => () } // crc is best-effort metadata
+
   /** Atomically REPLACE `dst` with `lines` (vacuum's checkpoint
     * materialization rewrites an existing manifest in place): content
     * goes to a temp sibling, then an atomic overwriting move — a
@@ -408,13 +448,18 @@ object GdxSource {
     val tmp = new Path(dst.getParent,
       s".${dst.getName}.tmp-${java.util.UUID.randomUUID}")
     writeLines(fs, tmp, lines)
-    if ("file" == Option(dst.toUri.getScheme).getOrElse("file"))
+    if ("file" == Option(dst.toUri.getScheme).getOrElse("file")) {
+      // same crc discipline as publishExclusive: the NIO move changes
+      // content under any existing sidecar — drop it, then adopt tmp's
+      dropStaleCrc(dst)
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp.toUri.getPath),
         java.nio.file.Paths.get(dst.toUri.getPath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    else
+      linkCrc(tmp, dst)
+      java.nio.file.Files.deleteIfExists(crcPath(tmp))
+    } else
       org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
         .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }

@@ -564,6 +564,38 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     } finally q.stop()
   }
 
+  test("manifest rewrite under a legacy checksum sidecar stays readable") {
+    // Manifests written through fs.create (pre-optimistic-concurrency
+    // directories) carry a ChecksumFileSystem .crc sidecar; vacuum's
+    // in-place checkpoint materialization rewrites those bytes through
+    // the NIO fast path. Without crc hygiene the stale sidecar poisons
+    // every later manifest open with ChecksumException — exactly what
+    // the loud-error bench surfaced on round-6-era /tmp tables.
+    val dir = freshDir("crc")
+    write(dir, Seq((1L, "a")))
+    write(dir, Seq((2L, "b")))
+    val conf = sources.GdxSource.driverConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // plant the legacy state: rewrite v2's manifest THROUGH the
+    // checksum layer so a .crc sidecar exists for its current bytes
+    val m2 = sources.GdxSource.manifestFor(dir, 2)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(m2.toUri.getPath))
+    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      fs.create(m2, true), "UTF-8"))
+    try lines.forEach(out.println) finally out.close()
+    assert(new java.io.File(dir, "._manifest-00000002.crc").exists(),
+      "precondition: checksum sidecar planted")
+    // vacuum materializes v2 as a full checkpoint IN PLACE (different
+    // bytes than the delta the crc was computed over)
+    sources.GdxSource.vacuum(dir, conf, keepLast = 1)
+    // every read path must stay green: batch, time travel, changefeed
+    assert(read(dir).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    assert(sources.GdxSource.committedEntries(dir, conf, 2).size === 4,
+      "both commits' files (2 tasks each) must reconstruct")
+  }
+
   test("CAS commit: a stale expectedBaseVersion surfaces as conflict") {
     val dir = freshDir("cas")
     write(dir, Seq((1L, "a")))                        // v1
