@@ -1001,7 +1001,7 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
               aggOps: Option[Seq[String]], metaOnly: Boolean = false,
               required: StructType = GdxSource.schema,
               tableSchema: StructType = GdxSource.schema)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = aggOps match {
     case Some(ops) => StructType(ops.zipWithIndex.map { case (op, i) =>
       StructField(s"${op}_$i", LongType, nullable = op != "count")
@@ -1054,6 +1054,34 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   override def createReaderFactory(): PartitionReaderFactory =
     new GdxReaderFactory(pushed, limit, aggOps, required, tableSchema,
       new SerializableHadoopConf(GdxSource.driverConf()))
+
+  /** Statistics from the POST-PRUNING plan (Spark asks after pushdown,
+    * so zone-map file skipping shrinks them): without this a DSv2 scan
+    * reports defaultSizeInBytes (= never broadcast), and a GDX dim
+    * table on the build side of a join would shuffle both sides at any
+    * scale. Bytes come from the planned files' sizes (one driver-side
+    * getFileStatus per kept file — the same metadata Delta keeps in
+    * its log); row counts from the manifest zone maps. Conservative
+    * over DVs (physical counts) — an overestimate can only withhold a
+    * broadcast, never choose one that does not fit. */
+  override def estimateStatistics(): Statistics = {
+    val conf = GdxSource.driverConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val planned = if (metaOnly) Seq.empty else kept
+    val bytes = planned.map { e =>
+      try fs.getFileStatus(new Path(path, e.name)).getLen
+      catch { case _: Exception => 0L }
+    }.sum
+    val rows = planned.flatMap(_.stats).map(_.rows).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(if (metaOnly) 16L else bytes)
+      override def numRows(): java.util.OptionalLong =
+        if (planned.forall(_.stats.isDefined))
+          java.util.OptionalLong.of(if (metaOnly) 1L else rows)
+        else java.util.OptionalLong.empty()
+    }
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : rstreaming.MicroBatchStream =

@@ -674,6 +674,30 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     assert(residue.isEmpty, s"losing claim left temp files: ${residue.toSeq}")
   }
 
+  test("scan statistics enable broadcast of a small GDX dimension") {
+    val dir = freshDir("stats")
+    write(dir, (1L to 50L).map(i => (i, s"dim$i")))
+    // a fact side large enough that Spark would never broadcast IT
+    val fact = spark.range(0, 10000)
+      .select((col("id") % 50 + 1).as("k"), col("id").as("x"))
+    val joined = fact.join(read(dir), "k")
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small GDX side must broadcast, got:\n${plan.take(1500)}")
+    assert(joined.count() === 10000L)
+    // pruning shrinks the reported stats: a pushed point-predicate scan
+    // reports only its kept files' bytes
+    val full = new sources.GdxScan(dir, -1, Array.empty, -1, None)
+      .estimateStatistics()
+    val pruned = new sources.GdxScan(dir, -1,
+      Array(org.apache.spark.sql.sources.EqualTo("k", 1L)), -1, None)
+      .estimateStatistics()
+    assert(full.sizeInBytes.getAsLong > 0)
+    assert(pruned.sizeInBytes.getAsLong < full.sizeInBytes.getAsLong,
+      "zone-map pruning must shrink reported bytes")
+    assert(full.numRows.getAsLong === 50L)
+  }
+
   test("supported predicates are pushed; others stay post-scan") {
     val dir = freshDir("push")
     write(dir, (1L to 100L).map(i => (i, if (i % 2 == 0) "e" else "o")))
