@@ -143,24 +143,39 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** The relation a candidate Aggregate reads, looking through a pure
-    * column-selection Project (what column pruning leaves behind). */
-  private def baseRelationPaths(child: LogicalPlan): Option[Set[String]] = {
-    val rel = child match {
-      case Project(pl, r) if pl.forall(_.isInstanceOf[AttributeReference]) => r
+  /** The relation a candidate Aggregate reads — looking through a pure
+    * column-selection Project (what column pruning leaves behind) and
+    * at most one deterministic Filter, whose condition is returned for
+    * dimension-level compensation. */
+  private def baseRelation(child: LogicalPlan)
+      : Option[(Set[String], Option[Expression])] = {
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(pl, r) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(r)
       case r => r
     }
-    rel match {
+    val (inner, cond) = strip(child) match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.deterministic =>
+        (strip(f.child), Some(f.condition))
+      case r => (r, None)
+    }
+    inner match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        Some(fs.location.rootPaths.map(_.toString).toSet)
+        Some((fs.location.rootPaths.map(_.toString).toSet, cond))
       case _ => None
     }
   }
 
   private def tryRewrite(agg: Aggregate,
                          d: MvRewrite.MvDef): Option[LogicalPlan] = {
-    val paths = baseRelationPaths(agg.child).getOrElse(return None)
+    val (paths, filterCond) = baseRelation(agg.child).getOrElse(return None)
     if (paths != d.basePaths || paths.isEmpty) return None
+    // a filter commutes with the MV's grouping ONLY when it touches
+    // nothing but grouping columns (then every base row of an MV cell
+    // passes or fails together) — anything else leaves the plan alone
+    if (filterCond.exists(_.references.exists(a =>
+        !d.groupCols.contains(a.name)))) return None
     // grouping: bare base columns, all covered by the MV's grain
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference if d.groupCols.contains(a.name) => a.name
@@ -217,7 +232,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => return None
     }
 
-    if (exact) Some(Project(rewritten, d.mvPlan))
-    else Some(Aggregate(groupNames.map(mv), rewritten, d.mvPlan))
+    // dimension filter compensation: re-anchor the condition's
+    // attributes onto the summary's grouping columns and filter the MV
+    // rows before (re-)projection — same cells survive as base-side
+    val child: LogicalPlan = filterCond match {
+      case Some(c) =>
+        org.apache.spark.sql.catalyst.plans.logical.Filter(
+          c.transform { case a: AttributeReference => mv(a.name) },
+          d.mvPlan)
+      case None => d.mvPlan
+    }
+    if (exact) Some(Project(rewritten, child))
+    else Some(Aggregate(groupNames.map(mv), rewritten, child))
   }
 }

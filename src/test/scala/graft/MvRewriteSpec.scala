@@ -67,6 +67,27 @@ class MvRewriteSpec extends SparkSuite {
       Seq("b", 3L, 15.0, 5.0, 1L, 9L)))
   }
 
+  test("dimension filters are compensated on the summary") {
+    val base = spark.read.parquet(writeBase())
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("g1", "g2"),
+      Seq("m1", "m2"), mvPath)
+    // WHERE on a grouping column commutes with the MV grain: the
+    // filter re-anchors onto the summary and the rollup proceeds
+    val q = base.filter(col("g2") === "y").groupBy("g1")
+      .agg(count(lit(1)).as("n"), sum("m1").as("s1"))
+    assert(leafPaths(q) === Set(s"file:$mvPath"),
+      s"expected an MV-only plan, got ${q.queryExecution.optimizedPlan}")
+    assert(q.orderBy("g1").collect().map(_.toSeq) ===
+      Array(Seq("a", 1L, 3.0), Seq("b", 2L, 11.0)))
+    // exact grain + dimension filter: remap only, no re-aggregation
+    val q2 = base.filter(col("g1") =!= "a").groupBy("g1", "g2")
+      .agg(sum("m1").as("s1"))
+    assert(leafPaths(q2) === Set(s"file:$mvPath"))
+    assert(q2.orderBy("g1", "g2").collect().map(_.toSeq) ===
+      Array(Seq("b", "x", 4.0), Seq("b", "y", 11.0)))
+  }
+
   test("uncoverable shapes are left on the base table") {
     val baseDir = writeBase()
     val base = spark.read.parquet(baseDir)
