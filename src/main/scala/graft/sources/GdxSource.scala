@@ -578,8 +578,10 @@ object GdxSource {
   /** Zone-map file skipping: keep an entry unless its published k-range
     * PROVES no row can satisfy every pushed k-predicate. Stats-less
     * (legacy) entries are never skipped; empty files (minK > maxK) are
-    * skipped by any k-predicate. Pure — unit-testable without a
-    * FileSystem. */
+    * skipped by any k-predicate. `In` comes from RUNTIME filtering
+    * (dynamic pruning: the join build side's key set, delivered after
+    * it materializes) — a file survives if ANY key can land in its
+    * range. Pure — unit-testable without a FileSystem. */
   def pruneByStats(entries: Seq[GdxFileEntry],
                    pushed: Seq[Filter]): Seq[GdxFileEntry] =
     entries.filter { e =>
@@ -591,6 +593,11 @@ object GdxSource {
           case GreaterThanOrEqual("k", b: Number) => st.maxK >= b.longValue
           case LessThan("k", b: Number)           => st.minK < b.longValue
           case LessThanOrEqual("k", b: Number)    => st.minK <= b.longValue
+          case org.apache.spark.sql.sources.In("k", vs) =>
+            vs.exists {
+              case w: Number => st.minK <= w.longValue && w.longValue <= st.maxK
+              case _         => true
+            }
           case _                                  => true
         }
       }
@@ -1001,7 +1008,23 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
               aggOps: Option[Seq[String]], metaOnly: Boolean = false,
               required: StructType = GdxSource.schema,
               tableSchema: StructType = GdxSource.schema)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** RUNTIME (dynamic) file pruning — the DSv2 DPP hook: when this
+    * scan sits under a join on `k`, Spark materializes the build
+    * side's key set first and delivers it here as an `In` filter;
+    * planning then drops every file whose zone map cannot contain any
+    * build key. At 100 TB this is the classic star-join win — a
+    * filtered dimension prunes the fact scan to the files its keys
+    * live in, before a single fact byte is read. Delivered filters
+    * also apply row-level inside the readers (same `keep` path as
+    * static pushdown). */
+  private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("k"))
+  override def filter(filters: Array[Filter]): Unit = { runtime = filters }
   override def readSchema(): StructType = aggOps match {
     case Some(ops) => StructType(ops.zipWithIndex.map { case (op, i) =>
       StructField(s"${op}_$i", LongType, nullable = op != "count")
@@ -1015,8 +1038,9 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   private lazy val entries: Seq[GdxFileEntry] =
     GdxSource.committedEntries(path, GdxSource.driverConf(), version)
       .sortBy(_.name)
-  private lazy val kept: Seq[GdxFileEntry] =
-    GdxSource.pruneByStats(entries, pushed.toSeq)
+  // def, not lazy val: runtime filters arrive between planning calls
+  private def kept: Seq[GdxFileEntry] =
+    GdxSource.pruneByStats(entries, pushed.toSeq ++ runtime)
 
   override def description(): String =
     s"GdxScan pushed=[${pushed.mkString(", ")}]" +
@@ -1052,8 +1076,8 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
         e.dv.map(d => new Path(path, d).toString)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GdxReaderFactory(pushed, limit, aggOps, required, tableSchema,
-      new SerializableHadoopConf(GdxSource.driverConf()))
+    new GdxReaderFactory(pushed ++ runtime, limit, aggOps, required,
+      tableSchema, new SerializableHadoopConf(GdxSource.driverConf()))
 
   /** Statistics from the POST-PRUNING plan (Spark asks after pushdown,
     * so zone-map file skipping shrinks them): without this a DSv2 scan
@@ -1250,6 +1274,8 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
     case LessThan("k", b: Number)           => k < b.longValue
     case LessThanOrEqual("k", b: Number)    => k <= b.longValue
     case EqualTo("v", want: String)         => v == want
+    case org.apache.spark.sql.sources.In("k", vs) => // runtime key set
+      vs.exists { case w: Number => k == w.longValue; case _ => true }
     case IsNotNull(_)                       => true
     case _                                  => true
   }

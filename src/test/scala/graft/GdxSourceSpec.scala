@@ -698,6 +698,41 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     assert(full.numRows.getAsLong === 50L)
   }
 
+  test("runtime filtering: a join's key set prunes fact files at run time") {
+    val dir = freshDir("dpp")
+    // 8 single-file commits with disjoint k-ranges → zone maps can
+    // prove non-overlap against the runtime key set
+    for (b <- 0L to 7L)
+      (b * 100 to b * 100 + 99).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.format("graft.sources.GdxSource")
+        .option("path", dir).mode("append").save()
+    val fact = read(dir)
+    // a dim whose selective filter leaves keys in ONE fact file's range
+    val dim = spark.range(0, 800).select(col("id").as("k"),
+      (col("id") / 100).cast("long").as("grp"))
+      .filter(col("grp") === 3)
+    val joined = fact.join(dim, "k")
+    assert(joined.count() === 100L)
+    // the scan must have declared the runtime-filterable attribute;
+    // whether Spark injects DPP here is planner policy, so pin the
+    // CONTRACT directly too: an In("k", ...) filter delivered at run
+    // time prunes planning to the files whose range can hold a key
+    val scan = new sources.GdxScan(dir, -1, Array.empty, -1, None)
+    assert(scan.filterAttributes().map(_.describe()).toSeq === Seq("k"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(301L, 342L))))
+    assert(scan.planInputPartitions().length === 1,
+      "runtime In over one file's range must plan exactly that file")
+    assert(scan.estimateStatistics().numRows.getAsLong === 100L)
+    // row-level application inside the reader as well
+    val factory = scan.createReaderFactory()
+    val reader = factory.createReader(scan.planInputPartitions().head)
+    var n = 0
+    while (reader.next()) n += 1
+    reader.close()
+    assert(n === 2, "the runtime key set must also filter rows")
+  }
+
   test("supported predicates are pushed; others stay post-scan") {
     val dir = freshDir("push")
     write(dir, (1L to 100L).map(i => (i, if (i % 2 == 0) "e" else "o")))
