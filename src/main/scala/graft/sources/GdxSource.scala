@@ -114,7 +114,7 @@ class GdxSource extends TableProvider {
     val path = options.get("path")
     if (path == null) GdxSource.schema
     else GdxSource.committedSchema(path, GdxSource.driverConf(),
-      Option(options.get("version")).map(_.toInt).getOrElse(-1))
+      GdxSource.resolveVersion(options, path))
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -242,6 +242,50 @@ object GdxSource {
     else fs.globStatus(new Path(base, "_manifest-*")).toSeq
       .map(_.getPath.getName.stripPrefix("_manifest-").toInt).sorted
   }
+
+  /** TIMESTAMP AS OF: the latest retained version whose manifest was
+    * published at or before `tsMillis` — commit time IS the manifest
+    * file's mtime, the same reduction Delta makes (one fs metadata
+    * field, no extra bookkeeping; vacuum's in-place checkpoint rewrite
+    * touches only the OLDEST retained version, so ordering among
+    * retained versions survives retention). Errors on a timestamp
+    * before the first retained commit — like a vacuumed version, an
+    * unanswerable time travel must be loud, not empty. */
+  def versionAsOf(path: String, conf: Configuration, tsMillis: Long): Int = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(conf)
+    val stamped = fs.globStatus(new Path(base, "_manifest-*")).toSeq
+      .map(st => (st.getPath.getName.stripPrefix("_manifest-").toInt,
+        st.getModificationTime))
+    require(stamped.nonEmpty, s"gdx: no snapshots under $path")
+    val eligible = stamped.filter(_._2 <= tsMillis).map(_._1)
+    require(eligible.nonEmpty,
+      s"gdx: no snapshot at or before timestamp $tsMillis under $path " +
+        s"(earliest retained commit: ${stamped.map(_._2).min})")
+    eligible.max
+  }
+
+  /** The snapshot a read pins: explicit `version`, else `asOf`
+    * timestamp resolution, else -1 (latest). `version` wins if both
+    * are given. */
+  private[graft] def resolveVersion(options: CaseInsensitiveStringMap,
+                                    path: String): Int =
+    Option(options.get("version")).map(_.toInt)
+      .orElse(Option(options.get("asOf")).map(s =>
+        versionAsOf(path, driverConf(), parseAsOf(s))))
+      .getOrElse(-1)
+
+  /** Parse the `asOf` read option: epoch millis or an ISO-8601
+    * instant/local datetime (session-agnostic: bare datetimes read as
+    * UTC, the engine's report discipline). */
+  private[graft] def parseAsOf(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else try java.time.Instant.parse(s).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
 
   /** One manifest file's lines: (isDelta, snapshot schema if recorded,
     * entries). Header order: `#delta` (if any), then `#schema` (if
@@ -890,9 +934,10 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema)
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GdxScanBuilder(path,
-      Option(options.get("version")).map(_.toInt).getOrElse(-1),
-      tableSchema)
+    new GdxScanBuilder(path, GdxSource.resolveVersion(options, path),
+      tableSchema,
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
+        .getOrElse(Int.MaxValue))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GdxWriteBuilder(path,
       Option(info.options.get("expectedBaseVersion")).map(_.toInt)
@@ -903,7 +948,8 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema)
 // ---------------------------------------------------------------- read
 
 class GdxScanBuilder(path: String, version: Int,
-                     tableSchema: StructType = GdxSource.schema)
+                     tableSchema: StructType = GdxSource.schema,
+                     maxVersionsPerTrigger: Int = Int.MaxValue)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownAggregates
     with SupportsPushDownRequiredColumns {
@@ -992,7 +1038,8 @@ class GdxScanBuilder(path: String, version: Int,
     }
 
   override def build(): Scan = new GdxScan(path, version, pushed, limit,
-    aggOps, metaComplete && aggOps.isDefined, required, tableSchema)
+    aggOps, metaComplete && aggOps.isDefined, required, tableSchema,
+    maxVersionsPerTrigger)
 }
 
 case class GdxFilePartition(file: String, dv: Option[String] = None)
@@ -1007,7 +1054,8 @@ case class GdxMetaResultPartition(values: Seq[Option[Long]])
 class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
               aggOps: Option[Seq[String]], metaOnly: Boolean = false,
               required: StructType = GdxSource.schema,
-              tableSchema: StructType = GdxSource.schema)
+              tableSchema: StructType = GdxSource.schema,
+              maxVersionsPerTrigger: Int = Int.MaxValue)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -1109,7 +1157,8 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : rstreaming.MicroBatchStream =
-    new GdxMicroBatchStream(path, pushed, required, tableSchema)
+    new GdxMicroBatchStream(path, pushed, required, tableSchema,
+      maxVersionsPerTrigger)
 }
 
 /** Offset = manifest version. Snapshot N reconstructs to the COMPLETE
@@ -1134,16 +1183,44 @@ case class GdxOffset(version: Int) extends rstreaming.Offset {
   * longest consumer lag, exactly as with any changefeed. */
 class GdxMicroBatchStream(path: String, pushed: Array[Filter],
                           required: StructType = GdxSource.schema,
-                          tableSchema: StructType = GdxSource.schema)
-    extends rstreaming.MicroBatchStream {
+                          tableSchema: StructType = GdxSource.schema,
+                          maxVersionsPerTrigger: Int = Int.MaxValue)
+    extends rstreaming.MicroBatchStream
+    with rstreaming.SupportsAdmissionControl
+    with rstreaming.SupportsTriggerAvailableNow {
   private def conf = GdxSource.driverConf()
   private def entriesAt(v: Int): Seq[GdxFileEntry] =
     if (v <= 0) Seq.empty
     else GdxSource.committedEntries(path, conf, v)
+  private def currentLatest: Int =
+    (GdxSource.listVersions(path, conf) :+ 0).max
+
+  // ADMISSION CONTROL (`maxVersionsPerTrigger`): bound each micro-batch
+  // to N manifest versions, the Delta maxFilesPerTrigger analog — a
+  // consumer restarting after a long lag catches up in bounded,
+  // checkpointable steps instead of one giant replay batch. AvailableNow
+  // pins the catch-up TARGET at query start (prepareForTrigger…), so a
+  // drain terminates even while writers keep committing.
+  private var availableTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(currentLatest)
+  override def getDefaultReadLimit: rstreaming.ReadLimit =
+    rstreaming.ReadLimit.allAvailable()
+  override def reportLatestOffset(): rstreaming.Offset =
+    GdxOffset(currentLatest)
+  override def latestOffset(start: rstreaming.Offset,
+                            limit: rstreaming.ReadLimit): rstreaming.Offset = {
+    val hi = availableTarget.map(math.min(_, currentLatest))
+      .getOrElse(currentLatest)
+    val s = start.asInstanceOf[GdxOffset].version
+    GdxOffset(
+      if (maxVersionsPerTrigger == Int.MaxValue) hi
+      else math.min(hi, s + maxVersionsPerTrigger))
+  }
 
   override def initialOffset(): rstreaming.Offset = GdxOffset(0)
   override def latestOffset(): rstreaming.Offset =
-    GdxOffset((GdxSource.listVersions(path, conf) :+ 0).max)
+    GdxOffset(currentLatest)
   override def deserializeOffset(json: String): rstreaming.Offset = {
     val re = """\{"version":(\d+)\}""".r
     json.trim match {

@@ -733,6 +733,61 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     assert(n === 2, "the runtime key set must also filter rows")
   }
 
+  test("TIMESTAMP AS OF resolves the snapshot by manifest publish time") {
+    val dir = freshDir("asof")
+    write(dir, Seq((1L, "a")))                        // v1
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    write(dir, Seq((2L, "b")))                        // v2
+    def asOf(ts: String) = spark.read.format("graft.sources.GdxSource")
+      .option("path", dir).option("asOf", ts).load()
+      .as[(Long, String)].collect().toSet
+    assert(asOf(between.toString) === Set((1L, "a")),
+      "a timestamp between the commits must pin v1")
+    assert(asOf(System.currentTimeMillis().toString) ===
+      Set((1L, "a"), (2L, "b")))
+    // ISO instants parse too
+    assert(asOf(java.time.Instant.now().toString) ===
+      Set((1L, "a"), (2L, "b")))
+    // a timestamp before the first retained commit is a loud error
+    intercept[Exception] { asOf("100") }
+    // asOf composes with schema evolution: the pinned snapshot's schema
+    sources.GdxSource.addColumn(dir, "w",
+      org.apache.spark.sql.types.DoubleType)          // v3
+    val pinned = spark.read.format("graft.sources.GdxSource")
+      .option("path", dir).option("asOf", between.toString).load()
+    assert(pinned.schema.fieldNames.toSeq === Seq("k", "v"))
+  }
+
+  test("maxVersionsPerTrigger bounds each micro-batch's version span") {
+    val dir = freshDir("admit")
+    for (i <- 1L to 5L)
+      Seq((i, s"r$i")).toDF("k", "v").coalesce(1)
+        .write.format("graft.sources.GdxSource")
+        .option("path", dir).mode("append").save()    // v1..v5
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("graft.sources.GdxSource")
+      .option("path", dir).option("maxVersionsPerTrigger", "2").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        batches.synchronized { batches += ((id, b.count())) }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 5 pending versions at 2/trigger → 3 batches (2+2+1 commits'
+    // files), every row delivered exactly once
+    assert(batches.map(_._2).sum === 5L,
+      s"all rows must arrive exactly once: $batches")
+    assert(batches.count(_._2 > 0) === 3,
+      s"expected ceil(5/2)=3 populated batches: $batches")
+    assert(batches.map(_._2).max <= 2L,
+      s"no batch may span more than 2 single-row commits: $batches")
+  }
+
   test("supported predicates are pushed; others stay post-scan") {
     val dir = freshDir("push")
     write(dir, (1L to 100L).map(i => (i, if (i % 2 == 0) "e" else "o")))
