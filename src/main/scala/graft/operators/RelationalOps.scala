@@ -1555,9 +1555,14 @@ object RelationalOps extends QueryModule {
       val base = Tables.lineitem(s, d)
       graft.plans.MvRewrite.materialize(s, base,
         Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), mvPath)
+      // the claim is computed on the COMPOSED frame (post-round, post-
+      // collapse): CollapseProject folds later projections into the
+      // aggregate list, so the rewrite must survive expression trees
+      // over aggregates — exactly what ships at execution
       val q = base.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
           avg("l_quantity").as("avg_qty"), max("l_quantity").as("max_qty"))
+        .withColumn("avg_qty", round(col("avg_qty"), 6))
       val mvUsed = q.queryExecution.optimizedPlan.collectLeaves().forall {
         case org.apache.spark.sql.execution.datasources.LogicalRelation(
             fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
@@ -1566,8 +1571,7 @@ object RelationalOps extends QueryModule {
             new java.io.File(mvPath).getName))
         case _ => false
       }
-      q.withColumn("avg_qty", round(col("avg_qty"), 6))
-        .withColumn("mv_used", lit(mvUsed))
+      q.withColumn("mv_used", lit(mvUsed))
         .orderBy("l_returnflag")
     }),
 

@@ -189,44 +189,62 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def aggExpr(f: org.apache.spark.sql.catalyst.expressions.aggregate
         .AggregateFunction): Expression =
       AggregateExpression(f, Complete, isDistinct = false)
+    def fnRepl(fn: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateFunction): Option[Expression] = fn match {
+      case Count(Seq(Literal(1, _))) =>
+        Some(if (exact) mv("n") else aggExpr(Sum(mv("n"))))
+      case Sum(a: AttributeReference, _)
+          if d.measureCols.contains(a.name) =>
+        Some(if (exact) mv(s"sum_${a.name}")
+             else aggExpr(Sum(mv(s"sum_${a.name}"))))
+      case Min(a: AttributeReference)
+          if d.measureCols.contains(a.name) =>
+        Some(if (exact) mv(s"min_${a.name}")
+             else aggExpr(Min(mv(s"min_${a.name}"))))
+      case Max(a: AttributeReference)
+          if d.measureCols.contains(a.name) =>
+        Some(if (exact) mv(s"max_${a.name}")
+             else aggExpr(Max(mv(s"max_${a.name}"))))
+      case Average(a: AttributeReference, _)
+          if d.measureCols.contains(a.name) =>
+        // avg decomposes: Σsum / Σn (exact grain: sum/n) — the
+        // partial-aggregate recomposition sum-of-sums over
+        // sum-of-counts, NOT avg-of-avgs
+        val (s, n) =
+          if (exact) (mv(s"sum_${a.name}"): Expression,
+            mv("n"): Expression)
+          else (aggExpr(Sum(mv(s"sum_${a.name}"))),
+            aggExpr(Sum(mv("n"))))
+        Some(Divide(Cast(s, DoubleType), Cast(n, DoubleType)))
+      case _ => None
+    }
+    // The optimizer collapses later projections INTO the aggregate
+    // list (CollapseProject), so real-world shapes are expression
+    // TREES over aggregates — round(avg(x), 6), sum(x)/count, literal
+    // claim columns. Rewrite recursively: every AggregateExpression
+    // node maps through the compensation algebra, every bare grouping
+    // attribute re-anchors onto the summary, everything else (round,
+    // arithmetic, literals) carries over node-for-node; any leaf the
+    // algebra cannot express aborts the whole rewrite.
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case AggregateExpression(fn, Complete, false, None, _) => fnRepl(fn)
+      case _: AggregateExpression => None // DISTINCT / FILTER / partial
+      case a: AttributeReference =>
+        if (groupNames.contains(a.name)) Some(mv(a.name)) else None
+      case other =>
+        val cs = other.children.map(rewriteExpr)
+        if (cs.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(cs.map(_.get)))
+    }
     val rewritten: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      case a: AttributeReference if groupNames.contains(a.name) =>
-        Alias(mv(a.name), a.name)(exprId = a.exprId)
-      case al @ Alias(a: AttributeReference, name)
-          if groupNames.contains(a.name) =>
-        Alias(mv(a.name), name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(fn, Complete, false, None, _),
-          name) =>
-        val repl: Option[Expression] = fn match {
-          case Count(Seq(Literal(1, _))) =>
-            Some(if (exact) mv("n") else aggExpr(Sum(mv("n"))))
-          case Sum(a: AttributeReference, _)
-              if d.measureCols.contains(a.name) =>
-            Some(if (exact) mv(s"sum_${a.name}")
-                 else aggExpr(Sum(mv(s"sum_${a.name}"))))
-          case Min(a: AttributeReference)
-              if d.measureCols.contains(a.name) =>
-            Some(if (exact) mv(s"min_${a.name}")
-                 else aggExpr(Min(mv(s"min_${a.name}"))))
-          case Max(a: AttributeReference)
-              if d.measureCols.contains(a.name) =>
-            Some(if (exact) mv(s"max_${a.name}")
-                 else aggExpr(Max(mv(s"max_${a.name}"))))
-          case Average(a: AttributeReference, _)
-              if d.measureCols.contains(a.name) =>
-            // avg decomposes: Σsum / Σn (exact grain: sum/n) — the
-            // partial-aggregate recomposition sum-of-sums over
-            // sum-of-counts, NOT avg-of-avgs
-            val (s, n) =
-              if (exact) (mv(s"sum_${a.name}"): Expression,
-                mv("n"): Expression)
-              else (aggExpr(Sum(mv(s"sum_${a.name}"))),
-                aggExpr(Sum(mv("n"))))
-            Some(Divide(Cast(s, DoubleType), Cast(n, DoubleType)))
-          case _ => None
-        }
-        repl match {
+      case al @ Alias(childE, name) =>
+        rewriteExpr(childE) match {
           case Some(e) => Alias(e, name)(exprId = al.exprId)
+          case None    => return None
+        }
+      case a: AttributeReference =>
+        rewriteExpr(a) match {
+          case Some(e) => Alias(e, a.name)(exprId = a.exprId)
           case None    => return None
         }
       case _ => return None

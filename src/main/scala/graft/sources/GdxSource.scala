@@ -110,6 +110,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .load().filter(...)
   */
 class GdxSource extends TableProvider {
+  // accept a user-declared schema (CREATE TABLE ... USING ... — the SQL
+  // front door); writes/reads still validate against the manifest
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
     if (path == null) GdxSource.schema

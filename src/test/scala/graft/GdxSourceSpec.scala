@@ -788,6 +788,48 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
       s"no batch may span more than 2 single-row commits: $batches")
   }
 
+  test("delete racing an append: CAS retry keeps both effects") {
+    val dir = freshDir("delrace")
+    write(dir, (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fDel = Future {
+      sources.GdxSource.delete(spark, dir, col("v") === "odd")
+    }
+    val fApp = Future {
+      Seq((1000L, "appended")).toDF("k", "v")
+        .write.format("graft.sources.GdxSource").option("path", dir)
+        .mode("append").save()
+    }
+    Await.result(Future.sequence(Seq(fDel.map(_ => ()), fApp)), 120.seconds)
+    val rows = read(dir).as[(Long, String)].collect().toMap
+    assert(rows.contains(1000L), "the concurrent append must survive")
+    assert((1L to 100L by 2).forall(k => !rows.contains(k)),
+      "every pre-existing odd row must be deleted")
+    assert((2L to 100L by 2).forall(rows.contains),
+      "no even row may be lost")
+  }
+
+  test("SQL front door: CREATE TABLE USING + INSERT INTO + SELECT") {
+    val dir = freshDir("sqlfd")
+    spark.sql("DROP TABLE IF EXISTS gdx_sql_t")
+    spark.sql(s"""CREATE TABLE gdx_sql_t (k BIGINT, v STRING)
+      USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+    try {
+      spark.sql("INSERT INTO gdx_sql_t VALUES (1, 'a'), (2, 'b')")
+      spark.sql("INSERT INTO gdx_sql_t VALUES (3, 'c')")
+      assert(spark.sql("SELECT * FROM gdx_sql_t WHERE k >= 2 ORDER BY k")
+        .as[(Long, String)].collect().toSeq ===
+        Seq((2L, "b"), (3L, "c")))
+      assert(spark.sql("SELECT count(*), min(k), max(k) FROM gdx_sql_t")
+        .head.toSeq === Seq(3L, 1L, 3L))
+      // the SQL writes went through the same manifest protocol
+      assert(sources.GdxSource
+        .listVersions(dir, sources.GdxSource.driverConf()) === Seq(1, 2))
+    } finally spark.sql("DROP TABLE IF EXISTS gdx_sql_t")
+  }
+
   test("supported predicates are pushed; others stay post-scan") {
     val dir = freshDir("push")
     write(dir, (1L to 100L).map(i => (i, if (i % 2 == 0) "e" else "o")))

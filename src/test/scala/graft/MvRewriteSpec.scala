@@ -88,6 +88,24 @@ class MvRewriteSpec extends SparkSuite {
       Array(Seq("b", "x", 4.0), Seq("b", "y", 11.0)))
   }
 
+  test("collapsed projections over aggregates still rewrite") {
+    val base = spark.read.parquet(writeBase())
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("g1", "g2"),
+      Seq("m1"), mvPath)
+    // CollapseProject folds the round() and the literal into the
+    // aggregate list — the executed-plan shape, not the textbook one
+    val q = base.groupBy("g1")
+      .agg(avg("m1").as("a1"), sum("m1").as("s1"))
+      .withColumn("a1", round(col("a1"), 2))
+      .withColumn("flag", lit(true))
+      .orderBy("g1")
+    assert(leafPaths(q) === Set(s"file:$mvPath"),
+      s"expected an MV-only plan, got ${q.queryExecution.optimizedPlan}")
+    assert(q.collect().map(_.toSeq) ===
+      Array(Seq("a", 2.0, 6.0, true), Seq("b", 5.0, 15.0, true)))
+  }
+
   test("uncoverable shapes are left on the base table") {
     val baseDir = writeBase()
     val base = spark.read.parquet(baseDir)
