@@ -1575,6 +1575,65 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // C16 — CHANGEFEED-MAINTAINED MATERIALIZED VIEW: the full
+    // composition of the engine's table format and MV tiers. A summary
+    // is registered over an EMPTY GDX table, the events keyset lands
+    // as three append commits, and the GDX changefeed drives
+    // MvRewrite.refreshIncremental per micro-batch — every commit's
+    // rows fold into the summary additively (n/sums add, min/max
+    // merge), never rescanning the base. The final user query —
+    // written against the GDX BASE — is auto-rewritten to the summary
+    // (DSv2 relations match by table identity), and its result must
+    // equal the oracle's direct aggregation of all events. At 100 TB:
+    // the fact table is scanned exactly once by the feed, the
+    // dashboard query reads |groups| rows forever after.
+    "c16_mv_incremental_refresh" -> ((s, d) => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_mvinc_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root); root.mkdirs()
+      val gdxDir = new java.io.File(root, "table").getPath
+      val mvPath = new java.io.File(root, "mv").getPath
+      val ck = new java.io.File(root, "ck").getPath
+      val fmt = "graft.sources.GdxSource"
+      val ev = Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+      // empty base → register the (empty) summary at (v) grain over k
+      ev.filter(lit(false)).write.format(fmt).option("path", gdxDir)
+        .mode("overwrite").save()
+      graft.plans.MvRewrite.materialize(s,
+        s.read.format(fmt).option("path", gdxDir).load(),
+        Seq("v"), Seq("k"), mvPath)
+      val maxId = Tables.events(s, d).agg(max("event_id")).head.getLong(0)
+      for (i <- 0 to 2)
+        ev.filter(col("k") >= i * (maxId + 1) / 3 &&
+            col("k") < (i + 1) * (maxId + 1) / 3)
+          .write.format(fmt).option("path", gdxDir).mode("append").save()
+      val q = s.readStream.format(fmt).option("path", gdxDir).load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty)
+            graft.plans.MvRewrite.refreshIncremental(s, batch, mvPath)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val user = s.read.format(fmt).option("path", gdxDir).load()
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+      val mvUsed = user.queryExecution.optimizedPlan.collectLeaves()
+        .forall(l => graft.plans.MvRewrite.relationIdentity(l)
+          .forall(_.endsWith(new java.io.File(mvPath).getName)))
+      user.withColumn("mv_used", lit(mvUsed)).orderBy("v")
+    }),
+
     // BENFORD FIRST-DIGIT AUDIT — observed leading-digit shares of the
     // transaction amounts against Benford's law (the forensic
     // fabricated-data screen). Amounts go to EXACT integer cents first
@@ -2154,6 +2213,14 @@ object RelationalOps extends QueryModule {
         |FROM events
         |WHERE NOT (event_id % 7 = 2 OR event_type = 'error')
         |ORDER BY k""".stripMargin,
+    // the changefeed-maintained summary recomputed directly: aggregate
+    // every event at the MV grain; the rewrite claim is pinned TRUE
+    "c16_mv_incremental_refresh" ->
+      """SELECT event_type AS v, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_k,
+        |  min(event_id) AS min_k, max(event_id) AS max_k,
+        |  TRUE AS mv_used
+        |FROM events GROUP BY 1 ORDER BY v""".stripMargin,
     // the evolved table recomputed relationally: pre-evolution rows
     // (even keys) null-fill w, post-evolution rows carry it
     "s23_gdx_schema_evolution" ->

@@ -128,6 +128,32 @@ class MvRewriteSpec extends SparkSuite {
       .collect().map(_.toSeq) === Array(Seq("a", 35L), Seq("b", 17L)))
   }
 
+  test("incremental refresh folds a delta without rescanning the base") {
+    val baseDir = writeBase()
+    val base = spark.read.parquet(baseDir)
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("g1"),
+      Seq("m1", "m2"), mvPath)
+    // new rows append to the base; the SAME frame is the refresh delta
+    val delta = Seq(("a", "z", 10.0, 100L), ("c", "z", 7.0, 3L))
+      .toDF("g1", "g2", "m1", "m2")
+    delta.write.mode("append").parquet(baseDir)
+    plans.MvRewrite.refreshIncremental(spark, delta, mvPath)
+    // queries over the grown base answer from the refreshed summary
+    val base2 = spark.read.parquet(baseDir)
+    val q = base2.groupBy("g1").agg(count(lit(1)).as("n"),
+      sum("m1").as("s1"), min("m2").as("mn2"), max("m2").as("mx2"))
+    assert(leafPaths(q) === Set(s"file:$mvPath"))
+    assert(q.orderBy("g1").collect().map(_.toSeq) === Array(
+      Seq("a", 4L, 16.0, 5L, 100L),
+      Seq("b", 3L, 15.0, 1L, 9L),
+      Seq("c", 1L, 7.0, 3L, 3L)))
+    // refreshing an unregistered path is a loud error
+    intercept[IllegalStateException] {
+      plans.MvRewrite.refreshIncremental(spark, delta, tmp("nope"))
+    }
+  }
+
   test("re-materialize refreshes the registration (no stale file lists)") {
     val baseDir = writeBase()
     val base = spark.read.parquet(baseDir)
