@@ -278,7 +278,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // algebra cannot express aborts the whole rewrite.
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case AggregateExpression(fn, Complete, false, None, _) => fnRepl(fn)
-      case _: AggregateExpression => None // DISTINCT / FILTER / partial
+      // count(DISTINCT dim) over a GROUPING column: each distinct
+      // (grain, dim) pair is exactly one MV row, so at a coarser grain
+      // the distinct count is a plain count of the summary's non-null
+      // dim cells — the one DISTINCT the summary CAN answer
+      case AggregateExpression(Count(Seq(a: AttributeReference)),
+          Complete, true, None, _)
+          if !exact && d.groupCols.contains(a.name) &&
+            !groupNames.contains(a.name) =>
+        Some(aggExpr(Count(Seq(mv(a.name)))))
+      case _: AggregateExpression => None // other DISTINCT / FILTER
       case a: AttributeReference =>
         if (groupNames.contains(a.name)) Some(mv(a.name)) else None
       case other =>

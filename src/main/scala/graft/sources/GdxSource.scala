@@ -91,17 +91,44 @@ import org.apache.spark.unsafe.types.UTF8String
   *    stream offsets — `readStream` on the same directory batch jobs
   *    commit into delivers each commit's ADDED files as a micro-batch
   *    ([[GdxMicroBatchStream]]); the table is its own changefeed, no
-  *    listing diffs or notification service.
+  *    listing diffs or notification service. `maxVersionsPerTrigger`
+  *    bounds each micro-batch (admission control), and AvailableNow
+  *    pins its drain target at query start.
+  *  - **MERGE + row-level DELETE**: [[GdxSource.merge]] applies
+  *    last-writer-wins upserts as one truncate commit under a CAS
+  *    (`expectedBaseVersion`) so concurrent commits surface as
+  *    [[GdxConcurrentModificationException]] and retry instead of
+  *    silently erasing each other; [[GdxSource.delete]] subtracts rows
+  *    via `.dvx` deletion-vector sidecars — no data file rewritten,
+  *    [[GdxSource.compact]] purges DVs, [[GdxSource.vacuum]] reaps
+  *    superseded sidecars, metadata-only aggregates stand down while a
+  *    DV is present.
+  *  - **Schema evolution** (append-only): the snapshot schema lives in
+  *    the manifest (`#schema` header); [[GdxSource.addColumn]] is one
+  *    metadata-only commit, readers null-fill pre-evolution files, and
+  *    the classic `(k, v)` prefix keeps zone maps/pushdown/metadata
+  *    aggregates valid across every evolution.
+  *  - **Time travel by version or timestamp**: `option("version", n)`
+  *    pins a snapshot; `option("asOf", ts)` resolves the latest
+  *    version published at or before the timestamp (commit time =
+  *    manifest mtime). A pinned snapshot reads with its OWN schema.
+  *  - **Planner integration**: post-pruning statistics
+  *    (`SupportsReportStatistics` — small GDX dimensions broadcast)
+  *    and runtime filtering (`SupportsRuntimeFiltering` on `k` — a
+  *    join's build-side key set prunes fact files dynamically, the
+  *    DSv2 DPP hook).
   *
   * All I/O goes through the Hadoop `FileSystem` resolved from the path
   * (the Maintenance/TableSwap discipline), so the same connector runs on
   * file://, hdfs://, and object stores; executor-side tasks carry the
   * driver's Hadoop configuration via [[SerializableHadoopConf]].
   *
-  * Schema is fixed: (k BIGINT, v STRING) — a digest index (doc_id,
-  * digest) or any key-value landing. Encoding is tab-separated lines;
-  * the point here is the PROTOCOL (manifest commit, pushdown), not the
-  * byte format. One input partition per committed file.
+  * Schema starts as (k BIGINT, v STRING) — a digest index (doc_id,
+  * digest) or any key-value landing — and may evolve by appending
+  * long/string/double columns. Encoding is tab-separated lines (`\N`
+  * for NULL); the point here is the PROTOCOL (manifest commit,
+  * pushdown), not the byte format. One input partition per committed
+  * file.
   *
   * Usage:
   *   df.write.format("graft.sources.GdxSource").option("path", dir)

@@ -106,6 +106,29 @@ class MvRewriteSpec extends SparkSuite {
       Array(Seq("a", 2.0, 6.0, true), Seq("b", 5.0, 15.0, true)))
   }
 
+  test("HAVING and count(DISTINCT dim) derive from the summary") {
+    val base = spark.read.parquet(writeBase())
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("g1", "g2"),
+      Seq("m1"), mvPath)
+    // HAVING sits ABOVE the aggregate — the rewritten aggregate's
+    // preserved exprIds keep it resolvable untouched
+    val having = base.groupBy("g1").agg(sum("m1").as("s1"))
+      .filter(col("s1") > 10.0)
+    assert(leafPaths(having) === Set(s"file:$mvPath"))
+    assert(having.collect().map(_.toSeq) === Array(Seq("b", 15.0)))
+    // count(DISTINCT g2) at a coarser grain = count of MV cells
+    val cd = base.groupBy("g1")
+      .agg(countDistinct("g2").as("nd"), sum("m1").as("s1"))
+    assert(leafPaths(cd) === Set(s"file:$mvPath"),
+      s"got ${cd.queryExecution.optimizedPlan}")
+    assert(cd.orderBy("g1").collect().map(_.toSeq) ===
+      Array(Seq("a", 2L, 6.0), Seq("b", 2L, 15.0)))
+    // count(DISTINCT measure) stays on the base — not derivable
+    assert(leafPaths(base.groupBy("g1").agg(countDistinct("m1"))) !=
+      Set(s"file:$mvPath"))
+  }
+
   test("uncoverable shapes are left on the base table") {
     val baseDir = writeBase()
     val base = spark.read.parquet(baseDir)
@@ -118,9 +141,10 @@ class MvRewriteSpec extends SparkSuite {
       .agg(sum("m1"))) === basePaths)
     // an uncovered measure → no rewrite
     assert(leafPaths(base.groupBy("g1").agg(sum("m2"))) === basePaths)
-    // count(DISTINCT) is not derivable from the summary → no rewrite
+    // count(DISTINCT dim-col) IS derivable (one MV cell per pair) —
+    // covered by its own test; DISTINCT over a measure is not
     assert(leafPaths(base.groupBy("g1")
-      .agg(countDistinct("g2"))) === basePaths)
+      .agg(countDistinct("m1"))) === basePaths)
     // grouping by a non-MV column → no rewrite
     assert(leafPaths(base.groupBy("m2").agg(sum("m1"))) === basePaths)
     // and the untouched queries still compute correctly
