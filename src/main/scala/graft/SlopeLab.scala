@@ -46,6 +46,10 @@ object SlopeLab {
         args.lift(3).map(_.toInt).getOrElse(10))
       case "gdx" => gdxSnapshots(spark,
         args.lift(1).getOrElse("/tmp/graft_slope_gdx"))
+      case "dv" => dvDelete(spark,
+        args.lift(1).getOrElse("/tmp/graft_slope_dv"))
+      case "mv" => mvWin(spark,
+        args.lift(1).getOrElse("/root/testdata/sf0.1"))
       case other => sys.error(s"unknown SlopeLab mode: $other")
     }
     spark.stop()
@@ -155,5 +159,71 @@ object SlopeLab {
         .filter(_.getName.startsWith("_manifest")).map(_.length()).sum
       println(f"""{"gdx_snapshots":$commits,"rows":${commits * rowsPerCommit},"drain_sec":$t%.3f,"manifest_bytes":$manifestBytes,"manifest_bytes_vacuumed":$vacuumedBytes}""")
     }
+  }
+
+  /** Deletion-vector scaling: delete a fixed 1% by predicate from a
+    * table at 1× and 10× rows. The claims under test: delete cost is
+    * ONE linear scan (candidate parse + sidecar writes — a quadratic
+    * or rewrite-bound path would print ≫10× at 10×), sidecar bytes
+    * track DELETED rows only (not table size — the reason a sparse
+    * 100 TB delete costs kilobytes), and the post-delete read tax is
+    * one bitmap probe per row. */
+  def dvDelete(spark: SparkSession, work: String): Unit = {
+    import spark.implicits._
+    val fmt = "graft.sources.GdxSource"
+    for (n <- Seq(200000, 2000000)) {
+      val dir = s"$work/n$n"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      spark.range(0, n.toLong).select(col("id").as("k"),
+          concat(lit("payload_"), col("id")).as("v"))
+        .repartition(10)
+        .write.format(fmt).option("path", dir).mode("append").save()
+      def timeIt[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, tReadPre) = timeIt(
+        spark.read.format(fmt).option("path", dir).load().count())
+      val ((_, deleted), tDel) = timeIt(graft.sources.GdxSource
+        .delete(spark, dir, col("k") % 100 === 7))
+      val dvBytes = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".dvx")).map(_.length()).sum
+      val dataBytes = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".gdx")).map(_.length()).sum
+      val (cnt, tReadPost) = timeIt(
+        spark.read.format(fmt).option("path", dir).load().count())
+      require(cnt == n - deleted, s"post-delete count $cnt")
+      println(f"""{"dv_rows":$n,"deleted":$deleted,"delete_sec":$tDel%.3f,"read_pre_sec":$tReadPre%.3f,"read_post_sec":$tReadPost%.3f,"dv_bytes":$dvBytes,"data_bytes":$dataBytes}""")
+    }
+  }
+
+  /** The MV-rewrite win, measured: the same rollup query timed against
+    * the registered summary vs the raw base at sf0.1 — the rewrite's
+    * value is this ratio, and it widens linearly with base size (the
+    * MV side is O(groups) regardless). */
+  def mvWin(spark: SparkSession, sf: String): Unit = {
+    val base = Tables.lineitem(spark, sf)
+    val mvPath = "/tmp/graft_slope_mv"
+    def q() = base.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+        avg("l_quantity").as("avg_qty"), max("l_quantity").as("max_qty"))
+    def bestOf3(f: => Long): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+    graft.plans.MvRewrite.clear()
+    graft.plans.MvRewrite.install(spark)
+    val tBase = bestOf3(q().count())
+    val t0 = System.nanoTime()
+    graft.plans.MvRewrite.materialize(spark, base,
+      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), mvPath)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    val tMv = bestOf3(q().count())
+    println(f"""{"mv_base_sec":$tBase%.3f,"mv_rewritten_sec":$tMv%.3f,"mv_build_sec":$tBuild%.3f,"speedup":${tBase / tMv}%.1f}""")
+    graft.plans.MvRewrite.clear()
   }
 }
