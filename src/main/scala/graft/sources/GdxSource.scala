@@ -763,7 +763,8 @@ object GdxSource {
   }
 
   /** Row-level DELETE via deletion vectors: rows matching `condition`
-    * (over columns `k`, `v`) are subtracted from the table WITHOUT
+    * (over any snapshot column, evolved ones included) are subtracted
+    * from the table WITHOUT
     * rewriting any data file — per affected file, the matching line
     * positions are written to a `.dvx` sidecar and the new manifest
     * references it (the Delta deletion-vector / Iceberg position-delete
@@ -801,11 +802,19 @@ object GdxSource {
       if (entries.isEmpty) return (readV, 0L)
       val dvByName = entries.map(e => e.name -> e.dv).toMap
       val dirStr = dir
-      // one task per file: parse lines (minus already-deleted
-      // positions), emit (file, pos, k, v) for the condition to filter
-      val live = spark.createDataset(entries.map(_.name))
-        .repartition(math.min(math.max(entries.size, 1),
-          spark.sparkContext.defaultParallelism))
+      val tblSchema = committedSchema(dir, conf0,
+        if (readV > 0) readV else -1)
+      val types = tblSchema.fields.map(_.dataType)
+      // one task per file: parse lines under the snapshot's FULL schema
+      // (minus already-deleted positions), emit (_file, _pos, cols...)
+      // so `condition` may reference any column, evolved ones included
+      val liveSchema = StructType(
+        StructField("_file", StringType) +:
+        StructField("_pos", LongType) +: tblSchema.fields)
+      val rdd = spark.sparkContext
+        .parallelize(entries.map(_.name),
+          math.min(math.max(entries.size, 1),
+            spark.sparkContext.defaultParallelism))
         .flatMap { name =>
           val p = new Path(dirStr, name)
           val fs = p.getFileSystem(sconf.conf)
@@ -817,20 +826,28 @@ object GdxSource {
           val it = Iterator.continually(in.readLine())
             .takeWhile(_ != null).zipWithIndex
             .flatMap { case (line, idx) =>
-              // the (k, v) core is always fields 0 and 1, whatever the
-              // evolved schema appended — `condition` ranges over them
               val fields = line.split("\t", -1)
               if (fields.length >= 2 && fields(0).nonEmpty &&
-                  !old.contains(idx.toLong))
-                Some((name, idx.toLong, fields(0).toLong, fields(1)))
-              else None
+                  !old.contains(idx.toLong)) {
+                val vals = types.zipWithIndex.map { case (dt, i) =>
+                  if (i >= fields.length ||
+                      fields(i) == GdxSource.NullMarker) null
+                  else dt match {
+                    case LongType   => Long.box(fields(i).toLong)
+                    case DoubleType => Double.box(fields(i).toDouble)
+                    case _          => fields(i)
+                  }
+                }
+                Some(org.apache.spark.sql.Row.fromSeq(
+                  name +: Long.box(idx.toLong) +: vals.toSeq))
+              } else None
             }
-          new Iterator[(String, Long, Long, String)] {
+          new Iterator[org.apache.spark.sql.Row] {
             def hasNext: Boolean = { val h = it.hasNext; if (!h) in.close(); h }
-            def next(): (String, Long, Long, String) = it.next()
+            def next(): org.apache.spark.sql.Row = it.next()
           }
         }
-        .toDF("_file", "_pos", "k", "v")
+      val live = spark.createDataFrame(rdd, liveSchema)
       // sidecars written executor-side; ≤ one result row per file
       val newDvs: Array[(String, String, Long)] = live.filter(condition)
         .groupBy("_file")

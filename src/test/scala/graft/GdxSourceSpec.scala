@@ -545,11 +545,16 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     assert(n === 2L)
     assert(read(dir).as[(Long, String, Option[Double])].collect().toSet ===
       Set((2L, "y", None), (4L, "y", Some(4.0))))
+    // ... and over the EVOLVED column itself (nulls don't match)
+    val (_, n2) = sources.GdxSource.delete(spark, dir, col("w") > 3.0)
+    assert(n2 === 1L)
+    assert(read(dir).as[(Long, String, Option[Double])].collect().toSet ===
+      Set((2L, "y", None)))
     // compact preserves the evolved schema and the surviving rows
     sources.GdxSource.compact(spark, dir, target = 1)
     assert(read(dir).schema.fieldNames.toSeq === Seq("k", "v", "w"))
     assert(read(dir).as[(Long, String, Option[Double])].collect().toSet ===
-      Set((2L, "y", None), (4L, "y", Some(4.0))))
+      Set((2L, "y", None)))
     // the changefeed streams evolved rows with the evolved schema
     val seen = spark.readStream.format("graft.sources.GdxSource")
       .option("path", dir).load()
@@ -560,7 +565,7 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
       q.awaitTermination()
       assert(spark.table("graft_evo_feed")
         .as[(Long, String, Option[Double])].collect().toSet ===
-        Set((2L, "y", None), (4L, "y", Some(4.0))))
+        Set((2L, "y", None)))
     } finally q.stop()
   }
 
