@@ -1575,6 +1575,40 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // C17 — row-level UPDATE on the GDX table format: matched rows are
+    // DV'd out of their original files AND rewritten into fresh
+    // upd-* files, both sides of the swap in ONE manifest commit
+    // (Delta UPDATE-with-deletion-vectors). The `originals_intact`
+    // claim pins the no-rewrite half (pre-existing data files keep
+    // their exact name+size set), `history_intact` the snapshot-
+    // isolation half. Oracle: the same update as a CASE projection.
+    "c17_gdx_update" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdxupd_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val gdx = graft.sources.GdxSource
+      gdx.vacuum(dir, gdx.driverConf(), keepLast = 2)
+      val fmt = "graft.sources.GdxSource"
+      val base = Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+      base.write.format(fmt).option("path", dir).mode("overwrite").save()
+      val baseCount = base.count()
+      def dataFiles() = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".gdx"))
+        .map(f => (f.getName, f.length)).toSet
+      val before = dataFiles()
+      val (ver, _) = gdx.update(s, dir, col("k") % 9 === 4,
+        Map("v" -> concat(lit("U_"), col("v"))))
+      val originalsIntact = before.subsetOf(dataFiles())
+      val historyIntact = s.read.format(fmt).option("path", dir)
+        .option("version", (ver - 1).toString).load()
+        .filter(!col("v").startsWith("U_")).count() == baseCount
+      s.read.format(fmt).option("path", dir).load()
+        .select(col("k"), col("v"))
+        .withColumn("originals_intact", lit(originalsIntact))
+        .withColumn("history_intact", lit(historyIntact))
+        .orderBy("k")
+    }),
+
     // C16 — CHANGEFEED-MAINTAINED MATERIALIZED VIEW: the full
     // composition of the engine's table format and MV tiers. A summary
     // is registered over an EMPTY GDX table, the events keyset lands
@@ -2213,6 +2247,13 @@ object RelationalOps extends QueryModule {
         |FROM events
         |WHERE NOT (event_id % 7 = 2 OR event_type = 'error')
         |ORDER BY k""".stripMargin,
+    // the UPDATE recomputed as a projection; both claims pinned TRUE
+    "c17_gdx_update" ->
+      """SELECT event_id AS k,
+        |  CASE WHEN event_id % 9 = 4 THEN 'U_' || event_type
+        |       ELSE event_type END AS v,
+        |  TRUE AS originals_intact, TRUE AS history_intact
+        |FROM events ORDER BY k""".stripMargin,
     // the changefeed-maintained summary recomputed directly: aggregate
     // every event at the MV grain; the rewrite claim is pinned TRUE
     "c16_mv_incremental_refresh" ->

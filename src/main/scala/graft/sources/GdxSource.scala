@@ -789,7 +789,35 @@ object GdxSource {
     * version with 0. */
   def delete(spark: SparkSession, dir: String,
              condition: org.apache.spark.sql.Column,
-             maxRetries: Int = 10): (Int, Long) = {
+             maxRetries: Int = 10): (Int, Long) =
+    mutateWithDvs(spark, dir, condition, rewrite = None, maxRetries)
+
+  /** Row-level UPDATE: rows matching `condition` are DV'd out of their
+    * files and their updated versions land in fresh data files — BOTH
+    * sides of the swap published in ONE manifest commit, so a reader
+    * sees either every pre-update row or every post-update row, never
+    * a torn mix (the Delta UPDATE-with-deletion-vectors shape). `set`
+    * maps column name → new-value Column (may reference any snapshot
+    * column); untouched columns carry over. Cost at 100 TB: one
+    * zone-map-scoped scan of candidate files + data files proportional
+    * to MATCHED rows, never a table rewrite. Same CAS/retry contract
+    * as [[delete]]. Returns (committed version, rows updated). */
+  def update(spark: SparkSession, dir: String,
+             condition: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column],
+             maxRetries: Int = 10): (Int, Long) =
+    mutateWithDvs(spark, dir, condition, rewrite = Some(set), maxRetries)
+
+  /** Shared engine for DELETE (rewrite = None) and UPDATE (rewrite =
+    * Some(set)): scan candidates under the snapshot's full schema,
+    * write DV sidecars for matched positions, optionally write the
+    * rewritten rows as new data files, publish one full manifest under
+    * CAS. */
+  private def mutateWithDvs(spark: SparkSession, dir: String,
+                            condition: org.apache.spark.sql.Column,
+                            rewrite: Option[
+                              Map[String, org.apache.spark.sql.Column]],
+                            maxRetries: Int): (Int, Long) = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val conf0 = driverConf()
@@ -804,52 +832,10 @@ object GdxSource {
       val dirStr = dir
       val tblSchema = committedSchema(dir, conf0,
         if (readV > 0) readV else -1)
-      val types = tblSchema.fields.map(_.dataType)
-      // one task per file: parse lines under the snapshot's FULL schema
-      // (minus already-deleted positions), emit (_file, _pos, cols...)
-      // so `condition` may reference any column, evolved ones included
-      val liveSchema = StructType(
-        StructField("_file", StringType) +:
-        StructField("_pos", LongType) +: tblSchema.fields)
-      val rdd = spark.sparkContext
-        .parallelize(entries.map(_.name),
-          math.min(math.max(entries.size, 1),
-            spark.sparkContext.defaultParallelism))
-        .flatMap { name =>
-          val p = new Path(dirStr, name)
-          val fs = p.getFileSystem(sconf.conf)
-          val old = dvByName(name).map(d =>
-            GdxSource.readDvPositions(fs, new Path(dirStr, d)))
-            .getOrElse(java.util.Collections.emptySet[Long]())
-          val in = new java.io.BufferedReader(
-            new java.io.InputStreamReader(fs.open(p), "UTF-8"))
-          val it = Iterator.continually(in.readLine())
-            .takeWhile(_ != null).zipWithIndex
-            .flatMap { case (line, idx) =>
-              val fields = line.split("\t", -1)
-              if (fields.length >= 2 && fields(0).nonEmpty &&
-                  !old.contains(idx.toLong)) {
-                val vals = types.zipWithIndex.map { case (dt, i) =>
-                  if (i >= fields.length ||
-                      fields(i) == GdxSource.NullMarker) null
-                  else dt match {
-                    case LongType   => Long.box(fields(i).toLong)
-                    case DoubleType => Double.box(fields(i).toDouble)
-                    case _          => fields(i)
-                  }
-                }
-                Some(org.apache.spark.sql.Row.fromSeq(
-                  name +: Long.box(idx.toLong) +: vals.toSeq))
-              } else None
-            }
-          new Iterator[org.apache.spark.sql.Row] {
-            def hasNext: Boolean = { val h = it.hasNext; if (!h) in.close(); h }
-            def next(): org.apache.spark.sql.Row = it.next()
-          }
-        }
-      val live = spark.createDataFrame(rdd, liveSchema)
+      val live = liveFrame(spark, dirStr, entries, tblSchema, sconf)
+      val matched = live.filter(condition).localCheckpoint()
       // sidecars written executor-side; ≤ one result row per file
-      val newDvs: Array[(String, String, Long)] = live.filter(condition)
+      val newDvs: Array[(String, String, Long)] = matched
         .groupBy("_file")
         .agg(collect_list("_pos").as("_dels"))
         .as[(String, Seq[Long])]
@@ -869,13 +855,25 @@ object GdxSource {
         }
         .collect()
       if (newDvs.isEmpty) return (readV, 0L)
+      // UPDATE: the matched rows, with `set` applied, land as fresh
+      // data files (same line format, written executor-side with UUID
+      // names — a lost CAS leaves only vacuumable orphans)
+      val rewrittenEntries: Seq[GdxFileEntry] = rewrite match {
+        case None => Seq.empty
+        case Some(set) =>
+          val updatedRows = set.foldLeft(
+            matched.drop("_file", "_pos"))(
+            (df, kv) => df.withColumn(kv._1, kv._2))
+            .select(tblSchema.fieldNames.map(col): _*)
+          writeDataFiles(updatedRows, dirStr, tblSchema, sconf)
+      }
       val dvFor = newDvs.map(r => r._1 -> r._2).toMap
       val updated = entries.map(e =>
-        dvFor.get(e.name).map(d => e.copy(dv = Some(d))).getOrElse(e))
+        dvFor.get(e.name).map(d => e.copy(dv = Some(d))).getOrElse(e)) ++
+        rewrittenEntries
       // CAS publish of the full manifest at readV + 1 (schema carried)
-      val lines = (SchemaHeader + schemaSpec(
-        committedSchema(dir, conf0, if (readV > 0) readV else -1))) +:
-        updated.map(_.manifestLine)
+      val lines = (SchemaHeader + schemaSpec(tblSchema)) +:
+        updated.sortBy(_.name).map(_.manifestLine)
       val base = new Path(dir)
       val fs = base.getFileSystem(conf0)
       val published = publishExclusive(fs, conf0,
@@ -884,11 +882,116 @@ object GdxSource {
         writeLines(fs, manifest(dir), lines)
         return (readV + 1, newDvs.map(_._3).sum)
       }
-      attempt += 1 // lost the race; orphan sidecars await vacuum
+      attempt += 1 // lost the race; orphan sidecars/files await vacuum
       if (attempt > maxRetries) throw new GdxConcurrentModificationException(
-        s"gdx delete: lost the publish race $maxRetries times on $dir")
+        s"gdx delete/update: lost the publish race $maxRetries times on $dir")
     }
     (-1, -1L) // unreachable
+  }
+
+  /** The snapshot's LIVE rows as a DataFrame of (_file, _pos, cols...):
+    * one task per file, already-DV'd positions skipped, fields parsed
+    * under the snapshot's full schema (missing trailing fields = NULL,
+    * pre-evolution files). The substrate DELETE/UPDATE predicates run
+    * on. */
+  private def liveFrame(spark: SparkSession, dirStr: String,
+                        entries: Seq[GdxFileEntry],
+                        tblSchema: StructType,
+                        sconf: SerializableHadoopConf)
+      : org.apache.spark.sql.DataFrame = {
+    val types = tblSchema.fields.map(_.dataType)
+    val dvByName = entries.map(e => e.name -> e.dv).toMap
+    val liveSchema = StructType(
+      StructField("_file", StringType) +:
+      StructField("_pos", LongType) +: tblSchema.fields)
+    val rdd = spark.sparkContext
+      .parallelize(entries.map(_.name),
+        math.min(math.max(entries.size, 1),
+          spark.sparkContext.defaultParallelism))
+      .flatMap { name =>
+        val p = new Path(dirStr, name)
+        val fs = p.getFileSystem(sconf.conf)
+        val old = dvByName(name).map(d =>
+          GdxSource.readDvPositions(fs, new Path(dirStr, d)))
+          .getOrElse(java.util.Collections.emptySet[Long]())
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+        val it = Iterator.continually(in.readLine())
+          .takeWhile(_ != null).zipWithIndex
+          .flatMap { case (line, idx) =>
+            val fields = line.split("\t", -1)
+            if (fields.length >= 2 && fields(0).nonEmpty &&
+                !old.contains(idx.toLong)) {
+              val vals = types.zipWithIndex.map { case (dt, i) =>
+                if (i >= fields.length ||
+                    fields(i) == GdxSource.NullMarker) null
+                else dt match {
+                  case LongType   => Long.box(fields(i).toLong)
+                  case DoubleType => Double.box(fields(i).toDouble)
+                  case _          => fields(i)
+                }
+              }
+              Some(org.apache.spark.sql.Row.fromSeq(
+                name +: Long.box(idx.toLong) +: vals.toSeq))
+            } else None
+          }
+        new Iterator[org.apache.spark.sql.Row] {
+          def hasNext: Boolean = { val h = it.hasNext; if (!h) in.close(); h }
+          def next(): org.apache.spark.sql.Row = it.next()
+        }
+      }
+    spark.createDataFrame(rdd, liveSchema)
+  }
+
+  /** Write `rows` (in `tblSchema` column order) as GDX line files, one
+    * per non-empty partition, executor-side with UUID names; returns
+    * the manifest entries (zone-map stats included). Used by UPDATE's
+    * rewrite half — the files become committed only when the caller's
+    * manifest publish wins. */
+  private def writeDataFiles(rows: org.apache.spark.sql.DataFrame,
+                             dirStr: String, tblSchema: StructType,
+                             sconf: SerializableHadoopConf)
+      : Seq[GdxFileEntry] = {
+    val types = tblSchema.fields.map(_.dataType)
+    rows.rdd.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val name = s"upd-${java.util.UUID.randomUUID}.gdx"
+        val p = new Path(dirStr, name)
+        val fs = p.getFileSystem(sconf.conf)
+        val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+          fs.create(p, false), "UTF-8"))
+        var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        try it.foreach { r =>
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i < types.length) {
+            if (i > 0) sb.append('\t')
+            if (r.isNullAt(i)) sb.append(GdxSource.NullMarker)
+            else types(i) match {
+              case LongType   => sb.append(r.getLong(i))
+              case DoubleType => sb.append(r.getDouble(i))
+              case _ =>
+                val s = r.getString(i)
+                require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
+                  s.indexOf('\r') < 0 && s != GdxSource.NullMarker,
+                  "gdx update: string value must not contain " +
+                    "tab/newline or the \\N marker")
+                sb.append(s)
+            }
+            i += 1
+          }
+          out.println(sb)
+          val k = r.getLong(0)
+          n += 1
+          if (k < mn) mn = k
+          if (k > mx) mx = k
+        } finally out.close()
+        Iterator((name, n, mn, mx))
+      }
+    }.collect().toSeq.map { case (name, n, mn, mx) =>
+      GdxFileEntry(name, Some(GdxFileStats(n, mn, mx)))
+    }
   }
 
   /** Append a column to the table's schema — a METADATA-ONLY commit:

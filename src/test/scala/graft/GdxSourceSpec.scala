@@ -487,6 +487,40 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     assert(read(dir).count() === 67L)
   }
 
+  test("update: matched rows swap atomically via DV + fresh file") {
+    val dir = freshDir("upd")
+    write(dir, (1L to 20L).map(i => (i, s"v$i")))
+    val dataBefore = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gdx")).map(_.getName).toSet
+    val (ver, n) = sources.GdxSource.update(spark, dir,
+      col("k") % 5 === 0, Map("v" -> concat(lit("UP_"), col("v"))))
+    assert(n === 4L)
+    assert(read(dir).as[(Long, String)].collect().toSet ===
+      (1L to 20L).map(i =>
+        (i, if (i % 5 == 0) s"UP_v$i" else s"v$i")).toSet)
+    // original files untouched; updated rows live in fresh upd-* files
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gdx")).map(_.getName).toSet
+    assert(dataBefore.subsetOf(after), "no original file may be rewritten")
+    assert((after -- dataBefore).forall(_.startsWith("upd-")))
+    // ONE commit: version advanced exactly once; time travel sees the
+    // pre-update state whole
+    val pre = spark.read.format("graft.sources.GdxSource")
+      .option("path", dir).option("version", (ver - 1).toString).load()
+    assert(pre.as[(Long, String)].collect().toSet ===
+      (1L to 20L).map(i => (i, s"v$i")).toSet)
+    // updates compose with evolved columns and NULL semantics
+    sources.GdxSource.addColumn(dir, "w",
+      org.apache.spark.sql.types.DoubleType)
+    val (_, n2) = sources.GdxSource.update(spark, dir,
+      col("k") === 3, Map("w" -> lit(9.5)))
+    assert(n2 === 1L)
+    assert(read(dir).filter(col("k") === 3)
+      .as[(Long, String, Option[Double])].head() === ((3L, "v3", Some(9.5))))
+    // aggregates stay exact post-update
+    assert(read(dir).count() === 20L)
+  }
+
   test("schema evolution: addColumn is metadata-only, old files null-fill") {
     val dir = freshDir("evo")
     write(dir, Seq((1L, "a"), (2L, "b")))
