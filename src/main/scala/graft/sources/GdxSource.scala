@@ -248,6 +248,16 @@ object GdxSource {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
+  /** Resolve a manifest entry name against its table directory. Names
+    * are normally directory-relative; a SHALLOW CLONE's entries are
+    * absolute (scheme-qualified) references into the source table and
+    * resolve to themselves. */
+  private[graft] def entryPath(dir: String, name: String): Path = {
+    val p = new Path(name)
+    if (p.isAbsolute || p.toUri.getScheme != null) p
+    else new Path(dir, name)
+  }
+
   def manifest(path: String) = new Path(path, "_manifest")
   def manifestFor(path: String, version: Int) =
     new Path(path, f"_manifest-$version%08d")
@@ -429,7 +439,7 @@ object GdxSource {
   /** File paths of the chosen snapshot (stats dropped). */
   def committedFiles(path: String, conf: Configuration,
                      version: Int = -1): Seq[Path] =
-    committedEntries(path, conf, version).map(e => new Path(path, e.name))
+    committedEntries(path, conf, version).map(e => entryPath(path, e.name))
 
   private def writeLines(fs: FileSystem, p: Path,
                          lines: Seq[String]): Unit = {
@@ -843,7 +853,7 @@ object GdxSource {
           val base = new Path(dirStr)
           val fs = base.getFileSystem(sconf.conf)
           val old = dvByName(name).map(d =>
-            GdxSource.readDvPositions(fs, new Path(dirStr, d)))
+            GdxSource.readDvPositions(fs, GdxSource.entryPath(dirStr, d)))
             .getOrElse(java.util.Collections.emptySet[Long]())
           val all = new java.util.TreeSet[Long](old)
           dels.foreach(all.add(_))
@@ -909,10 +919,10 @@ object GdxSource {
         math.min(math.max(entries.size, 1),
           spark.sparkContext.defaultParallelism))
       .flatMap { name =>
-        val p = new Path(dirStr, name)
+        val p = GdxSource.entryPath(dirStr, name)
         val fs = p.getFileSystem(sconf.conf)
         val old = dvByName(name).map(d =>
-          GdxSource.readDvPositions(fs, new Path(dirStr, d)))
+          GdxSource.readDvPositions(fs, GdxSource.entryPath(dirStr, d)))
           .getOrElse(java.util.Collections.emptySet[Long]())
         val in = new java.io.BufferedReader(
           new java.io.InputStreamReader(fs.open(p), "UTF-8"))
@@ -957,7 +967,7 @@ object GdxSource {
       if (!it.hasNext) Iterator.empty
       else {
         val name = s"upd-${java.util.UUID.randomUUID}.gdx"
-        val p = new Path(dirStr, name)
+        val p = GdxSource.entryPath(dirStr, name)
         val fs = p.getFileSystem(sconf.conf)
         val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
           fs.create(p, false), "UTF-8"))
@@ -992,6 +1002,42 @@ object GdxSource {
     }.collect().toSeq.map { case (name, n, mn, mx) =>
       GdxFileEntry(name, Some(GdxFileStats(n, mn, mx)))
     }
+  }
+
+  /** SHALLOW CLONE: a new table whose first manifest references the
+    * SOURCE's data files by absolute path — zero bytes copied (the
+    * Delta shallow-clone / Iceberg snapshot-ref pattern). The clone is
+    * immediately writable and mutable: appends/deletes/updates/
+    * compaction land clone-local files and sidecars, the source is
+    * never touched, and the clone's vacuum can only reap files that
+    * live IN the clone directory — the 100 TB dev-branch workflow
+    * (experiment on a fork of production for the cost of one
+    * manifest). Clones a pinned `version`/latest; the source must not
+    * vacuum away the referenced files while clones depend on them
+    * (same retention contract as any pinned reader). Returns the
+    * clone's committed version. */
+  def cloneShallow(srcDir: String, dstDir: String,
+                   version: Int = -1): Int = {
+    val conf = driverConf()
+    val src = new Path(srcDir)
+    val fs = src.getFileSystem(conf)
+    val entries = committedEntries(srcDir, conf, version)
+    val schema = committedSchema(srcDir, conf, version)
+    val absolute = entries.map { e =>
+      def abs(n: String) =
+        fs.makeQualified(new Path(srcDir, n)).toString
+      e.copy(name = abs(e.name), dv = e.dv.map(abs))
+    }
+    val dst = new Path(dstDir)
+    val dfs = dst.getFileSystem(conf)
+    dfs.mkdirs(dst)
+    val v = (listVersions(dstDir, conf) :+ 0).max + 1
+    val lines = (SchemaHeader + schemaSpec(schema)) +:
+      absolute.map(_.manifestLine)
+    require(publishExclusive(dfs, conf, manifestFor(dstDir, v), lines),
+      s"gdx clone: version $v of $dstDir was claimed concurrently")
+    writeLines(dfs, manifest(dstDir), lines)
+    v
   }
 
   /** Append a column to the table's schema — a METADATA-ONLY commit:
@@ -1270,8 +1316,8 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       Array(GdxMetaResultPartition(row))
     } else
       kept.map(e => GdxFilePartition(
-        new Path(path, e.name).toString,
-        e.dv.map(d => new Path(path, d).toString)): InputPartition).toArray
+        GdxSource.entryPath(path, e.name).toString,
+        e.dv.map(d => GdxSource.entryPath(path, d).toString)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GdxReaderFactory(pushed ++ runtime, limit, aggOps, required,
@@ -1291,7 +1337,7 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
     val fs = new Path(path).getFileSystem(conf)
     val planned = if (metaOnly) Seq.empty else kept
     val bytes = planned.map { e =>
-      try fs.getFileStatus(new Path(path, e.name)).getLen
+      try fs.getFileStatus(GdxSource.entryPath(path, e.name)).getLen
       catch { case _: Exception => 0L }
     }.sum
     val rows = planned.flatMap(_.stats).map(_.rows).sum
@@ -1395,8 +1441,8 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter],
     GdxSource.pruneByStats(added, pushed.toSeq)
       .sortBy(_.name)
       .map(en => GdxFilePartition(
-        new Path(path, en.name).toString,
-        en.dv.map(d => new Path(path, d).toString)): InputPartition)
+        GdxSource.entryPath(path, en.name).toString,
+        en.dv.map(d => GdxSource.entryPath(path, d).toString)): InputPartition)
       .toArray
   }
 

@@ -521,6 +521,47 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     assert(read(dir).count() === 20L)
   }
 
+  test("shallow clone: zero-copy branch, mutations stay clone-local") {
+    val src = freshDir("clsrc")
+    write(src, (1L to 10L).map(i => (i, s"v$i")))
+    val dst = freshDir("cldst")
+    sources.GdxSource.cloneShallow(src, dst)
+    // no data bytes copied: the clone dir holds only metadata
+    assert(!new java.io.File(dst).listFiles()
+      .exists(_.getName.endsWith(".gdx")),
+      "a shallow clone must copy no data files")
+    assert(read(dst).as[(Long, String)].collect().toSet ===
+      read(src).as[(Long, String)].collect().toSet)
+    // the branch diverges: delete + update + append on the CLONE
+    sources.GdxSource.delete(spark, dst, col("k") <= 2)
+    sources.GdxSource.update(spark, dst, col("k") === 5,
+      Map("v" -> lit("branched")))
+    Seq((99L, "new")).toDF("k", "v")
+      .write.format("graft.sources.GdxSource").option("path", dst)
+      .mode("append").save()
+    assert(read(dst).as[(Long, String)].collect().toSet ===
+      ((3L to 10L).map(i =>
+        (i, if (i == 5) "branched" else s"v$i")).toSet + ((99L, "new"))))
+    // the SOURCE is untouched by any of it
+    assert(read(src).as[(Long, String)].collect().toSet ===
+      (1L to 10L).map(i => (i, s"v$i")).toSet)
+    // clone-side vacuum can only reap clone-local files
+    val srcFiles = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".gdx")).map(_.getName).toSet
+    sources.GdxSource.vacuum(dst,
+      sources.GdxSource.driverConf(), keepLast = 1)
+    assert(new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".gdx")).map(_.getName).toSet === srcFiles,
+      "vacuuming the clone must never delete source data")
+    assert(read(dst).filter(col("k") === 99).count() === 1L)
+    // compact localizes the branch: afterwards all entries are local
+    sources.GdxSource.compact(spark, dst, target = 1)
+    val conf = sources.GdxSource.driverConf()
+    assert(sources.GdxSource.committedEntries(dst, conf)
+      .forall(!_.name.contains("/")), "compacted clone must be self-contained")
+    assert(read(dst).count() === 9L)
+  }
+
   test("schema evolution: addColumn is metadata-only, old files null-fill") {
     val dir = freshDir("evo")
     write(dir, Seq((1L, "a"), (2L, "b")))
