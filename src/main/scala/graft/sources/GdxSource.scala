@@ -1040,6 +1040,30 @@ object GdxSource {
     v
   }
 
+  /** DESCRIBE HISTORY: one row per retained snapshot — version, commit
+    * timestamp (manifest mtime, the [[versionAsOf]] clock), manifest
+    * kind (delta vs checkpoint), file/DV counts, row count from zone
+    * maps, and the snapshot's schema spec. Pure metadata: one LIST +
+    * one manifest read per retained version, regardless of table size
+    * — the audit surface every table format owes its operators. */
+  def history(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    listVersions(dir, conf).map { v =>
+      val mp = manifestFor(dir, v)
+      val (isDelta, sch, _) = readManifest(fs, mp)
+      val entries = committedEntries(dir, conf, v)
+      (v, fs.getFileStatus(mp).getModificationTime,
+        if (isDelta) "delta" else "checkpoint",
+        entries.size.toLong, entries.count(_.dv.isDefined).toLong,
+        entries.flatMap(_.stats).map(_.rows).sum,
+        schemaSpec(sch.getOrElse(schema)))
+    }.toDF("version", "commit_ts", "manifest_kind", "n_files", "n_dvs",
+      "n_rows_physical", "schema")
+  }
+
   /** Append a column to the table's schema — a METADATA-ONLY commit:
     * the new manifest carries the evolved `#schema` line and the same
     * file entries; no data file is touched (the Delta/Iceberg ADD

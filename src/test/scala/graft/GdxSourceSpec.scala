@@ -521,6 +521,29 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     assert(read(dir).count() === 20L)
   }
 
+  test("history describes every retained snapshot from metadata alone") {
+    val dir = freshDir("hist")
+    write(dir, (1L to 10L).map(i => (i, s"v$i")))          // v1 checkpoint
+    write(dir, (11L to 15L).map(i => (i, s"v$i")))         // v2 delta
+    sources.GdxSource.delete(spark, dir, col("k") === 3)   // v3 checkpoint+DV
+    sources.GdxSource.addColumn(dir, "w",
+      org.apache.spark.sql.types.DoubleType)               // v4 evolution
+    val h = sources.GdxSource.history(spark, dir)
+      .orderBy("version")
+      .select("version", "manifest_kind", "n_files", "n_dvs",
+        "n_rows_physical", "schema")
+      .collect().map(_.toSeq)
+    assert(h(0) === Seq(1, "checkpoint", 2L, 0L, 10L, "k:long,v:string"))
+    assert(h(1) === Seq(2, "delta", 4L, 0L, 15L, "k:long,v:string"))
+    assert(h(2) === Seq(3, "checkpoint", 4L, 1L, 15L, "k:long,v:string"))
+    assert(h(3) === Seq(4, "checkpoint", 4L, 1L, 15L,
+      "k:long,v:string,w:double"))
+    // commit timestamps are monotone non-decreasing (the asOf clock)
+    val ts = sources.GdxSource.history(spark, dir).orderBy("version")
+      .select("commit_ts").as[Long].collect()
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+  }
+
   test("shallow clone: zero-copy branch, mutations stay clone-local") {
     val src = freshDir("clsrc")
     write(src, (1L to 10L).map(i => (i, s"v$i")))
