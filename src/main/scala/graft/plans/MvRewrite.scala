@@ -192,7 +192,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     if (defs.isEmpty || MvRewrite.isBuilding) plan
     else plan.transformDown {
       case agg: Aggregate =>
-        defs.view.flatMap(d => tryRewrite(agg, d)).headOption.getOrElse(agg)
+        // among matching summaries prefer the COARSEST (fewest grouping
+        // columns = fewest rows to scan); tie-break on grouping names
+        // so plan choice is deterministic under concurrent registration
+        defs.sortBy(d => (d.groupCols.size, d.groupCols.mkString(",")))
+          .view.flatMap(d => tryRewrite(agg, d))
+          .headOption.getOrElse(agg)
     }
   }
 

@@ -1040,6 +1040,35 @@ object GdxSource {
     v
   }
 
+  /** RESTORE: roll the table back to retained snapshot `version` by
+    * publishing that snapshot's file list (and schema) as a NEW
+    * checkpoint commit — history is never rewritten, the rollback is
+    * itself a versioned, time-travelable event (the Delta RESTORE
+    * shape). Metadata-only: no data file moves; the restored files
+    * must still be retained (vacuum contract). CAS + retry. Returns
+    * the new version. */
+  def restoreSnapshot(dir: String, version: Int,
+                      maxRetries: Int = 10): Int = {
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val entries = committedEntries(dir, conf, version) // loud if dropped
+    val schemaAt = committedSchema(dir, conf, version)
+    val lines = (SchemaHeader + schemaSpec(schemaAt)) +:
+      entries.map(_.manifestLine)
+    var attempt = 0
+    while (true) {
+      val v = (listVersions(dir, conf) :+ 0).max + 1
+      if (publishExclusive(fs, conf, manifestFor(dir, v), lines)) {
+        writeLines(fs, manifest(dir), lines)
+        return v
+      }
+      attempt += 1
+      if (attempt > maxRetries) throw new GdxConcurrentModificationException(
+        s"gdx restore: lost the publish race $maxRetries times on $dir")
+    }
+    -1 // unreachable
+  }
+
   /** DESCRIBE HISTORY: one row per retained snapshot — version, commit
     * timestamp (manifest mtime, the [[versionAsOf]] clock), manifest
     * kind (delta vs checkpoint), file/DV counts, row count from zone

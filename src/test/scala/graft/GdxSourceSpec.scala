@@ -544,6 +544,28 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
   }
 
+  test("restore rolls back as a new time-travelable commit") {
+    val dir = freshDir("restore")
+    write(dir, Seq((1L, "a"), (2L, "b")))              // v1
+    sources.GdxSource.delete(spark, dir, col("k") === 1) // v2
+    write(dir, Seq((3L, "c")))                         // v3
+    val v = sources.GdxSource.restoreSnapshot(dir, 1)
+    assert(v === 4)
+    assert(read(dir).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")), "restore must resurrect v1's state")
+    // history intact: the bad interlude is still time-travelable
+    def at(n: Int) = spark.read.format("graft.sources.GdxSource")
+      .option("path", dir).option("version", n.toString).load()
+      .as[(Long, String)].collect().toSet
+    assert(at(2) === Set((2L, "b")))
+    assert(at(3) === Set((2L, "b"), (3L, "c")))
+    // the restore commit itself shows in history as a checkpoint
+    val kinds = sources.GdxSource.history(spark, dir)
+      .orderBy("version").select("manifest_kind")
+      .collect().map(_.getString(0)).toSeq
+    assert(kinds(3) === "checkpoint")
+  }
+
   test("shallow clone: zero-copy branch, mutations stay clone-local") {
     val src = freshDir("clsrc")
     write(src, (1L to 10L).map(i => (i, s"v$i")))

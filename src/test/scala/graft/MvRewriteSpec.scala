@@ -178,6 +178,26 @@ class MvRewriteSpec extends SparkSuite {
     }
   }
 
+  test("the coarsest matching summary wins deterministically") {
+    val base = spark.read.parquet(writeBase())
+    val fine = tmp("fine"); val coarse = tmp("coarse")
+    plans.MvRewrite.materialize(spark, base, Seq("g1", "g2"),
+      Seq("m1"), fine)
+    plans.MvRewrite.materialize(spark, base, Seq("g1"), Seq("m1"), coarse)
+    // a g1-grain query matches BOTH; the coarse (smaller) summary must
+    // be chosen, and exactly (no re-aggregation at its own grain)
+    val q = base.groupBy("g1").agg(sum("m1").as("s1"))
+    assert(leafPaths(q) === Set(s"file:$coarse"),
+      s"expected the coarse summary, got ${q.queryExecution.optimizedPlan}")
+    assert(q.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty, "exact grain on the coarse MV needs no re-aggregation")
+    // a (g1, g2)-grain query can only use the fine summary
+    assert(leafPaths(base.groupBy("g1", "g2").agg(sum("m1"))) ===
+      Set(s"file:$fine"))
+    plans.MvRewrite.clear()
+  }
+
   test("re-materialize refreshes the registration (no stale file lists)") {
     val baseDir = writeBase()
     val base = spark.read.parquet(baseDir)

@@ -36,7 +36,8 @@ tpch_q4 tpch_q18 dedup_pipeline tpch_q7 tpch_q8 tpch_q10 tpch_q13 \
 tpch_q14 tpch_q15 tpch_q17 tpch_q19 tpch_q21 tpch_q22 t_fingerprint_roll \
 dedup_dup_spans t_strip_dup_spans sql_window_frames tpch_q9 tpch_q12 \
 tpch_q2 tpch_q11 tpch_q16 tpch_q20 mm_tile_features mm_audio_features \
-c13_gdx_upsert c14_gdx_delete c15_mv_rewrite s23_gdx_schema_evolution"
+c13_gdx_upsert c14_gdx_delete c15_mv_rewrite s23_gdx_schema_evolution \
+c16_mv_incremental_refresh c17_gdx_update"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
