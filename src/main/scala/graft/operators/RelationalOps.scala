@@ -1575,6 +1575,71 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // S25 — DESCRIBE HISTORY as a query: a deterministic three-commit
+    // lifecycle (checkpoint write, delta append, DV delete) described
+    // entirely from manifest metadata. Commit file counts are pinned
+    // by coalesce(1); timestamps are excluded (nondeterministic), so
+    // the remaining columns are literal-expressible and the oracle is
+    // a VALUES table.
+    "s25_gdx_history" -> ((s, d) => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdxhist_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root); root.mkdirs()
+      val dir = new java.io.File(root, "table").getPath
+      val gdx = graft.sources.GdxSource
+      val fmt = "graft.sources.GdxSource"
+      def slice(lo: Long, hi: Long) = Tables.events(s, d)
+        .filter(col("event_id") >= lo && col("event_id") < hi)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+        .coalesce(1)
+      slice(0, 5000).write.format(fmt).option("path", dir)
+        .mode("overwrite").save()
+      slice(5000, 10000).write.format(fmt).option("path", dir)
+        .mode("append").save()
+      gdx.delete(s, dir, col("k") < 100)
+      gdx.history(s, dir)
+        .select(col("version"), col("manifest_kind"), col("n_files"),
+          col("n_dvs"), col("n_rows_physical"),
+          col("schema").as("schema_spec"))
+        .orderBy("version")
+    }),
+
+    // S24 — RESTORE: the events keyset lands, a destructive delete
+    // removes the 'error' rows, and restoreSnapshot publishes the
+    // pre-delete file list as a NEW commit — the read after restore
+    // must equal the original table exactly (the oracle is the plain
+    // projection), while the deleted interlude remains time-travelable
+    // at its own version (`interlude_visible` pins it). Rollback as a
+    // versioned event, not history surgery.
+    "s24_gdx_restore" -> ((s, d) => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdxres_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root); root.mkdirs()
+      val dir = new java.io.File(root, "table").getPath
+      val gdx = graft.sources.GdxSource
+      val fmt = "graft.sources.GdxSource"
+      val base = Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+      base.write.format(fmt).option("path", dir).mode("overwrite").save()
+      val (delV, nDeleted) = gdx.delete(s, dir, col("v") === "error")
+      gdx.restoreSnapshot(dir, delV - 1)
+      val interludeVisible = s.read.format(fmt).option("path", dir)
+        .option("version", delV.toString).load()
+        .filter(col("v") === "error").count() == 0 && nDeleted > 0
+      s.read.format(fmt).option("path", dir).load()
+        .select(col("k"), col("v"))
+        .withColumn("interlude_visible", lit(interludeVisible))
+        .orderBy("k")
+    }),
+
     // C17 — row-level UPDATE on the GDX table format: matched rows are
     // DV'd out of their original files AND rewritten into fresh
     // upd-* files, both sides of the swap in ONE manifest commit
@@ -2247,6 +2312,27 @@ object RelationalOps extends QueryModule {
         |FROM events
         |WHERE NOT (event_id % 7 = 2 OR event_type = 'error')
         |ORDER BY k""".stripMargin,
+    // the three-commit lifecycle as literals; row counts computed from
+    // the same events slices the engine committed
+    "s25_gdx_history" ->
+      """WITH c1 AS (SELECT count(*) AS n FROM events
+        |    WHERE event_id < 5000),
+        |  c2 AS (SELECT count(*) AS n FROM events WHERE event_id < 10000)
+        |SELECT version, manifest_kind, CAST(n_files AS BIGINT) AS n_files,
+        |  CAST(n_dvs AS BIGINT) AS n_dvs,
+        |  CAST(n_rows_physical AS BIGINT) AS n_rows_physical, schema_spec
+        |FROM (VALUES
+        |  (1, 'checkpoint', 1, 0, (SELECT n FROM c1), 'k:long,v:string'),
+        |  (2, 'delta', 2, 0, (SELECT n FROM c2), 'k:long,v:string'),
+        |  (3, 'checkpoint', 2, 1, (SELECT n FROM c2), 'k:long,v:string'))
+        |  AS t(version, manifest_kind, n_files, n_dvs, n_rows_physical,
+        |    schema_spec)
+        |ORDER BY version""".stripMargin,
+    // restore resurrects the full keyset; the interlude claim is TRUE
+    "s24_gdx_restore" ->
+      """SELECT event_id AS k, event_type AS v,
+        |  TRUE AS interlude_visible
+        |FROM events ORDER BY k""".stripMargin,
     // the UPDATE recomputed as a projection; both claims pinned TRUE
     "c17_gdx_update" ->
       """SELECT event_id AS k,
