@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the GDX line format: round-trip fidelity across
+  * arbitrary valid payloads, null patterns, and schema evolution. The
+  * format's contract is exact value preservation for long/string/double
+  * plus \N-marked NULLs; the generators range over everything the write
+  * path accepts (strings sans tab/newline/\N — the writer rejects those
+  * loudly, which write-rejection cases pin). */
+class GdxPropertySpec extends SparkSuite {
+
+  /** scalatestplus isn't in the offline cache: drive Gen directly with
+    * fixed seeds (deterministic across runs). */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"gdxprop_$tag").toString
+
+  private val fmt = "graft.sources.GdxSource"
+
+  // printable-ish strings the unescaped line format accepts; includes
+  // unicode, spaces, empty, and near-miss marker strings
+  private val vGen: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr.map(_.filterNot(c => c == '\t' || c == '\n' ||
+      c == '\r')).suchThat(_ != "\\N"),
+    Gen.oneOf("", " ", "héllo wörld", "\\n", "\\\\N", "N\\", "日本語",
+      "a b c", "\"quoted\"", "x" * 200))
+
+  private val rowGen: Gen[(Long, String, Option[Double])] = for {
+    k <- Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)
+    v <- vGen
+    w <- Gen.option(Gen.oneOf(Gen.chooseNum(-1e12, 1e12),
+      Gen.oneOf(0.0, -0.0, Double.MinPositiveValue, 1.0 / 3.0,
+        math.Pi, 1e-300, -1e300)))
+  } yield (k, v, w)
+
+  test("property: (k, v) round-trips exactly through write + scan") {
+    for (rows <- samples(Gen.listOfN(30, rowGen.map(r => (r._1, r._2))), 10)
+         if rows.map(_._1).distinct.size == rows.size) {
+      {
+        val dir = freshDir("rt")
+        rows.toDF("k", "v").repartition(3)
+          .write.format(fmt).option("path", dir).mode("append").save()
+        val got = spark.read.format(fmt).option("path", dir).load()
+          .as[(Long, String)].collect().toSet
+        assert(got === rows.toSet)
+      }
+    }
+  }
+
+  test("property: evolved rows round-trip doubles and NULLs exactly") {
+    for (rows <- samples(Gen.listOfN(25, rowGen), 10)
+         if rows.map(_._1).distinct.size == rows.size) {
+      {
+        val dir = freshDir("evo")
+        // seed classic, evolve, append the full payload
+        Seq((Long.MinValue + 1, "seed")).toDF("k", "v")
+          .write.format(fmt).option("path", dir).mode("overwrite").save()
+        sources.GdxSource.addColumn(dir, "w",
+          org.apache.spark.sql.types.DoubleType)
+        rows.toDF("k", "v", "w").repartition(2)
+          .write.format(fmt).option("path", dir).mode("append").save()
+        val got = spark.read.format(fmt).option("path", dir).load()
+          .filter(col("v") =!= "seed")
+          .as[(Long, String, Option[Double])].collect().toSet
+        // doubles must round-trip BIT-exactly (toString/toDouble), so
+        // compare raw bits, not numeric equality (NaN-safe, -0.0-safe)
+        def bits(r: (Long, String, Option[Double])) =
+          (r._1, r._2, r._3.map(java.lang.Double.doubleToRawLongBits))
+        assert(got.map(bits) === rows.toSet.map(bits))
+      }
+    }
+  }
+
+  test("write rejects line-format-breaking strings loudly") {
+    for (bad <- Seq("a\tb", "a\nb", "a\rb", "\\N")) {
+      val dir = freshDir("rej")
+      val e = intercept[Exception] {
+        Seq((1L, bad)).toDF("k", "v")
+          .write.format(fmt).option("path", dir).mode("append").save()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        t +: Option(t.getCause).toSeq.flatMap(causes)
+      assert(causes(e).exists(c => Option(c.getMessage)
+        .exists(m => m.contains("must not contain") ||
+          m.contains("marker"))), s"for ${bad.replace("\t", "<TAB>")}: $e")
+      // the failed write must not have published a manifest
+      assert(sources.GdxSource.listVersions(dir,
+        sources.GdxSource.driverConf()).isEmpty)
+    }
+  }
+}

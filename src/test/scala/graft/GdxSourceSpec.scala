@@ -913,6 +913,28 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
       s"no batch may span more than 2 single-row commits: $batches")
   }
 
+  test("concurrent updates on disjoint predicates: both effects land") {
+    val dir = freshDir("updrace")
+    write(dir, (1L to 40L).map(i => (i, "base")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = Seq(
+      (col("k") <= 10, "A"), (col("k") > 30, "B")).map { case (cond, tag) =>
+      Future {
+        sources.GdxSource.update(spark, dir, cond, Map("v" -> lit(tag)))
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    val rows = read(dir).as[(Long, String)].collect().toMap
+    assert((1L to 10L).forall(rows(_) == "A"),
+      s"writer A's update must survive: $rows")
+    assert((31L to 40L).forall(rows(_) == "B"),
+      s"writer B's update must survive: $rows")
+    assert((11L to 30L).forall(rows(_) == "base"))
+    assert(rows.size === 40)
+  }
+
   test("delete racing an append: CAS retry keeps both effects") {
     val dir = freshDir("delrace")
     write(dir, (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd")))
