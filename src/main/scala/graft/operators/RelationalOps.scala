@@ -1608,6 +1608,34 @@ object RelationalOps extends QueryModule {
         .orderBy("version")
     }),
 
+    // S26 — ROW-LEVEL CHANGE FEED: an update + a delete over the
+    // events keyset, then tableChanges(v1, v3) reconstructs the exact
+    // per-row history — the UPDATE as its delete/insert pair, the
+    // DELETE as the freshly-DV'd rows — from manifests and deletion
+    // vectors alone (no change journal exists anywhere). The oracle
+    // recomputes the three change sets relationally.
+    "s26_gdx_changes" -> ((s, d) => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gdxcdf_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root); root.mkdirs()
+      val dir = new java.io.File(root, "table").getPath
+      val gdx = graft.sources.GdxSource
+      val fmt = "graft.sources.GdxSource"
+      Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      gdx.update(s, dir, col("k") % 7 === 3,
+        Map("v" -> concat(lit("U_"), col("v"))))
+      gdx.delete(s, dir, col("k") % 10 === 6)
+      gdx.tableChanges(s, dir, 1, 3)
+        .select(col("version"), col("change_type"), col("k"), col("v"))
+        .orderBy("version", "change_type", "k")
+    }),
+
     // S24 — RESTORE: the events keyset lands, a destructive delete
     // removes the 'error' rows, and restoreSnapshot publishes the
     // pre-delete file list as a NEW commit — the read after restore
@@ -2328,6 +2356,19 @@ object RelationalOps extends QueryModule {
         |  AS t(version, manifest_kind, n_files, n_dvs, n_rows_physical,
         |    schema_spec)
         |ORDER BY version""".stripMargin,
+    // the CDF recomputed relationally: the update's delete/insert pair
+    // at version 2, the delete's victims (post-update values) at 3
+    "s26_gdx_changes" ->
+      """WITH e AS (SELECT event_id AS k, event_type AS v FROM events)
+        |SELECT 2 AS version, 'delete' AS change_type, k, v
+        |  FROM e WHERE k % 7 = 3
+        |UNION ALL
+        |SELECT 2, 'insert', k, 'U_' || v FROM e WHERE k % 7 = 3
+        |UNION ALL
+        |SELECT 3, 'delete', k,
+        |  CASE WHEN k % 7 = 3 THEN 'U_' || v ELSE v END
+        |  FROM e WHERE k % 10 = 6
+        |ORDER BY version, change_type, k""".stripMargin,
     // restore resurrects the full keyset; the interlude claim is TRUE
     "s24_gdx_restore" ->
       """SELECT event_id AS k, event_type AS v,

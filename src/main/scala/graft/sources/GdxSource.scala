@@ -112,6 +112,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    pins a snapshot; `option("asOf", ts)` resolves the latest
   *    version published at or before the timestamp (commit time =
   *    manifest mtime). A pinned snapshot reads with its OWN schema.
+  *  - **Audit + branching surface**: [[GdxSource.history]] (DESCRIBE
+  *    HISTORY from metadata alone), [[GdxSource.restoreSnapshot]]
+  *    (rollback as a new time-travelable commit),
+  *    [[GdxSource.cloneShallow]] (zero-copy dev branches via
+  *    absolute-path manifests), and [[GdxSource.tableChanges]]
+  *    (row-level CDF between versions, derived from manifests and
+  *    deletion vectors — updates surface as delete/insert pairs).
   *  - **Planner integration**: post-pruning statistics
   *    (`SupportsReportStatistics` — small GDX dimensions broadcast)
   *    and runtime filtering (`SupportsRuntimeFiltering` on `k` — a
@@ -1038,6 +1045,107 @@ object GdxSource {
       s"gdx clone: version $v of $dstDir was claimed concurrently")
     writeLines(dfs, manifest(dstDir), lines)
     v
+  }
+
+  /** ROW-LEVEL CHANGE FEED (CDF): the exact inserted/deleted rows
+    * between two retained versions, derived ENTIRELY from the format's
+    * structure — no change journal is ever written. Per version step:
+    * files added by the commit contribute their live rows as
+    * `insert`s, files dropped (truncate/restore) contribute their
+    * prior live rows as `delete`s, and a grown deletion vector on a
+    * surviving file contributes exactly the newly-DV'd positions as
+    * `delete`s. An UPDATE therefore appears as its delete+insert pair,
+    * a MERGE as the rewritten snapshot's diff — the Delta CDF
+    * reduction. Cost: proportional to CHANGED files/positions, never a
+    * table diff; one task per (version, file) pair. Output:
+    * (version, change_type, <table columns at `toV`>), pre-evolution
+    * rows null-filled. */
+  def tableChanges(spark: SparkSession, dir: String,
+                   fromV: Int, toV: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(fromV < toV, s"gdx changes: fromV $fromV must precede $toV")
+    val conf = driverConf()
+    val sconf = new SerializableHadoopConf(conf)
+    val outSchema = committedSchema(dir, conf, toV)
+    val types = outSchema.fields.map(_.dataType)
+    // (version, resolved file path, positions-to-skip dv, mode) where
+    // mode "insert"/"delete" reads all live rows and "dvdelta" reads
+    // exactly the freshly deleted positions (old dv, new dv)
+    case class Task(version: Int, file: String, dvSkip: Option[String],
+                    dvOld: Option[String], dvNew: Option[String],
+                    change: String)
+    val tasks = ((fromV + 1) to toV).flatMap { v =>
+      val prev =
+        if (v - 1 == 0) Seq.empty else committedEntries(dir, conf, v - 1)
+      val cur = committedEntries(dir, conf, v)
+      val prevBy = prev.map(e => e.name -> e).toMap
+      val curBy = cur.map(e => e.name -> e).toMap
+      def abs(n: String) = entryPath(dir, n).toString
+      val inserts = cur.filterNot(e => prevBy.contains(e.name)).map(e =>
+        Task(v, abs(e.name), e.dv.map(abs), None, None, "insert"))
+      val deletes = prev.filterNot(e => curBy.contains(e.name)).map(e =>
+        Task(v, abs(e.name), e.dv.map(abs), None, None, "delete"))
+      val dvGrown = cur.flatMap { e =>
+        prevBy.get(e.name) match {
+          case Some(p) if p.dv != e.dv && e.dv.isDefined =>
+            Some(Task(v, abs(e.name), None, p.dv.map(abs),
+              e.dv.map(abs), "dvdelta"))
+          case _ => None
+        }
+      }
+      inserts ++ deletes ++ dvGrown
+    }
+    val changeSchema = StructType(
+      StructField("version", IntegerType) +:
+      StructField("change_type", StringType) +: outSchema.fields)
+    val rdd = spark.sparkContext
+      .parallelize(tasks, math.min(math.max(tasks.size, 1),
+        spark.sparkContext.defaultParallelism))
+      .flatMap { t =>
+        val p = new Path(t.file)
+        val fs = p.getFileSystem(sconf.conf)
+        def dvSet(d: Option[String]): java.util.Set[Long] = d
+          .map(x => GdxSource.readDvPositions(fs, new Path(x)))
+          .getOrElse(java.util.Collections.emptySet[Long]())
+        val (skip, only) = t.change match {
+          case "dvdelta" =>
+            val fresh = new java.util.HashSet[Long](dvSet(t.dvNew))
+            fresh.removeAll(dvSet(t.dvOld))
+            (java.util.Collections.emptySet[Long](), Some(fresh))
+          case _ => (dvSet(t.dvSkip), None)
+        }
+        val kind = if (t.change == "dvdelta") "delete" else t.change
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+        val it = Iterator.continually(in.readLine())
+          .takeWhile(_ != null).zipWithIndex
+          .flatMap { case (line, idx) =>
+            val pos = idx.toLong
+            val wanted = only match {
+              case Some(set) => set.contains(pos)
+              case None      => !skip.contains(pos)
+            }
+            val fields = line.split("\t", -1)
+            if (wanted && fields.length >= 2 && fields(0).nonEmpty) {
+              val vals = types.zipWithIndex.map { case (dt, i) =>
+                if (i >= fields.length ||
+                    fields(i) == GdxSource.NullMarker) null
+                else dt match {
+                  case LongType   => Long.box(fields(i).toLong)
+                  case DoubleType => Double.box(fields(i).toDouble)
+                  case _          => fields(i)
+                }
+              }
+              Some(org.apache.spark.sql.Row.fromSeq(
+                Int.box(t.version) +: kind +: vals.toSeq))
+            } else None
+          }
+        new Iterator[org.apache.spark.sql.Row] {
+          def hasNext: Boolean = { val h = it.hasNext; if (!h) in.close(); h }
+          def next(): org.apache.spark.sql.Row = it.next()
+        }
+      }
+    spark.createDataFrame(rdd, changeSchema)
   }
 
   /** RESTORE: roll the table back to retained snapshot `version` by

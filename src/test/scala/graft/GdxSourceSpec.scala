@@ -544,6 +544,31 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
   }
 
+  test("tableChanges derives row-level CDF from manifests and DVs") {
+    val dir = freshDir("cdf")
+    (1L to 6L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.GdxSource")
+      .option("path", dir).mode("append").save()            // v1
+    sources.GdxSource.update(spark, dir, col("k") === 2,
+      Map("v" -> lit("U2")))                                // v2
+    sources.GdxSource.delete(spark, dir, col("k") === 5)    // v3
+    write(dir, Seq((7L, "v7")))                             // v4 append
+    val ch = sources.GdxSource.tableChanges(spark, dir, 1, 4)
+      .as[(Int, String, Long, String)].collect().toSet
+    assert(ch === Set(
+      (2, "delete", 2L, "v2"), (2, "insert", 2L, "U2"), // the update pair
+      (3, "delete", 5L, "v5"),
+      (4, "insert", 7L, "v7")))
+    // a window that starts mid-history sees only its steps
+    assert(sources.GdxSource.tableChanges(spark, dir, 3, 4)
+      .as[(Int, String, Long, String)].collect().toSet ===
+      Set((4, "insert", 7L, "v7")))
+    // from the beginning: v1's load is the initial insert set
+    val all = sources.GdxSource.tableChanges(spark, dir, 0, 4)
+    assert(all.filter(col("version") === 1 &&
+      col("change_type") === "insert").count() === 6L)
+  }
+
   test("restore rolls back as a new time-travelable commit") {
     val dir = freshDir("restore")
     write(dir, Seq((1L, "a"), (2L, "b")))              // v1
