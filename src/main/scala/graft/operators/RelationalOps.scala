@@ -1739,18 +1739,27 @@ object RelationalOps extends QueryModule {
         ev.filter(col("k") >= i * (maxId + 1) / 3 &&
             col("k") < (i + 1) * (maxId + 1) / 3)
           .write.format(fmt).option("path", gdxDir).mode("append").save()
-      val q = s.readStream.format(fmt).option("path", gdxDir).load()
+      // admission control pins the shape: ONE commit per micro-batch,
+      // so the summary provably converges through three incremental
+      // folds, not one batched rebuild-in-disguise
+      var nFolds = 0
+      val q = s.readStream.format(fmt).option("path", gdxDir)
+        .option("maxVersionsPerTrigger", "1").load()
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], _: Long) =>
-          if (!batch.isEmpty)
+          if (!batch.isEmpty) {
             graft.plans.MvRewrite.refreshIncremental(s, batch, mvPath)
+            nFolds += 1
+          }
           ()
         }
         .option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      require(nFolds == 3,
+        s"expected one incremental fold per commit, saw $nFolds")
       val user = s.read.format(fmt).option("path", gdxDir).load()
         .groupBy("v")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
