@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // materialized-view auto-rewrite: aggregates over a registered base
     // table are transparently answered from its summary (plans/MvRewrite)
     e.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
+    // SQL DML front door for GDX tables: DELETE FROM / UPDATE /
+    // MERGE INTO route to the format's transactional row-level ops
+    // (plans/GdxDml) — post-hoc so the statements arrive fully resolved
+    e.injectPostHocResolutionRule(_ => graft.plans.GdxDmlRule)
     e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),

@@ -431,12 +431,9 @@ object RelationalOps extends QueryModule {
     // (SupportsPushDownFilters — GdxSourceSpec asserts both protocol
     // halves; see sources/GdxSource.scala).
     "s15_gdx_roundtrip" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdx_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
-      // tmp dir persists across verify/bench runs on a shared host:
-      // vacuum old snapshots so manifests/data files don't accumulate
-      graft.sources.GdxSource.vacuum(dir,
-        graft.sources.GdxSource.driverConf(), keepLast = 2)
+      // per-run unique mutable root (Scratch): concurrent invocations
+      // of the same query must never share a GDX table they overwrite
+      val dir = graft.Scratch.tablePath("graft_gdx_")
       Tables.orders(s, d)
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
         .write.format("graft.sources.GdxSource").option("path", dir)
@@ -455,12 +452,9 @@ object RelationalOps extends QueryModule {
     // (absolute numbers grow per run; the query is idempotent because
     // overwrite starts each run's base snapshot empty).
     "s19_gdx_time_travel" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdxtt_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
-      // keepLast = 2: the query itself pins latest-1, so both snapshots
-      // it reads survive the vacuum; anything older is unreferenced
-      graft.sources.GdxSource.vacuum(dir,
-        graft.sources.GdxSource.driverConf(), keepLast = 2)
+      // per-run unique mutable root: both snapshots this run pins live
+      // in a directory no concurrent invocation can truncate
+      val dir = graft.Scratch.tablePath("graft_gdxtt_")
       val fmt = "graft.sources.GdxSource"
       def kv(df: org.apache.spark.sql.DataFrame) =
         df.select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
@@ -489,10 +483,7 @@ object RelationalOps extends QueryModule {
     // relational (oracle-verified); the pruning itself is plan- and
     // partition-count-asserted in GdxSourceSpec.
     "s20_gdx_zone_prune" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdxzm_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
-      graft.sources.GdxSource.vacuum(dir,
-        graft.sources.GdxSource.driverConf(), keepLast = 2)
+      val dir = graft.Scratch.tablePath("graft_gdxzm_")
       val fmt = "graft.sources.GdxSource"
       Tables.lineitem(s, d)
         .select(col("l_orderkey").as("k"), col("l_returnflag").as("v"))
@@ -513,10 +504,7 @@ object RelationalOps extends QueryModule {
     // them). This is the "select count(*) from a 100 TB table in
     // milliseconds" path every manifest-based table format provides.
     "s21_gdx_meta_agg" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdxmeta_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
-      graft.sources.GdxSource.vacuum(dir,
-        graft.sources.GdxSource.driverConf(), keepLast = 2)
+      val dir = graft.Scratch.tablePath("graft_gdxmeta_")
       val fmt = "graft.sources.GdxSource"
       Tables.orders(s, d)
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
@@ -535,10 +523,7 @@ object RelationalOps extends QueryModule {
     // the file-count halving rides along as a pinned boolean.
     // GdxSourceSpec pins the version/history half.
     "s22_gdx_compact" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdxcmp_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
-      graft.sources.GdxSource.vacuum(dir,
-        graft.sources.GdxSource.driverConf(), keepLast = 2)
+      val dir = graft.Scratch.tablePath("graft_gdxcmp_")
       val fmt = "graft.sources.GdxSource"
       Tables.orders(s, d)
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
@@ -1436,13 +1421,9 @@ object RelationalOps extends QueryModule {
     // `history_intact` claim pins the transactional half: the pre-merge
     // snapshot must still read back exactly as written (commits never
     // rewrite history — the MERGE is a new version, not an edit).
-    // Versions accrete across runs; vacuum(keepLast=2) bounds them and
-    // overwrite makes each run's base snapshot fresh.
     "c13_gdx_upsert" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdxmrg_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val dir = graft.Scratch.tablePath("graft_gdxmrg_")
       val gdx = graft.sources.GdxSource
-      gdx.vacuum(dir, gdx.driverConf(), keepLast = 2)
       val fmt = "graft.sources.GdxSource"
       val base = Tables.events(s, d).filter(col("event_id") % 2 === 0)
         .select(col("event_id").as("k"), col("event_type").as("v"))
@@ -1473,10 +1454,8 @@ object RelationalOps extends QueryModule {
     // version still reads back complete). The oracle recomputes the
     // delete as a WHERE NOT on the same rows.
     "c14_gdx_delete" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdxdel_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val dir = graft.Scratch.tablePath("graft_gdxdel_")
       val gdx = graft.sources.GdxSource
-      gdx.vacuum(dir, gdx.driverConf(), keepLast = 2)
       val fmt = "graft.sources.GdxSource"
       val base = Tables.events(s, d)
         .select(col("event_id").as("k"), col("event_type").as("v"))
@@ -1508,18 +1487,12 @@ object RelationalOps extends QueryModule {
     // k-pushdown, and metadata aggregates all survive evolution
     // because (k, v) stays the schema prefix (GdxSourceSpec pins each).
     "s23_gdx_schema_evolution" -> ((s, d) => {
-      // fresh table per invocation: each run replays the full evolution
-      // story (classic write → ADD COLUMN → evolved append) from zero —
-      // an overwrite into last run's already-evolved table would be a
-      // schema DOWNGRADE, which analysis rightly rejects
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdxevo_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(root); root.mkdirs()
-      val dir = new java.io.File(root, "table").getPath
+      // fresh PER-RUN table: each run replays the full evolution story
+      // (classic write → ADD COLUMN → evolved append) from zero — an
+      // overwrite into an already-evolved table would be a schema
+      // DOWNGRADE, which analysis rightly rejects — and no concurrent
+      // invocation can wipe this run's live table
+      val dir = graft.Scratch.tablePath("graft_gdxevo_")
       val gdx = graft.sources.GdxSource
       val fmt = "graft.sources.GdxSource"
       val ev = Tables.events(s, d)
@@ -1563,12 +1536,14 @@ object RelationalOps extends QueryModule {
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
           avg("l_quantity").as("avg_qty"), max("l_quantity").as("max_qty"))
         .withColumn("avg_qty", round(col("avg_qty"), 6))
+      // summary generations live at <mvPath>/v=N (atomic versioned
+      // promote), so the leaf check matches on the logical MV root
       val mvUsed = q.queryExecution.optimizedPlan.collectLeaves().forall {
         case org.apache.spark.sql.execution.datasources.LogicalRelation(
             fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
             _, _, _, _) =>
-          fs.location.rootPaths.forall(_.toString.endsWith(
-            new java.io.File(mvPath).getName))
+          fs.location.rootPaths.forall(_.toString.contains(
+            new java.io.File(mvPath).getAbsolutePath))
         case _ => false
       }
       q.withColumn("mv_used", lit(mvUsed))
@@ -1582,14 +1557,7 @@ object RelationalOps extends QueryModule {
     // the remaining columns are literal-expressible and the oracle is
     // a VALUES table.
     "s25_gdx_history" -> ((s, d) => {
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdxhist_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(root); root.mkdirs()
-      val dir = new java.io.File(root, "table").getPath
+      val dir = graft.Scratch.tablePath("graft_gdxhist_")
       val gdx = graft.sources.GdxSource
       val fmt = "graft.sources.GdxSource"
       def slice(lo: Long, hi: Long) = Tables.events(s, d)
@@ -1615,14 +1583,7 @@ object RelationalOps extends QueryModule {
     // vectors alone (no change journal exists anywhere). The oracle
     // recomputes the three change sets relationally.
     "s26_gdx_changes" -> ((s, d) => {
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdxcdf_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(root); root.mkdirs()
-      val dir = new java.io.File(root, "table").getPath
+      val dir = graft.Scratch.tablePath("graft_gdxcdf_")
       val gdx = graft.sources.GdxSource
       val fmt = "graft.sources.GdxSource"
       Tables.events(s, d)
@@ -1644,14 +1605,7 @@ object RelationalOps extends QueryModule {
     // at its own version (`interlude_visible` pins it). Rollback as a
     // versioned event, not history surgery.
     "s24_gdx_restore" -> ((s, d) => {
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdxres_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(root); root.mkdirs()
-      val dir = new java.io.File(root, "table").getPath
+      val dir = graft.Scratch.tablePath("graft_gdxres_")
       val gdx = graft.sources.GdxSource
       val fmt = "graft.sources.GdxSource"
       val base = Tables.events(s, d)
@@ -1676,10 +1630,8 @@ object RelationalOps extends QueryModule {
     // their exact name+size set), `history_intact` the snapshot-
     // isolation half. Oracle: the same update as a CASE projection.
     "c17_gdx_update" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdxupd_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val dir = graft.Scratch.tablePath("graft_gdxupd_")
       val gdx = graft.sources.GdxSource
-      gdx.vacuum(dir, gdx.driverConf(), keepLast = 2)
       val fmt = "graft.sources.GdxSource"
       val base = Tables.events(s, d)
         .select(col("event_id").as("k"), col("event_type").as("v"))
@@ -1715,13 +1667,10 @@ object RelationalOps extends QueryModule {
     // the fact table is scanned exactly once by the feed, the
     // dashboard query reads |groups| rows forever after.
     "c16_mv_incremental_refresh" -> ((s, d) => {
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_mvinc_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(root); root.mkdirs()
+      // per-run unique root: the GDX base, its MV registration (keyed
+      // by the per-run mvPath), and the stream checkpoint are all
+      // mutable — two concurrent runs must never share any of them
+      val root = graft.Scratch.dir("graft_mvinc_")
       val gdxDir = new java.io.File(root, "table").getPath
       val mvPath = new java.io.File(root, "mv").getPath
       val ck = new java.io.File(root, "ck").getPath
@@ -1766,7 +1715,7 @@ object RelationalOps extends QueryModule {
           min("k").as("min_k"), max("k").as("max_k"))
       val mvUsed = user.queryExecution.optimizedPlan.collectLeaves()
         .forall(l => graft.plans.MvRewrite.relationIdentity(l)
-          .forall(_.endsWith(new java.io.File(mvPath).getName)))
+          .forall(_.contains(new java.io.File(mvPath).getAbsolutePath)))
       user.withColumn("mv_used", lit(mvUsed)).orderBy("v")
     }),
 

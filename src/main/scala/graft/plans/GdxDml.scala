@@ -1,0 +1,168 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+  DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias,
+  UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** SQL DML FRONT DOOR for the GDX table format — `DELETE FROM` /
+  * `UPDATE` / `MERGE INTO` statements over a catalog table whose
+  * provider is GdxSource, routed to the engine's transactional row-level
+  * operations ([[graft.sources.GdxSource.delete]] — deletion vectors,
+  * [[graft.sources.GdxSource.update]] — DV + rewrite in one commit,
+  * [[graft.sources.GdxSource.merge]] — CAS'd LWW upsert).
+  *
+  * Spark's parser already produces the standard resolved plans
+  * (`DeleteFromTable`/`UpdateTable`/`MergeIntoTable`); this post-hoc
+  * resolution rule (injected by GraftExtensions) recognizes the GDX
+  * target and replaces the plan with a runnable command BEFORE the
+  * planner would reject the table for not implementing the (heavy)
+  * DSv2 `SupportsRowLevelOperations` machinery — the same extension
+  * seam Delta used for years. Non-GDX targets pass through untouched.
+  *
+  * Supported MERGE shape — the engine's merge contract, stated loudly:
+  * `ON t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+  * INSERT *` (key-equality LWW upsert). Conditional/partial-assignment
+  * merges raise a clear error instead of silently diverging from the
+  * transactional semantics the format actually provides. */
+object GdxDmlRule extends Rule[LogicalPlan] {
+
+  private def gdxPath(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => gdxPath(child)
+    case r: DataSourceV2Relation => r.table match {
+      case g: graft.sources.GdxTable => Some(g.tablePath)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Resolved condition → name-anchored expression: the engine re-reads
+    * the table in its own frame, so resolved AttributeReferences (whose
+    * exprIds belong to the statement's relation) are re-anchored by
+    * column name. */
+  private def byName(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d @ DeleteFromTable(tbl, cond) if d.childrenResolved =>
+      gdxPath(tbl) match {
+        case Some(p) => GdxDeleteCommand(p, byName(cond))
+        case None    => plan
+      }
+    case u @ UpdateTable(tbl, assignments, cond) if u.childrenResolved =>
+      gdxPath(tbl) match {
+        case Some(p) =>
+          val set = assignments.map {
+            case Assignment(k: AttributeReference, v) => k.name -> byName(v)
+            case other => fail(s"gdx UPDATE: unsupported assignment $other")
+          }
+          GdxUpdateCommand(p, set,
+            byName(cond.getOrElse(
+              org.apache.spark.sql.catalyst.expressions.Literal(true))))
+        case None => plan
+      }
+    case m: MergeIntoTable if m.childrenResolved =>
+      gdxPath(m.targetTable) match {
+        case Some(p) => rewriteMerge(p, m)
+        case None    => plan
+      }
+    case _ => plan
+  }
+
+  /** Only the LWW-upsert shape the engine's merge implements. */
+  private def rewriteMerge(path: String, m: MergeIntoTable): LogicalPlan = {
+    if (m.withSchemaEvolution)
+      fail("gdx MERGE: WITH SCHEMA EVOLUTION is not supported")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("gdx MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
+    // ON t.k = s.k (either side order): key-equality on the table key
+    val keyOk = m.mergeCondition match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        a.name == "k" && b.name == "k"
+      case _ => false
+    }
+    if (!keyOk)
+      fail("gdx MERGE: only ON <target>.k = <source>.k is supported " +
+        s"(got ${m.mergeCondition.sql})")
+    // WHEN MATCHED THEN UPDATE SET * — every target column assigned its
+    // same-named source column, unconditionally
+    def starAssignments(as: Seq[Assignment]): Boolean = as.forall {
+      case Assignment(k: AttributeReference, v: AttributeReference) =>
+        k.name == v.name
+      case _ => false
+    }
+    m.matchedActions match {
+      case Seq(UpdateAction(None, as, _)) if starAssignments(as) => ()
+      case other => fail("gdx MERGE: exactly one unconditional WHEN " +
+        s"MATCHED THEN UPDATE SET * is required (got $other)")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertAction(None, as)) if starAssignments(as) => ()
+      case other => fail("gdx MERGE: exactly one unconditional WHEN NOT " +
+        s"MATCHED THEN INSERT * is required (got $other)")
+    }
+    GdxMergeCommand(path, m.sourceTable)
+  }
+}
+
+/** `DELETE FROM <gdx table> WHERE ...` → deletion-vector commit.
+  * Returns (version, rows_deleted). */
+case class GdxDeleteCommand(path: String, cond: Expression)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GdxDml.versionRowsOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, n) = graft.sources.GdxSource.delete(spark, path,
+      ColumnBridge.column(cond))
+    Seq(Row(v.toLong, n))
+  }
+}
+
+/** `UPDATE <gdx table> SET ... WHERE ...` → DV + rewrite in one commit.
+  * Returns (version, rows_updated). */
+case class GdxUpdateCommand(path: String, set: Seq[(String, Expression)],
+                            cond: Expression)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GdxDml.versionRowsOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, n) = graft.sources.GdxSource.update(spark, path,
+      ColumnBridge.column(cond),
+      set.map { case (k, e) => k -> ColumnBridge.column(e) }.toMap)
+    Seq(Row(v.toLong, n))
+  }
+}
+
+/** `MERGE INTO <gdx table> USING <source> ON t.k = s.k ...` → CAS'd
+  * LWW upsert of the source frame. Returns (version). */
+case class GdxMergeCommand(path: String, source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override val output: Seq[Attribute] = GdxDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = ColumnBridge.ofRows(spark, source)
+    val v = graft.sources.GdxSource.merge(spark, path, src)
+    Seq(Row(v.toLong))
+  }
+}
+
+private[plans] object GdxDml {
+  def versionRowsOutput: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(StructField("version", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = false))))
+  def versionOutput: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(StructField("version", LongType, nullable = false))))
+}

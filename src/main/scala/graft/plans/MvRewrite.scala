@@ -10,8 +10,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation,
+  DataSourceV2ScanRelation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** MATERIALIZED-VIEW AUTO-REWRITE — an optimizer `Rule[LogicalPlan]`
   * that transparently answers aggregates over a base table from a
@@ -28,7 +31,7 @@ import org.apache.spark.sql.types.DoubleType
   *    aggregation at query time.
   *  - **rollup**: the query groups by a SUBSET of the MV's grouping
   *    columns → re-aggregate the summary (sum-of-sums, sum-of-counts,
-  *    min-of-mins, max-of-maxes; avg recomposed as Σsum/Σn), the
+  *    min-of-mins, max-of-maxes; avg recomposed as Σsum/Σcnt), the
   *    standard partial-aggregate compensation. Cost: an aggregate over
   *    |MV| rows instead of |base| rows.
   *
@@ -36,18 +39,38 @@ import org.apache.spark.sql.types.DoubleType
   * its file-source root paths (robust to column pruning and projection
   * reordering), requires every grouping expression to be a bare base
   * column ⊆ the MV's grouping set, and every aggregate to be one of
-  * count(*) / sum / min / max / avg over a covered measure, undistinct
-  * and unfiltered. Anything else — an extra Filter, an uncovered
-  * measure, count(DISTINCT) — leaves the plan untouched: the rewrite
-  * is an optimization, never a semantics change.
+  * count(*) / count(m) / sum / min / max / avg over a covered measure
+  * (plus count(DISTINCT dim) over a grouping column), unfiltered.
+  * Anything else — an extra non-dimension Filter, an uncovered measure
+  * — leaves the plan untouched: the rewrite is an optimization, never
+  * a semantics change. avg(m) and count(m) recompose through the
+  * per-measure `cnt_m = count(m)` partial, so NULL-bearing measures
+  * divide by the count of non-null values exactly as SQL avg does.
   *
   * STALENESS CONTRACT: a registration answers for the base table AS OF
-  * materialization; [[MvRewrite.materialize]] recomputes the summary
-  * and re-registers atomically (keyed by summary path), so refreshing
-  * the MV is one call. A production deployment would pin base-snapshot
-  * versions (the GDX manifest version is exactly the right token) and
-  * invalidate on base commit; session-lifetime registration is the
-  * harness-scale reduction of that.
+  * materialization. For a GDX base the manifest version is recorded in
+  * the [[MvRewrite.MvDef]] at (re)materialization/refresh time, and the
+  * rule STANDS DOWN whenever the live snapshot has advanced past the
+  * pinned one — a commit to the base makes the un-refreshed summary
+  * ineligible until the next `materialize`/`refreshIncremental` re-pins
+  * it (the changefeed topology of c16 does exactly that per
+  * micro-batch). Time-travel reads (`version`/`asOf` options) never
+  * match a summary at all: a historical query must read history.
+  * File-source (parquet) bases carry no snapshot token — for them the
+  * registration answers as-of materialization by contract, the
+  * harness-scale reduction of warehouse RELY constraints.
+  *
+  * ATOMIC (RE)MATERIALIZATION: every summary generation is written to
+  * a FRESH versioned directory under the logical MV root
+  * (`<path>/v=N` + `_commit-N` marker — the
+  * [[graft.pipeline.TableSwap]] object-store-safe protocol) and the
+  * in-memory registration is re-pointed at the new generation
+  * atomically; a registered generation's files are never overwritten
+  * in place. Readers planned against the previous registration keep
+  * executing against the previous generation's intact files; vacuum
+  * keeps the trailing [[MvRewrite.KeepGenerations]] generations so a
+  * concurrent query holding an older plan survives a refresh landing
+  * mid-flight.
   *
   * Registered via `SparkSessionExtensions.injectOptimizerRule`
   * (GraftExtensions) and, for foreign sessions, through
@@ -58,28 +81,29 @@ import org.apache.spark.sql.types.DoubleType
   */
 object MvRewrite {
 
+  /** Trailing summary generations retained by vacuum: the live one,
+    * plus two older ones so queries planned before up to two refreshes
+    * still read intact files. */
+  val KeepGenerations = 3
+
   /** One registered summary: base-table identity (file root paths),
-    * grouping set, covered measures, and the summary's analyzed scan
-    * plan with its column attributes. */
-  case class MvDef(basePaths: Set[String], groupCols: Seq[String],
-                   measureCols: Set[String], mvPlan: LogicalPlan,
+    * pinned GDX base snapshots (empty for file-source bases), grouping
+    * set, covered measures, the live generation's directory, and its
+    * analyzed scan plan with column attributes. */
+  case class MvDef(basePaths: Set[String], baseSnapshots: Map[String, Int],
+                   groupCols: Seq[String], measureCols: Set[String],
+                   genDir: String, mvPlan: LogicalPlan,
                    mvAttr: Map[String, Attribute])
 
-  /** Keyed by summary path: re-materializing the same MV REPLACES its
-    * registration (fresh file listing), so bench warmup + timed passes
-    * never plan against a deleted summary directory. */
+  /** Keyed by the LOGICAL summary root: re-materializing or refreshing
+    * the same MV atomically re-points its registration at the freshly
+    * committed generation directory, so bench warmup + timed passes
+    * never plan against deleted or half-written summary files. */
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
 
   private[graft] def clear(): Unit = registry.clear()
 
-  /** Build the summary for `base` grouped by `groupCols` — columns
-    * `n` (count), and `sum_m`/`min_m`/`max_m` per measure — write it
-    * to `path` (parquet, overwritten), register it for rewrite, and
-    * return the summary scan. The summary column set is exactly what
-    * [[MvRewriteRule]]'s compensation algebra needs: any
-    * count/sum/min/max/avg over a measure, at the MV grain or any
-    * coarser rollup of it, derives from these partials. */
   /** Ensure the rewrite rule runs on `spark` even when the session was
     * not built with GraftExtensions (foreign driver sessions):
     * experimental.extraOptimizations is the runtime-injection arm of
@@ -92,34 +116,68 @@ object MvRewrite {
   /** True while a summary is being (re)built on this thread: the
     * rewrite rule stands down so the build always reads the BASE —
     * otherwise a refresh of an already-registered MV would rewrite its
-    * own build query to scan the summary it is overwriting. */
+    * own build query to scan the summary it is replacing. */
   private val building = new ThreadLocal[java.lang.Boolean] {
     override def initialValue(): java.lang.Boolean = false
   }
   private[plans] def isBuilding: Boolean = building.get()
 
+  /** The summary column set [[MvRewriteRule]]'s compensation algebra
+    * needs: `n` (count(*)), and per measure `sum_m`/`cnt_m`/`min_m`/
+    * `max_m`. `cnt_m = count(m)` is what makes avg(m) and count(m)
+    * NULL-exact: SQL avg divides by non-null count, not row count. */
+  private def summaryAggs(measureCols: Seq[String]) =
+    count(lit(1)).as("n") +: measureCols.flatMap(m => Seq(
+      sum(col(m)).as(s"sum_$m"), count(col(m)).as(s"cnt_$m"),
+      min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")))
+
+  /** Commit a freshly-computed summary frame as the next generation
+    * under `path` and return the registered definition: write to the
+    * next `v=N` dir, one marker PUT as the commit point, re-point the
+    * registration, vacuum old generations. */
+  private def publishGeneration(spark: SparkSession, summary: DataFrame,
+                                path: String, basePaths: Set[String],
+                                baseSnapshots: Map[String, Int],
+                                groupCols: Seq[String],
+                                measureCols: Set[String]): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (v, genDir) = graft.pipeline.TableSwap.nextVersion(path, conf)
+    // the write is the action that runs the build plan through the
+    // optimizer — the rule must stand down HERE, or a re-materialize
+    // would answer its own build from the stale summary it replaces
+    building.set(true)
+    try summary.write.mode("overwrite").parquet(genDir)
+    finally building.set(false)
+    graft.pipeline.TableSwap.commitVersion(path, v, conf)
+    val mv = spark.read.parquet(genDir)
+    val mvPlan = mv.queryExecution.analyzed
+    registry.put(path, MvDef(basePaths, baseSnapshots, groupCols,
+      measureCols, genDir, mvPlan,
+      mvPlan.output.map(a => a.name -> a).toMap))
+    graft.pipeline.TableSwap.vacuumVersions(path, conf,
+      keepLast = KeepGenerations)
+    mv
+  }
+
+  /** Build the summary for `base` grouped by `groupCols`, publish it as
+    * a fresh committed generation under `path`, register it for
+    * rewrite (pinning any GDX base's current snapshot version), and
+    * return the summary scan. */
   def materialize(spark: SparkSession, base: DataFrame,
                   groupCols: Seq[String], measureCols: Seq[String],
                   path: String): DataFrame = {
     install(spark)
-    val aggs = count(lit(1)).as("n") +: measureCols.flatMap(m => Seq(
-      sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"),
-      max(col(m)).as(s"max_$m")))
-    building.set(true)
-    try base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(path)
-    finally building.set(false)
-    val mv = spark.read.parquet(path)
-    val mvPlan = mv.queryExecution.analyzed
-    val attrs = mvPlan.output.map(a => a.name -> a).toMap
-    registry.put(path, MvDef(rootPaths(base), groupCols,
-      measureCols.toSet, mvPlan, attrs))
-    mv
+    val aggs = summaryAggs(measureCols)
+    val summary =
+      base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    publishGeneration(spark, summary, path, rootPaths(base),
+      gdxSnapshots(base.queryExecution.analyzed), groupCols,
+      measureCols.toSet)
   }
 
   /** INCREMENTAL REFRESH — fold a DELTA of newly-appended base rows
     * into the summary without rescanning the base: aggregate the delta
-    * at MV grain, then merge partials (n and sums add; min/max take
+    * at MV grain, then merge partials (n/sums/cnts add; min/max take
     * min/max — valid because appends only ADD rows; a delete-bearing
     * refresh must re-materialize). This is the self-maintainable-view
     * algebra every summary column was chosen to satisfy, and the
@@ -127,57 +185,83 @@ object MvRewrite {
     * is O(delta + |MV|). Pairs naturally with the GDX changefeed — each
     * micro-batch IS the delta (c16_mv_incremental_refresh runs exactly
     * that topology). The registration must already exist (refresh
-    * refreshes; it does not define); it is re-pointed at the new
-    * summary files atomically at the end. */
+    * refreshes; it does not define); the merged summary lands as a NEW
+    * committed generation and the registration re-points atomically —
+    * the previous generation's files are never touched, and the GDX
+    * base snapshot pin advances to the live version. */
   def refreshIncremental(spark: SparkSession, delta: DataFrame,
                          path: String): DataFrame = {
     val d = Option(registry.get(path)).getOrElse(throw
       new IllegalStateException(s"mv refresh: $path is not registered"))
     install(spark)
-    building.set(true)
-    try {
-      val deltaAggs = count(lit(1)).as("n") +: d.measureCols.toSeq.sorted
-        .flatMap(m => Seq(sum(col(m)).as(s"sum_$m"),
-          min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")))
-      val deltaSum = delta.groupBy(d.groupCols.map(col): _*)
-        .agg(deltaAggs.head, deltaAggs.tail: _*)
-      val mergeAggs = sum(col("n")).as("n") +: d.measureCols.toSeq.sorted
-        .flatMap(m => Seq(sum(col(s"sum_$m")).as(s"sum_$m"),
-          min(col(s"min_$m")).as(s"min_$m"),
-          max(col(s"max_$m")).as(s"max_$m")))
-      val merged = spark.read.parquet(path).unionByName(deltaSum)
-        .groupBy(d.groupCols.map(col): _*)
-        .agg(mergeAggs.head, mergeAggs.tail: _*)
-        // pin rows BEFORE overwriting the files they were read from
-        .localCheckpoint()
-      merged.write.mode("overwrite").parquet(path)
-    } finally building.set(false)
-    val mv = spark.read.parquet(path)
-    val mvPlan = mv.queryExecution.analyzed
-    registry.put(path, d.copy(mvPlan = mvPlan,
-      mvAttr = mvPlan.output.map(a => a.name -> a).toMap))
-    mv
+    val ms = d.measureCols.toSeq.sorted
+    val deltaAggs = summaryAggs(ms)
+    val deltaSum = delta.groupBy(d.groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val mergeAggs = sum(col("n")).as("n") +: ms.flatMap(m => Seq(
+      sum(col(s"sum_$m")).as(s"sum_$m"),
+      sum(col(s"cnt_$m")).as(s"cnt_$m"),
+      min(col(s"min_$m")).as(s"min_$m"),
+      max(col(s"max_$m")).as(s"max_$m")))
+    val merged = spark.read.parquet(d.genDir).unionByName(deltaSum)
+      .groupBy(d.groupCols.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+    publishGeneration(spark, merged, path, d.basePaths,
+      d.baseSnapshots.map { case (p, _) => p -> currentGdxVersion(p) },
+      d.groupCols, d.measureCols)
   }
 
   /** Identity of a relation for base-table matching: file-source root
     * paths (v1), or the table name for DSv2 relations — GDX tables
     * embed their directory in `name()`, so a GDX base is matched the
-    * same way a parquet one is. Empty for anything else (never
-    * matches). */
+    * same way a parquet one is. A DSv2 relation pinned to a historical
+    * snapshot (`version`/`asOf` read options) gets NO identity: a
+    * time-travel aggregate must never be answered from the summary of
+    * the CURRENT snapshot. Empty for anything else (never matches). */
   private[graft] def relationIdentity(plan: LogicalPlan): Set[String] =
     plan match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths.map(_.toString).toSet
-      case r: org.apache.spark.sql.execution.datasources.v2
-          .DataSourceV2Relation => Set(r.table.name)
-      case s: org.apache.spark.sql.execution.datasources.v2
-          .DataSourceV2ScanRelation => Set(s.relation.table.name)
+      case r: DataSourceV2Relation =>
+        if (timeTravelPinned(r.options)) Set.empty else Set(r.table.name)
+      case s: DataSourceV2ScanRelation =>
+        if (timeTravelPinned(s.relation.options)) Set.empty
+        else Set(s.relation.table.name)
       case _ => Set.empty
     }
+
+  private def timeTravelPinned(o: CaseInsensitiveStringMap): Boolean =
+    o != null && (o.containsKey("version") || o.containsKey("asOf"))
 
   private def rootPaths(df: DataFrame): Set[String] =
     df.queryExecution.analyzed.collectLeaves()
       .flatMap(relationIdentity).toSet
+
+  /** GDX leaves of a base plan, pinned at their CURRENT snapshot
+    * version — the staleness token [[MvRewriteRule]] re-checks before
+    * every rewrite. */
+  private def gdxSnapshots(plan: LogicalPlan): Map[String, Int] =
+    plan.collectLeaves().flatMap {
+      case r: DataSourceV2Relation => gdxPathOf(r.table)
+      case s: DataSourceV2ScanRelation => gdxPathOf(s.relation.table)
+      case _ => None
+    }.map(p => p -> currentGdxVersion(p)).toMap
+
+  private def gdxPathOf(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[String] = t match {
+    case g: graft.sources.GdxTable => Some(g.tablePath)
+    case _ => None
+  }
+
+  private def currentGdxVersion(p: String): Int =
+    (graft.sources.GdxSource.listVersions(p,
+      graft.sources.GdxSource.driverConf()) :+ 0).max
+
+  /** False when any pinned GDX base snapshot has advanced past the
+    * version recorded at (re)materialization — the summary is stale
+    * and the rule must stand down until a refresh re-pins it. */
+  private[plans] def isFresh(d: MvDef): Boolean =
+    d.baseSnapshots.forall { case (p, v) => currentGdxVersion(p) == v }
 
   private[plans] def defs: Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
@@ -226,6 +310,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
                          d: MvRewrite.MvDef): Option[LogicalPlan] = {
     val (paths, filterCond) = baseRelation(agg.child).getOrElse(return None)
     if (paths != d.basePaths || paths.isEmpty) return None
+    // staleness stand-down: a GDX base that has committed past the
+    // pinned snapshot makes the summary ineligible until refreshed
+    if (!MvRewrite.isFresh(d)) return None
     // a filter commutes with the MV's grouping ONLY when it touches
     // nothing but grouping columns (then every base row of an MV cell
     // passes or fails together) — anything else leaves the plan alone
@@ -248,6 +335,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         .AggregateFunction): Option[Expression] = fn match {
       case Count(Seq(Literal(1, _))) =>
         Some(if (exact) mv("n") else aggExpr(Sum(mv("n"))))
+      // count(m): rows where the measure is non-null — the cnt_m
+      // partial, summed at rollup grain
+      case Count(Seq(a: AttributeReference))
+          if d.measureCols.contains(a.name) =>
+        Some(if (exact) mv(s"cnt_${a.name}")
+             else aggExpr(Sum(mv(s"cnt_${a.name}"))))
       case Sum(a: AttributeReference, _)
           if d.measureCols.contains(a.name) =>
         Some(if (exact) mv(s"sum_${a.name}")
@@ -262,14 +355,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
              else aggExpr(Max(mv(s"max_${a.name}"))))
       case Average(a: AttributeReference, _)
           if d.measureCols.contains(a.name) =>
-        // avg decomposes: Σsum / Σn (exact grain: sum/n) — the
-        // partial-aggregate recomposition sum-of-sums over
-        // sum-of-counts, NOT avg-of-avgs
+        // avg decomposes: Σsum / Σcnt (exact grain: sum/cnt) — the
+        // partial-aggregate recomposition over the NON-NULL count
+        // cnt_m, never the row count n: SQL avg ignores NULL measure
+        // values, and on an all-NULL cell sum is NULL so the quotient
+        // stays NULL exactly like avg would
         val (s, n) =
           if (exact) (mv(s"sum_${a.name}"): Expression,
-            mv("n"): Expression)
+            mv(s"cnt_${a.name}"): Expression)
           else (aggExpr(Sum(mv(s"sum_${a.name}"))),
-            aggExpr(Sum(mv("n"))))
+            aggExpr(Sum(mv(s"cnt_${a.name}"))))
         Some(Divide(Cast(s, DoubleType), Cast(n, DoubleType)))
       case _ => None
     }
@@ -284,14 +379,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case AggregateExpression(fn, Complete, false, None, _) => fnRepl(fn)
       // count(DISTINCT dim) over a GROUPING column: each distinct
-      // (grain, dim) pair is exactly one MV row, so at a coarser grain
-      // the distinct count is a plain count of the summary's non-null
-      // dim cells — the one DISTINCT the summary CAN answer
+      // (grain, dim) combination is one MV row, so the distinct count
+      // survives as count(DISTINCT mv(dim)) — kept DISTINCT, which is
+      // correct at EVERY grain: with extra grain columns (MV on
+      // (a,b,c), query groupBy(a).agg(countDistinct(b))) a plain count
+      // of summary cells would count each (b,c) cell and overcount
       case AggregateExpression(Count(Seq(a: AttributeReference)),
           Complete, true, None, _)
           if !exact && d.groupCols.contains(a.name) &&
             !groupNames.contains(a.name) =>
-        Some(aggExpr(Count(Seq(mv(a.name)))))
+        Some(AggregateExpression(Count(Seq(mv(a.name))), Complete,
+          isDistinct = true))
       case _: AggregateExpression => None // other DISTINCT / FILTER
       case a: AttributeReference =>
         if (groupNames.contains(a.name)) Some(mv(a.name)) else None

@@ -621,7 +621,13 @@ object GdxSource {
             .getOrElse(new Path(base, tmp))
           val dst = new Path(base, fin)
           if (src != dst) {
-            if (fs.exists(dst)) fs.delete(dst, false)
+            // never delete an existing dst: tmp names carry a per-write
+            // UUID so dst can only exist if a concurrent writer's
+            // committed manifest already references it — deleting it
+            // would orphan that snapshot. Collision = loud failure.
+            require(!fs.exists(dst),
+              s"gdx commit: destination $fin already exists — " +
+                "refusing to clobber a possibly-committed file")
             require(fs.rename(src, dst),
               s"gdx commit: rename $src -> $fin failed")
           }
@@ -1284,6 +1290,9 @@ object GdxSource {
 
 class GdxTable(path: String, tableSchema: StructType = GdxSource.schema)
     extends Table with SupportsRead with SupportsWrite {
+  /** The table's directory — the snapshot-version lookup key MV
+    * staleness pinning uses (plans/MvRewrite.gdxSnapshots). */
+  private[graft] def tablePath: String = path
   override def name(): String = s"gdx($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -1334,10 +1343,13 @@ class GdxScanBuilder(path: String, version: Int,
       case LessThan("k", _: Number)           => true
       case LessThanOrEqual("k", _: Number)    => true
       case EqualTo("v", _: String)            => true
-      // k/v are never NULL in this format (every line parses both), so
-      // derived IsNotNull guards are trivially satisfied reader-side —
-      // accepting them keeps the post-scan filter EMPTY, which is the
-      // precondition for aggregate pushdown
+      // k is never NULL (the writer rejects null keys), so a derived
+      // IsNotNull("k") guard is trivially satisfied reader-side —
+      // accepting it keeps the post-scan filter EMPTY, which is the
+      // precondition for aggregate pushdown. IsNotNull("v") is NOT
+      // vacuous: null v round-trips through the \N marker, so it is
+      // accepted as pushed and ENFORCED row-level in the reader's
+      // keep() (Spark trusts pushed filters and never re-checks them).
       case IsNotNull("k") | IsNotNull("v")    => true
       case _                                  => false
     }
@@ -1372,17 +1384,19 @@ class GdxScanBuilder(path: String, version: Int,
   private var metaComplete = false
 
   /** COMPLETE pushdown — the metadata-only query: when every manifest
-    * entry publishes a zone map and no row-filtering predicate is
-    * pushed (IsNotNull guards are vacuous — k/v never parse as NULL),
-    * ungrouped COUNT(*)/MIN(k)/MAX(k) are EXACTLY the manifest sums:
-    * no file is opened at all. Otherwise falls back to partial
+    * entry publishes a zone map and no ROW-FILTERING predicate is
+    * pushed, ungrouped COUNT(*)/MIN(k)/MAX(k) are EXACTLY the manifest
+    * sums: no file is opened at all. Only IsNotNull("k") is vacuous
+    * here — k never parses as NULL. IsNotNull("v") DOES filter rows
+    * (null v round-trips via \N), so its presence forces the per-file
+    * fold like any other predicate. Otherwise falls back to partial
     * pushdown: ONE pre-aggregated row per file, Spark merges. */
   override def supportCompletePushDown(agg: Aggregation): Boolean = {
     // a deletion vector invalidates the manifest's row counts AND can
     // have deleted the extremal k — DV'd snapshots fall back to partial
     // pushdown (per-file fold over the DV-applied reader, still exact)
     metaComplete = aggShape(agg).isDefined &&
-      pushed.forall(_.isInstanceOf[IsNotNull]) &&
+      pushed.forall { case IsNotNull("k") => true; case _ => false } &&
       GdxSource.committedEntries(path, GdxSource.driverConf(), version)
         .forall(e => e.stats.isDefined && e.dv.isEmpty)
     metaComplete
@@ -1710,6 +1724,10 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
     case EqualTo("v", want: String)         => v == want
     case org.apache.spark.sql.sources.In("k", vs) => // runtime key set
       vs.exists { case w: Number => k == w.longValue; case _ => true }
+    // pushed filters are TRUSTED by Spark (never re-checked post-scan),
+    // so IsNotNull("v") must be enforced here: a null v is stored as
+    // the \N marker and materializes back as NULL
+    case IsNotNull("v")                     => v != GdxSource.NullMarker
     case IsNotNull(_)                       => true
     case _                                  => true
   }
@@ -1903,11 +1921,19 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
                     schema: StructType = GdxSource.schema)
     extends DataWriter[InternalRow] {
   // `tag` carries the streaming epoch so re-attempts of the same
-  // (partition, task) across epochs can never collide on a tmp name
-  private val name = f"part-$tag$partitionId%05d-$taskId.gdx.tmp"
+  // (partition, task) across epochs can never collide on a tmp name;
+  // the per-write UUID makes the name unique ACROSS APPLICATIONS too —
+  // task ids restart from 0 per app, so two processes appending
+  // concurrently would otherwise claim the same tmp (and the winning
+  // commit's renamed file could be clobbered by the loser's retry)
+  private val name = f"part-$tag$partitionId%05d-$taskId-" +
+    java.util.UUID.randomUUID().toString + ".gdx.tmp"
   private val target = new Path(path, name)
+  // overwrite=false: with UUID'd names a collision is impossible, so
+  // an existing target is a bug worth failing loudly on, never data
+  // to silently replace
   private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-    target.getFileSystem(conf.conf).create(target, true), "UTF-8"))
+    target.getFileSystem(conf.conf).create(target, false), "UTF-8"))
 
   // zone map accumulated as rows stream through — an empty task keeps
   // the inverted sentinel range (minK > maxK), which the manifest

@@ -454,10 +454,10 @@ object StreamingOps extends QueryModule {
     // batch = full snapshot, later batches = added files only; the
     // GdxSourceSpec changefeed test pins the per-commit batching).
     "stream_gdx_changefeed" -> ((s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdxfeed_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
-      graft.sources.GdxSource.vacuum(dir,
-        graft.sources.GdxSource.driverConf(), keepLast = 2)
+      // per-run unique mutable root (graft.Scratch): a concurrent run
+      // of this query must never truncate the table this run's
+      // changefeed is mid-drain on
+      val dir = graft.Scratch.tablePath("graft_gdxfeed_")
       val fmt = "graft.sources.GdxSource"
       def kv(lo: Long, hi: Long) = graft.Tables.orders(s, d)
         .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
@@ -482,13 +482,8 @@ object StreamingOps extends QueryModule {
     // stream committed. The table dir is wiped per invocation so the
     // result is the events table exactly once, run after run.
     "stream_gdx_sink" -> ((s, d) => {
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdxsink_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(root); root.mkdirs()
+      // per-run unique root: sink table + checkpoint are mutable state
+      val root = graft.Scratch.dir("graft_gdxsink_")
       val dir = new java.io.File(root, "table").getPath
       val ck = new java.io.File(root, "ck").getPath
       val q = eventsStream(s, d)
@@ -516,13 +511,9 @@ object StreamingOps extends QueryModule {
     // (GdxSourceSpec) is what makes the per-batch truncate commit safe
     // against any concurrent writer on the target.
     "stream_gdx_upsert" -> ((s, d) => {
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_gdxups_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(root); root.mkdirs()
+      // per-run unique root: feed, target table, and checkpoint are
+      // all mutable — concurrent self-invocations stay disjoint
+      val root = graft.Scratch.dir("graft_gdxups_")
       val src = new java.io.File(root, "feed").getPath
       val tgt = new java.io.File(root, "table").getPath
       val ck = new java.io.File(root, "ck").getPath

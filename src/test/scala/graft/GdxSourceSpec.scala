@@ -271,6 +271,30 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
       .collect().head.toSeq === Seq(150L, 1L, 150L))
   }
 
+  test("IS NOT NULL on v filters stored nulls (never vacuously pushed)") {
+    val dir = freshDir("nnv")
+    // null v round-trips via the \N marker; IsNotNull("v") is pushed
+    // AND enforced reader-side (Spark never re-checks pushed filters)
+    Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (4L, None))
+      .toDF("k", "ov").select(col("k"), col("ov").as("v"))
+      .write.format("graft.sources.GdxSource")
+      .option("path", dir).mode("append").save()
+    val df = read(dir).filter(col("v").isNotNull)
+    assert(df.as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (3L, "c")))
+    // count under the v-predicate must fold per file, never answer
+    // from manifest row counts (those include the null-v rows)
+    val agg = read(dir).filter(col("v").isNotNull).agg(count(lit(1)))
+    assert(!agg.queryExecution.executedPlan.toString.contains("COMPLETE"),
+      "IsNotNull(v) filters rows - manifest counts would overcount")
+    assert(agg.collect().head.getLong(0) === 2L)
+    // IsNotNull(k) alone IS vacuous: still the metadata-only path
+    val aggK = read(dir).filter(col("k").isNotNull).agg(count(lit(1)))
+    assert(aggK.queryExecution.executedPlan.toString
+      .contains("COMPLETE(manifest)"))
+    assert(aggK.collect().head.getLong(0) === 4L)
+  }
+
   test("legacy stats-less manifests still read, never prune") {
     import scala.jdk.CollectionConverters._
     val dir = freshDir("legacy")

@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Materialized-view auto-rewrite (plans/MvRewrite.scala): queries
   * written against the base table must be answered from the summary
-  * when derivable — and left alone when not. */
+  * when derivable — and left alone when not. Summaries live in
+  * versioned generation directories (`<path>/v=N`) committed through
+  * the TableSwap marker protocol, so assertions match on the MV root
+  * prefix rather than an exact directory. */
 class MvRewriteSpec extends SparkSuite {
   import spark.implicits._
 
@@ -17,8 +20,14 @@ class MvRewriteSpec extends SparkSuite {
       case org.apache.spark.sql.execution.datasources.LogicalRelation(
           fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
           _, _, _, _) => fs.location.rootPaths.map(_.toString)
-      case _ => Seq.empty
+      case l => Seq(l.nodeName + "#" + l.hashCode)
     }.toSet
+
+  /** Every leaf is a generation dir of this MV root. */
+  private def onMv(df: DataFrame, mvPath: String): Boolean = {
+    val ps = leafPaths(df)
+    ps.nonEmpty && ps.forall(_.startsWith(s"file:$mvPath/v="))
+  }
 
   private def writeBase(): String = {
     val dir = tmp("base")
@@ -37,7 +46,7 @@ class MvRewriteSpec extends SparkSuite {
     val q = base.groupBy("g1", "g2")
       .agg(count(lit(1)).as("n"), sum("m1").as("s1"), avg("m1").as("a1"),
         min("m2").as("mn2"), max("m2").as("mx2"))
-    assert(leafPaths(q) === Set(s"file:$mvPath"),
+    assert(onMv(q, mvPath),
       s"expected an MV-only plan, got ${q.queryExecution.optimizedPlan}")
     // no aggregation at query time: the optimized plan has no Aggregate
     assert(q.queryExecution.optimizedPlan.collect {
@@ -59,12 +68,42 @@ class MvRewriteSpec extends SparkSuite {
     val q = base.groupBy("g1")
       .agg(count(lit(1)).as("n"), sum("m1").as("s1"), avg("m1").as("a1"),
         min("m2").as("mn2"), max("m2").as("mx2"))
-    assert(leafPaths(q) === Set(s"file:$mvPath"),
+    assert(onMv(q, mvPath),
       s"expected an MV-only plan, got ${q.queryExecution.optimizedPlan}")
     val got = q.orderBy("g1").collect().map(_.toSeq)
     assert(got === Array(
       Seq("a", 3L, 6.0, 2.0, 5L, 20L),
       Seq("b", 3L, 15.0, 5.0, 1L, 9L)))
+  }
+
+  test("avg and count over a NULL-bearing measure stay SQL-exact") {
+    // m1 carries NULLs: avg must divide by count(m1), NOT by count(*),
+    // at exact grain and rollup grain alike; an all-NULL cell is NULL
+    val dir = tmp("nulls")
+    Seq(("a", "x", Some(2.0)), ("a", "x", None), ("a", "y", None),
+      ("b", "x", Some(4.0)), ("b", "x", Some(6.0)), ("b", "y", Some(1.0)))
+      .toDF("g1", "g2", "m1")
+      .write.mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir)
+    val expectExact = base.groupBy("g1", "g2")
+      .agg(avg("m1").as("a1"), count("m1").as("c1"))
+      .orderBy("g1", "g2").collect().map(_.toSeq)
+    val expectRoll = base.groupBy("g1")
+      .agg(avg("m1").as("a1"), count("m1").as("c1"))
+      .orderBy("g1").collect().map(_.toSeq)
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("g1", "g2"),
+      Seq("m1"), mvPath)
+    val qe = base.groupBy("g1", "g2")
+      .agg(avg("m1").as("a1"), count("m1").as("c1"))
+    assert(onMv(qe, mvPath), s"got ${qe.queryExecution.optimizedPlan}")
+    assert(qe.orderBy("g1", "g2").collect().map(_.toSeq) === expectExact)
+    assert(expectExact.exists(_(2) == null),
+      "fixture must exercise the all-NULL cell")
+    val qr = base.groupBy("g1")
+      .agg(avg("m1").as("a1"), count("m1").as("c1"))
+    assert(onMv(qr, mvPath), s"got ${qr.queryExecution.optimizedPlan}")
+    assert(qr.orderBy("g1").collect().map(_.toSeq) === expectRoll)
   }
 
   test("dimension filters are compensated on the summary") {
@@ -76,14 +115,14 @@ class MvRewriteSpec extends SparkSuite {
     // filter re-anchors onto the summary and the rollup proceeds
     val q = base.filter(col("g2") === "y").groupBy("g1")
       .agg(count(lit(1)).as("n"), sum("m1").as("s1"))
-    assert(leafPaths(q) === Set(s"file:$mvPath"),
+    assert(onMv(q, mvPath),
       s"expected an MV-only plan, got ${q.queryExecution.optimizedPlan}")
     assert(q.orderBy("g1").collect().map(_.toSeq) ===
       Array(Seq("a", 1L, 3.0), Seq("b", 2L, 11.0)))
     // exact grain + dimension filter: remap only, no re-aggregation
     val q2 = base.filter(col("g1") =!= "a").groupBy("g1", "g2")
       .agg(sum("m1").as("s1"))
-    assert(leafPaths(q2) === Set(s"file:$mvPath"))
+    assert(onMv(q2, mvPath))
     assert(q2.orderBy("g1", "g2").collect().map(_.toSeq) ===
       Array(Seq("b", "x", 4.0), Seq("b", "y", 11.0)))
   }
@@ -100,7 +139,7 @@ class MvRewriteSpec extends SparkSuite {
       .withColumn("a1", round(col("a1"), 2))
       .withColumn("flag", lit(true))
       .orderBy("g1")
-    assert(leafPaths(q) === Set(s"file:$mvPath"),
+    assert(onMv(q, mvPath),
       s"expected an MV-only plan, got ${q.queryExecution.optimizedPlan}")
     assert(q.collect().map(_.toSeq) ===
       Array(Seq("a", 2.0, 6.0, true), Seq("b", 5.0, 15.0, true)))
@@ -115,18 +154,38 @@ class MvRewriteSpec extends SparkSuite {
     // preserved exprIds keep it resolvable untouched
     val having = base.groupBy("g1").agg(sum("m1").as("s1"))
       .filter(col("s1") > 10.0)
-    assert(leafPaths(having) === Set(s"file:$mvPath"))
+    assert(onMv(having, mvPath))
     assert(having.collect().map(_.toSeq) === Array(Seq("b", 15.0)))
-    // count(DISTINCT g2) at a coarser grain = count of MV cells
+    // count(DISTINCT g2) at a coarser grain
     val cd = base.groupBy("g1")
       .agg(countDistinct("g2").as("nd"), sum("m1").as("s1"))
-    assert(leafPaths(cd) === Set(s"file:$mvPath"),
-      s"got ${cd.queryExecution.optimizedPlan}")
+    assert(onMv(cd, mvPath), s"got ${cd.queryExecution.optimizedPlan}")
     assert(cd.orderBy("g1").collect().map(_.toSeq) ===
       Array(Seq("a", 2L, 6.0), Seq("b", 2L, 15.0)))
     // count(DISTINCT measure) stays on the base — not derivable
-    assert(leafPaths(base.groupBy("g1").agg(countDistinct("m1"))) !=
-      Set(s"file:$mvPath"))
+    assert(!onMv(base.groupBy("g1").agg(countDistinct("m1")), mvPath))
+  }
+
+  test("count(DISTINCT dim) is exact when the grain has EXTRA columns") {
+    // MV grain (g1, g2, g3); query groupBy(g1).agg(countDistinct(g2)).
+    // Each distinct (g2, g3) pair is its own MV cell, so a NON-distinct
+    // count of summary rows would overcount g2 — the rewrite must stay
+    // DISTINCT over the summary's g2 cells.
+    val dir = tmp("grain3")
+    Seq(("a", "x", "p", 1.0), ("a", "x", "q", 2.0), ("a", "y", "p", 3.0),
+      ("b", "x", "p", 4.0), ("b", "x", "q", 5.0), ("b", "x", "r", 6.0))
+      .toDF("g1", "g2", "g3", "m1")
+      .write.mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir)
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("g1", "g2", "g3"),
+      Seq("m1"), mvPath)
+    val q = base.groupBy("g1")
+      .agg(countDistinct("g2").as("nd"), sum("m1").as("s1"))
+    assert(onMv(q, mvPath), s"got ${q.queryExecution.optimizedPlan}")
+    // a: g2 ∈ {x, y} → 2 (3 MV cells); b: g2 ∈ {x} → 1 (3 MV cells)
+    assert(q.orderBy("g1").collect().map(_.toSeq) ===
+      Array(Seq("a", 2L, 6.0), Seq("b", 1L, 15.0)))
   }
 
   test("uncoverable shapes are left on the base table") {
@@ -166,16 +225,54 @@ class MvRewriteSpec extends SparkSuite {
     // queries over the grown base answer from the refreshed summary
     val base2 = spark.read.parquet(baseDir)
     val q = base2.groupBy("g1").agg(count(lit(1)).as("n"),
-      sum("m1").as("s1"), min("m2").as("mn2"), max("m2").as("mx2"))
-    assert(leafPaths(q) === Set(s"file:$mvPath"))
+      sum("m1").as("s1"), avg("m1").as("a1"),
+      min("m2").as("mn2"), max("m2").as("mx2"))
+    assert(onMv(q, mvPath))
     assert(q.orderBy("g1").collect().map(_.toSeq) === Array(
-      Seq("a", 4L, 16.0, 5L, 100L),
-      Seq("b", 3L, 15.0, 1L, 9L),
-      Seq("c", 1L, 7.0, 3L, 3L)))
+      Seq("a", 4L, 16.0, 4.0, 5L, 100L),
+      Seq("b", 3L, 15.0, 5.0, 1L, 9L),
+      Seq("c", 1L, 7.0, 7.0, 3L, 3L)))
     // refreshing an unregistered path is a loud error
     intercept[IllegalStateException] {
       plans.MvRewrite.refreshIncremental(spark, delta, tmp("nope"))
     }
+  }
+
+  test("refresh is an atomic generation swap readers survive") {
+    // a reader thread hammers the rewritten query while refreshes land:
+    // every read must see a consistent summary generation — no
+    // FileNotFound from an in-place overwrite, monotone row counts
+    val baseDir = tmp("swapbase")
+    Seq(("a", 1.0), ("b", 2.0)).toDF("g1", "m1")
+      .write.mode("overwrite").parquet(baseDir)
+    val base = spark.read.parquet(baseDir)
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("g1"), Seq("m1"), mvPath)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val rows = spark.read.parquet(baseDir).groupBy("g1")
+            .agg(sum("m1").as("s1")).collect()
+          assert(rows.nonEmpty)
+        } catch { case t: Throwable => failures.add(t); stop.set(true) }
+      }
+    })
+    reader.start()
+    try {
+      for (i <- 1 to 6) {
+        val delta = Seq((s"g$i", i.toDouble)).toDF("g1", "m1")
+        plans.MvRewrite.refreshIncremental(spark, delta, mvPath)
+      }
+    } finally { stop.set(true); reader.join(30000) }
+    assert(failures.isEmpty, s"concurrent reader failed: ${failures.peek}")
+    // the registration points at the newest generation; old gens are
+    // vacuumed down to the retention window
+    val gens = graft.pipeline.TableSwap.committedVersions(mvPath,
+      spark.sessionState.newHadoopConf())
+    assert(gens.size <= plans.MvRewrite.KeepGenerations)
+    assert(gens.max === 7, s"6 refreshes after materialize → gen 7: $gens")
   }
 
   test("the coarsest matching summary wins deterministically") {
@@ -187,14 +284,13 @@ class MvRewriteSpec extends SparkSuite {
     // a g1-grain query matches BOTH; the coarse (smaller) summary must
     // be chosen, and exactly (no re-aggregation at its own grain)
     val q = base.groupBy("g1").agg(sum("m1").as("s1"))
-    assert(leafPaths(q) === Set(s"file:$coarse"),
+    assert(onMv(q, coarse),
       s"expected the coarse summary, got ${q.queryExecution.optimizedPlan}")
     assert(q.queryExecution.optimizedPlan.collect {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.isEmpty, "exact grain on the coarse MV needs no re-aggregation")
     // a (g1, g2)-grain query can only use the fine summary
-    assert(leafPaths(base.groupBy("g1", "g2").agg(sum("m1"))) ===
-      Set(s"file:$fine"))
+    assert(onMv(base.groupBy("g1", "g2").agg(sum("m1")), fine))
     plans.MvRewrite.clear()
   }
 
@@ -209,8 +305,69 @@ class MvRewriteSpec extends SparkSuite {
     val base2 = spark.read.parquet(baseDir)
     plans.MvRewrite.materialize(spark, base2, Seq("g1"), Seq("m1"), mvPath)
     val q = base2.groupBy("g1").agg(sum("m1").as("s1"))
-    assert(leafPaths(q) === Set(s"file:$mvPath"))
+    assert(onMv(q, mvPath))
     assert(q.orderBy("g1").collect().map(_.toSeq) ===
       Array(Seq("a", 6.0), Seq("b", 15.0), Seq("c", 100.0)))
+  }
+
+  test("a GDX base commit makes the summary ineligible until refreshed") {
+    val dir = tmp("gdxbase") + "/t"
+    val fmt = "graft.sources.GdxSource"
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val base = spark.read.format(fmt).option("path", dir).load()
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("v"), Seq("k"), mvPath)
+    def q() = spark.read.format(fmt).option("path", dir).load()
+      .groupBy("v").agg(count(lit(1)).as("n"), sum("k").as("s"))
+    def usesMv(df: DataFrame): Boolean = {
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      leaves.flatMap(plans.MvRewrite.relationIdentity)
+        .forall(_.contains(mvPath))
+    }
+    assert(usesMv(q()), "fresh summary must answer the base query")
+    // the base advances: the un-refreshed summary must STAND DOWN and
+    // the query must read the (new) base — correct, not stale
+    Seq((4L, "b")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val afterCommit = q()
+    assert(!usesMv(afterCommit),
+      s"stale summary must not answer: " +
+        s"${afterCommit.queryExecution.optimizedPlan}")
+    assert(afterCommit.orderBy("v").collect().map(_.toSeq) ===
+      Array(Seq("a", 2L, 3L), Seq("b", 2L, 7L)))
+    // refresh with the delta re-pins the snapshot → eligible again
+    plans.MvRewrite.refreshIncremental(spark,
+      Seq((4L, "b")).toDF("k", "v"), mvPath)
+    val afterRefresh = q()
+    assert(usesMv(afterRefresh), "refreshed summary must answer again")
+    assert(afterRefresh.orderBy("v").collect().map(_.toSeq) ===
+      Array(Seq("a", 2L, 3L), Seq("b", 2L, 7L)))
+    plans.MvRewrite.clear()
+  }
+
+  test("time-travel reads are never answered from the summary") {
+    val dir = tmp("gdxtt") + "/t"
+    val fmt = "graft.sources.GdxSource"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    Seq((3L, "b")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val base = spark.read.format(fmt).option("path", dir).load()
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("v"), Seq("k"), mvPath)
+    // version-pinned historical aggregate: must read history, not the
+    // current-snapshot summary
+    val hist = spark.read.format(fmt).option("path", dir)
+      .option("version", "1").load()
+      .groupBy("v").agg(count(lit(1)).as("n"))
+    val ids = hist.queryExecution.optimizedPlan.collectLeaves()
+      .flatMap(plans.MvRewrite.relationIdentity)
+    assert(!ids.exists(_.contains(mvPath)),
+      s"time travel rewrote onto the summary: " +
+        s"${hist.queryExecution.optimizedPlan}")
+    assert(hist.orderBy("v").collect().map(_.toSeq) ===
+      Array(Seq("a", 1L), Seq("b", 1L)))
+    plans.MvRewrite.clear()
   }
 }
