@@ -1654,6 +1654,52 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // C18 — SQL DML FRONT DOOR for the GDX format: the same
+    // transactional row-level operations c13/c14/c17 drive through the
+    // Scala API, here driven end to end through spark.sql — CREATE
+    // TABLE USING, then UPDATE (DV + rewrite), DELETE FROM (deletion
+    // vectors), MERGE INTO (CAS'd LWW upsert) — via the GdxDmlRule
+    // post-hoc resolution rule GraftExtensions injects. The oracle
+    // recomputes the whole DML chain relationally (CASE update,
+    // WHERE-NOT delete, full-outer LWW merge), and `versions_ok` pins
+    // the transactional ledger: exactly ONE commit per statement, in
+    // statement order.
+    "c18_gdx_sql_dml" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxsql_")
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val tbl = s"gdx_dml_$tag"
+      val srcView = s"gdx_dml_src_$tag"
+      val fmt = "graft.sources.GdxSource"
+      s.sql(s"""CREATE TABLE $tbl (k BIGINT, v STRING)
+        USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+      try {
+        Tables.events(s, d)
+          .select(col("event_id").as("k"), col("event_type").as("v"))
+          .write.format(fmt).option("path", dir).mode("append").save()
+        s.sql(s"UPDATE $tbl SET v = concat('U_', v) WHERE k % 9 = 4")
+        s.sql(s"DELETE FROM $tbl WHERE k % 10 = 6")
+        Tables.events(s, d).filter(col("event_id") < 500)
+          .select(col("event_id").as("k"),
+            concat(lit("M_"), col("event_type")).as("v"))
+          .createOrReplaceTempView(srcView)
+        s.sql(s"""MERGE INTO $tbl t USING $srcView s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        val versionsOk = graft.sources.GdxSource.listVersions(dir,
+          graft.sources.GdxSource.driverConf()) == Seq(1, 2, 3, 4)
+        // read via the path (not the catalog name): the returned frame
+        // outlives the finally-block's DROP TABLE
+        s.read.format(fmt).option("path", dir).load()
+          .select(col("k"), col("v"))
+          .withColumn("versions_ok", lit(versionsOk))
+          .orderBy("k")
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.catalog.dropTempView(srcView)
+        ()
+      }
+    }),
+
     // C16 — CHANGEFEED-MAINTAINED MATERIALIZED VIEW: the full
     // composition of the engine's table format and MV tiers. A summary
     // is registered over an EMPTY GDX table, the events keyset lands
@@ -2339,6 +2385,20 @@ object RelationalOps extends QueryModule {
         |       ELSE event_type END AS v,
         |  TRUE AS originals_intact, TRUE AS history_intact
         |FROM events ORDER BY k""".stripMargin,
+    // the SQL DML chain recomputed relationally: CASE update, WHERE-NOT
+    // delete, full-outer LWW merge; the one-commit-per-statement ledger
+    // claim is pinned TRUE
+    "c18_gdx_sql_dml" ->
+      """WITH base AS (SELECT event_id AS k, event_type AS v FROM events),
+        |u AS (SELECT k, CASE WHEN k % 9 = 4 THEN 'U_' || v ELSE v END AS v
+        |  FROM base),
+        |dl AS (SELECT * FROM u WHERE NOT (k % 10 = 6)),
+        |src AS (SELECT event_id AS k, 'M_' || event_type AS v FROM events
+        |  WHERE event_id < 500)
+        |SELECT COALESCE(s.k, t.k) AS k, COALESCE(s.v, t.v) AS v,
+        |  TRUE AS versions_ok
+        |FROM dl t FULL OUTER JOIN src s ON t.k = s.k
+        |ORDER BY k""".stripMargin,
     // the changefeed-maintained summary recomputed directly: aggregate
     // every event at the MV grain; the rewrite claim is pinned TRUE
     "c16_mv_incremental_refresh" ->

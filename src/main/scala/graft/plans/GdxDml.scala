@@ -1,7 +1,6 @@
 package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute,
   AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
@@ -44,34 +43,35 @@ object GdxDmlRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Resolved condition → name-anchored expression: the engine re-reads
-    * the table in its own frame, so resolved AttributeReferences (whose
-    * exprIds belong to the statement's relation) are re-anchored by
-    * column name. */
-  private def byName(e: Expression): Expression = e.transform {
-    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
-  }
+  /** Resolved condition → SQL text: the engine re-reads the table in
+    * its own frame, so the statement's expression is carried by NAME
+    * (its generated SQL) and re-parsed there — carrying the resolved
+    * Catalyst tree (or an UnresolvedAttribute rewrite of it) inside the
+    * command would trip checkAnalysis, which walks command expressions
+    * too. */
+  private def bySql(e: Expression): String = e.transform {
+    // drop catalog/table qualifiers: the engine's frame has bare names
+    case a: AttributeReference => a.withQualifier(Seq.empty)
+  }.sql
 
   private def fail(msg: String): Nothing =
     throw new org.apache.spark.sql.AnalysisException(
       "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    case d @ DeleteFromTable(tbl, cond) if d.childrenResolved =>
+    case d @ DeleteFromTable(tbl, cond) if d.resolved =>
       gdxPath(tbl) match {
-        case Some(p) => GdxDeleteCommand(p, byName(cond))
+        case Some(p) => GdxDeleteCommand(p, bySql(cond))
         case None    => plan
       }
-    case u @ UpdateTable(tbl, assignments, cond) if u.childrenResolved =>
+    case u @ UpdateTable(tbl, assignments, cond) if u.resolved =>
       gdxPath(tbl) match {
         case Some(p) =>
           val set = assignments.map {
-            case Assignment(k: AttributeReference, v) => k.name -> byName(v)
+            case Assignment(k: AttributeReference, v) => k.name -> bySql(v)
             case other => fail(s"gdx UPDATE: unsupported assignment $other")
           }
-          GdxUpdateCommand(p, set,
-            byName(cond.getOrElse(
-              org.apache.spark.sql.catalyst.expressions.Literal(true))))
+          GdxUpdateCommand(p, set, cond.map(bySql).getOrElse("true"))
         case None => plan
       }
     case m: MergeIntoTable if m.childrenResolved =>
@@ -88,10 +88,17 @@ object GdxDmlRule extends Rule[LogicalPlan] {
       fail("gdx MERGE: WITH SCHEMA EVOLUTION is not supported")
     if (m.notMatchedBySourceActions.nonEmpty)
       fail("gdx MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
-    // ON t.k = s.k (either side order): key-equality on the table key
+    // ON t.k = s.k (either side order): key-equality on the table key;
+    // analysis inserts widening Casts when the source key is narrower
+    def keyName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        keyName(c.child)
+      case _ => None
+    }
     val keyOk = m.mergeCondition match {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        a.name == "k" && b.name == "k"
+      case EqualTo(l, r) =>
+        keyName(l).contains("k") && keyName(r).contains("k")
       case _ => false
     }
     if (!keyOk)
@@ -100,8 +107,8 @@ object GdxDmlRule extends Rule[LogicalPlan] {
     // WHEN MATCHED THEN UPDATE SET * — every target column assigned its
     // same-named source column, unconditionally
     def starAssignments(as: Seq[Assignment]): Boolean = as.forall {
-      case Assignment(k: AttributeReference, v: AttributeReference) =>
-        k.name == v.name
+      case Assignment(k: AttributeReference, v) =>
+        keyName(v).contains(k.name)
       case _ => false
     }
     m.matchedActions match {
@@ -120,26 +127,27 @@ object GdxDmlRule extends Rule[LogicalPlan] {
 
 /** `DELETE FROM <gdx table> WHERE ...` → deletion-vector commit.
   * Returns (version, rows_deleted). */
-case class GdxDeleteCommand(path: String, cond: Expression)
+case class GdxDeleteCommand(path: String, condSql: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GdxDml.versionRowsOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val (v, n) = graft.sources.GdxSource.delete(spark, path,
-      ColumnBridge.column(cond))
+      org.apache.spark.sql.functions.expr(condSql))
     Seq(Row(v.toLong, n))
   }
 }
 
 /** `UPDATE <gdx table> SET ... WHERE ...` → DV + rewrite in one commit.
   * Returns (version, rows_updated). */
-case class GdxUpdateCommand(path: String, set: Seq[(String, Expression)],
-                            cond: Expression)
+case class GdxUpdateCommand(path: String, set: Seq[(String, String)],
+                            condSql: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GdxDml.versionRowsOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val (v, n) = graft.sources.GdxSource.update(spark, path,
-      ColumnBridge.column(cond),
-      set.map { case (k, e) => k -> ColumnBridge.column(e) }.toMap)
+      org.apache.spark.sql.functions.expr(condSql),
+      set.map { case (k, e) =>
+        k -> org.apache.spark.sql.functions.expr(e) }.toMap)
     Seq(Row(v.toLong, n))
   }
 }

@@ -31,4 +31,16 @@ object ColumnBridge {
   def analyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** A sibling session on `base`'s SparkContext + SharedState with its
+    * own extensions — the only way to activate ANALYZER extension
+    * points (post-hoc resolution rules have no runtime-injection arm
+    * like experimental.extraOptimizations) when the primary session was
+    * built without them: extensions bind at session construction.
+    * Catalog/temp-view state is shared via SharedState; conf starts
+    * from the context defaults. */
+  def sessionWithExtensions(base: SparkSession,
+      f: org.apache.spark.sql.SparkSessionExtensions => Unit)
+      : SparkSession =
+    org.apache.spark.sql.classic.GraftSessionBridge.withExtensions(base, f)
 }
