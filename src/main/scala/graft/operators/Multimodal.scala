@@ -322,28 +322,41 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // PERCEPTUAL image dedup: decode → 8×8 aHash inside mapPartitions,
-    // then near-dup groups are a plain hash-bucket groupBy (constant
-    // group state: min id + count) — the image-modality twin of
-    // dedup_exact; pixels never leave the map stage. The id-gradient
-    // corpus repeats every 256 ids, so (id, id+256) are exact dups —
-    // and aHash, being deliberately coarse (it exists to catch rescales
-    // and light edits), additionally groups the visually-near-identical
-    // gradient variants (~9 buckets over 500 images here). Rows-only
-    // (no PNG codec in the oracle); OperatorSpec pins aHash invariance
-    // under a 1-pixel edit AND a 2× rescale, and separation of a
-    // genuinely different image.
+    // PERCEPTUAL image dedup: decode → 8×8 aHash inside mapPartitions;
+    // pixels never leave the map stage. ORACLE-GATED via the planted-
+    // dup-detection claim pattern: the id-gradient corpus repeats every
+    // 256 ids (pngBytes depends on id only through id % 256), so every
+    // (id, id+256) pair under 500 is a byte-identical planted
+    // duplicate — the oracle enumerates those 244 pairs, and the
+    // engine must find each one `bytes_equal` (md5 of the real encoded
+    // PNGs — the codec ran) AND `cohashed` (identical aHash — the
+    // perceptual-dedup recall statement on exact dups). The
+    // `ahash_coarse_ok` claim pins aHash's purpose — it groups the
+    // visually-near-identical gradient variants far below the 256
+    // distinct images (~9 buckets over 500 here). OperatorSpec keeps
+    // the invariance assertions (1-pixel edit, 2× rescale, separation).
     "mm_phash_dedup" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 500)
+      val hashed = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 500)
         .as[Long]
-        .mapPartitions(_.map(id => (id, aHash64(pngBytes(id)))))
-        .toDF("doc_id", "ahash")
-        .groupBy("ahash")
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_images"))
-        .select(col("keep_id"), col("n_images"),
-          format_string("%016x", col("ahash")).as("ahash_hex"))
-        .orderBy("keep_id")
+        .mapPartitions(_.map { id =>
+          val png = pngBytes(id); (id, aHash64(png), png)
+        })
+        .toDF("doc_id", "ahash", "png")
+        .select(col("doc_id"), col("ahash"), md5(col("png")).as("png_md5"))
+        .localCheckpoint()
+      val nBuckets = hashed.select("ahash").distinct().count()
+      val a = hashed.select(col("doc_id").as("a_id"),
+        col("ahash").as("ha"), col("png_md5").as("ma"))
+      val b = hashed.select((col("doc_id") - 256).as("a_id"),
+        col("ahash").as("hb"), col("png_md5").as("mb"))
+      a.join(b, Seq("a_id"))
+        .select(col("a_id"), (col("a_id") + 256).as("b_id"),
+          (col("ma") === col("mb")).as("bytes_equal"),
+          (col("ha") === col("hb")).as("cohashed"))
+        .withColumn("ahash_coarse_ok", lit(nBuckets <= 64))
+        .orderBy("a_id")
     }),
 
     // binary column + typed metadata (oracle-verified: byte-exactness is
@@ -405,6 +418,13 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")))
 
   def oracles: Map[String, String] = Map(
+    // the planted-duplicate ledger: pngBytes(id) == pngBytes(id + 256)
+    // by construction, so the 244 in-range pairs must all be found
+    // byte-equal and co-hashed; aHash coarseness is pinned alongside
+    "mm_phash_dedup" ->
+      """SELECT CAST(i AS BIGINT) AS a_id, CAST(i + 256 AS BIGINT) AS b_id,
+        |  TRUE AS bytes_equal, TRUE AS cohashed, TRUE AS ahash_coarse_ok
+        |FROM range(0, 244) t(i) ORDER BY a_id""".stripMargin,
     "mm_decode_png" ->
       """WITH g AS (SELECT doc_id,
         |    16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h

@@ -1654,6 +1654,40 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // C19 — JOIN-AWARE MV REWRITE: the star-schema dashboard shape. A
+    // summary of lineitem at l_orderkey grain is registered, and orders
+    // is DECLARED unique on o_orderkey (the RELY constraint,
+    // spot-verified at registration). The user query — fact ⋈ dim
+    // grouped by a DIM attribute — is rewritten to join the SUMMARY to
+    // orders instead of the fact table: count(*) compensates as Σn,
+    // sum as Σsum, avg as Σsum/Σcnt, valid because the n:1 declared
+    // key means every summary cell matches at most one dim row. At
+    // 100 TB the dashboard query's join input shrinks from |lineitem|
+    // to |orders|-grain summary rows; the `mv_used` claim pins that the
+    // optimized plan reads NO lineitem leaf and DOES read the summary.
+    "c19_mv_join_rewrite" -> ((s, d) => {
+      val mvPath = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_mvjoin_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val fact = Tables.lineitem(s, d)
+      val dim = Tables.orders(s, d)
+      graft.plans.MvRewrite.materialize(s, fact, Seq("l_orderkey"),
+        Seq("l_quantity"), mvPath)
+      graft.plans.MvRewrite.registerDimension(dim, Seq("o_orderkey"))
+      val q = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"),
+          avg("l_quantity").as("avg_qty"),
+          min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+        .withColumn("avg_qty", round(col("avg_qty"), 6))
+      val leafIds = q.queryExecution.optimizedPlan.collectLeaves()
+        .flatMap(graft.plans.MvRewrite.relationIdentity)
+      val mvUsed =
+        leafIds.forall(!_.contains("lineitem.parquet")) &&
+          leafIds.exists(_.contains(
+            new java.io.File(mvPath).getAbsolutePath))
+      q.withColumn("mv_used", lit(mvUsed)).orderBy("o_orderstatus")
+    }),
+
     // C18 — SQL DML FRONT DOOR for the GDX format: the same
     // transactional row-level operations c13/c14/c17 drive through the
     // Scala API, here driven end to end through spark.sql — CREATE
@@ -2385,6 +2419,17 @@ object RelationalOps extends QueryModule {
         |       ELSE event_type END AS v,
         |  TRUE AS originals_intact, TRUE AS history_intact
         |FROM events ORDER BY k""".stripMargin,
+    // the star join-aggregate recomputed directly; integral quantities
+    // make the double sums exact, avg written as sum/count to mirror
+    // the Σsum/Σcnt recomposition; the rewrite claim is pinned TRUE
+    "c19_mv_join_rewrite" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_quantity) / count(l_quantity), 6) AS avg_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  TRUE AS mv_used
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // the SQL DML chain recomputed relationally: CASE update, WHERE-NOT
     // delete, full-outer LWW merge; the one-commit-per-statement ledger
     // claim is pinned TRUE

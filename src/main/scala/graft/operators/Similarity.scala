@@ -438,6 +438,111 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rk")
   }
 
+  /** Exact brute-force cosine top-k for probes `vec_id < probeMax` —
+    * the oracle-expressible EXACT COUNTERPART every ANN query's
+    * verified output carries (broadcast-probe × corpus-stream, rounded
+    * cosines, id tie-breaks — the sim_topk shape). */
+  def bruteTopK(e: DataFrame, probeMax: Long, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(q).join(e.select(col("vec_id").as("c_id"), col("emb")),
+        col("c_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** ORACLE-GATING WRAPPER for an ANN path: the verified output is the
+    * exact brute-force top-k (which DuckDB recomputes row-for-row) plus
+    * one boolean claim — the ANN path's recall@k against that exact
+    * side cleared `floor` — pinned TRUE by the oracle. The
+    * engine-specific ANN rows themselves (hash-bucket dependent) stay
+    * out of the hashed output; RecallSpec keeps asserting the raw
+    * estimates on the library functions. The claim is computed from
+    * the SAME ann frame production probes would serve, so a silent
+    * recall collapse (broken hashing, empty index) fails the gate
+    * instead of hiding behind a rows-only check. */
+  def withRecallClaim(ann: DataFrame, e: DataFrame, probeMax: Long,
+                      k: Int, floor: Double): DataFrame = {
+    val exact = bruteTopK(e, probeMax, k).localCheckpoint()
+    val nTrue = exact.count()
+    val hits = exact.select("q_id", "c_id")
+      .join(ann.filter(col("rk") <= k).select("q_id", "c_id"),
+        Seq("q_id", "c_id"), "left_semi")
+      .count()
+    val recallOk = nTrue == 0L || hits.toDouble / nTrue >= floor
+    exact.withColumn("recall_ok", lit(recallOk)).orderBy("q_id", "rk")
+  }
+
+  /** Query-time multi-table LSH ANN (no persisted layout): per probe,
+    * candidates = exact bucket match in ANY of the L tables, exact
+    * cosine re-rank, top-k. A pair colliding in several tables is
+    * deduped by the (q_id, c_id) groupBy before ranking. */
+  def lshAnnInline(e0: DataFrame, probeMax: Long = 10,
+                   k: Int = 3): DataFrame = {
+    val e = e0
+      .select(col("vec_id"), col("emb"),
+        explode(lshTableBuckets(col("emb"))).as("tb"))
+      .select(col("vec_id"), col("emb"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = e.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("tbl"), col("bucket"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(q)
+      .join(e.select(col("vec_id").as("c_id"), col("emb"), col("tbl"),
+        col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+      .groupBy("q_id", "c_id").agg(first("cos").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Query-time IVF ANN (no persisted layout): nearest-nprobe-centroid
+    * probing, exact cosine re-rank within the probed clusters. */
+  def ivfAnnInline(e: DataFrame, probeMax: Long = 10, nprobe: Int = 4,
+                   k: Int = 3): DataFrame = {
+    val (assigned, centroids) = ivfIndex(e)
+    val q = assigned.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val probeClusters = broadcast(q).crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("q_emb"), col("centroid")))
+      .withColumn("crk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("c_cos").desc, col("cluster"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cluster"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(probeClusters)
+      .join(assigned.select(col("vec_id").as("c_id"), col("emb"),
+        col("cluster")), Seq("cluster"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Recall floors for the in-query claims, per index family — set
+    * WELL below the measured values on the synthetic near-random
+    * corpus (the hardest regime for these indexes: top-1 cos ≈ 0.37).
+    * Measured recall@3 at sf0.01: LSH 0.67, IVF 0.93, PQ 0.93. On a
+    * real near-dup corpus recall approaches 1; the floor exists to
+    * catch STRUCTURAL collapse (broken hashing, empty index, dead
+    * probe join), not to certify a tuning point. */
+  val LshRecallFloor = 0.4
+  val IvfRecallFloor = 0.6
+  val PqRecallFloor = 0.6
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PQ ANN with asymmetric distance computation (ADC): the corpus is
     // scanned as 8-byte codes; each probe's m×ksub distance table is
@@ -445,44 +550,27 @@ object Similarity extends QueryModule {
     // in lshProbe) and the per-row approximate distance is m table
     // lookups — no float math against corpus vectors until the exact
     // re-rank of the top-32 shortlist. Vectors are L2-normalized before
-    // encoding so squared-L2 ADC ranking IS cosine ranking. Rows-only
-    // (codes depend on the learned codebooks); SimilaritySpec floors
-    // recall@3 against brute force.
+    // encoding so squared-L2 ADC ranking IS cosine ranking.
+    // ORACLE-GATED via the claim pattern: the verified output is the
+    // exact brute-force top-3 (DuckDB recomputes it) + the boolean
+    // claim that the ADC path's recall@3 against it cleared the floor;
+    // the raw code-dependent rows stay under SimilaritySpec/RecallSpec.
     "sim_pq_ann" -> ((s, d) => {
       val raw = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      pqAnn(raw, probeMax = 10, shortlist = 32, k = 3)
+      withRecallClaim(pqAnn(raw, probeMax = 10, shortlist = 32, k = 3),
+        raw, probeMax = 10, k = 3, floor = PqRecallFloor)
     }),
 
-    // IVF ANN: nearest-2-centroid probe, exact cosine re-rank within the
-    // probed clusters. Rows-only (KMeans assignment is engine-internal);
-    // SimilaritySpec bounds it against brute force.
+    // IVF ANN: nearest-4-centroid probe (recall/cost knob: 4 of 16
+    // clusters ⇒ ~25% of the corpus re-ranked per probe), exact cosine
+    // re-rank within the probed clusters. Oracle-gated via the
+    // exact-counterpart + recall-claim pattern (see sim_pq_ann).
     "sim_ivf_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      val (assigned, centroids) = ivfIndex(e)
-      val q = assigned.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      // rank centroids per probe, keep nprobe=4 (recall/cost knob: 4 of
-      // 16 clusters ⇒ ~25% of the corpus re-ranked per probe)
-      val probeClusters = broadcast(q).crossJoin(broadcast(centroids))
-        .withColumn("c_cos", cosine(col("q_emb"), col("centroid")))
-        .withColumn("crk", row_number().over(Window.partitionBy("q_id")
-          .orderBy(col("c_cos").desc, col("cluster"))))
-        .filter(col("crk") <= 4)
-        .select(col("q_id"), col("q_emb"), col("cluster"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("cos").desc, col("c_id").asc)
-      broadcast(probeClusters)
-        .join(assigned.select(col("vec_id").as("c_id"), col("emb"),
-          col("cluster")), Seq("cluster"))
-        .filter(col("c_id") =!= col("q_id"))
-        .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("q_id"), col("c_id"), col("cos"),
-          col("rk").cast("long").as("rk"))
-        .orderBy("q_id", "rk")
+      withRecallClaim(ivfAnnInline(e), e, probeMax = 10, k = 3,
+        floor = IvfRecallFloor)
     }),
 
     // per-group embedding centroid through the typed VectorAvgAggregator:
@@ -776,9 +864,12 @@ object Similarity extends QueryModule {
     // corpus persisted partitionBy(cluster) with its centroids, probes
     // answered from partition-pruned scans of only the nprobe matching
     // cluster directories — the corpus is never re-clustered or
-    // re-scanned whole at probe time. Identical output to sim_ivf_ann
-    // (deterministic index build; asserted in SimilaritySpec along with
-    // the pruned-scan plan shape). Rows-only, like it.
+    // re-scanned whole at probe time. The probe path is identical to
+    // sim_ivf_ann (deterministic index build; asserted in
+    // SimilaritySpec along with the pruned-scan plan shape), and the
+    // verified output carries the same exact-counterpart + recall
+    // claim — here the claim ALSO proves the persisted layout serves
+    // as well as the in-query index.
     "sim_ivf_ann_bucketed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
@@ -788,7 +879,8 @@ object Similarity extends QueryModule {
       writeIvfLayoutOnce(e, path, tag = s"$d:${e.count()}")
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      ivfProbe(s, path, q)
+      withRecallClaim(ivfProbe(s, path, q), e, probeMax = 10, k = 3,
+        floor = IvfRecallFloor)
     }),
 
     // LSH ANN served from the WRITE-ONCE bucket layout: build the
@@ -796,8 +888,9 @@ object Similarity extends QueryModule {
     // partition-pruned scans — the corpus is never re-hashed or
     // re-shuffled at probe time. The build cost is amortized over every
     // subsequent probe batch in production; here it runs in-query so the
-    // whole path is exercised end-to-end. Result is identical to
-    // sim_lsh_ann (asserted in SimilaritySpec); rows-only, like it.
+    // whole path is exercised end-to-end. Oracle-gated like sim_lsh_ann,
+    // with the claim additionally proving the persisted layout answers
+    // as well as the in-query hash path.
     "sim_lsh_ann_bucketed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
@@ -807,40 +900,47 @@ object Similarity extends QueryModule {
       writeLshLayoutOnce(e, path, tag = s"$d:${e.count()}")
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      lshProbe(s, path, q)
+      withRecallClaim(lshProbe(s, path, q), e, probeMax = 10, k = 3,
+        floor = LshRecallFloor)
     }),
 
-    // LSH-bucketed ANN: per probe (vec_id < 10), candidates = exact
-    // bucket match in ANY of the L tables, then exact cosine re-rank,
-    // top-3. A pair colliding in several tables is deduped by the
-    // (q_id, c_id) groupBy before ranking. Rows-only (bucket ids are
-    // float-sign dependent — deterministic within the engine, not oracle-
-    // expressible); recall@3 vs brute force is asserted in SimilaritySpec.
+    // Multi-table LSH ANN (query-time hashing): per probe (vec_id <
+    // 10), candidates = exact bucket match in ANY of the L tables, then
+    // exact cosine re-rank, top-3. Oracle-gated via the
+    // exact-counterpart + recall-claim pattern (see sim_pq_ann); the
+    // bucket-dependent raw rows are floored in SimilaritySpec.
     "sim_lsh_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-        .select(col("vec_id"), col("emb"),
-          explode(lshTableBuckets(col("emb"))).as("tb"))
-        .select(col("vec_id"), col("emb"),
-          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-          col("tbl"), col("bucket"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("cos").desc, col("c_id").asc)
-      broadcast(q)
-        .join(e.select(col("vec_id").as("c_id"), col("emb"), col("tbl"),
-          col("bucket")), Seq("tbl", "bucket"))
-        .filter(col("c_id") =!= col("q_id"))
-        .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
-        .groupBy("q_id", "c_id").agg(first("cos").as("cos"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("q_id"), col("c_id"), col("cos"), col("rk").cast("long").as("rk"))
-        .orderBy("q_id", "rk")
+      withRecallClaim(lshAnnInline(e), e, probeMax = 10, k = 3,
+        floor = LshRecallFloor)
     }))
 
+  /** Shared oracle for the five oracle-gated ANN queries: every one's
+    * verified output is the SAME exact brute-force top-3 (the engine
+    * side recomputes it next to its index path) + the recall claim
+    * pinned TRUE — DuckDB reproduces the exact side row-for-row. */
+  private val annExactOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      |s AS (SELECT q_id, e.vec_id AS c_id, round(
+      |    list_inner_product(q_emb, emb) /
+      |    (sqrt(list_inner_product(q_emb, q_emb)) *
+      |     sqrt(list_inner_product(emb, emb))), 6) AS cos
+      |  FROM q JOIN e ON e.vec_id <> q.q_id),
+      |r AS (SELECT q_id, c_id, cos, ROW_NUMBER() OVER
+      |    (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk FROM s)
+      |SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk,
+      |  TRUE AS recall_ok
+      |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "sim_lsh_ann" -> annExactOracle,
+    "sim_lsh_ann_bucketed" -> annExactOracle,
+    "sim_ivf_ann" -> annExactOracle,
+    "sim_ivf_ann_bucketed" -> annExactOracle,
+    "sim_pq_ann" -> annExactOracle,
     // zipped unnest + generate_subscripts (DuckDB's lateral-free array
     // unroll); fixed-point long sums reproduce the aggregator exactly
     "agg_vector_centroid" ->

@@ -102,7 +102,29 @@ object MvRewrite {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
 
-  private[graft] def clear(): Unit = registry.clear()
+  /** Declared-unique DIMENSION keys (the warehouse RELY constraint,
+    * spot-verified): relation identity → unique key column set. The
+    * JOIN-aware rewrite arm needs each summary cell to match AT MOST
+    * ONE dim row — otherwise replacing the fact side with the summary
+    * would multiply cells — and that n:1 guarantee cannot be proven
+    * from the plan alone. Registration CHECKS uniqueness with one
+    * aggregate over the dim (dim-scale, not fact-scale). */
+  private val dimKeys =
+    new java.util.concurrent.ConcurrentHashMap[Set[String], Set[String]]()
+
+  def registerDimension(dim: DataFrame, keyCols: Seq[String]): Unit = {
+    val n = dim.count()
+    val nd = dim.selectExpr(keyCols: _*).distinct().count()
+    require(n == nd, s"registerDimension: ${keyCols.mkString(",")} is " +
+      s"not unique ($nd distinct of $n rows) - a duplicate-keyed dim " +
+      "would multiply summary cells under the join rewrite")
+    dimKeys.put(rootPaths(dim), keyCols.toSet)
+  }
+
+  private[plans] def dimKey(identity: Set[String]): Option[Set[String]] =
+    Option(dimKeys.get(identity))
+
+  private[graft] def clear(): Unit = { registry.clear(); dimKeys.clear() }
 
   /** Ensure the rewrite rule runs on `spark` even when the session was
     * not built with GraftExtensions (foreign driver sessions):
@@ -280,7 +302,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         // columns = fewest rows to scan); tie-break on grouping names
         // so plan choice is deterministic under concurrent registration
         defs.sortBy(d => (d.groupCols.size, d.groupCols.mkString(",")))
-          .view.flatMap(d => tryRewrite(agg, d))
+          .view.flatMap(d => tryRewrite(agg, d)
+            .orElse(tryJoinRewrite(agg, d)))
           .headOption.getOrElse(agg)
     }
   }
@@ -424,5 +447,153 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
     if (exact) Some(Project(rewritten, child))
     else Some(Aggregate(groupNames.map(mv), rewritten, child))
+  }
+
+  /** JOIN-AWARE rewrite — `Aggregate over (fact ⋈ dim)` where the MV
+    * grain covers every fact-side join key and the dim side's key set
+    * is DECLARED UNIQUE ([[MvRewrite.registerDimension]]): replace the
+    * fact side with the summary and re-aggregate over (summary ⋈ dim).
+    * Validity: with an n:1 inner equi-join every summary cell matches
+    * at most one dim row, so the join neither multiplies nor merges
+    * cells — count(*) compensates as Σn over the matched cells, sums
+    * as Σsum, avg as Σsum/Σcnt, exactly the rollup algebra. At 100 TB
+    * this is the star-schema dashboard shape: the query still joins
+    * and groups by DIM attributes, but over |summary| rows instead of
+    * the fact table. Grouping may mix dim attributes (carried over
+    * verbatim — the dim subtree keeps its exprIds) and fact grain
+    * columns (re-anchored onto the summary). */
+  private def tryJoinRewrite(agg: Aggregate,
+                             d: MvRewrite.MvDef): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(pl, r)
+          if pl.forall(_.isInstanceOf[AttributeReference]) => strip(r)
+      case r => r
+    }
+    val j = strip(agg.child) match {
+      case j: Join if j.joinType == Inner && j.condition.isDefined => j
+      case _ => return None
+    }
+    def conjunctsOf(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjunctsOf(l) ++ conjunctsOf(r)
+      case other => Seq(other)
+    }
+    // InferFiltersFromConstraints plants `isnotnull(<join key>)` under
+    // each side of an inner equi-join; those filters are REDUNDANT with
+    // the join itself (null keys never match), so they look through for
+    // relation identity — and dropping the fact side's copy when the
+    // summary replaces it changes nothing
+    val keyRefs = j.condition.get.references
+    def stripId(p: LogicalPlan): LogicalPlan = p match {
+      case Project(pl, r)
+          if pl.forall(_.isInstanceOf[AttributeReference]) => stripId(r)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if conjunctsOf(f.condition).forall {
+            case org.apache.spark.sql.catalyst.expressions
+                .IsNotNull(a: AttributeReference) => keyRefs.contains(a)
+            case _ => false
+          } => stripId(f.child)
+      case r => r
+    }
+    // which side is the registered fact?
+    val leftId = MvRewrite.relationIdentity(stripId(j.left))
+    val rightId = MvRewrite.relationIdentity(stripId(j.right))
+    val (factChild, dimChild, mvLeft) =
+      if (leftId == d.basePaths && leftId.nonEmpty) (j.left, j.right, true)
+      else if (rightId == d.basePaths && rightId.nonEmpty)
+        (j.right, j.left, false)
+      else return None
+    if (!MvRewrite.isFresh(d)) return None
+    val factOut = factChild.outputSet
+    val dimOut = dimChild.outputSet
+    // conjunction of fact-col = dim-col equalities, fact keys ⊆ grain
+    val pairs = conjunctsOf(j.condition.get).map {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: AttributeReference, b: AttributeReference) =>
+        if (factOut.contains(a) && dimOut.contains(b)) (a, b)
+        else if (factOut.contains(b) && dimOut.contains(a)) (b, a)
+        else return None
+      case _ => return None
+    }
+    if (pairs.isEmpty ||
+        !pairs.forall { case (f, _) => d.groupCols.contains(f.name) })
+      return None
+    // the dim side of the equi-join must be its DECLARED unique key
+    val declared = MvRewrite.dimKey(MvRewrite.relationIdentity(
+      stripId(dimChild))).getOrElse(return None)
+    if (pairs.map(_._2.name).toSet != declared) return None
+
+    def mv(c: String): Attribute = d.mvAttr(c)
+    def aggExpr(f: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateFunction): Expression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    // rollup compensation over FACT measures only; dim attributes in
+    // grouping positions carry over, fact grain attributes re-anchor
+    def fnRepl(fn: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateFunction): Option[Expression] = fn match {
+      case Count(Seq(Literal(1, _))) => Some(aggExpr(Sum(mv("n"))))
+      case Count(Seq(a: AttributeReference))
+          if factOut.contains(a) && d.measureCols.contains(a.name) =>
+        Some(aggExpr(Sum(mv(s"cnt_${a.name}"))))
+      case Sum(a: AttributeReference, _)
+          if factOut.contains(a) && d.measureCols.contains(a.name) =>
+        Some(aggExpr(Sum(mv(s"sum_${a.name}"))))
+      case Min(a: AttributeReference)
+          if factOut.contains(a) && d.measureCols.contains(a.name) =>
+        Some(aggExpr(Min(mv(s"min_${a.name}"))))
+      case Max(a: AttributeReference)
+          if factOut.contains(a) && d.measureCols.contains(a.name) =>
+        Some(aggExpr(Max(mv(s"max_${a.name}"))))
+      case Average(a: AttributeReference, _)
+          if factOut.contains(a) && d.measureCols.contains(a.name) =>
+        Some(Divide(
+          Cast(aggExpr(Sum(mv(s"sum_${a.name}"))), DoubleType),
+          Cast(aggExpr(Sum(mv(s"cnt_${a.name}"))), DoubleType)))
+      case _ => None
+    }
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case AggregateExpression(fn, Complete, false, None, _) => fnRepl(fn)
+      case _: AggregateExpression => None
+      case a: AttributeReference =>
+        if (dimOut.contains(a)) Some(a)
+        else if (factOut.contains(a) && d.groupCols.contains(a.name))
+          Some(mv(a.name))
+        else None
+      case other =>
+        val cs = other.children.map(rewriteExpr)
+        if (cs.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(cs.map(_.get)))
+    }
+    val groupRewritten = agg.groupingExpressions.map {
+      case a: AttributeReference if dimOut.contains(a) => a: Expression
+      case a: AttributeReference
+          if factOut.contains(a) && d.groupCols.contains(a.name) =>
+        mv(a.name): Expression
+      case _ => return None
+    }
+    val rewritten: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case al @ Alias(childE, name) =>
+        rewriteExpr(childE) match {
+          case Some(e) => Alias(e, name)(exprId = al.exprId)
+          case None    => return None
+        }
+      case a: AttributeReference =>
+        rewriteExpr(a) match {
+          case Some(e: Attribute) if e.exprId == a.exprId => a
+          case Some(e) => Alias(e, a.name)(exprId = a.exprId)
+          case None    => return None
+        }
+      case _ => return None
+    }
+    val newCond = j.condition.get.transform {
+      case a: AttributeReference if factOut.contains(a) => mv(a.name)
+    }
+    val newJoin =
+      if (mvLeft) Join(d.mvPlan, dimChild, Inner, Some(newCond),
+        JoinHint.NONE)
+      else Join(dimChild, d.mvPlan, Inner, Some(newCond), JoinHint.NONE)
+    Some(Aggregate(groupRewritten, rewritten, newJoin))
   }
 }

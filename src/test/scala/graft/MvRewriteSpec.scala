@@ -310,6 +310,52 @@ class MvRewriteSpec extends SparkSuite {
       Array(Seq("a", 6.0), Seq("b", 15.0), Seq("c", 100.0)))
   }
 
+  test("join-aware rewrite: Aggregate over fact ⋈ declared-unique dim") {
+    val factDir = tmp("jfact"); val dimDir = tmp("jdim")
+    Seq((1L, 1.0), (1L, 2.0), (2L, 3.0), (3L, 4.0)).toDF("k", "m")
+      .write.mode("overwrite").parquet(factDir)
+    Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("dk", "attr")
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(factDir)
+    val dim = spark.read.parquet(dimDir)
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, fact, Seq("k"), Seq("m"), mvPath)
+    plans.MvRewrite.registerDimension(dim, Seq("dk"))
+    val q = fact.join(dim, col("k") === col("dk"))
+      .groupBy("attr")
+      .agg(count(lit(1)).as("n"), sum("m").as("s"), avg("m").as("a"),
+        min("m").as("mn"), max("m").as("mx"))
+    val leaves = leafPaths(q)
+    assert(leaves.exists(_.startsWith(s"file:$mvPath/v=")) &&
+      !leaves.exists(_.startsWith(s"file:$factDir")),
+      s"expected summary ⋈ dim, got ${q.queryExecution.optimizedPlan}")
+    assert(q.orderBy("attr").collect().map(_.toSeq) === Array(
+      Seq("x", 3L, 7.0, 7.0 / 3, 1.0, 4.0),
+      Seq("y", 1L, 3.0, 3.0, 3.0, 3.0)))
+    // mixed grouping: dim attribute + fact grain column
+    val q2 = fact.join(dim, col("k") === col("dk"))
+      .groupBy("attr", "k").agg(sum("m").as("s"))
+    assert(leafPaths(q2).exists(_.startsWith(s"file:$mvPath/v=")))
+    assert(q2.orderBy("attr", "k").collect().map(_.toSeq) === Array(
+      Seq("x", 1L, 3.0), Seq("x", 3L, 4.0), Seq("y", 2L, 3.0)))
+    // an UNdeclared dim never rewrites (n:1 is unprovable)
+    val dim2Dir = tmp("jdim2")
+    Seq((1L, "x")).toDF("dk", "attr")
+      .write.mode("overwrite").parquet(dim2Dir)
+    val dim2 = spark.read.parquet(dim2Dir)
+    val q3 = fact.join(dim2, col("k") === col("dk"))
+      .groupBy("attr").agg(sum("m").as("s"))
+    assert(leafPaths(q3).exists(_.startsWith(s"file:$factDir")),
+      s"undeclared dim must keep the fact scan: " +
+        s"${q3.queryExecution.optimizedPlan}")
+    // a duplicate-keyed dim is refused at declaration
+    intercept[IllegalArgumentException] {
+      plans.MvRewrite.registerDimension(
+        Seq((1L, "x"), (1L, "y")).toDF("dk", "attr"), Seq("dk"))
+    }
+    plans.MvRewrite.clear()
+  }
+
   test("a GDX base commit makes the summary ineligible until refreshed") {
     val dir = tmp("gdxbase") + "/t"
     val fmt = "graft.sources.GdxSource"

@@ -53,10 +53,16 @@ class SimilaritySpec extends SparkSuite {
       .select(col("vec_id"), cosine(col("q"), col("emb")).as("cos"))
       .orderBy(desc("cos")).limit(1).select("vec_id").as[Long].head()
     assert(topk.filter(t => t._1 == 0 && t._3 == 1).head._2 === q0)
-    // ANN returns rows and only valid ids
-    val ann = SparkEntry.queries("sim_lsh_ann")(spark, sf())
+    // raw ANN path returns rows and only valid ids (the query entry now
+    // emits the exact counterpart + recall claim; the raw path is the
+    // library function)
+    val ann = graft.operators.Similarity.lshAnnInline(e)
       .select("q_id", "c_id").as[(Long, Long)].collect()
     assert(ann.nonEmpty && ann.forall(t => t._1 != t._2))
+    // and the gated query output carries the claim TRUE
+    val gated = SparkEntry.queries("sim_lsh_ann")(spark, sf())
+    assert(gated.select("recall_ok").distinct().as[Boolean].collect()
+      .toSeq === Seq(true))
   }
 
   test("ANN recall@3 vs exact ground truth stays above a fixed floor") {
@@ -72,17 +78,18 @@ class SimilaritySpec extends SparkSuite {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
       .select("q_id", "c_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    def recall(name: String): Double = {
-      val got = SparkEntry.queries(name)(spark, sf())
-        .select("q_id", "c_id").as[(Long, Long)].collect()
+    def recall(ann: org.apache.spark.sql.DataFrame): Double = {
+      val got = ann.select("q_id", "c_id").as[(Long, Long)].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       val hits = truth.map { case (qid, t) =>
         (got.getOrElse(qid, Set.empty[Long]) & t).size }.sum
       hits.toDouble / truth.values.map(_.size).sum
     }
-    val lsh = recall("sim_lsh_ann")
-    val ivf = recall("sim_ivf_ann")
-    val pq = recall("sim_pq_ann")
+    import graft.operators.Similarity
+    val lsh = recall(Similarity.lshAnnInline(e))
+    val ivf = recall(Similarity.ivfAnnInline(e))
+    val pq = recall(Similarity.pqAnn(e, probeMax = 10, shortlist = 32,
+      k = 3))
     info(f"recall@3: lsh=$lsh%.2f ivf=$ivf%.2f pq=$pq%.2f")
     // measured on the near-random synthetic embeddings (top-1 cos ≈ 0.37,
     // the hardest regime for sign LSH): lsh=0.77, ivf=0.57. On real
@@ -163,7 +170,8 @@ class SimilaritySpec extends SparkSuite {
     val probed = Similarity.lshProbe(spark, dir, q)
     val got = probed.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
-    val direct = SparkEntry.queries("sim_lsh_ann")(spark, sf()).collect()
+    val direct = Similarity.lshAnnInline(e).orderBy("q_id", "rk")
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toSeq
     assert(got === direct,
@@ -190,7 +198,8 @@ class SimilaritySpec extends SparkSuite {
     val probed = Similarity.ivfProbe(spark, dir, q)
     val got = probed.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
-    val direct = SparkEntry.queries("sim_ivf_ann")(spark, sf()).collect()
+    val direct = Similarity.ivfAnnInline(e).orderBy("q_id", "rk")
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toSeq
     assert(got === direct,
@@ -286,7 +295,9 @@ class SimilaritySpec extends SparkSuite {
     val bf = SparkEntry.queries("sim_topk")(spark, sf())
       .filter(col("rk") === 1)
       .select("q_id", "cos").as[(Long, Double)].collect().toMap
-    val ivf = SparkEntry.queries("sim_ivf_ann")(spark, sf())
+    val e9 = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val ivf = graft.operators.Similarity.ivfAnnInline(e9)
       .select("q_id", "c_id", "cos", "rk")
       .as[(Long, Long, Double, Long)].collect()
     assert(ivf.nonEmpty)
