@@ -480,34 +480,51 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         conjunctsOf(l) ++ conjunctsOf(r)
       case other => Seq(other)
     }
-    // InferFiltersFromConstraints plants `isnotnull(<join key>)` under
-    // each side of an inner equi-join; those filters are REDUNDANT with
-    // the join itself (null keys never match), so they look through for
-    // relation identity — and dropping the fact side's copy when the
-    // summary replaces it changes nothing
-    val keyRefs = j.condition.get.references
-    def stripId(p: LogicalPlan): LogicalPlan = p match {
+    // Real-world shapes carry FILTERS on the join sides (the optimizer
+    // pushes WHERE clauses below the join before this rule runs).
+    // Dim-side filters are looked through for IDENTITY only — the dim
+    // subtree is carried verbatim, and filtering a declared-unique dim
+    // keeps its keys unique. Fact-side filters are collected: each is
+    // admissible only if it touches nothing but MV GRAIN columns (then
+    // every base row of a summary cell passes or fails together — the
+    // same cell-commutation rule as the non-join arm; join-inferred
+    // isnotnull(key) guards qualify because join keys ⊆ grain), and is
+    // re-applied onto the summary in the rewritten plan.
+    def stripDim(p: LogicalPlan): LogicalPlan = p match {
       case Project(pl, r)
-          if pl.forall(_.isInstanceOf[AttributeReference]) => stripId(r)
+          if pl.forall(_.isInstanceOf[AttributeReference]) => stripDim(r)
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-          if conjunctsOf(f.condition).forall {
-            case org.apache.spark.sql.catalyst.expressions
-                .IsNotNull(a: AttributeReference) => keyRefs.contains(a)
-            case _ => false
-          } => stripId(f.child)
+          if f.condition.deterministic => stripDim(f.child)
       case r => r
     }
+    def stripFact(p: LogicalPlan,
+                  conds: Seq[Expression]): (LogicalPlan, Seq[Expression]) =
+      p match {
+        case Project(pl, r)
+            if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          stripFact(r, conds)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.deterministic =>
+          stripFact(f.child, conds :+ f.condition)
+        case r => (r, conds)
+      }
     // which side is the registered fact?
-    val leftId = MvRewrite.relationIdentity(stripId(j.left))
-    val rightId = MvRewrite.relationIdentity(stripId(j.right))
-    val (factChild, dimChild, mvLeft) =
-      if (leftId == d.basePaths && leftId.nonEmpty) (j.left, j.right, true)
+    val (leftRel, leftConds) = stripFact(j.left, Seq.empty)
+    val (rightRel, rightConds) = stripFact(j.right, Seq.empty)
+    val leftId = MvRewrite.relationIdentity(leftRel)
+    val rightId = MvRewrite.relationIdentity(rightRel)
+    val (factChild, factConds, dimChild, mvLeft) =
+      if (leftId == d.basePaths && leftId.nonEmpty)
+        (j.left, leftConds, j.right, true)
       else if (rightId == d.basePaths && rightId.nonEmpty)
-        (j.right, j.left, false)
+        (j.right, rightConds, j.left, false)
       else return None
     if (!MvRewrite.isFresh(d)) return None
     val factOut = factChild.outputSet
     val dimOut = dimChild.outputSet
+    // every fact-side filter must commute with the MV grain
+    if (factConds.exists(_.references.exists(a =>
+        !d.groupCols.contains(a.name)))) return None
     // conjunction of fact-col = dim-col equalities, fact keys ⊆ grain
     val pairs = conjunctsOf(j.condition.get).map {
       case org.apache.spark.sql.catalyst.expressions.EqualTo(
@@ -522,7 +539,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       return None
     // the dim side of the equi-join must be its DECLARED unique key
     val declared = MvRewrite.dimKey(MvRewrite.relationIdentity(
-      stripId(dimChild))).getOrElse(return None)
+      stripDim(dimChild))).getOrElse(return None)
     if (pairs.map(_._2.name).toSet != declared) return None
 
     def mv(c: String): Attribute = d.mvAttr(c)
@@ -590,10 +607,18 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val newCond = j.condition.get.transform {
       case a: AttributeReference if factOut.contains(a) => mv(a.name)
     }
+    // grain-commuting fact filters re-anchor onto the summary and stack
+    // above its scan — same cells survive as base-side
+    val factRepl: LogicalPlan = factConds.foldLeft(d.mvPlan) { (pl, c) =>
+      org.apache.spark.sql.catalyst.plans.logical.Filter(
+        c.transform {
+          case a: AttributeReference if factOut.contains(a) => mv(a.name)
+        }, pl)
+    }
     val newJoin =
-      if (mvLeft) Join(d.mvPlan, dimChild, Inner, Some(newCond),
+      if (mvLeft) Join(factRepl, dimChild, Inner, Some(newCond),
         JoinHint.NONE)
-      else Join(dimChild, d.mvPlan, Inner, Some(newCond), JoinHint.NONE)
+      else Join(dimChild, factRepl, Inner, Some(newCond), JoinHint.NONE)
     Some(Aggregate(groupRewritten, rewritten, newJoin))
   }
 }

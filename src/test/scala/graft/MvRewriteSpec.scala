@@ -338,6 +338,30 @@ class MvRewriteSpec extends SparkSuite {
     assert(leafPaths(q2).exists(_.startsWith(s"file:$mvPath/v=")))
     assert(q2.orderBy("attr", "k").collect().map(_.toSeq) === Array(
       Seq("x", 1L, 3.0), Seq("x", 3L, 4.0), Seq("y", 2L, 3.0)))
+    // dim-side WHERE (the optimizer pushes it below the join) rewrites:
+    // filtering a declared-unique dim keeps its keys unique
+    val q4 = fact.join(dim, col("k") === col("dk"))
+      .filter(col("attr") === "x")
+      .groupBy("attr").agg(sum("m").as("s"))
+    assert(leafPaths(q4).exists(_.startsWith(s"file:$mvPath/v=")),
+      s"dim filter must not block the rewrite: " +
+        s"${q4.queryExecution.optimizedPlan}")
+    assert(q4.collect().map(_.toSeq) === Array(Seq("x", 7.0)))
+    // fact-side WHERE on a GRAIN column commutes cell-wise and
+    // re-anchors onto the summary
+    val q5 = fact.filter(col("k") <= 2).join(dim, col("k") === col("dk"))
+      .groupBy("attr").agg(sum("m").as("s"))
+    assert(leafPaths(q5).exists(_.startsWith(s"file:$mvPath/v=")),
+      s"grain filter must not block the rewrite: " +
+        s"${q5.queryExecution.optimizedPlan}")
+    assert(q5.orderBy("attr").collect().map(_.toSeq) ===
+      Array(Seq("x", 3.0), Seq("y", 3.0)))
+    // a fact filter on a MEASURE changes cell contents → no rewrite
+    val q6 = fact.filter(col("m") > 1.0).join(dim, col("k") === col("dk"))
+      .groupBy("attr").agg(sum("m").as("s"))
+    assert(leafPaths(q6).exists(_.startsWith(s"file:$factDir")),
+      s"measure filter must keep the fact scan: " +
+        s"${q6.queryExecution.optimizedPlan}")
     // an UNdeclared dim never rewrites (n:1 is unprovable)
     val dim2Dir = tmp("jdim2")
     Seq((1L, "x")).toDF("dk", "attr")
