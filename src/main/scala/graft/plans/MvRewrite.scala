@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
   AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+  AggregateExpression, Average, Complete, Count, HllSketchAgg, HllUnionAgg,
+  Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
   Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -88,12 +89,21 @@ object MvRewrite {
 
   /** One registered summary: base-table identity (file root paths),
     * pinned GDX base snapshots (empty for file-source bases), grouping
-    * set, covered measures, the live generation's directory, and its
-    * analyzed scan plan with column attributes. */
+    * set, covered measures, sketch-covered distinct columns, the live
+    * generation's directory, and its analyzed scan plan with column
+    * attributes. */
   case class MvDef(basePaths: Set[String], baseSnapshots: Map[String, Int],
                    groupCols: Seq[String], measureCols: Set[String],
+                   distinctCols: Set[String],
                    genDir: String, mvPlan: LogicalPlan,
                    mvAttr: Map[String, Attribute])
+
+  /** lgConfigK every summary sketch is built at — Spark's
+    * `hll_sketch_agg` default (4096 registers, rsd ≈ 1.04/√2¹² ≈
+    * 1.6%). The rewrite only fires when the query's sketch uses the
+    * same precision: estimating a lgK-12 union where the user asked
+    * for lgK-14 would silently change the error bound. */
+  val SketchLgK = 12
 
   /** Keyed by the LOGICAL summary root: re-materializing or refreshing
     * the same MV atomically re-points its registration at the freshly
@@ -145,13 +155,22 @@ object MvRewrite {
   private[plans] def isBuilding: Boolean = building.get()
 
   /** The summary column set [[MvRewriteRule]]'s compensation algebra
-    * needs: `n` (count(*)), and per measure `sum_m`/`cnt_m`/`min_m`/
-    * `max_m`. `cnt_m = count(m)` is what makes avg(m) and count(m)
-    * NULL-exact: SQL avg divides by non-null count, not row count. */
-  private def summaryAggs(measureCols: Seq[String]) =
-    count(lit(1)).as("n") +: measureCols.flatMap(m => Seq(
+    * needs: `n` (count(*)), per measure `sum_m`/`cnt_m`/`min_m`/
+    * `max_m`, and per sketch-covered distinct column a MERGEABLE
+    * DataSketches HLL partial `hll_x` — register-wise max is
+    * associative and commutative, so a union of cell sketches is the
+    * same sketch state a base scan would build: DISTINCT-style
+    * aggregates, which do NOT decompose through sums, still roll up
+    * through sketches (the BigQuery BI Engine / Druid pattern).
+    * `cnt_m = count(m)` is what makes avg(m) and count(m) NULL-exact:
+    * SQL avg divides by non-null count, not row count. */
+  private def summaryAggs(measureCols: Seq[String],
+                          distinctCols: Seq[String]) =
+    (count(lit(1)).as("n") +: measureCols.flatMap(m => Seq(
       sum(col(m)).as(s"sum_$m"), count(col(m)).as(s"cnt_$m"),
-      min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")))
+      min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")))) ++
+      distinctCols.map(x =>
+        hll_sketch_agg(col(x), SketchLgK).as(s"hll_$x"))
 
   /** Commit a freshly-computed summary frame as the next generation
     * under `path` and return the registered definition: write to the
@@ -161,7 +180,8 @@ object MvRewrite {
                                 path: String, basePaths: Set[String],
                                 baseSnapshots: Map[String, Int],
                                 groupCols: Seq[String],
-                                measureCols: Set[String]): DataFrame = {
+                                measureCols: Set[String],
+                                distinctCols: Set[String]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val (v, genDir) = graft.pipeline.TableSwap.nextVersion(path, conf)
     // the write is the action that runs the build plan through the
@@ -174,7 +194,7 @@ object MvRewrite {
     val mv = spark.read.parquet(genDir)
     val mvPlan = mv.queryExecution.analyzed
     registry.put(path, MvDef(basePaths, baseSnapshots, groupCols,
-      measureCols, genDir, mvPlan,
+      measureCols, distinctCols, genDir, mvPlan,
       mvPlan.output.map(a => a.name -> a).toMap))
     graft.pipeline.TableSwap.vacuumVersions(path, conf,
       keepLast = KeepGenerations)
@@ -187,14 +207,15 @@ object MvRewrite {
     * return the summary scan. */
   def materialize(spark: SparkSession, base: DataFrame,
                   groupCols: Seq[String], measureCols: Seq[String],
-                  path: String): DataFrame = {
+                  path: String,
+                  distinctCols: Seq[String] = Nil): DataFrame = {
     install(spark)
-    val aggs = summaryAggs(measureCols)
+    val aggs = summaryAggs(measureCols, distinctCols)
     val summary =
       base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     publishGeneration(spark, summary, path, rootPaths(base),
       gdxSnapshots(base.queryExecution.analyzed), groupCols,
-      measureCols.toSet)
+      measureCols.toSet, distinctCols.toSet)
   }
 
   /** INCREMENTAL REFRESH — fold a DELTA of newly-appended base rows
@@ -217,20 +238,25 @@ object MvRewrite {
       new IllegalStateException(s"mv refresh: $path is not registered"))
     install(spark)
     val ms = d.measureCols.toSeq.sorted
-    val deltaAggs = summaryAggs(ms)
+    val xs = d.distinctCols.toSeq.sorted
+    val deltaAggs = summaryAggs(ms, xs)
     val deltaSum = delta.groupBy(d.groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
-    val mergeAggs = sum(col("n")).as("n") +: ms.flatMap(m => Seq(
+    // sketches merge by UNION — the same register-wise-max algebra the
+    // rewrite's rollup compensation uses, so a refreshed sketch equals
+    // the sketch a full rebuild would produce
+    val mergeAggs = (sum(col("n")).as("n") +: ms.flatMap(m => Seq(
       sum(col(s"sum_$m")).as(s"sum_$m"),
       sum(col(s"cnt_$m")).as(s"cnt_$m"),
       min(col(s"min_$m")).as(s"min_$m"),
-      max(col(s"max_$m")).as(s"max_$m")))
+      max(col(s"max_$m")).as(s"max_$m")))) ++
+      xs.map(x => hll_union_agg(col(s"hll_$x")).as(s"hll_$x"))
     val merged = spark.read.parquet(d.genDir).unionByName(deltaSum)
       .groupBy(d.groupCols.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
     publishGeneration(spark, merged, path, d.basePaths,
       d.baseSnapshots.map { case (p, _) => p -> currentGdxVersion(p) },
-      d.groupCols, d.measureCols)
+      d.groupCols, d.measureCols, d.distinctCols)
   }
 
   /** Identity of a relation for base-table matching: file-source root
@@ -389,6 +415,25 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           else (aggExpr(Sum(mv(s"sum_${a.name}"))),
             aggExpr(Sum(mv(s"cnt_${a.name}"))))
         Some(Divide(Cast(s, DoubleType), Cast(n, DoubleType)))
+      // hll_sketch_agg(x) over a SKETCH-COVERED column at matching
+      // precision: the stored cell sketch (exact grain) or the union
+      // of cell sketches (rollup grain) — sketch state is a set-union
+      // invariant of the rows, so DISTINCT-style aggregates roll up
+      // through summaries even though they don't decompose through
+      // sums. The user-facing hll_sketch_estimate wrapper rides
+      // through the recursive scalar case untouched. approx_count_
+      // distinct (HLL++) is deliberately NOT mapped here: swapping its
+      // estimator for a DataSketches union would silently change the
+      // returned estimate — the rewrite contract is optimization,
+      // never a value change.
+      case h: HllSketchAgg if h.lgConfigK == MvRewrite.SketchLgK =>
+        h.left match {
+          case a: AttributeReference if d.distinctCols.contains(a.name) =>
+            val cell = mv(s"hll_${a.name}")
+            Some(if (exact) cell
+                 else aggExpr(HllUnionAgg(cell, Literal(false))))
+          case _ => None
+        }
       case _ => None
     }
     // The optimizer collapses later projections INTO the aggregate
@@ -568,6 +613,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         Some(Divide(
           Cast(aggExpr(Sum(mv(s"sum_${a.name}"))), DoubleType),
           Cast(aggExpr(Sum(mv(s"cnt_${a.name}"))), DoubleType)))
+      // sketch-covered fact distinct column: union the matched cells'
+      // sketches (same algebra as the non-join rollup arm — the n:1
+      // join neither multiplies nor merges cells)
+      case h: HllSketchAgg if h.lgConfigK == MvRewrite.SketchLgK =>
+        h.left match {
+          case a: AttributeReference
+              if factOut.contains(a) && d.distinctCols.contains(a.name) =>
+            Some(aggExpr(HllUnionAgg(mv(s"hll_${a.name}"),
+              Literal(false))))
+          case _ => None
+        }
       case _ => None
     }
     def rewriteExpr(e: Expression): Option[Expression] = e match {

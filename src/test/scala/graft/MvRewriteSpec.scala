@@ -440,4 +440,99 @@ class MvRewriteSpec extends SparkSuite {
       Array(Seq("a", 1L), Seq("b", 1L)))
     plans.MvRewrite.clear()
   }
+
+  test("sketch-covered distinct column rewrites at exact and rollup " +
+      "grain") {
+    val dir = writeBase()
+    val base = spark.read.parquet(dir)
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("g1", "g2"), Seq("m1"),
+      mvPath, distinctCols = Seq("m2"))
+    // exact grain: the stored cell sketch is estimated directly — a
+    // pure Project, no aggregation at query time
+    val q1 = base.groupBy("g1", "g2")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("m2"))).as("nd"))
+    assert(onMv(q1, mvPath),
+      s"expected an MV-only plan, got ${q1.queryExecution.optimizedPlan}")
+    assert(q1.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty, "exact-grain sketch rewrite must not re-aggregate")
+    assert(q1.orderBy("g1", "g2").collect().map(_.toSeq) === Array(
+      Seq("a", "x", 2L), Seq("a", "y", 1L),
+      Seq("b", "x", 1L), Seq("b", "y", 2L)))
+    // rollup grain: cell sketches UNION — distinct counts that do not
+    // decompose through sums still roll up through sketch merge (tiny
+    // cardinalities are exact in HLL's coupon regime, so equality to
+    // the true distinct count is deterministic here)
+    val q2 = base.groupBy("g1")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("m2"))).as("nd"))
+    assert(onMv(q2, mvPath),
+      s"expected an MV-only plan, got ${q2.queryExecution.optimizedPlan}")
+    assert(q2.orderBy("g1").collect().map(_.toSeq) ===
+      Array(Seq("a", 3L), Seq("b", 3L)))
+    // guards: approx_count_distinct (HLL++) must NOT be answered by the
+    // DataSketches union — a different estimator is a value change —
+    // and a precision-mismatched or uncovered sketch stays on the base
+    for (q <- Seq(
+      base.groupBy("g1").agg(approx_count_distinct("m2").as("nd")),
+      base.groupBy("g1")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("m2"), 14)).as("nd")),
+      base.groupBy("g1")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("g2"))).as("nd"))))
+      assert(leafPaths(q).exists(_.startsWith(s"file:$dir")),
+        s"must keep the base scan: ${q.queryExecution.optimizedPlan}")
+    plans.MvRewrite.clear()
+  }
+
+  test("incremental refresh unions sketches like a full rebuild") {
+    val dir = writeBase()
+    val base = spark.read.parquet(dir)
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("g1", "g2"), Seq("m1"),
+      mvPath, distinctCols = Seq("m2"))
+    // delta adds one repeated and two NEW m2 values to existing cells
+    val delta = Seq(("a", "x", 7.0, 10L), ("a", "x", 8.0, 30L),
+      ("b", "y", 9.0, 2L)).toDF("g1", "g2", "m1", "m2")
+    plans.MvRewrite.refreshIncremental(spark, delta, mvPath)
+    // a base-identity query now rewrites onto the REFRESHED summary
+    // (file-source bases answer as-of refresh by contract); the
+    // union-of-frames ground truth cannot rewrite (Aggregate over
+    // Union, not over the registered relation)
+    val truth = base.unionByName(delta).groupBy("g1")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("m2"))).as("nd"))
+    val mvNd = base.groupBy("g1")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("m2"))).as("nd"))
+    assert(onMv(mvNd, mvPath),
+      s"expected an MV-only plan, got " +
+        s"${mvNd.queryExecution.optimizedPlan}")
+    val expect = truth.orderBy("g1").collect().map(_.toSeq)
+    assert(mvNd.orderBy("g1").collect().map(_.toSeq) === expect)
+    assert(expect === Array(Seq("a", 4L), Seq("b", 4L)))
+    plans.MvRewrite.clear()
+  }
+
+  test("join rewrite unions fact-side sketches over matched cells") {
+    val factDir = tmp("jfact2")
+    Seq((1L, 2.0, 10L), (1L, 3.0, 20L), (2L, 4.0, 10L), (3L, 5.0, 30L))
+      .toDF("k", "m", "x")
+      .write.mode("overwrite").parquet(factDir)
+    val fact = spark.read.parquet(factDir)
+    val dimDir = tmp("jdim3")
+    Seq((1L, "p"), (2L, "q"), (3L, "p"))
+      .toDF("dk", "attr").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    plans.MvRewrite.registerDimension(dim, Seq("dk"))
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, fact, Seq("k"), Seq("m"), mvPath,
+      distinctCols = Seq("x"))
+    val q = fact.join(dim, col("k") === col("dk")).groupBy("attr")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("x"))).as("nd"))
+    assert(leafPaths(q).exists(_.startsWith(s"file:$mvPath/v=")),
+      s"expected the summary in the join, got " +
+        s"${q.queryExecution.optimizedPlan}")
+    // attr=p covers k∈{1,3} → x∈{10,20,30}; attr=q covers k=2 → {10}
+    assert(q.orderBy("attr").collect().map(_.toSeq) ===
+      Array(Seq("p", 3L), Seq("q", 1L)))
+    plans.MvRewrite.clear()
+  }
 }
