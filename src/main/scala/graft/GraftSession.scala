@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // MERGE INTO route to the format's transactional row-level ops
     // (plans/GdxDml) — post-hoc so the statements arrive fully resolved
     e.injectPostHocResolutionRule(_ => graft.plans.GdxDmlRule)
+    // maintenance grammar Spark lacks: OPTIMIZE <tbl> [ZORDER BY (...)]
+    // (plans/GdxMaintenanceSql) — a delegating parser, invisible to
+    // every other statement
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),

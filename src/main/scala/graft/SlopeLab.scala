@@ -50,6 +50,8 @@ object SlopeLab {
         args.lift(1).getOrElse("/tmp/graft_slope_dv"))
       case "mv" => mvWin(spark,
         args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      case "zorder" => zorder(spark,
+        args.lift(1).getOrElse("/tmp/graft_slope_zorder"))
       case other => sys.error(s"unknown SlopeLab mode: $other")
     }
     spark.stop()
@@ -199,6 +201,53 @@ object SlopeLab {
         spark.read.format(fmt).option("path", dir).load().count())
       require(cnt == n - deleted, s"post-delete count $cnt")
       println(f"""{"dv_rows":$n,"deleted":$deleted,"delete_sec":$tDel%.3f,"read_pre_sec":$tReadPre%.3f,"read_post_sec":$tReadPost%.3f,"dv_bytes":$dvBytes,"data_bytes":$dataBytes}""")
+    }
+  }
+
+  /** Z-order clustering scaling: a (k, v, p, sp) table at 1× and 10×
+    * rows, p/sp decorrelated from k. Claims under test: the OPTIMIZE
+    * rewrite is one quantile sample + one range shuffle (≈linear —
+    * a super-linear regime prints ≫10×), and the 2-D-box planned-file
+    * FRACTION is scale-invariant (skipping effectiveness is a property
+    * of the layout, not the table size — the property that makes the
+    * 100 TB dashboard slice touch the same share of files as the
+    * harness-scale one). */
+  def zorder(spark: SparkSession, work: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val fmt = "graft.sources.GdxSource"
+    val gdx = graft.sources.GdxSource
+    for (n <- Seq(600000, 6000000)) {
+      val dir = s"$work/n$n"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      Seq((0L, "seed")).toDF("k", "v").coalesce(1)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      gdx.addColumn(dir, "p", org.apache.spark.sql.types.LongType)
+      gdx.addColumn(dir, "sp", org.apache.spark.sql.types.LongType)
+      spark.range(0, n.toLong).select(col("id").as("k"),
+          concat(lit("r"), col("id") % 5).as("v"),
+          ((col("id") * 7919L) % 100000L).as("p"),
+          ((col("id") * 104729L) % 10000L).as("sp"))
+        .repartitionByRange(32, col("k"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      val box = Seq(GreaterThanOrEqual("p", 10000L), LessThan("p", 30000L),
+        GreaterThanOrEqual("sp", 1000L), LessThan("sp", 3000L))
+      val (preKept, preTotal) = gdx.plannedFiles(dir, box)
+      val t0 = System.nanoTime()
+      gdx.optimizeZOrder(spark, dir, Seq("p", "sp"), target = 32)
+      val tOpt = (System.nanoTime() - t0) / 1e9
+      val (postKept, postTotal) = gdx.plannedFiles(dir, box)
+      def timeIt[A](f: => A): Double = {
+        val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+      }
+      val scan = timeIt(spark.read.format(fmt).option("path", dir).load()
+        .filter(col("p") >= 10000L && col("p") < 30000L &&
+          col("sp") >= 1000L && col("sp") < 3000L).count())
+      println(f"""{"zorder_rows":$n,"optimize_sec":$tOpt%.3f,"box_files_pre":"$preKept/$preTotal","box_files_post":"$postKept/$postTotal","box_scan_sec":$scan%.3f}""")
     }
   }
 

@@ -1730,6 +1730,67 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // C20 — Z-ORDER CLUSTERING + MULTI-COLUMN ZONE MAPS on the GDX
+    // format (Delta OPTIMIZE ZORDER BY / Iceberg sort-rewrite): the
+    // table lands k-clustered (p and sp have NO file locality), then
+    // optimizeZOrder rewrites it on the Morton curve over (p, sp) —
+    // equi-depth bucketize via one sampled quantile pass per column,
+    // interleave bucket bits (native ZValue expression), range-
+    // partition on the z-value, one truncate commit. The manifest's
+    // extended per-file min/max stats then prune on BOTH dimensions:
+    // at 100 TB this turns every 2-D dashboard slice from a full scan
+    // into the few files whose zone boxes intersect the query box.
+    // Claims pin the measurable skipping: each single dimension prunes
+    // (impossible under the k-sort for p/sp), the 2-D box prunes at
+    // least as hard as either dimension, and the rewrite preserved
+    // every row. The verified payload is the 2-D box content itself,
+    // recomputed by DuckDB — pruning is an overlay (filters stay
+    // residual), so skipping can never change these rows.
+    "c20_gdx_zorder" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxzo_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      val li = Tables.lineitem(s, d).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+        col("l_returnflag").as("v"),
+        col("l_partkey").as("p"), col("l_suppkey").as("sp"))
+      // evolve the classic (k, v) core to carry the two cluster dims
+      li.select("k", "v").limit(1).coalesce(1)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      gdx.addColumn(dir, "p", org.apache.spark.sql.types.LongType)
+      gdx.addColumn(dir, "sp", org.apache.spark.sql.types.LongType)
+      li.repartitionByRange(16, col("k"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      val total0 = li.count()
+      // equi-depth boxes over [10%, 30%) of each dimension — SF-stable
+      // and recomputable in SQL (floor of max-based bounds)
+      val mRow = li.agg(max("p"), max("sp")).head
+      val (pm, sm) = (mRow.getLong(0), mRow.getLong(1))
+      val (pLo, pHi) = (pm / 10, 3 * pm / 10)
+      val (sLo, sHi) = (sm / 10, 3 * sm / 10)
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      gdx.optimizeZOrder(s, dir, Seq("p", "sp"), target = 16)
+      val (pKept, total) = gdx.plannedFiles(dir,
+        Seq(GreaterThanOrEqual("p", pLo), LessThan("p", pHi)))
+      val (spKept, _) = gdx.plannedFiles(dir,
+        Seq(GreaterThanOrEqual("sp", sLo), LessThan("sp", sHi)))
+      val (boxKept, _) = gdx.plannedFiles(dir,
+        Seq(GreaterThanOrEqual("p", pLo), LessThan("p", pHi),
+          GreaterThanOrEqual("sp", sLo), LessThan("sp", sHi)))
+      val t = s.read.format(fmt).option("path", dir).load()
+      t.filter(col("p") >= pLo && col("p") < pHi &&
+          col("sp") >= sLo && col("sp") < sHi)
+        .select(col("k"), col("p"), col("sp"))
+        .withColumn("both_dims_prune",
+          lit(pKept < total && spKept < total))
+        .withColumn("box_prunes_harder",
+          lit(boxKept <= math.min(pKept, spKept)))
+        .withColumn("rows_intact", lit(t.count() == total0))
+        // k is NOT unique in the synthetic lineitem ((orderkey,
+        // linenumber) repeats) — sort by every column for determinism
+        .orderBy("k", "p", "sp")
+    }),
+
     // C18 — SQL DML FRONT DOOR for the GDX format: the same
     // transactional row-level operations c13/c14/c17 drive through the
     // Scala API, here driven end to end through spark.sql — CREATE
@@ -2461,6 +2522,21 @@ object RelationalOps extends QueryModule {
         |       ELSE event_type END AS v,
         |  TRUE AS originals_intact, TRUE AS history_intact
         |FROM events ORDER BY k""".stripMargin,
+    // the 2-D box content recomputed directly from lineitem with the
+    // same floor-division bounds; every skipping claim is pinned TRUE
+    // (pruning is an overlay — it can only change file counts, never
+    // these rows)
+    "c20_gdx_zorder" ->
+      """WITH m AS (SELECT max(l_partkey) AS pm, max(l_suppkey) AS sm
+        |  FROM lineitem)
+        |SELECT l_orderkey * 10 + l_linenumber AS k,
+        |  l_partkey AS p, l_suppkey AS sp,
+        |  TRUE AS both_dims_prune, TRUE AS box_prunes_harder,
+        |  TRUE AS rows_intact
+        |FROM lineitem, m
+        |WHERE l_partkey >= pm // 10 AND l_partkey < 3 * pm // 10
+        |  AND l_suppkey >= sm // 10 AND l_suppkey < 3 * sm // 10
+        |ORDER BY k, p, sp""".stripMargin,
     // the exact distinct count recomputed directly; the estimate's
     // 4·rsd agreement and the plan-shape rewrite claim are pinned TRUE
     "c21_mv_sketch_rewrite" ->

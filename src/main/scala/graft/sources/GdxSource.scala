@@ -182,10 +182,17 @@ class GdxConcurrentModificationException(msg: String)
     extends RuntimeException(msg)
 
 /** Per-file zone map published in the manifest: row count + min/max of
-  * `k`. `rows == 0` files carry an empty range (minK > maxK) and are
+  * `k`, plus OPTIONAL min/max per additional numeric column (`cols`,
+  * keyed by column name; values kept as the writer's decimal strings
+  * and interpreted against the snapshot schema at planning time —
+  * exact for longs, round-trip for doubles). NULLs are excluded from a
+  * column's range and an all-NULL (or absent) column publishes no
+  * entry — absence always means "cannot prune", never "empty".
+  * `rows == 0` files carry an empty k-range (minK > maxK) and are
   * prunable by ANY k-predicate. Legacy manifest lines (file name only)
   * parse to `stats = None` — never pruned. */
-case class GdxFileStats(rows: Long, minK: Long, maxK: Long)
+case class GdxFileStats(rows: Long, minK: Long, maxK: Long,
+                        cols: Map[String, (String, String)] = Map.empty)
 
 /** One committed data file: name, optional zone map, and an optional
   * DELETION VECTOR sidecar (`dv`) — a `.dvx` file listing this data
@@ -200,12 +207,21 @@ case class GdxFileEntry(name: String, stats: Option[GdxFileStats],
                         dv: Option[String] = None) {
   /** Manifest line: `name` | `name\trows\tmin\tmax` |
     * `name\trows\tmin\tmax\tdv` (`-` placeholders when a DV attaches
-    * to a legacy stats-less entry). */
-  def manifestLine: String = (stats, dv) match {
-    case (Some(s), Some(d)) => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}\t$d"
-    case (Some(s), None)    => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}"
-    case (None, Some(d))    => s"$name\t-\t-\t-\t$d"
-    case (None, None)       => name
+    * to a legacy stats-less entry). Extended per-column stats, when
+    * present, append ONE trailing `x:c=min..max;…` field — the `x:`
+    * prefix disambiguates it from a DV name in every arity, and
+    * readers that predate the field simply never prune on it. */
+  def manifestLine: String = {
+    val ext = stats.filter(_.cols.nonEmpty).map(s =>
+      "\tx:" + s.cols.toSeq.sortBy(_._1).map {
+        case (c, (mn, mx)) => s"$c=$mn..$mx"
+      }.mkString(";")).getOrElse("")
+    ((stats, dv) match {
+      case (Some(s), Some(d)) => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}\t$d"
+      case (Some(s), None)    => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}"
+      case (None, Some(d))    => s"$name\t-\t-\t-\t$d"
+      case (None, None)       => name
+    }) + ext
   }
 }
 
@@ -430,18 +446,36 @@ object GdxSource {
     }
   }
 
-  private def parseManifestLine(line: String): GdxFileEntry =
-    line.split('\t') match {
+  private def parseManifestLine(line: String): GdxFileEntry = {
+    // the extended-stats field is always LAST and always `x:`-prefixed
+    // — peel it first so every legacy arity parses unchanged
+    val raw = line.split('\t')
+    val (fields, ext) =
+      if (raw.length > 1 && raw.last.startsWith("x:"))
+        (raw.init, parseExtStats(raw.last.drop(2)))
+      else (raw, Map.empty[String, (String, String)])
+    fields match {
       case Array(name, rows, mn, mx) =>
         GdxFileEntry(name,
-          Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong)))
+          Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong, ext)))
       case Array(name, "-", "-", "-", dv) =>
         GdxFileEntry(name, None, Some(dv))
       case Array(name, rows, mn, mx, dv) =>
         GdxFileEntry(name,
-          Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong)), Some(dv))
+          Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong, ext)),
+          Some(dv))
       case _ => GdxFileEntry(line, None)
     }
+  }
+
+  private def parseExtStats(s: String): Map[String, (String, String)] =
+    s.split(';').iterator.flatMap { part =>
+      val eq = part.indexOf('=')
+      val dots = part.indexOf("..", eq + 1)
+      if (eq < 0 || dots < 0) None
+      else Some(part.substring(0, eq) ->
+        (part.substring(eq + 1, dots), part.substring(dots + 2)))
+    }.toMap
 
   /** File paths of the chosen snapshot (stats dropped). */
   def committedFiles(path: String, conf: Configuration,
@@ -683,6 +717,24 @@ object GdxSource {
                    pushed: Seq[Filter]): Seq[GdxFileEntry] =
     entries.filter { e =>
       e.stats.forall { st =>
+        // extended per-column range check: exact decimal compare of the
+        // manifest's min/max strings against the literal (BigDecimal —
+        // a double-rounded compare of a large long could prune a file
+        // that actually matches). Any unparseable side (±Infinity, a
+        // legacy line, a non-numeric literal) keeps the file: absence
+        // of a provable miss is never a prune.
+        def dec(s: String): Option[BigDecimal] =
+          try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+        def extRange(c: String): Option[(BigDecimal, BigDecimal)] =
+          st.cols.get(c).flatMap { case (mn, mx) =>
+            dec(mn).zip(dec(mx)) }
+        def cmp(c: String, w: Any)(miss: (BigDecimal, BigDecimal,
+            BigDecimal) => Boolean): Boolean =
+          (extRange(c), w) match {
+            case (Some((mn, mx)), n: Number) =>
+              dec(n.toString).forall(v => !miss(mn, mx, v))
+            case _ => true
+          }
         pushed.forall {
           case EqualTo("k", w: Number) =>
             st.minK <= w.longValue && w.longValue <= st.maxK
@@ -694,6 +746,21 @@ object GdxSource {
             vs.exists {
               case w: Number => st.minK <= w.longValue && w.longValue <= st.maxK
               case _         => true
+            }
+          case EqualTo(c, w)            => cmp(c, w)((mn, mx, v) =>
+            v < mn || v > mx)
+          case GreaterThan(c, w)        => cmp(c, w)((_, mx, v) => mx <= v)
+          case GreaterThanOrEqual(c, w) => cmp(c, w)((_, mx, v) => mx < v)
+          case LessThan(c, w)           => cmp(c, w)((mn, _, v) => mn >= v)
+          case LessThanOrEqual(c, w)    => cmp(c, w)((mn, _, v) => mn > v)
+          case org.apache.spark.sql.sources.In(c, vs) =>
+            extRange(c) match {
+              case Some((mn, mx)) => vs.exists {
+                case n: Number =>
+                  dec(n.toString).forall(v => mn <= v && v <= mx)
+                case _ => true
+              }
+              case None => true
             }
           case _                                  => true
         }
@@ -719,6 +786,63 @@ object GdxSource {
       .write.format("graft.sources.GdxSource").option("path", dir)
       .mode("overwrite").save()
     (before, committedEntries(dir, conf).size)
+  }
+
+  /** OPTIMIZE … ZORDER BY for the GDX table: rewrite the current
+    * snapshot CLUSTERED on the Morton (Z-order) curve over `by` —
+    * equi-depth bucketize each listed column (one sampled
+    * `approxQuantile` pass per column), interleave the bucket bits
+    * ([[graft.functions.ZValue]], codegen'd), range-partition on the
+    * Z-value into ~`target` files, and publish as ONE truncate commit.
+    * Every listed column then has file-level locality simultaneously,
+    * so the manifest's extended zone maps (min/max per numeric column)
+    * prune on EVERY listed dimension — a linear sort gives its leading
+    * key tight file ranges and leaves every other column's range as
+    * wide as the table (the Delta OPTIMIZE ZORDER BY / Iceberg sort
+    * rewrite contract; ZOrderSpec measures the difference). Snapshot
+    * isolation as in [[compact]]: old versions keep their files, time
+    * travel works, [[vacuum]] reclaims. At 100 TB this runs range-wise
+    * like any maintenance rewrite; the quantile pass is sample-sized
+    * and the clustering job is one range shuffle of the rewritten
+    * slice. Returns (files before, files after). */
+  def optimizeZOrder(spark: SparkSession, dir: String, by: Seq[String],
+                     target: Int = 8): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val conf = driverConf()
+    val before = committedEntries(dir, conf).size
+    val df = spark.read.format("graft.sources.GdxSource")
+      .option("path", dir).load()
+    val sch = df.schema
+    require(by.nonEmpty, "gdx zorder: at least one clustering column")
+    by.foreach { c =>
+      require(sch.fieldNames.contains(c), s"gdx zorder: no column $c")
+      require(graft.functions.ZValue.supportedType(sch(c).dataType),
+        s"gdx zorder: $c is not numeric (${sch(c).dataType})")
+    }
+    // 256 equi-depth buckets per column: file-level clustering only
+    // needs bucket count to comfortably exceed the target file count
+    val probs = (1 until 256).map(_ / 256.0).toArray
+    val bounds =
+      by.map(c => df.stat.approxQuantile(c, probs, 0.001)).toArray
+    val z = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.ZValue(
+        by.map(c => org.apache.spark.sql.graft.ColumnBridge
+          .expression(df.col(c))),
+        bounds))
+    df.withColumn("__z", z)
+      .repartitionByRange(target, col("__z"))
+      .drop("__z")
+      .write.format("graft.sources.GdxSource").option("path", dir)
+      .mode("overwrite").save()
+    (before, committedEntries(dir, conf).size)
+  }
+
+  /** Manifest-only count of the files a scan with `filters` would
+    * plan against the current snapshot — the zone-map skipping
+    * effectiveness probe (no file is opened). */
+  def plannedFiles(dir: String, filters: Seq[Filter]): (Int, Int) = {
+    val entries = committedEntries(dir, driverConf())
+    (pruneByStats(entries, filters).size, entries.size)
   }
 
   /** MERGE (last-writer-wins upsert) into a GDX table: per key, an
@@ -1324,6 +1448,7 @@ class GdxScanBuilder(path: String, version: Int,
     Aggregation, CountStar, Max, Min}
 
   private var pushed: Array[Filter] = Array.empty
+  private var pruneOnly: Array[Filter] = Array.empty
   private var limit: Int = -1
   private var aggOps: Option[Seq[String]] = None
   private var required: StructType = tableSchema
@@ -1354,6 +1479,22 @@ class GdxScanBuilder(path: String, version: Int,
       case _                                  => false
     }
     pushed = supported
+    // Range/equality/IN predicates on OTHER numeric columns are kept as
+    // PRUNE-ONLY hints: they drive zone-map file skipping at planning
+    // time (extended per-column stats in the manifest) but stay in the
+    // residual set, so Spark still evaluates them row-level — the
+    // parquet/Delta stats-pruning contract: skipping is an overlay,
+    // never the correctness boundary.
+    pruneOnly = residual.filter {
+      case EqualTo(c, _: Number) if c != "k"            => true
+      case GreaterThan(c, _: Number) if c != "k"        => true
+      case GreaterThanOrEqual(c, _: Number) if c != "k" => true
+      case LessThan(c, _: Number) if c != "k"           => true
+      case LessThanOrEqual(c, _: Number) if c != "k"    => true
+      case org.apache.spark.sql.sources.In(c, vs) if c != "k" =>
+        vs.forall(_.isInstanceOf[Number])
+      case _                                            => false
+    }
     residual // Spark re-checks residuals post-scan; pushed ones it trusts
   }
 
@@ -1410,7 +1551,7 @@ class GdxScanBuilder(path: String, version: Int,
 
   override def build(): Scan = new GdxScan(path, version, pushed, limit,
     aggOps, metaComplete && aggOps.isDefined, required, tableSchema,
-    maxVersionsPerTrigger)
+    maxVersionsPerTrigger, pruneOnly)
 }
 
 case class GdxFilePartition(file: String, dv: Option[String] = None)
@@ -1426,7 +1567,8 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
               aggOps: Option[Seq[String]], metaOnly: Boolean = false,
               required: StructType = GdxSource.schema,
               tableSchema: StructType = GdxSource.schema,
-              maxVersionsPerTrigger: Int = Int.MaxValue)
+              maxVersionsPerTrigger: Int = Int.MaxValue,
+              pruneOnly: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -1457,12 +1599,17 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   private lazy val entries: Seq[GdxFileEntry] =
     GdxSource.committedEntries(path, GdxSource.driverConf(), version)
       .sortBy(_.name)
-  // def, not lazy val: runtime filters arrive between planning calls
+  // def, not lazy val: runtime filters arrive between planning calls.
+  // pruneOnly filters join the skip set here but never reach the
+  // readers — Spark evaluates them row-level as residuals.
   private def kept: Seq[GdxFileEntry] =
-    GdxSource.pruneByStats(entries, pushed.toSeq ++ runtime)
+    GdxSource.pruneByStats(entries,
+      pushed.toSeq ++ runtime ++ pruneOnly)
 
   override def description(): String =
     s"GdxScan pushed=[${pushed.mkString(", ")}]" +
+      (if (pruneOnly.nonEmpty)
+        s" pruneOnly=[${pruneOnly.mkString(", ")}]" else "") +
       s" files=${(if (metaOnly) 0 else kept.size)}/${entries.size}" +
       (if (version >= 0) s" version=$version" else "") +
       (if (limit >= 0) s" limit=$limit" else "") +
@@ -1941,6 +2088,24 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
   private var rows = 0L
   private var minK = Long.MaxValue
   private var maxK = Long.MinValue
+  // extended zone maps: min/max per additional NUMERIC column (string
+  // columns are skipped — k covers the key path and long string
+  // extrema would bloat every manifest line), NULLs excluded, tracked
+  // exactly in the column's own type. A column that never sees a
+  // non-null value publishes nothing (absence = cannot prune).
+  private val extIdx: Array[Int] = schema.fields.zipWithIndex.drop(1)
+    .collect { case (f, i)
+        if f.dataType == LongType || f.dataType == DoubleType => i }
+  private val extSeen = new Array[Boolean](extIdx.length)
+  // a NaN poisons the column's range for this file: Spark orders NaN
+  // ABOVE every double, so a min/max computed from the non-NaN values
+  // could wrongly prune a file whose NaN rows satisfy a > predicate —
+  // suppress the column's stats instead (absence = cannot prune)
+  private val extNaN = new Array[Boolean](extIdx.length)
+  private val extMinL = Array.fill(extIdx.length)(Long.MaxValue)
+  private val extMaxL = Array.fill(extIdx.length)(Long.MinValue)
+  private val extMinD = Array.fill(extIdx.length)(Double.MaxValue)
+  private val extMaxD = Array.fill(extIdx.length)(Double.MinValue)
 
   override def write(r: InternalRow): Unit = {
     require(!r.isNullAt(0), "gdx write: k (the key) must not be null")
@@ -1948,6 +2113,24 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     rows += 1
     if (k < minK) minK = k
     if (k > maxK) maxK = k
+    var e = 0
+    while (e < extIdx.length) {
+      val i = extIdx(e)
+      if (!r.isNullAt(i)) {
+        extSeen(e) = true
+        if (schema(i).dataType == LongType) {
+          val v = r.getLong(i)
+          if (v < extMinL(e)) extMinL(e) = v
+          if (v > extMaxL(e)) extMaxL(e) = v
+        } else {
+          val v = r.getDouble(i)
+          if (java.lang.Double.isNaN(v)) extNaN(e) = true
+          if (v < extMinD(e)) extMinD(e) = v
+          if (v > extMaxD(e)) extMaxD(e) = v
+        }
+      }
+      e += 1
+    }
     // fields joined by tab in schema order; NULL as the reserved \N
     // marker. The line format has no escaping: a separator/terminator
     // (or a literal \N) inside a string would corrupt the row on read
@@ -1974,7 +2157,14 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    GdxCommitMessage(name, GdxFileStats(rows, minK, maxK))
+    val ext = extIdx.indices.iterator
+      .filter(e => extSeen(e) && !extNaN(e)).map { e =>
+      val i = extIdx(e)
+      schema(i).name -> (if (schema(i).dataType == LongType)
+        (extMinL(e).toString, extMaxL(e).toString)
+      else (extMinD(e).toString, extMaxD(e).toString))
+    }.toMap
+    GdxCommitMessage(name, GdxFileStats(rows, minK, maxK, ext))
   }
   override def abort(): Unit = {
     out.close()
