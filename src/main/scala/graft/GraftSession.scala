@@ -27,7 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // MERGE INTO route to the format's transactional row-level ops
     // (plans/GdxDml) — post-hoc so the statements arrive fully resolved
     e.injectPostHocResolutionRule(_ => graft.plans.GdxDmlRule)
-    // maintenance grammar Spark lacks: OPTIMIZE <tbl> [ZORDER BY (...)]
+    // maintenance grammar Spark lacks: OPTIMIZE <tbl> [ZORDER BY (...)],
+    // VACUUM <tbl> [RETAIN n VERSIONS], DESCRIBE HISTORY <tbl>
     // (plans/GdxMaintenanceSql) — a delegating parser, invisible to
     // every other statement
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))

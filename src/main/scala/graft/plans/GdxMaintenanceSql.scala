@@ -8,45 +8,77 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-/** SQL FRONT DOOR for GDX table MAINTENANCE — the statement Spark's
+/** SQL FRONT DOOR for GDX table MAINTENANCE — the statements Spark's
   * grammar does not have:
   *
   *   `OPTIMIZE <table> [ZORDER BY (col, col, …)]`
+  *   `VACUUM <table> [RETAIN n VERSIONS]`
+  *   `DESCRIBE HISTORY <table>`
   *
   * routed to [[graft.sources.GdxSource.compact]] (bin-pack the current
-  * snapshot) or [[graft.sources.GdxSource.optimizeZOrder]] (Morton-
+  * snapshot), [[graft.sources.GdxSource.optimizeZOrder]] (Morton-
   * curve clustering so the manifest's multi-column zone maps prune on
-  * every listed dimension) — the Delta `OPTIMIZE … ZORDER BY` surface
-  * on the engine's own format. Parsed by [[GraftSqlParser]], a
-  * delegating `ParserInterface` injected via
-  * `SparkSessionExtensions.injectParser` (the canonical extension seam
-  * for grammar Spark lacks): anything that is not an OPTIMIZE
-  * statement goes to Spark's parser byte-for-byte, so the wrapper is
-  * invisible to every other statement (a cheap prefix check guards the
-  * regex). Both paths publish ONE truncate commit — snapshot
-  * isolation, time travel, and vacuum behave exactly as for any other
-  * commit. Returns (files_before, files_after). */
+  * every listed dimension), [[graft.sources.GdxSource.vacuum]]
+  * (retention), and [[graft.sources.GdxSource.history]] (the audit
+  * log) — the Delta maintenance surface on the engine's own format.
+  * Parsed by [[GraftSqlParser]], a delegating `ParserInterface`
+  * injected via `SparkSessionExtensions.injectParser` (the canonical
+  * extension seam for grammar Spark lacks): anything that is not one
+  * of these statements goes to Spark's parser byte-for-byte — plain
+  * `DESCRIBE TABLE` included — so the wrapper is invisible to every
+  * other statement (a cheap prefix check guards the regexes). OPTIMIZE
+  * publishes ONE truncate commit; snapshot isolation, time travel, and
+  * retention behave exactly as for any other commit. */
 object GdxMaintenanceSql {
 
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
+  private val Vacuum =
+    """(?is)^\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+  private val History =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
 
-  /** Some(command) when `sqlText` is an OPTIMIZE statement. */
-  def parseOptimize(sqlText: String,
-                    delegate: ParserInterface): Option[LogicalPlan] = {
-    // fast path: only statements that can possibly match pay the regex
-    val t = sqlText.dropWhile(_.isWhitespace)
-    if (t.length < 8 || !t.substring(0, 8).equalsIgnoreCase("OPTIMIZE"))
-      return None
-    sqlText match {
+  /** Some(command) when `sqlText` is one of the engine's maintenance
+    * statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY). Plain
+    * DESCRIBE (TABLE/QUERY/…) never matches — only the HISTORY form
+    * Spark's grammar lacks. */
+  def parseMaintenance(sqlText: String,
+                       delegate: ParserInterface): Option[LogicalPlan] = {
+    // fast path: only statements that can possibly match pay a regex
+    val t = sqlText.dropWhile(_.isWhitespace).take(16).toUpperCase
+    def ident(tbl: String): Seq[String] =
+      delegate.parseMultipartIdentifier(tbl)
+    if (t.startsWith("OPTIMIZE")) sqlText match {
       case Optimize(tbl, cols) =>
-        val ident = delegate.parseMultipartIdentifier(tbl)
         val zorder = Option(cols).toSeq.flatMap(_.split(',').toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-        Some(GdxOptimizeCommand(ident, zorder))
+        Some(GdxOptimizeCommand(ident(tbl), zorder))
       case _ => None
-    }
+    } else if (t.startsWith("VACUUM")) sqlText match {
+      case Vacuum(tbl, retain) =>
+        Some(GdxVacuumCommand(ident(tbl),
+          Option(retain).map(_.toInt).getOrElse(1)))
+      case _ => None
+    } else if (t.startsWith("DESCRIBE HISTORY")) sqlText match {
+      case History(tbl) => Some(GdxHistoryCommand(ident(tbl)))
+      case _ => None
+    } else None
   }
+
+  /** Directory of a catalog-named GDX table, resolved through the
+    * ordinary read path — the same identity the DML front door uses,
+    * immune to where the catalog stores the path option. */
+  private[plans] def gdxPathOf(spark: SparkSession, table: Seq[String],
+                               stmt: String): String =
+    spark.table(table.map(p => s"`$p`").mkString("."))
+      .queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation if r.table.isInstanceOf[
+              graft.sources.GdxTable] =>
+          r.table.asInstanceOf[graft.sources.GdxTable].tablePath
+      }.getOrElse(throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" ->
+          s"$stmt: ${table.mkString(".")} is not a GDX table")))
 }
 
 /** `OPTIMIZE <gdx table> [ZORDER BY (…)]` → one clustering/compaction
@@ -61,22 +93,8 @@ case class GdxOptimizeCommand(table: Seq[String], zorderBy: Seq[String])
         StructField("files_before", LongType, nullable = false),
         StructField("files_after", LongType, nullable = false))))
 
-  private def fail(msg: String): Nothing =
-    throw new org.apache.spark.sql.AnalysisException(
-      "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
-
   override def run(spark: SparkSession): Seq[Row] = {
-    // resolve through the ordinary read path and take the GDX table's
-    // directory from the relation itself — the same identity the DML
-    // front door uses, immune to where the catalog stores the option
-    val rel = spark.table(table.map(p => s"`$p`").mkString("."))
-      .queryExecution.analyzed
-    val path = rel.collectFirst {
-      case r: org.apache.spark.sql.execution.datasources.v2
-          .DataSourceV2Relation if r.table.isInstanceOf[
-            graft.sources.GdxTable] =>
-        r.table.asInstanceOf[graft.sources.GdxTable].tablePath
-    }.getOrElse(fail(s"OPTIMIZE: ${table.mkString(".")} is not a GDX table"))
+    val path = GdxMaintenanceSql.gdxPathOf(spark, table, "OPTIMIZE")
     val (before, after) =
       if (zorderBy.nonEmpty)
         graft.sources.GdxSource.optimizeZOrder(spark, path, zorderBy,
@@ -95,12 +113,54 @@ object GdxOptimizeCommand {
   val TargetFiles = 8
 }
 
+/** `VACUUM <gdx table> [RETAIN n VERSIONS]` → drop manifests older
+  * than the retained window and delete every data file no retained
+  * snapshot references ([[graft.sources.GdxSource.vacuum]]). Returns
+  * (files_removed). */
+case class GdxVacuumCommand(table: Seq[String], retainVersions: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("files_removed", LongType, nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GdxMaintenanceSql.gdxPathOf(spark, table, "VACUUM")
+    val removed = graft.sources.GdxSource.vacuum(path,
+      graft.sources.GdxSource.driverConf(), keepLast = retainVersions)
+    Seq(Row(removed.toLong))
+  }
+}
+
+/** `DESCRIBE HISTORY <gdx table>` → the snapshot audit log, from
+  * manifest metadata alone ([[graft.sources.GdxSource.history]]). */
+case class GdxHistoryCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("version", org.apache.spark.sql.types.IntegerType,
+          nullable = false),
+        StructField("commit_ts", LongType, nullable = false),
+        StructField("manifest_kind", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_dvs", LongType, nullable = false),
+        StructField("n_rows_physical", LongType, nullable = false),
+        StructField("schema", org.apache.spark.sql.types.StringType,
+          nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GdxMaintenanceSql.gdxPathOf(spark, table, "DESCRIBE HISTORY")
+    graft.sources.GdxSource.history(spark, path)
+      .orderBy("version").collect().toSeq
+  }
+}
+
 /** Delegating parser: OPTIMIZE statements parse here, everything else
   * goes to Spark's parser untouched. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan =
-    GdxMaintenanceSql.parseOptimize(sqlText, delegate)
+    GdxMaintenanceSql.parseMaintenance(sqlText, delegate)
       .getOrElse(delegate.parsePlan(sqlText))
   @throws[ParseException]
   override def parseQuery(sqlText: String): LogicalPlan =

@@ -1676,7 +1676,7 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   override def toMicroBatchStream(checkpointLocation: String)
       : rstreaming.MicroBatchStream =
     new GdxMicroBatchStream(path, pushed, required, tableSchema,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, pruneOnly)
 }
 
 /** Offset = manifest version. Snapshot N reconstructs to the COMPLETE
@@ -1702,7 +1702,8 @@ case class GdxOffset(version: Int) extends rstreaming.Offset {
 class GdxMicroBatchStream(path: String, pushed: Array[Filter],
                           required: StructType = GdxSource.schema,
                           tableSchema: StructType = GdxSource.schema,
-                          maxVersionsPerTrigger: Int = Int.MaxValue)
+                          maxVersionsPerTrigger: Int = Int.MaxValue,
+                          pruneOnly: Array[Filter] = Array.empty)
     extends rstreaming.MicroBatchStream
     with rstreaming.SupportsAdmissionControl
     with rstreaming.SupportsTriggerAvailableNow {
@@ -1759,8 +1760,10 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter],
     // a delete commit adds no file names ⇒ contributes an EMPTY batch
     // (the changefeed is append-flavored; deletes surface to consumers
     // via fresh snapshot reads, not retractions); a file added in this
-    // window carries whatever DV version `e` attributes to it
-    GdxSource.pruneByStats(added, pushed.toSeq)
+    // window carries whatever DV version `e` attributes to it.
+    // pruneOnly (extended zone-map hints) skips added files the same
+    // way the batch scan does — the engine re-evaluates them row-level
+    GdxSource.pruneByStats(added, pushed.toSeq ++ pruneOnly)
       .sortBy(_.name)
       .map(en => GdxFilePartition(
         GdxSource.entryPath(path, en.name).toString,

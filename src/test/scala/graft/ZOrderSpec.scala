@@ -182,6 +182,21 @@ class ZOrderSpec extends SparkSuite {
       // plain OPTIMIZE compacts (already at target: no-op counts)
       val c = s.sql("OPTIMIZE zord_sql_t").collect()
       assert(c.head.getLong(1) <= c.head.getLong(0))
+      // DESCRIBE HISTORY lists every retained snapshot; plain DESCRIBE
+      // still goes to Spark's parser (wrapper invisibility)
+      // two snapshots: the data append and the zorder truncate (the
+      // at-target plain OPTIMIZE above was a no-op, no commit)
+      val h = s.sql("DESCRIBE HISTORY zord_sql_t").collect()
+      assert(h.length >= 2 && h.map(_.getInt(0)).toSeq ===
+        h.map(_.getInt(0)).toSeq.sorted)
+      assert(s.sql("DESCRIBE TABLE zord_sql_t").collect().nonEmpty)
+      // VACUUM RETAIN 1 VERSIONS reclaims superseded files and leaves
+      // the live snapshot intact
+      val vac = s.sql("VACUUM zord_sql_t RETAIN 1 VERSIONS").collect()
+      assert(vac.head.getLong(0) > 0L, "superseded files must be reaped")
+      assert(s.sql("SELECT count(*) FROM zord_sql_t").head.getLong(0)
+        === 4000L)
+      assert(s.sql("DESCRIBE HISTORY zord_sql_t").collect().length === 1)
       // a non-GDX target fails loudly
       s.sql("CREATE OR REPLACE TEMP VIEW zord_plain AS SELECT 1 AS x")
       intercept[Exception] { s.sql("OPTIMIZE zord_missing_t").collect() }
