@@ -1730,6 +1730,39 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // S27 — BLOOM-SIDECAR POINT-LOOKUP SKIPPING on the GDX format: the
+    // events keyset lands ROUND-ROBIN across 16 files, so every file
+    // spans ~the full key domain and zone maps cannot prune a point
+    // lookup at all (`zone_unprunable` pins that this is the hard
+    // layout, not a soft target). Each file's 64 KiB bloom sidecar
+    // then drops every file that provably holds none of the probed
+    // keys (`bloom_pruned`) — the Delta bloom-index / Parquet-bloom
+    // pattern, and the fast path under runtime-DPP key delivery. A
+    // false positive only plans an extra file: the pushed IN-predicate
+    // re-checks row-level, so the verified rows are bloom-independent
+    // and DuckDB recomputes them directly.
+    "s27_gdx_bloom_lookup" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxbf_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+        .repartition(16)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      val keys = Seq(7L, 123L, 256L, 389L, 512L, 640L, 777L, 901L)
+      val filt = Seq(org.apache.spark.sql.sources.In("k",
+        keys.map(_.asInstanceOf[AnyRef]).toArray))
+      val zoneKept = gdx.pruneByStats(
+        gdx.committedEntries(dir, gdx.driverConf()), filt).size
+      val (kept, total) = gdx.plannedFiles(dir, filt)
+      s.read.format(fmt).option("path", dir).load()
+        .filter(col("k").isin(keys: _*))
+        .select(col("k"), col("v"))
+        .withColumn("zone_unprunable", lit(zoneKept == total))
+        .withColumn("bloom_pruned", lit(kept < total))
+        .orderBy("k")
+    }),
+
     // C20 — Z-ORDER CLUSTERING + MULTI-COLUMN ZONE MAPS on the GDX
     // format (Delta OPTIMIZE ZORDER BY / Iceberg sort-rewrite): the
     // table lands k-clustered (p and sp have NO file locality), then
@@ -2522,6 +2555,15 @@ object RelationalOps extends QueryModule {
         |       ELSE event_type END AS v,
         |  TRUE AS originals_intact, TRUE AS history_intact
         |FROM events ORDER BY k""".stripMargin,
+    // the IN-lookup recomputed directly; both skipping claims pinned
+    // TRUE (zone maps provably CANNOT prune this layout, the bloom
+    // provably DID; row content is pruning-independent)
+    "s27_gdx_bloom_lookup" ->
+      """SELECT event_id AS k, event_type AS v,
+        |  TRUE AS zone_unprunable, TRUE AS bloom_pruned
+        |FROM events
+        |WHERE event_id IN (7, 123, 256, 389, 512, 640, 777, 901)
+        |ORDER BY k""".stripMargin,
     // the 2-D box content recomputed directly from lineitem with the
     // same floor-division bounds; every skipping claim is pinned TRUE
     // (pruning is an overlay — it can only change file counts, never

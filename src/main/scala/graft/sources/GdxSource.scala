@@ -203,6 +203,90 @@ case class GdxFileStats(rows: Long, minK: Long, maxK: Long,
   * data. Readers subtract the DV positions at scan time; `rows` stays
   * the PHYSICAL line count (metadata-only aggregates disable when any
   * DV is present), and the zone map stays a conservative bound. */
+/** Per-file BLOOM FILTER over `k` — the point-lookup complement to
+  * zone maps (the Delta bloom-filter-index / Parquet bloom pattern):
+  * range stats prune RANGE predicates, but a table whose files each
+  * span the full key domain (round-robin layout, streaming accretion)
+  * keeps every file for `k = x` / `k IN (…)` — exactly the shape a
+  * runtime-DPP join delivers. Each data file writes a fixed 64 KiB
+  * sidecar (`<file>.bfx`, 2¹⁹ bits, 5 probes — ~1.6% false positives
+  * at 60k keys/file; production sizes by expected keys per file, the
+  * Delta `fpp` option); planning tests candidate keys against the
+  * sidecar and drops files that provably hold none. Absence of a
+  * sidecar (legacy files, failed write) means "cannot prune" — and a
+  * false positive only plans an extra file; pushed k-predicates are
+  * re-evaluated row-level in the readers, so answers never depend on
+  * the bloom. Sidecars are immutable and version-named like their data
+  * files, so the driver-side cache needs no invalidation. */
+private[graft] object GdxBloom {
+  val Bits = 1 << 19
+  val Hashes = 5
+  val Suffix = ".bfx"
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def set(bits: Array[Byte], k: Long): Unit = {
+    val h1 = mix(k); val h2 = mix(h1) | 1L
+    var i = 0
+    while (i < Hashes) {
+      val b = ((h1 + i * h2) & (Bits - 1)).toInt
+      bits(b >>> 3) = (bits(b >>> 3) | (1 << (b & 7))).toByte
+      i += 1
+    }
+  }
+
+  def mightContain(bits: Array[Byte], k: Long): Boolean = {
+    val h1 = mix(k); val h2 = mix(h1) | 1L
+    var i = 0
+    while (i < Hashes) {
+      val b = ((h1 + i * h2) & (Bits - 1)).toInt
+      if ((bits(b >>> 3) & (1 << (b & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  // sidecars are immutable (version-unique names): a loaded bloom — or
+  // a confirmed absence — stays valid forever; LRU-capped
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[Array[Byte]]](
+      256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[Array[Byte]]]): Boolean =
+        size() > 1024
+    })
+
+  def load(fs: FileSystem, sidecar: Path): Option[Array[Byte]] = {
+    val key = sidecar.toString
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val loaded =
+      try {
+        if (!fs.exists(sidecar)) None
+        else {
+          val in = fs.open(sidecar)
+          try {
+            val buf = new Array[Byte](Bits / 8)
+            var off = 0
+            var n = 0
+            while (off < buf.length && n >= 0) {
+              n = in.read(buf, off, buf.length - off)
+              if (n > 0) off += n
+            }
+            if (off == buf.length) Some(buf) else None
+          } finally in.close()
+        }
+      } catch { case _: java.io.IOException => None }
+    cache.put(key, loaded)
+    loaded
+  }
+}
+
 case class GdxFileEntry(name: String, stats: Option[GdxFileStats],
                         dv: Option[String] = None) {
   /** Manifest line: `name` | `name\trows\tmin\tmax` |
@@ -634,11 +718,14 @@ object GdxSource {
       var renamed: Map[String, GdxFileEntry] = Map.empty
       while (committed < 0) {
         if (expectedBase >= 0 && attempt != expectedBase + 1) {
-          // tidy this attempt's tmp files before surfacing the conflict
+          // tidy this attempt's tmp files (and bloom sidecars) before
+          // surfacing the conflict
           finals.foreach { case (tmp, _) =>
             val p = renamed.get(tmp).map(e => new Path(base, e.name))
               .getOrElse(new Path(base, tmp))
             if (fs.exists(p)) fs.delete(p, false)
+            val bs = new Path(base, p.getName + GdxBloom.Suffix)
+            if (fs.exists(bs)) fs.delete(bs, false)
           }
           throw new GdxConcurrentModificationException(
             s"gdx commit: expected to publish version ${expectedBase + 1} " +
@@ -664,6 +751,11 @@ object GdxSource {
                 "refusing to clobber a possibly-committed file")
             require(fs.rename(src, dst),
               s"gdx commit: rename $src -> $fin failed")
+            // the bloom sidecar follows its data file through every
+            // (re)name; a missing sidecar (empty task) is fine
+            val bsrc = new Path(base, src.getName + GdxBloom.Suffix)
+            if (fs.exists(bsrc))
+              fs.rename(bsrc, new Path(base, fin + GdxBloom.Suffix))
           }
           renamed += tmp -> GdxFileEntry(fin, Some(stats))
           renamed(tmp)
@@ -837,12 +929,41 @@ object GdxSource {
     (before, committedEntries(dir, conf).size)
   }
 
-  /** Manifest-only count of the files a scan with `filters` would
-    * plan against the current snapshot — the zone-map skipping
-    * effectiveness probe (no file is opened). */
+  /** Bloom-sidecar point-lookup pruning: for every pushed
+    * `k = x` / `k IN (…)` predicate, drop files whose sidecar proves
+    * NONE of the candidate keys is present. A file without a sidecar
+    * (legacy, empty-task, failed write) is always kept; a false
+    * positive only plans an extra file — the pushed predicate is still
+    * evaluated row-level in the readers. Sidecar reads are driver-side
+    * and cached ([[GdxBloom.load]] — immutable version-unique names). */
+  def pruneByBloom(dir: String, entries: Seq[GdxFileEntry],
+                   filters: Seq[Filter]): Seq[GdxFileEntry] = {
+    val keySets: Seq[Seq[Long]] = filters.collect {
+      case EqualTo("k", w: Number) => Seq(w.longValue)
+      case org.apache.spark.sql.sources.In("k", vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+        vs.toSeq.map(_.asInstanceOf[Number].longValue)
+    }
+    if (keySets.isEmpty) return entries
+    val fs = new Path(dir).getFileSystem(driverConf())
+    entries.filter { e =>
+      GdxBloom.load(fs,
+        entryPath(dir, e.name + GdxBloom.Suffix)) match {
+        case None => true
+        case Some(bits) =>
+          keySets.forall(_.exists(GdxBloom.mightContain(bits, _)))
+      }
+    }
+  }
+
+  /** Manifest-plus-sidecar count of the files a scan with `filters`
+    * would plan against the current snapshot — the skipping
+    * effectiveness probe (zone maps + bloom; no data file is
+    * opened). */
   def plannedFiles(dir: String, filters: Seq[Filter]): (Int, Int) = {
     val entries = committedEntries(dir, driverConf())
-    (pruneByStats(entries, filters).size, entries.size)
+    (pruneByBloom(dir, pruneByStats(entries, filters), filters).size,
+      entries.size)
   }
 
   /** MERGE (last-writer-wins upsert) into a GDX table: per key, an
@@ -1405,10 +1526,14 @@ object GdxSource {
       (keptEntries.map(_.name) ++ keptEntries.flatMap(_.dv)).toSet
     val victims = fs.listStatus(base).filter { st =>
       val n = st.getPath.getName
-      (n.endsWith(".gdx") || n.endsWith(".dvx")) && !referenced(n)
+      ((n.endsWith(".gdx") || n.endsWith(".dvx")) && !referenced(n)) ||
+        // bloom sidecars die with their data file (excluded from the
+        // returned count — the contract stays "data/DV files deleted")
+        (n.endsWith(GdxBloom.Suffix) &&
+          !referenced(n.stripSuffix(GdxBloom.Suffix)))
     }
     victims.foreach(st => fs.delete(st.getPath, false))
-    victims.length
+    victims.count(!_.getPath.getName.endsWith(GdxBloom.Suffix))
   }
 }
 
@@ -1601,10 +1726,13 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       .sortBy(_.name)
   // def, not lazy val: runtime filters arrive between planning calls.
   // pruneOnly filters join the skip set here but never reach the
-  // readers — Spark evaluates them row-level as residuals.
-  private def kept: Seq[GdxFileEntry] =
-    GdxSource.pruneByStats(entries,
-      pushed.toSeq ++ runtime ++ pruneOnly)
+  // readers — Spark evaluates them row-level as residuals. Zone maps
+  // first (manifest-only), then bloom sidecars for point lookups —
+  // including the runtime-DPP key sets, the star-join fast path.
+  private def kept: Seq[GdxFileEntry] = {
+    val fl = pushed.toSeq ++ runtime ++ pruneOnly
+    GdxSource.pruneByBloom(path, GdxSource.pruneByStats(entries, fl), fl)
+  }
 
   override def description(): String =
     s"GdxScan pushed=[${pushed.mkString(", ")}]" +
@@ -1761,9 +1889,12 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter],
     // (the changefeed is append-flavored; deletes surface to consumers
     // via fresh snapshot reads, not retractions); a file added in this
     // window carries whatever DV version `e` attributes to it.
-    // pruneOnly (extended zone-map hints) skips added files the same
-    // way the batch scan does — the engine re-evaluates them row-level
-    GdxSource.pruneByStats(added, pushed.toSeq ++ pruneOnly)
+    // pruneOnly (extended zone-map hints) and bloom sidecars skip
+    // added files the same way the batch scan does — the engine
+    // re-evaluates residuals row-level
+    GdxSource.pruneByBloom(path,
+      GdxSource.pruneByStats(added, pushed.toSeq ++ pruneOnly),
+      pushed.toSeq ++ pruneOnly)
       .sortBy(_.name)
       .map(en => GdxFilePartition(
         GdxSource.entryPath(path, en.name).toString,
@@ -1994,6 +2125,7 @@ class GdxStreamingWrite(path: String,
       // replayed epoch: the original commit already published
       messages.collect { case GdxCommitMessage(tmp, _) =>
         fs.delete(new Path(path, tmp), false)
+        fs.delete(new Path(path, tmp + GdxBloom.Suffix), false)
       }
       return
     }
@@ -2007,6 +2139,7 @@ class GdxStreamingWrite(path: String,
     val fs = new Path(path).getFileSystem(GdxSource.driverConf())
     messages.collect { case GdxCommitMessage(tmp, _) =>
       fs.delete(new Path(path, tmp), false)
+      fs.delete(new Path(path, tmp + GdxBloom.Suffix), false)
     }
   }
 }
@@ -2049,6 +2182,7 @@ class GdxBatchWrite(path: String, replace: Boolean,
     val fs = base.getFileSystem(conf)
     messages.collect { case GdxCommitMessage(tmp, _) =>
       fs.delete(new Path(base, tmp), false)
+      fs.delete(new Path(base, tmp + GdxBloom.Suffix), false)
     }
   }
 }
@@ -2110,12 +2244,17 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
   private val extMinD = Array.fill(extIdx.length)(Double.MaxValue)
   private val extMaxD = Array.fill(extIdx.length)(Double.MinValue)
 
+  // point-lookup bloom over k, written as an immutable sidecar the
+  // commit renames alongside the data file (see [[GdxBloom]])
+  private val bloom = new Array[Byte](GdxBloom.Bits / 8)
+
   override def write(r: InternalRow): Unit = {
     require(!r.isNullAt(0), "gdx write: k (the key) must not be null")
     val k = r.getLong(0)
     rows += 1
     if (k < minK) minK = k
     if (k > maxK) maxK = k
+    GdxBloom.set(bloom, k)
     var e = 0
     while (e < extIdx.length) {
       val i = extIdx(e)
@@ -2160,6 +2299,12 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
   }
   override def commit(): WriterCommitMessage = {
     out.close()
+    if (rows > 0) {
+      val fs = target.getFileSystem(conf.conf)
+      val bp = new Path(path, name + GdxBloom.Suffix)
+      val bo = fs.create(bp, false)
+      try bo.write(bloom) finally bo.close()
+    }
     val ext = extIdx.indices.iterator
       .filter(e => extSeen(e) && !extNaN(e)).map { e =>
       val i = extIdx(e)
@@ -2171,7 +2316,9 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
   }
   override def abort(): Unit = {
     out.close()
-    target.getFileSystem(conf.conf).delete(target, false); ()
+    val fs = target.getFileSystem(conf.conf)
+    fs.delete(target, false)
+    fs.delete(new Path(path, name + GdxBloom.Suffix), false); ()
   }
   override def close(): Unit = out.close()
 }
