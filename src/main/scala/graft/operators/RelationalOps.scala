@@ -1730,6 +1730,63 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // C22 — CHECK CONSTRAINTS on the GDX format (the Delta ALTER TABLE
+    // ADD CONSTRAINT contract): `k >= 0` and `length(v) <= 16` are
+    // added over the landed events keyset — ADD validates every
+    // EXISTING row first (`existing_validated` pins that a constraint
+    // the data violates is REFUSED and leaves no metadata), then every
+    // future write enforces row-level: the violating append is
+    // rejected with NOTHING committed (`violation_rejected` pins
+    // version + row count unchanged), while a NULL row passes exactly
+    // as SQL CHECK semantics require (`null_passes`). Constraints are
+    // manifest metadata (#check headers) carried by every commit.
+    // The verified payload is the final table content, which DuckDB
+    // recomputes.
+    "c22_gdx_constraints" -> ((s, d) => {
+      import s.implicits._
+      val dir = graft.Scratch.tablePath("graft_gdxck_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      def conf = gdx.driverConf()
+      Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+        .coalesce(4)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      // a constraint the existing data violates must be refused
+      val existingValidated =
+        (try { gdx.addConstraint(s, dir, "impossible", "k < 0"); false }
+         catch { case _: graft.sources
+             .GdxConstraintViolationException => true }) &&
+          gdx.committedConstraints(dir, conf).isEmpty
+      gdx.addConstraint(s, dir, "k_nonneg", "k >= 0")
+      gdx.addConstraint(s, dir, "v_short", "length(v) <= 16")
+      // violating append: rejected, nothing committed
+      val vBefore = gdx.listVersions(dir, conf).max
+      val nBefore = s.read.format(fmt).option("path", dir).load().count()
+      val rejected =
+        try {
+          Seq((-1L, "bad")).toDF("k", "v").coalesce(1)
+            .write.format(fmt).option("path", dir).mode("append").save()
+          false
+        } catch { case e: Throwable =>
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+            .exists(_.isInstanceOf[
+              graft.sources.GdxConstraintViolationException])
+        }
+      val violationRejected = rejected &&
+        gdx.listVersions(dir, conf).max == vBefore &&
+        s.read.format(fmt).option("path", dir).load().count() == nBefore
+      // NULL passes (SQL CHECK semantics)
+      Seq((100000000L, null.asInstanceOf[String])).toDF("k", "v")
+        .coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+      s.read.format(fmt).option("path", dir).load()
+        .select(col("k"), col("v"))
+        .withColumn("existing_validated", lit(existingValidated))
+        .withColumn("violation_rejected", lit(violationRejected))
+        .orderBy("k")
+    }),
+
     // S27 — BLOOM-SIDECAR POINT-LOOKUP SKIPPING on the GDX format: the
     // events keyset lands ROUND-ROBIN across 16 files, so every file
     // spans ~the full key domain and zone maps cannot prune a point
@@ -2555,6 +2612,16 @@ object RelationalOps extends QueryModule {
         |       ELSE event_type END AS v,
         |  TRUE AS originals_intact, TRUE AS history_intact
         |FROM events ORDER BY k""".stripMargin,
+    // the surviving table content recomputed directly (events + the
+    // accepted NULL row; the violating row never landed); both
+    // enforcement claims pinned TRUE
+    "c22_gdx_constraints" ->
+      """SELECT event_id AS k, event_type AS v,
+        |  TRUE AS existing_validated, TRUE AS violation_rejected
+        |FROM events
+        |UNION ALL
+        |SELECT 100000000, CAST(NULL AS VARCHAR), TRUE, TRUE
+        |ORDER BY k""".stripMargin,
     // the IN-lookup recomputed directly; both skipping claims pinned
     // TRUE (zone maps provably CANNOT prune this layout, the bloom
     // provably DID; row content is pruning-independent)

@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *   `OPTIMIZE <table> [ZORDER BY (col, col, …)]`
   *   `VACUUM <table> [RETAIN n VERSIONS]`
   *   `DESCRIBE HISTORY <table>`
+  *   `ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)`
+  *   `ALTER TABLE <table> DROP CONSTRAINT <name>`
   *
   * routed to [[graft.sources.GdxSource.compact]] (bin-pack the current
   * snapshot), [[graft.sources.GdxSource.optimizeZOrder]] (Morton-
@@ -37,6 +39,10 @@ object GdxMaintenanceSql {
     """(?is)^\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val History =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
+  private val AddCheck =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+  private val DropCheck =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
 
   /** Some(command) when `sqlText` is one of the engine's maintenance
     * statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY). Plain
@@ -61,6 +67,14 @@ object GdxMaintenanceSql {
       case _ => None
     } else if (t.startsWith("DESCRIBE HISTORY")) sqlText match {
       case History(tbl) => Some(GdxHistoryCommand(ident(tbl)))
+      case _ => None
+    } else if (t.startsWith("ALTER TABLE")) sqlText match {
+      // only the CONSTRAINT forms — every other ALTER TABLE statement
+      // (add columns, properties, …) delegates to Spark's grammar
+      case AddCheck(tbl, name, expr) =>
+        Some(GdxAddConstraintCommand(ident(tbl), name, expr.trim))
+      case DropCheck(tbl, name) =>
+        Some(GdxDropConstraintCommand(ident(tbl), name))
       case _ => None
     } else None
   }
@@ -155,8 +169,38 @@ case class GdxHistoryCommand(table: Seq[String])
   }
 }
 
-/** Delegating parser: OPTIMIZE statements parse here, everything else
-  * goes to Spark's parser untouched. */
+/** `ALTER TABLE <gdx> ADD CONSTRAINT <name> CHECK (<expr>)` →
+  * validate existing rows, then one metadata commit; future writes
+  * enforce row-level ([[graft.sources.GdxSource.addConstraint]]).
+  * Returns (version). */
+case class GdxAddConstraintCommand(table: Seq[String], name: String,
+                                   exprSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(StructField("version", LongType, nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GdxMaintenanceSql.gdxPathOf(spark, table, "ADD CONSTRAINT")
+    Seq(Row(graft.sources.GdxSource
+      .addConstraint(spark, path, name, exprSql).toLong))
+  }
+}
+
+/** `ALTER TABLE <gdx> DROP CONSTRAINT <name>` → one metadata commit.
+  * Returns (version). */
+case class GdxDropConstraintCommand(table: Seq[String], name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(StructField("version", LongType, nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GdxMaintenanceSql.gdxPathOf(spark, table, "DROP CONSTRAINT")
+    Seq(Row(graft.sources.GdxSource.dropConstraint(path, name).toLong))
+  }
+}
+
+/** Delegating parser: the maintenance statements parse here,
+  * everything else goes to Spark's parser untouched. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan =

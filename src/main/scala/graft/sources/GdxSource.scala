@@ -181,6 +181,13 @@ class SerializableHadoopConf(@transient var conf: Configuration)
 class GdxConcurrentModificationException(msg: String)
     extends RuntimeException(msg)
 
+/** A row offered to a GDX write failed a table CHECK constraint: the
+  * write job aborts (tmp files cleaned), no commit is published, and
+  * the table is untouched — the Delta constraint-enforcement
+  * contract. */
+class GdxConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
 /** Per-file zone map published in the manifest: row count + min/max of
   * `k`, plus OPTIONAL min/max per additional numeric column (`cols`,
   * keyed by column name; values kept as the writer's decimal strings
@@ -345,6 +352,12 @@ object GdxSource {
     * manifest (full and delta) so schema resolution is one read. */
   private val SchemaHeader = "#schema "
 
+  /** Line prefix carrying one CHECK constraint (`#check <name> <expr
+    * SQL>`); like the schema, every manifest records the snapshot's
+    * full constraint set, so resolution is one read and RESTORE /
+    * time travel see the constraints of their era. */
+  private val ConstraintHeader = "#check "
+
   /** NULL marker in the line format (hive-style); rejected as a
     * literal string value at write time. */
   private[graft] val NullMarker = "\\N"
@@ -462,9 +475,46 @@ object GdxSource {
       val sch = lines.headOption.filter(_.startsWith(SchemaHeader))
         .map(h => parseSchemaSpec(h.stripPrefix(SchemaHeader).trim))
       if (sch.isDefined) lines = lines.tail
+      // constraint headers follow the schema; entries never start '#'
+      lines = lines.dropWhile(_.startsWith("#"))
       (isDelta, sch, lines.map(parseManifestLine))
     } finally in.close()
   }
+
+  /** The `(name, expr SQL)` CHECK constraints the chosen snapshot
+    * recorded (empty for pre-constraint manifests). */
+  def committedConstraints(path: String, conf: Configuration,
+                           version: Int = -1): Seq[(String, String)] = {
+    val fs = new Path(path).getFileSystem(conf)
+    val target: Option[Path] =
+      if (version >= 0) Some(manifestFor(path, version))
+      else listVersions(path, conf) match {
+        case vs if vs.nonEmpty => Some(manifestFor(path, vs.max))
+        case _ =>
+          val legacy = manifest(path)
+          if (fs.exists(legacy)) Some(legacy) else None
+      }
+    target.filter(fs.exists(_)).toSeq.flatMap { m =>
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(m), "UTF-8"))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.startsWith(ConstraintHeader))
+        .map { l =>
+          val body = l.stripPrefix(ConstraintHeader)
+          val sp = body.indexOf(' ')
+          body.substring(0, sp) -> body.substring(sp + 1)
+        }.toList
+      finally in.close()
+    }
+  }
+
+  /** The header block every manifest writes: schema, then the full
+    * constraint set — both resolved in one read by any snapshot
+    * consumer. */
+  private def headerLines(schema: StructType,
+                          checks: Seq[(String, String)]): Seq[String] =
+    (SchemaHeader + schemaSpec(schema)) +:
+      checks.map { case (n, e) => s"$ConstraintHeader$n $e" }
 
   /** The schema the chosen snapshot recorded (classic `(k, v)` for
     * pre-evolution manifests or never-written directories). */
@@ -764,20 +814,23 @@ object GdxSource {
           replace || attempt == 1 || attempt % CheckpointInterval == 0
         // every manifest records the snapshot's schema: a truncate pins
         // the write's schema; an append carries the evolved table
-        // schema forward (analysis already proved the write matches it)
-        val schemaLine = SchemaHeader + schemaSpec(
+        // schema forward (analysis already proved the write matches
+        // it). Constraints are TABLE metadata — carried through
+        // appends and truncates alike.
+        val headers = headerLines(
           if (replace) writeSchema
           else {
             val cur = committedSchema(path, conf)
             if (cur.length >= writeSchema.length) cur else writeSchema
-          })
+          },
+          committedConstraints(path, conf))
         val published =
           if (checkpoint) {
             val prev =
               if (replace) Seq.empty else committedEntries(path, conf)
-            schemaLine +: (prev ++ entries).sortBy(_.name).map(_.manifestLine)
+            headers ++ (prev ++ entries).sortBy(_.name).map(_.manifestLine)
           } else
-            Seq(DeltaHeader, schemaLine) ++
+            (DeltaHeader +: headers) ++
               entries.sortBy(_.name).map(_.manifestLine)
         if (publishExclusive(fs, conf, manifestFor(path, attempt),
             published)) {
@@ -1139,8 +1192,10 @@ object GdxSource {
       val updated = entries.map(e =>
         dvFor.get(e.name).map(d => e.copy(dv = Some(d))).getOrElse(e)) ++
         rewrittenEntries
-      // CAS publish of the full manifest at readV + 1 (schema carried)
-      val lines = (SchemaHeader + schemaSpec(tblSchema)) +:
+      // CAS publish of the full manifest at readV + 1 (schema and
+      // constraints carried)
+      val lines = headerLines(tblSchema,
+        committedConstraints(dirStr, conf0)) ++
         updated.sortBy(_.name).map(_.manifestLine)
       val base = new Path(dir)
       val fs = base.getFileSystem(conf0)
@@ -1290,7 +1345,8 @@ object GdxSource {
     val dfs = dst.getFileSystem(conf)
     dfs.mkdirs(dst)
     val v = (listVersions(dstDir, conf) :+ 0).max + 1
-    val lines = (SchemaHeader + schemaSpec(schema)) +:
+    val lines = headerLines(schema,
+      committedConstraints(srcDir, conf, version)) ++
       absolute.map(_.manifestLine)
     require(publishExclusive(dfs, conf, manifestFor(dstDir, v), lines),
       s"gdx clone: version $v of $dstDir was claimed concurrently")
@@ -1412,7 +1468,9 @@ object GdxSource {
     val fs = new Path(dir).getFileSystem(conf)
     val entries = committedEntries(dir, conf, version) // loud if dropped
     val schemaAt = committedSchema(dir, conf, version)
-    val lines = (SchemaHeader + schemaSpec(schemaAt)) +:
+    // the restored snapshot's OWN constraints come back with it
+    val lines = headerLines(schemaAt,
+      committedConstraints(dir, conf, version)) ++
       entries.map(_.manifestLine)
     var attempt = 0
     while (true) {
@@ -1474,7 +1532,8 @@ object GdxSource {
       require(!cur.fieldNames.contains(name),
         s"gdx addColumn: column $name already exists")
       val evolved = StructType(cur.fields :+ StructField(name, dataType))
-      val lines = (SchemaHeader + schemaSpec(evolved)) +:
+      val lines = headerLines(evolved,
+        committedConstraints(dir, conf, readV)) ++
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
@@ -1485,6 +1544,127 @@ object GdxSource {
         s"gdx addColumn: lost the publish race $maxRetries times on $dir")
     }
     -1 // unreachable
+  }
+
+  /** CHECK CONSTRAINTS (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * contract): `exprSql` must hold — SQL semantics, NULL passes — for
+    * every EXISTING row (validated here with one scan; a violated
+    * table refuses the constraint) and every FUTURE write (enforced
+    * row-level inside the writers; a violating job aborts before any
+    * commit). The constraint is a METADATA-ONLY commit (`#check`
+    * manifest header, carried by every subsequent manifest like the
+    * schema); RESTORE and clone resurrect the constraint set of their
+    * source snapshot. Returns the committed version. */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+                    exprSql: String, maxRetries: Int = 10): Int = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty && !name.exists(_.isWhitespace),
+      s"gdx addConstraint: name must be a single token, got '$name'")
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    var attempt = 0
+    while (true) {
+      val vs = listVersions(dir, conf)
+      require(vs.nonEmpty, s"gdx addConstraint: no snapshot under $dir")
+      val readV = vs.max
+      val cur = committedConstraints(dir, conf, readV)
+      require(!cur.exists(_._1 == name),
+        s"gdx addConstraint: constraint $name already exists")
+      // compile early: an unparseable/unresolvable expression must
+      // fail HERE, not on the first write
+      compileChecks(spark, committedSchema(dir, conf, readV),
+        Seq(name -> exprSql))
+      // existing data must satisfy the constraint (NULL passes)
+      val reader = spark.read.format("graft.sources.GdxSource")
+        .option("path", dir).option("version", readV.toString)
+      val bad = reader.load()
+        .filter(not(coalesce(expr(exprSql), lit(true)))).count()
+      if (bad > 0) throw new GdxConstraintViolationException(
+        s"gdx addConstraint: $bad existing row(s) violate $name " +
+          s"($exprSql) - constraint refused")
+      val lines = headerLines(committedSchema(dir, conf, readV),
+        cur :+ (name -> exprSql)) ++
+        committedEntries(dir, conf, readV).map(_.manifestLine)
+      if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
+        writeLines(fs, manifest(dir), lines)
+        return readV + 1
+      }
+      attempt += 1
+      if (attempt > maxRetries) throw new GdxConcurrentModificationException(
+        s"gdx addConstraint: lost the publish race $maxRetries times")
+    }
+    -1 // unreachable
+  }
+
+  /** Drop a CHECK constraint — one metadata commit. Returns the
+    * committed version. */
+  def dropConstraint(dir: String, name: String,
+                     maxRetries: Int = 10): Int = {
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    var attempt = 0
+    while (true) {
+      val vs = listVersions(dir, conf)
+      require(vs.nonEmpty, s"gdx dropConstraint: no snapshot under $dir")
+      val readV = vs.max
+      val cur = committedConstraints(dir, conf, readV)
+      require(cur.exists(_._1 == name),
+        s"gdx dropConstraint: no constraint named $name")
+      val lines = headerLines(committedSchema(dir, conf, readV),
+        cur.filterNot(_._1 == name)) ++
+        committedEntries(dir, conf, readV).map(_.manifestLine)
+      if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
+        writeLines(fs, manifest(dir), lines)
+        return readV + 1
+      }
+      attempt += 1
+      if (attempt > maxRetries) throw new GdxConcurrentModificationException(
+        s"gdx dropConstraint: lost the publish race $maxRetries times")
+    }
+    -1 // unreachable
+  }
+
+  /** The current snapshot's constraints, compiled against the WRITE
+    * schema at factory-creation time (driver-side, where the active
+    * session and its analyzer live). An evolved write schema still
+    * binds: constraints reference existing columns and the classic
+    * prefix is stable. */
+  private[graft] def activeChecks(path: String, writeSchema: StructType)
+      : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)]
+      = {
+    val checks = committedConstraints(path, driverConf())
+    if (checks.isEmpty) Seq.empty
+    else compileChecks(SparkSession.active, writeSchema, checks)
+  }
+
+  /** Resolve + type-coerce each constraint against `schema` through
+    * the session analyzer (a literal like `0` must coerce against a
+    * BIGINT column exactly as SQL would) and bind it to row ordinals
+    * for executor-side eval. Bound Catalyst expressions are
+    * Serializable — they ride to the writers in the factory. */
+  private[graft] def compileChecks(spark: SparkSession,
+      schema: StructType, checks: Seq[(String, String)])
+      : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)]
+      = {
+    import org.apache.spark.sql.catalyst.expressions.BindReferences
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter => LFilter, LocalRelation}
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(schema)
+    checks.map { case (n, sql) =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val analyzed = spark.sessionState.analyzer
+        .execute(LFilter(parsed, LocalRelation(attrs)))
+      val cond = analyzed match {
+        case f: LFilter => f.condition
+        case other => throw new IllegalArgumentException(
+          s"gdx constraint $n: cannot analyze '$sql' ($other)")
+      }
+      require(cond.resolved,
+        s"gdx constraint $n: '$sql' does not resolve against " +
+          s"${schema.simpleString}")
+      n -> BindReferences.bindReference(cond, attrs)
+    }
   }
 
   /** Parse a `.dvx` sidecar into its deleted-position set. */
@@ -1518,7 +1698,8 @@ object GdxSource {
     val keep = vs.takeRight(keepLast)
     val oldestFull = committedEntries(path, conf, keep.head)
     replaceAtomic(fs, conf, manifestFor(path, keep.head),
-      (SchemaHeader + schemaSpec(committedSchema(path, conf, keep.head))) +:
+      headerLines(committedSchema(path, conf, keep.head),
+        committedConstraints(path, conf, keep.head)) ++
         oldestFull.map(_.manifestLine))
     vs.dropRight(keepLast).foreach(v => fs.delete(manifestFor(path, v), false))
     val keptEntries = keep.flatMap(v => committedEntries(path, conf, v))
@@ -2112,7 +2293,8 @@ class GdxStreamingWrite(path: String,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : wstreaming.StreamingDataWriterFactory =
     new GdxStreamingWriterFactory(path,
-      new SerializableHadoopConf(GdxSource.driverConf()), writeSchema)
+      new SerializableHadoopConf(GdxSource.driverConf()), writeSchema,
+      GdxSource.activeChecks(path, writeSchema))
 
   def txnMarker(epochId: Long) = new Path(path, f"_txn-$epochId%016d")
 
@@ -2145,12 +2327,15 @@ class GdxStreamingWrite(path: String,
 }
 
 class GdxStreamingWriterFactory(path: String, conf: SerializableHadoopConf,
-                                writeSchema: StructType = GdxSource.schema)
+                                writeSchema: StructType = GdxSource.schema,
+                                checks: Seq[(String,
+                                  org.apache.spark.sql.catalyst.expressions
+                                    .Expression)] = Seq.empty)
     extends wstreaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GdxDataWriter(path, partitionId, taskId, conf,
-      tag = f"e$epochId%08d-", schema = writeSchema)
+      tag = f"e$epochId%08d-", schema = writeSchema, checks = checks)
 }
 
 case class GdxCommitMessage(tmpName: String, stats: GdxFileStats)
@@ -2162,7 +2347,8 @@ class GdxBatchWrite(path: String, replace: Boolean,
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = new GdxWriterFactory(path,
-    new SerializableHadoopConf(GdxSource.driverConf()), writeSchema)
+    new SerializableHadoopConf(GdxSource.driverConf()), writeSchema,
+    GdxSource.activeChecks(path, writeSchema))
 
   /** Driver-side publish: rename each task's tmp file to its
     * VERSION-PREFIXED final name, then write snapshot N+1's manifest —
@@ -2188,12 +2374,15 @@ class GdxBatchWrite(path: String, replace: Boolean,
 }
 
 class GdxWriterFactory(path: String, conf: SerializableHadoopConf,
-                       writeSchema: StructType = GdxSource.schema)
+                       writeSchema: StructType = GdxSource.schema,
+                       checks: Seq[(String,
+                         org.apache.spark.sql.catalyst.expressions
+                           .Expression)] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GdxDataWriter(path, partitionId, taskId, conf,
-      schema = writeSchema)
+      schema = writeSchema, checks = checks)
 }
 
 /** Task-side writer: data lands in a uniquely-named `.tmp` file that
@@ -2202,7 +2391,10 @@ class GdxWriterFactory(path: String, conf: SerializableHadoopConf,
   * harmless if leaked — readers never list the directory). */
 class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
                     conf: SerializableHadoopConf, tag: String = "",
-                    schema: StructType = GdxSource.schema)
+                    schema: StructType = GdxSource.schema,
+                    checks: Seq[(String,
+                      org.apache.spark.sql.catalyst.expressions
+                        .Expression)] = Seq.empty)
     extends DataWriter[InternalRow] {
   // `tag` carries the streaming epoch so re-attempts of the same
   // (partition, task) across epochs can never collide on a tmp name;
@@ -2250,6 +2442,15 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
 
   override def write(r: InternalRow): Unit = {
     require(!r.isNullAt(0), "gdx write: k (the key) must not be null")
+    // CHECK constraints, SQL semantics (NULL passes): a violation
+    // fails the task — the job aborts and nothing commits
+    var c = 0
+    while (c < checks.length) {
+      if (checks(c)._2.eval(r) == false)
+        throw new GdxConstraintViolationException(
+          s"gdx write: row violates CHECK constraint ${checks(c)._1}")
+      c += 1
+    }
     val k = r.getLong(0)
     rows += 1
     if (k < minK) minK = k

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{GdxConstraintViolationException, GdxSource}
+
+/** CHECK constraints on the GDX format: validated against existing
+  * rows at ADD time, enforced row-level on every future batch and
+  * streaming write, carried by every manifest like the schema, and
+  * era-correct under RESTORE. A violating write job must abort with
+  * NOTHING committed. */
+class GdxConstraintSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val fmt = "graft.sources.GdxSource"
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"gdxck_$tag").toString
+
+  private def read(dir: String) =
+    spark.read.format(fmt).option("path", dir).load()
+
+  private def write(dir: String, rows: Seq[(Long, String)]): Unit =
+    rows.toDF("k", "v").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+
+  test("writes enforce the constraint; violations commit nothing") {
+    val dir = freshDir("enf")
+    write(dir, Seq((1L, "a"), (2L, "b")))
+    GdxSource.addConstraint(spark, dir, "k_pos", "k > 0")
+    GdxSource.addConstraint(spark, dir, "v_short", "length(v) <= 3")
+    // a conforming append passes (int literal coerces against BIGINT k)
+    write(dir, Seq((3L, "ccc")))
+    assert(read(dir).count() === 3L)
+    val vBefore = GdxSource.listVersions(dir, GdxSource.driverConf()).max
+    // a violating append fails the job...
+    val e = intercept[Exception] { write(dir, Seq((-7L, "x"))) }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(_.isInstanceOf[GdxConstraintViolationException]),
+      s"expected a constraint violation, got $e")
+    // ...and commits NOTHING: same version, same rows
+    assert(GdxSource.listVersions(dir, GdxSource.driverConf()).max
+      === vBefore)
+    assert(read(dir).count() === 3L)
+    // NULL passes (SQL CHECK semantics) — v_short over null v
+    write(dir, Seq((4L, null)))
+    assert(read(dir).count() === 4L)
+  }
+
+  test("ADD CONSTRAINT validates existing rows and refuses violators") {
+    val dir = freshDir("val")
+    write(dir, Seq((1L, "a"), (200L, "b")))
+    val ex = intercept[GdxConstraintViolationException] {
+      GdxSource.addConstraint(spark, dir, "k_small", "k < 100")
+    }
+    assert(ex.getMessage.contains("1 existing row"))
+    // the refused constraint left no metadata behind
+    assert(GdxSource.committedConstraints(dir,
+      GdxSource.driverConf()).isEmpty)
+    // an unresolvable expression fails at ADD, not at first write
+    intercept[Exception] {
+      GdxSource.addConstraint(spark, dir, "bad", "no_such_col > 0")
+    }
+  }
+
+  test("constraints ride manifests: carried, dropped, era-correct " +
+      "under RESTORE, enforced on streaming epochs") {
+    val dir = freshDir("life")
+    write(dir, Seq((1L, "a")))
+    val vAdd = GdxSource.addConstraint(spark, dir, "k_pos", "k > 0")
+    write(dir, Seq((2L, "b")))                       // append carries it
+    GdxSource.compact(spark, dir, target = 1)        // truncate carries it
+    assert(GdxSource.committedConstraints(dir, GdxSource.driverConf())
+      === Seq("k_pos" -> "k > 0"))
+    GdxSource.dropConstraint(dir, "k_pos")
+    assert(GdxSource.committedConstraints(dir,
+      GdxSource.driverConf()).isEmpty)
+    write(dir, Seq((-5L, "ok-now")))                 // no longer enforced
+    assert(read(dir).count() === 3L)
+    // RESTORE to the constrained era resurrects the constraint
+    GdxSource.restoreSnapshot(dir, vAdd)
+    assert(GdxSource.committedConstraints(dir, GdxSource.driverConf())
+      === Seq("k_pos" -> "k > 0"))
+    intercept[Exception] { write(dir, Seq((-6L, "x"))) }
+    // streaming epochs enforce too: a violating micro-batch aborts
+    val srcDir = freshDir("src")
+    Seq((10L, "s"), (-1L, "bad")).toDF("k", "v").coalesce(1)
+      .write.format(fmt).option("path", srcDir).mode("overwrite").save()
+    val q = spark.readStream.format(fmt).option("path", srcDir).load()
+      .writeStream.format(fmt).option("path", dir)
+      .option("checkpointLocation", freshDir("ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val se = intercept[Exception] { q.awaitTermination() }
+    assert(Iterator.iterate(se: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(12).exists(_.isInstanceOf[GdxConstraintViolationException]))
+  }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT drive through SQL") {
+    val s = org.apache.spark.sql.graft.ColumnBridge
+      .sessionWithExtensions(spark, new GraftExtensions())
+    val dir = freshDir("sql") + "/t"
+    s.sql(s"""CREATE TABLE gdxck_t (k BIGINT, v STRING)
+      USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+    try {
+      s.sql("INSERT INTO gdxck_t VALUES (1, 'a'), (2, 'b')")
+      val v = s.sql(
+        "ALTER TABLE gdxck_t ADD CONSTRAINT k_pos CHECK (k > 0)")
+        .head.getLong(0)
+      assert(v >= 2L)
+      intercept[Exception] {
+        s.sql("INSERT INTO gdxck_t VALUES (-1, 'x')")
+      }
+      assert(s.sql("SELECT count(*) FROM gdxck_t").head.getLong(0) === 2L)
+      s.sql("ALTER TABLE gdxck_t DROP CONSTRAINT k_pos")
+      s.sql("INSERT INTO gdxck_t VALUES (-1, 'x')")
+      assert(s.sql("SELECT count(*) FROM gdxck_t").head.getLong(0) === 3L)
+      // other ALTER TABLE forms still reach Spark's grammar and run
+      s.sql("ALTER TABLE gdxck_t SET TBLPROPERTIES ('a'='b')")
+      ()
+    } finally {
+      s.sql("DROP TABLE IF EXISTS gdxck_t"); ()
+    }
+  }
+}

@@ -38,7 +38,8 @@ dedup_dup_spans t_strip_dup_spans sql_window_frames tpch_q9 tpch_q12 \
 tpch_q2 tpch_q11 tpch_q16 tpch_q20 mm_tile_features mm_audio_features \
 c13_gdx_upsert c14_gdx_delete c15_mv_rewrite s23_gdx_schema_evolution \
 c16_mv_incremental_refresh c17_gdx_update c18_gdx_sql_dml c19_mv_join_rewrite \
-c21_mv_sketch_rewrite c20_gdx_zorder s27_gdx_bloom_lookup"
+c21_mv_sketch_rewrite c20_gdx_zorder s27_gdx_bloom_lookup \
+c22_gdx_constraints"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
