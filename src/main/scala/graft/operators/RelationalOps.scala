@@ -1523,8 +1523,10 @@ object RelationalOps extends QueryModule {
     // integral, so the double partial sums are exact and the rollup is
     // bit-deterministic; avg is recomposed as Σsum/Σn on both sides.
     "c15_mv_rewrite" -> ((s, d) => {
-      val mvPath = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_mv_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      // per-run root: every invocation publishes a NEW generation, so
+      // the root is mutable — concurrent runs must not share it (the
+      // TableSwap version allocation is not cross-process atomic)
+      val mvPath = graft.Scratch.tablePath("graft_mv_")
       val base = Tables.lineitem(s, d)
       graft.plans.MvRewrite.materialize(s, base,
         Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), mvPath)
@@ -1666,8 +1668,10 @@ object RelationalOps extends QueryModule {
     // to |orders|-grain summary rows; the `mv_used` claim pins that the
     // optimized plan reads NO lineitem leaf and DOES read the summary.
     "c19_mv_join_rewrite" -> ((s, d) => {
-      val mvPath = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_mvjoin_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      // per-run root: every invocation publishes a NEW generation, so
+      // the root is mutable — concurrent runs must not share it (the
+      // TableSwap version allocation is not cross-process atomic)
+      val mvPath = graft.Scratch.tablePath("graft_mvjoin_")
       val fact = Tables.lineitem(s, d)
       val dim = Tables.orders(s, d)
       graft.plans.MvRewrite.materialize(s, fact, Seq("l_orderkey"),
@@ -1704,8 +1708,10 @@ object RelationalOps extends QueryModule {
     // plan shape. approx_count_distinct (HLL++) is deliberately NOT
     // rewritten — swapping estimators would change returned values.
     "c21_mv_sketch_rewrite" -> ((s, d) => {
-      val mvPath = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_mvsk_" + d.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      // per-run root: every invocation publishes a NEW generation, so
+      // the root is mutable — concurrent runs must not share it (the
+      // TableSwap version allocation is not cross-process atomic)
+      val mvPath = graft.Scratch.tablePath("graft_mvsk_")
       val base = Tables.lineitem(s, d)
       graft.plans.MvRewrite.materialize(s, base,
         Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), mvPath,
@@ -1956,6 +1962,10 @@ object RelationalOps extends QueryModule {
       graft.plans.MvRewrite.materialize(s,
         s.read.format(fmt).option("path", gdxDir).load(),
         Seq("v"), Seq("k"), mvPath)
+      // the empty-base landing is itself a commit: fold N of the
+      // changefeed covers version regV + N
+      val regV = graft.sources.GdxSource
+        .listVersions(gdxDir, graft.sources.GdxSource.driverConf()).max
       val maxId = Tables.events(s, d).agg(max("event_id")).head.getLong(0)
       for (i <- 0 to 2)
         ev.filter(col("k") >= i * (maxId + 1) / 3 &&
@@ -1971,8 +1981,13 @@ object RelationalOps extends QueryModule {
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], _: Long) =>
           if (!batch.isEmpty) {
-            graft.plans.MvRewrite.refreshIncremental(s, batch, mvPath)
             nFolds += 1
+            // admission control delivers exactly ONE base version per
+            // micro-batch, so fold N covers version regV + N exactly —
+            // the precise staleness pin (a racing commit can never be
+            // marked as covered)
+            graft.plans.MvRewrite.refreshIncremental(s, batch, mvPath,
+              asOfVersions = Map(gdxDir -> (regV + nFolds)))
           }
           ()
         }

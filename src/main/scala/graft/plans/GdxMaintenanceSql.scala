@@ -72,7 +72,11 @@ object GdxMaintenanceSql {
       // only the CONSTRAINT forms — every other ALTER TABLE statement
       // (add columns, properties, …) delegates to Spark's grammar
       case AddCheck(tbl, name, expr) =>
-        Some(GdxAddConstraintCommand(ident(tbl), name, expr.trim))
+        // a multi-line statement still stores a one-line header (the
+        // manifest format); only line breaks collapse — spaces inside
+        // string literals are preserved
+        Some(GdxAddConstraintCommand(ident(tbl), name,
+          expr.trim.replaceAll("[\\r\\n]+", " ")))
       case DropCheck(tbl, name) =>
         Some(GdxDropConstraintCommand(ident(tbl), name))
       case _ => None

@@ -233,10 +233,23 @@ object MvRewrite {
     * the previous generation's files are never touched, and the GDX
     * base snapshot pin advances to the live version. */
   def refreshIncremental(spark: SparkSession, delta: DataFrame,
-                         path: String): DataFrame = {
+                         path: String,
+                         asOfVersions: Map[String, Int] = Map.empty)
+      : DataFrame = {
     val d = Option(registry.get(path)).getOrElse(throw
       new IllegalStateException(s"mv refresh: $path is not registered"))
     install(spark)
+    // the new pin must be the version the DELTA actually covers —
+    // pinning the live version read after the merge would mark a
+    // summary that MISSES a racing commit as fresh and serve wrong
+    // aggregates. Streaming callers with admission control know the
+    // exact covered version and pass it via `asOfVersions`; the
+    // default pre-merge read is correct for the batch contract (the
+    // caller derived the delta from the live table), and a commit
+    // racing past it leaves the pin behind the live version, so the
+    // rule stands down until the next refresh folds that commit.
+    val pinned = d.baseSnapshots.map { case (p, _) =>
+      p -> asOfVersions.getOrElse(p, currentGdxVersion(p)) }
     val ms = d.measureCols.toSeq.sorted
     val xs = d.distinctCols.toSeq.sorted
     val deltaAggs = summaryAggs(ms, xs)
@@ -255,8 +268,7 @@ object MvRewrite {
       .groupBy(d.groupCols.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
     publishGeneration(spark, merged, path, d.basePaths,
-      d.baseSnapshots.map { case (p, _) => p -> currentGdxVersion(p) },
-      d.groupCols, d.measureCols, d.distinctCols)
+      pinned, d.groupCols, d.measureCols, d.distinctCols)
   }
 
   /** Identity of a relation for base-table matching: file-source root
@@ -359,9 +371,6 @@ object MvRewriteRule extends Rule[LogicalPlan] {
                          d: MvRewrite.MvDef): Option[LogicalPlan] = {
     val (paths, filterCond) = baseRelation(agg.child).getOrElse(return None)
     if (paths != d.basePaths || paths.isEmpty) return None
-    // staleness stand-down: a GDX base that has committed past the
-    // pinned snapshot makes the summary ineligible until refreshed
-    if (!MvRewrite.isFresh(d)) return None
     // a filter commutes with the MV's grouping ONLY when it touches
     // nothing but grouping columns (then every base row of an MV cell
     // passes or fails together) — anything else leaves the plan alone
@@ -373,6 +382,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => return None
     }
     val exact = groupNames.toSet == d.groupCols.toSet
+    // staleness stand-down LAST among the guards: it is the one check
+    // that costs a filesystem listing per pinned GDX base, and the
+    // optimizer may run this rule several times per query — a shape
+    // the algebra cannot rewrite must exit on the free plan-only
+    // checks above
+    if (!MvRewrite.isFresh(d)) return None
 
     // per output expression, the MV-side replacement (exact grain) or
     // compensating aggregate (rollup grain)
@@ -564,7 +579,6 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       else if (rightId == d.basePaths && rightId.nonEmpty)
         (j.right, rightConds, j.left, false)
       else return None
-    if (!MvRewrite.isFresh(d)) return None
     val factOut = factChild.outputSet
     val dimOut = dimChild.outputSet
     // every fact-side filter must commute with the MV grain
@@ -586,6 +600,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val declared = MvRewrite.dimKey(MvRewrite.relationIdentity(
       stripDim(dimChild))).getOrElse(return None)
     if (pairs.map(_._2.name).toSet != declared) return None
+    // staleness LAST among the guards (filesystem cost — see
+    // tryRewrite)
+    if (!MvRewrite.isFresh(d)) return None
 
     def mv(c: String): Attribute = d.mvAttr(c)
     def aggExpr(f: org.apache.spark.sql.catalyst.expressions.aggregate

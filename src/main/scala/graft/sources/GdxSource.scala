@@ -965,10 +965,11 @@ object GdxSource {
         s"gdx zorder: $c is not numeric (${sch(c).dataType})")
     }
     // 256 equi-depth buckets per column: file-level clustering only
-    // needs bucket count to comfortably exceed the target file count
+    // needs bucket count to comfortably exceed the target file count.
+    // ONE multi-column quantile pass — per-column calls would scan the
+    // table once per clustering dimension
     val probs = (1 until 256).map(_ / 256.0).toArray
-    val bounds =
-      by.map(c => df.stat.approxQuantile(c, probs, 0.001)).toArray
+    val bounds = df.stat.approxQuantile(by.toArray, probs, 0.001)
     val z = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.ZValue(
         by.map(c => org.apache.spark.sql.graft.ColumnBridge
@@ -1186,6 +1187,19 @@ object GdxSource {
             matched.drop("_file", "_pos"))(
             (df, kv) => df.withColumn(kv._1, kv._2))
             .select(tblSchema.fieldNames.map(col): _*)
+          // UPDATE's rewrite path must enforce CHECK constraints like
+          // every other write: the rewritten (matched) rows are
+          // validated in one pass before any file lands — a violation
+          // aborts with nothing committed (SQL semantics, NULL passes)
+          committedConstraints(dirStr, conf0).foreach { case (n, sql) =>
+            val bad = updatedRows.filter(org.apache.spark.sql.functions
+              .not(org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.expr(sql),
+                org.apache.spark.sql.functions.lit(true)))).count()
+            if (bad > 0) throw new GdxConstraintViolationException(
+              s"gdx update: $bad updated row(s) would violate CHECK " +
+                s"constraint $n ($sql)")
+          }
           writeDataFiles(updatedRows, dirStr, tblSchema, sconf)
       }
       val dvFor = newDvs.map(r => r._1 -> r._2).toMap
@@ -1560,6 +1574,11 @@ object GdxSource {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     require(name.nonEmpty && !name.exists(_.isWhitespace),
       s"gdx addConstraint: name must be a single token, got '$name'")
+    // the expression lives on ONE manifest header line — a newline
+    // would make its continuation parse as a data-file entry
+    require(!exprSql.exists(c => c == '\n' || c == '\r'),
+      "gdx addConstraint: expression must be a single line " +
+        "(manifest header format)")
     val conf = driverConf()
     val fs = new Path(dir).getFileSystem(conf)
     var attempt = 0
@@ -1633,8 +1652,28 @@ object GdxSource {
       : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)]
       = {
     val checks = committedConstraints(path, driverConf())
-    if (checks.isEmpty) Seq.empty
-    else compileChecks(SparkSession.active, writeSchema, checks)
+    if (checks.isEmpty) return Seq.empty
+    val spark = SparkSession.active
+    val writeCols =
+      writeSchema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    // a classic-prefix append to an EVOLVED table may not carry a
+    // constrained column at all — those rows store NULL for it, so the
+    // absent reference substitutes a NULL literal (exact SQL CHECK
+    // semantics: `w > 0` becomes vacuous, but `w > 0 AND k > 5` still
+    // enforces the k half). Resolvability against the full table
+    // schema was proven at ADD time; failing the write here would
+    // reject legal appends.
+    val applicable = checks.map { case (n, sql) =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      n -> parsed.transform {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if !writeCols.contains(
+              ua.name.toLowerCase(java.util.Locale.ROOT)) =>
+          org.apache.spark.sql.catalyst.expressions
+            .Literal.create(null, NullType)
+      }.sql
+    }
+    compileChecks(spark, writeSchema, applicable)
   }
 
   /** Resolve + type-coerce each constraint against `schema` through

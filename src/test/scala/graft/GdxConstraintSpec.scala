@@ -95,6 +95,62 @@ class GdxConstraintSpec extends SparkSuite {
       .take(12).exists(_.isInstanceOf[GdxConstraintViolationException]))
   }
 
+  test("UPDATE's rewrite path enforces constraints too") {
+    val dir = freshDir("upd")
+    write(dir, Seq((1L, "a"), (2L, "b")))
+    GdxSource.addConstraint(spark, dir, "v_short", "length(v) <= 3")
+    val vBefore = GdxSource.listVersions(dir, GdxSource.driverConf()).max
+    val e = intercept[GdxConstraintViolationException] {
+      GdxSource.update(spark, dir, col("k") === 1L,
+        Map("v" -> lit("waytoolong")))
+    }
+    assert(e.getMessage.contains("v_short"))
+    // nothing committed: version and content untouched
+    assert(GdxSource.listVersions(dir, GdxSource.driverConf()).max
+      === vBefore)
+    assert(read(dir).filter(col("k") === 1L).select("v")
+      .as[String].head() === "a")
+    // a conforming update still lands
+    GdxSource.update(spark, dir, col("k") === 1L, Map("v" -> lit("ok")))
+    assert(read(dir).filter(col("k") === 1L).select("v")
+      .as[String].head() === "ok")
+  }
+
+  test("constraints on evolved columns: absent column reads as NULL " +
+      "for classic-prefix appends") {
+    val dir = freshDir("evo")
+    write(dir, Seq((10L, "a"), (20L, "b")))
+    GdxSource.addColumn(dir, "w", org.apache.spark.sql.types.DoubleType)
+    // mixed constraint: the w half is NULL for every existing row, the
+    // k half holds — validation passes
+    GdxSource.addConstraint(spark, dir, "mixed", "w > 0 AND k > 5")
+    // a classic (k, v) append substitutes NULL for w: k=9 gives
+    // (NULL AND true) = NULL -> passes; k=3 gives (NULL AND false) =
+    // FALSE -> violation
+    write(dir, Seq((9L, "ok")))
+    assert(read(dir).count() === 3L)
+    intercept[Exception] { write(dir, Seq((3L, "no"))) }
+    assert(read(dir).count() === 3L)
+    // an evolved 3-col write enforces the w half directly
+    intercept[Exception] {
+      Seq((30L, "x", -1.0)).toDF("k", "v", "w").coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+    }
+    Seq((30L, "x", 2.5)).toDF("k", "v", "w").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    assert(read(dir).count() === 4L)
+  }
+
+  test("a multi-line expression is rejected (one-line manifest header)") {
+    val dir = freshDir("ml")
+    write(dir, Seq((1L, "a")))
+    intercept[IllegalArgumentException] {
+      GdxSource.addConstraint(spark, dir, "bad", "k > 0\n AND k < 10")
+    }
+    assert(GdxSource.committedConstraints(dir,
+      GdxSource.driverConf()).isEmpty)
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT drive through SQL") {
     val s = org.apache.spark.sql.graft.ColumnBridge
       .sessionWithExtensions(spark, new GraftExtensions())

@@ -441,6 +441,32 @@ class MvRewriteSpec extends SparkSuite {
     plans.MvRewrite.clear()
   }
 
+  test("refresh pins the DELTA's covered version, not the live one") {
+    val dir = tmp("gdxpin") + "/t"
+    val fmt = "graft.sources.GdxSource"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("overwrite").save() // v1
+    val base = spark.read.format(fmt).option("path", dir).load()
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("v"), Seq("k"), mvPath)
+    // a commit RACES past the delta the refresher is about to fold
+    Seq((3L, "a")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("append").save() // v2
+    // the refresher knows its delta only covers v1 and pins that —
+    // the summary must NOT answer for the v2-bearing base
+    plans.MvRewrite.refreshIncremental(spark,
+      Seq.empty[(Long, String)].toDF("k", "v"), mvPath,
+      asOfVersions = Map(dir -> 1))
+    val q = base.groupBy("v").agg(count(lit(1)).as("n"))
+    val ids = q.queryExecution.optimizedPlan.collectLeaves()
+      .flatMap(plans.MvRewrite.relationIdentity)
+    assert(!ids.exists(_.contains(mvPath)),
+      s"stale pin must stand down: ${q.queryExecution.optimizedPlan}")
+    assert(q.orderBy("v").collect().map(_.toSeq) ===
+      Array(Seq("a", 2L), Seq("b", 1L)))
+    plans.MvRewrite.clear()
+  }
+
   test("sketch-covered distinct column rewrites at exact and rollup " +
       "grain") {
     val dir = writeBase()
