@@ -15,14 +15,35 @@ package graft
   * input, so concurrent builders produce identical bytes and the
   * tag-marker skip makes rebuilds free.
   *
-  * deleteOnExit keeps a long-lived JVM (bench: warmup + two timed
-  * passes) from leaking roots past its own lifetime; within the run
-  * each invocation's root is simply its own. */
+  * A JVM shutdown hook deletes every root RECURSIVELY, so a long-lived
+  * JVM (bench: warmup + two timed passes) never leaks roots past its
+  * own lifetime — `File.deleteOnExit` would not do: it removes a
+  * directory only when EMPTY, and the table trees written under a
+  * scratch root are never registered with it, so every sf0.1 bench
+  * run would strand full GDX/MV/checkpoint trees in /tmp. */
 object Scratch {
+  private val roots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    roots.forEach { root =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (root.exists()) {
+          val s = Files.walk(root.toPath)
+          try s.sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+          finally s.close()
+        }
+      } catch { case _: Throwable => () } // best-effort at exit
+    }
+  }, "graft-scratch-cleanup"))
+
   /** A fresh, per-invocation scratch directory. */
   def dir(prefix: String): java.io.File = {
     val f = java.nio.file.Files.createTempDirectory(prefix).toFile
-    f.deleteOnExit()
+    roots.add(f)
     f
   }
 

@@ -1538,16 +1538,12 @@ object RelationalOps extends QueryModule {
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
           avg("l_quantity").as("avg_qty"), max("l_quantity").as("max_qty"))
         .withColumn("avg_qty", round(col("avg_qty"), 6))
-      // summary generations live at <mvPath>/v=N (atomic versioned
-      // promote), so the leaf check matches on the logical MV root
-      val mvUsed = q.queryExecution.optimizedPlan.collectLeaves().forall {
-        case org.apache.spark.sql.execution.datasources.LogicalRelation(
-            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
-            _, _, _, _) =>
-          fs.location.rootPaths.forall(_.toString.contains(
-            new java.io.File(mvPath).getAbsolutePath))
-        case _ => false
-      }
+      // invocation-independent claim: the fact scan was avoided. A
+      // concurrent run of this query registers the same logical MV at
+      // ITS scratch root and the later registration answers both —
+      // both summaries are byte-identical, so pinning "my path was
+      // read" would flake where "the base was not read" cannot
+      val mvUsed = graft.plans.MvRewrite.answersWithoutBase(q, base)
       q.withColumn("mv_used", lit(mvUsed))
         .orderBy("l_returnflag")
     }),
@@ -1683,12 +1679,10 @@ object RelationalOps extends QueryModule {
           avg("l_quantity").as("avg_qty"),
           min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
         .withColumn("avg_qty", round(col("avg_qty"), 6))
-      val leafIds = q.queryExecution.optimizedPlan.collectLeaves()
-        .flatMap(graft.plans.MvRewrite.relationIdentity)
-      val mvUsed =
-        leafIds.forall(!_.contains("lineitem.parquet")) &&
-          leafIds.exists(_.contains(
-            new java.io.File(mvPath).getAbsolutePath))
+      // invocation-independent claim: no leaf reads the FACT table
+      // (the dim leaf stays — the join is compensated on the summary);
+      // see c15 for why the claim must not pin this run's own mvPath
+      val mvUsed = graft.plans.MvRewrite.answersWithoutBase(q, fact)
       q.withColumn("mv_used", lit(mvUsed)).orderBy("o_orderstatus")
     }),
 
@@ -1719,9 +1713,10 @@ object RelationalOps extends QueryModule {
       val est = base.groupBy("l_returnflag")
         .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))
           .as("nd_est"))
-      val mvUsed = est.queryExecution.optimizedPlan.collectLeaves()
-        .flatMap(graft.plans.MvRewrite.relationIdentity)
-        .forall(_.contains(new java.io.File(mvPath).getAbsolutePath))
+      // invocation-independent claim (see c15): the estimate side must
+      // not scan the base — any live generation of this logical MV is
+      // an equally valid summary to answer from
+      val mvUsed = graft.plans.MvRewrite.answersWithoutBase(est, base)
       // the exact side must NOT rewrite (l_partkey is sketch-covered,
       // not grain-covered) — it reads the base, and DuckDB reproduces
       // it, so the claim is measured against ground truth

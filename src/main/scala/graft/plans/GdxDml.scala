@@ -90,15 +90,27 @@ object GdxDmlRule extends Rule[LogicalPlan] {
       fail("gdx MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
     // ON t.k = s.k (either side order): key-equality on the table key;
     // analysis inserts widening Casts when the source key is narrower
-    def keyName(e: Expression): Option[String] = e match {
-      case a: AttributeReference => Some(a.name)
+    def keyAttr(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
       case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-        keyName(c.child)
+        keyAttr(c.child)
       case _ => None
     }
+    def keyName(e: Expression): Option[String] = keyAttr(e).map(_.name)
+    // one side must come from the TARGET and the other from the SOURCE
+    // (checked by attribute identity, not name — `ON t.k = t.k` is a
+    // degenerate always-true-per-row condition, NOT a key join, and
+    // must be refused rather than silently run as a keyed upsert)
     val keyOk = m.mergeCondition match {
       case EqualTo(l, r) =>
-        keyName(l).contains("k") && keyName(r).contains("k")
+        (keyAttr(l), keyAttr(r)) match {
+          case (Some(a), Some(b)) if a.name == "k" && b.name == "k" =>
+            val tids = m.targetTable.outputSet
+            val sids = m.sourceTable.outputSet
+            (tids.contains(a) && sids.contains(b)) ||
+              (tids.contains(b) && sids.contains(a))
+          case _ => false
+        }
       case _ => false
     }
     if (!keyOk)

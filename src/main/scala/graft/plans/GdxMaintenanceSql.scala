@@ -50,33 +50,51 @@ object GdxMaintenanceSql {
     * Spark's grammar lacks. */
   def parseMaintenance(sqlText: String,
                        delegate: ParserInterface): Option[LogicalPlan] = {
-    // fast path: only statements that can possibly match pay a regex
-    val t = sqlText.dropWhile(_.isWhitespace).take(16).toUpperCase
+    // fast path: only statements that can possibly match pay a regex.
+    // Keyword TOKENS, not a fixed-width prefix — `DESCRIBE  HISTORY`
+    // with a double space (or tab/newline between keywords) must reach
+    // the regex that accepts it, not fall through to Spark's grammar
+    val toks = sqlText.trim.split("\\s+", 3)
+    def kw(i: Int): String =
+      if (toks.length > i) toks(i).toUpperCase(java.util.Locale.ROOT)
+      else ""
+    val (k1, k2) = (kw(0), kw(1))
     def ident(tbl: String): Seq[String] =
       delegate.parseMultipartIdentifier(tbl)
-    if (t.startsWith("OPTIMIZE")) sqlText match {
+    if (k1 == "OPTIMIZE") sqlText match {
       case Optimize(tbl, cols) =>
         val zorder = Option(cols).toSeq.flatMap(_.split(',').toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
         Some(GdxOptimizeCommand(ident(tbl), zorder))
       case _ => None
-    } else if (t.startsWith("VACUUM")) sqlText match {
+    } else if (k1 == "VACUUM") sqlText match {
       case Vacuum(tbl, retain) =>
         Some(GdxVacuumCommand(ident(tbl),
           Option(retain).map(_.toInt).getOrElse(1)))
       case _ => None
-    } else if (t.startsWith("DESCRIBE HISTORY")) sqlText match {
+    } else if (k1 == "DESCRIBE" && k2 == "HISTORY") sqlText match {
       case History(tbl) => Some(GdxHistoryCommand(ident(tbl)))
       case _ => None
-    } else if (t.startsWith("ALTER TABLE")) sqlText match {
+    } else if (k1 == "ALTER" && k2 == "TABLE") sqlText match {
       // only the CONSTRAINT forms — every other ALTER TABLE statement
       // (add columns, properties, …) delegates to Spark's grammar
       case AddCheck(tbl, name, expr) =>
-        // a multi-line statement still stores a one-line header (the
-        // manifest format); only line breaks collapse — spaces inside
-        // string literals are preserved
+        // the manifest stores a ONE-line header, so line breaks in the
+        // expression collapse to spaces. That is safe only OUTSIDE
+        // string literals — rather than silently rewriting a literal's
+        // bytes (changing which values the constraint accepts), a
+        // multi-line expression containing any quote is refused
+        val trimmed = expr.trim
+        if (trimmed.exists(c => c == '\n' || c == '\r') &&
+            trimmed.exists(c => c == '\'' || c == '"'))
+          throw new org.apache.spark.sql.AnalysisException(
+            "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" ->
+              ("ADD CONSTRAINT: a CHECK expression containing string " +
+                "literals must be written on one line (the manifest " +
+                "header is line-oriented and a line break inside a " +
+                "literal cannot be preserved)")))
         Some(GdxAddConstraintCommand(ident(tbl), name,
-          expr.trim.replaceAll("[\\r\\n]+", " ")))
+          trimmed.replaceAll("[\\r\\n]+", " ")))
       case DropCheck(tbl, name) =>
         Some(GdxDropConstraintCommand(ident(tbl), name))
       case _ => None

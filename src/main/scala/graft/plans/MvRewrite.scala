@@ -193,9 +193,24 @@ object MvRewrite {
     graft.pipeline.TableSwap.commitVersion(path, v, conf)
     val mv = spark.read.parquet(genDir)
     val mvPlan = mv.queryExecution.analyzed
-    registry.put(path, MvDef(basePaths, baseSnapshots, groupCols,
+    val newDef = MvDef(basePaths, baseSnapshots, groupCols,
       measureCols, distinctCols, genDir, mvPlan,
-      mvPlan.output.map(a => a.name -> a).toMap))
+      mvPlan.output.map(a => a.name -> a).toMap)
+    registry.synchronized {
+      // ONE live def per LOGICAL MV: a second invocation registering
+      // the same (base, grain, measures, sketches) under a different
+      // per-run scratch root must REPLACE the first — two
+      // indistinguishable defs tie on the coarsest-first ordering and
+      // plan choice would decay to registry hash order, flipping which
+      // summary answers a query between passes
+      val key = (basePaths, groupCols, measureCols, distinctCols)
+      import scala.jdk.CollectionConverters._
+      registry.entrySet().asScala.filter { e =>
+        e.getKey != path && (e.getValue.basePaths, e.getValue.groupCols,
+          e.getValue.measureCols, e.getValue.distinctCols) == key
+      }.map(_.getKey).toList.foreach(registry.remove)
+      registry.put(path, newDef)
+    }
     graft.pipeline.TableSwap.vacuumVersions(path, conf,
       keepLast = KeepGenerations)
     mv
@@ -296,6 +311,20 @@ object MvRewrite {
   private def rootPaths(df: DataFrame): Set[String] =
     df.queryExecution.analyzed.collectLeaves()
       .flatMap(relationIdentity).toSet
+
+  /** Invocation-independent form of the `mv_used` claim: TRUE iff the
+    * optimized plan of `df` never scans `base`'s relation. A claim
+    * must not pin the caller's OWN summary path — when two concurrent
+    * invocations register the same logical MV under different per-run
+    * scratch roots, the later registration wins and answers both
+    * (byte-identical summaries of the same base), so "the fact scan
+    * was avoided" is the invariant, not "my files were read". */
+  def answersWithoutBase(df: DataFrame, base: DataFrame): Boolean = {
+    val bp = rootPaths(base)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    leaves.nonEmpty &&
+      leaves.forall(l => relationIdentity(l).intersect(bp).isEmpty)
+  }
 
   /** GDX leaves of a base plan, pinned at their CURRENT snapshot
     * version — the staleness token [[MvRewriteRule]] re-checks before

@@ -755,7 +755,9 @@ object GdxSource {
                     org.apache.spark.sql.connector.write
                       .WriterCommitMessage],
                   expectedBase: Int = -1,
-                  writeSchema: StructType = schema): Int = {
+                  writeSchema: StructType = schema,
+                  enforcedConstraints: Option[Seq[(String, String)]] = None)
+      : Int = {
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
     val lockKey = fs.makeQualified(base).toString
@@ -766,17 +768,36 @@ object GdxSource {
       var attempt = (listVersions(path, conf) :+ 0).max + 1
       var committed = -1
       var renamed: Map[String, GdxFileEntry] = Map.empty
+      def tidyTmps(): Unit = finals.foreach { case (tmp, _) =>
+        val p = renamed.get(tmp).map(e => new Path(base, e.name))
+          .getOrElse(new Path(base, tmp))
+        if (fs.exists(p)) fs.delete(p, false)
+        val bs = new Path(base, p.getName + GdxBloom.Suffix)
+        if (fs.exists(bs)) fs.delete(bs, false)
+      }
       while (committed < 0) {
+        // METADATA CONFLICT: a constraint committed AFTER this write
+        // captured its enforcement set means these rows were NEVER
+        // validated against it — publishing would land unvalidated
+        // rows under a constraint-bearing manifest. Re-checked every
+        // retry (a lost race may be exactly the constraint commit);
+        // the read below also feeds the manifest header, so the set
+        // the header declares is the set that was checked.
+        val liveChecks = committedConstraints(path, conf)
+        enforcedConstraints.foreach { enforced =>
+          val missed = liveChecks.filterNot(enforced.contains)
+          if (missed.nonEmpty) {
+            tidyTmps()
+            throw new GdxConcurrentModificationException(
+              s"gdx commit: constraint(s) ${missed.map(_._1).mkString(",")} " +
+                s"were added to $path while this write was in flight - " +
+                "its rows were not validated against them; re-run the write")
+          }
+        }
         if (expectedBase >= 0 && attempt != expectedBase + 1) {
           // tidy this attempt's tmp files (and bloom sidecars) before
           // surfacing the conflict
-          finals.foreach { case (tmp, _) =>
-            val p = renamed.get(tmp).map(e => new Path(base, e.name))
-              .getOrElse(new Path(base, tmp))
-            if (fs.exists(p)) fs.delete(p, false)
-            val bs = new Path(base, p.getName + GdxBloom.Suffix)
-            if (fs.exists(bs)) fs.delete(bs, false)
-          }
+          tidyTmps()
           throw new GdxConcurrentModificationException(
             s"gdx commit: expected to publish version ${expectedBase + 1} " +
               s"of $path but the snapshot advanced to ${attempt - 1} - " +
@@ -823,7 +844,7 @@ object GdxSource {
             val cur = committedSchema(path, conf)
             if (cur.length >= writeSchema.length) cur else writeSchema
           },
-          committedConstraints(path, conf))
+          liveChecks)
         val published =
           if (checkpoint) {
             val prev =
@@ -1183,22 +1204,40 @@ object GdxSource {
       val rewrittenEntries: Seq[GdxFileEntry] = rewrite match {
         case None => Seq.empty
         case Some(set) =>
-          val updatedRows = set.foldLeft(
-            matched.drop("_file", "_pos"))(
-            (df, kv) => df.withColumn(kv._1, kv._2))
-            .select(tblSchema.fieldNames.map(col): _*)
+          // SQL UPDATE semantics: every SET expression is evaluated
+          // against the OLD row — simultaneous assignment, so
+          // `SET v = w, w = v` SWAPS. All assignments therefore land
+          // in ONE select over the matched snapshot rows; a
+          // sequential withColumn chain would feed each assignment
+          // the previous one's output (and make >4-assignment results
+          // depend on Map iteration order)
+          val byName = set.map { case (k, c) =>
+            k.toLowerCase(java.util.Locale.ROOT) -> c }
+          val unknown = byName.keySet.diff(tblSchema.fieldNames
+            .map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+          require(unknown.isEmpty, "gdx update: SET references " +
+            s"unknown column(s) ${unknown.mkString(",")}")
+          val updatedRows = matched.drop("_file", "_pos").select(
+            tblSchema.fieldNames.map { f =>
+              byName.get(f.toLowerCase(java.util.Locale.ROOT))
+                .map(_.as(f)).getOrElse(col(f))
+            }: _*)
           // UPDATE's rewrite path must enforce CHECK constraints like
-          // every other write: the rewritten (matched) rows are
-          // validated in one pass before any file lands — a violation
-          // aborts with nothing committed (SQL semantics, NULL passes)
-          committedConstraints(dirStr, conf0).foreach { case (n, sql) =>
-            val bad = updatedRows.filter(org.apache.spark.sql.functions
-              .not(org.apache.spark.sql.functions.coalesce(
-                org.apache.spark.sql.functions.expr(sql),
-                org.apache.spark.sql.functions.lit(true)))).count()
-            if (bad > 0) throw new GdxConstraintViolationException(
-              s"gdx update: $bad updated row(s) would violate CHECK " +
-                s"constraint $n ($sql)")
+          // every other write: ALL constraints are validated in one
+          // aggregate job over the rewritten (matched) rows before any
+          // file lands — a violation aborts with nothing committed
+          // (SQL semantics, NULL passes)
+          val checks = committedConstraints(dirStr, conf0)
+          if (checks.nonEmpty) {
+            val aggs = checks.map { case (n, sql) =>
+              count(when(not(coalesce(expr(sql), lit(true))), 1)).as(n) }
+            val counts = updatedRows.agg(aggs.head, aggs.tail: _*).head()
+            checks.zipWithIndex.foreach { case ((n, sql), i) =>
+              val bad = counts.getLong(i)
+              if (bad > 0) throw new GdxConstraintViolationException(
+                s"gdx update: $bad updated row(s) would violate CHECK " +
+                  s"constraint $n ($sql)")
+            }
           }
           writeDataFiles(updatedRows, dirStr, tblSchema, sconf)
       }
@@ -1643,15 +1682,18 @@ object GdxSource {
     -1 // unreachable
   }
 
-  /** The current snapshot's constraints, compiled against the WRITE
-    * schema at factory-creation time (driver-side, where the active
-    * session and its analyzer live). An evolved write schema still
+  /** A CAPTURED constraint set, compiled against the WRITE schema
+    * (driver-side, where the active session and its analyzer live).
+    * The caller snapshots `committedConstraints` ONCE per write and
+    * passes the same set here and to the commit conflict check — so
+    * "what the tasks enforced" and "what the commit claims was
+    * enforced" can never diverge. An evolved write schema still
     * binds: constraints reference existing columns and the classic
     * prefix is stable. */
-  private[graft] def activeChecks(path: String, writeSchema: StructType)
+  private[graft] def activeChecks(checks: Seq[(String, String)],
+                                  writeSchema: StructType)
       : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)]
       = {
-    val checks = committedConstraints(path, driverConf())
     if (checks.isEmpty) return Seq.empty
     val spark = SparkSession.active
     val writeCols =
@@ -1748,9 +1790,13 @@ object GdxSource {
       val n = st.getPath.getName
       ((n.endsWith(".gdx") || n.endsWith(".dvx")) && !referenced(n)) ||
         // bloom sidecars die with their data file (excluded from the
-        // returned count — the contract stays "data/DV files deleted")
-        (n.endsWith(GdxBloom.Suffix) &&
-          !referenced(n.stripSuffix(GdxBloom.Suffix)))
+        // returned count — the contract stays "data/DV files deleted").
+        // A `.tmp` stem is an IN-FLIGHT write's sidecar: protected
+        // exactly like its tmp data file — commit renames both
+        (n.endsWith(GdxBloom.Suffix) && {
+          val stem = n.stripSuffix(GdxBloom.Suffix)
+          !stem.endsWith(".tmp") && !referenced(stem)
+        })
     }
     victims.foreach(st => fs.delete(st.getPath, false))
     victims.count(!_.getPath.getName.endsWith(GdxBloom.Suffix))
@@ -2329,11 +2375,19 @@ class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1,
 class GdxStreamingWrite(path: String,
                         writeSchema: StructType = GdxSource.schema)
     extends wstreaming.StreamingWrite {
+  // the constraint set this write's tasks ENFORCE, captured once at
+  // write construction; commit conflict-checks the live set against
+  // it, so a constraint committed mid-flight aborts the epoch rather
+  // than publishing unvalidated rows under its manifest (the write
+  // object is rebuilt per micro-batch, so the NEXT epoch enforces it)
+  private val enforced =
+    GdxSource.committedConstraints(path, GdxSource.driverConf())
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : wstreaming.StreamingDataWriterFactory =
     new GdxStreamingWriterFactory(path,
       new SerializableHadoopConf(GdxSource.driverConf()), writeSchema,
-      GdxSource.activeChecks(path, writeSchema))
+      GdxSource.activeChecks(enforced, writeSchema))
 
   def txnMarker(epochId: Long) = new Path(path, f"_txn-$epochId%016d")
 
@@ -2351,7 +2405,7 @@ class GdxStreamingWrite(path: String,
       return
     }
     GdxSource.commitFiles(path, conf, replace = false, messages.toSeq,
-      writeSchema = writeSchema)
+      writeSchema = writeSchema, enforcedConstraints = Some(enforced))
     fs.create(marker, true).close()
   }
 
@@ -2384,10 +2438,17 @@ class GdxBatchWrite(path: String, replace: Boolean,
                     expectedBase: Int = -1,
                     writeSchema: StructType = GdxSource.schema)
     extends BatchWrite {
+  // captured once (see GdxStreamingWrite): the set the tasks enforce
+  // IS the set commit verifies is still complete — a constraint that
+  // lands between factory creation and commit is a metadata conflict,
+  // not a silent hole in enforcement
+  private val enforced =
+    GdxSource.committedConstraints(path, GdxSource.driverConf())
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = new GdxWriterFactory(path,
     new SerializableHadoopConf(GdxSource.driverConf()), writeSchema,
-    GdxSource.activeChecks(path, writeSchema))
+    GdxSource.activeChecks(enforced, writeSchema))
 
   /** Driver-side publish: rename each task's tmp file to its
     * VERSION-PREFIXED final name, then write snapshot N+1's manifest —
@@ -2399,7 +2460,7 @@ class GdxBatchWrite(path: String, replace: Boolean,
     * commit can ever clobber a file an older snapshot references. */
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GdxSource.commitFiles(path, GdxSource.driverConf(), replace,
-      messages.toSeq, expectedBase, writeSchema)
+      messages.toSeq, expectedBase, writeSchema, Some(enforced))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GdxSource.driverConf()

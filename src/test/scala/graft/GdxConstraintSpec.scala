@@ -141,6 +141,55 @@ class GdxConstraintSpec extends SparkSuite {
     assert(read(dir).count() === 4L)
   }
 
+  test("a constraint added while a write is in flight conflicts the " +
+      "commit instead of publishing unvalidated rows") {
+    val dir = freshDir("race")
+    write(dir, Seq((1L, "a")))
+    // writer A: factory created BEFORE the constraint exists — its
+    // tasks enforce nothing, and its row (k=5) would violate k < 3
+    val bw = new graft.sources.GdxBatchWrite(dir, replace = false)
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 0L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(5L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("z")))
+    val msg = w.commit()
+    // the constraint lands mid-flight: existing rows (k=1) validate,
+    // A's uncommitted row is invisible to the validation scan
+    GdxSource.addConstraint(spark, dir, "k_small", "k < 3")
+    val vBefore = GdxSource.listVersions(dir, GdxSource.driverConf()).max
+    val e = intercept[graft.sources.GdxConcurrentModificationException] {
+      bw.commit(Array(msg))
+    }
+    assert(e.getMessage.contains("k_small"))
+    // nothing committed: same version, the unvalidated row never lands
+    assert(GdxSource.listVersions(dir, GdxSource.driverConf()).max
+      === vBefore)
+    assert(read(dir).count() === 1L)
+  }
+
+  test("vacuum never deletes an in-flight write's tmp bloom sidecar") {
+    val dir = freshDir("vactmp")
+    write(dir, Seq((1L, "a")))
+    write(dir, Seq((2L, "b")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(GdxSource.driverConf())
+    def p(n: String) = new org.apache.hadoop.fs.Path(dir, n)
+    // an in-flight write: tmp data file + its bloom sidecar — the
+    // driver commit hasn't renamed them yet
+    val sfx = graft.sources.GdxBloom.Suffix
+    fs.create(p("part-0-deadbeef.gdx.tmp"), false).close()
+    fs.create(p("part-0-deadbeef.gdx.tmp" + sfx), false).close()
+    // ...and a stray sidecar for an unreferenced COMMITTED-shape file,
+    // which retention must still reap
+    fs.create(p("v00000099-part-9-dead.gdx" + sfx), false).close()
+    GdxSource.vacuum(dir, GdxSource.driverConf(), keepLast = 1)
+    assert(fs.exists(p("part-0-deadbeef.gdx.tmp")),
+      "tmp data file must survive vacuum")
+    assert(fs.exists(p("part-0-deadbeef.gdx.tmp" + sfx)),
+      "tmp bloom sidecar must survive vacuum like its data file")
+    assert(!fs.exists(p("v00000099-part-9-dead.gdx" + sfx)),
+      "an unreferenced committed-shape sidecar is still reaped")
+  }
+
   test("a multi-line expression is rejected (one-line manifest header)") {
     val dir = freshDir("ml")
     write(dir, Seq((1L, "a")))
@@ -172,6 +221,16 @@ class GdxConstraintSpec extends SparkSuite {
       assert(s.sql("SELECT count(*) FROM gdxck_t").head.getLong(0) === 3L)
       // other ALTER TABLE forms still reach Spark's grammar and run
       s.sql("ALTER TABLE gdxck_t SET TBLPROPERTIES ('a'='b')")
+      // a newline between keywords still parses (keyword-token fast
+      // path, not a fixed-width prefix)
+      s.sql("ALTER\nTABLE gdxck_t ADD CONSTRAINT ws_ok CHECK (k > -100)")
+      s.sql("ALTER TABLE gdxck_t DROP CONSTRAINT ws_ok")
+      // a multi-line CHECK containing a string literal is refused —
+      // collapsing the break would rewrite the literal's bytes
+      val mlEx = intercept[Exception] {
+        s.sql("ALTER TABLE gdxck_t ADD CONSTRAINT ml CHECK (v <> 'a\nb')")
+      }
+      assert(mlEx.getMessage.contains("one line"), mlEx.getMessage)
       ()
     } finally {
       s.sql("DROP TABLE IF EXISTS gdxck_t"); ()

@@ -69,7 +69,30 @@ class GdxDmlSpec extends SparkSuite {
           WHEN MATCHED THEN UPDATE SET *
           WHEN NOT MATCHED THEN INSERT *"""))
       assert(e2.getMessage.contains("gdx MERGE"))
+      // degenerate same-side key equality: both attributes are NAMED k
+      // but come from the TARGET — an always-true-per-row condition,
+      // not a key join, and must be refused, not run as a keyed upsert
+      val e3 = intercept[AnalysisException](s.sql(
+        """MERGE INTO gdxdml_bad t USING gdxdml_bsrc s ON t.k = t.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *"""))
+      assert(e3.getMessage.contains("gdx MERGE"))
     } finally s.sql("DROP TABLE IF EXISTS gdxdml_bad")
+  }
+
+  test("UPDATE SET is simultaneous assignment: SET v = w, w = v swaps") {
+    val dir = freshDir("dmlswap")
+    s.sql(s"""CREATE TABLE gdxdml_swap (k BIGINT, v STRING, w STRING)
+      USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+    try {
+      s.sql("INSERT INTO gdxdml_swap VALUES (1,'a','x'),(2,'b','y')")
+      // every SET expression evaluates against the OLD row (SQL
+      // semantics) — a sequential apply would leave both columns = old w
+      s.sql("UPDATE gdxdml_swap SET v = w, w = v WHERE k = 1")
+      val r = s.sql("SELECT v, w FROM gdxdml_swap ORDER BY k").collect()
+      assert((r(0).getString(0), r(0).getString(1)) === ("x", "a"))
+      assert((r(1).getString(0), r(1).getString(1)) === ("b", "y"))
+    } finally s.sql("DROP TABLE IF EXISTS gdxdml_swap")
   }
 
   test("non-GDX targets pass through to Spark's own handling") {

@@ -60,6 +60,29 @@ class MvRewriteSpec extends SparkSuite {
       Seq("b", "y", 2L, 11.0, 5.5, 1L, 9L)))
   }
 
+  test("re-registering the same logical MV under a new per-run root " +
+      "replaces the old def; the claim form is invocation-independent") {
+    val base = spark.read.parquet(writeBase())
+    val p1 = tmp("dup1")
+    val p2 = tmp("dup2")
+    // two invocations of the same query register the same LOGICAL MV
+    // (same base, grain, measures) at different scratch roots — the
+    // later registration must WIN outright, not tie with the first
+    plans.MvRewrite.materialize(spark, base, Seq("g1"), Seq("m1"), p1)
+    plans.MvRewrite.materialize(spark, base, Seq("g1"), Seq("m1"), p2)
+    val q = base.groupBy("g1").agg(sum("m1").as("s1"))
+    assert(onMv(q, p2),
+      s"latest registration must answer; got ${leafPaths(q)}")
+    // the invocation-independent claim: the base scan was avoided
+    assert(plans.MvRewrite.answersWithoutBase(q, base))
+    assert(q.orderBy("g1").collect().map(_.toSeq) ===
+      Array(Seq("a", 6.0), Seq("b", 15.0)))
+    // an un-rewritten query reports false, never vacuously true
+    val exact = base.groupBy("g1")
+      .agg(countDistinct(col("g2")).as("nd"))
+    assert(!plans.MvRewrite.answersWithoutBase(exact, base))
+  }
+
   test("rollup query re-aggregates the summary, not the base") {
     val base = spark.read.parquet(writeBase())
     val mvPath = tmp("mv")

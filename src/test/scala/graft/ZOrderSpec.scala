@@ -129,9 +129,14 @@ class ZOrderSpec extends SparkSuite {
       GreaterThanOrEqual("k", 1000L), LessThan("k", 1500L)))
     val (sKept, _) = GdxSource.plannedFiles(dir, Seq(
       GreaterThanOrEqual("s", 100L), LessThan("s", 160L)))
+    // the SAME ranges as the 1-D probes: the 2-D predicate set is then
+    // a superset of each, so "prunes at least as hard" holds for ANY
+    // layout (pruneByStats is monotone in the pushed set) — a wider
+    // box would make this assertion depend on where repartitionByRange
+    // happened to cut files
     val (bothKept, _) = GdxSource.plannedFiles(dir, Seq(
-      GreaterThanOrEqual("k", 1000L), LessThan("k", 3000L),
-      GreaterThanOrEqual("s", 100L), LessThan("s", 350L)))
+      GreaterThanOrEqual("k", 1000L), LessThan("k", 1500L),
+      GreaterThanOrEqual("s", 100L), LessThan("s", 160L)))
     assert(kKept < total, s"k-range must still prune ($kKept/$total)")
     assert(sKept < total, s"s-range must now prune ($sKept/$total)")
     assert(bothKept <= kKept && bothKept <= sKept,
@@ -190,6 +195,9 @@ class ZOrderSpec extends SparkSuite {
       assert(h.length >= 2 && h.map(_.getInt(0)).toSeq ===
         h.map(_.getInt(0)).toSeq.sorted)
       assert(s.sql("DESCRIBE TABLE zord_sql_t").collect().nonEmpty)
+      // keyword-token fast path: a double space (or any whitespace)
+      // between keywords still reaches the maintenance grammar
+      assert(s.sql("DESCRIBE  HISTORY zord_sql_t").collect().nonEmpty)
       // VACUUM RETAIN 1 VERSIONS reclaims superseded files and leaves
       // the live snapshot intact
       val vac = s.sql("VACUUM zord_sql_t RETAIN 1 VERSIONS").collect()
