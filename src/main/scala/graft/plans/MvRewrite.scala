@@ -94,7 +94,7 @@ object MvRewrite {
     * attributes. */
   case class MvDef(basePaths: Set[String], baseSnapshots: Map[String, Int],
                    groupCols: Seq[String], measureCols: Set[String],
-                   distinctCols: Set[String],
+                   distinctCols: Set[String], quantileCols: Set[String],
                    genDir: String, mvPlan: LogicalPlan,
                    mvAttr: Map[String, Attribute])
 
@@ -104,6 +104,13 @@ object MvRewrite {
     * same precision: estimating a lgK-12 union where the user asked
     * for lgK-14 would silently change the error bound. */
   val SketchLgK = 12
+
+  /** K every summary QUANTILE sketch is built at (DataSketches KLL
+    * default: normalized rank error ≈ 1.65% at 99% confidence). The
+    * rewrite only fires when the query's sketch uses the same K —
+    * answering a higher-precision request from a lower-precision
+    * summary would silently change the error bound. */
+  val KllK = graft.functions.KllSketchAgg.DefaultK
 
   /** Keyed by the LOGICAL summary root: re-materializing or refreshing
     * the same MV atomically re-points its registration at the freshly
@@ -165,12 +172,19 @@ object MvRewrite {
     * `cnt_m = count(m)` is what makes avg(m) and count(m) NULL-exact:
     * SQL avg divides by non-null count, not row count. */
   private def summaryAggs(measureCols: Seq[String],
-                          distinctCols: Seq[String]) =
-    (count(lit(1)).as("n") +: measureCols.flatMap(m => Seq(
+                          distinctCols: Seq[String],
+                          quantileCols: Seq[String] = Nil) =
+    ((count(lit(1)).as("n") +: measureCols.flatMap(m => Seq(
       sum(col(m)).as(s"sum_$m"), count(col(m)).as(s"cnt_$m"),
       min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")))) ++
       distinctCols.map(x =>
-        hll_sketch_agg(col(x), SketchLgK).as(s"hll_$x"))
+        hll_sketch_agg(col(x), SketchLgK).as(s"hll_$x"))) ++
+      // quantiles don't decompose through sums either — a mergeable
+      // KLL sketch per cell is what lets median/p99 dashboards roll up
+      // (the same BI-engine pattern as the HLL distinct partials)
+      quantileCols.map(x =>
+        graft.functions.KllFunctions.kllSketchAgg(col(x), KllK)
+          .as(s"kll_$x"))
 
   /** Commit a freshly-computed summary frame as the next generation
     * under `path` and return the registered definition: write to the
@@ -181,7 +195,8 @@ object MvRewrite {
                                 baseSnapshots: Map[String, Int],
                                 groupCols: Seq[String],
                                 measureCols: Set[String],
-                                distinctCols: Set[String]): DataFrame = {
+                                distinctCols: Set[String],
+                                quantileCols: Set[String]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val (v, genDir) = graft.pipeline.TableSwap.nextVersion(path, conf)
     // the write is the action that runs the build plan through the
@@ -194,7 +209,7 @@ object MvRewrite {
     val mv = spark.read.parquet(genDir)
     val mvPlan = mv.queryExecution.analyzed
     val newDef = MvDef(basePaths, baseSnapshots, groupCols,
-      measureCols, distinctCols, genDir, mvPlan,
+      measureCols, distinctCols, quantileCols, genDir, mvPlan,
       mvPlan.output.map(a => a.name -> a).toMap)
     registry.synchronized {
       // ONE live def per LOGICAL MV: a second invocation registering
@@ -203,11 +218,13 @@ object MvRewrite {
       // indistinguishable defs tie on the coarsest-first ordering and
       // plan choice would decay to registry hash order, flipping which
       // summary answers a query between passes
-      val key = (basePaths, groupCols, measureCols, distinctCols)
+      val key =
+        (basePaths, groupCols, measureCols, distinctCols, quantileCols)
       import scala.jdk.CollectionConverters._
       registry.entrySet().asScala.filter { e =>
         e.getKey != path && (e.getValue.basePaths, e.getValue.groupCols,
-          e.getValue.measureCols, e.getValue.distinctCols) == key
+          e.getValue.measureCols, e.getValue.distinctCols,
+          e.getValue.quantileCols) == key
       }.map(_.getKey).toList.foreach(registry.remove)
       registry.put(path, newDef)
     }
@@ -223,14 +240,15 @@ object MvRewrite {
   def materialize(spark: SparkSession, base: DataFrame,
                   groupCols: Seq[String], measureCols: Seq[String],
                   path: String,
-                  distinctCols: Seq[String] = Nil): DataFrame = {
+                  distinctCols: Seq[String] = Nil,
+                  quantileCols: Seq[String] = Nil): DataFrame = {
     install(spark)
-    val aggs = summaryAggs(measureCols, distinctCols)
+    val aggs = summaryAggs(measureCols, distinctCols, quantileCols)
     val summary =
       base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     publishGeneration(spark, summary, path, rootPaths(base),
       gdxSnapshots(base.queryExecution.analyzed), groupCols,
-      measureCols.toSet, distinctCols.toSet)
+      measureCols.toSet, distinctCols.toSet, quantileCols.toSet)
   }
 
   /** INCREMENTAL REFRESH — fold a DELTA of newly-appended base rows
@@ -267,23 +285,28 @@ object MvRewrite {
       p -> asOfVersions.getOrElse(p, currentGdxVersion(p)) }
     val ms = d.measureCols.toSeq.sorted
     val xs = d.distinctCols.toSeq.sorted
-    val deltaAggs = summaryAggs(ms, xs)
+    val qs = d.quantileCols.toSeq.sorted
+    val deltaAggs = summaryAggs(ms, xs, qs)
     val deltaSum = delta.groupBy(d.groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
     // sketches merge by UNION — the same register-wise-max algebra the
     // rewrite's rollup compensation uses, so a refreshed sketch equals
     // the sketch a full rebuild would produce
-    val mergeAggs = (sum(col("n")).as("n") +: ms.flatMap(m => Seq(
+    val mergeAggs = ((sum(col("n")).as("n") +: ms.flatMap(m => Seq(
       sum(col(s"sum_$m")).as(s"sum_$m"),
       sum(col(s"cnt_$m")).as(s"cnt_$m"),
       min(col(s"min_$m")).as(s"min_$m"),
       max(col(s"max_$m")).as(s"max_$m")))) ++
-      xs.map(x => hll_union_agg(col(s"hll_$x")).as(s"hll_$x"))
+      xs.map(x => hll_union_agg(col(s"hll_$x")).as(s"hll_$x"))) ++
+      // KLL merges like HLL unions: the refreshed cell sketch is the
+      // same state a rebuild over old ∪ delta rows would reach
+      qs.map(x => graft.functions.KllFunctions
+        .kllMergeAgg(col(s"kll_$x"), KllK).as(s"kll_$x"))
     val merged = spark.read.parquet(d.genDir).unionByName(deltaSum)
       .groupBy(d.groupCols.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
     publishGeneration(spark, merged, path, d.basePaths,
-      pinned, d.groupCols, d.measureCols, d.distinctCols)
+      pinned, d.groupCols, d.measureCols, d.distinctCols, d.quantileCols)
   }
 
   /** Identity of a relation for base-table matching: file-source root
@@ -478,6 +501,19 @@ object MvRewriteRule extends Rule[LogicalPlan] {
                  else aggExpr(HllUnionAgg(cell, Literal(false))))
           case _ => None
         }
+      // kll_sketch_agg(x) over a QUANTILE-COVERED column at matching
+      // precision: same algebra as the HLL arm — sketch state merges,
+      // so median/p99 queries roll up through the summary. The
+      // user-facing kll_quantile(…, q) wrapper rides through the
+      // recursive scalar case untouched.
+      case ks: graft.functions.KllSketchAgg if ks.k == MvRewrite.KllK =>
+        ks.child match {
+          case a: AttributeReference if d.quantileCols.contains(a.name) =>
+            val cell = mv(s"kll_${a.name}")
+            Some(if (exact) cell
+                 else aggExpr(graft.functions.KllMergeAgg(cell, ks.k)))
+          case _ => None
+        }
       case _ => None
     }
     // The optimizer collapses later projections INTO the aggregate
@@ -668,6 +704,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
               if factOut.contains(a) && d.distinctCols.contains(a.name) =>
             Some(aggExpr(HllUnionAgg(mv(s"hll_${a.name}"),
               Literal(false))))
+          case _ => None
+        }
+      case ks: graft.functions.KllSketchAgg if ks.k == MvRewrite.KllK =>
+        ks.child match {
+          case a: AttributeReference
+              if factOut.contains(a) && d.quantileCols.contains(a.name) =>
+            Some(aggExpr(graft.functions.KllMergeAgg(
+              mv(s"kll_${a.name}"), ks.k)))
           case _ => None
         }
       case _ => None

@@ -141,4 +141,31 @@ class SketchSpec extends SparkSuite {
     assert(missed.isEmpty,
       s"true heavy hitters missing from sketch candidates: ${missed.toSeq}")
   }
+
+  test("KLL quantile sketch: direct and merged estimates stay inside " +
+      "the published rank-error bound; tiny inputs are exact") {
+    import graft.functions.KllFunctions._
+    val df = spark.range(1, 10001)
+      .select((col("id") % 10).as("g"), col("id").cast("double").as("x"))
+    // direct build over all rows
+    val direct = df.agg(kllQuantile(kllSketchAgg(col("x")), 0.5))
+      .head.getDouble(0)
+    // per-group sketches merged — the MV rollup path
+    val merged = df.groupBy("g").agg(kllSketchAgg(col("x")).as("sk"))
+      .agg(kllQuantile(kllMergeAgg(col("sk")), 0.5)).head.getDouble(0)
+    // x is uniform on [1,10000]: a rank-error eps maps to a value error
+    // of eps*n. 3x the k=200 normalized bound (~1.65%) over both the
+    // build and one merge level — generous, never flakes
+    val tol = 3 * 0.0165 * 10000
+    assert(math.abs(direct - 5000.0) <= tol, s"direct median $direct")
+    assert(math.abs(merged - 5000.0) <= tol, s"merged median $merged")
+    // below the sketch's retained capacity everything is EXACT, and
+    // nulls are ignored like every SQL aggregate
+    val tiny = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("x")
+    assert(tiny.agg(kllQuantile(kllSketchAgg(col("x")), 0.5))
+      .head.getDouble(0) === 2.0)
+    // q=0 / q=1 are min / max
+    assert(tiny.agg(kllQuantile(kllSketchAgg(col("x")), 1.0))
+      .head.getDouble(0) === 3.0)
+  }
 }
