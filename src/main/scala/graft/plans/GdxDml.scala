@@ -96,7 +96,6 @@ object GdxDmlRule extends Rule[LogicalPlan] {
         keyAttr(c.child)
       case _ => None
     }
-    def keyName(e: Expression): Option[String] = keyAttr(e).map(_.name)
     // one side must come from the TARGET and the other from the SOURCE
     // (checked by attribute identity, not name — `ON t.k = t.k` is a
     // degenerate always-true-per-row condition, NOT a key join, and
@@ -117,10 +116,16 @@ object GdxDmlRule extends Rule[LogicalPlan] {
       fail("gdx MERGE: only ON <target>.k = <source>.k is supported " +
         s"(got ${m.mergeCondition.sql})")
     // WHEN MATCHED THEN UPDATE SET * — every target column assigned its
-    // same-named source column, unconditionally
+    // same-named SOURCE column, unconditionally. The value must be
+    // checked by attribute identity, not name alone: `SET v = t.v`
+    // (target self-assignment, i.e. "keep the target's value") matches
+    // by name but the engine's merge is source-wins LWW — accepting it
+    // would silently overwrite the kept values, so it is refused
+    // loudly like every other diverging shape
     def starAssignments(as: Seq[Assignment]): Boolean = as.forall {
       case Assignment(k: AttributeReference, v) =>
-        keyName(v).contains(k.name)
+        keyAttr(v).exists(a =>
+          a.name == k.name && m.sourceTable.outputSet.contains(a))
       case _ => false
     }
     m.matchedActions match {

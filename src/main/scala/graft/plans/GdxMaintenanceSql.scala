@@ -69,34 +69,31 @@ object GdxMaintenanceSql {
       case _ => None
     } else if (k1 == "VACUUM") sqlText match {
       case Vacuum(tbl, retain) =>
+        // default retention without an explicit RETAIN clause is TWO
+        // versions, not one: a bare `VACUUM t` must not destroy every
+        // historical manifest (and with it time travel + RESTORE) in
+        // one statement — the same conservative-default stance as
+        // Delta's retention check, and the keepLast=2 used by the
+        // engine's own maintenance flows
         Some(GdxVacuumCommand(ident(tbl),
-          Option(retain).map(_.toInt).getOrElse(1)))
+          Option(retain).map(_.toInt).getOrElse(2)))
       case _ => None
     } else if (k1 == "DESCRIBE" && k2 == "HISTORY") sqlText match {
       case History(tbl) => Some(GdxHistoryCommand(ident(tbl)))
       case _ => None
     } else if (k1 == "ALTER" && k2 == "TABLE") sqlText match {
       // only the CONSTRAINT forms — every other ALTER TABLE statement
-      // (add columns, properties, …) delegates to Spark's grammar
+      // (add columns, properties, …) delegates to Spark's grammar.
+      // These two DO exist in Spark 4.1's native grammar (ANSI
+      // constraint DDL for DSv2 connectors), so the command re-parses
+      // through the delegate at run time when the target turns out not
+      // to be a GDX table — the wrapper must not break constraint DDL
+      // for every other provider in the session
       case AddCheck(tbl, name, expr) =>
-        // the manifest stores a ONE-line header, so line breaks in the
-        // expression collapse to spaces. That is safe only OUTSIDE
-        // string literals — rather than silently rewriting a literal's
-        // bytes (changing which values the constraint accepts), a
-        // multi-line expression containing any quote is refused
-        val trimmed = expr.trim
-        if (trimmed.exists(c => c == '\n' || c == '\r') &&
-            trimmed.exists(c => c == '\'' || c == '"'))
-          throw new org.apache.spark.sql.AnalysisException(
-            "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" ->
-              ("ADD CONSTRAINT: a CHECK expression containing string " +
-                "literals must be written on one line (the manifest " +
-                "header is line-oriented and a line break inside a " +
-                "literal cannot be preserved)")))
-        Some(GdxAddConstraintCommand(ident(tbl), name,
-          trimmed.replaceAll("[\\r\\n]+", " ")))
+        Some(GdxAddConstraintCommand(ident(tbl), name, expr.trim)(
+          sqlText, delegate))
       case DropCheck(tbl, name) =>
-        Some(GdxDropConstraintCommand(ident(tbl), name))
+        Some(GdxDropConstraintCommand(ident(tbl), name)(sqlText, delegate))
       case _ => None
     } else None
   }
@@ -115,6 +112,26 @@ object GdxMaintenanceSql {
       }.getOrElse(throw new org.apache.spark.sql.AnalysisException(
         "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" ->
           s"$stmt: ${table.mkString(".")} is not a GDX table")))
+
+  /** Some(path) when the named table resolves to a GDX relation; None
+    * when it resolves to anything else OR does not resolve at all —
+    * both cases belong to Spark's own grammar/analyzer (which produces
+    * the proper native error for a missing table). */
+  private[plans] def tryGdxPathOf(spark: SparkSession,
+                                  table: Seq[String]): Option[String] =
+    try Some(gdxPathOf(spark, table, ""))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Re-dispatch a statement the wrapper intercepted but does not own
+    * (non-GDX target) through the DELEGATE parser — going back through
+    * the session parser would re-enter the wrapper and loop. */
+  private[plans] def runDelegate(spark: SparkSession,
+                                 delegate: ParserInterface,
+                                 sqlText: String): Unit = {
+    org.apache.spark.sql.graft.ColumnBridge
+      .ofRows(spark, delegate.parsePlan(sqlText)).collect()
+    ()
+  }
 }
 
 /** `OPTIMIZE <gdx table> [ZORDER BY (…)]` → one clustering/compaction
@@ -196,29 +213,59 @@ case class GdxHistoryCommand(table: Seq[String])
   * enforce row-level ([[graft.sources.GdxSource.addConstraint]]).
   * Returns (version). */
 case class GdxAddConstraintCommand(table: Seq[String], name: String,
-                                   exprSql: String)
+                                   exprSql: String)(
+    origSql: String, delegate: ParserInterface)
     extends LeafRunnableCommand {
+  // second-param-list fields must ride TreeNode.makeCopy explicitly
+  override protected def otherCopyArgs: Seq[AnyRef] = Seq(origSql, delegate)
   override val output: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
       StructType(Seq(StructField("version", LongType, nullable = false))))
-  override def run(spark: SparkSession): Seq[Row] = {
-    val path = GdxMaintenanceSql.gdxPathOf(spark, table, "ADD CONSTRAINT")
-    Seq(Row(graft.sources.GdxSource
-      .addConstraint(spark, path, name, exprSql).toLong))
-  }
+  override def run(spark: SparkSession): Seq[Row] =
+    GdxMaintenanceSql.tryGdxPathOf(spark, table) match {
+      case Some(path) =>
+        // the manifest stores a ONE-line header, so line breaks in the
+        // expression collapse to spaces. That is safe only OUTSIDE
+        // string literals — rather than silently rewriting a literal's
+        // bytes (changing which values the constraint accepts), a
+        // multi-line expression containing any quote is refused. GDX
+        // arm only: a non-GDX target's expression is delegated verbatim
+        if (exprSql.exists(c => c == '\n' || c == '\r') &&
+            exprSql.exists(c => c == '\'' || c == '"'))
+          throw new org.apache.spark.sql.AnalysisException(
+            "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" ->
+              ("ADD CONSTRAINT: a CHECK expression containing string " +
+                "literals must be written on one line (the manifest " +
+                "header is line-oriented and a line break inside a " +
+                "literal cannot be preserved)")))
+        Seq(Row(graft.sources.GdxSource.addConstraint(spark, path, name,
+          exprSql.replaceAll("[\\r\\n]+", " ")).toLong))
+      case None =>
+        // not a GDX table: Spark 4.1's native grammar owns ANSI
+        // constraint DDL for other providers — re-dispatch untouched
+        GdxMaintenanceSql.runDelegate(spark, delegate, origSql)
+        Seq.empty
+    }
 }
 
 /** `ALTER TABLE <gdx> DROP CONSTRAINT <name>` → one metadata commit.
   * Returns (version). */
-case class GdxDropConstraintCommand(table: Seq[String], name: String)
+case class GdxDropConstraintCommand(table: Seq[String], name: String)(
+    origSql: String, delegate: ParserInterface)
     extends LeafRunnableCommand {
+  // second-param-list fields must ride TreeNode.makeCopy explicitly
+  override protected def otherCopyArgs: Seq[AnyRef] = Seq(origSql, delegate)
   override val output: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
       StructType(Seq(StructField("version", LongType, nullable = false))))
-  override def run(spark: SparkSession): Seq[Row] = {
-    val path = GdxMaintenanceSql.gdxPathOf(spark, table, "DROP CONSTRAINT")
-    Seq(Row(graft.sources.GdxSource.dropConstraint(path, name).toLong))
-  }
+  override def run(spark: SparkSession): Seq[Row] =
+    GdxMaintenanceSql.tryGdxPathOf(spark, table) match {
+      case Some(path) =>
+        Seq(Row(graft.sources.GdxSource.dropConstraint(path, name).toLong))
+      case None =>
+        GdxMaintenanceSql.runDelegate(spark, delegate, origSql)
+        Seq.empty
+    }
 }
 
 /** Delegating parser: the maintenance statements parse here,

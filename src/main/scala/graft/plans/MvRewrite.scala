@@ -275,14 +275,47 @@ object MvRewrite {
     // the new pin must be the version the DELTA actually covers —
     // pinning the live version read after the merge would mark a
     // summary that MISSES a racing commit as fresh and serve wrong
-    // aggregates. Streaming callers with admission control know the
-    // exact covered version and pass it via `asOfVersions`; the
-    // default pre-merge read is correct for the batch contract (the
-    // caller derived the delta from the live table), and a commit
-    // racing past it leaves the pin behind the live version, so the
-    // rule stands down until the next refresh folds that commit.
+    // aggregates. The delta is LAZY (it executes inside the merged
+    // write below), so the safe pin depends on its shape, per base:
+    //  - caller-supplied `asOfVersions` wins (changefeed admission
+    //    control knows the exact covered version — the c16 topology);
+    //  - a delta that reads the base through an explicit `version`
+    //    read option covers exactly that version — pin it;
+    //  - a delta that scans the base LIVE is REFUSED: no pin order is
+    //    safe (a pre-read pin double-folds a commit that races in
+    //    before execution; a post-read pin marks a commit the
+    //    execution missed as covered) — the caller must pin the read
+    //    or pass asOfVersions;
+    //  - a delta that never reads the base pins the PRE-merge live
+    //    version: a racing commit leaves the pin behind, so the rule
+    //    stands down until the next refresh folds that commit —
+    //    conservative, never wrong.
+    val deltaReads: Map[String, Seq[Option[Int]]] =
+      delta.queryExecution.analyzed.collectLeaves().flatMap {
+        case r: DataSourceV2Relation => r.table match {
+          case g: graft.sources.GdxTable =>
+            val pin = Option(r.options.get("version")).map(_.toInt)
+            // an `asOf` timestamp pin is historical-stable but carries
+            // no version number — treated as live (refused) so the
+            // caller states the covered version explicitly
+            Some(g.tablePath ->
+              (if (r.options.containsKey("asOf")) None else pin))
+          case _ => None
+        }
+        case _ => None
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     val pinned = d.baseSnapshots.map { case (p, _) =>
-      p -> asOfVersions.getOrElse(p, currentGdxVersion(p)) }
+      p -> asOfVersions.getOrElse(p, deltaReads.get(p) match {
+        case Some(pins) if pins.contains(None) =>
+          throw new IllegalArgumentException(
+            s"mv refresh: the delta scans gdx base $p LIVE — a commit " +
+              "racing its execution makes any inferred pin wrong " +
+              "(double-fold or missed rows). Read the delta with " +
+              ".option(\"version\", n) or pass asOfVersions")
+        case Some(pins) => pins.flatten.max
+        case None => currentGdxVersion(p)
+      })
+    }
     val ms = d.measureCols.toSeq.sorted
     val xs = d.distinctCols.toSeq.sorted
     val qs = d.quantileCols.toSeq.sorted

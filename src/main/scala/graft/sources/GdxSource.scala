@@ -943,15 +943,62 @@ object GdxSource {
     * no retained snapshot references them — the Delta OPTIMIZE /
     * Iceberg rewrite_data_files contract. Returns (files before,
     * files after); a no-op when already at or under `target`. */
-  def compact(spark: SparkSession, dir: String, target: Int = 1): (Int, Int) = {
-    val conf = driverConf()
-    val before = committedEntries(dir, conf).size
-    if (before <= target) return (before, before)
-    spark.read.format("graft.sources.GdxSource").option("path", dir).load()
-      .coalesce(target)
-      .write.format("graft.sources.GdxSource").option("path", dir)
-      .mode("overwrite").save()
-    (before, committedEntries(dir, conf).size)
+  def compact(spark: SparkSession, dir: String, target: Int = 1): (Int, Int) =
+    rewriteWithCas(dir) { readV =>
+      val conf = driverConf()
+      val before = committedEntries(dir, conf).size
+      if (before <= target) None
+      else Some((before, snapshotReader(spark, dir, readV).coalesce(target)))
+    }
+
+  /** The maintenance-rewrite serializable loop shared by [[compact]] and
+    * [[optimizeZOrder]]: read-rewrite-truncate is NOT commutative — a
+    * commit landing between the snapshot read and the overwrite publish
+    * would be silently dropped from the live table by a blind truncate
+    * (it would survive only in history). So the rewrite pins its READ to
+    * the version it observed, publishes with a CAS
+    * (`expectedBaseVersion`), and on a lost race recomputes against the
+    * advanced snapshot — the same loop [[merge]]/[[delete]] run, and the
+    * conflict check Delta's OPTIMIZE performs. `body` returns None for a
+    * no-op (already at/under target), or (files_before, rewritten frame)
+    * to publish. */
+  private def rewriteWithCas(dir: String, maxRetries: Int = 10)
+      (body: Int => Option[(Int, org.apache.spark.sql.DataFrame)])
+      : (Int, Int) = {
+    def isConflict(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[GdxConcurrentModificationException])
+    var attempt = 0
+    while (true) {
+      val readV = (listVersions(dir, driverConf()) :+ 0).max
+      body(readV) match {
+        case None => return {
+          val n = committedEntries(dir, driverConf()).size; (n, n)
+        }
+        case Some((before, rewritten)) =>
+          try {
+            rewritten.write.format("graft.sources.GdxSource")
+              .option("path", dir)
+              .option("expectedBaseVersion", readV.toString)
+              .mode("overwrite").save()
+            return (before, committedEntries(dir, driverConf()).size)
+          } catch {
+            case t: Throwable if isConflict(t) && attempt < maxRetries =>
+              attempt += 1 // lost the race — recompute on the new snapshot
+          }
+      }
+    }
+    (-1, -1) // unreachable
+  }
+
+  /** Reader pinned at `readV` (the CAS loop's observed snapshot) so the
+    * rewrite job and its CAS guard agree on the exact version — a scan
+    * of the LIVE table could silently include a commit the guard then
+    * fails to detect. */
+  private def snapshotReader(spark: SparkSession, dir: String, readV: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val r = spark.read.format("graft.sources.GdxSource").option("path", dir)
+    (if (readV > 0) r.option("version", readV.toString) else r).load()
   }
 
   /** OPTIMIZE … ZORDER BY for the GDX table: rewrite the current
@@ -972,37 +1019,34 @@ object GdxSource {
     * and the clustering job is one range shuffle of the rewritten
     * slice. Returns (files before, files after). */
   def optimizeZOrder(spark: SparkSession, dir: String, by: Seq[String],
-                     target: Int = 8): (Int, Int) = {
-    import org.apache.spark.sql.functions.col
-    val conf = driverConf()
-    val before = committedEntries(dir, conf).size
-    val df = spark.read.format("graft.sources.GdxSource")
-      .option("path", dir).load()
-    val sch = df.schema
-    require(by.nonEmpty, "gdx zorder: at least one clustering column")
-    by.foreach { c =>
-      require(sch.fieldNames.contains(c), s"gdx zorder: no column $c")
-      require(graft.functions.ZValue.supportedType(sch(c).dataType),
-        s"gdx zorder: $c is not numeric (${sch(c).dataType})")
+                     target: Int = 8): (Int, Int) =
+    rewriteWithCas(dir) { readV =>
+      import org.apache.spark.sql.functions.col
+      val before = committedEntries(dir, driverConf()).size
+      val df = snapshotReader(spark, dir, readV)
+      val sch = df.schema
+      require(by.nonEmpty, "gdx zorder: at least one clustering column")
+      by.foreach { c =>
+        require(sch.fieldNames.contains(c), s"gdx zorder: no column $c")
+        require(graft.functions.ZValue.supportedType(sch(c).dataType),
+          s"gdx zorder: $c is not numeric (${sch(c).dataType})")
+      }
+      // 256 equi-depth buckets per column: file-level clustering only
+      // needs bucket count to comfortably exceed the target file count.
+      // ONE multi-column quantile pass — per-column calls would scan the
+      // table once per clustering dimension
+      val probs = (1 until 256).map(_ / 256.0).toArray
+      val bounds = df.stat.approxQuantile(by.toArray, probs, 0.001)
+      val z = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.ZValue(
+          by.map(c => org.apache.spark.sql.graft.ColumnBridge
+            .expression(df.col(c))),
+          bounds))
+      Some((before,
+        df.withColumn("__z", z)
+          .repartitionByRange(target, col("__z"))
+          .drop("__z")))
     }
-    // 256 equi-depth buckets per column: file-level clustering only
-    // needs bucket count to comfortably exceed the target file count.
-    // ONE multi-column quantile pass — per-column calls would scan the
-    // table once per clustering dimension
-    val probs = (1 until 256).map(_ / 256.0).toArray
-    val bounds = df.stat.approxQuantile(by.toArray, probs, 0.001)
-    val z = org.apache.spark.sql.graft.ColumnBridge.column(
-      graft.functions.ZValue(
-        by.map(c => org.apache.spark.sql.graft.ColumnBridge
-          .expression(df.col(c))),
-        bounds))
-    df.withColumn("__z", z)
-      .repartitionByRange(target, col("__z"))
-      .drop("__z")
-      .write.format("graft.sources.GdxSource").option("path", dir)
-      .mode("overwrite").save()
-    (before, committedEntries(dir, conf).size)
-  }
 
   /** Bloom-sidecar point-lookup pruning: for every pushed
     * `k = x` / `k IN (…)` predicate, drop files whose sidecar proves

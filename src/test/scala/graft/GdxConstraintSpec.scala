@@ -200,6 +200,32 @@ class GdxConstraintSpec extends SparkSuite {
       GdxSource.driverConf()).isEmpty)
   }
 
+  test("ALTER CONSTRAINT on a non-GDX table reaches Spark's own DDL") {
+    // Spark 4.1 ships native ANSI constraint DDL (AddConstraint /
+    // DropConstraint v2 commands) — the wrapper parser intercepts the
+    // statement shape, so a non-GDX target must be re-dispatched to
+    // Spark's grammar at run time, NOT refused with the engine's
+    // "not a GDX table" error (that would break constraint DDL for
+    // every other provider in the session)
+    val s = org.apache.spark.sql.graft.ColumnBridge
+      .sessionWithExtensions(spark, new GraftExtensions())
+    s.sql("DROP TABLE IF EXISTS gdxck_plain")
+    s.sql("CREATE TABLE gdxck_plain (k BIGINT) USING parquet")
+    try {
+      val e = intercept[Exception] {
+        s.sql("ALTER TABLE gdxck_plain ADD CONSTRAINT k_pos CHECK (k > 0)")
+          .collect()
+      }
+      // Spark's own verdict on a v1 parquet table — whatever it is, it
+      // must be SPARK's, not the engine's refusal
+      assert(!e.getMessage.contains("is not a GDX table"), e.getMessage)
+      val e2 = intercept[Exception] {
+        s.sql("ALTER TABLE gdxck_plain DROP CONSTRAINT k_pos").collect()
+      }
+      assert(!e2.getMessage.contains("is not a GDX table"), e2.getMessage)
+    } finally { s.sql("DROP TABLE IF EXISTS gdxck_plain"); () }
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT drive through SQL") {
     val s = org.apache.spark.sql.graft.ColumnBridge
       .sessionWithExtensions(spark, new GraftExtensions())

@@ -77,6 +77,18 @@ class GdxDmlSpec extends SparkSuite {
           WHEN MATCHED THEN UPDATE SET *
           WHEN NOT MATCHED THEN INSERT *"""))
       assert(e3.getMessage.contains("gdx MERGE"))
+      // TARGET self-assignment: `SET v = t.v` means "keep the target's
+      // value" — it matches SET * by NAME but the engine's merge is
+      // source-wins LWW, which would silently overwrite the kept
+      // values. Must be refused, not run as an upsert.
+      val e4 = intercept[AnalysisException](s.sql(
+        """MERGE INTO gdxdml_bad t USING gdxdml_bsrc s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET k = s.k, v = t.v
+          WHEN NOT MATCHED THEN INSERT *"""))
+      assert(e4.getMessage.contains("gdx MERGE"), e4.getMessage)
+      // and the refused statements committed NOTHING
+      assert(s.sql("SELECT k, v FROM gdxdml_bad").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a")))
     } finally s.sql("DROP TABLE IF EXISTS gdxdml_bad")
   }
 

@@ -523,6 +523,41 @@ class MvRewriteSpec extends SparkSuite {
     plans.MvRewrite.clear()
   }
 
+  test("refresh refuses a LIVE-scanning delta and infers a pinned one") {
+    val dir = tmp("gdxlive") + "/t"
+    val fmt = "graft.sources.GdxSource"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("overwrite").save() // v1
+    val base = spark.read.format(fmt).option("path", dir).load()
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("v"), Seq("k"), mvPath)
+    Seq((3L, "a")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("append").save() // v2
+    // a delta that re-scans the LIVE base is lazy: it executes inside
+    // the refresh's write, so no pin read here can be proven to match
+    // what it covers — refused loudly, with the remedies named
+    val e = intercept[IllegalArgumentException] {
+      plans.MvRewrite.refreshIncremental(spark,
+        spark.read.format(fmt).option("path", dir).load()
+          .filter(col("k") === 3L), mvPath)
+    }
+    assert(e.getMessage.contains("LIVE"), e.getMessage)
+    // the same delta read through an explicit version pin covers
+    // exactly that version — accepted, and the pin is inferred from
+    // the read option (no asOfVersions needed)
+    plans.MvRewrite.refreshIncremental(spark,
+      spark.read.format(fmt).option("path", dir).option("version", "2")
+        .load().filter(col("k") === 3L), mvPath)
+    val q = spark.read.format(fmt).option("path", dir).load()
+      .groupBy("v").agg(count(lit(1)).as("n"), sum("k").as("s"))
+    assert(onMv(q, mvPath),
+      s"v2-pinned refresh must re-arm the rewrite: " +
+        s"${q.queryExecution.optimizedPlan}")
+    assert(q.orderBy("v").collect().map(_.toSeq) ===
+      Array(Seq("a", 2L, 4L), Seq("b", 1L, 2L)))
+    plans.MvRewrite.clear()
+  }
+
   test("sketch-covered distinct column rewrites at exact and rollup " +
       "grain") {
     val dir = writeBase()

@@ -213,6 +213,66 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  test("OPTIMIZE publishes under CAS: a racing append is never dropped") {
+    // read-rewrite-truncate without a CAS would silently drop any
+    // commit that lands between the snapshot read and the publish —
+    // the rewrite must pin its read version, publish with
+    // expectedBaseVersion, and recompute on a lost race (the merge()
+    // loop). An appender hammers commits while OPTIMIZE runs
+    // repeatedly; every appended key must survive in the live table.
+    val dir = freshDir("cas") + "/t"
+    (0 until 2000).map(i => (i.toLong, s"r${i % 5}", (i * 7919L) % 1000L))
+      .toDF("k", "v", "s").repartition(8)
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appender = new Thread(() => {
+      try {
+        for (i <- 0 until 10) {
+          Seq((100000L + i, "x", 7L)).toDF("k", "v", "s").coalesce(1)
+            .write.format(fmt).option("path", dir).mode("append").save()
+          Thread.sleep(30)
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    appender.start()
+    try {
+      for (_ <- 0 until 4) {
+        val (_, after) = GdxSource.optimizeZOrder(spark, dir,
+          Seq("k", "s"), target = 4)
+        assert(after >= 1)
+        GdxSource.compact(spark, dir, target = 4)
+      }
+    } finally appender.join(60000)
+    assert(failures.isEmpty, s"appender failed: ${failures.peek}")
+    val live = read(dir)
+    assert(live.filter(col("k") >= 100000L).count() === 10L,
+      "a racing append was dropped by the rewrite publish")
+    assert(live.count() === 2010L)
+  }
+
+  test("VACUUM without RETAIN keeps history (conservative default)") {
+    val s = org.apache.spark.sql.graft.ColumnBridge
+      .sessionWithExtensions(spark, new GraftExtensions())
+    val dir = freshDir("vacdef") + "/t"
+    s.sql(s"""CREATE TABLE zord_vac_t (k BIGINT, v STRING)
+      USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+    try {
+      s.sql("INSERT INTO zord_vac_t VALUES (1, 'a')")
+      s.sql("INSERT INTO zord_vac_t VALUES (2, 'b')")
+      s.sql("INSERT INTO zord_vac_t VALUES (3, 'c')")
+      // a bare VACUUM must NOT destroy all history in one statement:
+      // the default retains 2 versions, so time travel to the
+      // immediately-previous snapshot still works
+      s.sql("VACUUM zord_vac_t").collect()
+      assert(s.sql("DESCRIBE HISTORY zord_vac_t").collect().length === 2)
+      val prev = s.read.format(fmt).option("path", dir)
+        .option("version", "2").load()
+      assert(prev.count() === 2L, "previous snapshot must stay readable")
+      assert(s.sql("SELECT count(*) FROM zord_vac_t").head.getLong(0)
+        === 3L)
+    } finally { s.sql("DROP TABLE IF EXISTS zord_vac_t"); () }
+  }
+
   test("zvalue interleaves bucket bits and clusters nulls at origin") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val bounds = Array(Array(10.0, 20.0, 30.0), Array(100.0, 200.0, 300.0))
