@@ -168,4 +168,29 @@ class SketchSpec extends SparkSuite {
     assert(tiny.agg(kllQuantile(kllSketchAgg(col("x")), 1.0))
       .head.getDouble(0) === 3.0)
   }
+
+  test("kll_* register as SQL functions and feed the MV quantile tier") {
+    // function injection binds at session construction — run on a
+    // sibling session with GraftExtensions active (GdxDmlSpec pattern)
+    val s = org.apache.spark.sql.graft.ColumnBridge
+      .sessionWithExtensions(spark, new GraftExtensions())
+    s.range(1, 10001)
+      .select((org.apache.spark.sql.functions.col("id") % 10).as("g"),
+        org.apache.spark.sql.functions.col("id").cast("double").as("x"))
+      .createOrReplaceTempView("kll_sql_t")
+    try {
+      // decimal literal rank (SQL `0.5`) widens to double in the builder
+      val direct = s.sql(
+        "SELECT kll_quantile(kll_sketch_agg(x), 0.5) FROM kll_sql_t")
+        .head.getDouble(0)
+      val merged = s.sql(
+        """SELECT kll_quantile(kll_merge_agg(sk), 0.5) FROM
+          |(SELECT g, kll_sketch_agg(x, 200) AS sk
+          | FROM kll_sql_t GROUP BY g)""".stripMargin)
+        .head.getDouble(0)
+      val tol = 3 * 0.0165 * 10000
+      assert(math.abs(direct - 5000.0) <= tol, s"direct median $direct")
+      assert(math.abs(merged - 5000.0) <= tol, s"merged median $merged")
+    } finally { s.catalog.dropTempView("kll_sql_t"); () }
+  }
 }
