@@ -1731,6 +1731,71 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // C24 — MATERIALIZED VIEWS THROUGH SQL: the warehouse user's first
+    // touchpoint, driven end-to-end by statements. CREATE MATERIALIZED
+    // VIEW derives the summary definition from the defining SELECT's
+    // shape and materializes the canonical summary; the user's
+    // unchanged GROUP BY against the BASE table rewrites onto it
+    // (`mv_used_fresh`); a commit to the GDX base stands the rule down
+    // rather than serving stale cells (`stale_stood_down`); REFRESH
+    // MATERIALIZED VIEW rides the GDX changefeed — the append-only
+    // delta folds incrementally, O(delta + |MV|), never rescanning the
+    // base (`refresh_incremental`); and the re-pinned summary answers
+    // again (`mv_used_after_refresh`). The verified payload is the
+    // final per-type aggregate over ALL events, which DuckDB recomputes
+    // directly; all four lifecycle claims are pinned TRUE.
+    "c24_mv_sql" -> ((s, d) => {
+      // per-run root + UUID-suffixed catalog names: base table, MV
+      // registration, and temp-view binding are all mutable state two
+      // concurrent runs must never share
+      val root = graft.Scratch.dir("graft_mvsql_")
+      val gdxDir = new java.io.File(root, "table").getPath
+      val mvPath = new java.io.File(root, "mv").getPath
+      val sfx = java.util.UUID.randomUUID.toString.replace("-", "")
+        .take(8)
+      val tbl = s"mvsql_base_$sfx"
+      val mv = s"mvsql_sum_$sfx"
+      val fmt = "graft.sources.GdxSource"
+      val ev = Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+      ev.filter(col("k") % 2 === 0)
+        .write.format(fmt).option("path", gdxDir).mode("overwrite").save()
+      s.sql(s"""CREATE TABLE $tbl (k BIGINT, v STRING)
+        USING graft.sources.GdxSource OPTIONS (path '$gdxDir')""")
+      try {
+        s.sql(s"""CREATE MATERIALIZED VIEW $mv LOCATION '$mvPath'
+          AS SELECT v, count(*) AS n, sum(k) AS sum_k
+             FROM $tbl GROUP BY v""")
+        def user() = s.sql(
+          s"SELECT v, count(*) AS n, sum(k) AS sum_k FROM $tbl GROUP BY v")
+        def rewrites() =
+          graft.plans.MvRewrite.answersWithoutBase(user(), s.table(tbl))
+        val usedFresh = rewrites()
+        // the base advances: serving the un-refreshed summary would be
+        // WRONG — the rule must stand down (and the query stays correct)
+        ev.filter(col("k") % 2 === 1)
+          .write.format(fmt).option("path", gdxDir).mode("append").save()
+        val stoodDown = !rewrites()
+        val mode = s.sql(s"REFRESH MATERIALIZED VIEW $mv")
+          .head.getString(0)
+        val usedAfter = rewrites()
+        // ship a PATH read (outlives the finally-block's DROPs) with
+        // the lifecycle claims as pinned literals
+        s.read.format(fmt).option("path", gdxDir).load()
+          .groupBy("v")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+          .withColumn("mv_used_fresh", lit(usedFresh))
+          .withColumn("stale_stood_down", lit(stoodDown))
+          .withColumn("refresh_incremental", lit(mode == "incremental"))
+          .withColumn("mv_used_after_refresh", lit(usedAfter))
+          .orderBy("v")
+      } finally {
+        s.sql(s"DROP MATERIALIZED VIEW IF EXISTS $mv")
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        ()
+      }
+    }),
+
     // C23 — QUANTILE-SKETCH-BACKED MV: quantiles are the other
     // aggregate family that does NOT decompose through sums — a classic
     // summary cannot answer "median price per flag" at any grain but
@@ -2742,6 +2807,16 @@ object RelationalOps extends QueryModule {
         |WHERE l_partkey >= pm // 10 AND l_partkey < 3 * pm // 10
         |  AND l_suppkey >= sm // 10 AND l_suppkey < 3 * sm // 10
         |ORDER BY k, p, sp""".stripMargin,
+    // the SQL-driven MV lifecycle's verified payload is the final
+    // aggregate over every event, recomputed directly; all four
+    // lifecycle claims (rewrite fresh, stand-down stale, incremental
+    // changefeed refresh, rewrite re-armed) are pinned TRUE
+    "c24_mv_sql" ->
+      """SELECT event_type AS v, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_k,
+        |  TRUE AS mv_used_fresh, TRUE AS stale_stood_down,
+        |  TRUE AS refresh_incremental, TRUE AS mv_used_after_refresh
+        |FROM events GROUP BY 1 ORDER BY v""".stripMargin,
     // the exact quantiles recomputed directly (quantile_cont matches
     // Spark's interpolating percentile); the rank-bound agreement and
     // the plan-shape rewrite claim are pinned TRUE

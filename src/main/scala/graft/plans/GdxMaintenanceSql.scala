@@ -43,6 +43,14 @@ object GdxMaintenanceSql {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private val DropCheck =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+  // materialized views — OSS Spark has no MATERIALIZED keyword, so
+  // these statement shapes are free grammar (plans/MvSql)
+  private val CreateMv =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s*(?:LOCATION\s+'([^']+)'\s*)?AS\s+(.+?)\s*;?\s*$""".r
+  private val RefreshMv =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*$""".r
+  private val DropMv =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*$""".r
 
   /** Some(command) when `sqlText` is one of the engine's maintenance
     * statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY). Plain
@@ -94,6 +102,17 @@ object GdxMaintenanceSql {
           sqlText, delegate))
       case DropCheck(tbl, name) =>
         Some(GdxDropConstraintCommand(ident(tbl), name)(sqlText, delegate))
+      case _ => None
+    } else if (k1 == "CREATE" && k2 == "MATERIALIZED") sqlText match {
+      case CreateMv(name, loc, select) =>
+        Some(CreateMvCommand(name, Option(loc), select))
+      case _ => None
+    } else if (k1 == "REFRESH" && k2 == "MATERIALIZED") sqlText match {
+      case RefreshMv(name) => Some(RefreshMvCommand(name))
+      case _ => None
+    } else if (k1 == "DROP" && k2 == "MATERIALIZED") sqlText match {
+      case DropMv(ifExists, name) =>
+        Some(DropMvCommand(name, ifExists != null))
       case _ => None
     } else None
   }

@@ -141,7 +141,18 @@ object MvRewrite {
   private[plans] def dimKey(identity: Set[String]): Option[Set[String]] =
     Option(dimKeys.get(identity))
 
-  private[graft] def clear(): Unit = { registry.clear(); dimKeys.clear() }
+  private[graft] def clear(): Unit = {
+    registry.clear(); dimKeys.clear(); MvSql.clearNames()
+  }
+
+  private[plans] def defFor(path: String): Option[MvDef] =
+    Option(registry.get(path))
+
+  /** Drop a registration (DROP MATERIALIZED VIEW): the rewrite stands
+    * down immediately; in-flight plans keep their generation's files. */
+  private[plans] def unregister(path: String): Unit = {
+    registry.remove(path); ()
+  }
 
   /** Ensure the rewrite rule runs on `spark` even when the session was
     * not built with GraftExtensions (foreign driver sessions):
