@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (plans/GdxMaintenanceSql) — a delegating parser, invisible to
     // every other statement
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    // SQL time travel (FOR VERSION/TIMESTAMP AS OF) for GDX tables —
+    // resolves the parser's placeholders to version-pinned relations
+    // (plans/GdxTimeTravel); non-GDX targets keep native behavior
+    e.injectResolutionRule(s => new graft.plans.GdxTimeTravelRule(s))
     e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),

@@ -1731,6 +1731,109 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // C26 — AUTO-HEALING MV (opt-in `spark.graft.mv.autoHeal`): when
+    // the GDX base advances by append-only commits, the FIRST query
+    // that matches the stale summary refreshes it in place from the
+    // changefeed (O(delta + |MV|)) and rewrites — no manual REFRESH,
+    // no going dark. The conf is pinned on a PRIVATE session clone
+    // (Sessions.pinned — the engine's concurrency contract), so the
+    // shared session keeps the default stand-down behavior other
+    // queries' claims pin. `healed_rewrites` pins that the very first
+    // post-commit query answered without the base; `one_refresh` pins
+    // that the heal published exactly ONE new generation (a changefeed
+    // fold, not a rebuild loop). The payload aggregates ALL events,
+    // which DuckDB recomputes.
+    "c26_mv_auto_heal" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_mvheal_")
+      val gdxDir = new java.io.File(root, "table").getPath
+      val mvPath = new java.io.File(root, "mv").getPath
+      val fmt = "graft.sources.GdxSource"
+      val sc = graft.Sessions.pinned(s,
+        graft.plans.MvRewrite.AutoHealKey -> "true")
+      val ev = Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+      ev.filter(col("k") % 2 === 0)
+        .write.format(fmt).option("path", gdxDir).mode("overwrite").save()
+      val base = sc.read.format(fmt).option("path", gdxDir).load()
+      graft.plans.MvRewrite.materialize(sc, base,
+        Seq("v"), Seq("k"), mvPath)
+      ev.filter(col("k") % 2 === 1)
+        .write.format(fmt).option("path", gdxDir).mode("append").save()
+      val q = sc.read.format(fmt).option("path", gdxDir).load()
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      // composing the claim forces optimization → the heal runs HERE
+      val healedRewrites =
+        graft.plans.MvRewrite.answersWithoutBase(q, base)
+      val oneRefresh = graft.pipeline.TableSwap.committedVersions(mvPath,
+        sc.sessionState.newHadoopConf()).max == 2
+      q.withColumn("healed_rewrites", lit(healedRewrites))
+        .withColumn("one_refresh", lit(oneRefresh))
+        .orderBy("v")
+    }),
+
+    // S28 — SQL TIME TRAVEL on the GDX format: Spark's `VERSION AS OF`
+    // / `TIMESTAMP AS OF` relation syntax routed to the format's
+    // snapshot pinning (the session catalog unconditionally fails time
+    // travel, so the engine resolves it — plans/GdxTimeTravel). The
+    // events keyset lands as two commits (even keys, then odd); the
+    // shipped payload is `VERSION AS OF 1` read through plain SQL —
+    // exactly the even-key half, which DuckDB recomputes.
+    // `sql_eq_option` pins hash-equivalence with the option("version")
+    // read path; `ts_eq_version` pins that a TIMESTAMP AS OF between
+    // the two commits reads the same snapshot; `tt_not_rewritten` pins
+    // that a registered summary of the CURRENT snapshot never answers
+    // the historical aggregate.
+    "s28_gdx_sql_time_travel" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_gdxttsql_")
+      val gdxDir = new java.io.File(root, "table").getPath
+      val mvPath = new java.io.File(root, "mv").getPath
+      val sfx = java.util.UUID.randomUUID.toString.replace("-", "")
+        .take(8)
+      val tbl = s"gdxtt_base_$sfx"
+      val fmt = "graft.sources.GdxSource"
+      val ev = Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+      ev.filter(col("k") % 2 === 0)
+        .write.format(fmt).option("path", gdxDir).mode("overwrite").save()
+      val t1 = System.currentTimeMillis
+      Thread.sleep(60) // manifest mtimes straddle t1 unambiguously
+      ev.filter(col("k") % 2 === 1)
+        .write.format(fmt).option("path", gdxDir).mode("append").save()
+      s.sql(s"""CREATE TABLE $tbl (k BIGINT, v STRING)
+        USING graft.sources.GdxSource OPTIONS (path '$gdxDir')""")
+      try {
+        val v1Sql = s.sql(s"SELECT k, v FROM $tbl VERSION AS OF 1")
+        val v1Opt = s.read.format(fmt).option("path", gdxDir)
+          .option("version", "1").load().select("k", "v")
+        val sqlEqOption = v1Sql.exceptAll(v1Opt).isEmpty &&
+          v1Opt.exceptAll(v1Sql).isEmpty
+        val tsSql = s.sql(s"SELECT k, v FROM $tbl TIMESTAMP AS OF $t1")
+        val tsEqVersion = tsSql.exceptAll(v1Opt).isEmpty &&
+          v1Opt.exceptAll(tsSql).isEmpty
+        // a summary of the CURRENT snapshot must never answer history
+        graft.plans.MvRewrite.materialize(s,
+          s.read.format(fmt).option("path", gdxDir).load(),
+          Seq("v"), Seq("k"), mvPath)
+        val hist = s.sql(
+          s"SELECT v, count(*) AS n FROM $tbl VERSION AS OF 1 GROUP BY v")
+        val ttNotRewritten = !hist.queryExecution.optimizedPlan
+          .collectLeaves()
+          .flatMap(graft.plans.MvRewrite.relationIdentity)
+          .exists(_.contains(new java.io.File(mvPath).getAbsolutePath))
+        // ship the SQL time-travel read itself (path-independent of the
+        // finally-block's DROP), claims pinned
+        s.sql(s"SELECT k, v FROM $tbl VERSION AS OF 1")
+          .withColumn("sql_eq_option", lit(sqlEqOption))
+          .withColumn("ts_eq_version", lit(tsEqVersion))
+          .withColumn("tt_not_rewritten", lit(ttNotRewritten))
+          .orderBy("k")
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        ()
+      }
+    }),
+
     // C24 — MATERIALIZED VIEWS THROUGH SQL: the warehouse user's first
     // touchpoint, driven end-to-end by statements. CREATE MATERIALIZED
     // VIEW derives the summary definition from the defining SELECT's
@@ -2807,6 +2910,20 @@ object RelationalOps extends QueryModule {
         |WHERE l_partkey >= pm // 10 AND l_partkey < 3 * pm // 10
         |  AND l_suppkey >= sm // 10 AND l_suppkey < 3 * sm // 10
         |ORDER BY k, p, sp""".stripMargin,
+    // the auto-healed summary's payload recomputed over every event;
+    // the first-query-rewrites and one-generation claims pinned TRUE
+    "c26_mv_auto_heal" ->
+      """SELECT event_type AS v, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_k,
+        |  TRUE AS healed_rewrites, TRUE AS one_refresh
+        |FROM events GROUP BY 1 ORDER BY v""".stripMargin,
+    // the version-1 snapshot recomputed directly (the even-key half);
+    // the three equivalence/plan claims are pinned TRUE
+    "s28_gdx_sql_time_travel" ->
+      """SELECT event_id AS k, event_type AS v,
+        |  TRUE AS sql_eq_option, TRUE AS ts_eq_version,
+        |  TRUE AS tt_not_rewritten
+        |FROM events WHERE event_id % 2 = 0 ORDER BY k""".stripMargin,
     // the SQL-driven MV lifecycle's verified payload is the final
     // aggregate over every event, recomputed directly; all four
     // lifecycle claims (rewrite fresh, stand-down stale, incremental

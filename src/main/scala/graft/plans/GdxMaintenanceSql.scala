@@ -293,7 +293,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan =
     GdxMaintenanceSql.parseMaintenance(sqlText, delegate)
-      .getOrElse(delegate.parsePlan(sqlText))
+      // VERSION/TIMESTAMP AS OF nodes swap for placeholders here so the
+      // session catalog's unconditional failTimeTravel never fires;
+      // GdxTimeTravelRule resolves them (plans/GdxTimeTravel.scala)
+      .getOrElse(GdxTimeTravel.stash(delegate.parsePlan(sqlText)))
   @throws[ParseException]
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)

@@ -87,12 +87,13 @@ object MvRewrite {
     * still read intact files. */
   val KeepGenerations = 3
 
-  /** One registered summary: base-table identity (file root paths),
-    * pinned GDX base snapshots (empty for file-source bases), grouping
-    * set, covered measures, sketch-covered distinct columns, the live
-    * generation's directory, and its analyzed scan plan with column
-    * attributes. */
-  case class MvDef(basePaths: Set[String], baseSnapshots: Map[String, Int],
+  /** One registered summary: the logical MV root it is registered
+    * under, base-table identity (file root paths), pinned GDX base
+    * snapshots (empty for file-source bases), grouping set, covered
+    * measures, sketch-covered distinct columns, the live generation's
+    * directory, and its analyzed scan plan with column attributes. */
+  case class MvDef(root: String, basePaths: Set[String],
+                   baseSnapshots: Map[String, Int],
                    groupCols: Seq[String], measureCols: Set[String],
                    distinctCols: Set[String], quantileCols: Set[String],
                    genDir: String, mvPlan: LogicalPlan,
@@ -219,7 +220,7 @@ object MvRewrite {
     graft.pipeline.TableSwap.commitVersion(path, v, conf)
     val mv = spark.read.parquet(genDir)
     val mvPlan = mv.queryExecution.analyzed
-    val newDef = MvDef(basePaths, baseSnapshots, groupCols,
+    val newDef = MvDef(path, basePaths, baseSnapshots, groupCols,
       measureCols, distinctCols, quantileCols, genDir, mvPlan,
       mvPlan.output.map(a => a.name -> a).toMap)
     registry.synchronized {
@@ -309,14 +310,17 @@ object MvRewrite {
             // an `asOf` timestamp pin is historical-stable but carries
             // no version number — treated as live (refused) so the
             // caller states the covered version explicitly
-            Some(g.tablePath ->
+            Some(canonicalGdxPath(g.tablePath) ->
               (if (r.options.containsKey("asOf")) None else pin))
           case _ => None
         }
         case _ => None
       }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // caller keys canonicalize too: asOfVersions(raw path) must hit the
+    // canonical baseSnapshots key (c16 passes the raw directory)
+    val asOf = asOfVersions.map { case (k, v) => canonicalGdxPath(k) -> v }
     val pinned = d.baseSnapshots.map { case (p, _) =>
-      p -> asOfVersions.getOrElse(p, deltaReads.get(p) match {
+      p -> asOf.getOrElse(p, deltaReads.get(p) match {
         case Some(pins) if pins.contains(None) =>
           throw new IllegalArgumentException(
             s"mv refresh: the delta scans gdx base $p LIVE — a commit " +
@@ -353,24 +357,42 @@ object MvRewrite {
       pinned, d.groupCols, d.measureCols, d.distinctCols, d.quantileCols)
   }
 
+  /** Scheme-qualified form of a GDX directory: the catalog stores its
+    * OPTIONS path qualified (`file:/tmp/x`) while path reads pass the
+    * raw string (`/tmp/x`) — identity and snapshot-pin keys must agree
+    * regardless of which door opened the table. */
+  private[graft] def canonicalGdxPath(p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(graft.sources.GdxSource.driverConf())
+      .makeQualified(hp).toString
+  }
+
   /** Identity of a relation for base-table matching: file-source root
-    * paths (v1), or the table name for DSv2 relations — GDX tables
-    * embed their directory in `name()`, so a GDX base is matched the
-    * same way a parquet one is. A DSv2 relation pinned to a historical
-    * snapshot (`version`/`asOf` read options) gets NO identity: a
-    * time-travel aggregate must never be answered from the summary of
-    * the CURRENT snapshot. Empty for anything else (never matches). */
+    * paths (v1), or the table name for DSv2 relations — GDX tables are
+    * identified by their (canonicalized) directory, so a catalog read
+    * and a path read of the same table match the same summaries. A
+    * DSv2 relation pinned to a historical snapshot (`version`/`asOf`
+    * read options) gets NO identity: a time-travel aggregate must
+    * never be answered from the summary of the CURRENT snapshot.
+    * Empty for anything else (never matches). */
   private[graft] def relationIdentity(plan: LogicalPlan): Set[String] =
     plan match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths.map(_.toString).toSet
       case r: DataSourceV2Relation =>
-        if (timeTravelPinned(r.options)) Set.empty else Set(r.table.name)
+        if (timeTravelPinned(r.options)) Set.empty else Set(tableId(r.table))
       case s: DataSourceV2ScanRelation =>
         if (timeTravelPinned(s.relation.options)) Set.empty
-        else Set(s.relation.table.name)
+        else Set(tableId(s.relation.table))
       case _ => Set.empty
     }
+
+  private def tableId(t: org.apache.spark.sql.connector.catalog.Table)
+      : String = t match {
+    case g: graft.sources.GdxTable =>
+      s"gdx(${canonicalGdxPath(g.tablePath)})"
+    case other => other.name
+  }
 
   private def timeTravelPinned(o: CaseInsensitiveStringMap): Boolean =
     o != null && (o.containsKey("version") || o.containsKey("asOf"))
@@ -395,13 +417,15 @@ object MvRewrite {
 
   /** GDX leaves of a base plan, pinned at their CURRENT snapshot
     * version — the staleness token [[MvRewriteRule]] re-checks before
-    * every rewrite. */
+    * every rewrite. Keys are canonicalized directories so catalog- and
+    * path-opened bases pin the same entry. */
   private def gdxSnapshots(plan: LogicalPlan): Map[String, Int] =
     plan.collectLeaves().flatMap {
       case r: DataSourceV2Relation => gdxPathOf(r.table)
       case s: DataSourceV2ScanRelation => gdxPathOf(s.relation.table)
       case _ => None
-    }.map(p => p -> currentGdxVersion(p)).toMap
+    }.map(p => canonicalGdxPath(p) ->
+      currentGdxVersion(p)).toMap
 
   private def gdxPathOf(t: org.apache.spark.sql.connector.catalog.Table)
       : Option[String] = t match {
@@ -418,6 +442,64 @@ object MvRewrite {
     * and the rule must stand down until a refresh re-pins it. */
   private[plans] def isFresh(d: MvDef): Boolean =
     d.baseSnapshots.forall { case (p, v) => currentGdxVersion(p) == v }
+
+  /** Opt-in AUTO-HEAL (`spark.graft.mv.autoHeal=true`): instead of
+    * standing down until a manual refresh, a STALE summary whose GDX
+    * base advanced by APPEND-ONLY commits is refreshed in place from
+    * the changefeed — O(delta + |MV|) inside the first query that
+    * needs it, after which that query and every later one rewrite.
+    * Default OFF: the stand-down contract (queries silently revert to
+    * the base) is the safe default, and several shipped claims pin it.
+    * Deletes/updates in the window, or multi-base summaries, never
+    * heal here — a rebuild is a full base scan, far too heavy to hide
+    * inside query planning. */
+  val AutoHealKey = "spark.graft.mv.autoHeal"
+
+  private def autoHealEnabled: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(AutoHealKey, "false").toBoolean
+    catch { case _: Exception => false }
+
+  /** Re-entrancy guard: the heal itself runs jobs (changefeed scan,
+    * summary merge) whose planning re-enters this rule. */
+  private val healing = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  private val healLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Some(liveDef) when the stale summary was (or raced to be) healed;
+    * None when healing is off, not applicable, or not valid. */
+  private[plans] def tryAutoHeal(stale: MvDef): Option[MvDef] = {
+    if (!autoHealEnabled || healing.get()) return None
+    if (stale.baseSnapshots.isEmpty) return None
+    val spark = SparkSession.active
+    healing.set(true)
+    try {
+      val lock = healLocks.computeIfAbsent(stale.root, _ => new Object)
+      lock.synchronized {
+        // re-check under the lock: a concurrent query may have healed
+        val d = Option(registry.get(stale.root)).getOrElse(return None)
+        if (isFresh(d)) return Some(d)
+        d.baseSnapshots.toSeq match {
+          case Seq((dir, pinned)) =>
+            val curV = currentGdxVersion(dir)
+            if (curV <= pinned) return None
+            val changes = graft.sources.GdxSource
+              .tableChanges(spark, dir, pinned, curV)
+            val insertOnly = changes.filter(
+              col("change_type") =!= "insert").isEmpty
+            if (!insertOnly) return None
+            refreshIncremental(spark,
+              changes.drop("version", "change_type"), d.root,
+              asOfVersions = Map(dir -> curV))
+            Option(registry.get(stale.root))
+          case _ => None
+        }
+      }
+    } finally healing.set(false)
+  }
 
   private[plans] def defs: Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
@@ -482,12 +564,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     // that costs a filesystem listing per pinned GDX base, and the
     // optimizer may run this rule several times per query — a shape
     // the algebra cannot rewrite must exit on the free plan-only
-    // checks above
-    if (!MvRewrite.isFresh(d)) return None
+    // checks above. With auto-heal opted in, a stale summary is
+    // refreshed from the changefeed here and the HEALED definition
+    // (new generation, new attributes) carries the rewrite.
+    val live =
+      if (MvRewrite.isFresh(d)) d
+      else MvRewrite.tryAutoHeal(d).getOrElse(return None)
 
     // per output expression, the MV-side replacement (exact grain) or
     // compensating aggregate (rollup grain)
-    def mv(c: String): Attribute = d.mvAttr(c)
+    def mv(c: String): Attribute = live.mvAttr(c)
     def aggExpr(f: org.apache.spark.sql.catalyst.expressions.aggregate
         .AggregateFunction): Expression =
       AggregateExpression(f, Complete, isDistinct = false)
@@ -611,8 +697,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case Some(c) =>
         org.apache.spark.sql.catalyst.plans.logical.Filter(
           c.transform { case a: AttributeReference => mv(a.name) },
-          d.mvPlan)
-      case None => d.mvPlan
+          live.mvPlan)
+      case None => live.mvPlan
     }
     if (exact) Some(Project(rewritten, child))
     else Some(Aggregate(groupNames.map(mv), rewritten, child))
@@ -710,10 +796,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       stripDim(dimChild))).getOrElse(return None)
     if (pairs.map(_._2.name).toSet != declared) return None
     // staleness LAST among the guards (filesystem cost — see
-    // tryRewrite)
-    if (!MvRewrite.isFresh(d)) return None
+    // tryRewrite); auto-heal as in tryRewrite when opted in
+    val live =
+      if (MvRewrite.isFresh(d)) d
+      else MvRewrite.tryAutoHeal(d).getOrElse(return None)
 
-    def mv(c: String): Attribute = d.mvAttr(c)
+    def mv(c: String): Attribute = live.mvAttr(c)
     def aggExpr(f: org.apache.spark.sql.catalyst.expressions.aggregate
         .AggregateFunction): Expression =
       AggregateExpression(f, Complete, isDistinct = false)
@@ -799,7 +887,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
     // grain-commuting fact filters re-anchor onto the summary and stack
     // above its scan — same cells survive as base-side
-    val factRepl: LogicalPlan = factConds.foldLeft(d.mvPlan) { (pl, c) =>
+    val factRepl: LogicalPlan = factConds.foldLeft(live.mvPlan) { (pl, c) =>
       org.apache.spark.sql.catalyst.plans.logical.Filter(
         c.transform {
           case a: AttributeReference if factOut.contains(a) => mv(a.name)

@@ -523,6 +523,57 @@ class MvRewriteSpec extends SparkSuite {
     plans.MvRewrite.clear()
   }
 
+  test("opt-in auto-heal: a base commit refreshes the summary inside " +
+      "the next query; delete-bearing windows still stand down") {
+    val dir = tmp("gdxheal") + "/t"
+    val fmt = "graft.sources.GdxSource"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("overwrite").save() // v1
+    val base = spark.read.format(fmt).option("path", dir).load()
+    val mvPath = tmp("mv")
+    plans.MvRewrite.materialize(spark, base, Seq("v"), Seq("k"), mvPath)
+    Seq((3L, "b")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("append").save() // v2
+    def q() = spark.read.format(fmt).option("path", dir).load()
+      .groupBy("v").agg(count(lit(1)).as("n"), sum("k").as("s"))
+    def usesMv(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .flatMap(plans.MvRewrite.relationIdentity)
+        .forall(_.contains(mvPath))
+    // default OFF: the stand-down contract holds
+    assert(!usesMv(q()), "stale summary must stand down by default")
+    spark.conf.set(plans.MvRewrite.AutoHealKey, "true")
+    try {
+      // the FIRST query heals (one incremental changefeed fold) and
+      // rewrites — no manual refresh
+      val healed = q()
+      assert(usesMv(healed),
+        s"auto-heal must re-arm the rewrite: " +
+          s"${healed.queryExecution.optimizedPlan}")
+      assert(healed.orderBy("v").collect().map(_.toSeq) ===
+        Array(Seq("a", 1L, 1L), Seq("b", 2L, 5L)))
+      // exactly one new generation: a refresh, not a rebuild loop
+      val gens = graft.pipeline.TableSwap.committedVersions(mvPath,
+        spark.sessionState.newHadoopConf())
+      assert(gens.max === 2, s"one heal → generation 2, got $gens")
+      // a DELETE-bearing window must NOT heal (the incremental algebra
+      // is append-only): the rule stands down, the query reads the base
+      graft.sources.GdxSource.delete(spark, dir,
+        org.apache.spark.sql.functions.col("k") === 1L)
+      val afterDelete = q()
+      assert(!usesMv(afterDelete),
+        "delete-bearing staleness must stand down, not heal")
+      assert(afterDelete.orderBy("v").collect().map(_.toSeq) ===
+        Array(Seq("b", 2L, 5L)))
+      // and no generation was published by the refused heal
+      assert(graft.pipeline.TableSwap.committedVersions(mvPath,
+        spark.sessionState.newHadoopConf()).max === 2)
+    } finally {
+      spark.conf.unset(plans.MvRewrite.AutoHealKey)
+      plans.MvRewrite.clear()
+    }
+  }
+
   test("refresh refuses a LIVE-scanning delta and infers a pinned one") {
     val dir = tmp("gdxlive") + "/t"
     val fmt = "graft.sources.GdxSource"
