@@ -1731,6 +1731,62 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // C25 — COLUMN MAPPING on the GDX format (the Delta column-mapping
+    // / Iceberg field-id contract): RENAME and DROP COLUMN are
+    // METADATA-ONLY commits via the `#colmap` manifest header —
+    // `rename_metadata_only` pins that not one data file changed under
+    // the rename; `era_names_ok` pins that time travel to a pre-rename
+    // snapshot reads the OLD name with the same values (every manifest
+    // carries its era's schema+mapping); `no_slot_leak` pins that a
+    // column added after a drop claims a FRESH physical slot, so the
+    // dropped column's bytes in existing files can never resurface.
+    // The verified payload is the final table under the post-evolution
+    // schema, which DuckDB recomputes.
+    "c25_gdx_column_mapping" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxcm_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      val ev = Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+      ev.filter(col("k") % 2 === 0)
+        .write.format(fmt).option("path", dir).mode("overwrite").save() // v1
+      gdx.addColumn(dir, "w", org.apache.spark.sql.types.LongType) // v2
+      Tables.events(s, d).filter(col("event_id") % 2 === 1)
+        .select(col("event_id").as("k"), col("event_type").as("v"),
+          (col("event_id") * 2).as("w"))
+        .write.format(fmt).option("path", dir).mode("append").save() // v3
+      val wSum = s.read.format(fmt).option("path", dir).load()
+        .agg(sum("w")).head.getLong(0)
+      def dataFiles() = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".gdx"))
+        .map(f => (f.getName, f.length)).toSet
+      val before = dataFiles()
+      gdx.renameColumn(s, dir, "w", "weight") // v4
+      val renameMetadataOnly = dataFiles() == before &&
+        s.read.format(fmt).option("path", dir).load()
+          .agg(sum("weight")).head.getLong(0) == wSum
+      // pre-rename snapshots keep their era's NAME and values
+      val v3 = s.read.format(fmt).option("path", dir)
+        .option("version", "3").load()
+      val eraNamesOk =
+        v3.schema.fieldNames.toSeq == Seq("k", "v", "w") &&
+          v3.agg(sum("w")).head.getLong(0) == wSum
+      gdx.dropColumn(s, dir, "weight") // v5
+      gdx.addColumn(dir, "w2", org.apache.spark.sql.types.LongType) // v6
+      // the dropped column's physical slot must NOT leak into w2
+      val noSlotLeak = s.read.format(fmt).option("path", dir).load()
+        .filter(col("w2").isNotNull).count() == 0L
+      import s.implicits._
+      Seq((100000000L, "m", 7L)).toDF("k", "v", "w2").coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save() // v7
+      s.read.format(fmt).option("path", dir).load()
+        .select(col("k"), col("v"), col("w2"))
+        .withColumn("rename_metadata_only", lit(renameMetadataOnly))
+        .withColumn("era_names_ok", lit(eraNamesOk))
+        .withColumn("no_slot_leak", lit(noSlotLeak))
+        .orderBy("k")
+    }),
+
     // C26 — AUTO-HEALING MV (opt-in `spark.graft.mv.autoHeal`): when
     // the GDX base advances by append-only commits, the FIRST query
     // that matches the stale summary refreshes it in place from the
@@ -2910,6 +2966,18 @@ object RelationalOps extends QueryModule {
         |WHERE l_partkey >= pm // 10 AND l_partkey < 3 * pm // 10
         |  AND l_suppkey >= sm // 10 AND l_suppkey < 3 * sm // 10
         |ORDER BY k, p, sp""".stripMargin,
+    // the post-evolution table recomputed directly: every event with
+    // the (dropped-then-readded-era) w2 null, plus the marker row; the
+    // three mapping claims are pinned TRUE
+    "c25_gdx_column_mapping" ->
+      """SELECT event_id AS k, event_type AS v,
+        |  CAST(NULL AS BIGINT) AS w2,
+        |  TRUE AS rename_metadata_only, TRUE AS era_names_ok,
+        |  TRUE AS no_slot_leak
+        |FROM events
+        |UNION ALL
+        |SELECT 100000000, 'm', 7, TRUE, TRUE, TRUE
+        |ORDER BY k""".stripMargin,
     // the auto-healed summary's payload recomputed over every event;
     // the first-query-rewrites and one-generation claims pinned TRUE
     "c26_mv_auto_heal" ->

@@ -43,6 +43,10 @@ object GdxMaintenanceSql {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private val DropCheck =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+  private val RenameCol =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
+  private val DropCol =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
   // materialized views — OSS Spark has no MATERIALIZED keyword, so
   // these statement shapes are free grammar (plans/MvSql)
   private val CreateMv =
@@ -102,6 +106,14 @@ object GdxMaintenanceSql {
           sqlText, delegate))
       case DropCheck(tbl, name) =>
         Some(GdxDropConstraintCommand(ident(tbl), name)(sqlText, delegate))
+      // column mapping: RENAME/DROP COLUMN are metadata-only commits
+      // on GDX tables; non-GDX targets re-dispatch to Spark's native
+      // ALTER grammar at run time (same pattern as the constraints)
+      case RenameCol(tbl, from, to) =>
+        Some(GdxRenameColumnCommand(ident(tbl), from, to)(
+          sqlText, delegate))
+      case DropCol(tbl, colName) =>
+        Some(GdxDropColumnCommand(ident(tbl), colName)(sqlText, delegate))
       case _ => None
     } else if (k1 == "CREATE" && k2 == "MATERIALIZED") sqlText match {
       case CreateMv(name, loc, select) =>
@@ -140,6 +152,34 @@ object GdxMaintenanceSql {
                                   table: Seq[String]): Option[String] =
     try Some(gdxPathOf(spark, table, ""))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** After a GDX schema change, sync the CATALOG entry's stored schema
+    * to the manifest's current logical schema — the catalog is a cache
+    * of the manifest truth here, and a stale cached schema would make
+    * the next catalog load fail the schema/mapping arity check.
+    * Best-effort: a path-registered or foreign-catalog table has no
+    * entry to sync (reads via path always resolve manifest-first). */
+  private[plans] def syncCatalogSchema(spark: SparkSession,
+                                       table: Seq[String],
+                                       path: String): Unit =
+    try {
+      val ident = table match {
+        case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+        case Seq(db, t) =>
+          org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+        case Seq(cat, db, t) => org.apache.spark.sql.catalyst
+          .TableIdentifier(t, Some(db), Some(cat))
+        case _ => return
+      }
+      val cat = spark.sessionState.catalog
+      val meta = cat.getTableMetadata(ident)
+      val fresh = graft.sources.GdxSource.committedSchema(path,
+        graft.sources.GdxSource.driverConf())
+      // alterTable (not alterTableDataSchema) — the latter refuses
+      // column removal, which is exactly what a DROP COLUMN sync needs
+      cat.alterTable(meta.copy(schema = fresh))
+      cat.refreshTable(ident) // drop the cached relation
+    } catch { case _: Exception => () }
 
   /** Re-dispatch a statement the wrapper intercepted but does not own
     * (non-GDX target) through the DELEGATE parser — going back through
@@ -281,6 +321,52 @@ case class GdxDropConstraintCommand(table: Seq[String], name: String)(
     GdxMaintenanceSql.tryGdxPathOf(spark, table) match {
       case Some(path) =>
         Seq(Row(graft.sources.GdxSource.dropConstraint(path, name).toLong))
+      case None =>
+        GdxMaintenanceSql.runDelegate(spark, delegate, origSql)
+        Seq.empty
+    }
+}
+
+/** `ALTER TABLE <gdx> RENAME COLUMN a TO b` → one metadata commit
+  * ([[graft.sources.GdxSource.renameColumn]]); the catalog entry's
+  * stored schema is synced so future catalog loads present the new
+  * name. Returns (version). */
+case class GdxRenameColumnCommand(table: Seq[String], from: String,
+                                  to: String)(
+    origSql: String, delegate: ParserInterface)
+    extends LeafRunnableCommand {
+  override protected def otherCopyArgs: Seq[AnyRef] = Seq(origSql, delegate)
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(StructField("version", LongType, nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    GdxMaintenanceSql.tryGdxPathOf(spark, table) match {
+      case Some(path) =>
+        val v = graft.sources.GdxSource.renameColumn(spark, path, from, to)
+        GdxMaintenanceSql.syncCatalogSchema(spark, table, path)
+        Seq(Row(v.toLong))
+      case None =>
+        GdxMaintenanceSql.runDelegate(spark, delegate, origSql)
+        Seq.empty
+    }
+}
+
+/** `ALTER TABLE <gdx> DROP COLUMN a` → one metadata commit
+  * ([[graft.sources.GdxSource.dropColumn]]); catalog schema synced.
+  * Returns (version). */
+case class GdxDropColumnCommand(table: Seq[String], colName: String)(
+    origSql: String, delegate: ParserInterface)
+    extends LeafRunnableCommand {
+  override protected def otherCopyArgs: Seq[AnyRef] = Seq(origSql, delegate)
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(StructField("version", LongType, nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    GdxMaintenanceSql.tryGdxPathOf(spark, table) match {
+      case Some(path) =>
+        val v = graft.sources.GdxSource.dropColumn(spark, path, colName)
+        GdxMaintenanceSql.syncCatalogSchema(spark, table, path)
+        Seq(Row(v.toLong))
       case None =>
         GdxMaintenanceSql.runDelegate(spark, delegate, origSql)
         Seq.empty

@@ -358,6 +358,70 @@ object GdxSource {
     * time travel see the constraints of their era. */
   private val ConstraintHeader = "#check "
 
+  /** COLUMN MAPPING (`#colmap 0,1,3`): physical line slot of each
+    * `#schema` field, in field order — the logical→physical
+    * indirection that makes RENAME COLUMN (names live only in
+    * `#schema`) and DROP COLUMN (the field and its slot leave the
+    * mapping; the slot's bytes stay in existing files and new writes
+    * null-fill it) METADATA-ONLY commits, the Delta column-mapping /
+    * Iceberg field-id contract reduced to the line format. Absent =
+    * identity (slot i = field i) — full back-compat, and what every
+    * truncate resets to (a rewrite materializes the logical layout,
+    * physically dropping dead slots). Carried by EVERY manifest like
+    * `#schema`/`#check`, so time travel, RESTORE, and clones see the
+    * names and slots of their era. */
+  private val ColmapHeader = "#colmap "
+
+  /** A snapshot's column mapping: `slots(i)` = physical line slot of
+    * logical field i; `arity` = total physical slots ever written
+    * (dead DROPPED slots included — [[addColumn]] allocates from here,
+    * so a dropped column's slot is never reused and old files can
+    * never leak a dead column's bytes into a new one). */
+  private[graft] case class Colmap(slots: Seq[Int], arity: Int)
+
+  /** Physical slot per logical field: identity when unmapped. */
+  private[graft] def slotsOf(schema: StructType,
+                             colmap: Option[Colmap]): Seq[Int] =
+    colmap.map(_.slots).getOrElse(schema.indices)
+
+  /** Write-side inverse of the mapping: physical slot → logical field
+    * index (-1 = dead/dropped slot, written as the NULL marker so the
+    * line keeps its full physical arity and every era's reader parses
+    * every era's file). Identity when unmapped. */
+  private[graft] def writeLayout(schema: StructType,
+                                 colmap: Option[Colmap]): Array[Int] =
+    colmap match {
+      case None => schema.indices.toArray
+      case Some(cm) =>
+        require(cm.slots.length == schema.length,
+          s"gdx write: schema/colmap arity mismatch (${schema.length} " +
+            s"fields, ${cm.slots.length} slots)")
+        val l = Array.fill(cm.arity)(-1)
+        cm.slots.zipWithIndex.foreach { case (sl, i) => l(sl) = i }
+        l
+    }
+
+  /** The slot-positioned view of a logical schema: a StructType whose
+    * position s holds the logical field mapped to slot s (dropped
+    * slots get never-requested placeholder fields), so every positional
+    * consumer — readers resolving required columns to line slots —
+    * works unchanged with mapping active. Loud on a schema/mapping
+    * arity mismatch (a stale catalog schema after an out-of-band drop
+    * must fail, not misread slots). */
+  private[graft] def physicalized(schema: StructType,
+                                  colmap: Option[Colmap]): StructType =
+    colmap match {
+      case None => schema
+      case Some(cm) =>
+        require(cm.slots.length == schema.length,
+          s"gdx: schema/colmap arity mismatch (${schema.length} fields, " +
+            s"${cm.slots.length} slots) - the table metadata is stale; " +
+            "re-read the table (or repair the catalog entry)")
+        val bySlot = cm.slots.zip(schema.fields).toMap
+        StructType((0 until cm.arity).map(s =>
+          bySlot.getOrElse(s, StructField(s"__gdx_dropped_$s", StringType))))
+    }
+
   /** NULL marker in the line format (hive-style); rejected as a
     * literal string value at write time. */
   private[graft] val NullMarker = "\\N"
@@ -448,10 +512,11 @@ object GdxSource {
     }
 
   /** One manifest file's lines: (isDelta, snapshot schema if recorded,
-    * entries). Header order: `#delta` (if any), then `#schema` (if
-    * any), then entries. */
+    * column mapping if recorded, entries). Header order: `#delta` (if
+    * any), then `#schema`, then `#colmap`, then `#check`s, then
+    * entries. */
   private def readManifest(fs: FileSystem, m: Path)
-      : (Boolean, Option[StructType], Seq[GdxFileEntry]) =
+      : (Boolean, Option[StructType], Option[Colmap], Seq[GdxFileEntry]) =
     try readManifestOnce(fs, m)
     catch {
       // self-heal a directory poisoned before the crc-hygiene fix: a
@@ -464,7 +529,8 @@ object GdxSource {
     }
 
   private def readManifestOnce(fs: FileSystem, m: Path)
-      : (Boolean, Option[StructType], Seq[GdxFileEntry]) = {
+      : (Boolean, Option[StructType], Option[Colmap],
+         Seq[GdxFileEntry]) = {
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(m), "UTF-8"))
     try {
@@ -475,10 +541,39 @@ object GdxSource {
       val sch = lines.headOption.filter(_.startsWith(SchemaHeader))
         .map(h => parseSchemaSpec(h.stripPrefix(SchemaHeader).trim))
       if (sch.isDefined) lines = lines.tail
-      // constraint headers follow the schema; entries never start '#'
+      val colmap = lines.headOption.filter(_.startsWith(ColmapHeader))
+        .map { h =>
+          val body = h.stripPrefix(ColmapHeader).trim
+          val (slotPart, arityPart) = body.indexOf(';') match {
+            case -1 => (body, None)
+            case i  => (body.substring(0, i),
+              Some(body.substring(i + 1).trim.toInt))
+          }
+          val slots = slotPart.split(',').toSeq.map(_.trim.toInt)
+          Colmap(slots, arityPart.getOrElse((slots :+ -1).max + 1))
+        }
+      if (colmap.isDefined) lines = lines.tail
+      // constraint headers follow; entries never start '#' (readers
+      // that predate a header kind skip it here — forward-compatible)
       lines = lines.dropWhile(_.startsWith("#"))
-      (isDelta, sch, lines.map(parseManifestLine))
+      (isDelta, sch, colmap, lines.map(parseManifestLine))
     } finally in.close()
+  }
+
+  /** The column mapping the chosen snapshot recorded (None = identity;
+    * resolution mirrors [[committedSchema]]). */
+  def committedColmap(path: String, conf: Configuration,
+                      version: Int = -1): Option[Colmap] = {
+    val fs = new Path(path).getFileSystem(conf)
+    val target: Option[Path] =
+      if (version >= 0) Some(manifestFor(path, version))
+      else listVersions(path, conf) match {
+        case vs if vs.nonEmpty => Some(manifestFor(path, vs.max))
+        case _ =>
+          val legacy = manifest(path)
+          if (fs.exists(legacy)) Some(legacy) else None
+      }
+    target.filter(fs.exists(_)).flatMap(readManifest(fs, _)._3)
   }
 
   /** The `(name, expr SQL)` CHECK constraints the chosen snapshot
@@ -508,12 +603,17 @@ object GdxSource {
     }
   }
 
-  /** The header block every manifest writes: schema, then the full
-    * constraint set — both resolved in one read by any snapshot
-    * consumer. */
+  /** The header block every manifest writes: schema, column mapping
+    * (only when non-identity), then the full constraint set — all
+    * resolved in one read by any snapshot consumer. */
   private def headerLines(schema: StructType,
-                          checks: Seq[(String, String)]): Seq[String] =
-    (SchemaHeader + schemaSpec(schema)) +:
+                          checks: Seq[(String, String)],
+                          colmap: Option[Colmap] = None): Seq[String] =
+    Seq(SchemaHeader + schemaSpec(schema)) ++
+      colmap.filterNot(cm =>
+          cm.slots == schema.indices && cm.arity == schema.length)
+        .map(cm => ColmapHeader + cm.slots.mkString(",") + ";" + cm.arity)
+        .toSeq ++
       checks.map { case (n, e) => s"$ConstraintHeader$n $e" }
 
   /** The schema the chosen snapshot recorded (classic `(k, v)` for
@@ -558,7 +658,7 @@ object GdxSource {
     target match {
       case None => // pre-versioning directory: single full `_manifest`
         val m = manifest(path)
-        if (!fs.exists(m)) Seq.empty else readManifest(fs, m)._3
+        if (!fs.exists(m)) Seq.empty else readManifest(fs, m)._4
       case Some(v) =>
         var deltas = List.empty[Seq[GdxFileEntry]]
         var base = Seq.empty[GdxFileEntry]
@@ -569,7 +669,7 @@ object GdxSource {
           require(fs.exists(mp),
             s"gdx: snapshot version $v is unreadable - its delta chain " +
               s"is broken at version $cur (vacuumed or never written)")
-          val (isDelta, _, es) = readManifest(fs, mp)
+          val (isDelta, _, _, es) = readManifest(fs, mp)
           if (isDelta) {
             deltas = es :: deltas
             cur -= 1
@@ -834,9 +934,11 @@ object GdxSource {
         val checkpoint =
           replace || attempt == 1 || attempt % CheckpointInterval == 0
         // every manifest records the snapshot's schema: a truncate pins
-        // the write's schema; an append carries the evolved table
-        // schema forward (analysis already proved the write matches
-        // it). Constraints are TABLE metadata — carried through
+        // the write's schema AND resets the column mapping to identity
+        // (the rewrite materialized the logical layout — dead slots are
+        // physically gone); an append carries the evolved table schema
+        // and its mapping forward (analysis already proved the write
+        // matches it). Constraints are TABLE metadata — carried through
         // appends and truncates alike.
         val headers = headerLines(
           if (replace) writeSchema
@@ -844,7 +946,8 @@ object GdxSource {
             val cur = committedSchema(path, conf)
             if (cur.length >= writeSchema.length) cur else writeSchema
           },
-          liveChecks)
+          liveChecks,
+          if (replace) None else committedColmap(path, conf))
         val published =
           if (checkpoint) {
             val prev =
@@ -1219,7 +1322,10 @@ object GdxSource {
       val dirStr = dir
       val tblSchema = committedSchema(dir, conf0,
         if (readV > 0) readV else -1)
-      val live = liveFrame(spark, dirStr, entries, tblSchema, sconf)
+      val tblColmap = committedColmap(dir, conf0,
+        if (readV > 0) readV else -1)
+      val live = liveFrame(spark, dirStr, entries, tblSchema, sconf,
+        tblColmap)
       val matched = live.filter(condition).localCheckpoint()
       // sidecars written executor-side; ≤ one result row per file
       val newDvs: Array[(String, String, Long)] = matched
@@ -1283,7 +1389,8 @@ object GdxSource {
                   s"constraint $n ($sql)")
             }
           }
-          writeDataFiles(updatedRows, dirStr, tblSchema, sconf)
+          writeDataFiles(updatedRows, dirStr, tblSchema, sconf,
+            tblColmap)
       }
       val dvFor = newDvs.map(r => r._1 -> r._2).toMap
       val updated = entries.map(e =>
@@ -1292,7 +1399,7 @@ object GdxSource {
       // CAS publish of the full manifest at readV + 1 (schema and
       // constraints carried)
       val lines = headerLines(tblSchema,
-        committedConstraints(dirStr, conf0)) ++
+        committedConstraints(dirStr, conf0), tblColmap) ++
         updated.sortBy(_.name).map(_.manifestLine)
       val base = new Path(dir)
       val fs = base.getFileSystem(conf0)
@@ -1317,9 +1424,12 @@ object GdxSource {
   private def liveFrame(spark: SparkSession, dirStr: String,
                         entries: Seq[GdxFileEntry],
                         tblSchema: StructType,
-                        sconf: SerializableHadoopConf)
+                        sconf: SerializableHadoopConf,
+                        colmap: Option[Colmap] = None)
       : org.apache.spark.sql.DataFrame = {
     val types = tblSchema.fields.map(_.dataType)
+    // physical line slot per logical field (identity when unmapped)
+    val slots = slotsOf(tblSchema, colmap).toArray
     val dvByName = entries.map(e => e.name -> e.dv).toMap
     val liveSchema = StructType(
       StructField("_file", StringType) +:
@@ -1342,7 +1452,8 @@ object GdxSource {
             val fields = line.split("\t", -1)
             if (fields.length >= 2 && fields(0).nonEmpty &&
                 !old.contains(idx.toLong)) {
-              val vals = types.zipWithIndex.map { case (dt, i) =>
+              val vals = types.zipWithIndex.map { case (dt, li) =>
+                val i = slots(li)
                 if (i >= fields.length ||
                     fields(i) == GdxSource.NullMarker) null
                 else dt match {
@@ -1370,9 +1481,12 @@ object GdxSource {
     * manifest publish wins. */
   private def writeDataFiles(rows: org.apache.spark.sql.DataFrame,
                              dirStr: String, tblSchema: StructType,
-                             sconf: SerializableHadoopConf)
+                             sconf: SerializableHadoopConf,
+                             colmap: Option[Colmap] = None)
       : Seq[GdxFileEntry] = {
     val types = tblSchema.fields.map(_.dataType)
+    // physical slot -> logical field (-1 = dead slot, written \N)
+    val layout = writeLayout(tblSchema, colmap)
     rows.rdd.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -1384,10 +1498,11 @@ object GdxSource {
         var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
         try it.foreach { r =>
           val sb = new java.lang.StringBuilder
-          var i = 0
-          while (i < types.length) {
-            if (i > 0) sb.append('\t')
-            if (r.isNullAt(i)) sb.append(GdxSource.NullMarker)
+          var pSlot = 0
+          while (pSlot < layout.length) {
+            if (pSlot > 0) sb.append('\t')
+            val i = layout(pSlot)
+            if (i < 0 || r.isNullAt(i)) sb.append(GdxSource.NullMarker)
             else types(i) match {
               case LongType   => sb.append(r.getLong(i))
               case DoubleType => sb.append(r.getDouble(i))
@@ -1399,7 +1514,7 @@ object GdxSource {
                     "tab/newline or the \\N marker")
                 sb.append(s)
             }
-            i += 1
+            pSlot += 1
           }
           out.println(sb)
           val k = r.getLong(0)
@@ -1443,7 +1558,8 @@ object GdxSource {
     dfs.mkdirs(dst)
     val v = (listVersions(dstDir, conf) :+ 0).max + 1
     val lines = headerLines(schema,
-      committedConstraints(srcDir, conf, version)) ++
+      committedConstraints(srcDir, conf, version),
+      committedColmap(srcDir, conf, version)) ++
       absolute.map(_.manifestLine)
     require(publishExclusive(dfs, conf, manifestFor(dstDir, v), lines),
       s"gdx clone: version $v of $dstDir was claimed concurrently")
@@ -1472,6 +1588,9 @@ object GdxSource {
     val sconf = new SerializableHadoopConf(conf)
     val outSchema = committedSchema(dir, conf, toV)
     val types = outSchema.fields.map(_.dataType)
+    // the changefeed reads every era's file under toV's schema: the
+    // column mapping resolves each logical field to its physical slot
+    val slots = slotsOf(outSchema, committedColmap(dir, conf, toV)).toArray
     // (version, resolved file path, positions-to-skip dv, mode) where
     // mode "insert"/"delete" reads all live rows and "dvdelta" reads
     // exactly the freshly deleted positions (old dv, new dv)
@@ -1531,7 +1650,8 @@ object GdxSource {
             }
             val fields = line.split("\t", -1)
             if (wanted && fields.length >= 2 && fields(0).nonEmpty) {
-              val vals = types.zipWithIndex.map { case (dt, i) =>
+              val vals = types.zipWithIndex.map { case (dt, li) =>
+                val i = slots(li)
                 if (i >= fields.length ||
                     fields(i) == GdxSource.NullMarker) null
                 else dt match {
@@ -1565,9 +1685,11 @@ object GdxSource {
     val fs = new Path(dir).getFileSystem(conf)
     val entries = committedEntries(dir, conf, version) // loud if dropped
     val schemaAt = committedSchema(dir, conf, version)
-    // the restored snapshot's OWN constraints come back with it
+    // the restored snapshot's OWN constraints and column mapping come
+    // back with it
     val lines = headerLines(schemaAt,
-      committedConstraints(dir, conf, version)) ++
+      committedConstraints(dir, conf, version),
+      committedColmap(dir, conf, version)) ++
       entries.map(_.manifestLine)
     var attempt = 0
     while (true) {
@@ -1596,7 +1718,7 @@ object GdxSource {
     val fs = new Path(dir).getFileSystem(conf)
     listVersions(dir, conf).map { v =>
       val mp = manifestFor(dir, v)
-      val (isDelta, sch, _) = readManifest(fs, mp)
+      val (isDelta, sch, _, _) = readManifest(fs, mp)
       val entries = committedEntries(dir, conf, v)
       (v, fs.getFileStatus(mp).getModificationTime,
         if (isDelta) "delta" else "checkpoint",
@@ -1629,8 +1751,14 @@ object GdxSource {
       require(!cur.fieldNames.contains(name),
         s"gdx addColumn: column $name already exists")
       val evolved = StructType(cur.fields :+ StructField(name, dataType))
+      // under a column mapping the new field claims the next free
+      // PHYSICAL slot (the recorded arity) - a dropped column's slot is
+      // never reused, so old files can never leak a dead column's
+      // bytes into a new one
+      val colmap = committedColmap(dir, conf, readV)
+        .map(cm => Colmap(cm.slots :+ cm.arity, cm.arity + 1))
       val lines = headerLines(evolved,
-        committedConstraints(dir, conf, readV)) ++
+        committedConstraints(dir, conf, readV), colmap) ++
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
@@ -1639,6 +1767,128 @@ object GdxSource {
       attempt += 1
       if (attempt > maxRetries) throw new GdxConcurrentModificationException(
         s"gdx addColumn: lost the publish race $maxRetries times on $dir")
+    }
+    -1 // unreachable
+  }
+
+  /** Constraints whose expression references `col` — rename/drop must
+    * refuse while one exists (the stored SQL would silently bind to
+    * nothing, or to a re-added column): the Delta contract is "drop
+    * the constraint first", stated loudly. */
+  private def constraintsReferencing(spark: SparkSession,
+                                     checks: Seq[(String, String)],
+                                     colName: String): Seq[String] =
+    checks.filter { case (_, sql) =>
+      spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.exists(_.equalsIgnoreCase(colName))
+    }.map(_._1)
+
+  /** Guards shared by RENAME/DROP COLUMN: the column must exist, must
+    * not be one of the CLASSIC CORE slots (physical 0 = the key k,
+    * physical 1 = v — zone maps, blooms, k/v pushdown, DPP, metadata
+    * aggregates, and the LWW-merge key all bind to them by name and
+    * position; they are part of the format's contract, exactly like a
+    * partition column in Delta), and no CHECK constraint may reference
+    * it. Returns (field index, its physical slot). */
+  private def mappableColumn(spark: SparkSession, dir: String, readV: Int,
+                             conf: Configuration, stmt: String,
+                             colName: String): (Int, Int) = {
+    val cur = committedSchema(dir, conf, readV)
+    val idx = cur.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+    require(idx >= 0, s"gdx $stmt: no column $colName")
+    val slot = slotsOf(cur, committedColmap(dir, conf, readV))(idx)
+    require(slot > 1, s"gdx $stmt: ${cur.fieldNames(idx)} is a classic " +
+      "core column (physical slot 0/1) - the key and its value anchor " +
+      "zone maps, pushdown, DPP, and the merge contract, and cannot be " +
+      "renamed or dropped (rewrite the table into a new layout instead)")
+    val refs = constraintsReferencing(spark,
+      committedConstraints(dir, conf, readV), colName)
+    require(refs.isEmpty, s"gdx $stmt: CHECK constraint(s) " +
+      s"${refs.mkString(",")} reference $colName - drop them first")
+    (idx, slot)
+  }
+
+  /** RENAME COLUMN — a METADATA-ONLY commit: logical names live only
+    * in the `#schema` header, physical slots don't move, so no data
+    * file is touched and every retained snapshot keeps (and time
+    * travel sees) the name of its own era. Extended zone-map stats are
+    * keyed by the name AT WRITE TIME, so pre-rename files simply stop
+    * pruning on the renamed column (absence = cannot prune — an
+    * overlay, never a correctness boundary) until a rewrite
+    * (OPTIMIZE) re-keys them. CAS + retry. Returns the version. */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+                   to: String, maxRetries: Int = 10): Int = {
+    require(to.nonEmpty && !to.exists(_.isWhitespace) &&
+      !to.contains(':') && !to.contains(','),
+      s"gdx renameColumn: invalid target name '$to'")
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    var attempt = 0
+    while (true) {
+      val vs = listVersions(dir, conf)
+      require(vs.nonEmpty, s"gdx renameColumn: no snapshot under $dir")
+      val readV = vs.max
+      val cur = committedSchema(dir, conf, readV)
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"gdx renameColumn: column $to already exists")
+      val (idx, _) = mappableColumn(spark, dir, readV, conf,
+        "renameColumn", from)
+      val renamed = StructType(
+        cur.fields.updated(idx, cur.fields(idx).copy(name = to)))
+      val lines = headerLines(renamed,
+        committedConstraints(dir, conf, readV),
+        committedColmap(dir, conf, readV)) ++
+        committedEntries(dir, conf, readV).map(_.manifestLine)
+      if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
+        writeLines(fs, manifest(dir), lines)
+        return readV + 1
+      }
+      attempt += 1
+      if (attempt > maxRetries) throw new GdxConcurrentModificationException(
+        s"gdx renameColumn: lost the publish race $maxRetries times")
+    }
+    -1 // unreachable
+  }
+
+  /** DROP COLUMN — a METADATA-ONLY commit: the field leaves `#schema`
+    * and its slot leaves the `#colmap` mapping; the slot's bytes stay
+    * in existing files (time travel still reads them under the old
+    * schema), new writes null-fill it, and the recorded physical arity
+    * ensures a later ADD COLUMN never reuses it. A truncate-rewrite
+    * (OPTIMIZE) materializes the logical layout and physically drops
+    * dead slots, resetting the mapping to identity. CAS + retry.
+    * Returns the version. */
+  def dropColumn(spark: SparkSession, dir: String, name: String,
+                 maxRetries: Int = 10): Int = {
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    var attempt = 0
+    while (true) {
+      val vs = listVersions(dir, conf)
+      require(vs.nonEmpty, s"gdx dropColumn: no snapshot under $dir")
+      val readV = vs.max
+      val cur = committedSchema(dir, conf, readV)
+      val (idx, _) = mappableColumn(spark, dir, readV, conf,
+        "dropColumn", name)
+      val slots = slotsOf(cur, committedColmap(dir, conf, readV))
+      val arity = committedColmap(dir, conf, readV).map(_.arity)
+        .getOrElse(cur.length)
+      val remaining = StructType(
+        cur.fields.zipWithIndex.filterNot(_._2 == idx).map(_._1))
+      val newColmap = Colmap(
+        slots.zipWithIndex.filterNot(_._2 == idx).map(_._1), arity)
+      val lines = headerLines(remaining,
+        committedConstraints(dir, conf, readV), Some(newColmap)) ++
+        committedEntries(dir, conf, readV).map(_.manifestLine)
+      if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
+        writeLines(fs, manifest(dir), lines)
+        return readV + 1
+      }
+      attempt += 1
+      if (attempt > maxRetries) throw new GdxConcurrentModificationException(
+        s"gdx dropColumn: lost the publish race $maxRetries times")
     }
     -1 // unreachable
   }
@@ -1685,7 +1935,8 @@ object GdxSource {
         s"gdx addConstraint: $bad existing row(s) violate $name " +
           s"($exprSql) - constraint refused")
       val lines = headerLines(committedSchema(dir, conf, readV),
-        cur :+ (name -> exprSql)) ++
+        cur :+ (name -> exprSql),
+        committedColmap(dir, conf, readV)) ++
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
@@ -1713,7 +1964,8 @@ object GdxSource {
       require(cur.exists(_._1 == name),
         s"gdx dropConstraint: no constraint named $name")
       val lines = headerLines(committedSchema(dir, conf, readV),
-        cur.filterNot(_._1 == name)) ++
+        cur.filterNot(_._1 == name),
+        committedColmap(dir, conf, readV)) ++
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
@@ -1824,7 +2076,8 @@ object GdxSource {
     val oldestFull = committedEntries(path, conf, keep.head)
     replaceAtomic(fs, conf, manifestFor(path, keep.head),
       headerLines(committedSchema(path, conf, keep.head),
-        committedConstraints(path, conf, keep.head)) ++
+        committedConstraints(path, conf, keep.head),
+        committedColmap(path, conf, keep.head)) ++
         oldestFull.map(_.manifestLine))
     vs.dropRight(keepLast).foreach(v => fs.delete(manifestFor(path, v), false))
     val keptEntries = keep.flatMap(v => committedEntries(path, conf, v))
@@ -2080,8 +2333,14 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
         e.dv.map(d => GdxSource.entryPath(path, d).toString)): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // slot-positioned view of the logical schema: readers resolve
+    // required columns to PHYSICAL line slots through it, so a mapped
+    // (renamed/dropped-column) snapshot reads exactly like an identity
+    // one — resolved once here at the scan's pinned version
     new GdxReaderFactory(pushed ++ runtime, limit, aggOps, required,
-      tableSchema, new SerializableHadoopConf(GdxSource.driverConf()))
+      GdxSource.physicalized(tableSchema,
+        GdxSource.committedColmap(path, GdxSource.driverConf(), version)),
+      new SerializableHadoopConf(GdxSource.driverConf()))
 
   /** Statistics from the POST-PRUNING plan (Spark asks after pushdown,
     * so zone-map file skipping shrinks them): without this a DSv2 scan
@@ -2213,7 +2472,11 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GdxReaderFactory(pushed, -1, None, required, tableSchema,
+    // current mapping at factory creation: a rename/drop committed
+    // mid-stream applies from the next factory (per micro-batch)
+    new GdxReaderFactory(pushed, -1, None, required,
+      GdxSource.physicalized(tableSchema,
+        GdxSource.committedColmap(path, conf)),
       new SerializableHadoopConf(conf))
   override def commit(end: rstreaming.Offset): Unit = ()
   override def stop(): Unit = ()
@@ -2431,7 +2694,9 @@ class GdxStreamingWrite(path: String,
       : wstreaming.StreamingDataWriterFactory =
     new GdxStreamingWriterFactory(path,
       new SerializableHadoopConf(GdxSource.driverConf()), writeSchema,
-      GdxSource.activeChecks(enforced, writeSchema))
+      GdxSource.activeChecks(enforced, writeSchema),
+      GdxSource.writeLayout(writeSchema,
+        GdxSource.committedColmap(path, GdxSource.driverConf())))
 
   def txnMarker(epochId: Long) = new Path(path, f"_txn-$epochId%016d")
 
@@ -2467,12 +2732,14 @@ class GdxStreamingWriterFactory(path: String, conf: SerializableHadoopConf,
                                 writeSchema: StructType = GdxSource.schema,
                                 checks: Seq[(String,
                                   org.apache.spark.sql.catalyst.expressions
-                                    .Expression)] = Seq.empty)
+                                    .Expression)] = Seq.empty,
+                                layout: Array[Int] = null)
     extends wstreaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GdxDataWriter(path, partitionId, taskId, conf,
-      tag = f"e$epochId%08d-", schema = writeSchema, checks = checks)
+      tag = f"e$epochId%08d-", schema = writeSchema, checks = checks,
+      layoutIn = layout)
 }
 
 case class GdxCommitMessage(tmpName: String, stats: GdxFileStats)
@@ -2492,7 +2759,13 @@ class GdxBatchWrite(path: String, replace: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = new GdxWriterFactory(path,
     new SerializableHadoopConf(GdxSource.driverConf()), writeSchema,
-    GdxSource.activeChecks(enforced, writeSchema))
+    GdxSource.activeChecks(enforced, writeSchema),
+    // a truncate materializes the logical layout (mapping resets to
+    // identity in the manifest header); an append writes the current
+    // mapping's physical layout, null-filling dead slots
+    if (replace) null
+    else GdxSource.writeLayout(writeSchema,
+      GdxSource.committedColmap(path, GdxSource.driverConf())))
 
   /** Driver-side publish: rename each task's tmp file to its
     * VERSION-PREFIXED final name, then write snapshot N+1's manifest —
@@ -2521,12 +2794,13 @@ class GdxWriterFactory(path: String, conf: SerializableHadoopConf,
                        writeSchema: StructType = GdxSource.schema,
                        checks: Seq[(String,
                          org.apache.spark.sql.catalyst.expressions
-                           .Expression)] = Seq.empty)
+                           .Expression)] = Seq.empty,
+                       layout: Array[Int] = null)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GdxDataWriter(path, partitionId, taskId, conf,
-      schema = writeSchema, checks = checks)
+      schema = writeSchema, checks = checks, layoutIn = layout)
 }
 
 /** Task-side writer: data lands in a uniquely-named `.tmp` file that
@@ -2538,8 +2812,13 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
                     schema: StructType = GdxSource.schema,
                     checks: Seq[(String,
                       org.apache.spark.sql.catalyst.expressions
-                        .Expression)] = Seq.empty)
+                        .Expression)] = Seq.empty,
+                    layoutIn: Array[Int] = null)
     extends DataWriter[InternalRow] {
+  // physical slot → logical field index (-1 = dead slot, written \N);
+  // identity unless the table carries a column mapping
+  private val layout: Array[Int] =
+    if (layoutIn == null) schema.indices.toArray else layoutIn
   // `tag` carries the streaming epoch so re-attempts of the same
   // (partition, task) across epochs can never collide on a tmp name;
   // the per-write UUID makes the name unique ACROSS APPLICATIONS too —
@@ -2623,10 +2902,11 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     // (or a literal \N) inside a string would corrupt the row on read
     // — reject at write time, loudly.
     val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i < schema.length) {
-      if (i > 0) sb.append('\t')
-      if (r.isNullAt(i)) sb.append(GdxSource.NullMarker)
+    var pSlot = 0
+    while (pSlot < layout.length) {
+      if (pSlot > 0) sb.append('\t')
+      val i = layout(pSlot)
+      if (i < 0 || r.isNullAt(i)) sb.append(GdxSource.NullMarker)
       else schema(i).dataType match {
         case LongType   => sb.append(r.getLong(i))
         case DoubleType => sb.append(r.getDouble(i))
@@ -2638,7 +2918,7 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
               "tab/newline or the \\N null marker (unescaped line format)")
           sb.append(s)
       }
-      i += 1
+      pSlot += 1
     }
     out.println(sb)
   }
