@@ -1731,6 +1731,43 @@ object RelationalOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // S29 — HIVE-STYLE PARTITIONING on the GDX format: `PARTITIONED
+    // BY` / option("partitionBy") demuxes writes into `p=<value>/`
+    // subdirectories, and the partition column's per-file stats
+    // collapse to `v..v`, so STATIC partition pruning is exactly a
+    // zone-map prune composed with blooms and every other skipping
+    // overlay — at 100 TB the dashboard slice plans one partition's
+    // directory, not the table. `layout_ok` pins that every committed
+    // file lives under a partition dir; `partition_pruned` pins that
+    // an equality predicate plans ONLY that partition's files (and
+    // strictly fewer than all). The payload is the partition's rows,
+    // which DuckDB recomputes; pruning is an overlay and can never
+    // change them.
+    "s29_gdx_partitioned" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxpt_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"),
+          (col("event_id") % 8).as("p"))
+        .repartition(8)
+        .write.format(fmt).option("path", dir)
+        .option("partitionBy", "p").mode("overwrite").save()
+      val entries = gdx.committedEntries(dir, gdx.driverConf())
+      val layoutOk = entries.nonEmpty &&
+        entries.forall(_.name.startsWith("p="))
+      val kept = gdx.pruneByStats(entries,
+        Seq(org.apache.spark.sql.sources.EqualTo("p", 3L)))
+      val partitionPruned = kept.nonEmpty && kept.size < entries.size &&
+        kept.forall(_.name.startsWith("p=3/"))
+      s.read.format(fmt).option("path", dir).load()
+        .filter(col("p") === 3)
+        .select("k", "v", "p")
+        .withColumn("layout_ok", lit(layoutOk))
+        .withColumn("partition_pruned", lit(partitionPruned))
+        .orderBy("k")
+    }),
+
     // C25 — COLUMN MAPPING on the GDX format (the Delta column-mapping
     // / Iceberg field-id contract): RENAME and DROP COLUMN are
     // METADATA-ONLY commits via the `#colmap` manifest header —
@@ -2966,6 +3003,13 @@ object RelationalOps extends QueryModule {
         |WHERE l_partkey >= pm // 10 AND l_partkey < 3 * pm // 10
         |  AND l_suppkey >= sm // 10 AND l_suppkey < 3 * sm // 10
         |ORDER BY k, p, sp""".stripMargin,
+    // the partition slice recomputed directly; both layout/pruning
+    // claims are pinned TRUE (pruning is an overlay — it can only
+    // change planned-file counts, never these rows)
+    "s29_gdx_partitioned" ->
+      """SELECT event_id AS k, event_type AS v,
+        |  event_id % 8 AS p, TRUE AS layout_ok, TRUE AS partition_pruned
+        |FROM events WHERE event_id % 8 = 3 ORDER BY k""".stripMargin,
     // the post-evolution table recomputed directly: every event with
     // the (dropped-then-readded-era) w2 null, plus the marker row; the
     // three mapping claims are pinned TRUE

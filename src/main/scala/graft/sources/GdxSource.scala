@@ -155,7 +155,14 @@ class GdxSource extends TableProvider {
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new GdxTable(properties.get("path"), schema)
+    // CREATE TABLE ... PARTITIONED BY (p): a single identity transform
+    // becomes the table's declared partition column (first write
+    // records it in the manifest; appends inherit it)
+    new GdxTable(properties.get("path"), schema,
+      partitioning.toSeq.collect {
+        case t if t.name == "identity" && t.references.length == 1 =>
+          t.references.head.fieldNames.mkString(".")
+      }.headOption)
 }
 
 /** Hadoop Configuration is not Serializable; ship it to executors via
@@ -371,6 +378,38 @@ object GdxSource {
     * `#schema`/`#check`, so time travel, RESTORE, and clones see the
     * names and slots of their era. */
   private val ColmapHeader = "#colmap "
+
+  /** Line prefix declaring the table's hive-style partition column
+    * (`#partition p`): writers demux rows into `p=<value>/` subdirs
+    * and the partition column's per-file stats collapse to `v..v`, so
+    * static partition pruning IS a zone-map prune — composed with
+    * bloom sidecars and every other skipping overlay. Declared on the
+    * first partitioned write (`option("partitionBy", col)`) and
+    * carried by every manifest; appends inherit it with no option. */
+  private val PartitionHeader = "#partition "
+
+  /** The partition column the chosen snapshot recorded (None =
+    * unpartitioned; resolution mirrors [[committedConstraints]]). */
+  def committedPartitionCol(path: String, conf: Configuration,
+                            version: Int = -1): Option[String] = {
+    val fs = new Path(path).getFileSystem(conf)
+    val target: Option[Path] =
+      if (version >= 0) Some(manifestFor(path, version))
+      else listVersions(path, conf) match {
+        case vs if vs.nonEmpty => Some(manifestFor(path, vs.max))
+        case _ =>
+          val legacy = manifest(path)
+          if (fs.exists(legacy)) Some(legacy) else None
+      }
+    target.filter(fs.exists(_)).flatMap { m =>
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(m), "UTF-8"))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .find(_.startsWith(PartitionHeader))
+        .map(_.stripPrefix(PartitionHeader).trim)
+      finally in.close()
+    }
+  }
 
   /** A snapshot's column mapping: `slots(i)` = physical line slot of
     * logical field i; `arity` = total physical slots ever written
@@ -608,12 +647,14 @@ object GdxSource {
     * resolved in one read by any snapshot consumer. */
   private def headerLines(schema: StructType,
                           checks: Seq[(String, String)],
-                          colmap: Option[Colmap] = None): Seq[String] =
+                          colmap: Option[Colmap] = None,
+                          partitionCol: Option[String] = None): Seq[String] =
     Seq(SchemaHeader + schemaSpec(schema)) ++
       colmap.filterNot(cm =>
           cm.slots == schema.indices && cm.arity == schema.length)
         .map(cm => ColmapHeader + cm.slots.mkString(",") + ";" + cm.arity)
         .toSeq ++
+      partitionCol.map(PartitionHeader + _).toSeq ++
       checks.map { case (n, e) => s"$ConstraintHeader$n $e" }
 
   /** The schema the chosen snapshot recorded (classic `(k, v)` for
@@ -856,15 +897,16 @@ object GdxSource {
                       .WriterCommitMessage],
                   expectedBase: Int = -1,
                   writeSchema: StructType = schema,
-                  enforcedConstraints: Option[Seq[(String, String)]] = None)
+                  enforcedConstraints: Option[Seq[(String, String)]] = None,
+                  partitionCol: Option[String] = None)
       : Int = {
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
     val lockKey = fs.makeQualified(base).toString
     commitLocks.computeIfAbsent(lockKey, _ => new Object).synchronized {
-      val finals = messages.collect { case GdxCommitMessage(tmp, stats) =>
-        (tmp, stats)
-      }
+      val finals = messages.collect { case m: GdxCommitMessage =>
+        m.files
+      }.flatten
       var attempt = (listVersions(path, conf) :+ 0).max + 1
       var committed = -1
       var renamed: Map[String, GdxFileEntry] = Map.empty
@@ -908,7 +950,13 @@ object GdxSource {
         // prefix equal to the committing version preserves the
         // lexicographic file ordering invariant
         val entries = finals.map { case (tmp, stats) =>
-          val fin = f"v$attempt%08d-" + tmp.stripSuffix(".tmp")
+          // the version prefix applies to the FILE name; a partitioned
+          // tmp keeps its `col=value/` subdirectory
+          val slash = tmp.lastIndexOf('/')
+          val (sub, leaf) =
+            if (slash < 0) ("", tmp)
+            else (tmp.substring(0, slash + 1), tmp.substring(slash + 1))
+          val fin = sub + f"v$attempt%08d-" + leaf.stripSuffix(".tmp")
           val src = renamed.get(tmp).map(e => new Path(base, e.name))
             .getOrElse(new Path(base, tmp))
           val dst = new Path(base, fin)
@@ -947,7 +995,12 @@ object GdxSource {
             if (cur.length >= writeSchema.length) cur else writeSchema
           },
           liveChecks,
-          if (replace) None else committedColmap(path, conf))
+          if (replace) None else committedColmap(path, conf),
+          // a truncate (re)declares the layout it was written with; an
+          // append records the union of declared and already-recorded
+          // (they were proven consistent at build())
+          if (replace) partitionCol
+          else partitionCol.orElse(committedPartitionCol(path, conf)))
         val published =
           if (checkpoint) {
             val prev =
@@ -1399,7 +1452,8 @@ object GdxSource {
       // CAS publish of the full manifest at readV + 1 (schema and
       // constraints carried)
       val lines = headerLines(tblSchema,
-        committedConstraints(dirStr, conf0), tblColmap) ++
+        committedConstraints(dirStr, conf0), tblColmap,
+        committedPartitionCol(dirStr, conf0)) ++
         updated.sortBy(_.name).map(_.manifestLine)
       val base = new Path(dir)
       val fs = base.getFileSystem(conf0)
@@ -1559,7 +1613,8 @@ object GdxSource {
     val v = (listVersions(dstDir, conf) :+ 0).max + 1
     val lines = headerLines(schema,
       committedConstraints(srcDir, conf, version),
-      committedColmap(srcDir, conf, version)) ++
+      committedColmap(srcDir, conf, version),
+      committedPartitionCol(srcDir, conf, version)) ++
       absolute.map(_.manifestLine)
     require(publishExclusive(dfs, conf, manifestFor(dstDir, v), lines),
       s"gdx clone: version $v of $dstDir was claimed concurrently")
@@ -1689,7 +1744,8 @@ object GdxSource {
     // back with it
     val lines = headerLines(schemaAt,
       committedConstraints(dir, conf, version),
-      committedColmap(dir, conf, version)) ++
+      committedColmap(dir, conf, version),
+      committedPartitionCol(dir, conf, version)) ++
       entries.map(_.manifestLine)
     var attempt = 0
     while (true) {
@@ -1758,7 +1814,8 @@ object GdxSource {
       val colmap = committedColmap(dir, conf, readV)
         .map(cm => Colmap(cm.slots :+ cm.arity, cm.arity + 1))
       val lines = headerLines(evolved,
-        committedConstraints(dir, conf, readV), colmap) ++
+        committedConstraints(dir, conf, readV), colmap,
+        committedPartitionCol(dir, conf, readV)) ++
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
@@ -1839,7 +1896,8 @@ object GdxSource {
         cur.fields.updated(idx, cur.fields(idx).copy(name = to)))
       val lines = headerLines(renamed,
         committedConstraints(dir, conf, readV),
-        committedColmap(dir, conf, readV)) ++
+        committedColmap(dir, conf, readV),
+        committedPartitionCol(dir, conf, readV)) ++
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
@@ -1880,7 +1938,8 @@ object GdxSource {
       val newColmap = Colmap(
         slots.zipWithIndex.filterNot(_._2 == idx).map(_._1), arity)
       val lines = headerLines(remaining,
-        committedConstraints(dir, conf, readV), Some(newColmap)) ++
+        committedConstraints(dir, conf, readV), Some(newColmap),
+        committedPartitionCol(dir, conf, readV)) ++
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
@@ -1936,7 +1995,8 @@ object GdxSource {
           s"($exprSql) - constraint refused")
       val lines = headerLines(committedSchema(dir, conf, readV),
         cur :+ (name -> exprSql),
-        committedColmap(dir, conf, readV)) ++
+        committedColmap(dir, conf, readV),
+        committedPartitionCol(dir, conf, readV)) ++
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
@@ -1965,7 +2025,8 @@ object GdxSource {
         s"gdx dropConstraint: no constraint named $name")
       val lines = headerLines(committedSchema(dir, conf, readV),
         cur.filterNot(_._1 == name),
-        committedColmap(dir, conf, readV)) ++
+        committedColmap(dir, conf, readV),
+        committedPartitionCol(dir, conf, readV)) ++
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
@@ -2077,14 +2138,24 @@ object GdxSource {
     replaceAtomic(fs, conf, manifestFor(path, keep.head),
       headerLines(committedSchema(path, conf, keep.head),
         committedConstraints(path, conf, keep.head),
-        committedColmap(path, conf, keep.head)) ++
+        committedColmap(path, conf, keep.head),
+        committedPartitionCol(path, conf, keep.head)) ++
         oldestFull.map(_.manifestLine))
     vs.dropRight(keepLast).foreach(v => fs.delete(manifestFor(path, v), false))
     val keptEntries = keep.flatMap(v => committedEntries(path, conf, v))
     val referenced =
       (keptEntries.map(_.name) ++ keptEntries.flatMap(_.dv)).toSet
-    val victims = fs.listStatus(base).filter { st =>
-      val n = st.getPath.getName
+    // table root plus one level of hive-style partition subdirs
+    // (`col=value/`): manifest names are DIRECTORY-RELATIVE, so the
+    // referenced-set compare must use the relative path, not the leaf
+    val listed: Seq[(org.apache.hadoop.fs.FileStatus, String)] =
+      fs.listStatus(base).toSeq.flatMap { st =>
+        if (st.isDirectory && st.getPath.getName.contains("="))
+          fs.listStatus(st.getPath).toSeq
+            .map(c => c -> s"${st.getPath.getName}/${c.getPath.getName}")
+        else Seq(st -> st.getPath.getName)
+      }
+    val victims = listed.filter { case (_, n) =>
       ((n.endsWith(".gdx") || n.endsWith(".dvx")) && !referenced(n)) ||
         // bloom sidecars die with their data file (excluded from the
         // returned count — the contract stays "data/DV files deleted").
@@ -2095,13 +2166,18 @@ object GdxSource {
           !stem.endsWith(".tmp") && !referenced(stem)
         })
     }
-    victims.foreach(st => fs.delete(st.getPath, false))
-    victims.count(!_.getPath.getName.endsWith(GdxBloom.Suffix))
+    victims.foreach { case (st, _) => fs.delete(st.getPath, false) }
+    victims.count { case (_, n) => !n.endsWith(GdxBloom.Suffix) }
   }
 }
 
-class GdxTable(path: String, tableSchema: StructType = GdxSource.schema)
+class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
+               declaredPartition: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite {
+  override def partitioning(): Array[
+      org.apache.spark.sql.connector.expressions.Transform] =
+    declaredPartition.map(c => org.apache.spark.sql.connector.expressions
+      .Expressions.identity(c)).toArray
   /** The table's directory — the snapshot-version lookup key MV
     * staleness pinning uses (plans/MvRewrite.gdxSnapshots). */
   private[graft] def tablePath: String = path
@@ -2120,7 +2196,8 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema)
     new GdxWriteBuilder(path,
       Option(info.options.get("expectedBaseVersion")).map(_.toInt)
         .getOrElse(-1),
-      info.schema())
+      info.schema(),
+      Option(info.options.get("partitionBy")).orElse(declaredPartition))
 }
 
 // ---------------------------------------------------------------- read
@@ -2646,24 +2723,53 @@ class GdxAggReader(base: GdxFileReader, ops: Seq[String])
 // --------------------------------------------------------------- write
 
 class GdxWriteBuilder(path: String, expectedBase: Int = -1,
-                      writeSchema: StructType = GdxSource.schema)
+                      writeSchema: StructType = GdxSource.schema,
+                      partitionByOpt: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   // truncate = start the NEW snapshot from an empty file set instead of
   // the previous snapshot's; history is untouched either way — old
   // manifests keep referencing their own files until vacuumed
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
-  override def build(): Write =
-    new GdxWrite(path, replace, expectedBase, writeSchema)
+  override def build(): Write = {
+    // the effective partition column: an explicit option or table
+    // declaration on this write, else whatever the manifest already
+    // records (appends inherit the layout with no option). A declared
+    // column must exist and be LONG (values become directory names —
+    // numeric text is unambiguous; string escaping is not worth the
+    // failure modes), and must not contradict the recorded one.
+    val recorded = GdxSource.committedPartitionCol(path,
+      GdxSource.driverConf())
+    val declared = partitionByOpt
+    (declared, recorded) match {
+      case (Some(d), Some(r)) if d != r =>
+        throw new IllegalArgumentException(
+          s"gdx write: partitionBy $d contradicts the table's recorded " +
+            s"partition column $r")
+      case _ => ()
+    }
+    val effective = declared.orElse(if (replace) None else recorded)
+    effective.foreach { c =>
+      val f = writeSchema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"gdx write: partition column $c is not in the write schema"))
+      require(f.dataType == LongType,
+        s"gdx write: partition column $c must be BIGINT " +
+          s"(got ${f.dataType.catalogString})")
+    }
+    new GdxWrite(path, replace, expectedBase, writeSchema, effective)
+  }
 }
 
 class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1,
-               writeSchema: StructType = GdxSource.schema)
+               writeSchema: StructType = GdxSource.schema,
+               partitionCol: Option[String] = None)
     extends Write {
   override def toBatch: BatchWrite =
-    new GdxBatchWrite(path, replace, expectedBase, writeSchema)
+    new GdxBatchWrite(path, replace, expectedBase, writeSchema,
+      partitionCol)
   override def toStreaming: wstreaming.StreamingWrite =
-    new GdxStreamingWrite(path, writeSchema)
+    new GdxStreamingWrite(path, writeSchema, partitionCol)
 }
 
 /** Exactly-once streaming sink: every micro-batch is one append commit
@@ -2680,8 +2786,12 @@ class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1,
   * directory is a full streaming table: writeStream in, readStream
   * out, batch anywhere in between. */
 class GdxStreamingWrite(path: String,
-                        writeSchema: StructType = GdxSource.schema)
+                        writeSchema: StructType = GdxSource.schema,
+                        partitionCol: Option[String] = None)
     extends wstreaming.StreamingWrite {
+  private def partitionIdx: Int = partitionCol
+    .map(c => writeSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c)))
+    .getOrElse(-1)
   // the constraint set this write's tasks ENFORCE, captured once at
   // write construction; commit conflict-checks the live set against
   // it, so a constraint committed mid-flight aborts the epoch rather
@@ -2696,7 +2806,8 @@ class GdxStreamingWrite(path: String,
       new SerializableHadoopConf(GdxSource.driverConf()), writeSchema,
       GdxSource.activeChecks(enforced, writeSchema),
       GdxSource.writeLayout(writeSchema,
-        GdxSource.committedColmap(path, GdxSource.driverConf())))
+        GdxSource.committedColmap(path, GdxSource.driverConf())),
+      partitionIdx)
 
   def txnMarker(epochId: Long) = new Path(path, f"_txn-$epochId%016d")
 
@@ -2707,23 +2818,28 @@ class GdxStreamingWrite(path: String,
     val marker = txnMarker(epochId)
     if (fs.exists(marker)) {
       // replayed epoch: the original commit already published
-      messages.collect { case GdxCommitMessage(tmp, _) =>
-        fs.delete(new Path(path, tmp), false)
-        fs.delete(new Path(path, tmp + GdxBloom.Suffix), false)
+      messages.collect { case m: GdxCommitMessage =>
+        m.files.foreach { case (tmp, _) =>
+          fs.delete(new Path(path, tmp), false)
+          fs.delete(new Path(path, tmp + GdxBloom.Suffix), false)
+        }
       }
       return
     }
     GdxSource.commitFiles(path, conf, replace = false, messages.toSeq,
-      writeSchema = writeSchema, enforcedConstraints = Some(enforced))
+      writeSchema = writeSchema, enforcedConstraints = Some(enforced),
+      partitionCol = partitionCol)
     fs.create(marker, true).close()
   }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(GdxSource.driverConf())
-    messages.collect { case GdxCommitMessage(tmp, _) =>
-      fs.delete(new Path(path, tmp), false)
-      fs.delete(new Path(path, tmp + GdxBloom.Suffix), false)
+    messages.collect { case m: GdxCommitMessage =>
+      m.files.foreach { case (tmp, _) =>
+        fs.delete(new Path(path, tmp), false)
+        fs.delete(new Path(path, tmp + GdxBloom.Suffix), false)
+      }
     }
   }
 }
@@ -2733,22 +2849,29 @@ class GdxStreamingWriterFactory(path: String, conf: SerializableHadoopConf,
                                 checks: Seq[(String,
                                   org.apache.spark.sql.catalyst.expressions
                                     .Expression)] = Seq.empty,
-                                layout: Array[Int] = null)
+                                layout: Array[Int] = null,
+                                partitionIdx: Int = -1)
     extends wstreaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GdxDataWriter(path, partitionId, taskId, conf,
       tag = f"e$epochId%08d-", schema = writeSchema, checks = checks,
-      layoutIn = layout)
+      layoutIn = layout, partitionIdx = partitionIdx)
 }
 
-case class GdxCommitMessage(tmpName: String, stats: GdxFileStats)
+/** One task's committed tmp files (several under a partitioned write —
+  * one per partition value the task saw). */
+case class GdxCommitMessage(files: Seq[(String, GdxFileStats)])
     extends WriterCommitMessage
 
 class GdxBatchWrite(path: String, replace: Boolean,
                     expectedBase: Int = -1,
-                    writeSchema: StructType = GdxSource.schema)
+                    writeSchema: StructType = GdxSource.schema,
+                    partitionCol: Option[String] = None)
     extends BatchWrite {
+  private def partitionIdx: Int = partitionCol
+    .map(c => writeSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c)))
+    .getOrElse(-1)
   // captured once (see GdxStreamingWrite): the set the tasks enforce
   // IS the set commit verifies is still complete — a constraint that
   // lands between factory creation and commit is a metadata conflict,
@@ -2765,7 +2888,8 @@ class GdxBatchWrite(path: String, replace: Boolean,
     // mapping's physical layout, null-filling dead slots
     if (replace) null
     else GdxSource.writeLayout(writeSchema,
-      GdxSource.committedColmap(path, GdxSource.driverConf())))
+      GdxSource.committedColmap(path, GdxSource.driverConf())),
+    partitionIdx)
 
   /** Driver-side publish: rename each task's tmp file to its
     * VERSION-PREFIXED final name, then write snapshot N+1's manifest —
@@ -2777,15 +2901,18 @@ class GdxBatchWrite(path: String, replace: Boolean,
     * commit can ever clobber a file an older snapshot references. */
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GdxSource.commitFiles(path, GdxSource.driverConf(), replace,
-      messages.toSeq, expectedBase, writeSchema, Some(enforced))
+      messages.toSeq, expectedBase, writeSchema, Some(enforced),
+      partitionCol)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GdxSource.driverConf()
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
-    messages.collect { case GdxCommitMessage(tmp, _) =>
-      fs.delete(new Path(base, tmp), false)
-      fs.delete(new Path(base, tmp + GdxBloom.Suffix), false)
+    messages.collect { case m: GdxCommitMessage =>
+      m.files.foreach { case (tmp, _) =>
+        fs.delete(new Path(base, tmp), false)
+        fs.delete(new Path(base, tmp + GdxBloom.Suffix), false)
+      }
     }
   }
 }
@@ -2795,73 +2922,121 @@ class GdxWriterFactory(path: String, conf: SerializableHadoopConf,
                        checks: Seq[(String,
                          org.apache.spark.sql.catalyst.expressions
                            .Expression)] = Seq.empty,
-                       layout: Array[Int] = null)
+                       layout: Array[Int] = null,
+                       partitionIdx: Int = -1)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GdxDataWriter(path, partitionId, taskId, conf,
-      schema = writeSchema, checks = checks, layoutIn = layout)
+      schema = writeSchema, checks = checks, layoutIn = layout,
+      partitionIdx = partitionIdx)
 }
 
-/** Task-side writer: data lands in a uniquely-named `.tmp` file that
+/** Task-side writer: data lands in uniquely-named `.tmp` files that
   * only the driver commit publishes; a speculative duplicate or failed
-  * attempt leaves at most an unreferenced tmp (cleaned by abort, and
-  * harmless if leaked — readers never list the directory). */
+  * attempt leaves at most unreferenced tmps (cleaned by abort, and
+  * harmless if leaked — readers never list the directory).
+  *
+  * With `partitionIdx` set (hive-style `PARTITIONED BY` on a LONG
+  * column) the task demuxes rows into one file PER PARTITION VALUE it
+  * sees, under `<col>=<value>/` subdirectories — the manifest stores
+  * the subdir-relative names, so planning, blooms, DVs, and vacuum all
+  * work unchanged, and the partition column's per-file extended stats
+  * collapse to `v..v`, which makes static partition pruning exactly a
+  * zone-map prune. */
 class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
                     conf: SerializableHadoopConf, tag: String = "",
                     schema: StructType = GdxSource.schema,
                     checks: Seq[(String,
                       org.apache.spark.sql.catalyst.expressions
                         .Expression)] = Seq.empty,
-                    layoutIn: Array[Int] = null)
+                    layoutIn: Array[Int] = null,
+                    partitionIdx: Int = -1)
     extends DataWriter[InternalRow] {
   // physical slot → logical field index (-1 = dead slot, written \N);
   // identity unless the table carries a column mapping
   private val layout: Array[Int] =
     if (layoutIn == null) schema.indices.toArray else layoutIn
-  // `tag` carries the streaming epoch so re-attempts of the same
-  // (partition, task) across epochs can never collide on a tmp name;
-  // the per-write UUID makes the name unique ACROSS APPLICATIONS too —
-  // task ids restart from 0 per app, so two processes appending
-  // concurrently would otherwise claim the same tmp (and the winning
-  // commit's renamed file could be clobbered by the loser's retry)
-  private val name = f"part-$tag$partitionId%05d-$taskId-" +
-    java.util.UUID.randomUUID().toString + ".gdx.tmp"
-  private val target = new Path(path, name)
-  // overwrite=false: with UUID'd names a collision is impossible, so
-  // an existing target is a bug worth failing loudly on, never data
-  // to silently replace
-  private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-    target.getFileSystem(conf.conf).create(target, false), "UTF-8"))
 
-  // zone map accumulated as rows stream through — an empty task keeps
-  // the inverted sentinel range (minK > maxK), which the manifest
-  // publishes and pruning treats as matching no predicate
-  private var rows = 0L
-  private var minK = Long.MaxValue
-  private var maxK = Long.MinValue
+  /** One output file: line sink + its zone map, extended stats, and
+    * bloom sidecar. `subdir` is "" (unpartitioned) or "<col>=<v>/". */
+  private final class Sink(subdir: String) {
+    // `tag` carries the streaming epoch so re-attempts of the same
+    // (partition, task) across epochs can never collide on a tmp name;
+    // the per-write UUID makes the name unique ACROSS APPLICATIONS too
+    // — task ids restart from 0 per app, so two processes appending
+    // concurrently would otherwise claim the same tmp (and the winning
+    // commit's renamed file could be clobbered by the loser's retry)
+    val name: String = subdir + f"part-$tag$partitionId%05d-$taskId-" +
+      java.util.UUID.randomUUID().toString + ".gdx.tmp"
+    val target = new Path(path, name)
+    // overwrite=false: with UUID'd names a collision is impossible, so
+    // an existing target is a bug worth failing loudly on, never data
+    // to silently replace (create() mkdirs the subdir as needed)
+    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      target.getFileSystem(conf.conf).create(target, false), "UTF-8"))
+    // zone map accumulated as rows stream through — an empty task keeps
+    // the inverted sentinel range (minK > maxK), which the manifest
+    // publishes and pruning treats as matching no predicate
+    var rows = 0L
+    var minK = Long.MaxValue
+    var maxK = Long.MinValue
+    val extSeen = new Array[Boolean](extIdx.length)
+    val extNaN = new Array[Boolean](extIdx.length)
+    val extMinL = Array.fill(extIdx.length)(Long.MaxValue)
+    val extMaxL = Array.fill(extIdx.length)(Long.MinValue)
+    val extMinD = Array.fill(extIdx.length)(Double.MaxValue)
+    val extMaxD = Array.fill(extIdx.length)(Double.MinValue)
+    // point-lookup bloom over k, written as an immutable sidecar the
+    // commit renames alongside the data file (see [[GdxBloom]])
+    val bloom = new Array[Byte](GdxBloom.Bits / 8)
+
+    def entry: (String, GdxFileStats) = {
+      val ext = extIdx.indices.iterator
+        .filter(e => extSeen(e) && !extNaN(e)).map { e =>
+        val i = extIdx(e)
+        schema(i).name -> (if (schema(i).dataType == LongType)
+          (extMinL(e).toString, extMaxL(e).toString)
+        else (extMinD(e).toString, extMaxD(e).toString))
+      }.toMap
+      (name, GdxFileStats(rows, minK, maxK, ext))
+    }
+  }
+
   // extended zone maps: min/max per additional NUMERIC column (string
   // columns are skipped — k covers the key path and long string
   // extrema would bloat every manifest line), NULLs excluded, tracked
   // exactly in the column's own type. A column that never sees a
-  // non-null value publishes nothing (absence = cannot prune).
+  // non-null value publishes nothing (absence = cannot prune). A NaN
+  // poisons the column's range for this file: Spark orders NaN ABOVE
+  // every double, so a min/max computed from the non-NaN values could
+  // wrongly prune a file whose NaN rows satisfy a > predicate —
+  // suppress the column's stats instead (absence = cannot prune).
   private val extIdx: Array[Int] = schema.fields.zipWithIndex.drop(1)
     .collect { case (f, i)
         if f.dataType == LongType || f.dataType == DoubleType => i }
-  private val extSeen = new Array[Boolean](extIdx.length)
-  // a NaN poisons the column's range for this file: Spark orders NaN
-  // ABOVE every double, so a min/max computed from the non-NaN values
-  // could wrongly prune a file whose NaN rows satisfy a > predicate —
-  // suppress the column's stats instead (absence = cannot prune)
-  private val extNaN = new Array[Boolean](extIdx.length)
-  private val extMinL = Array.fill(extIdx.length)(Long.MaxValue)
-  private val extMaxL = Array.fill(extIdx.length)(Long.MinValue)
-  private val extMinD = Array.fill(extIdx.length)(Double.MaxValue)
-  private val extMaxD = Array.fill(extIdx.length)(Double.MinValue)
 
-  // point-lookup bloom over k, written as an immutable sidecar the
-  // commit renames alongside the data file (see [[GdxBloom]])
-  private val bloom = new Array[Byte](GdxBloom.Bits / 8)
+  private val partitionName: String =
+    if (partitionIdx >= 0) schema(partitionIdx).name else ""
+  // unpartitioned: exactly one sink, created eagerly (the historical
+  // behavior — an empty task still publishes an empty-file entry)
+  private val sinks =
+    new java.util.LinkedHashMap[String, Sink]()
+  if (partitionIdx < 0) sinks.put("", new Sink(""))
+
+  private def sinkFor(r: InternalRow): Sink = {
+    val key =
+      if (partitionIdx < 0) ""
+      else if (r.isNullAt(partitionIdx)) "__null__"
+      else r.getLong(partitionIdx).toString
+    var s = sinks.get(key)
+    if (s == null) {
+      s = new Sink(
+        if (partitionIdx < 0) "" else s"$partitionName=$key/")
+      sinks.put(key, s)
+    }
+    s
+  }
 
   override def write(r: InternalRow): Unit = {
     require(!r.isNullAt(0), "gdx write: k (the key) must not be null")
@@ -2874,33 +3049,34 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
           s"gdx write: row violates CHECK constraint ${checks(c)._1}")
       c += 1
     }
+    val sink = sinkFor(r)
     val k = r.getLong(0)
-    rows += 1
-    if (k < minK) minK = k
-    if (k > maxK) maxK = k
-    GdxBloom.set(bloom, k)
+    sink.rows += 1
+    if (k < sink.minK) sink.minK = k
+    if (k > sink.maxK) sink.maxK = k
+    GdxBloom.set(sink.bloom, k)
     var e = 0
     while (e < extIdx.length) {
       val i = extIdx(e)
       if (!r.isNullAt(i)) {
-        extSeen(e) = true
+        sink.extSeen(e) = true
         if (schema(i).dataType == LongType) {
           val v = r.getLong(i)
-          if (v < extMinL(e)) extMinL(e) = v
-          if (v > extMaxL(e)) extMaxL(e) = v
+          if (v < sink.extMinL(e)) sink.extMinL(e) = v
+          if (v > sink.extMaxL(e)) sink.extMaxL(e) = v
         } else {
           val v = r.getDouble(i)
-          if (java.lang.Double.isNaN(v)) extNaN(e) = true
-          if (v < extMinD(e)) extMinD(e) = v
-          if (v > extMaxD(e)) extMaxD(e) = v
+          if (java.lang.Double.isNaN(v)) sink.extNaN(e) = true
+          if (v < sink.extMinD(e)) sink.extMinD(e) = v
+          if (v > sink.extMaxD(e)) sink.extMaxD(e) = v
         }
       }
       e += 1
     }
-    // fields joined by tab in schema order; NULL as the reserved \N
-    // marker. The line format has no escaping: a separator/terminator
-    // (or a literal \N) inside a string would corrupt the row on read
-    // — reject at write time, loudly.
+    // fields joined by tab in physical-slot order; NULL as the reserved
+    // \N marker. The line format has no escaping: a separator/
+    // terminator (or a literal \N) inside a string would corrupt the
+    // row on read — reject at write time, loudly.
     val sb = new java.lang.StringBuilder
     var pSlot = 0
     while (pSlot < layout.length) {
@@ -2920,30 +3096,33 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
       }
       pSlot += 1
     }
-    out.println(sb)
+    sink.out.println(sb)
   }
+
+  private def eachSink(f: Sink => Unit): Unit = {
+    val it = sinks.values().iterator()
+    while (it.hasNext) f(it.next())
+  }
+
   override def commit(): WriterCommitMessage = {
-    out.close()
-    if (rows > 0) {
-      val fs = target.getFileSystem(conf.conf)
-      val bp = new Path(path, name + GdxBloom.Suffix)
-      val bo = fs.create(bp, false)
-      try bo.write(bloom) finally bo.close()
+    val files = Seq.newBuilder[(String, GdxFileStats)]
+    eachSink { s =>
+      s.out.close()
+      if (s.rows > 0) {
+        val fs = s.target.getFileSystem(conf.conf)
+        val bp = new Path(path, s.name + GdxBloom.Suffix)
+        val bo = fs.create(bp, false)
+        try bo.write(s.bloom) finally bo.close()
+      }
+      files += s.entry
     }
-    val ext = extIdx.indices.iterator
-      .filter(e => extSeen(e) && !extNaN(e)).map { e =>
-      val i = extIdx(e)
-      schema(i).name -> (if (schema(i).dataType == LongType)
-        (extMinL(e).toString, extMaxL(e).toString)
-      else (extMinD(e).toString, extMaxD(e).toString))
-    }.toMap
-    GdxCommitMessage(name, GdxFileStats(rows, minK, maxK, ext))
+    GdxCommitMessage(files.result())
   }
-  override def abort(): Unit = {
-    out.close()
-    val fs = target.getFileSystem(conf.conf)
-    fs.delete(target, false)
-    fs.delete(new Path(path, name + GdxBloom.Suffix), false); ()
+  override def abort(): Unit = eachSink { s =>
+    s.out.close()
+    val fs = s.target.getFileSystem(conf.conf)
+    fs.delete(s.target, false)
+    fs.delete(new Path(path, s.name + GdxBloom.Suffix), false); ()
   }
-  override def close(): Unit = out.close()
+  override def close(): Unit = eachSink(_.out.close())
 }

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+import graft.sources.GdxSource
+
+/** Hive-style partitioning on the GDX format: `PARTITIONED BY` /
+  * `option("partitionBy", col)` demuxes writes into `col=value/`
+  * subdirectories, the declaration rides the manifest (`#partition`),
+  * and static partition pruning composes with zone maps and blooms —
+  * the partition column's per-file stats collapse to `v..v`, so an
+  * equality predicate plans exactly one partition's files. */
+class GdxPartitionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val fmt = "graft.sources.GdxSource"
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"gdxpt_$tag").toString + "/t"
+
+  private def read(dir: String) =
+    spark.read.format(fmt).option("path", dir).load()
+
+  private def df(n: Int, parts: Int) =
+    (0 until n).map(i => (i.toLong, s"r$i", (i % parts).toLong))
+      .toDF("k", "v", "p")
+
+  test("partitionBy demuxes writes into col=value dirs; appends " +
+      "inherit; pruning plans one partition") {
+    val dir = freshDir("base")
+    df(300, 3).repartition(4)
+      .write.format(fmt).option("path", dir).option("partitionBy", "p")
+      .mode("overwrite").save()
+    // declaration recorded; files under hive-style subdirs
+    assert(GdxSource.committedPartitionCol(dir,
+      GdxSource.driverConf()).contains("p"))
+    val entries = GdxSource.committedEntries(dir, GdxSource.driverConf())
+    assert(entries.nonEmpty && entries.forall(_.name.matches("p=\\d+/.*")),
+      s"files must land under p=<v>/: ${entries.map(_.name)}")
+    assert(read(dir).count() === 300L)
+    assert(read(dir).filter(col("p") === 1L).agg(sum("k"))
+      .head.getLong(0) === (1 until 300 by 3).map(_.toLong).sum)
+    // append WITHOUT the option inherits the layout
+    Seq((1000L, "x", 2L)).toDF("k", "v", "p").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val after = GdxSource.committedEntries(dir, GdxSource.driverConf())
+    assert(after.forall(_.name.matches("p=\\d+/.*")))
+    // static partition pruning = zone-map prune on the v..v stats:
+    // an equality keeps ONLY that partition's directory
+    val (keptN, total) = GdxSource.plannedFiles(dir, Seq(EqualTo("p", 1L)))
+    assert(keptN < total, s"p=1 must prune ($keptN/$total)")
+    val keptEntries = GdxSource.pruneByStats(after, Seq(EqualTo("p", 1L)))
+    assert(keptEntries.nonEmpty &&
+      keptEntries.forall(_.name.startsWith("p=1/")),
+      s"kept files must all live under p=1/: ${keptEntries.map(_.name)}")
+    // range predicates compose the same way
+    assert(GdxSource.pruneByStats(after, Seq(GreaterThanOrEqual("p", 2L)))
+      .forall(_.name.startsWith("p=2/")))
+    // row-level correctness is pruning-independent
+    assert(read(dir).filter(col("p") === 2L).count() === 100L + 1L)
+  }
+
+  test("CREATE TABLE PARTITIONED BY declares the layout through SQL") {
+    val s = org.apache.spark.sql.graft.ColumnBridge
+      .sessionWithExtensions(spark, new GraftExtensions())
+    val dir = freshDir("sql")
+    s.sql(s"""CREATE TABLE gdxpt_t (k BIGINT, v STRING, p BIGINT)
+      USING graft.sources.GdxSource
+      PARTITIONED BY (p)
+      OPTIONS (path '$dir')""")
+    try {
+      s.sql("INSERT INTO gdxpt_t VALUES (1,'a',0),(2,'b',1),(3,'c',0)")
+      assert(GdxSource.committedPartitionCol(dir,
+        GdxSource.driverConf()).contains("p"))
+      assert(GdxSource.committedEntries(dir, GdxSource.driverConf())
+        .forall(_.name.startsWith("p=")))
+      assert(s.sql("SELECT sum(k) FROM gdxpt_t WHERE p = 0")
+        .head.getLong(0) === 4L)
+    } finally s.sql("DROP TABLE IF EXISTS gdxpt_t")
+  }
+
+  test("DV deletes, vacuum, and blooms work across partition dirs") {
+    val dir = freshDir("dml")
+    df(120, 4).repartition(2)
+      .write.format(fmt).option("path", dir).option("partitionBy", "p")
+      .mode("overwrite").save()
+    // row-level delete: DV sidecars attach to subdir'd files
+    val (_, nDel) = GdxSource.delete(spark, dir, col("k") % 10 === 0L)
+    assert(nDel === 12L)
+    assert(read(dir).count() === 108L)
+    // supersede everything, then vacuum: the old subdir files are
+    // reaped (relative-path compare), the live snapshot is intact
+    df(50, 4).repartition(2)
+      .write.format(fmt).option("path", dir).option("partitionBy", "p")
+      .mode("overwrite").save()
+    val removed = GdxSource.vacuum(dir, GdxSource.driverConf(),
+      keepLast = 1)
+    assert(removed > 0, "superseded partitioned files must be reaped")
+    assert(read(dir).count() === 50L)
+    // bloom sidecars live next to their subdir'd files and still prune
+    val all = GdxSource.committedEntries(dir, GdxSource.driverConf())
+    val keptB = GdxSource.pruneByBloom(dir, all, Seq(EqualTo("k", 7L)))
+    assert(keptB.size <= all.size)
+    assert(read(dir).filter(col("k") === 7L).count() === 1L)
+  }
+
+  test("invalid declarations refuse loudly") {
+    val dir = freshDir("bad")
+    // non-BIGINT partition column
+    val e1 = intercept[Exception] {
+      df(10, 2).write.format(fmt).option("path", dir)
+        .option("partitionBy", "v").mode("overwrite").save()
+    }
+    assert(e1.getMessage.contains("BIGINT"), e1.getMessage)
+    // unknown column
+    val e2 = intercept[Exception] {
+      df(10, 2).write.format(fmt).option("path", dir)
+        .option("partitionBy", "nope").mode("overwrite").save()
+    }
+    assert(e2.getMessage.contains("not in the write schema"),
+      e2.getMessage)
+    // contradicting an existing declaration
+    df(10, 2).write.format(fmt).option("path", dir)
+      .option("partitionBy", "p").mode("overwrite").save()
+    val e3 = intercept[Exception] {
+      df(10, 2).write.format(fmt).option("path", dir)
+        .option("partitionBy", "k").mode("append").save()
+    }
+    assert(e3.getMessage.contains("contradicts"), e3.getMessage)
+    // a truncate may re-layout the table (unpartitioned overwrite)
+    df(10, 2).drop("p").withColumn("p", lit(null).cast("bigint"))
+      .select("k", "v", "p")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    assert(GdxSource.committedPartitionCol(dir,
+      GdxSource.driverConf()).isEmpty)
+  }
+}

@@ -383,12 +383,12 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
         java.nio.file.Path.of(dir, name), line + "\n")
     val sw = new GdxStreamingWrite(dir)
     tmp("part-x.gdx.tmp", "1\ta")
-    sw.commit(0L, Array(GdxCommitMessage("part-x.gdx.tmp",
-      GdxFileStats(1, 1, 1))))
+    sw.commit(0L, Array(GdxCommitMessage(Seq("part-x.gdx.tmp" ->
+      GdxFileStats(1, 1, 1)))))
     // the engine failed before recording epoch 0 and replays it
     tmp("part-y.gdx.tmp", "1\ta")
-    sw.commit(0L, Array(GdxCommitMessage("part-y.gdx.tmp",
-      GdxFileStats(1, 1, 1))))
+    sw.commit(0L, Array(GdxCommitMessage(Seq("part-y.gdx.tmp" ->
+      GdxFileStats(1, 1, 1)))))
     assert(read(dir).as[(Long, String)].collect().toSeq === Seq((1L, "a")),
       "a replayed epoch must not double its rows")
     val conf = graft.sources.GdxSource.driverConf()
@@ -398,8 +398,8 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     assert(!new java.io.File(dir, "part-y.gdx.tmp").exists())
     // a NEW epoch commits normally
     tmp("part-z.gdx.tmp", "2\tb")
-    sw.commit(1L, Array(GdxCommitMessage("part-z.gdx.tmp",
-      GdxFileStats(1, 2, 2))))
+    sw.commit(1L, Array(GdxCommitMessage(Seq("part-z.gdx.tmp" ->
+      GdxFileStats(1, 2, 2)))))
     assert(read(dir).as[(Long, String)].collect().toSet ===
       Set((1L, "a"), (2L, "b")))
   }
