@@ -1133,10 +1133,16 @@ object GdxSource {
         }
         case Some((before, rewritten)) =>
           try {
-            rewritten.write.format("graft.sources.GdxSource")
+            // a maintenance rewrite preserves the table's declared
+            // hive-style layout: the truncate re-declares it, so
+            // OPTIMIZE compacts WITHIN partitions instead of silently
+            // un-partitioning the table
+            val w0 = rewritten.write.format("graft.sources.GdxSource")
               .option("path", dir)
               .option("expectedBaseVersion", readV.toString)
-              .mode("overwrite").save()
+            val w = committedPartitionCol(dir, driverConf())
+              .map(c => w0.option("partitionBy", c)).getOrElse(w0)
+            w.mode("overwrite").save()
             return (before, committedEntries(dir, driverConf()).size)
           } catch {
             case t: Throwable if isConflict(t) && attempt < maxRetries =>
@@ -2349,7 +2355,18 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   private var runtime: Array[Filter] = Array.empty
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("k"))
+    // the key; plus the hive-style partition column when the table
+    // declares one — a join on the partition key then delivers its
+    // build-side value set here and prunes whole partition directories
+    // at runtime (classic static+dynamic partition pruning composed).
+    // Advertise only columns the PRUNED scan still outputs: Spark
+    // resolves these refs against readSchema(), and an unresolvable
+    // one fails the query, not just the optimization.
+    (Seq("k") ++ GdxSource.committedPartitionCol(path,
+        GdxSource.driverConf(), version).toSeq.filter(_ != "k"))
+      .filter(readSchema().fieldNames.contains(_))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
   override def filter(filters: Array[Filter]): Unit = { runtime = filters }
   override def readSchema(): StructType = aggOps match {
     case Some(ops) => StructType(ops.zipWithIndex.map { case (op, i) =>

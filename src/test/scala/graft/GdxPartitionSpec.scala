@@ -104,6 +104,50 @@ class GdxPartitionSpec extends SparkSuite {
     assert(read(dir).filter(col("k") === 7L).count() === 1L)
   }
 
+  test("OPTIMIZE compacts within partitions, never un-partitions") {
+    val dir = freshDir("opt")
+    df(200, 4).repartition(8)
+      .write.format(fmt).option("path", dir).option("partitionBy", "p")
+      .mode("overwrite").save()
+    val (before, after) = GdxSource.compact(spark, dir, target = 2)
+    assert(after < before)
+    assert(GdxSource.committedPartitionCol(dir,
+      GdxSource.driverConf()).contains("p"),
+      "a maintenance rewrite must preserve the declared layout")
+    val entries = GdxSource.committedEntries(dir, GdxSource.driverConf())
+    assert(entries.forall(_.name.matches("p=\\d+/.*")),
+      s"compacted files must stay under their partitions: " +
+        s"${entries.map(_.name)}")
+    assert(read(dir).count() === 200L)
+    // and the compacted layout still prunes
+    val kept = GdxSource.pruneByStats(entries, Seq(EqualTo("p", 2L)))
+    assert(kept.nonEmpty && kept.forall(_.name.startsWith("p=2/")))
+  }
+
+  test("runtime (DPP) key sets on the partition column prune dirs") {
+    val dir = freshDir("dpp")
+    df(400, 8).repartition(4)
+      .write.format(fmt).option("path", dir).option("partitionBy", "p")
+      .mode("overwrite").save()
+    // a join on p against a 1-row dim delivers In(p, [5]) at runtime;
+    // assert the plan-level effect via the same prune the scan runs
+    val entries = GdxSource.committedEntries(dir, GdxSource.driverConf())
+    val kept = GdxSource.pruneByStats(entries,
+      Seq(org.apache.spark.sql.sources.In("p", Array(5L))))
+    assert(kept.nonEmpty && kept.size < entries.size &&
+      kept.forall(_.name.startsWith("p=5/")))
+    // end-to-end: the join answers correctly (DPP is an overlay)
+    val dim = Seq((5L, "five")).toDF("dp", "label")
+    val joined = read(dir).join(dim, col("p") === col("dp"))
+    assert(joined.count() === 50L)
+    // the scan advertises p for runtime filtering
+    val scan = new graft.sources.GdxScanBuilder(dir, -1,
+      read(dir).schema).build()
+    assert(scan.asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsRuntimeFiltering].filterAttributes()
+      .map(_.fieldNames.mkString).toSet === Set("k", "p"))
+  }
+
   test("invalid declarations refuse loudly") {
     val dir = freshDir("bad")
     // non-BIGINT partition column
