@@ -69,14 +69,38 @@ object GdxTimeTravel {
 }
 
 class GdxTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** The GDX directory of `id` ONLY when the identifier names the
+    * table DIRECTLY. A view (temp or catalog) over a GDX table must
+    * NOT resolve here: `v VERSION AS OF 1` would silently become a
+    * pinned scan of the whole base, discarding the view's
+    * filter/projection — Spark's native "time travel on view" error
+    * is the correct outcome, so such identifiers get their original
+    * node back. */
+  private def directGdxPath(id: Seq[String]): Option[String] =
+    try {
+      def strip(p: LogicalPlan): LogicalPlan = p match {
+        case SubqueryAlias(_, c) => strip(c)
+        case r => r
+      }
+      strip(spark.table(id.map(part => s"`$part`").mkString("."))
+        .queryExecution.analyzed) match {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r.table match {
+          case g: graft.sources.GdxTable => Some(g.tablePath)
+          case _ => None
+        }
+        case _ => None // a View or any other shape: not a direct table
+      }
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
     case GdxTimeTravelPlaceholder(orig) =>
       val identOpt = orig.relation match {
         case u: UnresolvedRelation => Some(u.multipartIdentifier)
         case _ => None
       }
-      identOpt.flatMap(id =>
-        GdxMaintenanceSql.tryGdxPathOf(spark, id).map((id, _))) match {
+      identOpt.flatMap(id => directGdxPath(id).map((id, _))) match {
         case Some((id, path)) =>
           val r = spark.read.format("graft.sources.GdxSource")
             .option("path", path)

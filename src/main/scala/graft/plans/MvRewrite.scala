@@ -486,13 +486,14 @@ object MvRewrite {
           case Seq((dir, pinned)) =>
             val curV = currentGdxVersion(dir)
             if (curV <= pinned) return None
-            val changes = graft.sources.GdxSource
-              .tableChanges(spark, dir, pinned, curV)
-            val insertOnly = changes.filter(
-              col("change_type") =!= "insert").isEmpty
-            if (!insertOnly) return None
+            // insert-only is decided from manifest entry sets alone —
+            // the changefeed is scanned exactly ONCE, by the fold
+            if (!graft.sources.GdxSource
+                .changesAreInsertOnly(dir, pinned, curV)) return None
             refreshIncremental(spark,
-              changes.drop("version", "change_type"), d.root,
+              graft.sources.GdxSource
+                .tableChanges(spark, dir, pinned, curV)
+                .drop("version", "change_type"), d.root,
               asOfVersions = Map(dir -> curV))
             Option(registry.get(stale.root))
           case _ => None

@@ -195,7 +195,6 @@ case class RefreshMvCommand(name: String) extends LeafRunnableCommand {
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
       StructType(Seq(StructField("mode", StringType, nullable = false))))
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.col
     val (path, selectSql) = MvSql.lookup(name).getOrElse(
       throw new org.apache.spark.sql.AnalysisException(
         "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" ->
@@ -209,16 +208,17 @@ case class RefreshMvCommand(name: String) extends LeafRunnableCommand {
           graft.sources.GdxSource.driverConf()) :+ 0).max
         if (curV == pinnedV) "noop"
         else {
-          val changes =
-            graft.sources.GdxSource.tableChanges(spark, gdxDir, pinnedV, curV)
           // the incremental fold is valid for APPEND-ONLY deltas (n/sums
           // add, min/max merge); a delete or update in the window forces
-          // a rebuild - the Delta/BigQuery incremental-MV rule
-          val insertOnly =
-            changes.filter(col("change_type") =!= "insert").isEmpty
-          if (insertOnly) {
+          // a rebuild - the Delta/BigQuery incremental-MV rule. Decided
+          // from manifest entry sets alone, so the changefeed is
+          // scanned exactly once (by the fold itself).
+          if (graft.sources.GdxSource
+              .changesAreInsertOnly(gdxDir, pinnedV, curV)) {
             MvRewrite.refreshIncremental(spark,
-              changes.drop("version", "change_type"), path,
+              graft.sources.GdxSource
+                .tableChanges(spark, gdxDir, pinnedV, curV)
+                .drop("version", "change_type"), path,
               asOfVersions = Map(gdxDir -> curV))
             "incremental"
           } else {

@@ -155,14 +155,26 @@ class GdxSource extends TableProvider {
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    // CREATE TABLE ... PARTITIONED BY (p): a single identity transform
-    // becomes the table's declared partition column (first write
-    // records it in the manifest; appends inherit it)
-    new GdxTable(properties.get("path"), schema,
-      partitioning.toSeq.collect {
+    // CREATE TABLE ... PARTITIONED BY (p): ONE single-column identity
+    // transform becomes the table's declared partition column (first
+    // write records it in the manifest; appends inherit it). Anything
+    // else — multiple columns, bucket/temporal transforms — is refused
+    // loudly: silently truncating PARTITIONED BY (a, b) to 'a' would
+    // hand the user a layout they did not declare.
+    new GdxTable(properties.get("path"), schema, {
+      val idents = partitioning.toSeq.map {
         case t if t.name == "identity" && t.references.length == 1 =>
           t.references.head.fieldNames.mkString(".")
-      }.headOption)
+        case other => throw new IllegalArgumentException(
+          s"gdx: unsupported partition transform $other - only a " +
+            "single identity column (PARTITIONED BY (col)) is supported")
+      }
+      if (idents.length > 1) throw new IllegalArgumentException(
+        s"gdx: multi-column partitioning (${idents.mkString(",")}) is " +
+          "not supported - declare one column (compose further " +
+          "dimensions with Z-order clustering instead)")
+      idents.headOption
+    })
 }
 
 /** Hadoop Configuration is not Serializable; ship it to executors via
@@ -389,26 +401,12 @@ object GdxSource {
   private val PartitionHeader = "#partition "
 
   /** The partition column the chosen snapshot recorded (None =
-    * unpartitioned; resolution mirrors [[committedConstraints]]). */
+    * unpartitioned). */
   def committedPartitionCol(path: String, conf: Configuration,
                             version: Int = -1): Option[String] = {
     val fs = new Path(path).getFileSystem(conf)
-    val target: Option[Path] =
-      if (version >= 0) Some(manifestFor(path, version))
-      else listVersions(path, conf) match {
-        case vs if vs.nonEmpty => Some(manifestFor(path, vs.max))
-        case _ =>
-          val legacy = manifest(path)
-          if (fs.exists(legacy)) Some(legacy) else None
-      }
-    target.filter(fs.exists(_)).flatMap { m =>
-      val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(fs.open(m), "UTF-8"))
-      try Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .find(_.startsWith(PartitionHeader))
-        .map(_.stripPrefix(PartitionHeader).trim)
-      finally in.close()
-    }
+    targetManifest(path, conf, version)
+      .flatMap(readManifest(fs, _).partitionCol)
   }
 
   /** A snapshot's column mapping: `slots(i)` = physical line slot of
@@ -550,26 +548,29 @@ object GdxSource {
           .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
     }
 
-  /** One manifest file's lines: (isDelta, snapshot schema if recorded,
-    * column mapping if recorded, entries). Header order: `#delta` (if
-    * any), then `#schema`, then `#colmap`, then `#check`s, then
-    * entries. */
-  private def readManifest(fs: FileSystem, m: Path)
-      : (Boolean, Option[StructType], Option[Colmap], Seq[GdxFileEntry]) =
+  /** One manifest, fully parsed. Header order: `#delta` (if any),
+    * then `#schema`, `#colmap`, `#partition`, the `#check`s, then
+    * entries; unknown future `#`-headers are skipped, never mistaken
+    * for entries. */
+  private[graft] case class ManifestData(isDelta: Boolean,
+      schema: Option[StructType], colmap: Option[Colmap],
+      partitionCol: Option[String], checks: Seq[(String, String)],
+      entries: Seq[GdxFileEntry])
+
+  private def readManifest(fs: FileSystem, m: Path): ManifestData =
     try readManifestOnce(fs, m)
     catch {
       // self-heal a directory poisoned before the crc-hygiene fix: a
       // manifest rewritten through the NIO fast path under a stale
       // fs.create-era sidecar. The sidecar is advisory (atomic publish
-      // guards manifest integrity); drop it and reread.
+      // guards manifest integrity); drop it and reread. Every header
+      // accessor routes through here, so they all share the heal.
       case _: org.apache.hadoop.fs.ChecksumException =>
         dropStaleCrc(m)
         readManifestOnce(fs, m)
     }
 
-  private def readManifestOnce(fs: FileSystem, m: Path)
-      : (Boolean, Option[StructType], Option[Colmap],
-         Seq[GdxFileEntry]) = {
+  private def readManifestOnce(fs: FileSystem, m: Path): ManifestData = {
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(m), "UTF-8"))
     try {
@@ -592,19 +593,30 @@ object GdxSource {
           Colmap(slots, arityPart.getOrElse((slots :+ -1).max + 1))
         }
       if (colmap.isDefined) lines = lines.tail
-      // constraint headers follow; entries never start '#' (readers
-      // that predate a header kind skip it here — forward-compatible)
+      val part = lines.headOption.filter(_.startsWith(PartitionHeader))
+        .map(_.stripPrefix(PartitionHeader).trim)
+      if (part.isDefined) lines = lines.tail
+      val checks = lines.takeWhile(_.startsWith("#"))
+        .filter(_.startsWith(ConstraintHeader)).map { l =>
+          val body = l.stripPrefix(ConstraintHeader)
+          val sp = body.indexOf(' ')
+          body.substring(0, sp) -> body.substring(sp + 1)
+        }
+      // entries never start '#' (readers that predate a header kind
+      // skip it here — forward-compatible)
       lines = lines.dropWhile(_.startsWith("#"))
-      (isDelta, sch, colmap, lines.map(parseManifestLine))
+      ManifestData(isDelta, sch, colmap, part, checks,
+        lines.map(parseManifestLine))
     } finally in.close()
   }
 
-  /** The column mapping the chosen snapshot recorded (None = identity;
-    * resolution mirrors [[committedSchema]]). */
-  def committedColmap(path: String, conf: Configuration,
-                      version: Int = -1): Option[Colmap] = {
+  /** Resolve the manifest a header accessor should read: an explicit
+    * version, else the latest, else the legacy un-numbered file — the
+    * one resolution every committed* accessor shares. */
+  private def targetManifest(path: String, conf: Configuration,
+                             version: Int): Option[Path] = {
     val fs = new Path(path).getFileSystem(conf)
-    val target: Option[Path] =
+    val t: Option[Path] =
       if (version >= 0) Some(manifestFor(path, version))
       else listVersions(path, conf) match {
         case vs if vs.nonEmpty => Some(manifestFor(path, vs.max))
@@ -612,7 +624,14 @@ object GdxSource {
           val legacy = manifest(path)
           if (fs.exists(legacy)) Some(legacy) else None
       }
-    target.filter(fs.exists(_)).flatMap(readManifest(fs, _)._3)
+    t.filter(fs.exists(_))
+  }
+
+  /** The column mapping the chosen snapshot recorded (None = identity). */
+  def committedColmap(path: String, conf: Configuration,
+                      version: Int = -1): Option[Colmap] = {
+    val fs = new Path(path).getFileSystem(conf)
+    targetManifest(path, conf, version).flatMap(readManifest(fs, _).colmap)
   }
 
   /** The `(name, expr SQL)` CHECK constraints the chosen snapshot
@@ -620,26 +639,8 @@ object GdxSource {
   def committedConstraints(path: String, conf: Configuration,
                            version: Int = -1): Seq[(String, String)] = {
     val fs = new Path(path).getFileSystem(conf)
-    val target: Option[Path] =
-      if (version >= 0) Some(manifestFor(path, version))
-      else listVersions(path, conf) match {
-        case vs if vs.nonEmpty => Some(manifestFor(path, vs.max))
-        case _ =>
-          val legacy = manifest(path)
-          if (fs.exists(legacy)) Some(legacy) else None
-      }
-    target.filter(fs.exists(_)).toSeq.flatMap { m =>
-      val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(fs.open(m), "UTF-8"))
-      try Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .filter(_.startsWith(ConstraintHeader))
-        .map { l =>
-          val body = l.stripPrefix(ConstraintHeader)
-          val sp = body.indexOf(' ')
-          body.substring(0, sp) -> body.substring(sp + 1)
-        }.toList
-      finally in.close()
-    }
+    targetManifest(path, conf, version).toSeq
+      .flatMap(readManifest(fs, _).checks)
   }
 
   /** The header block every manifest writes: schema, column mapping
@@ -662,16 +663,8 @@ object GdxSource {
   def committedSchema(path: String, conf: Configuration,
                       version: Int = -1): StructType = {
     val fs = new Path(path).getFileSystem(conf)
-    val target: Option[Path] =
-      if (version >= 0) Some(manifestFor(path, version))
-      else listVersions(path, conf) match {
-        case vs if vs.nonEmpty => Some(manifestFor(path, vs.max))
-        case _ =>
-          val legacy = manifest(path)
-          if (fs.exists(legacy)) Some(legacy) else None
-      }
-    target.filter(fs.exists(_)).flatMap(readManifest(fs, _)._2)
-      .getOrElse(schema)
+    targetManifest(path, conf, version)
+      .flatMap(readManifest(fs, _).schema).getOrElse(schema)
   }
 
   /** Manifest entries (file name + optional zone-map stats) the chosen
@@ -699,7 +692,7 @@ object GdxSource {
     target match {
       case None => // pre-versioning directory: single full `_manifest`
         val m = manifest(path)
-        if (!fs.exists(m)) Seq.empty else readManifest(fs, m)._4
+        if (!fs.exists(m)) Seq.empty else readManifest(fs, m).entries
       case Some(v) =>
         var deltas = List.empty[Seq[GdxFileEntry]]
         var base = Seq.empty[GdxFileEntry]
@@ -710,12 +703,12 @@ object GdxSource {
           require(fs.exists(mp),
             s"gdx: snapshot version $v is unreadable - its delta chain " +
               s"is broken at version $cur (vacuumed or never written)")
-          val (isDelta, _, _, es) = readManifest(fs, mp)
-          if (isDelta) {
-            deltas = es :: deltas
+          val md = readManifest(fs, mp)
+          if (md.isDelta) {
+            deltas = md.entries :: deltas
             cur -= 1
             if (cur == 0) { walking = false } // delta at v1: empty base
-          } else { base = es; walking = false }
+          } else { base = md.entries; walking = false }
         }
         (base ++ deltas.flatten).sortBy(_.name)
     }
@@ -911,10 +904,13 @@ object GdxSource {
       var committed = -1
       var renamed: Map[String, GdxFileEntry] = Map.empty
       def tidyTmps(): Unit = finals.foreach { case (tmp, _) =>
-        val p = renamed.get(tmp).map(e => new Path(base, e.name))
-          .getOrElse(new Path(base, tmp))
+        // names are DIRECTORY-RELATIVE (a partitioned file lives under
+        // p=v/): the sidecar path must keep the subdir, so build it
+        // from the relative name, never from getName (leaf only)
+        val rel = renamed.get(tmp).map(_.name).getOrElse(tmp)
+        val p = new Path(base, rel)
         if (fs.exists(p)) fs.delete(p, false)
-        val bs = new Path(base, p.getName + GdxBloom.Suffix)
+        val bs = new Path(base, rel + GdxBloom.Suffix)
         if (fs.exists(bs)) fs.delete(bs, false)
       }
       while (committed < 0) {
@@ -957,8 +953,8 @@ object GdxSource {
             if (slash < 0) ("", tmp)
             else (tmp.substring(0, slash + 1), tmp.substring(slash + 1))
           val fin = sub + f"v$attempt%08d-" + leaf.stripSuffix(".tmp")
-          val src = renamed.get(tmp).map(e => new Path(base, e.name))
-            .getOrElse(new Path(base, tmp))
+          val srcRel = renamed.get(tmp).map(_.name).getOrElse(tmp)
+          val src = new Path(base, srcRel)
           val dst = new Path(base, fin)
           if (src != dst) {
             // never delete an existing dst: tmp names carry a per-write
@@ -971,8 +967,9 @@ object GdxSource {
             require(fs.rename(src, dst),
               s"gdx commit: rename $src -> $fin failed")
             // the bloom sidecar follows its data file through every
-            // (re)name; a missing sidecar (empty task) is fine
-            val bsrc = new Path(base, src.getName + GdxBloom.Suffix)
+            // (re)name (relative path — subdir preserved); a missing
+            // sidecar (empty task) is fine
+            val bsrc = new Path(base, srcRel + GdxBloom.Suffix)
             if (fs.exists(bsrc))
               fs.rename(bsrc, new Path(base, fin + GdxBloom.Suffix))
           }
@@ -1547,6 +1544,14 @@ object GdxSource {
     val types = tblSchema.fields.map(_.dataType)
     // physical slot -> logical field (-1 = dead slot, written \N)
     val layout = writeLayout(tblSchema, colmap)
+    // extended stats like the main writer (numeric non-key columns,
+    // NULLs excluded, NaN suppresses): on a partitioned table the
+    // UPDATE rewrite lands at the root, so the partition column's
+    // v..v range on these stats is what keeps updated rows PRUNABLE —
+    // without them every p = x query would plan every upd file forever
+    val extIdx: Array[Int] = tblSchema.fields.zipWithIndex.drop(1)
+      .collect { case (f, i)
+          if f.dataType == LongType || f.dataType == DoubleType => i }
     rows.rdd.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -1556,6 +1561,12 @@ object GdxSource {
         val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
           fs.create(p, false), "UTF-8"))
         var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        val extSeen = new Array[Boolean](extIdx.length)
+        val extNaN = new Array[Boolean](extIdx.length)
+        val extMinL = Array.fill(extIdx.length)(Long.MaxValue)
+        val extMaxL = Array.fill(extIdx.length)(Long.MinValue)
+        val extMinD = Array.fill(extIdx.length)(Double.MaxValue)
+        val extMaxD = Array.fill(extIdx.length)(Double.MinValue)
         try it.foreach { r =>
           val sb = new java.lang.StringBuilder
           var pSlot = 0
@@ -1581,11 +1592,36 @@ object GdxSource {
           n += 1
           if (k < mn) mn = k
           if (k > mx) mx = k
+          var e = 0
+          while (e < extIdx.length) {
+            val i = extIdx(e)
+            if (!r.isNullAt(i)) {
+              extSeen(e) = true
+              if (types(i) == LongType) {
+                val v = r.getLong(i)
+                if (v < extMinL(e)) extMinL(e) = v
+                if (v > extMaxL(e)) extMaxL(e) = v
+              } else {
+                val v = r.getDouble(i)
+                if (java.lang.Double.isNaN(v)) extNaN(e) = true
+                if (v < extMinD(e)) extMinD(e) = v
+                if (v > extMaxD(e)) extMaxD(e) = v
+              }
+            }
+            e += 1
+          }
         } finally out.close()
-        Iterator((name, n, mn, mx))
+        val ext = extIdx.indices.iterator
+          .filter(e => extSeen(e) && !extNaN(e)).map { e =>
+          val i = extIdx(e)
+          tblSchema(i).name -> (if (types(i) == LongType)
+            (extMinL(e).toString, extMaxL(e).toString)
+          else (extMinD(e).toString, extMaxD(e).toString))
+        }.toMap
+        Iterator((name, n, mn, mx, ext))
       }
-    }.collect().toSeq.map { case (name, n, mn, mx) =>
-      GdxFileEntry(name, Some(GdxFileStats(n, mn, mx)))
+    }.collect().toSeq.map { case (name, n, mn, mx, ext) =>
+      GdxFileEntry(name, Some(GdxFileStats(n, mn, mx, ext)))
     }
   }
 
@@ -1641,6 +1677,23 @@ object GdxSource {
     * table diff; one task per (version, file) pair. Output:
     * (version, change_type, <table columns at `toV`>), pre-evolution
     * rows null-filled. */
+  /** True when every commit in (fromV, toV] only ADDED files — no
+    * file removal (truncate/restore) and no deletion-vector growth.
+    * Decided from manifest entry sets alone (driver-side, no data
+    * read): the precondition for folding the window's changefeed into
+    * a summary incrementally, checked WITHOUT materializing the
+    * changefeed (the fold itself is the one scan). */
+  def changesAreInsertOnly(dir: String, fromV: Int, toV: Int): Boolean = {
+    val conf = driverConf()
+    ((fromV + 1) to toV).forall { v =>
+      val prev =
+        if (v - 1 == 0) Seq.empty else committedEntries(dir, conf, v - 1)
+      val cur = committedEntries(dir, conf, v)
+      val curBy = cur.map(e => e.name -> e).toMap
+      prev.forall(p => curBy.get(p.name).exists(_.dv == p.dv))
+    }
+  }
+
   def tableChanges(spark: SparkSession, dir: String,
                    fromV: Int, toV: Int)
       : org.apache.spark.sql.DataFrame = {
@@ -1780,13 +1833,13 @@ object GdxSource {
     val fs = new Path(dir).getFileSystem(conf)
     listVersions(dir, conf).map { v =>
       val mp = manifestFor(dir, v)
-      val (isDelta, sch, _, _) = readManifest(fs, mp)
+      val md = readManifest(fs, mp)
       val entries = committedEntries(dir, conf, v)
       (v, fs.getFileStatus(mp).getModificationTime,
-        if (isDelta) "delta" else "checkpoint",
+        if (md.isDelta) "delta" else "checkpoint",
         entries.size.toLong, entries.count(_.dv.isDefined).toLong,
         entries.flatMap(_.stats).map(_.rows).sum,
-        schemaSpec(sch.getOrElse(schema)))
+        schemaSpec(md.schema.getOrElse(schema)))
     }.toDF("version", "commit_ts", "manifest_kind", "n_files", "n_dvs",
       "n_rows_physical", "schema")
   }
@@ -2362,8 +2415,7 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
     // Advertise only columns the PRUNED scan still outputs: Spark
     // resolves these refs against readSchema(), and an unresolvable
     // one fails the query, not just the optimization.
-    (Seq("k") ++ GdxSource.committedPartitionCol(path,
-        GdxSource.driverConf(), version).toSeq.filter(_ != "k"))
+    (Seq("k") ++ partitionCol.toSeq.filter(_ != "k"))
       .filter(readSchema().fieldNames.contains(_))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
@@ -2426,15 +2478,21 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
         GdxSource.entryPath(path, e.name).toString,
         e.dv.map(d => GdxSource.entryPath(path, d).toString)): InputPartition).toArray
 
+  // slot-positioned view of the logical schema: readers resolve
+  // required columns to PHYSICAL line slots through it, so a mapped
+  // (renamed/dropped-column) snapshot reads exactly like an identity
+  // one. Resolved ONCE at the scan's pinned version (lazy val, like
+  // `entries`) — planning may call the factory/attribute hooks several
+  // times and each manifest read is driver-side filesystem I/O.
+  private lazy val slotSchema: StructType =
+    GdxSource.physicalized(tableSchema,
+      GdxSource.committedColmap(path, GdxSource.driverConf(), version))
+  private lazy val partitionCol: Option[String] =
+    GdxSource.committedPartitionCol(path, GdxSource.driverConf(), version)
+
   override def createReaderFactory(): PartitionReaderFactory =
-    // slot-positioned view of the logical schema: readers resolve
-    // required columns to PHYSICAL line slots through it, so a mapped
-    // (renamed/dropped-column) snapshot reads exactly like an identity
-    // one — resolved once here at the scan's pinned version
     new GdxReaderFactory(pushed ++ runtime, limit, aggOps, required,
-      GdxSource.physicalized(tableSchema,
-        GdxSource.committedColmap(path, GdxSource.driverConf(), version)),
-      new SerializableHadoopConf(GdxSource.driverConf()))
+      slotSchema, new SerializableHadoopConf(GdxSource.driverConf()))
 
   /** Statistics from the POST-PRUNING plan (Spark asks after pushdown,
     * so zone-map file skipping shrinks them): without this a DSv2 scan
@@ -2565,12 +2623,17 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter],
       .toArray
   }
 
+  // the mapping is pinned at STREAM construction, matching the pinned
+  // tableSchema: slots never move under a rename, and a mid-stream
+  // DROP/ADD changes the logical schema (arity) — physicalizing the
+  // old schema against the new mapping would trip the arity check and
+  // kill the stream. The stream keeps reading its own era's view;
+  // restart picks up the evolved schema.
+  private val slotSchema: StructType =
+    GdxSource.physicalized(tableSchema,
+      GdxSource.committedColmap(path, conf))
   override def createReaderFactory(): PartitionReaderFactory =
-    // current mapping at factory creation: a rename/drop committed
-    // mid-stream applies from the next factory (per micro-batch)
-    new GdxReaderFactory(pushed, -1, None, required,
-      GdxSource.physicalized(tableSchema,
-        GdxSource.committedColmap(path, conf)),
+    new GdxReaderFactory(pushed, -1, None, required, slotSchema,
       new SerializableHadoopConf(conf))
   override def commit(end: rstreaming.Offset): Unit = ()
   override def stop(): Unit = ()

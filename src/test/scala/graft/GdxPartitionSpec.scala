@@ -97,11 +97,44 @@ class GdxPartitionSpec extends SparkSuite {
       keepLast = 1)
     assert(removed > 0, "superseded partitioned files must be reaped")
     assert(read(dir).count() === 50L)
-    // bloom sidecars live next to their subdir'd files and still prune
+    // bloom sidecars are PUBLISHED next to their subdir'd files (the
+    // commit rename must preserve the partition directory) …
     val all = GdxSource.committedEntries(dir, GdxSource.driverConf())
-    val keptB = GdxSource.pruneByBloom(dir, all, Seq(EqualTo("k", 7L)))
-    assert(keptB.size <= all.size)
+    val fsRoot = new java.io.File(dir)
+    val nonEmpty = all.filter(_.stats.exists(_.rows > 0))
+    assert(nonEmpty.nonEmpty)
+    nonEmpty.foreach { e =>
+      assert(new java.io.File(fsRoot,
+        e.name + graft.sources.GdxBloom.Suffix).exists(),
+        s"missing bloom sidecar for ${e.name}")
+    }
+    // … and they genuinely prune: key 7 lives in exactly one partition
+    // (p = 7 % 4 = 3), so the other partitions' files must drop
+    val keptB = GdxSource.pruneByBloom(dir, nonEmpty, Seq(EqualTo("k", 7L)))
+    assert(keptB.size < nonEmpty.size,
+      s"bloom must prune (${keptB.size}/${nonEmpty.size})")
     assert(read(dir).filter(col("k") === 7L).count() === 1L)
+  }
+
+  test("UPDATE keeps rewritten rows prunable via their stats") {
+    val dir = freshDir("upd")
+    df(120, 4).repartition(2)
+      .write.format(fmt).option("path", dir).option("partitionBy", "p")
+      .mode("overwrite").save()
+    // update one partition's rows: the upd-files land at the root but
+    // MUST carry extended stats (p collapses to v..v), so every other
+    // partition's queries still prune them
+    GdxSource.update(spark, dir, col("p") === 1L && col("k") < 20L,
+      Map("v" -> lit("U")))
+    val entries = GdxSource.committedEntries(dir, GdxSource.driverConf())
+    val updFiles = entries.filter(_.name.startsWith("upd-"))
+    assert(updFiles.nonEmpty)
+    assert(updFiles.forall(_.stats.exists(_.cols.contains("p"))),
+      s"upd files must publish extended stats: $updFiles")
+    val kept = GdxSource.pruneByStats(entries, Seq(EqualTo("p", 2L)))
+    assert(kept.forall(e => !e.name.startsWith("upd-")),
+      "p=2 queries must prune the p=1 upd files by their stats")
+    assert(read(dir).filter(col("v") === "U").count() === 5L)
   }
 
   test("OPTIMIZE compacts within partitions, never un-partitions") {
@@ -150,6 +183,20 @@ class GdxPartitionSpec extends SparkSuite {
 
   test("invalid declarations refuse loudly") {
     val dir = freshDir("bad")
+    // multi-column / transformed PARTITIONED BY is refused at CREATE,
+    // never silently truncated to the first column
+    val s2 = org.apache.spark.sql.graft.ColumnBridge
+      .sessionWithExtensions(spark, new GraftExtensions())
+    val e0 = intercept[Exception] {
+      s2.sql(s"""CREATE TABLE gdxpt_multi (k BIGINT, v STRING,
+        a BIGINT, b BIGINT)
+        USING graft.sources.GdxSource PARTITIONED BY (a, b)
+        OPTIONS (path '${freshDir("multi")}')""")
+      s2.sql("INSERT INTO gdxpt_multi VALUES (1,'x',1,1)")
+    }
+    assert(e0.getMessage.contains("multi-column") ||
+      e0.getMessage.contains("not supported"), e0.getMessage)
+    s2.sql("DROP TABLE IF EXISTS gdxpt_multi")
     // non-BIGINT partition column
     val e1 = intercept[Exception] {
       df(10, 2).write.format(fmt).option("path", dir)

@@ -76,6 +76,35 @@ class GdxTimeTravelSpec extends SparkSuite {
     } finally { s.sql("DROP TABLE IF EXISTS gdxtt_plain"); () }
   }
 
+  test("time travel over a VIEW is refused natively, never silently " +
+      "widened to the base table") {
+    val dir = java.nio.file.Files.createTempDirectory("gdxtt_view")
+      .toString + "/t"
+    Seq((1L, "a"), (2L, "b"), (9L, "c")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    s.sql(s"""CREATE TABLE gdxtt_vt (k BIGINT, v STRING)
+      USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+    try {
+      // a filtered/projected view over the GDX table: resolving its
+      // time travel to a pinned scan of the WHOLE base would silently
+      // drop the view's filter and projection — Spark's native
+      // "time travel on view" error is the correct outcome
+      s.sql("CREATE OR REPLACE TEMP VIEW gdxtt_v AS " +
+        "SELECT k FROM gdxtt_vt WHERE k > 5")
+      val e = intercept[Exception] {
+        s.sql("SELECT * FROM gdxtt_v VERSION AS OF 1").collect()
+      }
+      assert(e.getMessage.contains("TIME_TRAVEL"), e.getMessage)
+      // the direct table still time-travels
+      assert(s.sql("SELECT count(*) FROM gdxtt_vt VERSION AS OF 1")
+        .head.getLong(0) === 3L)
+    } finally {
+      s.catalog.dropTempView("gdxtt_v")
+      s.sql("DROP TABLE IF EXISTS gdxtt_vt")
+      ()
+    }
+  }
+
   test("a time-travel relation never rewrites onto an MV summary") {
     val root = java.nio.file.Files.createTempDirectory("gdxtt_mv").toString
     val dir = s"$root/t"
