@@ -1768,6 +1768,100 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // S30 — STORAGE-PARTITIONED JOIN (SPJ): two GDX tables hive-
+    // partitioned on the SAME key report KeyGroupedPartitioning with
+    // per-file HasPartitionKey rows, so their equi-join on (p, k) —
+    // join keys ⊇ partition keys — plans and EXECUTES with ZERO
+    // shuffle exchanges: Spark co-schedules the matching partition
+    // directories (the Iceberg-style co-located fact⋈fact join; at
+    // 100 TB this is the difference between reading two tables and
+    // re-shuffling two tables). The payload IS the SPJ execution's
+    // output (collected under the SPJ session switches, 8 rows), which
+    // DuckDB recomputes from the raw events — a wrong grouping would
+    // break the hash, not just the claim. `spj_no_shuffle` pins the
+    // plan shape; `clustered_layout` pins the write-side distribution
+    // (RequiresDistributionAndOrdering lands ONE file per partition
+    // value instead of tasks × values — the small-files fix).
+    "s30_gdx_spj" -> ((s, d) => {
+      val dirA = graft.Scratch.tablePath("graft_gdxspja_")
+      val dirB = graft.Scratch.tablePath("graft_gdxspjb_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      val ev = Tables.events(s, d)
+      ev.select(col("event_id").as("k"), col("event_type").as("v"),
+          (col("event_id") % 8).as("p"))
+        .write.format(fmt).option("path", dirA)
+        .option("partitionBy", "p").mode("overwrite").save()
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("k"), col("event_type").as("v"),
+          (col("event_id") % 8).as("p"))
+        .write.format(fmt).option("path", dirB)
+        .option("partitionBy", "p").mode("overwrite").save()
+      val clusteredLayout = Seq(dirA, dirB).forall { dir =>
+        val e = gdx.committedEntries(dir, gdx.driverConf())
+        e.size == 8 && e.forall(_.name.matches("p=\\d+/.*"))
+      }
+      val spjConf = "spark.sql.sources.v2.bucketing.enabled"
+      val bcConf = "spark.sql.autoBroadcastJoinThreshold"
+      // join keys (p, k) are a SUPERSET of the partition keys (p):
+      // co-partitioning on the common prefix is sound (equal (p,k) ⇒
+      // equal p ⇒ same storage partition) but gated off by default
+      val superConf = "spark.sql.requireAllClusterKeysForCoPartition"
+      val (prevSpj, prevBc, prevSuper) = (s.conf.getOption(spjConf),
+        s.conf.get(bcConf), s.conf.getOption(superConf))
+      s.conf.set(spjConf, "true"); s.conf.set(bcConf, "-1")
+      s.conf.set(superConf, "false")
+      val (rows, noShuffle) = try {
+        val a = s.read.format(fmt).option("path", dirA).load()
+        val b = s.read.format(fmt).option("path", dirB).load()
+          .withColumnRenamed("v", "bv")
+        val q = a.join(b, Seq("p", "k"))
+          .groupBy("p")
+          .agg(count(lit(1)).as("n_matched"), sum("k").as("sum_k"))
+        val plan = q.queryExecution.executedPlan.toString()
+        (q.collect().toSeq, !plan.contains("Exchange"))
+      } finally {
+        prevSpj.fold(s.conf.unset(spjConf))(s.conf.set(spjConf, _))
+        s.conf.set(bcConf, prevBc)
+        prevSuper.fold(s.conf.unset(superConf))(s.conf.set(superConf, _))
+      }
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("p", "n_matched", "sum_k")
+        .withColumn("spj_no_shuffle", lit(noShuffle))
+        .withColumn("clustered_layout", lit(clusteredLayout))
+        .orderBy("p")
+    }),
+
+    // S31 — MANIFEST-GROUPED AGGREGATE: COUNT(*)/MIN(k)/MAX(k) GROUPED
+    // BY the hive partition column answered COMPLETELY from manifest
+    // zone maps — the per-partition profile every table console shows
+    // ("rows per day, key range per day"), at metadata speed: the scan
+    // ships one finished row per partition value and opens ZERO data
+    // files (GdxPartitionSpec proves it by corrupting every file; the
+    // fold is exact because partitioned files' p-stats collapse to
+    // v..v and names prove their value). Extends s21's ungrouped
+    // metadata path with SQL GROUP BY semantics: a DV'd snapshot, a
+    // row filter, or a non-partition key falls back to a classic plan.
+    // `meta_complete` pins the plan shape; DuckDB recomputes the
+    // grouped payload from raw events.
+    "s31_gdx_meta_groupby" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxmgb_")
+      val fmt = "graft.sources.GdxSource"
+      Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"),
+          (col("event_id") % 8).as("p"))
+        .write.format(fmt).option("path", dir)
+        .option("partitionBy", "p").mode("overwrite").save()
+      val q = s.read.format(fmt).option("path", dir).load()
+        .groupBy("p")
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"),
+          max("k").as("max_k"))
+      val metaComplete = q.queryExecution.executedPlan.toString()
+        .contains("COMPLETE(manifest)")
+      q.withColumn("meta_complete", lit(metaComplete)).orderBy("p")
+    }),
+
     // C25 — COLUMN MAPPING on the GDX format (the Delta column-mapping
     // / Iceberg field-id contract): RENAME and DROP COLUMN are
     // METADATA-ONLY commits via the `#colmap` manifest header —
@@ -3010,6 +3104,22 @@ object RelationalOps extends QueryModule {
       """SELECT event_id AS k, event_type AS v,
         |  event_id % 8 AS p, TRUE AS layout_ok, TRUE AS partition_pruned
         |FROM events WHERE event_id % 8 = 3 ORDER BY k""".stripMargin,
+    // the co-partitioned join-aggregate recomputed from raw events
+    // (event_id is unique, so the (p,k) join keeps exactly the
+    // purchase rows); the plan-shape and write-layout claims pinned
+    "s30_gdx_spj" ->
+      """SELECT event_id % 8 AS p, count(*) AS n_matched,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_k,
+        |  TRUE AS spj_no_shuffle, TRUE AS clustered_layout
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY p""".stripMargin,
+    // the per-partition profile recomputed from raw events; the
+    // metadata-only plan-shape claim is pinned TRUE
+    "s31_gdx_meta_groupby" ->
+      """SELECT event_id % 8 AS p, count(*) AS n,
+        |  min(event_id) AS min_k, max(event_id) AS max_k,
+        |  TRUE AS meta_complete
+        |FROM events GROUP BY 1 ORDER BY p""".stripMargin,
     // the post-evolution table recomputed directly: every event with
     // the (dropped-then-readded-era) w2 null, plus the marker row; the
     // three mapping claims are pinned TRUE

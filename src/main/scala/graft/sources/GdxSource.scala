@@ -469,6 +469,24 @@ object GdxSource {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
+  /** A planned file's hive-partition value, proven from its entry name
+    * (`p=<v>/part-...`): Some(Some(v)), Some(None) for the `__null__`
+    * directory, None when the name carries no parseable prefix (legacy
+    * pre-partitioning files, absolute SHALLOW-CLONE references).
+    * Storage-partitioned joins group on it; manifest-grouped
+    * aggregates fold by it. */
+  private[graft] def partKeyOf(pc: String,
+                               name: String): Option[Option[Long]] = {
+    val pre = pc + "="
+    val slash = name.indexOf('/')
+    if (!name.startsWith(pre) || slash <= pre.length) None
+    else {
+      val v = name.substring(pre.length, slash)
+      if (v == "__null__") Some(None)
+      else scala.util.Try(v.toLong).toOption.map(Some(_))
+    }
+  }
+
   /** Resolve a manifest entry name against its table directory. Names
     * are normally directory-relative; a SHALLOW CLONE's entries are
     * absolute (scheme-qualified) references into the source table and
@@ -1137,6 +1155,10 @@ object GdxSource {
             val w0 = rewritten.write.format("graft.sources.GdxSource")
               .option("path", dir)
               .option("expectedBaseVersion", readV.toString)
+              // the rewrite's own layout (Z-order range partitioning,
+              // compaction's target split) is the product — never
+              // re-cluster it on the partition column
+              .option("clusterWrite", "false")
             val w = committedPartitionCol(dir, driverConf())
               .map(c => w0.option("partitionBy", c)).getOrElse(w0)
             w.mode("overwrite").save()
@@ -2256,7 +2278,8 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
       Option(info.options.get("expectedBaseVersion")).map(_.toInt)
         .getOrElse(-1),
       info.schema(),
-      Option(info.options.get("partitionBy")).orElse(declaredPartition))
+      Option(info.options.get("partitionBy")).orElse(declaredPartition),
+      Option(info.options.get("clusterWrite")).forall(_.toBoolean))
 }
 
 // ---------------------------------------------------------------- read
@@ -2330,8 +2353,21 @@ class GdxScanBuilder(path: String, version: Int,
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def isPartiallyPushed(): Boolean = true
 
-  private def aggShape(agg: Aggregation): Option[Seq[String]] = {
-    if (agg.groupByExpressions().nonEmpty) return None
+  /** The committed partition column at this builder's pinned version —
+    * the only GROUP BY key manifest-grouped aggregates accept. */
+  private lazy val builderPartitionCol: Option[String] =
+    GdxSource.committedPartitionCol(path, GdxSource.driverConf(), version)
+
+  /** (groupedByPartition, ops) when the aggregate is expressible over
+    * manifest stats: COUNT(*)/MIN(k)/MAX(k), ungrouped or grouped by
+    * EXACTLY the table's hive partition column. */
+  private def aggShape(agg: Aggregation): Option[(Boolean, Seq[String])] = {
+    val grouped = agg.groupByExpressions().toSeq match {
+      case Seq() => false
+      case Seq(r: NamedReference) if builderPartitionCol.exists(pc =>
+        r.fieldNames().toSeq == Seq(pc)) => true
+      case _ => return None
+    }
     def isK(e: org.apache.spark.sql.connector.expressions.Expression) =
       e match {
         case r: NamedReference => r.fieldNames().toSeq == Seq("k")
@@ -2343,48 +2379,87 @@ class GdxScanBuilder(path: String, version: Int,
       case m: Max if isK(m.column) => "max"
       case _                       => return None
     }
-    Some(ops.toSeq)
+    Some((grouped, ops.toSeq))
   }
 
   private var metaComplete = false
+  private var aggGrouped = false
+
+  /** Whether this aggregate is COMPLETELY answerable from the manifest
+    * (no file opened): every entry publishes a zone map, no deletion
+    * vector (a DV invalidates the row counts AND can have deleted the
+    * extremal k), no row-filtering predicate pushed, and — for the
+    * grouped shape — every file proves its partition value from its
+    * name, so the per-value fold is exact. */
+  private def completeFor(agg: Aggregation): Boolean =
+    aggShape(agg).exists { case (grouped, _) =>
+      pushed.forall { case IsNotNull("k") => true; case _ => false } && {
+        val entries = GdxSource.committedEntries(path,
+          GdxSource.driverConf(), version)
+        entries.forall(e => e.stats.isDefined && e.dv.isEmpty) &&
+          (!grouped || builderPartitionCol.exists(pc => entries.forall(
+            e => GdxSource.partKeyOf(pc, e.name).isDefined)))
+      }
+    }
 
   /** COMPLETE pushdown — the metadata-only query: when every manifest
     * entry publishes a zone map and no ROW-FILTERING predicate is
-    * pushed, ungrouped COUNT(*)/MIN(k)/MAX(k) are EXACTLY the manifest
-    * sums: no file is opened at all. Only IsNotNull("k") is vacuous
-    * here — k never parses as NULL. IsNotNull("v") DOES filter rows
-    * (null v round-trips via \N), so its presence forces the per-file
-    * fold like any other predicate. Otherwise falls back to partial
-    * pushdown: ONE pre-aggregated row per file, Spark merges. */
+    * pushed, COUNT(*)/MIN(k)/MAX(k) — ungrouped, or GROUPED BY the
+    * partition column (the per-partition profile every table console
+    * shows) — are EXACTLY the manifest sums: no file is opened at all.
+    * Only IsNotNull("k") is vacuous here — k never parses as NULL.
+    * IsNotNull("v") DOES filter rows (null v round-trips via \N), so
+    * its presence forces the per-file fold like any other predicate.
+    * Otherwise the UNGROUPED shape falls back to partial pushdown (ONE
+    * pre-aggregated row per file, Spark merges); a grouped aggregate
+    * that cannot be answered completely is refused outright and plans
+    * as a classic scan + aggregate. */
   override def supportCompletePushDown(agg: Aggregation): Boolean = {
-    // a deletion vector invalidates the manifest's row counts AND can
-    // have deleted the extremal k — DV'd snapshots fall back to partial
-    // pushdown (per-file fold over the DV-applied reader, still exact)
-    metaComplete = aggShape(agg).isDefined &&
-      pushed.forall { case IsNotNull("k") => true; case _ => false } &&
-      GdxSource.committedEntries(path, GdxSource.driverConf(), version)
-        .forall(e => e.stats.isDefined && e.dv.isEmpty)
+    metaComplete = completeFor(agg)
     metaComplete
   }
 
   override def pushAggregation(agg: Aggregation): Boolean =
     aggShape(agg) match {
-      case Some(ops) => aggOps = Some(ops); true
-      case None      => metaComplete = false; false
+      case Some((false, ops)) =>
+        aggOps = Some(ops); aggGrouped = false; true
+      case Some((true, ops)) if completeFor(agg) =>
+        // recomputed (not read off metaComplete) so correctness never
+        // depends on Spark's supportCompletePushDown-then-push ordering
+        aggOps = Some(ops); aggGrouped = true; metaComplete = true; true
+      case _ => metaComplete = false; false
     }
 
   override def build(): Scan = new GdxScan(path, version, pushed, limit,
     aggOps, metaComplete && aggOps.isDefined, required, tableSchema,
-    maxVersionsPerTrigger, pruneOnly)
+    maxVersionsPerTrigger, pruneOnly, aggGrouped)
 }
 
-case class GdxFilePartition(file: String, dv: Option[String] = None)
-    extends InputPartition
+/** One data file of the planned snapshot. `partKey` is the file's
+  * hive-partition value when the table is partitioned and planning
+  * could prove it from the entry name (outer None = not keyed; inner
+  * None = the `__null__` partition) — the handle storage-partitioned
+  * joins group on. [[HasPartitionKey]] is only consulted when the scan
+  * reports [[KeyGroupedPartitioning]], which [[GdxScan.outputPartitioning]]
+  * does only if EVERY planned file carries a key. */
+case class GdxFilePartition(file: String, dv: Option[String] = None,
+                            partKey: Option[Option[Long]] = None)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = partKey match {
+    case Some(k) => InternalRow(k.map(Long.box).orNull)
+    case None => throw new IllegalStateException(
+      s"gdx: partitionKey() on an unkeyed file partition ($file) - " +
+        "the scan must not report KeyGroupedPartitioning here")
+  }
+}
 
 /** The pre-computed answer of a metadata-only aggregate — the driver
   * folds the manifest zone maps at planning time and ships the finished
-  * row; the "scan" reads nothing. */
-case class GdxMetaResultPartition(values: Seq[Option[Long]])
+  * row(s); the "scan" reads nothing. Ungrouped aggregates carry one
+  * row; a GROUP BY on the partition column carries one row per
+  * partition value (each row = group key then aggregate values, all
+  * LONG-or-null). */
+case class GdxMetaResultPartition(rows: Seq[Seq[Option[Long]]])
     extends InputPartition
 
 class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
@@ -2392,9 +2467,10 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
               required: StructType = GdxSource.schema,
               tableSchema: StructType = GdxSource.schema,
               maxVersionsPerTrigger: Int = Int.MaxValue,
-              pruneOnly: Array[Filter] = Array.empty)
+              pruneOnly: Array[Filter] = Array.empty,
+              aggGroupedPart: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   /** RUNTIME (dynamic) file pruning — the DSv2 DPP hook: when this
     * scan sits under a join on `k`, Spark materializes the build
@@ -2421,9 +2497,15 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       .toArray
   override def filter(filters: Array[Filter]): Unit = { runtime = filters }
   override def readSchema(): StructType = aggOps match {
-    case Some(ops) => StructType(ops.zipWithIndex.map { case (op, i) =>
-      StructField(s"${op}_$i", LongType, nullable = op != "count")
-    })
+    case Some(ops) =>
+      val aggFields = ops.zipWithIndex.map { case (op, i) =>
+        StructField(s"${op}_$i", LongType, nullable = op != "count")
+      }
+      // grouped-by-partition shape: the group column LEADS (Spark's
+      // pushed-aggregate output contract: groupBy columns, then aggs)
+      StructType(if (aggGroupedPart)
+        StructField(partitionCol.get, LongType, nullable = true) +: aggFields
+      else aggFields)
     case None => required
   }
   override def toBatch: Batch = this
@@ -2439,9 +2521,54 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   // first (manifest-only), then bloom sidecars for point lookups —
   // including the runtime-DPP key sets, the star-join fast path.
   private def kept: Seq[GdxFileEntry] = {
-    val fl = pushed.toSeq ++ runtime ++ pruneOnly
+    // under an ACTIVE storage-partitioned join, runtime filters must
+    // not drop files: Spark pinned this scan's partition-value set at
+    // planning, and a DPP-pruned value would change the grouping it
+    // already co-scheduled against. Rows are still runtime-filtered in
+    // the readers (createReaderFactory ships pushed ++ runtime) — only
+    // the file-skipping overlay stands down, and only while SPJ is on.
+    val fl = pushed.toSeq ++ (if (spjActive) Nil else runtime) ++ pruneOnly
     GdxSource.pruneByBloom(path, GdxSource.pruneByStats(entries, fl), fl)
   }
+
+  private def partKeyOf(pc: String, name: String): Option[Option[Long]] =
+    GdxSource.partKeyOf(pc, name)
+
+  /** STORAGE-PARTITIONED JOIN eligibility (static — never depends on
+    * runtime filters): the snapshot declares a partition column, the
+    * pruned scan still outputs it, no aggregate was pushed, and EVERY
+    * snapshot file proves its partition value from its name. Then each
+    * planned file carries a [[HasPartitionKey]] row and
+    * [[outputPartitioning]] reports [[KeyGroupedPartitioning]] over
+    * identity(partCol) — Spark (with
+    * spark.sql.sources.v2.bucketing.enabled) groups the files by value
+    * and a join or aggregate keyed on the partition column runs with
+    * ZERO shuffle on this side: the 100 TB co-located fact⋈fact join,
+    * Iceberg-style, without a bucket function catalog. Any unkeyed
+    * file falls back to UnknownPartitioning (= classic planning). */
+  private lazy val staticSpjEligible: Boolean = partitionCol.exists { pc =>
+    !metaOnly && aggOps.isEmpty && readSchema().fieldNames.contains(pc) &&
+      entries.nonEmpty && entries.forall(e => partKeyOf(pc, e.name).isDefined)
+  }
+  /** Grouping only activates under the session's SPJ switch: with it
+    * off, the scan keeps UnknownPartitioning so runtime DPP file
+    * skipping (which SPJ grouping must refuse — see [[kept]]) stays. */
+  private def spjActive: Boolean = staticSpjEligible &&
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
+      .toBoolean
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjActive) {
+      val pc = partitionCol.get
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(pc)),
+          kept.flatMap(e => partKeyOf(pc, e.name)).distinct.size)
+    } else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
 
   override def description(): String =
     s"GdxScan pushed=[${pushed.mkString(", ")}]" +
@@ -2451,6 +2578,8 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       (if (version >= 0) s" version=$version" else "") +
       (if (limit >= 0) s" limit=$limit" else "") +
       aggOps.map(o => s" agg=[${o.mkString(", ")}]" +
+        (if (aggGroupedPart) s" groupBy=${partitionCol.getOrElse("?")}"
+        else "") +
         (if (metaOnly) " COMPLETE(manifest)" else "")).getOrElse("")
 
   // plan ONLY the chosen snapshot's manifest-published files — stray
@@ -2462,21 +2591,38 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   // pattern, reduced to its manifest essentials)
   override def planInputPartitions(): Array[InputPartition] =
     if (metaOnly) {
-      // fold the zone maps into the finished aggregate row right here —
-      // one partition, zero file reads
-      val stats = entries.flatMap(_.stats)
-      val live = stats.filter(_.rows > 0)
-      val n = stats.map(_.rows).sum
-      val row = aggOps.get.map {
-        case "count" => Some(n)
-        case "min"   => if (live.isEmpty) None else Some(live.map(_.minK).min)
-        case "max"   => if (live.isEmpty) None else Some(live.map(_.maxK).max)
+      // fold the zone maps into the finished aggregate row(s) right
+      // here — one partition, zero file reads
+      def fold(es: Seq[GdxFileEntry]): Seq[Option[Long]] = {
+        val stats = es.flatMap(_.stats)
+        val live = stats.filter(_.rows > 0)
+        aggOps.get.map {
+          case "count" => Some(stats.map(_.rows).sum)
+          case "min" => if (live.isEmpty) None else Some(live.map(_.minK).min)
+          case "max" => if (live.isEmpty) None else Some(live.map(_.maxK).max)
+        }
       }
-      Array(GdxMetaResultPartition(row))
-    } else
+      val rows =
+        if (aggGroupedPart) {
+          // one row per partition value, keyed from the file names the
+          // builder already proved parseable; a value whose files hold
+          // zero live rows yields NO group (SQL GROUP BY semantics)
+          val pc = partitionCol.get
+          entries.groupBy(e => GdxSource.partKeyOf(pc, e.name).get).toSeq
+            .filter { case (_, es) => es.flatMap(_.stats).map(_.rows).sum > 0 }
+            .map { case (key, es) => key +: fold(es) }
+        } else Seq(fold(entries))
+      Array(GdxMetaResultPartition(rows))
+    } else {
+      // keys ride along only while SPJ is active (all-or-nothing, so a
+      // reported KeyGroupedPartitioning can never meet an unkeyed file)
+      val keyed = spjActive
       kept.map(e => GdxFilePartition(
         GdxSource.entryPath(path, e.name).toString,
-        e.dv.map(d => GdxSource.entryPath(path, d).toString)): InputPartition).toArray
+        e.dv.map(d => GdxSource.entryPath(path, d).toString),
+        if (keyed) partKeyOf(partitionCol.get, e.name) else None)
+        : InputPartition).toArray
+    }
 
   // slot-positioned view of the logical schema: readers resolve
   // required columns to PHYSICAL line slots through it, so a mapped
@@ -2647,15 +2793,20 @@ class GdxReaderFactory(pushed: Array[Filter], limit: Int,
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case GdxMetaResultPartition(values) =>
+      case GdxMetaResultPartition(rows) =>
         new PartitionReader[InternalRow] {
-          private var done = false
-          override def next(): Boolean = { val r = !done; done = true; r }
+          private val it = rows.iterator
+          private var cur: Seq[Option[Long]] = _
+          override def next(): Boolean = {
+            val r = it.hasNext
+            if (r) cur = it.next()
+            r
+          }
           override def get(): InternalRow =
-            InternalRow.fromSeq(values.map(_.map(Long.box).orNull))
+            InternalRow.fromSeq(cur.map(_.map(Long.box).orNull))
           override def close(): Unit = ()
         }
-      case GdxFilePartition(file, dv) =>
+      case GdxFilePartition(file, dv, _) =>
         aggOps match {
           // the agg fold consumes lastK off the UNPRUNED base — its own
           // output schema is the aggregate row, not `required`
@@ -2804,7 +2955,8 @@ class GdxAggReader(base: GdxFileReader, ops: Seq[String])
 
 class GdxWriteBuilder(path: String, expectedBase: Int = -1,
                       writeSchema: StructType = GdxSource.schema,
-                      partitionByOpt: Option[String] = None)
+                      partitionByOpt: Option[String] = None,
+                      clusterWrite: Boolean = true)
     extends WriteBuilder with SupportsTruncate {
   // truncate = start the NEW snapshot from an empty file set instead of
   // the previous snapshot's; history is untouched either way — old
@@ -2837,14 +2989,41 @@ class GdxWriteBuilder(path: String, expectedBase: Int = -1,
         s"gdx write: partition column $c must be BIGINT " +
           s"(got ${f.dataType.catalogString})")
     }
-    new GdxWrite(path, replace, expectedBase, writeSchema, effective)
+    new GdxWrite(path, replace, expectedBase, writeSchema, effective,
+      clusterWrite)
   }
 }
 
+/** The write, carrying the small-files fix partitioned tables need at
+  * scale: a partitioned write REQUESTS a clustered distribution on the
+  * partition column ([[RequiresDistributionAndOrdering]], non-strict),
+  * so Spark plans a rebalance that lands each partition value in one
+  * task — one file per value per write instead of
+  * tasks × values — while AQE's skew handling may still SPLIT a hot
+  * value across tasks (several files for that value: exactly right).
+  * Maintenance rewrites (OPTIMIZE/compact, DV update rewrites) opt out
+  * via `option("clusterWrite", "false")` — their input layout (Z-order
+  * range partitioning, per-file rewrite sets) IS the product, and a
+  * re-cluster here would destroy it. */
 class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1,
                writeSchema: StructType = GdxSource.schema,
-               partitionCol: Option[String] = None)
-    extends Write {
+               partitionCol: Option[String] = None,
+               clusterWrite: Boolean = true)
+    extends Write with RequiresDistributionAndOrdering {
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    partitionCol.filter(_ => clusterWrite)
+      .map(c => org.apache.spark.sql.connector.distributions.Distributions
+        .clustered(Array(org.apache.spark.sql.connector.expressions
+          .Expressions.identity(c))))
+      .getOrElse(org.apache.spark.sql.connector.distributions.Distributions
+        .unspecified())
+  // non-strict: Spark plans a REBALANCE (AQE coalesces tiny values,
+  // splits skewed ones) rather than a hard hash repartition
+  override def distributionStrictlyRequired(): Boolean = false
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
   override def toBatch: BatchWrite =
     new GdxBatchWrite(path, replace, expectedBase, writeSchema,
       partitionCol)

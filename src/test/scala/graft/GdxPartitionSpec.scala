@@ -139,9 +139,12 @@ class GdxPartitionSpec extends SparkSuite {
 
   test("OPTIMIZE compacts within partitions, never un-partitions") {
     val dir = freshDir("opt")
+    // clusterWrite=false: a default (clustered) write already lands one
+    // file per value, leaving compaction nothing to do — this test
+    // needs the fragmented tasks x values layout as its starting point
     df(200, 4).repartition(8)
       .write.format(fmt).option("path", dir).option("partitionBy", "p")
-      .mode("overwrite").save()
+      .option("clusterWrite", "false").mode("overwrite").save()
     val (before, after) = GdxSource.compact(spark, dir, target = 2)
     assert(after < before)
     assert(GdxSource.committedPartitionCol(dir,
@@ -224,5 +227,74 @@ class GdxPartitionSpec extends SparkSuite {
       .write.format(fmt).option("path", dir).mode("overwrite").save()
     assert(GdxSource.committedPartitionCol(dir,
       GdxSource.driverConf()).isEmpty)
+  }
+
+  test("GROUP BY partition column count/min/max answers COMPLETELY " +
+      "from the manifest (zero data files opened)") {
+    val dir = freshDir("metagrp")
+    df(200, 4).repartition(4)
+      .write.format(fmt).option("path", dir).option("partitionBy", "p")
+      .mode("overwrite").save()
+    val q = read(dir).groupBy("p")
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+    val desc = q.queryExecution.executedPlan.toString()
+    assert(desc.contains("COMPLETE(manifest)") && desc.contains("groupBy=p"),
+      s"grouped aggregate must push completely:\n${desc.take(2000)}")
+    // p=i group holds k ∈ {i, i+4, ..., 196+i}: 50 rows, min i, max 196+i
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted ===
+      (0 until 4).map(p => (p.toLong, 50L, p.toLong, 196L + p)))
+    // the proof it read nothing: corrupt every data file — answer holds
+    val root = new java.io.File(dir)
+    def corrupt(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(corrupt)
+      else if (f.getName.endsWith(".gdx"))
+        java.nio.file.Files.writeString(f.toPath, "garbage\n")
+    corrupt(root)
+    assert(read(dir).groupBy("p").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ===
+      (0 until 4).map(p => (p.toLong, 50L)))
+  }
+
+  test("grouped aggregate falls back to a classic plan under a DV, a " +
+      "row filter, or a non-partition group key — rows still correct") {
+    val dir = freshDir("metafall")
+    df(120, 3).repartition(2)
+      .write.format(fmt).option("path", dir).option("partitionBy", "p")
+      .mode("overwrite").save()
+    // row filter on v → not pushed completely
+    val f = read(dir).filter(col("v") =!= "r0").groupBy("p")
+      .agg(count(lit(1)).as("n"))
+    assert(!f.queryExecution.executedPlan.toString()
+      .contains("COMPLETE(manifest)"))
+    assert(f.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ===
+      Seq((0L, 39L), (1L, 40L), (2L, 40L)))
+    // group by a non-partition column → classic aggregate
+    val g = read(dir).groupBy("k").agg(count(lit(1)).as("n"))
+    assert(!g.queryExecution.executedPlan.toString().contains("COMPLETE"))
+    assert(g.count() === 120L)
+    // a deletion vector invalidates manifest counts → fall back
+    GdxSource.delete(spark, dir, col("k") < 3L)
+    val d = read(dir).groupBy("p").agg(count(lit(1)).as("n"))
+    assert(!d.queryExecution.executedPlan.toString()
+      .contains("COMPLETE(manifest)"))
+    assert(d.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ===
+      Seq((0L, 39L), (1L, 39L), (2L, 39L)))
+  }
+
+  test("the __null__ partition groups as SQL NULL in a manifest-" +
+      "grouped aggregate") {
+    val dir = freshDir("metanull")
+    (0 until 90).map(i => (i.toLong, s"r$i",
+        if (i % 3 == 0) None else Some((i % 3).toLong)))
+      .toDF("k", "v", "p")
+      .write.format(fmt).option("path", dir).option("partitionBy", "p")
+      .mode("overwrite").save()
+    val q = read(dir).groupBy("p").agg(count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString()
+      .contains("COMPLETE(manifest)"))
+    assert(q.collect().map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSet ===
+      Set((-1L, 30L), (1L, 30L), (2L, 30L)))
   }
 }

@@ -39,7 +39,9 @@ tpch_q2 tpch_q11 tpch_q16 tpch_q20 mm_tile_features mm_audio_features \
 c13_gdx_upsert c14_gdx_delete c15_mv_rewrite s23_gdx_schema_evolution \
 c16_mv_incremental_refresh c17_gdx_update c18_gdx_sql_dml c19_mv_join_rewrite \
 c21_mv_sketch_rewrite c20_gdx_zorder s27_gdx_bloom_lookup \
-c22_gdx_constraints"
+c22_gdx_constraints c23_mv_kll_rewrite a29_kll_partitioned c24_mv_sql \
+s28_gdx_sql_time_travel c26_mv_auto_heal c25_gdx_column_mapping \
+s29_gdx_partitioned s30_gdx_spj s31_gdx_meta_groupby"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
