@@ -52,6 +52,8 @@ object SlopeLab {
         args.lift(1).getOrElse("/root/testdata/sf0.1"))
       case "zorder" => zorder(spark,
         args.lift(1).getOrElse("/tmp/graft_slope_zorder"))
+      case "spj" => spj(spark,
+        args.lift(1).getOrElse("/tmp/graft_slope_spj"))
       case other => sys.error(s"unknown SlopeLab mode: $other")
     }
     spark.stop()
@@ -248,6 +250,61 @@ object SlopeLab {
         .filter(col("p") >= 10000L && col("p") < 30000L &&
           col("sp") >= 1000L && col("sp") < 3000L).count())
       println(f"""{"zorder_rows":$n,"optimize_sec":$tOpt%.3f,"box_files_pre":"$preKept/$preTotal","box_files_post":"$postKept/$postTotal","box_scan_sec":$scan%.3f}""")
+    }
+  }
+
+  /** The storage-partitioned-join win, measured: a fact table and a
+    * 10%-sized delta, both hive-partitioned on p = k % 64, joined on
+    * (p, k) and rolled up — timed with the SPJ session switches ON
+    * (KeyGroupedPartitioning honored: ZERO exchanges) vs OFF (classic:
+    * both sides shuffle) at 1× and 10× rows. The expected shape: both
+    * regimes track N (nothing super-linear), the ON path saves the
+    * full shuffle write+read of BOTH tables — the constant that
+    * dominates a 100 TB fact⋈fact join — and the exchange counts pin
+    * the plans actually measured. */
+  def spj(spark: SparkSession, work: String): Unit = {
+    val fmt = "graft.sources.GdxSource"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    for (n <- Seq(600000L, 6000000L)) {
+      val (dirA, dirB) = (s"$work/fact_n$n", s"$work/delta_n$n")
+      Seq(dirA, dirB).foreach(d => rm(new java.io.File(d)))
+      spark.range(0, n).select(col("id").as("k"),
+          concat(lit("r"), col("id") % 5).as("v"),
+          (col("id") % 64L).as("p"))
+        .write.format(fmt).option("path", dirA)
+        .option("partitionBy", "p").mode("overwrite").save()
+      spark.range(0, n / 10).select((col("id") * 10L).as("k"),
+          lit("d").as("v"), ((col("id") * 10L) % 64L).as("p"))
+        .write.format(fmt).option("path", dirB)
+        .option("partitionBy", "p").mode("overwrite").save()
+      def q(session: SparkSession): DataFrame = {
+        val a = session.read.format(fmt).option("path", dirA).load()
+        val b = session.read.format(fmt).option("path", dirB).load()
+          .withColumnRenamed("v", "bv")
+        a.join(b, Seq("p", "k")).groupBy("p")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      }
+      val on = Sessions.pinned(spark,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+      val off = Sessions.pinned(spark,
+        "spark.sql.sources.v2.bucketing.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      def exchanges(session: SparkSession): Int =
+        "Exchange".r.findAllIn(
+          q(session).queryExecution.executedPlan.toString()).length
+      def bestOf3(session: SparkSession): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        q(session).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val (exOn, exOff) = (exchanges(on), exchanges(off))
+      val (tOn, tOff) = (bestOf3(on), bestOf3(off))
+      println(f"""{"spj_rows":$n,"join_spj_sec":$tOn%.3f,"join_shuffle_sec":$tOff%.3f,"spj_exchanges":$exOn,"shuffle_exchanges":$exOff}""")
     }
   }
 

@@ -1801,30 +1801,28 @@ object RelationalOps extends QueryModule {
         val e = gdx.committedEntries(dir, gdx.driverConf())
         e.size == 8 && e.forall(_.name.matches("p=\\d+/.*"))
       }
-      val spjConf = "spark.sql.sources.v2.bucketing.enabled"
-      val bcConf = "spark.sql.autoBroadcastJoinThreshold"
-      // join keys (p, k) are a SUPERSET of the partition keys (p):
+      // the SPJ switches live on a PRIVATE session clone
+      // (Sessions.pinned — the engine's concurrency contract): the
+      // shared session's planning conf is never mutated, so a
+      // concurrent self-invocation or neighboring query can neither
+      // observe the switches nor race a set/restore window.
+      // requireAllClusterKeysForCoPartition=false: the join keys
+      // (p, k) are a SUPERSET of the partition keys (p) —
       // co-partitioning on the common prefix is sound (equal (p,k) ⇒
-      // equal p ⇒ same storage partition) but gated off by default
-      val superConf = "spark.sql.requireAllClusterKeysForCoPartition"
-      val (prevSpj, prevBc, prevSuper) = (s.conf.getOption(spjConf),
-        s.conf.get(bcConf), s.conf.getOption(superConf))
-      s.conf.set(spjConf, "true"); s.conf.set(bcConf, "-1")
-      s.conf.set(superConf, "false")
-      val (rows, noShuffle) = try {
-        val a = s.read.format(fmt).option("path", dirA).load()
-        val b = s.read.format(fmt).option("path", dirB).load()
-          .withColumnRenamed("v", "bv")
-        val q = a.join(b, Seq("p", "k"))
-          .groupBy("p")
-          .agg(count(lit(1)).as("n_matched"), sum("k").as("sum_k"))
-        val plan = q.queryExecution.executedPlan.toString()
-        (q.collect().toSeq, !plan.contains("Exchange"))
-      } finally {
-        prevSpj.fold(s.conf.unset(spjConf))(s.conf.set(spjConf, _))
-        s.conf.set(bcConf, prevBc)
-        prevSuper.fold(s.conf.unset(superConf))(s.conf.set(superConf, _))
-      }
+      // equal p ⇒ same storage partition) but gated off by default.
+      val spj = graft.Sessions.pinned(s,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+      val a = spj.read.format(fmt).option("path", dirA).load()
+      val b = spj.read.format(fmt).option("path", dirB).load()
+        .withColumnRenamed("v", "bv")
+      val q = a.join(b, Seq("p", "k"))
+        .groupBy("p")
+        .agg(count(lit(1)).as("n_matched"), sum("k").as("sum_k"))
+      val noShuffle =
+        !q.queryExecution.executedPlan.toString().contains("Exchange")
+      val rows = q.collect().toSeq
       import s.implicits._
       rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .toDF("p", "n_matched", "sum_k")

@@ -2357,6 +2357,11 @@ class GdxScanBuilder(path: String, version: Int,
     * the only GROUP BY key manifest-grouped aggregates accept. */
   private lazy val builderPartitionCol: Option[String] =
     GdxSource.committedPartitionCol(path, GdxSource.driverConf(), version)
+  // resolved once per builder: supportCompletePushDown and
+  // pushAggregation both consult it, and each manifest read is
+  // driver-side filesystem I/O
+  private lazy val builderEntries: Seq[GdxFileEntry] =
+    GdxSource.committedEntries(path, GdxSource.driverConf(), version)
 
   /** (groupedByPartition, ops) when the aggregate is expressible over
     * manifest stats: COUNT(*)/MIN(k)/MAX(k), ungrouped or grouped by
@@ -2393,13 +2398,10 @@ class GdxScanBuilder(path: String, version: Int,
     * name, so the per-value fold is exact. */
   private def completeFor(agg: Aggregation): Boolean =
     aggShape(agg).exists { case (grouped, _) =>
-      pushed.forall { case IsNotNull("k") => true; case _ => false } && {
-        val entries = GdxSource.committedEntries(path,
-          GdxSource.driverConf(), version)
-        entries.forall(e => e.stats.isDefined && e.dv.isEmpty) &&
-          (!grouped || builderPartitionCol.exists(pc => entries.forall(
-            e => GdxSource.partKeyOf(pc, e.name).isDefined)))
-      }
+      pushed.forall { case IsNotNull("k") => true; case _ => false } &&
+        builderEntries.forall(e => e.stats.isDefined && e.dv.isEmpty) &&
+        (!grouped || builderPartitionCol.exists(pc => builderEntries
+          .forall(e => GdxSource.partKeyOf(pc, e.name).isDefined)))
     }
 
   /** COMPLETE pushdown — the metadata-only query: when every manifest
