@@ -58,4 +58,19 @@ object Sessions {
     try target.table(s"global_temp.$name")
     finally df.sparkSession.catalog.dropGlobalTempView(name)
   }
+
+  /** Eager INSERT of `df` into a catalog table resolvable from
+    * `target` (e.g. a GdxCatalog table on a pinned session). WRITE
+    * rebinding needs its own shape: a rebound frame's `writeTo(...)
+    * .append()` re-analyzes the UNRESOLVED plan after [[rebind]] has
+    * dropped its view — so here the view lives exactly as long as the
+    * INSERT statement executes. */
+  def insertInto(target: SparkSession, df: DataFrame,
+                 table: String): Unit = {
+    val name = "graft_ins_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceGlobalTempView(name)
+    try target.sql(s"INSERT INTO $table SELECT * FROM global_temp.$name")
+    finally df.sparkSession.catalog.dropGlobalTempView(name)
+  }
 }

@@ -1860,6 +1860,111 @@ object RelationalOps extends QueryModule {
       q.withColumn("meta_complete", lit(metaComplete)).orderBy("p")
     }),
 
+    // S32 — BUCKET-TRANSFORM SPJ through the GDX CATALOG: two tables
+    // `PARTITIONED BY (bucket(16, k))` joined on the RAW key — not a
+    // pre-materialized low-cardinality column — plan and execute with
+    // ZERO shuffle exchanges, join AND group-by: the catalog's
+    // FunctionCatalog resolves the `bucket` transform on both sides to
+    // the same canonical function, Spark co-schedules equal bucket
+    // ids, and KeyGroupedPartitioning(bucket(16,k)) satisfies the
+    // aggregate's clustering on k too. This is the 100 TB fact⋈fact
+    // shape: neither side is broadcastable, both would classically
+    // shuffle their full width; bucketed layouts make the join a
+    // per-bucket zip at any scale (the Iceberg bucket-SPJ contract).
+    // `spj_no_shuffle` pins the executed plan; `bucket_layout` pins
+    // the write-side demux. DuckDB recomputes the payload (event_id is
+    // unique; the k%101 thinning keeps it oracle-sized).
+    "s32_gdx_bucket_spj" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxbspj_")
+      val gdx = graft.sources.GdxSource
+      val cat = "gdx_s32"
+      val c = graft.Sessions.pinned(s,
+        s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+        s"spark.sql.catalog.$cat.warehouse" -> wh,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      c.sql(s"CREATE NAMESPACE $cat.lab")
+      c.sql(s"CREATE TABLE $cat.lab.fact (k BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(16, k))")
+      c.sql(s"CREATE TABLE $cat.lab.delta (k BIGINT, bv STRING) " +
+        "PARTITIONED BY (bucket(16, k))")
+      val ev = Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+      graft.Sessions.insertInto(c, ev, s"$cat.lab.fact")
+      graft.Sessions.insertInto(c,
+        ev.filter(col("v") === "purchase").withColumnRenamed("v", "bv"),
+        s"$cat.lab.delta")
+      val bucketLayout = Seq("fact", "delta").forall { t =>
+        val e = gdx.committedEntries(s"$wh/lab/$t", gdx.driverConf())
+        e.nonEmpty && e.forall(_.name.matches("k_bucket=\\d+/.*"))
+      }
+      val q = c.sql(
+        s"""SELECT f.k AS k, max(f.v) AS v, count(*) AS n
+           |FROM $cat.lab.fact f JOIN $cat.lab.delta d ON f.k = d.k
+           |GROUP BY f.k HAVING f.k % 101 = 0""".stripMargin)
+      val noShuffle =
+        !q.queryExecution.executedPlan.toString().contains("Exchange")
+      val rows = q.collect().toSeq
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toDF("k", "v", "n")
+        .withColumn("spj_no_shuffle", lit(noShuffle))
+        .withColumn("bucket_layout", lit(bucketLayout))
+        .orderBy("k")
+    }),
+
+    // C27 — the GDX CATALOG front door end-to-end in SQL: CREATE
+    // NAMESPACE / CREATE TABLE ... PARTITIONED BY (bucket(8, k)) /
+    // INSERT / SHOW TABLES / ALTER TABLE ADD COLUMNS / SELECT, plus
+    // catalog time travel (`FOR VERSION AS OF`) — the way a real user
+    // addresses a lakehouse table (`catalog.namespace.table`), backed
+    // by the same manifest machinery as the path API. `catalog_listed`
+    // pins discovery; `time_travel_ok` pins that the v2 snapshot plus
+    // the second insert's rows equal the live count; `bucket_layout`
+    // pins the transform demux. DuckDB recomputes the rollup payload.
+    "c27_gdx_catalog_sql" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxcat_")
+      val gdx = graft.sources.GdxSource
+      val cat = "gdx_c27"
+      val c = graft.Sessions.pinned(s,
+        s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+        s"spark.sql.catalog.$cat.warehouse" -> wh)
+      c.sql(s"CREATE NAMESPACE $cat.lab")
+      c.sql(s"CREATE TABLE $cat.lab.ev (k BIGINT, v STRING, p BIGINT) " +
+        "PARTITIONED BY (bucket(8, k))")
+      val ev = Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"),
+          (col("event_id") % 8).as("p"))
+      val nPurchase = ev.filter(col("v") === "purchase").count()
+      graft.Sessions.insertInto(c,
+        ev.filter(col("v") =!= "purchase"), s"$cat.lab.ev") // v2
+      graft.Sessions.insertInto(c,
+        ev.filter(col("v") === "purchase"), s"$cat.lab.ev") // v3
+      val catalogListed = c.sql(s"SHOW TABLES IN $cat.lab").collect()
+        .exists(_.getString(1) == "ev")
+      val v2Count = c.sql(
+        s"SELECT count(*) FROM $cat.lab.ev FOR VERSION AS OF 2")
+        .head.getLong(0)
+      val liveCount = c.sql(s"SELECT count(*) FROM $cat.lab.ev")
+        .head.getLong(0)
+      val timeTravelOk = v2Count + nPurchase == liveCount
+      val entries = gdx.committedEntries(s"$wh/lab/ev", gdx.driverConf())
+      val bucketLayout = entries.nonEmpty &&
+        entries.forall(_.name.matches("k_bucket=\\d+/.*"))
+      c.sql(s"ALTER TABLE $cat.lab.ev ADD COLUMNS (w BIGINT)")
+      val rows = c.sql(
+        s"""SELECT v, count(*) AS n, sum(k) AS sum_k, count(w) AS n_w
+           |FROM $cat.lab.ev GROUP BY v""".stripMargin).collect().toSeq
+      import s.implicits._
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .toDF("v", "n", "sum_k", "n_w")
+        .withColumn("catalog_listed", lit(catalogListed))
+        .withColumn("time_travel_ok", lit(timeTravelOk))
+        .withColumn("bucket_layout", lit(bucketLayout))
+        .orderBy("v")
+    }),
+
     // C25 — COLUMN MAPPING on the GDX format (the Delta column-mapping
     // / Iceberg field-id contract): RENAME and DROP COLUMN are
     // METADATA-ONLY commits via the `#colmap` manifest header —
@@ -3118,6 +3223,26 @@ object RelationalOps extends QueryModule {
         |  min(event_id) AS min_k, max(event_id) AS max_k,
         |  TRUE AS meta_complete
         |FROM events GROUP BY 1 ORDER BY p""".stripMargin,
+    // the bucket-SPJ join recomputed from raw events (event_id is
+    // unique, so joining fact to the purchase delta keeps exactly the
+    // purchase rows; the k % 101 thinning is deterministic); the plan
+    // and layout claims pinned TRUE
+    "s32_gdx_bucket_spj" ->
+      """SELECT event_id AS k, event_type AS v, CAST(1 AS BIGINT) AS n,
+        |  TRUE AS spj_no_shuffle, TRUE AS bucket_layout
+        |FROM events
+        |WHERE event_type = 'purchase' AND event_id % 101 = 0
+        |ORDER BY k""".stripMargin,
+    // the catalog-table rollup recomputed from raw events; the evolved
+    // column w is all-NULL so count(w) = 0; discovery, time-travel,
+    // and layout claims pinned TRUE
+    "c27_gdx_catalog_sql" ->
+      """SELECT event_type AS v, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_k,
+        |  CAST(0 AS BIGINT) AS n_w,
+        |  TRUE AS catalog_listed, TRUE AS time_travel_ok,
+        |  TRUE AS bucket_layout
+        |FROM events GROUP BY 1 ORDER BY v""".stripMargin,
     // the post-evolution table recomputed directly: every event with
     // the (dropped-then-readded-era) w2 null, plus the marker row; the
     // three mapping claims are pinned TRUE

@@ -380,12 +380,22 @@ object MvRewrite {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths.map(_.toString).toSet
       case r: DataSourceV2Relation =>
-        if (timeTravelPinned(r.options)) Set.empty else Set(tableId(r.table))
+        if (timeTravelPinned(r.options) || tablePinned(r.table)) Set.empty
+        else Set(tableId(r.table))
       case s: DataSourceV2ScanRelation =>
-        if (timeTravelPinned(s.relation.options)) Set.empty
+        if (timeTravelPinned(s.relation.options) ||
+          tablePinned(s.relation.table)) Set.empty
         else Set(tableId(s.relation.table))
       case _ => Set.empty
     }
+
+  /** A catalog `FOR VERSION/TIMESTAMP AS OF` load pins the snapshot on
+    * the TABLE object (no read option to inspect). */
+  private def tablePinned(t: org.apache.spark.sql.connector.catalog.Table)
+      : Boolean = t match {
+    case g: graft.sources.GdxTable => g.pinned.isDefined
+    case _ => false
+  }
 
   private def tableId(t: org.apache.spark.sql.connector.catalog.Table)
       : String = t match {

@@ -1,0 +1,327 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{
+  NamespaceAlreadyExistsException, NoSuchFunctionException,
+  NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException,
+  TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{
+  FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table,
+  TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{
+  BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{
+  DataType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The GDX table CATALOG — the front door that makes the format a
+  * first-class `catalog.namespace.table` citizen instead of a
+  * path-addressed one:
+  *
+  * {{{
+  *   spark.sql.catalog.gdx           = graft.sources.GdxCatalog
+  *   spark.sql.catalog.gdx.warehouse = /data/gdx
+  *
+  *   CREATE TABLE gdx.ns.t (k BIGINT, v STRING, w BIGINT)
+  *     PARTITIONED BY (bucket(16, k))
+  *   INSERT INTO gdx.ns.t SELECT ...
+  *   SELECT * FROM gdx.ns.t FOR VERSION AS OF 3
+  *   ALTER TABLE gdx.ns.t ADD COLUMN (x DOUBLE)
+  * }}}
+  *
+  * Layout is the warehouse convention every lakehouse catalog uses:
+  * table `gdx.a.b.t` lives at `<warehouse>/a/b/t`, a directory is a
+  * table iff it has committed manifests, and everything under the
+  * directory is exactly what the path-based API reads and writes — the
+  * two front doors address the SAME tables with the SAME snapshot,
+  * DML, constraint, and maintenance machinery.
+  *
+  * The catalog is ALSO a [[FunctionCatalog]] exposing the `bucket`
+  * partition-transform function. That is the piece that unlocks
+  * storage-partitioned joins on bucket layouts: Spark resolves the
+  * `bucket(n, col)` transform in a scan's reported
+  * KeyGroupedPartitioning THROUGH the relation's function catalog, and
+  * two catalog scans resolving to the same canonical function with the
+  * same bucket count co-schedule with ZERO shuffle — the fact⋈fact
+  * equi-join on a high-cardinality key (reference behavior: the
+  * currency join in analyze.py:69-76, re-expressed at lakehouse
+  * scale). One-side-shuffle SPJ evaluates the very same function
+  * ([[GdxBucketBound.produceResult]]) to hash an unpartitioned side
+  * into the stored layout.
+  *
+  * All metadata operations are driver-side filesystem I/O on the same
+  * Hadoop `FileSystem` API the format itself uses — no metastore
+  * service, which is exactly the deployment story of a manifest-logged
+  * table format (the catalog is a NAMING convention; the manifests
+  * are the source of truth).
+  */
+class GdxCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"gdx catalog '$name': set spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def conf = GdxSource.driverConf()
+  private def fs = new Path(warehouse).getFileSystem(conf)
+
+  /** Identifier segments become directory names — refuse anything
+    * that could escape the warehouse or collide with the format's
+    * own files. */
+  private def checkSegment(s: String): String = {
+    require(s.nonEmpty && !s.contains("/") && !s.contains("\\") &&
+      s != "." && s != ".." && !s.startsWith("_") && !s.contains("="),
+      s"gdx catalog: illegal name segment '$s'")
+    s
+  }
+
+  private def nsDir(ns: Array[String]): Path =
+    ns.map(checkSegment).foldLeft(new Path(warehouse))(new Path(_, _))
+
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace), checkSegment(ident.name))
+
+  private def isTable(dir: Path): Boolean =
+    GdxSource.listVersions(dir.toString, conf).nonEmpty
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(isTable)
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val d = dir.toString
+    new GdxTable(d, GdxSource.committedSchema(d, conf),
+      GdxSource.committedPartitionCol(d, conf), viaCatalog = true)
+  }
+
+  /** SQL time travel through the catalog: `FOR VERSION AS OF n` pins
+    * the manifest version; `FOR TIMESTAMP AS OF ts` (Spark delivers
+    * MICROseconds) resolves to the last version committed at or before
+    * the instant. The pinned table refuses writes and carries its
+    * era's schema and layout. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val d = dir.toString
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"gdx catalog: VERSION AS OF wants a manifest number, got " +
+          s"'$version'")
+    }
+    new GdxTable(d, GdxSource.committedSchema(d, conf, v),
+      GdxSource.committedPartitionCol(d, conf, v), viaCatalog = true,
+      pinnedVersion = Some(v))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val d = dir.toString
+    val v = GdxSource.versionAsOf(d, conf, timestamp / 1000L)
+    new GdxTable(d, GdxSource.committedSchema(d, conf, v),
+      GdxSource.committedPartitionCol(d, conf, v), viaCatalog = true,
+      pinnedVersion = Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    require(schema.nonEmpty && schema.head.dataType == LongType,
+      "gdx catalog: the first column is the table's key and must be " +
+        s"BIGINT (got ${if (schema.isEmpty) "no columns"
+        else schema.head.dataType.catalogString})")
+    schema.fields.foreach { f =>
+      require(Seq(LongType, StringType, DoubleType).contains(f.dataType),
+        s"gdx catalog: unsupported column type ${f.dataType.catalogString}" +
+          s" for ${f.name} - the format stores BIGINT, STRING, DOUBLE")
+      require(!f.name.exists(c => c == '\t' || c == ':' || c == ','),
+        s"gdx catalog: illegal column name '${f.name}'")
+    }
+    val spec = GdxSource.partSpecOfTransforms(partitions)
+    spec.map(GdxSource.parsePartSpec).foreach { sp =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(sp.col))
+        .getOrElse(throw new IllegalArgumentException(
+          s"gdx catalog: partition column ${sp.col} is not in the schema"))
+      require(f.dataType == LongType,
+        s"gdx catalog: partition column ${sp.col} must be BIGINT")
+    }
+    // v1 is an EMPTY truncate commit CAS-pinned to base 0: it records
+    // the declared schema and layout in the manifest header, a
+    // concurrent creator loses the race loudly (conflict, not a silent
+    // last-wins re-declaration), and every later write inherits the
+    // declaration with no option
+    GdxSource.commitFiles(dir.toString, conf, replace = true, Seq.empty,
+      expectedBase = 0, writeSchema = schema, partitionCol = spec)
+    loadTable(ident)
+  }
+
+  /** ALTER TABLE through the catalog rides the format's metadata-only
+    * schema evolution: ADD COLUMN appends a field (new physical slot),
+    * RENAME/DROP COLUMN go through the column mapping — all CAS
+    * commits with the same guards the path API enforces (core slots,
+    * partition column, constraint references). */
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val d = dir.toString
+    val spark = SparkSession.active
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "gdx catalog: nested columns are not supported")
+        GdxSource.addColumn(d, a.fieldNames.head, a.dataType)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "gdx catalog: nested columns are not supported")
+        GdxSource.renameColumn(spark, d, r.fieldNames.head, r.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "gdx catalog: nested columns are not supported")
+        GdxSource.dropColumn(spark, d, del.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"gdx catalog: unsupported table change $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    isTable(dir) && fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val src = tableDir(oldIdent)
+    val dst = tableDir(newIdent)
+    if (!isTable(src)) throw new NoSuchTableException(oldIdent)
+    if (fs.exists(dst)) throw new TableAlreadyExistsException(newIdent)
+    if (!fs.exists(dst.getParent))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    require(fs.rename(src, dst),
+      s"gdx catalog: rename $src -> $dst failed")
+  }
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val dir = nsDir(namespace)
+    if (namespace.nonEmpty && !fs.exists(dir))
+      throw new NoSuchNamespaceException(namespace)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTable)
+      .map(p => namespace :+ p.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir) || isTable(dir))
+      throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val dir = nsDir(namespace)
+    if (fs.exists(dir))
+      throw new NamespaceAlreadyExistsException(namespace)
+    require(fs.mkdirs(dir), s"gdx catalog: mkdirs $dir failed")
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "gdx catalog: namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) false
+    else {
+      if (!cascade && fs.listStatus(dir).nonEmpty)
+        throw new NonEmptyNamespaceException(namespace, "", None)
+      fs.delete(dir, true)
+    }
+  }
+
+  // --------------------------------------------------------- functions
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else {
+      // surface `bucket` in every existing namespace too — Spark
+      // resolves transform functions against several candidate
+      // namespaces depending on where the table identifier sits
+      loadNamespaceMetadata(namespace)
+      Array(Identifier.of(namespace, "bucket"))
+    }
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GdxBucketUnbound
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** The `bucket` partition-transform function, V2-catalog edition. Its
+  * binding contract follows Spark's transform-argument convention:
+  * inputs are (numBuckets INT, key BIGINT) — the same order the
+  * BucketTransform's `arguments` carry them. */
+object GdxBucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields(0).dataType == IntegerType &&
+      inputType.fields(1).dataType == LongType,
+      s"gdx bucket: expected (INT numBuckets, BIGINT key), got " +
+        inputType.simpleString)
+    GdxBucketBound
+  }
+  override def description(): String =
+    "bucket(numBuckets, col): stable bucket id of a BIGINT key - the " +
+      "partition transform behind gdx bucket layouts"
+}
+
+/** Bound form: MUST compute exactly [[GdxSource.bucketId]] — the
+  * write-side demux, file pruning, reported partition values, and this
+  * function are four views of one layout, and one-side-shuffle SPJ
+  * re-hashes rows through THIS method to join against stored files. */
+object GdxBucketBound extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] =
+    Array(IntegerType, LongType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "gdx.bucket"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer =
+    Int.box(GdxSource.bucketId(input.getInt(0), input.getLong(1)))
+}

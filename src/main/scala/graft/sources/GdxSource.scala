@@ -155,26 +155,8 @@ class GdxSource extends TableProvider {
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    // CREATE TABLE ... PARTITIONED BY (p): ONE single-column identity
-    // transform becomes the table's declared partition column (first
-    // write records it in the manifest; appends inherit it). Anything
-    // else — multiple columns, bucket/temporal transforms — is refused
-    // loudly: silently truncating PARTITIONED BY (a, b) to 'a' would
-    // hand the user a layout they did not declare.
-    new GdxTable(properties.get("path"), schema, {
-      val idents = partitioning.toSeq.map {
-        case t if t.name == "identity" && t.references.length == 1 =>
-          t.references.head.fieldNames.mkString(".")
-        case other => throw new IllegalArgumentException(
-          s"gdx: unsupported partition transform $other - only a " +
-            "single identity column (PARTITIONED BY (col)) is supported")
-      }
-      if (idents.length > 1) throw new IllegalArgumentException(
-        s"gdx: multi-column partitioning (${idents.mkString(",")}) is " +
-          "not supported - declare one column (compose further " +
-          "dimensions with Z-order clustering instead)")
-      idents.headOption
-    })
+    new GdxTable(properties.get("path"), schema,
+      GdxSource.partSpecOfTransforms(partitioning))
 }
 
 /** Hadoop Configuration is not Serializable; ship it to executors via
@@ -400,13 +382,112 @@ object GdxSource {
     * carried by every manifest; appends inherit it with no option. */
   private val PartitionHeader = "#partition "
 
-  /** The partition column the chosen snapshot recorded (None =
-    * unpartitioned). */
+  /** The partition SPEC the chosen snapshot recorded, as its raw
+    * manifest text (None = unpartitioned): either a bare column name
+    * (identity/hive layout, `#partition p`) or a bucket transform
+    * (`#partition bucket(16,k)`). Callers that only CARRY the layout
+    * (commit headers, DML carry-forward, OPTIMIZE re-declaration) pass
+    * the raw text through; callers that INTERPRET it parse via
+    * [[parsePartSpec]]. */
   def committedPartitionCol(path: String, conf: Configuration,
                             version: Int = -1): Option[String] = {
     val fs = new Path(path).getFileSystem(conf)
     targetManifest(path, conf, version)
       .flatMap(readManifest(fs, _).partitionCol)
+  }
+
+  /** Parsed view of [[committedPartitionCol]]. */
+  def committedPartSpec(path: String, conf: Configuration,
+                        version: Int = -1): Option[GdxPartSpec] =
+    committedPartitionCol(path, conf, version).map(parsePartSpec)
+
+  /** A table's declared storage layout. `col` is the source column the
+    * layout derives from; `dirName` the hive-style directory key the
+    * writers demux under (`<dirName>=<key>/`); `keyOf` maps a column
+    * value to its directory key. Identity layouts key by the value
+    * itself (so partition pruning IS a zone-map prune — the column's
+    * per-file stats collapse to v..v); bucket layouts key by a stable
+    * hash modulo the bucket count, the Iceberg `bucket(n, col)`
+    * transform — the layout that makes a fact⋈fact equi-join on a
+    * HIGH-CARDINALITY key storage-partitioned: both sides bucketed the
+    * same way join with zero shuffle at any scale. */
+  sealed trait GdxPartSpec {
+    def col: String
+    def dirName: String
+    def render: String
+    def keyOf(v: Long): Long
+  }
+  final case class GdxIdentityPart(col: String) extends GdxPartSpec {
+    def dirName: String = col
+    def render: String = col
+    def keyOf(v: Long): Long = v
+  }
+  final case class GdxBucketPart(n: Int, col: String) extends GdxPartSpec {
+    def dirName: String = col + "_bucket"
+    def render: String = s"bucket($n,$col)"
+    def keyOf(v: Long): Long = GdxSource.bucketId(n, v).toLong
+  }
+  private val BucketSpecRe = """(?i)bucket\(\s*(\d+)\s*,\s*([^\s,()]+)\s*\)""".r
+  def parsePartSpec(s: String): GdxPartSpec = {
+    val t = s.trim
+    // fast path: bare column names (the overwhelmingly common case —
+    // partKeyOf parses the spec once per planned manifest entry)
+    if (t.indexOf('(') < 0) GdxIdentityPart(t)
+    else t match {
+      case BucketSpecRe(n, c) =>
+        require(n.toInt > 0, s"gdx: bucket count must be positive in '$s'")
+        GdxBucketPart(n.toInt, c)
+      case other => throw new IllegalArgumentException(
+        s"gdx: unparseable partition spec '$other' - expected a column " +
+          "name or bucket(<n>,<col>)")
+    }
+  }
+
+  /** The bucket function: a 64-bit finalizer (splitmix64's mixing
+    * steps, public-domain constants) folded to a non-negative bucket
+    * id. Shared verbatim by the write-side demux, the read-side SPJ
+    * partition values, file pruning, and the catalog's V2 `bucket`
+    * ScalarFunction ([[GdxBucketBound]]) — Spark's one-side-shuffle
+    * SPJ evaluates that function to hash an unpartitioned side into
+    * this exact layout, so all four MUST agree. */
+  def bucketId(n: Int, k: Long): Int = {
+    var z = k + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (((z % n) + n) % n).toInt
+  }
+
+  /** `CREATE TABLE ... PARTITIONED BY (...)` (SQL or catalog): ONE
+    * single-column identity transform or ONE `bucket(n, col)` becomes
+    * the table's declared partition spec (the first write records it
+    * in the manifest; appends inherit it). Anything else — multiple
+    * columns, temporal transforms — is refused loudly: silently
+    * truncating PARTITIONED BY (a, b) to 'a' would hand the user a
+    * layout they did not declare. */
+  def partSpecOfTransforms(partitioning: Array[Transform])
+      : Option[String] = {
+    val specs = partitioning.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case t if t.name == "bucket" && t.references.length == 1 =>
+        val n = t.arguments.collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+              if lit.value.isInstanceOf[Number] =>
+            lit.value.asInstanceOf[Number].intValue
+        }.getOrElse(throw new IllegalArgumentException(
+          s"gdx: bucket transform $t carries no literal bucket count"))
+        s"bucket($n,${t.references.head.fieldNames.mkString(".")})"
+      case other => throw new IllegalArgumentException(
+        s"gdx: unsupported partition transform $other - only a single " +
+          "identity column (PARTITIONED BY (col)) or a single " +
+          "bucket(n, col) is supported")
+    }
+    if (specs.length > 1) throw new IllegalArgumentException(
+      s"gdx: multi-column partitioning (${specs.mkString(",")}) is " +
+        "not supported - declare one column (compose further " +
+        "dimensions with Z-order clustering instead)")
+    specs.headOption
   }
 
   /** A snapshot's column mapping: `slots(i)` = physical line slot of
@@ -469,15 +550,17 @@ object GdxSource {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  /** A planned file's hive-partition value, proven from its entry name
-    * (`p=<v>/part-...`): Some(Some(v)), Some(None) for the `__null__`
-    * directory, None when the name carries no parseable prefix (legacy
-    * pre-partitioning files, absolute SHALLOW-CLONE references).
+  /** A planned file's hive-partition key, proven from its entry name
+    * (`p=<v>/part-...`, or `k_bucket=<b>/part-...` for bucket
+    * layouts): Some(Some(v)), Some(None) for the `__null__` directory,
+    * None when the name carries no parseable prefix (legacy
+    * pre-partitioning files, root-level DML rewrite files, absolute
+    * SHALLOW-CLONE references). `pc` is the RAW recorded spec text.
     * Storage-partitioned joins group on it; manifest-grouped
     * aggregates fold by it. */
   private[graft] def partKeyOf(pc: String,
                                name: String): Option[Option[Long]] = {
-    val pre = pc + "="
+    val pre = parsePartSpec(pc).dirName + "="
     val slash = name.indexOf('/')
     if (!name.startsWith(pre) || slash <= pre.length) None
     else {
@@ -1945,6 +2028,16 @@ object GdxSource {
       committedConstraints(dir, conf, readV), colName)
     require(refs.isEmpty, s"gdx $stmt: CHECK constraint(s) " +
       s"${refs.mkString(",")} reference $colName - drop them first")
+    // the declared partition spec references the column by name: a
+    // rename would orphan the `#partition` header (subsequent writes
+    // would fail to find the column) and a drop would strand the
+    // layout entirely — refuse, like Delta does for partition columns
+    committedPartSpec(dir, conf, readV).foreach { sp =>
+      require(!sp.col.equalsIgnoreCase(colName),
+        s"gdx $stmt: ${cur.fieldNames(idx)} is the table's partition " +
+          s"column (${sp.render}) - rewrite the table into a new " +
+          "layout instead")
+    }
     (idx, slot)
   }
 
@@ -2253,15 +2346,27 @@ object GdxSource {
 }
 
 class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
-               declaredPartition: Option[String] = None)
+               declaredPartition: Option[String] = None,
+               viaCatalog: Boolean = false,
+               pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def partitioning(): Array[
       org.apache.spark.sql.connector.expressions.Transform] =
-    declaredPartition.map(c => org.apache.spark.sql.connector.expressions
-      .Expressions.identity(c)).toArray
+    declaredPartition.map(c => GdxSource.parsePartSpec(c) match {
+      case GdxSource.GdxBucketPart(n, bc) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, bc)
+      case spec =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .identity(spec.col)
+    }).toArray
   /** The table's directory — the snapshot-version lookup key MV
     * staleness pinning uses (plans/MvRewrite.gdxSnapshots). */
   private[graft] def tablePath: String = path
+  /** Catalog time-travel pin (None = live) — MV rewrite consults it:
+    * a `FOR VERSION AS OF` relation must never match a summary of the
+    * CURRENT snapshot, exactly like the `version`/`asOf` read
+    * options. */
+  private[graft] def pinned: Option[Int] = pinnedVersion
   override def name(): String = s"gdx($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -2269,17 +2374,36 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GdxScanBuilder(path, GdxSource.resolveVersion(options, path),
+    new GdxScanBuilder(path, {
+      // a catalog time-travel load (`FOR VERSION/TIMESTAMP AS OF`)
+      // pins the snapshot at table resolution; an explicit read
+      // option on the scan would be a contradiction — refuse rather
+      // than pick one silently
+      val optV = GdxSource.resolveVersion(options, path)
+      (pinnedVersion, optV) match {
+        case (Some(p), v) if v >= 0 && v != p =>
+          throw new IllegalArgumentException(
+            s"gdx: version option $v contradicts the catalog's " +
+              s"time-travel pin $p for $path")
+        case (Some(p), _) => p
+        case (None, v) => v
+      }
+    },
       tableSchema,
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
         .getOrElse(Int.MaxValue))
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"gdx: cannot write to a time-travel (version-pinned) view of " +
+        s"$path")
     new GdxWriteBuilder(path,
       Option(info.options.get("expectedBaseVersion")).map(_.toInt)
         .getOrElse(-1),
       info.schema(),
       Option(info.options.get("partitionBy")).orElse(declaredPartition),
-      Option(info.options.get("clusterWrite")).forall(_.toBoolean))
+      Option(info.options.get("clusterWrite")).forall(_.toBoolean),
+      viaCatalog)
+  }
 }
 
 // ---------------------------------------------------------------- read
@@ -2445,9 +2569,15 @@ class GdxScanBuilder(path: String, version: Int,
   * reports [[KeyGroupedPartitioning]], which [[GdxScan.outputPartitioning]]
   * does only if EVERY planned file carries a key. */
 case class GdxFilePartition(file: String, dv: Option[String] = None,
-                            partKey: Option[Option[Long]] = None)
+                            partKey: Option[Option[Long]] = None,
+                            bucketed: Boolean = false)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = partKey match {
+    // the key row's type must match the reported transform's result
+    // type: identity(col) yields the LONG column value, bucket(n, col)
+    // yields the INT bucket id ([[GdxBucketBound]].resultType)
+    case Some(k) if bucketed => InternalRow(k.map(v => Int.box(v.toInt))
+      .orNull)
     case Some(k) => InternalRow(k.map(Long.box).orNull)
     case None => throw new IllegalStateException(
       s"gdx: partitionKey() on an unkeyed file partition ($file) - " +
@@ -2486,14 +2616,16 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   private var runtime: Array[Filter] = Array.empty
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    // the key; plus the hive-style partition column when the table
+    // the key; plus the partition spec's source column when the table
     // declares one — a join on the partition key then delivers its
     // build-side value set here and prunes whole partition directories
-    // at runtime (classic static+dynamic partition pruning composed).
-    // Advertise only columns the PRUNED scan still outputs: Spark
-    // resolves these refs against readSchema(), and an unresolvable
-    // one fails the query, not just the optimization.
-    (Seq("k") ++ partitionCol.toSeq.filter(_ != "k"))
+    // at runtime (classic static+dynamic partition pruning composed;
+    // for bucket layouts the delivered values map through bucketId to
+    // directory keys — see [[pruneByBucket]]). Advertise only columns
+    // the PRUNED scan still outputs: Spark resolves these refs against
+    // readSchema(), and an unresolvable one fails the query, not just
+    // the optimization.
+    (Seq("k") ++ partitionSpec.map(_.col).toSeq.filter(_ != "k"))
       .filter(readSchema().fieldNames.contains(_))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
@@ -2530,8 +2662,38 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
     // the readers (createReaderFactory ships pushed ++ runtime) — only
     // the file-skipping overlay stands down, and only while SPJ is on.
     val fl = pushed.toSeq ++ (if (spjActive) Nil else runtime) ++ pruneOnly
-    GdxSource.pruneByBloom(path, GdxSource.pruneByStats(entries, fl), fl)
+    GdxSource.pruneByBloom(path,
+      GdxSource.pruneByStats(pruneByBucket(entries, fl), fl), fl)
   }
+
+  /** Bucket-directory pruning: on a bucket(n, col) table, an equality
+    * or IN predicate on `col` (pushed OR runtime-delivered) fixes the
+    * bucket ids its rows can live in — drop every file in any other
+    * bucket directory. The identity-layout analog is free through the
+    * zone maps (the column's stats collapse to v..v); bucket dirs need
+    * this explicit overlay because a bucket's value range is the whole
+    * domain. A file whose name proves no key (legacy, root-level DML
+    * rewrite) is never pruned; residual row-level evaluation stands. */
+  private def pruneByBucket(es: Seq[GdxFileEntry],
+                            fl: Seq[Filter]): Seq[GdxFileEntry] =
+    partitionSpec match {
+      case Some(spec @ GdxSource.GdxBucketPart(_, c)) =>
+        val allowed: Seq[Set[Long]] = fl.collect {
+          case EqualTo(`c`, w: Number) => Set(spec.keyOf(w.longValue))
+          case org.apache.spark.sql.sources.In(`c`, vs)
+              if vs.forall(_.isInstanceOf[Number]) =>
+            vs.map(v => spec.keyOf(v.asInstanceOf[Number].longValue)).toSet
+        }
+        if (allowed.isEmpty) es
+        else {
+          val ids = allowed.reduce(_ intersect _)
+          es.filter(e => GdxSource.partKeyOf(spec.render, e.name) match {
+            case Some(Some(b)) => ids.contains(b)
+            case _ => true // __null__ dir or unproven name: keep
+          })
+        }
+      case _ => es
+    }
 
   private def partKeyOf(pc: String, name: String): Option[Option[Long]] =
     GdxSource.partKeyOf(pc, name)
@@ -2548,9 +2710,11 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
     * ZERO shuffle on this side: the 100 TB co-located fact⋈fact join,
     * Iceberg-style, without a bucket function catalog. Any unkeyed
     * file falls back to UnknownPartitioning (= classic planning). */
-  private lazy val staticSpjEligible: Boolean = partitionCol.exists { pc =>
-    !metaOnly && aggOps.isEmpty && readSchema().fieldNames.contains(pc) &&
-      entries.nonEmpty && entries.forall(e => partKeyOf(pc, e.name).isDefined)
+  private lazy val staticSpjEligible: Boolean = partitionSpec.exists { sp =>
+    !metaOnly && aggOps.isEmpty &&
+      readSchema().fieldNames.contains(sp.col) &&
+      entries.nonEmpty &&
+      entries.forall(e => partKeyOf(sp.render, e.name).isDefined)
   }
   /** Grouping only activates under the session's SPJ switch: with it
     * off, the scan keeps UnknownPartitioning so runtime DPP file
@@ -2563,12 +2727,23 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (spjActive) {
-      val pc = partitionCol.get
+      val sp = partitionSpec.get
+      val transform = sp match {
+        // bucket transforms resolve through the relation's
+        // FunctionCatalog (GdxCatalog exposes the `bucket` function);
+        // on a path-based read Spark finds no catalog, fails the
+        // resolution, and keeps classic planning — a safe stand-down,
+        // never a wrong grouping
+        case GdxSource.GdxBucketPart(n, c) =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n, c)
+        case _ =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .identity(sp.col)
+      }
       new org.apache.spark.sql.connector.read.partitioning
-        .KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .identity(pc)),
-          kept.flatMap(e => partKeyOf(pc, e.name)).distinct.size)
+        .KeyGroupedPartitioning(Array(transform),
+          kept.flatMap(e => partKeyOf(sp.render, e.name)).distinct.size)
     } else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(0)
 
@@ -2619,10 +2794,13 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       // keys ride along only while SPJ is active (all-or-nothing, so a
       // reported KeyGroupedPartitioning can never meet an unkeyed file)
       val keyed = spjActive
+      val bucketed = partitionSpec
+        .exists(_.isInstanceOf[GdxSource.GdxBucketPart])
       kept.map(e => GdxFilePartition(
         GdxSource.entryPath(path, e.name).toString,
         e.dv.map(d => GdxSource.entryPath(path, d).toString),
-        if (keyed) partKeyOf(partitionCol.get, e.name) else None)
+        if (keyed) partKeyOf(partitionSpec.get.render, e.name) else None,
+        bucketed = keyed && bucketed)
         : InputPartition).toArray
     }
 
@@ -2637,6 +2815,8 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       GdxSource.committedColmap(path, GdxSource.driverConf(), version))
   private lazy val partitionCol: Option[String] =
     GdxSource.committedPartitionCol(path, GdxSource.driverConf(), version)
+  private lazy val partitionSpec: Option[GdxSource.GdxPartSpec] =
+    partitionCol.map(GdxSource.parsePartSpec)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GdxReaderFactory(pushed ++ runtime, limit, aggOps, required,
@@ -2808,7 +2988,7 @@ class GdxReaderFactory(pushed: Array[Filter], limit: Int,
             InternalRow.fromSeq(cur.map(_.map(Long.box).orNull))
           override def close(): Unit = ()
         }
-      case GdxFilePartition(file, dv, _) =>
+      case GdxFilePartition(file, dv, _, _) =>
         aggOps match {
           // the agg fold consumes lastK off the UNPRUNED base — its own
           // output schema is the aggregate row, not `required`
@@ -2958,7 +3138,8 @@ class GdxAggReader(base: GdxFileReader, ops: Seq[String])
 class GdxWriteBuilder(path: String, expectedBase: Int = -1,
                       writeSchema: StructType = GdxSource.schema,
                       partitionByOpt: Option[String] = None,
-                      clusterWrite: Boolean = true)
+                      clusterWrite: Boolean = true,
+                      viaCatalog: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   // truncate = start the NEW snapshot from an empty file set instead of
   // the previous snapshot's; history is untouched either way — old
@@ -2966,33 +3147,38 @@ class GdxWriteBuilder(path: String, expectedBase: Int = -1,
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
   override def build(): Write = {
-    // the effective partition column: an explicit option or table
+    // the effective partition spec: an explicit option or table
     // declaration on this write, else whatever the manifest already
-    // records (appends inherit the layout with no option). A declared
-    // column must exist and be LONG (values become directory names —
-    // numeric text is unambiguous; string escaping is not worth the
-    // failure modes), and must not contradict the recorded one.
+    // records (appends inherit the layout with no option). The spec's
+    // source column must exist and be LONG (directory keys are numeric
+    // text — unambiguous; string escaping is not worth the failure
+    // modes), and a declared spec must not contradict the recorded one
+    // (compared on the PARSED form, so whitespace variants of the same
+    // bucket transform agree).
     val recorded = GdxSource.committedPartitionCol(path,
       GdxSource.driverConf())
     val declared = partitionByOpt
     (declared, recorded) match {
-      case (Some(d), Some(r)) if d != r =>
+      case (Some(d), Some(r))
+          if GdxSource.parsePartSpec(d) != GdxSource.parsePartSpec(r) =>
         throw new IllegalArgumentException(
           s"gdx write: partitionBy $d contradicts the table's recorded " +
-            s"partition column $r")
+            s"partition spec $r")
       case _ => ()
     }
     val effective = declared.orElse(if (replace) None else recorded)
-    effective.foreach { c =>
-      val f = writeSchema.fields.find(_.name.equalsIgnoreCase(c))
+      .map(s => GdxSource.parsePartSpec(s).render)
+    effective.map(GdxSource.parsePartSpec).foreach { spec =>
+      val f = writeSchema.fields.find(_.name.equalsIgnoreCase(spec.col))
         .getOrElse(throw new IllegalArgumentException(
-          s"gdx write: partition column $c is not in the write schema"))
+          s"gdx write: partition column ${spec.col} is not in the " +
+            "write schema"))
       require(f.dataType == LongType,
-        s"gdx write: partition column $c must be BIGINT " +
+        s"gdx write: partition column ${spec.col} must be BIGINT " +
           s"(got ${f.dataType.catalogString})")
     }
     new GdxWrite(path, replace, expectedBase, writeSchema, effective,
-      clusterWrite)
+      clusterWrite, viaCatalog)
   }
 }
 
@@ -3010,14 +3196,29 @@ class GdxWriteBuilder(path: String, expectedBase: Int = -1,
 class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1,
                writeSchema: StructType = GdxSource.schema,
                partitionCol: Option[String] = None,
-               clusterWrite: Boolean = true)
+               clusterWrite: Boolean = true,
+               viaCatalog: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
     partitionCol.filter(_ => clusterWrite)
       .map(c => org.apache.spark.sql.connector.distributions.Distributions
-        .clustered(Array(org.apache.spark.sql.connector.expressions
-          .Expressions.identity(c))))
+        .clustered(Array(GdxSource.parsePartSpec(c) match {
+          // Spark resolves a bucket transform in a required
+          // distribution through the RELATION's FunctionCatalog —
+          // only catalog-managed writes have one (GdxCatalog exposes
+          // `bucket`). Path-based writes to a bucket table fall back
+          // to clustering on the source column: strictly finer than
+          // the bucket layout (equal col ⇒ equal bucket), so the
+          // demux stays correct — it just lands more files per
+          // bucket directory than the transform-clustered plan.
+          case GdxSource.GdxBucketPart(n, bc) if viaCatalog =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, bc)
+          case spec =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(spec.col)
+        })))
       .getOrElse(org.apache.spark.sql.connector.distributions.Distributions
         .unspecified())
   // non-strict: Spark plans a REBALANCE (AQE coalesces tiny values,
@@ -3050,9 +3251,8 @@ class GdxStreamingWrite(path: String,
                         writeSchema: StructType = GdxSource.schema,
                         partitionCol: Option[String] = None)
     extends wstreaming.StreamingWrite {
-  private def partitionIdx: Int = partitionCol
-    .map(c => writeSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c)))
-    .getOrElse(-1)
+  private def partSpec: Option[GdxSource.GdxPartSpec] =
+    partitionCol.map(GdxSource.parsePartSpec)
   // the constraint set this write's tasks ENFORCE, captured once at
   // write construction; commit conflict-checks the live set against
   // it, so a constraint committed mid-flight aborts the epoch rather
@@ -3068,7 +3268,7 @@ class GdxStreamingWrite(path: String,
       GdxSource.activeChecks(enforced, writeSchema),
       GdxSource.writeLayout(writeSchema,
         GdxSource.committedColmap(path, GdxSource.driverConf())),
-      partitionIdx)
+      partSpec)
 
   def txnMarker(epochId: Long) = new Path(path, f"_txn-$epochId%016d")
 
@@ -3111,13 +3311,14 @@ class GdxStreamingWriterFactory(path: String, conf: SerializableHadoopConf,
                                   org.apache.spark.sql.catalyst.expressions
                                     .Expression)] = Seq.empty,
                                 layout: Array[Int] = null,
-                                partitionIdx: Int = -1)
+                                partSpec: Option[GdxSource.GdxPartSpec] =
+                                  None)
     extends wstreaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GdxDataWriter(path, partitionId, taskId, conf,
       tag = f"e$epochId%08d-", schema = writeSchema, checks = checks,
-      layoutIn = layout, partitionIdx = partitionIdx)
+      layoutIn = layout, partSpec = partSpec)
 }
 
 /** One task's committed tmp files (several under a partitioned write —
@@ -3130,9 +3331,8 @@ class GdxBatchWrite(path: String, replace: Boolean,
                     writeSchema: StructType = GdxSource.schema,
                     partitionCol: Option[String] = None)
     extends BatchWrite {
-  private def partitionIdx: Int = partitionCol
-    .map(c => writeSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c)))
-    .getOrElse(-1)
+  private def partSpec: Option[GdxSource.GdxPartSpec] =
+    partitionCol.map(GdxSource.parsePartSpec)
   // captured once (see GdxStreamingWrite): the set the tasks enforce
   // IS the set commit verifies is still complete — a constraint that
   // lands between factory creation and commit is a metadata conflict,
@@ -3150,7 +3350,7 @@ class GdxBatchWrite(path: String, replace: Boolean,
     if (replace) null
     else GdxSource.writeLayout(writeSchema,
       GdxSource.committedColmap(path, GdxSource.driverConf())),
-    partitionIdx)
+    partSpec)
 
   /** Driver-side publish: rename each task's tmp file to its
     * VERSION-PREFIXED final name, then write snapshot N+1's manifest —
@@ -3184,13 +3384,13 @@ class GdxWriterFactory(path: String, conf: SerializableHadoopConf,
                          org.apache.spark.sql.catalyst.expressions
                            .Expression)] = Seq.empty,
                        layout: Array[Int] = null,
-                       partitionIdx: Int = -1)
+                       partSpec: Option[GdxSource.GdxPartSpec] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GdxDataWriter(path, partitionId, taskId, conf,
       schema = writeSchema, checks = checks, layoutIn = layout,
-      partitionIdx = partitionIdx)
+      partSpec = partSpec)
 }
 
 /** Task-side writer: data lands in uniquely-named `.tmp` files that
@@ -3198,13 +3398,15 @@ class GdxWriterFactory(path: String, conf: SerializableHadoopConf,
   * attempt leaves at most unreferenced tmps (cleaned by abort, and
   * harmless if leaked — readers never list the directory).
   *
-  * With `partitionIdx` set (hive-style `PARTITIONED BY` on a LONG
-  * column) the task demuxes rows into one file PER PARTITION VALUE it
-  * sees, under `<col>=<value>/` subdirectories — the manifest stores
-  * the subdir-relative names, so planning, blooms, DVs, and vacuum all
-  * work unchanged, and the partition column's per-file extended stats
-  * collapse to `v..v`, which makes static partition pruning exactly a
-  * zone-map prune. */
+  * With `partSpec` set (`PARTITIONED BY` on a LONG column — identity
+  * or bucket transform) the task demuxes rows into one file PER
+  * DIRECTORY KEY it sees, under `<dirName>=<key>/` subdirectories —
+  * the manifest stores the subdir-relative names, so planning, blooms,
+  * DVs, and vacuum all work unchanged. For identity layouts the
+  * partition column's per-file extended stats collapse to `v..v`,
+  * which makes static partition pruning exactly a zone-map prune; for
+  * bucket layouts the directory key is [[GdxSource.bucketId]] of the
+  * value and pruning goes through the bucket-directory overlay. */
 class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
                     conf: SerializableHadoopConf, tag: String = "",
                     schema: StructType = GdxSource.schema,
@@ -3212,8 +3414,11 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
                       org.apache.spark.sql.catalyst.expressions
                         .Expression)] = Seq.empty,
                     layoutIn: Array[Int] = null,
-                    partitionIdx: Int = -1)
+                    partSpec: Option[GdxSource.GdxPartSpec] = None)
     extends DataWriter[InternalRow] {
+  private val partitionIdx: Int = partSpec
+    .map(s => schema.fieldNames.indexWhere(_.equalsIgnoreCase(s.col)))
+    .getOrElse(-1)
   // physical slot → logical field index (-1 = dead slot, written \N);
   // identity unless the table carries a column mapping
   private val layout: Array[Int] =
@@ -3278,7 +3483,7 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
         if f.dataType == LongType || f.dataType == DoubleType => i }
 
   private val partitionName: String =
-    if (partitionIdx >= 0) schema(partitionIdx).name else ""
+    partSpec.map(_.dirName).getOrElse("")
   // unpartitioned: exactly one sink, created eagerly (the historical
   // behavior — an empty task still publishes an empty-file entry)
   private val sinks =
@@ -3289,7 +3494,7 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     val key =
       if (partitionIdx < 0) ""
       else if (r.isNullAt(partitionIdx)) "__null__"
-      else r.getLong(partitionIdx).toString
+      else partSpec.get.keyOf(r.getLong(partitionIdx)).toString
     var s = sinks.get(key)
     if (s == null) {
       s = new Sink(
