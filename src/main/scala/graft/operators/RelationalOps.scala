@@ -1860,6 +1860,39 @@ object RelationalOps extends QueryModule {
       q.withColumn("meta_complete", lit(metaComplete)).orderBy("p")
     }),
 
+    // S33 — MANIFEST SUM/COUNT(col)/MIN/MAX(col): the s31 metadata
+    // path extended from the zone-map trio to real per-column
+    // aggregates — every GDX data file records an exact per-LONG-column
+    // SUM + non-null count (`s:` manifest field, Long-overflow-checked
+    // at write time), so the per-partition revenue/activity profile —
+    // COUNT(*), SUM(k), COUNT(w), SUM(w), MIN(w), MAX(w) GROUP BY p —
+    // is answered COMPLETELY from manifests: zero data files opened,
+    // at 100 TB the cost of reading kilobytes of metadata. NULL
+    // semantics are SQL-exact (w is NULL on every 5th event: SUM/MIN/
+    // MAX skip, COUNT(w) counts non-null); DV'd snapshots, legacy
+    // files, and renamed columns fall back to classic plans (presence
+    // of the `s:` entry proves the write era). `meta_complete` pins
+    // the plan shape; DuckDB recomputes the grouped payload.
+    "s33_gdx_meta_sum" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxms_")
+      val fmt = "graft.sources.GdxSource"
+      Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"),
+          (col("event_id") % 8).as("p"),
+          when(col("event_id") % 5 === 0, lit(null))
+            .otherwise(col("event_id") * 3).cast("long").as("w"))
+        .write.format(fmt).option("path", dir)
+        .option("partitionBy", "p").mode("overwrite").save()
+      val q = s.read.format(fmt).option("path", dir).load()
+        .groupBy("p")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          count("w").as("n_w"), sum("w").as("sum_w"),
+          min("w").as("min_w"), max("w").as("max_w"))
+      val metaComplete = q.queryExecution.executedPlan.toString()
+        .contains("COMPLETE(manifest)")
+      q.withColumn("meta_complete", lit(metaComplete)).orderBy("p")
+    }),
+
     // S32 — BUCKET-TRANSFORM SPJ through the GDX CATALOG: two tables
     // `PARTITIONED BY (bucket(16, k))` joined on the RAW key — not a
     // pre-materialized low-cardinality column — plan and execute with
@@ -1911,6 +1944,53 @@ object RelationalOps extends QueryModule {
         .withColumn("spj_no_shuffle", lit(noShuffle))
         .withColumn("bucket_layout", lit(bucketLayout))
         .orderBy("k")
+    }),
+
+    // S34 — METADATA TABLES: `gdx.ns.t.files` / `.history` /
+    // `.partitions` — the Iceberg `table$files` / Delta DESCRIBE
+    // DETAIL introspection surface, computed from manifests alone
+    // (zero data files opened): file-size distributions, snapshot
+    // growth, and partition skew are operator dashboards that at
+    // 100 TB must come from metadata, never a scan. The payload is
+    // the `.partitions` profile of a partitioned events table, which
+    // DuckDB recomputes from raw events (one clustered-write file per
+    // partition value makes n_files deterministic); `files_ok` pins
+    // the `.files` view against the same totals and `history_ok` pins
+    // the snapshot ledger (empty CREATE, then one 8-file insert).
+    "s34_gdx_metadata_tables" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxmt_")
+      val cat = "gdx_s34"
+      val c = graft.Sessions.pinned(s,
+        s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+        s"spark.sql.catalog.$cat.warehouse" -> wh)
+      c.sql(s"CREATE NAMESPACE $cat.lab")
+      c.sql(s"CREATE TABLE $cat.lab.ev (k BIGINT, v STRING, p BIGINT) " +
+        "PARTITIONED BY (p)")
+      val ev = Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"),
+          (col("event_id") % 8).as("p"))
+      graft.Sessions.insertInto(c, ev, s"$cat.lab.ev") // v2
+      val total = ev.count()
+      val files = c.sql(s"SELECT rows, dv, file FROM $cat.lab.ev.files")
+        .collect()
+      val filesOk = files.length == 8 &&
+        files.map(_.getLong(0)).sum == total &&
+        files.forall(r => r.isNullAt(1) && r.getString(2).startsWith("p="))
+      val historyOk = c.sql(
+        s"SELECT version, is_delta, n_files, n_rows " +
+          s"FROM $cat.lab.ev.history ORDER BY version").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq ==
+        Seq((1L, 0L, 0L), (2L, 8L, total))
+      val rows = c.sql(
+        s"""SELECT part_key AS p, n_files, n_rows, min_k, max_k
+           |FROM $cat.lab.ev.partitions""".stripMargin).collect().toSeq
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .toDF("p", "n_files", "n_rows", "min_k", "max_k")
+        .withColumn("files_ok", lit(filesOk))
+        .withColumn("history_ok", lit(historyOk))
+        .orderBy("p")
     }),
 
     // C27 — the GDX CATALOG front door end-to-end in SQL: CREATE
@@ -3223,6 +3303,20 @@ object RelationalOps extends QueryModule {
         |  min(event_id) AS min_k, max(event_id) AS max_k,
         |  TRUE AS meta_complete
         |FROM events GROUP BY 1 ORDER BY p""".stripMargin,
+    // the per-partition sum/count/min/max profile recomputed from raw
+    // events (w NULL on every 5th id); the metadata-only plan-shape
+    // claim is pinned TRUE
+    "s33_gdx_meta_sum" ->
+      """WITH e AS (
+        |  SELECT event_id AS k, event_id % 8 AS p,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL
+        |         ELSE event_id * 3 END AS w
+        |  FROM events)
+        |SELECT p, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  count(w) AS n_w, CAST(sum(w) AS BIGINT) AS sum_w,
+        |  CAST(min(w) AS BIGINT) AS min_w, CAST(max(w) AS BIGINT) AS max_w,
+        |  TRUE AS meta_complete
+        |FROM e GROUP BY 1 ORDER BY p""".stripMargin,
     // the bucket-SPJ join recomputed from raw events (event_id is
     // unique, so joining fact to the purchase delta keeps exactly the
     // purchase rows; the k % 101 thinning is deterministic); the plan
@@ -3233,6 +3327,15 @@ object RelationalOps extends QueryModule {
         |FROM events
         |WHERE event_type = 'purchase' AND event_id % 101 = 0
         |ORDER BY k""".stripMargin,
+    // the per-partition metadata profile recomputed from raw events
+    // (clustered writes land ONE file per partition value, so n_files
+    // is the constant 1); the .files/.history ledger claims pinned
+    "s34_gdx_metadata_tables" ->
+      """SELECT event_id % 8 AS p, CAST(1 AS BIGINT) AS n_files,
+        |  count(*) AS n_rows, min(event_id) AS min_k,
+        |  max(event_id) AS max_k,
+        |  TRUE AS files_ok, TRUE AS history_ok
+        |FROM events GROUP BY 1 ORDER BY p""".stripMargin,
     // the catalog-table rollup recomputed from raw events; the evolved
     // column w is all-NULL so count(w) = 0; discovery, time-travel,
     // and layout claims pinned TRUE

@@ -39,6 +39,8 @@ object GdxMaintenanceSql {
     """(?is)^\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val History =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
+  private val Restore =
+    """(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val AddCheck =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private val DropCheck =
@@ -92,6 +94,12 @@ object GdxMaintenanceSql {
       case _ => None
     } else if (k1 == "DESCRIBE" && k2 == "HISTORY") sqlText match {
       case History(tbl) => Some(GdxHistoryCommand(ident(tbl)))
+      case _ => None
+    } else if (k1 == "RESTORE") sqlText match {
+      // Delta's RESTORE TABLE statement shape (Spark's grammar has no
+      // RESTORE keyword, so this is free grammar like DESCRIBE HISTORY)
+      case Restore(tbl, v) =>
+        Some(GdxRestoreCommand(ident(tbl), v.toInt))
       case _ => None
     } else if (k1 == "ALTER" && k2 == "TABLE") sqlText match {
       // only the CONSTRAINT forms — every other ALTER TABLE statement
@@ -264,6 +272,28 @@ case class GdxHistoryCommand(table: Seq[String])
     val path = GdxMaintenanceSql.gdxPathOf(spark, table, "DESCRIBE HISTORY")
     graft.sources.GdxSource.history(spark, path)
       .orderBy("version").collect().toSeq
+  }
+}
+
+/** `RESTORE TABLE <gdx> [TO] VERSION AS OF <n>` → re-publish snapshot
+  * n's manifest (entries, schema, constraints, column mapping,
+  * partition spec) as the NEW current version — history is never
+  * rewritten, the restore is itself a commit, and a later RESTORE can
+  * undo it (the Delta RESTORE contract;
+  * [[graft.sources.GdxSource.restoreSnapshot]]). Returns
+  * (restored_from, version). */
+case class GdxRestoreCommand(table: Seq[String], fromVersion: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("restored_from", LongType, nullable = false),
+        StructField("version", LongType, nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GdxMaintenanceSql.gdxPathOf(spark, table, "RESTORE TABLE")
+    val v = graft.sources.GdxSource.restoreSnapshot(path, fromVersion)
+    GdxMaintenanceSql.syncCatalogSchema(spark, table, path)
+    Seq(Row(fromVersion.toLong, v.toLong))
   }
 }
 

@@ -10,13 +10,14 @@ import org.apache.spark.sql.catalyst.analysis.{
   TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{
-  FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table,
-  TableCatalog, TableChange}
+  FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces,
+  SupportsRead, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.{
   BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{
-  DataType, DoubleType, IntegerType, LongType, StringType, StructType}
+  DataType, DoubleType, IntegerType, LongType, StringType, StructField,
+  StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The GDX table CATALOG — the front door that makes the format a
@@ -111,7 +112,23 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir)) {
+      // Iceberg-style METADATA TABLES: `gdx.ns.t.files` / `.history` /
+      // `.partitions` — the trailing name selects the view, the prefix
+      // must be a real table. Resolution order favors real tables: a
+      // user table literally named `files` under namespace `ns.t`
+      // shadows the metadata view of table `t`.
+      if (ident.namespace.nonEmpty &&
+        GdxMetadataTable.Kinds.contains(ident.name.toLowerCase)) {
+        val parent = Identifier.of(ident.namespace.init,
+          ident.namespace.last)
+        val pdir = tableDir(parent)
+        if (isTable(pdir))
+          return new GdxMetadataTable(pdir.toString,
+            ident.name.toLowerCase)
+      }
+      throw new NoSuchTableException(ident)
+    }
     val d = dir.toString
     new GdxTable(d, GdxSource.committedSchema(d, conf),
       GdxSource.committedPartitionCol(d, conf), viaCatalog = true)
@@ -195,6 +212,17 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "gdx catalog: nested columns are not supported")
+        // silently honoring FIRST/AFTER, NOT NULL, or a DEFAULT would
+        // hand the user a column that doesn't behave as declared —
+        // refuse the forms the format cannot express
+        require(a.position == null,
+          "gdx catalog: ADD COLUMN appends at the end - FIRST/AFTER " +
+            "positions are not supported")
+        require(a.isNullable,
+          "gdx catalog: added columns are null-filled for existing " +
+            "rows and cannot be NOT NULL")
+        require(a.defaultValue == null,
+          "gdx catalog: column DEFAULT values are not supported")
         GdxSource.addColumn(d, a.fieldNames.head, a.dataType)
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
@@ -290,6 +318,136 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name.equalsIgnoreCase("bucket")) GdxBucketUnbound
     else throw new NoSuchFunctionException(ident)
+}
+
+/** Iceberg-style metadata tables over a GDX directory — read-only
+  * views computed from manifests alone (zero data files opened):
+  *
+  *  - `gdx.ns.t.files`: one row per live data file of the current
+  *    snapshot — name, row count, k-range, DV reference, partition
+  *    directory key;
+  *  - `gdx.ns.t.history`: one row per retained snapshot — version,
+  *    commit kind (full/delta), file and row counts;
+  *  - `gdx.ns.t.partitions`: the per-partition profile — files, rows,
+  *    k-range per directory key.
+  *
+  * These are the operator's dashboards (file-size distributions,
+  * snapshot growth, partition skew) answered at metadata cost, the
+  * `table$files` / DESCRIBE DETAIL surface of the lakehouse formats.
+  * All driver-side planning; the "scan" ships the finished rows. */
+class GdxMetadataTable(dir: String, kind: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.{
+    Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+    ScanBuilder}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = s"gdx($dir).$kind"
+  override def schema(): StructType = GdxMetadataTable.schemaOf(kind)
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder with Scan with Batch {
+    override def build(): Scan = this
+    override def readSchema(): StructType = schema()
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(GdxMetadataRows(GdxMetadataTable.compute(dir, kind)))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition)
+            : PartitionReader[InternalRow] =
+          new PartitionReader[InternalRow] {
+            private val it =
+              p.asInstanceOf[GdxMetadataRows].rows.iterator
+            override def next(): Boolean = it.hasNext
+            override def get(): InternalRow = InternalRow.fromSeq(
+              it.next().map {
+                case s: String => UTF8String.fromString(s)
+                case other => other
+              })
+            override def close(): Unit = ()
+          }
+      }
+  }
+}
+
+/** Pre-computed metadata rows (Strings still JVM strings — the reader
+  * converts at emit time so the partition stays trivially
+  * serializable). */
+case class GdxMetadataRows(rows: Seq[Seq[Any]])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+object GdxMetadataTable {
+  val Kinds: Set[String] = Set("files", "history", "partitions")
+
+  def schemaOf(kind: String): StructType = kind match {
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType),
+      StructField("min_k", LongType),
+      StructField("max_k", LongType),
+      StructField("dv", StringType),
+      StructField("part_key", LongType)))
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("is_delta", LongType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType)))
+    case "partitions" => StructType(Seq(
+      StructField("part_key", LongType),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType),
+      StructField("min_k", LongType),
+      StructField("max_k", LongType)))
+    case other => throw new IllegalArgumentException(
+      s"gdx: unknown metadata table $other")
+  }
+
+  def compute(dir: String, kind: String): Seq[Seq[Any]] = {
+    val conf = GdxSource.driverConf()
+    val spec = GdxSource.committedPartSpec(dir, conf)
+    def keyOf(name: String): Any = spec.flatMap(sp =>
+      GdxSource.partKeyOf(sp.render, name).flatten).orNull
+    kind match {
+      case "files" =>
+        GdxSource.committedEntries(dir, conf).map { e =>
+          Seq(e.name,
+            e.stats.map(s => Long.box(s.rows)).orNull,
+            e.stats.filter(_.rows > 0).map(s => Long.box(s.minK)).orNull,
+            e.stats.filter(_.rows > 0).map(s => Long.box(s.maxK)).orNull,
+            e.dv.orNull,
+            keyOf(e.name))
+        }
+      case "history" =>
+        GdxSource.listVersions(dir, conf).sorted.map { v =>
+          val es = GdxSource.committedEntries(dir, conf, v)
+          Seq(Long.box(v.toLong),
+            Long.box(if (GdxSource.isDeltaVersion(dir, conf, v)) 1L else 0L),
+            Long.box(es.size.toLong),
+            if (es.forall(_.stats.isDefined))
+              Long.box(es.flatMap(_.stats).map(_.rows).sum)
+            else null)
+        }
+      case "partitions" =>
+        GdxSource.committedEntries(dir, conf)
+          .groupBy(e => keyOf(e.name)).toSeq.map { case (key, es) =>
+            val stats = es.flatMap(_.stats)
+            val live = stats.filter(_.rows > 0)
+            Seq(key,
+              Long.box(es.size.toLong),
+              if (stats.size == es.size)
+                Long.box(stats.map(_.rows).sum) else null,
+              if (live.nonEmpty) Long.box(live.map(_.minK).min) else null,
+              if (live.nonEmpty) Long.box(live.map(_.maxK).max) else null)
+          }
+      case other => throw new IllegalArgumentException(
+        s"gdx: unknown metadata table $other")
+    }
+  }
 }
 
 /** The `bucket` partition-transform function, V2-catalog edition. Its

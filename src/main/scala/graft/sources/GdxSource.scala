@@ -200,7 +200,8 @@ class GdxConstraintViolationException(msg: String)
   * prunable by ANY k-predicate. Legacy manifest lines (file name only)
   * parse to `stats = None` — never pruned. */
 case class GdxFileStats(rows: Long, minK: Long, maxK: Long,
-                        cols: Map[String, (String, String)] = Map.empty)
+                        cols: Map[String, (String, String)] = Map.empty,
+                        sums: Map[String, (Long, Long)] = Map.empty)
 
 /** One committed data file: name, optional zone map, and an optional
   * DELETION VECTOR sidecar (`dv`) — a `.dvx` file listing this data
@@ -302,18 +303,28 @@ case class GdxFileEntry(name: String, stats: Option[GdxFileStats],
     * to a legacy stats-less entry). Extended per-column stats, when
     * present, append ONE trailing `x:c=min..max;…` field — the `x:`
     * prefix disambiguates it from a DV name in every arity, and
-    * readers that predate the field simply never prune on it. */
+    * readers that predate the field simply never prune on it.
+    * Per-column SUM aggregates (`s:c=<sum>,<nonNullCount>;…` — LONG
+    * columns, overflow-checked at write time) trail the same way:
+    * their PRESENCE proves the writing era recorded them, which is
+    * what lets metadata-only SUM/COUNT(col)/MIN/MAX(col) distinguish
+    * an all-NULL column (entry with count 0) from a legacy file
+    * (no entry → fall back to a classic plan). */
   def manifestLine: String = {
     val ext = stats.filter(_.cols.nonEmpty).map(s =>
       "\tx:" + s.cols.toSeq.sortBy(_._1).map {
         case (c, (mn, mx)) => s"$c=$mn..$mx"
+      }.mkString(";")).getOrElse("")
+    val sums = stats.filter(_.sums.nonEmpty).map(s =>
+      "\ts:" + s.sums.toSeq.sortBy(_._1).map {
+        case (c, (sum, nn)) => s"$c=$sum,$nn"
       }.mkString(";")).getOrElse("")
     ((stats, dv) match {
       case (Some(s), Some(d)) => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}\t$d"
       case (Some(s), None)    => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}"
       case (None, Some(d))    => s"$name\t-\t-\t-\t$d"
       case (None, None)       => name
-    }) + ext
+    }) + ext + sums
   }
 }
 
@@ -658,6 +669,16 @@ object GdxSource {
       partitionCol: Option[String], checks: Seq[(String, String)],
       entries: Seq[GdxFileEntry])
 
+  /** Whether snapshot `v` committed as a DELTA manifest (an append's
+    * file list, replayed over the previous snapshot) rather than a
+    * full checkpoint — the `history` metadata table surfaces it. */
+  private[graft] def isDeltaVersion(path: String, conf: Configuration,
+                                    v: Int): Boolean = {
+    val fs = new Path(path).getFileSystem(conf)
+    val m = manifestFor(path, v)
+    fs.exists(m) && readManifest(fs, m).isDelta
+  }
+
   private def readManifest(fs: FileSystem, m: Path): ManifestData =
     try readManifestOnce(fs, m)
     catch {
@@ -816,22 +837,30 @@ object GdxSource {
   }
 
   private def parseManifestLine(line: String): GdxFileEntry = {
-    // the extended-stats field is always LAST and always `x:`-prefixed
-    // — peel it first so every legacy arity parses unchanged
-    val raw = line.split('\t')
-    val (fields, ext) =
-      if (raw.length > 1 && raw.last.startsWith("x:"))
-        (raw.init, parseExtStats(raw.last.drop(2)))
-      else (raw, Map.empty[String, (String, String)])
-    fields match {
+    // the stats overlays are always TRAILING and prefix-tagged (`x:`
+    // ranges, `s:` sums) — peel them first, in any order, so every
+    // legacy arity parses unchanged
+    var raw = line.split('\t')
+    var ext = Map.empty[String, (String, String)]
+    var sums = Map.empty[String, (Long, Long)]
+    var peeling = raw.length > 1
+    while (peeling) {
+      if (raw.last.startsWith("x:")) {
+        ext = parseExtStats(raw.last.drop(2)); raw = raw.init
+      } else if (raw.last.startsWith("s:")) {
+        sums = parseSumStats(raw.last.drop(2)); raw = raw.init
+      } else peeling = false
+      if (raw.length <= 1) peeling = false
+    }
+    raw match {
       case Array(name, rows, mn, mx) =>
         GdxFileEntry(name,
-          Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong, ext)))
+          Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong, ext, sums)))
       case Array(name, "-", "-", "-", dv) =>
         GdxFileEntry(name, None, Some(dv))
       case Array(name, rows, mn, mx, dv) =>
         GdxFileEntry(name,
-          Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong, ext)),
+          Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong, ext, sums)),
           Some(dv))
       case _ => GdxFileEntry(line, None)
     }
@@ -844,6 +873,17 @@ object GdxSource {
       if (eq < 0 || dots < 0) None
       else Some(part.substring(0, eq) ->
         (part.substring(eq + 1, dots), part.substring(dots + 2)))
+    }.toMap
+
+  private def parseSumStats(s: String): Map[String, (Long, Long)] =
+    s.split(';').iterator.flatMap { part =>
+      val eq = part.indexOf('=')
+      val comma = part.indexOf(',', eq + 1)
+      if (eq < 0 || comma < 0) None
+      else try Some(part.substring(0, eq) ->
+        (part.substring(eq + 1, comma).toLong,
+          part.substring(comma + 1).toLong))
+      catch { case _: NumberFormatException => None }
     }.toMap
 
   /** File paths of the chosen snapshot (stats dropped). */
@@ -2416,7 +2456,7 @@ class GdxScanBuilder(path: String, version: Int,
     with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{
-    Aggregation, CountStar, Max, Min}
+    Aggregation, Count, CountStar, Max, Min, Sum}
 
   private var pushed: Array[Filter] = Array.empty
   private var pruneOnly: Array[Filter] = Array.empty
@@ -2488,8 +2528,13 @@ class GdxScanBuilder(path: String, version: Int,
     GdxSource.committedEntries(path, GdxSource.driverConf(), version)
 
   /** (groupedByPartition, ops) when the aggregate is expressible over
-    * manifest stats: COUNT(*)/MIN(k)/MAX(k), ungrouped or grouped by
-    * EXACTLY the table's hive partition column. */
+    * manifest stats — ungrouped or grouped by EXACTLY the table's
+    * hive partition column:
+    *  - COUNT(*) / MIN(k) / MAX(k): zone maps (any manifest era);
+    *  - SUM(c) / COUNT(c) over any LONG column, MIN(c) / MAX(c) over
+    *    any non-key LONG column: the per-file `s:` sum/count stats +
+    *    `x:` ranges — ops encoded `sum:c` / `countc:c` / `min:c` /
+    *    `max:c`, answered ONLY completely (never partially pushed). */
   private def aggShape(agg: Aggregation): Option[(Boolean, Seq[String])] = {
     val grouped = agg.groupByExpressions().toSeq match {
       case Seq() => false
@@ -2497,19 +2542,54 @@ class GdxScanBuilder(path: String, version: Int,
         r.fieldNames().toSeq == Seq(pc)) => true
       case _ => return None
     }
-    def isK(e: org.apache.spark.sql.connector.expressions.Expression) =
-      e match {
-        case r: NamedReference => r.fieldNames().toSeq == Seq("k")
-        case _                 => false
-      }
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames().head)
+      case _ => None
+    }
+    def longCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = colOf(e).filter(c =>
+      tableSchema.fields.exists(f =>
+        f.name == c && f.dataType == LongType))
     val ops = agg.aggregateExpressions().map {
-      case _: CountStar            => "count"
-      case m: Min if isK(m.column) => "min"
-      case m: Max if isK(m.column) => "max"
-      case _                       => return None
+      case _: CountStar => "count"
+      case m: Min => longCol(m.column) match {
+        case Some("k") => "min"
+        case Some(c)   => s"min:$c"
+        case None      => return None
+      }
+      case m: Max => longCol(m.column) match {
+        case Some("k") => "max"
+        case Some(c)   => s"max:$c"
+        case None      => return None
+      }
+      case s: Sum if !s.isDistinct => longCol(s.column) match {
+        case Some(c) => s"sum:$c"
+        case None    => return None
+      }
+      case c: Count if !c.isDistinct => longCol(c.column) match {
+        // k is non-null by the format contract: COUNT(k) = COUNT(*)
+        case Some("k") => "count"
+        case Some(col) => s"countc:$col"
+        case None      => return None
+      }
+      case _ => return None
     }
     Some((grouped, ops.toSeq))
   }
+
+  /** Columns an extended op reads through the `s:` sum stats — their
+    * per-file presence is the completeness proof (an entry with
+    * count 0 means all-NULL; NO entry means a legacy/foreign file and
+    * forces the classic plan). */
+  private def sumStatCols(ops: Seq[String]): Seq[String] =
+    ops.collect {
+      case op if op.startsWith("sum:") => op.drop(4)
+      case op if op.startsWith("countc:") => op.drop(7)
+      case op if op.startsWith("min:") => op.drop(4)
+      case op if op.startsWith("max:") => op.drop(4)
+    }.distinct
 
   private var metaComplete = false
   private var aggGrouped = false
@@ -2521,11 +2601,28 @@ class GdxScanBuilder(path: String, version: Int,
     * grouped shape — every file proves its partition value from its
     * name, so the per-value fold is exact. */
   private def completeFor(agg: Aggregation): Boolean =
-    aggShape(agg).exists { case (grouped, _) =>
+    aggShape(agg).exists { case (grouped, ops) =>
       pushed.forall { case IsNotNull("k") => true; case _ => false } &&
         builderEntries.forall(e => e.stats.isDefined && e.dv.isEmpty) &&
         (!grouped || builderPartitionCol.exists(pc => builderEntries
-          .forall(e => GdxSource.partKeyOf(pc, e.name).isDefined)))
+          .forall(e => GdxSource.partKeyOf(pc, e.name).isDefined))) &&
+        // extended ops need every file's write era to have recorded
+        // the column's sum stats (legacy files, DML rewrite files, and
+        // pre-rename names fall back to the classic plan)...
+        sumStatCols(ops).forall(c => builderEntries.forall(
+          _.stats.exists(_.sums.contains(c)))) &&
+        // ...and every folded SUM must fit a Long exactly — an
+        // overflow answer from metadata could differ from the classic
+        // plan's (wrapping) one, so it falls back instead
+        ops.filter(_.startsWith("sum:")).map(_.drop(4)).forall { c =>
+          def fits(es: Seq[GdxFileEntry]): Boolean =
+            es.flatMap(_.stats).map(s => BigInt(s.sums(c)._1))
+              .sum.isValidLong
+          if (!grouped) fits(builderEntries)
+          else builderEntries.groupBy(e => builderPartitionCol
+            .flatMap(pc => GdxSource.partKeyOf(pc, e.name)))
+            .values.forall(fits)
+        }
     }
 
   /** COMPLETE pushdown — the metadata-only query: when every manifest
@@ -2547,8 +2644,15 @@ class GdxScanBuilder(path: String, version: Int,
 
   override def pushAggregation(agg: Aggregation): Boolean =
     aggShape(agg) match {
+      // extended (sum/count-col/min-col/max-col) ops are COMPLETE-only:
+      // the per-file partial fold readers implement covers the classic
+      // k trio, and a partially-pushed sum would re-scan anyway
+      case Some((_, ops))
+          if sumStatCols(ops).nonEmpty && !completeFor(agg) =>
+        metaComplete = false; false
       case Some((false, ops)) =>
-        aggOps = Some(ops); aggGrouped = false; true
+        aggOps = Some(ops); aggGrouped = false
+        metaComplete = completeFor(agg); true
       case Some((true, ops)) if completeFor(agg) =>
         // recomputed (not read off metaComplete) so correctness never
         // depends on Spark's supportCompletePushDown-then-push ordering
@@ -2633,7 +2737,8 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   override def readSchema(): StructType = aggOps match {
     case Some(ops) =>
       val aggFields = ops.zipWithIndex.map { case (op, i) =>
-        StructField(s"${op}_$i", LongType, nullable = op != "count")
+        StructField(s"${op.replace(':', '_')}_$i", LongType,
+          nullable = op != "count" && !op.startsWith("countc:"))
       }
       // grouped-by-partition shape: the group column LEADS (Spark's
       // pushed-aggregate output contract: groupBy columns, then aggs)
@@ -2768,8 +2873,11 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   // pattern, reduced to its manifest essentials)
   override def planInputPartitions(): Array[InputPartition] =
     if (metaOnly) {
-      // fold the zone maps into the finished aggregate row(s) right
-      // here — one partition, zero file reads
+      // fold the zone maps + sum stats into the finished aggregate
+      // row(s) right here — one partition, zero file reads. Sums fold
+      // in BigInt and were proven Long-representable at pushdown time
+      // (the builder refuses otherwise); SQL NULL semantics: SUM/MIN/
+      // MAX over zero non-null values is NULL, COUNT(col) is 0.
       def fold(es: Seq[GdxFileEntry]): Seq[Option[Long]] = {
         val stats = es.flatMap(_.stats)
         val live = stats.filter(_.rows > 0)
@@ -2777,6 +2885,20 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
           case "count" => Some(stats.map(_.rows).sum)
           case "min" => if (live.isEmpty) None else Some(live.map(_.minK).min)
           case "max" => if (live.isEmpty) None else Some(live.map(_.maxK).max)
+          case op if op.startsWith("sum:") =>
+            val c = op.drop(4)
+            if (stats.map(_.sums(c)._2).sum == 0L) None
+            else Some(stats.map(s => BigInt(s.sums(c)._1)).sum.toLong)
+          case op if op.startsWith("countc:") =>
+            Some(stats.map(_.sums(op.drop(7))._2).sum)
+          case op if op.startsWith("min:") =>
+            val present = stats.flatMap(_.cols.get(op.drop(4)))
+            if (present.isEmpty) None
+            else Some(present.map(_._1.toLong).min)
+          case op if op.startsWith("max:") =>
+            val present = stats.flatMap(_.cols.get(op.drop(4)))
+            if (present.isEmpty) None
+            else Some(present.map(_._2.toLong).max)
         }
       }
       val rows =
@@ -3453,6 +3575,12 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     val extMaxL = Array.fill(extIdx.length)(Long.MinValue)
     val extMinD = Array.fill(extIdx.length)(Double.MaxValue)
     val extMaxD = Array.fill(extIdx.length)(Double.MinValue)
+    // per-LONG-column running SUM + non-null count (k included) for
+    // metadata-only SUM/COUNT(col) — exact by construction; a Long
+    // overflow poisons the column's entry (absence = fall back)
+    val sumL = new Array[Long](sumIdx.length)
+    val sumN = new Array[Long](sumIdx.length)
+    val sumBad = new Array[Boolean](sumIdx.length)
     // point-lookup bloom over k, written as an immutable sidecar the
     // commit renames alongside the data file (see [[GdxBloom]])
     val bloom = new Array[Byte](GdxBloom.Bits / 8)
@@ -3465,7 +3593,10 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
           (extMinL(e).toString, extMaxL(e).toString)
         else (extMinD(e).toString, extMaxD(e).toString))
       }.toMap
-      (name, GdxFileStats(rows, minK, maxK, ext))
+      val sums = sumIdx.indices.iterator.filterNot(sumBad).map { e =>
+        schema(sumIdx(e)).name -> (sumL(e), sumN(e))
+      }.toMap
+      (name, GdxFileStats(rows, minK, maxK, ext, sums))
     }
   }
 
@@ -3481,6 +3612,13 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
   private val extIdx: Array[Int] = schema.fields.zipWithIndex.drop(1)
     .collect { case (f, i)
         if f.dataType == LongType || f.dataType == DoubleType => i }
+
+  // every LONG column (k included) carries a per-file SUM + non-null
+  // count; doubles are deliberately excluded — float sums are
+  // order-dependent, and a metadata answer must be bit-identical to
+  // any execution order
+  private val sumIdx: Array[Int] = schema.fields.zipWithIndex
+    .collect { case (f, i) if f.dataType == LongType => i }
 
   private val partitionName: String =
     partSpec.map(_.dirName).getOrElse("")
@@ -3538,6 +3676,19 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
         }
       }
       e += 1
+    }
+    var se = 0
+    while (se < sumIdx.length) {
+      val i = sumIdx(se)
+      if (!r.isNullAt(i) && !sink.sumBad(se)) {
+        try {
+          sink.sumL(se) = Math.addExact(sink.sumL(se), r.getLong(i))
+          sink.sumN(se) += 1
+        } catch {
+          case _: ArithmeticException => sink.sumBad(se) = true
+        }
+      }
+      se += 1
     }
     // fields joined by tab in physical-slot order; NULL as the reserved
     // \N marker. The line format has no escaping: a separator/

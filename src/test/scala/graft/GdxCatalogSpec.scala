@@ -284,6 +284,41 @@ class GdxCatalogSpec extends SparkSuite {
     }
   }
 
+  test("metadata tables: gdx.ns.t.files / .history / .partitions " +
+      "answer from manifests alone") {
+    withCatalog() { (s, cat, _) =>
+      s.sql(s"CREATE NAMESPACE $cat.lab")
+      s.sql(s"CREATE TABLE $cat.lab.t (k BIGINT, v STRING, p BIGINT) " +
+        "PARTITIONED BY (p)")
+      s.sql(s"INSERT INTO $cat.lab.t VALUES (1,'a',0), (2,'b',1)")
+      s.sql(s"INSERT INTO $cat.lab.t VALUES (3,'c',0)")
+      // files: one per (commit, partition value) = 2 + 1
+      val files = s.sql(s"SELECT file, rows, min_k, max_k, part_key " +
+        s"FROM $cat.lab.t.files ORDER BY file").collect()
+      assert(files.length == 3)
+      assert(files.map(_.getLong(1)).sum == 3)
+      assert(files.forall(r => r.getString(0).startsWith("p=")))
+      assert(files.map(_.getLong(4)).sorted.toSeq == Seq(0L, 0L, 1L))
+      // history: create (empty) + two inserts
+      val hist = s.sql(s"SELECT version, n_files, n_rows " +
+        s"FROM $cat.lab.t.history ORDER BY version").collect()
+      assert(hist.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq == Seq((1L, 0L, 0L), (2L, 2L, 2L), (3L, 3L, 3L)))
+      // partitions: per-directory profile
+      val parts = s.sql(s"SELECT part_key, n_files, n_rows, min_k, max_k " +
+        s"FROM $cat.lab.t.partitions ORDER BY part_key").collect()
+      assert(parts.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq ==
+        Seq((0L, 2L, 2L, 1L, 3L), (1L, 1L, 1L, 2L, 2L)))
+      // a real table shadows the metadata suffix
+      s.sql(s"CREATE NAMESPACE $cat.lab.t2")
+      s.sql(s"CREATE TABLE $cat.lab.t2.files (k BIGINT, v STRING)")
+      s.sql(s"INSERT INTO $cat.lab.t2.files VALUES (9, 'x')")
+      assert(s.sql(s"SELECT v FROM $cat.lab.t2.files")
+        .head.getString(0) == "x")
+    }
+  }
+
   test("DML and maintenance SQL route to catalog tables: DELETE / " +
       "UPDATE / MERGE / OPTIMIZE / DESCRIBE HISTORY on gdx.ns.t") {
     // analyzer/parser extension points bind at session construction —
@@ -316,6 +351,16 @@ class GdxCatalogSpec extends SparkSuite {
     s0.sql(s"OPTIMIZE $cat.lab.t")
     assert(s0.sql(s"SELECT count(*) FROM $cat.lab.t")
       .head.getLong(0) == 2)
+    // RESTORE TABLE re-publishes the old snapshot as a NEW commit:
+    // back to the 3-row v2, with history intact (a later restore can
+    // undo the restore)
+    val restored = s0.sql(
+      s"RESTORE TABLE $cat.lab.t TO VERSION AS OF 2").collect()
+    assert(restored.head.getLong(0) == 2L)
+    assert(s0.sql(s"SELECT count(*) FROM $cat.lab.t")
+      .head.getLong(0) == 3)
+    assert(s0.sql(s"SELECT v FROM $cat.lab.t WHERE k = 2")
+      .head.getString(0) == "b")
   }
 
   test("CTAS through the catalog creates and fills the table, " +

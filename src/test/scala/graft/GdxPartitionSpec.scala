@@ -297,4 +297,103 @@ class GdxPartitionSpec extends SparkSuite {
         (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSet ===
       Set((-1L, 30L), (1L, 30L), (2L, 30L)))
   }
+
+  /** Rows with a nullable extra LONG column: w = 3k, NULL every 5th. */
+  private def dfw(n: Int, parts: Int) =
+    (0 until n).map(i => (i.toLong, s"r$i", (i % parts).toLong,
+      if (i % 5 == 0) null else java.lang.Long.valueOf(3L * i)))
+      .toDF("k", "v", "p", "w")
+
+  test("SUM/COUNT(col)/MIN/MAX(col) answer COMPLETELY from the " +
+      "manifest sum stats — grouped and ungrouped, NULL-exact, and " +
+      "still correct with every data file corrupted") {
+    val dir = freshDir("metasum")
+    dfw(200, 4).repartition(4)
+      .write.format(fmt).option("path", dir).option("partitionBy", "p")
+      .mode("overwrite").save()
+    val q = read(dir).groupBy("p")
+      .agg(count(lit(1)).as("n"), sum("k").as("sk"),
+        count("w").as("nw"), sum("w").as("sw"),
+        min("w").as("mnw"), max("w").as("mxw"))
+    val desc = q.queryExecution.executedPlan.toString()
+    assert(desc.contains("COMPLETE(manifest)"), desc.take(2000))
+    // recompute expectations in plain scala
+    val rows = (0 until 200).map(i => (i % 4, i.toLong,
+      if (i % 5 == 0) None else Some(3L * i)))
+    val expect = rows.groupBy(_._1).map { case (p, rs) =>
+      val ws = rs.flatMap(_._3)
+      (p.toLong, rs.size.toLong, rs.map(_._2).sum,
+        ws.size.toLong, ws.sum, ws.min, ws.max)
+    }.toSeq.sorted
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq.sorted === expect)
+    // ungrouped shape is complete too
+    val u = read(dir).agg(sum("w").as("sw"), count("w").as("nw"))
+    assert(u.queryExecution.executedPlan.toString()
+      .contains("COMPLETE(manifest)"))
+    assert(u.collect().head.getLong(0) ===
+      rows.flatMap(_._3).sum)
+    // the proof nothing is read: corrupt every data file — answers hold
+    val root = new java.io.File(dir)
+    def corrupt(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(corrupt)
+      else if (f.getName.endsWith(".gdx"))
+        java.nio.file.Files.writeString(f.toPath, "garbage\n")
+    corrupt(root)
+    assert(read(dir).agg(sum("w")).collect().head.getLong(0) ===
+      rows.flatMap(_._3).sum)
+  }
+
+  test("an all-NULL column folds to SQL NULL sum and zero count " +
+      "from metadata alone") {
+    val dir = freshDir("metanull")
+    (0 until 40).map(i => (i.toLong, s"r$i",
+        null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "v", "w")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val q = read(dir).agg(sum("w").as("sw"), count("w").as("nw"),
+      min("w").as("mn"))
+    assert(q.queryExecution.executedPlan.toString()
+      .contains("COMPLETE(manifest)"))
+    val r = q.collect().head
+    assert(r.isNullAt(0) && r.getLong(1) == 0L && r.isNullAt(2))
+  }
+
+  test("sum pushdown falls back under DVs, legacy sum-less entries, " +
+      "and write-time Long overflow — rows still correct") {
+    // DV: delete then aggregate
+    val dir = freshDir("metasumdv")
+    dfw(40, 2).write.format(fmt).option("path", dir)
+      .option("partitionBy", "p").mode("overwrite").save()
+    GdxSource.delete(spark, dir, col("k") === 7)
+    val q = read(dir).agg(sum("w").as("sw"))
+    assert(!q.queryExecution.executedPlan.toString()
+      .contains("COMPLETE(manifest)"))
+    assert(q.collect().head.getLong(0) ===
+      (0 until 40).filter(i => i % 5 != 0 && i != 7).map(3L * _).sum)
+    // write-time overflow: a file whose w-sum cannot fit a Long drops
+    // its sum entry, and the aggregate falls back to the (wrapping)
+    // classic plan rather than answering from poisoned metadata
+    val dir2 = freshDir("metasumovf")
+    Seq((1L, "a", Long.MaxValue), (2L, "b", Long.MaxValue))
+      .toDF("k", "v", "w").coalesce(1)
+      .write.format(fmt).option("path", dir2).mode("overwrite").save()
+    val entries = GdxSource.committedEntries(dir2, GdxSource.driverConf())
+    assert(entries.forall(_.stats.exists(s => !s.sums.contains("w") &&
+      s.sums.contains("k"))))
+    val o = read(dir2).agg(sum("w"))
+    assert(!o.queryExecution.executedPlan.toString()
+      .contains("COMPLETE(manifest)"))
+    // fold-level overflow: two files, each in-range, whose TOTAL
+    // overflows — the builder's fit check refuses completeness
+    val dir3 = freshDir("metasumfold")
+    Seq((1L, "a", Long.MaxValue - 10L)).toDF("k", "v", "w").coalesce(1)
+      .write.format(fmt).option("path", dir3).mode("overwrite").save()
+    Seq((2L, "b", Long.MaxValue - 10L)).toDF("k", "v", "w").coalesce(1)
+      .write.format(fmt).option("path", dir3).mode("append").save()
+    val f = read(dir3).agg(sum("w"))
+    assert(!f.queryExecution.executedPlan.toString()
+      .contains("COMPLETE(manifest)"))
+  }
 }

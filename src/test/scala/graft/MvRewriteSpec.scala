@@ -703,4 +703,50 @@ class MvRewriteSpec extends SparkSuite {
       Array(Seq("p", 3L), Seq("q", 1L)))
     plans.MvRewrite.clear()
   }
+
+  test("a catalog read matches a path-registered summary (same table, " +
+      "two front doors); catalog time travel never does") {
+    val wh = tmp("catwh")
+    val cat = "gdxmvcat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GdxCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.lab")
+      spark.sql(s"CREATE TABLE $cat.lab.t (k BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO $cat.lab.t VALUES (1,'a'),(2,'a'),(3,'b')")
+      val dir = s"$wh/lab/t"
+      val base = spark.read.format("graft.sources.GdxSource")
+        .option("path", dir).load()
+      val mvPath = tmp("catmv")
+      plans.MvRewrite.materialize(spark, base, Seq("v"), Seq("k"), mvPath)
+      // EXISTS, not forall: a version-pinned relation deliberately has
+      // NO identity, so an all-empty leaf set must read as "not on the
+      // summary", never vacuously true
+      def usesMv(df: DataFrame): Boolean = {
+        val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+        leaves.flatMap(plans.MvRewrite.relationIdentity)
+          .exists(_.contains(mvPath))
+      }
+      // the catalog identifier and the path option address the SAME
+      // directory — the summary answers both
+      val q = spark.sql(s"SELECT v, count(1) AS n, sum(k) AS s " +
+        s"FROM $cat.lab.t GROUP BY v")
+      assert(usesMv(q), q.queryExecution.optimizedPlan.toString)
+      assert(q.orderBy("v").collect().map(_.toSeq) ===
+        Array(Seq("a", 2L, 3L), Seq("b", 1L, 3L)))
+      // a catalog time-travel pin carries NO read option — the table
+      // object itself marks it, and the summary must stand aside
+      val tt = spark.sql(s"SELECT v, count(1) AS n " +
+        s"FROM $cat.lab.t FOR VERSION AS OF 2 GROUP BY v")
+      assert(!usesMv(tt) && tt.queryExecution.optimizedPlan.toString
+        .contains("VERSION AS OF"),
+        tt.queryExecution.optimizedPlan.toString)
+      assert(tt.orderBy("v").collect().map(_.toSeq) ===
+        Array(Seq("a", 2L), Seq("b", 1L)))
+    } finally {
+      plans.MvRewrite.clear()
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
 }

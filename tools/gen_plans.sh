@@ -41,7 +41,9 @@ c16_mv_incremental_refresh c17_gdx_update c18_gdx_sql_dml c19_mv_join_rewrite \
 c21_mv_sketch_rewrite c20_gdx_zorder s27_gdx_bloom_lookup \
 c22_gdx_constraints c23_mv_kll_rewrite a29_kll_partitioned c24_mv_sql \
 s28_gdx_sql_time_travel c26_mv_auto_heal c25_gdx_column_mapping \
-s29_gdx_partitioned s30_gdx_spj s31_gdx_meta_groupby"
+s29_gdx_partitioned s30_gdx_spj s31_gdx_meta_groupby \
+s32_gdx_bucket_spj c27_gdx_catalog_sql s33_gdx_meta_sum \
+s34_gdx_metadata_tables"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
