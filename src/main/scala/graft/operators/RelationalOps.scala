@@ -1860,6 +1860,123 @@ object RelationalOps extends QueryModule {
       q.withColumn("meta_complete", lit(metaComplete)).orderBy("p")
     }),
 
+    // S35 — TOPN PUSHDOWN: `ORDER BY k DESC LIMIT 50` over a
+    // range-clustered GDX table plans only the files whose zone map
+    // can reach the top 50 (SupportsPushDownTopN): with ≥ n rows
+    // proven at-or-ahead of a threshold key from undeleted files'
+    // manifest counts, every file strictly behind it is skipped before
+    // a byte is read. On a 100 TB key-clustered fact (compaction and
+    // Z-order keep it that way) a latest-N query is metadata-cost;
+    // Spark's global TakeOrderedAndProject stays above (partial push —
+    // files are not internally sorted), so the skip is an overlay,
+    // never the correctness boundary. `topn_pruned` pins the plan
+    // marker AND that planned files < snapshot files; DuckDB recomputes
+    // the top-50 payload (event_id is unique, so the set is exact).
+    "s35_gdx_topn" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxtopn_")
+      val fmt = "graft.sources.GdxSource"
+      Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+        .repartitionByRange(8, col("k"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      val q = s.read.format(fmt).option("path", dir).load()
+        .orderBy(col("k").desc).limit(50)
+      val plan = q.queryExecution.executedPlan.toString()
+      val pruned = plan.contains("topn=k DESC,50") &&
+        "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+          .exists(m => m.group(1).toInt < m.group(2).toInt)
+      q.withColumn("topn_pruned", lit(pruned)).orderBy("k")
+    }),
+
+    // S36 — the CHANGEFEED SQL front door: `SHOW CHANGES t FROM a
+    // [TO b]` resolves to the DISTRIBUTED row-level CDF plan (inserts
+    // from committed files, deletes from deletion-vector deltas —
+    // derived entirely from manifest structure, no change journal),
+    // so a 100 TB downstream consumer reads exactly the changed rows
+    // of a version window as a real scan it can aggregate or stream
+    // onward. The window here crosses an insert era (v2: the purchase
+    // append) and a DV era (v3: `DELETE FROM … WHERE k % 13 = 0`
+    // through the DML front door); `sql_api_equiv` pins SHOW CHANGES
+    // row-identical to the tableChanges API. DuckDB recomputes the
+    // feed from raw events.
+    "s36_gdx_changes_sql" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxchg_")
+      val fmt = "graft.sources.GdxSource"
+      val c = graft.Sessions.pinned(s)
+      val ev = Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+      ev.filter(col("v") =!= "purchase")
+        .write.format(fmt).option("path", dir).mode("overwrite").save() // v1
+      ev.filter(col("v") === "purchase")
+        .write.format(fmt).option("path", dir).mode("append").save() // v2
+      val tbl = "gdx_chg_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      c.sql(s"""CREATE TABLE $tbl (k BIGINT, v STRING)
+        USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+      try {
+        c.sql(s"DELETE FROM $tbl WHERE k % 13 = 0") // v3: DVs
+        val feed = c.sql(s"SHOW CHANGES $tbl FROM 1")
+          .select(col("version").cast("int").as("version"),
+            col("change_type"), col("k"), col("v"))
+        val api = graft.sources.GdxSource.tableChanges(c, dir, 1, 3)
+          .select(col("version").cast("int").as("version"),
+            col("change_type"), col("k"), col("v"))
+        val equiv = feed.exceptAll(api).isEmpty && api.exceptAll(feed).isEmpty
+        feed.withColumn("sql_api_equiv", lit(equiv))
+          .orderBy("version", "change_type", "k")
+      } finally c.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
+    // C28 — SHALLOW CLONE SQL: `CREATE TABLE fork SHALLOW CLONE src
+    // VERSION AS OF 1` forks a table for the cost of ONE manifest
+    // (absolute-path references, zero data bytes copied — the 100 TB
+    // dev-branch workflow); the fork then diverges freely while the
+    // source never moves. `zero_copy` pins that the fork directory
+    // holds only manifests before divergence; `src_untouched` pins the
+    // source's version ledger and row count across the fork's append.
+    // DuckDB recomputes the fork's payload (v1 rows + the appended
+    // marker).
+    "c28_gdx_clone_sql" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxcl_")
+      val dir = wh + "/src"
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      val cat = "gdx_c28"
+      val c = graft.Sessions.pinned(s,
+        s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+        s"spark.sql.catalog.$cat.warehouse" -> wh)
+      val ev = Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+      ev.filter(col("v") =!= "purchase")
+        .write.format(fmt).option("path", dir).mode("overwrite").save() // v1
+      ev.filter(col("v") === "purchase")
+        .write.format(fmt).option("path", dir).mode("append").save() // v2
+      val srcTbl = "gdx_clsrc_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      c.sql(s"CREATE NAMESPACE $cat.lab")
+      c.sql(s"""CREATE TABLE $srcTbl (k BIGINT, v STRING)
+        USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+      try {
+        val res = c.sql(s"CREATE TABLE $cat.lab.fork SHALLOW CLONE " +
+          s"$srcTbl VERSION AS OF 1").head
+        val forkDir = res.getString(2)
+        val zeroCopy = new java.io.File(forkDir).listFiles()
+          .forall(_.getName.contains("manifest"))
+        import s.implicits._
+        graft.Sessions.insertInto(c,
+          Seq((100000000L, "m")).toDF("k", "v"), s"$cat.lab.fork")
+        val srcUntouched =
+          gdx.listVersions(dir, gdx.driverConf()).max == 2 &&
+            c.sql(s"SELECT count(*) FROM $srcTbl").head.getLong(0) ==
+              ev.count()
+        c.sql(s"SELECT v, count(*) AS n, sum(k) AS sum_k " +
+            s"FROM $cat.lab.fork GROUP BY v")
+          .withColumn("zero_copy", lit(zeroCopy))
+          .withColumn("src_untouched", lit(srcUntouched))
+          .orderBy("v")
+      } finally c.sql(s"DROP TABLE IF EXISTS $srcTbl")
+    }),
+
     // S33 — MANIFEST SUM/COUNT(col)/MIN/MAX(col): the s31 metadata
     // path extended from the zone-map trio to real per-column
     // aggregates — every GDX data file records an exact per-LONG-column
@@ -3306,6 +3423,36 @@ object RelationalOps extends QueryModule {
     // the per-partition sum/count/min/max profile recomputed from raw
     // events (w NULL on every 5th id); the metadata-only plan-shape
     // claim is pinned TRUE
+    // the changefeed recomputed from raw events: v2 inserted the
+    // purchases, v3's DELETE DV'd every k % 13 = 0 row (both eras);
+    // the SHOW-CHANGES-≡-API claim is pinned TRUE
+    "s36_gdx_changes_sql" ->
+      """SELECT CAST(2 AS INTEGER) AS version, 'insert' AS change_type,
+        |  event_id AS k, event_type AS v, TRUE AS sql_api_equiv
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), 'delete', event_id, event_type, TRUE
+        |FROM events WHERE event_id % 13 = 0
+        |ORDER BY version, change_type, k""".stripMargin,
+    // the fork's payload recomputed: the VERSION-AS-OF-1 rows (every
+    // non-purchase event) plus the marker appended to the fork; the
+    // zero-copy and source-untouched claims are pinned TRUE
+    "c28_gdx_clone_sql" ->
+      """SELECT event_type AS v, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_k,
+        |  TRUE AS zero_copy, TRUE AS src_untouched
+        |FROM events WHERE event_type <> 'purchase' GROUP BY 1
+        |UNION ALL
+        |SELECT 'm', CAST(1 AS BIGINT), CAST(100000000 AS BIGINT),
+        |  TRUE, TRUE
+        |ORDER BY v""".stripMargin,
+    // the top-50 by key recomputed with a plain ORDER BY ... LIMIT
+    // (event_id unique → the set is exact); the file-skip claim pinned
+    "s35_gdx_topn" ->
+      """SELECT k, v, TRUE AS topn_pruned FROM (
+        |  SELECT event_id AS k, event_type AS v FROM events
+        |  ORDER BY event_id DESC LIMIT 50)
+        |ORDER BY k""".stripMargin,
     "s33_gdx_meta_sum" ->
       """WITH e AS (
         |  SELECT event_id AS k, event_id % 8 AS p,

@@ -41,6 +41,10 @@ object GdxMaintenanceSql {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
   private val Restore =
     """(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val ShowChanges =
+    """(?is)^\s*SHOW\s+CHANGES\s+([\w.`]+)\s+FROM\s+(?:VERSION\s+)?(\d+)(?:\s+TO\s+(?:VERSION\s+)?(\d+))?\s*;?\s*$""".r
+  private val CloneTable =
+    """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""".r
   private val AddCheck =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private val DropCheck =
@@ -101,6 +105,25 @@ object GdxMaintenanceSql {
       case Restore(tbl, v) =>
         Some(GdxRestoreCommand(ident(tbl), v.toInt))
       case _ => None
+    } else if (k1 == "SHOW" && k2 == "CHANGES") sqlText match {
+      // the CDF front door: `SHOW CHANGES t FROM [VERSION] a [TO
+      // [VERSION] b]` resolves straight to the DISTRIBUTED changefeed
+      // plan ([[graft.sources.GdxSource.tableChanges]]) — the result is
+      // data-sized (every inserted/deleted row in the window), so it
+      // must be a real scan the caller can aggregate/write, never a
+      // driver-collected command row set. Resolution happens at parse
+      // time on the active session — the same session that is executing
+      // this statement.
+      case ShowChanges(tbl, from, to) =>
+        val spark = SparkSession.active
+        val path = gdxPathOf(spark, ident(tbl), "SHOW CHANGES")
+        val toV = Option(to).map(_.toInt).getOrElse(
+          graft.sources.GdxSource.listVersions(path,
+            graft.sources.GdxSource.driverConf()).max)
+        Some(graft.sources.GdxSource
+          .tableChanges(spark, path, from.toInt, toV)
+          .queryExecution.logical)
+      case _ => None
     } else if (k1 == "ALTER" && k2 == "TABLE") sqlText match {
       // only the CONSTRAINT forms — every other ALTER TABLE statement
       // (add columns, properties, …) delegates to Spark's grammar.
@@ -122,6 +145,14 @@ object GdxMaintenanceSql {
           sqlText, delegate))
       case DropCol(tbl, colName) =>
         Some(GdxDropColumnCommand(ident(tbl), colName)(sqlText, delegate))
+      case _ => None
+    } else if (k1 == "CREATE" && k2 == "TABLE") sqlText match {
+      // only the SHALLOW CLONE form (not in Spark's grammar — it would
+      // reject the statement anyway); every ordinary CREATE TABLE
+      // falls through to Spark untouched
+      case CloneTable(dst, src, v, loc) =>
+        Some(GdxCloneCommand(ident(dst), ident(src),
+          Option(v).map(_.toInt).getOrElse(-1), Option(loc)))
       case _ => None
     } else if (k1 == "CREATE" && k2 == "MATERIALIZED") sqlText match {
       case CreateMv(name, loc, select) =>
@@ -294,6 +325,60 @@ case class GdxRestoreCommand(table: Seq[String], fromVersion: Int)
     val v = graft.sources.GdxSource.restoreSnapshot(path, fromVersion)
     GdxMaintenanceSql.syncCatalogSchema(spark, table, path)
     Seq(Row(fromVersion.toLong, v.toLong))
+  }
+}
+
+/** `CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF n]
+  * [LOCATION '<dir>']` → one manifest commit referencing the source's
+  * data files by absolute path, ZERO bytes copied
+  * ([[graft.sources.GdxSource.cloneShallow]]) — the dev-branch
+  * workflow: fork a 100 TB production table for the cost of a
+  * manifest, mutate the fork freely (clone-local files/DVs), never
+  * touch the source. The destination is either a GdxCatalog
+  * identifier (lands in the catalog's warehouse, instantly loadable)
+  * or any name with an explicit LOCATION (registered in the session
+  * catalog after the clone). Returns (version, n_files, location). */
+case class GdxCloneCommand(dst: Seq[String], src: Seq[String],
+                           version: Int, location: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("location", org.apache.spark.sql.types.StringType,
+          nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcPath = GdxMaintenanceSql.gdxPathOf(spark, src, "SHALLOW CLONE")
+    val dstDir = location.getOrElse {
+      dst match {
+        case Seq(cat, rest @ _*) if rest.nonEmpty =>
+          spark.sessionState.catalogManager.catalog(cat) match {
+            case g: graft.sources.GdxCatalog =>
+              g.locationFor(org.apache.spark.sql.connector.catalog
+                .Identifier.of(rest.init.toArray, rest.last))
+            case other => throw new org.apache.spark.sql
+              .AnalysisException("_LEGACY_ERROR_USER_RAISED_EXCEPTION",
+                Map("errorMessage" -> ("SHALLOW CLONE: destination " +
+                  s"catalog ${other.name} is not a GDX catalog - give " +
+                  "an explicit LOCATION")))
+          }
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            ("SHALLOW CLONE: a session-catalog destination needs an " +
+              "explicit LOCATION '<dir>'")))
+      }
+    }
+    val v = graft.sources.GdxSource.cloneShallow(srcPath, dstDir, version)
+    // LOCATION form: register the clone in the session catalog so it
+    // is queryable by name (plain CREATE TABLE USING delegates through
+    // the wrapper untouched — no re-entry into the CLONE grammar)
+    if (location.isDefined)
+      spark.sql(s"CREATE TABLE ${dst.map(p => s"`$p`").mkString(".")} " +
+        s"USING graft.sources.GdxSource OPTIONS (path '$dstDir')")
+    val n = graft.sources.GdxSource.committedEntries(dstDir,
+      graft.sources.GdxSource.driverConf()).size
+    Seq(Row(v.toLong, n.toLong, dstDir))
   }
 }
 

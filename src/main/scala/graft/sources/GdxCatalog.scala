@@ -238,6 +238,18 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** Warehouse location a NEW table with this identifier would occupy
+    * — the SHALLOW CLONE destination resolver. Validates the namespace
+    * exists and the slot is free (same guards as createTable; the
+    * clone's first manifest IS the creation). */
+  private[graft] def locationFor(ident: Identifier): String = {
+    val ns = nsDir(ident.namespace)
+    if (!fs.exists(ns)) throw new NoSuchNamespaceException(ident.namespace)
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    dir.toString
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
     isTable(dir) && fs.delete(dir, true)

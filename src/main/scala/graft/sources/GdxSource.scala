@@ -2452,7 +2452,8 @@ class GdxScanBuilder(path: String, version: Int,
                      tableSchema: StructType = GdxSource.schema,
                      maxVersionsPerTrigger: Int = Int.MaxValue)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownLimit with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates
     with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{
@@ -2516,6 +2517,34 @@ class GdxScanBuilder(path: String, version: Int,
     * reading after `n` surviving rows instead of draining. */
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   override def isPartiallyPushed(): Boolean = true
+
+  private var topN: Option[(Boolean, Int)] = None
+
+  /** TopN pushdown — `ORDER BY k [ASC|DESC] LIMIT n` directly over the
+    * scan: accepted as PARTIALLY pushed (Spark keeps the global
+    * TakeOrderedAndProject — files are not internally sorted, so a
+    * per-reader row cap would keep the WRONG rows), and planning skips
+    * every file whose zone map cannot reach the top n
+    * ([[GdxScan.pruneByTopN]]). On a key-clustered table (compacted or
+    * range-written) the top-k query then touches O(1) files out of the
+    * whole snapshot — LIMIT-LAST-N over 100 TB at metadata cost.
+    * Anything but a single direct order on `k` is refused (k is
+    * non-null by the format contract, so either null ordering is
+    * vacuously honored). */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    val accepted = aggOps.isEmpty && orders.length == 1 &&
+      (orders.head.expression() match {
+        case r: NamedReference => r.fieldNames().toSeq == Seq("k")
+        case _                 => false
+      })
+    if (accepted)
+      topN = Some((orders.head.direction() ==
+        org.apache.spark.sql.connector.expressions.SortDirection
+          .DESCENDING, n))
+    accepted
+  }
 
   /** The committed partition column at this builder's pinned version —
     * the only GROUP BY key manifest-grouped aggregates accept. */
@@ -2660,9 +2689,12 @@ class GdxScanBuilder(path: String, version: Int,
       case _ => metaComplete = false; false
     }
 
-  override def build(): Scan = new GdxScan(path, version, pushed, limit,
+  // under TopN the reader-side row cap must NOT apply: the first n
+  // rows of an unsorted file are not its top n — the skip is file-level
+  override def build(): Scan = new GdxScan(path, version, pushed,
+    if (topN.isDefined) -1 else limit,
     aggOps, metaComplete && aggOps.isDefined, required, tableSchema,
-    maxVersionsPerTrigger, pruneOnly, aggGrouped)
+    maxVersionsPerTrigger, pruneOnly, aggGrouped, topN)
 }
 
 /** One data file of the planned snapshot. `partKey` is the file's
@@ -2704,7 +2736,8 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
               tableSchema: StructType = GdxSource.schema,
               maxVersionsPerTrigger: Int = Int.MaxValue,
               pruneOnly: Array[Filter] = Array.empty,
-              aggGroupedPart: Boolean = false)
+              aggGroupedPart: Boolean = false,
+              topN: Option[(Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -2767,9 +2800,44 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
     // the readers (createReaderFactory ships pushed ++ runtime) — only
     // the file-skipping overlay stands down, and only while SPJ is on.
     val fl = pushed.toSeq ++ (if (spjActive) Nil else runtime) ++ pruneOnly
-    GdxSource.pruneByBloom(path,
-      GdxSource.pruneByStats(pruneByBucket(entries, fl), fl), fl)
+    pruneByTopN(GdxSource.pruneByBloom(path,
+      GdxSource.pruneByStats(pruneByBucket(entries, fl), fl), fl))
   }
+
+  /** TopN file skipping: with ≥ n rows PROVEN to sort at-or-ahead of a
+    * threshold key, no file strictly behind the threshold can reach
+    * the top n. The proof pool is files with stats and NO deletion
+    * vector (a DV'd file's manifest row count overstates its live
+    * rows); sorted by the guarantee bound (minK for DESC — every one
+    * of the file's rows is ≥ its minK), rows accumulate until they
+    * cover n, and the threshold is the bound of the last file counted.
+    * Skipping then drops any file whose RANGE cannot reach the
+    * threshold (DV'd and empty files included — maxK upper-bounds
+    * whatever survives a DV); a stats-less legacy entry is never
+    * dropped. Only active when no row-reducing predicate is in play:
+    * a pushed/residual/runtime filter voids the row-count guarantee
+    * (the counted rows might not survive it), so the overlay stands
+    * down — Spark's global TopN is always still above. */
+  private def pruneByTopN(es: Seq[GdxFileEntry]): Seq[GdxFileEntry] =
+    topN match {
+      case Some((desc, n))
+          if runtime.isEmpty && pruneOnly.isEmpty &&
+            pushed.forall { case IsNotNull("k") => true; case _ => false } =>
+        val pool = es.filter(e => e.dv.isEmpty && e.stats.exists(_.rows > 0))
+          .map(_.stats.get)
+        val ordered =
+          if (desc) pool.sortBy(s => -s.minK) else pool.sortBy(_.maxK)
+        var cum = 0L
+        var thr: Option[Long] = None
+        val it = ordered.iterator
+        while (thr.isEmpty && it.hasNext) {
+          val s = it.next(); cum += s.rows
+          if (cum >= n) thr = Some(if (desc) s.minK else s.maxK)
+        }
+        thr.fold(es)(t => es.filter(_.stats.fold(true)(s =>
+          s.rows > 0 && (if (desc) s.maxK >= t else s.minK <= t))))
+      case _ => es
+    }
 
   /** Bucket-directory pruning: on a bucket(n, col) table, an equality
     * or IN predicate on `col` (pushed OR runtime-delivered) fixes the
@@ -2859,6 +2927,12 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       s" files=${(if (metaOnly) 0 else kept.size)}/${entries.size}" +
       (if (version >= 0) s" version=$version" else "") +
       (if (limit >= 0) s" limit=$limit" else "") +
+      // kept/entries counts surface the file skip in the explained
+      // plan (only under TopN, where runtime filters cannot arrive —
+      // the counts are stable by the time anything prints the plan)
+      topN.map { case (desc, n) =>
+        s" topn=k ${if (desc) "DESC" else "ASC"},$n" +
+          s" files=${kept.size}/${entries.size}" }.getOrElse("") +
       aggOps.map(o => s" agg=[${o.mkString(", ")}]" +
         (if (aggGroupedPart) s" groupBy=${partitionCol.getOrElse("?")}"
         else "") +

@@ -43,7 +43,8 @@ c22_gdx_constraints c23_mv_kll_rewrite a29_kll_partitioned c24_mv_sql \
 s28_gdx_sql_time_travel c26_mv_auto_heal c25_gdx_column_mapping \
 s29_gdx_partitioned s30_gdx_spj s31_gdx_meta_groupby \
 s32_gdx_bucket_spj c27_gdx_catalog_sql s33_gdx_meta_sum \
-s34_gdx_metadata_tables"
+s34_gdx_metadata_tables s35_gdx_topn s36_gdx_changes_sql \
+c28_gdx_clone_sql"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
