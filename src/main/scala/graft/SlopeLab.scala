@@ -54,6 +54,8 @@ object SlopeLab {
         args.lift(1).getOrElse("/tmp/graft_slope_zorder"))
       case "spj" => spj(spark,
         args.lift(1).getOrElse("/tmp/graft_slope_spj"))
+      case "topn" => topn(spark,
+        args.lift(1).getOrElse("/tmp/graft_slope_topn"))
       case other => sys.error(s"unknown SlopeLab mode: $other")
     }
     spark.stop()
@@ -305,6 +307,44 @@ object SlopeLab {
       val (exOn, exOff) = (exchanges(on), exchanges(off))
       val (tOn, tOff) = (bestOf3(on), bestOf3(off))
       println(f"""{"spj_rows":$n,"join_spj_sec":$tOn%.3f,"join_shuffle_sec":$tOff%.3f,"spj_exchanges":$exOn,"shuffle_exchanges":$exOff}""")
+    }
+  }
+
+  /** The TopN-pushdown win, measured: `ORDER BY k DESC LIMIT 50` on a
+    * range-clustered table at 1× and 10× rows. The expected shape:
+    * planned files and query time are FLAT across the scale-up (the
+    * threshold proof needs one covering file regardless of snapshot
+    * size — the property that makes a latest-N query on a 100 TB
+    * key-clustered fact metadata-cost), while the same query with the
+    * skip inert (a residual filter voids the row-count guarantee)
+    * tracks total rows. */
+  def topn(spark: SparkSession, work: String): Unit = {
+    val fmt = "graft.sources.GdxSource"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    for (n <- Seq(600000L, 6000000L)) {
+      val dir = s"$work/n$n"
+      rm(new java.io.File(dir))
+      spark.range(0, n).select(col("id").as("k"),
+          concat(lit("r"), col("id") % 5).as("v"))
+        .repartitionByRange(32, col("k"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      def read() = spark.read.format(fmt).option("path", dir).load()
+      val q = read().orderBy(col("k").desc).limit(50)
+      val planned = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(q.queryExecution.executedPlan.toString())
+        .map(m => s"${m.group(1)}/${m.group(2)}").getOrElse("?")
+      def bestOf3(f: => Unit): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+      val tSkip = bestOf3(q.collect())
+      // control: the filter keeps every row but voids the guarantee,
+      // so the same TopN drains the full snapshot
+      val tFull = bestOf3(read().filter(col("v") =!= "never")
+        .orderBy(col("k").desc).limit(50).collect())
+      println(f"""{"topn_rows":$n,"planned_files":"$planned","topn_skip_sec":$tSkip%.3f,"topn_full_sec":$tFull%.3f}""")
     }
   }
 

@@ -1888,6 +1888,62 @@ object RelationalOps extends QueryModule {
       q.withColumn("topn_pruned", lit(pruned)).orderBy("k")
     }),
 
+    // S37 — REPLACE WHERE + OPTIMIZE WHERE: partition-scoped
+    // restatement and maintenance, the operations that keep a 100 TB
+    // partitioned table alive without ever touching its cold 99.9%.
+    // `option("replaceWhere", "p = 3")` restates ONE partition in one
+    // atomic commit — previous files outside the slice are carried BY
+    // REFERENCE (identical manifest strings, `carried_by_ref`), the
+    // slice's files swap (`slice_replaced`), rows escaping the
+    // predicate refuse the commit, and the pre-restate snapshot still
+    // time-travels. `OPTIMIZE t WHERE p = 5` then compacts just the
+    // hot partition's accreted small files to one (`slice_compacted`),
+    // folding its DVs, through the same CAS'd replaceWhere commit.
+    // DuckDB recomputes the final per-partition profile.
+    "s37_gdx_replace_where" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxrw_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      val ev = Tables.events(s, d).select(col("event_id").as("k"),
+        col("event_type").as("v"), (col("event_id") % 8).as("p"))
+      ev.write.format(fmt).option("path", dir)
+        .option("partitionBy", "p").mode("overwrite").save()
+      val before = gdx.committedEntries(dir, gdx.driverConf())
+        .map(_.name).toSet
+      ev.filter(col("p") === 3L && col("v") === "purchase")
+        .withColumn("v", concat(lit("B_"), col("v")))
+        .write.format(fmt).option("path", dir)
+        .option("replaceWhere", "p = 3").mode("overwrite").save()
+      val after = gdx.committedEntries(dir, gdx.driverConf())
+        .map(_.name).toSet
+      val carried = before.filterNot(_.startsWith("p=3/")) ==
+        after.filterNot(_.startsWith("p=3/"))
+      val replaced = after.filter(_.startsWith("p=3/")).nonEmpty &&
+        after.filter(_.startsWith("p=3/")).forall(!before.contains(_))
+      // hot-partition maintenance through SQL: accrete, then compact
+      import s.implicits._
+      (0 until 3).foreach { i =>
+        Seq((900000000L + i, "acc", 5L)).toDF("k", "v", "p").coalesce(1)
+          .write.format(fmt).option("path", dir).mode("append").save()
+      }
+      val c = graft.Sessions.pinned(s)
+      val tbl = "gdx_rw_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      c.sql(s"""CREATE TABLE $tbl (k BIGINT, v STRING, p BIGINT)
+        USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+      val compacted = try {
+        val res = c.sql(s"OPTIMIZE $tbl WHERE p = 5").head
+        res.getLong(0) == 4L && res.getLong(1) == 1L
+      } finally c.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy("p")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .withColumn("carried_by_ref", lit(carried))
+        .withColumn("slice_replaced", lit(replaced))
+        .withColumn("slice_compacted", lit(compacted))
+        .orderBy("p")
+    }),
+
     // S36 — the CHANGEFEED SQL front door: `SHOW CHANGES t FROM a
     // [TO b]` resolves to the DISTRIBUTED row-level CDF plan (inserts
     // from committed files, deletes from deletion-vector deltas —
@@ -3423,6 +3479,22 @@ object RelationalOps extends QueryModule {
     // the per-partition sum/count/min/max profile recomputed from raw
     // events (w NULL on every 5th id); the metadata-only plan-shape
     // claim is pinned TRUE
+    // the post-restate profile recomputed: partition 3 keeps only its
+    // tagged purchases, partition 5 gains the three accreted markers
+    // (OPTIMIZE preserves rows); the carry/replace/compact claims pinned
+    "s37_gdx_replace_where" ->
+      """WITH e AS (SELECT event_id AS k, event_type AS v,
+        |    event_id % 8 AS p FROM events),
+        |final AS (
+        |  SELECT k, p FROM e WHERE p <> 3
+        |  UNION ALL
+        |  SELECT k, p FROM e WHERE p = 3 AND v = 'purchase'
+        |  UNION ALL
+        |  SELECT 900000000 + i, 5 FROM range(3) t(i))
+        |SELECT p, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  TRUE AS carried_by_ref, TRUE AS slice_replaced,
+        |  TRUE AS slice_compacted
+        |FROM final GROUP BY 1 ORDER BY p""".stripMargin,
     // the changefeed recomputed from raw events: v2 inserted the
     // purchases, v3's DELETE DV'd every k % 13 = 0 row (both eras);
     // the SHOW-CHANGES-≡-API claim is pinned TRUE

@@ -34,7 +34,7 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object GdxMaintenanceSql {
 
   private val Optimize =
-    """(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
   private val Vacuum =
     """(?is)^\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val History =
@@ -80,10 +80,11 @@ object GdxMaintenanceSql {
     def ident(tbl: String): Seq[String] =
       delegate.parseMultipartIdentifier(tbl)
     if (k1 == "OPTIMIZE") sqlText match {
-      case Optimize(tbl, cols) =>
+      case Optimize(tbl, where, cols) =>
         val zorder = Option(cols).toSeq.flatMap(_.split(',').toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-        Some(GdxOptimizeCommand(ident(tbl), zorder))
+        Some(GdxOptimizeCommand(ident(tbl), zorder,
+          Option(where).map(_.trim)))
       case _ => None
     } else if (k1 == "VACUUM") sqlText match {
       case Vacuum(tbl, retain) =>
@@ -236,7 +237,8 @@ object GdxMaintenanceSql {
   * truncate commit. The table resolves through the session catalog at
   * run time (provider must be the GDX source; the path comes from its
   * declared OPTIONS). */
-case class GdxOptimizeCommand(table: Seq[String], zorderBy: Seq[String])
+case class GdxOptimizeCommand(table: Seq[String], zorderBy: Seq[String],
+                              where: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
@@ -246,13 +248,27 @@ case class GdxOptimizeCommand(table: Seq[String], zorderBy: Seq[String])
 
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GdxMaintenanceSql.gdxPathOf(spark, table, "OPTIMIZE")
-    val (before, after) =
-      if (zorderBy.nonEmpty)
-        graft.sources.GdxSource.optimizeZOrder(spark, path, zorderBy,
+    val (before, after) = (where, zorderBy) match {
+      // WHERE + ZORDER in one statement would re-cluster a slice with
+      // no whole-table curve — refuse rather than publish a layout the
+      // zone maps can't honor
+      case (Some(_), zs) if zs.nonEmpty =>
+        throw new org.apache.spark.sql.AnalysisException(
+          "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            ("OPTIMIZE: WHERE and ZORDER BY cannot be combined - " +
+              "Z-order the whole table, or compact the slice without " +
+              "ZORDER")))
+      case (Some(pred), _) =>
+        // partial compaction: rewrite ONLY the predicate's partitions
+        // (one file per slice), carry the rest by reference
+        graft.sources.GdxSource.compactWhere(spark, path, pred, target = 1)
+      case (None, zs) if zs.nonEmpty =>
+        graft.sources.GdxSource.optimizeZOrder(spark, path, zs,
           target = GdxOptimizeCommand.TargetFiles)
-      else
+      case (None, _) =>
         graft.sources.GdxSource.compact(spark, path,
           target = GdxOptimizeCommand.TargetFiles)
+    }
     Seq(Row(before.toLong, after.toLong))
   }
 }

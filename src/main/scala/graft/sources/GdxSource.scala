@@ -1025,6 +1025,17 @@ object GdxSource {
     * concurrent writer's rows. The caller re-reads and retries the
     * whole computation (see [[merge]]); commutative appends keep the
     * retry-forward default. */
+  /** `replaceWhere = Some((rawSpec, allowedKeys))`: PARTIAL overwrite —
+    * the commit carries forward every previous entry OUTSIDE the
+    * allowed partition directories, drops every entry inside them, and
+    * adds this write's files (which must all land inside). The Delta
+    * `replaceWhere` contract: a selective backfill/compaction replaces
+    * one partition's files in one atomic snapshot while the other
+    * 99.9% of a 100 TB table is carried by reference. Refused loudly
+    * when any previous entry cannot PROVE its partition key from its
+    * name (a legacy/root-level file might hold matching rows) or when
+    * a written row escaped the predicate (its file landed in a
+    * disallowed directory). */
   def commitFiles(path: String, conf: Configuration, replace: Boolean,
                   messages: Seq[
                     org.apache.spark.sql.connector.write
@@ -1032,7 +1043,8 @@ object GdxSource {
                   expectedBase: Int = -1,
                   writeSchema: StructType = schema,
                   enforcedConstraints: Option[Seq[(String, String)]] = None,
-                  partitionCol: Option[String] = None)
+                  partitionCol: Option[String] = None,
+                  replaceWhere: Option[(String, Set[Long])] = None)
       : Int = {
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
@@ -1053,6 +1065,23 @@ object GdxSource {
         if (fs.exists(p)) fs.delete(p, false)
         val bs = new Path(base, rel + GdxBloom.Suffix)
         if (fs.exists(bs)) fs.delete(bs, false)
+      }
+      // replaceWhere contract, write side: every written row must
+      // satisfy the predicate — the writer demuxes rows into partition
+      // directories, so a file landing OUTSIDE the allowed set proves a
+      // row escaped (Delta refuses these writes too; silently keeping
+      // them would make "replace p=5" also insert into p=7)
+      replaceWhere.foreach { case (spec, allowed) =>
+        val escaped = finals.map(_._1).filterNot(t =>
+          partKeyOf(spec, t).exists(_.exists(allowed.contains)))
+        if (escaped.nonEmpty) {
+          tidyTmps()
+          throw new IllegalArgumentException(
+            s"gdx replaceWhere: written file(s) " +
+              s"${escaped.take(3).mkString(", ")} hold rows outside the " +
+              "predicate's partitions - every written row must satisfy " +
+              "the replaceWhere condition")
+        }
       }
       while (committed < 0) {
         // METADATA CONFLICT: a constraint committed AFTER this write
@@ -1117,8 +1146,8 @@ object GdxSource {
           renamed += tmp -> GdxFileEntry(fin, Some(stats))
           renamed(tmp)
         }
-        val checkpoint =
-          replace || attempt == 1 || attempt % CheckpointInterval == 0
+        val checkpoint = replace || replaceWhere.isDefined ||
+          attempt == 1 || attempt % CheckpointInterval == 0
         // every manifest records the snapshot's schema: a truncate pins
         // the write's schema AND resets the column mapping to identity
         // (the rewrite materialized the logical layout — dead slots are
@@ -1142,7 +1171,32 @@ object GdxSource {
         val published =
           if (checkpoint) {
             val prev =
-              if (replace) Seq.empty else committedEntries(path, conf)
+              if (replace) Seq.empty
+              else replaceWhere match {
+                case Some((spec, allowed)) =>
+                  // partial replace: carry entries OUTSIDE the allowed
+                  // directories (the `__null__` dir included — an
+                  // equality/IN predicate never matches NULL), drop the
+                  // ones inside. Every entry must PROVE its key; a
+                  // legacy or root-level-DML file could hold matching
+                  // rows, and dropping/keeping it blind would lose or
+                  // duplicate them — refuse and point at full OPTIMIZE.
+                  val all = committedEntries(path, conf)
+                  val unproven =
+                    all.filterNot(e => partKeyOf(spec, e.name).isDefined)
+                  if (unproven.nonEmpty) {
+                    tidyTmps()
+                    throw new IllegalArgumentException(
+                      "gdx replaceWhere: file(s) " +
+                        s"${unproven.take(3).map(_.name).mkString(", ")} " +
+                        "carry no provable partition key (legacy or " +
+                        "DML-rewrite era) - run a full OPTIMIZE first " +
+                        "to restore the partitioned layout")
+                  }
+                  all.filter(e => partKeyOf(spec, e.name).get
+                    .forall(k => !allowed.contains(k)))
+                case None => committedEntries(path, conf)
+              }
             headers ++ (prev ++ entries).sortBy(_.name).map(_.manifestLine)
           } else
             (DeltaHeader +: headers) ++
@@ -1244,6 +1298,79 @@ object GdxSource {
       if (before <= target) None
       else Some((before, snapshotReader(spark, dir, readV).coalesce(target)))
     }
+
+  /** The `<partitionCol> = <n>` / `<partitionCol> IN (n, ...)` slice
+    * predicate shared by the replaceWhere write option and
+    * `OPTIMIZE ... WHERE` — anything richer is refused loudly (the
+    * Delta replaceWhere surface). */
+  private[graft] def parsePartPredicate(txt: String): (String, Set[Long]) = {
+    val RwEq = """(?is)^\s*(\w+)\s*=\s*(-?\d+)\s*$""".r
+    val RwIn =
+      """(?is)^\s*(\w+)\s+IN\s*\(\s*(-?\d+(?:\s*,\s*-?\d+)*)\s*\)\s*$""".r
+    txt match {
+      case RwEq(c, v)  => (c, Set(v.toLong))
+      case RwIn(c, vs) => (c, vs.split(',').map(_.trim.toLong).toSet)
+      case other => throw new IllegalArgumentException(
+        s"gdx: unsupported partition predicate '$other' - use " +
+          "<partitionCol> = <n> or <partitionCol> IN (n, ...)")
+    }
+  }
+
+  /** `OPTIMIZE ... WHERE`: partial compaction — rewrite ONLY the
+    * predicate's partitions (DVs folded in, small files merged),
+    * carry every other partition's files by reference through a
+    * replaceWhere commit. At 100 TB this is how maintenance actually
+    * runs: the hot partitions (today's ingest, the DV-accreting GDPR
+    * targets) compact on a cadence, the cold 99.9% is never read or
+    * written. Same serializable loop as [[compact]] (CAS on the read
+    * version, recompute on a lost race); refused on bucket layouts and
+    * on tables with unproven-key files (the replaceWhere contract).
+    * Returns (touched files before, touched files after). */
+  def compactWhere(spark: SparkSession, dir: String, whereTxt: String,
+                   target: Int = 1, maxRetries: Int = 10): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val (c, values) = parsePartPredicate(whereTxt)
+    def isConflict(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[GdxConcurrentModificationException])
+    var attempt = 0
+    while (true) {
+      val conf = driverConf()
+      val readV = (listVersions(dir, conf) :+ 0).max
+      val spec = committedPartSpec(dir, conf, readV).getOrElse(
+        throw new IllegalArgumentException(
+          "gdx OPTIMIZE WHERE: the table declares no partition layout"))
+      require(spec.isInstanceOf[GdxIdentityPart],
+        s"gdx OPTIMIZE WHERE: ${spec.render} layouts are not " +
+          "value-replaceable - a bucket directory mixes key values")
+      require(c.equalsIgnoreCase(spec.col),
+        s"gdx OPTIMIZE WHERE: $c is not the table's partition " +
+          s"column (${spec.col})")
+      def touched(es: Seq[GdxFileEntry]): Seq[GdxFileEntry] =
+        es.filter(e => partKeyOf(spec.render, e.name)
+          .exists(_.exists(values.contains)))
+      val touch = touched(committedEntries(dir, conf, readV))
+      val perPartTarget = target * values.size
+      if (touch.size <= perPartTarget && touch.forall(_.dv.isEmpty))
+        return (touch.size, touch.size)
+      try {
+        snapshotReader(spark, dir, readV)
+          .filter(col(spec.col).isin(values.toSeq: _*))
+          .coalesce(target)
+          .write.format("graft.sources.GdxSource").option("path", dir)
+          .option("expectedBaseVersion", readV.toString)
+          .option("replaceWhere",
+            s"${spec.col} IN (${values.mkString(",")})")
+          .option("clusterWrite", "false")
+          .mode("overwrite").save()
+        return (touch.size, touched(committedEntries(dir, conf)).size)
+      } catch {
+        case t: Throwable if isConflict(t) && attempt < maxRetries =>
+          attempt += 1 // lost the race — recompute on the new snapshot
+      }
+    }
+    (-1, -1) // unreachable
+  }
 
   /** The maintenance-rewrite serializable loop shared by [[compact]] and
     * [[optimizeZOrder]]: read-rewrite-truncate is NOT commutative — a
@@ -2411,7 +2538,8 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GdxScanBuilder(path, {
@@ -2442,7 +2570,8 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
       info.schema(),
       Option(info.options.get("partitionBy")).orElse(declaredPartition),
       Option(info.options.get("clusterWrite")).forall(_.toBoolean),
-      viaCatalog)
+      viaCatalog,
+      Option(info.options.get("replaceWhere")))
   }
 }
 
@@ -3335,13 +3464,30 @@ class GdxWriteBuilder(path: String, expectedBase: Int = -1,
                       writeSchema: StructType = GdxSource.schema,
                       partitionByOpt: Option[String] = None,
                       clusterWrite: Boolean = true,
-                      viaCatalog: Boolean = false)
-    extends WriteBuilder with SupportsTruncate {
+                      viaCatalog: Boolean = false,
+                      replaceWhereOpt: Option[String] = None)
+    extends WriteBuilder with SupportsOverwrite {
   // truncate = start the NEW snapshot from an empty file set instead of
   // the previous snapshot's; history is untouched either way — old
   // manifests keep referencing their own files until vacuumed
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
+  // Spark's NATIVE partial-overwrite surface — `INSERT INTO t REPLACE
+  // WHERE cond SELECT ...` and `DataFrameWriterV2.overwrite(cond)` —
+  // delivers the condition here as translated filters; they route to
+  // the same replaceWhere commit as the write option. AlwaysTrue (or
+  // nothing) degrades to a plain truncate; anything the slice
+  // machinery cannot honor exactly is refused in build().
+  private var overwriteFilters: Option[Seq[Filter]] = None
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val real = filters.toSeq.filter {
+      case _: org.apache.spark.sql.sources.AlwaysTrue => false
+      case _ => true
+    }
+    replace = true
+    if (real.nonEmpty) overwriteFilters = Some(real)
+    this
+  }
   override def build(): Write = {
     // the effective partition spec: an explicit option or table
     // declaration on this write, else whatever the manifest already
@@ -3362,7 +3508,14 @@ class GdxWriteBuilder(path: String, expectedBase: Int = -1,
             s"partition spec $r")
       case _ => ()
     }
-    val effective = declared.orElse(if (replace) None else recorded)
+    // a plain truncate re-declares (or drops) the layout; a
+    // replaceWhere write (option or native REPLACE WHERE filters)
+    // INHERITS the recorded one — it replaces a slice of the existing
+    // layout, never redefines it
+    val effective = declared.orElse(
+      if (replace && replaceWhereOpt.isEmpty && overwriteFilters.isEmpty)
+        None
+      else recorded)
       .map(s => GdxSource.parsePartSpec(s).render)
     effective.map(GdxSource.parsePartSpec).foreach { spec =>
       val f = writeSchema.fields.find(_.name.equalsIgnoreCase(spec.col))
@@ -3373,8 +3526,64 @@ class GdxWriteBuilder(path: String, expectedBase: Int = -1,
         s"gdx write: partition column ${spec.col} must be BIGINT " +
           s"(got ${f.dataType.catalogString})")
     }
-    new GdxWrite(path, replace, expectedBase, writeSchema, effective,
-      clusterWrite, viaCatalog)
+    // replaceWhere: PARTIAL overwrite of the predicate's partitions.
+    // Accepted only on an identity-partitioned table (a bucket
+    // directory mixes key values — dropping it by value would lose
+    // innocent rows), with Overwrite mode (the statement REPLACES), and
+    // with a simple equality/IN predicate on the partition column —
+    // exactly the Delta replaceWhere surface, refused loudly beyond it.
+    def sliceOf(c: String, vals: Set[Long]): (String, Set[Long]) = {
+      val spec = effective.map(GdxSource.parsePartSpec).getOrElse(
+        throw new IllegalArgumentException(
+          "gdx replaceWhere: the table declares no partition layout"))
+      spec match {
+        case GdxSource.GdxIdentityPart(pc) =>
+          require(c.equalsIgnoreCase(pc),
+            s"gdx replaceWhere: $c is not the table's partition " +
+              s"column ($pc)")
+          require(replace,
+            "gdx replaceWhere: requires SaveMode.Overwrite")
+          (spec.render, vals)
+        case other => throw new IllegalArgumentException(
+          s"gdx replaceWhere: ${other.render} layouts are not " +
+            "value-replaceable - a bucket directory mixes key values")
+      }
+    }
+    val fromOpt = replaceWhereOpt.map { txt =>
+      val (c, vals) = GdxSource.parsePartPredicate(txt)
+      sliceOf(c, vals)
+    }
+    // Spark's native REPLACE WHERE / overwrite(cond) filters: the
+    // same slice contract — one equality or IN on the partition
+    // column (an accompanying IsNotNull on that column is implied by
+    // the layout and ignored); anything richer is refused, never
+    // approximated
+    val fromFilters = overwriteFilters.map { fs =>
+      val core = fs.filter { case IsNotNull(_) => false; case _ => true }
+      val (c, vals) = core match {
+        case Seq(EqualTo(c0, n: Number)) => (c0, Set(n.longValue))
+        case Seq(org.apache.spark.sql.sources.In(c0, vs))
+            if vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+          (c0, vs.map(_.asInstanceOf[Number].longValue).toSet)
+        case other => throw new IllegalArgumentException(
+          s"gdx REPLACE WHERE: unsupported condition " +
+            s"[${other.mkString(" AND ")}] - use <partitionCol> = <n> " +
+            "or <partitionCol> IN (n, ...)")
+      }
+      fs.foreach {
+        case IsNotNull(c2) => require(c2.equalsIgnoreCase(c),
+          s"gdx REPLACE WHERE: IsNotNull($c2) references a column " +
+            s"other than the slice's ($c)")
+        case _ => ()
+      }
+      sliceOf(c, vals)
+    }
+    require(fromOpt.isEmpty || fromFilters.isEmpty || fromOpt == fromFilters,
+      "gdx: the replaceWhere option contradicts the statement's " +
+        "REPLACE WHERE condition")
+    val rw = fromOpt.orElse(fromFilters)
+    new GdxWrite(path, replace && rw.isEmpty, expectedBase, writeSchema,
+      effective, clusterWrite, viaCatalog, rw)
   }
 }
 
@@ -3393,7 +3602,8 @@ class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1,
                writeSchema: StructType = GdxSource.schema,
                partitionCol: Option[String] = None,
                clusterWrite: Boolean = true,
-               viaCatalog: Boolean = false)
+               viaCatalog: Boolean = false,
+               replaceWhere: Option[(String, Set[Long])] = None)
     extends Write with RequiresDistributionAndOrdering {
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
@@ -3425,7 +3635,7 @@ class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1,
     Array.empty
   override def toBatch: BatchWrite =
     new GdxBatchWrite(path, replace, expectedBase, writeSchema,
-      partitionCol)
+      partitionCol, replaceWhere)
   override def toStreaming: wstreaming.StreamingWrite =
     new GdxStreamingWrite(path, writeSchema, partitionCol)
 }
@@ -3525,7 +3735,8 @@ case class GdxCommitMessage(files: Seq[(String, GdxFileStats)])
 class GdxBatchWrite(path: String, replace: Boolean,
                     expectedBase: Int = -1,
                     writeSchema: StructType = GdxSource.schema,
-                    partitionCol: Option[String] = None)
+                    partitionCol: Option[String] = None,
+                    replaceWhere: Option[(String, Set[Long])] = None)
     extends BatchWrite {
   private def partSpec: Option[GdxSource.GdxPartSpec] =
     partitionCol.map(GdxSource.parsePartSpec)
@@ -3559,7 +3770,7 @@ class GdxBatchWrite(path: String, replace: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GdxSource.commitFiles(path, GdxSource.driverConf(), replace,
       messages.toSeq, expectedBase, writeSchema, Some(enforced),
-      partitionCol)
+      partitionCol, replaceWhere)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GdxSource.driverConf()
