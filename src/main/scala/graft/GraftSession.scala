@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolves the parser's placeholders to version-pinned relations
     // (plans/GdxTimeTravel); non-GDX targets keep native behavior
     e.injectResolutionRule(s => new graft.plans.GdxTimeTravelRule(s))
+    // SHOW CHANGES placeholders resolve to the distributed changefeed
+    // plan at analysis time (plans/GdxMaintenanceSql)
+    e.injectResolutionRule(s => new graft.plans.GdxShowChangesRule(s))
     e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),

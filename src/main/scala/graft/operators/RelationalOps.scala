@@ -1931,9 +1931,12 @@ object RelationalOps extends QueryModule {
         java.util.UUID.randomUUID().toString.replace("-", "")
       c.sql(s"""CREATE TABLE $tbl (k BIGINT, v STRING, p BIGINT)
         USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+      // before > after and exactly one surviving slice file — not a
+      // hard-coded count: AQE's skew handling may seed a hot value
+      // into more than one file at larger SFs
       val compacted = try {
         val res = c.sql(s"OPTIMIZE $tbl WHERE p = 5").head
-        res.getLong(0) == 4L && res.getLong(1) == 1L
+        res.getLong(0) > res.getLong(1) && res.getLong(1) == 1L
       } finally c.sql(s"DROP TABLE IF EXISTS $tbl")
       s.read.format(fmt).option("path", dir).load()
         .groupBy("p")

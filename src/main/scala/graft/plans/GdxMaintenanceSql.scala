@@ -108,22 +108,19 @@ object GdxMaintenanceSql {
       case _ => None
     } else if (k1 == "SHOW" && k2 == "CHANGES") sqlText match {
       // the CDF front door: `SHOW CHANGES t FROM [VERSION] a [TO
-      // [VERSION] b]` resolves straight to the DISTRIBUTED changefeed
-      // plan ([[graft.sources.GdxSource.tableChanges]]) — the result is
+      // [VERSION] b]` resolves to the DISTRIBUTED changefeed plan
+      // ([[graft.sources.GdxSource.tableChanges]]) — the result is
       // data-sized (every inserted/deleted row in the window), so it
       // must be a real scan the caller can aggregate/write, never a
-      // driver-collected command row set. Resolution happens at parse
-      // time on the active session — the same session that is executing
-      // this statement.
+      // driver-collected command row set. Parsing only builds an inert
+      // placeholder; [[GdxShowChangesRule]] resolves it at ANALYSIS
+      // time on the analyzing session (no filesystem I/O or catalog
+      // lookups inside the parser — parse-only consumers stay pure,
+      // and the implicit upper version bound pins when the statement
+      // is analyzed, not when its text was parsed).
       case ShowChanges(tbl, from, to) =>
-        val spark = SparkSession.active
-        val path = gdxPathOf(spark, ident(tbl), "SHOW CHANGES")
-        val toV = Option(to).map(_.toInt).getOrElse(
-          graft.sources.GdxSource.listVersions(path,
-            graft.sources.GdxSource.driverConf()).max)
-        Some(graft.sources.GdxSource
-          .tableChanges(spark, path, from.toInt, toV)
-          .queryExecution.logical)
+        Some(GdxShowChangesPlaceholder(ident(tbl), from.toInt,
+          Option(to).map(_.toInt)))
       case _ => None
     } else if (k1 == "ALTER" && k2 == "TABLE") sqlText match {
       // only the CONSTRAINT forms — every other ALTER TABLE statement
@@ -344,6 +341,31 @@ case class GdxRestoreCommand(table: Seq[String], fromVersion: Int)
   }
 }
 
+/** Inert parse product of `SHOW CHANGES` — carries only what the text
+  * said; [[GdxShowChangesRule]] resolves it. */
+case class GdxShowChangesPlaceholder(table: Seq[String], fromV: Int,
+                                     toV: Option[Int])
+    extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+}
+
+/** Analysis-time resolution of `SHOW CHANGES`: the placeholder becomes
+  * the distributed changefeed plan, with the open upper bound pinned
+  * to the CURRENT version at analysis. Same injectResolutionRule seam
+  * as time travel. */
+class GdxShowChangesRule(spark: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case GdxShowChangesPlaceholder(tbl, fromV, toV) =>
+      val path = GdxMaintenanceSql.gdxPathOf(spark, tbl, "SHOW CHANGES")
+      val to = toV.getOrElse(graft.sources.GdxSource.listVersions(path,
+        graft.sources.GdxSource.driverConf()).max)
+      graft.sources.GdxSource.tableChanges(spark, path, fromV, to)
+        .queryExecution.analyzed
+  }
+}
+
 /** `CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF n]
   * [LOCATION '<dir>']` → one manifest commit referencing the source's
   * data files by absolute path, ZERO bytes copied
@@ -366,23 +388,32 @@ case class GdxCloneCommand(dst: Seq[String], src: Seq[String],
           nullable = false))))
   override def run(spark: SparkSession): Seq[Row] = {
     val srcPath = GdxMaintenanceSql.gdxPathOf(spark, src, "SHALLOW CLONE")
+    def needsLocation: Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" ->
+          ("SHALLOW CLONE: a session-catalog destination needs an " +
+            "explicit LOCATION '<dir>'")))
     val dstDir = location.getOrElse {
       dst match {
         case Seq(cat, rest @ _*) if rest.nonEmpty =>
-          spark.sessionState.catalogManager.catalog(cat) match {
-            case g: graft.sources.GdxCatalog =>
+          // `mydb.fork` is a legitimate session-catalog name, not a
+          // catalog reference — an unresolvable first segment routes to
+          // the needs-LOCATION guidance, never CatalogNotFoundException
+          val resolved = try Some(
+            spark.sessionState.catalogManager.catalog(cat))
+          catch { case _: Exception => None }
+          resolved match {
+            case Some(g: graft.sources.GdxCatalog) =>
               g.locationFor(org.apache.spark.sql.connector.catalog
                 .Identifier.of(rest.init.toArray, rest.last))
-            case other => throw new org.apache.spark.sql
+            case Some(other) => throw new org.apache.spark.sql
               .AnalysisException("_LEGACY_ERROR_USER_RAISED_EXCEPTION",
                 Map("errorMessage" -> ("SHALLOW CLONE: destination " +
                   s"catalog ${other.name} is not a GDX catalog - give " +
                   "an explicit LOCATION")))
+            case None => needsLocation
           }
-        case _ => throw new org.apache.spark.sql.AnalysisException(
-          "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" ->
-            ("SHALLOW CLONE: a session-catalog destination needs an " +
-              "explicit LOCATION '<dir>'")))
+        case _ => needsLocation
       }
     }
     val v = graft.sources.GdxSource.cloneShallow(srcPath, dstDir, version)

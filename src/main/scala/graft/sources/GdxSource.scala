@@ -1025,17 +1025,30 @@ object GdxSource {
     * concurrent writer's rows. The caller re-reads and retries the
     * whole computation (see [[merge]]); commutative appends keep the
     * retry-forward default. */
-  /** `replaceWhere = Some((rawSpec, allowedKeys))`: PARTIAL overwrite —
-    * the commit carries forward every previous entry OUTSIDE the
-    * allowed partition directories, drops every entry inside them, and
-    * adds this write's files (which must all land inside). The Delta
+  /** A replaceWhere slice: the raw partition-spec text, the allowed
+    * directory keys, and the slice's entries (name, dv) OBSERVED when
+    * the write was built. The commit conflict-checks the live slice
+    * against the observation: a concurrent writer that landed (or
+    * DV'd) rows inside the slice between build and publish would be
+    * silently erased by the restatement — that is a serialization
+    * conflict, surfaced loudly, exactly as Delta treats a txn that
+    * wrote into a replaceWhere range. Commits OUTSIDE the slice stay
+    * benign: the CAS-retry recomputes the carried set and proceeds. */
+  case class GdxReplaceWhere(spec: String, allowed: Set[Long],
+                             observedSlice: Set[(String, Option[String])])
+
+  /** `replaceWhere = Some(slice)`: PARTIAL overwrite — the commit
+    * carries forward every previous entry OUTSIDE the allowed
+    * partition directories, drops every entry inside them, and adds
+    * this write's files (which must all land inside). The Delta
     * `replaceWhere` contract: a selective backfill/compaction replaces
     * one partition's files in one atomic snapshot while the other
     * 99.9% of a 100 TB table is carried by reference. Refused loudly
     * when any previous entry cannot PROVE its partition key from its
-    * name (a legacy/root-level file might hold matching rows) or when
+    * name (a legacy/root-level file might hold matching rows), when
     * a written row escaped the predicate (its file landed in a
-    * disallowed directory). */
+    * disallowed directory), or when the slice changed concurrently
+    * (see [[GdxReplaceWhere]]). */
   def commitFiles(path: String, conf: Configuration, replace: Boolean,
                   messages: Seq[
                     org.apache.spark.sql.connector.write
@@ -1044,7 +1057,7 @@ object GdxSource {
                   writeSchema: StructType = schema,
                   enforcedConstraints: Option[Seq[(String, String)]] = None,
                   partitionCol: Option[String] = None,
-                  replaceWhere: Option[(String, Set[Long])] = None)
+                  replaceWhere: Option[GdxReplaceWhere] = None)
       : Int = {
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
@@ -1071,9 +1084,9 @@ object GdxSource {
       // directories, so a file landing OUTSIDE the allowed set proves a
       // row escaped (Delta refuses these writes too; silently keeping
       // them would make "replace p=5" also insert into p=7)
-      replaceWhere.foreach { case (spec, allowed) =>
+      replaceWhere.foreach { rw0 =>
         val escaped = finals.map(_._1).filterNot(t =>
-          partKeyOf(spec, t).exists(_.exists(allowed.contains)))
+          partKeyOf(rw0.spec, t).exists(_.exists(rw0.allowed.contains)))
         if (escaped.nonEmpty) {
           tidyTmps()
           throw new IllegalArgumentException(
@@ -1173,7 +1186,7 @@ object GdxSource {
             val prev =
               if (replace) Seq.empty
               else replaceWhere match {
-                case Some((spec, allowed)) =>
+                case Some(rw0) =>
                   // partial replace: carry entries OUTSIDE the allowed
                   // directories (the `__null__` dir included — an
                   // equality/IN predicate never matches NULL), drop the
@@ -1183,7 +1196,8 @@ object GdxSource {
                   // duplicate them — refuse and point at full OPTIMIZE.
                   val all = committedEntries(path, conf)
                   val unproven =
-                    all.filterNot(e => partKeyOf(spec, e.name).isDefined)
+                    all.filterNot(e => partKeyOf(rw0.spec, e.name)
+                      .isDefined)
                   if (unproven.nonEmpty) {
                     tidyTmps()
                     throw new IllegalArgumentException(
@@ -1193,8 +1207,23 @@ object GdxSource {
                         "DML-rewrite era) - run a full OPTIMIZE first " +
                         "to restore the partitioned layout")
                   }
-                  all.filter(e => partKeyOf(spec, e.name).get
-                    .forall(k => !allowed.contains(k)))
+                  def inSlice(e: GdxFileEntry): Boolean =
+                    partKeyOf(rw0.spec, e.name).get
+                      .exists(rw0.allowed.contains)
+                  // serialization check: the slice this commit DROPS
+                  // must be exactly the slice the write observed — a
+                  // concurrent commit that added or DV'd rows inside it
+                  // would be silently erased by the restatement
+                  val liveSlice =
+                    all.filter(inSlice).map(e => (e.name, e.dv)).toSet
+                  if (liveSlice != rw0.observedSlice) {
+                    tidyTmps()
+                    throw new GdxConcurrentModificationException(
+                      s"gdx replaceWhere: the predicate's partitions of " +
+                        s"$path changed while this write was in flight - " +
+                        "re-read and retry the restatement")
+                  }
+                  all.filterNot(inSlice)
                 case None => committedEntries(path, conf)
               }
             headers ++ (prev ++ entries).sortBy(_.name).map(_.manifestLine)
@@ -1350,8 +1379,12 @@ object GdxSource {
         es.filter(e => partKeyOf(spec.render, e.name)
           .exists(_.exists(values.contains)))
       val touch = touched(committedEntries(dir, conf, readV))
-      val perPartTarget = target * values.size
-      if (touch.size <= perPartTarget && touch.forall(_.dv.isEmpty))
+      // no-op only when EVERY slice value is already compact and
+      // DV-free — an aggregate count would let an imbalanced IN
+      // (4 files in p=1, none in p=2) skip a needed rewrite
+      val perValue = touch.groupBy(e => partKeyOf(spec.render, e.name))
+      if (perValue.values.forall(es =>
+          es.size <= target && es.forall(_.dv.isEmpty)))
         return (touch.size, touch.size)
       try {
         snapshotReader(spark, dir, readV)
@@ -2954,8 +2987,12 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
             pushed.forall { case IsNotNull("k") => true; case _ => false } =>
         val pool = es.filter(e => e.dv.isEmpty && e.stats.exists(_.rows > 0))
           .map(_.stats.get)
+        // Ordering.reverse, never negation: -Long.MinValue overflows
+        // to itself and would sort a minK=Long.MinValue file FIRST,
+        // counting its rows toward a threshold they cannot support
         val ordered =
-          if (desc) pool.sortBy(s => -s.minK) else pool.sortBy(_.maxK)
+          if (desc) pool.sortBy(_.minK)(Ordering[Long].reverse)
+          else pool.sortBy(_.maxK)
         var cum = 0L
         var thr: Option[Long] = None
         val it = ordered.iterator
@@ -3056,12 +3093,10 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       s" files=${(if (metaOnly) 0 else kept.size)}/${entries.size}" +
       (if (version >= 0) s" version=$version" else "") +
       (if (limit >= 0) s" limit=$limit" else "") +
-      // kept/entries counts surface the file skip in the explained
-      // plan (only under TopN, where runtime filters cannot arrive —
-      // the counts are stable by the time anything prints the plan)
+      // the generic files=kept/total marker above already surfaces the
+      // TopN file skip; this tag only names the pushed order
       topN.map { case (desc, n) =>
-        s" topn=k ${if (desc) "DESC" else "ASC"},$n" +
-          s" files=${kept.size}/${entries.size}" }.getOrElse("") +
+        s" topn=k ${if (desc) "DESC" else "ASC"},$n" }.getOrElse("") +
       aggOps.map(o => s" agg=[${o.mkString(", ")}]" +
         (if (aggGroupedPart) s" groupBy=${partitionCol.getOrElse("?")}"
         else "") +
@@ -3581,7 +3616,18 @@ class GdxWriteBuilder(path: String, expectedBase: Int = -1,
     require(fromOpt.isEmpty || fromFilters.isEmpty || fromOpt == fromFilters,
       "gdx: the replaceWhere option contradicts the statement's " +
         "REPLACE WHERE condition")
-    val rw = fromOpt.orElse(fromFilters)
+    // capture the slice's entries NOW (write-build time): the commit
+    // conflict-checks the live slice against this observation, so a
+    // concurrent writer landing rows inside the slice surfaces as a
+    // GdxConcurrentModificationException instead of silent erasure
+    val rw = fromOpt.orElse(fromFilters).map { case (spec, vals) =>
+      val observed = GdxSource
+        .committedEntries(path, GdxSource.driverConf())
+        .filter(e => GdxSource.partKeyOf(spec, e.name)
+          .exists(_.exists(vals.contains)))
+        .map(e => (e.name, e.dv)).toSet
+      GdxSource.GdxReplaceWhere(spec, vals, observed)
+    }
     new GdxWrite(path, replace && rw.isEmpty, expectedBase, writeSchema,
       effective, clusterWrite, viaCatalog, rw)
   }
@@ -3603,7 +3649,7 @@ class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1,
                partitionCol: Option[String] = None,
                clusterWrite: Boolean = true,
                viaCatalog: Boolean = false,
-               replaceWhere: Option[(String, Set[Long])] = None)
+               replaceWhere: Option[GdxSource.GdxReplaceWhere] = None)
     extends Write with RequiresDistributionAndOrdering {
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
@@ -3736,7 +3782,7 @@ class GdxBatchWrite(path: String, replace: Boolean,
                     expectedBase: Int = -1,
                     writeSchema: StructType = GdxSource.schema,
                     partitionCol: Option[String] = None,
-                    replaceWhere: Option[(String, Set[Long])] = None)
+                    replaceWhere: Option[GdxSource.GdxReplaceWhere] = None)
     extends BatchWrite {
   private def partSpec: Option[GdxSource.GdxPartSpec] =
     partitionCol.map(GdxSource.parsePartSpec)

@@ -139,6 +139,45 @@ class GdxReplaceWhereSpec extends SparkSuite {
       .toString.contains("unsupported partition predicate"))
   }
 
+  test("a concurrent commit INSIDE the slice conflicts the " +
+      "restatement; outside-slice commits are carried through") {
+    val dir = freshDir("conc")
+    seed(dir)
+    val conf = GdxSource.driverConf()
+    def slice(p: Long): Set[(String, Option[String])] =
+      GdxSource.committedEntries(dir, conf)
+        .filter(_.name.startsWith(s"p=$p/")).map(e => (e.name, e.dv)).toSet
+    // observation taken, then a writer lands rows INSIDE the slice
+    val stale = slice(1L)
+    Seq((8000L, "raced", 1L)).toDF("k", "v", "p").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    intercept[graft.sources.GdxConcurrentModificationException] {
+      GdxSource.commitFiles(dir, conf, replace = false, Seq.empty,
+        replaceWhere = Some(GdxSource.GdxReplaceWhere("p", Set(1L), stale)))
+    }
+    assert(read(dir).filter(col("k") === 8000L).count() === 1L,
+      "the raced append must survive the refused restatement")
+    // a DV grown inside the slice is a conflict too
+    val stale2 = slice(1L)
+    GdxSource.delete(spark, dir, col("k") === 8000L)
+    intercept[graft.sources.GdxConcurrentModificationException] {
+      GdxSource.commitFiles(dir, conf, replace = false, Seq.empty,
+        replaceWhere = Some(GdxSource.GdxReplaceWhere("p", Set(1L),
+          stale2)))
+    }
+    // an outside-slice commit between observation and publish is
+    // benign: the restatement carries it and replaces only its slice
+    val fresh = slice(1L)
+    Seq((8001L, "other", 0L)).toDF("k", "v", "p").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    GdxSource.commitFiles(dir, conf, replace = false, Seq.empty,
+      replaceWhere = Some(GdxSource.GdxReplaceWhere("p", Set(1L), fresh)))
+    assert(read(dir).filter(col("p") === 1L).count() === 0L,
+      "the slice is replaced by the (empty) payload")
+    assert(read(dir).filter(col("k") === 8001L).count() === 1L,
+      "the outside-slice append is carried")
+  }
+
   test("Spark's native INSERT INTO ... REPLACE WHERE and " +
       "writeTo.overwrite route to the same slice commit") {
     val dir = freshDir("native")
