@@ -1947,6 +1947,47 @@ object RelationalOps extends QueryModule {
         .orderBy("p")
     }),
 
+    // S38 — TRUNCATE TABLE: one EMPTY truncate commit (metadata-cost
+    // at any scale) — rows vanish from the live view, every retained
+    // snapshot still time-travels (nothing is deleted; vacuum
+    // reclaims), and the next append inherits the partition layout.
+    // `empty_after_truncate`/`history_preserved`/`layout_kept` pin the
+    // three contracts; the payload is the re-seeded table, recomputed
+    // by DuckDB.
+    "s38_gdx_truncate_sql" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxtr_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      val ev = Tables.events(s, d).select(col("event_id").as("k"),
+        col("event_type").as("v"), (col("event_id") % 4).as("p"))
+      ev.write.format(fmt).option("path", dir)
+        .option("partitionBy", "p").mode("overwrite").save() // v1
+      val total = ev.count()
+      val c = graft.Sessions.pinned(s)
+      val tbl = "gdx_tr_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      c.sql(s"""CREATE TABLE $tbl (k BIGINT, v STRING, p BIGINT)
+        USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+      try {
+        c.sql(s"TRUNCATE TABLE $tbl") // v2
+        val empty =
+          c.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 0L
+        val history = s.read.format(fmt).option("path", dir)
+          .option("version", "1").load().count() == total
+        ev.filter(col("v") === "purchase")
+          .write.format(fmt).option("path", dir).mode("append").save() // v3
+        val layout = gdx.committedEntries(dir, gdx.driverConf())
+          .forall(_.name.startsWith("p="))
+        s.read.format(fmt).option("path", dir).load()
+          .groupBy("p")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+          .withColumn("empty_after_truncate", lit(empty))
+          .withColumn("history_preserved", lit(history))
+          .withColumn("layout_kept", lit(layout))
+          .orderBy("p")
+      } finally c.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     // S36 — the CHANGEFEED SQL front door: `SHOW CHANGES t FROM a
     // [TO b]` resolves to the DISTRIBUTED row-level CDF plan (inserts
     // from committed files, deletes from deletion-vector deltas —
@@ -3498,6 +3539,15 @@ object RelationalOps extends QueryModule {
         |  TRUE AS carried_by_ref, TRUE AS slice_replaced,
         |  TRUE AS slice_compacted
         |FROM final GROUP BY 1 ORDER BY p""".stripMargin,
+    // the re-seeded (truncate-then-purchases) table recomputed from
+    // raw events; the truncate contracts pinned TRUE
+    "s38_gdx_truncate_sql" ->
+      """SELECT event_id % 4 AS p, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_k,
+        |  TRUE AS empty_after_truncate, TRUE AS history_preserved,
+        |  TRUE AS layout_kept
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY p""".stripMargin,
     // the changefeed recomputed from raw events: v2 inserted the
     // purchases, v3's DELETE DV'd every k % 13 = 0 row (both eras);
     // the SHOW-CHANGES-≡-API claim is pinned TRUE

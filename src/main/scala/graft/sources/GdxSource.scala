@@ -2549,7 +2549,8 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
                declaredPartition: Option[String] = None,
                viaCatalog: Boolean = false,
                pinnedVersion: Option[Int] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   override def partitioning(): Array[
       org.apache.spark.sql.connector.expressions.Transform] =
     declaredPartition.map(c => GdxSource.parsePartSpec(c) match {
@@ -2562,6 +2563,21 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
   /** The table's directory — the snapshot-version lookup key MV
     * staleness pinning uses (plans/MvRewrite.gdxSnapshots). */
   private[graft] def tablePath: String = path
+  /** `TRUNCATE TABLE` (SQL) → one EMPTY truncate commit that re-declares
+    * the snapshot's schema and layout: rows vanish from the live view,
+    * every retained version still time-travels (nothing is deleted —
+    * vacuum reclaims), and the next append inherits the same
+    * partitioning. Metadata-cost at any scale. */
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty,
+      s"gdx: cannot truncate a time-travel (version-pinned) view of $path")
+    val conf = GdxSource.driverConf()
+    GdxSource.commitFiles(path, conf, replace = true, Seq.empty,
+      writeSchema = GdxSource.committedSchema(path, conf),
+      partitionCol = GdxSource.committedPartitionCol(path, conf))
+    true
+  }
+
   /** Catalog time-travel pin (None = live) — MV rewrite consults it:
     * a `FOR VERSION AS OF` relation must never match a summary of the
     * CURRENT snapshot, exactly like the `version`/`asOf` read

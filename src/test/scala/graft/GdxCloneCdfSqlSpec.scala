@@ -103,6 +103,32 @@ class GdxCloneCdfSqlSpec extends SparkSuite {
     } finally c.sql("DROP TABLE IF EXISTS gdxcc_src")
   }
 
+  test("TRUNCATE TABLE publishes an empty commit; history and the " +
+      "partition layout survive") {
+    val dir = freshDir("trunc")
+    (0 until 60).map(i => (i.toLong, s"r$i", (i % 3).toLong))
+      .toDF("k", "v", "p").coalesce(2)
+      .write.format(fmt).option("path", dir).option("partitionBy", "p")
+      .mode("overwrite").save()
+    val tbl = "gdxcc_tr_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    s.sql(s"""CREATE TABLE $tbl (k BIGINT, v STRING, p BIGINT)
+      USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+    try {
+      s.sql(s"TRUNCATE TABLE $tbl")
+      assert(s.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 0L)
+      // nothing deleted: the pre-truncate snapshot still time-travels
+      assert(spark.read.format(fmt).option("path", dir)
+        .option("version", "1").load().count() === 60L)
+      // the layout survives: the next append demuxes into p= dirs
+      Seq((100L, "x", 1L)).toDF("k", "v", "p").coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+      assert(GdxSource.committedEntries(dir, GdxSource.driverConf())
+        .forall(_.name.startsWith("p=")))
+      assert(s.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 1L)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("SHALLOW CLONE with LOCATION registers a queryable table; " +
       "ordinary CREATE TABLE still delegates") {
     val dir = freshDir("clloc")
