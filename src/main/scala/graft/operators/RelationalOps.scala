@@ -1947,6 +1947,49 @@ object RelationalOps extends QueryModule {
         .orderBy("p")
     }),
 
+    // C29 — ATOMIC RTAS: `CREATE OR REPLACE TABLE ... AS SELECT`
+    // through the staging catalog (StagingTableCatalog): the job's
+    // data files land invisible, and ONE truncate-manifest publish at
+    // commitStagedChanges is the only commit point — a reader can
+    // never observe the created-but-empty or half-replaced
+    // intermediate of non-atomic create-then-insert, and at 100 TB
+    // "replace the production table" must be exactly this shape.
+    // `atomic_commit` pins that the whole RTAS advanced the version
+    // ledger by EXACTLY ONE commit; `history_preserved` pins that the
+    // replaced content still time-travels. DuckDB recomputes the
+    // replacement payload.
+    "c29_gdx_rtas" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxrtas_")
+      val gdx = graft.sources.GdxSource
+      val cat = "gdx_c29"
+      val c = graft.Sessions.pinned(s,
+        s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+        s"spark.sql.catalog.$cat.warehouse" -> wh)
+      val ev = Tables.events(s, d)
+        .select(col("event_id").as("k"), col("event_type").as("v"))
+      c.sql(s"CREATE NAMESPACE $cat.lab")
+      c.sql(s"CREATE TABLE $cat.lab.t (k BIGINT, v STRING)")
+      graft.Sessions.insertInto(c, ev, s"$cat.lab.t") // v2
+      val dirT = s"$wh/lab/t"
+      val vBefore = gdx.listVersions(dirT, gdx.driverConf()).max
+      val view = "graft_c29_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      ev.filter(col("v") === "purchase")
+        .createOrReplaceGlobalTempView(view)
+      try c.sql(s"CREATE OR REPLACE TABLE $cat.lab.t AS " +
+        s"SELECT k, concat('R_', v) AS v FROM global_temp.$view")
+      finally { s.catalog.dropGlobalTempView(view); () }
+      val vAfter = gdx.listVersions(dirT, gdx.driverConf()).max
+      val atomic = vAfter == vBefore + 1
+      val history = c.sql(s"SELECT count(*) FROM $cat.lab.t " +
+        s"FOR VERSION AS OF $vBefore").head.getLong(0) == ev.count()
+      c.sql(s"SELECT v, count(*) AS n, sum(k) AS sum_k " +
+          s"FROM $cat.lab.t GROUP BY v")
+        .withColumn("atomic_commit", lit(atomic))
+        .withColumn("history_preserved", lit(history))
+        .orderBy("v")
+    }),
+
     // S38 — TRUNCATE TABLE: one EMPTY truncate commit (metadata-cost
     // at any scale) — rows vanish from the live view, every retained
     // snapshot still time-travels (nothing is deleted; vacuum
@@ -3539,6 +3582,14 @@ object RelationalOps extends QueryModule {
         |  TRUE AS carried_by_ref, TRUE AS slice_replaced,
         |  TRUE AS slice_compacted
         |FROM final GROUP BY 1 ORDER BY p""".stripMargin,
+    // the RTAS replacement recomputed: the tagged purchases; the
+    // atomicity and history claims pinned TRUE
+    "c29_gdx_rtas" ->
+      """SELECT 'R_' || event_type AS v, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_k,
+        |  TRUE AS atomic_commit, TRUE AS history_preserved
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY v""".stripMargin,
     // the re-seeded (truncate-then-purchases) table recomputed from
     // raw events; the truncate contracts pinned TRUE
     "s38_gdx_truncate_sql" ->

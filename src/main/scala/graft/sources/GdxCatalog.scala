@@ -62,7 +62,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * are the source of truth).
   */
 class GdxCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -163,11 +164,13 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
       pinnedVersion = Some(v))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
-    val dir = tableDir(ident)
-    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+  /** The format's declaration contract, shared by CREATE TABLE and the
+    * staged (atomic CTAS/RTAS) paths: key-first BIGINT schema, the
+    * three storable types, and a validated partition spec. Returns the
+    * spec's raw manifest text. */
+  private def validateDeclaration(schema: StructType,
+                                  partitions: Array[Transform])
+      : Option[String] = {
     require(schema.nonEmpty && schema.head.dataType == LongType,
       "gdx catalog: the first column is the table's key and must be " +
         s"BIGINT (got ${if (schema.isEmpty) "no columns"
@@ -187,6 +190,15 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
       require(f.dataType == LongType,
         s"gdx catalog: partition column ${sp.col} must be BIGINT")
     }
+    spec
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val spec = validateDeclaration(schema, partitions)
     // v1 is an EMPTY truncate commit CAS-pinned to base 0: it records
     // the declared schema and layout in the manifest header, a
     // concurrent creator loses the race loudly (conflict, not a silent
@@ -195,6 +207,55 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
     GdxSource.commitFiles(dir.toString, conf, replace = true, Seq.empty,
       expectedBase = 0, writeSchema = schema, partitionCol = spec)
     loadTable(ident)
+  }
+
+  // ------------------------------------------- atomic CTAS/RTAS staging
+
+  /** ATOMIC `CREATE TABLE ... AS SELECT` / `[CREATE OR] REPLACE TABLE
+    * ... AS SELECT`: the staged write's data files land as invisible
+    * tmp files (reads are manifest-driven; an unpublished directory is
+    * not a table), the job's BatchWrite.commit only STASHES the task
+    * results, and [[GdxStagedTable.commitStagedChanges]] publishes ONE
+    * truncate manifest — the single commit point. A reader can never
+    * observe the created-but-empty (or half-replaced) intermediate a
+    * non-atomic create-then-insert exposes; a failed job aborts to
+    * nothing. REPLACE is itself a versioned commit, so the replaced
+    * table's history still time-travels. */
+  override def stageCreate(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog
+                             .TableInfo): org.apache.spark.sql.connector
+                             .catalog.StagedTable = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    if (!fs.exists(nsDir(ident.namespace)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    stage(dir, info, preExisting = false)
+  }
+
+  override def stageReplace(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog
+                              .TableInfo): org.apache.spark.sql.connector
+                              .catalog.StagedTable = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    stage(dir, info, preExisting = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: org.apache.spark.sql.connector
+                                      .catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val dir = tableDir(ident)
+    if (!fs.exists(nsDir(ident.namespace)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    stage(dir, info, preExisting = isTable(dir))
+  }
+
+  private def stage(dir: Path,
+                    info: org.apache.spark.sql.connector.catalog.TableInfo,
+                    preExisting: Boolean): GdxStagedTable = {
+    val spec = validateDeclaration(info.schema(), info.partitions())
+    new GdxStagedTable(dir.toString, info.schema(), spec, preExisting)
   }
 
   /** ALTER TABLE through the catalog rides the format's metadata-only
@@ -330,6 +391,78 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name.equalsIgnoreCase("bucket")) GdxBucketUnbound
     else throw new NoSuchFunctionException(ident)
+}
+
+/** The staged side of atomic CTAS/RTAS (see
+  * [[GdxCatalog.stageCreate]]): a write-only table whose job commit
+  * STASHES the task results; `commitStagedChanges` publishes them as
+  * ONE truncate manifest (create: v1; replace: v_next — history
+  * retained), `abortStagedChanges` deletes the tmp files and, for a
+  * fresh create, the empty directory. Distribution/clustering and the
+  * constraint-conflict check ride the ordinary write machinery
+  * ([[GdxWrite]]/[[GdxBatchWrite]] subclassed with a deferred
+  * commit). */
+class GdxStagedTable(dir: String, declaredSchema: StructType,
+                     spec: Option[String], preExisting: Boolean)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.StagedTable {
+  import org.apache.spark.sql.connector.write.{
+    LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder,
+    WriterCommitMessage}
+
+  private val conf = GdxSource.driverConf()
+  // the set the staged tasks will enforce; commitStagedChanges
+  // conflict-checks the live set against it (a constraint landing
+  // mid-stage aborts the publish, never a silent enforcement hole)
+  private val enforced = GdxSource.committedConstraints(dir, conf)
+  @volatile private var stashed: Seq[WriterCommitMessage] = Seq.empty
+
+  override def name(): String = s"gdx($dir) [staged]"
+  override def schema(): StructType = declaredSchema
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE,
+      org.apache.spark.sql.connector.catalog.TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // the staged publish IS a truncate — RTAS's truncating write
+      // needs no extra state
+      override def truncate(): WriteBuilder = this
+      override def build(): Write =
+        new GdxWrite(dir, replace = true, -1, declaredSchema, spec,
+          clusterWrite = true, viaCatalog = true) {
+          override def toBatch: org.apache.spark.sql.connector.write
+              .BatchWrite =
+            new GdxBatchWrite(dir, replace = true, -1, declaredSchema,
+              spec) {
+              override def commit(
+                  messages: Array[WriterCommitMessage]): Unit = {
+                stashed = messages.toSeq
+              }
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit =
+    GdxSource.commitFiles(dir, conf, replace = true, stashed,
+      writeSchema = declaredSchema, enforcedConstraints = Some(enforced),
+      partitionCol = spec)
+
+  override def abortStagedChanges(): Unit = {
+    val base = new Path(dir)
+    val dfs = base.getFileSystem(conf)
+    stashed.collect { case m: GdxCommitMessage => m.files }.flatten
+      .foreach { case (tmp, _) =>
+        dfs.delete(new Path(base, tmp), false)
+        dfs.delete(new Path(base, tmp + GdxBloom.Suffix), false)
+      }
+    if (!preExisting && GdxSource.listVersions(dir, conf).isEmpty)
+      dfs.delete(base, true)
+    ()
+  }
 }
 
 /** Iceberg-style metadata tables over a GDX directory — read-only

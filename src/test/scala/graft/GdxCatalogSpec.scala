@@ -379,6 +379,46 @@ class GdxCatalogSpec extends SparkSuite {
     }
   }
 
+  test("atomic RTAS: CREATE OR REPLACE TABLE AS SELECT swaps content " +
+      "in one commit; history time-travels; staged aborts leave nothing") {
+    withCatalog() { (s, cat, wh) =>
+      s.sql(s"CREATE NAMESPACE $cat.lab")
+      s.sql(s"CREATE TABLE $cat.lab.t (k BIGINT, v STRING)")
+      s.sql(s"INSERT INTO $cat.lab.t VALUES (1,'a'),(2,'b')")
+      val vBefore = GdxSource.listVersions(s"$wh/lab/t",
+        GdxSource.driverConf()).max
+      s.sql(s"CREATE OR REPLACE TABLE $cat.lab.t AS " +
+        "SELECT CAST(9 AS BIGINT) AS k, 'r' AS v")
+      assert(s.sql(s"SELECT k, v FROM $cat.lab.t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((9L, "r")))
+      // the replace is a versioned commit: the old content time-travels
+      assert(s.sql(s"SELECT count(*) FROM $cat.lab.t " +
+        s"FOR VERSION AS OF $vBefore").head.getLong(0) === 2L)
+      // REPLACE of a missing table errors; CREATE OR REPLACE creates
+      intercept[Exception] {
+        s.sql(s"REPLACE TABLE $cat.lab.nope AS SELECT CAST(1 AS BIGINT) k")
+      }
+      s.sql(s"CREATE OR REPLACE TABLE $cat.lab.fresh AS " +
+        "SELECT CAST(5 AS BIGINT) AS k, 'x' AS v")
+      assert(s.sql(s"SELECT k FROM $cat.lab.fresh").head.getLong(0) === 5L)
+      // staged-create abort: no manifest ever published, directory gone,
+      // the identifier never resolves
+      val gcat = s.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[graft.sources.GdxCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("lab"), "ghost")
+      val staged = gcat.stageCreate(ident,
+        new org.apache.spark.sql.connector.catalog.TableInfo.Builder()
+          .withColumns(Array(org.apache.spark.sql.connector.catalog
+            .Column.create("k", org.apache.spark.sql.types.LongType)))
+          .withPartitions(Array.empty).withProperties(
+            java.util.Collections.emptyMap()).build())
+      intercept[Exception] { s.sql(s"SELECT * FROM $cat.lab.ghost") }
+      staged.abortStagedChanges()
+      assert(!new java.io.File(s"$wh/lab/ghost").exists())
+    }
+  }
+
   test("a streaming writeStream.toTable sinks into a catalog bucket " +
       "table exactly-once with the layout intact") {
     withCatalog() { (s, cat, wh) =>
