@@ -229,7 +229,11 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (!fs.exists(nsDir(ident.namespace)))
       throw new NoSuchNamespaceException(ident.namespace)
-    stage(dir, info, preExisting = false)
+    // CAS the publish to v1: of two concurrent staged CREATEs the
+    // loser conflicts loudly (same contract as createTable), never a
+    // silent last-wins re-declaration. CREATE OR REPLACE stays
+    // last-wins by definition (casBase = -1 below).
+    stage(dir, info, preExisting = false, casBase = 0)
   }
 
   override def stageReplace(ident: Identifier,
@@ -253,9 +257,11 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
 
   private def stage(dir: Path,
                     info: org.apache.spark.sql.connector.catalog.TableInfo,
-                    preExisting: Boolean): GdxStagedTable = {
+                    preExisting: Boolean,
+                    casBase: Int = -1): GdxStagedTable = {
     val spec = validateDeclaration(info.schema(), info.partitions())
-    new GdxStagedTable(dir.toString, info.schema(), spec, preExisting)
+    new GdxStagedTable(dir.toString, info.schema(), spec, preExisting,
+      casBase)
   }
 
   /** ALTER TABLE through the catalog rides the format's metadata-only
@@ -403,7 +409,8 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
   * ([[GdxWrite]]/[[GdxBatchWrite]] subclassed with a deferred
   * commit). */
 class GdxStagedTable(dir: String, declaredSchema: StructType,
-                     spec: Option[String], preExisting: Boolean)
+                     spec: Option[String], preExisting: Boolean,
+                     casBase: Int = -1)
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.StagedTable {
@@ -448,6 +455,7 @@ class GdxStagedTable(dir: String, declaredSchema: StructType,
 
   override def commitStagedChanges(): Unit =
     GdxSource.commitFiles(dir, conf, replace = true, stashed,
+      expectedBase = casBase,
       writeSchema = declaredSchema, enforcedConstraints = Some(enforced),
       partitionCol = spec)
 

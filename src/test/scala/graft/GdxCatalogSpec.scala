@@ -407,15 +407,26 @@ class GdxCatalogSpec extends SparkSuite {
         .asInstanceOf[graft.sources.GdxCatalog]
       val ident = org.apache.spark.sql.connector.catalog.Identifier
         .of(Array("lab"), "ghost")
-      val staged = gcat.stageCreate(ident,
-        new org.apache.spark.sql.connector.catalog.TableInfo.Builder()
-          .withColumns(Array(org.apache.spark.sql.connector.catalog
-            .Column.create("k", org.apache.spark.sql.types.LongType)))
-          .withPartitions(Array.empty).withProperties(
-            java.util.Collections.emptyMap()).build())
+      def info = new org.apache.spark.sql.connector.catalog.TableInfo
+        .Builder()
+        .withColumns(Array(org.apache.spark.sql.connector.catalog
+          .Column.create("k", org.apache.spark.sql.types.LongType)))
+        .withPartitions(Array.empty).withProperties(
+          java.util.Collections.emptyMap()).build()
+      val staged = gcat.stageCreate(ident, info)
       intercept[Exception] { s.sql(s"SELECT * FROM $cat.lab.ghost") }
       staged.abortStagedChanges()
       assert(!new java.io.File(s"$wh/lab/ghost").exists())
+      // two concurrent staged CREATEs: the loser conflicts loudly (CAS
+      // on v1), never a silent last-wins re-declaration
+      val race = org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("lab"), "race")
+      val sA = gcat.stageCreate(race, info)
+      val sB = gcat.stageCreate(race, info)
+      sA.commitStagedChanges()
+      intercept[graft.sources.GdxConcurrentModificationException] {
+        sB.commitStagedChanges()
+      }
     }
   }
 
