@@ -2812,6 +2812,69 @@ object RelationalOps extends QueryModule {
       }
     }),
 
+    // C30 — GENERAL MERGE, the full ANSI clause matrix in ONE
+    // statement over a GDX table: conditional WHEN MATCHED DELETE and
+    // UPDATE (full and partial assignment, values mixing both sides),
+    // conditional WHEN NOT MATCHED INSERT, and WHEN NOT MATCHED BY
+    // SOURCE DELETE/UPDATE — first-clause-wins per branch, all sides
+    // of the swap (DV'd old images + fresh data files) published in
+    // ONE CAS'd manifest commit (plans/GdxDml lowers the resolved
+    // statement to sources/GdxSource.mergeGeneral; reference analogue:
+    // the refresh upsert in /root/reference/src/transform.py:31-38,
+    // generalized to the warehouse MERGE). At 100 TB the cost is one
+    // key-shuffle join plus files proportional to AFFECTED rows; the
+    // oracle recomputes the final table as a relational full-outer
+    // join with the clause matrix as CASE logic, and the one-commit +
+    // nonzero-metrics ledger is pinned as merge_ok.
+    "c30_gdx_merge_matrix" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxmrg_")
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val tbl = s"gdx_mrg_$tag"
+      val srcView = s"gdx_mrgsrc_$tag"
+      val fmt = "graft.sources.GdxSource"
+      s.sql(s"""CREATE TABLE $tbl (k BIGINT, v STRING, w DOUBLE)
+        USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+      try {
+        val ev = Tables.events(s, d)
+        ev.select(col("event_id").as("k"), col("event_type").as("v"),
+            round(col("value"), 6).as("w"))
+          .write.format(fmt).option("path", dir).mode("append").save()
+        // source: doubled-value restatements of every 3rd key + a
+        // shifted block of genuinely new keys (every 5th, offset 1e9)
+        ev.filter(col("event_id") % 3 === 0)
+          .select(col("event_id").as("k"),
+            concat(lit("S_"), col("event_type")).as("nv"),
+            round(col("value") * 2, 6).as("nw"))
+          .unionByName(ev.filter(col("event_id") % 5 === 0)
+            .select((col("event_id") + 1000000000L).as("k"),
+              concat(lit("NEW_"), col("event_type")).as("nv"),
+              round(col("value"), 6).as("nw")))
+          .createOrReplaceTempView(srcView)
+        val m = s.sql(s"""MERGE INTO $tbl t USING $srcView s ON t.k = s.k
+          WHEN MATCHED AND t.v = 'click' THEN DELETE
+          WHEN MATCHED AND s.nw > 1.0 THEN UPDATE SET v = s.nv, w = s.nw
+          WHEN MATCHED THEN UPDATE SET w = t.w + s.nw
+          WHEN NOT MATCHED AND s.nw > 0.5
+            THEN INSERT (k, v, w) VALUES (s.k, s.nv, s.nw)
+          WHEN NOT MATCHED BY SOURCE AND t.k % 7 = 3 THEN DELETE
+          WHEN NOT MATCHED BY SOURCE AND t.k % 7 = 5
+            THEN UPDATE SET v = concat('STALE_', t.v)""").collect().head
+        // ledger pins: seed + merge = exactly two commits, and every
+        // metric moved (the matrix genuinely exercised each branch)
+        val mergeOk = graft.sources.GdxSource.listVersions(dir,
+            graft.sources.GdxSource.driverConf()) == Seq(1, 2) &&
+          m.getLong(1) > 0 && m.getLong(2) > 0 && m.getLong(3) > 0
+        s.read.format(fmt).option("path", dir).load()
+          .select(col("k"), col("v"), col("w"))
+          .withColumn("merge_ok", lit(mergeOk))
+          .orderBy("k")
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.catalog.dropTempView(srcView)
+        ()
+      }
+    }),
+
     // C16 — CHANGEFEED-MAINTAINED MATERIALIZED VIEW: the full
     // composition of the engine's table format and MV tiers. A summary
     // is registered over an EMPTY GDX table, the events keyset lands
@@ -3741,6 +3804,38 @@ object RelationalOps extends QueryModule {
     // the SQL DML chain recomputed relationally: CASE update, WHERE-NOT
     // delete, full-outer LWW merge; the one-commit-per-statement ledger
     // claim is pinned TRUE
+    // the general MERGE recomputed relationally: full-outer join of
+    // the seeded table and the source, the clause matrix as
+    // first-match CASE logic per branch; both engines round the same
+    // doubles to 6 places and add them identically; the one-commit +
+    // nonzero-metrics ledger claim is pinned TRUE
+    "c30_gdx_merge_matrix" ->
+      """WITH base AS (SELECT event_id AS k, event_type AS v,
+        |  round(value, 6) AS w FROM events),
+        |src AS (
+        |  SELECT event_id AS k, 'S_' || event_type AS nv,
+        |    round(value * 2, 6) AS nw
+        |  FROM events WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000000, 'NEW_' || event_type,
+        |    round(value, 6)
+        |  FROM events WHERE event_id % 5 = 0),
+        |j AS (SELECT b.k AS tk, b.v, b.w, s.k AS sk, s.nv, s.nw
+        |  FROM base b FULL OUTER JOIN src s ON b.k = s.k),
+        |m AS (SELECT tk AS k,
+        |    CASE WHEN nw > 1.0 THEN nv ELSE v END AS v,
+        |    CASE WHEN nw > 1.0 THEN nw ELSE w + nw END AS w
+        |  FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL
+        |    AND v <> 'click'),
+        |i AS (SELECT sk AS k, nv AS v, nw AS w FROM j
+        |  WHERE tk IS NULL AND nw > 0.5),
+        |nb AS (SELECT tk AS k,
+        |    CASE WHEN tk % 7 = 5 THEN 'STALE_' || v ELSE v END AS v, w
+        |  FROM j WHERE sk IS NULL AND tk % 7 <> 3)
+        |SELECT k, v, w, TRUE AS merge_ok FROM (
+        |  SELECT * FROM m UNION ALL SELECT * FROM i
+        |  UNION ALL SELECT * FROM nb)
+        |ORDER BY k""".stripMargin,
     "c18_gdx_sql_dml" ->
       """WITH base AS (SELECT event_id AS k, event_type AS v FROM events),
         |u AS (SELECT k, CASE WHEN k % 9 = 4 THEN 'U_' || v ELSE v END AS v

@@ -82,63 +82,155 @@ object GdxDmlRule extends Rule[LogicalPlan] {
     case _ => plan
   }
 
-  /** Only the LWW-upsert shape the engine's merge implements. */
+  /** MERGE dispatch: the classic LWW-upsert shape keeps its dedicated
+    * fast path (one unionByName + one max-struct aggregate, no join
+    * materialization); every other clause combination routes to the
+    * GENERAL merge ([[graft.sources.GdxSource.mergeGeneral]] — the
+    * full ANSI matrix: conditional clauses, partial assignments,
+    * MATCHED DELETE, NOT MATCHED BY SOURCE). */
   private def rewriteMerge(path: String, m: MergeIntoTable): LogicalPlan = {
     if (m.withSchemaEvolution)
       fail("gdx MERGE: WITH SCHEMA EVOLUTION is not supported")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("gdx MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
-    // ON t.k = s.k (either side order): key-equality on the table key;
-    // analysis inserts widening Casts when the source key is narrower
-    def keyAttr(e: Expression): Option[AttributeReference] = e match {
-      case a: AttributeReference => Some(a)
-      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-        keyAttr(c.child)
-      case _ => None
-    }
-    // one side must come from the TARGET and the other from the SOURCE
-    // (checked by attribute identity, not name — `ON t.k = t.k` is a
-    // degenerate always-true-per-row condition, NOT a key join, and
-    // must be refused rather than silently run as a keyed upsert)
+    if (legacyShape(m)) GdxMergeCommand(path, m.sourceTable)
+    else generalMerge(path, m)
+  }
+
+  /** Strip analyzer-inserted widening casts down to the attribute. */
+  private def keyAttr(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      keyAttr(c.child)
+    case _ => None
+  }
+
+  /** The classic LWW shape: a (k, v) table, `ON t.k = s.k`, exactly
+    * one unconditional `UPDATE SET *` + one unconditional `INSERT *`,
+    * no NOT-MATCHED-BY-SOURCE branch. Key and assignment values are
+    * checked by attribute IDENTITY, not name — `ON t.k = t.k` is a
+    * degenerate always-true condition, and `SET v = t.v` (keep the
+    * target's value) diverges from source-wins LWW; both route to the
+    * general path instead. */
+  private def legacyShape(m: MergeIntoTable): Boolean = {
+    val tids = m.targetTable.outputSet
+    val sids = m.sourceTable.outputSet
     val keyOk = m.mergeCondition match {
       case EqualTo(l, r) =>
         (keyAttr(l), keyAttr(r)) match {
           case (Some(a), Some(b)) if a.name == "k" && b.name == "k" =>
-            val tids = m.targetTable.outputSet
-            val sids = m.sourceTable.outputSet
             (tids.contains(a) && sids.contains(b)) ||
               (tids.contains(b) && sids.contains(a))
           case _ => false
         }
       case _ => false
     }
-    if (!keyOk)
-      fail("gdx MERGE: only ON <target>.k = <source>.k is supported " +
-        s"(got ${m.mergeCondition.sql})")
-    // WHEN MATCHED THEN UPDATE SET * — every target column assigned its
-    // same-named SOURCE column, unconditionally. The value must be
-    // checked by attribute identity, not name alone: `SET v = t.v`
-    // (target self-assignment, i.e. "keep the target's value") matches
-    // by name but the engine's merge is source-wins LWW — accepting it
-    // would silently overwrite the kept values, so it is refused
-    // loudly like every other diverging shape
     def starAssignments(as: Seq[Assignment]): Boolean = as.forall {
       case Assignment(k: AttributeReference, v) =>
-        keyAttr(v).exists(a =>
-          a.name == k.name && m.sourceTable.outputSet.contains(a))
+        keyAttr(v).exists(a => a.name == k.name && sids.contains(a))
       case _ => false
     }
-    m.matchedActions match {
-      case Seq(UpdateAction(None, as, _)) if starAssignments(as) => ()
-      case other => fail("gdx MERGE: exactly one unconditional WHEN " +
-        s"MATCHED THEN UPDATE SET * is required (got $other)")
+    keyOk &&
+      m.targetTable.output.map(_.name) == Seq("k", "v") &&
+      m.notMatchedBySourceActions.isEmpty &&
+      (m.matchedActions match {
+        case Seq(UpdateAction(None, as, _)) => starAssignments(as)
+        case _ => false
+      }) &&
+      (m.notMatchedActions match {
+        case Seq(InsertAction(None, as)) => starAssignments(as)
+        case _ => false
+      })
+  }
+
+  /** Lower the resolved MERGE to the engine's general form: every
+    * expression is re-rooted onto the engine's joined frame by RENAMING
+    * each attribute to `__t_<name>` / `__s_<name>` by which side its
+    * exprId belongs to, THEN rendered to SQL — sidedness survives the
+    * carry-by-text re-parse that qualifier-stripping (the
+    * DELETE/UPDATE path) would destroy, so `t.v` and `s.v` stay
+    * distinct. ANSI sidedness is enforced here: NOT MATCHED (INSERT)
+    * expressions may reference only the source, NOT MATCHED BY SOURCE
+    * only the target. */
+  private def generalMerge(path: String, m: MergeIntoTable): LogicalPlan = {
+    val tids = m.targetTable.outputSet
+    val sids = m.sourceTable.outputSet
+    // the engine renames source columns positionally; duplicate names
+    // would collide after the __s_ prefix
+    val srcNames = m.sourceTable.output
+      .map(_.name.toLowerCase(java.util.Locale.ROOT))
+    if (srcNames.distinct.size != srcNames.size)
+      fail("gdx MERGE: duplicate source column names " +
+        srcNames.diff(srcNames.distinct).distinct.mkString(", "))
+    def sideSql(e: Expression, allowT: Boolean, allowS: Boolean,
+                what: String): String = e.transform {
+      case a: AttributeReference if tids.contains(a) =>
+        if (!allowT) fail(s"gdx MERGE: $what may not reference the " +
+          s"target column ${a.name}")
+        a.withName("__t_" + a.name).withQualifier(Seq.empty)
+      case a: AttributeReference if sids.contains(a) =>
+        if (!allowS) fail(s"gdx MERGE: $what may not reference the " +
+          s"source column ${a.name}")
+        a.withName("__s_" + a.name).withQualifier(Seq.empty)
+      case a: AttributeReference =>
+        fail(s"gdx MERGE: $what references ${a.name}, which belongs to " +
+          "neither the target nor the source")
+    }.sql
+    def assigns(as: Seq[Assignment], allowT: Boolean, allowS: Boolean,
+                what: String): Seq[(String, String)] = as.map {
+      case Assignment(k, v) => keyAttr(k) match {
+        case Some(a) if tids.contains(a) =>
+          a.name -> sideSql(v, allowT, allowS, what)
+        case _ => fail(s"gdx MERGE: $what assigns to ${k.sql}, which is " +
+          "not a target column")
+      }
     }
-    m.notMatchedActions match {
-      case Seq(InsertAction(None, as)) if starAssignments(as) => ()
-      case other => fail("gdx MERGE: exactly one unconditional WHEN NOT " +
-        s"MATCHED THEN INSERT * is required (got $other)")
+    def clauses(actions: Seq[org.apache.spark.sql.catalyst.plans.logical
+        .MergeAction], branch: String, allowT: Boolean, allowS: Boolean,
+        insertBranch: Boolean): Seq[graft.sources.GdxMergeClause] =
+      actions.map {
+        case org.apache.spark.sql.catalyst.plans.logical.DeleteAction(c)
+            if !insertBranch =>
+          graft.sources.GdxMergeClause(
+            c.map(sideSql(_, allowT, allowS, s"a $branch condition")), None)
+        case UpdateAction(c, as, _) if !insertBranch =>
+          graft.sources.GdxMergeClause(
+            c.map(sideSql(_, allowT, allowS, s"a $branch condition")),
+            Some(assigns(as, allowT, allowS, s"a $branch UPDATE")))
+        case InsertAction(c, as) if insertBranch =>
+          graft.sources.GdxMergeClause(
+            c.map(sideSql(_, allowT = false, allowS = true,
+              s"a $branch condition")),
+            Some(assigns(as, allowT = false, allowS = true,
+              s"a $branch INSERT")))
+        case other =>
+          fail(s"gdx MERGE: unsupported $branch action $other")
+      }
+    val onSql = sideSql(m.mergeCondition, allowT = true, allowS = true,
+      "the ON condition")
+    // key-equality detection for zone-map file pruning: ON is an
+    // equality whose one side strips to the TARGET's key (first)
+    // column and whose other side references only the source
+    val keyName = m.targetTable.output.head
+    val pruneKey = m.mergeCondition match {
+      case EqualTo(l, r) =>
+        def srcSide(t: Expression, s: Expression): Option[String] =
+          keyAttr(t) match {
+            case Some(a) if tids.contains(a) && a.exprId == keyName.exprId &&
+                s.references.forall(sids.contains) =>
+              Some(sideSql(s, allowT = false, allowS = true,
+                "the ON condition"))
+            case _ => None
+          }
+        srcSide(l, r).orElse(srcSide(r, l))
+      case _ => None
     }
-    GdxMergeCommand(path, m.sourceTable)
+    GdxMergeGeneralCommand(path, m.sourceTable, onSql,
+      clauses(m.matchedActions, "WHEN MATCHED", allowT = true,
+        allowS = true, insertBranch = false),
+      clauses(m.notMatchedActions, "WHEN NOT MATCHED", allowT = false,
+        allowS = true, insertBranch = true),
+      clauses(m.notMatchedBySourceActions, "WHEN NOT MATCHED BY SOURCE",
+        allowT = true, allowS = false, insertBranch = false),
+      pruneKey)
   }
 }
 
@@ -182,6 +274,30 @@ case class GdxMergeCommand(path: String, source: LogicalPlan)
   }
 }
 
+/** General `MERGE INTO <gdx table> ...` — the full clause matrix,
+  * lowered to [[graft.sources.GdxSource.mergeGeneral]]. The source
+  * plan rides as an inner child (resolved against the statement's own
+  * catalog state); clause expressions ride as `__t_`/`__s_`-rooted
+  * SQL. Returns Delta-style metrics: (version, rows_inserted,
+  * rows_updated, rows_deleted). */
+case class GdxMergeGeneralCommand(path: String, source: LogicalPlan,
+    onSql: String, matched: Seq[graft.sources.GdxMergeClause],
+    notMatched: Seq[graft.sources.GdxMergeClause],
+    notMatchedBySource: Seq[graft.sources.GdxMergeClause],
+    pruneKey: Option[String])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override val output: Seq[Attribute] = GdxDml.mergeMetricsOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val raw = ColumnBridge.ofRows(spark, source)
+    val src = raw.toDF(raw.columns.map("__s_" + _).toSeq: _*)
+    val (v, ins, upd, del) = graft.sources.GdxSource.mergeGeneral(
+      spark, path, src, onSql, matched, notMatched, notMatchedBySource,
+      pruneKey)
+    Seq(Row(v.toLong, ins, upd, del))
+  }
+}
+
 private[plans] object GdxDml {
   def versionRowsOutput: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
@@ -190,4 +306,11 @@ private[plans] object GdxDml {
   def versionOutput: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
       StructType(Seq(StructField("version", LongType, nullable = false))))
+  def mergeMetricsOutput: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("rows_inserted", LongType, nullable = false),
+        StructField("rows_updated", LongType, nullable = false),
+        StructField("rows_deleted", LongType, nullable = false))))
 }

@@ -189,6 +189,22 @@ class GdxConcurrentModificationException(msg: String)
 class GdxConstraintViolationException(msg: String)
     extends RuntimeException(msg)
 
+/** A general MERGE found a target row matched by MORE THAN ONE source
+  * row while UPDATE/DELETE clauses exist — applying one arbitrary
+  * winner would be nondeterministic, so the statement aborts with
+  * nothing committed (the ANSI/Delta ambiguous-merge error). */
+class GdxMergeCardinalityException(msg: String)
+    extends RuntimeException(msg)
+
+/** One clause of a general MERGE ([[GdxSource.mergeGeneral]]):
+  * `condSql` is the clause's extra condition (None = unconditional)
+  * and `assigns` its column assignments — `Some((col, valueSql)*)` for
+  * UPDATE/INSERT (INSERT leaves unlisted columns NULL), `None` for
+  * DELETE. All SQL references the merged frame's `__t_<col>` /
+  * `__s_<col>` names (sidedness made explicit by name). */
+case class GdxMergeClause(condSql: Option[String],
+                          assigns: Option[Seq[(String, String)]])
+
 /** Per-file zone map published in the manifest: row count + min/max of
   * `k`, plus OPTIONAL min/max per additional numeric column (`cols`,
   * keyed by column name; values kept as the writer's decimal strings
@@ -1688,26 +1704,8 @@ object GdxSource {
       val live = liveFrame(spark, dirStr, entries, tblSchema, sconf,
         tblColmap)
       val matched = live.filter(condition).localCheckpoint()
-      // sidecars written executor-side; ≤ one result row per file
-      val newDvs: Array[(String, String, Long)] = matched
-        .groupBy("_file")
-        .agg(collect_list("_pos").as("_dels"))
-        .as[(String, Seq[Long])]
-        .map { case (name, dels) =>
-          val base = new Path(dirStr)
-          val fs = base.getFileSystem(sconf.conf)
-          val old = dvByName(name).map(d =>
-            GdxSource.readDvPositions(fs, GdxSource.entryPath(dirStr, d)))
-            .getOrElse(java.util.Collections.emptySet[Long]())
-          val all = new java.util.TreeSet[Long](old)
-          dels.foreach(all.add(_))
-          val dvName = s"dv-${java.util.UUID.randomUUID}.dvx"
-          val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-            fs.create(new Path(base, dvName), false), "UTF-8"))
-          try all.forEach(p => out.println(p)) finally out.close()
-          (name, dvName, dels.size.toLong)
-        }
-        .collect()
+      val newDvs = writeDvSidecars(matched.select("_file", "_pos"),
+        dirStr, dvByName, sconf)
       if (newDvs.isEmpty) return (readV, 0L)
       // UPDATE: the matched rows, with `set` applied, land as fresh
       // data files (same line format, written executor-side with UUID
@@ -1776,6 +1774,244 @@ object GdxSource {
         s"gdx delete/update: lost the publish race $maxRetries times on $dir")
     }
     (-1, -1L) // unreachable
+  }
+
+  /** Write DV sidecars for the `(_file, _pos)` pairs in `positions`:
+    * one task-side sidecar per touched file, each folding the file's
+    * EXISTING deleted positions in (a DV supersedes, never chains).
+    * Executor-side UUID names — a retried task or a lost CAS leaves
+    * only unreferenced orphans for [[vacuum]], never a clobbered
+    * committed sidecar. Returns (fileName, dvName, newlyDeleted). */
+  private def writeDvSidecars(positions: org.apache.spark.sql.DataFrame,
+                              dirStr: String,
+                              dvByName: Map[String, Option[String]],
+                              sconf: SerializableHadoopConf)
+      : Array[(String, String, Long)] = {
+    import positions.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    positions
+      .groupBy("_file")
+      .agg(collect_list("_pos").as("_dels"))
+      .as[(String, Seq[Long])]
+      .map { case (name, dels) =>
+        val base = new Path(dirStr)
+        val fs = base.getFileSystem(sconf.conf)
+        val old = dvByName(name).map(d =>
+          GdxSource.readDvPositions(fs, GdxSource.entryPath(dirStr, d)))
+          .getOrElse(java.util.Collections.emptySet[Long]())
+        val all = new java.util.TreeSet[Long](old)
+        dels.foreach(all.add(_))
+        val dvName = s"dv-${java.util.UUID.randomUUID}.dvx"
+        val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+          fs.create(new Path(base, dvName), false), "UTF-8"))
+        try all.forEach(p => out.println(p)) finally out.close()
+        (name, dvName, dels.size.toLong)
+      }
+      .collect()
+  }
+
+  /** GENERAL MERGE — the full ANSI/Delta clause matrix over a GDX
+    * table, built on the same DV + rewrite + CAS substrate as
+    * [[update]]/[[delete]] (reference analogue: the refresh-upsert in
+    * `/root/reference/src/transform.py:31-38`, generalized to the
+    * conditional multi-clause statement a warehouse MERGE provides).
+    *
+    * `source` must arrive with every column renamed `__s_<name>`;
+    * `onSql` and each clause's condition/assignment-value SQL reference
+    * the joined frame's `__t_<col>` (target) / `__s_<col>` (source)
+    * names — sidedness is thereby explicit in the carried text, which
+    * is what lets `t.v` and `s.v` survive the engine's re-parse
+    * unambiguously ([[graft.plans.GdxDmlRule]] produces these).
+    *
+    * Clause semantics (ANSI): per joined row the FIRST clause of its
+    * branch whose condition holds applies — matched rows (both sides
+    * present) walk `matched`, source-only rows walk `notMatched`
+    * (INSERT), target-only rows walk `notMatchedBySource`; a row whose
+    * branch has no applicable clause is untouched. An applied UPDATE
+    * or DELETE removes the old image via a deletion-vector position;
+    * UPDATE and INSERT images land in fresh data files; BOTH sides
+    * publish in ONE CAS'd manifest commit, so readers see the entire
+    * merge or none of it, and time travel to the pre-merge snapshot
+    * still sees every original row. A target row matched by MORE THAN
+    * ONE source row raises [[GdxMergeCardinalityException]] (the
+    * Delta/ANSI ambiguous-merge error) instead of applying an
+    * arbitrary winner.
+    *
+    * 100 TB shape: the cost driver is one shuffle join of target and
+    * source on the merge key plus data files proportional to AFFECTED
+    * rows — never a table rewrite. When `pruneKeySql` is given (the ON
+    * condition is an equality on the table's key column) and no
+    * NOT-MATCHED-BY-SOURCE clause forces a whole-table walk, candidate
+    * files are pre-pruned by the manifest's key zone maps against the
+    * source's key range: files that cannot contain a match are carried
+    * by reference — never opened, never scheduled (the Delta/Iceberg
+    * MERGE file-pruning path). Returns (version, inserted, updated,
+    * deleted); a merge that changes nothing publishes nothing. */
+  def mergeGeneral(spark: SparkSession, dir: String,
+                   source: org.apache.spark.sql.DataFrame,
+                   onSql: String,
+                   matched: Seq[GdxMergeClause],
+                   notMatched: Seq[GdxMergeClause],
+                   notMatchedBySource: Seq[GdxMergeClause],
+                   pruneKeySql: Option[String] = None,
+                   maxRetries: Int = 10): (Int, Long, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val conf0 = driverConf()
+    val sconf = new SerializableHadoopConf(conf0)
+    // materialized once: every retry and every downstream pass below
+    // must see the same source rows (a lazy source re-scanning a live
+    // table across a CAS retry would tear the statement's snapshot)
+    val src = source.localCheckpoint().withColumn("__s_present", lit(true))
+    val root = java.util.Locale.ROOT
+    var attempt = 0
+    while (true) {
+      val readV = (listVersions(dir, conf0) :+ 0).max
+      val ver = if (readV > 0) readV else -1
+      val entries = committedEntries(dir, conf0, ver)
+      val tblSchema = committedSchema(dir, conf0, ver)
+      val tblColmap = committedColmap(dir, conf0, ver)
+      val checks = committedConstraints(dir, conf0, ver)
+      // refuse assignment targets outside the snapshot schema loudly,
+      // before any work
+      val known = tblSchema.fieldNames.map(_.toLowerCase(root)).toSet
+      (matched ++ notMatched ++ notMatchedBySource)
+        .flatMap(_.assigns.getOrElse(Seq.empty)).map(_._1.toLowerCase(root))
+        .find(!known.contains(_)).foreach(c => throw new IllegalArgumentException(
+          s"gdx merge: assignment references unknown column $c"))
+      // zone-map file pruning: only key-equality merges with no
+      // NOT-MATCHED-BY-SOURCE branch may scope the target scan (NMBS
+      // must test EVERY live row); stats-less legacy files always stay
+      // candidates (absence means "cannot prune", never "skip")
+      val (cands, carried) = pruneKeySql
+        .filter(_ => notMatchedBySource.isEmpty) match {
+        case Some(keySql) =>
+          val mm = src.agg(min(expr(keySql)).cast("long").as("lo"),
+            max(expr(keySql)).cast("long").as("hi")).head()
+          if (mm.isNullAt(0)) (Seq.empty[GdxFileEntry], entries)
+          else {
+            val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+            entries.partition(e =>
+              e.stats.forall(s => s.minK <= hi && s.maxK >= lo))
+          }
+        case None => (entries, Seq.empty[GdxFileEntry])
+      }
+      val dvByName = cands.map(e => e.name -> e.dv).toMap
+      val target = liveFrame(spark, dir, cands, tblSchema, sconf,
+        tblColmap)
+        .select(col("_file") +: col("_pos") +:
+          tblSchema.fieldNames.map(f => col(f).as("__t_" + f)): _*)
+      val tPresent = col("_file").isNotNull
+      val sPresent = coalesce(col("__s_present"), lit(false))
+      // index of the first applicable clause of a branch (-1 = none):
+      // a chained when is first-match by construction — clause order
+      // IS the statement's clause order
+      def firstMatch(clauses: Seq[GdxMergeClause])
+          : org.apache.spark.sql.Column =
+        clauses.zipWithIndex
+          .foldRight(lit(-1): org.apache.spark.sql.Column) {
+          case ((c, i), rest) =>
+            when(c.condSql.map(expr(_)).getOrElse(lit(true)), lit(i))
+              .otherwise(rest)
+        }
+      // one materialization of the joined + classified frame; every
+      // pass below (cardinality, DVs, images, metrics) scans it
+      val ann = target.join(src, expr(onSql), "full_outer")
+        .withColumn("__m",
+          when(tPresent && sPresent, firstMatch(matched)).otherwise(-1))
+        .withColumn("__n",
+          when(!tPresent && sPresent, firstMatch(notMatched)).otherwise(-1))
+        .withColumn("__b",
+          when(tPresent && !sPresent, firstMatch(notMatchedBySource))
+            .otherwise(-1))
+        .localCheckpoint()
+      if (matched.nonEmpty) {
+        val dup = ann.filter(tPresent && sPresent)
+          .groupBy("_file", "_pos").count()
+          .filter(col("count") > 1).limit(1).count()
+        if (dup > 0) throw new GdxMergeCardinalityException(
+          "gdx merge: the ON condition matched a target row to more " +
+            "than one source row — an UPDATE/DELETE would be ambiguous")
+      }
+      val mUpd = matched.zipWithIndex.collect {
+        case (c, i) if c.assigns.isDefined => i }
+      val bUpd = notMatchedBySource.zipWithIndex.collect {
+        case (c, i) if c.assigns.isDefined => i }
+      def inIdx(c: org.apache.spark.sql.Column, idx: Seq[Int])
+          : org.apache.spark.sql.Column =
+        if (idx.isEmpty) lit(false) else idx.map(c === _).reduce(_ || _)
+      val updFlag = inIdx(col("__m"), mUpd) || inIdx(col("__b"), bUpd)
+      val delFlag = (col("__m") >= 0 || col("__b") >= 0) && !updFlag
+      val counts = ann.agg(
+        count(when(col("__n") >= 0, 1)).as("ins"),
+        count(when(updFlag, 1)).as("upd"),
+        count(when(delFlag, 1)).as("del")).head()
+      val (nIns, nUpd, nDel) =
+        (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+      if (nIns + nUpd + nDel == 0) return (readV, 0L, 0L, 0L)
+      // new row images, schema order: SQL simultaneous-assignment
+      // semantics — every value evaluates against the OLD joined row
+      def images(clauses: Seq[GdxMergeClause], act: String,
+                 fallback: StructField => org.apache.spark.sql.Column)
+          : Seq[org.apache.spark.sql.DataFrame] =
+        clauses.zipWithIndex.collect {
+          case (cl, i) if cl.assigns.isDefined =>
+            val byName = cl.assigns.get.map {
+              case (k, v) => k.toLowerCase(root) -> v }.toMap
+            ann.filter(col(act) === i).select(tblSchema.fields.map { f =>
+              byName.get(f.name.toLowerCase(root))
+                .map(sql => expr(sql).cast(f.dataType).as(f.name))
+                .getOrElse(fallback(f).as(f.name))
+            }.toSeq: _*)
+        }
+      val imgs =
+        images(matched, "__m", f => col("__t_" + f.name)) ++
+        images(notMatched, "__n", f => lit(null).cast(f.dataType)) ++
+        images(notMatchedBySource, "__b", f => col("__t_" + f.name))
+      val rewrittenEntries: Seq[GdxFileEntry] =
+        imgs.reduceOption(_.unionByName(_)) match {
+          case None => Seq.empty
+          case Some(newRows) =>
+            // one aggregate job gates the write: non-null key (the
+            // line format requires it) + every CHECK constraint over
+            // the merged images — a violation aborts with nothing
+            // committed
+            val keyName = tblSchema.fields.head.name
+            val aggs = count(when(col(keyName).isNull, 1)).as("__k") +:
+              checks.map { case (n, sql) =>
+                count(when(not(coalesce(expr(sql), lit(true))), 1)).as(n) }
+            val gate = newRows.agg(aggs.head, aggs.tail.toSeq: _*).head()
+            if (gate.getLong(0) > 0) throw new IllegalArgumentException(
+              s"gdx merge: ${gate.getLong(0)} merged row(s) have a NULL " +
+                s"key ($keyName) — the key column is required")
+            checks.zipWithIndex.foreach { case ((n, sql), i) =>
+              val bad = gate.getLong(i + 1)
+              if (bad > 0) throw new GdxConstraintViolationException(
+                s"gdx merge: $bad merged row(s) would violate CHECK " +
+                  s"constraint $n ($sql)")
+            }
+            writeDataFiles(newRows, dir, tblSchema, sconf, tblColmap)
+        }
+      val newDvs = writeDvSidecars(
+        ann.filter(col("__m") >= 0 || col("__b") >= 0)
+          .select("_file", "_pos"), dir, dvByName, sconf)
+      val dvFor = newDvs.map(r => r._1 -> r._2).toMap
+      val updated = carried ++ cands.map(e =>
+        dvFor.get(e.name).map(d => e.copy(dv = Some(d))).getOrElse(e)) ++
+        rewrittenEntries
+      val lines = headerLines(tblSchema, checks, tblColmap,
+        committedPartitionCol(dir, conf0, ver)) ++
+        updated.sortBy(_.name).map(_.manifestLine)
+      val base = new Path(dir)
+      val fs = base.getFileSystem(conf0)
+      if (publishExclusive(fs, conf0, manifestFor(dir, readV + 1), lines)) {
+        writeLines(fs, manifest(dir), lines)
+        return (readV + 1, nIns, nUpd, nDel)
+      }
+      attempt += 1 // lost the race; orphan sidecars/files await vacuum
+      if (attempt > maxRetries) throw new GdxConcurrentModificationException(
+        s"gdx merge: lost the publish race $maxRetries times on $dir")
+    }
+    (-1, -1L, -1L, -1L) // unreachable
   }
 
   /** The snapshot's LIVE rows as a DataFrame of (_file, _pos, cols...):

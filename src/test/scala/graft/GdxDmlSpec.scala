@@ -49,47 +49,39 @@ class GdxDmlSpec extends SparkSuite {
     } finally s.sql("DROP TABLE IF EXISTS gdxdml_t")
   }
 
-  test("unsupported MERGE shapes fail loudly, with the contract named") {
-    val dir = freshDir("dmlbad")
-    s.sql(s"""CREATE TABLE gdxdml_bad (k BIGINT, v STRING)
+  test("MERGE shapes beyond the LWW contract route to the general path") {
+    val dir = freshDir("dmlgen")
+    s.sql(s"""CREATE TABLE gdxdml_gen (k BIGINT, v STRING)
       USING graft.sources.GdxSource OPTIONS (path '$dir')""")
     try {
-      s.sql("INSERT INTO gdxdml_bad VALUES (1,'a')")
-      s.sql("""CREATE OR REPLACE TEMP VIEW gdxdml_bsrc AS
-        SELECT * FROM VALUES (1, 'A') AS t(k, v)""")
-      // conditional matched action — not the LWW contract
-      val e1 = intercept[AnalysisException](s.sql(
-        """MERGE INTO gdxdml_bad t USING gdxdml_bsrc s ON t.k = s.k
-          WHEN MATCHED AND s.v = 'A' THEN UPDATE SET *
-          WHEN NOT MATCHED THEN INSERT *"""))
-      assert(e1.getMessage.contains("gdx MERGE"))
-      // non-key join condition
-      val e2 = intercept[AnalysisException](s.sql(
-        """MERGE INTO gdxdml_bad t USING gdxdml_bsrc s ON t.v = s.v
-          WHEN MATCHED THEN UPDATE SET *
-          WHEN NOT MATCHED THEN INSERT *"""))
-      assert(e2.getMessage.contains("gdx MERGE"))
-      // degenerate same-side key equality: both attributes are NAMED k
-      // but come from the TARGET — an always-true-per-row condition,
-      // not a key join, and must be refused, not run as a keyed upsert
-      val e3 = intercept[AnalysisException](s.sql(
-        """MERGE INTO gdxdml_bad t USING gdxdml_bsrc s ON t.k = t.k
-          WHEN MATCHED THEN UPDATE SET *
-          WHEN NOT MATCHED THEN INSERT *"""))
-      assert(e3.getMessage.contains("gdx MERGE"))
-      // TARGET self-assignment: `SET v = t.v` means "keep the target's
-      // value" — it matches SET * by NAME but the engine's merge is
-      // source-wins LWW, which would silently overwrite the kept
-      // values. Must be refused, not run as an upsert.
-      val e4 = intercept[AnalysisException](s.sql(
-        """MERGE INTO gdxdml_bad t USING gdxdml_bsrc s ON t.k = s.k
-          WHEN MATCHED THEN UPDATE SET k = s.k, v = t.v
-          WHEN NOT MATCHED THEN INSERT *"""))
-      assert(e4.getMessage.contains("gdx MERGE"), e4.getMessage)
-      // and the refused statements committed NOTHING
-      assert(s.sql("SELECT k, v FROM gdxdml_bad").collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a")))
-    } finally s.sql("DROP TABLE IF EXISTS gdxdml_bad")
+      s.sql("INSERT INTO gdxdml_gen VALUES (1,'a'),(2,'b')")
+      s.sql("""CREATE OR REPLACE TEMP VIEW gdxdml_gsrc AS
+        SELECT * FROM VALUES (1, 'A'), (9, 'i') AS t(k, v)""")
+      // conditional matched action — not LWW, handled by the general
+      // engine: only k=1 matches AND satisfies the condition
+      s.sql("""MERGE INTO gdxdml_gen t USING gdxdml_gsrc s ON t.k = s.k
+        WHEN MATCHED AND s.v = 'A' THEN UPDATE SET v = s.v""")
+      assert(s.sql("SELECT k, v FROM gdxdml_gen ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "A"), (2L, "b")))
+      // TARGET self-assignment `SET v = t.v` means "keep the target's
+      // value" — ANSI semantics the general path honors exactly (the
+      // LWW fast path must NOT claim it: source-wins would overwrite)
+      s.sql("""MERGE INTO gdxdml_gen t USING gdxdml_gsrc s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET k = s.k, v = t.v
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(s.sql("SELECT k, v FROM gdxdml_gen ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "A"), (2L, "b"), (9L, "i")))
+      // non-key join condition: a general predicate merge — k=9's 'i'
+      // matches no target v, every target row is source-unmatched
+      s.sql("""CREATE OR REPLACE TEMP VIEW gdxdml_vsrc AS
+        SELECT * FROM VALUES ('A', 'hit') AS t(mv, tag)""")
+      s.sql("""MERGE INTO gdxdml_gen t USING gdxdml_vsrc s ON t.v = s.mv
+        WHEN MATCHED THEN UPDATE SET v = s.tag""")
+      assert(s.sql("SELECT v FROM gdxdml_gen WHERE k = 1")
+        .head.getString(0) === "hit")
+    } finally s.sql("DROP TABLE IF EXISTS gdxdml_gen")
   }
 
   test("UPDATE SET is simultaneous assignment: SET v = w, w = v swaps") {
