@@ -1768,6 +1768,52 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // S39 — HIDDEN (TEMPORAL) PARTITIONING: `days(ts)` demuxes an
+    // epoch-millis BIGINT column by day ordinal (Iceberg's daily
+    // transform; sources/GdxSource.GdxDaysPart) — the user NEVER names
+    // the layout: the query filters the raw ts and, because the
+    // transform is monotone, the range becomes directory-key bounds
+    // that drop every uncovered day's files at planning time
+    // (GdxTemporalPartSpec proves end-to-end with corrupted
+    // out-of-range files). The write side asks for a RANGE
+    // distribution on ts, so each day lands in few files instead of
+    // tasks × days tiny ones — at 100 TB this is the time-series fact
+    // layout: a dashboard week touches 7 directories of a
+    // 10-year table, and day-scoped retention drops whole directories.
+    "s39_gdx_days_partition" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxdays_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      Tables.events(s, d)
+        .select(col("event_id").as("k"), unix_millis(col("ts")).as("ts"),
+          col("event_type").as("v"))
+        .write.format(fmt).option("path", dir)
+        .option("partitionBy", "days(ts)").mode("overwrite").save()
+      val entries = gdx.committedEntries(dir, gdx.driverConf())
+      val layoutOk = entries.nonEmpty &&
+        entries.forall(_.name.matches("ts_day=\\d+/.*"))
+      val days = entries.flatMap(e =>
+        gdx.partKeyOf("days(ts)", e.name)).flatten.distinct
+      // range-clustered write: ~one file per day, never tasks × days
+      val rangeClustered = entries.size <= days.size + 8
+      // 2024-01-05T00:00Z .. 2024-01-12T00:00Z — one dashboard week
+      val lo = 1704412800000L
+      val hi = 1705017600000L
+      // the directory-bound decision the scan's transform overlay
+      // makes: only covered day ordinals survive
+      val keptDays = days.filter(dd =>
+        dd >= Math.floorDiv(lo, gdx.DayMillis) &&
+          dd <= Math.floorDiv(hi, gdx.DayMillis))
+      val dayPruned = keptDays.nonEmpty && keptDays.size < days.size
+      s.read.format(fmt).option("path", dir).load()
+        .filter(col("ts") >= lo && col("ts") < hi)
+        .select("k", "ts", "v")
+        .withColumn("layout_ok", lit(layoutOk))
+        .withColumn("day_pruned", lit(dayPruned))
+        .withColumn("range_clustered", lit(rangeClustered))
+        .orderBy("k")
+    }),
+
     // S30 — STORAGE-PARTITIONED JOIN (SPJ): two GDX tables hive-
     // partitioned on the SAME key report KeyGroupedPartitioning with
     // per-file HasPartitionKey rows, so their equi-join on (p, k) —
@@ -3610,6 +3656,17 @@ object RelationalOps extends QueryModule {
       """SELECT event_id AS k, event_type AS v,
         |  event_id % 8 AS p, TRUE AS layout_ok, TRUE AS partition_pruned
         |FROM events WHERE event_id % 8 = 3 ORDER BY k""".stripMargin,
+    // the hidden-partitioning week recomputed from raw events on the
+    // same epoch-millis reduction; the layout/prune/clustering claims
+    // are pinned TRUE
+    "s39_gdx_days_partition" ->
+      """SELECT event_id AS k, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts,
+        |  event_type AS v, TRUE AS layout_ok, TRUE AS day_pruned,
+        |  TRUE AS range_clustered
+        |FROM events
+        |WHERE epoch_ms(CAST(ts AS TIMESTAMP)) >= 1704412800000
+        |  AND epoch_ms(CAST(ts AS TIMESTAMP)) < 1705017600000
+        |ORDER BY k""".stripMargin,
     // the co-partitioned join-aggregate recomputed from raw events
     // (event_id is unique, so the (p,k) join keeps exactly the
     // purchase rows); the plan-shape and write-layout claims pinned

@@ -454,7 +454,37 @@ object GdxSource {
     def render: String = s"bucket($n,$col)"
     def keyOf(v: Long): Long = GdxSource.bucketId(n, v).toLong
   }
+  /** Iceberg-style TRUNCATION transform, `trunc(w, col)`: directory
+    * key = floorDiv(value, w) — MONOTONE in the value, so RANGE
+    * predicates on the raw column prune whole directories (the hidden-
+    * partitioning contract: the user filters on the data column and
+    * never names the layout). */
+  final case class GdxTruncPart(w: Long, col: String) extends GdxPartSpec {
+    def dirName: String = col + "_trunc"
+    def render: String = s"trunc($w,$col)"
+    def keyOf(v: Long): Long = Math.floorDiv(v, w)
+  }
+  /** Iceberg-style DAILY transform over an epoch-millis BIGINT column:
+    * directory key = the day ordinal (floorDiv by 86 400 000). The
+    * time-series 100 TB layout — a dashboard's `ts BETWEEN a AND b`
+    * plans only the covered day directories, and day-scoped
+    * maintenance (compaction, retention) addresses whole
+    * directories. */
+  final case class GdxDaysPart(col: String) extends GdxPartSpec {
+    def dirName: String = col + "_day"
+    def render: String = s"days($col)"
+    def keyOf(v: Long): Long = Math.floorDiv(v, GdxSource.DayMillis)
+  }
+  val DayMillis = 86400000L
+  /** Whether the transform preserves value order — the property that
+    * lets range predicates on the raw column become directory-key
+    * bounds. Buckets hash; everything else here truncates. */
+  def monotonePart(sp: GdxPartSpec): Boolean =
+    !sp.isInstanceOf[GdxBucketPart]
   private val BucketSpecRe = """(?i)bucket\(\s*(\d+)\s*,\s*([^\s,()]+)\s*\)""".r
+  private val TruncSpecRe =
+    """(?i)trunc(?:ate)?\(\s*(\d+)\s*,\s*([^\s,()]+)\s*\)""".r
+  private val DaysSpecRe = """(?i)days?\(\s*([^\s,()]+)\s*\)""".r
   def parsePartSpec(s: String): GdxPartSpec = {
     val t = s.trim
     // fast path: bare column names (the overwhelmingly common case —
@@ -464,9 +494,13 @@ object GdxSource {
       case BucketSpecRe(n, c) =>
         require(n.toInt > 0, s"gdx: bucket count must be positive in '$s'")
         GdxBucketPart(n.toInt, c)
+      case TruncSpecRe(w, c) =>
+        require(w.toLong > 0, s"gdx: trunc width must be positive in '$s'")
+        GdxTruncPart(w.toLong, c)
+      case DaysSpecRe(c) => GdxDaysPart(c)
       case other => throw new IllegalArgumentException(
         s"gdx: unparseable partition spec '$other' - expected a column " +
-          "name or bucket(<n>,<col>)")
+          "name, bucket(<n>,<col>), trunc(<w>,<col>), or days(<col>)")
     }
   }
 
@@ -505,10 +539,22 @@ object GdxSource {
         }.getOrElse(throw new IllegalArgumentException(
           s"gdx: bucket transform $t carries no literal bucket count"))
         s"bucket($n,${t.references.head.fieldNames.mkString(".")})"
+      case t if (t.name == "days" || t.name == "day") &&
+          t.references.length == 1 =>
+        s"days(${t.references.head.fieldNames.mkString(".")})"
+      case t if (t.name == "truncate" || t.name == "trunc") &&
+          t.references.length == 1 =>
+        val w = t.arguments.collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+              if lit.value.isInstanceOf[Number] =>
+            lit.value.asInstanceOf[Number].longValue
+        }.getOrElse(throw new IllegalArgumentException(
+          s"gdx: truncate transform $t carries no literal width"))
+        s"trunc($w,${t.references.head.fieldNames.mkString(".")})"
       case other => throw new IllegalArgumentException(
         s"gdx: unsupported partition transform $other - only a single " +
-          "identity column (PARTITIONED BY (col)) or a single " +
-          "bucket(n, col) is supported")
+          "identity column (PARTITIONED BY (col)), bucket(n, col), " +
+          "days(col), or truncate(w, col) is supported")
     }
     if (specs.length > 1) throw new IllegalArgumentException(
       s"gdx: multi-column partitioning (${specs.mkString(",")}) is " +
@@ -2792,6 +2838,15 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
     declaredPartition.map(c => GdxSource.parsePartSpec(c) match {
       case GdxSource.GdxBucketPart(n, bc) =>
         org.apache.spark.sql.connector.expressions.Expressions.bucket(n, bc)
+      case GdxSource.GdxDaysPart(dc) =>
+        org.apache.spark.sql.connector.expressions.Expressions.days(dc)
+      case GdxSource.GdxTruncPart(w, tc) =>
+        org.apache.spark.sql.connector.expressions.Expressions.apply(
+          "truncate",
+          org.apache.spark.sql.connector.expressions.Expressions
+            .literal(w),
+          org.apache.spark.sql.connector.expressions.Expressions
+            .column(tc))
       case spec =>
         org.apache.spark.sql.connector.expressions.Expressions
           .identity(spec.col)
@@ -3257,29 +3312,55 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       case _ => es
     }
 
-  /** Bucket-directory pruning: on a bucket(n, col) table, an equality
-    * or IN predicate on `col` (pushed OR runtime-delivered) fixes the
-    * bucket ids its rows can live in — drop every file in any other
-    * bucket directory. The identity-layout analog is free through the
-    * zone maps (the column's stats collapse to v..v); bucket dirs need
-    * this explicit overlay because a bucket's value range is the whole
-    * domain. A file whose name proves no key (legacy, root-level DML
-    * rewrite) is never pruned; residual row-level evaluation stands. */
+  /** Transform-directory pruning: predicates on the RAW partition
+    * source column (pushed OR runtime-delivered) fix which directory
+    * keys its rows can live in — drop every file in any other
+    * directory. On a bucket(n, col) table only equality/IN maps
+    * (hashing destroys order); on a MONOTONE transform (trunc/days)
+    * range predicates additionally become key BOUNDS — the hidden-
+    * partitioning read path: the user filters `ts >= a AND ts < b`
+    * and only the covered day directories are planned. The
+    * identity-layout analog is free through the zone maps (the
+    * column's stats collapse to v..v). A file whose name proves no
+    * key (legacy, root-level DML rewrite) is never pruned; residual
+    * row-level evaluation stands, so a too-coarse key bound is never
+    * wrong — only less selective. */
   private def pruneByBucket(es: Seq[GdxFileEntry],
                             fl: Seq[Filter]): Seq[GdxFileEntry] =
     partitionSpec match {
-      case Some(spec @ GdxSource.GdxBucketPart(_, c)) =>
+      case Some(spec) if !spec.isInstanceOf[GdxSource.GdxIdentityPart] =>
+        val c = spec.col
+        val monotone = GdxSource.monotonePart(spec)
         val allowed: Seq[Set[Long]] = fl.collect {
           case EqualTo(`c`, w: Number) => Set(spec.keyOf(w.longValue))
           case org.apache.spark.sql.sources.In(`c`, vs)
               if vs.forall(_.isInstanceOf[Number]) =>
             vs.map(v => spec.keyOf(v.asInstanceOf[Number].longValue)).toSet
         }
-        if (allowed.isEmpty) es
+        // key bounds from range predicates (monotone transforms only):
+        // floorDiv keeps order, so value bounds map to key bounds —
+        // inclusive on the key grain in both directions (the boundary
+        // key's directory may hold both in- and out-of-range rows)
+        var lo = Long.MinValue
+        var hi = Long.MaxValue
+        if (monotone) fl.foreach {
+          case GreaterThan(`c`, w: Number) =>
+            lo = math.max(lo, spec.keyOf(w.longValue))
+          case GreaterThanOrEqual(`c`, w: Number) =>
+            lo = math.max(lo, spec.keyOf(w.longValue))
+          case LessThan(`c`, w: Number) =>
+            hi = math.min(hi, spec.keyOf(w.longValue))
+          case LessThanOrEqual(`c`, w: Number) =>
+            hi = math.min(hi, spec.keyOf(w.longValue))
+          case _ => ()
+        }
+        if (allowed.isEmpty && lo == Long.MinValue && hi == Long.MaxValue) es
         else {
-          val ids = allowed.reduce(_ intersect _)
+          val ids = if (allowed.isEmpty) None
+                    else Some(allowed.reduce(_ intersect _))
           es.filter(e => GdxSource.partKeyOf(spec.render, e.name) match {
-            case Some(Some(b)) => ids.contains(b)
+            case Some(Some(b)) =>
+              ids.forall(_.contains(b)) && b >= lo && b <= hi
             case _ => true // __null__ dir or unproven name: keep
           })
         }
@@ -3302,7 +3383,15 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
     * Iceberg-style, without a bucket function catalog. Any unkeyed
     * file falls back to UnknownPartitioning (= classic planning). */
   private lazy val staticSpjEligible: Boolean = partitionSpec.exists { sp =>
-    !metaOnly && aggOps.isEmpty &&
+    // identity and bucket layouts only: a trunc/days directory groups
+    // DIFFERENT column values, so claiming identity(col) grouping
+    // would be a wrong plan, and Spark's own days/truncate transform
+    // semantics don't resolve against this format's epoch-longs —
+    // those layouts stand down to classic planning (pruning and
+    // maintenance still use their directories)
+    (sp.isInstanceOf[GdxSource.GdxIdentityPart] ||
+      sp.isInstanceOf[GdxSource.GdxBucketPart]) &&
+      !metaOnly && aggOps.isEmpty &&
       readSchema().fieldNames.contains(sp.col) &&
       entries.nonEmpty &&
       entries.forall(e => partKeyOf(sp.render, e.name).isDefined)
@@ -3903,28 +3992,52 @@ class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1,
                viaCatalog: Boolean = false,
                replaceWhere: Option[GdxSource.GdxReplaceWhere] = None)
     extends Write with RequiresDistributionAndOrdering {
+  // trunc/days layouts ask for a RANGE distribution on the raw column:
+  // hash-clustering by a near-unique epoch value would scatter every
+  // directory key across every task (tasks × days tiny files); range
+  // partitioning lands each key's contiguous value run in few tasks —
+  // near one file per day. Identity/bucket layouts keep the clustered
+  // shape.
+  private def orderedSpec: Option[GdxSource.GdxPartSpec] =
+    partitionCol.filter(_ => clusterWrite)
+      .map(GdxSource.parsePartSpec)
+      .filter(sp => GdxSource.monotonePart(sp) &&
+        !sp.isInstanceOf[GdxSource.GdxIdentityPart])
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
-    partitionCol.filter(_ => clusterWrite)
-      .map(c => org.apache.spark.sql.connector.distributions.Distributions
-        .clustered(Array(GdxSource.parsePartSpec(c) match {
-          // Spark resolves a bucket transform in a required
-          // distribution through the RELATION's FunctionCatalog —
-          // only catalog-managed writes have one (GdxCatalog exposes
-          // `bucket`). Path-based writes to a bucket table fall back
-          // to clustering on the source column: strictly finer than
-          // the bucket layout (equal col ⇒ equal bucket), so the
-          // demux stays correct — it just lands more files per
-          // bucket directory than the transform-clustered plan.
-          case GdxSource.GdxBucketPart(n, bc) if viaCatalog =>
-            org.apache.spark.sql.connector.expressions.Expressions
-              .bucket(n, bc)
-          case spec =>
-            org.apache.spark.sql.connector.expressions.Expressions
-              .identity(spec.col)
-        })))
-      .getOrElse(org.apache.spark.sql.connector.distributions.Distributions
-        .unspecified())
+    orderedSpec match {
+      case Some(sp) =>
+        org.apache.spark.sql.connector.distributions.Distributions
+          .ordered(Array(
+            org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(sp.col),
+              org.apache.spark.sql.connector.expressions
+                .SortDirection.ASCENDING)))
+      case None =>
+        partitionCol.filter(_ => clusterWrite)
+          .map(c => org.apache.spark.sql.connector.distributions
+            .Distributions
+            .clustered(Array(GdxSource.parsePartSpec(c) match {
+              // Spark resolves a bucket transform in a required
+              // distribution through the RELATION's FunctionCatalog —
+              // only catalog-managed writes have one (GdxCatalog
+              // exposes `bucket`). Path-based writes to a bucket table
+              // fall back to clustering on the source column: strictly
+              // finer than the bucket layout (equal col ⇒ equal
+              // bucket), so the demux stays correct — it just lands
+              // more files per bucket directory than the
+              // transform-clustered plan.
+              case GdxSource.GdxBucketPart(n, bc) if viaCatalog =>
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .bucket(n, bc)
+              case spec =>
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .identity(spec.col)
+            })))
+          .getOrElse(org.apache.spark.sql.connector.distributions
+            .Distributions.unspecified())
+    }
   // non-strict: Spark plans a REBALANCE (AQE coalesces tiny values,
   // splits skewed ones) rather than a hard hash repartition
   override def distributionStrictlyRequired(): Boolean = false
