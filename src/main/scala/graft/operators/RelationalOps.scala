@@ -1814,6 +1814,116 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // C31 — PARTITION-SPEC EVOLUTION (sources/GdxSource
+    // .evolvePartitionSpec; SQL `ALTER TABLE ... SET PARTITION SPEC`):
+    // the table starts hive-partitioned on p, ONE metadata commit
+    // re-points the layout to days(ts) — no data file moves — and the
+    // next append demuxes under day directories while era-1 keeps its
+    // p= dirs. The combined predicate then prunes BOTH eras, each
+    // under its own era's transform: p=3 drops era-1's other p
+    // directories, the ts week drops era-2's uncovered days (era-1
+    // files can't prove a day and stay planned; era-2 files hold
+    // every p and stay planned — residuals keep it exact). At 100 TB
+    // this is the layout-migration story: moving a decade-old fact
+    // table from entity- to time-partitioning costs one manifest
+    // write, the old years keep their old pruning, and a full
+    // OPTIMIZE materializes the switch whenever it earns its rewrite.
+    "c31_gdx_partition_evolution" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxevo_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      val base = Tables.events(s, d)
+        .select(col("event_id").as("k"), unix_millis(col("ts")).as("ts"),
+          (col("event_id") % 8).as("p"), col("event_type").as("v"))
+      // split so BOTH eras hold every p value (k%16 < 8 spans p 0..7)
+      base.filter(col("k") % 16 < 8)
+        .write.format(fmt).option("path", dir)
+        .option("partitionBy", "p").mode("overwrite").save()
+      val preEvolve = gdx.committedEntries(dir, gdx.driverConf())
+      val evoV = gdx.evolvePartitionSpec(dir, "days(ts)")
+      val atEvolve = gdx.committedEntries(dir, gdx.driverConf(), evoV)
+      base.filter(col("k") % 16 >= 8)
+        .write.format(fmt).option("path", dir).mode("append").save()
+      val metadataOnly =
+        preEvolve.map(_.name).sorted == atEvolve.map(_.name).sorted &&
+          gdx.committedPartitionCol(dir, gdx.driverConf(), evoV)
+            .contains("days(ts);p")
+      val after = gdx.committedEntries(dir, gdx.driverConf())
+      val era1 = after.filter(_.name.startsWith("p="))
+      val era2 = after.filter(_.name.startsWith("ts_day="))
+      val layoutOk = era1.nonEmpty && era2.nonEmpty &&
+        era1.size + era2.size == after.size
+      // the same dashboard week as s39
+      val lo = 1704412800000L
+      val hi = 1705017600000L
+      // the planner's directory decisions, emulated per era: era-1
+      // keeps only p=3 (identity key = value), era-2 keeps only the
+      // covered day ordinals — both strictly prune
+      val kept1 = era1.filter(e =>
+        gdx.partKeyOf("p", e.name).flatten.forall(_ == 3L))
+      val days2 = era2.flatMap(e =>
+        gdx.partKeyOf("days(ts)", e.name)).flatten.distinct
+      val kept2 = days2.filter(dd =>
+        dd >= Math.floorDiv(lo, gdx.DayMillis) &&
+          dd <= Math.floorDiv(hi, gdx.DayMillis))
+      val bothPruned = kept1.nonEmpty && kept1.size < era1.size &&
+        kept2.nonEmpty && kept2.size < days2.size
+      s.read.format(fmt).option("path", dir).load()
+        .filter(col("p") === 3 && col("ts") >= lo && col("ts") < hi)
+        .select("k", "ts", "p", "v")
+        .withColumn("evolution_metadata_only", lit(metadataOnly))
+        .withColumn("layout_ok", lit(layoutOk))
+        .withColumn("both_eras_pruned", lit(bothPruned))
+        .orderBy("k")
+    }),
+
+    // C32 — SNAPSHOT TAGS (sources/GdxSource.createTag; SQL `ALTER
+    // TABLE ... CREATE TAG` + `FOR VERSION AS OF '<name>'`): an
+    // immutable NAMED ref to a version. The query freezes the first
+    // commit as `train-v1`, keeps writing, then VACUUMs with
+    // keepLast=1 — the untagged middle version ages out while the
+    // tagged snapshot keeps BOTH its manifest and its data files, and
+    // reads by name replay it exactly (claimed ≡ the number pin on
+    // count+checksum). At 100 TB this is dataset reproducibility: a
+    // model card cites a tag, not a copied dataset — the pin costs
+    // one 2-byte file, survives retention, and releases with DROP TAG.
+    "c32_gdx_tags" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxtags_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      val base = Tables.events(s, d)
+        .select(col("event_id").as("k"), unix_millis(col("ts")).as("ts"),
+          col("event_type").as("v"))
+      base.filter(col("k") % 4 =!= 3)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      gdx.createTag(dir, "train-v1")
+      base.filter(col("k") % 4 === 3 && col("k") % 2 === 1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+      base.filter(col("k") % 4 === 3 && col("k") % 2 === 0)
+        .write.format(fmt).option("path", dir).mode("append").save()
+      gdx.vacuum(dir, gdx.driverConf(), keepLast = 1)
+      // the untagged middle commit aged out; the tagged v1 survived
+      val survived =
+        gdx.listVersions(dir, gdx.driverConf()).sorted == Seq(1, 3)
+      def readRef(ref: String) = s.read.format(fmt)
+        .option("path", dir).option("version", ref).load()
+      // name pin ≡ number pin, claimed on count + key checksum
+      def sig(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)), sum(col("k") * col("k"))).head
+      val tagEqVersion = sig(readRef("train-v1")) == sig(readRef("1"))
+      val liveIntact =
+        s.read.format(fmt).option("path", dir).load().count() ==
+          base.count()
+      readRef("train-v1")
+        .filter(col("ts") >= 1704412800000L &&
+          col("ts") < 1705017600000L)
+        .select("k", "ts", "v")
+        .withColumn("tag_survived_vacuum", lit(survived))
+        .withColumn("tag_equals_version", lit(tagEqVersion))
+        .withColumn("live_intact", lit(liveIntact))
+        .orderBy("k")
+    }),
+
     // S30 — STORAGE-PARTITIONED JOIN (SPJ): two GDX tables hive-
     // partitioned on the SAME key report KeyGroupedPartitioning with
     // per-file HasPartitionKey rows, so their equi-join on (p, k) —
@@ -3665,6 +3775,31 @@ object RelationalOps extends QueryModule {
         |  TRUE AS range_clustered
         |FROM events
         |WHERE epoch_ms(CAST(ts AS TIMESTAMP)) >= 1704412800000
+        |  AND epoch_ms(CAST(ts AS TIMESTAMP)) < 1705017600000
+        |ORDER BY k""".stripMargin,
+    // the tagged snapshot (the k%4<>3 first commit) recomputed from
+    // raw events on the same week reduction; the vacuum-survival /
+    // name≡number / live-table claims pinned TRUE
+    "c32_gdx_tags" ->
+      """SELECT event_id AS k, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts,
+        |  event_type AS v, TRUE AS tag_survived_vacuum,
+        |  TRUE AS tag_equals_version, TRUE AS live_intact
+        |FROM events
+        |WHERE event_id % 4 <> 3
+        |  AND epoch_ms(CAST(ts AS TIMESTAMP)) >= 1704412800000
+        |  AND epoch_ms(CAST(ts AS TIMESTAMP)) < 1705017600000
+        |ORDER BY k""".stripMargin,
+    // the mixed-era week recomputed from raw events (eras reunite under
+    // the predicate — the split never changes the answer); the
+    // metadata-only / layout / dual-era-pruning claims pinned TRUE
+    "c31_gdx_partition_evolution" ->
+      """SELECT event_id AS k, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts,
+        |  CAST(event_id % 8 AS BIGINT) AS p, event_type AS v,
+        |  TRUE AS evolution_metadata_only, TRUE AS layout_ok,
+        |  TRUE AS both_eras_pruned
+        |FROM events
+        |WHERE event_id % 8 = 3
+        |  AND epoch_ms(CAST(ts AS TIMESTAMP)) >= 1704412800000
         |  AND epoch_ms(CAST(ts AS TIMESTAMP)) < 1705017600000
         |ORDER BY k""".stripMargin,
     // the co-partitioned join-aggregate recomputed from raw events

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 
 /** SQL FRONT DOOR for GDX table MAINTENANCE — the statements Spark's
   * grammar does not have:
@@ -53,6 +53,12 @@ object GdxMaintenanceSql {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
   private val DropCol =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
+  private val SetPartSpec =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+PARTITION\s+SPEC\s*\(\s*([^;]+?)\s*\)\s*;?\s*$""".r
+  private val CreateTag =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+TAG\s+([\w.\-]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+  private val DropTag =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+TAG\s+([\w.\-]+)\s*;?\s*$""".r
   // materialized views — OSS Spark has no MATERIALIZED keyword, so
   // these statement shapes are free grammar (plans/MvSql)
   private val CreateMv =
@@ -143,6 +149,16 @@ object GdxMaintenanceSql {
           sqlText, delegate))
       case DropCol(tbl, colName) =>
         Some(GdxDropColumnCommand(ident(tbl), colName)(sqlText, delegate))
+      // partition-spec evolution (no Spark-grammar equivalent — like
+      // OPTIMIZE, a non-GDX target is a loud error, not a re-dispatch)
+      case SetPartSpec(tbl, spec) =>
+        Some(GdxSetPartitionSpecCommand(ident(tbl), spec.trim))
+      // snapshot tags (Iceberg-style named refs; free grammar)
+      case CreateTag(tbl, name, v) =>
+        Some(GdxCreateTagCommand(ident(tbl), name,
+          Option(v).map(_.toInt).getOrElse(-1)))
+      case DropTag(tbl, name) =>
+        Some(GdxDropTagCommand(ident(tbl), name))
       case _ => None
     } else if (k1 == "CREATE" && k2 == "TABLE") sqlText match {
       // only the SHALLOW CLONE form (not in Spark's grammar — it would
@@ -338,6 +354,60 @@ case class GdxRestoreCommand(table: Seq[String], fromVersion: Int)
     val v = graft.sources.GdxSource.restoreSnapshot(path, fromVersion)
     GdxMaintenanceSql.syncCatalogSchema(spark, table, path)
     Seq(Row(fromVersion.toLong, v.toLong))
+  }
+}
+
+/** `ALTER TABLE <gdx table> SET PARTITION SPEC (<spec>)` → partition-
+  * spec evolution: one metadata commit re-points the layout for future
+  * writes while former specs keep pruning their own eras
+  * ([[graft.sources.GdxSource.evolvePartitionSpec]] — the Iceberg
+  * `ALTER TABLE ... PARTITION FIELD` capability in this format's
+  * single-spec shape). Returns the committed version. */
+case class GdxSetPartitionSpecCommand(table: Seq[String], spec: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("version", LongType, nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GdxMaintenanceSql.gdxPathOf(spark, table,
+      "ALTER TABLE ... SET PARTITION SPEC")
+    val v = graft.sources.GdxSource.evolvePartitionSpec(path, spec)
+    Seq(Row(v.toLong))
+  }
+}
+
+/** `ALTER TABLE <gdx table> CREATE TAG <name> [VERSION AS OF n]` →
+  * an immutable named ref to a snapshot
+  * ([[graft.sources.GdxSource.createTag]]; default = the latest
+  * version). Tagged snapshots survive VACUUM and read back by name
+  * through `FOR VERSION AS OF '<name>'`. Returns the pinned
+  * version. */
+case class GdxCreateTagCommand(table: Seq[String], tag: String,
+                               version: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("version", LongType, nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GdxMaintenanceSql.gdxPathOf(spark, table, "CREATE TAG")
+    Seq(Row(graft.sources.GdxSource.createTag(path, tag, version).toLong))
+  }
+}
+
+/** `ALTER TABLE <gdx table> DROP TAG <name>` → release the ref; the
+  * snapshot it pinned becomes ordinary history (next VACUUM may
+  * reclaim it). Returns whether the tag existed. */
+case class GdxDropTagCommand(table: Seq[String], tag: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("existed", BooleanType, nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GdxMaintenanceSql.gdxPathOf(spark, table, "DROP TAG")
+    Seq(Row(graft.sources.GdxSource.dropTag(path, tag)))
   }
 }
 

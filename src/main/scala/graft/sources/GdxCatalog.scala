@@ -144,11 +144,10 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val d = dir.toString
-    val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"gdx catalog: VERSION AS OF wants a manifest number, got " +
-          s"'$version'")
-    }
+    // a number pins a manifest version; any other string resolves as a
+    // TAG name — `FOR VERSION AS OF 'train_v1'` replays the exact
+    // snapshot the tag froze (vacuum keeps it alive)
+    val v = GdxSource.resolveVersionRef(d, conf, version)
     new GdxTable(d, GdxSource.committedSchema(d, conf, v),
       GdxSource.committedPartitionCol(d, conf, v), viaCatalog = true,
       pinnedVersion = Some(v))
@@ -535,7 +534,7 @@ case class GdxMetadataRows(rows: Seq[Seq[Any]])
     extends org.apache.spark.sql.connector.read.InputPartition
 
 object GdxMetadataTable {
-  val Kinds: Set[String] = Set("files", "history", "partitions")
+  val Kinds: Set[String] = Set("files", "history", "partitions", "tags")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
@@ -556,6 +555,9 @@ object GdxMetadataTable {
       StructField("n_rows", LongType),
       StructField("min_k", LongType),
       StructField("max_k", LongType)))
+    case "tags" => StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"gdx: unknown metadata table $other")
   }
@@ -597,6 +599,10 @@ object GdxMetadataTable {
               if (live.nonEmpty) Long.box(live.map(_.minK).min) else null,
               if (live.nonEmpty) Long.box(live.map(_.maxK).max) else null)
           }
+      case "tags" =>
+        GdxSource.listTags(dir, conf).toSeq.sortBy(_._1).map {
+          case (n, v) => Seq(n, Long.box(v.toLong))
+        }
       case other => throw new IllegalArgumentException(
         s"gdx: unknown metadata table $other")
     }

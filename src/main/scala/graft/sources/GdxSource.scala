@@ -485,8 +485,53 @@ object GdxSource {
   private val TruncSpecRe =
     """(?i)trunc(?:ate)?\(\s*(\d+)\s*,\s*([^\s,()]+)\s*\)""".r
   private val DaysSpecRe = """(?i)days?\(\s*([^\s,()]+)\s*\)""".r
+  /** Split a recorded `#partition` header into (current spec text,
+    * former spec texts). The grammar is `current[;former1[;...]]` —
+    * PARTITION-SPEC EVOLUTION appends the replaced layout to the tail
+    * instead of forgetting it, so files written under a former spec
+    * keep pruning under their own era's transform. An un-evolved
+    * header has no `;` and splits to (itself, Nil) — full
+    * back-compat. */
+  def splitPartRaw(raw: String): (String, Seq[String]) = {
+    val ps = raw.split(';').toSeq.map(_.trim).filter(_.nonEmpty)
+    (ps.head, ps.tail)
+  }
+  /** The CURRENT spec text of a recorded header (history stripped). */
+  def partHeadOf(raw: String): String = splitPartRaw(raw)._1
+  /** The FORMER specs of a recorded header, parsed and deduped. */
+  def partHistoryOf(raw: String): Seq[GdxPartSpec] =
+    splitPartRaw(raw)._2.map(parsePartSpec).distinct
+  /** Canonical header text: normalized current spec + normalized,
+    * deduped formers (the current spec never repeats in its tail). */
+  def normalizePartRaw(raw: String): String = {
+    val (h, t) = splitPartRaw(raw)
+    val head = parsePartSpec(h)
+    (head.render +: t.map(parsePartSpec).distinct.filterNot(_ == head)
+      .map(_.render)).mkString(";")
+  }
+  /** Whether a former spec shares the CURRENT spec's directory key
+    * while meaning something else (bucket(4,k) → bucket(8,k), or a
+    * pathological identity column named like another transform's
+    * directory). Then `<dirName>=<key>` no longer identifies one
+    * transform, so every consumer that PROVES a file's key from its
+    * name (SPJ, grouped metadata aggregates, replaceWhere slices,
+    * transform-directory pruning for that dirName) must stand down —
+    * residual row-level evaluation keeps every read correct, a full
+    * OPTIMIZE clears the history. */
+  def partDirAmbiguous(raw: String): Boolean = {
+    val (h, t) = splitPartRaw(raw)
+    val head = parsePartSpec(h)
+    t.map(parsePartSpec).exists(f => f != head && f.dirName == head.dirName)
+  }
   def parsePartSpec(s: String): GdxPartSpec = {
-    val t = s.trim
+    // a recorded header may carry an evolution-history tail
+    // (`cur;former;...`): interpretation always targets the CURRENT
+    // spec. Write options refuse `;` up front (build()), so user text
+    // can never silently lose a tail here.
+    val t = s.indexOf(';') match {
+      case -1 => s.trim
+      case i  => s.substring(0, i).trim
+    }
     // fast path: bare column names (the overwhelmingly common case —
     // partKeyOf parses the spec once per planned manifest entry)
     if (t.indexOf('(') < 0) GdxIdentityPart(t)
@@ -705,7 +750,8 @@ object GdxSource {
     * are given. */
   private[graft] def resolveVersion(options: CaseInsensitiveStringMap,
                                     path: String): Int =
-    Option(options.get("version")).map(_.toInt)
+    Option(options.get("version"))
+      .map(resolveVersionRef(path, driverConf(), _))
       .orElse(Option(options.get("asOf")).map(s =>
         versionAsOf(path, driverConf(), parseAsOf(s))))
       .getOrElse(-1)
@@ -1431,6 +1477,13 @@ object GdxSource {
       val spec = committedPartSpec(dir, conf, readV).getOrElse(
         throw new IllegalArgumentException(
           "gdx OPTIMIZE WHERE: the table declares no partition layout"))
+      // a former spec colliding with the current directory key means
+      // `touched` could claim another era's files — refuse; a full
+      // OPTIMIZE materializes the layout and clears the history
+      require(!committedPartitionCol(dir, conf, readV)
+          .exists(partDirAmbiguous),
+        "gdx OPTIMIZE WHERE: a former partition spec shares the " +
+          "current spec's directory key - run a full OPTIMIZE first")
       require(spec.isInstanceOf[GdxIdentityPart],
         s"gdx OPTIMIZE WHERE: ${spec.render} layouts are not " +
           "value-replaceable - a bucket directory mixes key values")
@@ -1504,8 +1557,13 @@ object GdxSource {
               // compaction's target split) is the product — never
               // re-cluster it on the partition column
               .option("clusterWrite", "false")
+            // HEAD spec only: the full rewrite lands every live row
+            // under the CURRENT layout, so the truncate clears the
+            // evolution-history tail — OPTIMIZE is how a layout
+            // migration materializes
             val w = committedPartitionCol(dir, driverConf())
-              .map(c => w0.option("partitionBy", c)).getOrElse(w0)
+              .map(c => w0.option("partitionBy", partHeadOf(c)))
+              .getOrElse(w0)
             w.mode("overwrite").save()
             return (before, committedEntries(dir, driverConf()).size)
           } catch {
@@ -2474,6 +2532,72 @@ object GdxSource {
     -1 // unreachable
   }
 
+  /** PARTITION-SPEC EVOLUTION — change the table's layout without
+    * rewriting a byte (the Iceberg `ALTER TABLE ... PARTITION FIELD`
+    * contract, reduced to this format's single-spec header): a
+    * METADATA-ONLY commit records `newSpec` as the layout for FUTURE
+    * writes and appends the replaced spec to the header's history
+    * tail (`#partition new;old;older`). Existing files stay in their
+    * old directories and keep pruning under their own era's transform
+    * (the scan prunes with every recorded spec whose directory key is
+    * unambiguous); new writes demux (and range/hash-cluster) under
+    * the new spec. Consumers that need one directory key = one
+    * meaning — SPJ, grouped metadata aggregates, replaceWhere /
+    * OPTIMIZE WHERE slices — stand down exactly while a former spec
+    * collides with the current one ([[partDirAmbiguous]]) or a file
+    * cannot prove its key; a full OPTIMIZE materializes the current
+    * layout and clears the history. At 100 TB this is the layout
+    * migration story: switching a decade-old fact table from monthly
+    * to daily partitioning costs one manifest write, not a rewrite,
+    * and the old years keep their old pruning. CAS + retry; returns
+    * the committed version. */
+  def evolvePartitionSpec(dir: String, newSpec: String,
+                          maxRetries: Int = 10): Int = {
+    require(!newSpec.contains(";"),
+      s"gdx evolvePartitionSpec: '$newSpec' is one spec, not a history")
+    val ns = parsePartSpec(newSpec)
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    var attempt = 0
+    while (true) {
+      val vs = listVersions(dir, conf)
+      require(vs.nonEmpty, s"gdx evolvePartitionSpec: no snapshot " +
+        s"under $dir")
+      val readV = vs.max
+      val cur = committedSchema(dir, conf, readV)
+      val f = cur.fields.find(_.name.equalsIgnoreCase(ns.col))
+        .getOrElse(throw new IllegalArgumentException(
+          s"gdx evolvePartitionSpec: partition column ${ns.col} is " +
+            "not in the table schema"))
+      require(f.dataType == LongType,
+        s"gdx evolvePartitionSpec: partition column ${ns.col} must be " +
+          s"BIGINT (got ${f.dataType.catalogString})")
+      val curRaw = committedPartitionCol(dir, conf, readV)
+      curRaw.map(partHeadOf).map(parsePartSpec).foreach(head =>
+        require(head != ns, s"gdx evolvePartitionSpec: ${ns.render} is " +
+          "already the table's layout"))
+      // the replaced head joins the formers; evolving BACK to a former
+      // spec promotes it out of the tail (its era's files prove keys
+      // under the current spec again)
+      val newRaw = normalizePartRaw(
+        (ns.render +: curRaw.toSeq.flatMap(r =>
+          partHeadOf(r) +: splitPartRaw(r)._2)).mkString(";"))
+      val lines = headerLines(cur,
+        committedConstraints(dir, conf, readV),
+        committedColmap(dir, conf, readV), Some(newRaw)) ++
+        committedEntries(dir, conf, readV).map(_.manifestLine)
+      if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
+        writeLines(fs, manifest(dir), lines)
+        return readV + 1
+      }
+      attempt += 1
+      if (attempt > maxRetries) throw new GdxConcurrentModificationException(
+        s"gdx evolvePartitionSpec: lost the publish race $maxRetries " +
+          s"times on $dir")
+    }
+    -1 // unreachable
+  }
+
   /** Constraints whose expression references `col` — rename/drop must
     * refuse while one exists (the stored SQL would silently bind to
     * nothing, or to a re-added column): the Delta contract is "drop
@@ -2523,6 +2647,21 @@ object GdxSource {
     (idx, slot)
   }
 
+  /** The partition header a rename/drop of `colName` should carry:
+    * the CURRENT spec is refused above while it references the
+    * column, but a FORMER (evolution-history) spec may — its era's
+    * files simply stop pruning under a name that no longer exists
+    * (absence = cannot prune, never a correctness boundary), so the
+    * dead spec leaves the tail instead of binding to a re-added
+    * column later. */
+  private def partRawWithout(dir: String, conf: Configuration,
+                             readV: Int, colName: String): Option[String] =
+    committedPartitionCol(dir, conf, readV).map { raw =>
+      val (h, t) = splitPartRaw(raw)
+      (h +: t.filterNot(f =>
+        parsePartSpec(f).col.equalsIgnoreCase(colName))).mkString(";")
+    }
+
   /** RENAME COLUMN — a METADATA-ONLY commit: logical names live only
     * in the `#schema` header, physical slots don't move, so no data
     * file is touched and every retained snapshot keeps (and time
@@ -2553,7 +2692,7 @@ object GdxSource {
       val lines = headerLines(renamed,
         committedConstraints(dir, conf, readV),
         committedColmap(dir, conf, readV),
-        committedPartitionCol(dir, conf, readV)) ++
+        partRawWithout(dir, conf, readV, from)) ++
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
@@ -2595,7 +2734,7 @@ object GdxSource {
         slots.zipWithIndex.filterNot(_._2 == idx).map(_._1), arity)
       val lines = headerLines(remaining,
         committedConstraints(dir, conf, readV), Some(newColmap),
-        committedPartitionCol(dir, conf, readV)) ++
+        partRawWithout(dir, conf, readV, name)) ++
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
@@ -2774,30 +2913,98 @@ object GdxSource {
     } finally in.close()
   }
 
-  /** Retention: keep the last `keepLast` snapshots, drop older
-    * manifests, then delete every data file NO retained manifest
-    * references (the VACUUM of the manifest-table pattern). The oldest
-    * RETAINED version is first materialized as a full checkpoint
-    * manifest — if it was a delta, its reconstruction chain runs
-    * through manifests about to be dropped, and retention must never
-    * strand a delta. Safe order: checkpoint, then old manifests, then
-    * data — a reader planning from a retained manifest never loses a
-    * file it references. Returns deleted data-file count. */
+  // ------------------------------------------------------------ tags
+  /** TAGS — immutable named refs to snapshot versions (the Iceberg
+    * tag contract): `createTag(dir, "train_v1")` pins the exact file
+    * set a consumer read — the reproducible-training-snapshot story
+    * at 100 TB: a model card cites a NAME, anyone replays the exact
+    * bytes years later, and VACUUM can never reclaim a tagged
+    * snapshot (untagged history still ages out). A tag is one file
+    * (`_tags/<name>` holding the version number), created atomically
+    * and never rewritten — re-pointing is DROP + CREATE, loudly. */
+  private def tagFile(path: String, name: String): Path =
+    new Path(new Path(path, TagsDir), name)
+  private[graft] val TagsDir = "_tags"
+  private val TagNameRe = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+  def createTag(dir: String, name: String, version: Int = -1): Int = {
+    require(TagNameRe.matches(name),
+      s"gdx createTag: invalid tag name '$name'")
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val vs = listVersions(dir, conf)
+    require(vs.nonEmpty, s"gdx createTag: no snapshot under $dir")
+    val v = if (version >= 0) version else vs.max
+    require(vs.contains(v),
+      s"gdx createTag: version $v is not a retained snapshot of $dir")
+    require(publishExclusive(fs, conf, tagFile(dir, name),
+        Seq(v.toString)),
+      s"gdx createTag: tag '$name' already exists on $dir - tags are " +
+        "immutable; DROP it first to re-point")
+    v
+  }
+  def dropTag(dir: String, name: String): Boolean = {
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    fs.delete(tagFile(dir, name), false)
+  }
+  def listTags(dir: String, conf: Configuration): Map[String, Int] = {
+    val td = new Path(dir, TagsDir)
+    val fs = td.getFileSystem(conf)
+    if (!fs.exists(td)) Map.empty
+    else fs.listStatus(td).toSeq.map(_.getPath)
+      .filterNot(_.getName.startsWith("."))
+      .flatMap { p =>
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+        try Option(in.readLine()).flatMap(_.trim.toIntOption)
+          .map(p.getName -> _)
+        finally in.close()
+      }.toMap
+  }
+  /** A `version` read option / `FOR VERSION AS OF` value: a number is
+    * a manifest version, anything else resolves as a tag name. */
+  private[graft] def resolveVersionRef(dir: String, conf: Configuration,
+                                       ref: String): Int =
+    ref.trim.toIntOption.getOrElse(
+      listTags(dir, conf).getOrElse(ref.trim,
+        throw new IllegalArgumentException(
+          s"gdx: '$ref' is neither a version number nor a tag of $dir " +
+            s"(tags: ${listTags(dir, conf).keys.toSeq.sorted
+              .mkString(", ")})")))
+
+  /** Retention: keep the last `keepLast` snapshots PLUS every tagged
+    * version, drop other manifests, then delete every data file NO
+    * retained manifest references (the VACUUM of the manifest-table
+    * pattern). Any RETAINED delta whose predecessor manifest is being
+    * dropped is first materialized as a full checkpoint — its
+    * reconstruction chain would run through manifests about to go,
+    * and retention must never strand a delta (ascending order: a
+    * later kept delta may chain through an earlier kept version only
+    * once that one is full). Safe order: checkpoint, then old
+    * manifests, then data — a reader planning from a retained
+    * manifest never loses a file it references. Returns deleted
+    * data-file count. */
   def vacuum(path: String, conf: Configuration, keepLast: Int = 1): Int = {
     require(keepLast >= 1, "gdx vacuum: must retain at least one snapshot")
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
     val vs = listVersions(path, conf)
     if (vs.isEmpty) return 0
-    val keep = vs.takeRight(keepLast)
-    val oldestFull = committedEntries(path, conf, keep.head)
-    replaceAtomic(fs, conf, manifestFor(path, keep.head),
-      headerLines(committedSchema(path, conf, keep.head),
-        committedConstraints(path, conf, keep.head),
-        committedColmap(path, conf, keep.head),
-        committedPartitionCol(path, conf, keep.head)) ++
-        oldestFull.map(_.manifestLine))
-    vs.dropRight(keepLast).foreach(v => fs.delete(manifestFor(path, v), false))
+    val tagged = listTags(path, conf).values.toSet
+    val keep = (vs.takeRight(keepLast) ++ vs.filter(tagged)).distinct.sorted
+    val keepSet = keep.toSet
+    keep.foreach { v =>
+      if ((v == keep.head || isDeltaVersion(path, conf, v)) &&
+          !keepSet.contains(v - 1))
+        replaceAtomic(fs, conf, manifestFor(path, v),
+          headerLines(committedSchema(path, conf, v),
+            committedConstraints(path, conf, v),
+            committedColmap(path, conf, v),
+            committedPartitionCol(path, conf, v)) ++
+            committedEntries(path, conf, v).map(_.manifestLine))
+    }
+    vs.filterNot(keepSet.contains)
+      .foreach(v => fs.delete(manifestFor(path, v), false))
     val keptEntries = keep.flatMap(v => committedEntries(path, conf, v))
     val referenced =
       (keptEntries.map(_.name) ++ keptEntries.flatMap(_.dv)).toSet
@@ -2865,7 +3072,11 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
     val conf = GdxSource.driverConf()
     GdxSource.commitFiles(path, conf, replace = true, Seq.empty,
       writeSchema = GdxSource.committedSchema(path, conf),
-      partitionCol = GdxSource.committedPartitionCol(path, conf))
+      // HEAD spec only: an empty snapshot has no former-era files
+      // left to prune, so the truncate clears the evolution history
+      // along with the rows
+      partitionCol = GdxSource.committedPartitionCol(path, conf)
+        .map(GdxSource.partHeadOf))
     true
   }
 
@@ -2908,7 +3119,11 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
       Option(info.options.get("expectedBaseVersion")).map(_.toInt)
         .getOrElse(-1),
       info.schema(),
-      Option(info.options.get("partitionBy")).orElse(declaredPartition),
+      // the table-side declaration is manifest-sourced (loadTable) and
+      // may carry an evolution-history tail — the write declares the
+      // HEAD; user options keep their raw text (build() refuses `;`)
+      Option(info.options.get("partitionBy"))
+        .orElse(declaredPartition.map(GdxSource.partHeadOf)),
       Option(info.options.get("clusterWrite")).forall(_.toBoolean),
       viaCatalog,
       Option(info.options.get("replaceWhere")))
@@ -3016,9 +3231,13 @@ class GdxScanBuilder(path: String, version: Int,
   }
 
   /** The committed partition column at this builder's pinned version —
-    * the only GROUP BY key manifest-grouped aggregates accept. */
-  private lazy val builderPartitionCol: Option[String] =
+    * the only GROUP BY key manifest-grouped aggregates accept. HEAD
+    * spec only (evolution history never names a group key); the
+    * ambiguity gate lives in [[completeFor]]. */
+  private lazy val builderPartRaw: Option[String] =
     GdxSource.committedPartitionCol(path, GdxSource.driverConf(), version)
+  private lazy val builderPartitionCol: Option[String] =
+    builderPartRaw.map(GdxSource.partHeadOf)
   // resolved once per builder: supportCompletePushDown and
   // pushAggregation both consult it, and each manifest read is
   // driver-side filesystem I/O
@@ -3102,8 +3321,13 @@ class GdxScanBuilder(path: String, version: Int,
     aggShape(agg).exists { case (grouped, ops) =>
       pushed.forall { case IsNotNull("k") => true; case _ => false } &&
         builderEntries.forall(e => e.stats.isDefined && e.dv.isEmpty) &&
-        (!grouped || builderPartitionCol.exists(pc => builderEntries
-          .forall(e => GdxSource.partKeyOf(pc, e.name).isDefined))) &&
+        // grouped shape: every file proves its key AND no former
+        // (evolution-history) spec collides with the current directory
+        // key — a collision would let another era's file prove a key
+        // with different semantics and mis-bucket the fold
+        (!grouped || (builderPartitionCol.exists(pc => builderEntries
+          .forall(e => GdxSource.partKeyOf(pc, e.name).isDefined)) &&
+          !builderPartRaw.exists(GdxSource.partDirAmbiguous))) &&
         // extended ops need every file's write era to have recorded
         // the column's sum stats (legacy files, DML rewrite files, and
         // pre-rename names fall back to the classic plan)...
@@ -3327,8 +3551,16 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
     * wrong — only less selective. */
   private def pruneByBucket(es: Seq[GdxFileEntry],
                             fl: Seq[Filter]): Seq[GdxFileEntry] =
-    partitionSpec match {
-      case Some(spec) if !spec.isInstanceOf[GdxSource.GdxIdentityPart] =>
+    // every unambiguous recorded spec prunes independently — under
+    // partition-spec evolution a file's name proves a key under AT
+    // MOST one spec (distinct directory keys; colliding specs were
+    // excluded), so each era's files are judged by their own
+    // transform and everyone else's pass them through
+    pruningSpecs.foldLeft(es)((acc, spec) => pruneBySpec(acc, fl, spec))
+
+  private def pruneBySpec(es: Seq[GdxFileEntry], fl: Seq[Filter],
+                          spec: GdxSource.GdxPartSpec)
+      : Seq[GdxFileEntry] = {
         val c = spec.col
         val monotone = GdxSource.monotonePart(spec)
         val allowed: Seq[Set[Long]] = fl.collect {
@@ -3364,8 +3596,7 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
             case _ => true // __null__ dir or unproven name: keep
           })
         }
-      case _ => es
-    }
+  }
 
   private def partKeyOf(pc: String, name: String): Option[Option[Long]] =
     GdxSource.partKeyOf(pc, name)
@@ -3391,6 +3622,13 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
     // maintenance still use their directories)
     (sp.isInstanceOf[GdxSource.GdxIdentityPart] ||
       sp.isInstanceOf[GdxSource.GdxBucketPart]) &&
+      // partition-spec evolution: a former spec sharing the current
+      // directory key (bucket(4,k) → bucket(8,k)) makes an old era's
+      // file PROVE a key that means something else — claiming a
+      // KeyGroupedPartitioning over it would co-schedule the wrong
+      // rows; distinct-key formers fail the per-file proof below and
+      // stand down on their own
+      !partitionRaw.exists(GdxSource.partDirAmbiguous) &&
       !metaOnly && aggOps.isEmpty &&
       readSchema().fieldNames.contains(sp.col) &&
       entries.nonEmpty &&
@@ -3514,10 +3752,26 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   private lazy val slotSchema: StructType =
     GdxSource.physicalized(tableSchema,
       GdxSource.committedColmap(path, GdxSource.driverConf(), version))
-  private lazy val partitionCol: Option[String] =
+  private lazy val partitionRaw: Option[String] =
     GdxSource.committedPartitionCol(path, GdxSource.driverConf(), version)
+  private lazy val partitionCol: Option[String] =
+    partitionRaw.map(GdxSource.partHeadOf)
   private lazy val partitionSpec: Option[GdxSource.GdxPartSpec] =
     partitionCol.map(GdxSource.parsePartSpec)
+  /** Former layouts (partition-spec evolution): their eras' files
+    * still prune under their own transform. */
+  private lazy val partHistory: Seq[GdxSource.GdxPartSpec] =
+    partitionRaw.toSeq.flatMap(GdxSource.partHistoryOf)
+  /** Every recorded spec whose directory key is unambiguous — the set
+    * the transform-directory overlay prunes with. Identity layouts
+    * are excluded (their pruning IS the zone maps: the column's
+    * per-file stats collapse to v..v, in every era). */
+  private lazy val pruningSpecs: Seq[GdxSource.GdxPartSpec] = {
+    val all = (partitionSpec.toSeq ++ partHistory).distinct
+    val byDir = all.groupBy(_.dirName)
+    all.filter(s => byDir(s.dirName).sizeIs == 1 &&
+      !s.isInstanceOf[GdxSource.GdxIdentityPart])
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GdxReaderFactory(pushed ++ runtime, limit, aggOps, required,
@@ -3876,23 +4130,36 @@ class GdxWriteBuilder(path: String, expectedBase: Int = -1,
     val recorded = GdxSource.committedPartitionCol(path,
       GdxSource.driverConf())
     val declared = partitionByOpt
+    declared.foreach(d => require(!d.contains(";"),
+      s"gdx write: partitionBy '$d' declares ONE spec - layouts evolve " +
+        "through evolvePartitionSpec / ALTER TABLE ... SET PARTITION " +
+        "SPEC, never through a write option"))
     (declared, recorded) match {
       case (Some(d), Some(r))
           if GdxSource.parsePartSpec(d) != GdxSource.parsePartSpec(r) =>
         throw new IllegalArgumentException(
           s"gdx write: partitionBy $d contradicts the table's recorded " +
-            s"partition spec $r")
+            s"partition spec ${GdxSource.partHeadOf(r)}")
       case _ => ()
     }
-    // a plain truncate re-declares (or drops) the layout; a
+    // the header this write records. A declaration matching the
+    // recorded CURRENT spec (appends; OPTIMIZE WHERE) must not erase
+    // the evolution-history tail — only a truncate's declaration
+    // starts the layout clean (the rewrite materialized it); a
     // replaceWhere write (option or native REPLACE WHERE filters)
-    // INHERITS the recorded one — it replaces a slice of the existing
-    // layout, never redefines it
-    val effective = declared.orElse(
-      if (replace && replaceWhereOpt.isEmpty && overwriteFilters.isEmpty)
-        None
-      else recorded)
-      .map(s => GdxSource.parsePartSpec(s).render)
+    // always INHERITS the recorded header — it replaces a slice of
+    // the existing layout, never redefines it
+    val effective =
+      if (replaceWhereOpt.nonEmpty || overwriteFilters.nonEmpty)
+        recorded.map(GdxSource.normalizePartRaw)
+      else (declared, recorded) match {
+        case (Some(d), _) if replace =>
+          Some(GdxSource.parsePartSpec(d).render)
+        case (Some(_), Some(r)) => Some(GdxSource.normalizePartRaw(r))
+        case (Some(d), None) => Some(GdxSource.parsePartSpec(d).render)
+        case (None, _) =>
+          if (replace) None else recorded.map(GdxSource.normalizePartRaw)
+      }
     effective.map(GdxSource.parsePartSpec).foreach { spec =>
       val f = writeSchema.fields.find(_.name.equalsIgnoreCase(spec.col))
         .getOrElse(throw new IllegalArgumentException(
@@ -3912,6 +4179,13 @@ class GdxWriteBuilder(path: String, expectedBase: Int = -1,
       val spec = effective.map(GdxSource.parsePartSpec).getOrElse(
         throw new IllegalArgumentException(
           "gdx replaceWhere: the table declares no partition layout"))
+      // an evolution-history spec colliding with the current directory
+      // key means another era's files could pose as slice members —
+      // dropping them by key would lose innocent rows; refuse (a full
+      // OPTIMIZE materializes the layout and clears the history)
+      require(!effective.exists(GdxSource.partDirAmbiguous),
+        "gdx replaceWhere: a former partition spec shares the current " +
+          "spec's directory key - run a full OPTIMIZE first")
       spec match {
         case GdxSource.GdxIdentityPart(pc) =>
           require(c.equalsIgnoreCase(pc),
