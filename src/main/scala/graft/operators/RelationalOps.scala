@@ -3031,6 +3031,75 @@ object RelationalOps extends QueryModule {
       }
     }),
 
+    // C33 — MERGE WITH SCHEMA EVOLUTION (Spark's native 4.x clause,
+    // honored through the AUTOMATIC_SCHEMA_EVOLUTION capability on
+    // catalog-managed GDX tables): the source carries a column the
+    // target lacks, and the analyzer routes it through
+    // GdxCatalog.alterTable — ONE addColumn metadata commit
+    // (GdxSource.addColumn: evolved `#schema`, fresh physical slot,
+    // zero data files touched) — then resolves the whole clause
+    // matrix against the evolved schema. Old rows read the new column
+    // as NULL, the pre-merge snapshot still time-travels under its
+    // 2-column era, and non-catalog targets never advertise the
+    // capability (Spark stands evolution down instead of diverging
+    // manifest and metastore). At 100 TB: upstream adds a field and
+    // the nightly merge absorbs it for the cost of one manifest line.
+    "c33_gdx_merge_evolution" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxmev_")
+      val gdx = graft.sources.GdxSource
+      val cat = "gdx_c33"
+      val c = graft.Sessions.pinned(s,
+        s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+        s"spark.sql.catalog.$cat.warehouse" -> wh)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcView = s"gdx_mevsrc_$tag"
+      c.sql(s"CREATE NAMESPACE $cat.lab")
+      c.sql(s"CREATE TABLE $cat.lab.t (k BIGINT, v STRING)")
+      // everything (incl. the temp view below) lives on the PINNED
+      // session — a clone's catalog does not see views registered on
+      // the parent afterwards
+      val ev = Tables.events(c, d)
+      graft.Sessions.insertInto(c,
+        ev.select(col("event_id").as("k"), col("event_type").as("v")),
+        s"$cat.lab.t") // v2
+      val dir = s"$wh/lab/t"
+      val preV = gdx.listVersions(dir, gdx.driverConf()).max
+      // restatements of every 4th key + genuinely new keys — BOTH
+      // carrying a `score` column the target does not have yet
+      ev.filter(col("event_id") % 4 === 0)
+        .select(col("event_id").as("k"),
+          concat(lit("M_"), col("event_type")).as("v"),
+          round(col("value"), 6).as("score"))
+        .unionByName(ev.filter(col("event_id") % 10 === 0)
+          .select((col("event_id") + 1000000000L).as("k"),
+            concat(lit("N_"), col("event_type")).as("v"),
+            round(col("value"), 6).as("score")))
+        .createOrReplaceTempView(srcView)
+      try {
+        c.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.lab.t t
+          USING $srcView s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        val schemaEvolved = gdx.committedSchema(dir, gdx.driverConf())
+          .fieldNames.toSeq == Seq("k", "v", "score")
+        // the pre-merge snapshot still reads under its own 2-col era,
+        // and the evolution itself was metadata-only (+1 commit before
+        // the merge's own commit: create, insert, addColumn, merge)
+        val oldEraOk = gdx.committedSchema(dir, gdx.driverConf(), preV)
+          .fieldNames.toSeq == Seq("k", "v")
+        val mergeOk = gdx.listVersions(dir, gdx.driverConf()).sorted ==
+          (1 to preV + 2)
+        c.sql(s"SELECT k, v, score FROM $cat.lab.t")
+          .withColumn("schema_evolved", lit(schemaEvolved))
+          .withColumn("old_era_ok", lit(oldEraOk))
+          .withColumn("merge_ok", lit(mergeOk))
+          .orderBy("k")
+      } finally {
+        c.catalog.dropTempView(srcView)
+        ()
+      }
+    }),
+
     // C16 — CHANGEFEED-MAINTAINED MATERIALIZED VIEW: the full
     // composition of the engine's table format and MV tiers. A summary
     // is registered over an EMPTY GDX table, the events keyset lands
@@ -4001,6 +4070,24 @@ object RelationalOps extends QueryModule {
     // first-match CASE logic per branch; both engines round the same
     // doubles to 6 places and add them identically; the one-commit +
     // nonzero-metrics ledger claim is pinned TRUE
+    // the evolved-merge result recomputed via a full outer join:
+    // matched keys take the source image (UPDATE SET *), source-only
+    // keys insert, target-only keys keep their row with a NULL score
+    // (the column old files never wrote); evolution claims pinned TRUE
+    "c33_gdx_merge_evolution" ->
+      """WITH src AS (
+        |  SELECT event_id AS k, 'M_' || event_type AS v,
+        |    round(value, 6) AS score
+        |  FROM events WHERE event_id % 4 = 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000000, 'N_' || event_type,
+        |    round(value, 6)
+        |  FROM events WHERE event_id % 10 = 0)
+        |SELECT COALESCE(s.k, t.event_id) AS k,
+        |  COALESCE(s.v, t.event_type) AS v, s.score AS score,
+        |  TRUE AS schema_evolved, TRUE AS old_era_ok, TRUE AS merge_ok
+        |FROM events t FULL OUTER JOIN src s ON t.event_id = s.k
+        |ORDER BY k""".stripMargin,
     "c30_gdx_merge_matrix" ->
       """WITH base AS (SELECT event_id AS k, event_type AS v,
         |  round(value, 6) AS w FROM events),

@@ -89,8 +89,13 @@ object GdxDmlRule extends Rule[LogicalPlan] {
     * full ANSI matrix: conditional clauses, partial assignments,
     * MATCHED DELETE, NOT MATCHED BY SOURCE). */
   private def rewriteMerge(path: String, m: MergeIntoTable): LogicalPlan = {
-    if (m.withSchemaEvolution)
-      fail("gdx MERGE: WITH SCHEMA EVOLUTION is not supported")
+    // WITH SCHEMA EVOLUTION needs no engine work by the time this rule
+    // sees the plan: the analyzer already applied the source's extra
+    // columns through GdxCatalog.alterTable (one addColumn metadata
+    // commit — the AUTOMATIC_SCHEMA_EVOLUTION capability, catalog
+    // tables only) and re-resolved every clause against the evolved
+    // schema, so the matrix below references only known columns and
+    // old files read the new columns as NULL
     if (legacyShape(m)) GdxMergeCommand(path, m.sourceTable)
     else generalMerge(path, m)
   }

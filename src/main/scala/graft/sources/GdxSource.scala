@@ -3087,11 +3087,23 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
   private[graft] def pinned: Option[Int] = pinnedVersion
   override def name(): String = s"gdx($path)"
   override def schema(): StructType = tableSchema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
+    // `MERGE WITH SCHEMA EVOLUTION`: the analyzer routes the source's
+    // extra columns through TableCatalog.alterTable (AddColumn → one
+    // addColumn metadata commit) and re-resolves against the evolved
+    // schema — only CATALOG-managed live tables can honor that
+    // contract (a session-catalog/path table would evolve the
+    // metastore but not the manifest; a pinned time-travel view is
+    // immutable), so only they advertise it
+    if (viaCatalog && pinnedVersion.isEmpty)
+      caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GdxScanBuilder(path, {
       // a catalog time-travel load (`FOR VERSION/TIMESTAMP AS OF`)

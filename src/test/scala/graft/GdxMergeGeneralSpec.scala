@@ -210,19 +210,62 @@ class GdxMergeGeneralSpec extends SparkSuite {
     } finally s.sql("DROP TABLE IF EXISTS gm_edge")
   }
 
-  test("WITH SCHEMA EVOLUTION is refused loudly") {
-    val dir = freshDir("evo")
+  test("WITH SCHEMA EVOLUTION evolves a catalog table in one metadata " +
+      "commit; non-catalog targets cannot evolve") {
+    val wh = java.nio.file.Files.createTempDirectory("gm_evo_cat").toString
+    val cat = s"gmev${java.util.UUID.randomUUID().toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GdxCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.lab")
+    s.sql(s"CREATE TABLE $cat.lab.evo (k BIGINT, v STRING)")
+    s.sql(s"INSERT INTO $cat.lab.evo VALUES (1,'a'),(2,'b')")
+    val dir = s"$wh/lab/evo"
+    val preV = graft.sources.GdxSource.listVersions(dir,
+      graft.sources.GdxSource.driverConf()).max
+    s.sql("""CREATE OR REPLACE TEMP VIEW gm_vsrc AS
+      SELECT * FROM VALUES (1L, 'x', 5L), (9L, 'n', 7L)
+      AS t(k, v, extra)""")
+    s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.lab.evo t
+      USING gm_vsrc s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // the analyzer added `extra` through GdxCatalog.alterTable — one
+    // addColumn metadata commit — then the merge resolved against the
+    // evolved schema: matched rows carry the source value, untouched
+    // rows read NULL
+    val got = s.sql(s"SELECT k, v, extra FROM $cat.lab.evo ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else Long.box(r.getLong(2)))).toSeq
+    assert(got === Seq((1L, "x", Long.box(5L)), (2L, "b", null),
+      (9L, "n", Long.box(7L))), got.toString)
+    // the manifest itself evolved (not just a catalog echo), and the
+    // pre-merge snapshot still time-travels under its own 2-column era
+    assert(graft.sources.GdxSource.committedSchema(dir,
+      graft.sources.GdxSource.driverConf()).fieldNames.toSeq ===
+      Seq("k", "v", "extra"))
+    assert(graft.sources.GdxSource.committedSchema(dir,
+      graft.sources.GdxSource.driverConf(), preV).fieldNames.toSeq ===
+      Seq("k", "v"))
+    // a non-catalog (session-catalog/path) target advertises no
+    // evolution capability: Spark stands the evolution down — the
+    // star clauses expand over the EXISTING columns, the schema never
+    // changes, and manifest and metastore can never diverge
+    val dir2 = freshDir("evo2")
     s.sql(s"""CREATE TABLE gm_evo (k BIGINT, v STRING)
-      USING $fmt OPTIONS (path '$dir')""")
+      USING $fmt OPTIONS (path '$dir2')""")
     try {
       s.sql("INSERT INTO gm_evo VALUES (1,'a')")
-      s.sql("""CREATE OR REPLACE TEMP VIEW gm_vsrc AS
-        SELECT * FROM VALUES (1, 'x', 5L) AS t(k, v, extra)""")
-      val e = intercept[AnalysisException](s.sql(
-        """MERGE WITH SCHEMA EVOLUTION INTO gm_evo t USING gm_vsrc s
-          ON t.k = s.k
-          WHEN MATCHED THEN UPDATE SET v = s.v"""))
-      assert(e.getMessage.contains("gdx MERGE"), e.getMessage)
+      s.sql("""MERGE WITH SCHEMA EVOLUTION INTO gm_evo t USING gm_vsrc s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(s.table("gm_evo").schema.fieldNames.toSeq === Seq("k", "v"))
+      assert(graft.sources.GdxSource.committedSchema(dir2,
+        graft.sources.GdxSource.driverConf()).fieldNames.toSeq ===
+        Seq("k", "v"))
+      assert(s.sql("SELECT k, v FROM gm_evo ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "x"), (9L, "n")))
     } finally s.sql("DROP TABLE IF EXISTS gm_evo")
   }
 }

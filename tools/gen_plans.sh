@@ -46,7 +46,8 @@ s32_gdx_bucket_spj c27_gdx_catalog_sql s33_gdx_meta_sum \
 s34_gdx_metadata_tables s35_gdx_topn s36_gdx_changes_sql \
 c28_gdx_clone_sql s37_gdx_replace_where s38_gdx_truncate_sql \
 c29_gdx_rtas c30_gdx_merge_matrix s39_gdx_days_partition \
-c31_gdx_partition_evolution c32_gdx_tags"
+c31_gdx_partition_evolution c32_gdx_tags \
+c33_gdx_merge_evolution"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
