@@ -466,8 +466,15 @@ class GdxStagedTable(dir: String, declaredSchema: StructType,
         dfs.delete(new Path(base, tmp), false)
         dfs.delete(new Path(base, tmp + GdxBloom.Suffix), false)
       }
-    if (!preExisting && GdxSource.listVersions(dir, conf).isEmpty)
-      dfs.delete(base, true)
+    // tidy the directory slot ONLY if it is genuinely empty: a
+    // recursive delete here would race a concurrent staged creator of
+    // the same identifier whose files are renamed but whose manifest
+    // is not yet published (listVersions still empty) — this abort
+    // owns nothing beyond its own stashed files, so anything else in
+    // the directory means someone else is mid-flight
+    if (!preExisting)
+      try dfs.delete(base, false)
+      catch { case _: java.io.IOException => () } // non-empty: leave it
     ()
   }
 }

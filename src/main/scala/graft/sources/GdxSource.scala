@@ -1432,7 +1432,14 @@ object GdxSource {
     rewriteWithCas(dir) { readV =>
       val conf = driverConf()
       val before = committedEntries(dir, conf).size
-      if (before <= target) None
+      // a full OPTIMIZE is the advertised remedy for an ambiguous
+      // partition-spec evolution history (replaceWhere/SPJ/grouped
+      // aggregates point at it) — the already-compact short-circuit
+      // must not leave that history in place, so any evolution tail
+      // forces the materializing rewrite even at/below target
+      val evolved = committedPartitionCol(dir, conf)
+        .exists(_.contains(";"))
+      if (before <= target && !evolved) None
       else Some((before, snapshotReader(spark, dir, readV).coalesce(target)))
     }
 
@@ -1965,7 +1972,12 @@ object GdxSource {
     // materialized once: every retry and every downstream pass below
     // must see the same source rows (a lazy source re-scanning a live
     // table across a CAS retry would tear the statement's snapshot)
-    val src = source.localCheckpoint().withColumn("__s_present", lit(true))
+    // presence marker name can never collide with a renamed user
+    // column: the DML rule prefixes source columns `__s_<name>`, so a
+    // source column would have to be literally named "_gdx_present"
+    // to land on `__s__gdx_present` — still distinct from this
+    val src = source.localCheckpoint()
+      .withColumn("__gdx_s_present", lit(true))
     val root = java.util.Locale.ROOT
     var attempt = 0
     while (true) {
@@ -2005,7 +2017,7 @@ object GdxSource {
         .select(col("_file") +: col("_pos") +:
           tblSchema.fieldNames.map(f => col(f).as("__t_" + f)): _*)
       val tPresent = col("_file").isNotNull
-      val sPresent = coalesce(col("__s_present"), lit(false))
+      val sPresent = coalesce(col("__gdx_s_present"), lit(false))
       // index of the first applicable clause of a branch (-1 = none):
       // a chained when is first-match by construction — clause order
       // IS the statement's clause order
@@ -2018,8 +2030,20 @@ object GdxSource {
               .otherwise(rest)
         }
       // one materialization of the joined + classified frame; every
-      // pass below (cardinality, DVs, images, metrics) scans it
-      val ann = target.join(src, expr(onSql), "full_outer")
+      // pass below (cardinality, DVs, images, metrics) scans it. The
+      // join keeps only the sides the clause matrix can touch: a
+      // matched-only merge never materializes the unmatched bulk of a
+      // large target (inner), INSERT-bearing merges keep unmatched
+      // source rows (right), NOT MATCHED BY SOURCE must see every
+      // live target row (left/full) — semantics identical, the
+      // checkpointed row set is what shrinks
+      val joinType = (notMatched.nonEmpty, notMatchedBySource.nonEmpty) match {
+        case (true, true)   => "full_outer"
+        case (true, false)  => "right_outer"
+        case (false, true)  => "left_outer"
+        case (false, false) => "inner"
+      }
+      val ann = target.join(src, expr(onSql), joinType)
         .withColumn("__m",
           when(tPresent && sPresent, firstMatch(matched)).otherwise(-1))
         .withColumn("__n",
@@ -2929,6 +2953,12 @@ object GdxSource {
   def createTag(dir: String, name: String, version: Int = -1): Int = {
     require(TagNameRe.matches(name),
       s"gdx createTag: invalid tag name '$name'")
+    // an all-digit name could never be read back: version refs parse
+    // numbers as manifest versions FIRST, so '7' would silently bind
+    // to snapshot 7, not the tag
+    require(!name.forall(_.isDigit),
+      s"gdx createTag: tag name '$name' is all digits - it would " +
+        "resolve as a version number, never as the tag")
     val conf = driverConf()
     val fs = new Path(dir).getFileSystem(conf)
     val vs = listVersions(dir, conf)
@@ -4163,7 +4193,11 @@ class GdxWriteBuilder(path: String, expectedBase: Int = -1,
     // the existing layout, never redefines it
     val effective =
       if (replaceWhereOpt.nonEmpty || overwriteFilters.nonEmpty)
+        // inherit the recorded header (with its evolution history);
+        // on a NEVER-COMMITTED table the declaration stands — an
+        // idempotent first-run backfill creates the layout it slices
         recorded.map(GdxSource.normalizePartRaw)
+          .orElse(declared.map(d => GdxSource.parsePartSpec(d).render))
       else (declared, recorded) match {
         case (Some(d), _) if replace =>
           Some(GdxSource.parsePartSpec(d).render)

@@ -210,6 +210,23 @@ class GdxMergeGeneralSpec extends SparkSuite {
     } finally s.sql("DROP TABLE IF EXISTS gm_edge")
   }
 
+  test("a source column named `present` is user data, not the " +
+      "engine's presence marker") {
+    val dir = freshDir("pres")
+    s.sql(s"""CREATE TABLE gm_pres (k BIGINT, v STRING)
+      USING $fmt OPTIONS (path '$dir')""")
+    try {
+      s.sql("INSERT INTO gm_pres VALUES (1,'a'),(2,'b')")
+      s.sql("""CREATE OR REPLACE TEMP VIEW gm_psrc AS
+        SELECT * FROM VALUES (1L, false), (2L, true) AS t(k, present)""")
+      // if the marker clobbered s.present, BOTH rows would delete
+      s.sql("""MERGE INTO gm_pres t USING gm_psrc s ON t.k = s.k
+        WHEN MATCHED AND s.present THEN DELETE""")
+      assert(s.sql("SELECT k FROM gm_pres ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L))
+    } finally s.sql("DROP TABLE IF EXISTS gm_pres")
+  }
+
   test("WITH SCHEMA EVOLUTION evolves a catalog table in one metadata " +
       "commit; non-catalog targets cannot evolve") {
     val wh = java.nio.file.Files.createTempDirectory("gm_evo_cat").toString

@@ -122,6 +122,15 @@ class GdxPartEvolutionSpec extends SparkSuite {
     // grouped by a column name, and the ungrouped COUNT(*) stays
     // manifest-exact
     assert(read(dir).count() === 80L)
+    // a full OPTIMIZE on an ALREADY-COMPACT evolved table must still
+    // rewrite: it is the advertised remedy for the ambiguity, so the
+    // at-target short-circuit cannot leave the history tail in place
+    GdxSource.compact(spark, dir, target = 32)
+    assert(GdxSource.committedPartitionCol(dir, conf)
+      .contains("bucket(8,k)"))
+    assert(!GdxSource.partDirAmbiguous(
+      GdxSource.committedPartitionCol(dir, conf).get))
+    assert(read(dir).count() === 80L)
   }
 
   test("replaceWhere and OPTIMIZE WHERE refuse on a mixed table; a " +

@@ -30,6 +30,24 @@ class GdxReplaceWhereSpec extends SparkSuite {
       .write.format(fmt).option("path", dir).option("partitionBy", "p")
       .mode("overwrite").save()
 
+  test("first-run replaceWhere on a never-committed table creates the " +
+      "declared layout (the idempotent-backfill shape)") {
+    val dir = freshDir("first")
+    Seq((1L, "a", 3L), (2L, "b", 3L)).toDF("k", "v", "p").coalesce(1)
+      .write.format(fmt).option("path", dir)
+      .option("partitionBy", "p").option("replaceWhere", "p = 3")
+      .mode("overwrite").save()
+    assert(GdxSource.committedPartitionCol(dir,
+      GdxSource.driverConf()).contains("p"))
+    assert(read(dir).count() === 2L)
+    // and the second run of the same job restates the same slice
+    Seq((9L, "z", 3L)).toDF("k", "v", "p").coalesce(1)
+      .write.format(fmt).option("path", dir)
+      .option("partitionBy", "p").option("replaceWhere", "p = 3")
+      .mode("overwrite").save()
+    assert(read(dir).collect().map(_.getLong(0)).toSeq === Seq(9L))
+  }
+
   test("replaceWhere swaps one partition's files; the rest are carried " +
       "by reference and the old snapshot time-travels") {
     val dir = freshDir("swap")

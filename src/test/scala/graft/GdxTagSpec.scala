@@ -54,6 +54,10 @@ class GdxTagSpec extends SparkSuite {
     assert(GdxSource.listTags(dir, conf) === Map("latest" -> 2))
     // a tag can never point outside retained history
     intercept[Exception](GdxSource.createTag(dir, "bad", 99))
+    // ...and never be all digits: '7' would resolve as version 7 on
+    // read, not as the tag — refused at creation, loudly
+    val e3 = intercept[Exception](GdxSource.createTag(dir, "7", 1))
+    assert(e3.getMessage.contains("all digits"), e3.getMessage)
   }
 
   test("VACUUM keeps tagged snapshots (files AND manifests), " +
