@@ -40,7 +40,7 @@ object GdxMaintenanceSql {
   private val History =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
   private val Restore =
-    """(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+    """(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+|'[^';]+')\s*;?\s*$""".r
   private val ShowChanges =
     """(?is)^\s*SHOW\s+CHANGES\s+([\w.`]+)\s+FROM\s+(?:VERSION\s+)?(\d+)(?:\s+TO\s+(?:VERSION\s+)?(\d+))?\s*;?\s*$""".r
   private val CloneTable =
@@ -109,8 +109,12 @@ object GdxMaintenanceSql {
     } else if (k1 == "RESTORE") sqlText match {
       // Delta's RESTORE TABLE statement shape (Spark's grammar has no
       // RESTORE keyword, so this is free grammar like DESCRIBE HISTORY)
+      // the ref is a version number or a 'quoted' tag name — resolved
+      // at run time against the table's tag store, like FOR VERSION
+      // AS OF
       case Restore(tbl, v) =>
-        Some(GdxRestoreCommand(ident(tbl), v.toInt))
+        Some(GdxRestoreCommand(ident(tbl), v.stripPrefix("'")
+          .stripSuffix("'")))
       case _ => None
     } else if (k1 == "SHOW" && k2 == "CHANGES") sqlText match {
       // the CDF front door: `SHOW CHANGES t FROM [VERSION] a [TO
@@ -342,7 +346,7 @@ case class GdxHistoryCommand(table: Seq[String])
   * undo it (the Delta RESTORE contract;
   * [[graft.sources.GdxSource.restoreSnapshot]]). Returns
   * (restored_from, version). */
-case class GdxRestoreCommand(table: Seq[String], fromVersion: Int)
+case class GdxRestoreCommand(table: Seq[String], fromRef: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
@@ -351,9 +355,11 @@ case class GdxRestoreCommand(table: Seq[String], fromVersion: Int)
         StructField("version", LongType, nullable = false))))
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GdxMaintenanceSql.gdxPathOf(spark, table, "RESTORE TABLE")
-    val v = graft.sources.GdxSource.restoreSnapshot(path, fromVersion)
+    val from = graft.sources.GdxSource.resolveVersionRef(path,
+      graft.sources.GdxSource.driverConf(), fromRef)
+    val v = graft.sources.GdxSource.restoreSnapshot(path, from)
     GdxMaintenanceSql.syncCatalogSchema(spark, table, path)
-    Seq(Row(fromVersion.toLong, v.toLong))
+    Seq(Row(from.toLong, v.toLong))
   }
 }
 

@@ -131,6 +131,13 @@ class GdxTagSpec extends SparkSuite {
     assert(s.sql(s"SELECT tag, version FROM $cat.lab.t.tags")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
       Seq(("rel-1", 2L)))
+    // ...and RESTORE resolves the same refs: roll the live table back
+    // to the tagged snapshot by NAME
+    val r = s.sql(s"RESTORE TABLE $cat.lab.t TO VERSION AS OF 'rel-1'")
+      .head
+    assert(r.getLong(0) === 2L)
+    assert(s.sql(s"SELECT count(*) FROM $cat.lab.t").head.getLong(0)
+      === 8L)
     assert(s.sql(s"ALTER TABLE $cat.lab.t DROP TAG rel-1")
       .head.getBoolean(0))
     assert(s.sql(s"SELECT count(*) FROM $cat.lab.t.tags")
