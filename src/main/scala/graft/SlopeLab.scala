@@ -56,6 +56,8 @@ object SlopeLab {
         args.lift(1).getOrElse("/tmp/graft_slope_spj"))
       case "topn" => topn(spark,
         args.lift(1).getOrElse("/tmp/graft_slope_topn"))
+      case "evo" => evo(spark,
+        args.lift(1).getOrElse("/tmp/graft_slope_evo"))
       case other => sys.error(s"unknown SlopeLab mode: $other")
     }
     spark.stop()
@@ -345,6 +347,61 @@ object SlopeLab {
       val tFull = bestOf3(read().filter(col("v") =!= "never")
         .orderBy(col("k").desc).limit(50).collect())
       println(f"""{"topn_rows":$n,"planned_files":"$planned","topn_skip_sec":$tSkip%.3f,"topn_full_sec":$tFull%.3f}""")
+    }
+  }
+
+  /** Partition-spec evolution lane: a table written half under
+    * identity(p) (16 entity partitions), EVOLVED to trunc(w, k)
+    * (32 key-range directories) in one metadata commit, half written
+    * under the new layout. The probe query — an entity filter AND a
+    * key range — must prune EACH era under its own era's transform:
+    * era-1 by p directories, era-2 by key-range bounds. The scale
+    * claims: the planned-file FRACTION is invariant in N (directory
+    * counts, not row counts, decide), and the pruned probe's time
+    * tracks the planned files while the voided control tracks total
+    * rows — the property that makes the layout migration free for a
+    * 100 TB dashboard instead of a rewrite. */
+  def evo(spark: SparkSession, work: String): Unit = {
+    val fmt = "graft.sources.GdxSource"
+    val gdx = graft.sources.GdxSource
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    for (n <- Seq(600000L, 6000000L)) {
+      val dir = s"$work/n$n"
+      rm(new java.io.File(dir))
+      val w = n / 32
+      def rows(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("k"), (col("id") % 16).as("p"),
+          concat(lit("r"), col("id") % 5).as("v"))
+      rows(0, n / 2).repartition(16)
+        .write.format(fmt).option("path", dir)
+        .option("partitionBy", "p").mode("overwrite").save()
+      gdx.evolvePartitionSpec(dir, s"trunc($w,k)")
+      rows(n / 2, n).repartitionByRange(16, col("k"))
+        .write.format(fmt).option("path", dir).mode("append").save()
+      def read() = spark.read.format(fmt).option("path", dir).load()
+      // entity 3's era-1 directory plus a 1/8th key-range of era-2
+      val q = read().filter(col("p") === 3 &&
+        col("k") >= n / 2 && col("k") < n / 2 + n / 8)
+      val planned = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(q.queryExecution.executedPlan.toString())
+        .map(m => s"${m.group(1)}/${m.group(2)}").getOrElse("?")
+      def bestOf3(f: => Unit): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+      val tPruned = bestOf3(q.agg(count(lit(1)), sum("k")).collect())
+      // control: the SAME predicate inside a conditional aggregate —
+      // no Filter exists to push (x+0 shapes would just constant-fold
+      // back), so no directory key or zone map can prune and the scan
+      // drains every era row-level
+      val cond = col("p") === 3 &&
+        col("k") >= n / 2 && col("k") < n / 2 + n / 8
+      val tFull = bestOf3(read()
+        .agg(count(when(cond, 1)), sum(when(cond, col("k"))))
+        .collect())
+      println(f"""{"evo_rows":$n,"planned_files":"$planned","evo_pruned_sec":$tPruned%.3f,"evo_full_sec":$tFull%.3f}""")
     }
   }
 
