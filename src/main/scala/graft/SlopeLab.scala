@@ -33,6 +33,12 @@ import org.apache.spark.sql.functions._
   *       full-list-per-commit O(N²) growth.
   */
 object SlopeLab {
+  /** Recursive scratch-dir delete shared by every lane. */
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(); ()
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("gen")
     val spark = GraftSession
@@ -134,10 +140,6 @@ object SlopeLab {
     for (commits <- Seq(10, 50, 100)) {
       val dir = s"$work/v$commits"
       val rowsPerCommit = 20000 / commits
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
       rm(new java.io.File(dir))
       for (c <- 0 until commits) {
         (0 until rowsPerCommit).map(i =>
@@ -181,10 +183,6 @@ object SlopeLab {
     val fmt = "graft.sources.GdxSource"
     for (n <- Seq(200000, 2000000)) {
       val dir = s"$work/n$n"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
       rm(new java.io.File(dir))
       spark.range(0, n.toLong).select(col("id").as("k"),
           concat(lit("payload_"), col("id")).as("v"))
@@ -225,10 +223,6 @@ object SlopeLab {
     val gdx = graft.sources.GdxSource
     for (n <- Seq(600000, 6000000)) {
       val dir = s"$work/n$n"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
       rm(new java.io.File(dir))
       Seq((0L, "seed")).toDF("k", "v").coalesce(1)
         .write.format(fmt).option("path", dir).mode("overwrite").save()
@@ -268,10 +262,6 @@ object SlopeLab {
     * the plans actually measured. */
   def spj(spark: SparkSession, work: String): Unit = {
     val fmt = "graft.sources.GdxSource"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
     for (n <- Seq(600000L, 6000000L)) {
       val (dirA, dirB) = (s"$work/fact_n$n", s"$work/delta_n$n")
       Seq(dirA, dirB).foreach(d => rm(new java.io.File(d)))
@@ -322,10 +312,6 @@ object SlopeLab {
     * tracks total rows. */
   def topn(spark: SparkSession, work: String): Unit = {
     val fmt = "graft.sources.GdxSource"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
     for (n <- Seq(600000L, 6000000L)) {
       val dir = s"$work/n$n"
       rm(new java.io.File(dir))
@@ -350,39 +336,41 @@ object SlopeLab {
     }
   }
 
-  /** Partition-spec evolution lane: a table written half under
-    * identity(p) (16 entity partitions), EVOLVED to trunc(w, k)
-    * (32 key-range directories) in one metadata commit, half written
-    * under the new layout. The probe query — an entity filter AND a
-    * key range — must prune EACH era under its own era's transform:
-    * era-1 by p directories, era-2 by key-range bounds. The scale
-    * claims: the planned-file FRACTION is invariant in N (directory
-    * counts, not row counts, decide), and the pruned probe's time
-    * tracks the planned files while the voided control tracks total
-    * rows — the property that makes the layout migration free for a
-    * 100 TB dashboard instead of a rewrite. */
+  /** Partition-spec evolution lane: HALF the rows (even ids, spanning
+    * the full key range) written under identity(p) (16 entity
+    * directories), the spec EVOLVED to trunc(w, k) (32 key-range
+    * directories) in one metadata commit, the other half (odd ids,
+    * same full range) written under the new layout. The probe — an
+    * entity filter AND a 1/8th key range — prunes EACH era under its
+    * own era's transform: era-1 keeps only the p=3 directory (its
+    * files span the whole key range, so only the identity layout can
+    * drop them), era-2 keeps only the covered trunc directories (its
+    * files hold every p, so only the key bounds can drop them). The
+    * scale claims: planned files track covered DIRECTORIES, not rows,
+    * and the pruned probe's time stays scheduling-dominated while the
+    * unpruned control tracks total rows — the property that makes the
+    * layout migration free for a 100 TB dashboard instead of a
+    * rewrite. */
   def evo(spark: SparkSession, work: String): Unit = {
     val fmt = "graft.sources.GdxSource"
     val gdx = graft.sources.GdxSource
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
     for (n <- Seq(600000L, 6000000L)) {
       val dir = s"$work/n$n"
       rm(new java.io.File(dir))
       val w = n / 32
-      def rows(lo: Long, hi: Long) = spark.range(lo, hi)
-        .select(col("id").as("k"), (col("id") % 16).as("p"),
+      // p derives from id/2 so BOTH parities (eras) hold every entity
+      def rows(parity: Int) = spark.range(0, n)
+        .filter(col("id") % 2 === parity)
+        .select(col("id").as("k"), expr("(id div 2) % 16").as("p"),
           concat(lit("r"), col("id") % 5).as("v"))
-      rows(0, n / 2).repartition(16)
+      rows(0).repartition(16)
         .write.format(fmt).option("path", dir)
         .option("partitionBy", "p").mode("overwrite").save()
       gdx.evolvePartitionSpec(dir, s"trunc($w,k)")
-      rows(n / 2, n).repartitionByRange(16, col("k"))
+      rows(1).repartitionByRange(16, col("k"))
         .write.format(fmt).option("path", dir).mode("append").save()
       def read() = spark.read.format(fmt).option("path", dir).load()
-      // entity 3's era-1 directory plus a 1/8th key-range of era-2
+      // entity 3 across a 1/8th key range: rows live in BOTH eras
       val q = read().filter(col("p") === 3 &&
         col("k") >= n / 2 && col("k") < n / 2 + n / 8)
       val planned = "files=(\\d+)/(\\d+)".r

@@ -42,9 +42,9 @@ object GdxMaintenanceSql {
   private val Restore =
     """(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+|'[^';]+')\s*;?\s*$""".r
   private val ShowChanges =
-    """(?is)^\s*SHOW\s+CHANGES\s+([\w.`]+)\s+FROM\s+(?:VERSION\s+)?(\d+)(?:\s+TO\s+(?:VERSION\s+)?(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+CHANGES\s+([\w.`]+)\s+FROM\s+(?:VERSION\s+)?(\d+|'[^';]+')(?:\s+TO\s+(?:VERSION\s+)?(\d+|'[^';]+'))?\s*;?\s*$""".r
   private val CloneTable =
-    """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^';]+'))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""".r
   private val AddCheck =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private val DropCheck =
@@ -56,7 +56,7 @@ object GdxMaintenanceSql {
   private val SetPartSpec =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+PARTITION\s+SPEC\s*\(\s*([^;]+?)\s*\)\s*;?\s*$""".r
   private val CreateTag =
-    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+TAG\s+([\w.\-]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+TAG\s+([\w.\-]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^';]+'))?\s*;?\s*$""".r
   private val DropTag =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+TAG\s+([\w.\-]+)\s*;?\s*$""".r
   // materialized views — OSS Spark has no MATERIALIZED keyword, so
@@ -85,6 +85,10 @@ object GdxMaintenanceSql {
     val (k1, k2) = (kw(0), kw(1))
     def ident(tbl: String): Seq[String] =
       delegate.parseMultipartIdentifier(tbl)
+    // every VERSION AS OF surface accepts a number or a 'quoted' tag
+    // name; refs resolve against the table's tag store at run time
+    def unquote(ref: String): String =
+      ref.stripPrefix("'").stripSuffix("'")
     if (k1 == "OPTIMIZE") sqlText match {
       case Optimize(tbl, where, cols) =>
         val zorder = Option(cols).toSeq.flatMap(_.split(',').toSeq)
@@ -112,9 +116,7 @@ object GdxMaintenanceSql {
       // the ref is a version number or a 'quoted' tag name — resolved
       // at run time against the table's tag store, like FOR VERSION
       // AS OF
-      case Restore(tbl, v) =>
-        Some(GdxRestoreCommand(ident(tbl), v.stripPrefix("'")
-          .stripSuffix("'")))
+      case Restore(tbl, v) => Some(GdxRestoreCommand(ident(tbl), unquote(v)))
       case _ => None
     } else if (k1 == "SHOW" && k2 == "CHANGES") sqlText match {
       // the CDF front door: `SHOW CHANGES t FROM [VERSION] a [TO
@@ -129,8 +131,8 @@ object GdxMaintenanceSql {
       // and the implicit upper version bound pins when the statement
       // is analyzed, not when its text was parsed).
       case ShowChanges(tbl, from, to) =>
-        Some(GdxShowChangesPlaceholder(ident(tbl), from.toInt,
-          Option(to).map(_.toInt)))
+        Some(GdxShowChangesPlaceholder(ident(tbl), unquote(from),
+          Option(to).map(unquote)))
       case _ => None
     } else if (k1 == "ALTER" && k2 == "TABLE") sqlText match {
       // only the CONSTRAINT forms — every other ALTER TABLE statement
@@ -159,8 +161,7 @@ object GdxMaintenanceSql {
         Some(GdxSetPartitionSpecCommand(ident(tbl), spec.trim))
       // snapshot tags (Iceberg-style named refs; free grammar)
       case CreateTag(tbl, name, v) =>
-        Some(GdxCreateTagCommand(ident(tbl), name,
-          Option(v).map(_.toInt).getOrElse(-1)))
+        Some(GdxCreateTagCommand(ident(tbl), name, Option(v).map(unquote)))
       case DropTag(tbl, name) =>
         Some(GdxDropTagCommand(ident(tbl), name))
       case _ => None
@@ -170,7 +171,7 @@ object GdxMaintenanceSql {
       // falls through to Spark untouched
       case CloneTable(dst, src, v, loc) =>
         Some(GdxCloneCommand(ident(dst), ident(src),
-          Option(v).map(_.toInt).getOrElse(-1), Option(loc)))
+          Option(v).map(unquote), Option(loc)))
       case _ => None
     } else if (k1 == "CREATE" && k2 == "MATERIALIZED") sqlText match {
       case CreateMv(name, loc, select) =>
@@ -343,7 +344,8 @@ case class GdxHistoryCommand(table: Seq[String])
   * n's manifest (entries, schema, constraints, column mapping,
   * partition spec) as the NEW current version — history is never
   * rewritten, the restore is itself a commit, and a later RESTORE can
-  * undo it (the Delta RESTORE contract;
+  * undo it; the ref is a version number or a 'quoted' tag name
+  * (the Delta RESTORE contract;
   * [[graft.sources.GdxSource.restoreSnapshot]]). Returns
   * (restored_from, version). */
 case class GdxRestoreCommand(table: Seq[String], fromRef: String)
@@ -390,7 +392,7 @@ case class GdxSetPartitionSpecCommand(table: Seq[String], spec: String)
   * through `FOR VERSION AS OF '<name>'`. Returns the pinned
   * version. */
 case class GdxCreateTagCommand(table: Seq[String], tag: String,
-                               version: Int)
+                               versionRef: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
@@ -398,6 +400,9 @@ case class GdxCreateTagCommand(table: Seq[String], tag: String,
         StructField("version", LongType, nullable = false))))
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GdxMaintenanceSql.gdxPathOf(spark, table, "CREATE TAG")
+    val version = versionRef.map(graft.sources.GdxSource
+      .resolveVersionRef(path, graft.sources.GdxSource.driverConf(), _))
+      .getOrElse(-1)
     Seq(Row(graft.sources.GdxSource.createTag(path, tag, version).toLong))
   }
 }
@@ -419,8 +424,8 @@ case class GdxDropTagCommand(table: Seq[String], tag: String)
 
 /** Inert parse product of `SHOW CHANGES` — carries only what the text
   * said; [[GdxShowChangesRule]] resolves it. */
-case class GdxShowChangesPlaceholder(table: Seq[String], fromV: Int,
-                                     toV: Option[Int])
+case class GdxShowChangesPlaceholder(table: Seq[String], fromRef: String,
+                                     toRef: Option[String])
     extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] = Nil
@@ -433,10 +438,14 @@ case class GdxShowChangesPlaceholder(table: Seq[String], fromV: Int,
 class GdxShowChangesRule(spark: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case GdxShowChangesPlaceholder(tbl, fromV, toV) =>
+    case GdxShowChangesPlaceholder(tbl, fromRef, toRef) =>
       val path = GdxMaintenanceSql.gdxPathOf(spark, tbl, "SHOW CHANGES")
-      val to = toV.getOrElse(graft.sources.GdxSource.listVersions(path,
-        graft.sources.GdxSource.driverConf()).max)
+      val conf = graft.sources.GdxSource.driverConf()
+      val fromV = graft.sources.GdxSource
+        .resolveVersionRef(path, conf, fromRef)
+      val to = toRef
+        .map(graft.sources.GdxSource.resolveVersionRef(path, conf, _))
+        .getOrElse(graft.sources.GdxSource.listVersions(path, conf).max)
       graft.sources.GdxSource.tableChanges(spark, path, fromV, to)
         .queryExecution.analyzed
   }
@@ -453,7 +462,8 @@ class GdxShowChangesRule(spark: SparkSession)
   * or any name with an explicit LOCATION (registered in the session
   * catalog after the clone). Returns (version, n_files, location). */
 case class GdxCloneCommand(dst: Seq[String], src: Seq[String],
-                           version: Int, location: Option[String])
+                           versionRef: Option[String],
+                           location: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
@@ -492,6 +502,9 @@ case class GdxCloneCommand(dst: Seq[String], src: Seq[String],
         case _ => needsLocation
       }
     }
+    val version = versionRef.map(graft.sources.GdxSource
+      .resolveVersionRef(srcPath, graft.sources.GdxSource.driverConf(), _))
+      .getOrElse(-1)
     val v = graft.sources.GdxSource.cloneShallow(srcPath, dstDir, version)
     // LOCATION form: register the clone in the session catalog so it
     // is queryable by name (plain CREATE TABLE USING delegates through

@@ -131,8 +131,25 @@ class GdxTagSpec extends SparkSuite {
     assert(s.sql(s"SELECT tag, version FROM $cat.lab.t.tags")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
       Seq(("rel-1", 2L)))
-    // ...and RESTORE resolves the same refs: roll the live table back
-    // to the tagged snapshot by NAME
+    // every other VERSION AS OF surface resolves the same refs:
+    // changefeed windows anchored at a tag...
+    assert(s.sql(s"SHOW CHANGES $cat.lab.t FROM 'rel-1'")
+      .filter("change_type = 'insert'").count() === 4L)
+    // ...zero-copy forks of the tagged snapshot...
+    val cdir = java.nio.file.Files
+      .createTempDirectory("gdxtag_clone").toString + "/fork"
+    s.sql(s"""CREATE TABLE gdxtag_fork SHALLOW CLONE $cat.lab.t
+      VERSION AS OF 'rel-1' LOCATION '$cdir'""")
+    try assert(s.sql("SELECT count(*) FROM gdxtag_fork")
+      .head.getLong(0) === 8L)
+    finally s.sql("DROP TABLE IF EXISTS gdxtag_fork")
+    // ...tags aliasing tags...
+    s.sql(s"ALTER TABLE $cat.lab.t CREATE TAG rel-1-alias " +
+      "VERSION AS OF 'rel-1'")
+    assert(GdxSource.listTags(s"$wh/lab/t", conf)("rel-1-alias") === 2)
+    s.sql(s"ALTER TABLE $cat.lab.t DROP TAG rel-1-alias")
+    // ...and RESTORE: roll the live table back to the tagged snapshot
+    // by NAME
     val r = s.sql(s"RESTORE TABLE $cat.lab.t TO VERSION AS OF 'rel-1'")
       .head
     assert(r.getLong(0) === 2L)
