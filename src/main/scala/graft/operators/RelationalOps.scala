@@ -1924,6 +1924,48 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // S40 — BIN-PACKING OPTIMIZE (sources/GdxSource.compactSmall; SQL
+    // `OPTIMIZE t BINPACK <bytes>`): the table is one large immutable
+    // file plus the small-file tail four commits landed; the bin-pack
+    // rewrites ONLY the tail (one pass over its rows) and carries the
+    // large file BY REFERENCE — GdxCompactSmallSpec proves it is never
+    // opened with a corrupted-file test. At 100 TB this is the nightly
+    // maintenance contract: cost tracks the day's small-file tail, not
+    // the table; the full-rewrite OPTIMIZE is reserved for layout
+    // migrations. Claims pin the ledger (5 files → 2, the large name
+    // carried verbatim, exactly one commit).
+    "s40_gdx_compact_small" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxcsm_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      val base = Tables.events(s, d)
+        .select(col("event_id").as("k"), unix_millis(col("ts")).as("ts"),
+          col("event_type").as("v"))
+      base.filter(col("k") % 8 =!= 7).coalesce(1)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      for (r <- Seq(7L, 15L, 23L, 31L))
+        base.filter(col("k") % 32 === r).coalesce(1)
+          .write.format(fmt).option("path", dir).mode("append").save()
+      val conf = gdx.driverConf()
+      val big = gdx.committedEntries(dir, conf).maxBy(e =>
+        new java.io.File(dir, e.name).length())
+      val bigBytes = new java.io.File(dir, big.name).length()
+      val preV = gdx.listVersions(dir, conf).max
+      val (nb, na) = gdx.compactSmall(s, dir, bigBytes)
+      val tailMerged = nb == 5 && na == 2
+      val largeCarried = gdx.committedEntries(dir, conf)
+        .exists(_.name == big.name)
+      val oneCommit = gdx.listVersions(dir, conf).max == preV + 1
+      s.read.format(fmt).option("path", dir).load()
+        .filter(col("ts") >= 1704412800000L &&
+          col("ts") < 1705017600000L)
+        .select("k", "ts", "v")
+        .withColumn("tail_merged", lit(tailMerged))
+        .withColumn("large_carried", lit(largeCarried))
+        .withColumn("one_commit", lit(oneCommit))
+        .orderBy("k")
+    }),
+
     // S30 — STORAGE-PARTITIONED JOIN (SPJ): two GDX tables hive-
     // partitioned on the SAME key report KeyGroupedPartitioning with
     // per-file HasPartitionKey rows, so their equi-join on (p, k) —
@@ -3842,6 +3884,17 @@ object RelationalOps extends QueryModule {
       """SELECT event_id AS k, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts,
         |  event_type AS v, TRUE AS layout_ok, TRUE AS day_pruned,
         |  TRUE AS range_clustered
+        |FROM events
+        |WHERE epoch_ms(CAST(ts AS TIMESTAMP)) >= 1704412800000
+        |  AND epoch_ms(CAST(ts AS TIMESTAMP)) < 1705017600000
+        |ORDER BY k""".stripMargin,
+    // the post-bin-pack table is the whole events reduction (the
+    // rewrite moves rows between files, never changes them); ledger
+    // claims pinned TRUE
+    "s40_gdx_compact_small" ->
+      """SELECT event_id AS k, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts,
+        |  event_type AS v, TRUE AS tail_merged, TRUE AS large_carried,
+        |  TRUE AS one_commit
         |FROM events
         |WHERE epoch_ms(CAST(ts AS TIMESTAMP)) >= 1704412800000
         |  AND epoch_ms(CAST(ts AS TIMESTAMP)) < 1705017600000

@@ -34,7 +34,7 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructTyp
 object GdxMaintenanceSql {
 
   private val Optimize =
-    """(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?(?:BINPACK\s+(\d+)\s*)?\s*;?\s*$""".r
   private val Vacuum =
     """(?is)^\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val History =
@@ -90,11 +90,12 @@ object GdxMaintenanceSql {
     def unquote(ref: String): String =
       ref.stripPrefix("'").stripSuffix("'")
     if (k1 == "OPTIMIZE") sqlText match {
-      case Optimize(tbl, where, cols) =>
+      case Optimize(tbl, where, cols, smallBytes) =>
         val zorder = Option(cols).toSeq.flatMap(_.split(',').toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
         Some(GdxOptimizeCommand(ident(tbl), zorder,
-          Option(where).map(_.trim)))
+          Option(where).map(_.trim),
+          Option(smallBytes).map(_.toLong)))
       case _ => None
     } else if (k1 == "VACUUM") sqlText match {
       case Vacuum(tbl, retain) =>
@@ -256,7 +257,8 @@ object GdxMaintenanceSql {
   * run time (provider must be the GDX source; the path comes from its
   * declared OPTIONS). */
 case class GdxOptimizeCommand(table: Seq[String], zorderBy: Seq[String],
-                              where: Option[String] = None)
+                              where: Option[String] = None,
+                              binpackBytes: Option[Long] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
@@ -266,7 +268,17 @@ case class GdxOptimizeCommand(table: Seq[String], zorderBy: Seq[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GdxMaintenanceSql.gdxPathOf(spark, table, "OPTIMIZE")
+    // BINPACK is its own maintenance mode: rewrite only the small-file
+    // tail — combining it with WHERE/ZORDER would blur which files the
+    // statement promises to (not) touch
+    if (binpackBytes.isDefined && (where.isDefined || zorderBy.nonEmpty))
+      throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" ->
+          "OPTIMIZE: BINPACK cannot be combined with WHERE or ZORDER BY"))
     val (before, after) = (where, zorderBy) match {
+      case _ if binpackBytes.isDefined =>
+        graft.sources.GdxSource.compactSmall(spark, path,
+          binpackBytes.get)
       // WHERE + ZORDER in one statement would re-cluster a slice with
       // no whole-table curve — refuse rather than publish a layout the
       // zone maps can't honor

@@ -1443,6 +1443,81 @@ object GdxSource {
       else Some((before, snapshotReader(spark, dir, readV).coalesce(target)))
     }
 
+  /** BIN-PACKING OPTIMIZE — rewrite ONLY the small-file tail (and any
+    * DV-carrying file), carry every file at or above `smallBytes` by
+    * reference. This is what OPTIMIZE must mean at 100 TB: a table's
+    * steady state is a few thousand large immutable files plus the
+    * small-file tail today's commits landed, and maintenance cost has
+    * to track the TAIL, not the table — the full [[compact]] rewrite
+    * is for layout migrations, this is for the nightly cadence. On a
+    * partitioned/transformed layout each directory compacts WITHIN
+    * itself (rewrites keep the `col=key/` prefix, so names still
+    * prove their keys and SPJ/slice contracts survive); DVs of
+    * rewritten files fold away. Groups with nothing to gain (at most
+    * `target` small DV-free files) are untouched; large files are
+    * never OPENED, only re-listed. One CAS'd checkpoint commit (the
+    * evolution-history tail and every header carry through — this is
+    * a partial rewrite, never a materialization); lost races
+    * recompute. Returns (files before, files after). */
+  def compactSmall(spark: SparkSession, dir: String,
+                   smallBytes: Long, target: Int = 1,
+                   maxRetries: Int = 10): (Int, Int) = {
+    require(smallBytes > 0 && target >= 1,
+      "gdx compactSmall: smallBytes and target must be positive")
+    val conf0 = driverConf()
+    val sconf = new SerializableHadoopConf(conf0)
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf0)
+    var attempt = 0
+    while (true) {
+      val vs = listVersions(dir, conf0)
+      require(vs.nonEmpty, s"gdx compactSmall: no snapshot under $dir")
+      val readV = vs.max
+      val entries = committedEntries(dir, conf0, readV)
+      val tblSchema = committedSchema(dir, conf0, readV)
+      val tblColmap = committedColmap(dir, conf0, readV)
+      def sizeOf(e: GdxFileEntry): Long =
+        try fs.getFileStatus(entryPath(dir, e.name)).getLen
+        catch { case _: Exception => Long.MaxValue } // unknowable: large
+      // candidates: small by bytes, or carrying a DV worth folding —
+      // grouped by their directory so the layout survives the rewrite
+      val cand = entries.filter(e =>
+        e.dv.isDefined || sizeOf(e) < smallBytes)
+      val groups = cand.groupBy(e => e.name.lastIndexOf('/') match {
+        case -1 => ""
+        case i  => e.name.substring(0, i + 1)
+      }).filter { case (_, es) =>
+        es.size > target || es.exists(_.dv.isDefined)
+      }
+      val rewriteSet = groups.values.flatten.toSeq
+      val before = entries.size
+      if (rewriteSet.isEmpty) return (before, before)
+      val rewritten = groups.toSeq.sortBy(_._1).flatMap {
+        case (prefix, es) =>
+          writeDataFiles(
+            liveFrame(spark, dir, es, tblSchema, sconf, tblColmap)
+              .drop("_file", "_pos").coalesce(target),
+            dir, tblSchema, sconf, tblColmap, prefix)
+      }
+      val rewriteNames = rewriteSet.map(_.name).toSet
+      val updated = entries.filterNot(e => rewriteNames(e.name)) ++
+        rewritten
+      val lines = headerLines(tblSchema,
+        committedConstraints(dir, conf0, readV), tblColmap,
+        committedPartitionCol(dir, conf0, readV)) ++
+        updated.sortBy(_.name).map(_.manifestLine)
+      if (publishExclusive(fs, conf0, manifestFor(dir, readV + 1), lines)) {
+        writeLines(fs, manifest(dir), lines)
+        return (before, updated.size)
+      }
+      attempt += 1 // lost the race; orphan rewrites await vacuum
+      if (attempt > maxRetries) throw new GdxConcurrentModificationException(
+        s"gdx compactSmall: lost the publish race $maxRetries times " +
+          s"on $dir")
+    }
+    (-1, -1) // unreachable
+  }
+
   /** The `<partitionCol> = <n>` / `<partitionCol> IN (n, ...)` slice
     * predicate shared by the replaceWhere write option and
     * `OPTIMIZE ... WHERE` — anything richer is refused loudly (the
@@ -2208,7 +2283,8 @@ object GdxSource {
   private def writeDataFiles(rows: org.apache.spark.sql.DataFrame,
                              dirStr: String, tblSchema: StructType,
                              sconf: SerializableHadoopConf,
-                             colmap: Option[Colmap] = None)
+                             colmap: Option[Colmap] = None,
+                             namePrefix: String = "")
       : Seq[GdxFileEntry] = {
     val types = tblSchema.fields.map(_.dataType)
     // physical slot -> logical field (-1 = dead slot, written \N)
@@ -2221,10 +2297,13 @@ object GdxSource {
     val extIdx: Array[Int] = tblSchema.fields.zipWithIndex.drop(1)
       .collect { case (f, i)
           if f.dataType == LongType || f.dataType == DoubleType => i }
+    // a `col=key/` prefix keeps a partitioned rewrite INSIDE its
+    // directory, so the name still proves its key (SPJ, slices)
+    val pfx = namePrefix
     rows.rdd.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
-        val name = s"upd-${java.util.UUID.randomUUID}.gdx"
+        val name = s"${pfx}upd-${java.util.UUID.randomUUID}.gdx"
         val p = GdxSource.entryPath(dirStr, name)
         val fs = p.getFileSystem(sconf.conf)
         val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
