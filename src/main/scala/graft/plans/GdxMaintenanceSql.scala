@@ -34,7 +34,7 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructTyp
 object GdxMaintenanceSql {
 
   private val Optimize =
-    """(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?(?:BINPACK\s+(\d+)\s*)?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*(?:BINPACK\s+(\d+)\s*)?\s*;?\s*$""".r
   private val Vacuum =
     """(?is)^\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val History =
@@ -275,6 +275,12 @@ case class GdxOptimizeCommand(table: Seq[String], zorderBy: Seq[String],
       throw new org.apache.spark.sql.AnalysisException(
         "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" ->
           "OPTIMIZE: BINPACK cannot be combined with WHERE or ZORDER BY"))
+    // validated HERE so every malformed OPTIMIZE surfaces on the same
+    // AnalysisException error class, never a raw require failure
+    if (binpackBytes.exists(_ <= 0))
+      throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_USER_RAISED_EXCEPTION", Map("errorMessage" ->
+          "OPTIMIZE: BINPACK wants a positive byte threshold"))
     val (before, after) = (where, zorderBy) match {
       case _ if binpackBytes.isDefined =>
         graft.sources.GdxSource.compactSmall(spark, path,

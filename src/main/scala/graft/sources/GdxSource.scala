@@ -1474,37 +1474,62 @@ object GdxSource {
       require(vs.nonEmpty, s"gdx compactSmall: no snapshot under $dir")
       val readV = vs.max
       val entries = committedEntries(dir, conf0, readV)
-      val tblSchema = committedSchema(dir, conf0, readV)
-      val tblColmap = committedColmap(dir, conf0, readV)
-      def sizeOf(e: GdxFileEntry): Long =
+      // ONE manifest read supplies every header (a delta manifest
+      // carries them too); committedEntries above still resolves the
+      // delta chain for the file list
+      val md = readManifest(fs, manifestFor(dir, readV))
+      val tblSchema = md.schema.getOrElse(schema)
+      val tblColmap = md.colmap
+      // sizes from ONE listing per directory (the steady-state table
+      // this targets has thousands of entries — per-entry
+      // getFileStatus RPCs would dominate); absolute (clone-ref)
+      // names fall back to a direct stat
+      val sized: Map[String, Long] = entries.map(e =>
+        e.name.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => e.name.substring(0, i + 1)
+        }).distinct.flatMap { pre =>
+        val d = if (pre.isEmpty) base else new Path(base, pre)
+        try fs.listStatus(d).toSeq
+          .map(st => s"$pre${st.getPath.getName}" -> st.getLen)
+        catch { case _: Exception => Seq.empty }
+      }.toMap
+      def sizeOf(e: GdxFileEntry): Long = sized.getOrElse(e.name,
         try fs.getFileStatus(entryPath(dir, e.name)).getLen
-        catch { case _: Exception => Long.MaxValue } // unknowable: large
+        catch { case _: Exception => Long.MaxValue }) // unknowable: large
       // candidates: small by bytes, or carrying a DV worth folding —
-      // grouped by their directory so the layout survives the rewrite
+      // grouped by their directory so the layout survives the rewrite.
+      // The threshold doubles as the TARGET BIN SIZE: a directory
+      // whose tail totals many times smallBytes splits into
+      // ~smallBytes output files instead of one unbounded merge, and
+      // a group that would not shrink (and folds no DV) is untouched.
       val cand = entries.filter(e =>
         e.dv.isDefined || sizeOf(e) < smallBytes)
       val groups = cand.groupBy(e => e.name.lastIndexOf('/') match {
         case -1 => ""
         case i  => e.name.substring(0, i + 1)
-      }).filter { case (_, es) =>
-        es.size > target || es.exists(_.dv.isDefined)
+      }).toSeq.map { case (prefix, es) =>
+        val bins = math.max(target, math.min(es.size.toLong,
+          (es.map(sizeOf).sum + smallBytes - 1) / smallBytes).toInt)
+        (prefix, es, bins)
+      }.filter { case (_, es, bins) =>
+        es.exists(_.dv.isDefined) || es.size > bins
       }
-      val rewriteSet = groups.values.flatten.toSeq
+      val rewriteSet = groups.flatMap(_._2)
       val before = entries.size
       if (rewriteSet.isEmpty) return (before, before)
-      val rewritten = groups.toSeq.sortBy(_._1).flatMap {
-        case (prefix, es) =>
+      val rewritten = groups.sortBy(_._1).flatMap {
+        case (prefix, es, bins) =>
           writeDataFiles(
             liveFrame(spark, dir, es, tblSchema, sconf, tblColmap)
-              .drop("_file", "_pos").coalesce(target),
+              .drop("_file", "_pos").coalesce(bins),
             dir, tblSchema, sconf, tblColmap, prefix)
       }
       val rewriteNames = rewriteSet.map(_.name).toSet
       val updated = entries.filterNot(e => rewriteNames(e.name)) ++
         rewritten
-      val lines = headerLines(tblSchema,
-        committedConstraints(dir, conf0, readV), tblColmap,
-        committedPartitionCol(dir, conf0, readV)) ++
+      val lines = headerLines(tblSchema, md.checks, tblColmap,
+        md.partitionCol) ++
         updated.sortBy(_.name).map(_.manifestLine)
       if (publishExclusive(fs, conf0, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
@@ -2297,13 +2322,12 @@ object GdxSource {
     val extIdx: Array[Int] = tblSchema.fields.zipWithIndex.drop(1)
       .collect { case (f, i)
           if f.dataType == LongType || f.dataType == DoubleType => i }
-    // a `col=key/` prefix keeps a partitioned rewrite INSIDE its
-    // directory, so the name still proves its key (SPJ, slices)
-    val pfx = namePrefix
     rows.rdd.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
-        val name = s"${pfx}upd-${java.util.UUID.randomUUID}.gdx"
+        // a `col=key/` prefix keeps a partitioned rewrite INSIDE its
+        // directory, so the name still proves its key (SPJ, slices)
+        val name = s"${namePrefix}upd-${java.util.UUID.randomUUID}.gdx"
         val p = GdxSource.entryPath(dirStr, name)
         val fs = p.getFileSystem(sconf.conf)
         val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(

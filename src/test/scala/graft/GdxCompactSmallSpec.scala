@@ -68,6 +68,27 @@ class GdxCompactSmallSpec extends SparkSuite {
     assert(GdxSource.listVersions(dir, conf).max === v)
   }
 
+  test("the threshold doubles as the target bin size: an oversized " +
+      "tail splits instead of merging unbounded; a no-gain group is " +
+      "a no-op") {
+    val dir = freshDir("bins")
+    for (i <- 0 until 4)
+      (0L until 1000L).map(k => (i * 10000L + k, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.format(fmt).option("path", dir)
+        .mode(if (i == 0) "overwrite" else "append").save()
+    val s0 = GdxSource.committedEntries(dir, conf)
+      .map(e => new java.io.File(dir, e.name).length()).max
+    // threshold ≈ 2 files: the 4-file tail packs into 2 bins, not 1
+    val (b, a) = GdxSource.compactSmall(spark, dir, 2 * s0)
+    assert(b === 4 && a === 2, s"($b, $a)")
+    assert(read(dir).count() === 4000L)
+    // threshold ≈ 1 file: 2 clean files of ~2 bins each — rewriting
+    // would not shrink, so nothing happens and no version publishes
+    val v = GdxSource.listVersions(dir, conf).max
+    assert(GdxSource.compactSmall(spark, dir, s0 + 1) === ((2, 2)))
+    assert(GdxSource.listVersions(dir, conf).max === v)
+  }
+
   test("partitioned layouts compact WITHIN their directories: names " +
       "keep proving keys, slices and layout survive") {
     val dir = freshDir("part")
