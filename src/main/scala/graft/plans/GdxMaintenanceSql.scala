@@ -463,7 +463,12 @@ class GdxShowChangesRule(spark: SparkSession)
         .resolveVersionRef(path, conf, fromRef)
       val to = toRef
         .map(graft.sources.GdxSource.resolveVersionRef(path, conf, _))
-        .getOrElse(graft.sources.GdxSource.listVersions(path, conf).max)
+        .getOrElse {
+          val vs = graft.sources.GdxSource.listVersions(path, conf)
+          require(vs.nonEmpty,
+            s"gdx SHOW CHANGES: no committed snapshot under $path")
+          vs.max
+        }
       graft.sources.GdxSource.tableChanges(spark, path, fromV, to)
         .queryExecution.analyzed
   }
@@ -527,9 +532,17 @@ case class GdxCloneCommand(dst: Seq[String], src: Seq[String],
     // LOCATION form: register the clone in the session catalog so it
     // is queryable by name (plain CREATE TABLE USING delegates through
     // the wrapper untouched — no re-entry into the CLONE grammar)
-    if (location.isDefined)
-      spark.sql(s"CREATE TABLE ${dst.map(p => s"`$p`").mkString(".")} " +
-        s"USING graft.sources.GdxSource OPTIONS (path '$dstDir')")
+    // quote-escape both sides of the registration statement: an
+    // identifier part containing a backtick doubles it, and the
+    // location string escapes backslash-then-quote (Spark's default
+    // string-literal escaping) — a path with a quote must register
+    // the committed clone, not produce a malformed/injectable SQL
+    if (location.isDefined) {
+      val ident = dst.map(p => s"`${p.replace("`", "``")}`").mkString(".")
+      val loc = dstDir.replace("\\", "\\\\").replace("'", "\\'")
+      spark.sql(s"CREATE TABLE $ident " +
+        s"USING graft.sources.GdxSource OPTIONS (path '$loc')")
+    }
     val n = graft.sources.GdxSource.committedEntries(dstDir,
       graft.sources.GdxSource.driverConf()).size
     Seq(Row(v.toLong, n.toLong, dstDir))

@@ -693,9 +693,17 @@ object GdxSource {
     * absolute (scheme-qualified) references into the source table and
     * resolve to themselves. */
   private[graft] def entryPath(dir: String, name: String): Path = {
-    val p = new Path(name)
-    if (p.isAbsolute || p.toUri.getScheme != null) p
+    if (isAbsoluteName(name)) new Path(name)
     else new Path(dir, name)
+  }
+
+  /** Whether a manifest entry name is an absolute (scheme-qualified)
+    * reference — a SHALLOW CLONE's pointer into its source table.
+    * Every rewrite surface must treat these specially: new files they
+    * produce belong under the CLONE's root, never the source's. */
+  private[graft] def isAbsoluteName(name: String): Boolean = {
+    val p = new Path(name)
+    p.isAbsolute || p.toUri.getScheme != null
   }
 
   def manifest(path: String) = new Path(path, "_manifest")
@@ -1505,13 +1513,38 @@ object GdxSource {
       // a group that would not shrink (and folds no DV) is untouched.
       val cand = entries.filter(e =>
         e.dv.isDefined || sizeOf(e) < smallBytes)
-      val groups = cand.groupBy(e => e.name.lastIndexOf('/') match {
-        case -1 => ""
-        case i  => e.name.substring(0, i + 1)
-      }).toSeq.map { case (prefix, es) =>
-        val bins = math.max(target, math.min(es.size.toLong,
-          (es.map(sizeOf).sum + smallBytes - 1) / smallBytes).toInt)
-        (prefix, es, bins)
+      // A clone-ref (absolute) entry must NEVER be rewritten into the
+      // source's directory: its absolute prefix would become the
+      // output's namePrefix and the new files would land in the SOURCE
+      // table — unreferenced by the source's manifests, so a routine
+      // source-side VACUUM would reap them and the clone would lose
+      // committed rows. Localize such entries under the CLONE's own
+      // root instead, keeping the `col=key/` component when the source
+      // directory carries one (the name keeps proving its key).
+      def groupPrefix(e: GdxFileEntry): String = {
+        val pre = e.name.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => e.name.substring(0, i + 1)
+        }
+        if (!isAbsoluteName(e.name)) pre
+        else {
+          val trimmed = pre.stripSuffix("/")
+          val seg = trimmed.substring(trimmed.lastIndexOf('/') + 1)
+          if (seg.contains('=')) seg + "/" else ""
+        }
+      }
+      // each term capped at smallBytes (the unknowable-size sentinel is
+      // Long.MaxValue) and the sum saturates, so the bin count can
+      // never collapse to 1 through signed overflow
+      def binSize(e: GdxFileEntry): Long = math.min(sizeOf(e), smallBytes)
+      val groups = cand.groupBy(groupPrefix).toSeq.map {
+        case (prefix, es) =>
+          val total = es.foldLeft(0L)((a, e) =>
+            if (a > Long.MaxValue - binSize(e)) Long.MaxValue
+            else a + binSize(e))
+          val bins = math.max(target, math.min(es.size.toLong,
+            (total + smallBytes - 1) / smallBytes).toInt)
+          (prefix, es, bins)
       }.filter { case (_, es, bins) =>
         es.exists(_.dv.isDefined) || es.size > bins
       }

@@ -103,6 +103,41 @@ class GdxCloneCdfSqlSpec extends SparkSuite {
     } finally c.sql("DROP TABLE IF EXISTS gdxcc_src")
   }
 
+  test("SHOW CHANGES on a never-committed table fails loudly, not " +
+      "with a raw empty.max") {
+    val dir = freshDir("empty")
+    s.sql(s"""CREATE TABLE gdxcc_empty (k BIGINT, v STRING)
+      USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+    try {
+      val e = intercept[Exception] {
+        s.sql("SHOW CHANGES gdxcc_empty FROM 0").collect()
+      }
+      assert(e.getMessage.contains("SHOW CHANGES") &&
+        e.getMessage.contains("no committed snapshot"), e.getMessage)
+    } finally s.sql("DROP TABLE IF EXISTS gdxcc_empty")
+  }
+
+  test("a LOCATION containing a quote registers the clone safely " +
+      "(no malformed or injectable registration SQL)") {
+    val dir = freshDir("clq")
+    Seq((1L, "a")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    s.sql(s"""CREATE TABLE gdxcc_srcq (k BIGINT, v STRING)
+      USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+    val loc = java.nio.file.Files.createTempDirectory("gdxcc_q")
+      .toString + "/it's a fork"
+    try {
+      // the command is exercised directly: the quote lives in the
+      // RESOLVED location, which is where the old interpolation broke
+      graft.plans.GdxCloneCommand(
+        Seq("gdxcc_forkq"), Seq("gdxcc_srcq"), None, Some(loc)).run(s)
+      assert(s.sql("SELECT v FROM gdxcc_forkq").head.getString(0) === "a")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS gdxcc_forkq")
+      s.sql("DROP TABLE IF EXISTS gdxcc_srcq")
+    }
+  }
+
   test("TRUNCATE TABLE publishes an empty commit; history and the " +
       "partition layout survive") {
     val dir = freshDir("trunc")

@@ -110,6 +110,42 @@ class GdxCompactSmallSpec extends SparkSuite {
     assert(cb >= 0 && ca >= 0)
   }
 
+  test("clone refs are NEVER rewritten into the source directory: " +
+      "BINPACK localizes them under the clone's own root, keeping " +
+      "the partition component") {
+    val src = freshDir("clsrc")
+    (0L until 60L).map(k => (k, s"v$k", k % 2)).toDF("k", "v", "p")
+      .repartition(3).write.format(fmt).option("path", src)
+      .option("partitionBy", "p").mode("overwrite").save()
+    val clone = freshDir("cldst")
+    GdxSource.cloneShallow(src, clone)
+    // clone-local DV attached to ABSOLUTE (source-referencing) entries
+    GdxSource.delete(spark, clone, col("k") < 5L)
+    def srcListing: Set[String] = {
+      def walk(d: java.io.File): Seq[String] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f.getPath))
+      walk(new java.io.File(src)).toSet
+    }
+    val srcBefore = srcListing
+    val (b, a) = GdxSource.compactSmall(spark, clone, 1L << 20)
+    assert(b >= a && a === 2, s"($b, $a)") // one localized file per p=
+    // the clone-local DVs folded away with the localization
+    assert(GdxSource.committedEntries(clone, conf).forall(_.dv.isEmpty))
+    // the source directory gained NOTHING - the rewrite landed in the
+    // clone, where its files are referenced and vacuum-safe
+    assert(srcListing === srcBefore)
+    val ns = names(clone)
+    assert(ns.forall(n => !GdxSource.isAbsoluteName(n) &&
+      n.matches("p=\\d+/.*")), ns.toString)
+    assert(read(clone).count() === 55L)
+    // the decisive check: a routine source-side VACUUM reaps nothing
+    // (the bug wrote upd files into src, unreferenced by src manifests)
+    assert(GdxSource.vacuum(src, conf) === 0)
+    assert(read(clone).count() === 55L)
+    assert(read(src).count() === 60L)
+  }
+
   test("SQL front door: OPTIMIZE t BINPACK n; refused with WHERE or " +
       "ZORDER") {
     val dir = freshDir("sql")
