@@ -3142,6 +3142,71 @@ object RelationalOps extends QueryModule {
       }
     }),
 
+    // C34 — FIRST-CLASS TYPED COLUMNS in the GDX format: a (DATE,
+    // TIMESTAMP, DECIMAL(12,2), BOOLEAN) table declared through the
+    // catalog, loaded from orders, mutated by typed SQL DML (an UPDATE
+    // keyed on a DATE predicate, a DELETE on an exact-DECIMAL compare),
+    // time-traveled back to the pre-DML snapshot, and zone-map-pruned
+    // on the DATE column — the proof the lakehouse tier works on real
+    // column shapes, not just {long,string,double} (the reference's own
+    // core columns are DATE + NUMERIC, /root/reference/sql/
+    // create_tables.sql:5-7). Cells store ORDER-PRESERVING canonical
+    // forms (epoch-day / epoch-micros / plain decimal text), so the
+    // same manifest zone maps that prune BIGINT keys prune dates: the
+    // `date_pruned` claim pins that a d < cutoff scan PLANS fewer
+    // files than the snapshot holds on a range-clustered layout. At
+    // 100 TB this is the difference between scanning a decade and
+    // scanning a quarter.
+    "c34_gdx_typed_columns" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxtyp_")
+      val gdx = graft.sources.GdxSource
+      val cat = "gdx_c34"
+      val c = graft.Sessions.pinned(s,
+        s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+        s"spark.sql.catalog.$cat.warehouse" -> wh)
+      c.sql(s"CREATE NAMESPACE $cat.lab")
+      c.sql(s"""CREATE TABLE $cat.lab.typed (k BIGINT, d DATE,
+        ts TIMESTAMP, amt DECIMAL(12,2), flag BOOLEAN, v STRING)""")
+      val rows = Tables.orders(c, d).select(
+        col("o_orderkey").as("k"),
+        to_date(col("o_orderdate")).as("d"),
+        (to_date(col("o_orderdate")).cast("timestamp") +
+          expr("make_interval(0,0,0,0,0,0, o_orderkey % 86400)")).as("ts"),
+        // decimal built from INTEGER parts via exact string parse —
+        // never from a double cast, whose tie rounding is
+        // engine-specific
+        concat(col("o_custkey").cast("string"), lit("."),
+          lpad((col("o_orderkey") % 100).cast("string"), 2, "0"))
+          .cast("decimal(12,2)").as("amt"),
+        (col("o_orderkey") % 2 === 0).as("flag"),
+        col("o_orderpriority").as("v"))
+        // date-range clustering: what makes the pruning claim REAL —
+        // each file's d-range is narrow, so a date predicate provably
+        // skips files
+        .repartitionByRange(8, col("d"))
+      graft.Sessions.insertInto(c, rows, s"$cat.lab.typed") // v2
+      val dir = s"$wh/lab/typed"
+      val preV = gdx.listVersions(dir, gdx.driverConf()).max
+      val total = c.table(s"$cat.lab.typed").count()
+      // typed DML through the SQL front door (DATE literal predicate,
+      // boolean NOT, exact-decimal compare)
+      c.sql(s"""UPDATE $cat.lab.typed SET flag = NOT flag
+        WHERE d < DATE'1996-01-01'""")
+      c.sql(s"""DELETE FROM $cat.lab.typed
+        WHERE v = '1-URGENT' AND amt < CAST(500 AS DECIMAL(12,2))""")
+      // the pre-DML snapshot still reads whole under time travel
+      val ttOk = c.sql(s"SELECT count(*) FROM $cat.lab.typed " +
+        s"VERSION AS OF $preV").head.getLong(0) == total
+      // zone maps prune on the DATE column's canonical epoch-day stats
+      val (kept, all) = gdx.plannedFiles(dir, Seq(
+        org.apache.spark.sql.sources.LessThan("d",
+          java.sql.Date.valueOf("1994-01-01"))))
+      c.table(s"$cat.lab.typed")
+        .withColumn("tt_ok", lit(ttOk))
+        .withColumn("date_pruned", lit(kept < all))
+        .orderBy("k")
+    }),
+
     // C16 — CHANGEFEED-MAINTAINED MATERIALIZED VIEW: the full
     // composition of the engine's table format and MV tiers. A summary
     // is registered over an EMPTY GDX table, the events keyset lands
@@ -4167,6 +4232,25 @@ object RelationalOps extends QueryModule {
         |SELECT k, v, w, TRUE AS merge_ok FROM (
         |  SELECT * FROM m UNION ALL SELECT * FROM i
         |  UNION ALL SELECT * FROM nb)
+        |ORDER BY k""".stripMargin,
+    // the typed table recomputed relationally: same integer-part
+    // decimal construction, the UPDATE as a CASE on the date, the
+    // DELETE as a NOT filter; claims pinned TRUE
+    "c34_gdx_typed_columns" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+        |    + (o_orderkey % 86400) * INTERVAL 1 SECOND AS ts,
+        |  CAST(o_custkey || '.' ||
+        |    lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+        |    AS DECIMAL(12,2)) AS amt,
+        |  o_orderkey % 2 = 0 AS flag,
+        |  o_orderpriority AS v FROM orders),
+        |upd AS (SELECT k, d, ts, amt,
+        |  CASE WHEN d < DATE '1996-01-01' THEN NOT flag ELSE flag END
+        |    AS flag, v FROM base)
+        |SELECT k, d, ts, amt, flag, v, TRUE AS tt_ok, TRUE AS date_pruned
+        |FROM upd WHERE NOT (v = '1-URGENT' AND amt < 500)
         |ORDER BY k""".stripMargin,
     "c18_gdx_sql_dml" ->
       """WITH base AS (SELECT event_id AS k, event_type AS v FROM events),

@@ -165,8 +165,9 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
 
   /** The format's declaration contract, shared by CREATE TABLE and the
     * staged (atomic CTAS/RTAS) paths: key-first BIGINT schema, the
-    * three storable types, and a validated partition spec. Returns the
-    * spec's raw manifest text. */
+    * storable types ([[GdxSource.typeNameOf]] — BIGINT, STRING,
+    * DOUBLE, DATE, TIMESTAMP, BOOLEAN, DECIMAL(p,s)), and a validated
+    * partition spec. Returns the spec's raw manifest text. */
   private def validateDeclaration(schema: StructType,
                                   partitions: Array[Transform])
       : Option[String] = {
@@ -175,9 +176,14 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
         s"BIGINT (got ${if (schema.isEmpty) "no columns"
         else schema.head.dataType.catalogString})")
     schema.fields.foreach { f =>
-      require(Seq(LongType, StringType, DoubleType).contains(f.dataType),
-        s"gdx catalog: unsupported column type ${f.dataType.catalogString}" +
-          s" for ${f.name} - the format stores BIGINT, STRING, DOUBLE")
+      try GdxSource.typeNameOf(f.dataType) catch {
+        case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"gdx catalog: unsupported column type " +
+              s"${f.dataType.catalogString} for ${f.name} - the format " +
+              "stores BIGINT, STRING, DOUBLE, DATE, TIMESTAMP, BOOLEAN, " +
+              "DECIMAL(p,s)")
+      }
       require(!f.name.exists(c => c == '\t' || c == ':' || c == ','),
         s"gdx catalog: illegal column name '${f.name}'")
     }

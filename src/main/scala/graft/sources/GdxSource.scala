@@ -358,23 +358,257 @@ object GdxSource {
     * aggregates stay valid across every evolution. Manifests without a
     * schema line (pre-evolution directories) read as the classic
     * schema — full back-compat. */
-  private val typeNames: Map[DataType, String] = Map(
-    LongType -> "long", StringType -> "string", DoubleType -> "double")
-  private val namedTypes: Map[String, DataType] =
-    typeNames.map(_.swap)
+  /** Manifest type vocabulary. Beyond the classic {long, string,
+    * double}, the format stores DATE (as its epoch-day ordinal),
+    * TIMESTAMP (epoch-micros — Catalyst's own internal form, so the
+    * DSv2 reader materializes it without conversion), BOOLEAN
+    * (true/false), and exact DECIMAL(p,s) (plain, non-scientific
+    * text — the only new type whose stats compare as big decimals
+    * rather than longs). Every cell encoding is ORDER-PRESERVING in
+    * its numeric form, which is what lets zone maps, partition
+    * transforms, and metadata aggregates treat typed columns exactly
+    * like longs. */
+  private[graft] def typeNameOf(dt: DataType): String = dt match {
+    case LongType       => "long"
+    case StringType     => "string"
+    case DoubleType     => "double"
+    case DateType       => "date"
+    case TimestampType  => "timestamp"
+    case BooleanType    => "boolean"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"gdx: unsupported column type $other")
+  }
+  private val DecimalNameRe = """decimal\((\d+),(\d+)\)""".r
+  private[graft] def namedType(t: String): DataType = t match {
+    case "long"      => LongType
+    case "string"    => StringType
+    case "double"    => DoubleType
+    case "date"      => DateType
+    case "timestamp" => TimestampType
+    case "boolean"   => BooleanType
+    case DecimalNameRe(p, s) => org.apache.spark.sql.types
+      .DecimalType(p.toInt, s.toInt)
+    case _ => throw new IllegalArgumentException(s"gdx: unknown type $t")
+  }
 
   private[graft] def schemaSpec(st: StructType): String =
-    st.fields.map(f => s"${f.name}:${typeNames.getOrElse(f.dataType,
-      throw new IllegalArgumentException(
-        s"gdx: unsupported column type ${f.dataType} for ${f.name}"))}")
-      .mkString(",")
+    st.fields.map { f =>
+      val tn = try typeNameOf(f.dataType) catch {
+        case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"gdx: unsupported column type ${f.dataType} for ${f.name}")
+      }
+      s"${f.name}:$tn"
+    }.mkString(",")
 
-  private[graft] def parseSchemaSpec(s: String): StructType =
-    StructType(s.split(',').map { fld =>
-      val Array(n, t) = fld.split(':')
-      StructField(n, namedTypes.getOrElse(t,
-        throw new IllegalArgumentException(s"gdx: unknown type $t")))
+  private[graft] def parseSchemaSpec(s: String): StructType = {
+    // split on TOP-LEVEL commas only: `decimal(12,2)` carries one
+    val fields = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '('               => depth += 1
+        case ')'               => depth -= 1
+        case ',' if depth == 0 => fields += s.substring(start, i)
+                                  start = i + 1
+        case _                 => ()
+      }
+      i += 1
+    }
+    fields += s.substring(start)
+    StructType(fields.result().map { fld =>
+      val j = fld.indexOf(':')
+      require(j > 0, s"gdx: unparseable schema field '$fld'")
+      StructField(fld.substring(0, j), namedType(fld.substring(j + 1)))
     })
+  }
+
+  // ------------------------------------------------- typed-cell codecs
+  // One canonical text form per type (scaladoc at [[typeNameOf]]);
+  // every read/write surface — the DSv2 reader/writer (Catalyst
+  // internal forms), the DML substrate and changefeed (external Row
+  // forms) — goes through these four functions, so a new type is
+  // added in exactly one place.
+  import org.apache.spark.sql.catalyst.util.DateTimeUtils
+
+  /** Parse one cell into its Catalyst INTERNAL form (what a
+    * PartitionReader emits): Int days, Long micros, Decimal,
+    * Boolean, UTF8String. */
+  private[graft] def parseInternalCell(dt: DataType, s: String): Any =
+    dt match {
+      case LongType       => s.toLong
+      case DoubleType     => s.toDouble
+      case DateType       => s.toInt
+      case TimestampType  => s.toLong
+      case BooleanType    => s.toBoolean
+      case d: DecimalType =>
+        Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
+      case _              => UTF8String.fromString(s)
+    }
+
+  /** Parse one cell into its EXTERNAL (Row) form — what
+    * `createDataFrame(rdd, schema)` converts: LocalDate / Instant /
+    * java BigDecimal / boxed primitives. */
+  private[graft] def parseExternalCell(dt: DataType, s: String): Any =
+    dt match {
+      case LongType       => Long.box(s.toLong)
+      case DoubleType     => Double.box(s.toDouble)
+      case DateType       => java.time.LocalDate.ofEpochDay(s.toLong)
+      case TimestampType  => DateTimeUtils.microsToInstant(s.toLong)
+      case BooleanType    => Boolean.box(s.toBoolean)
+      case d: DecimalType => new java.math.BigDecimal(s).setScale(d.scale)
+      case _              => s
+    }
+
+  /** Render one INTERNAL-form cell (non-null) onto the line being
+    * written. `ctx` names the writing surface in the unescapable-
+    * string error. */
+  private[graft] def appendInternalCell(sb: java.lang.StringBuilder,
+      dt: DataType,
+      r: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int, ctx: String, field: String): Unit = dt match {
+    case LongType       => sb.append(r.getLong(i)); ()
+    case DoubleType     => sb.append(r.getDouble(i)); ()
+    case DateType       => sb.append(r.getInt(i)); ()
+    case TimestampType  => sb.append(r.getLong(i)); ()
+    case BooleanType    => sb.append(r.getBoolean(i)); ()
+    case d: DecimalType =>
+      sb.append(r.getDecimal(i, d.precision, d.scale)
+        .toJavaBigDecimal.toPlainString); ()
+    case _ =>
+      val s = r.getUTF8String(i).toString
+      require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
+        s.indexOf('\r') < 0 && s != NullMarker,
+        s"gdx $ctx: string field $field must not contain " +
+          "tab/newline or the \\N null marker (unescaped line format)")
+      sb.append(s); ()
+  }
+
+  /** Render one EXTERNAL-form cell (non-null): external Rows carry
+    * either the java.sql or the java.time flavor depending on the
+    * session's datetime-API setting — both are accepted. */
+  private[graft] def appendExternalCell(sb: java.lang.StringBuilder,
+      dt: DataType, r: org.apache.spark.sql.Row, i: Int,
+      ctx: String, field: String): Unit = dt match {
+    case LongType   => sb.append(r.getLong(i)); ()
+    case DoubleType => sb.append(r.getDouble(i)); ()
+    case DateType   => sb.append(r.get(i) match {
+      case d: java.sql.Date        => DateTimeUtils.fromJavaDate(d)
+      case ld: java.time.LocalDate => ld.toEpochDay.toInt
+    }); ()
+    case TimestampType => sb.append(r.get(i) match {
+      case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+      case in: java.time.Instant => DateTimeUtils.instantToMicros(in)
+    }); ()
+    case BooleanType    => sb.append(r.getBoolean(i)); ()
+    case _: DecimalType =>
+      sb.append(r.getDecimal(i).toPlainString); ()
+    case _ =>
+      val s = r.getString(i)
+      require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
+        s.indexOf('\r') < 0 && s != NullMarker,
+        s"gdx $ctx: string field $field must not contain " +
+          "tab/newline or the \\N null marker (unescaped line format)")
+      sb.append(s); ()
+  }
+
+  /** Extended-stats lane of a column: 0 = long repr (LONG, DATE,
+    * TIMESTAMP, BOOLEAN — min/max tracked as longs), 1 = double,
+    * 2 = exact decimal; -1 = no stats (strings). */
+  private[graft] def extStatKind(dt: DataType): Int = dt match {
+    case LongType | DateType | TimestampType | BooleanType => 0
+    case DoubleType     => 1
+    case _: DecimalType => 2
+    case _              => -1
+  }
+
+  /** A kind-0 column's INTERNAL value as its canonical long repr. */
+  private[graft] def longReprInternal(dt: DataType,
+      r: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int): Long = dt match {
+    case LongType      => r.getLong(i)
+    case DateType      => r.getInt(i).toLong
+    case TimestampType => r.getLong(i)
+    case BooleanType   => if (r.getBoolean(i)) 1L else 0L
+    case other => throw new IllegalArgumentException(
+      s"gdx: $other has no long repr")
+  }
+
+  /** A kind-0 column's EXTERNAL value as its canonical long repr. */
+  private[graft] def longReprExternal(v: Any): Long = v match {
+    case l: java.lang.Long       => l.longValue
+    case d: java.sql.Date        => DateTimeUtils.fromJavaDate(d).toLong
+    case ld: java.time.LocalDate => ld.toEpochDay
+    case t: java.sql.Timestamp   => DateTimeUtils.fromJavaTimestamp(t)
+    case in: java.time.Instant   => DateTimeUtils.instantToMicros(in)
+    case b: java.lang.Boolean    => if (b.booleanValue) 1L else 0L
+    case other => throw new IllegalArgumentException(
+      s"gdx: $other has no long repr")
+  }
+
+  /** A pushed-filter literal as the BigDecimal its column's stats
+    * compare in — numbers as themselves, date/time literals as their
+    * canonical long repr, booleans as 0/1. None = cannot prune. */
+  private[graft] def statLiteral(w: Any): Option[BigDecimal] = w match {
+    case n: Number => try Some(BigDecimal(n.toString)) catch {
+      case _: NumberFormatException => None
+    }
+    case d: java.sql.Date =>
+      Some(BigDecimal(DateTimeUtils.fromJavaDate(d)))
+    case ld: java.time.LocalDate => Some(BigDecimal(ld.toEpochDay))
+    case t: java.sql.Timestamp =>
+      Some(BigDecimal(DateTimeUtils.fromJavaTimestamp(t)))
+    case in: java.time.Instant =>
+      Some(BigDecimal(DateTimeUtils.instantToMicros(in)))
+    case b: java.lang.Boolean =>
+      Some(BigDecimal(if (b.booleanValue) 1 else 0))
+    case _ => None
+  }
+
+  /** Streaming min/max tracker for the extended-stats columns of ONE
+    * output file, one lane per [[extStatKind]]. The NaN rule is the
+    * double lane's: a NaN POISONS the column's range for this file
+    * (Spark orders NaN above every double, so a min/max computed from
+    * the non-NaN values could wrongly prune a file whose NaN rows
+    * satisfy a > predicate) — `result` suppresses poisoned columns,
+    * and absence is never a prune. */
+  private[graft] final class ExtStatAcc(n: Int, kinds: Array[Int]) {
+    val seen = new Array[Boolean](n)
+    val nan = new Array[Boolean](n)
+    private val minL = Array.fill(n)(Long.MaxValue)
+    private val maxL = Array.fill(n)(Long.MinValue)
+    private val minD = Array.fill(n)(Double.MaxValue)
+    private val maxD = Array.fill(n)(Double.MinValue)
+    private val minB = new Array[java.math.BigDecimal](n)
+    private val maxB = new Array[java.math.BigDecimal](n)
+    def addL(e: Int, v: Long): Unit = {
+      seen(e) = true
+      if (v < minL(e)) minL(e) = v
+      if (v > maxL(e)) maxL(e) = v
+    }
+    def addD(e: Int, v: Double): Unit = {
+      seen(e) = true
+      if (java.lang.Double.isNaN(v)) nan(e) = true
+      else {
+        if (v < minD(e)) minD(e) = v
+        if (v > maxD(e)) maxD(e) = v
+      }
+    }
+    def addB(e: Int, v: java.math.BigDecimal): Unit = {
+      seen(e) = true
+      if (minB(e) == null || v.compareTo(minB(e)) < 0) minB(e) = v
+      if (maxB(e) == null || v.compareTo(maxB(e)) > 0) maxB(e) = v
+    }
+    def result(name: Int => String): Map[String, (String, String)] =
+      (0 until n).iterator.filter(e => seen(e) && !nan(e)).map { e =>
+        name(e) -> (kinds(e) match {
+          case 0 => (minL(e).toString, maxL(e).toString)
+          case 1 => (minD(e).toString, maxD(e).toString)
+          case _ => (minB(e).toPlainString, maxB(e).toPlainString)
+        })
+      }.toMap
+  }
 
   /** Line prefix carrying the snapshot's schema; written in EVERY
     * manifest (full and delta) so schema resolution is one read. */
@@ -1379,9 +1613,12 @@ object GdxSource {
         // extended per-column range check: exact decimal compare of the
         // manifest's min/max strings against the literal (BigDecimal —
         // a double-rounded compare of a large long could prune a file
-        // that actually matches). Any unparseable side (±Infinity, a
-        // legacy line, a non-numeric literal) keeps the file: absence
-        // of a provable miss is never a prune.
+        // that actually matches). Typed literals (date / timestamp /
+        // boolean) compare through their canonical long repr
+        // ([[statLiteral]] — the exact form the stats were recorded
+        // in). Any unparseable side (±Infinity, a legacy line, an
+        // unconvertible literal) keeps the file: absence of a provable
+        // miss is never a prune.
         def dec(s: String): Option[BigDecimal] =
           try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
         def extRange(c: String): Option[(BigDecimal, BigDecimal)] =
@@ -1389,9 +1626,8 @@ object GdxSource {
             dec(mn).zip(dec(mx)) }
         def cmp(c: String, w: Any)(miss: (BigDecimal, BigDecimal,
             BigDecimal) => Boolean): Boolean =
-          (extRange(c), w) match {
-            case (Some((mn, mx)), n: Number) =>
-              dec(n.toString).forall(v => !miss(mn, mx, v))
+          (extRange(c), statLiteral(w)) match {
+            case (Some((mn, mx)), Some(v)) => !miss(mn, mx, v)
             case _ => true
           }
         pushed.forall {
@@ -1414,11 +1650,8 @@ object GdxSource {
           case LessThanOrEqual(c, w)    => cmp(c, w)((mn, _, v) => mn > v)
           case org.apache.spark.sql.sources.In(c, vs) =>
             extRange(c) match {
-              case Some((mn, mx)) => vs.exists {
-                case n: Number =>
-                  dec(n.toString).forall(v => mn <= v && v <= mx)
-                case _ => true
-              }
+              case Some((mn, mx)) => vs.exists(w =>
+                statLiteral(w).forall(v => mn <= v && v <= mx))
               case None => true
             }
           case _                                  => true
@@ -2315,11 +2548,7 @@ object GdxSource {
                 val i = slots(li)
                 if (i >= fields.length ||
                     fields(i) == GdxSource.NullMarker) null
-                else dt match {
-                  case LongType   => Long.box(fields(i).toLong)
-                  case DoubleType => Double.box(fields(i).toDouble)
-                  case _          => fields(i)
-                }
+                else GdxSource.parseExternalCell(dt, fields(i))
               }
               Some(org.apache.spark.sql.Row.fromSeq(
                 name +: Long.box(idx.toLong) +: vals.toSeq))
@@ -2353,8 +2582,9 @@ object GdxSource {
     // v..v range on these stats is what keeps updated rows PRUNABLE —
     // without them every p = x query would plan every upd file forever
     val extIdx: Array[Int] = tblSchema.fields.zipWithIndex.drop(1)
-      .collect { case (f, i)
-          if f.dataType == LongType || f.dataType == DoubleType => i }
+      .collect { case (f, i) if extStatKind(f.dataType) >= 0 => i }
+    val extKinds: Array[Int] =
+      extIdx.map(i => extStatKind(tblSchema(i).dataType))
     rows.rdd.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -2366,12 +2596,7 @@ object GdxSource {
         val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
           fs.create(p, false), "UTF-8"))
         var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
-        val extSeen = new Array[Boolean](extIdx.length)
-        val extNaN = new Array[Boolean](extIdx.length)
-        val extMinL = Array.fill(extIdx.length)(Long.MaxValue)
-        val extMaxL = Array.fill(extIdx.length)(Long.MinValue)
-        val extMinD = Array.fill(extIdx.length)(Double.MaxValue)
-        val extMaxD = Array.fill(extIdx.length)(Double.MinValue)
+        val acc = new ExtStatAcc(extIdx.length, extKinds)
         try it.foreach { r =>
           val sb = new java.lang.StringBuilder
           var pSlot = 0
@@ -2379,17 +2604,8 @@ object GdxSource {
             if (pSlot > 0) sb.append('\t')
             val i = layout(pSlot)
             if (i < 0 || r.isNullAt(i)) sb.append(GdxSource.NullMarker)
-            else types(i) match {
-              case LongType   => sb.append(r.getLong(i))
-              case DoubleType => sb.append(r.getDouble(i))
-              case _ =>
-                val s = r.getString(i)
-                require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
-                  s.indexOf('\r') < 0 && s != GdxSource.NullMarker,
-                  "gdx update: string value must not contain " +
-                    "tab/newline or the \\N marker")
-                sb.append(s)
-            }
+            else appendExternalCell(sb, types(i), r, i, "update",
+              tblSchema(i).name)
             pSlot += 1
           }
           out.println(sb)
@@ -2401,28 +2617,16 @@ object GdxSource {
           while (e < extIdx.length) {
             val i = extIdx(e)
             if (!r.isNullAt(i)) {
-              extSeen(e) = true
-              if (types(i) == LongType) {
-                val v = r.getLong(i)
-                if (v < extMinL(e)) extMinL(e) = v
-                if (v > extMaxL(e)) extMaxL(e) = v
-              } else {
-                val v = r.getDouble(i)
-                if (java.lang.Double.isNaN(v)) extNaN(e) = true
-                if (v < extMinD(e)) extMinD(e) = v
-                if (v > extMaxD(e)) extMaxD(e) = v
+              extKinds(e) match {
+                case 0 => acc.addL(e, longReprExternal(r.get(i)))
+                case 1 => acc.addD(e, r.getDouble(i))
+                case _ => acc.addB(e, r.getDecimal(i))
               }
             }
             e += 1
           }
         } finally out.close()
-        val ext = extIdx.indices.iterator
-          .filter(e => extSeen(e) && !extNaN(e)).map { e =>
-          val i = extIdx(e)
-          tblSchema(i).name -> (if (types(i) == LongType)
-            (extMinL(e).toString, extMaxL(e).toString)
-          else (extMinD(e).toString, extMaxD(e).toString))
-        }.toMap
+        val ext = acc.result(e => tblSchema(extIdx(e)).name)
         Iterator((name, n, mn, mx, ext))
       }
     }.collect().toSeq.map { case (name, n, mn, mx, ext) =>
@@ -2573,11 +2777,7 @@ object GdxSource {
                 val i = slots(li)
                 if (i >= fields.length ||
                     fields(i) == GdxSource.NullMarker) null
-                else dt match {
-                  case LongType   => Long.box(fields(i).toLong)
-                  case DoubleType => Double.box(fields(i).toDouble)
-                  case _          => fields(i)
-                }
+                else GdxSource.parseExternalCell(dt, fields(i))
               }
               Some(org.apache.spark.sql.Row.fromSeq(
                 Int.box(t.version) +: kind +: vals.toSeq))
@@ -3359,15 +3559,16 @@ class GdxScanBuilder(path: String, version: Int,
     // residual set, so Spark still evaluates them row-level — the
     // parquet/Delta stats-pruning contract: skipping is an overlay,
     // never the correctness boundary.
+    def hint(w: Any): Boolean = GdxSource.statLiteral(w).isDefined
     pruneOnly = residual.filter {
-      case EqualTo(c, _: Number) if c != "k"            => true
-      case GreaterThan(c, _: Number) if c != "k"        => true
-      case GreaterThanOrEqual(c, _: Number) if c != "k" => true
-      case LessThan(c, _: Number) if c != "k"           => true
-      case LessThanOrEqual(c, _: Number) if c != "k"    => true
+      case EqualTo(c, w) if c != "k" && hint(w)            => true
+      case GreaterThan(c, w) if c != "k" && hint(w)        => true
+      case GreaterThanOrEqual(c, w) if c != "k" && hint(w) => true
+      case LessThan(c, w) if c != "k" && hint(w)           => true
+      case LessThanOrEqual(c, w) if c != "k" && hint(w)    => true
       case org.apache.spark.sql.sources.In(c, vs) if c != "k" =>
-        vs.forall(_.isInstanceOf[Number])
-      case _                                            => false
+        vs.forall(hint)
+      case _                                               => false
     }
     residual // Spark re-checks residuals post-scan; pushed ones it trusts
   }
@@ -4182,11 +4383,7 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
       val (fi, dt) = slots(i)
       vals(i) =
         if (fi >= fields.length || fields(fi) == GdxSource.NullMarker) null
-        else dt match {
-          case LongType   => fields(fi).toLong
-          case DoubleType => fields(fi).toDouble
-          case _          => UTF8String.fromString(fields(fi))
-        }
+        else GdxSource.parseInternalCell(dt, fields(fi))
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
@@ -4721,12 +4918,7 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     var rows = 0L
     var minK = Long.MaxValue
     var maxK = Long.MinValue
-    val extSeen = new Array[Boolean](extIdx.length)
-    val extNaN = new Array[Boolean](extIdx.length)
-    val extMinL = Array.fill(extIdx.length)(Long.MaxValue)
-    val extMaxL = Array.fill(extIdx.length)(Long.MinValue)
-    val extMinD = Array.fill(extIdx.length)(Double.MaxValue)
-    val extMaxD = Array.fill(extIdx.length)(Double.MinValue)
+    val ext = new GdxSource.ExtStatAcc(extIdx.length, extKinds)
     // per-LONG-column running SUM + non-null count (k included) for
     // metadata-only SUM/COUNT(col) — exact by construction; a Long
     // overflow poisons the column's entry (absence = fall back)
@@ -4738,32 +4930,26 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     val bloom = new Array[Byte](GdxBloom.Bits / 8)
 
     def entry: (String, GdxFileStats) = {
-      val ext = extIdx.indices.iterator
-        .filter(e => extSeen(e) && !extNaN(e)).map { e =>
-        val i = extIdx(e)
-        schema(i).name -> (if (schema(i).dataType == LongType)
-          (extMinL(e).toString, extMaxL(e).toString)
-        else (extMinD(e).toString, extMaxD(e).toString))
-      }.toMap
+      val extMap = ext.result(e => schema(extIdx(e)).name)
       val sums = sumIdx.indices.iterator.filterNot(sumBad).map { e =>
         schema(sumIdx(e)).name -> (sumL(e), sumN(e))
       }.toMap
-      (name, GdxFileStats(rows, minK, maxK, ext, sums))
+      (name, GdxFileStats(rows, minK, maxK, extMap, sums))
     }
   }
 
-  // extended zone maps: min/max per additional NUMERIC column (string
-  // columns are skipped — k covers the key path and long string
-  // extrema would bloat every manifest line), NULLs excluded, tracked
-  // exactly in the column's own type. A column that never sees a
-  // non-null value publishes nothing (absence = cannot prune). A NaN
-  // poisons the column's range for this file: Spark orders NaN ABOVE
-  // every double, so a min/max computed from the non-NaN values could
-  // wrongly prune a file whose NaN rows satisfy a > predicate —
-  // suppress the column's stats instead (absence = cannot prune).
+  // extended zone maps: min/max per additional ORDERABLE column
+  // (string columns are skipped — k covers the key path and long
+  // string extrema would bloat every manifest line), NULLs excluded,
+  // tracked exactly in the column's own canonical form
+  // ([[GdxSource.extStatKind]]: longs/dates/timestamps/booleans in
+  // the long lane, doubles with the NaN-poison rule, decimals as
+  // exact big decimals). A column that never sees a non-null value
+  // publishes nothing (absence = cannot prune).
   private val extIdx: Array[Int] = schema.fields.zipWithIndex.drop(1)
-    .collect { case (f, i)
-        if f.dataType == LongType || f.dataType == DoubleType => i }
+    .collect { case (f, i) if GdxSource.extStatKind(f.dataType) >= 0 => i }
+  private val extKinds: Array[Int] =
+    extIdx.map(i => GdxSource.extStatKind(schema(i).dataType))
 
   // every LONG column (k included) carries a per-file SUM + non-null
   // count; doubles are deliberately excluded — float sums are
@@ -4815,16 +5001,14 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     while (e < extIdx.length) {
       val i = extIdx(e)
       if (!r.isNullAt(i)) {
-        sink.extSeen(e) = true
-        if (schema(i).dataType == LongType) {
-          val v = r.getLong(i)
-          if (v < sink.extMinL(e)) sink.extMinL(e) = v
-          if (v > sink.extMaxL(e)) sink.extMaxL(e) = v
-        } else {
-          val v = r.getDouble(i)
-          if (java.lang.Double.isNaN(v)) sink.extNaN(e) = true
-          if (v < sink.extMinD(e)) sink.extMinD(e) = v
-          if (v > sink.extMaxD(e)) sink.extMaxD(e) = v
+        extKinds(e) match {
+          case 0 => sink.ext.addL(e,
+            GdxSource.longReprInternal(schema(i).dataType, r, i))
+          case 1 => sink.ext.addD(e, r.getDouble(i))
+          case _ =>
+            val d = schema(i).dataType.asInstanceOf[DecimalType]
+            sink.ext.addB(e,
+              r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal)
         }
       }
       e += 1
@@ -4852,17 +5036,8 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
       if (pSlot > 0) sb.append('\t')
       val i = layout(pSlot)
       if (i < 0 || r.isNullAt(i)) sb.append(GdxSource.NullMarker)
-      else schema(i).dataType match {
-        case LongType   => sb.append(r.getLong(i))
-        case DoubleType => sb.append(r.getDouble(i))
-        case _ =>
-          val s = r.getUTF8String(i).toString
-          require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
-            s.indexOf('\r') < 0 && s != GdxSource.NullMarker,
-            s"gdx write: string field ${schema(i).name} must not contain " +
-              "tab/newline or the \\N null marker (unescaped line format)")
-          sb.append(s)
-      }
+      else GdxSource.appendInternalCell(sb, schema(i).dataType, r, i,
+        "write", schema(i).name)
       pSlot += 1
     }
     sink.out.println(sb)

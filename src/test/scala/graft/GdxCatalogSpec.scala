@@ -54,9 +54,11 @@ class GdxCatalogSpec extends SparkSuite {
       // first column must be the BIGINT key
       intercept[Exception](
         s.sql(s"CREATE TABLE $cat.lab.bad (v STRING, k BIGINT)"))
-      // unsupported column types refused
+      // unsupported column types refused (TIMESTAMP/DATE/BOOLEAN/
+      // DECIMAL are first-class since the typed-column tier —
+      // GdxTypedColumnsSpec owns those; complex types stay out)
       intercept[Exception](
-        s.sql(s"CREATE TABLE $cat.lab.bad (k BIGINT, ts TIMESTAMP)"))
+        s.sql(s"CREATE TABLE $cat.lab.bad (k BIGINT, a ARRAY<BIGINT>)"))
       // partition column must exist and be BIGINT
       intercept[Exception](s.sql(
         s"CREATE TABLE $cat.lab.bad (k BIGINT, v STRING) " +
