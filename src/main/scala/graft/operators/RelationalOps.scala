@@ -3207,6 +3207,73 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // C35 — BRANCHES + WRITE-AUDIT-PUBLISH: the Iceberg-branch / Delta
+    // WAP flow on the tag machinery. A branch is a zero-copy clone
+    // INSIDE the table (`_branches/<name>.t/`) pinned against VACUUM
+    // by its ref file; `option("branch", name)` writes land there
+    // invisibly (main's count and version never move during the
+    // audit), and `ALTER TABLE ... PUBLISH BRANCH` fast-forwards main
+    // to the audited head as ONE CAS'd metadata commit — zero data
+    // files moved, the branch's schema/headers adopted with it. A
+    // concurrent main commit forces the loud conflict path instead of
+    // silently dropping anyone's write (`conflict_refused` pins it,
+    // and the risky branch's row must NOT appear in the result). At
+    // 100 TB this is how bad data stays out of production: write the
+    // nightly batch to a branch, run the audit queries, publish for
+    // the cost of one manifest.
+    "c35_gdx_branch_wap" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxwap_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      val tbl = "gdx_wap_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      s.sql(s"""CREATE TABLE $tbl (k BIGINT, v STRING, w DOUBLE)
+        USING $fmt OPTIONS (path '$dir')""")
+      try {
+        val ev = Tables.events(s, d)
+        ev.select(col("event_id").as("k"), col("event_type").as("v"),
+            round(col("value"), 6).as("w"))
+          .write.format(fmt).option("path", dir).mode("append").save() // v1
+        val mainCount = s.read.format(fmt).option("path", dir).load()
+          .count()
+        s.sql(s"ALTER TABLE $tbl CREATE BRANCH wap")
+        // WRITE: a shifted block appends and a keyed delete runs on
+        // the branch only
+        ev.filter(col("event_id") % 7 === 0)
+          .select((col("event_id") + 2000000000L).as("k"),
+            concat(lit("W_"), col("event_type")).as("v"),
+            round(col("value"), 6).as("w"))
+          .write.format(fmt).option("path", dir).option("branch", "wap")
+          .mode("append").save()
+        gdx.delete(s, gdx.branchDir(dir, "wap"), col("k") % 11 === 3)
+        // AUDIT: main is untouched while the branch diverges
+        val auditOk =
+          s.read.format(fmt).option("path", dir).load().count() ==
+            mainCount &&
+          gdx.listVersions(dir, gdx.driverConf()).max == 1
+        s.sql(s"ALTER TABLE $tbl PUBLISH BRANCH wap")
+        val publishMetaOnly =
+          gdx.listVersions(dir, gdx.driverConf()) == Seq(1, 2)
+        // CONFLICT path: a second branch loses to a concurrent main
+        // commit and its row never reaches the table
+        s.sql(s"ALTER TABLE $tbl CREATE BRANCH risky")
+        import s.implicits._
+        Seq((-2L, "RISKY", 0.0)).toDF("k", "v", "w")
+          .write.format(fmt).option("path", dir).option("branch", "risky")
+          .mode("append").save()
+        Seq((-1L, "MAIN", 0.0)).toDF("k", "v", "w")
+          .write.format(fmt).option("path", dir).mode("append").save()
+        val conflictRefused = try {
+          s.sql(s"ALTER TABLE $tbl PUBLISH BRANCH risky"); false
+        } catch { case _: Exception => true }
+        s.read.format(fmt).option("path", dir).load()
+          .withColumn("main_untouched_during_audit", lit(auditOk))
+          .withColumn("publish_meta_only", lit(publishMetaOnly))
+          .withColumn("conflict_refused", lit(conflictRefused))
+          .orderBy("k")
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     // C16 — CHANGEFEED-MAINTAINED MATERIALIZED VIEW: the full
     // composition of the engine's table format and MV tiers. A summary
     // is registered over an EMPTY GDX table, the events keyset lands
@@ -4233,6 +4300,22 @@ object RelationalOps extends QueryModule {
         |  SELECT * FROM m UNION ALL SELECT * FROM i
         |  UNION ALL SELECT * FROM nb)
         |ORDER BY k""".stripMargin,
+    // the published main recomputed relationally: base ∪ branch block,
+    // minus the branch's keyed delete, plus the conflict stage's main
+    // append; the risky branch's row must NOT appear; claims pinned
+    "c35_gdx_branch_wap" ->
+      """WITH base AS (SELECT event_id AS k, event_type AS v,
+        |  round(value, 6) AS w FROM events),
+        |br AS (SELECT event_id + 2000000000 AS k,
+        |  'W_' || event_type AS v, round(value, 6) AS w
+        |  FROM events WHERE event_id % 7 = 0),
+        |pub AS (SELECT * FROM (SELECT * FROM base UNION ALL
+        |  SELECT * FROM br) WHERE k % 11 <> 3),
+        |fin AS (SELECT * FROM pub UNION ALL
+        |  SELECT -1, 'MAIN', CAST(0.0 AS DOUBLE))
+        |SELECT k, v, w, TRUE AS main_untouched_during_audit,
+        |  TRUE AS publish_meta_only, TRUE AS conflict_refused
+        |FROM fin ORDER BY k""".stripMargin,
     // the typed table recomputed relationally: same integer-part
     // decimal construction, the UPDATE as a CASE on the date, the
     // DELETE as a NOT filter; claims pinned TRUE

@@ -59,6 +59,12 @@ object GdxMaintenanceSql {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+TAG\s+([\w.\-]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^';]+'))?\s*;?\s*$""".r
   private val DropTag =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+TAG\s+([\w.\-]+)\s*;?\s*$""".r
+  private val CreateBranch =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+BRANCH\s+([\w.\-]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^';]+'))?\s*;?\s*$""".r
+  private val DropBranch =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+BRANCH\s+([\w.\-]+)\s*;?\s*$""".r
+  private val PublishBranch =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+PUBLISH\s+BRANCH\s+([\w.\-]+)\s*;?\s*$""".r
   // materialized views — OSS Spark has no MATERIALIZED keyword, so
   // these statement shapes are free grammar (plans/MvSql)
   private val CreateMv =
@@ -165,6 +171,14 @@ object GdxMaintenanceSql {
         Some(GdxCreateTagCommand(ident(tbl), name, Option(v).map(unquote)))
       case DropTag(tbl, name) =>
         Some(GdxDropTagCommand(ident(tbl), name))
+      // branches + write-audit-publish (free grammar like tags)
+      case CreateBranch(tbl, name, v) =>
+        Some(GdxBranchCommand(ident(tbl), name, "create",
+          Option(v).map(unquote)))
+      case DropBranch(tbl, name) =>
+        Some(GdxBranchCommand(ident(tbl), name, "drop", None))
+      case PublishBranch(tbl, name) =>
+        Some(GdxBranchCommand(ident(tbl), name, "publish", None))
       case _ => None
     } else if (k1 == "CREATE" && k2 == "TABLE") sqlText match {
       // only the SHALLOW CLONE form (not in Spark's grammar — it would
@@ -437,6 +451,38 @@ case class GdxDropTagCommand(table: Seq[String], tag: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GdxMaintenanceSql.gdxPathOf(spark, table, "DROP TAG")
     Seq(Row(graft.sources.GdxSource.dropTag(path, tag)))
+  }
+}
+
+/** `ALTER TABLE <gdx> CREATE BRANCH <name> [VERSION AS OF ref]` /
+  * `DROP BRANCH <name>` / `PUBLISH BRANCH <name>` — the write-audit-
+  * publish surface ([[graft.sources.GdxSource.createBranch]] /
+  * `dropBranch` / `publishBranch`): branch invisibly, write/audit via
+  * `option("branch", name)`, fast-forward main in one CAS'd metadata
+  * commit. Returns the relevant version (create: base; publish: the
+  * new main version; drop: 1/0 existed). */
+case class GdxBranchCommand(table: Seq[String], branch: String,
+                            action: String, versionRef: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("version", LongType, nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GdxMaintenanceSql.gdxPathOf(spark, table,
+      s"${action.toUpperCase(java.util.Locale.ROOT)} BRANCH")
+    val gdx = graft.sources.GdxSource
+    val v: Long = action match {
+      case "create" =>
+        val base = versionRef.map(gdx.resolveVersionRef(path,
+          gdx.driverConf(), _)).getOrElse(-1)
+        gdx.createBranch(path, branch, base).toLong
+      case "drop"    => if (gdx.dropBranch(path, branch)) 1L else 0L
+      case "publish" => gdx.publishBranch(path, branch).toLong
+      case other => throw new IllegalArgumentException(
+        s"gdx: unknown branch action $other")
+    }
+    Seq(Row(v))
   }
 }
 

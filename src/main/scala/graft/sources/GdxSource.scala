@@ -147,16 +147,22 @@ class GdxSource extends TableProvider {
   // accept a user-declared schema (CREATE TABLE ... USING ... — the SQL
   // front door); writes/reads still validate against the manifest
   override def supportsExternalMetadata(): Boolean = true
+  // `option("branch", name)` addresses a branch's own table directory
+  // for BOTH reads and writes — the write-audit half of WAP
+  private def effectivePath(path: String, branch: String): String =
+    if (path == null || branch == null) path
+    else GdxSource.resolveBranchDir(path, branch)
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val path = options.get("path")
+    val path = effectivePath(options.get("path"), options.get("branch"))
     if (path == null) GdxSource.schema
     else GdxSource.committedSchema(path, GdxSource.driverConf(),
       GdxSource.resolveVersion(options, path))
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new GdxTable(properties.get("path"), schema,
-      GdxSource.partSpecOfTransforms(partitioning))
+    new GdxTable(
+      effectivePath(properties.get("path"), properties.get("branch")),
+      schema, GdxSource.partSpecOfTransforms(partitioning))
 }
 
 /** Hadoop Configuration is not Serializable; ship it to executors via
@@ -1754,12 +1760,18 @@ object GdxSource {
       // committed rows. Localize such entries under the CLONE's own
       // root instead, keeping the `col=key/` component when the source
       // directory carries one (the name keeps proving its key).
+      // The same rule localizes published-branch adoptions
+      // (`_branches/<name>.t/...` relative paths): anything not living
+      // in a plain `col=key/` partition directory of THIS table
+      // rewrites at the table root, keeping only the partition
+      // component when the origin directory proves one.
       def groupPrefix(e: GdxFileEntry): String = {
         val pre = e.name.lastIndexOf('/') match {
           case -1 => ""
           case i  => e.name.substring(0, i + 1)
         }
-        if (!isAbsoluteName(e.name)) pre
+        if (!isAbsoluteName(e.name) && pre.count(_ == '/') <= 1 &&
+            !pre.startsWith(BranchesDir)) pre
         else {
           val trimmed = pre.stripSuffix("/")
           val seg = trimmed.substring(trimmed.lastIndexOf('/') + 1)
@@ -3338,25 +3350,192 @@ object GdxSource {
             s"(tags: ${listTags(dir, conf).keys.toSeq.sorted
               .mkString(", ")})")))
 
+  // ------------------------------------------------------- branches
+  /** BRANCHES — WRITABLE named refs (the Iceberg branch / Delta WAP
+    * contract, reduced to manifests): a branch is a zero-copy shallow
+    * clone of one snapshot living INSIDE the table at
+    * `_branches/<name>.t/`, registered by an atomic `_branches/<name>`
+    * ref file that records the MAIN version the branch depends on —
+    * [[vacuum]] retains that version exactly like a tagged one, so the
+    * branch's absolute references can never be reclaimed under it.
+    * Write-audit-publish: write freely to the branch (appends, DML,
+    * schema evolution — all invisible on main), audit it by reading
+    * the branch, then [[publishBranch]] fast-forwards main to the
+    * audited HEAD as ONE CAS'd metadata commit. A concurrent main
+    * commit forces the loud conflict path (re-create the branch to
+    * rebase) — publish never silently drops anyone's commit. */
+  private[graft] val BranchesDir = "_branches"
+  private def branchFile(path: String, name: String): Path =
+    new Path(new Path(path, BranchesDir), name)
+  private[graft] def branchDir(path: String, name: String): String =
+    new Path(new Path(path, BranchesDir), name + ".t").toString
+
+  def createBranch(dir: String, name: String, version: Int = -1): Int = {
+    require(TagNameRe.matches(name),
+      s"gdx createBranch: invalid branch name '$name'")
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val vs = listVersions(dir, conf)
+    require(vs.nonEmpty, s"gdx createBranch: no snapshot under $dir")
+    val v = if (version >= 0) version else vs.max
+    require(vs.contains(v),
+      s"gdx createBranch: version $v is not a retained snapshot of $dir")
+    // the ref file is the atomic claim; the nested clone follows (a
+    // crash in between leaves a ref whose dir the next createBranch
+    // of the same name refuses — DROP BRANCH cleans both)
+    require(publishExclusive(fs, conf, branchFile(dir, name),
+        Seq(v.toString)),
+      s"gdx createBranch: branch '$name' already exists on $dir")
+    try cloneShallow(dir, branchDir(dir, name), v)
+    catch { case t: Throwable =>
+      fs.delete(branchFile(dir, name), false); throw t }
+    v
+  }
+
+  def listBranches(dir: String, conf: Configuration): Map[String, Int] = {
+    val bd = new Path(dir, BranchesDir)
+    val fs = bd.getFileSystem(conf)
+    if (!fs.exists(bd)) Map.empty
+    else fs.listStatus(bd).toSeq.map(_.getPath)
+      .filter(p => !p.getName.startsWith(".") && !p.getName.endsWith(".t"))
+      .flatMap { p =>
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+        try Option(in.readLine()).flatMap(_.trim.toIntOption)
+          .map(p.getName -> _)
+        finally in.close()
+      }.toMap
+  }
+
+  /** Resolve a read/write `branch` option to the branch's own table
+    * directory — loud on unknown names. */
+  private[graft] def resolveBranchDir(dir: String, name: String): String = {
+    val bs = listBranches(dir, driverConf())
+    require(bs.contains(name),
+      s"gdx: no branch '$name' on $dir (branches: " +
+        s"${bs.keys.toSeq.sorted.mkString(", ")})")
+    branchDir(dir, name)
+  }
+
+  /** DROP BRANCH: release the ref (the vacuum pin goes with it). The
+    * working directory is deleted immediately ONLY when no retained
+    * MAIN manifest references files under it — a published-but-not-
+    * yet-localized branch's files are main's data, and deleting them
+    * would tear rows out of committed snapshots. A still-referenced
+    * directory is left in place and reclaimed by [[vacuum]] once the
+    * referencing manifests age out (a full OPTIMIZE localizes the
+    * rows into main's root and accelerates that). */
+  def dropBranch(dir: String, name: String): Boolean = {
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    if (!fs.exists(branchFile(dir, name))) return false
+    fs.delete(branchFile(dir, name), false)
+    reclaimBranchDirs(dir, conf)
+    true
+  }
+
+  /** Delete `_branches/<name>.t` working directories whose ref file is
+    * gone AND which no retained main manifest references — the shared
+    * reclaim of [[dropBranch]] and [[vacuum]]. */
+  private def reclaimBranchDirs(dir: String, conf: Configuration): Unit = {
+    val fs = new Path(dir).getFileSystem(conf)
+    val bd = new Path(dir, BranchesDir)
+    if (!fs.exists(bd)) return
+    val live = listBranches(dir, conf).keySet.map(_ + ".t")
+    val dead = fs.listStatus(bd).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.endsWith(".t") &&
+        !live.contains(st.getPath.getName))
+    if (dead.isEmpty) return
+    // one pass over retained manifests names every branch dir any
+    // snapshot still depends on
+    val referenced: Set[String] = listVersions(dir, conf)
+      .flatMap(v => committedEntries(dir, conf, v))
+      .flatMap(e => e.name +: e.dv.toSeq)
+      .filter(_.startsWith(BranchesDir + "/"))
+      .map(_.split('/')(1)).toSet
+    dead.filterNot(st => referenced.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** WRITE-AUDIT-PUBLISH: fast-forward MAIN to branch `name`'s audited
+    * HEAD as ONE CAS'd metadata commit — no data file moves, ever.
+    * Branch entries referencing main's own files relativize back to
+    * their main names; branch-LOCAL files are adopted by reference
+    * under their `_branches/<name>.t/` path (vacuum's victim sweep
+    * never lists that directory, so adopted files are safe; a later
+    * OPTIMIZE localizes them into main's root). The branch's OWN
+    * headers publish with it, so schema evolution audited on the
+    * branch lands on main in the same commit. Refuses (loudly, the
+    * documented conflict path) when main has advanced past the
+    * branch's base — re-create the branch on the new head to rebase.
+    * On success the branch ref re-points to the published version
+    * (still protected by vacuum) and stays readable. Returns the new
+    * main version. */
+  def publishBranch(dir: String, name: String): Int = {
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val bases = listBranches(dir, conf)
+    val base = bases.getOrElse(name, throw new IllegalArgumentException(
+      s"gdx publishBranch: no branch '$name' on $dir (branches: " +
+        s"${bases.keys.toSeq.sorted.mkString(", ")})"))
+    val bdir = branchDir(dir, name)
+    val mainMax = (listVersions(dir, conf) :+ 0).max
+    if (mainMax != base) throw new GdxConcurrentModificationException(
+      s"gdx publishBranch: $dir advanced to version $mainMax past " +
+        s"branch '$name''s base $base - the branch no longer descends " +
+        "from main's head; re-create it on the new head to rebase " +
+        "(write-audit-publish refuses to drop anyone's commit)")
+    val bv = listVersions(bdir, conf).max
+    val qualifiedMain = fs.makeQualified(new Path(dir)).toString
+    def adopt(n: String): String =
+      if (!isAbsoluteName(n)) s"$BranchesDir/$name.t/$n"
+      else {
+        require(n.startsWith(qualifiedMain + "/"),
+          s"gdx publishBranch: branch entry $n references neither the " +
+            "branch nor its own table")
+        n.substring(qualifiedMain.length + 1)
+      }
+    val adopted = committedEntries(bdir, conf, bv)
+      .map(e => e.copy(name = adopt(e.name), dv = e.dv.map(adopt)))
+    val lines = headerLines(committedSchema(bdir, conf, bv),
+      committedConstraints(bdir, conf, bv),
+      committedColmap(bdir, conf, bv),
+      committedPartitionCol(bdir, conf, bv)) ++
+      adopted.sortBy(_.name).map(_.manifestLine)
+    val v = mainMax + 1
+    if (!publishExclusive(fs, conf, manifestFor(dir, v), lines))
+      throw new GdxConcurrentModificationException(
+        s"gdx publishBranch: version $v of $dir was claimed while " +
+          "publishing - a concurrent commit won; re-create the branch " +
+          "to rebase")
+    writeLines(fs, manifest(dir), lines) // full manifest: mirror too
+    // re-point the ref: vacuum now protects the published version
+    replaceAtomic(fs, conf, branchFile(dir, name), Seq(v.toString))
+    v
+  }
+
   /** Retention: keep the last `keepLast` snapshots PLUS every tagged
-    * version, drop other manifests, then delete every data file NO
-    * retained manifest references (the VACUUM of the manifest-table
-    * pattern). Any RETAINED delta whose predecessor manifest is being
-    * dropped is first materialized as a full checkpoint — its
-    * reconstruction chain would run through manifests about to go,
-    * and retention must never strand a delta (ascending order: a
-    * later kept delta may chain through an earlier kept version only
-    * once that one is full). Safe order: checkpoint, then old
-    * manifests, then data — a reader planning from a retained
-    * manifest never loses a file it references. Returns deleted
-    * data-file count. */
+    * version PLUS every branch-referenced base version (the ref file's
+    * recorded dependency — reclaiming it would tear the files out
+    * from under the branch's absolute references), drop other
+    * manifests, then delete every data file NO retained manifest
+    * references (the VACUUM of the manifest-table pattern). Any
+    * RETAINED delta whose predecessor manifest is being dropped is
+    * first materialized as a full checkpoint — its reconstruction
+    * chain would run through manifests about to go, and retention
+    * must never strand a delta (ascending order: a later kept delta
+    * may chain through an earlier kept version only once that one is
+    * full). Safe order: checkpoint, then old manifests, then data — a
+    * reader planning from a retained manifest never loses a file it
+    * references. Returns deleted data-file count. */
   def vacuum(path: String, conf: Configuration, keepLast: Int = 1): Int = {
     require(keepLast >= 1, "gdx vacuum: must retain at least one snapshot")
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
     val vs = listVersions(path, conf)
     if (vs.isEmpty) return 0
-    val tagged = listTags(path, conf).values.toSet
+    val tagged = listTags(path, conf).values.toSet ++
+      listBranches(path, conf).values.toSet
     val keep = (vs.takeRight(keepLast) ++ vs.filter(tagged)).distinct.sorted
     val keepSet = keep.toSet
     keep.foreach { v =>
@@ -3396,6 +3575,9 @@ object GdxSource {
         })
     }
     victims.foreach { case (st, _) => fs.delete(st.getPath, false) }
+    // dropped branches' working dirs reclaim once nothing retained
+    // references them (dropBranch may have had to leave them behind)
+    reclaimBranchDirs(path, conf)
     victims.count { case (_, n) => !n.endsWith(GdxBloom.Suffix) }
   }
 }
