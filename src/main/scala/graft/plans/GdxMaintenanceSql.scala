@@ -36,7 +36,7 @@ object GdxMaintenanceSql {
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*(?:BINPACK\s+(\d+)\s*)?\s*;?\s*$""".r
   private val Vacuum =
-    """(?is)^\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*(?:SWEEP\s+ORPHANS\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val History =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
   private val Restore =
@@ -104,15 +104,22 @@ object GdxMaintenanceSql {
           Option(smallBytes).map(_.toLong)))
       case _ => None
     } else if (k1 == "VACUUM") sqlText match {
-      case Vacuum(tbl, retain) =>
+      case Vacuum(tbl, retain, unit, sweep) =>
         // default retention without an explicit RETAIN clause is TWO
         // versions, not one: a bare `VACUUM t` must not destroy every
         // historical manifest (and with it time travel + RESTORE) in
         // one statement — the same conservative-default stance as
         // Delta's retention check, and the keepLast=2 used by the
-        // engine's own maintenance flows
+        // engine's own maintenance flows. `RETAIN n HOURS` is
+        // age-based (keepLast stays at the 1-floor); `SWEEP ORPHANS
+        // OLDER THAN n HOURS` opts into the crash-orphan reap.
+        val hours = Option(unit)
+          .exists(_.equalsIgnoreCase("HOURS"))
         Some(GdxVacuumCommand(ident(tbl),
-          Option(retain).map(_.toInt).getOrElse(2)))
+          if (hours) 1
+          else Option(retain).map(_.toInt).getOrElse(2),
+          if (hours) Option(retain).map(_.toDouble) else None,
+          Option(sweep).map(_.toDouble)))
       case _ => None
     } else if (k1 == "DESCRIBE" && k2 == "HISTORY") sqlText match {
       case History(tbl) => Some(GdxHistoryCommand(ident(tbl)))
@@ -334,7 +341,9 @@ object GdxOptimizeCommand {
   * than the retained window and delete every data file no retained
   * snapshot references ([[graft.sources.GdxSource.vacuum]]). Returns
   * (files_removed). */
-case class GdxVacuumCommand(table: Seq[String], retainVersions: Int)
+case class GdxVacuumCommand(table: Seq[String], retainVersions: Int,
+                            retainHours: Option[Double] = None,
+                            sweepOrphanHours: Option[Double] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
@@ -343,7 +352,8 @@ case class GdxVacuumCommand(table: Seq[String], retainVersions: Int)
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GdxMaintenanceSql.gdxPathOf(spark, table, "VACUUM")
     val removed = graft.sources.GdxSource.vacuum(path,
-      graft.sources.GdxSource.driverConf(), keepLast = retainVersions)
+      graft.sources.GdxSource.driverConf(), keepLast = retainVersions,
+      retainHours = retainHours, sweepOrphanHours = sweepOrphanHours)
     Seq(Row(removed.toLong))
   }
 }

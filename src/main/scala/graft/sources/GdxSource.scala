@@ -3528,15 +3528,32 @@ object GdxSource {
     * full). Safe order: checkpoint, then old manifests, then data — a
     * reader planning from a retained manifest never loses a file it
     * references. Returns deleted data-file count. */
-  def vacuum(path: String, conf: Configuration, keepLast: Int = 1): Int = {
+  def vacuum(path: String, conf: Configuration, keepLast: Int = 1,
+             retainHours: Option[Double] = None,
+             sweepOrphanHours: Option[Double] = None,
+             nowMillis: Long = System.currentTimeMillis()): Int = {
     require(keepLast >= 1, "gdx vacuum: must retain at least one snapshot")
+    require(retainHours.forall(_ >= 0) && sweepOrphanHours.forall(_ >= 0),
+      "gdx vacuum: hour thresholds must be non-negative")
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
     val vs = listVersions(path, conf)
     if (vs.isEmpty) return 0
     val tagged = listTags(path, conf).values.toSet ++
       listBranches(path, conf).values.toSet
-    val keep = (vs.takeRight(keepLast) ++ vs.filter(tagged)).distinct.sorted
+    // AGE-BASED retention (`RETAIN n HOURS` — what real retention
+    // policies are written in): every version whose manifest is
+    // younger than the cutoff is kept IN ADDITION to the keepLast
+    // tail and the tag/branch pins — retention clauses only ever
+    // WIDEN the kept set, so composing them can never reclaim what
+    // another clause protects
+    val ageKept: Seq[Int] = retainHours.map { h =>
+      val cutoff = nowMillis - (h * 3600 * 1000).toLong
+      vs.filter(v => fs.getFileStatus(manifestFor(path, v))
+        .getModificationTime >= cutoff)
+    }.getOrElse(Seq.empty)
+    val keep = (vs.takeRight(keepLast) ++ ageKept ++ vs.filter(tagged))
+      .distinct.sorted
     val keepSet = keep.toSet
     keep.foreach { v =>
       if ((v == keep.head || isDeltaVersion(path, conf, v)) &&
@@ -3575,10 +3592,29 @@ object GdxSource {
         })
     }
     victims.foreach { case (st, _) => fs.delete(st.getPath, false) }
+    // CRASH-ORPHAN sweep (opt-in, age-thresholded): a hard-killed
+    // writer strands `*.gdx.tmp` files (plus their bloom sidecars and
+    // dot-prefixed manifest tmps) no manifest will ever reference and
+    // the referenced-set sweep above can never touch — at 100 TB
+    // churn a real storage leak. Only files OLDER than the threshold
+    // go: a young tmp is an in-flight write about to be renamed by
+    // its commit, and deleting it would fail the writing job (the
+    // Iceberg remove_orphan_files contract: explicit, age-guarded,
+    // never a side effect).
+    val swept = sweepOrphanHours.map { h =>
+      val cutoff = nowMillis - (h * 3600 * 1000).toLong
+      val orphans = listed.filter { case (st, n) =>
+        st.isFile && st.getModificationTime < cutoff &&
+          (n.endsWith(".tmp") || n.contains(".tmp-") ||
+            n.endsWith(".tmp" + GdxBloom.Suffix))
+      }
+      orphans.foreach { case (st, _) => fs.delete(st.getPath, false) }
+      orphans.count { case (_, n) => !n.endsWith(GdxBloom.Suffix) }
+    }.getOrElse(0)
     // dropped branches' working dirs reclaim once nothing retained
     // references them (dropBranch may have had to leave them behind)
     reclaimBranchDirs(path, conf)
-    victims.count { case (_, n) => !n.endsWith(GdxBloom.Suffix) }
+    victims.count { case (_, n) => !n.endsWith(GdxBloom.Suffix) } + swept
   }
 }
 
