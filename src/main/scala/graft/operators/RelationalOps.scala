@@ -1814,6 +1814,66 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // S41 — THE COMPLETE TEMPORAL TRANSFORM FAMILY on REAL time types:
+    // `hours(ts)` over a TIMESTAMP column (keying on epoch-micros, the
+    // column's canonical repr — the same divisor the writer demuxed
+    // on) and `months(d)` over a DATE column (calendar key, not
+    // fixed-width, still monotone). The hidden-partitioning contract
+    // end to end: the user filters on the raw TIMESTAMP/DATE column
+    // with typed literals and the scan plans only the covered hour /
+    // month directories — `hour_pruned` / `month_pruned` pin the
+    // planned-file counts. The BIGINT epoch-millis interpretation is
+    // unchanged (s39 keeps proving it), so every pre-typed table
+    // keeps its layout. At 100 TB: the intraday dashboard reads six
+    // hour-directories out of a year, the quarterly report three
+    // month-directories.
+    "s41_gdx_temporal_transforms" -> ((s, d) => {
+      val hDir = graft.Scratch.tablePath("graft_gdxhrs_")
+      val mDir = graft.Scratch.tablePath("graft_gdxmon_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      // hours(TIMESTAMP): three days of events, one dir per hour
+      Tables.events(s, d)
+        .filter(col("ts") >= expr("TIMESTAMP'2024-01-05 00:00:00'") &&
+          col("ts") < expr("TIMESTAMP'2024-01-08 00:00:00'"))
+        .select(col("event_id").as("k"), col("ts"),
+          col("event_type").as("v"))
+        .write.format(fmt).option("path", hDir)
+        .option("partitionBy", "hours(ts)").mode("overwrite").save()
+      val hEntries = gdx.committedEntries(hDir, gdx.driverConf())
+      val hourLayoutOk = hEntries.nonEmpty &&
+        hEntries.forall(_.name.matches("ts_hour=\\d+/.*"))
+      val (hKept, hAll) = gdx.plannedFiles(hDir, Seq(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("ts",
+          java.sql.Timestamp.valueOf("2024-01-06 06:00:00")),
+        org.apache.spark.sql.sources.LessThan("ts",
+          java.sql.Timestamp.valueOf("2024-01-06 12:00:00"))))
+      val hourPruned = hKept > 0 && hKept < hAll
+      // months(DATE): seven years of orders, one dir per calendar month
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          to_date(col("o_orderdate")).as("dt"),
+          col("o_orderpriority").as("v"))
+        .write.format(fmt).option("path", mDir)
+        .option("partitionBy", "months(dt)").mode("overwrite").save()
+      val mEntries = gdx.committedEntries(mDir, gdx.driverConf())
+      val monthLayoutOk = mEntries.nonEmpty &&
+        mEntries.forall(_.name.matches("dt_month=\\d+/.*"))
+      val (mKept, mAll) = gdx.plannedFiles(mDir, Seq(
+        org.apache.spark.sql.sources.LessThan("dt",
+          java.sql.Date.valueOf("1997-01-01"))))
+      val monthPruned = mKept > 0 && mKept < mAll
+      // the intraday window read back through the hidden partitioning
+      s.read.format(fmt).option("path", hDir).load()
+        .filter(col("ts") >= expr("TIMESTAMP'2024-01-06 06:00:00'") &&
+          col("ts") < expr("TIMESTAMP'2024-01-06 12:00:00'"))
+        .withColumn("hour_layout_ok", lit(hourLayoutOk))
+        .withColumn("hour_pruned", lit(hourPruned))
+        .withColumn("month_layout_ok", lit(monthLayoutOk))
+        .withColumn("month_pruned", lit(monthPruned))
+        .orderBy("k")
+    }),
+
     // C31 — PARTITION-SPEC EVOLUTION (sources/GdxSource
     // .evolvePartitionSpec; SQL `ALTER TABLE ... SET PARTITION SPEC`):
     // the table starts hive-partitioned on p, ONE metadata commit
@@ -3197,13 +3257,16 @@ object RelationalOps extends QueryModule {
       // the pre-DML snapshot still reads whole under time travel
       val ttOk = c.sql(s"SELECT count(*) FROM $cat.lab.typed " +
         s"VERSION AS OF $preV").head.getLong(0) == total
-      // zone maps prune on the DATE column's canonical epoch-day stats
+      // zone maps prune on the DATE column's canonical epoch-day
+      // stats — kept > 0 keeps the claim honest (orders span
+      // 1995-2001, so a 1997 cutoff must keep SOME files and skip
+      // others; pruning-to-zero would prove nothing about ranges)
       val (kept, all) = gdx.plannedFiles(dir, Seq(
         org.apache.spark.sql.sources.LessThan("d",
-          java.sql.Date.valueOf("1994-01-01"))))
+          java.sql.Date.valueOf("1997-01-01"))))
       c.table(s"$cat.lab.typed")
         .withColumn("tt_ok", lit(ttOk))
-        .withColumn("date_pruned", lit(kept < all))
+        .withColumn("date_pruned", lit(kept > 0 && kept < all))
         .orderBy("k")
     }),
 
@@ -4299,6 +4362,15 @@ object RelationalOps extends QueryModule {
         |SELECT k, v, w, TRUE AS merge_ok FROM (
         |  SELECT * FROM m UNION ALL SELECT * FROM i
         |  UNION ALL SELECT * FROM nb)
+        |ORDER BY k""".stripMargin,
+    // the intraday window recomputed directly; claims pinned TRUE
+    "s41_gdx_temporal_transforms" ->
+      """SELECT event_id AS k, CAST(ts AS TIMESTAMP) AS ts,
+        |  event_type AS v, TRUE AS hour_layout_ok, TRUE AS hour_pruned,
+        |  TRUE AS month_layout_ok, TRUE AS month_pruned
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-06 06:00:00'
+        |  AND ts < TIMESTAMP '2024-01-06 12:00:00'
         |ORDER BY k""".stripMargin,
     // the published main recomputed relationally: base ∪ branch block,
     // minus the branch's keyed delete, plus the conflict stage's main

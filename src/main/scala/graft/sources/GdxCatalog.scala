@@ -192,8 +192,7 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
       val f = schema.fields.find(_.name.equalsIgnoreCase(sp.col))
         .getOrElse(throw new IllegalArgumentException(
           s"gdx catalog: partition column ${sp.col} is not in the schema"))
-      require(f.dataType == LongType,
-        s"gdx catalog: partition column ${sp.col} must be BIGINT")
+      GdxSource.validatePartColType(sp, f.dataType, "catalog")
     }
     spec
   }

@@ -683,6 +683,13 @@ object GdxSource {
     def dirName: String
     def render: String
     def keyOf(v: Long): Long
+    /** Type-aware key: `v` is the column's canonical LONG REPR
+      * ([[longReprInternal]] — epoch-micros for TIMESTAMP, epoch-day
+      * for DATE, the raw value for BIGINT). Temporal transforms scale
+      * their divisor to the repr; everything else ignores the type.
+      * The BIGINT interpretation stays the historical epoch-millis
+      * contract, so every pre-typed-column table keeps its layout. */
+    def keyOf(v: Long, dt: DataType): Long = keyOf(v)
   }
   final case class GdxIdentityPart(col: String) extends GdxPartSpec {
     def dirName: String = col
@@ -714,8 +721,77 @@ object GdxSource {
     def dirName: String = col + "_day"
     def render: String = s"days($col)"
     def keyOf(v: Long): Long = Math.floorDiv(v, GdxSource.DayMillis)
+    override def keyOf(v: Long, dt: DataType): Long =
+      GdxSource.epochDayOf(v, dt)
+  }
+  /** HOURLY transform — the intraday time-series grain: TIMESTAMP
+    * columns key on floorDiv(epoch-micros, hour), BIGINT keeps the
+    * epoch-millis contract; refused on DATE (a date has no hour). */
+  final case class GdxHoursPart(col: String) extends GdxPartSpec {
+    def dirName: String = col + "_hour"
+    def render: String = s"hours($col)"
+    def keyOf(v: Long): Long = Math.floorDiv(v, GdxSource.HourMillis)
+    override def keyOf(v: Long, dt: DataType): Long = dt match {
+      case TimestampType => Math.floorDiv(v, GdxSource.HourMicros)
+      case _             => keyOf(v)
+    }
+  }
+  /** CALENDAR-MONTH transform: key = year*12 + (month-1) of the
+    * value's epoch day — not fixed-width, but still MONOTONE, so the
+    * same range-to-key-bounds pruning applies. */
+  final case class GdxMonthsPart(col: String) extends GdxPartSpec {
+    def dirName: String = col + "_month"
+    def render: String = s"months($col)"
+    def keyOf(v: Long): Long =
+      GdxSource.monthKey(Math.floorDiv(v, GdxSource.DayMillis))
+    override def keyOf(v: Long, dt: DataType): Long =
+      GdxSource.monthKey(GdxSource.epochDayOf(v, dt))
+  }
+  /** CALENDAR-YEAR transform: key = the value's proleptic year. */
+  final case class GdxYearsPart(col: String) extends GdxPartSpec {
+    def dirName: String = col + "_year"
+    def render: String = s"years($col)"
+    def keyOf(v: Long): Long =
+      GdxSource.yearKey(Math.floorDiv(v, GdxSource.DayMillis))
+    override def keyOf(v: Long, dt: DataType): Long =
+      GdxSource.yearKey(GdxSource.epochDayOf(v, dt))
   }
   val DayMillis = 86400000L
+  val DayMicros = 86400000000L
+  val HourMillis = 3600000L
+  val HourMicros = 3600000000L
+  /** The epoch-day ordinal of a canonical long repr. */
+  private[graft] def epochDayOf(v: Long, dt: DataType): Long = dt match {
+    case TimestampType => Math.floorDiv(v, DayMicros)
+    case DateType      => v
+    case _             => Math.floorDiv(v, DayMillis)
+  }
+  private[graft] def monthKey(epochDay: Long): Long = {
+    val d = java.time.LocalDate.ofEpochDay(epochDay)
+    d.getYear * 12L + (d.getMonthValue - 1)
+  }
+  private[graft] def yearKey(epochDay: Long): Long =
+    java.time.LocalDate.ofEpochDay(epochDay).getYear.toLong
+  /** The partition-column types a spec accepts: BIGINT everywhere
+    * (identity/bucket/trunc keep it exclusive — directory keys must
+    * be the value itself or its hash); temporal transforms also take
+    * their natural time types. Loud otherwise. */
+  def validatePartColType(sp: GdxPartSpec, dt: DataType,
+                          ctx: String): Unit = {
+    val ok = sp match {
+      case _: GdxDaysPart | _: GdxMonthsPart | _: GdxYearsPart =>
+        dt == LongType || dt == TimestampType || dt == DateType
+      case _: GdxHoursPart => dt == LongType || dt == TimestampType
+      case _ => dt == LongType
+    }
+    require(ok, s"gdx $ctx: partition column ${sp.col} of ${sp.render} " +
+      s"must be ${sp match {
+        case _: GdxHoursPart => "BIGINT or TIMESTAMP"
+        case _: GdxDaysPart | _: GdxMonthsPart | _: GdxYearsPart =>
+          "BIGINT, TIMESTAMP, or DATE"
+        case _ => "BIGINT"
+      }} (got ${dt.catalogString})")
+  }
   /** Whether the transform preserves value order — the property that
     * lets range predicates on the raw column become directory-key
     * bounds. Buckets hash; everything else here truncates. */
@@ -725,6 +801,9 @@ object GdxSource {
   private val TruncSpecRe =
     """(?i)trunc(?:ate)?\(\s*(\d+)\s*,\s*([^\s,()]+)\s*\)""".r
   private val DaysSpecRe = """(?i)days?\(\s*([^\s,()]+)\s*\)""".r
+  private val HoursSpecRe = """(?i)hours?\(\s*([^\s,()]+)\s*\)""".r
+  private val MonthsSpecRe = """(?i)months?\(\s*([^\s,()]+)\s*\)""".r
+  private val YearsSpecRe = """(?i)years?\(\s*([^\s,()]+)\s*\)""".r
   /** Split a recorded `#partition` header into (current spec text,
     * former spec texts). The grammar is `current[;former1[;...]]` —
     * PARTITION-SPEC EVOLUTION appends the replaced layout to the tail
@@ -782,10 +861,14 @@ object GdxSource {
       case TruncSpecRe(w, c) =>
         require(w.toLong > 0, s"gdx: trunc width must be positive in '$s'")
         GdxTruncPart(w.toLong, c)
-      case DaysSpecRe(c) => GdxDaysPart(c)
+      case DaysSpecRe(c)   => GdxDaysPart(c)
+      case HoursSpecRe(c)  => GdxHoursPart(c)
+      case MonthsSpecRe(c) => GdxMonthsPart(c)
+      case YearsSpecRe(c)  => GdxYearsPart(c)
       case other => throw new IllegalArgumentException(
         s"gdx: unparseable partition spec '$other' - expected a column " +
-          "name, bucket(<n>,<col>), trunc(<w>,<col>), or days(<col>)")
+          "name, bucket(<n>,<col>), trunc(<w>,<col>), or " +
+          "days/hours/months/years(<col>)")
     }
   }
 
@@ -827,6 +910,15 @@ object GdxSource {
       case t if (t.name == "days" || t.name == "day") &&
           t.references.length == 1 =>
         s"days(${t.references.head.fieldNames.mkString(".")})"
+      case t if (t.name == "hours" || t.name == "hour") &&
+          t.references.length == 1 =>
+        s"hours(${t.references.head.fieldNames.mkString(".")})"
+      case t if (t.name == "months" || t.name == "month") &&
+          t.references.length == 1 =>
+        s"months(${t.references.head.fieldNames.mkString(".")})"
+      case t if (t.name == "years" || t.name == "year") &&
+          t.references.length == 1 =>
+        s"years(${t.references.head.fieldNames.mkString(".")})"
       case t if (t.name == "truncate" || t.name == "trunc") &&
           t.references.length == 1 =>
         val w = t.arguments.collectFirst {
@@ -839,7 +931,8 @@ object GdxSource {
       case other => throw new IllegalArgumentException(
         s"gdx: unsupported partition transform $other - only a single " +
           "identity column (PARTITIONED BY (col)), bucket(n, col), " +
-          "days(col), or truncate(w, col) is supported")
+          "days/hours/months/years(col), or truncate(w, col) is " +
+          "supported")
     }
     if (specs.length > 1) throw new IllegalArgumentException(
       s"gdx: multi-column partitioning (${specs.mkString(",")}) is " +
@@ -2941,9 +3034,7 @@ object GdxSource {
         .getOrElse(throw new IllegalArgumentException(
           s"gdx evolvePartitionSpec: partition column ${ns.col} is " +
             "not in the table schema"))
-      require(f.dataType == LongType,
-        s"gdx evolvePartitionSpec: partition column ${ns.col} must be " +
-          s"BIGINT (got ${f.dataType.catalogString})")
+      validatePartColType(ns, f.dataType, "evolvePartitionSpec")
       val curRaw = committedPartitionCol(dir, conf, readV)
       curRaw.map(partHeadOf).map(parsePartSpec).foreach(head =>
         require(head != ns, s"gdx evolvePartitionSpec: ${ns.render} is " +
@@ -3631,6 +3722,12 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
         org.apache.spark.sql.connector.expressions.Expressions.bucket(n, bc)
       case GdxSource.GdxDaysPart(dc) =>
         org.apache.spark.sql.connector.expressions.Expressions.days(dc)
+      case GdxSource.GdxHoursPart(hc) =>
+        org.apache.spark.sql.connector.expressions.Expressions.hours(hc)
+      case GdxSource.GdxMonthsPart(mc) =>
+        org.apache.spark.sql.connector.expressions.Expressions.months(mc)
+      case GdxSource.GdxYearsPart(yc) =>
+        org.apache.spark.sql.connector.expressions.Expressions.years(yc)
       case GdxSource.GdxTruncPart(w, tc) =>
         org.apache.spark.sql.connector.expressions.Expressions.apply(
           "truncate",
@@ -4160,27 +4257,47 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       : Seq[GdxFileEntry] = {
         val c = spec.col
         val monotone = GdxSource.monotonePart(spec)
+        // the column's declared type scales the transform divisor
+        // (epoch-micros vs epoch-millis vs epoch-day) and converts
+        // typed literals to the same long repr the writer demuxed on
+        val dt: DataType = tableSchema.fields
+          .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+          .getOrElse(LongType)
+        def key(w: Any): Option[Long] = (w match {
+          case n: Number               => Some(n.longValue)
+          case d: java.sql.Date        => Some(
+            org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .fromJavaDate(d).toLong)
+          case ld: java.time.LocalDate => Some(ld.toEpochDay)
+          case t: java.sql.Timestamp   => Some(
+            org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .fromJavaTimestamp(t))
+          case in: java.time.Instant   => Some(
+            org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .instantToMicros(in))
+          case _                       => None
+        }).map(spec.keyOf(_, dt))
         val allowed: Seq[Set[Long]] = fl.collect {
-          case EqualTo(`c`, w: Number) => Set(spec.keyOf(w.longValue))
+          case EqualTo(`c`, w) if key(w).isDefined => Set(key(w).get)
           case org.apache.spark.sql.sources.In(`c`, vs)
-              if vs.forall(_.isInstanceOf[Number]) =>
-            vs.map(v => spec.keyOf(v.asInstanceOf[Number].longValue)).toSet
+              if vs.forall(key(_).isDefined) =>
+            vs.flatMap(key).toSet
         }
         // key bounds from range predicates (monotone transforms only):
-        // floorDiv keeps order, so value bounds map to key bounds —
+        // the transform keeps order, so value bounds map to key bounds —
         // inclusive on the key grain in both directions (the boundary
         // key's directory may hold both in- and out-of-range rows)
         var lo = Long.MinValue
         var hi = Long.MaxValue
         if (monotone) fl.foreach {
-          case GreaterThan(`c`, w: Number) =>
-            lo = math.max(lo, spec.keyOf(w.longValue))
-          case GreaterThanOrEqual(`c`, w: Number) =>
-            lo = math.max(lo, spec.keyOf(w.longValue))
-          case LessThan(`c`, w: Number) =>
-            hi = math.min(hi, spec.keyOf(w.longValue))
-          case LessThanOrEqual(`c`, w: Number) =>
-            hi = math.min(hi, spec.keyOf(w.longValue))
+          case GreaterThan(`c`, w) =>
+            key(w).foreach(k => lo = math.max(lo, k))
+          case GreaterThanOrEqual(`c`, w) =>
+            key(w).foreach(k => lo = math.max(lo, k))
+          case LessThan(`c`, w) =>
+            key(w).foreach(k => hi = math.min(hi, k))
+          case LessThanOrEqual(`c`, w) =>
+            key(w).foreach(k => hi = math.min(hi, k))
           case _ => ()
         }
         if (allowed.isEmpty && lo == Long.MinValue && hi == Long.MaxValue) es
@@ -4762,9 +4879,7 @@ class GdxWriteBuilder(path: String, expectedBase: Int = -1,
         .getOrElse(throw new IllegalArgumentException(
           s"gdx write: partition column ${spec.col} is not in the " +
             "write schema"))
-      require(f.dataType == LongType,
-        s"gdx write: partition column ${spec.col} must be BIGINT " +
-          s"(got ${f.dataType.catalogString})")
+      GdxSource.validatePartColType(spec, f.dataType, "write")
     }
     // replaceWhere: PARTIAL overwrite of the predicate's partitions.
     // Accepted only on an identity-partitioned table (a bucket
@@ -5188,7 +5303,10 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     val key =
       if (partitionIdx < 0) ""
       else if (r.isNullAt(partitionIdx)) "__null__"
-      else partSpec.get.keyOf(r.getLong(partitionIdx)).toString
+      else partSpec.get.keyOf(
+        GdxSource.longReprInternal(schema(partitionIdx).dataType, r,
+          partitionIdx),
+        schema(partitionIdx).dataType).toString
     var s = sinks.get(key)
     if (s == null) {
       s = new Sink(

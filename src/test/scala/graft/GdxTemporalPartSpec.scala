@@ -154,4 +154,126 @@ class GdxTemporalPartSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("contradicts"), e.getMessage)
   }
+
+  test("hours(ts) on a real TIMESTAMP column: micros-scaled keys, " +
+      "typed-literal pruning proven by corrupted out-of-window files") {
+    import spark.implicits._
+    val dir = freshDir("hours")
+    // 8 hours × 5 rows on a TIMESTAMP column
+    val base = java.sql.Timestamp.valueOf("2025-03-01 00:00:00")
+    val rows = for (h <- 0 until 8; i <- 0 until 5)
+      yield (h * 5L + i,
+        new java.sql.Timestamp(base.getTime + h * 3600000L + i * 1000L),
+        s"h$h-$i")
+    rows.toDF("k", "ts", "v").repartition(3)
+      .write.format(fmt).option("path", dir)
+      .option("partitionBy", "hours(ts)").mode("overwrite").save()
+    val entries = GdxSource.committedEntries(dir, GdxSource.driverConf())
+    assert(entries.nonEmpty &&
+      entries.forall(_.name.matches("ts_hour=\\d+/.*")),
+      entries.map(_.name).toString)
+    // the directory key is the MICROS hour ordinal (the column's
+    // canonical repr), never the millis one
+    val expectHour = base.getTime * 1000L / GdxSource.HourMicros
+    assert(entries.exists(_.name.startsWith(s"ts_hour=$expectHour/")),
+      s"expected hour $expectHour in ${entries.map(_.name)}")
+    // corrupt everything outside hours 2-3: a typed-literal window
+    // query must never open those directories
+    entries.filterNot { e =>
+      val h = e.name.substring("ts_hour=".length,
+        e.name.indexOf('/')).toLong - expectHour
+      h >= 2 && h <= 3
+    }.foreach(e => java.nio.file.Files.write(
+      new java.io.File(dir, e.name).toPath, "CORRUPT".getBytes))
+    val got = read(dir)
+      .filter(col("ts") >= lit(new java.sql.Timestamp(
+        base.getTime + 2 * 3600000L)) &&
+        col("ts") < lit(new java.sql.Timestamp(
+          base.getTime + 4 * 3600000L)))
+      .count()
+    assert(got === 10L)
+  }
+
+  test("months/years on DATE and the BIGINT epoch-millis back-compat " +
+      "all key and prune correctly") {
+    import spark.implicits._
+    // months(DATE): calendar keys
+    val mDir = freshDir("months")
+    val days = Seq("2023-11-15", "2023-12-01", "2024-01-10", "2024-02-20")
+    days.zipWithIndex.map { case (s0, i) =>
+      (i.toLong, java.sql.Date.valueOf(s0), s0)
+    }.toDF("k", "dt", "v").coalesce(1)
+      .write.format(fmt).option("path", mDir)
+      .option("partitionBy", "months(dt)").mode("overwrite").save()
+    val mEntries = GdxSource.committedEntries(mDir, GdxSource.driverConf())
+    // 2023-11 -> 2023*12+10 = 24286
+    assert(mEntries.exists(_.name.startsWith("dt_month=24286/")),
+      mEntries.map(_.name).toString)
+    assert(mEntries.map(_.name.takeWhile(_ != '/')).distinct.size === 4)
+    assert(read(mDir)
+      .filter(col("dt") >= lit(java.sql.Date.valueOf("2024-01-01")))
+      .count() === 2L)
+    // years(DATE)
+    val yDir = freshDir("years")
+    days.zipWithIndex.map { case (s0, i) =>
+      (i.toLong, java.sql.Date.valueOf(s0), s0)
+    }.toDF("k", "dt", "v").coalesce(1)
+      .write.format(fmt).option("path", yDir)
+      .option("partitionBy", "years(dt)").mode("overwrite").save()
+    val yKeys = GdxSource.committedEntries(yDir, GdxSource.driverConf())
+      .map(_.name.takeWhile(_ != '/')).distinct.sorted
+    assert(yKeys === Seq("dt_year=2023", "dt_year=2024"), yKeys.toString)
+    // BIGINT epoch-millis back-compat: hours/months on a LONG column
+    // keep the historical millis divisors
+    val lDir = freshDir("longms")
+    Seq((1L, 20000L * Day + 3 * GdxSource.HourMillis, "a"))
+      .toDF("k", "ts", "v").coalesce(1)
+      .write.format(fmt).option("path", lDir)
+      .option("partitionBy", "hours(ts)").mode("overwrite").save()
+    val lKey = 20000L * 24 + 3
+    assert(GdxSource.committedEntries(lDir, GdxSource.driverConf())
+      .forall(_.name.startsWith(s"ts_hour=$lKey/")))
+  }
+
+  test("hours(DATE) refuses loudly; evolvePartitionSpec validates the " +
+      "new transforms; catalog DDL accepts PARTITIONED BY (hours(ts))") {
+    import spark.implicits._
+    val dir = freshDir("refuse")
+    val e = intercept[Exception] {
+      Seq((1L, java.sql.Date.valueOf("2024-01-01"), "a"))
+        .toDF("k", "dt", "v").coalesce(1)
+        .write.format(fmt).option("path", dir)
+        .option("partitionBy", "hours(dt)").mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("BIGINT or TIMESTAMP"), e.getMessage)
+    // evolve a days(BIGINT) table to months(BIGINT): one metadata
+    // commit, era-correct layouts
+    val eDir = freshDir("evolve")
+    Seq((1L, 20000L * Day + 5L, "a")).toDF("k", "ts", "v").coalesce(1)
+      .write.format(fmt).option("path", eDir)
+      .option("partitionBy", "days(ts)").mode("overwrite").save()
+    GdxSource.evolvePartitionSpec(eDir, "months(ts)")
+    Seq((2L, 20030L * Day + 5L, "b")).toDF("k", "ts", "v").coalesce(1)
+      .write.format(fmt).option("path", eDir).mode("append").save()
+    val names = GdxSource.committedEntries(eDir, GdxSource.driverConf())
+      .map(_.name)
+    assert(names.exists(_.startsWith("ts_day=")) &&
+      names.exists(_.startsWith("ts_month=")), names.toString)
+    assert(read(eDir).count() === 2L)
+    // catalog DDL with a TIMESTAMP hours transform
+    val wh = java.nio.file.Files.createTempDirectory("gdxtp_wh").toString
+    val c = Sessions.pinned(spark,
+      "spark.sql.catalog.gdxtph" -> "graft.sources.GdxCatalog",
+      "spark.sql.catalog.gdxtph.warehouse" -> wh)
+    c.sql("CREATE NAMESPACE gdxtph.lab")
+    c.sql("CREATE TABLE gdxtph.lab.h (k BIGINT, ts TIMESTAMP, v STRING) " +
+      "PARTITIONED BY (hours(ts))")
+    Sessions.insertInto(c,
+      Seq((1L, java.sql.Timestamp.valueOf("2025-03-01 07:30:00"), "x"))
+        .toDF("k", "ts", "v"), "gdxtph.lab.h")
+    assert(c.sql("SELECT count(*) FROM gdxtph.lab.h").head.getLong(0)
+      === 1L)
+    assert(GdxSource.committedEntries(s"$wh/lab/h",
+      GdxSource.driverConf()).forall(_.name.startsWith("ts_hour=")))
+  }
 }
