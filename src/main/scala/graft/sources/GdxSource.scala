@@ -3803,7 +3803,13 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
     },
       tableSchema,
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
-        .getOrElse(Int.MaxValue))
+        .getOrElse(Int.MaxValue),
+      // `startingVersion` (streaming only, SHOW CHANGES parity): the
+      // stream's base snapshot — batches cover (base, latest], exactly
+      // `SHOW CHANGES t FROM base`'s window; accepts a tag name
+      Option(options.get("startingVersion"))
+        .map(GdxSource.resolveVersionRef(path, GdxSource.driverConf(), _))
+        .getOrElse(0))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"gdx: cannot write to a time-travel (version-pinned) view of " +
@@ -3827,7 +3833,8 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
 
 class GdxScanBuilder(path: String, version: Int,
                      tableSchema: StructType = GdxSource.schema,
-                     maxVersionsPerTrigger: Int = Int.MaxValue)
+                     maxVersionsPerTrigger: Int = Int.MaxValue,
+                     startingVersion: Int = 0)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownAggregates
@@ -4081,7 +4088,7 @@ class GdxScanBuilder(path: String, version: Int,
   override def build(): Scan = new GdxScan(path, version, pushed,
     if (topN.isDefined) -1 else limit,
     aggOps, metaComplete && aggOps.isDefined, required, tableSchema,
-    maxVersionsPerTrigger, pruneOnly, aggGrouped, topN)
+    maxVersionsPerTrigger, pruneOnly, aggGrouped, topN, startingVersion)
 }
 
 /** One data file of the planned snapshot. `partKey` is the file's
@@ -4124,7 +4131,8 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
               maxVersionsPerTrigger: Int = Int.MaxValue,
               pruneOnly: Array[Filter] = Array.empty,
               aggGroupedPart: Boolean = false,
-              topN: Option[(Boolean, Int)] = None)
+              topN: Option[(Boolean, Int)] = None,
+              startingVersion: Int = 0)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -4522,7 +4530,7 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   override def toMicroBatchStream(checkpointLocation: String)
       : rstreaming.MicroBatchStream =
     new GdxMicroBatchStream(path, pushed, required, tableSchema,
-      maxVersionsPerTrigger, pruneOnly)
+      maxVersionsPerTrigger, pruneOnly, startingVersion)
 }
 
 /** Offset = manifest version. Snapshot N reconstructs to the COMPLETE
@@ -4549,7 +4557,8 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter],
                           required: StructType = GdxSource.schema,
                           tableSchema: StructType = GdxSource.schema,
                           maxVersionsPerTrigger: Int = Int.MaxValue,
-                          pruneOnly: Array[Filter] = Array.empty)
+                          pruneOnly: Array[Filter] = Array.empty,
+                          startingVersion: Int = 0)
     extends rstreaming.MicroBatchStream
     with rstreaming.SupportsAdmissionControl
     with rstreaming.SupportsTriggerAvailableNow {
@@ -4583,7 +4592,11 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter],
       else math.min(hi, s + maxVersionsPerTrigger))
   }
 
-  override def initialOffset(): rstreaming.Offset = GdxOffset(0)
+  // `startingVersion` makes the stream a CDC tail: the base snapshot
+  // is treated as already consumed, so the first batch is exactly
+  // `SHOW CHANGES t FROM base`'s window (base, latest]
+  override def initialOffset(): rstreaming.Offset =
+    GdxOffset(math.max(0, startingVersion))
   override def latestOffset(): rstreaming.Offset =
     GdxOffset(currentLatest)
   override def deserializeOffset(json: String): rstreaming.Offset = {

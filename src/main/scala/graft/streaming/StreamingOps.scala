@@ -474,6 +474,48 @@ object StreamingOps extends QueryModule {
       runToMemory(s, feed, "graft_gdx_feed").orderBy("v")
     }),
 
+    // GDX CHANGEFEED THROUGH THE CATALOG FRONT DOOR:
+    // `readStream.table("cat.ns.t")` — the CDC surface at the SAME
+    // address as the batch catalog surface (no path plumbing), plus
+    // `option("startingVersion", n)`: the stream tails exactly `SHOW
+    // CHANGES t FROM n`'s window (n, latest] instead of replaying the
+    // world — a consumer that already processed the base snapshot
+    // subscribes to the delta only. The `catalog_stream_ok` claim
+    // pins the streamed aggregate row-equal to the batch changefeed
+    // of the same window. At 100 TB: downstream pipelines subscribe
+    // by TABLE NAME and retention (not a notification service)
+    // governs how far back a lagging consumer can restart.
+    "stream_gdx_catalog_feed" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxcf_")
+      val cat = "gdx_scf"
+      val c = graft.Sessions.pinned(s,
+        s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+        s"spark.sql.catalog.$cat.warehouse" -> wh)
+      c.sql(s"CREATE NAMESPACE $cat.lab")
+      c.sql(s"CREATE TABLE $cat.lab.feed (k BIGINT, v STRING)") // v1
+      def kv(lo: Long, hi: Long) = graft.Tables.orders(c, d)
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
+      graft.Sessions.insertInto(c, kv(0, 1000), s"$cat.lab.feed")    // v2
+      graft.Sessions.insertInto(c, kv(1000, 2000), s"$cat.lab.feed") // v3
+      val dir = s"$wh/lab/feed"
+      // the CDC tail: base snapshot v2 already consumed, stream (2, 3]
+      val feed = c.readStream.option("startingVersion", "2")
+        .table(s"$cat.lab.feed")
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"),
+          min("k").as("min_k"), max("k").as("max_k"))
+      val got = runToMemory(c, feed, "graft_gdx_catfeed")
+      // the batch changefeed of the same window must agree row-for-row
+      val want = graft.sources.GdxSource.tableChanges(c, dir, 2, 3)
+        .filter(col("change_type") === "insert")
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"),
+          min("k").as("min_k"), max("k").as("max_k"))
+      val equiv = got.collect().toSet == want.collect().toSet
+      got.withColumn("catalog_stream_ok", lit(equiv)).orderBy("v")
+    }),
+
     // GDX EXACTLY-ONCE STREAMING SINK — the other half of the
     // changefeed: the events stream lands in a GDX directory through
     // the native StreamingWrite (one idempotent append commit per
@@ -807,6 +849,14 @@ object StreamingOps extends QueryModule {
       """SELECT o_orderstatus AS v, count(*) AS n,
         |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
         |FROM orders WHERE o_orderkey < 1800
+        |GROUP BY v ORDER BY v""".stripMargin,
+    // the CDC tail's window is only the SECOND insert commit; the
+    // stream≡batch-changefeed claim is pinned TRUE
+    "stream_gdx_catalog_feed" ->
+      """SELECT o_orderstatus AS v, count(*) AS n,
+        |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+        |  TRUE AS catalog_stream_ok
+        |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
         |GROUP BY v ORDER BY v""".stripMargin,
     "stream_static_enrich" ->
       s"""SELECT c.c_mktsegment AS segment, count(*) AS n_events,

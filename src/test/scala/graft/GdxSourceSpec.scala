@@ -348,6 +348,33 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
       .asInstanceOf[graft.sources.GdxOffset].version === 7)
   }
 
+  test("startingVersion tails the changefeed from a base snapshot " +
+      "(SHOW CHANGES parity) and resolves tag names") {
+    val dir = freshDir("tail")
+    write(dir, Seq((1L, "a"), (2L, "a")))            // v1
+    write(dir, Seq((3L, "b")))                       // v2 (append)
+    graft.sources.GdxSource.createTag(dir, "base", 1)
+    write(dir, Seq((4L, "c")))                       // v3 (append)
+    def drained(opt: String): Seq[(Long, String)] = {
+      val name = "gdx_tail_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = spark.readStream.format("graft.sources.GdxSource")
+        .option("path", dir).option("startingVersion", opt).load()
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.sql(s"SELECT k, v FROM $name").as[(Long, String)]
+        .collect().toSeq.sorted
+    }
+    // base v1 already consumed: the tail is exactly (1, 3]
+    assert(drained("1") === Seq((3L, "b"), (4L, "c")))
+    // a tag name resolves like every other version ref
+    assert(drained("base") === Seq((3L, "b"), (4L, "c")))
+    // base = latest: nothing to deliver
+    assert(drained("3") === Seq.empty)
+  }
+
   test("streaming sink: micro-batches append-commit; read back intact") {
     val src = freshDir("sinksrc")
     val dir = freshDir("sink")
