@@ -211,15 +211,37 @@ object GdxDmlRule extends Rule[LogicalPlan] {
       }
     val onSql = sideSql(m.mergeCondition, allowT = true, allowS = true,
       "the ON condition")
-    // key-equality detection for zone-map file pruning: ON is an
-    // equality whose one side strips to the TARGET's key (first)
-    // column and whose other side references only the source
+    // file-pruning hints, extracted PER CONJUNCT of the ON condition
+    // (`ON t.k = s.k AND t.k >= a AND t.k < b` is the range-scoped
+    // point-update shape — pruning must not die on the And):
+    //  - pruneKey: a conjunct equating the TARGET's key (first) column
+    //    with a source-only expression → mergeGeneral pre-scans the
+    //    source's key min/max and carries non-overlapping target files
+    //    by reference;
+    //  - staticLo/staticHi: conjuncts bounding the target key by a
+    //    LITERAL → a static window intersected with the pre-scan's.
+    //    Range bounds are kept CONSERVATIVE (a strict bound uses its
+    //    own literal), which only ever loosens the prune.
     val keyName = m.targetTable.output.head
-    val pruneKey = m.mergeCondition match {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def tKey(e: Expression): Boolean = keyAttr(e).exists(a =>
+      tids.contains(a) && a.exprId == keyName.exprId)
+    def litLong(e: Expression): Option[Long] =
+      if (!e.foldable || e.references.nonEmpty) None
+      else scala.util.Try(e.eval(
+        org.apache.spark.sql.catalyst.InternalRow.empty)).toOption
+        .collect { case n: Number => n.longValue }
+    val cs = conjuncts(m.mergeCondition)
+    val pruneKey = cs.collectFirst(Function.unlift {
       case EqualTo(l, r) =>
         def srcSide(t: Expression, s: Expression): Option[String] =
           keyAttr(t) match {
             case Some(a) if tids.contains(a) && a.exprId == keyName.exprId &&
+                s.references.nonEmpty &&
                 s.references.forall(sids.contains) =>
               Some(sideSql(s, allowT = false, allowS = true,
                 "the ON condition"))
@@ -227,6 +249,30 @@ object GdxDmlRule extends Rule[LogicalPlan] {
           }
         srcSide(l, r).orElse(srcSide(r, l))
       case _ => None
+    })
+    var staticLo: Option[Long] = None
+    var staticHi: Option[Long] = None
+    def tightenLo(v: Long): Unit =
+      staticLo = Some(math.max(staticLo.getOrElse(Long.MinValue), v))
+    def tightenHi(v: Long): Unit =
+      staticHi = Some(math.min(staticHi.getOrElse(Long.MaxValue), v))
+    import org.apache.spark.sql.catalyst.expressions.{
+      GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    cs.foreach {
+      case GreaterThanOrEqual(l, r) if tKey(l) => litLong(r).foreach(tightenLo)
+      case GreaterThan(l, r) if tKey(l)        => litLong(r).foreach(tightenLo)
+      case LessThanOrEqual(l, r) if tKey(l)    => litLong(r).foreach(tightenHi)
+      case LessThan(l, r) if tKey(l)           => litLong(r).foreach(tightenHi)
+      // mirrored literal-first forms
+      case GreaterThanOrEqual(l, r) if tKey(r) => litLong(l).foreach(tightenHi)
+      case GreaterThan(l, r) if tKey(r)        => litLong(l).foreach(tightenHi)
+      case LessThanOrEqual(l, r) if tKey(r)    => litLong(l).foreach(tightenLo)
+      case LessThan(l, r) if tKey(r)           => litLong(l).foreach(tightenLo)
+      case EqualTo(l, r) if tKey(l) && litLong(r).isDefined =>
+        litLong(r).foreach { v => tightenLo(v); tightenHi(v) }
+      case EqualTo(l, r) if tKey(r) && litLong(l).isDefined =>
+        litLong(l).foreach { v => tightenLo(v); tightenHi(v) }
+      case _ => ()
     }
     GdxMergeGeneralCommand(path, m.sourceTable, onSql,
       clauses(m.matchedActions, "WHEN MATCHED", allowT = true,
@@ -235,7 +281,7 @@ object GdxDmlRule extends Rule[LogicalPlan] {
         allowS = true, insertBranch = true),
       clauses(m.notMatchedBySourceActions, "WHEN NOT MATCHED BY SOURCE",
         allowT = true, allowS = false, insertBranch = false),
-      pruneKey)
+      pruneKey, staticLo, staticHi)
   }
 }
 
@@ -289,7 +335,8 @@ case class GdxMergeGeneralCommand(path: String, source: LogicalPlan,
     onSql: String, matched: Seq[graft.sources.GdxMergeClause],
     notMatched: Seq[graft.sources.GdxMergeClause],
     notMatchedBySource: Seq[graft.sources.GdxMergeClause],
-    pruneKey: Option[String])
+    pruneKey: Option[String],
+    staticLo: Option[Long] = None, staticHi: Option[Long] = None)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override val output: Seq[Attribute] = GdxDml.mergeMetricsOutput
@@ -298,7 +345,7 @@ case class GdxMergeGeneralCommand(path: String, source: LogicalPlan,
     val src = raw.toDF(raw.columns.map("__s_" + _).toSeq: _*)
     val (v, ins, upd, del) = graft.sources.GdxSource.mergeGeneral(
       spark, path, src, onSql, matched, notMatched, notMatchedBySource,
-      pruneKey)
+      pruneKey, staticLo = staticLo, staticHi = staticHi)
     Seq(Row(v.toLong, ins, upd, del))
   }
 }

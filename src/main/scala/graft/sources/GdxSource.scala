@@ -2436,7 +2436,9 @@ object GdxSource {
                    notMatched: Seq[GdxMergeClause],
                    notMatchedBySource: Seq[GdxMergeClause],
                    pruneKeySql: Option[String] = None,
-                   maxRetries: Int = 10): (Int, Long, Long, Long) = {
+                   maxRetries: Int = 10,
+                   staticLo: Option[Long] = None,
+                   staticHi: Option[Long] = None): (Int, Long, Long, Long) = {
     import org.apache.spark.sql.functions._
     val conf0 = driverConf()
     val sconf = new SerializableHadoopConf(conf0)
@@ -2465,23 +2467,37 @@ object GdxSource {
         .flatMap(_.assigns.getOrElse(Seq.empty)).map(_._1.toLowerCase(root))
         .find(!known.contains(_)).foreach(c => throw new IllegalArgumentException(
           s"gdx merge: assignment references unknown column $c"))
-      // zone-map file pruning: only key-equality merges with no
-      // NOT-MATCHED-BY-SOURCE branch may scope the target scan (NMBS
-      // must test EVERY live row); stats-less legacy files always stay
-      // candidates (absence means "cannot prune", never "skip")
-      val (cands, carried) = pruneKeySql
-        .filter(_ => notMatchedBySource.isEmpty) match {
-        case Some(keySql) =>
-          val mm = src.agg(min(expr(keySql)).cast("long").as("lo"),
-            max(expr(keySql)).cast("long").as("hi")).head()
-          if (mm.isNullAt(0)) (Seq.empty[GdxFileEntry], entries)
-          else {
-            val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-            entries.partition(e =>
-              e.stats.forall(s => s.minK <= hi && s.maxK >= lo))
+      // zone-map file pruning: a merge with no NOT-MATCHED-BY-SOURCE
+      // branch (NMBS must test EVERY live row) may scope the target
+      // scan by the intersection of two key windows — the SOURCE-KEY
+      // pre-scan (one small min/max aggregate over the materialized
+      // source, for a key-equality ON conjunct) and the STATIC bounds
+      // the ON's literal range conjuncts pin. A file whose k-range
+      // misses the window can satisfy no conjunct set and is carried
+      // BY REFERENCE (never opened) — the range-scoped point-update
+      // MERGE touches the day's files, not the decade's. Stats-less
+      // legacy files always stay candidates (absence means "cannot
+      // prune", never "skip").
+      val (cands, carried) =
+        if (notMatchedBySource.nonEmpty ||
+            (pruneKeySql.isEmpty && staticLo.isEmpty && staticHi.isEmpty))
+          (entries, Seq.empty[GdxFileEntry])
+        else {
+          val srcWin: Option[(Long, Long)] = pruneKeySql.map { keySql =>
+            val mm = src.agg(min(expr(keySql)).cast("long").as("lo"),
+              max(expr(keySql)).cast("long").as("hi")).head()
+            // an empty/all-NULL source key set matches nothing:
+            // an inverted window carries every file
+            if (mm.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+            else (mm.getLong(0), mm.getLong(1))
           }
-        case None => (entries, Seq.empty[GdxFileEntry])
-      }
+          val lo = math.max(staticLo.getOrElse(Long.MinValue),
+            srcWin.map(_._1).getOrElse(Long.MinValue))
+          val hi = math.min(staticHi.getOrElse(Long.MaxValue),
+            srcWin.map(_._2).getOrElse(Long.MaxValue))
+          entries.partition(e =>
+            e.stats.forall(s => s.minK <= hi && s.maxK >= lo))
+        }
       val dvByName = cands.map(e => e.name -> e.dv).toMap
       val target = liveFrame(spark, dir, cands, tblSchema, sconf,
         tblColmap)

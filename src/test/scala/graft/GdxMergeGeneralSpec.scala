@@ -176,6 +176,64 @@ class GdxMergeGeneralSpec extends SparkSuite {
     } finally s.sql("DROP TABLE IF EXISTS gm_pr")
   }
 
+  test("range-scoped MERGE: static key bounds in a composite ON carry " +
+      "out-of-window files by reference even when the source spans " +
+      "everything") {
+    val dir = freshDir("range")
+    s.sql(s"""CREATE TABLE gm_rng (k BIGINT, v STRING, w BIGINT)
+      USING $fmt OPTIONS (path '$dir')""")
+    try {
+      // three key-disjoint files: one commit each
+      s.sql("INSERT INTO gm_rng VALUES (1,'lo',1),(2,'lo',2)")
+      s.sql("INSERT INTO gm_rng VALUES (100,'mid',100),(150,'mid',150)")
+      s.sql("INSERT INTO gm_rng VALUES (900,'hi',900),(950,'hi',950)")
+      val conf = graft.sources.GdxSource.driverConf()
+      val entries = graft.sources.GdxSource.committedEntries(dir, conf)
+      val outside = entries.filter(_.stats.exists(st =>
+        st.maxK <= 2 || st.minK >= 900))
+      assert(outside.size >= 2, entries.map(_.manifestLine).toString)
+      // corrupt BOTH out-of-window files: the SOURCE spans 1..950, so
+      // the pre-scan window alone cannot prune — only the ON's static
+      // t.k bounds can. Opening either file would fail the statement.
+      outside.foreach(e => java.nio.file.Files.write(
+        new java.io.File(dir, e.name).toPath,
+        "not\ta\tgdx\nline".getBytes("UTF-8")))
+      s.sql("""CREATE OR REPLACE TEMP VIEW gm_rsrc AS SELECT * FROM
+        VALUES (1, 'X'), (150, 'R'), (950, 'X'), (175, 'N') AS t(k, nv)""")
+      val m = s.sql(
+        """MERGE INTO gm_rng t USING gm_rsrc s
+          ON t.k = s.k AND t.k >= 100 AND t.k < 200
+          WHEN MATCHED THEN UPDATE SET v = s.nv
+          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""")
+        .collect().head
+      // k=150 updates; 1, 950, 175 are unmatched UNDER THE SCOPED ON
+      // (the two out-of-window source keys insert fresh rows — ANSI
+      // semantics: the ON is the match condition, not a filter)
+      assert((m.getLong(1), m.getLong(2), m.getLong(3)) === ((3L, 1L, 0L)))
+      // the carried files' manifest entries are byte-identical
+      val after = graft.sources.GdxSource.committedEntries(dir, conf)
+      outside.foreach { o =>
+        assert(after.find(_.name == o.name).get.manifestLine
+          === o.manifestLine)
+      }
+      // composite-ON key-equality still drives the SOURCE pre-scan
+      // window: a small source prunes the (restored) low file too
+      outside.foreach { o => // restore plausible bytes for time travel
+        java.nio.file.Files.delete(new java.io.File(dir, o.name).toPath)
+      }
+      s.sql("""CREATE OR REPLACE TEMP VIEW gm_rsrc2 AS SELECT * FROM
+        VALUES (150, 'Z') AS t(k, nv)""")
+      val m2 = s.sql(
+        """MERGE INTO gm_rng t USING gm_rsrc2 s
+          ON t.k = s.k AND s.nv = 'Z'
+          WHEN MATCHED THEN UPDATE SET v = s.nv""")
+        .collect().head
+      assert(m2.getLong(2) === 1L)
+      assert(s.sql("SELECT v FROM gm_rng WHERE k = 150").head.getString(0)
+        === "Z")
+    } finally s.sql("DROP TABLE IF EXISTS gm_rng")
+  }
+
   test("key update, NULL-key refusal, and empty-effect merge") {
     val dir = freshDir("edge")
     s.sql(s"""CREATE TABLE gm_edge (k BIGINT, v STRING, w BIGINT)
