@@ -3337,6 +3337,64 @@ object RelationalOps extends QueryModule {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
 
+    // C36 — MULTI-TABLE TRANSACTIONS: `BEGIN ... COMMIT` over several
+    // GDX tables, reduced to manifests. PREPARE claims each table's
+    // next version with a redirect manifest pointing at ONE decision
+    // file; the single create-exclusive PUT of that file is the
+    // atomic cross-table commit point — there is no instant at which
+    // table A shows the transaction and table B does not
+    // (`invisible_before` pins that undecided claims read as nothing;
+    // `abort_hidden` that an aborted transaction's rows never
+    // surface on either table). A blocked writer aborts a stale claim
+    // (first decision wins), so a crashed transaction can never wedge
+    // a table. At 100 TB this is the fact-and-summary consistency
+    // story: land the day's fact partition and its rollup in one
+    // decision, and no reader ever joins a new fact against a stale
+    // summary.
+    "c36_gdx_multi_table_txn" -> ((s, d) => {
+      val aDir = graft.Scratch.tablePath("graft_gdxtxa_")
+      val bDir = graft.Scratch.tablePath("graft_gdxtxb_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      val ev = Tables.events(s, d)
+      def kv = ev.select(col("event_id").as("k"),
+        col("event_type").as("v"))
+      kv.filter(col("k") % 2 === 0)
+        .write.format(fmt).option("path", aDir).mode("overwrite").save()
+      kv.filter(col("k") % 2 === 1)
+        .write.format(fmt).option("path", bDir).mode("overwrite").save()
+      def counts = (s.read.format(fmt).option("path", aDir).load().count(),
+        s.read.format(fmt).option("path", bDir).load().count())
+      val (aN, bN) = counts
+      val txn = gdx.prepareTransaction(s, Seq(
+        gdx.GdxTxnWrite(aDir, kv.filter(col("k") % 10 === 0)
+          .select((col("k") + 1000000000L).as("k"),
+            concat(lit("TA_"), col("v")).as("v"))),
+        gdx.GdxTxnWrite(bDir, kv.filter(col("k") % 10 === 5)
+          .select((col("k") + 1000000000L).as("k"),
+            concat(lit("TB_"), col("v")).as("v")))))
+      // undecided claims are INVISIBLE on both tables at once
+      val invisibleBefore = counts == ((aN, bN))
+      txn.commit()
+      val (aN2, bN2) = counts
+      val atomicCommit = aN2 > aN && bN2 > bN
+      // an aborted transaction's rows never surface on either table
+      import s.implicits._
+      val txn2 = gdx.prepareTransaction(s, Seq(
+        gdx.GdxTxnWrite(aDir, Seq((-5L, "NEVER")).toDF("k", "v")),
+        gdx.GdxTxnWrite(bDir, Seq((-6L, "NEVER")).toDF("k", "v"))))
+      txn2.abort()
+      val abortHidden = counts == ((aN2, bN2))
+      s.read.format(fmt).option("path", aDir).load()
+        .withColumn("side", lit("a"))
+        .unionByName(s.read.format(fmt).option("path", bDir).load()
+          .withColumn("side", lit("b")))
+        .withColumn("invisible_before", lit(invisibleBefore))
+        .withColumn("atomic_commit", lit(atomicCommit))
+        .withColumn("abort_hidden", lit(abortHidden))
+        .orderBy("side", "k")
+    }),
+
     // C16 — CHANGEFEED-MAINTAINED MATERIALIZED VIEW: the full
     // composition of the engine's table format and MV tiers. A summary
     // is registered over an EMPTY GDX table, the events keyset lands
@@ -4372,6 +4430,23 @@ object RelationalOps extends QueryModule {
         |WHERE ts >= TIMESTAMP '2024-01-06 06:00:00'
         |  AND ts < TIMESTAMP '2024-01-06 12:00:00'
         |ORDER BY k""".stripMargin,
+    // both tables recomputed: the even/odd split plus each side's
+    // committed transactional block; the aborted rows never appear;
+    // claims pinned TRUE
+    "c36_gdx_multi_table_txn" ->
+      """WITH kv AS (SELECT event_id AS k, event_type AS v FROM events),
+        |a AS (SELECT 'a' AS side, k, v FROM kv WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT 'a', k + 1000000000, 'TA_' || v FROM kv
+        |  WHERE k % 10 = 0),
+        |b AS (SELECT 'b' AS side, k, v FROM kv WHERE k % 2 = 1
+        |  UNION ALL
+        |  SELECT 'b', k + 1000000000, 'TB_' || v FROM kv
+        |  WHERE k % 10 = 5)
+        |SELECT side, k, v, TRUE AS invisible_before,
+        |  TRUE AS atomic_commit, TRUE AS abort_hidden
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |ORDER BY side, k""".stripMargin,
     // the published main recomputed relationally: base ∪ branch block,
     // minus the branch's keyed delete, plus the conflict stage's main
     // append; the risky branch's row must NOT appear; claims pinned

@@ -202,6 +202,14 @@ class GdxConstraintViolationException(msg: String)
 class GdxMergeCardinalityException(msg: String)
     extends RuntimeException(msg)
 
+/** A version resolved to a multi-table transaction's PREPARED claim
+  * whose decision file does not exist yet: the snapshot is undecided.
+  * Latest-resolution skips such versions; an explicit pin is loud; a
+  * writer blocked on the claim aborts it through `decisionFile`
+  * (first PUT wins against the transaction's own commit). */
+class GdxTxnUndecidedException(msg: String, val decisionFile: String)
+    extends RuntimeException(msg)
+
 /** One clause of a general MERGE ([[GdxSource.mergeGeneral]]):
   * `condSql` is the clause's extra condition (None = unconditional)
   * and `assigns` its column assignments — `Some((col, valueSql)*)` for
@@ -1054,6 +1062,19 @@ object GdxSource {
     * have no header — byte-compatible with every pre-delta directory. */
   private val DeltaHeader = "#delta"
 
+  /** MULTI-TABLE TRANSACTION redirect (`#txn\t<decisionFile>\t<stage>`):
+    * a claimed-but-prepared version. The line sits AFTER the base
+    * snapshot's headers inside an otherwise-empty `#delta` manifest,
+    * so the claim itself reads as "nothing changed" — which is exactly
+    * the ABORT semantics, and what a reader that predates transactions
+    * would safely see. Resolution: the decision file says `commit` →
+    * the version IS the staged manifest (read through); `abort` → the
+    * empty delta stands forever; missing → undecided, loud on explicit
+    * pins and skipped by latest-resolution. The single decision-file
+    * PUT (create-exclusive) is the atomic commit point for EVERY
+    * participating table at once. */
+  private val TxnHeader = "#txn\t"
+
   /** Retained snapshot versions, ascending (empty for a pre-versioning
     * or never-committed directory). One LIST call. */
   def listVersions(path: String, conf: Configuration): Seq[Int] = {
@@ -1062,6 +1083,43 @@ object GdxSource {
     if (!fs.exists(base)) Seq.empty
     else fs.globStatus(new Path(base, "_manifest-*")).toSeq
       .map(_.getPath.getName.stripPrefix("_manifest-").toInt).sorted
+  }
+
+  /** Decide a stale in-flight transaction claim at version `v` —
+    * called by a writer whose own claim of `v` just failed: an
+    * undecided claim is ABORTED through its decision file
+    * (create-exclusive, so the transaction's own commit PUT wins any
+    * race and the writer then simply chains past a committed
+    * version). This is what keeps the "a claimed version is decided
+    * before anyone claims past it" invariant, and what stops a
+    * crashed transaction from wedging a table forever. */
+  private def decideStaleTxn(path: String, conf: Configuration,
+                             v: Int): Unit = {
+    val fs = new Path(path).getFileSystem(conf)
+    val m = manifestFor(path, v)
+    if (!fs.exists(m)) return
+    try { readManifest(fs, m); () }
+    catch {
+      case e: GdxTxnUndecidedException =>
+        val dp = new Path(e.decisionFile)
+        publishExclusive(dp.getFileSystem(conf), conf, dp, Seq("abort"))
+        ()
+    }
+  }
+
+  /** The newest version whose snapshot is DECIDED — every latest-
+    * resolution goes through here, so an in-flight multi-table
+    * transaction's claimed-but-undecided version is invisible to
+    * readers (its predecessor is the live snapshot) and flips in
+    * atomically with the decision PUT. Non-claim versions never pay a
+    * probe beyond their normal manifest read. */
+  private[graft] def latestDecidedVersion(path: String,
+                                          conf: Configuration): Int = {
+    val fs = new Path(path).getFileSystem(conf)
+    listVersions(path, conf).sorted.reverse.find { v =>
+      try { readManifest(fs, manifestFor(path, v)); true }
+      catch { case _: GdxTxnUndecidedException => false }
+    }.getOrElse(0)
   }
 
   /** TIMESTAMP AS OF: the latest retained version whose manifest was
@@ -1147,6 +1205,34 @@ object GdxSource {
     try {
       var lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty).toList
+      // transaction-claim resolution (scaladoc at [[TxnHeader]]): a
+      // committed claim READS THROUGH to its staged manifest; an
+      // aborted one falls through below and parses as the empty delta
+      // it already is; undecided is loud (latest-resolution catches)
+      lines.find(_.startsWith(TxnHeader)).foreach { t =>
+        val parts = t.split('\t')
+        require(parts.length == 3, s"gdx: malformed txn line in $m")
+        val decisionPath = new Path(parts(1))
+        val dfs = decisionPath.getFileSystem(driverConf())
+        val decision: Option[String] =
+          if (!dfs.exists(decisionPath)) None
+          else {
+            val din = new java.io.BufferedReader(
+              new java.io.InputStreamReader(dfs.open(decisionPath),
+                "UTF-8"))
+            try Option(din.readLine()).map(_.trim) finally din.close()
+          }
+        decision match {
+          case Some("commit") =>
+            return readManifest(fs, new Path(m.getParent, parts(2)))
+          case Some(_) => () // aborted: the empty delta stands
+          case None => throw new GdxTxnUndecidedException(
+            s"gdx: version ${m.getName} of ${m.getParent} belongs to an " +
+              s"UNDECIDED multi-table transaction (decision file " +
+              s"$decisionPath) - commit or abort it, or let the next " +
+              "writer decide it", decisionPath.toString)
+        }
+      }
       val isDelta = lines.headOption.exists(_.startsWith(DeltaHeader))
       if (isDelta) lines = lines.tail
       val sch = lines.headOption.filter(_.startsWith(SchemaHeader))
@@ -1189,8 +1275,8 @@ object GdxSource {
     val fs = new Path(path).getFileSystem(conf)
     val t: Option[Path] =
       if (version >= 0) Some(manifestFor(path, version))
-      else listVersions(path, conf) match {
-        case vs if vs.nonEmpty => Some(manifestFor(path, vs.max))
+      else latestDecidedVersion(path, conf) match {
+        case v if v > 0 => Some(manifestFor(path, v))
         case _ =>
           val legacy = manifest(path)
           if (fs.exists(legacy)) Some(legacy) else None
@@ -1256,9 +1342,9 @@ object GdxSource {
         require(fs.exists(manifestFor(path, version)),
           s"gdx: snapshot version $version does not exist under $path")
         Some(version)
-      } else listVersions(path, conf) match {
-        case vs if vs.nonEmpty => Some(vs.max)
-        case _                 => None
+      } else latestDecidedVersion(path, conf) match {
+        case v if v > 0 => Some(v)
+        case _          => None
       }
     target match {
       case None => // pre-versioning directory: single full `_manifest`
@@ -1546,6 +1632,12 @@ object GdxSource {
         }
       }
       while (committed < 0) {
+        // the claim invariant every reader relies on ("if v+1 exists,
+        // v is decided"): before claiming `attempt`, decide any stale
+        // txn claim sitting at the current head — otherwise this
+        // commit's own chain would run through an unresolvable
+        // snapshot
+        decideStaleTxn(path, conf, attempt - 1)
         // METADATA CONFLICT: a constraint committed AFTER this write
         // captured its enforcement set means these rows were NEVER
         // validated against it — publishing would land unvalidated
@@ -1689,7 +1781,12 @@ object GdxSource {
           committed = attempt
         } else {
           // lost the race: another writer published this version —
-          // recompute against the advanced snapshot and try again
+          // recompute against the advanced snapshot and try again. If
+          // the winner was an in-flight multi-table transaction's
+          // claim, DECIDE it first (abort-or-observe-commit): claiming
+          // past an undecided version would leave readers of this
+          // commit chaining through an unresolvable snapshot
+          decideStaleTxn(path, conf, attempt)
           attempt = math.max(attempt + 1,
             (listVersions(path, conf) :+ 0).max + 1)
         }
@@ -1906,7 +2003,10 @@ object GdxSource {
         writeLines(fs, manifest(dir), lines)
         return (before, updated.size)
       }
-      attempt += 1 // lost the race; orphan rewrites await vacuum
+      // lost the race; orphan rewrites await vacuum. A stale txn claim
+      // is decided before retrying (same invariant as commitFiles)
+      decideStaleTxn(dir, conf0, readV + 1)
+      attempt += 1
       if (attempt > maxRetries) throw new GdxConcurrentModificationException(
         s"gdx compactSmall: lost the publish race $maxRetries times " +
           s"on $dir")
@@ -3457,6 +3557,137 @@ object GdxSource {
             s"(tags: ${listTags(dir, conf).keys.toSeq.sorted
               .mkString(", ")})")))
 
+  // --------------------------------------- multi-table transactions
+  /** One table's staged write inside a multi-table transaction:
+    * `rows` must match the table's current schema by name; `overwrite`
+    * stages a truncate (the new snapshot starts from these rows),
+    * otherwise an append. */
+  case class GdxTxnWrite(dir: String,
+                         rows: org.apache.spark.sql.DataFrame,
+                         overwrite: Boolean = false)
+
+  /** A prepared (claimed, staged, UNDECIDED) multi-table transaction:
+    * every participating table's next version is claimed by a redirect
+    * manifest pointing at this transaction's decision file, and ONE
+    * create-exclusive PUT of that file commits (or aborts) all of
+    * them atomically — readers resolve the claims through the
+    * decision, so there is no instant at which table A shows the
+    * transaction and table B does not. */
+  final class GdxPreparedTxn private[GdxSource] (
+      val id: String, decisionFile: Path,
+      val claims: Seq[(String, Int)]) {
+    private def decide(verdict: String): Boolean = {
+      val conf = driverConf()
+      val fs = decisionFile.getFileSystem(conf)
+      if (publishExclusive(fs, conf, decisionFile, Seq(verdict))) true
+      else {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(decisionFile), "UTF-8"))
+        val existing = try Option(in.readLine()).map(_.trim)
+          finally in.close()
+        existing.contains(verdict) // idempotent re-decision is fine
+      }
+    }
+    /** Commit every claim at once. Throws if a blocked writer stole
+      * the decision (aborted the transaction) first — re-run the
+      * whole transaction. Returns the committed (dir, version)s. */
+    def commit(): Seq[(String, Int)] = {
+      if (!decide("commit"))
+        throw new GdxConcurrentModificationException(
+          s"gdx txn $id: a concurrent writer aborted this transaction " +
+            "before its commit - re-run it")
+      claims
+    }
+    /** Abort every claim at once (idempotent; loses to a commit that
+      * already landed). Returns whether the abort stands. */
+    def abort(): Boolean = decide("abort")
+  }
+
+  /** PREPARE a multi-table transaction: stage each table's data files
+    * and manifest, then claim each table's next version with a
+    * redirect manifest (scaladoc at [[TxnHeader]]). Constraints are
+    * enforced at stage time; claims serialize against concurrent
+    * commits through the same create-exclusive manifest PUT every
+    * writer uses. The returned handle's `commit()` is ONE decision-
+    * file PUT — the atomic cross-table commit point. A crash before
+    * the decision leaves claims a later writer aborts (and vacuum
+    * then reaps the staged files); a crash after it leaves a fully
+    * committed transaction readers resolve lazily. */
+  def prepareTransaction(spark: SparkSession,
+                         writes: Seq[GdxTxnWrite]): GdxPreparedTxn = {
+    import org.apache.spark.sql.functions.{col, expr, not, coalesce, lit}
+    require(writes.nonEmpty, "gdx txn: no writes")
+    require(writes.map(_.dir).distinct.size == writes.size,
+      "gdx txn: one write per table")
+    val conf = driverConf()
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    val headDir = new Path(writes.head.dir)
+    val decisionFile = headDir.getFileSystem(conf)
+      .makeQualified(new Path(headDir, s"_txndecision-$id"))
+    val sconf = new SerializableHadoopConf(conf)
+    val claims = writes.map { w =>
+      val dir = w.dir
+      val fs = new Path(dir).getFileSystem(conf)
+      val tblSchema = committedSchema(dir, conf)
+      val tblColmap = committedColmap(dir, conf)
+      val checks = committedConstraints(dir, conf)
+      val partRaw = committedPartitionCol(dir, conf)
+      require(w.rows.columns.map(_.toLowerCase(java.util.Locale.ROOT))
+          .toSeq ==
+        tblSchema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT))
+          .toSeq,
+        s"gdx txn: columns ${w.rows.columns.mkString(",")} do not match " +
+          s"$dir's schema ${tblSchema.fieldNames.mkString(",")}")
+      val aligned = w.rows.select(tblSchema.fieldNames.map(col).toSeq: _*)
+      // CHECK constraints, SQL semantics (NULL passes), enforced at
+      // stage time — the decision PUT must never publish unvalidated
+      // rows
+      checks.foreach { case (n, sql) =>
+        if (aligned.filter(not(coalesce(expr(sql), lit(true))))
+            .limit(1).count() > 0)
+          throw new GdxConstraintViolationException(
+            s"gdx txn: rows for $dir violate CHECK constraint $n")
+      }
+      val staged = writeDataFiles(aligned, dir, tblSchema, sconf,
+        tblColmap)
+      val headers = headerLines(tblSchema, checks, tblColmap, partRaw)
+      // claim the next version; a stale foreign claim is decided first
+      // (the same invariant every writer keeps)
+      var claimed = -1
+      var attempts = 0
+      while (claimed < 0) {
+        val base = (listVersions(dir, conf) :+ 0).max
+        decideStaleTxn(dir, conf, base)
+        val v = base + 1
+        val stageName = f"_txnstage-$v%08d-$id"
+        val stageLines =
+          if (w.overwrite) headers ++
+            staged.sortBy(_.name).map(_.manifestLine)
+          else (DeltaHeader +: headers) ++
+            staged.sortBy(_.name).map(_.manifestLine)
+        val claimLines = (DeltaHeader +: headers) :+
+          s"#txn\t$decisionFile\t$stageName"
+        writeLines(fs, new Path(dir, stageName), stageLines)
+        if (publishExclusive(fs, conf, manifestFor(dir, v), claimLines))
+          claimed = v
+        else {
+          fs.delete(new Path(dir, stageName), false)
+          attempts += 1
+          require(attempts <= 20,
+            s"gdx txn: lost the claim race 20 times on $dir")
+        }
+      }
+      dir -> claimed
+    }
+    new GdxPreparedTxn(id, decisionFile, claims)
+  }
+
+  /** Atomically commit one staged write per table — either every
+    * table shows its new snapshot or none does. */
+  def transact(spark: SparkSession,
+               writes: Seq[GdxTxnWrite]): Seq[(String, Int)] =
+    prepareTransaction(spark, writes).commit()
+
   // ------------------------------------------------------- branches
   /** BRANCHES — WRITABLE named refs (the Iceberg branch / Delta WAP
     * contract, reduced to manifests): a branch is a zero-copy shallow
@@ -4582,8 +4813,10 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter],
   private def entriesAt(v: Int): Seq[GdxFileEntry] =
     if (v <= 0) Seq.empty
     else GdxSource.committedEntries(path, conf, v)
+  // undecided txn claims are invisible to the stream too: an offset
+  // must never point past a snapshot readers can't resolve yet
   private def currentLatest: Int =
-    (GdxSource.listVersions(path, conf) :+ 0).max
+    GdxSource.latestDecidedVersion(path, conf)
 
   // ADMISSION CONTROL (`maxVersionsPerTrigger`): bound each micro-batch
   // to N manifest versions, the Delta maxFilesPerTrigger analog — a

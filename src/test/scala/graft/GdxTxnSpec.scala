@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.GdxSource
+
+/** Multi-table transactions (sources/GdxSource.prepareTransaction /
+  * transact): each participating table's next version is claimed by a
+  * redirect manifest pointing at ONE decision file, whose single
+  * create-exclusive PUT commits or aborts every claim atomically.
+  * Undecided claims are invisible to readers and loud on explicit
+  * pins; a blocked writer aborts a stale claim (first decision wins);
+  * vacuum reaps an aborted transaction's staged files. */
+class GdxTxnSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val fmt = "graft.sources.GdxSource"
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"gdxtxn_$tag").toString + "/t"
+  private def conf = GdxSource.driverConf()
+  private def read(dir: String) =
+    spark.read.format(fmt).option("path", dir).load()
+  private def seed(dir: String, n: Int): Unit =
+    (0L until n.toLong).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+
+  test("commit flips BOTH tables at once; before the decision neither " +
+      "shows anything and the claims are loud on explicit pins") {
+    val a = freshDir("a"); val b = freshDir("b")
+    seed(a, 10); seed(b, 20)
+    val txn = GdxSource.prepareTransaction(spark, Seq(
+      GdxSource.GdxTxnWrite(a,
+        Seq((100L, "txa")).toDF("k", "v")),
+      GdxSource.GdxTxnWrite(b,
+        Seq((200L, "txb")).toDF("k", "v"))))
+    // claims exist but are INVISIBLE: both tables still read their base
+    assert(GdxSource.listVersions(a, conf) === Seq(1, 2))
+    assert(read(a).count() === 10L && read(b).count() === 20L)
+    // an explicit pin on the undecided claim is loud
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("path", a).option("version", "2")
+        .load().count()
+    }
+    assert(e.getMessage.contains("UNDECIDED"), e.getMessage)
+    // ONE decision PUT commits both
+    val committed = txn.commit()
+    assert(committed.map(_._2) === Seq(2, 2))
+    assert(read(a).count() === 11L && read(b).count() === 21L)
+    assert(read(a).filter(col("v") === "txa").count() === 1L)
+    assert(read(b).filter(col("v") === "txb").count() === 1L)
+    // the pre-txn snapshots still time-travel; the committed claim
+    // pins exactly
+    assert(spark.read.format(fmt).option("path", a)
+      .option("version", "1").load().count() === 10L)
+    assert(spark.read.format(fmt).option("path", a)
+      .option("version", "2").load().count() === 11L)
+    // commit is idempotent; a late abort loses
+    assert(txn.commit().map(_._2) === Seq(2, 2))
+    assert(!txn.abort())
+  }
+
+  test("abort hides the writes forever; later appends chain past the " +
+      "aborted claim and vacuum reaps its staged files") {
+    val a = freshDir("aa"); val b = freshDir("ab")
+    seed(a, 5); seed(b, 5)
+    val txn = GdxSource.prepareTransaction(spark, Seq(
+      GdxSource.GdxTxnWrite(a, Seq((50L, "x")).toDF("k", "v")),
+      GdxSource.GdxTxnWrite(b, Seq((60L, "y")).toDF("k", "v"))))
+    assert(txn.abort())
+    assert(read(a).count() === 5L && read(b).count() === 5L)
+    // a normal append chains past the aborted v2 (reads as empty delta)
+    Seq((70L, "later")).toDF("k", "v").coalesce(1)
+      .write.format(fmt).option("path", a).mode("append").save()
+    assert(GdxSource.listVersions(a, conf) === Seq(1, 2, 3))
+    assert(read(a).count() === 6L)
+    // the aborted version explicitly pinned = its predecessor snapshot
+    assert(spark.read.format(fmt).option("path", a)
+      .option("version", "2").load().count() === 5L)
+    // vacuum reaps the aborted stage's unreferenced data files
+    val strays = new java.io.File(a).listFiles()
+      .filter(_.getName.startsWith("upd-"))
+    assert(strays.nonEmpty, "prepare must have staged data files")
+    GdxSource.vacuum(a, conf, keepLast = 3)
+    assert(new java.io.File(a).listFiles()
+      .forall(f => !f.getName.startsWith("upd-")))
+    assert(read(a).count() === 6L)
+  }
+
+  test("a blocked writer STEALS the decision: the transaction aborts, " +
+      "its commit throws, and the writer's own commit lands") {
+    val a = freshDir("sa"); val b = freshDir("sb")
+    seed(a, 5); seed(b, 5)
+    val txn = GdxSource.prepareTransaction(spark, Seq(
+      GdxSource.GdxTxnWrite(a, Seq((50L, "tx")).toDF("k", "v")),
+      GdxSource.GdxTxnWrite(b, Seq((60L, "tx")).toDF("k", "v"))))
+    // a concurrent writer needs a's next slot: it aborts the stale
+    // claim and chains past it
+    Seq((70L, "winner")).toDF("k", "v").coalesce(1)
+      .write.format(fmt).option("path", a).mode("append").save()
+    assert(read(a).filter(col("v") === "winner").count() === 1L)
+    intercept[graft.sources.GdxConcurrentModificationException] {
+      txn.commit()
+    }
+    // ATOMIC abort: table b (never touched by the writer) must not
+    // show the transaction's row either
+    assert(read(a).filter(col("v") === "tx").count() === 0L)
+    assert(read(b).count() === 5L)
+  }
+
+  test("constraints are enforced at stage time; schema mismatches and " +
+      "duplicate tables refuse") {
+    val a = freshDir("ca")
+    seed(a, 5)
+    GdxSource.addConstraint(spark, a, "pos", "k >= 0")
+    val e1 = intercept[graft.sources.GdxConstraintViolationException] {
+      GdxSource.prepareTransaction(spark, Seq(
+        GdxSource.GdxTxnWrite(a, Seq((-1L, "bad")).toDF("k", "v"))))
+    }
+    assert(e1.getMessage.contains("pos"))
+    assert(GdxSource.listVersions(a, conf).max === 2) // constraint commit
+    val e2 = intercept[Exception] {
+      GdxSource.prepareTransaction(spark, Seq(
+        GdxSource.GdxTxnWrite(a, Seq(1L).toDF("k"))))
+    }
+    assert(e2.getMessage.contains("schema"), e2.getMessage)
+    intercept[Exception] {
+      GdxSource.prepareTransaction(spark, Seq(
+        GdxSource.GdxTxnWrite(a, Seq((1L, "x")).toDF("k", "v")),
+        GdxSource.GdxTxnWrite(a, Seq((2L, "y")).toDF("k", "v"))))
+    }
+  }
+
+  test("overwrite and append stage together; transact is the one-call " +
+      "form") {
+    val a = freshDir("oa"); val b = freshDir("ob")
+    seed(a, 10); seed(b, 10)
+    val out = GdxSource.transact(spark, Seq(
+      GdxSource.GdxTxnWrite(a,
+        Seq((1L, "fresh")).toDF("k", "v"), overwrite = true),
+      GdxSource.GdxTxnWrite(b, Seq((99L, "more")).toDF("k", "v"))))
+    assert(out.map(_._2) === Seq(2, 2))
+    assert(read(a).count() === 1L) // truncate semantics
+    assert(read(b).count() === 11L)
+    assert(spark.read.format(fmt).option("path", a)
+      .option("version", "1").load().count() === 10L)
+  }
+}
