@@ -228,8 +228,17 @@ object GdxDmlRule extends Rule[LogicalPlan] {
         conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    def tKey(e: Expression): Boolean = keyAttr(e).exists(a =>
-      tids.contains(a) && a.exprId == keyName.exprId)
+    // the BARE key attribute only — a user-written cast of the key
+    // (CAST(t.k AS INT) < 100) changes which rows satisfy the
+    // conjunct, so stripping it would feed a WRONG prune bound and
+    // silently skip matching files. The analyzer widens the LITERAL
+    // side of a BIGINT compare, never the key, so bare-only loses no
+    // real pruning.
+    def tKey(e: Expression): Boolean = e match {
+      case a: AttributeReference =>
+        tids.contains(a) && a.exprId == keyName.exprId
+      case _ => false
+    }
     def litLong(e: Expression): Option[Long] =
       if (!e.foldable || e.references.nonEmpty) None
       else scala.util.Try(e.eval(
@@ -238,15 +247,15 @@ object GdxDmlRule extends Rule[LogicalPlan] {
     val cs = conjuncts(m.mergeCondition)
     val pruneKey = cs.collectFirst(Function.unlift {
       case EqualTo(l, r) =>
+        // bare target key only, same rationale as tKey: a cast wrapped
+        // around t.k changes the match set, and a window computed from
+        // the source expression would then wrongly prune files
         def srcSide(t: Expression, s: Expression): Option[String] =
-          keyAttr(t) match {
-            case Some(a) if tids.contains(a) && a.exprId == keyName.exprId &&
-                s.references.nonEmpty &&
-                s.references.forall(sids.contains) =>
-              Some(sideSql(s, allowT = false, allowS = true,
-                "the ON condition"))
-            case _ => None
-          }
+          if (tKey(t) && s.references.nonEmpty &&
+              s.references.forall(sids.contains))
+            Some(sideSql(s, allowT = false, allowS = true,
+              "the ON condition"))
+          else None
         srcSide(l, r).orElse(srcSide(r, l))
       case _ => None
     })

@@ -1086,40 +1086,123 @@ object GdxSource {
   }
 
   /** Decide a stale in-flight transaction claim at version `v` —
-    * called by a writer whose own claim of `v` just failed: an
-    * undecided claim is ABORTED through its decision file
-    * (create-exclusive, so the transaction's own commit PUT wins any
-    * race and the writer then simply chains past a committed
-    * version). This is what keeps the "a claimed version is decided
-    * before anyone claims past it" invariant, and what stops a
-    * crashed transaction from wedging a table forever. */
+    * called by a writer whose own claim of `v` just failed (or any
+    * maintenance entering a table): an undecided claim is ABORTED
+    * through its decision file (create-exclusive, so the
+    * transaction's own commit PUT wins any race and the writer then
+    * simply chains past a committed version), then materialized so
+    * reads stop consulting the decision file. This is what keeps the
+    * "a claimed version is decided before anyone claims past it"
+    * invariant, and what stops a crashed transaction from wedging a
+    * table forever. */
   private def decideStaleTxn(path: String, conf: Configuration,
                              v: Int): Unit = {
     val fs = new Path(path).getFileSystem(conf)
     val m = manifestFor(path, v)
     if (!fs.exists(m)) return
-    try { readManifest(fs, m); () }
-    catch {
-      case e: GdxTxnUndecidedException =>
-        val dp = new Path(e.decisionFile)
-        publishExclusive(dp.getFileSystem(conf), conf, dp, Seq("abort"))
-        ()
+    undecidedClaimOf(fs, m).foreach { dpStr =>
+      val dp = new Path(dpStr)
+      publishExclusive(dp.getFileSystem(conf), conf, dp, Seq("abort"))
+      materializeClaim(path, conf, v)
     }
+  }
+
+  /** Rewrite a DECIDED transaction claim as a SELF-CONTAINED manifest
+    * — committed → the staged content verbatim; aborted → the empty
+    * delta it already reads as — and drop the stage file. After this
+    * the version never consults the decision file again, which is
+    * what removes the cross-directory dependency a committed redirect
+    * would otherwise carry forever (destroying the coordinator's
+    * directory must never be able to un-commit another table's
+    * snapshot). Idempotent; a no-op on plain manifests and on claims
+    * still undecided. */
+  private[graft] def materializeClaim(dir: String, conf: Configuration,
+                                      v: Int): Unit = {
+    val fs = new Path(dir).getFileSystem(conf)
+    val m = manifestFor(dir, v)
+    if (!fs.exists(m)) return
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(m), "UTF-8"))
+    val lines = try Iterator.continually(in.readLine())
+      .takeWhile(_ != null).toList finally in.close()
+    val txnIdx = lines.indexWhere(_.startsWith(TxnHeader))
+    if (txnIdx < 0) return
+    val parts = lines(txnIdx).split('\t')
+    if (parts.length != 3) return
+    val dp = new Path(parts(1))
+    val dfs = dp.getFileSystem(conf)
+    if (!dfs.exists(dp)) return // undecided: not ours to materialize
+    val din = new java.io.BufferedReader(
+      new java.io.InputStreamReader(dfs.open(dp), "UTF-8"))
+    val committed = try Option(din.readLine()).map(_.trim)
+      .contains("commit") finally din.close()
+    val stage = new Path(dir, parts(2))
+    val resolved =
+      if (!committed) lines.patch(txnIdx, Nil, 1)
+      else {
+        require(fs.exists(stage),
+          s"gdx txn: committed claim $m references a missing stage " +
+            s"${parts(2)}")
+        val sin = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(stage), "UTF-8"))
+        try Iterator.continually(sin.readLine()).takeWhile(_ != null)
+          .toList
+        finally sin.close()
+      }
+    replaceAtomic(fs, conf, m, resolved)
+    if (fs.exists(stage)) fs.delete(stage, false)
+    ()
+  }
+
+  /** Light decidedness probe: scan ONLY the manifest's header block
+    * (the `#txn` line sits among the headers; entries never start
+    * `#`) — a latest-resolution must not pay a full entry parse just
+    * to learn whether a version is readable. Returns the undecided
+    * claim's decision-file path, or None for any decided/plain
+    * manifest. */
+  private def undecidedClaimOf(fs: FileSystem, m: Path): Option[String] = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(m), "UTF-8"))
+    try {
+      var line = in.readLine()
+      while (line != null && (line.isEmpty || line.startsWith("#"))) {
+        if (line.startsWith(TxnHeader)) {
+          val parts = line.split('\t')
+          if (parts.length == 3) {
+            val dp = new Path(parts(1))
+            if (!dp.getFileSystem(driverConf()).exists(dp))
+              return Some(parts(1))
+          }
+          return None
+        }
+        line = in.readLine()
+      }
+      None
+    } finally in.close()
   }
 
   /** The newest version whose snapshot is DECIDED — every latest-
     * resolution goes through here, so an in-flight multi-table
     * transaction's claimed-but-undecided version is invisible to
     * readers (its predecessor is the live snapshot) and flips in
-    * atomically with the decision PUT. Non-claim versions never pay a
-    * probe beyond their normal manifest read. */
+    * atomically with the decision PUT. Non-claim versions pay only a
+    * header-block scan, never a full entry parse. */
   private[graft] def latestDecidedVersion(path: String,
                                           conf: Configuration): Int = {
     val fs = new Path(path).getFileSystem(conf)
-    listVersions(path, conf).sorted.reverse.find { v =>
-      try { readManifest(fs, manifestFor(path, v)); true }
-      catch { case _: GdxTxnUndecidedException => false }
-    }.getOrElse(0)
+    listVersions(path, conf).sorted.reverse
+      .find(v => undecidedClaimOf(fs, manifestFor(path, v)).isEmpty)
+      .getOrElse(0)
+  }
+
+  /** The table's head version AFTER deciding any stale transaction
+    * claim sitting there — the entry point of every writer and
+    * maintenance loop (the claim invariant: nobody reads past or
+    * claims over an undecided version). */
+  private[graft] def decidedHead(dir: String, conf: Configuration): Int = {
+    val v = (listVersions(dir, conf) :+ 0).max
+    if (v > 0) decideStaleTxn(dir, conf, v)
+    v
   }
 
   /** TIMESTAMP AS OF: the latest retained version whose manifest was
@@ -1909,6 +1992,7 @@ object GdxSource {
     while (true) {
       val vs = listVersions(dir, conf0)
       require(vs.nonEmpty, s"gdx compactSmall: no snapshot under $dir")
+      decideStaleTxn(dir, conf0, vs.max) // claim-aware maintenance
       val readV = vs.max
       val entries = committedEntries(dir, conf0, readV)
       // ONE manifest read supplies every header (a delta manifest
@@ -2051,7 +2135,7 @@ object GdxSource {
     var attempt = 0
     while (true) {
       val conf = driverConf()
-      val readV = (listVersions(dir, conf) :+ 0).max
+      val readV = decidedHead(dir, conf)
       val spec = committedPartSpec(dir, conf, readV).getOrElse(
         throw new IllegalArgumentException(
           "gdx OPTIMIZE WHERE: the table declares no partition layout"))
@@ -2117,7 +2201,7 @@ object GdxSource {
         .exists(_.isInstanceOf[GdxConcurrentModificationException])
     var attempt = 0
     while (true) {
-      val readV = (listVersions(dir, driverConf()) :+ 0).max
+      val readV = decidedHead(dir, driverConf())
       body(readV) match {
         case None => return {
           val n = committedEntries(dir, driverConf()).size; (n, n)
@@ -2284,7 +2368,7 @@ object GdxSource {
         .exists(_.isInstanceOf[GdxConcurrentModificationException])
     var attempt = 0
     while (true) {
-      val readV = (listVersions(dir, driverConf()) :+ 0).max
+      val readV = decidedHead(dir, driverConf())
       val curReader = spark.read.format("graft.sources.GdxSource")
         .option("path", dir)
       val cur = (if (readV > 0) curReader.option("version", readV.toString)
@@ -2373,7 +2457,7 @@ object GdxSource {
     val sconf = new SerializableHadoopConf(conf0)
     var attempt = 0
     while (true) {
-      val readV = (listVersions(dir, conf0) :+ 0).max
+      val readV = decidedHead(dir, conf0)
       val entries = committedEntries(dir, conf0,
         if (readV > 0) readV else -1)
       if (entries.isEmpty) return (readV, 0L)
@@ -2554,7 +2638,7 @@ object GdxSource {
     val root = java.util.Locale.ROOT
     var attempt = 0
     while (true) {
-      val readV = (listVersions(dir, conf0) :+ 0).max
+      val readV = decidedHead(dir, conf0)
       val ver = if (readV > 0) readV else -1
       val entries = committedEntries(dir, conf0, ver)
       val tblSchema = committedSchema(dir, conf0, ver)
@@ -3087,6 +3171,7 @@ object GdxSource {
     while (true) {
       val vs = listVersions(dir, conf)
       require(vs.nonEmpty, s"gdx addColumn: no snapshot under $dir")
+      decideStaleTxn(dir, conf, vs.max) // claim-aware maintenance
       val readV = vs.max
       val cur = committedSchema(dir, conf, readV)
       require(!cur.fieldNames.contains(name),
@@ -3144,6 +3229,7 @@ object GdxSource {
       val vs = listVersions(dir, conf)
       require(vs.nonEmpty, s"gdx evolvePartitionSpec: no snapshot " +
         s"under $dir")
+      decideStaleTxn(dir, conf, vs.max) // claim-aware maintenance
       val readV = vs.max
       val cur = committedSchema(dir, conf, readV)
       val f = cur.fields.find(_.name.equalsIgnoreCase(ns.col))
@@ -3260,6 +3346,7 @@ object GdxSource {
     while (true) {
       val vs = listVersions(dir, conf)
       require(vs.nonEmpty, s"gdx renameColumn: no snapshot under $dir")
+      decideStaleTxn(dir, conf, vs.max) // claim-aware maintenance
       val readV = vs.max
       val cur = committedSchema(dir, conf, readV)
       require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
@@ -3300,6 +3387,7 @@ object GdxSource {
     while (true) {
       val vs = listVersions(dir, conf)
       require(vs.nonEmpty, s"gdx dropColumn: no snapshot under $dir")
+      decideStaleTxn(dir, conf, vs.max) // claim-aware maintenance
       val readV = vs.max
       val cur = committedSchema(dir, conf, readV)
       val (idx, _) = mappableColumn(spark, dir, readV, conf,
@@ -3351,6 +3439,7 @@ object GdxSource {
     while (true) {
       val vs = listVersions(dir, conf)
       require(vs.nonEmpty, s"gdx addConstraint: no snapshot under $dir")
+      decideStaleTxn(dir, conf, vs.max) // claim-aware maintenance
       val readV = vs.max
       val cur = committedConstraints(dir, conf, readV)
       require(!cur.exists(_._1 == name),
@@ -3393,6 +3482,7 @@ object GdxSource {
     while (true) {
       val vs = listVersions(dir, conf)
       require(vs.nonEmpty, s"gdx dropConstraint: no snapshot under $dir")
+      decideStaleTxn(dir, conf, vs.max) // claim-aware maintenance
       val readV = vs.max
       val cur = committedConstraints(dir, conf, readV)
       require(cur.exists(_._1 == name),
@@ -3596,11 +3686,24 @@ object GdxSource {
         throw new GdxConcurrentModificationException(
           s"gdx txn $id: a concurrent writer aborted this transaction " +
             "before its commit - re-run it")
+      // self-contain every claim immediately: after this no read of
+      // any participating table consults the decision file (a crash
+      // mid-loop leaves the remaining redirects resolving through the
+      // KEPT decision file until the next materializer — decision
+      // files are never deleted, so a committed snapshot can never
+      // regress to undecided)
+      claims.foreach { case (dir, v) =>
+        materializeClaim(dir, driverConf(), v) }
       claims
     }
     /** Abort every claim at once (idempotent; loses to a commit that
       * already landed). Returns whether the abort stands. */
-    def abort(): Boolean = decide("abort")
+    def abort(): Boolean = {
+      val stood = decide("abort")
+      if (stood) claims.foreach { case (dir, v) =>
+        materializeClaim(dir, driverConf(), v) }
+      stood
+    }
   }
 
   /** PREPARE a multi-table transaction: stage each table's data files
@@ -3625,7 +3728,11 @@ object GdxSource {
     val decisionFile = headDir.getFileSystem(conf)
       .makeQualified(new Path(headDir, s"_txndecision-$id"))
     val sconf = new SerializableHadoopConf(conf)
-    val claims = writes.map { w =>
+    // a staging failure on a LATER table must not strand the EARLIER
+    // tables' already-published claims undecided: abort the whole
+    // transaction (the decision file exists before any claim can
+    // resolve it) and rethrow
+    def stageAll(): Seq[(String, Int)] = writes.map { w =>
       val dir = w.dir
       val fs = new Path(dir).getFileSystem(conf)
       val tblSchema = committedSchema(dir, conf)
@@ -3638,6 +3745,10 @@ object GdxSource {
           .toSeq,
         s"gdx txn: columns ${w.rows.columns.mkString(",")} do not match " +
           s"$dir's schema ${tblSchema.fieldNames.mkString(",")}")
+      require(w.rows.schema.fields.map(_.dataType).toSeq ==
+          tblSchema.fields.map(_.dataType).toSeq,
+        s"gdx txn: column types ${w.rows.schema.simpleString} do not " +
+          s"match $dir's schema ${tblSchema.simpleString}")
       val aligned = w.rows.select(tblSchema.fieldNames.map(col).toSeq: _*)
       // CHECK constraints, SQL semantics (NULL passes), enforced at
       // stage time — the decision PUT must never publish unvalidated
@@ -3656,8 +3767,7 @@ object GdxSource {
       var claimed = -1
       var attempts = 0
       while (claimed < 0) {
-        val base = (listVersions(dir, conf) :+ 0).max
-        decideStaleTxn(dir, conf, base)
+        val base = decidedHead(dir, conf)
         val v = base + 1
         val stageName = f"_txnstage-$v%08d-$id"
         val stageLines =
@@ -3679,6 +3789,14 @@ object GdxSource {
       }
       dir -> claimed
     }
+    val claims =
+      try stageAll()
+      catch {
+        case t: Throwable =>
+          val dfs = decisionFile.getFileSystem(conf)
+          publishExclusive(dfs, conf, decisionFile, Seq("abort"))
+          throw t
+      }
     new GdxPreparedTxn(id, decisionFile, claims)
   }
 
@@ -3784,6 +3902,9 @@ object GdxSource {
       st.isDirectory && st.getPath.getName.endsWith(".t") &&
         !live.contains(st.getPath.getName))
     if (dead.isEmpty) return
+    // an undecided claim at the head would make the reference walk
+    // loud — decide it first (same contract as every maintenance)
+    decideStaleTxn(dir, conf, (listVersions(dir, conf) :+ 0).max)
     // one pass over retained manifests names every branch dir any
     // snapshot still depends on
     val referenced: Set[String] = listVersions(dir, conf)
@@ -3877,6 +3998,14 @@ object GdxSource {
     val fs = base.getFileSystem(conf)
     val vs = listVersions(path, conf)
     if (vs.isEmpty) return 0
+    // maintenance is claim-aware: an undecided transaction claim at
+    // the head (a crashed preparer) is DECIDED here — vacuum must
+    // never wedge forever on it, and the referenced-set sweep below
+    // must never treat a decided-committed claim's files as victims.
+    // Every retained claim then materializes to a self-contained
+    // manifest (its stage file is reclaimed with it).
+    decideStaleTxn(path, conf, vs.max)
+    vs.foreach(materializeClaim(path, conf, _))
     val tagged = listTags(path, conf).values.toSet ++
       listBranches(path, conf).values.toSet
     // AGE-BASED retention (`RETAIN n HOURS` — what real retention
@@ -4053,9 +4182,20 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
         .getOrElse(Int.MaxValue),
       // `startingVersion` (streaming only, SHOW CHANGES parity): the
       // stream's base snapshot — batches cover (base, latest], exactly
-      // `SHOW CHANGES t FROM base`'s window; accepts a tag name
+      // `SHOW CHANGES t FROM base`'s window; accepts a tag name. A
+      // base past the table's head is a typo, not a future
+      // subscription — silently waiting there would DROP every change
+      // committed before the table reaches it
       Option(options.get("startingVersion"))
         .map(GdxSource.resolveVersionRef(path, GdxSource.driverConf(), _))
+        .map { sv =>
+          val head = GdxSource.latestDecidedVersion(path,
+            GdxSource.driverConf())
+          require(sv >= 0 && sv <= head,
+            s"gdx: startingVersion $sv is not a committed snapshot of " +
+              s"$path (head: $head)")
+          sv
+        }
         .getOrElse(0))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,

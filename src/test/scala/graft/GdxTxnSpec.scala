@@ -129,6 +129,67 @@ class GdxTxnSpec extends SparkSuite {
     }
   }
 
+  test("a staging failure on a LATER table aborts the earlier tables' " +
+      "claims: nothing is wedged, maintenance keeps working") {
+    val a = freshDir("pa"); val b = freshDir("pb")
+    seed(a, 5); seed(b, 5)
+    GdxSource.addConstraint(spark, b, "pos", "k >= 0") // b at v2
+    intercept[graft.sources.GdxConstraintViolationException] {
+      GdxSource.prepareTransaction(spark, Seq(
+        GdxSource.GdxTxnWrite(a, Seq((50L, "ok")).toDF("k", "v")),
+        GdxSource.GdxTxnWrite(b, Seq((-1L, "bad")).toDF("k", "v"))))
+    }
+    // a's claim was published before b's staging failed — the abort
+    // decided it, so reads, maintenance, and later writes all work
+    assert(read(a).count() === 5L)
+    GdxSource.vacuum(a, conf, keepLast = 3)
+    Seq((60L, "later")).toDF("k", "v").coalesce(1)
+      .write.format(fmt).option("path", a).mode("append").save()
+    assert(read(a).count() === 6L)
+  }
+
+  test("commit materializes every claim: no manifest keeps a #txn " +
+      "redirect, so destroying the coordinator's decision file can " +
+      "never un-commit another table") {
+    val a = freshDir("ma"); val b = freshDir("mb")
+    seed(a, 5); seed(b, 5)
+    GdxSource.transact(spark, Seq(
+      GdxSource.GdxTxnWrite(a, Seq((50L, "x")).toDF("k", "v")),
+      GdxSource.GdxTxnWrite(b, Seq((60L, "y")).toDF("k", "v"))))
+    def redirects(dir: String): Seq[String] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(_.getName.matches("_manifest-\\d+"))
+        .filter(f => java.nio.file.Files.readAllLines(f.toPath)
+          .toArray.exists(_.toString.startsWith("#txn")))
+        .map(_.getName)
+    assert(redirects(a).isEmpty && redirects(b).isEmpty,
+      s"${redirects(a)} / ${redirects(b)}")
+    // stage files were reclaimed with the materialization
+    assert(new java.io.File(a).listFiles()
+      .forall(!_.getName.startsWith("_txnstage-")))
+    // the decisive proof: delete every decision file — both tables
+    // still read their committed snapshots
+    Seq(a, b).foreach(d => new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("_txndecision-"))
+      .foreach(_.delete()))
+    assert(read(a).count() === 6L && read(b).count() === 6L)
+  }
+
+  test("vacuum on a table with a crashed (undecided) claim decides it " +
+      "instead of wedging") {
+    val a = freshDir("va")
+    seed(a, 5)
+    val txn = GdxSource.prepareTransaction(spark, Seq(
+      GdxSource.GdxTxnWrite(a, Seq((50L, "x")).toDF("k", "v"))))
+    // simulate the crashed preparer: nobody ever decides
+    assert(GdxSource.vacuum(a, conf, keepLast = 3) >= 0) // must not throw
+    assert(read(a).count() === 5L)
+    // the vacuum's decision stands: the late commit is told it lost
+    intercept[graft.sources.GdxConcurrentModificationException] {
+      txn.commit()
+    }
+  }
+
   test("overwrite and append stage together; transact is the one-call " +
       "form") {
     val a = freshDir("oa"); val b = freshDir("ob")
