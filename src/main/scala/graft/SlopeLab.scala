@@ -64,6 +64,8 @@ object SlopeLab {
         args.lift(1).getOrElse("/tmp/graft_slope_topn"))
       case "evo" => evo(spark,
         args.lift(1).getOrElse("/tmp/graft_slope_evo"))
+      case "merge" => mergeScope(spark,
+        args.lift(1).getOrElse("/tmp/graft_slope_merge"))
       case other => sys.error(s"unknown SlopeLab mode: $other")
     }
     spark.stop()
@@ -260,6 +262,59 @@ object SlopeLab {
     * full shuffle write+read of BOTH tables — the constant that
     * dominates a 100 TB fact⋈fact join — and the exchange counts pin
     * the plans actually measured. */
+  /** The range-scoped MERGE win, measured: a point-update MERGE whose
+    * ON carries static key bounds (`t.k = s.k AND t.k >= a AND t.k <
+    * b`) touches the WINDOW's files, not the table's — its cost must
+    * stay ~flat across a 10× scale-up of the target, while the
+    * pruning-defeated control (an inert `WHEN NOT MATCHED BY SOURCE
+    * AND 1 = 0 THEN DELETE` clause — semantically a no-op, but NMBS
+    * must test every live row, so the whole table joins) tracks table
+    * size. This is the 100 TB point-update story: the day's
+    * correction merge costs the day, not the decade. */
+  def mergeScope(spark: SparkSession, work: String): Unit = {
+    val fmt = "graft.sources.GdxSource"
+    val gdx = graft.sources.GdxSource
+    for (n <- Seq(600000L, 6000000L)) {
+      val srcView = s"slope_mrg_src_$n"
+      spark.range(0, 1000).select((col("id") * 50L).as("k"),
+          lit("upd").as("nv"))
+        .createOrReplaceTempView(srcView)
+      def run(scoped: Boolean): (Double, Int, Int) = {
+        val dir = s"$work/m${if (scoped) "s" else "c"}_n$n"
+        rm(new java.io.File(dir))
+        spark.range(0, n).select(col("id").as("k"),
+            concat(lit("r"), col("id") % 5).as("v"))
+          .repartitionByRange(32, col("k"))
+          .write.format(fmt).option("path", dir).mode("overwrite").save()
+        val before = gdx.committedEntries(dir, gdx.driverConf())
+          .map(e => (e.name, e.dv)).toSet
+        val tbl = s"slope_mrg_${if (scoped) "s" else "c"}_$n"
+        spark.sql(s"""CREATE TABLE $tbl (k BIGINT, v STRING)
+          USING $fmt OPTIONS (path '$dir')""")
+        val onTail = if (scoped) " AND t.k >= 0 AND t.k < 50000" else ""
+        val nmbs = if (scoped) ""
+          else "\nWHEN NOT MATCHED BY SOURCE AND 1 = 0 THEN DELETE"
+        val t0 = System.nanoTime()
+        spark.sql(
+          s"""MERGE INTO $tbl t USING $srcView s ON t.k = s.k$onTail
+            WHEN MATCHED THEN UPDATE SET v = s.nv
+            WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""" +
+            nmbs)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val carried = gdx.committedEntries(dir, gdx.driverConf())
+          .map(e => (e.name, e.dv)).toSet.intersect(before).size
+        spark.sql(s"DROP TABLE $tbl")
+        (sec, carried, before.size)
+      }
+      // one untimed pass per variant first: the MERGE path's codegen
+      // and classloading would otherwise pollute the 1× column
+      run(scoped = true); run(scoped = false)
+      val (ts, cs, total) = run(scoped = true)
+      val (tc, cc, _) = run(scoped = false)
+      println(f"""{"merge_rows":$n,"scoped_sec":$ts%.3f,"control_sec":$tc%.3f,"scoped_carried":"$cs/$total","control_carried":"$cc/$total"}""")
+    }
+  }
+
   def spj(spark: SparkSession, work: String): Unit = {
     val fmt = "graft.sources.GdxSource"
     for (n <- Seq(600000L, 6000000L)) {
