@@ -3395,6 +3395,50 @@ object RelationalOps extends QueryModule {
         .orderBy("side", "k")
     }),
 
+    // C37 — EMBEDDING (ARRAY) COLUMNS in the GDX format: the training-
+    // data table shape the typed tier was missing — ARRAY<FLOAT>
+    // vectors stored as first-class cells (comma-joined shortest-
+    // roundtrip element text, so every float reads back bit-identical)
+    // alongside the BIGINT key and label. The corpus lives in GDX, is
+    // CURATED there with row-level DML (a DELETE drops one label's
+    // vectors under a DV — no parquet rewrite), and the exact ANN
+    // top-k probe runs over the stored table with results equal to
+    // the parquet-based computation. Time travel still serves the
+    // pre-curation corpus — at 100 TB this is the reproducible-
+    // training-snapshot story with the embeddings INSIDE the table
+    // format instead of beside it.
+    "c37_gdx_embedding_column" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxemb_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      Tables.embeddings(s, d)
+        .select(col("vec_id").as("k"), col("embedding").as("emb"),
+          col("label").cast("long").as("label"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      val total = s.read.format(fmt).option("path", dir).load().count()
+      // curation: drop one label's vectors row-level (DV commit)
+      gdx.delete(s, dir, col("label") === 7L)
+      val e = s.read.format(fmt).option("path", dir).load()
+        .select(col("k"), graft.functions.VectorFunctions.asDouble(col("emb")).as("emb"))
+      val ttOk = s.read.format(fmt).option("path", dir)
+        .option("version", "1").load().count() == total
+      val q = e.filter(col("k") < 3)
+        .select(col("k").as("q_id"), col("emb").as("q_emb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+      broadcast(q)
+        .join(e.select(col("k").as("c_id"), col("emb")),
+          col("c_id") =!= col("q_id"))
+        .withColumn("cos",
+          round(graft.functions.VectorFunctions.cosine(col("q_emb"), col("emb")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("c_id"), col("cos"),
+          col("rk").cast("long").as("rk"))
+        .withColumn("tt_ok", lit(ttOk))
+        .orderBy("q_id", "rk")
+    }),
+
     // C16 — CHANGEFEED-MAINTAINED MATERIALIZED VIEW: the full
     // composition of the engine's table format and MV tiers. A summary
     // is registered over an EMPTY GDX table, the events keyset lands
@@ -4463,6 +4507,24 @@ object RelationalOps extends QueryModule {
         |SELECT k, v, w, TRUE AS main_untouched_during_audit,
         |  TRUE AS publish_meta_only, TRUE AS conflict_refused
         |FROM fin ORDER BY k""".stripMargin,
+    // the curated-corpus top-k recomputed on the parquet directly:
+    // same label-7 drop, same rounded cosines and ranking; the
+    // time-travel claim pinned TRUE. Bit-identical floats are what
+    // make the two computations hash-equal (shortest-roundtrip text).
+    "c37_gdx_embedding_column" ->
+      """WITH e AS (SELECT vec_id AS k,
+        |    CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE label <> 7),
+        |q AS (SELECT k AS q_id, emb AS q_emb FROM e WHERE k < 3),
+        |s AS (SELECT q_id, e.k AS c_id, round(
+        |    list_inner_product(q_emb, emb) /
+        |    (sqrt(list_inner_product(q_emb, q_emb)) *
+        |     sqrt(list_inner_product(emb, emb))), 6) AS cos
+        |  FROM q JOIN e ON e.k <> q.q_id),
+        |r AS (SELECT q_id, c_id, cos, ROW_NUMBER() OVER
+        |    (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk FROM s)
+        |SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk, TRUE AS tt_ok
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     // the typed table recomputed relationally: same integer-part
     // decimal construction, the UPDATE as a CASE on the date, the
     // DELETE as a NOT filter; claims pinned TRUE

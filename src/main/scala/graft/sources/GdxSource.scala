@@ -390,6 +390,15 @@ object GdxSource {
     case TimestampType  => "timestamp"
     case BooleanType    => "boolean"
     case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    // numeric ARRAYS — the embedding / token-id column shapes: cells
+    // encode as comma-joined element text ("" = the empty array);
+    // NULL elements are refused at write time (the encoding has no
+    // element-null marker, and an embedding or token list never
+    // carries one). containsNull is deliberately NOT part of the
+    // name: both flags read back as the permissive form.
+    case ArrayType(FloatType, _)  => "array<float>"
+    case ArrayType(DoubleType, _) => "array<double>"
+    case ArrayType(LongType, _)   => "array<bigint>"
     case other => throw new IllegalArgumentException(
       s"gdx: unsupported column type $other")
   }
@@ -401,6 +410,9 @@ object GdxSource {
     case "date"      => DateType
     case "timestamp" => TimestampType
     case "boolean"   => BooleanType
+    case "array<float>"  => ArrayType(FloatType)
+    case "array<double>" => ArrayType(DoubleType)
+    case "array<bigint>" => ArrayType(LongType)
     case DecimalNameRe(p, s) => org.apache.spark.sql.types
       .DecimalType(p.toInt, s.toInt)
     case _ => throw new IllegalArgumentException(s"gdx: unknown type $t")
@@ -458,6 +470,15 @@ object GdxSource {
       case BooleanType    => s.toBoolean
       case d: DecimalType =>
         Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
+      case ArrayType(et, _) =>
+        val parts: Array[String] =
+          if (s.isEmpty) Array.empty else s.split(',')
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          et match {
+            case FloatType  => parts.map(p => Float.box(p.toFloat))
+            case DoubleType => parts.map(p => Double.box(p.toDouble))
+            case _          => parts.map(p => Long.box(p.toLong))
+          })
       case _              => UTF8String.fromString(s)
     }
 
@@ -472,6 +493,14 @@ object GdxSource {
       case TimestampType  => DateTimeUtils.microsToInstant(s.toLong)
       case BooleanType    => Boolean.box(s.toBoolean)
       case d: DecimalType => new java.math.BigDecimal(s).setScale(d.scale)
+      case ArrayType(et, _) =>
+        val parts: Array[String] =
+          if (s.isEmpty) Array.empty else s.split(',')
+        (et match {
+          case FloatType  => parts.map(_.toFloat).toSeq
+          case DoubleType => parts.map(_.toDouble).toSeq
+          case _          => parts.map(_.toLong).toSeq
+        })
       case _              => s
     }
 
@@ -490,6 +519,22 @@ object GdxSource {
     case d: DecimalType =>
       sb.append(r.getDecimal(i, d.precision, d.scale)
         .toJavaBigDecimal.toPlainString); ()
+    case ArrayType(et, _) =>
+      val arr = r.getArray(i)
+      var j = 0
+      while (j < arr.numElements()) {
+        if (j > 0) sb.append(',')
+        require(!arr.isNullAt(j),
+          s"gdx $ctx: array field $field must not contain NULL " +
+            "elements (the comma-joined encoding has no element-null " +
+            "marker)")
+        et match {
+          case FloatType  => sb.append(arr.getFloat(j)); ()
+          case DoubleType => sb.append(arr.getDouble(j)); ()
+          case _          => sb.append(arr.getLong(j)); ()
+        }
+        j += 1
+      }
     case _ =>
       val s = r.getUTF8String(i).toString
       require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
@@ -518,6 +563,18 @@ object GdxSource {
     case BooleanType    => sb.append(r.getBoolean(i)); ()
     case _: DecimalType =>
       sb.append(r.getDecimal(i).toPlainString); ()
+    case ArrayType(_, _) =>
+      val arr = r.getSeq[Any](i)
+      var j = 0
+      arr.foreach { v =>
+        if (j > 0) sb.append(',')
+        require(v != null,
+          s"gdx $ctx: array field $field must not contain NULL " +
+            "elements (the comma-joined encoding has no element-null " +
+            "marker)")
+        sb.append(v.toString)
+        j += 1
+      }
     case _ =>
       val s = r.getString(i)
       require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&

@@ -55,10 +55,13 @@ class GdxCatalogSpec extends SparkSuite {
       intercept[Exception](
         s.sql(s"CREATE TABLE $cat.lab.bad (v STRING, k BIGINT)"))
       // unsupported column types refused (TIMESTAMP/DATE/BOOLEAN/
-      // DECIMAL are first-class since the typed-column tier —
-      // GdxTypedColumnsSpec owns those; complex types stay out)
+      // DECIMAL/numeric ARRAYs are first-class since the typed-column
+      // tier — GdxTypedColumnsSpec owns those; maps and string arrays
+      // stay out)
       intercept[Exception](
-        s.sql(s"CREATE TABLE $cat.lab.bad (k BIGINT, a ARRAY<BIGINT>)"))
+        s.sql(s"CREATE TABLE $cat.lab.bad (k BIGINT, m MAP<STRING,STRING>)"))
+      intercept[Exception](
+        s.sql(s"CREATE TABLE $cat.lab.bad (k BIGINT, a ARRAY<STRING>)"))
       // partition column must exist and be BIGINT
       intercept[Exception](s.sql(
         s"CREATE TABLE $cat.lab.bad (k BIGINT, v STRING) " +

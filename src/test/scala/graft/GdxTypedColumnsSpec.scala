@@ -183,6 +183,46 @@ class GdxTypedColumnsSpec extends SparkSuite {
     assert(e2.getMessage.contains("partition column"), e2.getMessage)
   }
 
+  test("numeric ARRAY columns round-trip bit-identically (floats via " +
+      "shortest-roundtrip text); empty arrays, NULL cells, and the " +
+      "DML rewrite path all work; NULL elements are refused") {
+    val dir = freshDir("arr")
+    val rows = Seq(
+      (1L, Seq(1.5f, -2.25f, 3.125f), Seq(10L, 20L), "a"),
+      (2L, Seq.empty[Float], Seq.empty[Long], "b"),
+      (3L, Seq(0.1f, 0.2f), Seq(7L), "c"))
+      .toDF("k", "emb", "toks", "v")
+    val withNull = rows.withColumn("emb",
+      when(col("k") === 2L, lit(null)).otherwise(col("emb")))
+    withNull.coalesce(1)
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val back = read(dir)
+    assert(back.schema("emb").dataType ===
+      ArrayType(FloatType, containsNull = true))
+    assert(back.schema("toks").dataType ===
+      ArrayType(LongType, containsNull = true))
+    assert(back.except(withNull).count() === 0L)
+    assert(withNull.except(back).count() === 0L)
+    assert(back.filter(col("k") === 3L).head.getSeq[Float](1) ===
+      Seq(0.1f, 0.2f)) // bit-identical floats
+    // UPDATE rewrites array cells through the external-Row path
+    GdxSource.update(spark, dir, col("k") === 3L,
+      Map("toks" -> expr("array(8L, 9L)")))
+    assert(read(dir).filter(col("k") === 3L).head.getSeq[Long](2)
+      === Seq(8L, 9L))
+    // NULL elements are refused loudly (no element-null marker)
+    val e = intercept[Exception] {
+      Seq((9L, Seq[java.lang.Long](1L, null), Seq.empty[Long], "x"))
+        .toDF("k", "emb", "toks", "v")
+        .select(col("k"), col("emb").cast("array<float>").as("emb"),
+          col("toks"), col("v"))
+        .write.format(fmt).option("path", dir).mode("append").save()
+    }
+    assert(e.getMessage.contains("NULL") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL")),
+      e.getMessage)
+  }
+
   test("catalog DDL accepts the typed vocabulary and refuses the rest") {
     val wh = java.nio.file.Files.createTempDirectory("gdxty_wh").toString
     val c = Sessions.pinned(spark,
