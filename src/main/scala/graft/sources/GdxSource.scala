@@ -1157,9 +1157,23 @@ object GdxSource {
     val fs = new Path(path).getFileSystem(conf)
     val m = manifestFor(path, v)
     if (!fs.exists(m)) return
-    undecidedClaimOf(fs, m).foreach { dpStr =>
+    undecidedClaimOf(fs, m, conf).foreach { dpStr =>
       val dp = new Path(dpStr)
-      publishExclusive(dp.getFileSystem(conf), conf, dp, Seq("abort"))
+      val dfs = dp.getFileSystem(conf)
+      // a MISSING decision file normally means a crashed PREPARER —
+      // abortable. But a missing PARENT directory means the
+      // coordinating table was dropped or moved: the transaction may
+      // well have COMMITTED (its decision destroyed with the
+      // directory), and writing `abort` here would silently delete
+      // committed rows. That must be a loud wedge, never an
+      // inference.
+      if (!dfs.exists(dp.getParent))
+        throw new IllegalStateException(
+          s"gdx txn: claim $m references decision file $dpStr whose " +
+            "coordinating directory no longer exists - the " +
+            "transaction's outcome is unknowable; restore the " +
+            "coordinator or resolve the claim manually")
+      publishExclusive(dfs, conf, dp, Seq("abort"))
       materializeClaim(path, conf, v)
     }
   }
@@ -1178,10 +1192,7 @@ object GdxSource {
     val fs = new Path(dir).getFileSystem(conf)
     val m = manifestFor(dir, v)
     if (!fs.exists(m)) return
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fs.open(m), "UTF-8"))
-    val lines = try Iterator.continually(in.readLine())
-      .takeWhile(_ != null).toList finally in.close()
+    val lines = readAllLines(fs, m)
     val txnIdx = lines.indexWhere(_.startsWith(TxnHeader))
     if (txnIdx < 0) return
     val parts = lines(txnIdx).split('\t')
@@ -1189,26 +1200,39 @@ object GdxSource {
     val dp = new Path(parts(1))
     val dfs = dp.getFileSystem(conf)
     if (!dfs.exists(dp)) return // undecided: not ours to materialize
-    val din = new java.io.BufferedReader(
-      new java.io.InputStreamReader(dfs.open(dp), "UTF-8"))
-    val committed = try Option(din.readLine()).map(_.trim)
-      .contains("commit") finally din.close()
+    val committed = readFirstLine(dfs, dp).map(_.trim).contains("commit")
     val stage = new Path(dir, parts(2))
     val resolved =
       if (!committed) lines.patch(txnIdx, Nil, 1)
+      else if (fs.exists(stage)) readAllLines(fs, stage)
       else {
-        require(fs.exists(stage),
+        // a CONCURRENT materializer consumed the stage: the manifest
+        // must already be (or be about to become) self-contained —
+        // re-read; only a still-redirecting manifest with no stage is
+        // real corruption
+        val again = readAllLines(fs, m)
+        if (!again.exists(_.startsWith(TxnHeader))) return
+        throw new IllegalStateException(
           s"gdx txn: committed claim $m references a missing stage " +
-            s"${parts(2)}")
-        val sin = new java.io.BufferedReader(
-          new java.io.InputStreamReader(fs.open(stage), "UTF-8"))
-        try Iterator.continually(sin.readLine()).takeWhile(_ != null)
-          .toList
-        finally sin.close()
+            s"${parts(2)} and was never materialized")
       }
     replaceAtomic(fs, conf, m, resolved)
     if (fs.exists(stage)) fs.delete(stage, false)
     ()
+  }
+
+  /** Shared small-file readers (manifests, decision files, stages):
+    * one place owns the UTF-8/close discipline. */
+  private def readAllLines(fs: FileSystem, p: Path): List[String] = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null).toList
+    finally in.close()
+  }
+  private def readFirstLine(fs: FileSystem, p: Path): Option[String] = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try Option(in.readLine()) finally in.close()
   }
 
   /** Light decidedness probe: scan ONLY the manifest's header block
@@ -1217,7 +1241,8 @@ object GdxSource {
     * to learn whether a version is readable. Returns the undecided
     * claim's decision-file path, or None for any decided/plain
     * manifest. */
-  private def undecidedClaimOf(fs: FileSystem, m: Path): Option[String] = {
+  private def undecidedClaimOf(fs: FileSystem, m: Path,
+                               conf: Configuration): Option[String] = {
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(m), "UTF-8"))
     try {
@@ -1227,7 +1252,7 @@ object GdxSource {
           val parts = line.split('\t')
           if (parts.length == 3) {
             val dp = new Path(parts(1))
-            if (!dp.getFileSystem(driverConf()).exists(dp))
+            if (!dp.getFileSystem(conf).exists(dp))
               return Some(parts(1))
           }
           return None
@@ -1238,18 +1263,36 @@ object GdxSource {
     } finally in.close()
   }
 
+  /** Decided-verdict memo: once a version's manifest is plain or its
+    * claim decided it can NEVER become undecided again (decisions are
+    * monotone; materialization only makes manifests plainer), so a
+    * positive verdict caches permanently and the steady-state cost of
+    * latest-resolution stays ONE manifest read — only a never-probed
+    * head version pays the extra header scan. Undecided verdicts are
+    * the unstable ones and are never cached. */
+  private val decidedCache =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** The newest version whose snapshot is DECIDED — every latest-
     * resolution goes through here, so an in-flight multi-table
     * transaction's claimed-but-undecided version is invisible to
     * readers (its predecessor is the live snapshot) and flips in
-    * atomically with the decision PUT. Non-claim versions pay only a
-    * header-block scan, never a full entry parse. */
+    * atomically with the decision PUT. */
   private[graft] def latestDecidedVersion(path: String,
                                           conf: Configuration): Int = {
     val fs = new Path(path).getFileSystem(conf)
-    listVersions(path, conf).sorted.reverse
-      .find(v => undecidedClaimOf(fs, manifestFor(path, v)).isEmpty)
-      .getOrElse(0)
+    listVersions(path, conf).sorted.reverse.find { v =>
+      val m = manifestFor(path, v)
+      val key = fs.makeQualified(m).toString
+      decidedCache.contains(key) || {
+        val ok = undecidedClaimOf(fs, m, conf).isEmpty
+        if (ok) {
+          if (decidedCache.size > 100000) decidedCache.clear()
+          decidedCache.add(key)
+        }
+        ok
+      }
+    }.getOrElse(0)
   }
 
   /** The table's head version AFTER deciding any stale transaction
@@ -1356,15 +1399,20 @@ object GdxSource {
         val dfs = decisionPath.getFileSystem(driverConf())
         val decision: Option[String] =
           if (!dfs.exists(decisionPath)) None
-          else {
-            val din = new java.io.BufferedReader(
-              new java.io.InputStreamReader(dfs.open(decisionPath),
-                "UTF-8"))
-            try Option(din.readLine()).map(_.trim) finally din.close()
-          }
+          else readFirstLine(dfs, decisionPath).map(_.trim)
         decision match {
           case Some("commit") =>
-            return readManifest(fs, new Path(m.getParent, parts(2)))
+            val stage = new Path(m.getParent, parts(2))
+            if (fs.exists(stage)) return readManifest(fs, stage)
+            // a concurrent materializer consumed the stage after this
+            // reader saw the redirect: the manifest's CURRENT bytes
+            // must be self-contained — reparse them once (a manifest
+            // still redirecting with no stage is corruption, loud)
+            val again = readAllLines(fs, m).filter(_.nonEmpty)
+            require(!again.exists(_.startsWith(TxnHeader)),
+              s"gdx txn: committed claim $m references missing stage " +
+                s"${parts(2)} and was never materialized")
+            lines = again
           case Some(_) => () // aborted: the empty delta stands
           case None => throw new GdxTxnUndecidedException(
             s"gdx: version ${m.getName} of ${m.getParent} belongs to an " +
@@ -3727,39 +3775,55 @@ object GdxSource {
       val conf = driverConf()
       val fs = decisionFile.getFileSystem(conf)
       if (publishExclusive(fs, conf, decisionFile, Seq(verdict))) true
-      else {
-        val in = new java.io.BufferedReader(
-          new java.io.InputStreamReader(fs.open(decisionFile), "UTF-8"))
-        val existing = try Option(in.readLine()).map(_.trim)
-          finally in.close()
-        existing.contains(verdict) // idempotent re-decision is fine
-      }
+      else readFirstLine(fs, decisionFile).map(_.trim)
+        .contains(verdict) // idempotent re-decision is fine
     }
+    /** Materialize every claim, then retire the decision file: once
+      * no redirect references it, it is consultable by nobody, so
+      * deleting it can never regress a committed snapshot — while a
+      * crash ANYWHERE before the delete keeps it in place for the
+      * remaining redirects to resolve through. This is what bounds
+      * decision-file accumulation to crashed transactions instead of
+      * one file per transact(). */
+    private def retire(): Unit = {
+      claims.foreach { case (dir, v) =>
+        materializeClaim(dir, driverConf(), v) }
+      val conf = driverConf()
+      decisionFile.getFileSystem(conf).delete(decisionFile, false)
+      ()
+    }
+    // this handle's own settled verdict: once retire() deleted the
+    // decision file, a later decide() on the same handle must answer
+    // from memory — re-PUTting the file would let a late abort()
+    // claim it "stood" after the commit already materialized
+    @volatile private var settled: Option[String] = None
     /** Commit every claim at once. Throws if a blocked writer stole
       * the decision (aborted the transaction) first — re-run the
       * whole transaction. Returns the committed (dir, version)s. */
     def commit(): Seq[(String, Int)] = {
+      settled match {
+        case Some("commit") => return claims // idempotent
+        case Some(_) => throw new GdxConcurrentModificationException(
+          s"gdx txn $id: already aborted")
+        case None => ()
+      }
       if (!decide("commit"))
         throw new GdxConcurrentModificationException(
           s"gdx txn $id: a concurrent writer aborted this transaction " +
             "before its commit - re-run it")
-      // self-contain every claim immediately: after this no read of
-      // any participating table consults the decision file (a crash
-      // mid-loop leaves the remaining redirects resolving through the
-      // KEPT decision file until the next materializer — decision
-      // files are never deleted, so a committed snapshot can never
-      // regress to undecided)
-      claims.foreach { case (dir, v) =>
-        materializeClaim(dir, driverConf(), v) }
+      settled = Some("commit")
+      retire()
       claims
     }
     /** Abort every claim at once (idempotent; loses to a commit that
       * already landed). Returns whether the abort stands. */
-    def abort(): Boolean = {
-      val stood = decide("abort")
-      if (stood) claims.foreach { case (dir, v) =>
-        materializeClaim(dir, driverConf(), v) }
-      stood
+    def abort(): Boolean = settled match {
+      case Some("abort") => true
+      case Some(_)       => false
+      case None =>
+        val stood = decide("abort")
+        if (stood) { settled = Some("abort"); retire() }
+        stood
     }
   }
 

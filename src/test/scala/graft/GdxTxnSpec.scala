@@ -164,14 +164,15 @@ class GdxTxnSpec extends SparkSuite {
         .map(_.getName)
     assert(redirects(a).isEmpty && redirects(b).isEmpty,
       s"${redirects(a)} / ${redirects(b)}")
-    // stage files were reclaimed with the materialization
-    assert(new java.io.File(a).listFiles()
-      .forall(!_.getName.startsWith("_txnstage-")))
-    // the decisive proof: delete every decision file — both tables
-    // still read their committed snapshots
-    Seq(a, b).foreach(d => new java.io.File(d).listFiles()
-      .filter(_.getName.startsWith("_txndecision-"))
-      .foreach(_.delete()))
+    // stage files were reclaimed with the materialization, and the
+    // decision file RETIRED with them (nothing references it once
+    // every redirect is self-contained) — no per-transaction file
+    // accumulates in the coordinator's directory
+    Seq(a, b).foreach { d =>
+      assert(new java.io.File(d).listFiles().forall(f =>
+        !f.getName.startsWith("_txnstage-") &&
+          !f.getName.startsWith("_txndecision-")), d)
+    }
     assert(read(a).count() === 6L && read(b).count() === 6L)
   }
 
