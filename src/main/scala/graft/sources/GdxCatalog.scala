@@ -323,6 +323,9 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
+    // a recreated table at the same path restarts version numbers —
+    // stale decided-verdict cache entries must go with the directory
+    GdxSource.invalidateDecidedCache(dir.toString, conf)
     isTable(dir) && fs.delete(dir, true)
   }
 
@@ -336,6 +339,9 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchNamespaceException(newIdent.namespace)
     require(fs.rename(src, dst),
       s"gdx catalog: rename $src -> $dst failed")
+    // both paths' cached decided-verdicts are stale after the move
+    GdxSource.invalidateDecidedCache(src.toString, conf)
+    GdxSource.invalidateDecidedCache(dst.toString, conf)
   }
 
   // -------------------------------------------------------- namespaces

@@ -1173,8 +1173,18 @@ object GdxSource {
             "coordinating directory no longer exists - the " +
             "transaction's outcome is unknowable; restore the " +
             "coordinator or resolve the claim manually")
-      publishExclusive(dfs, conf, dp, Seq("abort"))
-      materializeClaim(path, conf, v)
+      val aborted = publishExclusive(dfs, conf, dp, Seq("abort"))
+      if (aborted &&
+          !readAllLines(fs, m).exists(_.startsWith(TxnHeader))) {
+        // the committer materialized this claim between our probe and
+        // the abort PUT: the abort file we just created is a stray a
+        // reader still holding pre-materialization redirect bytes
+        // could misread as the outcome — remove it (an abort decision
+        // is always re-derivable by the next blocked writer, so
+        // deleting it can never lose information)
+        dfs.delete(dp, false)
+        ()
+      } else materializeClaim(path, conf, v)
     }
   }
 
@@ -1199,13 +1209,18 @@ object GdxSource {
     if (parts.length != 3) return
     val dp = new Path(parts(1))
     val dfs = dp.getFileSystem(conf)
-    if (!dfs.exists(dp)) return // undecided: not ours to materialize
-    val committed = readFirstLine(dfs, dp).map(_.trim).contains("commit")
+    // exists-then-read races retire()'s delete: a vanished decision
+    // file means a concurrent materializer finished the whole job
+    val decision: Option[String] =
+      try readFirstLine(dfs, dp).map(_.trim)
+      catch { case _: java.io.FileNotFoundException => None }
+    if (decision.isEmpty) return // undecided or fully retired: not ours
+    val committed = decision.contains("commit")
     val stage = new Path(dir, parts(2))
     val resolved =
       if (!committed) lines.patch(txnIdx, Nil, 1)
-      else if (fs.exists(stage)) readAllLines(fs, stage)
-      else {
+      else try readAllLines(fs, stage)
+      catch { case _: java.io.FileNotFoundException =>
         // a CONCURRENT materializer consumed the stage: the manifest
         // must already be (or be about to become) self-contained —
         // re-read; only a still-redirecting manifest with no stage is
@@ -1243,24 +1258,44 @@ object GdxSource {
     * manifest. */
   private def undecidedClaimOf(fs: FileSystem, m: Path,
                                conf: Configuration): Option[String] = {
-    val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fs.open(m), "UTF-8"))
-    try {
-      var line = in.readLine()
-      while (line != null && (line.isEmpty || line.startsWith("#"))) {
-        if (line.startsWith(TxnHeader)) {
-          val parts = line.split('\t')
-          if (parts.length == 3) {
-            val dp = new Path(parts(1))
-            if (!dp.getFileSystem(conf).exists(dp))
-              return Some(parts(1))
+    def headerScan(): Option[String] = {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(m), "UTF-8"))
+      try {
+        var line = in.readLine()
+        while (line != null && (line.isEmpty || line.startsWith("#"))) {
+          if (line.startsWith(TxnHeader)) {
+            val parts = line.split('\t')
+            return if (parts.length == 3) Some(parts(1)) else None
           }
-          return None
+          line = in.readLine()
         }
-        line = in.readLine()
-      }
-      None
-    } finally in.close()
+        None
+      } finally in.close()
+    }
+    headerScan() match {
+      case None => None
+      case Some(dpStr) =>
+        val dp = new Path(dpStr)
+        val dfs = dp.getFileSystem(conf)
+        if (dfs.exists(dp)) None // decided (either way): readable
+        else if (!dfs.exists(dp.getParent))
+          // the coordinating directory is GONE: the outcome is
+          // unknowable — a silent "undecided" here would make every
+          // latest-resolution serve the pre-transaction snapshot of a
+          // possibly-committed transaction forever. Loud, like the
+          // writer path.
+          throw new IllegalStateException(
+            s"gdx txn: claim $m references decision file $dpStr whose " +
+              "coordinating directory no longer exists - the " +
+              "transaction's outcome is unknowable; restore the " +
+              "coordinator or resolve the claim manually")
+        else
+          // decision missing may also mean RETIRED-after-commit (the
+          // file is deleted once every claim materialized): re-scan —
+          // only a STILL-redirecting manifest is genuinely undecided
+          headerScan().map(_ => dpStr)
+    }
   }
 
   /** Decided-verdict memo: once a version's manifest is plain or its
@@ -1272,6 +1307,20 @@ object GdxSource {
     * the unstable ones and are never cached. */
   private val decidedCache =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Drop every cached decided-verdict under `dir` — a table directory
+    * deleted or renamed and later recreated at the same path restarts
+    * its version numbers, so a stale positive verdict could hide a NEW
+    * table's undecided claim from latest-resolution. Called by the
+    * catalog's dropTable/renameTable (path-level deletes outside the
+    * catalog should call it too). */
+  private[graft] def invalidateDecidedCache(dir: String,
+                                            conf: Configuration): Unit = {
+    val prefix = new Path(dir).getFileSystem(conf)
+      .makeQualified(new Path(dir)).toString + "/"
+    decidedCache.removeIf(_.startsWith(prefix))
+    ()
+  }
 
   /** The newest version whose snapshot is DECIDED — every latest-
     * resolution goes through here, so an in-flight multi-table
@@ -1397,28 +1446,45 @@ object GdxSource {
         require(parts.length == 3, s"gdx: malformed txn line in $m")
         val decisionPath = new Path(parts(1))
         val dfs = decisionPath.getFileSystem(driverConf())
+        // exists-then-read races retire()'s delete: a vanished
+        // decision file reads as missing, never as a crash
         val decision: Option[String] =
-          if (!dfs.exists(decisionPath)) None
-          else readFirstLine(dfs, decisionPath).map(_.trim)
+          try readFirstLine(dfs, decisionPath).map(_.trim)
+          catch { case _: java.io.FileNotFoundException => None }
+        // the reparse heal, shared by two races: the stage consumed by
+        // a concurrent materializer, and the decision file retired
+        // after this reader snapshotted redirect bytes — in both the
+        // manifest's CURRENT bytes must be self-contained
+        def reparse(what: String): Unit = {
+          val again = readAllLines(fs, m).filter(_.nonEmpty)
+          require(!again.exists(_.startsWith(TxnHeader)),
+            s"gdx txn: claim $m $what and was never materialized")
+          lines = again
+        }
         decision match {
           case Some("commit") =>
             val stage = new Path(m.getParent, parts(2))
-            if (fs.exists(stage)) return readManifest(fs, stage)
-            // a concurrent materializer consumed the stage after this
-            // reader saw the redirect: the manifest's CURRENT bytes
-            // must be self-contained — reparse them once (a manifest
-            // still redirecting with no stage is corruption, loud)
-            val again = readAllLines(fs, m).filter(_.nonEmpty)
-            require(!again.exists(_.startsWith(TxnHeader)),
-              s"gdx txn: committed claim $m references missing stage " +
-                s"${parts(2)} and was never materialized")
-            lines = again
+            try return readManifest(fs, stage)
+            catch { case _: java.io.FileNotFoundException =>
+              reparse(s"references missing stage ${parts(2)}") }
           case Some(_) => () // aborted: the empty delta stands
-          case None => throw new GdxTxnUndecidedException(
-            s"gdx: version ${m.getName} of ${m.getParent} belongs to an " +
-              s"UNDECIDED multi-table transaction (decision file " +
-              s"$decisionPath) - commit or abort it, or let the next " +
-              "writer decide it", decisionPath.toString)
+          case None if !dfs.exists(decisionPath.getParent) =>
+            throw new IllegalStateException(
+              s"gdx txn: claim $m references decision file " +
+                s"$decisionPath whose coordinating directory no longer " +
+                "exists - the transaction's outcome is unknowable; " +
+                "restore the coordinator or resolve the claim manually")
+          case None =>
+            // retired-after-commit heals here; only a manifest STILL
+            // redirecting with no decision is genuinely undecided
+            val again = readAllLines(fs, m).filter(_.nonEmpty)
+            if (again.exists(_.startsWith(TxnHeader)))
+              throw new GdxTxnUndecidedException(
+                s"gdx: version ${m.getName} of ${m.getParent} belongs " +
+                  "to an UNDECIDED multi-table transaction (decision " +
+                  s"file $decisionPath) - commit or abort it, or let " +
+                  "the next writer decide it", decisionPath.toString)
+            lines = again
         }
       }
       val isDelta = lines.headOption.exists(_.startsWith(DeltaHeader))
