@@ -45,6 +45,19 @@ object Sessions {
     clone
   }
 
+  /** Evaluate `f` with `s` as the THREAD-active session, restoring the
+    * previous one after. Needed when reading conf-dependent LAZY plan
+    * properties off a pinned clone's plan from a foreign thread:
+    * `LogicalPlan.stats` resolves `spark.sql.cbo.enabled` through
+    * `SQLConf.get` (the active session), not through the plan's own
+    * session — execution phases self-wrap in `withActive`, a bare
+    * `.stats` access does not. */
+  def withActive[T](s: SparkSession)(f: => T): T = {
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s)
+    try f finally prev.foreach(SparkSession.setActiveSession)
+  }
+
   /** Rebind `df` (batch or streaming) into `target` — a session sharing
     * `df`'s SparkContext — via a uniquely-named global temp view. The
     * view is resolved eagerly when the rebound Dataset is constructed

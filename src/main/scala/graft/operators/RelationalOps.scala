@@ -3439,6 +3439,149 @@ object RelationalOps extends QueryModule {
         .orderBy("q_id", "rk")
     }),
 
+    // C38 — ANALYZE TABLE → COLUMN STATISTICS → COST-BASED OPTIMIZER:
+    // one distributed aggregate pass (`ANALYZE TABLE ... COMPUTE
+    // STATISTICS FOR ALL COLUMNS`) lands NDV / null counts / typed
+    // min-max in the table's `_colstats` sidecar; every scan then
+    // serves them as DSv2 column statistics, and with
+    // `spark.sql.cbo.enabled` Spark's own estimators price predicates
+    // by selectivity instead of file bytes. The pinned demonstration
+    // is the planning decision that matters at 100 TB: a dimension
+    // filtered on a 5-ndv column estimates to ~1/5 of its rows, so
+    // the SAME query at the SAME broadcast threshold plans a
+    // BroadcastHashJoin with statistics (`cbo_broadcast`) and a
+    // shuffle join without them (`size_only_shuffle`) — the
+    // difference between shipping a filtered dimension to every
+    // executor and shuffling a 100 TB fact table. The threshold is
+    // CALIBRATED from the two plans' own estimates (geometrically
+    // between them, `estimate_shrunk` pins the gap), so the claim
+    // tests the estimator, not a magic constant.
+    "c38_gdx_cbo_stats" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxcbo_")
+      val fmt = "graft.sources.GdxSource"
+      val dimDir = s"$wh/dim"; val factDir = s"$wh/fact"
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("prio"),
+          col("o_orderstatus").as("stat"))
+        .write.format(fmt).option("path", dimDir).mode("overwrite").save()
+      Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+          col("l_quantity").cast("long").as("qty"),
+          col("l_linestatus").as("ls"))
+        .write.format(fmt).option("path", factDir).mode("overwrite").save()
+      val sfx = java.util.UUID.randomUUID.toString.replace("-", "")
+        .take(8)
+      val dimT = s"cbo_dim_$sfx"; val factT = s"cbo_fact_$sfx"
+      s.sql(s"""CREATE TABLE $dimT (k BIGINT, prio STRING, stat STRING)
+        USING $fmt OPTIONS (path '$dimDir')""")
+      s.sql(s"""CREATE TABLE $factT (k BIGINT, qty BIGINT, ls STRING)
+        USING $fmt OPTIONS (path '$factDir')""")
+      try {
+        s.sql(s"ANALYZE TABLE $dimT COMPUTE STATISTICS FOR ALL COLUMNS")
+          .collect()
+        s.sql(s"ANALYZE TABLE $factT COMPUTE STATISTICS FOR ALL COLUMNS")
+          .collect()
+        // TWO residual equality conjuncts (5-ndv × 3-ndv): the CBO
+        // multiplies their selectivities to ~1/15, comfortably past
+        // the text format's bytes-per-row vs estimated-row-width gap
+        def filteredDim(ss: org.apache.spark.sql.SparkSession) =
+          ss.read.format(fmt).option("path", dimDir).load()
+            .filter(col("prio") === "1-URGENT" && col("stat") === "F")
+        val cboProbe = graft.Sessions.pinned(s,
+          "spark.sql.cbo.enabled" -> "true")
+        val cboBytes = graft.Sessions.withActive(cboProbe)(
+          filteredDim(cboProbe)
+            .queryExecution.optimizedPlan.stats.sizeInBytes)
+        val rawBytes = graft.Sessions.withActive(s)(
+          filteredDim(s).queryExecution.optimizedPlan.stats.sizeInBytes)
+        val shrunk = cboBytes * 2 < rawBytes
+        val thr = (cboBytes * 2).toString
+        val a = graft.Sessions.pinned(s,
+          "spark.sql.cbo.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> thr,
+          "spark.sql.adaptive.enabled" -> "false")
+        val b = graft.Sessions.pinned(s,
+          "spark.sql.cbo.enabled" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> thr,
+          "spark.sql.adaptive.enabled" -> "false")
+        def q(ss: org.apache.spark.sql.SparkSession) =
+          ss.read.format(fmt).option("path", factDir).load()
+            .join(filteredDim(ss)
+              .select(col("k").as("dk"), col("prio"), col("stat")),
+              col("k") === col("dk"))
+            .groupBy("prio", "ls")
+            .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+        val cboBroadcast = q(a).queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin")
+        val sizeOnlyShuffle = !q(b).queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin")
+        q(a).withColumn("cbo_broadcast", lit(cboBroadcast))
+          .withColumn("size_only_shuffle", lit(sizeOnlyShuffle))
+          .withColumn("estimate_shrunk", lit(shrunk))
+          .orderBy("prio", "ls")
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $dimT")
+        s.sql(s"DROP TABLE IF EXISTS $factT")
+      }
+    }),
+
+    // C39 — MAP<STRING,STRING> COLUMNS: document metadata lives INSIDE
+    // the table format as a first-class map cell (comma-joined `k=v`
+    // entries SORTED BY KEY — one canonical text per map value, so
+    // equal maps are equal bytes; "" = the empty map, NULL cells via
+    // the normal marker, NULL keys/values refused loudly). Maps ride
+    // the shared codec, so the DSv2 reader/writer, the DML substrate
+    // (UPDATE map_concat's a new entry in, DELETE filters on
+    // element_at), and catalog DDL all work unchanged; no zone-map or
+    // ANALYZE lane (maps are not orderable — kind -1, and the stats
+    // pass skips them). The training-data story: per-document
+    // provenance/quality tags are curated row-level next to the text
+    // they describe, instead of in a sidecar table that drifts. The
+    // result explodes the maps relationally so DuckDB recomputes every
+    // entry; null/empty round-trip counts are pinned.
+    "c39_gdx_map_column" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxmap_")
+      val fmt = "graft.sources.GdxSource"
+      val docs = Tables.documents(s, d)
+      // %17 docs carry a NULL map, %13 (minus the %17 overlap) an
+      // EMPTY one, the rest three metadata entries — deliberately
+      // built in NON-sorted key order (the canonical encoding sorts)
+      val rows = docs.select(col("doc_id").as("k"),
+        when(col("doc_id") % 17 === 0,
+          lit(null).cast("map<string,string>"))
+          .when(col("doc_id") % 13 === 0,
+            map_from_arrays(array(), array()))
+          .otherwise(map(
+            lit("source"), col("source"),
+            lit("lang"), col("lang"),
+            lit("n_chars"), col("n_chars").cast("string"))).as("meta"))
+      rows.write.format(fmt).option("path", dir)
+        .mode("overwrite").save() // v1
+      val expectNull = docs.filter(col("doc_id") % 17 === 0).count()
+      val expectEmpty = docs.filter(col("doc_id") % 17 =!= 0 &&
+        col("doc_id") % 13 === 0).count()
+      val tbl = "gdxmap_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      s.sql(s"""CREATE TABLE $tbl (k BIGINT, meta MAP<STRING,STRING>)
+        USING $fmt OPTIONS (path '$dir')""")
+      try {
+        // curation DML on map cells: tag every 10th live doc, drop one
+        // language (NULL/empty maps have no 'lang' — untouched)
+        s.sql(s"""UPDATE $tbl SET meta = map_concat(meta,
+          map('flag', 'y'))
+          WHERE k % 10 = 0 AND element_at(meta, 'lang') IS NOT NULL""")
+        s.sql(s"DELETE FROM $tbl WHERE element_at(meta, 'lang') = 'de'")
+        val back = s.read.format(fmt).option("path", dir).load()
+        val nullOk =
+          back.filter(col("meta").isNull).count() == expectNull
+        val emptyOk = back.filter(col("meta").isNotNull &&
+          size(col("meta")) === 0).count() == expectEmpty
+        back.select(col("k"), explode(col("meta")).as(Seq("mk", "mv")))
+          .withColumn("null_roundtrip_ok", lit(nullOk))
+          .withColumn("empty_roundtrip_ok", lit(emptyOk))
+          .orderBy("k", "mk")
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     // C16 — CHANGEFEED-MAINTAINED MATERIALIZED VIEW: the full
     // composition of the engine's table format and MV tiers. A summary
     // is registered over an EMPTY GDX table, the events keyset lands
@@ -4525,6 +4668,36 @@ object RelationalOps extends QueryModule {
         |    (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk FROM s)
         |SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk, TRUE AS tt_ok
         |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // the filtered-dimension join recomputed relationally; the three
+    // planning claims (CBO broadcast with stats, shuffle without,
+    // estimate gap) are pinned TRUE
+    "c38_gdx_cbo_stats" ->
+      """SELECT o.o_orderpriority AS prio, l.l_linestatus AS ls,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  TRUE AS cbo_broadcast, TRUE AS size_only_shuffle,
+        |  TRUE AS estimate_shrunk
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // every surviving doc's map entries recomputed relationally: the
+    // UPDATE adds a 'flag' entry to every 10th live doc, the DELETE
+    // drops lang='de', NULL/empty-map docs explode to nothing; the
+    // round-trip count claims are pinned TRUE
+    "c39_gdx_map_column" ->
+      """WITH live AS (
+        |  SELECT doc_id AS k, lang, source,
+        |    CAST(n_chars AS VARCHAR) AS nch
+        |  FROM documents
+        |  WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0 AND lang <> 'de'),
+        |ent AS (
+        |  SELECT k, 'lang' AS mk, lang AS mv FROM live
+        |  UNION ALL SELECT k, 'n_chars', nch FROM live
+        |  UNION ALL SELECT k, 'source', source FROM live
+        |  UNION ALL SELECT k, 'flag', 'y' FROM live WHERE k % 10 = 0)
+        |SELECT k, mk, mv, TRUE AS null_roundtrip_ok,
+        |  TRUE AS empty_roundtrip_ok
+        |FROM ent ORDER BY k, mk""".stripMargin,
     // the typed table recomputed relationally: same integer-part
     // decimal construction, the UPDATE as a CASE on the date, the
     // DELETE as a NOT filter; claims pinned TRUE

@@ -39,6 +39,8 @@ object GdxMaintenanceSql {
     """(?is)^\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*(?:SWEEP\s+ORPHANS\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val History =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
+  private val Analyze =
+    """(?is)^\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS(\s+FOR\s+ALL\s+COLUMNS)?\s*;?\s*$""".r
   private val Restore =
     """(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+|'[^';]+')\s*;?\s*$""".r
   private val ShowChanges =
@@ -123,6 +125,17 @@ object GdxMaintenanceSql {
       case _ => None
     } else if (k1 == "DESCRIBE" && k2 == "HISTORY") sqlText match {
       case History(tbl) => Some(GdxHistoryCommand(ident(tbl)))
+      case _ => None
+    } else if (k1 == "ANALYZE" && k2 == "TABLE") sqlText match {
+      // ANALYZE TABLE ... COMPUTE STATISTICS [FOR ALL COLUMNS] — on a
+      // GDX table this is one distributed aggregate pass landing the
+      // `_colstats` sidecar every scan then serves to the CBO. The
+      // statement EXISTS in Spark's grammar (v1 tables), so a non-GDX
+      // target re-dispatches verbatim, like the constraint DDL. Only
+      // the plain COMPUTE STATISTICS shapes are intercepted — the
+      // FOR COLUMNS c1, c2 / PARTITION forms fall through untouched.
+      case Analyze(tbl, _) =>
+        Some(GdxAnalyzeCommand(ident(tbl))(sqlText, delegate))
       case _ => None
     } else if (k1 == "RESTORE") sqlText match {
       // Delta's RESTORE TABLE statement shape (Spark's grammar has no
@@ -380,6 +393,42 @@ case class GdxHistoryCommand(table: Seq[String])
     graft.sources.GdxSource.history(spark, path)
       .orderBy("version").collect().toSeq
   }
+}
+
+/** `ANALYZE TABLE <gdx> COMPUTE STATISTICS [FOR ALL COLUMNS]` → one
+  * distributed aggregate pass writes the `_colstats` sidecar
+  * ([[graft.sources.GdxSource.analyzeTable]]); every later scan serves
+  * it to the cost-based optimizer as DSv2 column statistics. Returns
+  * one row per analyzed column (NDV, null count, lengths) plus the
+  * analyzed version and exact row count. Non-GDX targets re-dispatch
+  * to Spark's own ANALYZE grammar untouched. */
+case class GdxAnalyzeCommand(table: Seq[String])(
+    origSql: String, delegate: ParserInterface)
+    extends LeafRunnableCommand {
+  override protected def otherCopyArgs: Seq[AnyRef] = Seq(origSql, delegate)
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("column", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("ndv", LongType, nullable = false),
+        StructField("null_count", LongType, nullable = false),
+        StructField("avg_len", LongType, nullable = false),
+        StructField("max_len", LongType, nullable = false),
+        StructField("row_count", LongType, nullable = false),
+        StructField("analyzed_version", LongType, nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] =
+    GdxMaintenanceSql.tryGdxPathOf(spark, table) match {
+      case Some(path) =>
+        val ts = graft.sources.GdxSource.analyzeTable(spark, path)
+        ts.cols.toSeq.sortBy(_._1).map { case (name, cs) =>
+          Row(name, cs.ndv, cs.nullCount, cs.avgLen, cs.maxLen,
+            ts.rowCount, ts.version.toLong)
+        }
+      case None =>
+        GdxMaintenanceSql.runDelegate(spark, delegate, origSql)
+        Seq.empty
+    }
 }
 
 /** `RESTORE TABLE <gdx> [TO] VERSION AS OF <n>` → re-publish snapshot

@@ -182,7 +182,8 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
             s"gdx catalog: unsupported column type " +
               s"${f.dataType.catalogString} for ${f.name} - the format " +
               "stores BIGINT, STRING, DOUBLE, DATE, TIMESTAMP, BOOLEAN, " +
-              "DECIMAL(p,s), ARRAY<FLOAT|DOUBLE|BIGINT>")
+              "DECIMAL(p,s), ARRAY<FLOAT|DOUBLE|BIGINT>, " +
+              "MAP<STRING,STRING>")
       }
       require(!f.name.exists(c => c == '\t' || c == ':' || c == ','),
         s"gdx catalog: illegal column name '${f.name}'")

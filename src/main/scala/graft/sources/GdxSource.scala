@@ -399,6 +399,17 @@ object GdxSource {
     case ArrayType(FloatType, _)  => "array<float>"
     case ArrayType(DoubleType, _) => "array<double>"
     case ArrayType(LongType, _)   => "array<bigint>"
+    // string-to-string MAPS — the document-metadata column shape:
+    // cells encode as comma-joined `key=value` entries SORTED BY KEY
+    // (one canonical text per map value, so equal maps are equal
+    // bytes), "" = the empty map, NULL cells via the normal marker.
+    // Keys must not contain ',' or '='; values must not contain ','
+    // (the first '=' splits, so values may carry '='); NULL keys or
+    // values are refused loudly — the encoding has no entry-null
+    // marker and metadata never carries one. valueContainsNull is
+    // not part of the name: both flags read back permissive.
+    case org.apache.spark.sql.types.MapType(StringType, StringType, _) =>
+      "map<string,string>"
     case other => throw new IllegalArgumentException(
       s"gdx: unsupported column type $other")
   }
@@ -413,6 +424,8 @@ object GdxSource {
     case "array<float>"  => ArrayType(FloatType)
     case "array<double>" => ArrayType(DoubleType)
     case "array<bigint>" => ArrayType(LongType)
+    case "map<string,string>" =>
+      org.apache.spark.sql.types.MapType(StringType, StringType)
     case DecimalNameRe(p, s) => org.apache.spark.sql.types
       .DecimalType(p.toInt, s.toInt)
     case _ => throw new IllegalArgumentException(s"gdx: unknown type $t")
@@ -429,13 +442,14 @@ object GdxSource {
     }.mkString(",")
 
   private[graft] def parseSchemaSpec(s: String): StructType = {
-    // split on TOP-LEVEL commas only: `decimal(12,2)` carries one
+    // split on TOP-LEVEL commas only: `decimal(12,2)` and
+    // `map<string,string>` each carry one inside their brackets
     val fields = Seq.newBuilder[String]
     var depth = 0; var start = 0; var i = 0
     while (i < s.length) {
       s.charAt(i) match {
-        case '('               => depth += 1
-        case ')'               => depth -= 1
+        case '(' | '<'         => depth += 1
+        case ')' | '>'         => depth -= 1
         case ',' if depth == 0 => fields += s.substring(start, i)
                                   start = i + 1
         case _                 => ()
@@ -479,7 +493,25 @@ object GdxSource {
             case DoubleType => parts.map(p => Double.box(p.toDouble))
             case _          => parts.map(p => Long.box(p.toLong))
           })
+      case _: org.apache.spark.sql.types.MapType =>
+        val entries: Array[(String, String)] = parseMapEntries(s)
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            entries.map(e => UTF8String.fromString(e._1): Any)),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            entries.map(e => UTF8String.fromString(e._2): Any)))
       case _              => UTF8String.fromString(s)
+    }
+
+  /** Decode one map cell's `k=v,k=v` text (keys pre-sorted at write
+    * time): the FIRST '=' of each entry splits, so values may carry
+    * '='. */
+  private def parseMapEntries(s: String): Array[(String, String)] =
+    if (s.isEmpty) Array.empty
+    else s.split(',').map { e =>
+      val j = e.indexOf('=')
+      require(j >= 0, s"gdx: malformed map entry '$e'")
+      (e.substring(0, j), e.substring(j + 1))
     }
 
   /** Parse one cell into its EXTERNAL (Row) form — what
@@ -501,6 +533,10 @@ object GdxSource {
           case DoubleType => parts.map(_.toDouble).toSeq
           case _          => parts.map(_.toLong).toSeq
         })
+      case _: org.apache.spark.sql.types.MapType =>
+        // ListMap preserves the stored (key-sorted) order, keeping the
+        // external round-trip byte-identical with the internal one
+        scala.collection.immutable.ListMap(parseMapEntries(s).toSeq: _*)
       case _              => s
     }
 
@@ -535,6 +571,20 @@ object GdxSource {
         }
         j += 1
       }
+    case _: org.apache.spark.sql.types.MapType =>
+      val m = r.getMap(i)
+      val ks = m.keyArray(); val vs = m.valueArray()
+      val entries = new Array[(String, String)](m.numElements())
+      var j = 0
+      while (j < entries.length) {
+        require(!ks.isNullAt(j) && !vs.isNullAt(j),
+          s"gdx $ctx: map field $field must not contain NULL keys " +
+            "or values (the k=v encoding has no entry-null marker)")
+        entries(j) = (ks.getUTF8String(j).toString,
+          vs.getUTF8String(j).toString)
+        j += 1
+      }
+      appendMapEntries(sb, entries, ctx, field)
     case _ =>
       val s = r.getUTF8String(i).toString
       require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
@@ -542,6 +592,33 @@ object GdxSource {
         s"gdx $ctx: string field $field must not contain " +
           "tab/newline or the \\N null marker (unescaped line format)")
       sb.append(s); ()
+  }
+
+  /** Render map entries SORTED BY KEY (one canonical text per map
+    * value), enforcing the vocabulary the decoder can invert: keys
+    * carry no ','/'='/tab/newline, values no ','/tab/newline. */
+  private def appendMapEntries(sb: java.lang.StringBuilder,
+      entries: Array[(String, String)], ctx: String,
+      field: String): Unit = {
+    java.util.Arrays.sort(entries,
+      Ordering.by((e: (String, String)) => e._1))
+    var j = 0
+    while (j < entries.length) {
+      val (k, v) = entries(j)
+      require(!k.exists(c => c == ',' || c == '=' || c == '\t' ||
+          c == '\n' || c == '\r') && k != NullMarker,
+        s"gdx $ctx: map field $field key '$k' must not contain " +
+          ", = tab/newline or the \\N marker (k=v encoding)")
+      require(!v.exists(c => c == ',' || c == '\t' || c == '\n' ||
+          c == '\r'),
+        s"gdx $ctx: map field $field value for key '$k' must not " +
+          "contain , or tab/newline (k=v encoding)")
+      if (j > 0) sb.append(',')
+      sb.append(k).append('=').append(v)
+      j += 1
+    }
+    // "" must stay unambiguous: an EMPTY map is "" by construction,
+    // and a single-entry map is never "" (it carries its '=')
   }
 
   /** Render one EXTERNAL-form cell (non-null): external Rows carry
@@ -575,6 +652,15 @@ object GdxSource {
         sb.append(v.toString)
         j += 1
       }
+    case _: org.apache.spark.sql.types.MapType =>
+      val m = r.getMap[Any, Any](i)
+      val entries = m.toArray.map { case (k, v) =>
+        require(k != null && v != null,
+          s"gdx $ctx: map field $field must not contain NULL keys " +
+            "or values (the k=v encoding has no entry-null marker)")
+        (k.toString, v.toString)
+      }
+      appendMapEntries(sb, entries, ctx, field)
     case _ =>
       val s = r.getString(i)
       require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
@@ -3325,6 +3411,143 @@ object GdxSource {
       "n_rows_physical", "schema")
   }
 
+  // --------------------------- column statistics (ANALYZE TABLE / CBO)
+  /** One column's table-level statistics, as written by
+    * [[analyzeTable]] and served back through the scan's DSv2
+    * `Statistics.columnStats()` so Spark's cost-based optimizer
+    * (`spark.sql.cbo.enabled`) can estimate predicate selectivity and
+    * join sizes. `typeName` pins the column's manifest type AT ANALYZE
+    * TIME: min/max are served only while the live schema still agrees
+    * (a dropped-and-recreated column of another type must not feed the
+    * estimator mistyped bounds — that would fail the query, not just
+    * the estimate); ndv/null counts survive a rename-era mismatch
+    * harmlessly (they are scale facts, not typed values). */
+  case class GdxColStat(typeName: String, ndv: Long, nullCount: Long,
+                        avgLen: Long, maxLen: Long,
+                        min: Option[String], max: Option[String])
+  case class GdxTableStats(version: Int, rowCount: Long,
+                           cols: Map[String, GdxColStat])
+
+  private def colStatsFile(path: String): Path =
+    new Path(path, "_colstats")
+
+  /** ANALYZE TABLE ... COMPUTE STATISTICS [FOR ALL COLUMNS]: ONE
+    * distributed aggregate pass over the current snapshot computes,
+    * per column, NDV (HyperLogLog++ via `approx_count_distinct` — the
+    * same mergeable-sketch reduction every engine uses; an exact
+    * distinct over 100 TB would shuffle the world), null count,
+    * average/max byte length (measured for strings, the type's fixed
+    * width otherwise), and min/max in the column's canonical text form
+    * (the manifest cell encoding, so the reader re-materializes exact
+    * internal values). The result lands in a `_colstats` sidecar via
+    * one atomic replace — version-stamped, O(columns) bytes, advisory
+    * by contract (stale statistics after later writes mislead the
+    * OPTIMIZER's estimates only, never a result; the Hive/Delta
+    * ANALYZE contract). Numeric ARRAY columns are skipped — no CBO
+    * estimator consumes array statistics. Returns the stats written.
+    *
+    * At 100 TB this sidecar is what turns the optimizer from
+    * size-only heuristics into real planning: a filtered dimension's
+    * estimated rows shrink by 1/ndv, the join side that actually fits
+    * broadcasts without a hint, and multi-join queries reorder on
+    * estimated cardinalities instead of file bytes. */
+  def analyzeTable(spark: SparkSession, dir: String): GdxTableStats = {
+    import org.apache.spark.sql.functions._
+    val conf = driverConf()
+    val v = latestDecidedVersion(dir, conf)
+    require(v > 0, s"gdx analyze: no committed snapshot under $dir")
+    val tblSchema = committedSchema(dir, conf, v)
+    val df = spark.read.format("graft.sources.GdxSource")
+      .option("path", dir).option("version", v.toString).load()
+    val fields = tblSchema.fields.filterNot(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("__rows") +: fields.toSeq.flatMap { f =>
+        val c = col(s"`${f.name}`")
+        val base = Seq(
+          approx_count_distinct(c).as(s"__ndv_${f.name}"),
+          count(c).as(s"__nn_${f.name}"))
+        val typed = f.dataType match {
+          case StringType => Seq(
+            ceil(coalesce(avg(length(c)), lit(0))).cast("long")
+              .as(s"__avg_${f.name}"),
+            coalesce(max(length(c)), lit(0)).cast("long")
+              .as(s"__max_${f.name}"))
+          case _ => Seq(min(c).as(s"__lo_${f.name}"),
+            max(c).as(s"__hi_${f.name}"))
+        }
+        base ++ typed
+      }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = r.getLong(r.fieldIndex("__rows"))
+    // min/max render through the SAME canonical text forms the
+    // manifest cells use ([[appendExternalCell]]'s vocabulary), so
+    // parseInternalCell re-materializes exact internal values
+    def statText(dt: DataType, value: Any): Option[String] =
+      Option(value).map {
+        case d: java.sql.Date        =>
+          DateTimeUtils.fromJavaDate(d).toString
+        case ld: java.time.LocalDate => ld.toEpochDay.toString
+        case t: java.sql.Timestamp   =>
+          DateTimeUtils.fromJavaTimestamp(t).toString
+        case in: java.time.Instant   =>
+          DateTimeUtils.instantToMicros(in).toString
+        case bd: java.math.BigDecimal => bd.toPlainString
+        case other                    => other.toString
+      }
+    val cols = fields.map { f =>
+      val ndv = r.getLong(r.fieldIndex(s"__ndv_${f.name}"))
+      val nulls = rows - r.getLong(r.fieldIndex(s"__nn_${f.name}"))
+      val (avgL, maxL, lo, hi) = f.dataType match {
+        case StringType =>
+          (r.getLong(r.fieldIndex(s"__avg_${f.name}")),
+            r.getLong(r.fieldIndex(s"__max_${f.name}")),
+            None, None)
+        case dt =>
+          val w = dt.defaultSize.toLong
+          (w, w,
+            statText(dt, r.get(r.fieldIndex(s"__lo_${f.name}"))),
+            statText(dt, r.get(r.fieldIndex(s"__hi_${f.name}"))))
+      }
+      f.name -> GdxColStat(typeNameOf(f.dataType), ndv, nulls,
+        avgL, maxL, lo, hi)
+    }.toMap
+    val lines = s"#analyzed\t$v\t$rows" +:
+      fields.toSeq.map { f =>
+        val cs = cols(f.name)
+        Seq(f.name, cs.typeName, cs.ndv, cs.nullCount, cs.avgLen,
+          cs.maxLen, cs.min.getOrElse(NullMarker),
+          cs.max.getOrElse(NullMarker)).mkString("\t")
+      }
+    val fs = new Path(dir).getFileSystem(conf)
+    replaceAtomic(fs, conf, colStatsFile(dir), lines)
+    GdxTableStats(v, rows, cols)
+  }
+
+  /** The table's ANALYZE sidecar, if one exists — one small read,
+    * served by every scan's `estimateStatistics` as DSv2 column
+    * statistics (advisory; absence simply means size-only planning). */
+  def readColStats(dir: String, conf: Configuration)
+      : Option[GdxTableStats] = {
+    val fs = new Path(dir).getFileSystem(conf)
+    val p = colStatsFile(dir)
+    if (!fs.exists(p)) return None
+    val lines = readAllLines(fs, p).filter(_.nonEmpty)
+    val head = lines.headOption.filter(_.startsWith("#analyzed"))
+      .getOrElse(return None)
+    val hp = head.split('\t')
+    val cols = lines.tail.flatMap { ln =>
+      val f = ln.split('\t')
+      if (f.length != 8) None
+      else Some(f(0) -> GdxColStat(f(1), f(2).toLong, f(3).toLong,
+        f(4).toLong, f(5).toLong,
+        Some(f(6)).filter(_ != NullMarker),
+        Some(f(7)).filter(_ != NullMarker)))
+    }.toMap
+    Some(GdxTableStats(hp(1).toInt, hp(2).toLong, cols))
+  }
+
   /** Append a column to the table's schema — a METADATA-ONLY commit:
     * the new manifest carries the evolved `#schema` line and the same
     * file entries; no data file is touched (the Delta/Iceberg ADD
@@ -5091,6 +5314,59 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       catch { case _: Exception => 0L }
     }.sum
     val rows = planned.flatMap(_.stats).map(_.rows).sum
+    // ANALYZE sidecar → DSv2 column statistics: Spark's
+    // transformV2Stats maps these into per-attribute ColumnStat, which
+    // is what the CBO's filter/join estimators consume
+    // (`spark.sql.cbo.enabled`). Min/max are re-materialized as
+    // INTERNAL values and served only while the live schema's type
+    // still matches the analyzed one — a recreated column of another
+    // type must never feed the estimator mistyped bounds. Skipped for
+    // pushed-aggregate scans (their output is the agg row, not table
+    // columns).
+    val colStats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (!metaOnly) GdxSource.readColStats(path, conf).foreach { ts =>
+        ts.cols.foreach { case (name, cs) =>
+          tableSchema.fields.find(_.name == name).foreach { f =>
+            val typeOk = scala.util.Try(GdxSource.typeNameOf(f.dataType))
+              .toOption.contains(cs.typeName)
+            def internal(s: Option[String]): java.util.Optional[Object] =
+              s.filter(_ => typeOk)
+                .flatMap(t => scala.util.Try(
+                  GdxSource.parseInternalCell(f.dataType, t)).toOption)
+                .map(_.asInstanceOf[Object])
+                .fold(java.util.Optional.empty[Object]())(
+                  java.util.Optional.of)
+            m.put(
+              // backtick-quoted (doubled inner backticks): column()
+              // PARSES its argument, so an unquoted dotted name would
+              // mis-reference a nested field
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(s"`${name.replace("`", "``")}`"),
+              new org.apache.spark.sql.connector.read.colstats
+                  .ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(cs.ndv)
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(cs.nullCount)
+                override def avgLen(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(math.max(1L, cs.avgLen))
+                override def maxLen(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(math.max(1L, cs.maxLen))
+                override def min(): java.util.Optional[Object] =
+                  internal(cs.min)
+                override def max(): java.util.Optional[Object] =
+                  internal(cs.max)
+              })
+          }
+        }
+      }
+      m
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(if (metaOnly) 16L else bytes)
@@ -5098,6 +5374,10 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
         if (planned.forall(_.stats.isDefined))
           java.util.OptionalLong.of(if (metaOnly) 1L else rows)
         else java.util.OptionalLong.empty()
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 
