@@ -541,6 +541,63 @@ object StreamingOps extends QueryModule {
         .orderBy("v")
     }),
 
+    // STREAMING WRITE-AUDIT-PUBLISH — the WAP flow with a STREAM as
+    // the writer: the exactly-once GDX sink lands every micro-batch on
+    // a BRANCH (`option("branch", ...)` routes the streaming write the
+    // same way it routes batch ones), main's snapshot and version are
+    // PINNED untouched through the whole ingest, the audit reads the
+    // branch (base ∪ streamed block), and one `publishBranch` metadata
+    // commit fast-forwards main to the audited head. At 100 TB this is
+    // the production shape for continuous ingestion with a quality
+    // gate: the pipeline streams all day into the branch, the audit
+    // runs on the real table layout, and publish is O(manifest) —
+    // readers of main never see a row the audit didn't pass.
+    "stream_gdx_wap" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_gdxswap_")
+      val dir = new java.io.File(root, "table").getPath
+      val ck = new java.io.File(root, "ck").getPath
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      def kv(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("event_id").as("k"), col("event_type").as("v"))
+      // base snapshot on MAIN: the odd event ids (v1)
+      kv(graft.Tables.events(s, d).filter(col("event_id") % 2 === 1))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      val conf = gdx.driverConf()
+      val mainV1 = gdx.listVersions(dir, conf).max
+      val baseCount = s.read.format(fmt).option("path", dir).load().count()
+      gdx.createBranch(dir, "ingest")
+      // WRITE: stream the even ids into the branch (exactly-once sink,
+      // one idempotent append commit per micro-batch — on the branch)
+      val q = kv(eventsStream(s, d).filter(col("event_id") % 2 === 0))
+        .writeStream.format(fmt)
+        .option("path", dir).option("branch", "ingest")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // AUDIT: main untouched (rows AND version); the branch holds
+      // exactly base ∪ streamed block
+      val mainUntouched =
+        s.read.format(fmt).option("path", dir).load()
+          .count() == baseCount &&
+        gdx.listVersions(dir, conf).max == mainV1
+      val branch = s.read.format(fmt).option("path", dir)
+        .option("branch", "ingest").load()
+      val streamed = graft.Tables.events(s, d)
+        .filter(col("event_id") % 2 === 0).count()
+      val auditOk = branch.count() == baseCount + streamed &&
+        branch.filter(col("k").isNull || col("v").isNull).isEmpty
+      // PUBLISH: one CAS'd metadata commit fast-forwards main
+      gdx.publishBranch(dir, "ingest")
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .withColumn("main_untouched", lit(mainUntouched))
+        .withColumn("audit_ok", lit(auditOk))
+        .orderBy("v")
+    }),
+
     // STREAMING CDC APPLY — changefeed in, MERGE out: the GDX
     // changefeed of a source table is applied per micro-batch as a
     // last-writer-wins MERGE into a second GDX table (foreachBatch +
@@ -837,6 +894,13 @@ object StreamingOps extends QueryModule {
     "stream_gdx_sink" ->
       """SELECT event_type AS v, count(*) AS n,
         |  min(event_id) AS min_k, max(event_id) AS max_k
+        |FROM events GROUP BY v ORDER BY v""".stripMargin,
+    // published main = odd base ∪ streamed even block = ALL events;
+    // the audit-time claims are pinned TRUE
+    "stream_gdx_wap" ->
+      """SELECT event_type AS v, count(*) AS n,
+        |  min(event_id) AS min_k, max(event_id) AS max_k,
+        |  TRUE AS main_untouched, TRUE AS audit_ok
         |FROM events GROUP BY v ORDER BY v""".stripMargin,
     // the CDC-applied target state, batching-invariant: LWW by the
     // zero-padded-event_id value = plain max(v) per key
