@@ -3582,6 +3582,55 @@ object RelationalOps extends QueryModule {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
 
+    // C40 — EQUI-HEIGHT HISTOGRAMS for RANGE selectivity: ANALYZE's
+    // second pass bins every orderable column's estimation domain (16
+    // boundaries from one percentile sketch, per-bin NDV from one
+    // more aggregate), the sidecar serves them as DSv2 histograms,
+    // and the CBO prices range predicates by the data's real SHAPE.
+    // The demonstration column is deliberately skew-heavy (w = q^7 —
+    // 80% of the mass below 5% of the value range): min/max-uniform
+    // interpolation would estimate `w > 40^7` at ~79% of rows where
+    // the truth is ~20%, and `uniform_would_miss` pins that arithmetic
+    // from the sidecar's own min/max, while `hist_est_close` pins the
+    // histogram estimate inside 3× of truth. At 100 TB the difference
+    // decides join sides and shuffle sizing for every range-scoped
+    // query the warehouse runs — date windows, price bands, score
+    // cutoffs — not just equality lookups.
+    "c40_gdx_histogram_stats" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxhist_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+          pow(col("l_quantity"), 7).as("w"),
+          col("l_quantity").cast("long").as("qty"),
+          col("l_linestatus").as("ls"))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      val ts = gdx.analyzeTable(s, dir)
+      val lit407 = math.pow(40.0, 7) // exactly representable
+      def filtered(ss: org.apache.spark.sql.SparkSession) =
+        ss.read.format(fmt).option("path", dir).load()
+          .filter(col("w") > lit407)
+      val cbo = graft.Sessions.pinned(s,
+        "spark.sql.cbo.enabled" -> "true")
+      val est = graft.Sessions.withActive(cbo)(
+        filtered(cbo).queryExecution.optimizedPlan.stats.rowCount)
+        .map(_.toLong).getOrElse(0L)
+      val truth = filtered(s).count()
+      val histEstClose = est >= truth / 3 && est <= truth * 3
+      // what uniform min/max interpolation WOULD estimate, from the
+      // sidecar's own bounds — the information the histogram adds
+      val wStat = ts.cols("w")
+      val (wLo, wHi) = (wStat.min.get.toDouble, wStat.max.get.toDouble)
+      val uniformEst =
+        ts.rowCount * math.max(0.0, (wHi - lit407) / (wHi - wLo))
+      val uniformWouldMiss = uniformEst > truth * 3
+      filtered(s).groupBy("ls")
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+        .withColumn("hist_est_close", lit(histEstClose))
+        .withColumn("uniform_would_miss", lit(uniformWouldMiss))
+        .orderBy("ls")
+    }),
+
     // C16 — CHANGEFEED-MAINTAINED MATERIALIZED VIEW: the full
     // composition of the engine's table format and MV tiers. A summary
     // is registered over an EMPTY GDX table, the events keyset lands
@@ -4698,6 +4747,14 @@ object RelationalOps extends QueryModule {
         |SELECT k, mk, mv, TRUE AS null_roundtrip_ok,
         |  TRUE AS empty_roundtrip_ok
         |FROM ent ORDER BY k, mk""".stripMargin,
+    // w = q^7 is monotone in q, so `w > 40^7` is exactly `q > 40` on
+    // integral quantities; the estimator claims are pinned TRUE
+    "c40_gdx_histogram_stats" ->
+      """SELECT l_linestatus AS ls, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  TRUE AS hist_est_close, TRUE AS uniform_would_miss
+        |FROM lineitem WHERE l_quantity > 40
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the typed table recomputed relationally: same integer-part
     // decimal construction, the UPDATE as a CASE on the date, the
     // DELETE as a NOT filter; claims pinned TRUE

@@ -3424,7 +3424,15 @@ object GdxSource {
     * harmlessly (they are scale facts, not typed values). */
   case class GdxColStat(typeName: String, ndv: Long, nullCount: Long,
                         avgLen: Long, maxLen: Long,
-                        min: Option[String], max: Option[String])
+                        min: Option[String], max: Option[String],
+                        hist: Option[GdxHistogram] = None)
+  /** Equi-height histogram over the column's ESTIMATION domain (the
+    * same double the optimizer converts internal values to: epoch-day
+    * for DATE, epoch-micros for TIMESTAMP, the numeric value
+    * otherwise) — what turns a range predicate's selectivity from
+    * uniform min/max interpolation into the data's real shape. */
+  case class GdxHistogram(height: Double,
+                          bins: Seq[(Double, Double, Long)])
   case class GdxTableStats(version: Int, rowCount: Long,
                            cols: Map[String, GdxColStat])
 
@@ -3462,6 +3470,20 @@ object GdxSource {
     val fields = tblSchema.fields.filterNot(f =>
       f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
         f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    // a column's ESTIMATION domain — the double the optimizer itself
+    // converts internal values to, so histogram bins land in the same
+    // coordinate system range-predicate literals are compared in
+    def domainExpr(f: StructField): Option[org.apache.spark.sql.Column] = {
+      val c = col(s"`${f.name}`")
+      f.dataType match {
+        case LongType | DoubleType | _: DecimalType =>
+          Some(c.cast("double"))
+        case DateType      => Some(unix_date(c).cast("double"))
+        case TimestampType => Some(unix_micros(c).cast("double"))
+        case _             => None // strings/booleans: no range shape
+      }
+    }
+    val nb = HistogramBins
     val aggs: Seq[org.apache.spark.sql.Column] =
       count(lit(1)).as("__rows") +: fields.toSeq.flatMap { f =>
         val c = col(s"`${f.name}`")
@@ -3477,10 +3499,43 @@ object GdxSource {
           case _ => Seq(min(c).as(s"__lo_${f.name}"),
             max(c).as(s"__hi_${f.name}"))
         }
-        base ++ typed
+        // equi-height bin BOUNDARIES ride the same pass (nb+1
+        // percentiles of the estimation domain)
+        val pct = domainExpr(f).map(dom =>
+          percentile_approx(dom,
+            array((0 to nb).map(i => lit(i.toDouble / nb)): _*),
+            lit(10000)).as(s"__pct_${f.name}")).toSeq
+        base ++ typed ++ pct
       }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val rows = r.getLong(r.fieldIndex("__rows"))
+    // SECOND (and last) pass: per-bin NDV for every histogram column
+    // at once — one aggregate of nb sketches per column, the
+    // equi-height histogram's only extra scan
+    val histBounds: Map[String, Seq[Double]] = fields.toSeq.flatMap { f =>
+      if (domainExpr(f).isEmpty) None
+      else Option(r.getSeq[Double](r.fieldIndex(s"__pct_${f.name}")))
+        .filter(b => b != null && b.length == nb + 1 && b.head != null)
+        .map(f.name -> _)
+    }.toMap
+    val histNdv: Map[String, Seq[Long]] =
+      if (histBounds.isEmpty) Map.empty
+      else {
+        val binAggs = histBounds.toSeq.flatMap { case (name, b) =>
+          val dom = domainExpr(
+            fields.find(_.name == name).get).get
+          (0 until nb).map { i =>
+            val loB = if (i == 0) dom >= lit(b(i)) else dom > lit(b(i))
+            approx_count_distinct(when(loB && dom <= lit(b(i + 1)), dom))
+              .as(s"__bin_${i}_$name")
+          }
+        }
+        val br = df.agg(binAggs.head, binAggs.tail: _*).head()
+        histBounds.map { case (name, _) =>
+          name -> (0 until nb).map(i =>
+            br.getLong(br.fieldIndex(s"__bin_${i}_$name")))
+        }
+      }
     // min/max render through the SAME canonical text forms the
     // manifest cells use ([[appendExternalCell]]'s vocabulary), so
     // parseInternalCell re-materializes exact internal values
@@ -3510,20 +3565,36 @@ object GdxSource {
             statText(dt, r.get(r.fieldIndex(s"__lo_${f.name}"))),
             statText(dt, r.get(r.fieldIndex(s"__hi_${f.name}"))))
       }
+      val hist = histBounds.get(f.name).map { b =>
+        val nn = r.getLong(r.fieldIndex(s"__nn_${f.name}"))
+        GdxHistogram(nn.toDouble / nb,
+          (0 until nb).map(i =>
+            (b(i), b(i + 1), math.max(1L, histNdv(f.name)(i)))))
+      }
       f.name -> GdxColStat(typeNameOf(f.dataType), ndv, nulls,
-        avgL, maxL, lo, hi)
+        avgL, maxL, lo, hi, hist)
     }.toMap
-    val lines = s"#analyzed\t$v\t$rows" +:
+    val lines = (s"#analyzed\t$v\t$rows" +:
       fields.toSeq.map { f =>
         val cs = cols(f.name)
         Seq(f.name, cs.typeName, cs.ndv, cs.nullCount, cs.avgLen,
           cs.maxLen, cs.min.getOrElse(NullMarker),
           cs.max.getOrElse(NullMarker)).mkString("\t")
+      }) ++
+      fields.toSeq.flatMap { f =>
+        cols(f.name).hist.map(h => (Seq("#hist", f.name, h.height) ++
+          h.bins.map { case (lo, hi, nd) => s"$lo:$hi:$nd" })
+          .mkString("\t"))
       }
     val fs = new Path(dir).getFileSystem(conf)
     replaceAtomic(fs, conf, colStatsFile(dir), lines)
     GdxTableStats(v, rows, cols)
   }
+
+  /** Equi-height bins per ANALYZE histogram — deliberately coarser
+    * than Hive's 254: the sidecar stays O(columns) small and 16 bins
+    * already separate a skewed tail from its body. */
+  private[graft] val HistogramBins = 16
 
   /** The table's ANALYZE sidecar, if one exists — one small read,
     * served by every scan's `estimateStatistics` as DSv2 column
@@ -3537,13 +3608,26 @@ object GdxSource {
     val head = lines.headOption.filter(_.startsWith("#analyzed"))
       .getOrElse(return None)
     val hp = head.split('\t')
-    val cols = lines.tail.flatMap { ln =>
+    val hists: Map[String, GdxHistogram] = lines.tail
+      .filter(_.startsWith("#hist\t")).flatMap { ln =>
+        val f = ln.split('\t')
+        if (f.length < 4) None
+        else scala.util.Try {
+          f(1) -> GdxHistogram(f(2).toDouble,
+            f.drop(3).toSeq.map { b =>
+              val Array(lo, hi, nd) = b.split(':')
+              (lo.toDouble, hi.toDouble, nd.toLong)
+            })
+        }.toOption
+      }.toMap
+    val cols = lines.tail.filterNot(_.startsWith("#")).flatMap { ln =>
       val f = ln.split('\t')
       if (f.length != 8) None
       else Some(f(0) -> GdxColStat(f(1), f(2).toLong, f(3).toLong,
         f(4).toLong, f(5).toLong,
         Some(f(6)).filter(_ != NullMarker),
-        Some(f(7)).filter(_ != NullMarker)))
+        Some(f(7)).filter(_ != NullMarker),
+        hists.get(f(0))))
     }.toMap
     Some(GdxTableStats(hp(1).toInt, hp(2).toLong, cols))
   }
@@ -5361,6 +5445,30 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
                   internal(cs.min)
                 override def max(): java.util.Optional[Object] =
                   internal(cs.max)
+                override def histogram(): java.util.Optional[
+                    org.apache.spark.sql.connector.read.colstats
+                      .Histogram] =
+                  cs.hist.filter(_ => typeOk).map { h =>
+                    new org.apache.spark.sql.connector.read.colstats
+                        .Histogram {
+                      override def height(): Double = h.height
+                      override def bins(): Array[
+                          org.apache.spark.sql.connector.read.colstats
+                            .HistogramBin] =
+                        h.bins.map { case (blo, bhi, bndv) =>
+                          new org.apache.spark.sql.connector.read
+                              .colstats.HistogramBin {
+                            override def lo(): Double = blo
+                            override def hi(): Double = bhi
+                            override def ndv(): Long = bndv
+                          }: org.apache.spark.sql.connector.read
+                            .colstats.HistogramBin
+                        }.toArray
+                    }: org.apache.spark.sql.connector.read.colstats
+                      .Histogram
+                  }.fold(java.util.Optional.empty[
+                      org.apache.spark.sql.connector.read.colstats
+                        .Histogram]())(java.util.Optional.of)
               })
           }
         }

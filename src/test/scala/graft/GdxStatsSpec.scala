@@ -139,6 +139,33 @@ class GdxStatsSpec extends SparkSuite {
     assert(joined(a).count() === joined(b).count())
   }
 
+  test("equi-height histograms ride the sidecar and sharpen range " +
+      "selectivity past uniform min/max interpolation") {
+    val dir = freshDir("hist")
+    // 90% of the mass in [0,10), a 10% tail in [1000,2000): a
+    // uniform-interpolated `w > 900` estimates ~55% of rows, the
+    // histogram knows it is ~10%
+    spark.range(2000L).select(col("id").as("k"),
+      when(col("id") % 10 < 9, (col("id") % 10).cast("double"))
+        .otherwise(lit(1000.0) + col("id") % 1000).as("w"))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val ts = GdxSource.analyzeTable(spark, dir)
+    val h = ts.cols("w").hist.get
+    assert(h.bins.length === GdxSource.HistogramBins)
+    assert(h.bins.forall { case (lo, hi, _) => lo <= hi })
+    assert(GdxSource.readColStats(dir, conf).get.cols("w").hist
+      .contains(h))
+    val cbo = Sessions.pinned(spark, "spark.sql.cbo.enabled" -> "true")
+    val est = withActive(cbo)(
+      read(cbo, dir).filter(col("w") > 900.0)
+        .queryExecution.optimizedPlan.stats.rowCount).get.toLong
+    val truth = read(spark, dir).filter(col("w") > 900.0).count()
+    assert(est <= truth * 3 && est >= truth / 3,
+      s"histogram estimate $est vs truth $truth")
+    assert(est < 500L, // uniform interpolation would say ~1100
+      s"estimate $est did not beat uniform interpolation")
+  }
+
   test("SQL front door: ANALYZE TABLE returns per-column rows on GDX " +
       "and re-dispatches non-GDX targets to Spark's own grammar") {
     val dir = freshDir("sql")
