@@ -3631,6 +3631,62 @@ object RelationalOps extends QueryModule {
         .orderBy("ls")
     }),
 
+    // C41 — COLUMN DEFAULT VALUES (the Iceberg initial-default /
+    // Spark EXISTS_DEFAULT contract): `ALTER TABLE ... ADD COLUMN ...
+    // DEFAULT <lit>` is ONE metadata commit whose default rides the
+    // schema line itself — so every commit path (DML, OPTIMIZE, clone,
+    // branch, txn) carries it and time travel is era-correct by
+    // construction. Rows in pre-evolution files read the default
+    // (scan, DML substrate, and changefeed all agree); INSERTs that
+    // OMIT the column are filled by Spark's own analyzer through the
+    // CURRENT_DEFAULT metadata the format surfaces; post-evolution
+    // writes carry explicit values. At 100 TB this is how a schema
+    // gains a column with real semantics — 'unassigned', 0 — without
+    // rewriting a byte or teaching every reader a null convention.
+    "c41_gdx_default_values" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxdflt_")
+      val cat = "gdx_c41"
+      val gdx = graft.sources.GdxSource
+      val c = graft.Sessions.pinned(s,
+        s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+        s"spark.sql.catalog.$cat.warehouse" -> wh)
+      c.sql(s"CREATE NAMESPACE $cat.lab")
+      c.sql(s"CREATE TABLE $cat.lab.users (k BIGINT, v STRING)")
+      val base = Tables.orders(c, d).select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("v"), col("o_orderstatus").as("stat"))
+      // era block: the even keys, written BEFORE the columns exist
+      graft.Sessions.insertInto(c,
+        base.filter(col("k") % 2 === 0).select("k", "v"),
+        s"$cat.lab.users")
+      val dir = s"$wh/lab/users"
+      val preV = gdx.listVersions(dir, gdx.driverConf()).max
+      c.sql(s"""ALTER TABLE $cat.lab.users
+        ADD COLUMN region STRING DEFAULT 'unassigned'""")
+      c.sql(s"ALTER TABLE $cat.lab.users ADD COLUMN score BIGINT DEFAULT 0")
+      // post-evolution block: the odd keys, explicit values
+      graft.Sessions.insertInto(c,
+        base.filter(col("k") % 2 === 1)
+          .select(col("k"), col("v"), col("stat").as("region"),
+            lit(1L).as("score")),
+        s"$cat.lab.users")
+      // an INSERT omitting the new columns → the ANALYZER fills the
+      // declared defaults (Spark's CURRENT_DEFAULT machinery over the
+      // metadata this format surfaces)
+      c.sql(s"""INSERT INTO $cat.lab.users (k, v)
+        VALUES (9000000001, 'x1'), (9000000002, 'x2')""")
+      // DML over the defaulted column: era rows read 0, then rewrite
+      c.sql(s"""UPDATE $cat.lab.users SET score = score + 5
+        WHERE k % 100 = 0""")
+      val ttNoCol = !c.read.format("graft.sources.GdxSource")
+        .option("path", dir).option("version", preV.toString).load()
+        .columns.contains("region")
+      c.table(s"$cat.lab.users")
+        .groupBy("region")
+        .agg(count(lit(1)).as("n"), sum("score").as("sum_score"))
+        .withColumn("tt_no_column", lit(ttNoCol))
+        .orderBy("region")
+    }),
+
     // C16 — CHANGEFEED-MAINTAINED MATERIALIZED VIEW: the full
     // composition of the engine's table format and MV tiers. A summary
     // is registered over an EMPTY GDX table, the events keyset lands
@@ -4755,6 +4811,24 @@ object RelationalOps extends QueryModule {
         |  TRUE AS hist_est_close, TRUE AS uniform_would_miss
         |FROM lineitem WHERE l_quantity > 40
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // era rows (even keys) read the declared defaults, explicit rows
+    // (odd keys) their own values, the omitted-column INSERT the
+    // analyzer-filled defaults; the UPDATE adds 5 where k % 100 = 0
+    // (era rows' score reads 0 first); the time-travel claim is TRUE
+    "c41_gdx_default_values" ->
+      """WITH u AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'unassigned'
+        |         ELSE o_orderstatus END AS region,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS score
+        |  FROM orders
+        |  UNION ALL SELECT 9000000001, 'unassigned', 0
+        |  UNION ALL SELECT 9000000002, 'unassigned', 0)
+        |SELECT region, count(*) AS n,
+        |  CAST(sum(CASE WHEN k % 100 = 0 THEN score + 5
+        |    ELSE score END) AS BIGINT) AS sum_score,
+        |  TRUE AS tt_no_column
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // the typed table recomputed relationally: same integer-part
     // decimal construction, the UPDATE as a CASE on the date, the
     // DELETE as a NOT filter; claims pinned TRUE

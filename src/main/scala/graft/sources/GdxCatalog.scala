@@ -198,11 +198,40 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
     spec
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
+  /** The catalog-level contract extensions Spark gates grammar on:
+    * declaring column DEFAULT support is what lets `CREATE TABLE (c
+    * BIGINT DEFAULT 5)` / `ADD COLUMN ... DEFAULT` reach this catalog
+    * at all. */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** Fold Spark-declared column defaults (CURRENT_DEFAULT metadata,
+    * SQL text) into the format's canonical cell-text form, so the
+    * manifest stores ONE vocabulary whatever the declaration door. */
+  private def normalizeDefaults(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (f.metadata.contains(GdxSource.DefaultCellKey) ||
+          !f.metadata.contains("CURRENT_DEFAULT")) f
+      else {
+        val folded = org.apache.spark.sql.catalyst.util
+          .ResolveDefaultColumns.analyze(f, "CREATE TABLE")
+          .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        require(folded != null,
+          s"gdx catalog: DEFAULT NULL for ${f.name} is the column's " +
+            "natural state - declare no default instead")
+        GdxSource.withDefaultCell(f,
+          GdxSource.internalCellText(f.dataType, folded))
+      }
+    })
+
+  override def createTable(ident: Identifier, schema0: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val schema = normalizeDefaults(schema0)
     val spec = validateDeclaration(schema, partitions)
     // v1 is an EMPTY truncate commit CAS-pinned to base 0: it records
     // the declared schema and layout in the manifest header, a
@@ -264,8 +293,9 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
                     info: org.apache.spark.sql.connector.catalog.TableInfo,
                     preExisting: Boolean,
                     casBase: Int = -1): GdxStagedTable = {
-    val spec = validateDeclaration(info.schema(), info.partitions())
-    new GdxStagedTable(dir.toString, info.schema(), spec, preExisting,
+    val schema = normalizeDefaults(info.schema())
+    val spec = validateDeclaration(schema, info.partitions())
+    new GdxStagedTable(dir.toString, schema, spec, preExisting,
       casBase)
   }
 
@@ -293,9 +323,22 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
         require(a.isNullable,
           "gdx catalog: added columns are null-filled for existing " +
             "rows and cannot be NOT NULL")
-        require(a.defaultValue == null,
-          "gdx catalog: column DEFAULT values are not supported")
-        GdxSource.addColumn(d, a.fieldNames.head, a.dataType)
+        // DEFAULT <literal> → the column's INITIAL default: every
+        // pre-evolution row reads it (era fill), and the analyzer
+        // fills it for INSERTs that omit the column. Only foldable
+        // literals arrive here (Spark resolves the expression first).
+        val dflt = Option(a.defaultValue).map { dv =>
+          val lit = dv.getValue
+          require(lit != null && lit.value != null,
+            "gdx catalog: DEFAULT NULL is the column's natural state " +
+              "- declare no default instead")
+          require(lit.dataType == a.dataType,
+            s"gdx catalog: DEFAULT literal type ${lit.dataType} does " +
+              s"not match column type ${a.dataType}")
+          GdxSource.internalCellText(a.dataType, lit.value)
+        }
+        GdxSource.addColumn(d, a.fieldNames.head, a.dataType,
+          default = dflt)
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "gdx catalog: nested columns are not supported")

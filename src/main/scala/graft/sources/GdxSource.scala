@@ -431,6 +431,89 @@ object GdxSource {
     case _ => throw new IllegalArgumentException(s"gdx: unknown type $t")
   }
 
+  // ------------------------------------- column DEFAULTs (era fill)
+  /** A column's INITIAL DEFAULT (the Iceberg initial-default /
+    * Spark EXISTS_DEFAULT contract): declared by ADD COLUMN ... DEFAULT,
+    * stored IN the schema line as a `=<cellText>` field suffix (the
+    * canonical manifest cell encoding), so it rides every commit path
+    * that carries the schema — DML, OPTIMIZE, clone, branch publish,
+    * txn stage, RESTORE — and is ERA-CORRECT under time travel for
+    * free. Rows in files written BEFORE the column existed (fewer
+    * physical slots) read the default; an explicit `\N` written after
+    * stays NULL. [[parseSchemaSpec]] also surfaces the default through
+    * Spark's own CURRENT_DEFAULT/EXISTS_DEFAULT field metadata, so the
+    * analyzer fills it for INSERTs that omit the column. */
+  private[graft] val DefaultCellKey = "gdx.default"
+
+  /** The stored default cell text of a field, if declared. */
+  private[graft] def defaultCellOf(f: StructField): Option[String] =
+    if (f.metadata.contains(DefaultCellKey))
+      Some(f.metadata.getString(DefaultCellKey))
+    else None
+
+  /** Attach a validated default to a field: the text must be a
+    * parseable cell of the field's type and must stay out of the
+    * schema-line vocabulary (no tab/newline/',' — the field separator
+    * — and not the null marker; later '='s are fine, the FIRST one
+    * after the type delimits). */
+  private[graft] def withDefaultCell(f: StructField,
+                                     text: String): StructField = {
+    require(!text.exists(c => c == '\t' || c == '\n' || c == '\r' ||
+        c == ',') && text != NullMarker && text.nonEmpty,
+      s"gdx: default for ${f.name} must be non-empty and free of " +
+        "tab/newline/',' (schema-line encoding)")
+    f.dataType match {
+      case _: org.apache.spark.sql.types.MapType | ArrayType(_, _) =>
+        throw new IllegalArgumentException(
+          s"gdx: DEFAULT is not supported for ${f.dataType.catalogString}")
+      case dt =>
+        try parseInternalCell(dt, text) catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"gdx: default '$text' is not a valid " +
+              s"${dt.catalogString} cell for ${f.name}", e)
+        }
+    }
+    val sqlLit = defaultSqlLiteral(f.dataType, text)
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putString(DefaultCellKey, text)
+      // Spark's own default machinery: the analyzer fills
+      // CURRENT_DEFAULT for INSERTs omitting the column; readers that
+      // honor EXISTS_DEFAULT agree with the engine's own era fill
+      .putString("CURRENT_DEFAULT", sqlLit)
+      .putString("EXISTS_DEFAULT", sqlLit)
+      .build())
+  }
+
+  /** A catalyst-INTERNAL value rendered as canonical cell text — how
+    * the catalog turns `ALTER TABLE ... ADD COLUMN ... DEFAULT <lit>`
+    * (a connector Literal) into the stored default. */
+  private[graft] def internalCellText(dt: DataType, v: Any): String =
+    dt match {
+      case d: DecimalType =>
+        v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString
+      case _: org.apache.spark.sql.types.MapType | ArrayType(_, _) =>
+        throw new IllegalArgumentException(
+          s"gdx: no cell-text literal for ${dt.catalogString}")
+      case _ => v.toString // long/double/boolean/date-int/ts-micros/utf8
+    }
+
+  /** A SQL literal equivalent to the canonical cell text — what the
+    * analyzer folds when filling an INSERT's omitted column. */
+  private[graft] def defaultSqlLiteral(dt: DataType, text: String)
+      : String = dt match {
+    case LongType       => s"${text}L"
+    case DoubleType     => s"CAST($text AS DOUBLE)"
+    case BooleanType    => text
+    case d: DecimalType => s"CAST($text AS ${d.sql})"
+    case DateType       => s"DATE'${java.time.LocalDate
+      .ofEpochDay(text.toLong)}'"
+    case TimestampType  =>
+      s"TIMESTAMP'${org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .microsToInstant(text.toLong)}'"
+    case _              => s"'${text.replace("'", "\\'")}'"
+  }
+
   private[graft] def schemaSpec(st: StructType): String =
     st.fields.map { f =>
       val tn = try typeNameOf(f.dataType) catch {
@@ -438,7 +521,9 @@ object GdxSource {
           throw new IllegalArgumentException(
             s"gdx: unsupported column type ${f.dataType} for ${f.name}")
       }
-      s"${f.name}:$tn"
+      require(!f.name.contains('='),
+        s"gdx: illegal column name '${f.name}' ('=' delimits defaults)")
+      s"${f.name}:$tn" + defaultCellOf(f).map("=" + _).getOrElse("")
     }.mkString(",")
 
   private[graft] def parseSchemaSpec(s: String): StructType = {
@@ -460,7 +545,16 @@ object GdxSource {
     StructType(fields.result().map { fld =>
       val j = fld.indexOf(':')
       require(j > 0, s"gdx: unparseable schema field '$fld'")
-      StructField(fld.substring(0, j), namedType(fld.substring(j + 1)))
+      val rest = fld.substring(j + 1)
+      // the FIRST '=' delimits an optional default cell (type names
+      // never contain '='; the default may — strings keep their '='s)
+      rest.indexOf('=') match {
+        case -1 => StructField(fld.substring(0, j), namedType(rest))
+        case k  => withDefaultCell(
+          StructField(fld.substring(0, j),
+            namedType(rest.substring(0, k))),
+          rest.substring(k + 1))
+      }
     })
   }
 
@@ -3084,6 +3178,9 @@ object GdxSource {
     val types = tblSchema.fields.map(_.dataType)
     // physical line slot per logical field (identity when unmapped)
     val slots = slotsOf(tblSchema, colmap).toArray
+    // era fill: pre-column files read the declared initial default
+    val dflts: Array[Any] = tblSchema.fields.map(f =>
+      defaultCellOf(f).map(parseExternalCell(f.dataType, _)).orNull)
     val dvByName = entries.map(e => e.name -> e.dv).toMap
     val liveSchema = StructType(
       StructField("_file", StringType) +:
@@ -3108,8 +3205,8 @@ object GdxSource {
                 !old.contains(idx.toLong)) {
               val vals = types.zipWithIndex.map { case (dt, li) =>
                 val i = slots(li)
-                if (i >= fields.length ||
-                    fields(i) == GdxSource.NullMarker) null
+                if (i >= fields.length) dflts(li)
+                else if (fields(i) == GdxSource.NullMarker) null
                 else GdxSource.parseExternalCell(dt, fields(i))
               }
               Some(org.apache.spark.sql.Row.fromSeq(
@@ -3276,6 +3373,9 @@ object GdxSource {
     // the changefeed reads every era's file under toV's schema: the
     // column mapping resolves each logical field to its physical slot
     val slots = slotsOf(outSchema, committedColmap(dir, conf, toV)).toArray
+    // era fill: pre-column files feed the declared initial default
+    val dflts: Array[Any] = outSchema.fields.map(f =>
+      defaultCellOf(f).map(parseExternalCell(f.dataType, _)).orNull)
     // (version, resolved file path, positions-to-skip dv, mode) where
     // mode "insert"/"delete" reads all live rows and "dvdelta" reads
     // exactly the freshly deleted positions (old dv, new dv)
@@ -3337,8 +3437,8 @@ object GdxSource {
             if (wanted && fields.length >= 2 && fields(0).nonEmpty) {
               val vals = types.zipWithIndex.map { case (dt, li) =>
                 val i = slots(li)
-                if (i >= fields.length ||
-                    fields(i) == GdxSource.NullMarker) null
+                if (i >= fields.length) dflts(li)
+                else if (fields(i) == GdxSource.NullMarker) null
                 else GdxSource.parseExternalCell(dt, fields(i))
               }
               Some(org.apache.spark.sql.Row.fromSeq(
@@ -3642,7 +3742,8 @@ object GdxSource {
     * aggregates — survives every evolution. CAS + retry, same loop as
     * [[delete]]. Returns the committed version. */
   def addColumn(dir: String, name: String, dataType: DataType,
-                maxRetries: Int = 10): Int = {
+                maxRetries: Int = 10,
+                default: Option[String] = None): Int = {
     val conf = driverConf()
     val fs = new Path(dir).getFileSystem(conf)
     var attempt = 0
@@ -3654,7 +3755,12 @@ object GdxSource {
       val cur = committedSchema(dir, conf, readV)
       require(!cur.fieldNames.contains(name),
         s"gdx addColumn: column $name already exists")
-      val evolved = StructType(cur.fields :+ StructField(name, dataType))
+      // an INITIAL DEFAULT (validated canonical cell text) makes every
+      // pre-evolution row read the default instead of NULL — still one
+      // metadata commit, era-correct under time travel by construction
+      val newField = default.foldLeft(StructField(name, dataType))(
+        (f, d) => withDefaultCell(f, d))
+      val evolved = StructType(cur.fields :+ newField)
       // under a column mapping the new field claims the next free
       // PHYSICAL slot (the recorded arity) - a dropped column's slot is
       // never reused, so old files can never leak a dead column's
@@ -5683,6 +5789,12 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
         s"gdx read: unknown required column '${f.name}'")), f.dataType)
     }
   }
+  // INITIAL DEFAULTS, resolved once per task: a row in a file written
+  // BEFORE the column existed (fewer physical slots) reads the
+  // declared default; an explicit \N written after stays NULL
+  private val slotDefaults: Array[Any] = required.fields.map(f =>
+    GdxSource.defaultCellOf(f)
+      .map(GdxSource.parseInternalCell(f.dataType, _)).orNull)
   private var row: InternalRow = _
   private var emitted = 0L
   var lastK: Long = _
@@ -5694,7 +5806,8 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
     while (i < slots.length) {
       val (fi, dt) = slots(i)
       vals(i) =
-        if (fi >= fields.length || fields(fi) == GdxSource.NullMarker) null
+        if (fi >= fields.length) slotDefaults(i)
+        else if (fields(fi) == GdxSource.NullMarker) null
         else GdxSource.parseInternalCell(dt, fields(fi))
       i += 1
     }

@@ -55,11 +55,11 @@ class GdxCatalogSpec extends SparkSuite {
       intercept[Exception](
         s.sql(s"CREATE TABLE $cat.lab.bad (v STRING, k BIGINT)"))
       // unsupported column types refused (TIMESTAMP/DATE/BOOLEAN/
-      // DECIMAL/numeric ARRAYs are first-class since the typed-column
-      // tier — GdxTypedColumnsSpec owns those; maps and string arrays
-      // stay out)
+      // DECIMAL/numeric ARRAYs/string-string MAPs are first-class —
+      // GdxTypedColumnsSpec/GdxMapColumnSpec own those; non-string
+      // maps and string arrays stay out)
       intercept[Exception](
-        s.sql(s"CREATE TABLE $cat.lab.bad (k BIGINT, m MAP<STRING,STRING>)"))
+        s.sql(s"CREATE TABLE $cat.lab.bad (k BIGINT, m MAP<STRING,BIGINT>)"))
       intercept[Exception](
         s.sql(s"CREATE TABLE $cat.lab.bad (k BIGINT, a ARRAY<STRING>)"))
       // partition column must exist and be BIGINT
