@@ -1994,6 +1994,82 @@ object RelationalOps extends QueryModule {
     // the table; the full-rewrite OPTIMIZE is reserved for layout
     // migrations. Claims pin the ledger (5 files → 2, the large name
     // carried verbatim, exactly one commit).
+    // S42 — DECLARED CLUSTERING COLUMNS (the Delta liquid-clustering
+    // shape): `ALTER TABLE ... CLUSTER BY (w)` stores a layout
+    // PREFERENCE (zone maps stay the correctness boundary), and every
+    // later INSERT-path write asks the PLANNER for a range exchange +
+    // sort on the cluster columns (`RequiresDistributionAndOrdering`
+    // — the engine never hand-sorts), so each file's zone-map range
+    // over `w` is narrow from the first write and range predicates
+    // prune files with no OPTIMIZE ever run. A control table written
+    // identically WITHOUT the declaration plans (almost) every file
+    // for the same predicate — `clustered_prunes` pins the gap. A
+    // bare `OPTIMIZE` re-clusters history once appended blocks
+    // overlap (`optimize_recluster_ok`). At 100 TB this is the score/
+    // price/timestamp band-query workhorse: the layout keeps itself
+    // query-shaped write by write, instead of decaying until a
+    // nightly rewrite.
+    "s42_gdx_cluster_by" -> ((s, d) => {
+      val root = graft.Scratch.dir("graft_gdxclb_")
+      val dir = new java.io.File(root, "t").getPath
+      val ctl = new java.io.File(root, "ctl").getPath
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      val base = Tables.events(s, d)
+        .select(col("event_id").as("k"),
+          round(col("value"), 6).as("w"), col("event_type").as("v"))
+      def block(m: Long) = base.filter(col("k") % 2 === m)
+        .repartition(8) // deliberately value-scattered input
+      // declare clustering on the EMPTY table, then write. The
+      // REBALANCE the ordered distribution plans coalesces by
+      // advisory size — pin it small so each harness-scale block
+      // still lands as several range-disjoint files (a real table's
+      // blocks dwarf any advisory size; this is only the sf knob)
+      val cw = graft.Sessions.pinned(s,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "4096")
+      block(0).limit(0).write.format(fmt).option("path", dir)
+        .mode("overwrite").save()
+      gdx.setClusterBy(dir, Seq("w"))
+      graft.Sessions.rebind(block(0), cw).write.format(fmt)
+        .option("path", dir).mode("append").save()
+      graft.Sessions.rebind(block(1), cw).write.format(fmt)
+        .option("path", dir).mode("append").save()
+      // identical writes, no declaration: the control
+      block(0).write.format(fmt).option("path", ctl)
+        .mode("overwrite").save()
+      block(1).write.format(fmt).option("path", ctl)
+        .mode("append").save()
+      val band = Seq(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("w", 25.0: Any),
+        org.apache.spark.sql.sources.LessThan("w", 46.0: Any))
+      val (kept, all) = gdx.plannedFiles(dir, band)
+      val (ctlKept, ctlAll) = gdx.plannedFiles(ctl, band)
+      // the ~20%-of-mass band keeps under half the clustered files and
+      // over half the value-scattered control's
+      val clusteredPrunes = kept > 0 && kept * 2 < all &&
+        ctlKept * 2 > ctlAll
+      // two appended sorted blocks overlap in w; a bare OPTIMIZE under
+      // the declaration re-clusters history into disjoint runs
+      val sext = org.apache.spark.sql.graft.ColumnBridge
+        .sessionWithExtensions(s, new graft.GraftExtensions())
+      val tbl = "gdxclb_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      sext.sql(s"""CREATE TABLE $tbl (k BIGINT, w DOUBLE, v STRING)
+        USING $fmt OPTIONS (path '$dir')""")
+      try sext.sql(s"OPTIMIZE $tbl")
+      finally sext.sql(s"DROP TABLE IF EXISTS $tbl")
+      val (keptOpt, allOpt) = gdx.plannedFiles(dir, band)
+      val optOk = keptOpt > 0 && keptOpt < allOpt
+      s.read.format(fmt).option("path", dir).load()
+        .filter(col("w") >= 25.0 && col("w") < 46.0)
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"), Sql.dsum(col("w"), 6).as("sum_w"))
+        .withColumn("clustered_prunes", lit(clusteredPrunes))
+        .withColumn("optimize_recluster_ok", lit(optOk))
+        .orderBy("v")
+    }),
+
     "s40_gdx_compact_small" -> ((s, d) => {
       val dir = graft.Scratch.tablePath("graft_gdxcsm_")
       val fmt = "graft.sources.GdxSource"
@@ -4803,6 +4879,16 @@ object RelationalOps extends QueryModule {
         |SELECT k, mk, mv, TRUE AS null_roundtrip_ok,
         |  TRUE AS empty_roundtrip_ok
         |FROM ent ORDER BY k, mk""".stripMargin,
+    // the band aggregate recomputed relationally; both layout claims
+    // pinned TRUE
+    "s42_gdx_cluster_by" ->
+      s"""SELECT event_type AS v, count(*) AS n,
+         |  ${graft.Sql.oSum("round(value, 6)", 6)} AS sum_w,
+         |  TRUE AS clustered_prunes, TRUE AS optimize_recluster_ok
+         |FROM events WHERE round(value, 6) >= 25.0
+         |  AND round(value, 6) < 46.0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // w = q^7 is monotone in q, so `w > 40^7` is exactly `q > 40` on
     // integral quantities; the estimator claims are pinned TRUE
     "c40_gdx_histogram_stats" ->

@@ -57,6 +57,8 @@ object GdxMaintenanceSql {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
   private val SetPartSpec =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+PARTITION\s+SPEC\s*\(\s*([^;]+?)\s*\)\s*;?\s*$""".r
+  private val ClusterBy =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+CLUSTER\s+BY\s*(?:\(\s*([^)]+?)\s*\)|(NONE))\s*;?\s*$""".r
   private val CreateTag =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+TAG\s+([\w.\-]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^';]+'))?\s*;?\s*$""".r
   private val DropTag =
@@ -186,6 +188,14 @@ object GdxMaintenanceSql {
       // OPTIMIZE, a non-GDX target is a loud error, not a re-dispatch)
       case SetPartSpec(tbl, spec) =>
         Some(GdxSetPartitionSpecCommand(ident(tbl), spec.trim))
+      // declared clustering columns (the Delta CLUSTER BY shape;
+      // free grammar — Spark 4.1 only accepts CLUSTER BY at CREATE)
+      case ClusterBy(tbl, cols, none) =>
+        Some(GdxClusterByCommand(ident(tbl),
+          if (none != null) Seq.empty
+          else cols.split(',').toSeq
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty)))
       // snapshot tags (Iceberg-style named refs; free grammar)
       case CreateTag(tbl, name, v) =>
         Some(GdxCreateTagCommand(ident(tbl), name, Option(v).map(unquote)))
@@ -336,8 +346,18 @@ case class GdxOptimizeCommand(table: Seq[String], zorderBy: Seq[String],
         graft.sources.GdxSource.optimizeZOrder(spark, path, zs,
           target = GdxOptimizeCommand.TargetFiles)
       case (None, _) =>
-        graft.sources.GdxSource.compact(spark, path,
-          target = GdxOptimizeCommand.TargetFiles)
+        // a declared CLUSTER BY makes the bare OPTIMIZE re-cluster
+        // history on those columns (the Delta liquid-clustering
+        // contract); otherwise plain bin-merge compaction
+        graft.sources.GdxSource.clusterByOf(path,
+          graft.sources.GdxSource.driverConf()) match {
+          case cs if cs.nonEmpty =>
+            graft.sources.GdxSource.optimizeClustered(spark, path, cs,
+              target = GdxOptimizeCommand.TargetFiles)
+          case _ =>
+            graft.sources.GdxSource.compact(spark, path,
+              target = GdxOptimizeCommand.TargetFiles)
+        }
     }
     Seq(Row(before.toLong, after.toLong))
   }
@@ -429,6 +449,26 @@ case class GdxAnalyzeCommand(table: Seq[String])(
         GdxMaintenanceSql.runDelegate(spark, delegate, origSql)
         Seq.empty
     }
+}
+
+/** `ALTER TABLE <gdx> CLUSTER BY (c1, c2, ...)` / `CLUSTER BY NONE` —
+  * declare (or clear) the table's clustering columns
+  * ([[graft.sources.GdxSource.setClusterBy]]): every later INSERT-path
+  * write asks the planner for a range exchange + sort on them, and a
+  * bare `OPTIMIZE` re-clusters history. Returns the declared list. */
+case class GdxClusterByCommand(table: Seq[String], cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("cluster_by", org.apache.spark.sql.types.StringType,
+          nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GdxMaintenanceSql.gdxPathOf(spark, table, "CLUSTER BY")
+    if (cols.isEmpty) graft.sources.GdxSource.clearClusterBy(path)
+    else graft.sources.GdxSource.setClusterBy(path, cols)
+    Seq(Row(cols.mkString(",")))
+  }
 }
 
 /** `RESTORE TABLE <gdx> [TO] VERSION AS OF <n>` → re-publish snapshot

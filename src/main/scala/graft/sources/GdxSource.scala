@@ -2239,6 +2239,10 @@ object GdxSource {
   def pruneByStats(entries: Seq[GdxFileEntry],
                    pushed: Seq[Filter]): Seq[GdxFileEntry] =
     entries.filter { e =>
+      // a manifest-proven EMPTY file (a zero-row task's output, an
+      // empty seed commit) contributes nothing to any scan — drop it
+      // at planning unconditionally
+      !e.stats.exists(_.rows == 0L) &&
       e.stats.forall { st =>
         // extended per-column range check: exact decimal compare of the
         // manifest's min/max strings against the literal (BigDecimal —
@@ -2643,6 +2647,69 @@ object GdxSource {
         df.withColumn("__z", z)
           .repartitionByRange(target, col("__z"))
           .drop("__z")))
+    }
+
+  // ---------------------------------------------- CLUSTER BY (layout)
+  /** Declared clustering columns — the Delta liquid-clustering shape
+    * of the contract: a LAYOUT PREFERENCE, not a correctness boundary
+    * (zone maps prove every file's real range regardless), stored in
+    * an atomic `_cluster` sidecar. Every INSERT-path write then asks
+    * Spark for an ORDERED distribution on these columns
+    * ([[GdxWrite]]'s `RequiresDistributionAndOrdering` — the engine
+    * never hand-sorts; the planner adds the range exchange), so each
+    * file's zone-map range over the cluster columns is narrow and
+    * range/equality predicates prune files from day one, no OPTIMIZE
+    * required. `OPTIMIZE t` with no arguments re-clusters history.
+    * Restricted to stats-tracked (orderable) columns — clustering on a
+    * column the zone maps cannot prune would be pure cost. */
+  private def clusterFile(path: String): Path = new Path(path, "_cluster")
+
+  def setClusterBy(dir: String, cols: Seq[String]): Unit = {
+    val conf = driverConf()
+    require(cols.nonEmpty, "gdx clusterBy: at least one column")
+    val sch = committedSchema(dir, conf)
+    val resolved = cols.map { c =>
+      val f = sch.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"gdx clusterBy: no column $c in ${sch.fieldNames.mkString(",")}"))
+      require(extStatKind(f.dataType) >= 0,
+        s"gdx clusterBy: $c (${f.dataType.catalogString}) has no " +
+          "zone-map lane - clustering on it could never prune")
+      f.name
+    }
+    val fs = new Path(dir).getFileSystem(conf)
+    replaceAtomic(fs, conf, clusterFile(dir), Seq(resolved.mkString(",")))
+  }
+
+  def clusterByOf(dir: String, conf: Configuration): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(conf)
+    val p = clusterFile(dir)
+    if (!fs.exists(p)) Seq.empty
+    else readFirstLine(fs, p).map(_.trim).filter(_.nonEmpty)
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
+  }
+
+  def clearClusterBy(dir: String): Boolean = {
+    val conf = driverConf()
+    new Path(dir).getFileSystem(conf).delete(clusterFile(dir), false)
+  }
+
+  /** `OPTIMIZE t` under a declared CLUSTER BY: rewrite the snapshot
+    * RANGE-clustered lexicographically on the cluster columns (for
+    * one or two columns this beats the Morton curve — each file owns
+    * one contiguous run of the leading column). Same CAS'd
+    * truncate-commit as every other rewrite. */
+  def optimizeClustered(spark: SparkSession, dir: String,
+                        by: Seq[String], target: Int = 8): (Int, Int) =
+    rewriteWithCas(dir) { readV =>
+      import org.apache.spark.sql.functions.col
+      val before = committedEntries(dir, driverConf()).size
+      val df = snapshotReader(spark, dir, readV)
+      by.foreach(c => require(df.schema.fieldNames.contains(c),
+        s"gdx optimize: no cluster column $c"))
+      Some((before,
+        df.repartitionByRange(target, by.map(col): _*)
+          .sortWithinPartitions(by.map(col): _*)))
     }
 
   /** Bloom-sidecar point-lookup pruning: for every pushed
@@ -6111,15 +6178,35 @@ class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1,
                 org.apache.spark.sql.connector.expressions.Expressions
                   .identity(spec.col)
             })))
-          .getOrElse(org.apache.spark.sql.connector.distributions
-            .Distributions.unspecified())
+          .getOrElse {
+            // no partition layout: a declared CLUSTER BY asks the
+            // PLANNER for the range exchange + sort — the engine
+            // never hand-sorts, and every file's zone-map range over
+            // the cluster columns comes out narrow on the first write
+            if (clusterCols.nonEmpty)
+              org.apache.spark.sql.connector.distributions.Distributions
+                .ordered(clusterSort)
+            else org.apache.spark.sql.connector.distributions
+              .Distributions.unspecified()
+          }
     }
+  private lazy val clusterCols: Seq[String] =
+    if (!clusterWrite || partitionCol.isDefined) Seq.empty
+    else GdxSource.clusterByOf(path, GdxSource.driverConf())
+      .filter(writeSchema.fieldNames.contains(_))
+  private def clusterSort
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    clusterCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions
+          .SortDirection.ASCENDING)).toArray
   // non-strict: Spark plans a REBALANCE (AQE coalesces tiny values,
   // splits skewed ones) rather than a hard hash repartition
   override def distributionStrictlyRequired(): Boolean = false
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array.empty
+    if (clusterCols.nonEmpty) clusterSort else Array.empty
   override def toBatch: BatchWrite =
     new GdxBatchWrite(path, replace, expectedBase, writeSchema,
       partitionCol, replaceWhere)

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.GdxSource
+
+/** Declared clustering columns (`ALTER TABLE ... CLUSTER BY`): a layout
+  * preference stored in the `_cluster` sidecar — every INSERT-path
+  * write asks the planner for a range exchange + sort on the columns
+  * (zone-map ranges come out narrow write by write), a bare OPTIMIZE
+  * re-clusters history, and zero-row files never survive planning. */
+class GdxClusterBySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val fmt = "graft.sources.GdxSource"
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"gdxcl_$tag").toString + "/t"
+  private def conf = GdxSource.driverConf()
+
+  private def scattered(n: Int) =
+    spark.range(n.toLong).select(col("id").as("k"),
+      ((col("id") * 7919L) % 1000L).cast("double").as("w"),
+      lit("x").as("v")).repartition(8)
+
+  test("clustered writes produce range-prunable files; the control " +
+      "without the declaration does not") {
+    val dir = freshDir("cl"); val ctl = freshDir("ctl")
+    val cw = Sessions.pinned(spark,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "4096")
+    scattered(4000).limit(0).write.format(fmt).option("path", dir)
+      .mode("overwrite").save()
+    GdxSource.setClusterBy(dir, Seq("w"))
+    assert(GdxSource.clusterByOf(dir, conf) === Seq("w"))
+    Sessions.rebind(scattered(4000), cw).write.format(fmt)
+      .option("path", dir).mode("append").save()
+    scattered(4000).write.format(fmt).option("path", ctl)
+      .mode("overwrite").save()
+    val band = Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("w", 100.0: Any),
+      org.apache.spark.sql.sources.LessThan("w", 200.0: Any))
+    val (kept, all) = GdxSource.plannedFiles(dir, band)
+    val (ck, ca) = GdxSource.plannedFiles(ctl, band)
+    assert(all >= 3, s"expected several clustered files, got $all")
+    assert(kept * 2 < all, s"clustered kept $kept of $all")
+    assert(ck === ca, "value-scattered control must keep every file")
+    // rows identical either way
+    assert(spark.read.format(fmt).option("path", dir).load().count()
+      === spark.read.format(fmt).option("path", ctl).load().count())
+  }
+
+  test("bare OPTIMIZE under a declaration re-clusters history; " +
+      "CLUSTER BY NONE clears it; refusals are loud") {
+    val dir = freshDir("opt")
+    scattered(2000).write.format(fmt).option("path", dir)
+      .mode("overwrite").save() // unclustered history
+    GdxSource.setClusterBy(dir, Seq("w"))
+    val s = org.apache.spark.sql.graft.ColumnBridge
+      .sessionWithExtensions(spark, new GraftExtensions())
+    val tbl = "gdxcl_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    s.sql(s"""CREATE TABLE $tbl (k BIGINT, w DOUBLE, v STRING)
+      USING $fmt OPTIONS (path '$dir')""")
+    try {
+      s.sql(s"OPTIMIZE $tbl")
+      val band = Seq(
+        org.apache.spark.sql.sources.LessThan("w", 100.0: Any))
+      val (kept, all) = GdxSource.plannedFiles(dir, band)
+      assert(all > 1 && kept < all,
+        s"re-clustered table must prune ($kept/$all)")
+      s.sql(s"ALTER TABLE $tbl CLUSTER BY NONE")
+      assert(GdxSource.clusterByOf(dir, conf).isEmpty)
+      s.sql(s"ALTER TABLE $tbl CLUSTER BY (w)")
+      assert(GdxSource.clusterByOf(dir, conf) === Seq("w"))
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    intercept[IllegalArgumentException](
+      GdxSource.setClusterBy(dir, Seq("nope")))
+    intercept[IllegalArgumentException](
+      GdxSource.setClusterBy(dir, Seq("v"))) // string: no zone-map lane
+  }
+
+  test("zero-row files are planned away unconditionally") {
+    val dir = freshDir("zero")
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    Seq.empty[(Long, String)].toDF("k", "v").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val entries = GdxSource.committedEntries(dir, conf)
+    val (kept, all) = GdxSource.plannedFiles(dir, Seq.empty)
+    assert(kept <= entries.count(!_.stats.exists(_.rows == 0L)))
+    assert(kept < all || entries.forall(_.stats.forall(_.rows > 0)))
+    assert(spark.read.format(fmt).option("path", dir).load().count() === 1L)
+  }
+}

@@ -225,9 +225,12 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     assert(names(LessThanOrEqual("k", 10L)) === Seq("a", "legacy"))
     assert(names(GreaterThan("k", 15L), LessThan("k", 35L)) ===
       Seq("a", "b", "legacy"), "conjunction prunes per-predicate")
-    assert(names(EqualTo("v", "x")) === Seq("a", "b", "legacy", "empty"),
-      "v-predicates never prune (zone map covers k only)")
-    assert(names() === e.map(_.name))
+    // a manifest-proven EMPTY file is planned away UNCONDITIONALLY —
+    // it contributes nothing to any scan, filtered or not
+    assert(names(EqualTo("v", "x")) === Seq("a", "b", "legacy"),
+      "v-predicates never prune stats-carrying files (k-only zone " +
+        "map), but zero-row files always drop")
+    assert(names() === Seq("a", "b", "legacy"))
   }
 
   test("zone maps prune files the pushed k-range cannot touch") {
