@@ -188,14 +188,15 @@ object GdxMaintenanceSql {
       // OPTIMIZE, a non-GDX target is a loud error, not a re-dispatch)
       case SetPartSpec(tbl, spec) =>
         Some(GdxSetPartitionSpecCommand(ident(tbl), spec.trim))
-      // declared clustering columns (the Delta CLUSTER BY shape;
-      // free grammar — Spark 4.1 only accepts CLUSTER BY at CREATE)
+      // declared clustering columns (the Delta CLUSTER BY shape); a
+      // non-GDX target re-dispatches to Spark's own ALTER grammar —
+      // other v2 providers keep their native CLUSTER BY
       case ClusterBy(tbl, cols, none) =>
         Some(GdxClusterByCommand(ident(tbl),
           if (none != null) Seq.empty
           else cols.split(',').toSeq
             .map(_.trim.stripPrefix("`").stripSuffix("`"))
-            .filter(_.nonEmpty)))
+            .filter(_.nonEmpty))(sqlText, delegate))
       // snapshot tags (Iceberg-style named refs; free grammar)
       case CreateTag(tbl, name, v) =>
         Some(GdxCreateTagCommand(ident(tbl), name, Option(v).map(unquote)))
@@ -456,19 +457,26 @@ case class GdxAnalyzeCommand(table: Seq[String])(
   * ([[graft.sources.GdxSource.setClusterBy]]): every later INSERT-path
   * write asks the planner for a range exchange + sort on them, and a
   * bare `OPTIMIZE` re-clusters history. Returns the declared list. */
-case class GdxClusterByCommand(table: Seq[String], cols: Seq[String])
+case class GdxClusterByCommand(table: Seq[String], cols: Seq[String])(
+    origSql: String, delegate: ParserInterface)
     extends LeafRunnableCommand {
+  override protected def otherCopyArgs: Seq[AnyRef] = Seq(origSql, delegate)
   override val output: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
       StructType(Seq(
         StructField("cluster_by", org.apache.spark.sql.types.StringType,
           nullable = false))))
-  override def run(spark: SparkSession): Seq[Row] = {
-    val path = GdxMaintenanceSql.gdxPathOf(spark, table, "CLUSTER BY")
-    if (cols.isEmpty) graft.sources.GdxSource.clearClusterBy(path)
-    else graft.sources.GdxSource.setClusterBy(path, cols)
-    Seq(Row(cols.mkString(",")))
-  }
+  override def run(spark: SparkSession): Seq[Row] =
+    GdxMaintenanceSql.tryGdxPathOf(spark, table) match {
+      case Some(path) =>
+        if (cols.isEmpty) graft.sources.GdxSource.clearClusterBy(path)
+        else graft.sources.GdxSource.setClusterBy(path, cols)
+        Seq(Row(cols.mkString(",")))
+      case None =>
+        // not a GDX table: other providers keep their native grammar
+        GdxMaintenanceSql.runDelegate(spark, delegate, origSql)
+        Seq.empty
+    }
 }
 
 /** `RESTORE TABLE <gdx> [TO] VERSION AS OF <n>` → re-publish snapshot

@@ -511,7 +511,8 @@ object GdxSource {
     case TimestampType  =>
       s"TIMESTAMP'${org.apache.spark.sql.catalyst.util.DateTimeUtils
         .microsToInstant(text.toLong)}'"
-    case _              => s"'${text.replace("'", "\\'")}'"
+    case _              =>
+      s"'${text.replace("\\", "\\\\").replace("'", "\\'")}'"
   }
 
   private[graft] def schemaSpec(st: StructType): String =
@@ -2667,6 +2668,12 @@ object GdxSource {
   def setClusterBy(dir: String, cols: Seq[String]): Unit = {
     val conf = driverConf()
     require(cols.nonEmpty, "gdx clusterBy: at least one column")
+    // a partitioned table's writes already demux by the partition
+    // spec; a clustering declaration would be silently ignored there —
+    // refuse loudly instead (evolve the partition spec away first)
+    require(committedPartitionCol(dir, conf).isEmpty,
+      s"gdx clusterBy: $dir is partitioned - CLUSTER BY composes with " +
+        "zone maps on unpartitioned layouts only")
     val sch = committedSchema(dir, conf)
     val resolved = cols.map { c =>
       val f = sch.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
@@ -3643,8 +3650,13 @@ object GdxSource {
     def domainExpr(f: StructField): Option[org.apache.spark.sql.Column] = {
       val c = col(s"`${f.name}`")
       f.dataType match {
-        case LongType | DoubleType | _: DecimalType =>
-          Some(c.cast("double"))
+        // NaN discipline matches the zone maps': a NaN must never
+        // enter a range estimate (Spark orders it above every
+        // double), so the double domain nulls NaNs out — they still
+        // count in ndv/null tallies, just not in the range shape
+        case DoubleType =>
+          Some(when(!isnan(c), c).otherwise(lit(null)))
+        case LongType | _: DecimalType => Some(c.cast("double"))
         case DateType      => Some(unix_date(c).cast("double"))
         case TimestampType => Some(unix_micros(c).cast("double"))
         case _             => None // strings/booleans: no range shape
@@ -3663,6 +3675,13 @@ object GdxSource {
               .as(s"__avg_${f.name}"),
             coalesce(max(length(c)), lit(0)).cast("long")
               .as(s"__max_${f.name}"))
+          // doubles: min/max over the NaN-nulled value (Spark orders
+          // NaN above every double — a NaN max would poison every
+          // range estimate, the zone maps' own rule)
+          case DoubleType =>
+            val nn = when(!isnan(c), c)
+            Seq(min(nn).as(s"__lo_${f.name}"),
+              max(nn).as(s"__hi_${f.name}"))
           case _ => Seq(min(c).as(s"__lo_${f.name}"),
             max(c).as(s"__hi_${f.name}"))
         }
@@ -3765,8 +3784,16 @@ object GdxSource {
 
   /** The table's ANALYZE sidecar, if one exists — one small read,
     * served by every scan's `estimateStatistics` as DSv2 column
-    * statistics (advisory; absence simply means size-only planning). */
+    * statistics (advisory; absence simply means size-only planning).
+    * A corrupt sidecar reads as ABSENT, never as a failed scan — the
+    * file is advisory by contract, so damage must only cost
+    * estimates. */
   def readColStats(dir: String, conf: Configuration)
+      : Option[GdxTableStats] =
+    try readColStatsOnce(dir, conf)
+    catch { case _: Exception => None }
+
+  private def readColStatsOnce(dir: String, conf: Configuration)
       : Option[GdxTableStats] = {
     val fs = new Path(dir).getFileSystem(conf)
     val p = colStatsFile(dir)

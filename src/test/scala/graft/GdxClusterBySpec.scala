@@ -76,6 +76,13 @@ class GdxClusterBySpec extends SparkSuite {
       GdxSource.setClusterBy(dir, Seq("nope")))
     intercept[IllegalArgumentException](
       GdxSource.setClusterBy(dir, Seq("v"))) // string: no zone-map lane
+    // a partitioned table refuses the declaration loudly (its writes
+    // already demux by the partition spec — never a silent no-op)
+    val pdir = freshDir("part")
+    scattered(100).write.format(fmt).option("path", pdir)
+      .option("partitionBy", "k").mode("overwrite").save()
+    intercept[IllegalArgumentException](
+      GdxSource.setClusterBy(pdir, Seq("w")))
   }
 
   test("zero-row files are planned away unconditionally") {
