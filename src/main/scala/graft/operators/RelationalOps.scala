@@ -3540,7 +3540,12 @@ object RelationalOps extends QueryModule {
           col("o_orderpriority").as("prio"),
           col("o_orderstatus").as("stat"))
         .write.format(fmt).option("path", dimDir).mode("overwrite").save()
-      Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+      // a quarter-slice keeps the fact comfortably past any broadcast
+      // threshold while the table build (the query's real cost) stays
+      // bench-proportionate — the planning claims are size-calibrated,
+      // not size-dependent
+      Tables.lineitem(s, d).filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey").as("k"),
           col("l_quantity").cast("long").as("qty"),
           col("l_linestatus").as("ls"))
         .write.format(fmt).option("path", factDir).mode("overwrite").save()
@@ -3676,7 +3681,11 @@ object RelationalOps extends QueryModule {
       val dir = graft.Scratch.tablePath("graft_gdxhist_")
       val fmt = "graft.sources.GdxSource"
       val gdx = graft.sources.GdxSource
-      Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+      // a quarter-slice: the quantity distribution (the histogram's
+      // subject) is residue-independent, and the table build is the
+      // query's dominant cost
+      Tables.lineitem(s, d).filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey").as("k"),
           pow(col("l_quantity"), 7).as("w"),
           col("l_quantity").cast("long").as("qty"),
           col("l_linestatus").as("ls"))
@@ -4860,6 +4869,7 @@ object RelationalOps extends QueryModule {
         |  TRUE AS estimate_shrunk
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+        |  AND l.l_orderkey % 4 = 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // every surviving doc's map entries recomputed relationally: the
     // UPDATE adds a 'flag' entry to every 10th live doc, the DELETE
@@ -4895,7 +4905,7 @@ object RelationalOps extends QueryModule {
       """SELECT l_linestatus AS ls, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  TRUE AS hist_est_close, TRUE AS uniform_would_miss
-        |FROM lineitem WHERE l_quantity > 40
+        |FROM lineitem WHERE l_quantity > 40 AND l_orderkey % 4 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // era rows (even keys) read the declared defaults, explicit rows
     // (odd keys) their own values, the omitted-column INSERT the

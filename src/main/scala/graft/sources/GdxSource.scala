@@ -3687,10 +3687,13 @@ object GdxSource {
         }
         // equi-height bin BOUNDARIES ride the same pass (nb+1
         // percentiles of the estimation domain)
+        // accuracy 2000 ⇒ rank error ≤ 0.05% — two orders of magnitude
+        // finer than a 16-bin boundary needs, at a fraction of the
+        // default sketch's update cost
         val pct = domainExpr(f).map(dom =>
           percentile_approx(dom,
             array((0 to nb).map(i => lit(i.toDouble / nb)): _*),
-            lit(10000)).as(s"__pct_${f.name}")).toSeq
+            lit(2000)).as(s"__pct_${f.name}")).toSeq
         base ++ typed ++ pct
       }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
