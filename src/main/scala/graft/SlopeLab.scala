@@ -64,6 +64,8 @@ object SlopeLab {
         args.lift(1).getOrElse("/tmp/graft_slope_topn"))
       case "evo" => evo(spark,
         args.lift(1).getOrElse("/tmp/graft_slope_evo"))
+      case "cluster" => clusterLane(spark,
+        args.lift(1).getOrElse("/tmp/graft_slope_cluster"))
       case "merge" => mergeScope(spark,
         args.lift(1).getOrElse("/tmp/graft_slope_merge"))
       case other => sys.error(s"unknown SlopeLab mode: $other")
@@ -271,6 +273,60 @@ object SlopeLab {
     * must test every live row, so the whole table joins) tracks table
     * size. This is the 100 TB point-update story: the day's
     * correction merge costs the day, not the decade. */
+  /** CLUSTER BY scaling: a fixed 2%-of-range band query against a
+    * table whose writes were planner-range-clustered on `w` (declared
+    * CLUSTER BY) vs an identically-sized value-scattered control, at
+    * 1× and 10× rows. Healthy shape: the clustered read tracks the
+    * BAND (files planned stays a small constant fraction, seconds
+    * near-flat), the control tracks the TABLE (every file planned).
+    * The write-side cost of the declaration (the range exchange) is
+    * reported too — that is the trade the layout buys its reads
+    * with. Both sides target ~32 files so the comparison prices
+    * pruning, not file-count skew. */
+  def clusterLane(spark: SparkSession, work: String): Unit = {
+    val fmt = "graft.sources.GdxSource"
+    val gdx = graft.sources.GdxSource
+    for (n <- Seq(600000L, 6000000L)) {
+      val cdir = s"$work/cl_n$n"; val udir = s"$work/un_n$n"
+      Seq(cdir, udir).foreach(d => rm(new java.io.File(d)))
+      def rows = spark.range(0, n).select(col("id").as("k"),
+        ((col("id") * 7919L) % 1000000L).cast("double").as("w"),
+        concat(lit("r"), col("id") % 5).as("v"))
+      val advisory = math.max(65536L, n * 15L / 32L).toString
+      val cw = Sessions.pinned(spark,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory,
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
+          "65536")
+      rows.limit(0).write.format(fmt).option("path", cdir)
+        .mode("overwrite").save()
+      gdx.setClusterBy(cdir, Seq("w"))
+      val w0 = System.nanoTime()
+      Sessions.rebind(rows, cw).write.format(fmt).option("path", cdir)
+        .mode("append").save()
+      val wc = (System.nanoTime() - w0) / 1e9
+      val u0 = System.nanoTime()
+      rows.repartition(32).write.format(fmt).option("path", udir)
+        .mode("overwrite").save()
+      val wu = (System.nanoTime() - u0) / 1e9
+      val band = Seq(
+        org.apache.spark.sql.sources
+          .GreaterThanOrEqual("w", 500000.0: Any),
+        org.apache.spark.sql.sources.LessThan("w", 520000.0: Any))
+      def q(dir: String): Double = {
+        val t0 = System.nanoTime()
+        spark.read.format(fmt).option("path", dir).load()
+          .filter(col("w") >= 500000.0 && col("w") < 520000.0)
+          .agg(count(lit(1)), sum("w")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q(cdir); q(udir) // warm codegen/classloading off the 1× column
+      val (tc, tu) = (q(cdir), q(udir))
+      val (ck, ca) = gdx.plannedFiles(cdir, band)
+      val (uk, ua) = gdx.plannedFiles(udir, band)
+      println(f"""{"cluster_rows":$n,"clustered_sec":$tc%.3f,"scattered_sec":$tu%.3f,"clustered_files":"$ck/$ca","scattered_files":"$uk/$ua","clustered_write_sec":$wc%.2f,"scattered_write_sec":$wu%.2f}""")
+    }
+  }
+
   def mergeScope(spark: SparkSession, work: String): Unit = {
     val fmt = "graft.sources.GdxSource"
     val gdx = graft.sources.GdxSource
