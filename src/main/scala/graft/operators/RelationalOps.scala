@@ -2070,6 +2070,61 @@ object RelationalOps extends QueryModule {
         .orderBy("v")
     }),
 
+    // S43 — DESCRIBE DETAIL + VACUUM DRY RUN: the operator console.
+    // DESCRIBE DETAIL is ONE metadata row — version, file/DV/row
+    // counts from zone-map sums, layout declarations, constraint/tag/
+    // branch/ANALYZE registry — with no data file opened at any table
+    // size; VACUUM ... DRY RUN prices a retention statement (the
+    // exact victim count the real statement would reclaim) while
+    // touching NOTHING — no claim decisions, no checkpoint rewrites,
+    // no deletes. The query drives a full lifecycle (two writes, a
+    // constraint, a DV delete, an ANALYZE, an overwrite, a tag) and
+    // pins every DETAIL field against the lifecycle's arithmetic,
+    // plus `dry_intact` (the dry run changed neither version nor
+    // rows). At 100 TB these are the two questions an operator asks
+    // before touching a table: what IS this, and what would cleanup
+    // actually delete.
+    "s43_gdx_describe_detail" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxdet_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("v"))
+      base.filter(col("k") % 2 === 0).coalesce(1)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      base.filter(col("k") % 2 === 1).coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+      val tbl = "gdxdet_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      s.sql(s"""CREATE TABLE $tbl (k BIGINT, v STRING)
+        USING $fmt OPTIONS (path '$dir')""")
+      try {
+        s.sql(s"ALTER TABLE $tbl ADD CONSTRAINT pos CHECK (k >= 0)") // v3
+        s.sql(s"DELETE FROM $tbl WHERE k % 100 = 0")                 // v4
+        s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS").collect()
+        // compact the live rows into one file (v5), tag it
+        s.table(tbl).coalesce(1)
+          .write.format(fmt).option("path", dir).mode("overwrite").save()
+        s.sql(s"ALTER TABLE $tbl CREATE TAG live")
+        // DRY RUN prices RETAIN 1: v1+v2's data files and v4's DV
+        // would go; nothing moves
+        val before = (gdx.listVersions(dir, gdx.driverConf()).max,
+          s.table(tbl).count())
+        val dry = s.sql(s"VACUUM $tbl RETAIN 1 VERSIONS DRY RUN")
+          .head.getLong(0)
+        val dryIntact =
+          (gdx.listVersions(dir, gdx.driverConf()).max,
+            s.table(tbl).count()) == before
+        s.sql(s"DESCRIBE DETAIL $tbl")
+          .select(col("format"), col("version"), col("n_files"),
+            col("n_dvs"), col("n_rows"), col("partition_spec"),
+            col("cluster_by"), col("n_constraints"), col("n_tags"),
+            col("n_branches"), col("analyzed_version"))
+          .withColumn("n_reclaimable", lit(dry))
+          .withColumn("dry_intact", lit(dryIntact))
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     "s40_gdx_compact_small" -> ((s, d) => {
       val dir = graft.Scratch.tablePath("graft_gdxcsm_")
       val fmt = "graft.sources.GdxSource"
@@ -4889,6 +4944,22 @@ object RelationalOps extends QueryModule {
         |SELECT k, mk, mv, TRUE AS null_roundtrip_ok,
         |  TRUE AS empty_roundtrip_ok
         |FROM ent ORDER BY k, mk""".stripMargin,
+    // every DETAIL field is the lifecycle's arithmetic: v1 write, v2
+    // append, v3 constraint, v4 DV-delete, ANALYZE at 4, v5 overwrite;
+    // physical rows after the compacting overwrite = orders minus the
+    // deleted centuries; the dry run prices v1+v2's two data files
+    // plus v4's DV and touches nothing
+    "s43_gdx_describe_detail" ->
+      """SELECT 'gdx' AS format, CAST(5 AS BIGINT) AS version,
+        |  CAST(1 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS n_dvs,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 100 <> 0)
+        |    AS n_rows,
+        |  '' AS partition_spec, '' AS cluster_by,
+        |  CAST(1 AS BIGINT) AS n_constraints,
+        |  CAST(1 AS BIGINT) AS n_tags, CAST(0 AS BIGINT) AS n_branches,
+        |  CAST(4 AS BIGINT) AS analyzed_version,
+        |  CAST(3 AS BIGINT) AS n_reclaimable, TRUE AS dry_intact""".stripMargin,
+
     // the band aggregate recomputed relationally; both layout claims
     // pinned TRUE
     "s42_gdx_cluster_by" ->

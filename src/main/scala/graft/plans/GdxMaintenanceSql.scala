@@ -36,9 +36,11 @@ object GdxMaintenanceSql {
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+([\w.`]+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*(?:BINPACK\s+(\d+)\s*)?\s*;?\s*$""".r
   private val Vacuum =
-    """(?is)^\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*(?:SWEEP\s+ORPHANS\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*(?:SWEEP\s+ORPHANS\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?\s*(DRY\s+RUN)?\s*;?\s*$""".r
   private val History =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
+  private val Detail =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*;?\s*$""".r
   private val Analyze =
     """(?is)^\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS(\s+FOR\s+ALL\s+COLUMNS)?\s*;?\s*$""".r
   private val Restore =
@@ -108,7 +110,7 @@ object GdxMaintenanceSql {
           Option(smallBytes).map(_.toLong)))
       case _ => None
     } else if (k1 == "VACUUM") sqlText match {
-      case Vacuum(tbl, retain, unit, sweep) =>
+      case Vacuum(tbl, retain, unit, sweep, dry) =>
         // default retention without an explicit RETAIN clause is TWO
         // versions, not one: a bare `VACUUM t` must not destroy every
         // historical manifest (and with it time travel + RESTORE) in
@@ -123,10 +125,16 @@ object GdxMaintenanceSql {
           if (hours) 1
           else Option(retain).map(_.toInt).getOrElse(2),
           if (hours) Option(retain).map(_.toDouble) else None,
-          Option(sweep).map(_.toDouble)))
+          Option(sweep).map(_.toDouble),
+          dry != null))
       case _ => None
     } else if (k1 == "DESCRIBE" && k2 == "HISTORY") sqlText match {
       case History(tbl) => Some(GdxHistoryCommand(ident(tbl)))
+      case _ => None
+    } else if (k1 == "DESCRIBE" && k2 == "DETAIL") sqlText match {
+      // the Delta operator-console surface; Spark's grammar has no
+      // DETAIL form, so this is free grammar like DESCRIBE HISTORY
+      case Detail(tbl) => Some(GdxDescribeDetailCommand(ident(tbl)))
       case _ => None
     } else if (k1 == "ANALYZE" && k2 == "TABLE") sqlText match {
       // ANALYZE TABLE ... COMPUTE STATISTICS [FOR ALL COLUMNS] — on a
@@ -377,7 +385,8 @@ object GdxOptimizeCommand {
   * (files_removed). */
 case class GdxVacuumCommand(table: Seq[String], retainVersions: Int,
                             retainHours: Option[Double] = None,
-                            sweepOrphanHours: Option[Double] = None)
+                            sweepOrphanHours: Option[Double] = None,
+                            dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
@@ -387,8 +396,42 @@ case class GdxVacuumCommand(table: Seq[String], retainVersions: Int,
     val path = GdxMaintenanceSql.gdxPathOf(spark, table, "VACUUM")
     val removed = graft.sources.GdxSource.vacuum(path,
       graft.sources.GdxSource.driverConf(), keepLast = retainVersions,
-      retainHours = retainHours, sweepOrphanHours = sweepOrphanHours)
+      retainHours = retainHours, sweepOrphanHours = sweepOrphanHours,
+      dryRun = dryRun)
     Seq(Row(removed.toLong))
+  }
+}
+
+/** `DESCRIBE DETAIL <gdx table>` → one metadata-only row of
+  * table-level facts ([[graft.sources.GdxSource.describeDetail]]). */
+case class GdxDescribeDetailCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("format", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("location", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("version", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_dvs", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("size_bytes", LongType, nullable = false),
+        StructField("schema", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("partition_spec",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        StructField("cluster_by", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("n_constraints", LongType, nullable = false),
+        StructField("n_tags", LongType, nullable = false),
+        StructField("n_branches", LongType, nullable = false),
+        StructField("analyzed_version", LongType, nullable = false))))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GdxMaintenanceSql.gdxPathOf(spark, table,
+      "DESCRIBE DETAIL")
+    graft.sources.GdxSource.describeDetail(spark, path).collect().toSeq
   }
 }
 

@@ -3585,6 +3585,46 @@ object GdxSource {
       "n_rows_physical", "schema")
   }
 
+  /** DESCRIBE DETAIL (the Delta operator-console surface): ONE row of
+    * table-level facts, all from metadata — manifest headers, zone-map
+    * row sums, ref listings, one file-status pass for bytes. No data
+    * file is opened at any table size. */
+  def describeDetail(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val conf = driverConf()
+    val v = latestDecidedVersion(dir, conf)
+    require(v > 0 || {
+      val fs = new Path(dir).getFileSystem(conf)
+      fs.exists(manifest(dir))
+    }, s"gdx describeDetail: no committed snapshot under $dir")
+    val entries = committedEntries(dir, conf)
+    val fs = new Path(dir).getFileSystem(conf)
+    val bytes = entries.map { e =>
+      try fs.getFileStatus(entryPath(dir, e.name)).getLen
+      catch { case _: Exception => 0L }
+    }.sum
+    Seq((
+      "gdx",
+      fs.makeQualified(new Path(dir)).toString,
+      v.toLong,
+      entries.size.toLong,
+      entries.count(_.dv.isDefined).toLong,
+      entries.flatMap(_.stats).map(_.rows).sum,
+      bytes,
+      schemaSpec(committedSchema(dir, conf)),
+      committedPartitionCol(dir, conf).getOrElse(""),
+      clusterByOf(dir, conf).mkString(","),
+      committedConstraints(dir, conf).size.toLong,
+      listTags(dir, conf).size.toLong,
+      listBranches(dir, conf).size.toLong,
+      readColStats(dir, conf).map(_.version.toLong).getOrElse(-1L)))
+      .toDF("format", "location", "version", "n_files", "n_dvs",
+        "n_rows", "size_bytes", "schema", "partition_spec",
+        "cluster_by", "n_constraints", "n_tags", "n_branches",
+        "analyzed_version")
+  }
+
   // --------------------------- column statistics (ANALYZE TABLE / CBO)
   /** One column's table-level statistics, as written by
     * [[analyzeTable]] and served back through the scan's DSv2
@@ -4687,7 +4727,8 @@ object GdxSource {
   def vacuum(path: String, conf: Configuration, keepLast: Int = 1,
              retainHours: Option[Double] = None,
              sweepOrphanHours: Option[Double] = None,
-             nowMillis: Long = System.currentTimeMillis()): Int = {
+             nowMillis: Long = System.currentTimeMillis(),
+             dryRun: Boolean = false): Int = {
     require(keepLast >= 1, "gdx vacuum: must retain at least one snapshot")
     require(retainHours.forall(_ >= 0) && sweepOrphanHours.forall(_ >= 0),
       "gdx vacuum: hour thresholds must be non-negative")
@@ -4695,14 +4736,21 @@ object GdxSource {
     val fs = base.getFileSystem(conf)
     val vs = listVersions(path, conf)
     if (vs.isEmpty) return 0
+    // DRY RUN: report what the same statement WOULD reclaim, touching
+    // nothing — no claim decisions, no checkpoint rewrites, no
+    // deletes. (An undecided transaction claim at the head therefore
+    // surfaces loudly instead of being decided — a dry run must not
+    // decide anyone's transaction.)
     // maintenance is claim-aware: an undecided transaction claim at
     // the head (a crashed preparer) is DECIDED here — vacuum must
     // never wedge forever on it, and the referenced-set sweep below
     // must never treat a decided-committed claim's files as victims.
     // Every retained claim then materializes to a self-contained
     // manifest (its stage file is reclaimed with it).
-    decideStaleTxn(path, conf, vs.max)
-    vs.foreach(materializeClaim(path, conf, _))
+    if (!dryRun) {
+      decideStaleTxn(path, conf, vs.max)
+      vs.foreach(materializeClaim(path, conf, _))
+    }
     val tagged = listTags(path, conf).values.toSet ++
       listBranches(path, conf).values.toSet
     // AGE-BASED retention (`RETAIN n HOURS` — what real retention
@@ -4719,18 +4767,20 @@ object GdxSource {
     val keep = (vs.takeRight(keepLast) ++ ageKept ++ vs.filter(tagged))
       .distinct.sorted
     val keepSet = keep.toSet
-    keep.foreach { v =>
-      if ((v == keep.head || isDeltaVersion(path, conf, v)) &&
-          !keepSet.contains(v - 1))
-        replaceAtomic(fs, conf, manifestFor(path, v),
-          headerLines(committedSchema(path, conf, v),
-            committedConstraints(path, conf, v),
-            committedColmap(path, conf, v),
-            committedPartitionCol(path, conf, v)) ++
-            committedEntries(path, conf, v).map(_.manifestLine))
+    if (!dryRun) {
+      keep.foreach { v =>
+        if ((v == keep.head || isDeltaVersion(path, conf, v)) &&
+            !keepSet.contains(v - 1))
+          replaceAtomic(fs, conf, manifestFor(path, v),
+            headerLines(committedSchema(path, conf, v),
+              committedConstraints(path, conf, v),
+              committedColmap(path, conf, v),
+              committedPartitionCol(path, conf, v)) ++
+              committedEntries(path, conf, v).map(_.manifestLine))
+      }
+      vs.filterNot(keepSet.contains)
+        .foreach(v => fs.delete(manifestFor(path, v), false))
     }
-    vs.filterNot(keepSet.contains)
-      .foreach(v => fs.delete(manifestFor(path, v), false))
     val keptEntries = keep.flatMap(v => committedEntries(path, conf, v))
     val referenced =
       (keptEntries.map(_.name) ++ keptEntries.flatMap(_.dv)).toSet
@@ -4755,7 +4805,8 @@ object GdxSource {
           !stem.endsWith(".tmp") && !referenced(stem)
         })
     }
-    victims.foreach { case (st, _) => fs.delete(st.getPath, false) }
+    if (!dryRun)
+      victims.foreach { case (st, _) => fs.delete(st.getPath, false) }
     // CRASH-ORPHAN sweep (opt-in, age-thresholded): a hard-killed
     // writer strands `*.gdx.tmp` files (plus their bloom sidecars and
     // dot-prefixed manifest tmps) no manifest will ever reference and
@@ -4772,12 +4823,13 @@ object GdxSource {
           (n.endsWith(".tmp") || n.contains(".tmp-") ||
             n.endsWith(".tmp" + GdxBloom.Suffix))
       }
-      orphans.foreach { case (st, _) => fs.delete(st.getPath, false) }
+      if (!dryRun)
+        orphans.foreach { case (st, _) => fs.delete(st.getPath, false) }
       orphans.count { case (_, n) => !n.endsWith(GdxBloom.Suffix) }
     }.getOrElse(0)
     // dropped branches' working dirs reclaim once nothing retained
     // references them (dropBranch may have had to leave them behind)
-    reclaimBranchDirs(path, conf)
+    if (!dryRun) reclaimBranchDirs(path, conf)
     victims.count { case (_, n) => !n.endsWith(GdxBloom.Suffix) } + swept
   }
 }

@@ -89,6 +89,33 @@ class GdxRetentionSpec extends SparkSuite {
     fresh.delete()
   }
 
+  test("DRY RUN prices the statement and touches nothing; the real " +
+      "run then reclaims exactly the priced count") {
+    val dir = freshDir("dry")
+    // four OVERWRITE commits: only v4's file stays referenced
+    (0L to 3L).foreach(k => Seq((k, s"v$k")).toDF("k", "v").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("overwrite").save())
+    // a stale crash orphan the sweep would also price
+    val orphan = new java.io.File(dir, "dead.gdx.tmp")
+    java.nio.file.Files.writeString(orphan.toPath, "x")
+    assert(orphan.setLastModified(
+      System.currentTimeMillis() - 10 * 3600 * 1000))
+    val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+    val vsBefore = GdxSource.listVersions(dir, conf)
+    val dry = GdxSource.vacuum(dir, conf, keepLast = 1,
+      sweepOrphanHours = Some(1.0), dryRun = true)
+    // nothing moved: same files, same manifests
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet
+      === before)
+    assert(GdxSource.listVersions(dir, conf) === vsBefore)
+    assert(dry === 4L) // v1..v3's three data files + the orphan
+    val real = GdxSource.vacuum(dir, conf, keepLast = 1,
+      sweepOrphanHours = Some(1.0))
+    assert(real === dry)
+    assert(!orphan.exists)
+    assert(read(dir).count() === 1L)
+  }
+
   test("SQL front door: RETAIN HOURS and SWEEP ORPHANS forms") {
     val dir = freshDir("sql")
     val s = org.apache.spark.sql.graft.ColumnBridge
