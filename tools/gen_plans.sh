@@ -51,7 +51,8 @@ c33_gdx_merge_evolution s40_gdx_compact_small \
 c34_gdx_typed_columns c35_gdx_branch_wap s41_gdx_temporal_transforms \
 c36_gdx_multi_table_txn stream_gdx_catalog_feed c37_gdx_embedding_column \
 c38_gdx_cbo_stats c39_gdx_map_column c40_gdx_histogram_stats \
-c41_gdx_default_values stream_gdx_wap s42_gdx_cluster_by"
+c41_gdx_default_values stream_gdx_wap s42_gdx_cluster_by \
+s43_gdx_describe_detail"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
