@@ -596,7 +596,8 @@ case class GdxMetadataRows(rows: Seq[Seq[Any]])
     extends org.apache.spark.sql.connector.read.InputPartition
 
 object GdxMetadataTable {
-  val Kinds: Set[String] = Set("files", "history", "partitions", "tags")
+  val Kinds: Set[String] =
+    Set("files", "history", "partitions", "tags", "branches")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
@@ -620,6 +621,9 @@ object GdxMetadataTable {
     case "tags" => StructType(Seq(
       StructField("tag", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+    case "branches" => StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("base_version", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"gdx: unknown metadata table $other")
   }
@@ -663,6 +667,10 @@ object GdxMetadataTable {
           }
       case "tags" =>
         GdxSource.listTags(dir, conf).toSeq.sortBy(_._1).map {
+          case (n, v) => Seq(n, Long.box(v.toLong))
+        }
+      case "branches" =>
+        GdxSource.listBranches(dir, conf).toSeq.sortBy(_._1).map {
           case (n, v) => Seq(n, Long.box(v.toLong))
         }
       case other => throw new IllegalArgumentException(

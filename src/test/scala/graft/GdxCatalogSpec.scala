@@ -291,7 +291,7 @@ class GdxCatalogSpec extends SparkSuite {
 
   test("metadata tables: gdx.ns.t.files / .history / .partitions " +
       "answer from manifests alone") {
-    withCatalog() { (s, cat, _) =>
+    withCatalog() { (s, cat, wh) =>
       s.sql(s"CREATE NAMESPACE $cat.lab")
       s.sql(s"CREATE TABLE $cat.lab.t (k BIGINT, v STRING, p BIGINT) " +
         "PARTITIONED BY (p)")
@@ -315,6 +315,19 @@ class GdxCatalogSpec extends SparkSuite {
       assert(parts.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSeq ==
         Seq((0L, 2L, 2L, 1L, 3L), (1L, 1L, 1L, 2L, 2L)))
+      // tags and branches registries as metadata tables
+      graft.sources.GdxSource.createTag(s"$wh/lab/t", "snap1")
+      graft.sources.GdxSource.createBranch(s"$wh/lab/t", "wip")
+      assert(s.sql(s"SELECT tag, version FROM $cat.lab.t.tags")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        == Seq(("snap1", 3L)))
+      assert(s.sql(
+        s"SELECT branch, base_version FROM $cat.lab.t.branches")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        == Seq(("wip", 3L)))
+      graft.sources.GdxSource.dropBranch(s"$wh/lab/t", "wip")
+      assert(s.sql(s"SELECT * FROM $cat.lab.t.branches")
+        .collect().isEmpty)
       // a real table shadows the metadata suffix
       s.sql(s"CREATE NAMESPACE $cat.lab.t2")
       s.sql(s"CREATE TABLE $cat.lab.t2.files (k BIGINT, v STRING)")
