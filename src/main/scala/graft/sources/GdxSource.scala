@@ -3825,6 +3825,13 @@ object GdxSource {
     * already separate a skewed tail from its body. */
   private[graft] val HistogramBins = 16
 
+  /** Drop the ANALYZE sidecar (TRUNCATE's stats hygiene). */
+  private[graft] def clearColStats(dir: String,
+                                   conf: Configuration): Unit = {
+    new Path(dir).getFileSystem(conf).delete(colStatsFile(dir), false)
+    ()
+  }
+
   /** The table's ANALYZE sidecar, if one exists — one small read,
     * served by every scan's `estimateStatistics` as DSv2 column
     * statistics (advisory; absence simply means size-only planning).
@@ -4883,6 +4890,11 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
       // along with the rows
       partitionCol = GdxSource.committedPartitionCol(path, conf)
         .map(GdxSource.partHeadOf))
+    // the ANALYZE sidecar described the truncated content — clear it
+    // rather than serve estimates of rows that no longer exist (the
+    // `_cluster` layout preference survives: it describes future
+    // writes, not past rows)
+    GdxSource.clearColStats(path, conf)
     true
   }
 

@@ -219,5 +219,10 @@ class GdxStatsSpec extends SparkSuite {
     // re-analyze refreshes the sidecar to the live schema
     val ts = GdxSource.analyzeTable(spark, dir)
     assert(ts.cols("w").typeName === "long")
+    // TRUNCATE clears the sidecar: estimates of vanished rows must
+    // not survive the rows
+    new graft.sources.GdxTable(dir,
+      GdxSource.committedSchema(dir, conf)).truncateTable()
+    assert(GdxSource.readColStats(dir, conf).isEmpty)
   }
 }
