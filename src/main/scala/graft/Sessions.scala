@@ -55,7 +55,14 @@ object Sessions {
   def withActive[T](s: SparkSession)(f: => T): T = {
     val prev = SparkSession.getActiveSession
     SparkSession.setActiveSession(s)
-    try f finally prev.foreach(SparkSession.setActiveSession)
+    // restore EXACTLY the prior state: when the thread had no active
+    // session, clear rather than leave the pinned clone active — a
+    // leaked clone's SQLConf (e.g. cbo.enabled) would silently steer
+    // later conf-sensitive work on this thread
+    try f finally prev match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None    => SparkSession.clearActiveSession()
+    }
   }
 
   /** Rebind `df` (batch or streaming) into `target` — a session sharing

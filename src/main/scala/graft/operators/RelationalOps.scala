@@ -3395,7 +3395,15 @@ object RelationalOps extends QueryModule {
       val (kept, all) = gdx.plannedFiles(dir, Seq(
         org.apache.spark.sql.sources.LessThan("d",
           java.sql.Date.valueOf("1997-01-01"))))
+      // the TABLE column stays DECIMAL(12,2) (that is the feature
+      // under test); the VERIFIED OUTPUT projects it as DOUBLE so the
+      // dumped dtype is stable across engines — a raw BigDecimal
+      // column reaches pandas as dtype `object` while DuckDB's .df()
+      // yields float64, and the driver's hash is dtype-sensitive
+      // (r10's one hash-fail; same class as the r03 e_variant_agg
+      // precedent in tools/selfcheck.py)
       c.table(s"$cat.lab.typed")
+        .withColumn("amt", col("amt").cast("double"))
         .withColumn("tt_ok", lit(ttOk))
         .withColumn("date_pruned", lit(kept > 0 && kept < all))
         .orderBy("k")
@@ -5012,7 +5020,8 @@ object RelationalOps extends QueryModule {
         |upd AS (SELECT k, d, ts, amt,
         |  CASE WHEN d < DATE '1996-01-01' THEN NOT flag ELSE flag END
         |    AS flag, v FROM base)
-        |SELECT k, d, ts, amt, flag, v, TRUE AS tt_ok, TRUE AS date_pruned
+        |SELECT k, d, ts, CAST(amt AS DOUBLE) AS amt, flag, v,
+        |  TRUE AS tt_ok, TRUE AS date_pruned
         |FROM upd WHERE NOT (v = '1-URGENT' AND amt < 500)
         |ORDER BY k""".stripMargin,
     "c18_gdx_sql_dml" ->

@@ -357,8 +357,10 @@ case class GdxOptimizeCommand(table: Seq[String], zorderBy: Seq[String],
       case (None, _) =>
         // a declared CLUSTER BY makes the bare OPTIMIZE re-cluster
         // history on those columns (the Delta liquid-clustering
-        // contract); otherwise plain bin-merge compaction
-        graft.sources.GdxSource.clusterByOf(path,
+        // contract); otherwise plain bin-merge compaction. The
+        // VALIDATED accessor so a stale registry (dropped/renamed
+        // column, later partition spec) degrades to compaction.
+        graft.sources.GdxSource.effectiveClusterBy(path,
           graft.sources.GdxSource.driverConf()) match {
           case cs if cs.nonEmpty =>
             graft.sources.GdxSource.optimizeClustered(spark, path, cs,

@@ -529,16 +529,23 @@ object GdxSource {
 
   private[graft] def parseSchemaSpec(s: String): StructType = {
     // split on TOP-LEVEL commas only: `decimal(12,2)` and
-    // `map<string,string>` each carry one inside their brackets
+    // `map<string,string>` each carry one inside their brackets.
+    // Brackets stop counting once a field's first top-level '='
+    // opens its DEFAULT text — a default like `n/a (unknown` must
+    // not skew the depth for every later field (commas are banned in
+    // default text by [[withDefaultCell]], so inside a default the
+    // next comma is always the real field separator).
     val fields = Seq.newBuilder[String]
-    var depth = 0; var start = 0; var i = 0
+    var depth = 0; var start = 0; var i = 0; var inDefault = false
     while (i < s.length) {
       s.charAt(i) match {
-        case '(' | '<'         => depth += 1
-        case ')' | '>'         => depth -= 1
-        case ',' if depth == 0 => fields += s.substring(start, i)
-                                  start = i + 1
-        case _                 => ()
+        case '(' | '<' if !inDefault        => depth += 1
+        case ')' | '>' if !inDefault        => depth -= 1
+        case '=' if depth == 0              => inDefault = true
+        case ',' if depth == 0 || inDefault => fields += s.substring(start, i)
+                                               start = i + 1
+                                               inDefault = false
+        case _                              => ()
       }
       i += 1
     }
@@ -2701,6 +2708,46 @@ object GdxSource {
     new Path(dir).getFileSystem(conf).delete(clusterFile(dir), false)
   }
 
+  /** The declared clustering columns VALIDATED against the live table:
+    * columns that left the schema (DROP/RENAME without sidecar upkeep,
+    * or a sidecar from before a RESTORE) are dropped, and a partition
+    * spec voids the declaration entirely (partitioned writes demux by
+    * the spec — an ordered distribution on top would fight it). Bare
+    * OPTIMIZE routes on THIS, so a stale registry degrades to plain
+    * compaction instead of failing or mis-clustering. */
+  def effectiveClusterBy(dir: String, conf: Configuration): Seq[String] = {
+    val declared = clusterByOf(dir, conf)
+    if (declared.isEmpty) Seq.empty
+    else if (committedPartitionCol(dir, conf).isDefined) Seq.empty
+    else {
+      val live = committedSchema(dir, conf).fieldNames.toSet
+      declared.filter(live.contains)
+    }
+  }
+
+  /** Keep the advisory `_cluster` sidecar in step with a schema DDL:
+    * a rename carries the declaration to the new name, a drop removes
+    * the column (deleting the sidecar when nothing remains). Called
+    * AFTER the CAS'd metadata publish — the sidecar is a layout
+    * preference, not correctness, so a crash between the two leaves
+    * only a stale preference that [[effectiveClusterBy]] filters. */
+  private def reconcileClusterSidecar(dir: String, from: String,
+                                      to: Option[String]): Unit = {
+    val conf = driverConf()
+    val declared = clusterByOf(dir, conf)
+    if (declared.exists(_.equalsIgnoreCase(from))) {
+      val next = declared.flatMap {
+        case c if c.equalsIgnoreCase(from) => to
+        case c                             => Some(c)
+      }
+      if (next.isEmpty) clearClusterBy(dir)
+      else {
+        val fs = new Path(dir).getFileSystem(conf)
+        replaceAtomic(fs, conf, clusterFile(dir), Seq(next.mkString(",")))
+      }
+    }
+  }
+
   /** `OPTIMIZE t` under a declared CLUSTER BY: rewrite the snapshot
     * RANGE-clustered lexicographically on the cluster columns (for
     * one or two columns this beats the Morton curve — each file owns
@@ -3981,6 +4028,9 @@ object GdxSource {
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
+        // a partition spec and a CLUSTER BY cannot coexist (setClusterBy
+        // refuses partitioned tables; guard the reverse order too)
+        clearClusterBy(dir)
         return readV + 1
       }
       attempt += 1
@@ -4090,6 +4140,7 @@ object GdxSource {
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
+        reconcileClusterSidecar(dir, from, Some(to))
         return readV + 1
       }
       attempt += 1
@@ -4133,6 +4184,7 @@ object GdxSource {
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
+        reconcileClusterSidecar(dir, name, None)
         return readV + 1
       }
       attempt += 1

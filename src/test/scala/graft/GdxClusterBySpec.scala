@@ -85,6 +85,51 @@ class GdxClusterBySpec extends SparkSuite {
       GdxSource.setClusterBy(pdir, Seq("w")))
   }
 
+  test("schema DDL keeps the _cluster sidecar honest: rename carries, " +
+      "drop clears, partition-spec evolution voids, stale registry " +
+      "degrades bare OPTIMIZE to compaction") {
+    val dir = freshDir("ddl")
+    scattered(200).write.format(fmt).option("path", dir)
+      .mode("overwrite").save()
+    // cluster on an EVOLVED column (core slots 0/1 are not renameable)
+    GdxSource.addColumn(dir, "s",
+      org.apache.spark.sql.types.DoubleType)
+    GdxSource.setClusterBy(dir, Seq("s"))
+    // rename carries the declaration to the new name
+    GdxSource.renameColumn(spark, dir, "s", "weight")
+    assert(GdxSource.clusterByOf(dir, conf) === Seq("weight"))
+    assert(GdxSource.effectiveClusterBy(dir, conf) === Seq("weight"))
+    // drop removes the column; nothing left -> sidecar gone
+    GdxSource.dropColumn(spark, dir, "weight")
+    assert(GdxSource.clusterByOf(dir, conf).isEmpty)
+    // a stale sidecar (e.g. restored from backup naming a dead column)
+    // must degrade bare OPTIMIZE to plain compaction, not fail
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "_cluster"), true)
+    out.write("ghost_column\n".getBytes("UTF-8")); out.close()
+    assert(GdxSource.clusterByOf(dir, conf) === Seq("ghost_column"))
+    assert(GdxSource.effectiveClusterBy(dir, conf).isEmpty)
+    val s = org.apache.spark.sql.graft.ColumnBridge
+      .sessionWithExtensions(spark, new GraftExtensions())
+    val tbl = "gdxcl_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    s.sql(s"""CREATE TABLE $tbl (k BIGINT, w DOUBLE, v STRING)
+      USING $fmt OPTIONS (path '$dir')""")
+    try {
+      s.sql(s"OPTIMIZE $tbl") // compaction path: must not throw
+      assert(s.table(tbl).count() === 200L)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    // CLUSTER BY then a later partition spec: the evolution clears
+    // the declaration (the reverse order is refused by setClusterBy)
+    val dir2 = freshDir("ddl2")
+    scattered(100).write.format(fmt).option("path", dir2)
+      .mode("overwrite").save()
+    GdxSource.setClusterBy(dir2, Seq("w"))
+    GdxSource.evolvePartitionSpec(dir2, "k")
+    assert(GdxSource.clusterByOf(dir2, conf).isEmpty)
+  }
+
   test("zero-row files are planned away unconditionally") {
     val dir = freshDir("zero")
     Seq((1L, "a")).toDF("k", "v").coalesce(1)

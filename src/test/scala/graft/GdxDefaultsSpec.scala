@@ -92,6 +92,32 @@ class GdxDefaultsSpec extends SparkSuite {
       === Seq("unset", "set"))
   }
 
+  test("a bracket-bearing string default never corrupts the schema " +
+      "line: later ADD COLUMNs still parse") {
+    val dir = freshDir("brak")
+    Seq((1L, "a")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    // an UNBALANCED '(' in the default text must not skew the
+    // parser's bracket depth for fields appended after it
+    GdxSource.addColumn(dir, "c", StringType,
+      default = Some("n/a (unknown"))
+    GdxSource.addColumn(dir, "score", LongType, default = Some("7"))
+    val sch = GdxSource.committedSchema(dir, conf)
+    assert(sch.fieldNames.toSeq === Seq("k", "v", "c", "score"))
+    assert(sch("c").metadata.getString("gdx.default") === "n/a (unknown")
+    val row = read(dir).orderBy("k").collect().head
+    assert(row.getString(2) === "n/a (unknown" && row.getLong(3) === 7L)
+    // angle brackets and decimals after the default keep parsing too
+    GdxSource.addColumn(dir, "tags",
+      MapType(StringType, StringType))
+    GdxSource.addColumn(dir, "amt", DecimalType(12, 2),
+      default = Some("1.50"))
+    val sch2 = GdxSource.committedSchema(dir, conf)
+    assert(sch2.fieldNames.toSeq ===
+      Seq("k", "v", "c", "score", "tags", "amt"))
+    assert(read(dir).count() === 1L)
+  }
+
   test("loud refusals: unparseable default cell, ',' in a string " +
       "default, DEFAULT on a map column, DEFAULT NULL via catalog") {
     val dir = freshDir("bad")

@@ -88,6 +88,31 @@ class SessionSpec extends AnyFunSuite {
       viaBuiltin.as[(Long, Int, String)].collect().sorted.toSeq)
   }
 
+  test("withActive restores a no-active-session thread to clean — a " +
+      "pinned clone's conf never leaks past the block") {
+    import org.apache.spark.sql.SparkSession
+    val clone = Sessions.pinned(gspark, "spark.sql.cbo.enabled" -> "true")
+    val t = new Thread(() => {
+      // the active session is an inheritable thread-local — clear the
+      // inherited one to model a genuinely fresh worker thread
+      SparkSession.clearActiveSession()
+      assert(SparkSession.getActiveSession.isEmpty)
+      Sessions.withActive(clone) {
+        assert(SparkSession.getActiveSession.contains(clone))
+      }
+      // the thread had NO active session before; it must have none after
+      assert(SparkSession.getActiveSession.isEmpty,
+        "pinned clone leaked as the thread-active session")
+    })
+    var err: Option[Throwable] = None
+    t.setUncaughtExceptionHandler((_, e) => err = Some(e))
+    t.start(); t.join()
+    err.foreach(throw _)
+    // and with a previous session it restores that one
+    Sessions.withActive(clone)(())
+    // (the suite thread keeps whatever it had — no assertion flake)
+  }
+
   test("pipeline operators tolerate empty inputs") {
     import gspark.implicits._
     val empty = Seq.empty[(String, java.sql.Date, Double)]

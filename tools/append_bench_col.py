@@ -26,21 +26,31 @@ for r in runs:
 lines = open(HIST).read().splitlines(keepends=False)
 hdr_i = next(i for i, l in enumerate(lines) if l.startswith("| query |"))
 hdr = [c.strip() for c in lines[hdr_i].strip("|").split("|")]
-prev = hdr[-1].split("-")[0] if "-" in hdr[-1] else hdr[-1]
+
+
+def is_delta(name):
+    # new columns are marked explicitly with a Δ prefix; legacy delta
+    # columns were named <new>-<old> (e.g. r10-r9f)
+    return name.startswith("Δ") or bool(re.fullmatch(r"r\d+\w*-r\d+\w*", name))
+
+
+last_is_delta = is_delta(hdr[-1])
 ncols = len(hdr)
-lines[hdr_i] = lines[hdr_i].rstrip() + f" {col} | {col}-{prev} |"
+lines[hdr_i] = lines[hdr_i].rstrip() + f" {col} | Δ{col} |"
 lines[hdr_i + 1] = lines[hdr_i + 1].rstrip() + "---|---|"
 
 seen = set()
+last_row = hdr_i + 2  # insertion point for new-query rows
 for i in range(hdr_i + 2, len(lines)):
     if not lines[i].startswith("| "):
         break
+    last_row = i + 1
     cells = [c.strip() for c in lines[i].strip("|").split("|")]
     q = cells[0].strip("` ")
     seen.add(q)
     if q in mins:
         new = f"{mins[q]:.2f}"
-        prev_val = cells[-1] if "-" not in hdr[-1] else cells[-2]
+        prev_val = cells[-2] if last_is_delta else cells[-1]
         try:
             delta = mins[q] - float(prev_val)
             d = f"{delta:+.2f}"
@@ -49,7 +59,6 @@ for i in range(hdr_i + 2, len(lines)):
         lines[i] = lines[i].rstrip() + f" {new} | {d} |"
     else:
         lines[i] = lines[i].rstrip() + " — | — |"
-last_row = i
 new_rows = []
 for q in sorted(set(mins) - seen):
     dashes = " — |" * (ncols - 1)

@@ -85,11 +85,18 @@ for path in sorted(glob.glob(f"{OUT}/*/")):
         # the driver hash tolerates date-object-vs-datetime64 and
         # int32-vs-int64 (all hash-green in r03) but NOT float-vs-int
         # (e_variant_agg r03: DuckDB SUM(BIGINT)->HUGEINT->float64 vs
-        # Spark int64 broke it) — flag only the float/int kind mismatch
+        # Spark int64 broke it) and NOT object-vs-numeric (c34 r10: a
+        # raw DECIMAL dump reaches pandas as object BigDecimals while
+        # DuckDB .df() yields float64) — flag any mixed numeric/object
+        # kind pair; {object,datetime64} stays tolerated (dates).
         diff = {}
         for c in set(df.columns) & set(odf.columns):
             gk, ok = df[c].dtype.kind, odf[c].dtype.kind
-            if {gk, ok} == {"f", "i"} or {gk, ok} == {"f", "u"}:
+            pair = {gk, ok}
+            numeric = {"f", "i", "u"}
+            mixed_num = len(pair & numeric) > 0 and pair != {"i", "u"} \
+                and len(pair) > 1 and pair <= (numeric | {"O"})
+            if mixed_num:
                 diff[c] = (str(df[c].dtype), str(odf[c].dtype))
         if diff:
             results[name] = f"DTYPE spark-vs-oracle {diff}"
