@@ -311,9 +311,23 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
     val d = dir.toString
     val spark = SparkSession.active
     changes.foreach {
+      case a: TableChange.AddColumn if a.fieldNames.length > 1 =>
+        // `ADD COLUMN meta.tag STRING` — a new TRAILING field inside
+        // an existing struct column (metadata-only; era rows read
+        // NULL for the leaf). Position/NOT NULL/DEFAULT refusals
+        // match the top-level rules; nested defaults are not stored.
+        require(a.position == null,
+          "gdx catalog: nested ADD COLUMN appends at the end of its " +
+            "struct - FIRST/AFTER positions are not supported")
+        require(a.isNullable,
+          "gdx catalog: added nested fields are null-filled for " +
+            "existing rows and cannot be NOT NULL")
+        require(a.defaultValue == null,
+          "gdx catalog: DEFAULT on a nested field is not supported")
+        GdxSource.addNestedField(d,
+          a.fieldNames.dropRight(1).mkString("."),
+          a.fieldNames.last, a.dataType)
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "gdx catalog: nested columns are not supported")
         // silently honoring FIRST/AFTER, NOT NULL, or a DEFAULT would
         // hand the user a column that doesn't behave as declared —
         // refuse the forms the format cannot express

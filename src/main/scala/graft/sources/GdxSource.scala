@@ -410,6 +410,34 @@ object GdxSource {
     // not part of the name: both flags read back permissive.
     case org.apache.spark.sql.types.MapType(StringType, StringType, _) =>
       "map<string,string>"
+    // nested STRUCTS — the training-record metadata shape
+    // (`{source: {url, domain}, scores: {...}}`): the type name nests
+    // recursively (`struct<a:long,b:struct<c:string>>`); cells encode
+    // as `(sub,sub,...)` — parenthesized so a NULL sub-field (`\N`)
+    // never collides with a NULL cell, positional like the top-level
+    // line so ADD-a-trailing-field evolution null-fills old cells for
+    // free. Leaves are the scalar vocabulary (or a nested struct);
+    // array/map leaves are refused — their comma encodings would be
+    // ambiguous inside the struct's. nullable flags are deliberately
+    // NOT part of the name: everything reads back permissive.
+    case st: StructType =>
+      require(st.fields.nonEmpty, "gdx: empty STRUCT is not supported")
+      "struct<" + st.fields.map { sf =>
+        require(sf.name.nonEmpty && !sf.name.exists(ch =>
+            ch == ':' || ch == ',' || ch == '<' || ch == '>' ||
+            ch == '(' || ch == ')' || ch == '=' || ch == '.' ||
+            ch == '\t' || ch == '\n' || ch == '\r'),
+          s"gdx: illegal struct field name '${sf.name}' " +
+            "(':,<>()=.' and whitespace delimit the schema encoding)")
+        sf.dataType match {
+          case ArrayType(_, _) | _: org.apache.spark.sql.types.MapType =>
+            throw new IllegalArgumentException(
+              s"gdx: struct field ${sf.name} must be a scalar or a " +
+                s"nested struct, not ${sf.dataType.catalogString}")
+          case _ => ()
+        }
+        s"${sf.name}:${typeNameOf(sf.dataType)}"
+      }.mkString(",") + ">"
     case other => throw new IllegalArgumentException(
       s"gdx: unsupported column type $other")
   }
@@ -428,7 +456,33 @@ object GdxSource {
       org.apache.spark.sql.types.MapType(StringType, StringType)
     case DecimalNameRe(p, s) => org.apache.spark.sql.types
       .DecimalType(p.toInt, s.toInt)
+    case _ if t.startsWith("struct<") && t.endsWith(">") =>
+      StructType(splitTypeFields(
+        t.substring("struct<".length, t.length - 1)).map { fld =>
+        val j = fld.indexOf(':')
+        require(j > 0, s"gdx: unparseable struct field '$fld'")
+        StructField(fld.substring(0, j), namedType(fld.substring(j + 1)))
+      })
     case _ => throw new IllegalArgumentException(s"gdx: unknown type $t")
+  }
+
+  /** Split a struct type name's field list on TOP-LEVEL commas only
+    * (`decimal(12,2)` and nested `struct<...>` carry their own). */
+  private def splitTypeFields(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' | '<'         => depth += 1
+        case ')' | '>'         => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i)
+                                  start = i + 1
+        case _                 => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
   }
 
   // ------------------------------------- column DEFAULTs (era fill)
@@ -463,7 +517,8 @@ object GdxSource {
       s"gdx: default for ${f.name} must be non-empty and free of " +
         "tab/newline/',' (schema-line encoding)")
     f.dataType match {
-      case _: org.apache.spark.sql.types.MapType | ArrayType(_, _) =>
+      case _: org.apache.spark.sql.types.MapType | ArrayType(_, _) |
+           _: StructType =>
         throw new IllegalArgumentException(
           s"gdx: DEFAULT is not supported for ${f.dataType.catalogString}")
       case dt =>
@@ -492,7 +547,8 @@ object GdxSource {
     dt match {
       case d: DecimalType =>
         v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString
-      case _: org.apache.spark.sql.types.MapType | ArrayType(_, _) =>
+      case _: org.apache.spark.sql.types.MapType | ArrayType(_, _) |
+           _: StructType =>
         throw new IllegalArgumentException(
           s"gdx: no cell-text literal for ${dt.catalogString}")
       case _ => v.toString // long/double/boolean/date-int/ts-micros/utf8
@@ -602,8 +658,61 @@ object GdxSource {
             entries.map(e => UTF8String.fromString(e._1): Any)),
           new org.apache.spark.sql.catalyst.util.GenericArrayData(
             entries.map(e => UTF8String.fromString(e._2): Any)))
+      case st: StructType => parseStructInternal(st, st, s)
       case _              => UTF8String.fromString(s)
     }
+
+  /** Split one struct cell's `(a,b,...)` text into its positional
+    * sub-cells; nested struct sub-cells keep their own parens (the
+    * depth tracker skips their commas — leaf strings are forbidden
+    * from carrying ','/'('/')', so parens are unambiguous). */
+  private[graft] def splitStructCells(s: String): Array[String] = {
+    require(s.length >= 2 && s.charAt(0) == '(' &&
+      s.charAt(s.length - 1) == ')',
+      s"gdx: malformed struct cell '$s' (expected parenthesized form)")
+    val inner = s.substring(1, s.length - 1)
+    val out = Array.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < inner.length) {
+      inner.charAt(i) match {
+        case '('               => depth += 1
+        case ')'               => depth -= 1
+        case ',' if depth == 0 => out += inner.substring(start, i)
+                                  start = i + 1
+        case _                 => ()
+      }
+      i += 1
+    }
+    out += inner.substring(start)
+    out.result()
+  }
+
+  /** Decode a struct cell written under `stored` into the (possibly
+    * nested-pruned) `requested` shape — sub-fields are matched by
+    * NAME against the stored layout, a requested field past the
+    * cell's arity reads NULL (trailing-field evolution: old cells
+    * simply have fewer sub-cells). */
+  private[graft] def parseStructInternal(stored: StructType,
+      requested: StructType, s: String): InternalRow = {
+    val parts = splitStructCells(s)
+    val vals = new Array[Any](requested.length)
+    var i = 0
+    while (i < requested.length) {
+      val f = requested.fields(i)
+      val si = stored.fieldNames.indexOf(f.name)
+      require(si >= 0, s"gdx read: unknown struct field '${f.name}'")
+      vals(i) =
+        if (si >= parts.length || parts(si) == NullMarker) null
+        else (f.dataType, stored.fields(si).dataType) match {
+          case (rq: StructType, sv: StructType) =>
+            parseStructInternal(sv, rq, parts(si))
+          case (dt, _) => parseInternalCell(dt, parts(si))
+        }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(vals)
+  }
 
   /** Decode one map cell's `k=v,k=v` text (keys pre-sorted at write
     * time): the FIRST '=' of each entry splits, so values may carry
@@ -639,6 +748,13 @@ object GdxSource {
         // ListMap preserves the stored (key-sorted) order, keeping the
         // external round-trip byte-identical with the internal one
         scala.collection.immutable.ListMap(parseMapEntries(s).toSeq: _*)
+      case st: StructType =>
+        val parts = splitStructCells(s)
+        org.apache.spark.sql.Row.fromSeq(
+          st.fields.zipWithIndex.map { case (f, i) =>
+            if (i >= parts.length || parts(i) == NullMarker) null
+            else parseExternalCell(f.dataType, parts(i))
+          }.toSeq)
       case _              => s
     }
 
@@ -687,6 +803,9 @@ object GdxSource {
         j += 1
       }
       appendMapEntries(sb, entries, ctx, field)
+    case st: StructType =>
+      appendStructCellInternal(sb, st, r.getStruct(i, st.length),
+        ctx, field)
     case _ =>
       val s = r.getUTF8String(i).toString
       require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
@@ -694,6 +813,46 @@ object GdxSource {
         s"gdx $ctx: string field $field must not contain " +
           "tab/newline or the \\N null marker (unescaped line format)")
       sb.append(s); ()
+  }
+
+  /** Render one struct value as its canonical `(sub,sub,...)` cell.
+    * Scalar leaves reuse the normal cell forms (none can carry ','),
+    * string leaves get the struct-tightened vocabulary (additionally
+    * no ','/'('/')' — those delimit the positional encoding), nested
+    * structs recurse, NULL sub-fields write the `\N` marker (parens
+    * keep it unambiguous with a NULL cell). */
+  private def appendStructCellInternal(sb: java.lang.StringBuilder,
+      st: StructType,
+      sr: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      ctx: String, field: String): Unit = {
+    sb.append('(')
+    var j = 0
+    while (j < st.length) {
+      if (j > 0) sb.append(',')
+      val dt = st.fields(j).dataType
+      val fname = s"$field.${st.fields(j).name}"
+      if (sr.isNullAt(j)) sb.append(NullMarker)
+      else dt match {
+        case nested: StructType =>
+          appendStructCellInternal(sb, nested,
+            sr.getStruct(j, nested.length), ctx, fname)
+        case StringType =>
+          appendStructLeafString(sb, sr.getUTF8String(j).toString,
+            ctx, fname)
+        case _ => appendInternalCell(sb, dt, sr, j, ctx, fname)
+      }
+      j += 1
+    }
+    sb.append(')'); ()
+  }
+
+  private def appendStructLeafString(sb: java.lang.StringBuilder,
+      s: String, ctx: String, field: String): Unit = {
+    require(!s.exists(c => c == ',' || c == '(' || c == ')' ||
+        c == '\t' || c == '\n' || c == '\r') && s != NullMarker,
+      s"gdx $ctx: struct string field $field must not contain " +
+        ", ( ) tab/newline or the \\N marker (positional encoding)")
+    sb.append(s); ()
   }
 
   /** Render map entries SORTED BY KEY (one canonical text per map
@@ -763,6 +922,8 @@ object GdxSource {
         (k.toString, v.toString)
       }
       appendMapEntries(sb, entries, ctx, field)
+    case st: StructType =>
+      appendStructCellExternal(sb, st, r.getStruct(i), ctx, field)
     case _ =>
       val s = r.getString(i)
       require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
@@ -770,6 +931,30 @@ object GdxSource {
         s"gdx $ctx: string field $field must not contain " +
           "tab/newline or the \\N null marker (unescaped line format)")
       sb.append(s); ()
+  }
+
+  /** External-Row twin of [[appendStructCellInternal]]. */
+  private def appendStructCellExternal(sb: java.lang.StringBuilder,
+      st: StructType, sr: org.apache.spark.sql.Row,
+      ctx: String, field: String): Unit = {
+    sb.append('(')
+    var j = 0
+    while (j < st.length) {
+      if (j > 0) sb.append(',')
+      val dt = st.fields(j).dataType
+      val fname = s"$field.${st.fields(j).name}"
+      if (sr.isNullAt(j)) sb.append(NullMarker)
+      else dt match {
+        case nested: StructType =>
+          appendStructCellExternal(sb, nested, sr.getStruct(j),
+            ctx, fname)
+        case StringType =>
+          appendStructLeafString(sb, sr.getString(j), ctx, fname)
+        case _ => appendExternalCell(sb, dt, sr, j, ctx, fname)
+      }
+      j += 1
+    }
+    sb.append(')'); ()
   }
 
   /** Extended-stats lane of a column: 0 = long repr (LONG, DATE,
@@ -780,6 +965,95 @@ object GdxSource {
     case DoubleType     => 1
     case _: DecimalType => 2
     case _              => -1
+  }
+
+  /** One extended-stats lane: a top-level orderable column (empty
+    * `steps`) or a statable LEAF of a struct column, addressed by the
+    * field index at each nesting level (`steps`) with the struct
+    * arity at each level (`arities` — what `getStruct` needs). Stats
+    * publish under the DOT-JOINED name (`meta.score`) — exactly how
+    * Spark names a pushed nested predicate, so [[pruneByStats]] zone-
+    * maps leaf fields with zero extra machinery. */
+  private[graft] final class StatLane(val col: Int,
+      val steps: Array[Int], val arities: Array[Int],
+      val kind: Int, val name: String, val leafDt: DataType)
+    extends Serializable
+
+  /** Every stats lane of a schema: orderable top-level columns (k
+    * excluded — it has its own min/max slot) plus every orderable
+    * struct leaf, depth-first. */
+  private[graft] def statLanes(schema: StructType): Array[StatLane] = {
+    val out = Array.newBuilder[StatLane]
+    def walk(col: Int, st: StructType, steps: List[Int],
+             arities: List[Int], prefix: String): Unit =
+      st.fields.zipWithIndex.foreach { case (sf, j) =>
+        sf.dataType match {
+          case nested: StructType =>
+            walk(col, nested, steps :+ j, arities :+ st.length,
+              s"$prefix.${sf.name}")
+          case dt if extStatKind(dt) >= 0 =>
+            out += new StatLane(col, (steps :+ j).toArray,
+              (arities :+ st.length).toArray, extStatKind(dt),
+              s"$prefix.${sf.name}", dt)
+          case _ => ()
+        }
+      }
+    schema.fields.zipWithIndex.drop(1).foreach { case (f, i) =>
+      f.dataType match {
+        case st: StructType => walk(i, st, Nil, Nil, f.name)
+        case dt if extStatKind(dt) >= 0 =>
+          out += new StatLane(i, Array.empty, Array.empty,
+            extStatKind(dt), f.name, dt)
+        case _ => ()
+      }
+    }
+    out.result()
+  }
+
+  /** Feed lane `e` of `acc` from an INTERNAL row (descending nested
+    * structs; a NULL at any step contributes nothing). */
+  private[graft] def addLaneInternal(acc: ExtStatAcc, e: Int,
+      lane: StatLane,
+      r: org.apache.spark.sql.catalyst.expressions.SpecializedGetters)
+      : Unit = {
+    var g = r
+    var idx = lane.col
+    var p = 0
+    var live = !g.isNullAt(idx)
+    while (live && p < lane.steps.length) {
+      g = g.getStruct(idx, lane.arities(p))
+      idx = lane.steps(p)
+      live = !g.isNullAt(idx)
+      p += 1
+    }
+    if (live) lane.kind match {
+      case 0 => acc.addL(e, longReprInternal(lane.leafDt, g, idx))
+      case 1 => acc.addD(e, g.getDouble(idx))
+      case _ =>
+        val d = lane.leafDt.asInstanceOf[DecimalType]
+        acc.addB(e,
+          g.getDecimal(idx, d.precision, d.scale).toJavaBigDecimal)
+    }
+  }
+
+  /** External-Row twin of [[addLaneInternal]]. */
+  private[graft] def addLaneExternal(acc: ExtStatAcc, e: Int,
+      lane: StatLane, r: org.apache.spark.sql.Row): Unit = {
+    var g = r
+    var idx = lane.col
+    var p = 0
+    var live = !g.isNullAt(idx)
+    while (live && p < lane.steps.length) {
+      g = g.getStruct(idx)
+      idx = lane.steps(p)
+      live = !g.isNullAt(idx)
+      p += 1
+    }
+    if (live) lane.kind match {
+      case 0 => acc.addL(e, longReprExternal(g.get(idx)))
+      case 1 => acc.addD(e, g.getDouble(idx))
+      case _ => acc.addB(e, g.getDecimal(idx))
+    }
   }
 
   /** A kind-0 column's INTERNAL value as its canonical long repr. */
@@ -3361,10 +3635,7 @@ object GdxSource {
     // UPDATE rewrite lands at the root, so the partition column's
     // v..v range on these stats is what keeps updated rows PRUNABLE —
     // without them every p = x query would plan every upd file forever
-    val extIdx: Array[Int] = tblSchema.fields.zipWithIndex.drop(1)
-      .collect { case (f, i) if extStatKind(f.dataType) >= 0 => i }
-    val extKinds: Array[Int] =
-      extIdx.map(i => extStatKind(tblSchema(i).dataType))
+    val lanes: Array[StatLane] = statLanes(tblSchema)
     rows.rdd.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -3376,7 +3647,7 @@ object GdxSource {
         val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
           fs.create(p, false), "UTF-8"))
         var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
-        val acc = new ExtStatAcc(extIdx.length, extKinds)
+        val acc = new ExtStatAcc(lanes.length, lanes.map(_.kind))
         try it.foreach { r =>
           val sb = new java.lang.StringBuilder
           var pSlot = 0
@@ -3394,19 +3665,12 @@ object GdxSource {
           if (k < mn) mn = k
           if (k > mx) mx = k
           var e = 0
-          while (e < extIdx.length) {
-            val i = extIdx(e)
-            if (!r.isNullAt(i)) {
-              extKinds(e) match {
-                case 0 => acc.addL(e, longReprExternal(r.get(i)))
-                case 1 => acc.addD(e, r.getDouble(i))
-                case _ => acc.addB(e, r.getDecimal(i))
-              }
-            }
+          while (e < lanes.length) {
+            addLaneExternal(acc, e, lanes(e), r)
             e += 1
           }
         } finally out.close()
-        val ext = acc.result(e => tblSchema(extIdx(e)).name)
+        val ext = acc.result(e => lanes(e).name)
         Iterator((name, n, mn, mx, ext))
       }
     }.collect().toSeq.map { case (name, n, mn, mx, ext) =>
@@ -3730,7 +3994,8 @@ object GdxSource {
       .option("path", dir).option("version", v.toString).load()
     val fields = tblSchema.fields.filterNot(f =>
       f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
-        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+        f.dataType.isInstanceOf[StructType])
     // a column's ESTIMATION domain — the double the optimizer itself
     // converts internal values to, so histogram bins land in the same
     // coordinate system range-predicate literals are compared in
@@ -3969,6 +4234,73 @@ object GdxSource {
       attempt += 1
       if (attempt > maxRetries) throw new GdxConcurrentModificationException(
         s"gdx addColumn: lost the publish race $maxRetries times on $dir")
+    }
+    -1 // unreachable
+  }
+
+  /** ADD A NESTED FIELD to an existing struct column — a METADATA-ONLY
+    * commit, the Iceberg add-nested-field contract reduced to the line
+    * format: the struct's type name in `#schema` grows one TRAILING
+    * field; cells written before the evolution simply have fewer
+    * sub-cells inside their parens, so the positional decoder
+    * null-fills the new leaf for free (the same era rule the
+    * top-level line follows), and time travel to a pre-evolution
+    * snapshot sees the old struct shape. `path` addresses the struct
+    * by dotted name (`meta` or `meta.source` for a nested target);
+    * the new field lands at the END of the addressed struct. Because
+    * the field is appended, existing physical slots never move and
+    * the column's cell encoding stays decodable by every era's
+    * schema. CAS + retry; returns the committed version. */
+  def addNestedField(dir: String, path: String, fieldName: String,
+                     dataType: DataType, maxRetries: Int = 10): Int = {
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val parts = path.split('.')
+    require(parts.nonEmpty && fieldName.nonEmpty,
+      "gdx addNestedField: empty path or field name")
+    var attempt = 0
+    while (true) {
+      val vs = listVersions(dir, conf)
+      require(vs.nonEmpty, s"gdx addNestedField: no snapshot under $dir")
+      decideStaleTxn(dir, conf, vs.max) // claim-aware maintenance
+      val readV = vs.max
+      val cur = committedSchema(dir, conf, readV)
+      def grow(st: StructType, depth: Int): StructType =
+        if (depth == parts.length) {
+          require(!st.fieldNames.exists(_.equalsIgnoreCase(fieldName)),
+            s"gdx addNestedField: field $fieldName already exists " +
+              s"in $path")
+          StructType(st.fields :+ StructField(fieldName, dataType))
+        } else {
+          val i = st.fieldNames.indexWhere(
+            _.equalsIgnoreCase(parts(depth)))
+          require(i >= 0, s"gdx addNestedField: no field " +
+            s"'${parts(depth)}' under ${parts.take(depth).mkString(".")}")
+          st.fields(i).dataType match {
+            case nested: StructType => StructType(st.fields.updated(i,
+              st.fields(i).copy(dataType = grow(nested, depth + 1))))
+            case other => throw new IllegalArgumentException(
+              s"gdx addNestedField: ${parts.take(depth + 1).mkString(".")}" +
+                s" is ${other.catalogString}, not a struct")
+          }
+        }
+      val evolved = grow(cur, 0)
+      // validate the evolved struct renders (leaf vocabulary, names)
+      typeNameOf(evolved.fields(
+        cur.fieldNames.indexWhere(_.equalsIgnoreCase(parts(0))))
+        .dataType)
+      val lines = headerLines(evolved,
+        committedConstraints(dir, conf, readV),
+        committedColmap(dir, conf, readV),
+        committedPartitionCol(dir, conf, readV)) ++
+        committedEntries(dir, conf, readV).map(_.manifestLine)
+      if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
+        writeLines(fs, manifest(dir), lines)
+        return readV + 1
+      }
+      attempt += 1
+      if (attempt > maxRetries) throw new GdxConcurrentModificationException(
+        s"gdx addNestedField: lost the publish race $maxRetries times")
     }
     -1 // unreachable
   }
@@ -5992,14 +6324,19 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
     .map(d => GdxSource.readDvPositions(fs, new Path(d)))
     .getOrElse(java.util.Collections.emptySet[Long]())
   private var lineIdx = -1L
-  // per-output-slot (table field index, type), resolved once against
-  // the snapshot's schema; a file written pre-evolution simply has
-  // fewer fields than the schema — missing slots read as NULL
-  private val slots: Array[(Int, DataType)] = {
+  // per-output-slot (table field index, REQUESTED type, STORED type),
+  // resolved once against the snapshot's schema; a file written
+  // pre-evolution simply has fewer fields than the schema — missing
+  // slots read as NULL. The stored type matters for struct columns:
+  // Catalyst's nested schema pruning may request a NARROWED struct,
+  // and the cell must decode by the stored positional layout before
+  // projecting the requested sub-fields.
+  private val slots: Array[(Int, DataType, DataType)] = {
     val idx = tableSchema.fieldNames.zipWithIndex.toMap
     required.fields.map { f =>
-      (idx.getOrElse(f.name, throw new IllegalArgumentException(
-        s"gdx read: unknown required column '${f.name}'")), f.dataType)
+      val fi = idx.getOrElse(f.name, throw new IllegalArgumentException(
+        s"gdx read: unknown required column '${f.name}'"))
+      (fi, f.dataType, tableSchema.fields(fi).dataType)
     }
   }
   // INITIAL DEFAULTS, resolved once per task: a row in a file written
@@ -6017,11 +6354,15 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
     val vals = new Array[Any](slots.length)
     var i = 0
     while (i < slots.length) {
-      val (fi, dt) = slots(i)
+      val (fi, dt, stored) = slots(i)
       vals(i) =
         if (fi >= fields.length) slotDefaults(i)
         else if (fields(fi) == GdxSource.NullMarker) null
-        else GdxSource.parseInternalCell(dt, fields(fi))
+        else (dt, stored) match {
+          case (rq: StructType, sv: StructType) if rq ne sv =>
+            GdxSource.parseStructInternal(sv, rq, fields(fi))
+          case _ => GdxSource.parseInternalCell(dt, fields(fi))
+        }
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
@@ -6574,7 +6915,7 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     var rows = 0L
     var minK = Long.MaxValue
     var maxK = Long.MinValue
-    val ext = new GdxSource.ExtStatAcc(extIdx.length, extKinds)
+    val ext = new GdxSource.ExtStatAcc(lanes.length, lanes.map(_.kind))
     // per-LONG-column running SUM + non-null count (k included) for
     // metadata-only SUM/COUNT(col) — exact by construction; a Long
     // overflow poisons the column's entry (absence = fall back)
@@ -6586,7 +6927,7 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     val bloom = new Array[Byte](GdxBloom.Bits / 8)
 
     def entry: (String, GdxFileStats) = {
-      val extMap = ext.result(e => schema(extIdx(e)).name)
+      val extMap = ext.result(e => lanes(e).name)
       val sums = sumIdx.indices.iterator.filterNot(sumBad).map { e =>
         schema(sumIdx(e)).name -> (sumL(e), sumN(e))
       }.toMap
@@ -6594,18 +6935,16 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     }
   }
 
-  // extended zone maps: min/max per additional ORDERABLE column
-  // (string columns are skipped — k covers the key path and long
-  // string extrema would bloat every manifest line), NULLs excluded,
+  // extended zone maps: min/max per additional ORDERABLE column AND
+  // per orderable STRUCT LEAF (dotted names — the form Spark pushes
+  // nested predicates under), NULLs at any nesting step excluded,
   // tracked exactly in the column's own canonical form
   // ([[GdxSource.extStatKind]]: longs/dates/timestamps/booleans in
   // the long lane, doubles with the NaN-poison rule, decimals as
   // exact big decimals). A column that never sees a non-null value
   // publishes nothing (absence = cannot prune).
-  private val extIdx: Array[Int] = schema.fields.zipWithIndex.drop(1)
-    .collect { case (f, i) if GdxSource.extStatKind(f.dataType) >= 0 => i }
-  private val extKinds: Array[Int] =
-    extIdx.map(i => GdxSource.extStatKind(schema(i).dataType))
+  private val lanes: Array[GdxSource.StatLane] =
+    GdxSource.statLanes(schema)
 
   // every LONG column (k included) carries a per-file SUM + non-null
   // count; doubles are deliberately excluded — float sums are
@@ -6657,19 +6996,8 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     if (k > sink.maxK) sink.maxK = k
     GdxBloom.set(sink.bloom, k)
     var e = 0
-    while (e < extIdx.length) {
-      val i = extIdx(e)
-      if (!r.isNullAt(i)) {
-        extKinds(e) match {
-          case 0 => sink.ext.addL(e,
-            GdxSource.longReprInternal(schema(i).dataType, r, i))
-          case 1 => sink.ext.addD(e, r.getDouble(i))
-          case _ =>
-            val d = schema(i).dataType.asInstanceOf[DecimalType]
-            sink.ext.addB(e,
-              r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal)
-        }
-      }
+    while (e < lanes.length) {
+      GdxSource.addLaneInternal(sink.ext, e, lanes(e), r)
       e += 1
     }
     var se = 0

@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.GdxSource
+
+/** Nested STRUCT columns: recursive `struct<a:long,...>` type names in
+  * the schema line, canonical parenthesized positional cells (`\N`
+  * sub-nulls never collide with NULL cells), nested schema pruning
+  * through the DSv2 reader, zone maps on numeric LEAF fields under
+  * their dotted names, the DML substrate over struct cells, trailing
+  * nested-field evolution with era null-fill, and loud refusals for
+  * the vocabulary the positional decoder cannot invert. */
+class GdxStructColumnSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val fmt = "graft.sources.GdxSource"
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"gdxst_$tag").toString + "/t"
+  private def conf = GdxSource.driverConf()
+  private def read(dir: String) =
+    spark.read.format(fmt).option("path", dir).load()
+
+  private val meta = StructType(Seq(
+    StructField("score", DoubleType),
+    StructField("src", StructType(Seq(
+      StructField("url", StringType),
+      StructField("domain", StringType)))),
+    StructField("tokens", LongType)))
+
+  private def df(rows: Seq[org.apache.spark.sql.Row]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("k", LongType),
+        StructField("v", StringType), StructField("meta", meta))))
+
+  import org.apache.spark.sql.Row
+
+  test("structs round-trip: nested struct, null struct, null leaves, " +
+      "decimal/date leaves; cells are canonical parenthesized text") {
+    val dir = freshDir("rt")
+    df(Seq(
+      Row(1L, "a", Row(0.9, Row("http://x/1", "x"), 42L)),
+      Row(2L, "b", Row(null, Row(null, "y"), 7L)),
+      Row(3L, "c", null)))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val back = read(dir).orderBy("k").collect()
+    assert(back(0).getStruct(2).getDouble(0) === 0.9)
+    assert(back(0).getStruct(2).getStruct(1).getString(0) === "http://x/1")
+    assert(back(0).getStruct(2).getLong(2) === 42L)
+    assert(back(1).getStruct(2).isNullAt(0))
+    assert(back(1).getStruct(2).getStruct(1).isNullAt(0))
+    assert(back(1).getStruct(2).getStruct(1).getString(1) === "y")
+    assert(back(2).isNullAt(2))
+    // the raw cell is the canonical parenthesized form
+    val line1 = new java.io.File(dir).listFiles().toSeq
+      .filter(_.getName.endsWith(".gdx"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toList)
+      .find(_.startsWith("1\t")).get
+    assert(line1.split('\t')(2) === "(0.9,(http://x/1,x),42)")
+    // typed leaves beyond the basics survive the round trip
+    val dir2 = freshDir("rt2")
+    val st2 = StructType(Seq(StructField("d", DateType),
+      StructField("amt", DecimalType(10, 2)),
+      StructField("ok", BooleanType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "a",
+        Row(java.sql.Date.valueOf("2024-03-01"),
+          new java.math.BigDecimal("12.50"), true))), 1),
+      StructType(Seq(StructField("k", LongType),
+        StructField("v", StringType), StructField("t", st2))))
+      .write.format(fmt).option("path", dir2).mode("overwrite").save()
+    val r2 = read(dir2).select("t.d", "t.amt", "t.ok").head
+    assert(r2.getDate(0) === java.sql.Date.valueOf("2024-03-01"))
+    assert(r2.getDecimal(1) === new java.math.BigDecimal("12.50"))
+    assert(r2.getBoolean(2))
+  }
+
+  test("nested schema pruning: a leaf-only select plans a narrowed " +
+      "struct and reads correct values") {
+    val dir = freshDir("prune")
+    df((1L to 50L).map(i =>
+      Row(i, s"v$i", Row(i / 10.0, Row(s"http://x/$i", "x"), i))))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val q = read(dir).select(col("k"), col("meta.tokens"))
+    // Catalyst's nested schema pruning narrows the struct to the
+    // requested leaf; the reader decodes by the STORED layout and
+    // projects — values must match either way
+    assert(q.orderBy("k").collect().map(_.getLong(1)).toSeq ===
+      (1L to 50L).toSeq)
+    val readSchemas = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan.readSchema()
+    }
+    assert(readSchemas.nonEmpty)
+    val metaRead = readSchemas.head("meta").dataType
+      .asInstanceOf[StructType]
+    assert(metaRead.fieldNames.toSeq === Seq("tokens"),
+      s"expected the struct narrowed to the requested leaf: $metaRead")
+  }
+
+  test("zone maps on numeric struct leaves prune files under dotted " +
+      "names; a leaf predicate never loses rows") {
+    val dir = freshDir("zm")
+    // 4 files with disjoint meta.tokens ranges
+    (0 until 4).foreach { b =>
+      df((1L to 25L).map { i =>
+        val t = b * 1000L + i
+        Row(b * 25L + i, s"v$i", Row(t / 10.0, Row(s"u$i", "x"), t))
+      }).coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+    }
+    val (kept, all) = GdxSource.plannedFiles(dir, Seq(
+      org.apache.spark.sql.sources.GreaterThan("meta.tokens", 3000L)))
+    assert(all === 4 && kept === 1, s"expected 1/4 files, got $kept/$all")
+    val (keptD, _) = GdxSource.plannedFiles(dir, Seq(
+      org.apache.spark.sql.sources.LessThan("meta.score", 100.0)))
+    assert(keptD === 1, s"double leaf lane: expected 1, got $keptD")
+    // correctness through the engine: the filter result matches a
+    // full-scan filter (skipping is an overlay, not the boundary)
+    val got = read(dir).filter(col("meta.tokens") > 3000L).count()
+    assert(got === 25L)
+  }
+
+  test("DML on a nested predicate: UPDATE and DELETE keyed on a leaf; " +
+      "the changefeed carries struct cells") {
+    val dir = freshDir("dml")
+    df((1L to 20L).map(i =>
+      Row(i, s"v$i", Row(i / 10.0, Row(s"u$i", if (i % 2 == 0) "even"
+        else "odd"), i))))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    GdxSource.update(spark, dir,
+      col("meta.src.domain") === "even",
+      Map("v" -> lit("flagged")))
+    assert(read(dir).filter(col("v") === "flagged").count() === 10L)
+    val (delV, _) = GdxSource.delete(spark, dir, col("meta.tokens") <= 5L)
+    assert(read(dir).count() === 15L)
+    // the feed surfaces an UPDATE as delete(pre) + insert(post): 10
+    // update pre-images + 5 true deletes (whose pre-images for k=2,4
+    // carry the updated v); struct leaves are readable on every row
+    val feed = GdxSource.tableChanges(spark, dir, 0, delV)
+    assert(feed.filter(col("change_type") === "delete").count() === 15L)
+    assert(feed.filter(col("change_type") === "delete")
+      .filter(col("meta.tokens") <= 5L)
+      .filter(col("v") =!= "flagged").count() === 5L)
+    assert(feed.filter(col("change_type") === "insert")
+      .filter(col("v") === "flagged")
+      .filter(col("meta.src.domain") === "even").count() === 10L)
+  }
+
+  test("addNestedField: era rows null-fill the trailing leaf, new " +
+      "writes carry it, time travel sees the old shape") {
+    val dir = freshDir("evo")
+    df(Seq(Row(1L, "a", Row(0.5, Row("u1", "x"), 10L))))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val v2 = GdxSource.addNestedField(dir, "meta", "lang", StringType)
+    val evolved = GdxSource.committedSchema(dir, conf)
+    val metaT = evolved("meta").dataType.asInstanceOf[StructType]
+    assert(metaT.fieldNames.toSeq ===
+      Seq("score", "src", "tokens", "lang"))
+    // era read: the pre-evolution cell has 3 sub-cells; lang is NULL
+    assert(read(dir).select("meta.lang").head.isNullAt(0))
+    // nested-nested: add under meta.src too
+    GdxSource.addNestedField(dir, "meta.src", "tld", StringType)
+    assert(read(dir).select("meta.src.tld").head.isNullAt(0))
+    // a new write carries the evolved shape end-to-end
+    val metaT3 = GdxSource.committedSchema(dir, conf)("meta")
+      .dataType.asInstanceOf[StructType]
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, "b",
+        Row(0.7, Row("u2", "y", "com"), 20L, "en"))), 1),
+      StructType(Seq(StructField("k", LongType),
+        StructField("v", StringType), StructField("meta", metaT3))))
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val r = read(dir).filter(col("k") === 2L)
+      .select("meta.lang", "meta.src.tld").head
+    assert(r.getString(0) === "en" && r.getString(1) === "com")
+    // time travel to the pre-evolution snapshot: old struct shape
+    val tt = spark.read.format(fmt).option("path", dir)
+      .option("version", (v2 - 1).toString).load()
+    assert(tt.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("score", "src", "tokens"))
+    // refusals: missing path, non-struct path, duplicate field
+    intercept[IllegalArgumentException](
+      GdxSource.addNestedField(dir, "nope", "x", LongType))
+    intercept[IllegalArgumentException](
+      GdxSource.addNestedField(dir, "meta.tokens", "x", LongType))
+    intercept[IllegalArgumentException](
+      GdxSource.addNestedField(dir, "meta", "lang", StringType))
+  }
+
+  test("catalog SQL: CREATE TABLE with STRUCT, nested ADD COLUMN, " +
+      "UPDATE keyed on a nested field") {
+    val wh = graft.Scratch.tablePath("gdxst_sql_")
+    val cat = "gdx_st"
+    val s = graft.Sessions.pinned(
+      org.apache.spark.sql.graft.ColumnBridge
+        .sessionWithExtensions(spark, new GraftExtensions()),
+      s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+      s"spark.sql.catalog.$cat.warehouse" -> wh)
+    s.sql(s"CREATE NAMESPACE $cat.lab")
+    s.sql(s"""CREATE TABLE $cat.lab.docs (k BIGINT, v STRING,
+      meta STRUCT<score: DOUBLE, src: STRUCT<url: STRING,
+        domain: STRING>, tokens: BIGINT>)""")
+    s.sql(s"""INSERT INTO $cat.lab.docs VALUES
+      (1, 'a', named_struct('score', 0.9,
+        'src', named_struct('url', 'http://x/1', 'domain', 'x'),
+        'tokens', 42L)),
+      (2, 'b', named_struct('score', 0.2,
+        'src', named_struct('url', 'http://y/2', 'domain', 'y'),
+        'tokens', 7L))""")
+    assert(s.sql(s"SELECT meta.src.domain FROM $cat.lab.docs " +
+      "WHERE meta.tokens > 10").head.getString(0) === "x")
+    s.sql(s"ALTER TABLE $cat.lab.docs ADD COLUMN meta.lang STRING")
+    assert(s.table(s"$cat.lab.docs").schema("meta").dataType
+      .asInstanceOf[StructType].fieldNames.contains("lang"))
+    s.sql(s"UPDATE $cat.lab.docs SET v = 'low' WHERE meta.score < 0.5")
+    assert(s.sql(s"SELECT v FROM $cat.lab.docs WHERE k = 2")
+      .head.getString(0) === "low")
+  }
+
+  test("loud refusals: array/map leaves, ','/parens in string leaves, " +
+      "DEFAULT on a struct, empty struct") {
+    intercept[IllegalArgumentException](GdxSource.typeNameOf(
+      StructType(Seq(StructField("a", ArrayType(LongType))))))
+    intercept[IllegalArgumentException](GdxSource.typeNameOf(
+      StructType(Seq.empty)))
+    intercept[IllegalArgumentException](GdxSource.typeNameOf(
+      StructType(Seq(StructField("a:b", LongType)))))
+    val dir = freshDir("bad")
+    def tryWrite(s: String): Unit = intercept[Exception] {
+      df(Seq(Row(1L, "a", Row(0.1, Row(s, "d"), 1L)))).coalesce(1)
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+    }
+    tryWrite("has,comma")
+    tryWrite("has(paren")
+    tryWrite("\\N")
+    intercept[IllegalArgumentException] {
+      GdxSource.withDefaultCell(StructField("m", meta), "x")
+    }
+    // the schema-line round trip is exact for nested names
+    val spec = GdxSource.schemaSpec(StructType(Seq(
+      StructField("k", LongType), StructField("meta", meta))))
+    assert(GdxSource.parseSchemaSpec(spec).apply("meta").dataType === meta)
+  }
+}
