@@ -3534,6 +3534,71 @@ object RelationalOps extends QueryModule {
         .orderBy("side", "k")
     }),
 
+    // C43 — MULTI-TABLE TRANSACTIONS through the SQL FRONT DOOR: the
+    // exact c36 semantics with zero API calls — `BEGIN TRANSACTION`,
+    // two `INSERT INTO ... SELECT`s targeting DIFFERENT catalog
+    // tables, `COMMIT`; then a `BEGIN / INSERT / ROLLBACK` block whose
+    // rows must never surface. The parser wrapper stages plain INSERTs
+    // on the session while a transaction is open (outside one they
+    // re-dispatch verbatim — the interception is runtime-inert), and
+    // COMMIT reduces every staged write to the format's single-PUT
+    // atomic decision: all tables flip or none. The claims pin the
+    // three ACID-visible facts — staged rows invisible on BOTH tables
+    // before COMMIT, both counts move together at COMMIT, the
+    // rolled-back rows hidden forever. At 100 TB this is the nightly
+    // warehouse load as ONE event — fact + dim + audit rows appear
+    // atomically, via the same SQL any warehouse user already writes.
+    "c43_gdx_txn_sql" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxtxnsql_")
+      val cat = "gdx_c43"
+      val c = graft.Sessions.pinned(s,
+        s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+        s"spark.sql.catalog.$cat.warehouse" -> wh)
+      c.sql(s"CREATE NAMESPACE $cat.lab")
+      c.sql(s"CREATE TABLE $cat.lab.ta (k BIGINT, v STRING)")
+      c.sql(s"CREATE TABLE $cat.lab.tb (k BIGINT, v STRING)")
+      val kv = Tables.events(c, d).select(col("event_id").as("k"),
+        col("event_type").as("v"))
+      val view = "graft_c43_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      kv.createOrReplaceGlobalTempView(view)
+      try {
+        c.sql(s"INSERT INTO $cat.lab.ta SELECT k, v " +
+          s"FROM global_temp.$view WHERE k % 2 = 0")
+        c.sql(s"INSERT INTO $cat.lab.tb SELECT k, v " +
+          s"FROM global_temp.$view WHERE k % 2 = 1")
+        def counts = (c.table(s"$cat.lab.ta").count(),
+          c.table(s"$cat.lab.tb").count())
+        val (aN, bN) = counts
+        c.sql("BEGIN TRANSACTION")
+        c.sql(s"INSERT INTO $cat.lab.ta SELECT k + 1000000000, " +
+          s"'TA_' || v FROM global_temp.$view WHERE k % 10 = 0")
+        c.sql(s"INSERT INTO $cat.lab.tb SELECT k + 1000000000, " +
+          s"'TB_' || v FROM global_temp.$view WHERE k % 10 = 5")
+        // staged rows are INVISIBLE on both tables at once
+        val invisibleBefore = counts == ((aN, bN))
+        c.sql("COMMIT")
+        val (aN2, bN2) = counts
+        val atomicCommit = aN2 > aN && bN2 > bN
+        // the rolled-back block's rows never surface on either table
+        c.sql("BEGIN TRANSACTION")
+        c.sql(s"INSERT INTO $cat.lab.ta VALUES (-5, 'NEVER')")
+        c.sql(s"INSERT INTO $cat.lab.tb VALUES (-6, 'NEVER')")
+        c.sql("ROLLBACK")
+        val abortHidden = counts == ((aN2, bN2))
+        c.table(s"$cat.lab.ta").withColumn("side", lit("a"))
+          .unionByName(c.table(s"$cat.lab.tb")
+            .withColumn("side", lit("b")))
+          .withColumn("invisible_before", lit(invisibleBefore))
+          .withColumn("atomic_commit", lit(atomicCommit))
+          .withColumn("abort_hidden", lit(abortHidden))
+          .orderBy("side", "k")
+      } finally {
+        kv.sparkSession.catalog.dropGlobalTempView(view)
+        ()
+      }
+    }),
+
     // C37 — EMBEDDING (ARRAY) COLUMNS in the GDX format: the training-
     // data table shape the typed tier was missing — ARRAY<FLOAT>
     // vectors stored as first-class cells (comma-joined shortest-
@@ -4957,6 +5022,22 @@ object RelationalOps extends QueryModule {
     // committed transactional block; the aborted rows never appear;
     // claims pinned TRUE
     "c36_gdx_multi_table_txn" ->
+      """WITH kv AS (SELECT event_id AS k, event_type AS v FROM events),
+        |a AS (SELECT 'a' AS side, k, v FROM kv WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT 'a', k + 1000000000, 'TA_' || v FROM kv
+        |  WHERE k % 10 = 0),
+        |b AS (SELECT 'b' AS side, k, v FROM kv WHERE k % 2 = 1
+        |  UNION ALL
+        |  SELECT 'b', k + 1000000000, 'TB_' || v FROM kv
+        |  WHERE k % 10 = 5)
+        |SELECT side, k, v, TRUE AS invisible_before,
+        |  TRUE AS atomic_commit, TRUE AS abort_hidden
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |ORDER BY side, k""".stripMargin,
+    // the same tables recomputed: the SQL-staged blocks equal c36's
+    // API-staged blocks; rolled-back rows never appear; claims pinned
+    "c43_gdx_txn_sql" ->
       """WITH kv AS (SELECT event_id AS k, event_type AS v FROM events),
         |a AS (SELECT 'a' AS side, k, v FROM kv WHERE k % 2 = 0
         |  UNION ALL

@@ -79,6 +79,16 @@ object GdxMaintenanceSql {
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*$""".r
   private val DropMv =
     """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*$""".r
+  // multi-table transactions (free grammar — Spark has none); the
+  // INSERT interception is runtime-inert outside an open transaction
+  private val BeginTxn =
+    """(?is)^\s*(?:BEGIN|START)\s+TRANSACTION\s*;?\s*$""".r
+  private val CommitTxn =
+    """(?is)^\s*COMMIT(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val RollbackTxn =
+    """(?is)^\s*ROLLBACK(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val InsertInto =
+    """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.`]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*?)\s*;?\s*$""".r
 
   /** Some(command) when `sqlText` is one of the engine's maintenance
     * statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY). Plain
@@ -237,6 +247,25 @@ object GdxMaintenanceSql {
     } else if (k1 == "DROP" && k2 == "MATERIALIZED") sqlText match {
       case DropMv(ifExists, name) =>
         Some(DropMvCommand(name, ifExists != null))
+      case _ => None
+    } else if ((k1 == "BEGIN" || k1 == "START") && k2 == "TRANSACTION")
+      sqlText match {
+        case BeginTxn() => Some(GdxBeginTxnCommand())
+        case _ => None
+    } else if (k1 == "COMMIT") sqlText match {
+      case CommitTxn() => Some(GdxCommitTxnCommand())
+      case _ => None
+    } else if (k1 == "ROLLBACK") sqlText match {
+      case RollbackTxn() => Some(GdxRollbackTxnCommand())
+      case _ => None
+    } else if (k1 == "INSERT" && k2 == "INTO") sqlText match {
+      // plain INSERT INTO only (OVERWRITE/REPLACE/partition forms fall
+      // through untouched); the command re-dispatches the original
+      // text verbatim unless a transaction is open on the session
+      case InsertInto(tbl, cols, src) =>
+        Some(GdxTxnInsertCommand(ident(tbl),
+          Option(cols).map(_.trim).filter(_.nonEmpty), src)(
+          sqlText, delegate))
       case _ => None
     } else None
   }

@@ -191,6 +191,55 @@ class GdxTxnSpec extends SparkSuite {
     }
   }
 
+  test("SQL front door: BEGIN TRANSACTION stages INSERTs invisibly, " +
+      "COMMIT flips every table at once, ROLLBACK surfaces nothing, " +
+      "and outside a transaction INSERT behaves natively") {
+    val wh = graft.Scratch.tablePath("gdxtxn_sql_")
+    val cat = "gdx_txnsql"
+    val s = graft.Sessions.pinned(
+      org.apache.spark.sql.graft.ColumnBridge
+        .sessionWithExtensions(spark, new GraftExtensions()),
+      s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+      s"spark.sql.catalog.$cat.warehouse" -> wh)
+    s.sql(s"CREATE NAMESPACE $cat.lab")
+    s.sql(s"CREATE TABLE $cat.lab.facts (k BIGINT, v STRING)")
+    s.sql(s"CREATE TABLE $cat.lab.audit (k BIGINT, v STRING)")
+    // outside any transaction, INSERT is the native eager statement
+    s.sql(s"INSERT INTO $cat.lab.facts VALUES (1, 'base')")
+    assert(s.table(s"$cat.lab.facts").count() === 1L)
+    // staged block: nothing surfaces on EITHER table until COMMIT
+    s.sql("BEGIN TRANSACTION")
+    s.sql(s"INSERT INTO $cat.lab.facts VALUES (2, 'f2'), (3, 'f3')")
+    s.sql(s"INSERT INTO $cat.lab.audit SELECT k + 100, v " +
+      s"FROM $cat.lab.facts VERSION AS OF 2 WHERE k = 1")
+    s.sql(s"INSERT INTO $cat.lab.facts VALUES (4, 'f4')") // same table
+    assert(s.table(s"$cat.lab.facts").count() === 1L,
+      "staged rows leaked before COMMIT")
+    assert(s.table(s"$cat.lab.audit").count() === 0L)
+    val committed = s.sql("COMMIT").collect()
+    assert(committed.length === 2) // one row per table
+    assert(s.table(s"$cat.lab.facts").count() === 4L)
+    assert(s.table(s"$cat.lab.audit").count() === 1L)
+    assert(s.table(s"$cat.lab.audit").head.getLong(0) === 101L)
+    // ROLLBACK: the staged write never surfaces anywhere
+    s.sql("BEGIN TRANSACTION")
+    s.sql(s"INSERT INTO $cat.lab.facts VALUES (-1, 'never')")
+    s.sql("ROLLBACK")
+    assert(s.table(s"$cat.lab.facts").filter("k = -1").count() === 0L)
+    // empty transaction commits as a no-op
+    s.sql("START TRANSACTION")
+    assert(s.sql("COMMIT").collect().isEmpty)
+    // loud refusals: double BEGIN, COMMIT with no transaction,
+    // column-list INSERT inside a transaction
+    s.sql("BEGIN TRANSACTION")
+    intercept[Exception](s.sql("BEGIN TRANSACTION"))
+    intercept[Exception](
+      s.sql(s"INSERT INTO $cat.lab.facts (k, v) VALUES (9, 'x')"))
+    s.sql("ROLLBACK")
+    intercept[Exception](s.sql("COMMIT"))
+    intercept[Exception](s.sql("ROLLBACK"))
+  }
+
   test("overwrite and append stage together; transact is the one-call " +
       "form") {
     val a = freshDir("oa"); val b = freshDir("ob")
