@@ -3453,6 +3453,16 @@ object RelationalOps extends QueryModule {
           s.read.format(fmt).option("path", dir).load().count() ==
             mainCount &&
           gdx.listVersions(dir, gdx.driverConf()).max == 1
+        // the audit query itself never leaves SQL: VERSION AS OF a
+        // BRANCH NAME reads the branch head (tags keep priority;
+        // numbers stay main-history versions), and it must agree with
+        // the branch's own DataFrame read while differing from main
+        val sqlBranchCount = s.sql(
+          s"SELECT count(*) FROM $tbl VERSION AS OF 'wap'")
+          .head.getLong(0)
+        val branchSqlRead = sqlBranchCount ==
+          s.read.format(fmt).option("path", dir).option("branch", "wap")
+            .load().count() && sqlBranchCount != mainCount
         s.sql(s"ALTER TABLE $tbl PUBLISH BRANCH wap")
         val publishMetaOnly =
           gdx.listVersions(dir, gdx.driverConf()) == Seq(1, 2)
@@ -3470,6 +3480,7 @@ object RelationalOps extends QueryModule {
         } catch { case _: Exception => true }
         s.read.format(fmt).option("path", dir).load()
           .withColumn("main_untouched_during_audit", lit(auditOk))
+          .withColumn("branch_sql_read", lit(branchSqlRead))
           .withColumn("publish_meta_only", lit(publishMetaOnly))
           .withColumn("conflict_refused", lit(conflictRefused))
           .orderBy("k")
@@ -5065,7 +5076,8 @@ object RelationalOps extends QueryModule {
         |fin AS (SELECT * FROM pub UNION ALL
         |  SELECT -1, 'MAIN', CAST(0.0 AS DOUBLE))
         |SELECT k, v, w, TRUE AS main_untouched_during_audit,
-        |  TRUE AS publish_meta_only, TRUE AS conflict_refused
+        |  TRUE AS branch_sql_read, TRUE AS publish_meta_only,
+        |  TRUE AS conflict_refused
         |FROM fin ORDER BY k""".stripMargin,
     // the curated-corpus top-k recomputed on the parquet directly:
     // same label-7 drop, same rounded cosines and ranking; the

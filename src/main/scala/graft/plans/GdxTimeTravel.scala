@@ -105,6 +105,19 @@ class GdxTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val r = spark.read.format("graft.sources.GdxSource")
             .option("path", path)
           val pinned = orig.version match {
+            // a non-numeric ref may name a BRANCH HEAD: `SELECT ...
+            // FROM t VERSION AS OF 'audit'` reads the branch's own
+            // latest snapshot — the WAP audit query without leaving
+            // SQL. Tags keep priority (they are the established
+            // VERSION AS OF semantic; a name that is BOTH is refused
+            // loudly by the reader's tag resolution being tried
+            // first), and numbers stay main-history versions.
+            case Some(v) if v.trim.toIntOption.isEmpty &&
+                !graft.sources.GdxSource.listTags(path,
+                  graft.sources.GdxSource.driverConf()).contains(v.trim) &&
+                graft.sources.GdxSource.listBranches(path,
+                  graft.sources.GdxSource.driverConf()).contains(v.trim) =>
+              r.option("branch", v.trim)
             case Some(v) => r.option("version", v)
             case None => r.option("asOf",
               GdxTimeTravel.asOfValue(orig.timestamp.getOrElse(

@@ -139,6 +139,23 @@ class GdxBranchSpec extends SparkSuite {
         .write.format(fmt).option("path", dir).option("branch", "wap")
         .mode("append").save()
       assert(s.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 30L)
+      // the audit query stays IN SQL: VERSION AS OF a branch name
+      // reads the branch head while main is untouched
+      assert(s.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 'wap'")
+        .head.getLong(0) === 31L)
+      assert(s.sql(s"SELECT v FROM $tbl VERSION AS OF 'wap' " +
+        "WHERE k = 777").head.getString(0) === "audited")
+      // a TAG with the same machinery keeps priority over branches
+      // and numbers keep resolving as main-history versions
+      s.sql(s"ALTER TABLE $tbl CREATE TAG pinned VERSION AS OF 1")
+      assert(s.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 'pinned'")
+        .head.getLong(0) === 30L)
+      assert(s.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1")
+        .head.getLong(0) === 30L)
+      // an unknown name is still the loud tag error, not a silent scan
+      intercept[Exception](
+        s.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 'ghost'")
+          .collect())
       assert(s.sql(s"ALTER TABLE $tbl PUBLISH BRANCH wap").head.getLong(0)
         === 2L)
       assert(s.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 31L)
