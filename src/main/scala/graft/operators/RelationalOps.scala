@@ -2061,12 +2061,23 @@ object RelationalOps extends QueryModule {
       finally sext.sql(s"DROP TABLE IF EXISTS $tbl")
       val (keptOpt, allOpt) = gdx.plannedFiles(dir, band)
       val optOk = keptOpt > 0 && keptOpt < allOpt
+      // INCREMENTAL recluster audit: after the clean pass, a second
+      // OPTIMIZE is a provable no-op (every file's range is disjoint
+      // — the overlap closure is empty, zero files rewritten), the
+      // PruneAudit-style untouched-file count at work
+      val cleanNames = gdx.committedEntries(dir, gdx.driverConf())
+        .map(_.name).toSet
+      val (rb, ra) = gdx.optimizeClustered(s, dir, Seq("w"), 8)
+      val incrementalOk = rb == ra &&
+        gdx.committedEntries(dir, gdx.driverConf()).map(_.name).toSet ==
+          cleanNames
       s.read.format(fmt).option("path", dir).load()
         .filter(col("w") >= 25.0 && col("w") < 46.0)
         .groupBy("v")
         .agg(count(lit(1)).as("n"), Sql.dsum(col("w"), 6).as("sum_w"))
         .withColumn("clustered_prunes", lit(clusteredPrunes))
         .withColumn("optimize_recluster_ok", lit(optOk))
+        .withColumn("recluster_incremental", lit(incrementalOk))
         .orderBy("v")
     }),
 
@@ -5149,7 +5160,8 @@ object RelationalOps extends QueryModule {
     "s42_gdx_cluster_by" ->
       s"""SELECT event_type AS v, count(*) AS n,
          |  ${graft.Sql.oSum("round(value, 6)", 6)} AS sum_w,
-         |  TRUE AS clustered_prunes, TRUE AS optimize_recluster_ok
+         |  TRUE AS clustered_prunes, TRUE AS optimize_recluster_ok,
+         |  TRUE AS recluster_incremental
          |FROM events WHERE round(value, 6) >= 25.0
          |  AND round(value, 6) < 46.0
          |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -3022,23 +3022,107 @@ object GdxSource {
     }
   }
 
-  /** `OPTIMIZE t` under a declared CLUSTER BY: rewrite the snapshot
-    * RANGE-clustered lexicographically on the cluster columns (for
-    * one or two columns this beats the Morton curve — each file owns
-    * one contiguous run of the leading column). Same CAS'd
-    * truncate-commit as every other rewrite. */
+  /** `OPTIMIZE t` under a declared CLUSTER BY — INCREMENTAL: rewrite
+    * ONLY the unclustered tail. A file whose leading-cluster-column
+    * zone-map range overlaps no other file's is already where a
+    * recluster would put it — it is carried by reference, untouched.
+    * The rewrite set is the OVERLAP CLOSURE (interval-merge clusters
+    * of ≥ 2 files) plus anything that cannot prove cleanliness
+    * (missing stats, zero-row seeds, DV carriers — their deletes fold
+    * in), range-clustered lexicographically on the cluster columns
+    * (for one or two columns this beats the Morton curve — each file
+    * owns one contiguous run of the leading column) and committed as
+    * untouched ++ rewritten under CAS. After one clean recluster, a
+    * daily OPTIMIZE touches only the day's appends — at 100 TB the
+    * recluster costs the delta, not the decade (s40's bin-pack rule
+    * applied to layout). Returns (files before, files after). */
   def optimizeClustered(spark: SparkSession, dir: String,
-                        by: Seq[String], target: Int = 8): (Int, Int) =
-    rewriteWithCas(dir) { readV =>
-      import org.apache.spark.sql.functions.col
-      val before = committedEntries(dir, driverConf()).size
-      val df = snapshotReader(spark, dir, readV)
-      by.foreach(c => require(df.schema.fieldNames.contains(c),
+                        by: Seq[String], target: Int = 8): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    require(by.nonEmpty, "gdx optimize: no cluster columns")
+    val conf0 = driverConf()
+    val sconf = new SerializableHadoopConf(conf0)
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf0)
+    val head = by.head
+    var attempt = 0
+    while (true) {
+      val vs = listVersions(dir, conf0)
+      require(vs.nonEmpty, s"gdx optimize: no snapshot under $dir")
+      decideStaleTxn(dir, conf0, vs.max)
+      val readV = vs.max
+      val entries = committedEntries(dir, conf0, readV)
+      val md = readManifest(fs, manifestFor(dir, readV))
+      val tblSchema = md.schema.getOrElse(schema)
+      val tblColmap = md.colmap
+      by.foreach(c => require(tblSchema.fieldNames.contains(c),
         s"gdx optimize: no cluster column $c"))
-      Some((before,
-        df.repartitionByRange(target, by.map(col): _*)
-          .sortWithinPartitions(by.map(col): _*)))
+      val before = entries.size
+      def dec(s: String): Option[BigDecimal] =
+        try Some(BigDecimal(s)) catch {
+          case _: NumberFormatException => None }
+      def range(e: GdxFileEntry): Option[(BigDecimal, BigDecimal)] =
+        e.stats.filter(_.rows > 0).flatMap(_.cols.get(head))
+          .flatMap { case (mn, mx) => dec(mn).zip(dec(mx)) }
+      // interval-merge on the leading column: clusters of ≥2 ranged
+      // files must co-rewrite (their rows interleave); a singleton
+      // cluster is PROVABLY clean and is carried untouched
+      val ranged = entries.flatMap(e => range(e).map(r => (e, r)))
+        .sortBy(_._2._1)
+      val overlapping = Seq.newBuilder[GdxFileEntry]
+      var clusterEnd: BigDecimal = null
+      var clusterMembers = List.empty[GdxFileEntry]
+      def flush(): Unit = {
+        if (clusterMembers.lengthCompare(1) > 0)
+          overlapping ++= clusterMembers
+        clusterMembers = Nil
+      }
+      ranged.foreach { case (e, (mn, mx)) =>
+        if (clusterEnd == null || mn > clusterEnd) flush()
+        clusterMembers ::= e
+        clusterEnd = if (clusterEnd == null || mx > clusterEnd) mx
+          else clusterEnd
+      }
+      flush()
+      val unproven = entries.filter(e =>
+        range(e).isEmpty || e.dv.isDefined ||
+          e.stats.exists(_.rows == 0L))
+      val rewriteNames =
+        (overlapping.result() ++ unproven).map(_.name).toSet
+      val rewriteSet = entries.filter(e => rewriteNames(e.name))
+      if (rewriteSet.isEmpty) return (before, before)
+      // output-file budget proportional to the rewritten share, so a
+      // small delta recluster emits delta-sized files, not 1/target
+      // of the table per file
+      val totalRows = entries.flatMap(_.stats).map(_.rows).sum
+      val subsetRows = rewriteSet.flatMap(_.stats).map(_.rows).sum
+      val bins =
+        if (totalRows <= 0 || rewriteSet.exists(_.stats.isEmpty)) target
+        else math.max(1, math.min(target.toLong,
+          (target * subsetRows + totalRows - 1) / totalRows).toInt)
+      val rewritten = writeDataFiles(
+        liveFrame(spark, dir, rewriteSet, tblSchema, sconf, tblColmap)
+          .drop("_file", "_pos")
+          .repartitionByRange(bins, by.map(col): _*)
+          .sortWithinPartitions(by.map(col): _*),
+        dir, tblSchema, sconf, tblColmap)
+      val updated = entries.filterNot(e => rewriteNames(e.name)) ++
+        rewritten
+      val lines = headerLines(tblSchema, md.checks, tblColmap,
+        md.partitionCol) ++
+        updated.sortBy(_.name).map(_.manifestLine)
+      if (publishExclusive(fs, conf0, manifestFor(dir, readV + 1),
+          lines)) {
+        writeLines(fs, manifest(dir), lines)
+        return (before, updated.size)
+      }
+      decideStaleTxn(dir, conf0, readV + 1)
+      attempt += 1
+      if (attempt > 10) throw new GdxConcurrentModificationException(
+        s"gdx optimize: lost the publish race 10 times on $dir")
     }
+    (-1, -1) // unreachable
+  }
 
   /** Bloom-sidecar point-lookup pruning: for every pushed
     * `k = x` / `k IN (…)` predicate, drop files whose sidecar proves
@@ -3279,7 +3363,11 @@ object GdxSource {
         manifestFor(dir, readV + 1), lines)
       if (published) {
         writeLines(fs, manifest(dir), lines)
-        return (readV + 1, newDvs.map(_._3).sum)
+        val touched = newDvs.map(_._3).sum
+        // only a DELETE removes rows (UPDATE rewrites them 1:1) —
+        // a large one invalidates the ANALYZE sidecar
+        if (rewrite.isEmpty) decayColStats(dirStr, conf0, touched)
+        return (readV + 1, touched)
       }
       attempt += 1 // lost the race; orphan sidecars/files await vacuum
       if (attempt > maxRetries) throw new GdxConcurrentModificationException(
@@ -4143,6 +4231,28 @@ object GdxSource {
     new Path(dir).getFileSystem(conf).delete(colStatsFile(dir), false)
     ()
   }
+
+  /** How many commits the snapshot may move past `analyzed_version`
+    * before the sidecar's NDV/min/max stop serving the CBO (the scan
+    * degrades to manifest-only sizes — never worse than un-ANALYZEd).
+    * Session-configurable: `SET spark.gdx.stats.maxVersionDrift=n`. */
+  private[graft] def statsMaxVersionDrift: Int =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.gdx.stats.maxVersionDrift", "64").toInt
+    catch { case _: Exception => 64 }
+
+  /** Stats hygiene after a row-DELETING commit: a delete that removes
+    * a large share of the analyzed rows makes the sidecar's NDV and
+    * range shape actively misleading (the TRUNCATE rule, scaled), so
+    * ≥ 25% deleted clears it — smaller deletes leave it in place and
+    * the version-drift guard ages it out. Advisory by contract:
+    * failure to clear only costs estimate quality. */
+  private[graft] def decayColStats(dir: String, conf: Configuration,
+                                   deletedRows: Long): Unit =
+    if (deletedRows > 0)
+      readColStats(dir, conf).foreach { ts =>
+        if (deletedRows * 4L >= ts.rowCount) clearColStats(dir, conf)
+      }
 
   /** The table's ANALYZE sidecar, if one exists — one small read,
     * served by every scan's `estimateStatistics` as DSv2 column
@@ -6064,7 +6174,16 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       val m = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      if (!metaOnly) GdxSource.readColStats(path, conf).foreach { ts =>
+      // VERSION-DRIFT GUARD: the sidecar serves only while the scanned
+      // snapshot is within a configurable number of commits of the
+      // ANALYZE (`analyzed_version`) — a long-unanalyzed table degrades
+      // to manifest-only sizes instead of feeding the CBO NDV/ranges
+      // of rows that may be long gone
+      if (!metaOnly) GdxSource.readColStats(path, conf).filter { ts =>
+        val cur = if (version >= 0) version
+          else GdxSource.latestDecidedVersion(path, conf)
+        cur - ts.version <= GdxSource.statsMaxVersionDrift
+      }.foreach { ts =>
         ts.cols.foreach { case (name, cs) =>
           tableSchema.fields.find(_.name == name).foreach { f =>
             val typeOk = scala.util.Try(GdxSource.typeNameOf(f.dataType))

@@ -130,6 +130,47 @@ class GdxClusterBySpec extends SparkSuite {
     assert(GdxSource.clusterByOf(dir2, conf).isEmpty)
   }
 
+  test("incremental recluster: a second OPTIMIZE after one clean pass " +
+      "+ one small append rewrites only the overlap, carrying the " +
+      "clean files by reference") {
+    val dir = freshDir("inc")
+    scattered(4000).write.format(fmt).option("path", dir)
+      .mode("overwrite").save()
+    GdxSource.setClusterBy(dir, Seq("w"))
+    // first pass: everything overlaps (scattered) → full rewrite
+    val (b1, a1) = GdxSource.optimizeClustered(spark, dir, Seq("w"), 8)
+    assert(a1 <= 8 && b1 >= a1)
+    val clean = GdxSource.committedEntries(dir, conf).map(_.name).toSet
+    // already clustered: a repeat pass is a provable NO-OP
+    val (b2, a2) = GdxSource.optimizeClustered(spark, dir, Seq("w"), 8)
+    assert((b2, a2) === (a1, a1), "clean layout must not rewrite")
+    assert(GdxSource.committedEntries(dir, conf).map(_.name).toSet
+      === clean)
+    // one NARROW append overlapping (at most) one clean file's range
+    spark.range(50).select((col("id") + 100000L).as("k"),
+      (col("id") % 5L + 100L).cast("double").as("w"),
+      lit("x").as("v")).coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val (b3, a3) = GdxSource.optimizeClustered(spark, dir, Seq("w"), 8)
+    assert(b3 === a1 + 1)
+    val after = GdxSource.committedEntries(dir, conf).map(_.name).toSet
+    val untouched = clean.intersect(after)
+    // the delta recluster carries ≥ all-but-one clean file untouched
+    assert(untouched.size >= clean.size - 1,
+      s"expected ≥${clean.size - 1} carried files, got ${untouched.size}")
+    assert(a3 <= b3)
+    // layout invariant: after the pass every file's w-range is
+    // disjoint again (a band predicate keeps pruning)
+    val band = Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("w", 500.0: Any),
+      org.apache.spark.sql.sources.LessThan("w", 600.0: Any))
+    val (kept, all) = GdxSource.plannedFiles(dir, band)
+    assert(kept * 2 < all, s"clustered layout must prune ($kept/$all)")
+    // rows survive every pass
+    assert(spark.read.format(fmt).option("path", dir).load().count()
+      === 4050L)
+  }
+
   test("zero-row files are planned away unconditionally") {
     val dir = freshDir("zero")
     Seq((1L, "a")).toDF("k", "v").coalesce(1)

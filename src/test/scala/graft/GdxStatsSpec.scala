@@ -194,6 +194,56 @@ class GdxStatsSpec extends SparkSuite {
     } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("stats lifecycle past TRUNCATE: a large DELETE clears the " +
+      "sidecar, a small one leaves it, and version drift ages it out") {
+    val dir = freshDir("decay")
+    seed(dir)
+    GdxSource.analyzeTable(spark, dir)
+    // a 1% delete leaves the sidecar in place (drift covers aging)
+    GdxSource.delete(spark, dir, col("k") < 10L)
+    assert(GdxSource.readColStats(dir, conf).isDefined)
+    // a ≥25% delete clears it: the plan's estimated rows must no
+    // longer reflect the pre-delete NDV/row shape
+    GdxSource.delete(spark, dir, col("k") < 500L)
+    assert(GdxSource.readColStats(dir, conf).isEmpty)
+    val cbo = Sessions.pinned(spark, "spark.sql.cbo.enabled" -> "true")
+    val est = withActive(cbo)(
+      read(cbo, dir).filter(col("status") === "s7")
+        .queryExecution.optimizedPlan.stats.rowCount)
+    // size-only planning now: no ~1/50 selectivity shrink survives
+    assert(est.isEmpty || est.get.toLong >= 400L,
+      s"stale NDV still steering the estimate: $est")
+
+    // version-drift guard: the sidecar stops serving once the
+    // snapshot moves past the configured ceiling
+    val dir2 = freshDir("drift")
+    seed(dir2, 200)
+    GdxSource.analyzeTable(spark, dir2)
+    def appendOne(): Unit =
+      spark.range(1).select((col("id") + 100000L).as("k"),
+        lit("sx").as("status"), lit(1.0).as("w"),
+        lit(null).cast("date").as("d")).coalesce(1)
+        .write.format(fmt).option("path", dir2).mode("append").save()
+    def kServed(s: org.apache.spark.sql.SparkSession): Boolean =
+      withActive(s)(
+        read(s, dir2).queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation =>
+            r.computeStats().attributeStats
+              .exists(_._1.name == "k")
+        }.getOrElse(false))
+    val tight = Sessions.pinned(spark,
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.gdx.stats.maxVersionDrift" -> "2")
+    assert(kServed(tight), "freshly analyzed: drift 0 must serve")
+    appendOne(); appendOne(); appendOne() // drift 3 > ceiling 2
+    assert(!kServed(tight),
+      "drifted past the ceiling: the sidecar must stand down")
+    // the default ceiling (64) still serves — the guard is the
+    // configurable boundary, not a blanket disable
+    assert(kServed(cbo))
+  }
+
   test("min/max stop being served when the live column's type no " +
       "longer matches the analyzed one; ndv survives; vacuum keeps " +
       "the sidecar") {
