@@ -955,29 +955,53 @@ object TextAnalysis extends QueryModule {
     // Compression-ratio quality signal — the classic cheap proxy for
     // boilerplate/repetition (low ratio) vs natural text: deflate each
     // doc with ONE per-partition Deflater instance (the batch-kernel
-    // shape — codec allocated once, rows streamed through it) and emit
-    // compressed/raw size. zlib output depends on the library build,
-    // so no SQL oracle exists: rows-only, with TextSpec pinning the
-    // discriminative ordering (repetitive ≪ varied) and determinism.
-    // At corpus scale this is a shuffle-free narrow map feeding the
-    // same threshold filters as t_quality.
+    // shape — codec allocated once, rows streamed through it). zlib
+    // BYTES depend on the library build, so the raw compressed size
+    // can never be oracle-hashed — instead the VERIFIED OUTPUT is the
+    // sketch-query pattern: deterministic per-doc features (UTF-8
+    // byte length, dumped and hash-compared) plus BOUND CLAIMS pinned
+    // TRUE against properties any correct zlib must satisfy —
+    // `ratio_sane` (every ratio in (0, 1.5] — deflate never balloons
+    // a real document) and `compress_discriminates` (docs with
+    // below-average distinct-token fraction — the repetitive half —
+    // compress strictly better on average than the varied half, the
+    // discriminative ordering that makes the signal worth computing).
+    // TextSpec keeps the per-doc determinism/ordering checks. At
+    // corpus scale this is a shuffle-free narrow map feeding the same
+    // threshold filters as t_quality.
     "t_compress_ratio" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
-        .as[(Long, String, String)]
+      val rated = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          (size(array_distinct(tokens(col("text")))).cast("double") /
+            greatest(size(tokens(col("text"))), lit(1)).cast("double"))
+            .as("uniq_frac"))
+        .as[(Long, String, String, Double)]
         .mapPartitions { rows =>
           val deflater = new java.util.zip.Deflater(6)
           val buf = new Array[Byte](1 << 16)
-          rows.map { case (id, lang, text) =>
+          rows.map { case (id, lang, text, uniq) =>
             val in = text.getBytes("UTF-8")
             deflater.reset(); deflater.setInput(in); deflater.finish()
             var n = 0L
             while (!deflater.finished()) n += deflater.deflate(buf)
-            (id, lang, in.length.toLong, n,
-              math.round(n.toDouble / in.length * 1e6) / 1e6)
+            (id, lang, in.length.toLong,
+              math.round(n.toDouble / in.length * 1e6) / 1e6, uniq)
           } ++ { deflater.end(); Iterator.empty } // release native memory
         }
-        .toDF("doc_id", "lang", "n_bytes", "n_compressed", "ratio")
+        .toDF("doc_id", "lang", "n_bytes", "ratio", "uniq_frac")
+        .localCheckpoint() // one deflate pass feeds all three reads
+      val sane = rated
+        .filter(col("ratio") <= 0.0 || col("ratio") > 1.5).count() == 0
+      val cut = rated.agg(avg(col("uniq_frac"))).head.getDouble(0)
+      val sides = rated.agg(
+        avg(when(col("uniq_frac") < cut, col("ratio"))).as("rep"),
+        avg(when(col("uniq_frac") >= cut, col("ratio"))).as("var"))
+        .head
+      val discriminates = sides.getDouble(0) < sides.getDouble(1)
+      rated.select(col("doc_id"), col("lang"), col("n_bytes"))
+        .withColumn("ratio_sane", lit(sane))
+        .withColumn("compress_discriminates", lit(discriminates))
         .orderBy("doc_id")
     }),
 
@@ -1266,6 +1290,14 @@ object TextAnalysis extends QueryModule {
   def oracles: Map[String, String] = Map(
     "t_bpe_train" -> bpeTrainOracle,
     "t_bpe_apply" -> bpeApplyOracle,
+    // the deterministic half of the compression signal: UTF-8 byte
+    // lengths hash-compared; the zlib-dependent ratios stay engine-
+    // side, pinned by the two bound claims (sanity + discrimination)
+    "t_compress_ratio" ->
+      """SELECT doc_id, lang,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  TRUE AS ratio_sane, TRUE AS compress_discriminates
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t_bm25" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts
          |  FROM documents),

@@ -231,7 +231,8 @@ case class GdxMergeClause(condSql: Option[String],
   * parse to `stats = None` — never pruned. */
 case class GdxFileStats(rows: Long, minK: Long, maxK: Long,
                         cols: Map[String, (String, String)] = Map.empty,
-                        sums: Map[String, (Long, Long)] = Map.empty)
+                        sums: Map[String, (Long, Long)] = Map.empty,
+                        bytes: Option[Long] = None)
 
 /** One committed data file: name, optional zone map, and an optional
   * DELETION VECTOR sidecar (`dv`) — a `.dvx` file listing this data
@@ -349,12 +350,19 @@ case class GdxFileEntry(name: String, stats: Option[GdxFileStats],
       "\ts:" + s.sums.toSeq.sortBy(_._1).map {
         case (c, (sum, nn)) => s"$c=$sum,$nn"
       }.mkString(";")).getOrElse("")
+    // file SIZE rides the manifest the same way (`b:<bytes>`): size-
+    // consuming planners (estimateStatistics, DESCRIBE DETAIL,
+    // bin-pack sizing) stop issuing O(files) driver-side stat RPCs —
+    // at 100 TB on an object store that is the difference between a
+    // metadata-only plan and a LIST storm. Absence falls back to a
+    // live stat, so legacy entries keep working.
+    val size = stats.flatMap(_.bytes).map(b => s"\tb:$b").getOrElse("")
     ((stats, dv) match {
       case (Some(s), Some(d)) => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}\t$d"
       case (Some(s), None)    => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}"
       case (None, Some(d))    => s"$name\t-\t-\t-\t$d"
       case (None, None)       => name
-    }) + ext + sums
+    }) + ext + sums + size
   }
 }
 
@@ -2094,24 +2102,29 @@ object GdxSource {
     var raw = line.split('\t')
     var ext = Map.empty[String, (String, String)]
     var sums = Map.empty[String, (Long, Long)]
+    var bytes: Option[Long] = None
     var peeling = raw.length > 1
     while (peeling) {
       if (raw.last.startsWith("x:")) {
         ext = parseExtStats(raw.last.drop(2)); raw = raw.init
       } else if (raw.last.startsWith("s:")) {
         sums = parseSumStats(raw.last.drop(2)); raw = raw.init
+      } else if (raw.last.startsWith("b:")) {
+        bytes = raw.last.drop(2).toLongOption; raw = raw.init
       } else peeling = false
       if (raw.length <= 1) peeling = false
     }
     raw match {
       case Array(name, rows, mn, mx) =>
         GdxFileEntry(name,
-          Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong, ext, sums)))
+          Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong, ext,
+            sums, bytes)))
       case Array(name, "-", "-", "-", dv) =>
         GdxFileEntry(name, None, Some(dv))
       case Array(name, rows, mn, mx, dv) =>
         GdxFileEntry(name,
-          Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong, ext, sums)),
+          Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong, ext,
+            sums, bytes)),
           Some(dv))
       case _ => GdxFileEntry(line, None)
     }
@@ -2141,6 +2154,21 @@ object GdxSource {
   def committedFiles(path: String, conf: Configuration,
                      version: Int = -1): Seq[Path] =
     committedEntries(path, conf, version).map(e => entryPath(path, e.name))
+
+  /** Counts the bytes a data-file writer pushes, so the manifest can
+    * carry the file's exact size (`b:`) without a post-write stat. */
+  private[graft] final class CountingOutputStream(
+      underlying: java.io.OutputStream) extends java.io.OutputStream {
+    var count: Long = 0L
+    override def write(b: Int): Unit = {
+      underlying.write(b); count += 1
+    }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      underlying.write(b, off, len); count += len
+    }
+    override def flush(): Unit = underlying.flush()
+    override def close(): Unit = underlying.close()
+  }
 
   private def writeLines(fs: FileSystem, p: Path,
                          lines: Seq[String]): Unit = {
@@ -2638,11 +2666,12 @@ object GdxSource {
       val md = readManifest(fs, manifestFor(dir, readV))
       val tblSchema = md.schema.getOrElse(schema)
       val tblColmap = md.colmap
-      // sizes from ONE listing per directory (the steady-state table
-      // this targets has thousands of entries — per-entry
-      // getFileStatus RPCs would dominate); absolute (clone-ref)
-      // names fall back to a direct stat
-      val sized: Map[String, Long] = entries.map(e =>
+      // sizes from the manifest's `b:` field when carried; the
+      // remainder (legacy eras, clone refs) from ONE listing per
+      // directory (the steady-state table this targets has thousands
+      // of entries — per-entry getFileStatus RPCs would dominate);
+      // absolute (clone-ref) names fall back to a direct stat
+      lazy val sized: Map[String, Long] = entries.map(e =>
         e.name.lastIndexOf('/') match {
           case -1 => ""
           case i  => e.name.substring(0, i + 1)
@@ -2652,9 +2681,10 @@ object GdxSource {
           .map(st => s"$pre${st.getPath.getName}" -> st.getLen)
         catch { case _: Exception => Seq.empty }
       }.toMap
-      def sizeOf(e: GdxFileEntry): Long = sized.getOrElse(e.name,
-        try fs.getFileStatus(entryPath(dir, e.name)).getLen
-        catch { case _: Exception => Long.MaxValue }) // unknowable: large
+      def sizeOf(e: GdxFileEntry): Long =
+        e.stats.flatMap(_.bytes).getOrElse(sized.getOrElse(e.name,
+          try fs.getFileStatus(entryPath(dir, e.name)).getLen
+          catch { case _: Exception => Long.MaxValue })) // unknowable: large
       // candidates: small by bytes, or carrying a DV worth folding —
       // grouped by their directory so the layout survives the rewrite.
       // The threshold doubles as the TARGET BIN SIZE: a directory
@@ -3732,8 +3762,9 @@ object GdxSource {
         val name = s"${namePrefix}upd-${java.util.UUID.randomUUID}.gdx"
         val p = GdxSource.entryPath(dirStr, name)
         val fs = p.getFileSystem(sconf.conf)
+        val counter = new CountingOutputStream(fs.create(p, false))
         val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-          fs.create(p, false), "UTF-8"))
+          counter, "UTF-8"))
         var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
         val acc = new ExtStatAcc(lanes.length, lanes.map(_.kind))
         try it.foreach { r =>
@@ -3759,10 +3790,11 @@ object GdxSource {
           }
         } finally out.close()
         val ext = acc.result(e => lanes(e).name)
-        Iterator((name, n, mn, mx, ext))
+        Iterator((name, n, mn, mx, ext, counter.count))
       }
-    }.collect().toSeq.map { case (name, n, mn, mx, ext) =>
-      GdxFileEntry(name, Some(GdxFileStats(n, mn, mx, ext)))
+    }.collect().toSeq.map { case (name, n, mn, mx, ext, bytes) =>
+      GdxFileEntry(name, Some(GdxFileStats(n, mn, mx, ext,
+        Map.empty, Some(bytes))))
     }
   }
 
@@ -3999,9 +4031,12 @@ object GdxSource {
     }, s"gdx describeDetail: no committed snapshot under $dir")
     val entries = committedEntries(dir, conf)
     val fs = new Path(dir).getFileSystem(conf)
+    // manifest-carried sizes keep DETAIL metadata-only; legacy
+    // entries without `b:` fall back to a live stat each
     val bytes = entries.map { e =>
-      try fs.getFileStatus(entryPath(dir, e.name)).getLen
-      catch { case _: Exception => 0L }
+      e.stats.flatMap(_.bytes).getOrElse(
+        try fs.getFileStatus(entryPath(dir, e.name)).getLen
+        catch { case _: Exception => 0L })
     }.sum
     Seq((
       "gdx",
@@ -6154,9 +6189,12 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
     val conf = GdxSource.driverConf()
     val fs = new Path(path).getFileSystem(conf)
     val planned = if (metaOnly) Seq.empty else kept
+    // manifest-carried sizes make this METADATA-ONLY; a legacy entry
+    // without `b:` falls back to one live stat
     val bytes = planned.map { e =>
-      try fs.getFileStatus(GdxSource.entryPath(path, e.name)).getLen
-      catch { case _: Exception => 0L }
+      e.stats.flatMap(_.bytes).getOrElse(
+        try fs.getFileStatus(GdxSource.entryPath(path, e.name)).getLen
+        catch { case _: Exception => 0L })
     }.sum
     val rows = planned.flatMap(_.stats).map(_.rows).sum
     // ANALYZE sidecar → DSv2 column statistics: Spark's
@@ -7026,8 +7064,10 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     // overwrite=false: with UUID'd names a collision is impossible, so
     // an existing target is a bug worth failing loudly on, never data
     // to silently replace (create() mkdirs the subdir as needed)
+    private val counter = new GdxSource.CountingOutputStream(
+      target.getFileSystem(conf.conf).create(target, false))
     val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-      target.getFileSystem(conf.conf).create(target, false), "UTF-8"))
+      counter, "UTF-8"))
     // zone map accumulated as rows stream through — an empty task keeps
     // the inverted sentinel range (minK > maxK), which the manifest
     // publishes and pruning treats as matching no predicate
@@ -7050,7 +7090,9 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
       val sums = sumIdx.indices.iterator.filterNot(sumBad).map { e =>
         schema(sumIdx(e)).name -> (sumL(e), sumN(e))
       }.toMap
-      (name, GdxFileStats(rows, minK, maxK, extMap, sums))
+      // entry is built after close(), so the counter is final
+      (name, GdxFileStats(rows, minK, maxK, extMap, sums,
+        Some(counter.count)))
     }
   }
 

@@ -41,13 +41,21 @@ class TextSpec extends SparkSuite {
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     def run() = SparkEntry.queries("t_compress_ratio")(spark, tmp)
-      .select("doc_id", "ratio").as[(Long, Double)].collect().toMap
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4))).toSeq
     val r = run()
-    // repetitive text compresses far better than varied text
-    assert(r(1L) < r(2L) / 2,
-      s"repetitive ${r(1L)} should be well under varied ${r(2L)}")
-    assert(r(1L) > 0 && r(2L) > 0)
-    assert(run() === r, "deflate output must be deterministic across runs")
+    // the discrimination claim must hold on this engineered corpus:
+    // doc 1 is maximally repetitive (uniq_frac 1/60), doc 2 maximally
+    // varied (1.0) — a correct deflate orders their ratios
+    assert(r.forall(_._3), "ratio_sane must pin TRUE")
+    assert(r.forall(_._4),
+      "repetitive text must compress better than varied text")
+    // deterministic features: byte lengths exact and rerun-stable
+    assert(r.map(x => (x._1, x._2)).toMap ===
+      Map(1L -> ("spam " * 60).trim.getBytes("UTF-8").length.toLong,
+        2L -> (0 until 60).map(i => s"w${i * 7919 % 977}")
+          .mkString(" ").getBytes("UTF-8").length.toLong))
+    assert(run() === r, "query output must be deterministic across runs")
   }
 
   test("BPE training reproduces the hand-computed Sennrich merge sequence") {
