@@ -353,13 +353,19 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
         }
         GdxSource.addColumn(d, a.fieldNames.head, a.dataType,
           default = dflt)
+      case r: TableChange.RenameColumn if r.fieldNames.length > 1 =>
+        // names live only in the schema text (cells are positional):
+        // a nested rename is metadata-only with no mapping at all
+        GdxSource.renameNestedField(d, r.fieldNames.mkString("."),
+          r.newName)
       case r: TableChange.RenameColumn =>
-        require(r.fieldNames.length == 1,
-          "gdx catalog: nested columns are not supported")
         GdxSource.renameColumn(spark, d, r.fieldNames.head, r.newName)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
-          "gdx catalog: nested columns are not supported")
+          "gdx catalog: DROP of a nested field is not supported - " +
+            "struct cells are positional (dropping a middle sub-field " +
+            "would shift every later one); drop or rewrite the whole " +
+            "column instead")
         GdxSource.dropColumn(spark, d, del.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         s"gdx catalog: unsupported table change $other")

@@ -4450,6 +4450,71 @@ object GdxSource {
     -1 // unreachable
   }
 
+  /** RENAME A NESTED FIELD — metadata-only like the top-level rename,
+    * and SIMPLER: struct cells are positional, so names live ONLY in
+    * the `#schema` type text and no column mapping is needed; the
+    * cell bytes never move. Existing files' zone-map stats for the
+    * leaf stay recorded under the OLD dotted name — lookups under the
+    * new name find nothing and simply cannot prune those files
+    * (conservative, never wrong); new writes publish under the new
+    * name. Nested DROP is refused loudly ([[dropColumn]]'s slot
+    * machinery has no positional analogue inside a cell — dropping a
+    * middle sub-field would shift every later one). CAS + retry;
+    * returns the committed version. */
+  def renameNestedField(dir: String, path: String, to: String,
+                        maxRetries: Int = 10): Int = {
+    val conf = driverConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val parts = path.split('.')
+    require(parts.length >= 2,
+      s"gdx renameNestedField: '$path' does not address a nested " +
+        "field (use renameColumn for top-level columns)")
+    var attempt = 0
+    while (true) {
+      val vs = listVersions(dir, conf)
+      require(vs.nonEmpty, s"gdx renameNestedField: no snapshot under $dir")
+      decideStaleTxn(dir, conf, vs.max)
+      val readV = vs.max
+      val cur = committedSchema(dir, conf, readV)
+      def rename(st: StructType, depth: Int): StructType = {
+        val i = st.fieldNames.indexWhere(
+          _.equalsIgnoreCase(parts(depth)))
+        require(i >= 0, s"gdx renameNestedField: no field " +
+          s"'${parts(depth)}' under ${parts.take(depth).mkString(".")}")
+        if (depth == parts.length - 1) {
+          require(!st.fieldNames.exists(_.equalsIgnoreCase(to)),
+            s"gdx renameNestedField: field $to already exists")
+          StructType(st.fields.updated(i, st.fields(i).copy(name = to)))
+        } else st.fields(i).dataType match {
+          case nested: StructType => StructType(st.fields.updated(i,
+            st.fields(i).copy(dataType = rename(nested, depth + 1))))
+          case other => throw new IllegalArgumentException(
+            s"gdx renameNestedField: " +
+              s"${parts.take(depth + 1).mkString(".")} is " +
+              s"${other.catalogString}, not a struct")
+        }
+      }
+      val evolved = rename(cur, 0)
+      // validate the evolved struct renders (new-name vocabulary)
+      typeNameOf(evolved.fields(
+        cur.fieldNames.indexWhere(_.equalsIgnoreCase(parts(0))))
+        .dataType)
+      val lines = headerLines(evolved,
+        committedConstraints(dir, conf, readV),
+        committedColmap(dir, conf, readV),
+        committedPartitionCol(dir, conf, readV)) ++
+        committedEntries(dir, conf, readV).map(_.manifestLine)
+      if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
+        writeLines(fs, manifest(dir), lines)
+        return readV + 1
+      }
+      attempt += 1
+      if (attempt > maxRetries) throw new GdxConcurrentModificationException(
+        s"gdx renameNestedField: lost the publish race $maxRetries times")
+    }
+    -1 // unreachable
+  }
+
   /** PARTITION-SPEC EVOLUTION — change the table's layout without
     * rewriting a byte (the Iceberg `ALTER TABLE ... PARTITION FIELD`
     * contract, reduced to this format's single-spec header): a
@@ -5855,10 +5920,16 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   override def toBatch: Batch = this
 
   // the snapshot's manifest entries and the zone-map-surviving subset,
-  // resolved once at planning time (driver-side manifest read only)
+  // resolved once at planning time (driver-side manifest read only).
+  // The resolved version is shared with the stats drift guard, so a
+  // scan pays ONE version resolution per plan, not two.
+  private lazy val resolvedVersion: Int =
+    if (version >= 0) version
+    else GdxSource.latestDecidedVersion(path, GdxSource.driverConf())
   private lazy val entries: Seq[GdxFileEntry] =
-    GdxSource.committedEntries(path, GdxSource.driverConf(), version)
-      .sortBy(_.name)
+    if (resolvedVersion <= 0) Seq.empty
+    else GdxSource.committedEntries(path, GdxSource.driverConf(),
+      resolvedVersion).sortBy(_.name)
   // def, not lazy val: runtime filters arrive between planning calls.
   // pruneOnly filters join the skip set here but never reach the
   // readers — Spark evaluates them row-level as residuals. Zone maps
@@ -6218,9 +6289,7 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       // to manifest-only sizes instead of feeding the CBO NDV/ranges
       // of rows that may be long gone
       if (!metaOnly) GdxSource.readColStats(path, conf).filter { ts =>
-        val cur = if (version >= 0) version
-          else GdxSource.latestDecidedVersion(path, conf)
-        cur - ts.version <= GdxSource.statsMaxVersionDrift
+        resolvedVersion - ts.version <= GdxSource.statsMaxVersionDrift
       }.foreach { ts =>
         ts.cols.foreach { case (name, cs) =>
           tableSchema.fields.find(_.name == name).foreach { f =>

@@ -189,6 +189,56 @@ class GdxStructColumnSpec extends SparkSuite {
       GdxSource.addNestedField(dir, "meta", "lang", StringType))
   }
 
+  test("renameNestedField: metadata-only, positional cells untouched, " +
+      "stale leaf stats degrade to no-prune, nested DROP refused") {
+    val dir = freshDir("ren")
+    df((1L to 40L).map(i =>
+      Row(i, s"v$i", Row(i / 10.0, Row(s"u$i", "x"), i * 100L))))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    // leaf zone maps exist under the OLD dotted name
+    val (k0, a0) = GdxSource.plannedFiles(dir, Seq(
+      org.apache.spark.sql.sources.GreaterThan("meta.tokens", 100000L)))
+    assert(k0 === 0 && a0 === 1) // everything under the cutoff
+    GdxSource.renameNestedField(dir, "meta.tokens", "n_tok")
+    val metaT = GdxSource.committedSchema(dir, conf)("meta")
+      .dataType.asInstanceOf[StructType]
+    assert(metaT.fieldNames.toSeq === Seq("score", "src", "n_tok"))
+    // cells decode under the new name; values untouched
+    assert(read(dir).select(sum(col("meta.n_tok"))).head.getLong(0)
+      === (1L to 40L).map(_ * 100L).sum)
+    // old-name stats cannot prune under the new name: conservative
+    val (k1, a1) = GdxSource.plannedFiles(dir, Seq(
+      org.apache.spark.sql.sources.GreaterThan("meta.n_tok", 100000L)))
+    assert(k1 === a1, "stale leaf stats must degrade to keep-all")
+    // a fresh write re-publishes stats under the new name
+    val metaT2 = GdxSource.committedSchema(dir, conf)("meta")
+      .dataType.asInstanceOf[StructType]
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(41L, "w",
+        Row(0.1, Row("u", "x"), 500000L))), 1),
+      StructType(Seq(StructField("k", LongType),
+        StructField("v", StringType), StructField("meta", metaT2))))
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val (k2, a2) = GdxSource.plannedFiles(dir, Seq(
+      org.apache.spark.sql.sources.GreaterThan("meta.n_tok", 100000L)))
+    assert(a2 === 2 && k2 === 2, // old file kept (no proof), new kept
+      s"got $k2/$a2")
+    val (k3, _) = GdxSource.plannedFiles(dir, Seq(
+      org.apache.spark.sql.sources.GreaterThan("meta.n_tok", 600000L)))
+    assert(k3 === 1,
+      "the fresh file's new-name stats must prune it (max 500k); only " +
+        "the stats-stale old file survives")
+    // deep rename + refusals
+    GdxSource.renameNestedField(dir, "meta.src.domain", "site")
+    assert(read(dir).filter(col("meta.src.site") === "x").count() === 41L)
+    intercept[IllegalArgumentException](
+      GdxSource.renameNestedField(dir, "meta", "m2")) // not nested
+    intercept[IllegalArgumentException](
+      GdxSource.renameNestedField(dir, "meta.nope", "x"))
+    intercept[IllegalArgumentException](
+      GdxSource.renameNestedField(dir, "meta.score", "n_tok")) // dup
+  }
+
   test("catalog SQL: CREATE TABLE with STRUCT, nested ADD COLUMN, " +
       "UPDATE keyed on a nested field") {
     val wh = graft.Scratch.tablePath("gdxst_sql_")
@@ -214,6 +264,13 @@ class GdxStructColumnSpec extends SparkSuite {
     s.sql(s"ALTER TABLE $cat.lab.docs ADD COLUMN meta.lang STRING")
     assert(s.table(s"$cat.lab.docs").schema("meta").dataType
       .asInstanceOf[StructType].fieldNames.contains("lang"))
+    // nested RENAME through Spark's native ALTER grammar
+    s.sql(s"ALTER TABLE $cat.lab.docs RENAME COLUMN meta.tokens TO n_tok")
+    assert(s.sql(s"SELECT meta.n_tok FROM $cat.lab.docs WHERE k = 1")
+      .head.getLong(0) === 42L)
+    // nested DROP refused loudly (positional cells)
+    intercept[Exception](
+      s.sql(s"ALTER TABLE $cat.lab.docs DROP COLUMN meta.lang"))
     s.sql(s"UPDATE $cat.lab.docs SET v = 'low' WHERE meta.score < 0.5")
     assert(s.sql(s"SELECT v FROM $cat.lab.docs WHERE k = 2")
       .head.getString(0) === "low")
