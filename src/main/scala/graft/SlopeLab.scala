@@ -68,6 +68,8 @@ object SlopeLab {
         args.lift(1).getOrElse("/tmp/graft_slope_cluster"))
       case "merge" => mergeScope(spark,
         args.lift(1).getOrElse("/tmp/graft_slope_merge"))
+      case "recluster" => reclusterLane(spark,
+        args.lift(1).getOrElse("/tmp/graft_slope_recluster"))
       case other => sys.error(s"unknown SlopeLab mode: $other")
     }
     spark.stop()
@@ -324,6 +326,61 @@ object SlopeLab {
       val (ck, ca) = gdx.plannedFiles(cdir, band)
       val (uk, ua) = gdx.plannedFiles(udir, band)
       println(f"""{"cluster_rows":$n,"clustered_sec":$tc%.3f,"scattered_sec":$tu%.3f,"clustered_files":"$ck/$ca","scattered_files":"$uk/$ua","clustered_write_sec":$wc%.2f,"scattered_write_sec":$wu%.2f}""")
+    }
+  }
+
+  /** Incremental-recluster lane: a CLEAN clustered snapshot takes a
+    * FIXED-SIZE narrow append, then `optimizeClustered` runs. The
+    * incremental path rewrites only the overlap closure (the delta
+    * plus at most its one neighbouring file), so its cost must stay
+    * FLAT across a 10× base scale-up, while the pruning-defeated
+    * control (a value-scattered base — every file overlaps every
+    * other, the overlap closure IS the snapshot, i.e. exactly what a
+    * full recluster pays) grows with the base. The untouched-file
+    * count is the PruneAudit-style witness. */
+  def reclusterLane(spark: SparkSession, work: String): Unit = {
+    val fmt = "graft.sources.GdxSource"
+    val gdx = graft.sources.GdxSource
+    val deltaRows = 60000L // fixed: the day's append, not the decade
+    for (n <- Seq(600000L, 6000000L)) {
+      def base = spark.range(0, n).select(col("id").as("k"),
+        ((col("id") * 7919L) % 1000000L).cast("double").as("w"),
+        concat(lit("r"), col("id") % 5).as("v"))
+      // the day's delta: a NARROW w band (overlaps ~1 clustered file)
+      def delta = spark.range(0, deltaRows).select(
+        (col("id") + 100000000L).as("k"),
+        (lit(500000.0) + (col("id") % 10000L).cast("double")).as("w"),
+        lit("d").as("v"))
+      def build(dir: String, clustered: Boolean): Unit = {
+        rm(new java.io.File(dir))
+        if (clustered) {
+          base.repartitionByRange(16, col("w"))
+            .sortWithinPartitions("w")
+            .write.format(fmt).option("path", dir)
+            .mode("overwrite").save()
+        } else {
+          base.repartition(16)
+            .write.format(fmt).option("path", dir)
+            .mode("overwrite").save()
+        }
+        delta.coalesce(1).write.format(fmt).option("path", dir)
+          .mode("append").save()
+      }
+      def run(dir: String): (Double, Int, Int, Int) = {
+        val before = gdx.committedEntries(dir, gdx.driverConf())
+          .map(_.name).toSet
+        val t0 = System.nanoTime()
+        val (b, a) = gdx.optimizeClustered(spark, dir, Seq("w"), 16)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val after = gdx.committedEntries(dir, gdx.driverConf())
+          .map(_.name).toSet
+        (sec, b, a, before.intersect(after).size)
+      }
+      val inc = s"$work/inc_n$n"; val ctl = s"$work/ctl_n$n"
+      build(inc, clustered = true); build(ctl, clustered = false)
+      val (ti, bi, ai, ui) = run(inc)
+      val (tc, bc, ac, uc) = run(ctl)
+      println(f"""{"recluster_rows":$n,"incremental_sec":$ti%.2f,"incremental_files":"$bi->$ai","incremental_untouched":$ui,"full_control_sec":$tc%.2f,"control_files":"$bc->$ac","control_untouched":$uc}""")
     }
   }
 
