@@ -276,6 +276,31 @@ class GdxStructColumnSpec extends SparkSuite {
       .head.getString(0) === "low")
   }
 
+  test("OPTIMIZE carries struct cells byte-identically and re-publishes " +
+      "leaf zone maps; time travel keeps the pre-compaction snapshot") {
+    val dir = freshDir("opt")
+    (0 until 4).foreach { b =>
+      df((1L to 25L).map { i =>
+        val t = b * 1000L + i
+        Row(b * 25L + i, s"v$i", Row(t / 10.0, Row(s"u$i", "x"), t))
+      }).coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+    }
+    val before = read(dir).orderBy("k").collect()
+    GdxSource.compact(spark, dir, target = 2)
+    val after = read(dir).orderBy("k").collect()
+    assert(after.toSeq === before.toSeq,
+      "struct cells must survive the rewrite byte-identically")
+    // leaf zone maps re-published on the compacted files
+    val (kept, all) = GdxSource.plannedFiles(dir, Seq(
+      org.apache.spark.sql.sources.GreaterThan("meta.tokens", 3000L)))
+    assert(all === 2 && kept < all, s"expected leaf pruning, got $kept/$all")
+    // the pre-compaction snapshot still time-travels whole
+    val vs = GdxSource.listVersions(dir, conf)
+    assert(spark.read.format(fmt).option("path", dir)
+      .option("version", (vs.max - 1).toString).load().count() === 100L)
+  }
+
   test("loud refusals: array/map leaves, ','/parens in string leaves, " +
       "DEFAULT on a struct, empty struct") {
     intercept[IllegalArgumentException](GdxSource.typeNameOf(
