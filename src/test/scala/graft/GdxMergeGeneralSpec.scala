@@ -343,4 +343,37 @@ class GdxMergeGeneralSpec extends SparkSuite {
         Seq((1L, "x"), (9L, "n")))
     } finally s.sql("DROP TABLE IF EXISTS gm_evo")
   }
+
+  test("MERGE over a struct-bearing table: nested predicates in ON and " +
+      "clause conditions, struct values assigned whole") {
+    val dir = freshDir("struct")
+    s.sql(s"""CREATE TABLE gm_st (k BIGINT, v STRING,
+      meta STRUCT<score: DOUBLE, tokens: BIGINT>)
+      USING $fmt OPTIONS (path '$dir')""")
+    try {
+      s.sql("""INSERT INTO gm_st VALUES
+        (1, 'a', named_struct('score', 0.9, 'tokens', 10L)),
+        (2, 'b', named_struct('score', 0.2, 'tokens', 20L)),
+        (3, 'c', named_struct('score', 0.5, 'tokens', 30L))""")
+      s.sql("""CREATE OR REPLACE TEMP VIEW gm_stsrc AS SELECT * FROM
+        VALUES (2, 'B', named_struct('score', 0.8, 'tokens', 21L)),
+               (3, 'C', named_struct('score', 0.1, 'tokens', 31L)),
+               (4, 'D', named_struct('score', 0.7, 'tokens', 41L))
+        t(k, nv, nmeta)""")
+      s.sql("""MERGE INTO gm_st t USING gm_stsrc s ON t.k = s.k
+        WHEN MATCHED AND s.nmeta.score > t.meta.score
+          THEN UPDATE SET v = s.nv, meta = s.nmeta
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED AND s.nmeta.tokens > 40
+          THEN INSERT (k, v, meta) VALUES (s.k, s.nv, s.nmeta)""")
+      val back = s.sql(
+        "SELECT k, v, meta.score, meta.tokens FROM gm_st ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getDouble(2), r.getLong(3))).toSeq
+      // k=1 untouched, k=2 updated (0.8 > 0.2), k=3 deleted
+      // (0.1 < 0.5), k=4 inserted (41 > 40)
+      assert(back === Seq((1L, "a", 0.9, 10L), (2L, "B", 0.8, 21L),
+        (4L, "D", 0.7, 41L)))
+    } finally s.sql("DROP TABLE IF EXISTS gm_st")
+  }
 }
