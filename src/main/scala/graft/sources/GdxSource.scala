@@ -4851,9 +4851,13 @@ object GdxSource {
     val applicable = checks.map { case (n, sql) =>
       val parsed = spark.sessionState.sqlParser.parseExpression(sql)
       n -> parsed.transform {
+        // membership tests the FIRST name part: a nested reference
+        // (`meta.score`) is present whenever its COLUMN is — nulling
+        // it because the dotted name is not a column would silently
+        // vacate every nested-leaf constraint
         case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
             if !writeCols.contains(
-              ua.name.toLowerCase(java.util.Locale.ROOT)) =>
+              ua.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
           org.apache.spark.sql.catalyst.expressions
             .Literal.create(null, NullType)
       }.sql

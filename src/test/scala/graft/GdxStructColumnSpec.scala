@@ -301,6 +301,35 @@ class GdxStructColumnSpec extends SparkSuite {
       .option("version", (vs.max - 1).toString).load().count() === 100L)
   }
 
+  test("CHECK constraints on nested leaves: existing data validated, " +
+      "violating writes abort, NULL passes (SQL semantics)") {
+    val dir = freshDir("chk")
+    df(Seq(
+      Row(1L, "a", Row(0.9, Row("u1", "x"), 10L)),
+      Row(2L, "b", Row(null, Row("u2", "y"), 20L)), // NULL leaf passes
+      Row(3L, "c", null)))                           // NULL struct passes
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    GdxSource.addConstraint(spark, dir, "score_band",
+      "meta.score >= 0.0 AND meta.score <= 1.0")
+    // a violating write aborts with nothing committed
+    val vBefore = GdxSource.listVersions(dir, conf).max
+    intercept[Exception] {
+      df(Seq(Row(4L, "d", Row(7.5, Row("u4", "z"), 40L)))).coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+    }
+    assert(GdxSource.listVersions(dir, conf).max === vBefore)
+    // a conforming write (including NULL leaves) lands
+    df(Seq(Row(5L, "e", Row(0.5, Row("u5", "w"), 50L)),
+        Row(6L, "f", Row(null, Row("u6", "w"), 60L)))).coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    assert(read(dir).count() === 5L)
+    // a constraint the existing data violates is refused at ADD time
+    intercept[Exception] {
+      GdxSource.addConstraint(spark, dir, "tokens_tiny",
+        "meta.tokens < 30")
+    }
+  }
+
   test("loud refusals: array/map leaves, ','/parens in string leaves, " +
       "DEFAULT on a struct, empty struct") {
     intercept[IllegalArgumentException](GdxSource.typeNameOf(
