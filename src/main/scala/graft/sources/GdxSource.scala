@@ -2986,17 +2986,38 @@ object GdxSource {
       s"gdx clusterBy: $dir is partitioned - CLUSTER BY composes with " +
         "zone maps on unpartitioned layouts only")
     val sch = committedSchema(dir, conf)
-    val resolved = cols.map { c =>
-      val f = sch.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(
-          s"gdx clusterBy: no column $c in ${sch.fieldNames.mkString(",")}"))
-      require(extStatKind(f.dataType) >= 0,
-        s"gdx clusterBy: $c (${f.dataType.catalogString}) has no " +
-          "zone-map lane - clustering on it could never prune")
-      f.name
-    }
+    val resolved = cols.map(c => resolveClusterRef(sch, c).getOrElse(
+      throw new IllegalArgumentException(
+        s"gdx clusterBy: $c is not an orderable column or struct " +
+          s"leaf of ${sch.fieldNames.mkString(",")} - clustering " +
+          "needs a zone-map lane to ever prune")))
     val fs = new Path(dir).getFileSystem(conf)
     replaceAtomic(fs, conf, clusterFile(dir), Seq(resolved.mkString(",")))
+  }
+
+  /** Resolve a clustering reference — a top-level column or a DOTTED
+    * STRUCT LEAF (`meta.tokens`) — to its canonical-case name, only
+    * when it has a zone-map lane (struct leaves publish per-file
+    * ranges under exactly these dotted names, so clustering on one
+    * prunes like any flat column). None = unknown or unorderable. */
+  private[graft] def resolveClusterRef(sch: StructType,
+                                       ref: String): Option[String] = {
+    val parts = ref.split('.')
+    def walk(st: StructType, depth: Int,
+             acc: List[String]): Option[String] =
+      st.fields.find(_.name.equalsIgnoreCase(parts(depth))).flatMap {
+        f =>
+          if (depth == parts.length - 1)
+            if (extStatKind(f.dataType) >= 0)
+              Some((f.name :: acc).reverse.mkString("."))
+            else None
+          else f.dataType match {
+            case nested: StructType =>
+              walk(nested, depth + 1, f.name :: acc)
+            case _ => None
+          }
+      }
+    if (parts.isEmpty) None else walk(sch, 0, Nil)
   }
 
   def clusterByOf(dir: String, conf: Configuration): Seq[String] = {
@@ -3024,8 +3045,8 @@ object GdxSource {
     if (declared.isEmpty) Seq.empty
     else if (committedPartitionCol(dir, conf).isDefined) Seq.empty
     else {
-      val live = committedSchema(dir, conf).fieldNames.toSet
-      declared.filter(live.contains)
+      val sch = committedSchema(dir, conf)
+      declared.flatMap(resolveClusterRef(sch, _))
     }
   }
 
@@ -3039,10 +3060,18 @@ object GdxSource {
                                       to: Option[String]): Unit = {
     val conf = driverConf()
     val declared = clusterByOf(dir, conf)
-    if (declared.exists(_.equalsIgnoreCase(from))) {
+    val fl = from.toLowerCase(java.util.Locale.ROOT)
+    // a dotted declaration (`meta.tokens`) follows its COLUMN: rename
+    // carries the prefix, drop removes every leaf under it
+    def hit(c: String): Boolean = {
+      val cl = c.toLowerCase(java.util.Locale.ROOT)
+      cl == fl || cl.startsWith(fl + ".")
+    }
+    if (declared.exists(hit)) {
       val next = declared.flatMap {
-        case c if c.equalsIgnoreCase(from) => to
-        case c                             => Some(c)
+        case c if hit(c) =>
+          to.map(t => t + c.substring(from.length))
+        case c => Some(c)
       }
       if (next.isEmpty) clearClusterBy(dir)
       else {
@@ -3085,8 +3114,9 @@ object GdxSource {
       val md = readManifest(fs, manifestFor(dir, readV))
       val tblSchema = md.schema.getOrElse(schema)
       val tblColmap = md.colmap
-      by.foreach(c => require(tblSchema.fieldNames.contains(c),
-        s"gdx optimize: no cluster column $c"))
+      by.foreach(c => require(
+        resolveClusterRef(tblSchema, c).isDefined,
+        s"gdx optimize: no orderable cluster column or struct leaf $c"))
       val before = entries.size
       def dec(s: String): Option[BigDecimal] =
         try Some(BigDecimal(s)) catch {
@@ -4506,6 +4536,8 @@ object GdxSource {
         committedEntries(dir, conf, readV).map(_.manifestLine)
       if (publishExclusive(fs, conf, manifestFor(dir, readV + 1), lines)) {
         writeLines(fs, manifest(dir), lines)
+        reconcileClusterSidecar(dir, path,
+          Some((parts.dropRight(1) :+ to).mkString(".")))
         return readV + 1
       }
       attempt += 1
@@ -6910,7 +6942,7 @@ class GdxWrite(path: String, replace: Boolean, expectedBase: Int = -1,
   private lazy val clusterCols: Seq[String] =
     if (!clusterWrite || partitionCol.isDefined) Seq.empty
     else GdxSource.clusterByOf(path, GdxSource.driverConf())
-      .filter(writeSchema.fieldNames.contains(_))
+      .flatMap(GdxSource.resolveClusterRef(writeSchema, _))
   private def clusterSort
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     clusterCols.map(c =>

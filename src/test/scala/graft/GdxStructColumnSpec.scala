@@ -301,6 +301,52 @@ class GdxStructColumnSpec extends SparkSuite {
       .option("version", (vs.max - 1).toString).load().count() === 100L)
   }
 
+  test("CLUSTER BY a struct leaf: writes range-cluster on the leaf, " +
+      "leaf-band scans prune, renames carry the declaration") {
+    val dir = freshDir("clst")
+    df(Seq.empty[Row]).write.format(fmt).option("path", dir)
+      .mode("overwrite").save()
+    GdxSource.setClusterBy(dir, Seq("meta.tokens"))
+    assert(GdxSource.clusterByOf(dir, conf) === Seq("meta.tokens"))
+    assert(GdxSource.effectiveClusterBy(dir, conf) === Seq("meta.tokens"))
+    // a value-scattered write: the declared leaf ordering must place
+    // each file on a narrow tokens band
+    val cw = Sessions.pinned(spark,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "4096")
+    val rows = spark.range(4000).select(col("id").as("k"),
+      lit("x").as("v"),
+      struct(((col("id") * 7919L) % 100L).cast("double").as("score"),
+        struct(lit("d").as("domain")).as("src"),
+        ((col("id") * 7919L) % 4000L).as("tokens")).as("meta"))
+      .repartition(8)
+    Sessions.rebind(rows, cw).write.format(fmt)
+      .option("path", dir).mode("append").save()
+    val band = Seq(
+      org.apache.spark.sql.sources
+        .GreaterThanOrEqual("meta.tokens", 1000L),
+      org.apache.spark.sql.sources.LessThan("meta.tokens", 1400L))
+    val (kept, all) = GdxSource.plannedFiles(dir, band)
+    assert(all >= 3 && kept * 2 < all,
+      s"leaf-clustered layout must prune ($kept/$all)")
+    // OPTIMIZE under the leaf declaration: the first pass may tidy
+    // same-range splits the AQE rebalance write produced; the second
+    // must be a provable no-op (disjoint leaf ranges)
+    GdxSource.optimizeClustered(spark, dir,
+      GdxSource.effectiveClusterBy(dir, conf), 8)
+    val (b, a) = GdxSource.optimizeClustered(spark, dir,
+      GdxSource.effectiveClusterBy(dir, conf), 8)
+    assert(b === a, s"second leaf recluster must be a no-op ($b -> $a)")
+    // nested rename carries the declaration; dropping the column
+    // clears it through the validated accessor
+    GdxSource.renameNestedField(dir, "meta.tokens", "n_tok")
+    assert(GdxSource.clusterByOf(dir, conf) === Seq("meta.n_tok"))
+    assert(GdxSource.effectiveClusterBy(dir, conf) === Seq("meta.n_tok"))
+    // unorderable leaf refused loudly
+    intercept[IllegalArgumentException](
+      GdxSource.setClusterBy(dir, Seq("meta.src.domain")))
+  }
+
   test("CHECK constraints on nested leaves: existing data validated, " +
       "violating writes abort, NULL passes (SQL semantics)") {
     val dir = freshDir("chk")
