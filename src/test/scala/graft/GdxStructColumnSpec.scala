@@ -376,6 +376,32 @@ class GdxStructColumnSpec extends SparkSuite {
     }
   }
 
+  test("struct cells flow through the streaming changefeed: each " +
+      "commit's batch carries decodable nested values") {
+    val dir = freshDir("stream")
+    df(Seq(Row(1L, "a", Row(0.9, Row("u1", "x"), 10L))))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val qn = "gdxst_feed_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    val q = spark.readStream.format(fmt).option("path", dir).load()
+      .select(col("k"), col("meta.src.domain").as("domain"),
+        col("meta.tokens").as("tokens"))
+      .writeStream.format("memory").queryName(qn).start()
+    try {
+      q.processAllAvailable()
+      df(Seq(Row(2L, "b", Row(0.2, Row("u2", "y"), 20L)),
+          Row(3L, "c", null)))
+        .write.format(fmt).option("path", dir).mode("append").save()
+      q.processAllAvailable()
+      val got = spark.sql(s"SELECT k, domain, tokens FROM $qn")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSeq.sortBy(_._1)
+      assert(got === Seq((1L, "x", 10L), (2L, "y", 20L),
+        (3L, null, null)))
+    } finally q.stop()
+  }
+
   test("loud refusals: array/map leaves, ','/parens in string leaves, " +
       "DEFAULT on a struct, empty struct") {
     intercept[IllegalArgumentException](GdxSource.typeNameOf(
