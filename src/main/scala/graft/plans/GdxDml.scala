@@ -300,6 +300,7 @@ case class GdxDeleteCommand(path: String, condSql: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GdxDml.versionRowsOutput
   override def run(spark: SparkSession): Seq[Row] = {
+    GdxSqlTxn.refuseIfOpen(spark, "DELETE")
     val (v, n) = graft.sources.GdxSource.delete(spark, path,
       org.apache.spark.sql.functions.expr(condSql))
     Seq(Row(v.toLong, n))
@@ -313,6 +314,7 @@ case class GdxUpdateCommand(path: String, set: Seq[(String, String)],
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GdxDml.versionRowsOutput
   override def run(spark: SparkSession): Seq[Row] = {
+    GdxSqlTxn.refuseIfOpen(spark, "UPDATE")
     val (v, n) = graft.sources.GdxSource.update(spark, path,
       org.apache.spark.sql.functions.expr(condSql),
       set.map { case (k, e) =>
@@ -328,6 +330,7 @@ case class GdxMergeCommand(path: String, source: LogicalPlan)
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override val output: Seq[Attribute] = GdxDml.versionOutput
   override def run(spark: SparkSession): Seq[Row] = {
+    GdxSqlTxn.refuseIfOpen(spark, "MERGE")
     val src = ColumnBridge.ofRows(spark, source)
     val v = graft.sources.GdxSource.merge(spark, path, src)
     Seq(Row(v.toLong))
@@ -350,6 +353,7 @@ case class GdxMergeGeneralCommand(path: String, source: LogicalPlan,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override val output: Seq[Attribute] = GdxDml.mergeMetricsOutput
   override def run(spark: SparkSession): Seq[Row] = {
+    GdxSqlTxn.refuseIfOpen(spark, "MERGE")
     val raw = ColumnBridge.ofRows(spark, source)
     val src = raw.toDF(raw.columns.map("__s_" + _).toSeq: _*)
     val (v, ins, upd, del) = graft.sources.GdxSource.mergeGeneral(

@@ -80,6 +80,15 @@ object GdxSqlTxn {
     require(open.remove(s) != null, "gdx txn: no open transaction")
     ()
   }
+
+  /** Loud refusal for statements that would silently execute OUTSIDE
+    * an open transaction's atomicity (DELETE/UPDATE/MERGE commit their
+    * own snapshots immediately) — running them mid-transaction would
+    * hand the user a partially-visible "transaction". */
+  def refuseIfOpen(s: SparkSession, stmt: String): Unit =
+    require(!isOpen(s),
+      s"gdx txn: $stmt is not transactional - only INSERT INTO stages " +
+        "inside BEGIN TRANSACTION; COMMIT or ROLLBACK first")
 }
 
 /** `BEGIN TRANSACTION` — open the session's staging scope. */

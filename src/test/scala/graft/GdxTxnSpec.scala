@@ -235,7 +235,19 @@ class GdxTxnSpec extends SparkSuite {
     intercept[Exception](s.sql("BEGIN TRANSACTION"))
     intercept[Exception](
       s.sql(s"INSERT INTO $cat.lab.facts (k, v) VALUES (9, 'x')"))
+    // DML inside a transaction would commit OUTSIDE its atomicity —
+    // refused loudly instead of silently half-transactional
+    intercept[Exception](
+      s.sql(s"DELETE FROM $cat.lab.facts WHERE k = 1"))
+    intercept[Exception](
+      s.sql(s"UPDATE $cat.lab.facts SET v = 'x' WHERE k = 1"))
+    assert(s.table(s"$cat.lab.facts").filter("v = 'base'").count()
+      === 1L, "refused DML must not have executed")
     s.sql("ROLLBACK")
+    // after ROLLBACK the same DML runs normally
+    s.sql(s"UPDATE $cat.lab.facts SET v = 'base2' WHERE k = 1")
+    assert(s.table(s"$cat.lab.facts").filter("v = 'base2'").count()
+      === 1L)
     intercept[Exception](s.sql("COMMIT"))
     intercept[Exception](s.sql("ROLLBACK"))
   }
