@@ -5512,6 +5512,10 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
   override def truncateTable(): Boolean = {
     require(pinnedVersion.isEmpty,
       s"gdx: cannot truncate a time-travel (version-pinned) view of $path")
+    // like DML, a truncate commits its own snapshot immediately — it
+    // must not run half-inside an open SQL transaction
+    SparkSession.getActiveSession.foreach(
+      graft.plans.GdxSqlTxn.refuseIfOpen(_, "TRUNCATE TABLE"))
     val conf = GdxSource.driverConf()
     GdxSource.commitFiles(path, conf, replace = true, Seq.empty,
       writeSchema = GdxSource.committedSchema(path, conf),
