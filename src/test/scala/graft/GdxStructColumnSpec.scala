@@ -345,6 +345,18 @@ class GdxStructColumnSpec extends SparkSuite {
     // unorderable leaf refused loudly
     intercept[IllegalArgumentException](
       GdxSource.setClusterBy(dir, Seq("meta.src.domain")))
+    // the SQL front door accepts the dotted form too
+    val s = org.apache.spark.sql.graft.ColumnBridge
+      .sessionWithExtensions(spark, new GraftExtensions())
+    val tbl = "gdxst_cl_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    s.sql(s"""CREATE TABLE $tbl (k BIGINT, v STRING,
+      meta STRUCT<score: DOUBLE, src: STRUCT<domain: STRING>,
+        n_tok: BIGINT>) USING $fmt OPTIONS (path '$dir')""")
+    try {
+      s.sql(s"ALTER TABLE $tbl CLUSTER BY (meta.score)")
+      assert(GdxSource.clusterByOf(dir, conf) === Seq("meta.score"))
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   test("CHECK constraints on nested leaves: existing data validated, " +
