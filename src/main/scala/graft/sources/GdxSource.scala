@@ -3144,11 +3144,21 @@ object GdxSource {
           else clusterEnd
       }
       flush()
-      val unproven = entries.filter(e =>
-        range(e).isEmpty || e.dv.isDefined ||
-          e.stats.exists(_.rows == 0L))
-      val rewriteNames =
-        (overlapping.result() ++ unproven).map(_.name).toSet
+      val over = overlapping.result()
+      // rangeless files (all-NULL leading column, legacy eras) can
+      // never PROVE cleanliness — but rewriting a lone one forever
+      // would make OPTIMIZE non-convergent. One rangeless file is the
+      // steady state (carried); two or more merge, and any is folded
+      // in whenever a real rewrite happens anyway.
+      val rangeless = entries.filter(e =>
+        range(e).isEmpty && e.dv.isEmpty &&
+          !e.stats.exists(_.rows == 0L))
+      val unproven =
+        entries.filter(e => e.dv.isDefined ||
+          e.stats.exists(_.rows == 0L)) ++
+        (if (rangeless.size > 1 || (rangeless.nonEmpty && over.nonEmpty))
+          rangeless else Nil)
+      val rewriteNames = (over ++ unproven).map(_.name).toSet
       val rewriteSet = entries.filter(e => rewriteNames(e.name))
       if (rewriteSet.isEmpty) return (before, before)
       // output-file budget proportional to the rewritten share, so a

@@ -171,6 +171,32 @@ class GdxClusterBySpec extends SparkSuite {
       === 4050L)
   }
 
+  test("recluster converges with all-NULL cluster cells: rangeless " +
+      "files merge once, then a lone one is carried as steady state") {
+    val dir = freshDir("nulls")
+    scattered(1000).write.format(fmt).option("path", dir)
+      .mode("overwrite").save()
+    GdxSource.setClusterBy(dir, Seq("w"))
+    GdxSource.optimizeClustered(spark, dir, Seq("w"), 4) // clean pass
+    // three appends whose w is entirely NULL: no zone-map lane entry
+    (1 to 3).foreach { i =>
+      spark.range(1).select((col("id") + 50000L * i).as("k"),
+        lit(null).cast("double").as("w"), lit("n").as("v")).coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+    }
+    val n0 = GdxSource.committedEntries(dir, conf).size
+    val (b1, a1) = GdxSource.optimizeClustered(spark, dir, Seq("w"), 4)
+    assert(b1 === n0 && a1 < n0, "the null tail must merge")
+    // steady state: ONE rangeless file carried, repeat is a no-op
+    val (b2, a2) = GdxSource.optimizeClustered(spark, dir, Seq("w"), 4)
+    assert((b2, a2) === (a1, a1),
+      s"lone rangeless file must not retrigger rewrites ($b2 -> $a2)")
+    assert(spark.read.format(fmt).option("path", dir).load().count()
+      === 1003L)
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .filter(col("w").isNull).count() === 3L)
+  }
+
   test("zero-row files are planned away unconditionally") {
     val dir = freshDir("zero")
     Seq((1L, "a")).toDF("k", "v").coalesce(1)

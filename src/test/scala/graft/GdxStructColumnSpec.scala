@@ -326,14 +326,19 @@ class GdxStructColumnSpec extends SparkSuite {
       org.apache.spark.sql.sources
         .GreaterThanOrEqual("meta.tokens", 1000L),
       org.apache.spark.sql.sources.LessThan("meta.tokens", 1400L))
+    // write-time ordering already narrows ranges (the AQE rebalance
+    // may split some, so this bound is the weak one)
     val (kept, all) = GdxSource.plannedFiles(dir, band)
-    assert(all >= 3 && kept * 2 < all,
-      s"leaf-clustered layout must prune ($kept/$all)")
-    // OPTIMIZE under the leaf declaration: the first pass may tidy
-    // same-range splits the AQE rebalance write produced; the second
-    // must be a provable no-op (disjoint leaf ranges)
+    assert(all >= 3 && kept < all,
+      s"leaf-clustered write must prune ($kept/$all)")
+    // OPTIMIZE under the leaf declaration: the first pass tidies any
+    // same-range splits the rebalance produced; afterwards ranges are
+    // disjoint (strong pruning bound) and a repeat is a provable no-op
     GdxSource.optimizeClustered(spark, dir,
       GdxSource.effectiveClusterBy(dir, conf), 8)
+    val (keptOpt, allOpt) = GdxSource.plannedFiles(dir, band)
+    assert(keptOpt * 2 < allOpt,
+      s"reclustered layout must prune hard ($keptOpt/$allOpt)")
     val (b, a) = GdxSource.optimizeClustered(spark, dir,
       GdxSource.effectiveClusterBy(dir, conf), 8)
     assert(b === a, s"second leaf recluster must be a no-op ($b -> $a)")
