@@ -4005,6 +4005,86 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // C44 — STRUCT-LEAF GOVERNANCE + LAYOUT: the round's nested tier
+    // composed end-to-end through SQL — a CLUSTER BY on a struct LEAF
+    // (`meta.tokens`; leaf ranges publish under dotted names, so the
+    // declared range-ordered writes make leaf-band scans plan a file
+    // subset), a CHECK constraint on a nested leaf (enforced at WRITE
+    // time inside the tasks — a violating insert aborts with nothing
+    // committed; the vacated-constraint class this round fixed), and
+    // the INCREMENTAL recluster (a second OPTIMIZE after the clean
+    // pass is a provable no-op with an identical file set). A quarter
+    // slice of orders keeps the lifecycle bench-lean. At 100 TB this
+    // is nested-metadata governance: quality bands enforced on the
+    // leaf, layout optimized on the leaf, maintenance priced by the
+    // delta.
+    "c44_gdx_struct_governance" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxstgov_")
+      val cat = "gdx_c44"
+      val gdx = graft.sources.GdxSource
+      val c = graft.Sessions.pinned(s,
+        s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+        s"spark.sql.catalog.$cat.warehouse" -> wh,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
+          "32768")
+      c.sql(s"CREATE NAMESPACE $cat.lab")
+      c.sql(s"""CREATE TABLE $cat.lab.docs (k BIGINT, v STRING,
+        meta STRUCT<score: DOUBLE, tokens: BIGINT>)""")
+      val dir = s"$wh/lab/docs"
+      c.sql(s"ALTER TABLE $cat.lab.docs CLUSTER BY (meta.tokens)")
+      c.sql(s"""ALTER TABLE $cat.lab.docs ADD CONSTRAINT score_band
+        CHECK (meta.score >= 0.0 AND meta.score <= 10.0)""")
+      val rows = Tables.orders(c, d)
+        .filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("v"),
+          struct(
+            ((col("o_orderkey") % 100).cast("double") / lit(10.0))
+              .as("score"),
+            col("o_custkey").as("tokens")).as("meta"))
+        .repartition(8) // deliberately value-scattered input
+      graft.Sessions.insertInto(c, rows, s"$cat.lab.docs")
+      // WRITE-TIME enforcement on the nested leaf: the violating row
+      // aborts its whole insert; nothing commits
+      val preV = gdx.listVersions(dir, gdx.driverConf()).max
+      val refused = try {
+        c.sql(s"""INSERT INTO $cat.lab.docs VALUES
+          (-1, 'bad', named_struct('score', 99.0, 'tokens', 1L))""")
+        false
+      } catch { case _: Exception => true }
+      val constraintEnforced = refused &&
+        gdx.listVersions(dir, gdx.driverConf()).max == preV
+      // clean pass, then the incremental no-op claim
+      val sqlView = "gdxc44_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      c.sql(s"""CREATE TABLE $sqlView (k BIGINT, v STRING,
+        meta STRUCT<score: DOUBLE, tokens: BIGINT>)
+        USING graft.sources.GdxSource OPTIONS (path '$dir')""")
+      try c.sql(s"OPTIMIZE $sqlView")
+      finally c.sql(s"DROP TABLE IF EXISTS $sqlView")
+      val cleanNames = gdx.committedEntries(dir, gdx.driverConf())
+        .map(_.name).toSet
+      val (rb, ra) = gdx.optimizeClustered(c, dir,
+        gdx.effectiveClusterBy(dir, gdx.driverConf()), 8)
+      val incrementalOk = rb == ra &&
+        gdx.committedEntries(dir, gdx.driverConf())
+          .map(_.name).toSet == cleanNames
+      // leaf-band pruning on the reclustered layout
+      val cut = c.table(s"$cat.lab.docs")
+        .agg(avg(col("meta.tokens"))).head.getDouble(0).toLong
+      val (kept, all) = gdx.plannedFiles(dir, Seq(
+        org.apache.spark.sql.sources.GreaterThan("meta.tokens", cut)))
+      c.table(s"$cat.lab.docs")
+        .select(col("k"), col("v"),
+          col("meta.score").as("score"),
+          col("meta.tokens").as("tokens"))
+        .withColumn("constraint_enforced", lit(constraintEnforced))
+        .withColumn("leaf_pruned", lit(kept > 0 && kept < all))
+        .withColumn("recluster_incremental", lit(incrementalOk))
+        .orderBy("k")
+    }),
+
     // C16 — CHANGEFEED-MAINTAINED MATERIALIZED VIEW: the full
     // composition of the engine's table format and MV tiers. A summary
     // is registered over an EMPTY GDX table, the events keyset lands
@@ -5208,6 +5288,17 @@ object RelationalOps extends QueryModule {
         |SELECT k, v, score, domain, tokens,
         |  TRUE AS tt_ok, TRUE AS leaf_pruned, TRUE AS lang_era
         |FROM upd WHERE NOT (domain = 'O' AND tokens % 10 = 3)
+        |ORDER BY k""".stripMargin,
+    // the governed table recomputed relationally: the violating
+    // insert never lands, so the content is exactly the quarter slice;
+    // claims pinned TRUE
+    "c44_gdx_struct_governance" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS v,
+        |  CAST(o_orderkey % 100 AS DOUBLE) / 10.0 AS score,
+        |  o_custkey AS tokens,
+        |  TRUE AS constraint_enforced, TRUE AS leaf_pruned,
+        |  TRUE AS recluster_incremental
+        |FROM orders WHERE o_orderkey % 4 = 0
         |ORDER BY k""".stripMargin,
     // the typed table recomputed relationally: same integer-part
     // decimal construction, the UPDATE as a CASE on the date, the
