@@ -998,7 +998,11 @@ object TextAnalysis extends QueryModule {
         avg(when(col("uniq_frac") < cut, col("ratio"))).as("rep"),
         avg(when(col("uniq_frac") >= cut, col("ratio"))).as("var"))
         .head
-      val discriminates = sides.getDouble(0) < sides.getDouble(1)
+      // an empty side (all docs share one uniq_frac, or a single-doc
+      // corpus) means the ordering claim is unsupported, not an NPE:
+      // avg(when(...)) is NULL there — the claim defaults to false
+      val discriminates = !sides.isNullAt(0) && !sides.isNullAt(1) &&
+        sides.getDouble(0) < sides.getDouble(1)
       rated.select(col("doc_id"), col("lang"), col("n_bytes"))
         .withColumn("ratio_sane", lit(sane))
         .withColumn("compress_discriminates", lit(discriminates))

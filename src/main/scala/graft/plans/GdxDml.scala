@@ -295,12 +295,19 @@ object GdxDmlRule extends Rule[LogicalPlan] {
 }
 
 /** `DELETE FROM <gdx table> WHERE ...` → deletion-vector commit.
-  * Returns (version, rows_deleted). */
+  * Returns (version, rows_deleted). Inside an open SQL transaction the
+  * delete STAGES instead (applied to the transaction's basis snapshot
+  * at COMMIT, conflict-checked — see GdxSqlTxn) and returns the
+  * (-1, -1) staged sentinel: no version exists and no row count is
+  * knowable until the one commit decision lands. */
 case class GdxDeleteCommand(path: String, condSql: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GdxDml.versionRowsOutput
   override def run(spark: SparkSession): Seq[Row] = {
-    GdxSqlTxn.refuseIfOpen(spark, "DELETE")
+    if (GdxSqlTxn.isOpen(spark)) {
+      GdxSqlTxn.stageDelete(spark, path, path, condSql)
+      return Seq(Row(-1L, -1L))
+    }
     val (v, n) = graft.sources.GdxSource.delete(spark, path,
       org.apache.spark.sql.functions.expr(condSql))
     Seq(Row(v.toLong, n))
@@ -324,14 +331,21 @@ case class GdxUpdateCommand(path: String, set: Seq[(String, String)],
 }
 
 /** `MERGE INTO <gdx table> USING <source> ON t.k = s.k ...` → CAS'd
-  * LWW upsert of the source frame. Returns (version). */
+  * LWW upsert of the source frame. Returns (version). Inside an open
+  * SQL transaction the merge STAGES instead (the source pinned to its
+  * stage-time snapshot, folded onto the transaction's basis at COMMIT
+  * under the same conflict check — see GdxSqlTxn) and returns the -1
+  * staged sentinel. */
 case class GdxMergeCommand(path: String, source: LogicalPlan)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override val output: Seq[Attribute] = GdxDml.versionOutput
   override def run(spark: SparkSession): Seq[Row] = {
-    GdxSqlTxn.refuseIfOpen(spark, "MERGE")
     val src = ColumnBridge.ofRows(spark, source)
+    if (GdxSqlTxn.isOpen(spark)) {
+      GdxSqlTxn.stageLww(spark, path, path, src)
+      return Seq(Row(-1L))
+    }
     val v = graft.sources.GdxSource.merge(spark, path, src)
     Seq(Row(v.toLong))
   }

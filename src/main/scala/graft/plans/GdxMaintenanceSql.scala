@@ -455,6 +455,8 @@ case class GdxDescribeDetailCommand(table: Seq[String])
           org.apache.spark.sql.types.StringType, nullable = false),
         StructField("cluster_by", org.apache.spark.sql.types.StringType,
           nullable = false),
+        StructField("cluster_interleaved_files", LongType,
+          nullable = false),
         StructField("n_constraints", LongType, nullable = false),
         StructField("n_tags", LongType, nullable = false),
         StructField("n_branches", LongType, nullable = false),

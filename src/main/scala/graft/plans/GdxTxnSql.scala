@@ -3,7 +3,9 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** SQL FRONT DOOR for MULTI-TABLE TRANSACTIONS — the warehouse
@@ -12,68 +14,200 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * .prepareTransaction]], the c36 machinery):
   *
   *   `BEGIN TRANSACTION`   (or `START TRANSACTION`)
-  *   `INSERT INTO <gdx table> SELECT ... | VALUES ...`   (staged)
+  *   `INSERT INTO <gdx table> [(cols)] SELECT ... | VALUES ...`
+  *   `DELETE FROM <gdx table> WHERE ...`          (staged)
+  *   `MERGE INTO <gdx table> ... ` (LWW shape)    (staged)
   *   `COMMIT`              (one decision: all tables or none)
   *   `ROLLBACK`            (nothing surfaces anywhere)
   *
   * Spark's grammar has no transaction statements, so BEGIN/COMMIT/
   * ROLLBACK are free grammar like OPTIMIZE. INSERT INTO *is* Spark
   * grammar — the wrapper intercepts only its plain `INSERT INTO t
-  * <query>` shape and the interception is RUNTIME-inert: with no open
-  * transaction on the session the original statement re-dispatches
-  * through the delegate byte-for-byte (every non-transactional INSERT
-  * in the engine behaves exactly as before), and parse-only consumers
-  * see an inert command either way. With an open transaction the
-  * INSERT's source query is evaluated into a STAGED write — rows
-  * land as uncommitted claim files on each table; nothing is visible
-  * on ANY table until COMMIT publishes the one decision file. Multiple
-  * INSERTs into the same table union into one staged write (the
-  * decision substrate takes one write per table).
+  * [(cols)] <query>` shape and the interception is RUNTIME-inert:
+  * with no open transaction on the session the original statement
+  * re-dispatches through the delegate byte-for-byte, and parse-only
+  * consumers see an inert command either way. DELETE and LWW MERGE
+  * route through their normal DML commands, which stage instead of
+  * committing while a transaction is open.
   *
-  * Scope discipline: the open-transaction registry is PER SESSION
-  * (weak-keyed — a dropped session leaks nothing). Statements the
-  * wrapper does not stage (DML, DDL, non-GDX inserts) are refused
-  * loudly while a transaction is open rather than silently executed
-  * outside it where the wrapper can see them (INSERT forms); forms
-  * that bypass the wrapper entirely are documented non-transactional.
-  * At 100 TB this is the warehouse loading contract: a nightly fact +
-  * dim + audit-row load becomes visible as ONE event or not at all,
-  * for the cost of one tiny PUT — no distributed 2PC, no table locks.
-  */
+  * SNAPSHOT SEMANTICS, stated as the contract:
+  *  - Every GDX table read by a staged statement's source query is
+  *    RESOLVED TO ITS SNAPSHOT AT STAGE TIME ([[GdxSqlTxn
+  *    .pinSnapshots]]) — a source mutated between stage and COMMIT
+  *    does not change what commits.
+  *  - A staged MUTATION (DELETE/MERGE) reads its target at the
+  *    version current when it was first staged (the transaction's
+  *    BASIS for that table) and the transaction commits as a full
+  *    restatement of that table, CONFLICT-CHECKED: a concurrent
+  *    commit that moved the table past the basis aborts the whole
+  *    transaction loudly (GdxConcurrentModificationException) — no
+  *    writer's rows are ever silently erased. Pure-INSERT tables
+  *    stage as appends and stay conflict-free (appends commute).
+  *  - Within the transaction, staged statements apply IN STAGE ORDER
+  *    over the transaction-local view of each table (an INSERT staged
+  *    before a DELETE is visible to that DELETE's predicate), but
+  *    NOTHING staged is visible to ordinary reads — not even the
+  *    staging session's own (`invisible_before` in c43). The
+  *    transaction reads committed state; its writes become readable
+  *    only at COMMIT.
+  *  - A failed COMMIT (conflict, constraint violation, staging error)
+  *    leaves the transaction OPEN: ROLLBACK discards it cleanly, or
+  *    COMMIT may be retried. The scope is removed only after the
+  *    decision lands.
+  *
+  * Scope discipline: the open-transaction registry is PER SESSION and
+  * weak-keyed; staged work is held as LOGICAL PLANS, never DataFrames
+  * (a DataFrame's QueryExecution strongly references its session — as
+  * a WeakHashMap value it would pin the session key forever, so an
+  * abandoned open transaction could never be collected). Statements
+  * that commit their own visible snapshot are refused loudly while a
+  * transaction is open — UPDATE and general-matrix MERGE (GdxDml),
+  * TRUNCATE (GdxTable.truncateTable), every DSv2 batch write into a
+  * GDX table including INSERT OVERWRITE and DataFrame-API writes
+  * (GdxBatchWrite.commit), and catalog DDL (GdxCatalog) — rather than
+  * silently executed outside the transaction's atomicity. Maintenance
+  * statements (OPTIMIZE/VACUUM/ANALYZE/branch-tag DDL) are documented
+  * non-transactional. At 100 TB this is the warehouse loading
+  * contract: a nightly fact-append + dimension-merge + audit-row load
+  * becomes visible as ONE event or not at all, for the cost of one
+  * tiny PUT — no distributed 2PC, no table locks. */
 object GdxSqlTxn {
-  private final case class Staged(dir: String, table: String,
-                                  rows: DataFrame)
+  private[plans] sealed trait Staged {
+    def dir: String; def table: String
+  }
+  private[plans] final case class StagedInsert(dir: String, table: String,
+      plan: LogicalPlan) extends Staged
+  private[plans] final case class StagedDelete(dir: String, table: String,
+      condSql: String) extends Staged
+  /** The legacy (k,v) LWW-upsert MERGE shape, staged: `plan` is the
+    * (snapshot-pinned) source frame; semantics mirror
+    * [[graft.sources.GdxSource.merge]] exactly. */
+  private[plans] final case class StagedLww(dir: String, table: String,
+      plan: LogicalPlan) extends Staged
+
+  private final class Scope {
+    val ops = scala.collection.mutable.ArrayBuffer.empty[Staged]
+    /** dir → the target version current when its FIRST mutation was
+      * staged: the transaction-consistent basis every later mutation
+      * of the same table folds onto, and the expected base the commit
+      * conflict-checks. */
+    val basis = scala.collection.mutable.Map.empty[String, Int]
+  }
   private val open = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.ArrayBuffer[Staged]]())
+    new java.util.WeakHashMap[SparkSession, Scope]())
 
   def begin(s: SparkSession): Unit = {
     require(!open.containsKey(s),
       "gdx txn: a transaction is already open on this session")
-    open.put(s, scala.collection.mutable.ArrayBuffer.empty)
+    open.put(s, new Scope)
     ()
   }
 
   def isOpen(s: SparkSession): Boolean = open.containsKey(s)
 
-  private[plans] def stage(s: SparkSession, dir: String, table: String,
-                           rows: DataFrame): Unit = {
-    val buf = open.get(s)
-    require(buf != null, "gdx txn: no open transaction")
-    buf += Staged(dir, table, rows)
+  private def scopeOf(s: SparkSession): Scope = {
+    val sc = open.get(s)
+    require(sc != null, "gdx txn: no open transaction")
+    sc
+  }
+
+  /** Pin every live GDX relation in a staged plan to its CURRENT
+    * snapshot — stage-time resolution, so the frame that commits is
+    * the frame the user staged even if a source table moves
+    * in between. Relations already pinned (catalog time travel,
+    * `version`/`asOf` read options) keep their explicit pin. */
+  private[plans] def pinSnapshots(plan: LogicalPlan): LogicalPlan =
+    plan.transform {
+      case r: DataSourceV2Relation => r.table match {
+        case g: graft.sources.GdxTable if g.pinned.isEmpty &&
+            r.options.get("version") == null &&
+            r.options.get("asOf") == null =>
+          val head = graft.sources.GdxSource.latestDecidedVersion(
+            g.tablePath, graft.sources.GdxSource.driverConf())
+          if (head > 0) r.copy(table = g.pinnedAt(head)) else r
+        case _ => r
+      }
+    }
+
+  private[plans] def stageInsert(s: SparkSession, dir: String,
+                                 table: String, rows: DataFrame): Unit = {
+    scopeOf(s).ops +=
+      StagedInsert(dir, table, pinSnapshots(rows.queryExecution.analyzed))
     ()
   }
 
-  /** Close the scope and return one (dir, table, unioned rows) per
-    * distinct target, in first-staged order. */
-  private[plans] def take(s: SparkSession)
-      : Seq[(String, String, DataFrame)] = {
-    val buf = open.remove(s)
-    require(buf != null, "gdx txn: no open transaction")
-    buf.toSeq.groupBy(_.dir).toSeq
-      .sortBy { case (dir, _) => buf.indexWhere(_.dir == dir) }
-      .map { case (dir, ws) =>
-        (dir, ws.head.table, ws.map(_.rows).reduce(_ unionByName _)) }
+  private[plans] def stageDelete(s: SparkSession, dir: String,
+                                 table: String, condSql: String): Unit = {
+    val sc = scopeOf(s)
+    sc.basis.getOrElseUpdate(dir, graft.sources.GdxSource
+      .latestDecidedVersion(dir, graft.sources.GdxSource.driverConf()))
+    sc.ops += StagedDelete(dir, table, condSql)
+    ()
+  }
+
+  private[plans] def stageLww(s: SparkSession, dir: String,
+                              table: String, source: DataFrame): Unit = {
+    val sc = scopeOf(s)
+    sc.basis.getOrElseUpdate(dir, graft.sources.GdxSource
+      .latestDecidedVersion(dir, graft.sources.GdxSource.driverConf()))
+    sc.ops += StagedLww(dir, table,
+      pinSnapshots(source.queryExecution.analyzed))
+    ()
+  }
+
+  /** PEEK the open scope and fold each table's staged operations into
+    * one prepared write — the scope is NOT closed here (see
+    * [[GdxCommitTxnCommand]]: a failed commit must leave ROLLBACK a
+    * transaction to roll back). Pure-INSERT tables fold to an append;
+    * any staged mutation makes the table's write a full restatement
+    * of its basis snapshot with the ops applied in stage order,
+    * conflict-checked against the basis at commit time. */
+  private[plans] def prepareWrites(spark: SparkSession)
+      : Seq[(String, graft.sources.GdxSource.GdxTxnWrite)] = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, max,
+      not, struct}
+    val sc = scopeOf(spark)
+    val gdx = graft.sources.GdxSource
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    sc.ops.map(_.dir).distinct.toSeq.map { dir =>
+      val ops = sc.ops.filter(_.dir == dir).toSeq
+      val hasMutation = ops.exists(!_.isInstanceOf[StagedInsert])
+      val basis = sc.basis.get(dir)
+      var df: DataFrame =
+        if (!hasMutation) null
+        else {
+          val rd = spark.read.format("graft.sources.GdxSource")
+            .option("path", dir)
+          basis.filter(_ > 0).fold(rd)(b =>
+            rd.option("version", b.toString)).load()
+        }
+      ops.foreach {
+        case StagedInsert(_, _, p) =>
+          val r = bridge.ofRows(spark, p)
+          df = if (df == null) r else df.unionByName(r)
+        case StagedDelete(_, _, cond) =>
+          // SQL DELETE semantics: rows whose predicate is NULL survive
+          df = df.filter(not(coalesce(expr(cond), lit(false))))
+        case StagedLww(_, _, p) =>
+          val up = bridge.ofRows(spark, p)
+            .select(col("k").cast("long").as("k"),
+              col("v").cast("string").as("v"))
+          df = df.withColumn("__pri", lit(0))
+            .unionByName(up.withColumn("__pri", lit(1)))
+            .groupBy("k")
+            .agg(max(struct(col("__pri"), col("v"))).as("__w"))
+            .select(col("k"), col("__w.v").as("v"))
+      }
+      ops.head.table -> gdx.GdxTxnWrite(dir, df, overwrite = hasMutation,
+        expectedBase = if (hasMutation) basis.getOrElse(-1) else -1)
+    }
+  }
+
+  /** Close the session's scope (after a successful COMMIT, an empty
+    * one, or a ROLLBACK). */
+  private[plans] def close(s: SparkSession): Unit = {
+    open.remove(s)
+    ()
   }
 
   def rollback(s: SparkSession): Unit = {
@@ -82,13 +216,14 @@ object GdxSqlTxn {
   }
 
   /** Loud refusal for statements that would silently execute OUTSIDE
-    * an open transaction's atomicity (DELETE/UPDATE/MERGE commit their
-    * own snapshots immediately) — running them mid-transaction would
-    * hand the user a partially-visible "transaction". */
+    * an open transaction's atomicity (they commit their own snapshots
+    * immediately) — running them mid-transaction would hand the user
+    * a partially-visible "transaction". */
   def refuseIfOpen(s: SparkSession, stmt: String): Unit =
     require(!isOpen(s),
-      s"gdx txn: $stmt is not transactional - only INSERT INTO stages " +
-        "inside BEGIN TRANSACTION; COMMIT or ROLLBACK first")
+      s"gdx txn: $stmt is not transactional - only INSERT INTO, " +
+        "DELETE FROM and LWW MERGE stage inside BEGIN TRANSACTION; " +
+        "COMMIT or ROLLBACK first")
 }
 
 /** `BEGIN TRANSACTION` — open the session's staging scope. */
@@ -100,10 +235,15 @@ case class GdxBeginTxnCommand() extends LeafRunnableCommand {
   }
 }
 
-/** `COMMIT` — stage every buffered INSERT's rows as claim files, then
-  * publish the ONE decision that makes all of them real at once
-  * ([[graft.sources.GdxSource.prepareTransaction]]). An empty
-  * transaction commits as a no-op. Returns (table, version) rows. */
+/** `COMMIT` — fold every staged statement into one write per table,
+  * stage those as claim files, then publish the ONE decision that
+  * makes all of them real at once ([[graft.sources.GdxSource
+  * .prepareTransaction]]). An empty transaction commits as a no-op.
+  * The scope is removed only AFTER the decision lands: a commit that
+  * fails (CAS conflict on a mutated basis, constraint violation,
+  * staging error) leaves the transaction open, so ROLLBACK succeeds
+  * and the staged work is never silently dropped. Returns
+  * (table, version) rows. */
 case class GdxCommitTxnCommand() extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
@@ -111,13 +251,13 @@ case class GdxCommitTxnCommand() extends LeafRunnableCommand {
         StructField("table", StringType, nullable = false),
         StructField("version", LongType, nullable = false))))
   override def run(spark: SparkSession): Seq[Row] = {
-    val staged = GdxSqlTxn.take(spark)
-    if (staged.isEmpty) return Seq.empty
+    val writes = GdxSqlTxn.prepareWrites(spark)
+    if (writes.isEmpty) { GdxSqlTxn.close(spark); return Seq.empty }
     val gdx = graft.sources.GdxSource
-    val names = staged.map(s => s._1 -> s._2).toMap
-    val versions = gdx.prepareTransaction(spark,
-      staged.map { case (dir, _, rows) => gdx.GdxTxnWrite(dir, rows) })
+    val versions = gdx.prepareTransaction(spark, writes.map(_._2))
       .commit()
+    GdxSqlTxn.close(spark)
+    val names = writes.map(w => w._2.dir -> w._1).toMap
     versions.map { case (dir, v) => Row(names(dir), v.toLong) }
   }
 }
@@ -131,12 +271,15 @@ case class GdxRollbackTxnCommand() extends LeafRunnableCommand {
   }
 }
 
-/** Every plain `INSERT INTO <tbl> <query>` routes here; the
+/** Every plain `INSERT INTO <tbl> [(cols)] <query>` routes here; the
   * transaction decision is RUNTIME state, never parse state. Outside
   * a transaction the original text re-dispatches through the delegate
   * unchanged; inside one, the source query stages against the GDX
-  * target (positional column alignment + INSERT-style store casts —
-  * the same assignment semantics the native INSERT applies). */
+  * target — aligned positionally (or through the explicit column
+  * list, omitted columns filled with their declared DEFAULTs or NULL,
+  * the same defaults-aware alignment the native INSERT applies) with
+  * INSERT-style store casts, and every GDX source relation pinned to
+  * its stage-time snapshot. */
 case class GdxTxnInsertCommand(table: Seq[String], colList: Option[String],
                                sourceSql: String)(
     val sqlText: String, val delegate: ParserInterface)
@@ -152,9 +295,6 @@ case class GdxTxnInsertCommand(table: Seq[String], colList: Option[String],
         GdxTimeTravel.stash(delegate.parsePlan(sqlText))).collect()
       return Seq.empty
     }
-    require(colList.isEmpty,
-      "gdx txn: INSERT with an explicit column list is not supported " +
-        "inside a transaction - list all columns in the query instead")
     val gdx = graft.sources.GdxSource
     val path = GdxMaintenanceSql.gdxPathOf(spark, table,
       "transactional INSERT (only GDX tables can participate in a " +
@@ -162,14 +302,49 @@ case class GdxTxnInsertCommand(table: Seq[String], colList: Option[String],
     val src = org.apache.spark.sql.graft.ColumnBridge
       .ofRows(spark, GdxTimeTravel.stash(delegate.parsePlan(sourceSql)))
     val tblSchema = gdx.committedSchema(path, gdx.driverConf())
-    require(src.columns.length == tblSchema.length,
-      s"gdx txn: INSERT provides ${src.columns.length} columns, " +
-        s"${table.mkString(".")} has ${tblSchema.length}")
-    import org.apache.spark.sql.functions.col
-    val aligned = src.toDF(tblSchema.fieldNames.toIndexedSeq: _*)
-      .select(tblSchema.fields.map(f =>
-        col(s"`${f.name}`").cast(f.dataType).as(f.name)).toSeq: _*)
-    GdxSqlTxn.stage(spark, path, table.mkString("."), aligned)
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val aligned = colList match {
+      case None =>
+        require(src.columns.length == tblSchema.length,
+          s"gdx txn: INSERT provides ${src.columns.length} columns, " +
+            s"${table.mkString(".")} has ${tblSchema.length}")
+        src.toDF(tblSchema.fieldNames.toIndexedSeq: _*)
+          .select(tblSchema.fields.map(f =>
+            col(s"`${f.name}`").cast(f.dataType).as(f.name)).toSeq: _*)
+      case Some(cl) =>
+        val listed = cl.split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        require(listed.forall(_.nonEmpty) &&
+            listed.map(lower).distinct.size == listed.size,
+          s"gdx txn: malformed INSERT column list ($cl)")
+        val known = tblSchema.fieldNames.map(lower).toSet
+        val unknown = listed.filterNot(n => known(lower(n)))
+        require(unknown.isEmpty, s"gdx txn: INSERT column(s) " +
+          s"${unknown.mkString(", ")} are not in ${table.mkString(".")}" +
+          s"'s schema ${tblSchema.fieldNames.mkString(",")}")
+        require(src.columns.length == listed.size,
+          s"gdx txn: INSERT lists ${listed.size} columns but the query " +
+            s"provides ${src.columns.length}")
+        // positional: the i-th source column feeds the i-th listed
+        // column; omitted table columns take their declared DEFAULT
+        // (the same era-fill literal the analyzer folds for native
+        // INSERTs) or NULL
+        val renamed = src.toDF(listed: _*)
+        val listedSet = listed.map(lower).toSet
+        renamed.select(tblSchema.fields.map { f =>
+          if (listedSet(lower(f.name)))
+            col(s"`${listed.find(n => lower(n) == lower(f.name)).get}`")
+              .cast(f.dataType).as(f.name)
+          else gdx.defaultCellOf(f) match {
+            case Some(text) =>
+              expr(gdx.defaultSqlLiteral(f.dataType, text))
+                .cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }.toSeq: _*)
+    }
+    GdxSqlTxn.stageInsert(spark, path, table.mkString("."), aligned)
     Seq.empty
   }
 }

@@ -226,9 +226,18 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
       }
     })
 
+  /** DDL commits its own visible snapshot (or deletes one) — none of
+    * it can honor an open SQL transaction's all-or-nothing contract,
+    * so every mutating catalog entry point refuses loudly while one
+    * is open (the same guard DML and TRUNCATE apply). */
+  private def refuseDdlInTxn(stmt: String): Unit =
+    SparkSession.getActiveSession.foreach(
+      graft.plans.GdxSqlTxn.refuseIfOpen(_, stmt))
+
   override def createTable(ident: Identifier, schema0: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    refuseDdlInTxn("CREATE TABLE")
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val schema = normalizeDefaults(schema0)
@@ -306,6 +315,7 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
     * partition column, constraint references). */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
+    refuseDdlInTxn("ALTER TABLE")
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val d = dir.toString
@@ -386,6 +396,7 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    refuseDdlInTxn("DROP TABLE")
     val dir = tableDir(ident)
     // a recreated table at the same path restarts version numbers —
     // stale decided-verdict cache entries must go with the directory
@@ -395,6 +406,7 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit = {
+    refuseDdlInTxn("RENAME TABLE")
     val src = tableDir(oldIdent)
     val dst = tableDir(newIdent)
     if (!isTable(src)) throw new NoSuchTableException(oldIdent)

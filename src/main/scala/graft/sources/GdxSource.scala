@@ -3081,10 +3081,118 @@ object GdxSource {
     }
   }
 
+  /** OVERLAP CLOSURE of a snapshot's files on the cluster-column
+    * prefix, in LEXICOGRAPHIC order: the entries that provably
+    * interleave (interval-merge clusters of ≥ 2 under per-file lex
+    * bounds). Each file's bounds come from its zone-map ranges —
+    * `(min_1, min_2, …)` is a valid lex LOWER bound of every row even
+    * though trailing mins are file-global (a row tying the leading
+    * bound still has its trailing value inside the file's trailing
+    * range), and the maxes are a valid upper bound symmetrically. A
+    * column the file cannot prove pads as −∞/+∞, which only ever
+    * MERGES (conservative); a file with no leading-column range is
+    * not ranged at all and is excluded (the caller decides its fate).
+    * Versus the head-only proof this is strictly finer exactly at
+    * boundary equality: two files touching at one head value but with
+    * disjoint trailing ranges there are now provably clean — and
+    * trailing-column interleave among same-head files is always
+    * caught, so an incremental pass can never undo a full pass's
+    * trailing-range separation. */
+  private[graft] def clusterOverlapClosure(entries: Seq[GdxFileEntry],
+      byC: Seq[String]): Seq[GdxFileEntry] = {
+    def dec(s: String): Option[BigDecimal] =
+      try Some(BigDecimal(s)) catch {
+        case _: NumberFormatException => None }
+    // per-file lex bounds over the declared prefix; None past the
+    // file's PROVEN prefix (= ±∞ in the comparisons below)
+    def bounds(e: GdxFileEntry)
+        : Option[(Array[Option[BigDecimal]], Array[Option[BigDecimal]])] = {
+      val st = e.stats.filter(_.rows > 0)
+      val ranges = byC.map(c => st.flatMap(_.cols.get(c))
+        .flatMap { case (mn, mx) => dec(mn).zip(dec(mx)) })
+      ranges.head.map { _ =>
+        val proven = ranges.takeWhile(_.isDefined).length
+        (byC.indices.map(i =>
+           if (i < proven) ranges(i).map(_._1) else None).toArray,
+         byC.indices.map(i =>
+           if (i < proven) ranges(i).map(_._2) else None).toArray)
+      }
+    }
+    // lower bound strictly after an upper bound? (None = −∞ on the
+    // lower side, +∞ on the upper side; ties and unknowns MERGE)
+    def loGtHi(lo: Array[Option[BigDecimal]],
+               hi: Array[Option[BigDecimal]]): Boolean = {
+      var i = 0
+      while (i < lo.length) {
+        (lo(i), hi(i)) match {
+          case (Some(a), Some(b)) =>
+            if (a > b) return true
+            if (a < b) return false
+          case _ => return false // −∞ / +∞ can never separate
+        }
+        i += 1
+      }
+      false // equal bounds touch — not strictly after
+    }
+    // upper bound strictly greater (None = +∞ on both sides)
+    def hiGt(a: Array[Option[BigDecimal]],
+             b: Array[Option[BigDecimal]]): Boolean = {
+      var i = 0
+      while (i < a.length) {
+        (a(i), b(i)) match {
+          case (Some(x), Some(y)) =>
+            if (x > y) return true
+            if (x < y) return false
+          case (None, Some(_)) => return true
+          case (Some(_), None) => return false
+          case (None, None)    => ()
+        }
+        i += 1
+      }
+      false
+    }
+    // sort by lower bound (None = −∞)
+    def loLt(a: Array[Option[BigDecimal]],
+             b: Array[Option[BigDecimal]]): Boolean = {
+      var i = 0
+      while (i < a.length) {
+        (a(i), b(i)) match {
+          case (Some(x), Some(y)) =>
+            if (x < y) return true
+            if (x > y) return false
+          case (None, Some(_)) => return true
+          case (Some(_), None) => return false
+          case (None, None)    => ()
+        }
+        i += 1
+      }
+      false
+    }
+    val ranged = entries.flatMap(e => bounds(e).map(b => (e, b)))
+      .sortWith { case ((_, (la, _)), (_, (lb, _))) => loLt(la, lb) }
+    val overlapping = Seq.newBuilder[GdxFileEntry]
+    var clusterEnd: Array[Option[BigDecimal]] = null
+    var clusterMembers = List.empty[GdxFileEntry]
+    def flush(): Unit = {
+      if (clusterMembers.lengthCompare(1) > 0)
+        overlapping ++= clusterMembers
+      clusterMembers = Nil
+    }
+    ranged.foreach { case (e, (lo, hi)) =>
+      if (clusterEnd == null || loGtHi(lo, clusterEnd)) flush()
+      clusterMembers ::= e
+      clusterEnd = if (clusterEnd == null || hiGt(hi, clusterEnd)) hi
+        else clusterEnd
+    }
+    flush()
+    overlapping.result()
+  }
+
   /** `OPTIMIZE t` under a declared CLUSTER BY — INCREMENTAL: rewrite
-    * ONLY the unclustered tail. A file whose leading-cluster-column
-    * zone-map range overlaps no other file's is already where a
-    * recluster would put it — it is carried by reference, untouched.
+    * ONLY the unclustered tail. A file whose lexicographic
+    * cluster-prefix bounds ([[clusterOverlapClosure]]) overlap no
+    * other file's is already where a recluster would put it — it is
+    * carried by reference, untouched.
     * The rewrite set is the OVERLAP CLOSURE (interval-merge clusters
     * of ≥ 2 files) plus anything that cannot prove cleanliness
     * (missing stats, zero-row seeds, DV carriers — their deletes fold
@@ -3103,7 +3211,6 @@ object GdxSource {
     val sconf = new SerializableHadoopConf(conf0)
     val base = new Path(dir)
     val fs = base.getFileSystem(conf0)
-    val head = by.head
     var attempt = 0
     while (true) {
       val vs = listVersions(dir, conf0)
@@ -3114,9 +3221,14 @@ object GdxSource {
       val md = readManifest(fs, manifestFor(dir, readV))
       val tblSchema = md.schema.getOrElse(schema)
       val tblColmap = md.colmap
-      by.foreach(c => require(
-        resolveClusterRef(tblSchema, c).isDefined,
-        s"gdx optimize: no orderable cluster column or struct leaf $c"))
+      // canonical-case the references BEFORE any range lookup: zone-map
+      // stats publish under canonical dotted names, so a direct API
+      // caller's differently-cased `by` would otherwise read every file
+      // as rangeless and degrade each OPTIMIZE to a full rewrite
+      val byC = by.map(c => resolveClusterRef(tblSchema, c).getOrElse(
+        throw new IllegalArgumentException(
+          s"gdx optimize: no orderable cluster column or struct leaf $c")))
+      val head = byC.head
       val before = entries.size
       def dec(s: String): Option[BigDecimal] =
         try Some(BigDecimal(s)) catch {
@@ -3124,27 +3236,10 @@ object GdxSource {
       def range(e: GdxFileEntry): Option[(BigDecimal, BigDecimal)] =
         e.stats.filter(_.rows > 0).flatMap(_.cols.get(head))
           .flatMap { case (mn, mx) => dec(mn).zip(dec(mx)) }
-      // interval-merge on the leading column: clusters of ≥2 ranged
-      // files must co-rewrite (their rows interleave); a singleton
-      // cluster is PROVABLY clean and is carried untouched
-      val ranged = entries.flatMap(e => range(e).map(r => (e, r)))
-        .sortBy(_._2._1)
-      val overlapping = Seq.newBuilder[GdxFileEntry]
-      var clusterEnd: BigDecimal = null
-      var clusterMembers = List.empty[GdxFileEntry]
-      def flush(): Unit = {
-        if (clusterMembers.lengthCompare(1) > 0)
-          overlapping ++= clusterMembers
-        clusterMembers = Nil
-      }
-      ranged.foreach { case (e, (mn, mx)) =>
-        if (clusterEnd == null || mn > clusterEnd) flush()
-        clusterMembers ::= e
-        clusterEnd = if (clusterEnd == null || mx > clusterEnd) mx
-          else clusterEnd
-      }
-      flush()
-      val over = overlapping.result()
+      // interval-merge on the LEXICOGRAPHIC cluster prefix: clusters
+      // of ≥2 ranged files must co-rewrite (their rows interleave); a
+      // singleton cluster is PROVABLY clean and is carried untouched
+      val over = clusterOverlapClosure(entries, byC)
       // rangeless files (all-NULL leading column, legacy eras) can
       // never PROVE cleanliness — but rewriting a lone one forever
       // would make OPTIMIZE non-convergent. One rangeless file is the
@@ -3173,8 +3268,8 @@ object GdxSource {
       val rewritten = writeDataFiles(
         liveFrame(spark, dir, rewriteSet, tblSchema, sconf, tblColmap)
           .drop("_file", "_pos")
-          .repartitionByRange(bins, by.map(col): _*)
-          .sortWithinPartitions(by.map(col): _*),
+          .repartitionByRange(bins, byC.map(col): _*)
+          .sortWithinPartitions(byC.map(col): _*),
         dir, tblSchema, sconf, tblColmap)
       val updated = entries.filterNot(e => rewriteNames(e.name)) ++
         rewritten
@@ -4078,6 +4173,16 @@ object GdxSource {
         try fs.getFileStatus(entryPath(dir, e.name)).getLen
         catch { case _: Exception => 0L })
     }.sum
+    // layout-quality observability: under a declared CLUSTER BY, how
+    // many files provably interleave on the lexicographic cluster
+    // prefix (the exact set the next OPTIMIZE would rewrite) — the
+    // metric that makes trailing-column degradation VISIBLE instead
+    // of silently priced into future scans. Metadata-only (zone-map
+    // ranges ride the manifest).
+    val clusterBy = effectiveClusterBy(dir, conf)
+    val interleaved =
+      if (clusterBy.isEmpty) 0L
+      else clusterOverlapClosure(entries, clusterBy).size.toLong
     Seq((
       "gdx",
       fs.makeQualified(new Path(dir)).toString,
@@ -4089,14 +4194,15 @@ object GdxSource {
       schemaSpec(committedSchema(dir, conf)),
       committedPartitionCol(dir, conf).getOrElse(""),
       clusterByOf(dir, conf).mkString(","),
+      interleaved,
       committedConstraints(dir, conf).size.toLong,
       listTags(dir, conf).size.toLong,
       listBranches(dir, conf).size.toLong,
       readColStats(dir, conf).map(_.version.toLong).getOrElse(-1L)))
       .toDF("format", "location", "version", "n_files", "n_dvs",
         "n_rows", "size_bytes", "schema", "partition_spec",
-        "cluster_by", "n_constraints", "n_tags", "n_branches",
-        "analyzed_version")
+        "cluster_by", "cluster_interleaved_files", "n_constraints",
+        "n_tags", "n_branches", "analyzed_version")
   }
 
   // --------------------------- column statistics (ANALYZE TABLE / CBO)
@@ -5019,10 +5125,17 @@ object GdxSource {
   /** One table's staged write inside a multi-table transaction:
     * `rows` must match the table's current schema by name; `overwrite`
     * stages a truncate (the new snapshot starts from these rows),
-    * otherwise an append. */
+    * otherwise an append. `expectedBase` (≥ 0) makes the write
+    * CONFLICT-DETECTING: the claim must land on exactly that base
+    * version or the whole transaction aborts loudly — the contract a
+    * non-commutative restatement (a staged MERGE/DELETE computed FROM
+    * the base snapshot) needs, where landing past a concurrent commit
+    * would silently erase its rows. Appends keep the default (-1):
+    * they commute, so they land on whatever base is current. */
   case class GdxTxnWrite(dir: String,
                          rows: org.apache.spark.sql.DataFrame,
-                         overwrite: Boolean = false)
+                         overwrite: Boolean = false,
+                         expectedBase: Int = -1)
 
   /** A prepared (claimed, staged, UNDECIDED) multi-table transaction:
     * every participating table's next version is claimed by a redirect
@@ -5152,6 +5265,16 @@ object GdxSource {
       var attempts = 0
       while (claimed < 0) {
         val base = decidedHead(dir, conf)
+        // a restatement computed FROM a basis snapshot must land ON
+        // it — a moved base means a concurrent commit this write
+        // would erase; abort the whole transaction (the catch below
+        // publishes the abort decision) instead
+        if (w.expectedBase >= 0 && base != w.expectedBase)
+          throw new GdxConcurrentModificationException(
+            s"gdx txn: $dir moved from version ${w.expectedBase} to " +
+              s"$base while the transaction was staged - its " +
+              "restatement would erase the concurrent commit; " +
+              "ROLLBACK and re-run the transaction")
         val v = base + 1
         val stageName = f"_txnstage-$v%08d-$id"
         val stageLines =
@@ -5547,6 +5670,11 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
     * CURRENT snapshot, exactly like the `version`/`asOf` read
     * options. */
   private[graft] def pinned: Option[Int] = pinnedVersion
+  /** This table pinned at snapshot `v` — stage-time source resolution
+    * for SQL transactions (plans/GdxTxnSql.pinSnapshots). */
+  private[graft] def pinnedAt(v: Int): GdxTable =
+    new GdxTable(path, tableSchema, declaredPartition, viaCatalog,
+      Some(v))
   override def name(): String = s"gdx($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] = {
@@ -7104,10 +7232,20 @@ class GdxBatchWrite(path: String, replace: Boolean,
     * point is the single manifest write (renames are tidiness, not the
     * correctness boundary), and version-unique file names mean no
     * commit can ever clobber a file an older snapshot references. */
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // like DML and TRUNCATE, a batch write commits its own visible
+    // snapshot — INSERT OVERWRITE, partitioned inserts, and
+    // DataFrame-API writes must refuse loudly inside an open SQL
+    // transaction rather than silently break its all-or-nothing
+    // contract (the transaction's OWN staged writes never pass here:
+    // they publish through claim manifests, not commitFiles)
+    SparkSession.getActiveSession.foreach(
+      graft.plans.GdxSqlTxn.refuseIfOpen(_, "a non-staged write into " +
+        s"gdx($path)"))
     GdxSource.commitFiles(path, GdxSource.driverConf(), replace,
       messages.toSeq, expectedBase, writeSchema, Some(enforced),
       partitionCol, replaceWhere)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = GdxSource.driverConf()

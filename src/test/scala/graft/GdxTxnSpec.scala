@@ -229,27 +229,169 @@ class GdxTxnSpec extends SparkSuite {
     // empty transaction commits as a no-op
     s.sql("START TRANSACTION")
     assert(s.sql("COMMIT").collect().isEmpty)
-    // loud refusals: double BEGIN, COMMIT with no transaction,
-    // column-list INSERT inside a transaction
+    // loud refusals: double BEGIN, and statements that commit their
+    // own snapshot (UPDATE, general MERGE, TRUNCATE, INSERT OVERWRITE,
+    // DDL) — they cannot honor the transaction's atomicity
     s.sql("BEGIN TRANSACTION")
     intercept[Exception](s.sql("BEGIN TRANSACTION"))
     intercept[Exception](
-      s.sql(s"INSERT INTO $cat.lab.facts (k, v) VALUES (9, 'x')"))
-    // DML inside a transaction would commit OUTSIDE its atomicity —
-    // refused loudly instead of silently half-transactional
-    intercept[Exception](
-      s.sql(s"DELETE FROM $cat.lab.facts WHERE k = 1"))
-    intercept[Exception](
       s.sql(s"UPDATE $cat.lab.facts SET v = 'x' WHERE k = 1"))
+    intercept[Exception](s.sql(s"TRUNCATE TABLE $cat.lab.facts"))
+    intercept[Exception](
+      s.sql(s"INSERT OVERWRITE $cat.lab.facts VALUES (9, 'ow')"))
+    intercept[Exception](
+      s.sql(s"ALTER TABLE $cat.lab.facts ADD COLUMN (w DOUBLE)"))
+    intercept[Exception](s.sql(s"DROP TABLE $cat.lab.audit"))
+    // DELETE and column-list INSERT STAGE (invisible until COMMIT)
+    s.sql(s"DELETE FROM $cat.lab.facts WHERE k = 1")
+    s.sql(s"INSERT INTO $cat.lab.facts (k, v) VALUES (9, 'cl')")
     assert(s.table(s"$cat.lab.facts").filter("v = 'base'").count()
-      === 1L, "refused DML must not have executed")
+      === 1L, "staged DML must not be visible before COMMIT")
+    assert(s.table(s"$cat.lab.facts").filter("k = 9").count() === 0L)
     s.sql("ROLLBACK")
+    assert(s.table(s"$cat.lab.facts").filter("v = 'base'").count()
+      === 1L, "rolled-back staged DML must never execute")
+    assert(s.table(s"$cat.lab.facts").filter("k = 9").count() === 0L)
     // after ROLLBACK the same DML runs normally
     s.sql(s"UPDATE $cat.lab.facts SET v = 'base2' WHERE k = 1")
     assert(s.table(s"$cat.lab.facts").filter("v = 'base2'").count()
       === 1L)
     intercept[Exception](s.sql("COMMIT"))
     intercept[Exception](s.sql("ROLLBACK"))
+  }
+
+  /** A session wired to a fresh GDX catalog; returns (session,
+    * warehouse dir) — table `cat.lab.t` lives at `<wh>/lab/t`. */
+  private def txnSession(cat: String) = {
+    val wh = graft.Scratch.tablePath(s"gdxtxn_${cat}_")
+    (graft.Sessions.pinned(
+      org.apache.spark.sql.graft.ColumnBridge
+        .sessionWithExtensions(spark, new GraftExtensions()),
+      s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+      s"spark.sql.catalog.$cat.warehouse" -> wh), wh)
+  }
+
+  test("staged MERGE + INSERT commit as one decision: the nightly " +
+      "fact-append + dim-merge load is both-or-neither") {
+    val cat = "gdx_txnm1"
+    val (s, _) = txnSession(cat)
+    s.sql(s"CREATE NAMESPACE $cat.lab")
+    s.sql(s"CREATE TABLE $cat.lab.dim (k BIGINT, v STRING)")
+    s.sql(s"CREATE TABLE $cat.lab.facts (k BIGINT, v STRING)")
+    s.sql(s"INSERT INTO $cat.lab.dim VALUES (1, 'old1'), (2, 'old2')")
+    s.sql("BEGIN TRANSACTION")
+    s.sql(s"INSERT INTO $cat.lab.facts VALUES (10, 'f10'), (11, 'f11')")
+    // LWW MERGE: update k=2, insert k=3 — staged, invisible
+    s.sql(s"""MERGE INTO $cat.lab.dim t
+      USING (SELECT * FROM VALUES (2, 'new2'), (3, 'new3') AS u(k, v)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(s.table(s"$cat.lab.dim").filter("v = 'new2'").count() === 0L,
+      "staged merge leaked before COMMIT")
+    assert(s.table(s"$cat.lab.facts").count() === 0L)
+    val out = s.sql("COMMIT").collect()
+    assert(out.length === 2)
+    val dim = s.table(s"$cat.lab.dim").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dim === Seq((1L, "old1"), (2L, "new2"), (3L, "new3")))
+    assert(s.table(s"$cat.lab.facts").count() === 2L)
+  }
+
+  test("a staged mutation conflict aborts the WHOLE transaction " +
+      "loudly, leaves it open for ROLLBACK, and erases nobody's rows") {
+    val cat = "gdx_txnc1"
+    val (s, wh) = txnSession(cat)
+    s.sql(s"CREATE NAMESPACE $cat.lab")
+    s.sql(s"CREATE TABLE $cat.lab.dim (k BIGINT, v STRING)")
+    s.sql(s"CREATE TABLE $cat.lab.facts (k BIGINT, v STRING)")
+    s.sql(s"INSERT INTO $cat.lab.dim VALUES (1, 'a'), (2, 'b')")
+    s.sql("BEGIN TRANSACTION")
+    s.sql(s"INSERT INTO $cat.lab.facts VALUES (10, 'f')")
+    s.sql(s"DELETE FROM $cat.lab.dim WHERE k = 1")
+    // a concurrent writer (the OUTER session — no open transaction
+    // there) moves the mutated table past the basis
+    val dimDir = s"$wh/lab/dim"
+    Seq((99L, "concurrent")).toDF("k", "v")
+      .write.format(fmt).option("path", dimDir).mode("append").save()
+    val e = intercept[Exception](s.sql("COMMIT"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[
+          graft.sources.GdxConcurrentModificationException]),
+      e.getMessage)
+    // NEITHER table shows the transaction; the concurrent row stands
+    assert(s.table(s"$cat.lab.facts").count() === 0L)
+    assert(s.table(s"$cat.lab.dim").count() === 3L)
+    assert(s.table(s"$cat.lab.dim").filter("v = 'concurrent'")
+      .count() === 1L)
+    // the failed COMMIT left the transaction open — ROLLBACK succeeds
+    s.sql("ROLLBACK")
+    intercept[Exception](s.sql("ROLLBACK"))
+    // and everything works normally after
+    s.sql(s"INSERT INTO $cat.lab.facts VALUES (20, 'after')")
+    assert(s.table(s"$cat.lab.facts").count() === 1L)
+  }
+
+  test("staged sources are PINNED at stage time: mutating a source " +
+      "between stage and COMMIT does not change what commits") {
+    val cat = "gdx_txnp1"
+    val (s, wh) = txnSession(cat)
+    s.sql(s"CREATE NAMESPACE $cat.lab")
+    s.sql(s"CREATE TABLE $cat.lab.src (k BIGINT, v STRING)")
+    s.sql(s"CREATE TABLE $cat.lab.dst (k BIGINT, v STRING)")
+    s.sql(s"INSERT INTO $cat.lab.src VALUES (1, 'one'), (2, 'two')")
+    s.sql("BEGIN TRANSACTION")
+    s.sql(s"INSERT INTO $cat.lab.dst SELECT k, v FROM $cat.lab.src")
+    // mutate the source AFTER staging, BEFORE commit (another session:
+    // the staging session refuses non-staged writes mid-transaction —
+    // exactly the guard under test elsewhere)
+    val srcDir = s"$wh/lab/src"
+    Seq((3L, "three")).toDF("k", "v")
+      .write.format(fmt).option("path", srcDir).mode("append").save()
+    s.sql("COMMIT")
+    // the committed rows reflect the STAGE-TIME snapshot of src
+    assert(s.table(s"$cat.lab.dst").count() === 2L,
+      "a source mutated mid-transaction changed what committed")
+    assert(s.table(s"$cat.lab.src").count() === 3L)
+  }
+
+  test("transactional INSERT with an explicit column list fills " +
+      "omitted columns with their declared DEFAULTs") {
+    val cat = "gdx_txnd1"
+    val (s, _) = txnSession(cat)
+    s.sql(s"CREATE NAMESPACE $cat.lab")
+    s.sql(s"CREATE TABLE $cat.lab.t (k BIGINT, v STRING)")
+    s.sql(s"INSERT INTO $cat.lab.t VALUES (1, 'a')")
+    s.sql(s"ALTER TABLE $cat.lab.t ADD COLUMN (w BIGINT DEFAULT 7)")
+    s.sql("BEGIN TRANSACTION")
+    // reversed order + omitted DEFAULT column
+    s.sql(s"INSERT INTO $cat.lab.t (v, k) VALUES ('b', 2)")
+    s.sql("COMMIT")
+    val rows = s.table(s"$cat.lab.t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, "a", 7L), (2L, "b", 7L)))
+    // unknown column in the list is loud
+    s.sql("BEGIN TRANSACTION")
+    intercept[Exception](
+      s.sql(s"INSERT INTO $cat.lab.t (k, nope) VALUES (3, 'x')"))
+    s.sql("ROLLBACK")
+  }
+
+  test("staged ops apply in stage order over the transaction-local " +
+      "view: a DELETE sees the INSERT staged before it") {
+    val cat = "gdx_txno1"
+    val (s, _) = txnSession(cat)
+    s.sql(s"CREATE NAMESPACE $cat.lab")
+    s.sql(s"CREATE TABLE $cat.lab.t (k BIGINT, v STRING)")
+    s.sql(s"INSERT INTO $cat.lab.t VALUES (1, 'keep'), (2, 'drop')")
+    s.sql("BEGIN TRANSACTION")
+    s.sql(s"INSERT INTO $cat.lab.t VALUES (3, 'drop'), (4, 'keep')")
+    s.sql(s"DELETE FROM $cat.lab.t WHERE v = 'drop'")
+    s.sql(s"INSERT INTO $cat.lab.t VALUES (5, 'drop')") // after: kept
+    s.sql("COMMIT")
+    assert(s.table(s"$cat.lab.t").orderBy("k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 4L, 5L))
   }
 
   test("overwrite and append stage together; transact is the one-call " +
