@@ -3621,6 +3621,95 @@ object RelationalOps extends QueryModule {
       }
     }),
 
+    // C46 — DML INSIDE SQL TRANSACTIONS: the real nightly warehouse
+    // load — a fact APPEND, a dimension LWW MERGE, and a dimension
+    // DELETE staged in ONE `BEGIN TRANSACTION ... COMMIT` block and
+    // published as the format's single-PUT decision. A table with a
+    // staged mutation commits as a conflict-checked restatement of its
+    // BASIS snapshot (the version current when the mutation was first
+    // staged): the second block pins the abort path — a concurrent
+    // writer moves the dimension past the basis, COMMIT throws
+    // GdxConcurrentModificationException, NEITHER table shows the
+    // transaction, the concurrent row survives, and ROLLBACK closes
+    // the failed transaction cleanly (`conflict_aborts`). Staged ops
+    // apply in stage order over the transaction-local view (the
+    // DELETE sees the MERGE's rows), and nothing staged is visible
+    // anywhere before COMMIT (`invisible_before`). At 100 TB this is
+    // serializable fact+dim loading without 2PC or table locks: one
+    // tiny PUT either publishes the whole night or none of it, and a
+    // racing writer is surfaced, never silently erased.
+    "c46_gdx_txn_dml" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxtxndml_")
+      val cat = "gdx_c46"
+      val c = graft.Sessions.pinned(s,
+        s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+        s"spark.sql.catalog.$cat.warehouse" -> wh)
+      c.sql(s"CREATE NAMESPACE $cat.lab")
+      c.sql(s"CREATE TABLE $cat.lab.dim (k BIGINT, v STRING)")
+      c.sql(s"CREATE TABLE $cat.lab.facts (k BIGINT, v STRING)")
+      val cust = Tables.customer(c, d).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_mktsegment").as("v"))
+      val ev = Tables.events(c, d).select(col("event_id").as("k"),
+        col("event_type").as("v"))
+      val view = "graft_c46_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      cust.createOrReplaceGlobalTempView(view + "_c")
+      ev.createOrReplaceGlobalTempView(view + "_e")
+      try {
+        c.sql(s"INSERT INTO $cat.lab.dim SELECT k, v " +
+          s"FROM global_temp.${view}_c WHERE k % 3 = 0")
+        def counts = (c.table(s"$cat.lab.dim").count(),
+          c.table(s"$cat.lab.facts").count())
+        val (dN, fN) = counts
+        c.sql("BEGIN TRANSACTION")
+        c.sql(s"INSERT INTO $cat.lab.facts SELECT k, v " +
+          s"FROM global_temp.${view}_e WHERE k % 10 = 3")
+        c.sql(s"""MERGE INTO $cat.lab.dim t
+          USING (SELECT k, 'M_' || v AS v FROM global_temp.${view}_c
+                 WHERE k % 2 = 0) s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        c.sql(s"DELETE FROM $cat.lab.dim WHERE k % 30 = 0")
+        // staged mutation + append are INVISIBLE on both tables
+        val invisibleBefore = counts == ((dN, fN))
+        c.sql("COMMIT")
+        val (dN2, fN2) = counts
+        val atomicCommit = dN2 > dN && fN2 > fN
+        // abort path: a concurrent append moves dim past the staged
+        // DELETE's basis — COMMIT must refuse the whole transaction
+        c.sql("BEGIN TRANSACTION")
+        c.sql(s"INSERT INTO $cat.lab.facts VALUES (-1, 'NEVER')")
+        c.sql(s"DELETE FROM $cat.lab.dim WHERE k >= 0")
+        import s.implicits._
+        Seq((-77L, "concurrent")).toDF("k", "v")
+          .write.format("graft.sources.GdxSource")
+          .option("path", s"$wh/lab/dim").mode("append").save()
+        val conflictAborts =
+          (try { c.sql("COMMIT"); false } catch {
+            case t: Throwable => Iterator.iterate(t)(_.getCause)
+              .takeWhile(_ != null).take(8).exists(_.isInstanceOf[
+                graft.sources.GdxConcurrentModificationException])
+          }) &&
+          c.table(s"$cat.lab.facts").filter(col("k") === -1L)
+            .count() == 0 &&
+          c.table(s"$cat.lab.dim").count() == dN2 + 1
+        c.sql("ROLLBACK") // the failed COMMIT left the txn open
+        c.table(s"$cat.lab.dim").withColumn("side", lit("d"))
+          .unionByName(c.table(s"$cat.lab.facts")
+            .withColumn("side", lit("f")))
+          .withColumn("invisible_before", lit(invisibleBefore))
+          .withColumn("atomic_commit", lit(atomicCommit))
+          .withColumn("conflict_aborts", lit(conflictAborts))
+          .orderBy("side", "k")
+      } finally {
+        cust.sparkSession.catalog.dropGlobalTempView(view + "_c")
+        ev.sparkSession.catalog.dropGlobalTempView(view + "_e")
+        ()
+      }
+    }),
+
     // C37 — EMBEDDING (ARRAY) COLUMNS in the GDX format: the training-
     // data table shape the typed tier was missing — ARRAY<FLOAT>
     // vectors stored as first-class cells (comma-joined shortest-
@@ -5152,6 +5241,29 @@ object RelationalOps extends QueryModule {
         |SELECT side, k, v, TRUE AS invisible_before,
         |  TRUE AS atomic_commit, TRUE AS abort_hidden
         |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |ORDER BY side, k""".stripMargin,
+    // the committed fact+dim load recomputed relationally: LWW merge
+    // (source wins on matched keys) folded onto the seeded dimension,
+    // then the staged delete, plus the conflict block's surviving
+    // concurrent row; the aborted transaction's rows never appear;
+    // the three transactional claims pinned TRUE
+    "c46_gdx_txn_dml" ->
+      """WITH seed AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    c_mktsegment AS v FROM customer WHERE c_custkey % 3 = 0),
+        |src AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    'M_' || c_mktsegment AS v FROM customer
+        |  WHERE c_custkey % 2 = 0),
+        |merged AS (SELECT COALESCE(s.k, d.k) AS k,
+        |    COALESCE(s.v, d.v) AS v
+        |  FROM seed d FULL OUTER JOIN src s ON d.k = s.k),
+        |dim_final AS (SELECT k, v FROM merged WHERE k % 30 <> 0
+        |  UNION ALL SELECT -77, 'concurrent'),
+        |facts_final AS (SELECT event_id AS k, event_type AS v
+        |  FROM events WHERE event_id % 10 = 3)
+        |SELECT side, k, v, TRUE AS invisible_before,
+        |  TRUE AS atomic_commit, TRUE AS conflict_aborts
+        |FROM (SELECT 'd' AS side, k, v FROM dim_final
+        |      UNION ALL SELECT 'f', k, v FROM facts_final)
         |ORDER BY side, k""".stripMargin,
     // the published main recomputed relationally: base ∪ branch block,
     // minus the branch's keyed delete, plus the conflict stage's main
