@@ -4094,6 +4094,98 @@ object RelationalOps extends QueryModule {
         .orderBy("k")
     }),
 
+    // C45 — ARRAY<STRUCT<...>> CONVERSATION COLUMNS: the canonical
+    // LLM training-record shape (`messages: array<struct<role,
+    // content>>`) as a first-class GDX type — declared through the
+    // catalog, loaded from documents with VARIABLE-LENGTH turn lists
+    // (every doc a user+assistant pair, every third doc a follow-up
+    // turn), curated with an ELEMENT-PREDICATE DML
+    // (`exists(messages, m -> m.role = 'tool')` drops every
+    // tool-bearing conversation row-level), evolved with a TRAILING
+    // ELEMENT field (`messages.ts` — metadata-only; old cells'
+    // elements have fewer sub-cells, so every era element null-fills
+    // per element), and time-traveled to the pre-curation corpus.
+    // Cells encode as comma-joined parenthesized element cells —
+    // `(user,hi),(assistant,yo)` — so the element boundary is
+    // unambiguous and the element struct evolves by the same
+    // trailing-arity rule as flat structs. The verified output is the
+    // explode+aggregate read (turns per lang × role with distinct
+    // contents) the oracle recomputes relationally; the claims pin
+    // time travel and the era null-fill. At 100 TB this is the
+    // chat/SFT corpus kept AS conversations — no flattening, no JSON
+    // round-trip — with row-level curation, CDF, and reproducible
+    // training snapshots. Reference analogue: the nested report
+    // struct (/root/reference/src/analyze.py:142-160), one level
+    // deeper.
+    "c45_gdx_conversation_column" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxconv_")
+      val cat = "gdx_c45"
+      val gdx = graft.sources.GdxSource
+      val c = graft.Sessions.pinned(s,
+        s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+        s"spark.sql.catalog.$cat.warehouse" -> wh)
+      c.sql(s"CREATE NAMESPACE $cat.lab")
+      c.sql(s"""CREATE TABLE $cat.lab.conv (k BIGINT, lang STRING,
+        messages ARRAY<STRUCT<role: STRING, content: STRING>>)""")
+      val userTurn = struct(lit("user").as("role"),
+        concat(lit("u_"), col("k") % 50).as("content"))
+      val replyTurn = struct(
+        when(col("k") % 4 === 0, "tool").otherwise("assistant")
+          .as("role"),
+        concat(lit("a_"), col("k") % 31).as("content"))
+      val followTurn = struct(lit("user").as("role"),
+        concat(lit("u2_"), col("k") % 13).as("content"))
+      val rows = Tables.documents(c, d)
+        .select(col("doc_id").as("k"), col("lang"))
+        .select(col("k"), col("lang"),
+          when(col("k") % 3 === 0,
+            array(userTurn, replyTurn, followTurn))
+            .otherwise(array(userTurn, replyTurn)).as("messages"))
+      graft.Sessions.insertInto(c, rows, s"$cat.lab.conv")
+      val dir = s"$wh/lab/conv"
+      val preV = gdx.listVersions(dir, gdx.driverConf()).max
+      val total = c.table(s"$cat.lab.conv").count()
+      // curation: drop every conversation that ever called a tool —
+      // an ELEMENT predicate, row-level (DV commit, no rewrite)
+      gdx.delete(c, dir,
+        expr("exists(messages, m -> m.role = 'tool')"))
+      // the pre-curation corpus still reads whole under time travel
+      val ttOk = c.read.format("graft.sources.GdxSource")
+        .option("path", dir).option("version", preV.toString).load()
+        .count() == total
+      // trailing ELEMENT evolution: metadata-only; every live element
+      // predates it and must read NULL, a new-shape append reads back
+      gdx.addNestedField(dir, "messages", "ts", org.apache.spark.sql
+        .types.LongType)
+      import org.apache.spark.sql.types.{ArrayType, LongType,
+        StringType, StructField, StructType}
+      val turn2 = StructType(Seq(StructField("role", StringType),
+        StructField("content", StringType),
+        StructField("ts", LongType)))
+      c.createDataFrame(
+        c.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+          -1L, "zz", Seq(org.apache.spark.sql.Row("user", "evo", 99L)))),
+          1),
+        StructType(Seq(StructField("k", LongType),
+          StructField("lang", StringType),
+          StructField("messages", ArrayType(turn2)))))
+        .write.format("graft.sources.GdxSource").option("path", dir)
+        .mode("append").save()
+      val turns = c.table(s"$cat.lab.conv")
+        .select(col("k"), col("lang"), explode(col("messages")).as("m"))
+      val eraOk = turns.filter(col("k") >= 0 &&
+          col("m.ts").isNotNull).count() == 0 &&
+        turns.filter(col("k") === -1 && col("m.ts") === 99L)
+          .count() == 1
+      turns.filter(col("k") >= 0)
+        .groupBy(col("lang"), col("m.role").as("role"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("m.content")).as("d_content"))
+        .withColumn("tt_ok", lit(ttOk))
+        .withColumn("era_null_ok", lit(eraOk))
+        .orderBy("lang", "role")
+    }),
+
     // C44 — STRUCT-LEAF GOVERNANCE + LAYOUT: the round's nested tier
     // composed end-to-end through SQL — a CLUSTER BY on a struct LEAF
     // (`meta.tokens`; leaf ranges publish under dotted names, so the
@@ -5401,6 +5493,26 @@ object RelationalOps extends QueryModule {
         |  TRUE AS tt_ok, TRUE AS leaf_pruned, TRUE AS lang_era
         |FROM upd WHERE NOT (domain = 'O' AND tokens % 10 = 3)
         |ORDER BY k""".stripMargin,
+    // the conversation corpus recomputed relationally: the element-
+    // predicate DELETE drops every doc whose reply turn is a tool call
+    // (doc_id % 4 = 0), the surviving turn lists re-explode to the
+    // same lang × role counts and distinct contents; claims pinned
+    "c45_gdx_conversation_column" ->
+      """WITH live AS (SELECT doc_id AS k, lang FROM documents
+        |  WHERE doc_id % 4 <> 0),
+        |turns AS (
+        |  SELECT k, lang, 'user' AS role,
+        |    'u_' || (k % 50) AS content FROM live
+        |  UNION ALL
+        |  SELECT k, lang, 'assistant', 'a_' || (k % 31) FROM live
+        |  UNION ALL
+        |  SELECT k, lang, 'user', 'u2_' || (k % 13) FROM live
+        |  WHERE k % 3 = 0)
+        |SELECT lang, role, count(*) AS n,
+        |  count(DISTINCT content) AS d_content,
+        |  TRUE AS tt_ok, TRUE AS era_null_ok
+        |FROM turns GROUP BY lang, role
+        |ORDER BY lang, role""".stripMargin,
     // the governed table recomputed relationally: the violating
     // insert never lands, so the content is exactly the quarter slice;
     // claims pinned TRUE

@@ -407,6 +407,17 @@ object GdxSource {
     case ArrayType(FloatType, _)  => "array<float>"
     case ArrayType(DoubleType, _) => "array<double>"
     case ArrayType(LongType, _)   => "array<bigint>"
+    // STRUCT-ELEMENT ARRAYS — the conversation/SFT-record shape
+    // (`messages: array<struct<role:string,content:string>>`): the
+    // element type recurses through the struct vocabulary below;
+    // cells encode as comma-joined parenthesized element cells
+    // (`(u,hi),(a,yo)`, "" = the empty array) — the parens make the
+    // element boundary unambiguous (struct leaf strings can never
+    // carry , ( ) ), so trailing-field evolution inside the element
+    // struct null-fills old elements exactly like top-level structs.
+    // NULL elements are refused at write time (a turn list has no
+    // holes; the encoding keeps no element-null marker).
+    case ArrayType(st: StructType, _) => "array<" + typeNameOf(st) + ">"
     // string-to-string MAPS — the document-metadata column shape:
     // cells encode as comma-joined `key=value` entries SORTED BY KEY
     // (one canonical text per map value, so equal maps are equal
@@ -464,6 +475,8 @@ object GdxSource {
       org.apache.spark.sql.types.MapType(StringType, StringType)
     case DecimalNameRe(p, s) => org.apache.spark.sql.types
       .DecimalType(p.toInt, s.toInt)
+    case _ if t.startsWith("array<struct<") && t.endsWith(">") =>
+      ArrayType(namedType(t.substring("array<".length, t.length - 1)))
     case _ if t.startsWith("struct<") && t.endsWith(">") =>
       StructType(splitTypeFields(
         t.substring("struct<".length, t.length - 1)).map { fld =>
@@ -650,6 +663,10 @@ object GdxSource {
       case BooleanType    => s.toBoolean
       case d: DecimalType =>
         Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
+      case ArrayType(st: StructType, _) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          splitArrayStructCells(s).map(e =>
+            parseStructInternal(st, st, e): Any))
       case ArrayType(et, _) =>
         val parts: Array[String] =
           if (s.isEmpty) Array.empty else s.split(',')
@@ -693,6 +710,46 @@ object GdxSource {
     }
     out += inner.substring(start)
     out.result()
+  }
+
+  /** Split an `array<struct<...>>` cell's `(..),(..)` text into its
+    * element cells ("" = the empty array) — the paren depth tracker
+    * skips commas inside elements (struct leaf strings can never
+    * carry , ( ) ). */
+  private[graft] def splitArrayStructCells(s: String): Array[String] = {
+    if (s.isEmpty) return Array.empty
+    val out = Array.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '('               => depth += 1
+        case ')'               => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i)
+                                  start = i + 1
+        case _                 => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  /** Decode one INTERNAL cell under a possibly NARROWED requested
+    * type — Catalyst's nested schema pruning may request a struct (or
+    * a struct-element array) with fewer sub-fields than the file
+    * stores; the cell decodes by the STORED positional layout and
+    * projects the requested sub-fields by name. Identical types take
+    * the plain path. */
+  private[graft] def parseInternalCellPruned(requested: DataType,
+      stored: DataType, s: String): Any = (requested, stored) match {
+    case (rq: StructType, sv: StructType) if rq ne sv =>
+      parseStructInternal(sv, rq, s)
+    case (ArrayType(rq: StructType, _), ArrayType(sv: StructType, _))
+        if rq ne sv =>
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        splitArrayStructCells(s).map(e =>
+          parseStructInternal(sv, rq, e): Any))
+    case _ => parseInternalCell(requested, s)
   }
 
   /** Decode a struct cell written under `stored` into the (possibly
@@ -744,6 +801,9 @@ object GdxSource {
       case TimestampType  => DateTimeUtils.microsToInstant(s.toLong)
       case BooleanType    => Boolean.box(s.toBoolean)
       case d: DecimalType => new java.math.BigDecimal(s).setScale(d.scale)
+      case ArrayType(st: StructType, _) =>
+        splitArrayStructCells(s).toSeq
+          .map(e => parseExternalCell(st, e))
       case ArrayType(et, _) =>
         val parts: Array[String] =
           if (s.isEmpty) Array.empty else s.split(',')
@@ -781,6 +841,19 @@ object GdxSource {
     case d: DecimalType =>
       sb.append(r.getDecimal(i, d.precision, d.scale)
         .toJavaBigDecimal.toPlainString); ()
+    case ArrayType(st: StructType, _) =>
+      val arr = r.getArray(i)
+      var j = 0
+      while (j < arr.numElements()) {
+        if (j > 0) sb.append(',')
+        require(!arr.isNullAt(j),
+          s"gdx $ctx: array field $field must not contain NULL " +
+            "elements (the comma-joined encoding has no element-null " +
+            "marker)")
+        appendStructCellInternal(sb, st, arr.getStruct(j, st.length),
+          ctx, s"$field[]")
+        j += 1
+      }
     case ArrayType(et, _) =>
       val arr = r.getArray(i)
       var j = 0
@@ -909,6 +982,18 @@ object GdxSource {
     case BooleanType    => sb.append(r.getBoolean(i)); ()
     case _: DecimalType =>
       sb.append(r.getDecimal(i).toPlainString); ()
+    case ArrayType(st: StructType, _) =>
+      val arr = r.getSeq[org.apache.spark.sql.Row](i)
+      var j = 0
+      arr.foreach { v =>
+        if (j > 0) sb.append(',')
+        require(v != null,
+          s"gdx $ctx: array field $field must not contain NULL " +
+            "elements (the comma-joined encoding has no element-null " +
+            "marker)")
+        appendStructCellExternal(sb, st, v, ctx, s"$field[]")
+        j += 1
+      }
     case ArrayType(_, _) =>
       val arr = r.getSeq[Any](i)
       var j = 0
@@ -4570,6 +4655,15 @@ object GdxSource {
           st.fields(i).dataType match {
             case nested: StructType => StructType(st.fields.updated(i,
               st.fields(i).copy(dataType = grow(nested, depth + 1))))
+            // `ADD COLUMN messages.ts` where messages is
+            // array<struct<...>>: the new TRAILING field lands inside
+            // the ELEMENT struct — old cells' elements simply have
+            // fewer sub-cells, so the positional decoder null-fills
+            // the new leaf per element, the same era rule as flat
+            // structs
+            case ArrayType(nested: StructType, cn) =>
+              StructType(st.fields.updated(i, st.fields(i).copy(
+                dataType = ArrayType(grow(nested, depth + 1), cn))))
             case other => throw new IllegalArgumentException(
               s"gdx addNestedField: ${parts.take(depth + 1).mkString(".")}" +
                 s" is ${other.catalogString}, not a struct")
@@ -4634,6 +4728,12 @@ object GdxSource {
         } else st.fields(i).dataType match {
           case nested: StructType => StructType(st.fields.updated(i,
             st.fields(i).copy(dataType = rename(nested, depth + 1))))
+          // rename a field INSIDE an array's element struct — cells
+          // are positional, so this is metadata-only like every
+          // other nested rename
+          case ArrayType(nested: StructType, cn) =>
+            StructType(st.fields.updated(i, st.fields(i).copy(
+              dataType = ArrayType(rename(nested, depth + 1), cn))))
           case other => throw new IllegalArgumentException(
             s"gdx renameNestedField: " +
               s"${parts.take(depth + 1).mkString(".")} is " +
@@ -6762,11 +6862,7 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
       vals(i) =
         if (fi >= fields.length) slotDefaults(i)
         else if (fields(fi) == GdxSource.NullMarker) null
-        else (dt, stored) match {
-          case (rq: StructType, sv: StructType) if rq ne sv =>
-            GdxSource.parseStructInternal(sv, rq, fields(fi))
-          case _ => GdxSource.parseInternalCell(dt, fields(fi))
-        }
+        else GdxSource.parseInternalCellPruned(dt, stored, fields(fi))
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
