@@ -328,7 +328,8 @@ private[graft] object GdxBloom {
 }
 
 case class GdxFileEntry(name: String, stats: Option[GdxFileStats],
-                        dv: Option[String] = None) {
+                        dv: Option[String] = None,
+                        gen: Option[String] = None) {
   /** Manifest line: `name` | `name\trows\tmin\tmax` |
     * `name\trows\tmin\tmax\tdv` (`-` placeholders when a DV attaches
     * to a legacy stats-less entry). Extended per-column stats, when
@@ -357,12 +358,20 @@ case class GdxFileEntry(name: String, stats: Option[GdxFileStats],
     // metadata-only plan and a LIST storm. Absence falls back to a
     // live stat, so legacy entries keep working.
     val size = stats.flatMap(_.bytes).map(b => s"\tb:$b").getOrElse("")
+    // recluster GENERATION (`g:<tag>`): files produced by ONE
+    // lexicographic rewrite are pairwise lex-disjoint BY CONSTRUCTION
+    // (one range partitioner, equal tuples land in one partition) —
+    // per-column min/max boxes are too loose to prove that at head-
+    // value straddles, so the proof rides as provenance and the
+    // overlap closure exempts same-generation clusters. Absence (every
+    // non-recluster write) just means "prove it from the boxes".
+    val g = gen.map(t => s"\tg:$t").getOrElse("")
     ((stats, dv) match {
       case (Some(s), Some(d)) => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}\t$d"
       case (Some(s), None)    => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}"
       case (None, Some(d))    => s"$name\t-\t-\t-\t$d"
       case (None, None)       => name
-    }) + ext + sums + size
+    }) + ext + sums + size + g
   }
 }
 
@@ -2188,6 +2197,7 @@ object GdxSource {
     var ext = Map.empty[String, (String, String)]
     var sums = Map.empty[String, (Long, Long)]
     var bytes: Option[Long] = None
+    var gen: Option[String] = None
     var peeling = raw.length > 1
     while (peeling) {
       if (raw.last.startsWith("x:")) {
@@ -2196,6 +2206,8 @@ object GdxSource {
         sums = parseSumStats(raw.last.drop(2)); raw = raw.init
       } else if (raw.last.startsWith("b:")) {
         bytes = raw.last.drop(2).toLongOption; raw = raw.init
+      } else if (raw.last.startsWith("g:")) {
+        gen = Some(raw.last.drop(2)); raw = raw.init
       } else peeling = false
       if (raw.length <= 1) peeling = false
     }
@@ -2203,14 +2215,14 @@ object GdxSource {
       case Array(name, rows, mn, mx) =>
         GdxFileEntry(name,
           Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong, ext,
-            sums, bytes)))
+            sums, bytes)), None, gen)
       case Array(name, "-", "-", "-", dv) =>
-        GdxFileEntry(name, None, Some(dv))
+        GdxFileEntry(name, None, Some(dv), gen)
       case Array(name, rows, mn, mx, dv) =>
         GdxFileEntry(name,
           Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong, ext,
             sums, bytes)),
-          Some(dv))
+          Some(dv), gen)
       case _ => GdxFileEntry(line, None)
     }
   }
@@ -3259,8 +3271,18 @@ object GdxSource {
     var clusterEnd: Array[Option[BigDecimal]] = null
     var clusterMembers = List.empty[GdxFileEntry]
     def flush(): Unit = {
-      if (clusterMembers.lengthCompare(1) > 0)
-        overlapping ++= clusterMembers
+      // a cluster whose members all carry ONE recluster generation is
+      // clean BY CONSTRUCTION (one range partitioner emitted them —
+      // pairwise lex-disjoint even where the min/max boxes straddle a
+      // head value), which is what makes a low-cardinality leading
+      // column CONVERGE: without the provenance exemption the
+      // boundary-straddling files of every pass would re-enter the
+      // closure forever
+      if (clusterMembers.lengthCompare(1) > 0) {
+        val gens = clusterMembers.map(_.gen).distinct
+        if (!(gens.sizeIs == 1 && gens.head.isDefined))
+          overlapping ++= clusterMembers
+      }
       clusterMembers = Nil
     }
     ranged.foreach { case (e, (lo, hi)) =>
@@ -3284,10 +3306,19 @@ object GdxSource {
     * in), range-clustered lexicographically on the cluster columns
     * (for one or two columns this beats the Morton curve — each file
     * owns one contiguous run of the leading column) and committed as
-    * untouched ++ rewritten under CAS. After one clean recluster, a
+    * untouched ++ rewritten under CAS, the rewritten files stamped
+    * with ONE generation tag ([[GdxFileEntry.gen]]) that proves them
+    * pairwise clean to future closures. After one clean recluster, a
     * daily OPTIMIZE touches only the day's appends — at 100 TB the
     * recluster costs the delta, not the decade (s40's bin-pack rule
-    * applied to layout). Returns (files before, files after). */
+    * applied to layout). Caveat, stated: a LOW-CARDINALITY leading
+    * column makes every output boundary straddle a head value, so an
+    * append overlapping one such file can chain the whole snapshot
+    * into the rewrite (exactness is chosen over delta size there —
+    * pick a selective leading column; the steady state is still a
+    * provable no-op via the generation proof, and DESCRIBE DETAIL's
+    * `cluster_interleaved_files` makes any degradation observable).
+    * Returns (files before, files after). */
   def optimizeClustered(spark: SparkSession, dir: String,
                         by: Seq[String], target: Int = 8): (Int, Int) = {
     import org.apache.spark.sql.functions.col
@@ -3350,12 +3381,18 @@ object GdxSource {
         if (totalRows <= 0 || rewriteSet.exists(_.stats.isEmpty)) target
         else math.max(1, math.min(target.toLong,
           (target * subsetRows + totalRows - 1) / totalRows).toInt)
+      // one generation tag per rewrite: the output files are pairwise
+      // lex-disjoint by construction, and the tag carries that proof
+      // into future closures (see [[clusterOverlapClosure]])
+      val genTag = java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
       val rewritten = writeDataFiles(
         liveFrame(spark, dir, rewriteSet, tblSchema, sconf, tblColmap)
           .drop("_file", "_pos")
           .repartitionByRange(bins, byC.map(col): _*)
           .sortWithinPartitions(byC.map(col): _*),
         dir, tblSchema, sconf, tblColmap)
+        .map(_.copy(gen = Some(genTag)))
       val updated = entries.filterNot(e => rewriteNames(e.name)) ++
         rewritten
       val lines = headerLines(tblSchema, md.checks, tblColmap,
