@@ -4083,6 +4083,19 @@ object RelationalOps extends QueryModule {
         .agg(avg(col("meta.tokens"))).head.getDouble(0).toLong
       val (kept, all) = gdx.plannedFiles(dir, Seq(
         org.apache.spark.sql.sources.GreaterThan("meta.tokens", cut)))
+      // nested DROP closes the evolution loop — era-correct by
+      // rewrite: the live struct loses the leaf, the pre-drop
+      // snapshot still reads it under time travel, and every other
+      // leaf's values survive the positional shift (the verified
+      // output below is read AFTER the drop). Runs after the pruning
+      // probe — the rewrite restates the layout.
+      val preDropV = gdx.listVersions(dir, gdx.driverConf()).max
+      c.sql(s"ALTER TABLE $cat.lab.docs DROP COLUMN meta.lang")
+      val dropEra = !c.table(s"$cat.lab.docs").select(col("meta.*"))
+        .columns.contains("lang") &&
+        c.read.format("graft.sources.GdxSource").option("path", dir)
+          .option("version", preDropV.toString).load()
+          .select(col("meta.*")).columns.contains("lang")
       c.table(s"$cat.lab.docs")
         .select(col("k"), col("v"),
           col("meta.score").as("score"),
@@ -4091,6 +4104,7 @@ object RelationalOps extends QueryModule {
         .withColumn("tt_ok", lit(ttOk))
         .withColumn("leaf_pruned", lit(kept > 0 && kept < all))
         .withColumn("lang_era", lit(langEra))
+        .withColumn("drop_era", lit(dropEra))
         .orderBy("k")
     }),
 
@@ -5490,7 +5504,8 @@ object RelationalOps extends QueryModule {
         |       ELSE v END AS v,
         |  score, domain, tokens FROM base)
         |SELECT k, v, score, domain, tokens,
-        |  TRUE AS tt_ok, TRUE AS leaf_pruned, TRUE AS lang_era
+        |  TRUE AS tt_ok, TRUE AS leaf_pruned, TRUE AS lang_era,
+        |  TRUE AS drop_era
         |FROM upd WHERE NOT (domain = 'O' AND tokens % 10 = 3)
         |ORDER BY k""".stripMargin,
     // the conversation corpus recomputed relationally: the element-

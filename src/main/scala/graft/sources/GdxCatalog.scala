@@ -370,12 +370,12 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
           r.newName)
       case r: TableChange.RenameColumn =>
         GdxSource.renameColumn(spark, d, r.fieldNames.head, r.newName)
+      case del: TableChange.DeleteColumn if del.fieldNames.length > 1 =>
+        // `DROP COLUMN meta.lang` — era-correct by rewrite (cells are
+        // positional; see GdxSource.dropNestedField's contract)
+        GdxSource.dropNestedField(spark, d, del.fieldNames.mkString("."))
+        ()
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames.length == 1,
-          "gdx catalog: DROP of a nested field is not supported - " +
-            "struct cells are positional (dropping a middle sub-field " +
-            "would shift every later one); drop or rewrite the whole " +
-            "column instead")
         GdxSource.dropColumn(spark, d, del.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         s"gdx catalog: unsupported table change $other")

@@ -5021,6 +5021,97 @@ object GdxSource {
     -1 // unreachable
   }
 
+  /** DROP A NESTED FIELD — ERA-CORRECT BY REWRITE. Struct cells are
+    * positional text with no per-struct slot mapping, so a
+    * metadata-only nested drop would need a nested column-mapping
+    * layer (the Delta column-mapping shape, one level down); the
+    * engine instead trades ONE bounded rewrite for zero ongoing
+    * mapping complexity: the live rows are rewritten under the
+    * evolved schema (`dropFields` on the struct column — positions
+    * after the dropped leaf shift in the NEW files only; DVs fold
+    * away) and committed as a truncate snapshot under CAS. Old
+    * snapshots keep their files AND their era's schema, so time
+    * travel still reads the dropped leaf. Works one array level deep
+    * (`messages.ts` inside `array<struct<...>>`). Refused while a
+    * CHECK constraint references the leaf or anything under it
+    * (the stored SQL would silently bind to nothing), and refused
+    * for a struct's last field (empty structs are not a type). The
+    * `_cluster` sidecar drops the leaf's declaration. Returns
+    * (files before, files after). */
+  def dropNestedField(spark: SparkSession, dir: String, path: String,
+                      maxRetries: Int = 10): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, transform => htransform}
+    val conf = driverConf()
+    val parts = path.split('.')
+    require(parts.length >= 2,
+      s"gdx dropNestedField: '$path' does not address a nested field " +
+        "(use dropColumn for top-level columns)")
+    // a CHECK referencing the leaf (or anything under it) must go
+    // first — its stored SQL would bind to nothing after the drop
+    val pl = path.toLowerCase(java.util.Locale.ROOT)
+    val referencing = committedConstraints(dir, conf).filter {
+      case (_, sql) =>
+        spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute =>
+            a.name.toLowerCase(java.util.Locale.ROOT)
+        }.exists(n => n == pl || n.startsWith(pl + "."))
+    }
+    require(referencing.isEmpty,
+      s"gdx dropNestedField: constraint(s) " +
+        s"${referencing.map(_._1).mkString(", ")} reference $path - " +
+        "drop them first")
+    val out = rewriteWithCas(dir, maxRetries) { readV =>
+      val cur = committedSchema(dir, conf,
+        if (readV > 0) readV else -1)
+      // canonical-case the path while validating the evolved shape
+      val canon = new Array[String](parts.length)
+      def remove(st: StructType, depth: Int): StructType = {
+        val i = st.fieldNames.indexWhere(
+          _.equalsIgnoreCase(parts(depth)))
+        require(i >= 0, s"gdx dropNestedField: no field " +
+          s"'${parts(depth)}' under ${parts.take(depth).mkString(".")}")
+        canon(depth) = st.fields(i).name
+        if (depth == parts.length - 1) {
+          require(st.length > 1, s"gdx dropNestedField: $path is its " +
+            "struct's last field - drop the column instead")
+          StructType(st.fields.zipWithIndex.filterNot(_._2 == i)
+            .map(_._1))
+        } else st.fields(i).dataType match {
+          case nested: StructType => StructType(st.fields.updated(i,
+            st.fields(i).copy(dataType = remove(nested, depth + 1))))
+          case ArrayType(nested: StructType, cn) =>
+            StructType(st.fields.updated(i, st.fields(i).copy(
+              dataType = ArrayType(remove(nested, depth + 1), cn))))
+          case other => throw new IllegalArgumentException(
+            s"gdx dropNestedField: " +
+              s"${parts.take(depth + 1).mkString(".")} is " +
+              s"${other.catalogString}, not a struct")
+        }
+      }
+      remove(cur, 0)
+      val colName = canon(0)
+      val colIdx = cur.fieldNames.indexWhere(
+        _.equalsIgnoreCase(colName))
+      val newCol = cur.fields(colIdx).dataType match {
+        case ArrayType(_: StructType, _) =>
+          require(parts.length == 2, "gdx dropNestedField: an array " +
+            "element path addresses exactly one leaf (messages.<leaf>)")
+          htransform(col(colName), m => m.dropFields(canon(1)))
+        case _: StructType =>
+          col(colName).dropFields(canon.tail.mkString("."))
+        case other => throw new IllegalArgumentException(
+          s"gdx dropNestedField: $colName is ${other.catalogString}")
+      }
+      val before = committedEntries(dir, conf,
+        if (readV > 0) readV else -1).size
+      Some((before, snapshotReader(spark, dir, readV)
+        .withColumn(colName, newCol)))
+    }
+    reconcileClusterSidecar(dir, path, None)
+    out
+  }
+
   /** CHECK CONSTRAINTS (the Delta `ALTER TABLE ADD CONSTRAINT`
     * contract): `exprSql` must hold — SQL semantics, NULL passes — for
     * every EXISTING row (validated here with one scan; a violated

@@ -166,6 +166,20 @@ class GdxArrayStructSpec extends SparkSuite {
     GdxSource.renameNestedField(dir, "messages.content", "text")
     assert(read(dir).select(explode(col("messages")).as("m"))
       .filter(col("m.text").isNotNull).count() === 2L)
+    // DROP inside the element struct: era-correct rewrite — the live
+    // elements lose ts, the pre-drop snapshot still reads it
+    val preDrop = GdxSource.listVersions(dir,
+      GdxSource.driverConf()).max
+    GdxSource.dropNestedField(spark, dir, "messages.ts")
+    val el = read(dir).schema("messages").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(el.fieldNames.toSeq === Seq("role", "text"))
+    assert(read(dir).select(explode(col("messages")).as("m"))
+      .filter(col("m.text").isNotNull).count() === 2L)
+    assert(spark.read.format(fmt).option("path", dir)
+      .option("version", preDrop.toString).load()
+      .select(explode(col("messages")).as("m"))
+      .filter(col("m.ts") === 42L).count() === 1L)
   }
 
   test("loud refusals: NULL elements, element strings carrying the " +

@@ -190,7 +190,7 @@ class GdxStructColumnSpec extends SparkSuite {
   }
 
   test("renameNestedField: metadata-only, positional cells untouched, " +
-      "stale leaf stats degrade to no-prune, nested DROP refused") {
+      "stale leaf stats degrade to no-prune") {
     val dir = freshDir("ren")
     df((1L to 40L).map(i =>
       Row(i, s"v$i", Row(i / 10.0, Row(s"u$i", "x"), i * 100L))))
@@ -268,9 +268,13 @@ class GdxStructColumnSpec extends SparkSuite {
     s.sql(s"ALTER TABLE $cat.lab.docs RENAME COLUMN meta.tokens TO n_tok")
     assert(s.sql(s"SELECT meta.n_tok FROM $cat.lab.docs WHERE k = 1")
       .head.getLong(0) === 42L)
-    // nested DROP refused loudly (positional cells)
-    intercept[Exception](
-      s.sql(s"ALTER TABLE $cat.lab.docs DROP COLUMN meta.lang"))
+    // nested DROP through Spark's native ALTER grammar — era-correct
+    // rewrite (positional cells shift in the NEW files only)
+    s.sql(s"ALTER TABLE $cat.lab.docs DROP COLUMN meta.lang")
+    assert(!s.table(s"$cat.lab.docs").schema("meta").dataType
+      .asInstanceOf[StructType].fieldNames.contains("lang"))
+    assert(s.sql(s"SELECT meta.n_tok FROM $cat.lab.docs WHERE k = 1")
+      .head.getLong(0) === 42L)
     s.sql(s"UPDATE $cat.lab.docs SET v = 'low' WHERE meta.score < 0.5")
     assert(s.sql(s"SELECT v FROM $cat.lab.docs WHERE k = 2")
       .head.getString(0) === "low")
@@ -417,6 +421,51 @@ class GdxStructColumnSpec extends SparkSuite {
       assert(got === Seq((1L, "x", 10L), (2L, "y", 20L),
         (3L, null, null)))
     } finally q.stop()
+  }
+
+  test("nested DROP: a MIDDLE leaf drops by rewrite — later leaves " +
+      "keep their values, time travel reads the dropped leaf, and " +
+      "refusals are loud") {
+    val dir = freshDir("drop")
+    df((1L to 20L).map(i =>
+      Row(i, s"v$i", Row(i / 10.0, Row(s"u$i", "x"), i * 100L))))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val preV = GdxSource.listVersions(dir, conf).max
+    // drop the MIDDLE top-level leaf of the struct: positions after
+    // it shift in the rewritten files — the exact case the positional
+    // encoding could not drop metadata-only
+    val (b, a) = GdxSource.dropNestedField(spark, dir, "meta.src")
+    assert(b >= 1 && a >= 1)
+    val live = read(dir).orderBy("k").collect()
+    val metaT = live.head.schema("meta").dataType
+      .asInstanceOf[StructType]
+    assert(metaT.fieldNames.toSeq === Seq("score", "tokens"))
+    // the trailing leaf kept its VALUES across the positional shift
+    assert(live.map(r => r.getStruct(2).getLong(1)).toSeq ===
+      (1L to 20L).map(_ * 100L))
+    assert(live.map(r => r.getStruct(2).getDouble(0)).toSeq ===
+      (1L to 20L).map(_ / 10.0))
+    // era-correct: the pre-drop snapshot still reads the leaf
+    val old = spark.read.format(fmt).option("path", dir)
+      .option("version", preV.toString).load()
+    assert(old.select(col("meta.src.domain")).distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("x"))
+    // drop INSIDE a nested struct works too (on the old-shape table)
+    val dir2 = freshDir("drop2")
+    df(Seq(Row(1L, "a", Row(0.5, Row("u", "dom"), 7L))))
+      .write.format(fmt).option("path", dir2).mode("overwrite").save()
+    GdxSource.dropNestedField(spark, dir2, "meta.src.url")
+    val r2 = read(dir2).select(col("meta.src.domain")).head
+    assert(r2.getString(0) === "dom")
+    // refusals: last field of a struct, missing field, constraint ref
+    intercept[IllegalArgumentException](
+      GdxSource.dropNestedField(spark, dir2, "meta.src.domain"))
+    intercept[IllegalArgumentException](
+      GdxSource.dropNestedField(spark, dir2, "meta.nope"))
+    GdxSource.addConstraint(spark, dir2, "pos", "meta.score >= 0")
+    val e = intercept[IllegalArgumentException](
+      GdxSource.dropNestedField(spark, dir2, "meta.score"))
+    assert(e.getMessage.contains("pos"), e.getMessage)
   }
 
   test("loud refusals: array/map leaves, ','/parens in string leaves, " +
