@@ -70,6 +70,8 @@ object SlopeLab {
         args.lift(1).getOrElse("/tmp/graft_slope_merge"))
       case "recluster" => reclusterLane(spark,
         args.lift(1).getOrElse("/tmp/graft_slope_recluster"))
+      case "planmeta" => planMeta(spark,
+        args.lift(1).getOrElse("/tmp/graft_slope_planmeta"))
       case other => sys.error(s"unknown SlopeLab mode: $other")
     }
     spark.stop()
@@ -381,6 +383,55 @@ object SlopeLab {
       val (ti, bi, ai, ui) = run(inc)
       val (tc, bc, ac, uc) = run(ctl)
       println(f"""{"recluster_rows":$n,"incremental_sec":$ti%.2f,"incremental_files":"$bi->$ai","incremental_untouched":$ui,"full_control_sec":$tc%.2f,"control_files":"$bc->$ac","control_untouched":$uc}""")
+    }
+  }
+
+  /** Distributed-metadata-planning lane: a FABRICATED checkpoint
+    * manifest of N stat-bearing entries (planning never opens a data
+    * file, so the lane measures metadata work alone — the 100M-file
+    * regime scaled down), timed as snapshot-entry resolution + zone-map
+    * prune through the DRIVER loop vs the DISTRIBUTED path (the
+    * `spark.gdx.plan.distributedMinBytes` threshold forced high/low).
+    * Healthy shape: the driver loop tracks N; the distributed path
+    * amortizes across executors and stays near-flat across the 10×. */
+  def planMeta(spark: SparkSession, work: String): Unit = {
+    val gdx = graft.sources.GdxSource
+    for (n <- Seq(250000, 2500000)) {
+      val dir = s"$work/n$n"
+      rm(new java.io.File(dir))
+      new java.io.File(dir).mkdirs()
+      val pw = new java.io.PrintWriter(
+        new java.io.BufferedWriter(new java.io.FileWriter(
+          s"$dir/_manifest-00000001"), 1 << 20))
+      pw.println("#schema k:long,v:string")
+      var i = 0
+      while (i < n) {
+        val lo = i * 100L
+        pw.println(s"f$i.gdx\t100\t$lo\t${lo + 99}\tb:4096")
+        i += 1
+      }
+      pw.close()
+      val band = Seq(org.apache.spark.sql.sources
+        .GreaterThanOrEqual("k", n * 99L: Any)) // keep ~1% of files —
+        // the selective dashboard slice a 100M-file table plans
+      def planOnce(minBytes: String): (Double, Int) = {
+        val s = Sessions.pinned(spark,
+          "spark.gdx.plan.distributedMinBytes" -> minBytes)
+        Sessions.withActive(s) {
+          val t0 = System.nanoTime()
+          val kept = gdx.plannedEntries(dir, gdx.driverConf(), -1,
+            band).size
+          ((System.nanoTime() - t0) / 1e9, kept)
+        }
+      }
+      // warm both paths once (classloading, FS page cache), then min-of-2
+      planOnce(Long.MaxValue.toString); planOnce("1")
+      val (tDrv, kDrv) = Seq(planOnce(Long.MaxValue.toString),
+        planOnce(Long.MaxValue.toString)).minBy(_._1)
+      val (tDist, kDist) = Seq(planOnce("1"), planOnce("1"))
+        .minBy(_._1)
+      require(kDrv == kDist, s"paths disagree: $kDrv vs $kDist")
+      println(f"""{"planmeta_entries":$n,"kept":$kDrv,"driver_sec":$tDrv%.3f,"distributed_sec":$tDist%.3f}""")
     }
   }
 

@@ -2176,8 +2176,9 @@ object GdxSource {
         while (walking) {
           val mp = manifestFor(path, cur)
           require(fs.exists(mp),
-            s"gdx: snapshot version $v is unreadable - its delta chain " +
-              s"is broken at version $cur (vacuumed or never written)")
+            s"gdx: snapshot version $v is unreadable - its delta " +
+              s"chain is broken at version $cur (vacuumed or never " +
+              "written)")
           val md = readManifest(fs, mp)
           if (md.isDelta) {
             deltas = md.entries :: deltas
@@ -2187,6 +2188,142 @@ object GdxSource {
         }
         (base ++ deltas.flatten).sortBy(_.name)
     }
+  }
+
+  /** Resolve + zone-map-prune a snapshot's entries in ONE step,
+    * pushing the prune INTO the distributed parse when it engages
+    * ([[planDistributedMinBytes]]): executors parse the manifest
+    * chain's entry lines and collect only the SURVIVORS — at 100M
+    * entries the driver pays for the kept files, not the snapshot.
+    * Falls back to `pruneByStats(committedEntries(...))` (identical
+    * result) below the threshold or on anything exotic. */
+  def plannedEntries(path: String, conf: Configuration, version: Int,
+                     filters: Seq[Filter]): Seq[GdxFileEntry] =
+    distributedEntries(path, conf,
+      if (version >= 0) version else latestDecidedVersion(path, conf),
+      filters).getOrElse(
+      pruneByStats(committedEntries(path, conf, version), filters))
+
+  /** Manifest bytes above which snapshot-entry parsing runs as a
+    * SPARK JOB instead of a driver loop (`SET
+    * spark.gdx.plan.distributedMinBytes=n`; default 32 MB ≈ several
+    * hundred thousand entries). Below it the driver loop wins — job
+    * scheduling costs more than the parse. */
+  private[graft] def planDistributedMinBytes: Long =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.gdx.plan.distributedMinBytes",
+        (32L * 1024 * 1024).toString).toLong
+    catch { case _: Exception => 32L * 1024 * 1024 }
+
+  /** DISTRIBUTED METADATA PLANNING — the 100M-file regime's answer to
+    * the driver-side manifest replay becoming the planning bottleneck
+    * (the Iceberg manifest-partitioning idea, reduced to this format's
+    * line manifests): the driver walks the delta chain reading ONLY
+    * each manifest's header block (O(chain), not O(entries)), then the
+    * entry LINES parse as a Spark job over the manifest files' natural
+    * splits and the parsed entries collect back. Engages only when an
+    * active session exists and the chain's manifest bytes exceed
+    * [[planDistributedMinBytes]]; stands down (None → the classic
+    * driver loop) on anything exotic — an unresolved transaction-claim
+    * redirect in the chain, a header-peek failure — so the full
+    * race-healing logic of [[readManifest]] keeps owning those paths.
+    * Output is byte-identical to the driver loop's: same entries, same
+    * name order. */
+  private def distributedEntries(path: String, conf: Configuration,
+                                 v: Int, filters: Seq[Filter])
+      : Option[Seq[GdxFileEntry]] = {
+    val spark = SparkSession.getActiveSession.orNull
+    if (spark == null || v <= 0) return None
+    val minBytes = planDistributedMinBytes
+    val fs = new Path(path).getFileSystem(conf)
+    // header peek: (isDelta, hasTxnRedirect) from the leading '#'
+    // block alone — never materializes the entry lines
+    def peek(mp: Path): Option[(Boolean, Boolean)] = {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(mp), "UTF-8"))
+      try {
+        var isDelta = false; var hasTxn = false
+        var line = in.readLine()
+        var headers = true
+        while (headers && line != null) {
+          if (line.isEmpty || line.startsWith("#")) {
+            if (line.startsWith(DeltaHeader)) isDelta = true
+            if (line.startsWith(TxnHeader)) hasTxn = true
+            line = in.readLine()
+          } else headers = false
+        }
+        Some((isDelta, hasTxn))
+      } catch { case _: Exception => None }
+      finally in.close()
+    }
+    val files = Seq.newBuilder[Path]
+    var bytes = 0L
+    var cur = v
+    var walking = true
+    while (walking) {
+      val mp = manifestFor(path, cur)
+      if (!fs.exists(mp)) return None // loud error belongs to the caller
+      peek(mp) match {
+        case None | Some((_, true)) => return None // exotic → driver
+        case Some((isDelta, _)) =>
+          files += mp
+          bytes += (try fs.getFileStatus(mp).getLen
+                    catch { case _: Exception => return None })
+          if (isDelta) {
+            cur -= 1
+            if (cur == 0) walking = false
+          } else walking = false
+      }
+    }
+    if (bytes < minBytes) return None
+    // manual byte-range splits (LineRecordReader's boundary
+    // convention: a split's last line runs past `end`; a non-first
+    // split discards the partial first line it seeks into) —
+    // Hadoop's input formats hide `_`-prefixed files, so textFile
+    // would refuse the manifests outright
+    val splitBytes = math.max(4L * 1024 * 1024, bytes / 64)
+    val splits = files.result().flatMap { p =>
+      val len = fs.getFileStatus(p).getLen
+      val q = fs.makeQualified(p).toString
+      (0L until math.max(len, 1L) by splitBytes)
+        .map(s => (q, s, math.min(s + splitBytes, len)))
+    }
+    val sconf = new SerializableHadoopConf(conf)
+    val fl = filters // stable local for the closure
+    try Some(spark.sparkContext
+      .parallelize(splits, splits.size)
+      .flatMap { case (file, start, end) =>
+        val pth = new Path(file)
+        val in = pth.getFileSystem(sconf.conf).open(pth)
+        try {
+          if (start != 0) in.seek(start)
+          val lr = new org.apache.hadoop.util.LineReader(in)
+          val txt = new org.apache.hadoop.io.Text()
+          var pos = start
+          if (start != 0) pos += lr.readLine(txt) // partial first line
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[GdxFileEntry]
+          var reading = pos <= end
+          while (reading) {
+            val n = lr.readLine(txt)
+            if (n == 0) reading = false
+            else {
+              pos += n
+              val line = txt.toString
+              if (line.nonEmpty && !line.startsWith("#")) {
+                val e = parseManifestLine(line)
+                // full pruneByStats semantics per entry (zero-row
+                // drop included): either path returns the same set
+                if (pruneByStats(e :: Nil, fl).nonEmpty) out += e
+              }
+              reading = pos <= end
+            }
+          }
+          out
+        } finally in.close()
+      }
+      .collect().toSeq.sortBy(_.name))
+    catch { case _: Exception => None } // any job failure → driver loop
   }
 
   private def parseManifestLine(line: String): GdxFileEntry = {
