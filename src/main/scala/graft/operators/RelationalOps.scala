@@ -3902,6 +3902,84 @@ object RelationalOps extends QueryModule {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
 
+    // C47 — STRUCT-VALUED MAP COLUMNS (`scores: map<string,
+    // struct<v,n>>`) — the named-annotation shape that closes the GDX
+    // nested-type matrix (structs, arrays of structs, and now maps OF
+    // structs): entries encode as key-sorted `key=(sub,sub)` cells
+    // (the value's parens make entry boundaries depth-trackable), the
+    // value struct follows the positional codec — so trailing-field
+    // evolution inside it is metadata-only with per-entry era
+    // null-fill — and DML keys on a MAP-VALUE STRUCT LEAF
+    // (`element_at(scores, 'tox').v`), row-level. NULL maps, empty
+    // maps, and NULL value leaves all round-trip ("" vs `\N` vs
+    // `q=(\N,7)`). The verified output explodes the curated
+    // annotations to (k, name, v, n) rows the oracle recomputes
+    // relationally; claims pin time travel, the evolution era fill,
+    // and the NULL/empty round-trip counts. At 100 TB this is the
+    // model-annotation store: per-document named quality scores kept
+    // AS a typed record per name — prunable, evolvable, curatable —
+    // instead of a JSON blob.
+    "c47_gdx_struct_map_column" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxsmap_")
+      val fmt = "graft.sources.GdxSource"
+      val gdx = graft.sources.GdxSource
+      val docs = Tables.documents(s, d)
+      val vt = "map<string,struct<v:double,n:bigint>>"
+      def entry(v: org.apache.spark.sql.Column,
+                n: org.apache.spark.sql.Column) =
+        struct(v.as("v"), n.as("n"))
+      val rows = docs.select(col("doc_id").as("k"),
+        when(col("doc_id") % 17 === 0, lit(null).cast(vt))
+          .when(col("doc_id") % 13 === 0,
+            map_from_arrays(array().cast("array<string>"),
+              array().cast("array<struct<v:double,n:bigint>>")))
+          .otherwise(map(
+            lit("tox"), entry((col("doc_id") % 97).cast("double") /
+              lit(100.0), col("doc_id") % 7),
+            lit("edu"), entry((col("doc_id") % 53).cast("double") /
+              lit(10.0), col("doc_id") % 11))).as("scores"))
+      rows.write.format(fmt).option("path", dir)
+        .mode("overwrite").save() // v1
+      val expectNull = docs.filter(col("doc_id") % 17 === 0).count()
+      val expectEmpty = docs.filter(col("doc_id") % 17 =!= 0 &&
+        col("doc_id") % 13 === 0).count()
+      val tbl = "gdxsmap_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      s.sql(s"""CREATE TABLE $tbl (k BIGINT,
+        scores MAP<STRING, STRUCT<v: DOUBLE, n: BIGINT>>)
+        USING $fmt OPTIONS (path '$dir')""")
+      try {
+        val total = s.table(tbl).count()
+        val preV = gdx.listVersions(dir, gdx.driverConf()).max
+        // curation keyed on a map-value struct leaf: drop every doc
+        // whose toxicity annotation crosses the bar (NULL/empty maps
+        // have no 'tox' — predicate NULL, kept per SQL semantics)
+        s.sql(s"DELETE FROM $tbl " +
+          s"WHERE element_at(scores, 'tox').v >= 0.5")
+        val ttOk = s.read.format(fmt).option("path", dir)
+          .option("version", preV.toString).load().count() == total
+        // trailing evolution INSIDE the value struct: metadata-only;
+        // every surviving entry predates it and must read NULL src
+        gdx.addNestedField(dir, "scores", "src",
+          org.apache.spark.sql.types.StringType)
+        val back = s.read.format(fmt).option("path", dir).load()
+        val eraOk = back
+          .select(explode(col("scores")).as(Seq("name", "sc")))
+          .filter(col("sc.src").isNotNull).count() == 0
+        val nullEmptyOk =
+          back.filter(col("scores").isNull).count() == expectNull &&
+          back.filter(col("scores").isNotNull &&
+            size(col("scores")) === 0).count() == expectEmpty
+        back.select(col("k"), explode(col("scores")).as(Seq("name", "sc")))
+          .select(col("k"), col("name"), col("sc.v").as("v"),
+            col("sc.n").as("n"))
+          .withColumn("tt_ok", lit(ttOk))
+          .withColumn("era_null_ok", lit(eraOk))
+          .withColumn("null_empty_ok", lit(nullEmptyOk))
+          .orderBy("k", "name")
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     // C40 — EQUI-HEIGHT HISTOGRAMS for RANGE selectivity: ANALYZE's
     // second pass bins every orderable column's estimation domain (16
     // boundaries from one percentile sketch, per-bin NDV from one
@@ -5437,6 +5515,25 @@ object RelationalOps extends QueryModule {
         |SELECT k, mk, mv, TRUE AS null_roundtrip_ok,
         |  TRUE AS empty_roundtrip_ok
         |FROM ent ORDER BY k, mk""".stripMargin,
+    // the curated annotation store recomputed relationally: same
+    // double construction per named entry, the map-leaf DELETE as a
+    // NOT filter over the entry-bearing docs (NULL/empty-map docs
+    // survive the delete but explode to nothing); claims pinned TRUE
+    "c47_gdx_struct_map_column" ->
+      """WITH base AS (SELECT doc_id AS k,
+        |    CAST(doc_id % 97 AS DOUBLE) / 100 AS tox_v,
+        |    CAST(doc_id % 7 AS BIGINT) AS tox_n,
+        |    CAST(doc_id % 53 AS DOUBLE) / 10 AS edu_v,
+        |    CAST(doc_id % 11 AS BIGINT) AS edu_n
+        |  FROM documents
+        |  WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0),
+        |kept AS (SELECT * FROM base WHERE NOT (tox_v >= 0.5)),
+        |ent AS (
+        |  SELECT k, 'edu' AS name, edu_v AS v, edu_n AS n FROM kept
+        |  UNION ALL SELECT k, 'tox', tox_v, tox_n FROM kept)
+        |SELECT k, name, v, n, TRUE AS tt_ok, TRUE AS era_null_ok,
+        |  TRUE AS null_empty_ok
+        |FROM ent ORDER BY k, name""".stripMargin,
     // every DETAIL field is the lifecycle's arithmetic: v1 write, v2
     // append, v3 constraint, v4 DV-delete, ANALYZE at 4, v5 overwrite;
     // physical rows after the compacting overwrite = orders minus the

@@ -438,6 +438,16 @@ object GdxSource {
     // not part of the name: both flags read back permissive.
     case org.apache.spark.sql.types.MapType(StringType, StringType, _) =>
       "map<string,string>"
+    // STRUCT-VALUED MAPS — the named-annotation shape
+    // (`scores: map<string,struct<v:double,n:long>>`): entries encode
+    // as `key=(sub,sub),key=(...)` SORTED BY KEY — the value's parens
+    // make the entry boundary depth-trackable (struct leaf strings
+    // can never carry , ( ) ), keys keep the string-map vocabulary
+    // (no ','/'='), and the value struct follows the positional
+    // struct codec including trailing-field evolution.
+    case org.apache.spark.sql.types.MapType(StringType,
+        st: StructType, _) =>
+      "map<string," + typeNameOf(st) + ">"
     // nested STRUCTS — the training-record metadata shape
     // (`{source: {url, domain}, scores: {...}}`): the type name nests
     // recursively (`struct<a:long,b:struct<c:string>>`); cells encode
@@ -482,6 +492,9 @@ object GdxSource {
     case "array<bigint>" => ArrayType(LongType)
     case "map<string,string>" =>
       org.apache.spark.sql.types.MapType(StringType, StringType)
+    case _ if t.startsWith("map<string,struct<") && t.endsWith(">") =>
+      org.apache.spark.sql.types.MapType(StringType,
+        namedType(t.substring("map<string,".length, t.length - 1)))
     case DecimalNameRe(p, s) => org.apache.spark.sql.types
       .DecimalType(p.toInt, s.toInt)
     case _ if t.startsWith("array<struct<") && t.endsWith(">") =>
@@ -685,6 +698,13 @@ object GdxSource {
             case DoubleType => parts.map(p => Double.box(p.toDouble))
             case _          => parts.map(p => Long.box(p.toLong))
           })
+      case org.apache.spark.sql.types.MapType(_, st: StructType, _) =>
+        val entries: Array[(String, String)] = parseMapEntries(s)
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            entries.map(e => UTF8String.fromString(e._1): Any)),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            entries.map(e => parseStructInternal(st, st, e._2): Any)))
       case _: org.apache.spark.sql.types.MapType =>
         val entries: Array[(String, String)] = parseMapEntries(s)
         new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
@@ -758,6 +778,15 @@ object GdxSource {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         splitArrayStructCells(s).map(e =>
           parseStructInternal(sv, rq, e): Any))
+    case (org.apache.spark.sql.types.MapType(_, rq: StructType, _),
+          org.apache.spark.sql.types.MapType(_, sv: StructType, _))
+        if rq ne sv =>
+      val entries = parseMapEntries(s)
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          entries.map(e => UTF8String.fromString(e._1): Any)),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          entries.map(e => parseStructInternal(sv, rq, e._2): Any)))
     case _ => parseInternalCell(requested, s)
   }
 
@@ -789,11 +818,14 @@ object GdxSource {
   }
 
   /** Decode one map cell's `k=v,k=v` text (keys pre-sorted at write
-    * time): the FIRST '=' of each entry splits, so values may carry
-    * '='. */
+    * time): entries split on TOP-LEVEL commas (a struct-valued map's
+    * parenthesized values carry their own — the depth tracker skips
+    * them; plain string values have none, so this is the classic
+    * split there), and the FIRST '=' of each entry splits key from
+    * value, so values may carry '='. */
   private def parseMapEntries(s: String): Array[(String, String)] =
     if (s.isEmpty) Array.empty
-    else s.split(',').map { e =>
+    else splitArrayStructCells(s).map { e =>
       val j = e.indexOf('=')
       require(j >= 0, s"gdx: malformed map entry '$e'")
       (e.substring(0, j), e.substring(j + 1))
@@ -821,6 +853,9 @@ object GdxSource {
           case DoubleType => parts.map(_.toDouble).toSeq
           case _          => parts.map(_.toLong).toSeq
         })
+      case org.apache.spark.sql.types.MapType(_, st: StructType, _) =>
+        scala.collection.immutable.ListMap(parseMapEntries(s).toSeq
+          .map(e => e._1 -> parseExternalCell(st, e._2)): _*)
       case _: org.apache.spark.sql.types.MapType =>
         // ListMap preserves the stored (key-sorted) order, keeping the
         // external round-trip byte-identical with the internal one
@@ -879,6 +914,22 @@ object GdxSource {
         }
         j += 1
       }
+    case org.apache.spark.sql.types.MapType(_, st: StructType, _) =>
+      val m = r.getMap(i)
+      val ks = m.keyArray(); val vs = m.valueArray()
+      val entries = new Array[(String, String)](m.numElements())
+      var j = 0
+      while (j < entries.length) {
+        require(!ks.isNullAt(j) && !vs.isNullAt(j),
+          s"gdx $ctx: map field $field must not contain NULL keys " +
+            "or values (the k=v encoding has no entry-null marker)")
+        val vb = new java.lang.StringBuilder
+        appendStructCellInternal(vb, st, vs.getStruct(j, st.length),
+          ctx, s"$field{}")
+        entries(j) = (ks.getUTF8String(j).toString, vb.toString)
+        j += 1
+      }
+      appendMapEntries(sb, entries, ctx, field, structValued = true)
     case _: org.apache.spark.sql.types.MapType =>
       val m = r.getMap(i)
       val ks = m.keyArray(); val vs = m.valueArray()
@@ -947,10 +998,13 @@ object GdxSource {
 
   /** Render map entries SORTED BY KEY (one canonical text per map
     * value), enforcing the vocabulary the decoder can invert: keys
-    * carry no ','/'='/tab/newline, values no ','/tab/newline. */
+    * carry no ','/'='/tab/newline; STRING values no ','/tab/newline;
+    * STRUCT values (`structValued`) are pre-rendered parenthesized
+    * cells whose own leaf vocabulary already guarantees depth-
+    * trackable commas. */
   private def appendMapEntries(sb: java.lang.StringBuilder,
       entries: Array[(String, String)], ctx: String,
-      field: String): Unit = {
+      field: String, structValued: Boolean = false): Unit = {
     java.util.Arrays.sort(entries,
       Ordering.by((e: (String, String)) => e._1))
     var j = 0
@@ -960,7 +1014,8 @@ object GdxSource {
           c == '\n' || c == '\r') && k != NullMarker,
         s"gdx $ctx: map field $field key '$k' must not contain " +
           ", = tab/newline or the \\N marker (k=v encoding)")
-      require(!v.exists(c => c == ',' || c == '\t' || c == '\n' ||
+      require(structValued ||
+          !v.exists(c => c == ',' || c == '\t' || c == '\n' ||
           c == '\r'),
         s"gdx $ctx: map field $field value for key '$k' must not " +
           "contain , or tab/newline (k=v encoding)")
@@ -1015,6 +1070,18 @@ object GdxSource {
         sb.append(v.toString)
         j += 1
       }
+    case org.apache.spark.sql.types.MapType(_, st: StructType, _) =>
+      val m = r.getMap[Any, Any](i)
+      val entries = m.toArray.map { case (k, v) =>
+        require(k != null && v != null,
+          s"gdx $ctx: map field $field must not contain NULL keys " +
+            "or values (the k=v encoding has no entry-null marker)")
+        val vb = new java.lang.StringBuilder
+        appendStructCellExternal(vb, st,
+          v.asInstanceOf[org.apache.spark.sql.Row], ctx, s"$field{}")
+        (k.toString, vb.toString)
+      }
+      appendMapEntries(sb, entries, ctx, field, structValued = true)
     case _: org.apache.spark.sql.types.MapType =>
       val m = r.getMap[Any, Any](i)
       val entries = m.toArray.map { case (k, v) =>
@@ -4838,6 +4905,14 @@ object GdxSource {
             case ArrayType(nested: StructType, cn) =>
               StructType(st.fields.updated(i, st.fields(i).copy(
                 dataType = ArrayType(grow(nested, depth + 1), cn))))
+            // `ADD COLUMN scores.n` where scores is
+            // map<string,struct<...>>: same trailing-arity era rule,
+            // applied to every entry's value cell
+            case org.apache.spark.sql.types.MapType(kt,
+                nested: StructType, vn) =>
+              StructType(st.fields.updated(i, st.fields(i).copy(
+                dataType = org.apache.spark.sql.types.MapType(kt,
+                  grow(nested, depth + 1), vn))))
             case other => throw new IllegalArgumentException(
               s"gdx addNestedField: ${parts.take(depth + 1).mkString(".")}" +
                 s" is ${other.catalogString}, not a struct")
@@ -4908,6 +4983,11 @@ object GdxSource {
           case ArrayType(nested: StructType, cn) =>
             StructType(st.fields.updated(i, st.fields(i).copy(
               dataType = ArrayType(rename(nested, depth + 1), cn))))
+          case org.apache.spark.sql.types.MapType(kt,
+              nested: StructType, vn) =>
+            StructType(st.fields.updated(i, st.fields(i).copy(
+              dataType = org.apache.spark.sql.types.MapType(kt,
+                rename(nested, depth + 1), vn))))
           case other => throw new IllegalArgumentException(
             s"gdx renameNestedField: " +
               s"${parts.take(depth + 1).mkString(".")} is " +
@@ -5220,6 +5300,11 @@ object GdxSource {
           case ArrayType(nested: StructType, cn) =>
             StructType(st.fields.updated(i, st.fields(i).copy(
               dataType = ArrayType(remove(nested, depth + 1), cn))))
+          case org.apache.spark.sql.types.MapType(kt,
+              nested: StructType, vn) =>
+            StructType(st.fields.updated(i, st.fields(i).copy(
+              dataType = org.apache.spark.sql.types.MapType(kt,
+                remove(nested, depth + 1), vn))))
           case other => throw new IllegalArgumentException(
             s"gdx dropNestedField: " +
               s"${parts.take(depth + 1).mkString(".")} is " +
@@ -5235,6 +5320,11 @@ object GdxSource {
           require(parts.length == 2, "gdx dropNestedField: an array " +
             "element path addresses exactly one leaf (messages.<leaf>)")
           htransform(col(colName), m => m.dropFields(canon(1)))
+        case org.apache.spark.sql.types.MapType(_, _: StructType, _) =>
+          require(parts.length == 2, "gdx dropNestedField: a map " +
+            "value path addresses exactly one leaf (scores.<leaf>)")
+          org.apache.spark.sql.functions.transform_values(col(colName),
+            (_, v) => v.dropFields(canon(1)))
         case _: StructType =>
           col(colName).dropFields(canon.tail.mkString("."))
         case other => throw new IllegalArgumentException(
