@@ -439,6 +439,39 @@ object TextAnalysis extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // CHAT TEMPLATING — render `messages: array<struct<role,content>>`
+    // (the c45 conversation shape) into the single role-tagged string a
+    // tokenizer consumes (`<|user|>...<|end|><|assistant|>...<|end|>`),
+    // via the higher-order `aggregate` fold over the turn array — the
+    // codegen'd primitive every SFT data pipeline runs before packing;
+    // zero shuffles, one narrow map over the corpus, and the rendered
+    // text feeds t_pack_sequences' token budgeter unchanged. Turn lists
+    // are variable-length (every third doc carries a follow-up turn)
+    // and the reply role varies, so the fold is exercised, not
+    // decorative.
+    "t_chat_template" -> ((s, d) => {
+      val userTurn = struct(lit("user").as("role"),
+        concat(lit("u_"), col("doc_id") % 50).as("content"))
+      val replyTurn = struct(
+        when(col("doc_id") % 4 === 0, "tool").otherwise("assistant")
+          .as("role"),
+        concat(lit("a_"), col("doc_id") % 31).as("content"))
+      val followTurn = struct(lit("user").as("role"),
+        concat(lit("u2_"), col("doc_id") % 13).as("content"))
+      Tables.documents(s, d)
+        .select(col("doc_id").as("k"), col("lang"),
+          when(col("doc_id") % 3 === 0,
+            array(userTurn, replyTurn, followTurn))
+            .otherwise(array(userTurn, replyTurn)).as("messages"))
+        .select(col("k"), col("lang"),
+          aggregate(col("messages"), lit(""), (acc, m) =>
+            concat(acc, lit("<|"), m.getField("role"), lit("|>"),
+              m.getField("content"), lit("<|end|>"))).as("text"),
+          size(col("messages")).cast("long").as("n_turns"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .orderBy("k")
+    }),
+
     // BPE-style merge-pair counting — ONE round of the tokenizer-training
     // loop: count adjacent token pairs corpus-wide, rank the merge
     // candidates. zip_with over two slices forms the pairs without a
@@ -1776,6 +1809,24 @@ object TextAnalysis extends QueryModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    / 2048) AS BIGINT) AS pack_id
         |FROM t ORDER BY doc_id""".stripMargin,
+    // the rendered template recomputed by concatenating the SAME
+    // deterministic turns in order (the fold is left-to-right string
+    // concatenation, so plain || chains reproduce it exactly)
+    "t_chat_template" ->
+      """WITH t AS (SELECT doc_id AS k, lang,
+        |  '<|user|>u_' || (doc_id % 50) || '<|end|>' ||
+        |  '<|' || CASE WHEN doc_id % 4 = 0 THEN 'tool'
+        |               ELSE 'assistant' END || '|>' ||
+        |  'a_' || (doc_id % 31) || '<|end|>' ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN '<|user|>u2_' || (doc_id % 13) || '<|end|>'
+        |       ELSE '' END AS text,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_turns
+        |  FROM documents)
+        |SELECT k, lang, text, n_turns,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM t ORDER BY k""".stripMargin,
     "t_bigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
