@@ -315,13 +315,19 @@ case class GdxDeleteCommand(path: String, condSql: String)
 }
 
 /** `UPDATE <gdx table> SET ... WHERE ...` → DV + rewrite in one commit.
-  * Returns (version, rows_updated). */
+  * Returns (version, rows_updated). Inside an open SQL transaction the
+  * update STAGES instead (simultaneous-assignment semantics over the
+  * transaction's basis snapshot, conflict-checked at COMMIT — see
+  * GdxSqlTxn) and returns the (-1, -1) staged sentinel. */
 case class GdxUpdateCommand(path: String, set: Seq[(String, String)],
                             condSql: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GdxDml.versionRowsOutput
   override def run(spark: SparkSession): Seq[Row] = {
-    GdxSqlTxn.refuseIfOpen(spark, "UPDATE")
+    if (GdxSqlTxn.isOpen(spark)) {
+      GdxSqlTxn.stageUpdate(spark, path, path, condSql, set)
+      return Seq(Row(-1L, -1L))
+    }
     val (v, n) = graft.sources.GdxSource.update(spark, path,
       org.apache.spark.sql.functions.expr(condSql),
       set.map { case (k, e) =>

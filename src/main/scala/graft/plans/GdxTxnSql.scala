@@ -16,6 +16,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *   `BEGIN TRANSACTION`   (or `START TRANSACTION`)
   *   `INSERT INTO <gdx table> [(cols)] SELECT ... | VALUES ...`
   *   `DELETE FROM <gdx table> WHERE ...`          (staged)
+  *   `UPDATE <gdx table> SET ... WHERE ...`       (staged)
   *   `MERGE INTO <gdx table> ... ` (LWW shape)    (staged)
   *   `COMMIT`              (one decision: all tables or none)
   *   `ROLLBACK`            (nothing surfaces anywhere)
@@ -61,7 +62,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * a WeakHashMap value it would pin the session key forever, so an
   * abandoned open transaction could never be collected). Statements
   * that commit their own visible snapshot are refused loudly while a
-  * transaction is open — UPDATE and general-matrix MERGE (GdxDml),
+  * transaction is open — general-matrix MERGE (GdxDml),
   * TRUNCATE (GdxTable.truncateTable), every DSv2 batch write into a
   * GDX table including INSERT OVERWRITE and DataFrame-API writes
   * (GdxBatchWrite.commit), and catalog DDL (GdxCatalog) — rather than
@@ -79,6 +80,12 @@ object GdxSqlTxn {
       plan: LogicalPlan) extends Staged
   private[plans] final case class StagedDelete(dir: String, table: String,
       condSql: String) extends Staged
+  /** `UPDATE ... SET ... WHERE ...`, staged: SQL simultaneous-
+    * assignment semantics — every SET expression evaluates against
+    * the PRE-update row, so `SET v = w, w = v` swaps (the same
+    * contract the non-staged UPDATE's one-select rewrite keeps). */
+  private[plans] final case class StagedUpdate(dir: String, table: String,
+      condSql: String, set: Seq[(String, String)]) extends Staged
   /** The legacy (k,v) LWW-upsert MERGE shape, staged: `plan` is the
     * (snapshot-pinned) source frame; semantics mirror
     * [[graft.sources.GdxSource.merge]] exactly. */
@@ -145,6 +152,16 @@ object GdxSqlTxn {
     ()
   }
 
+  private[plans] def stageUpdate(s: SparkSession, dir: String,
+                                 table: String, condSql: String,
+                                 set: Seq[(String, String)]): Unit = {
+    val sc = scopeOf(s)
+    sc.basis.getOrElseUpdate(dir, graft.sources.GdxSource
+      .latestDecidedVersion(dir, graft.sources.GdxSource.driverConf()))
+    sc.ops += StagedUpdate(dir, table, condSql, set)
+    ()
+  }
+
   private[plans] def stageLww(s: SparkSession, dir: String,
                               table: String, source: DataFrame): Unit = {
     val sc = scopeOf(s)
@@ -188,6 +205,21 @@ object GdxSqlTxn {
         case StagedDelete(_, _, cond) =>
           // SQL DELETE semantics: rows whose predicate is NULL survive
           df = df.filter(not(coalesce(expr(cond), lit(false))))
+        case StagedUpdate(_, _, cond, set) =>
+          // simultaneous assignment over the txn-local view: ALL
+          // assignments land in ONE select against the pre-update row
+          val byName = set.map { case (k, e) =>
+            k.toLowerCase(java.util.Locale.ROOT) -> e }.toMap
+          val hit = coalesce(expr(cond), lit(false))
+          df = df.select(df.columns.map { c =>
+            byName.get(c.toLowerCase(java.util.Locale.ROOT)) match {
+              case Some(e) =>
+                org.apache.spark.sql.functions
+                  .when(hit, expr(e)).otherwise(col(s"`$c`"))
+                  .cast(df.schema(c).dataType).as(c)
+              case None => col(s"`$c`")
+            }
+          }.toSeq: _*)
         case StagedLww(_, _, p) =>
           val up = bridge.ofRows(spark, p)
             .select(col("k").cast("long").as("k"),
@@ -222,8 +254,8 @@ object GdxSqlTxn {
   def refuseIfOpen(s: SparkSession, stmt: String): Unit =
     require(!isOpen(s),
       s"gdx txn: $stmt is not transactional - only INSERT INTO, " +
-        "DELETE FROM and LWW MERGE stage inside BEGIN TRANSACTION; " +
-        "COMMIT or ROLLBACK first")
+        "DELETE FROM, UPDATE and LWW MERGE stage inside " +
+        "BEGIN TRANSACTION; COMMIT or ROLLBACK first")
 }
 
 /** `BEGIN TRANSACTION` — open the session's staging scope. */

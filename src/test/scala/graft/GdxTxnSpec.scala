@@ -230,20 +230,20 @@ class GdxTxnSpec extends SparkSuite {
     s.sql("START TRANSACTION")
     assert(s.sql("COMMIT").collect().isEmpty)
     // loud refusals: double BEGIN, and statements that commit their
-    // own snapshot (UPDATE, general MERGE, TRUNCATE, INSERT OVERWRITE,
-    // DDL) — they cannot honor the transaction's atomicity
+    // own snapshot (general MERGE, TRUNCATE, INSERT OVERWRITE, DDL) —
+    // they cannot honor the transaction's atomicity
     s.sql("BEGIN TRANSACTION")
     intercept[Exception](s.sql("BEGIN TRANSACTION"))
-    intercept[Exception](
-      s.sql(s"UPDATE $cat.lab.facts SET v = 'x' WHERE k = 1"))
     intercept[Exception](s.sql(s"TRUNCATE TABLE $cat.lab.facts"))
     intercept[Exception](
       s.sql(s"INSERT OVERWRITE $cat.lab.facts VALUES (9, 'ow')"))
     intercept[Exception](
       s.sql(s"ALTER TABLE $cat.lab.facts ADD COLUMN (w DOUBLE)"))
     intercept[Exception](s.sql(s"DROP TABLE $cat.lab.audit"))
-    // DELETE and column-list INSERT STAGE (invisible until COMMIT)
+    // DELETE, UPDATE, and column-list INSERT STAGE (invisible until
+    // COMMIT)
     s.sql(s"DELETE FROM $cat.lab.facts WHERE k = 1")
+    s.sql(s"UPDATE $cat.lab.facts SET v = 'never' WHERE k >= 0")
     s.sql(s"INSERT INTO $cat.lab.facts (k, v) VALUES (9, 'cl')")
     assert(s.table(s"$cat.lab.facts").filter("v = 'base'").count()
       === 1L, "staged DML must not be visible before COMMIT")
@@ -258,6 +258,30 @@ class GdxTxnSpec extends SparkSuite {
       === 1L)
     intercept[Exception](s.sql("COMMIT"))
     intercept[Exception](s.sql("ROLLBACK"))
+  }
+
+  test("staged UPDATE: simultaneous assignment over the basis, stage " +
+      "order respected, invisible before COMMIT") {
+    val cat = "gdx_txnu1"
+    val (s, _) = txnSession(cat)
+    s.sql(s"CREATE NAMESPACE $cat.lab")
+    s.sql(s"CREATE TABLE $cat.lab.t (k BIGINT, a STRING, b STRING)")
+    s.sql(s"INSERT INTO $cat.lab.t VALUES (1, 'x', 'y'), (2, 'p', 'q')")
+    s.sql("BEGIN TRANSACTION")
+    // simultaneous assignment: SET a = b, b = a SWAPS
+    s.sql(s"UPDATE $cat.lab.t SET a = b, b = a WHERE k = 1")
+    // stage order: a later UPDATE sees the swap's result
+    s.sql(s"UPDATE $cat.lab.t SET a = a || '!' WHERE k = 1")
+    // and an INSERT staged before an UPDATE is updated by it
+    s.sql(s"INSERT INTO $cat.lab.t VALUES (3, 'new', 'n')")
+    s.sql(s"UPDATE $cat.lab.t SET b = 'seen' WHERE k = 3")
+    assert(s.table(s"$cat.lab.t").filter("a = 'y!'").count() === 0L,
+      "staged update leaked before COMMIT")
+    s.sql("COMMIT")
+    val rows = s.table(s"$cat.lab.t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows === Seq((1L, "y!", "x"), (2L, "p", "q"),
+      (3L, "new", "seen")))
   }
 
   /** A session wired to a fresh GDX catalog; returns (session,
