@@ -699,7 +699,8 @@ object GdxSource {
             case _          => parts.map(p => Long.box(p.toLong))
           })
       case org.apache.spark.sql.types.MapType(_, st: StructType, _) =>
-        val entries: Array[(String, String)] = parseMapEntries(s)
+        val entries: Array[(String, String)] =
+          parseMapEntries(s, structValued = true)
         new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
           new org.apache.spark.sql.catalyst.util.GenericArrayData(
             entries.map(e => UTF8String.fromString(e._1): Any)),
@@ -781,7 +782,7 @@ object GdxSource {
     case (org.apache.spark.sql.types.MapType(_, rq: StructType, _),
           org.apache.spark.sql.types.MapType(_, sv: StructType, _))
         if rq ne sv =>
-      val entries = parseMapEntries(s)
+      val entries = parseMapEntries(s, structValued = true)
       new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
           entries.map(e => UTF8String.fromString(e._1): Any)),
@@ -818,14 +819,21 @@ object GdxSource {
   }
 
   /** Decode one map cell's `k=v,k=v` text (keys pre-sorted at write
-    * time): entries split on TOP-LEVEL commas (a struct-valued map's
-    * parenthesized values carry their own — the depth tracker skips
-    * them; plain string values have none, so this is the classic
-    * split there), and the FIRST '=' of each entry splits key from
-    * value, so values may carry '='. */
-  private def parseMapEntries(s: String): Array[(String, String)] =
+    * time): the FIRST '=' of each entry splits key from value, so
+    * values may carry '='. STRING-valued maps split entries on every
+    * comma (their vocabulary bans ',' in keys and values but ALLOWS
+    * unbalanced parens — a depth tracker would silently swallow
+    * entry boundaries after a value like `a(b`); STRUCT-valued maps
+    * (`structValued`) split on TOP-LEVEL commas only — their values
+    * are parenthesized cells with commas inside, and their write
+    * vocabulary bans parens everywhere else (keys included), so the
+    * depth is always well-formed. */
+  private def parseMapEntries(s: String,
+                              structValued: Boolean = false)
+      : Array[(String, String)] =
     if (s.isEmpty) Array.empty
-    else splitArrayStructCells(s).map { e =>
+    else (if (structValued) splitArrayStructCells(s)
+          else s.split(',')).map { e =>
       val j = e.indexOf('=')
       require(j >= 0, s"gdx: malformed map entry '$e'")
       (e.substring(0, j), e.substring(j + 1))
@@ -854,8 +862,9 @@ object GdxSource {
           case _          => parts.map(_.toLong).toSeq
         })
       case org.apache.spark.sql.types.MapType(_, st: StructType, _) =>
-        scala.collection.immutable.ListMap(parseMapEntries(s).toSeq
-          .map(e => e._1 -> parseExternalCell(st, e._2)): _*)
+        scala.collection.immutable.ListMap(
+          parseMapEntries(s, structValued = true).toSeq
+            .map(e => e._1 -> parseExternalCell(st, e._2)): _*)
       case _: org.apache.spark.sql.types.MapType =>
         // ListMap preserves the stored (key-sorted) order, keeping the
         // external round-trip byte-identical with the internal one
@@ -1014,6 +1023,12 @@ object GdxSource {
           c == '\n' || c == '\r') && k != NullMarker,
         s"gdx $ctx: map field $field key '$k' must not contain " +
           ", = tab/newline or the \\N marker (k=v encoding)")
+      // struct-valued maps split entries by PAREN DEPTH, so their
+      // keys must not carry parens (string-map keys may — their
+      // entries split on every comma, no depth in play)
+      require(!structValued || !k.exists(c => c == '(' || c == ')'),
+        s"gdx $ctx: map field $field key '$k' must not contain " +
+          "parens (struct-valued entries split by paren depth)")
       require(structValued ||
           !v.exists(c => c == ',' || c == '\t' || c == '\n' ||
           c == '\r'),

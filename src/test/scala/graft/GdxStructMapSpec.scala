@@ -98,6 +98,26 @@ class GdxStructMapSpec extends SparkSuite {
       .filter(col("scores.tox.src") === "model").count() === 1L)
   }
 
+  test("string-valued maps keep their paren-tolerant vocabulary: " +
+      "unbalanced parens in values round-trip (the depth splitter is " +
+      "struct-valued only)") {
+    val dir = freshDir("parens")
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Map("a" -> "x(y", "b" -> "z)w", "c" -> "plain"))), 1),
+      StructType(Seq(StructField("k", LongType),
+        StructField("m", MapType(StringType, StringType)))))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val m = read(dir).head.getMap[String, String](1)
+    assert(m("a") === "x(y" && m("b") === "z)w" && m("c") === "plain")
+    // and a paren-bearing KEY in a STRUCT-valued map is refused
+    // loudly (its entries split by paren depth)
+    intercept[Exception] {
+      df(Seq(Row(1L, Map("a(b" -> Row(0.1, 1L)))))
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+    }
+    ()
+  }
+
   test("loud refusals: NULL values, key vocabulary, value leaf " +
       "vocabulary") {
     val dir = freshDir("refuse")
