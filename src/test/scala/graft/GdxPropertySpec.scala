@@ -130,6 +130,103 @@ class GdxPropertySpec extends SparkSuite {
         s"external row ${w.getLong(0)}") }
   }
 
+  test("property: array<struct> cells round-trip exactly — variable " +
+      "lengths, empty arrays, NULL cells, null element leaves") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val leafGen: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.filterNot(c => c == '\t' ||
+        c == '\n' || c == '\r' || c == ',' || c == '(' || c == ')'))
+        .suchThat(_ != "\\N"),
+      Gen.oneOf("", " ", "N", "\\", "=x=", "日本語", "a:b<c>d"))
+    val turn = StructType(Seq(StructField("role", StringType),
+      StructField("content", StringType), StructField("n", LongType)))
+    val turnGen: Gen[Row] = for {
+      r <- Gen.option(leafGen)
+      c <- Gen.option(leafGen)
+      n <- Gen.option(Gen.chooseNum(-1000000L, 1000000L))
+    } yield Row(r.orNull, c.orNull, n.map(Long.box).orNull)
+    val msgsGen: Gen[Seq[Row]] = Gen.oneOf(
+      Gen.chooseNum(0, 5).flatMap(n => Gen.listOfN(n, turnGen))
+        .map(_.toSeq),
+      Gen.const(null.asInstanceOf[Seq[Row]]))
+    val rows = samples(msgsGen, 300).zipWithIndex.map {
+      case (m, i) => Row(i.toLong, s"v$i", m) }
+    val dir = freshDir("arrstruct") + "/t"
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType),
+      StructField("messages", ArrayType(turn))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .orderBy("k").collect()
+    val want = rows.sortBy(_.getLong(0))
+    assert(back.length === want.length)
+    back.zip(want).foreach { case (g, w) =>
+      val gm = Option(g.getSeq[Row](2)).map(_.toSeq).orNull
+      assert(gm === w.get(2), s"row ${w.getLong(0)}") }
+    // the DML substrate's external decode agrees with the scan's
+    graft.sources.GdxSource.tableChanges(spark, dir, 0, 1)
+      .orderBy("k").collect().zip(want).foreach { case (g, w) =>
+        val gm = Option(g.getAs[scala.collection.Seq[Row]]("messages"))
+          .map(_.toSeq).orNull
+        assert(gm === w.get(2), s"external row ${w.getLong(0)}") }
+  }
+
+  test("property: map cells round-trip exactly — string values keep " +
+      "the full paren vocabulary, struct values nest") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val keyGen: Gen[String] = Gen.asciiPrintableStr
+      .map(_.filterNot(c => c == '\t' || c == '\n' || c == '\r' ||
+        c == ',' || c == '='))
+      .suchThat(_ != "\\N")
+    // string-map VALUES may carry parens — the vocabulary class the
+    // depth splitter must never be applied to
+    val sValGen: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.filterNot(c => c == '\t' ||
+        c == '\n' || c == '\r' || c == ',')).suchThat(_ != "\\N"),
+      Gen.oneOf("x(y", "z)w", "((", "))(", "a=b", ""))
+    val smGen: Gen[Map[String, String]] = Gen.chooseNum(0, 6)
+      .flatMap(n => Gen.mapOfN(n, Gen.zip(keyGen, sValGen)))
+    val smRows = samples(smGen, 200).zipWithIndex.map {
+      case (m, i) => Row(i.toLong, m) }
+    val smDir = freshDir("smap") + "/t"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(smRows, 4),
+      StructType(Seq(StructField("k", LongType),
+        StructField("m", MapType(StringType, StringType)))))
+      .write.format(fmt).option("path", smDir).mode("overwrite").save()
+    spark.read.format(fmt).option("path", smDir).load()
+      .orderBy("k").collect()
+      .zip(smRows.sortBy(_.getLong(0))).foreach { case (g, w) =>
+        assert(g.getMap[String, String](1).toMap ===
+          w.getMap[String, String](1), s"string map ${w.getLong(0)}") }
+    // struct-valued: keys additionally ban parens (depth splitter)
+    val svKeyGen = keyGen.map(_.filterNot(c => c == '(' || c == ')'))
+    val cell = StructType(Seq(StructField("v", DoubleType),
+      StructField("n", LongType)))
+    val svGen: Gen[Map[String, Row]] = Gen.chooseNum(0, 5)
+      .flatMap(n => Gen.mapOfN(n, Gen.zip(svKeyGen, for {
+        v <- Gen.option(Gen.chooseNum(-1e9, 1e9))
+        m <- Gen.option(Gen.chooseNum(-1000000L, 1000000L))
+      } yield Row(v.map(Double.box).orNull, m.map(Long.box).orNull))))
+    val svRows = samples(svGen, 200).zipWithIndex.map {
+      case (m, i) => Row(i.toLong, m) }
+    val svDir = freshDir("svmap") + "/t"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(svRows, 4),
+      StructType(Seq(StructField("k", LongType),
+        StructField("m", MapType(StringType, cell)))))
+      .write.format(fmt).option("path", svDir).mode("overwrite").save()
+    spark.read.format(fmt).option("path", svDir).load()
+      .orderBy("k").collect()
+      .zip(svRows.sortBy(_.getLong(0))).foreach { case (g, w) =>
+        assert(g.getMap[String, Row](1).toMap ===
+          w.getMap[String, Row](1), s"struct map ${w.getLong(0)}") }
+  }
+
   test("write rejects line-format-breaking strings loudly") {
     for (bad <- Seq("a\tb", "a\nb", "a\rb", "\\N")) {
       val dir = freshDir("rej")
