@@ -182,6 +182,41 @@ class GdxArrayStructSpec extends SparkSuite {
       .filter(col("m.ts") === 42L).count() === 1L)
   }
 
+  test("array<struct> cells flow through the STREAMING sink " +
+      "exactly-once and read back decodable") {
+    val dir = freshDir("stream")
+    val src = java.nio.file.Files
+      .createTempDirectory("gdxas_stream_").toString + "/in"
+    // JSON source rows with the turn-list column — the stream builds
+    // the array<struct> shape and sinks it through GdxStreamingWrite
+    (1L to 30L).map(i => (i, s"q$i", s"a$i")).toDF("k", "q", "a")
+      .write.json(src)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gdxas_ckpt_").toString
+    val stream = spark.readStream
+      .schema("k BIGINT, q STRING, a STRING").json(src)
+      .select(col("k"), lit("conv").as("v"),
+        when(col("k") % 3 === 0, array(
+          struct(lit("user").as("role"), col("q").as("content")),
+          struct(lit("assistant").as("role"), col("a").as("content"))))
+          .otherwise(array(
+            struct(lit("user").as("role"), col("q").as("content"))))
+          .as("messages"))
+      .writeStream.format(fmt).option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    stream.awaitTermination(60000)
+    val back = read(dir)
+    assert(back.count() === 30L)
+    assert(back.select(explode(col("messages")).as("m"))
+      .count() === 40L) // 20 single-turn + 10 two-turn
+    assert(back.filter(col("k") % 3 === 0)
+      .select(explode(col("messages")).as("m"))
+      .filter(col("m.role") === "assistant" &&
+        col("m.content").startsWith("a")).count() === 10L)
+  }
+
   test("loud refusals: NULL elements, element strings carrying the " +
       "positional vocabulary, struct fields of array type stay refused") {
     val dir = freshDir("refuse")
