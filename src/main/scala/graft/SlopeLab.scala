@@ -424,6 +424,24 @@ object SlopeLab {
           ((System.nanoTime() - t0) / 1e9, kept)
         }
       }
+      // the PRODUCTION surface: a spark.read scan whose physical
+      // planning (planInputPartitions) resolves entries through the
+      // same threshold switch — `.rdd.getNumPartitions` forces the
+      // partition planning without launching a job (the fabricated
+      // files hold no data), so the lane times exactly what a real
+      // query's planning pays
+      def scanOnce(minBytes: String): (Double, Int) = {
+        val s = Sessions.pinned(spark,
+          "spark.gdx.plan.distributedMinBytes" -> minBytes)
+        Sessions.withActive(s) {
+          val t0 = System.nanoTime()
+          val parts = s.read.format("graft.sources.GdxSource")
+            .option("path", dir).load()
+            .filter(org.apache.spark.sql.functions.col("k") >= n * 99L)
+            .rdd.getNumPartitions
+          ((System.nanoTime() - t0) / 1e9, parts)
+        }
+      }
       // warm both paths once (classloading, FS page cache), then min-of-2
       planOnce(Long.MaxValue.toString); planOnce("1")
       val (tDrv, kDrv) = Seq(planOnce(Long.MaxValue.toString),
@@ -431,7 +449,15 @@ object SlopeLab {
       val (tDist, kDist) = Seq(planOnce("1"), planOnce("1"))
         .minBy(_._1)
       require(kDrv == kDist, s"paths disagree: $kDrv vs $kDist")
-      println(f"""{"planmeta_entries":$n,"kept":$kDrv,"driver_sec":$tDrv%.3f,"distributed_sec":$tDist%.3f}""")
+      scanOnce(Long.MaxValue.toString); scanOnce("1")
+      val (rDrv, pDrv) = Seq(scanOnce(Long.MaxValue.toString),
+        scanOnce(Long.MaxValue.toString)).minBy(_._1)
+      val before = gdx.distributedPlanCount.get()
+      val (rDist, pDist) = Seq(scanOnce("1"), scanOnce("1")).minBy(_._1)
+      require(gdx.distributedPlanCount.get() > before,
+        "spark.read did not engage the distributed planner")
+      require(pDrv == pDist, s"scan paths disagree: $pDrv vs $pDist")
+      println(f"""{"planmeta_entries":$n,"kept":$kDrv,"driver_sec":$tDrv%.3f,"distributed_sec":$tDist%.3f,"scan_planned_files":$pDrv,"scan_driver_sec":$rDrv%.3f,"scan_distributed_sec":$rDist%.3f}""")
     }
   }
 

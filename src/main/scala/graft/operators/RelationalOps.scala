@@ -3696,12 +3696,34 @@ object RelationalOps extends QueryModule {
             .count() == 0 &&
           c.table(s"$cat.lab.dim").count() == dN2 + 1
         c.sql("ROLLBACK") // the failed COMMIT left the txn open
+        // third transaction: the GENERAL WHEN-matrix stages too —
+        // conditional MATCHED DELETE + MATCHED UPDATE + NOT MATCHED
+        // INSERT fold onto the basis as one conflict-checked
+        // restatement — and SAVEPOINT/ROLLBACK TO discard exactly the
+        // staged suffix (the poison UPDATE), keeping the merge
+        c.sql("BEGIN TRANSACTION")
+        c.sql(s"""MERGE INTO $cat.lab.dim t
+          USING (SELECT k, v FROM global_temp.${view}_c
+                 WHERE k % 5 = 0) s
+          ON t.k = s.k
+          WHEN MATCHED AND t.k % 10 = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = 'G_' || s.v
+          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 'N_' || s.v)""")
+        c.sql("SAVEPOINT sp1")
+        c.sql(s"UPDATE $cat.lab.dim SET v = 'POISON' WHERE k >= 0")
+        c.sql("ROLLBACK TO SAVEPOINT sp1")
+        c.sql("COMMIT")
+        val savepointOk = c.table(s"$cat.lab.dim")
+          .filter(col("v") === "POISON").count() == 0 &&
+          c.table(s"$cat.lab.dim")
+            .filter(col("v").startsWith("G_")).count() > 0
         c.table(s"$cat.lab.dim").withColumn("side", lit("d"))
           .unionByName(c.table(s"$cat.lab.facts")
             .withColumn("side", lit("f")))
           .withColumn("invisible_before", lit(invisibleBefore))
           .withColumn("atomic_commit", lit(atomicCommit))
           .withColumn("conflict_aborts", lit(conflictAborts))
+          .withColumn("savepoint_ok", lit(savepointOk))
           .orderBy("side", "k")
       } finally {
         cust.sparkSession.catalog.dropGlobalTempView(view + "_c")
@@ -4209,6 +4231,78 @@ object RelationalOps extends QueryModule {
     // training snapshots. Reference analogue: the nested report
     // struct (/root/reference/src/analyze.py:142-160), one level
     // deeper.
+    // C48 — REAL TEXT THROUGH THE TABLE FORMAT: the escape-era cell
+    // codec (GdxSource.escapeCell, the `e:` manifest era) proven on
+    // content no pre-escape GDX file could hold — commas, parens,
+    // '=', backslashes, embedded newlines and a literal "\N" — in a
+    // top-level text column, map keys AND values, and conversation
+    // element leaves, through the full lifecycle: DSv2 write, UPDATE
+    // (DV + re-encoded rewrite), DELETE on a decoded-text predicate,
+    // changefeed, and the final scan. This is the SFT-corpus contract:
+    // arbitrary chat text lives in the format natively, no flattening,
+    // no JSON round-trip. Reference analogue: the free-text VARCHAR
+    // column (reference sql/create_tables.sql:4). At 100 TB the codec
+    // is per-cell and streaming (no buffering beyond the line), and
+    // old unescaped files keep reading raw next to new escaped ones —
+    // migration costs zero rewrites.
+    "c48_gdx_real_text" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxrealtext_")
+      val gdx = graft.sources.GdxSource
+      val docs = Tables.documents(s, d)
+      val nastyTail = lit(", punct (x=y)\n\\N tail\\")
+      val rows = docs.select(
+        col("doc_id").as("k"), col("lang"),
+        concat(substring(col("text"), 1, 40), nastyTail,
+          (col("doc_id") % 7).cast("string")).as("txt"),
+        map(
+          concat(lit("src("), col("lang"), lit(")")),
+          concat(lit("a,b="), col("source")),
+          lit("plain"), lit("v")).as("meta"),
+        array(
+          struct(lit("user").as("role"),
+            concat(lit("Hi, please sort (asc) k="),
+              col("doc_id").cast("string")).as("content")),
+          struct(lit("assistant").as("role"),
+            concat(lit("Done; rows = ("),
+              (col("doc_id") % 13).cast("string"), lit(")"),
+              when(col("doc_id") % 3 === 0, lit("\nnext\\line"))
+                .otherwise(lit(""))).as("content"))).as("msgs"))
+      rows.write.format("graft.sources.GdxSource")
+        .option("path", dir).mode("overwrite").save()
+      // UPDATE: the rewrite half re-encodes punctuated text exactly
+      val n3 = docs.filter(col("doc_id") % 10 === 3).count()
+      gdx.update(s, dir, col("k") % 10 === 3,
+        Map("txt" -> concat(col("txt"), lit(" [edited, (v2)]"))))
+      // DELETE: the predicate evaluates on DECODED text (instr over a
+      // comma the codec escaped at rest)
+      gdx.delete(s, dir,
+        col("k") % 7 === 0 && instr(col("txt"), ",") > 0)
+      val back = s.read.format("graft.sources.GdxSource")
+        .option("path", dir).load()
+      // changefeed claim: the UPDATE's inserted rows all carry the
+      // post-edit punctuated suffix, decoded through the external
+      // (Row) surface — and there are exactly as many as matched
+      val cdf = gdx.tableChanges(s, dir, 1, 2)
+      val cdfOk = cdf.filter(col("change_type") === "insert").count() == n3 &&
+        cdf.filter(col("change_type") === "insert" &&
+          col("txt").contains(" [edited, (v2)]")).count() == n3
+      back.select(col("k"), col("lang"), col("txt"),
+          element_at(col("meta"),
+            concat(lit("src("), col("lang"), lit(")"))).as("mv"),
+          element_at(col("msgs"), 1).getField("content").as("ucontent"),
+          element_at(col("msgs"), 2).getField("content").as("acontent"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("txt")).as("d_txt"),
+          sum(length(col("txt"))).as("chars"),
+          countDistinct(col("ucontent")).as("d_user"),
+          sum(when(col("acontent").contains("\n"), 1L).otherwise(0L))
+            .as("nl_rows"),
+          countDistinct(col("mv")).as("d_mv"))
+        .withColumn("cdf_ok", lit(cdfOk))
+        .orderBy("lang")
+    }),
+
     "c45_gdx_conversation_column" -> ((s, d) => {
       val wh = graft.Scratch.tablePath("graft_gdxconv_")
       val cat = "gdx_c45"
@@ -4348,6 +4442,14 @@ object RelationalOps extends QueryModule {
         .agg(avg(col("meta.tokens"))).head.getDouble(0).toLong
       val (kept, all) = gdx.plannedFiles(dir, Seq(
         org.apache.spark.sql.sources.GreaterThan("meta.tokens", cut)))
+      // diagnostic breadcrumb for the claim (stderr only): the planned
+      // ratio plus each file's leaf range, so a flaked layout is
+      // attributable from the verify log alone
+      System.err.println(s"[c44] kept=$kept all=$all cut=$cut ranges=" +
+        gdx.committedEntries(dir, gdx.driverConf()).map(e =>
+          e.stats.flatMap(_.cols.get("meta.tokens"))
+            .map { case (a, b) => s"$a..$b" }.getOrElse("-"))
+          .mkString(","))
       c.table(s"$cat.lab.docs")
         .select(col("k"), col("v"),
           col("meta.score").as("score"),
@@ -5440,12 +5542,24 @@ object RelationalOps extends QueryModule {
         |merged AS (SELECT COALESCE(s.k, d.k) AS k,
         |    COALESCE(s.v, d.v) AS v
         |  FROM seed d FULL OUTER JOIN src s ON d.k = s.k),
-        |dim_final AS (SELECT k, v FROM merged WHERE k % 30 <> 0
+        |dim1 AS (SELECT k, v FROM merged WHERE k % 30 <> 0
         |  UNION ALL SELECT -77, 'concurrent'),
+        |src2 AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    c_mktsegment AS v FROM customer WHERE c_custkey % 5 = 0),
+        |gm AS (SELECT t.k,
+        |    CASE WHEN s.k IS NOT NULL THEN 'G_' || s.v ELSE t.v END AS v,
+        |    CASE WHEN s.k IS NOT NULL AND t.k % 10 = 0 THEN 1
+        |         ELSE 0 END AS del
+        |  FROM dim1 t LEFT JOIN src2 s ON t.k = s.k
+        |  UNION ALL
+        |  SELECT s.k, 'N_' || s.v, 0 FROM src2 s
+        |    LEFT JOIN dim1 t ON t.k = s.k WHERE t.k IS NULL),
+        |dim_final AS (SELECT k, v FROM gm WHERE del = 0),
         |facts_final AS (SELECT event_id AS k, event_type AS v
         |  FROM events WHERE event_id % 10 = 3)
         |SELECT side, k, v, TRUE AS invisible_before,
-        |  TRUE AS atomic_commit, TRUE AS conflict_aborts
+        |  TRUE AS atomic_commit, TRUE AS conflict_aborts,
+        |  TRUE AS savepoint_ok
         |FROM (SELECT 'd' AS side, k, v FROM dim_final
         |      UNION ALL SELECT 'f', k, v FROM facts_final)
         |ORDER BY side, k""".stripMargin,
@@ -5609,6 +5723,34 @@ object RelationalOps extends QueryModule {
     // predicate DELETE drops every doc whose reply turn is a tool call
     // (doc_id % 4 = 0), the surviving turn lists re-explode to the
     // same lang × role counts and distinct contents; claims pinned
+    // the punctuated corpus recomputed relationally: same text
+    // construction (chr(10) = the embedded newline; standard SQL
+    // single-quoted literals keep backslashes raw), the UPDATE as a
+    // CASE, the DELETE as a NOT filter (every txt carries a comma);
+    // the changefeed claim is pinned TRUE
+    "c48_gdx_real_text" ->
+      """WITH base AS (SELECT doc_id AS k, lang,
+        |  substr(text, 1, 40) || ', punct (x=y)' || chr(10) ||
+        |    '\N tail\' || CAST(doc_id % 7 AS VARCHAR) AS txt,
+        |  'a,b=' || source AS mv,
+        |  'Hi, please sort (asc) k=' || CAST(doc_id AS VARCHAR)
+        |    AS ucontent,
+        |  'Done; rows = (' || CAST(doc_id % 13 AS VARCHAR) || ')' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'next\line'
+        |         ELSE '' END AS acontent
+        |  FROM documents),
+        |upd AS (SELECT k, lang, mv, ucontent, acontent,
+        |  CASE WHEN k % 10 = 3 THEN txt || ' [edited, (v2)]'
+        |       ELSE txt END AS txt FROM base),
+        |del AS (SELECT * FROM upd WHERE NOT (k % 7 = 0))
+        |SELECT lang, count(*) AS n, count(DISTINCT txt) AS d_txt,
+        |  CAST(sum(length(txt)) AS BIGINT) AS chars,
+        |  count(DISTINCT ucontent) AS d_user,
+        |  CAST(sum(CASE WHEN contains(acontent, chr(10)) THEN 1
+        |    ELSE 0 END) AS BIGINT) AS nl_rows,
+        |  count(DISTINCT mv) AS d_mv, TRUE AS cdf_ok
+        |FROM del GROUP BY lang ORDER BY lang""".stripMargin,
+
     "c45_gdx_conversation_column" ->
       """WITH live AS (SELECT doc_id AS k, lang FROM documents
         |  WHERE doc_id % 4 <> 0),

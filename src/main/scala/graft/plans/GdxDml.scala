@@ -43,6 +43,25 @@ object GdxDmlRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The target's CATALOG NAME for display surfaces (COMMIT's
+    * (table, version) rows): the relation's identifier when the table
+    * came through a catalog, else the statement's alias, else empty —
+    * callers fall back to the path. */
+  private def gdxName(plan: LogicalPlan): String = plan match {
+    case SubqueryAlias(ident, child) =>
+      val inner = gdxName(child)
+      if (inner.nonEmpty) inner else ident.toString
+    case r: DataSourceV2Relation =>
+      // catalog-qualified, matching GdxTxnInsertCommand's
+      // `table.mkString(".")` labeling so INSERT-first and DML-first
+      // transactions name tables identically
+      r.identifier.map { id =>
+        (r.catalog.map(_.name()).toSeq ++
+          id.namespace().toSeq :+ id.name()).mkString(".")
+      }.getOrElse("")
+    case _ => ""
+  }
+
   /** Resolved condition → SQL text: the engine re-reads the table in
     * its own frame, so the statement's expression is carried by NAME
     * (its generated SQL) and re-parsed there — carrying the resolved
@@ -61,7 +80,7 @@ object GdxDmlRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(tbl, cond) if d.resolved =>
       gdxPath(tbl) match {
-        case Some(p) => GdxDeleteCommand(p, bySql(cond))
+        case Some(p) => GdxDeleteCommand(p, bySql(cond), gdxName(tbl))
         case None    => plan
       }
     case u @ UpdateTable(tbl, assignments, cond) if u.resolved =>
@@ -71,7 +90,8 @@ object GdxDmlRule extends Rule[LogicalPlan] {
             case Assignment(k: AttributeReference, v) => k.name -> bySql(v)
             case other => fail(s"gdx UPDATE: unsupported assignment $other")
           }
-          GdxUpdateCommand(p, set, cond.map(bySql).getOrElse("true"))
+          GdxUpdateCommand(p, set, cond.map(bySql).getOrElse("true"),
+            gdxName(tbl))
         case None => plan
       }
     case m: MergeIntoTable if m.childrenResolved =>
@@ -96,7 +116,8 @@ object GdxDmlRule extends Rule[LogicalPlan] {
     // tables only) and re-resolved every clause against the evolved
     // schema, so the matrix below references only known columns and
     // old files read the new columns as NULL
-    if (legacyShape(m)) GdxMergeCommand(path, m.sourceTable)
+    if (legacyShape(m))
+      GdxMergeCommand(path, m.sourceTable, gdxName(m.targetTable))
     else generalMerge(path, m)
   }
 
@@ -290,7 +311,7 @@ object GdxDmlRule extends Rule[LogicalPlan] {
         allowS = true, insertBranch = true),
       clauses(m.notMatchedBySourceActions, "WHEN NOT MATCHED BY SOURCE",
         allowT = true, allowS = false, insertBranch = false),
-      pruneKey, staticLo, staticHi)
+      pruneKey, staticLo, staticHi, gdxName(m.targetTable))
   }
 }
 
@@ -300,12 +321,16 @@ object GdxDmlRule extends Rule[LogicalPlan] {
   * at COMMIT, conflict-checked — see GdxSqlTxn) and returns the
   * (-1, -1) staged sentinel: no version exists and no row count is
   * knowable until the one commit decision lands. */
-case class GdxDeleteCommand(path: String, condSql: String)
+case class GdxDeleteCommand(path: String, condSql: String,
+                            table: String = "")
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GdxDml.versionRowsOutput
   override def run(spark: SparkSession): Seq[Row] = {
     if (GdxSqlTxn.isOpen(spark)) {
-      GdxSqlTxn.stageDelete(spark, path, path, condSql)
+      // the CATALOG name labels COMMIT's (table, version) rows — the
+      // path is only the fallback for path-based statements
+      GdxSqlTxn.stageDelete(spark, path,
+        if (table.nonEmpty) table else path, condSql)
       return Seq(Row(-1L, -1L))
     }
     val (v, n) = graft.sources.GdxSource.delete(spark, path,
@@ -320,12 +345,13 @@ case class GdxDeleteCommand(path: String, condSql: String)
   * transaction's basis snapshot, conflict-checked at COMMIT — see
   * GdxSqlTxn) and returns the (-1, -1) staged sentinel. */
 case class GdxUpdateCommand(path: String, set: Seq[(String, String)],
-                            condSql: String)
+                            condSql: String, table: String = "")
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GdxDml.versionRowsOutput
   override def run(spark: SparkSession): Seq[Row] = {
     if (GdxSqlTxn.isOpen(spark)) {
-      GdxSqlTxn.stageUpdate(spark, path, path, condSql, set)
+      GdxSqlTxn.stageUpdate(spark, path,
+        if (table.nonEmpty) table else path, condSql, set)
       return Seq(Row(-1L, -1L))
     }
     val (v, n) = graft.sources.GdxSource.update(spark, path,
@@ -342,14 +368,16 @@ case class GdxUpdateCommand(path: String, set: Seq[(String, String)],
   * stage-time snapshot, folded onto the transaction's basis at COMMIT
   * under the same conflict check — see GdxSqlTxn) and returns the -1
   * staged sentinel. */
-case class GdxMergeCommand(path: String, source: LogicalPlan)
+case class GdxMergeCommand(path: String, source: LogicalPlan,
+                            table: String = "")
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override val output: Seq[Attribute] = GdxDml.versionOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val src = ColumnBridge.ofRows(spark, source)
     if (GdxSqlTxn.isOpen(spark)) {
-      GdxSqlTxn.stageLww(spark, path, path, src)
+      GdxSqlTxn.stageLww(spark, path,
+        if (table.nonEmpty) table else path, src)
       return Seq(Row(-1L))
     }
     val v = graft.sources.GdxSource.merge(spark, path, src)
@@ -368,13 +396,22 @@ case class GdxMergeGeneralCommand(path: String, source: LogicalPlan,
     notMatched: Seq[graft.sources.GdxMergeClause],
     notMatchedBySource: Seq[graft.sources.GdxMergeClause],
     pruneKey: Option[String],
-    staticLo: Option[Long] = None, staticHi: Option[Long] = None)
+    staticLo: Option[Long] = None, staticHi: Option[Long] = None,
+    table: String = "")
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override val output: Seq[Attribute] = GdxDml.mergeMetricsOutput
   override def run(spark: SparkSession): Seq[Row] = {
-    GdxSqlTxn.refuseIfOpen(spark, "MERGE")
     val raw = ColumnBridge.ofRows(spark, source)
+    if (GdxSqlTxn.isOpen(spark)) {
+      // stage the WHEN matrix: folded onto the transaction's basis at
+      // COMMIT as a conflict-checked restatement (GdxSqlTxn); the
+      // metrics are unknowable until the one decision lands
+      GdxSqlTxn.stageMergeGeneral(spark, path,
+        if (table.nonEmpty) table else path, raw, onSql,
+        matched, notMatched, notMatchedBySource)
+      return Seq(Row(-1L, -1L, -1L, -1L))
+    }
     val src = raw.toDF(raw.columns.map("__s_" + _).toSeq: _*)
     val (v, ins, upd, del) = graft.sources.GdxSource.mergeGeneral(
       spark, path, src, onSql, matched, notMatched, notMatchedBySource,

@@ -87,6 +87,12 @@ object GdxMaintenanceSql {
     """(?is)^\s*COMMIT(?:\s+TRANSACTION)?\s*;?\s*$""".r
   private val RollbackTxn =
     """(?is)^\s*ROLLBACK(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val SavepointTxn =
+    """(?is)^\s*SAVEPOINT\s+(\w+)\s*;?\s*$""".r
+  private val RollbackToTxn =
+    """(?is)^\s*ROLLBACK\s+TO\s+(?:SAVEPOINT\s+)?(\w+)\s*;?\s*$""".r
+  private val ReleaseTxn =
+    """(?is)^\s*RELEASE\s+(?:SAVEPOINT\s+)?(\w+)\s*;?\s*$""".r
   private val InsertInto =
     """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.`]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*?)\s*;?\s*$""".r
 
@@ -256,7 +262,16 @@ object GdxMaintenanceSql {
       case CommitTxn() => Some(GdxCommitTxnCommand())
       case _ => None
     } else if (k1 == "ROLLBACK") sqlText match {
+      // ROLLBACK TO <savepoint> first — the bare form would never
+      // match a TO suffix, but order documents the precedence
+      case RollbackToTxn(name) => Some(GdxRollbackToSavepointCommand(name))
       case RollbackTxn() => Some(GdxRollbackTxnCommand())
+      case _ => None
+    } else if (k1 == "SAVEPOINT") sqlText match {
+      case SavepointTxn(name) => Some(GdxSavepointCommand(name))
+      case _ => None
+    } else if (k1 == "RELEASE") sqlText match {
+      case ReleaseTxn(name) => Some(GdxReleaseSavepointCommand(name))
       case _ => None
     } else if (k1 == "INSERT" && k2 == "INTO") sqlText match {
       // plain INSERT INTO only (OVERWRITE/REPLACE/partition forms fall

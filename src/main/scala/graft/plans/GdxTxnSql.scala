@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *   `INSERT INTO <gdx table> [(cols)] SELECT ... | VALUES ...`
   *   `DELETE FROM <gdx table> WHERE ...`          (staged)
   *   `UPDATE <gdx table> SET ... WHERE ...`       (staged)
-  *   `MERGE INTO <gdx table> ... ` (LWW shape)    (staged)
+  *   `MERGE INTO <gdx table> ... ` (LWW shape AND the full
+  *        WHEN-matrix: conditional clauses, partial assignments,
+  *        MATCHED DELETE, NOT MATCHED BY SOURCE)  (staged)
+  *   `SAVEPOINT <name>` / `ROLLBACK TO SAVEPOINT <name>`
   *   `COMMIT`              (one decision: all tables or none)
   *   `ROLLBACK`            (nothing surfaces anywhere)
   *
@@ -62,7 +65,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * a WeakHashMap value it would pin the session key forever, so an
   * abandoned open transaction could never be collected). Statements
   * that commit their own visible snapshot are refused loudly while a
-  * transaction is open — general-matrix MERGE (GdxDml),
+  * transaction is open —
   * TRUNCATE (GdxTable.truncateTable), every DSv2 batch write into a
   * GDX table including INSERT OVERWRITE and DataFrame-API writes
   * (GdxBatchWrite.commit), and catalog DDL (GdxCatalog) — rather than
@@ -91,6 +94,20 @@ object GdxSqlTxn {
     * [[graft.sources.GdxSource.merge]] exactly. */
   private[plans] final case class StagedLww(dir: String, table: String,
       plan: LogicalPlan) extends Staged
+  /** The GENERAL WHEN-matrix MERGE, staged: `plan` is the
+    * (snapshot-pinned, un-prefixed) source frame; the clause SQL
+    * references `__t_<col>`/`__s_<col>` names exactly as
+    * [[graft.sources.GdxSource.mergeGeneral]]'s matrix does. At COMMIT
+    * the matrix folds onto the transaction-local view as a
+    * RESTATEMENT (first-match clause order, SQL simultaneous-
+    * assignment images, ambiguous-match abort) — DV mechanics are the
+    * non-staged path's optimization, not part of the semantics. */
+  private[plans] final case class StagedMergeGeneral(dir: String,
+      table: String, plan: LogicalPlan, onSql: String,
+      matched: Seq[graft.sources.GdxMergeClause],
+      notMatched: Seq[graft.sources.GdxMergeClause],
+      notMatchedBySource: Seq[graft.sources.GdxMergeClause])
+      extends Staged
 
   private final class Scope {
     val ops = scala.collection.mutable.ArrayBuffer.empty[Staged]
@@ -99,6 +116,15 @@ object GdxSqlTxn {
       * of the same table folds onto, and the expected base the commit
       * conflict-checks. */
     val basis = scala.collection.mutable.Map.empty[String, Int]
+    /** name → (staged-op count, basis snapshot) at SAVEPOINT time:
+      * the staged list is append-only between savepoints, so a
+      * savepoint is exactly a prefix length (plus the basis entries
+      * that existed then — a rollback must also forget a basis pinned
+      * by a discarded first-mutation). Insertion-ordered: ROLLBACK TO
+      * discards savepoints established after the target, RELEASE
+      * discards the target and everything after (SQL standard). */
+    val savepoints = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Int, Map[String, Int])]
   }
   private val open = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, Scope]())
@@ -156,6 +182,19 @@ object GdxSqlTxn {
                                  table: String, condSql: String,
                                  set: Seq[(String, String)]): Unit = {
     val sc = scopeOf(s)
+    // validate SET targets against the COMMITTED schema at stage time
+    // (mirrors the non-staged UPDATE's unknown-column require): a typo
+    // must fail the statement when issued, not stage a silent no-op
+    // that still commits a version-bumping restatement
+    val sch = graft.sources.GdxSource.committedSchema(dir,
+      graft.sources.GdxSource.driverConf())
+    val known = sch.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val unknown = set.map(_._1)
+      .filterNot(k => known(k.toLowerCase(java.util.Locale.ROOT)))
+    require(unknown.isEmpty, "gdx txn: UPDATE SET references " +
+      s"unknown column(s) ${unknown.mkString(",")} of $table " +
+      s"(schema: ${sch.fieldNames.mkString(",")})")
     sc.basis.getOrElseUpdate(dir, graft.sources.GdxSource
       .latestDecidedVersion(dir, graft.sources.GdxSource.driverConf()))
     sc.ops += StagedUpdate(dir, table, condSql, set)
@@ -169,6 +208,33 @@ object GdxSqlTxn {
       .latestDecidedVersion(dir, graft.sources.GdxSource.driverConf()))
     sc.ops += StagedLww(dir, table,
       pinSnapshots(source.queryExecution.analyzed))
+    ()
+  }
+
+  private[plans] def stageMergeGeneral(s: SparkSession, dir: String,
+      table: String, source: DataFrame, onSql: String,
+      matched: Seq[graft.sources.GdxMergeClause],
+      notMatched: Seq[graft.sources.GdxMergeClause],
+      notMatchedBySource: Seq[graft.sources.GdxMergeClause]): Unit = {
+    val sc = scopeOf(s)
+    // stage-time validation, mirroring mergeGeneral's own: assignment
+    // targets must exist in the committed schema
+    val sch = graft.sources.GdxSource.committedSchema(dir,
+      graft.sources.GdxSource.driverConf())
+    val known = sch.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    (matched ++ notMatched ++ notMatchedBySource)
+      .flatMap(_.assigns.getOrElse(Seq.empty))
+      .map(_._1.toLowerCase(java.util.Locale.ROOT))
+      .find(!known.contains(_)).foreach(c =>
+        throw new IllegalArgumentException(
+          s"gdx txn: MERGE assignment references unknown column $c " +
+            s"of $table (schema: ${sch.fieldNames.mkString(",")})"))
+    sc.basis.getOrElseUpdate(dir, graft.sources.GdxSource
+      .latestDecidedVersion(dir, graft.sources.GdxSource.driverConf()))
+    sc.ops += StagedMergeGeneral(dir, table,
+      pinSnapshots(source.queryExecution.analyzed), onSql,
+      matched, notMatched, notMatchedBySource)
     ()
   }
 
@@ -229,6 +295,87 @@ object GdxSqlTxn {
             .groupBy("k")
             .agg(max(struct(col("__pri"), col("v"))).as("__w"))
             .select(col("k"), col("__w.v").as("v"))
+        case StagedMergeGeneral(_, _, p, onSql, matched, notMatched,
+            nmbs) =>
+          import org.apache.spark.sql.functions.{monotonically_increasing_id,
+            when, count}
+          val raw = bridge.ofRows(spark, p)
+          val src = raw.toDF(raw.columns.map("__s_" + _).toSeq: _*)
+            .withColumn("__gdx_s_present", lit(true))
+          val schema = df.schema
+          val cols = df.columns.toSeq
+          // row identity for the ambiguity check: assigned BEFORE the
+          // join, pinned by the checkpoint below
+          val tgt = df.select(cols.map(c =>
+              col(s"`$c`").as("__t_" + c)): _*)
+            .withColumn("__gdx_t_present", lit(true))
+            .withColumn("__gdx_rid", monotonically_increasing_id())
+          val tP = coalesce(col("__gdx_t_present"), lit(false))
+          val sP = coalesce(col("__gdx_s_present"), lit(false))
+          def firstMatch(cs: Seq[graft.sources.GdxMergeClause])
+              : org.apache.spark.sql.Column =
+            cs.zipWithIndex
+              .foldRight(lit(-1): org.apache.spark.sql.Column) {
+              case ((c, i), rest) =>
+                when(c.condSql.map(expr(_)).getOrElse(lit(true)), lit(i))
+                  .otherwise(rest)
+            }
+          // the target side must ALWAYS survive the join whole: this
+          // is a RESTATEMENT, so an unmatched target row that an inner
+          // join dropped would be silently deleted (the non-staged
+          // path carries unmatched rows by leaving their files alone —
+          // here the frame itself is the table)
+          val joinType =
+            if (notMatched.nonEmpty) "full_outer" else "left_outer"
+          val ann = tgt.join(src, expr(onSql), joinType)
+            .withColumn("__m",
+              when(tP && sP, firstMatch(matched)).otherwise(-1))
+            .withColumn("__n",
+              when(!tP && sP, firstMatch(notMatched)).otherwise(-1))
+            .withColumn("__b",
+              when(tP && !sP, firstMatch(nmbs)).otherwise(-1))
+            .localCheckpoint()
+          if (matched.nonEmpty) {
+            val dup = ann.filter(tP && sP)
+              .groupBy("__gdx_rid").agg(count(lit(1)).as("__c"))
+              .filter(col("__c") > 1).limit(1).count()
+            if (dup > 0)
+              throw new graft.sources.GdxMergeCardinalityException(
+                "gdx txn merge: the ON condition matched a target row " +
+                  "to more than one source row — an UPDATE/DELETE " +
+                  "would be ambiguous")
+          }
+          val root = java.util.Locale.ROOT
+          def images(cs: Seq[graft.sources.GdxMergeClause], act: String,
+              fallback: String => org.apache.spark.sql.Column)
+              : Seq[DataFrame] =
+            cs.zipWithIndex.collect {
+              case (cl, i) if cl.assigns.isDefined =>
+                val byName = cl.assigns.get.map {
+                  case (k, v) => k.toLowerCase(root) -> v }.toMap
+                ann.filter(col(act) === i).select(cols.map { c =>
+                  byName.get(c.toLowerCase(root))
+                    .map(sql => expr(sql)
+                      .cast(schema(c).dataType).as(c))
+                    .getOrElse(fallback(c).as(c))
+                }: _*)
+            }
+          // untouched target rows carry forward; clause-hit rows
+          // rewrite to their images; DELETE clauses (assigns = None)
+          // contribute nothing. Dedupe by row id: a target row matched
+          // by several source rows with NO applicable matched clause
+          // appears once per match in `ann` but must restate ONCE
+          // (legal only while `matched` is empty — otherwise the
+          // cardinality check above already aborted).
+          val keep = ann.filter(tP && col("__m") < 0 && col("__b") < 0)
+            .dropDuplicates("__gdx_rid")
+            .select(cols.map(c => col("__t_" + c).as(c)): _*)
+          df = (keep +:
+            (images(matched, "__m", c => col("__t_" + c)) ++
+             images(notMatched, "__n",
+               c => lit(null).cast(schema(c).dataType)) ++
+             images(nmbs, "__b", c => col("__t_" + c))))
+            .reduce(_.unionByName(_))
       }
       ops.head.table -> gdx.GdxTxnWrite(dir, df, overwrite = hasMutation,
         expectedBase = if (hasMutation) basis.getOrElse(-1) else -1)
@@ -244,6 +391,46 @@ object GdxSqlTxn {
 
   def rollback(s: SparkSession): Unit = {
     require(open.remove(s) != null, "gdx txn: no open transaction")
+    ()
+  }
+
+  /** `SAVEPOINT <name>` — mark the current staged prefix. Re-using a
+    * name moves it here (SQL standard: the old savepoint of the same
+    * name is destroyed). */
+  def savepoint(s: SparkSession, name: String): Unit = {
+    val sc = scopeOf(s)
+    sc.savepoints.remove(name) // re-establish ⇒ move to newest position
+    sc.savepoints(name) = (sc.ops.length, sc.basis.toMap)
+    ()
+  }
+
+  /** `ROLLBACK TO [SAVEPOINT] <name>` — discard every statement staged
+    * after the savepoint; the transaction stays open and the savepoint
+    * itself survives (it may be rolled back to again). */
+  def rollbackToSavepoint(s: SparkSession, name: String): Unit = {
+    val sc = scopeOf(s)
+    val (len, savedBasis) = sc.savepoints.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"gdx txn: no savepoint named $name in this transaction"))
+    sc.ops.takeInPlace(len)
+    sc.basis.clear(); sc.basis ++= savedBasis
+    // savepoints established after the target are gone (their staged
+    // suffixes no longer exist); the target survives
+    val later = sc.savepoints.iterator.dropWhile(_._1 != name).drop(1)
+      .map(_._1).toSeq
+    later.foreach(sc.savepoints.remove)
+    ()
+  }
+
+  /** `RELEASE [SAVEPOINT] <name>` — forget the savepoint (and every
+    * later one, per the standard); staged work is untouched. */
+  def releaseSavepoint(s: SparkSession, name: String): Unit = {
+    val sc = scopeOf(s)
+    require(sc.savepoints.contains(name),
+      s"gdx txn: no savepoint named $name in this transaction")
+    val fromHere = sc.savepoints.iterator.dropWhile(_._1 != name)
+      .map(_._1).toSeq
+    fromHere.foreach(sc.savepoints.remove)
     ()
   }
 
@@ -299,6 +486,36 @@ case class GdxRollbackTxnCommand() extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
     GdxSqlTxn.rollback(spark)
+    Seq.empty
+  }
+}
+
+/** `SAVEPOINT <name>` — mark the staged prefix for partial rollback. */
+case class GdxSavepointCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    GdxSqlTxn.savepoint(spark, name)
+    Seq.empty
+  }
+}
+
+/** `ROLLBACK TO [SAVEPOINT] <name>` — discard the staged suffix; the
+  * transaction stays open. */
+case class GdxRollbackToSavepointCommand(name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    GdxSqlTxn.rollbackToSavepoint(spark, name)
+    Seq.empty
+  }
+}
+
+/** `RELEASE [SAVEPOINT] <name>` — forget the savepoint. */
+case class GdxReleaseSavepointCommand(name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    GdxSqlTxn.releaseSavepoint(spark, name)
     Seq.empty
   }
 }

@@ -329,7 +329,15 @@ private[graft] object GdxBloom {
 
 case class GdxFileEntry(name: String, stats: Option[GdxFileStats],
                         dv: Option[String] = None,
-                        gen: Option[String] = None) {
+                        gen: Option[String] = None,
+                        enc: Option[String] = None) {
+  /** Whether this file's string cells are escape-encoded
+    * ([[GdxSource.escapeCell]]) — the per-FILE codec era. Files
+    * written before the escape layer carry no `e:` overlay and decode
+    * raw (their vocabulary never allowed the escapable characters), so
+    * a table freely mixes eras file-by-file; every rewrite re-encodes
+    * under the current era. */
+  def escaped: Boolean = enc.contains(GdxSource.EscCodec)
   /** Manifest line: `name` | `name\trows\tmin\tmax` |
     * `name\trows\tmin\tmax\tdv` (`-` placeholders when a DV attaches
     * to a legacy stats-less entry). Extended per-column stats, when
@@ -366,12 +374,18 @@ case class GdxFileEntry(name: String, stats: Option[GdxFileStats],
     // overlap closure exempts same-generation clusters. Absence (every
     // non-recluster write) just means "prove it from the boxes".
     val g = gen.map(t => s"\tg:$t").getOrElse("")
+    // codec ERA (`e:<v>`): proves this file's string cells are
+    // escape-encoded ([[GdxSource.escapeCell]]). Absence = the legacy
+    // raw vocabulary (no escapable characters could be written), so
+    // readers that predate the overlay only ever meet files they can
+    // decode, and new readers decode each file under its own era.
+    val e = enc.map(t => s"\te:$t").getOrElse("")
     ((stats, dv) match {
       case (Some(s), Some(d)) => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}\t$d"
       case (Some(s), None)    => s"$name\t${s.rows}\t${s.minK}\t${s.maxK}"
       case (None, Some(d))    => s"$name\t-\t-\t-\t$d"
       case (None, None)       => name
-    }) + ext + sums + size + g
+    }) + ext + sums + size + g + e
   }
 }
 
@@ -673,10 +687,106 @@ object GdxSource {
   // added in exactly one place.
   import org.apache.spark.sql.catalyst.util.DateTimeUtils
 
+  /** Codec era tag for escape-encoded files (the `e:` manifest
+    * overlay): every data file written since the escape layer landed
+    * carries `e:1`, and its string cells round-trip ARBITRARY Unicode.
+    * Files without the overlay predate the layer; their vocabulary
+    * never admitted an escapable character, so they decode raw. */
+  private[graft] val EscCodec = "1"
+
+  /** Escape one string VALUE into its canonical cell text. The escape
+    * set is exactly the line format's structural vocabulary — tab/
+    * newline (field and row separators), comma (array/map-entry and
+    * struct-field separators), parens (struct/collection cell
+    * delimiters), '=' (map key=value), and the backslash itself:
+    *
+    *   \  → \\    TAB → \t    LF → \n    CR → \r
+    *   ,  → \c    (   → \p    )  → \q    =  → \e
+    *
+    * Applied uniformly to every string surface (top-level cells,
+    * struct leaves at any depth, map keys, map values), so escaped
+    * content contains NO raw structural character and every splitter
+    * stays a plain depth/separator scan. The mapping is injective and
+    * deterministic — equal values always render equal cell bytes
+    * (the canonical-bytes property dedup and DV restatements rely
+    * on) — and a string with no escapable characters renders as
+    * itself, which keeps the new era byte-identical with the legacy
+    * one on the legacy vocabulary. A literal "\N" escapes its
+    * backslash (→ `\\N`), so the raw `\N` cell text still uniquely
+    * means NULL. */
+  private[graft] def escapeCell(s: String): String = {
+    var i = 0
+    val n = s.length
+    // fast path: most cells carry none of the 8 escapable characters
+    while (i < n && !isEscapable(s.charAt(i))) i += 1
+    if (i == n) return s
+    val sb = new java.lang.StringBuilder(n + 8)
+    sb.append(s, 0, i)
+    while (i < n) {
+      val c = s.charAt(i)
+      c match {
+        case '\\' => sb.append("\\\\")
+        case '\t' => sb.append("\\t")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case ','  => sb.append("\\c")
+        case '('  => sb.append("\\p")
+        case ')'  => sb.append("\\q")
+        case '='  => sb.append("\\e")
+        case _    => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def isEscapable(c: Char): Boolean =
+    c == '\\' || c == '\t' || c == '\n' || c == '\r' ||
+    c == ','  || c == '('  || c == ')'  || c == '='
+
+  /** Invert [[escapeCell]]. Only ever applied to cells of an
+    * escape-era file (`e:1` entries), whose writers emit no other
+    * escape sequences — an unknown sequence or a trailing lone
+    * backslash is file corruption and fails loudly. The extended
+    * sequences `\d` (.) and `\m` (;) are produced only by
+    * [[escapeStatText]] (manifest string bounds) and decode here so
+    * both surfaces share one inverse. */
+  private[graft] def unescapeCell(s: String): String = {
+    var i = s.indexOf('\\')
+    if (i < 0) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(s, 0, i)
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\\') {
+        require(i + 1 < n, s"gdx decode: dangling escape in '$s'")
+        i += 1
+        s.charAt(i) match {
+          case '\\' => sb.append('\\')
+          case 't'  => sb.append('\t')
+          case 'n'  => sb.append('\n')
+          case 'r'  => sb.append('\r')
+          case 'c'  => sb.append(',')
+          case 'p'  => sb.append('(')
+          case 'q'  => sb.append(')')
+          case 'e'  => sb.append('=')
+          case 'd'  => sb.append('.')
+          case 'm'  => sb.append(';')
+          case bad  => throw new IllegalArgumentException(
+            s"gdx decode: unknown escape '\\$bad' in '$s'")
+        }
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Parse one cell into its Catalyst INTERNAL form (what a
     * PartitionReader emits): Int days, Long micros, Decimal,
     * Boolean, UTF8String. */
-  private[graft] def parseInternalCell(dt: DataType, s: String): Any =
+  private[graft] def parseInternalCell(dt: DataType, s: String,
+                                       esc: Boolean = false): Any =
     dt match {
       case LongType       => s.toLong
       case DoubleType     => s.toDouble
@@ -688,7 +798,7 @@ object GdxSource {
       case ArrayType(st: StructType, _) =>
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
           splitArrayStructCells(s).map(e =>
-            parseStructInternal(st, st, e): Any))
+            parseStructInternal(st, st, e, esc): Any))
       case ArrayType(et, _) =>
         val parts: Array[String] =
           if (s.isEmpty) Array.empty else s.split(',')
@@ -703,19 +813,28 @@ object GdxSource {
           parseMapEntries(s, structValued = true)
         new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
           new org.apache.spark.sql.catalyst.util.GenericArrayData(
-            entries.map(e => UTF8String.fromString(e._1): Any)),
+            entries.map(e => UTF8String.fromString(
+              decodeText(e._1, esc)): Any)),
           new org.apache.spark.sql.catalyst.util.GenericArrayData(
-            entries.map(e => parseStructInternal(st, st, e._2): Any)))
+            entries.map(e => parseStructInternal(st, st, e._2, esc): Any)))
       case _: org.apache.spark.sql.types.MapType =>
         val entries: Array[(String, String)] = parseMapEntries(s)
         new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
           new org.apache.spark.sql.catalyst.util.GenericArrayData(
-            entries.map(e => UTF8String.fromString(e._1): Any)),
+            entries.map(e => UTF8String.fromString(
+              decodeText(e._1, esc)): Any)),
           new org.apache.spark.sql.catalyst.util.GenericArrayData(
-            entries.map(e => UTF8String.fromString(e._2): Any)))
-      case st: StructType => parseStructInternal(st, st, s)
-      case _              => UTF8String.fromString(s)
+            entries.map(e => UTF8String.fromString(
+              decodeText(e._2, esc)): Any)))
+      case st: StructType => parseStructInternal(st, st, s, esc)
+      case _              => UTF8String.fromString(decodeText(s, esc))
     }
+
+  /** Terminal string decode under the file's codec era: escape-era
+    * cells invert [[escapeCell]], legacy cells pass through raw (their
+    * vocabulary never allowed an escape sequence to exist). */
+  @inline private def decodeText(s: String, esc: Boolean): String =
+    if (esc) unescapeCell(s) else s
 
   /** Split one struct cell's `(a,b,...)` text into its positional
     * sub-cells; nested struct sub-cells keep their own parens (the
@@ -744,8 +863,9 @@ object GdxSource {
 
   /** Split an `array<struct<...>>` cell's `(..),(..)` text into its
     * element cells ("" = the empty array) — the paren depth tracker
-    * skips commas inside elements (struct leaf strings can never
-    * carry , ( ) ). */
+    * skips commas inside elements (struct leaf strings never carry a
+    * RAW , ( ) in any era: the legacy vocabulary banned them, the
+    * escape era encodes them). */
   private[graft] def splitArrayStructCells(s: String): Array[String] = {
     if (s.isEmpty) return Array.empty
     val out = Array.newBuilder[String]
@@ -771,24 +891,26 @@ object GdxSource {
     * projects the requested sub-fields by name. Identical types take
     * the plain path. */
   private[graft] def parseInternalCellPruned(requested: DataType,
-      stored: DataType, s: String): Any = (requested, stored) match {
+      stored: DataType, s: String, esc: Boolean = false): Any =
+    (requested, stored) match {
     case (rq: StructType, sv: StructType) if rq ne sv =>
-      parseStructInternal(sv, rq, s)
+      parseStructInternal(sv, rq, s, esc)
     case (ArrayType(rq: StructType, _), ArrayType(sv: StructType, _))
         if rq ne sv =>
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         splitArrayStructCells(s).map(e =>
-          parseStructInternal(sv, rq, e): Any))
+          parseStructInternal(sv, rq, e, esc): Any))
     case (org.apache.spark.sql.types.MapType(_, rq: StructType, _),
           org.apache.spark.sql.types.MapType(_, sv: StructType, _))
         if rq ne sv =>
       val entries = parseMapEntries(s, structValued = true)
       new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          entries.map(e => UTF8String.fromString(e._1): Any)),
+          entries.map(e => UTF8String.fromString(
+            decodeText(e._1, esc)): Any)),
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          entries.map(e => parseStructInternal(sv, rq, e._2): Any)))
-    case _ => parseInternalCell(requested, s)
+          entries.map(e => parseStructInternal(sv, rq, e._2, esc): Any)))
+    case _ => parseInternalCell(requested, s, esc)
   }
 
   /** Decode a struct cell written under `stored` into the (possibly
@@ -797,7 +919,8 @@ object GdxSource {
     * cell's arity reads NULL (trailing-field evolution: old cells
     * simply have fewer sub-cells). */
   private[graft] def parseStructInternal(stored: StructType,
-      requested: StructType, s: String): InternalRow = {
+      requested: StructType, s: String,
+      esc: Boolean = false): InternalRow = {
     val parts = splitStructCells(s)
     val vals = new Array[Any](requested.length)
     var i = 0
@@ -809,8 +932,8 @@ object GdxSource {
         if (si >= parts.length || parts(si) == NullMarker) null
         else (f.dataType, stored.fields(si).dataType) match {
           case (rq: StructType, sv: StructType) =>
-            parseStructInternal(sv, rq, parts(si))
-          case (dt, _) => parseInternalCell(dt, parts(si))
+            parseStructInternal(sv, rq, parts(si), esc)
+          case (dt, _) => parseInternalCell(dt, parts(si), esc)
         }
       i += 1
     }
@@ -842,7 +965,8 @@ object GdxSource {
   /** Parse one cell into its EXTERNAL (Row) form — what
     * `createDataFrame(rdd, schema)` converts: LocalDate / Instant /
     * java BigDecimal / boxed primitives. */
-  private[graft] def parseExternalCell(dt: DataType, s: String): Any =
+  private[graft] def parseExternalCell(dt: DataType, s: String,
+                                       esc: Boolean = false): Any =
     dt match {
       case LongType       => Long.box(s.toLong)
       case DoubleType     => Double.box(s.toDouble)
@@ -852,7 +976,7 @@ object GdxSource {
       case d: DecimalType => new java.math.BigDecimal(s).setScale(d.scale)
       case ArrayType(st: StructType, _) =>
         splitArrayStructCells(s).toSeq
-          .map(e => parseExternalCell(st, e))
+          .map(e => parseExternalCell(st, e, esc))
       case ArrayType(et, _) =>
         val parts: Array[String] =
           if (s.isEmpty) Array.empty else s.split(',')
@@ -864,19 +988,21 @@ object GdxSource {
       case org.apache.spark.sql.types.MapType(_, st: StructType, _) =>
         scala.collection.immutable.ListMap(
           parseMapEntries(s, structValued = true).toSeq
-            .map(e => e._1 -> parseExternalCell(st, e._2)): _*)
+            .map(e => decodeText(e._1, esc) ->
+              parseExternalCell(st, e._2, esc)): _*)
       case _: org.apache.spark.sql.types.MapType =>
         // ListMap preserves the stored (key-sorted) order, keeping the
         // external round-trip byte-identical with the internal one
-        scala.collection.immutable.ListMap(parseMapEntries(s).toSeq: _*)
+        scala.collection.immutable.ListMap(parseMapEntries(s).toSeq
+          .map(e => (decodeText(e._1, esc), decodeText(e._2, esc))): _*)
       case st: StructType =>
         val parts = splitStructCells(s)
         org.apache.spark.sql.Row.fromSeq(
           st.fields.zipWithIndex.map { case (f, i) =>
             if (i >= parts.length || parts(i) == NullMarker) null
-            else parseExternalCell(f.dataType, parts(i))
+            else parseExternalCell(f.dataType, parts(i), esc)
           }.toSeq)
-      case _              => s
+      case _              => decodeText(s, esc)
     }
 
   /** Render one INTERNAL-form cell (non-null) onto the line being
@@ -957,12 +1083,10 @@ object GdxSource {
       appendStructCellInternal(sb, st, r.getStruct(i, st.length),
         ctx, field)
     case _ =>
-      val s = r.getUTF8String(i).toString
-      require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
-        s.indexOf('\r') < 0 && s != NullMarker,
-        s"gdx $ctx: string field $field must not contain " +
-          "tab/newline or the \\N null marker (unescaped line format)")
-      sb.append(s); ()
+      // escape-era write: arbitrary Unicode round-trips ([[escapeCell]]
+      // removes every structural character; a literal "\N" escapes its
+      // backslash so the raw NULL marker stays unambiguous)
+      sb.append(escapeCell(r.getUTF8String(i).toString)); ()
   }
 
   /** Render one struct value as its canonical `(sub,sub,...)` cell.
@@ -998,11 +1122,11 @@ object GdxSource {
 
   private def appendStructLeafString(sb: java.lang.StringBuilder,
       s: String, ctx: String, field: String): Unit = {
-    require(!s.exists(c => c == ',' || c == '(' || c == ')' ||
-        c == '\t' || c == '\n' || c == '\r') && s != NullMarker,
-      s"gdx $ctx: struct string field $field must not contain " +
-        ", ( ) tab/newline or the \\N marker (positional encoding)")
-    sb.append(s); ()
+    // escape-era write: the leaf's commas/parens/newlines escape, so
+    // the positional encoding's depth tracker never sees them raw and
+    // real chat text ("Hi, how are you? (thanks)") lives in struct
+    // content columns without flattening or a JSON round-trip
+    sb.append(escapeCell(s)); ()
   }
 
   /** Render map entries SORTED BY KEY (one canonical text per map
@@ -1014,28 +1138,22 @@ object GdxSource {
   private def appendMapEntries(sb: java.lang.StringBuilder,
       entries: Array[(String, String)], ctx: String,
       field: String, structValued: Boolean = false): Unit = {
+    // canonical order: sorted by the key VALUE (pre-escape), which
+    // coincides with the legacy sorted-key-text order on the legacy
+    // vocabulary (escape-free keys render as themselves)
     java.util.Arrays.sort(entries,
       Ordering.by((e: (String, String)) => e._1))
     var j = 0
     while (j < entries.length) {
       val (k, v) = entries(j)
-      require(!k.exists(c => c == ',' || c == '=' || c == '\t' ||
-          c == '\n' || c == '\r') && k != NullMarker,
-        s"gdx $ctx: map field $field key '$k' must not contain " +
-          ", = tab/newline or the \\N marker (k=v encoding)")
-      // struct-valued maps split entries by PAREN DEPTH, so their
-      // keys must not carry parens (string-map keys may — their
-      // entries split on every comma, no depth in play)
-      require(!structValued || !k.exists(c => c == '(' || c == ')'),
-        s"gdx $ctx: map field $field key '$k' must not contain " +
-          "parens (struct-valued entries split by paren depth)")
-      require(structValued ||
-          !v.exists(c => c == ',' || c == '\t' || c == '\n' ||
-          c == '\r'),
-        s"gdx $ctx: map field $field value for key '$k' must not " +
-          "contain , or tab/newline (k=v encoding)")
       if (j > 0) sb.append(',')
-      sb.append(k).append('=').append(v)
+      // keys escape ',' '=' (entry structure) and parens (the
+      // struct-valued depth splitter); STRING values escape the same
+      // set. STRUCT values (`structValued`) are pre-rendered
+      // parenthesized cells whose own leaves already escaped — they
+      // append verbatim.
+      sb.append(escapeCell(k)).append('=')
+      if (structValued) sb.append(v) else sb.append(escapeCell(v))
       j += 1
     }
     // "" must stay unambiguous: an EMPTY map is "" by construction,
@@ -1109,12 +1227,8 @@ object GdxSource {
     case st: StructType =>
       appendStructCellExternal(sb, st, r.getStruct(i), ctx, field)
     case _ =>
-      val s = r.getString(i)
-      require(s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
-        s.indexOf('\r') < 0 && s != NullMarker,
-        s"gdx $ctx: string field $field must not contain " +
-          "tab/newline or the \\N null marker (unescaped line format)")
-      sb.append(s); ()
+      // escape-era write (see the internal twin)
+      sb.append(escapeCell(r.getString(i))); ()
   }
 
   /** External-Row twin of [[appendStructCellInternal]]. */
@@ -2297,6 +2411,13 @@ object GdxSource {
         (32L * 1024 * 1024).toString).toLong
     catch { case _: Exception => 32L * 1024 * 1024 }
 
+  /** How many times the DISTRIBUTED planner actually served an entry
+    * resolution (success only — stand-downs don't count). Observability
+    * for specs and SlopeLab: proves a `spark.read` engaged the Spark-
+    * job planning path rather than the driver loop. */
+  private[graft] val distributedPlanCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** DISTRIBUTED METADATA PLANNING — the 100M-file regime's answer to
     * the driver-side manifest replay becoming the planning bottleneck
     * (the Iceberg manifest-partitioning idea, reduced to this format's
@@ -2405,6 +2526,7 @@ object GdxSource {
         } finally in.close()
       }
       .collect().toSeq.sortBy(_.name))
+      .map { es => distributedPlanCount.incrementAndGet(); es }
     catch { case _: Exception => None } // any job failure → driver loop
   }
 
@@ -2417,6 +2539,7 @@ object GdxSource {
     var sums = Map.empty[String, (Long, Long)]
     var bytes: Option[Long] = None
     var gen: Option[String] = None
+    var enc: Option[String] = None
     var peeling = raw.length > 1
     while (peeling) {
       if (raw.last.startsWith("x:")) {
@@ -2427,21 +2550,29 @@ object GdxSource {
         bytes = raw.last.drop(2).toLongOption; raw = raw.init
       } else if (raw.last.startsWith("g:")) {
         gen = Some(raw.last.drop(2)); raw = raw.init
+      } else if (raw.last.startsWith("e:")) {
+        enc = Some(raw.last.drop(2)); raw = raw.init
       } else peeling = false
       if (raw.length <= 1) peeling = false
     }
     raw match {
+      // a stats-less, DV-less entry that carried overlays must keep
+      // the PEELED name — matching the raw `line` here would bake the
+      // overlay text into the file name and readers would stat a
+      // nonexistent path
+      case Array(name) =>
+        GdxFileEntry(name, None, None, gen, enc)
       case Array(name, rows, mn, mx) =>
         GdxFileEntry(name,
           Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong, ext,
-            sums, bytes)), None, gen)
+            sums, bytes)), None, gen, enc)
       case Array(name, "-", "-", "-", dv) =>
-        GdxFileEntry(name, None, Some(dv), gen)
+        GdxFileEntry(name, None, Some(dv), gen, enc)
       case Array(name, rows, mn, mx, dv) =>
         GdxFileEntry(name,
           Some(GdxFileStats(rows.toLong, mn.toLong, mx.toLong, ext,
             sums, bytes)),
-          Some(dv), gen)
+          Some(dv), gen, enc)
       case _ => GdxFileEntry(line, None)
     }
   }
@@ -2757,7 +2888,10 @@ object GdxSource {
             if (fs.exists(bsrc))
               fs.rename(bsrc, new Path(base, fin + GdxBloom.Suffix))
           }
-          renamed += tmp -> GdxFileEntry(fin, Some(stats))
+          // every freshly committed file is escape-era: its writer
+          // encoded string cells through [[escapeCell]]
+          renamed += tmp -> GdxFileEntry(fin, Some(stats),
+            enc = Some(EscCodec))
           renamed(tmp)
         }
         val checkpoint = replace || replaceWhere.isDefined ||
@@ -3397,6 +3531,15 @@ object GdxSource {
     }
   }
 
+  /** Canonical cluster-column spec a generation tag embeds ('+'
+    * joined, canonical-case resolved names). Tag equality on
+    * `@<spec>` is what scopes the same-generation cleanliness
+    * exemption to the columns it was actually proven on; a mismatch
+    * only ever re-enters files into the closure (layout cost, never
+    * a wrong answer — zone maps keep scans correct regardless). */
+  private[graft] def genClusterSpec(byC: Seq[String]): String =
+    byC.mkString("+")
+
   /** OVERLAP CLOSURE of a snapshot's files on the cluster-column
     * prefix, in LEXICOGRAPHIC order: the entries that provably
     * interleave (interval-merge clusters of ≥ 2 under per-file lex
@@ -3489,6 +3632,7 @@ object GdxSource {
     val overlapping = Seq.newBuilder[GdxFileEntry]
     var clusterEnd: Array[Option[BigDecimal]] = null
     var clusterMembers = List.empty[GdxFileEntry]
+    val spec = genClusterSpec(byC)
     def flush(): Unit = {
       // a cluster whose members all carry ONE recluster generation is
       // clean BY CONSTRUCTION (one range partitioner emitted them —
@@ -3496,10 +3640,17 @@ object GdxSource {
       // head value), which is what makes a low-cardinality leading
       // column CONVERGE: without the provenance exemption the
       // boundary-straddling files of every pass would re-enter the
-      // closure forever
+      // closure forever. The exemption is honored ONLY when the tag's
+      // embedded column spec matches the CURRENT cluster columns — a
+      // generation proves lex-disjointness on the columns it was
+      // partitioned by, and after `ALTER TABLE … CLUSTER BY` changes
+      // the set, same-gen files may freely interleave on the new one.
+      // Legacy tags (no spec suffix) prove nothing here and re-enter
+      // the closure once.
       if (clusterMembers.lengthCompare(1) > 0) {
         val gens = clusterMembers.map(_.gen).distinct
-        if (!(gens.sizeIs == 1 && gens.head.isDefined))
+        if (!(gens.sizeIs == 1 &&
+            gens.head.exists(_.endsWith(s"@$spec"))))
           overlapping ++= clusterMembers
       }
       clusterMembers = Nil
@@ -3602,9 +3753,12 @@ object GdxSource {
           (target * subsetRows + totalRows - 1) / totalRows).toInt)
       // one generation tag per rewrite: the output files are pairwise
       // lex-disjoint by construction, and the tag carries that proof
-      // into future closures (see [[clusterOverlapClosure]])
+      // into future closures (see [[clusterOverlapClosure]]). The tag
+      // EMBEDS the canonical cluster-column spec it was proven under
+      // (`<uuid>@<col+col>`), so the exemption self-invalidates when
+      // the declared columns change.
       val genTag = java.util.UUID.randomUUID().toString
-        .replace("-", "").take(12)
+        .replace("-", "").take(12) + "@" + genClusterSpec(byC)
       val rewritten = writeDataFiles(
         liveFrame(spark, dir, rewriteSet, tblSchema, sconf, tblColmap)
           .drop("_file", "_pos")
@@ -4175,10 +4329,10 @@ object GdxSource {
       StructField("_file", StringType) +:
       StructField("_pos", LongType) +: tblSchema.fields)
     val rdd = spark.sparkContext
-      .parallelize(entries.map(_.name),
+      .parallelize(entries.map(e => (e.name, e.escaped)),
         math.min(math.max(entries.size, 1),
           spark.sparkContext.defaultParallelism))
-      .flatMap { name =>
+      .flatMap { case (name, esc) =>
         val p = GdxSource.entryPath(dirStr, name)
         val fs = p.getFileSystem(sconf.conf)
         val old = dvByName(name).map(d =>
@@ -4196,7 +4350,7 @@ object GdxSource {
                 val i = slots(li)
                 if (i >= fields.length) dflts(li)
                 else if (fields(i) == GdxSource.NullMarker) null
-                else GdxSource.parseExternalCell(dt, fields(i))
+                else GdxSource.parseExternalCell(dt, fields(i), esc)
               }
               Some(org.apache.spark.sql.Row.fromSeq(
                 name +: Long.box(idx.toLong) +: vals.toSeq))
@@ -4270,7 +4424,7 @@ object GdxSource {
       }
     }.collect().toSeq.map { case (name, n, mn, mx, ext, bytes) =>
       GdxFileEntry(name, Some(GdxFileStats(n, mn, mx, ext,
-        Map.empty, Some(bytes))))
+        Map.empty, Some(bytes))), enc = Some(EscCodec))
     }
   }
 
@@ -4362,7 +4516,7 @@ object GdxSource {
     // exactly the freshly deleted positions (old dv, new dv)
     case class Task(version: Int, file: String, dvSkip: Option[String],
                     dvOld: Option[String], dvNew: Option[String],
-                    change: String)
+                    change: String, esc: Boolean)
     val tasks = ((fromV + 1) to toV).flatMap { v =>
       val prev =
         if (v - 1 == 0) Seq.empty else committedEntries(dir, conf, v - 1)
@@ -4371,14 +4525,16 @@ object GdxSource {
       val curBy = cur.map(e => e.name -> e).toMap
       def abs(n: String) = entryPath(dir, n).toString
       val inserts = cur.filterNot(e => prevBy.contains(e.name)).map(e =>
-        Task(v, abs(e.name), e.dv.map(abs), None, None, "insert"))
+        Task(v, abs(e.name), e.dv.map(abs), None, None, "insert",
+          e.escaped))
       val deletes = prev.filterNot(e => curBy.contains(e.name)).map(e =>
-        Task(v, abs(e.name), e.dv.map(abs), None, None, "delete"))
+        Task(v, abs(e.name), e.dv.map(abs), None, None, "delete",
+          e.escaped))
       val dvGrown = cur.flatMap { e =>
         prevBy.get(e.name) match {
           case Some(p) if p.dv != e.dv && e.dv.isDefined =>
             Some(Task(v, abs(e.name), None, p.dv.map(abs),
-              e.dv.map(abs), "dvdelta"))
+              e.dv.map(abs), "dvdelta", e.escaped))
           case _ => None
         }
       }
@@ -4420,7 +4576,7 @@ object GdxSource {
                 val i = slots(li)
                 if (i >= fields.length) dflts(li)
                 else if (fields(i) == GdxSource.NullMarker) null
-                else GdxSource.parseExternalCell(dt, fields(i))
+                else GdxSource.parseExternalCell(dt, fields(i), t.esc)
               }
               Some(org.apache.spark.sql.Row.fromSeq(
                 Int.box(t.version) +: kind +: vals.toSeq))
@@ -6490,7 +6646,8 @@ class GdxScanBuilder(path: String, version: Int,
   * does only if EVERY planned file carries a key. */
 case class GdxFilePartition(file: String, dv: Option[String] = None,
                             partKey: Option[Option[Long]] = None,
-                            bucketed: Boolean = false)
+                            bucketed: Boolean = false,
+                            esc: Boolean = false)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = partKey match {
     // the key row's type must match the reported transform's result
@@ -6568,16 +6725,32 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
   override def toBatch: Batch = this
 
   // the snapshot's manifest entries and the zone-map-surviving subset,
-  // resolved once at planning time (driver-side manifest read only).
-  // The resolved version is shared with the stats drift guard, so a
-  // scan pays ONE version resolution per plan, not two.
+  // resolved once at planning time. The resolved version is shared
+  // with the stats drift guard, so a scan pays ONE version resolution
+  // per plan, not two.
   private lazy val resolvedVersion: Int =
     if (version >= 0) version
     else GdxSource.latestDecidedVersion(path, GdxSource.driverConf())
-  private lazy val entries: Seq[GdxFileEntry] =
+  // FULL snapshot (never pruned): only the metadata-only aggregate
+  // fold consumes it — that path answers from the stats of EVERY
+  // entry, so it must see them all.
+  private lazy val allEntries: Seq[GdxFileEntry] =
     if (resolvedVersion <= 0) Seq.empty
     else GdxSource.committedEntries(path, GdxSource.driverConf(),
       resolvedVersion).sortBy(_.name)
+  // STATIC-filter survivors — the planning set every downstream
+  // overlay refines. Above [[GdxSource.planDistributedMinBytes]] the
+  // manifest chain parses as a Spark job with the zone-map prune
+  // pushed in and only SURVIVORS collect to the driver (the 100M-file
+  // regime's planning path); below it this is byte-identical to the
+  // classic driver loop. Static filters only (pushed + pruneOnly,
+  // both fixed at scan construction) — runtime DPP filters arrive
+  // BETWEEN planning calls and stay a driver-side overlay in [[kept]],
+  // so a late-delivered key set can only prune further, never re-plan.
+  private lazy val entries: Seq[GdxFileEntry] =
+    if (resolvedVersion <= 0) Seq.empty
+    else GdxSource.plannedEntries(path, GdxSource.driverConf(),
+      resolvedVersion, pushed.toSeq ++ pruneOnly).sortBy(_.name)
   // def, not lazy val: runtime filters arrive between planning calls.
   // pruneOnly filters join the skip set here but never reach the
   // readers — Spark evaluates them row-level as residuals. Zone maps
@@ -6750,6 +6923,11 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       !metaOnly && aggOps.isEmpty &&
       readSchema().fieldNames.contains(sp.col) &&
       entries.nonEmpty &&
+      // the proof ranges over the PLANNED (static-filter-surviving)
+      // set, which is sound: a pruned file provably holds no row the
+      // pushed predicates admit, so every row this scan can output
+      // lives in a key-proven file and the reported grouping covers
+      // the scan's whole output
       entries.forall(e => partKeyOf(sp.render, e.name).isDefined)
   }
   /** Grouping only activates under the session's SPJ switch: with it
@@ -6842,10 +7020,11 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
           // builder already proved parseable; a value whose files hold
           // zero live rows yields NO group (SQL GROUP BY semantics)
           val pc = partitionCol.get
-          entries.groupBy(e => GdxSource.partKeyOf(pc, e.name).get).toSeq
+          allEntries.groupBy(e => GdxSource.partKeyOf(pc, e.name).get)
+            .toSeq
             .filter { case (_, es) => es.flatMap(_.stats).map(_.rows).sum > 0 }
             .map { case (key, es) => key +: fold(es) }
-        } else Seq(fold(entries))
+        } else Seq(fold(allEntries))
       Array(GdxMetaResultPartition(rows))
     } else {
       // keys ride along only while SPJ is active (all-or-nothing, so a
@@ -6857,7 +7036,8 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
         GdxSource.entryPath(path, e.name).toString,
         e.dv.map(d => GdxSource.entryPath(path, d).toString),
         if (keyed) partKeyOf(partitionSpec.get.render, e.name) else None,
-        bucketed = keyed && bucketed)
+        bucketed = keyed && bucketed,
+        esc = e.escaped)
         : InputPartition).toArray
     }
 
@@ -7050,9 +7230,9 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter],
     with rstreaming.SupportsAdmissionControl
     with rstreaming.SupportsTriggerAvailableNow {
   private def conf = GdxSource.driverConf()
-  private def entriesAt(v: Int): Seq[GdxFileEntry] =
+  private def entriesAt(v: Int, filters: Seq[Filter]): Seq[GdxFileEntry] =
     if (v <= 0) Seq.empty
-    else GdxSource.committedEntries(path, conf, v)
+    else GdxSource.plannedEntries(path, conf, v, filters)
   // undecided txn claims are invisible to the stream too: an offset
   // must never point past a snapshot readers can't resolve yet
   private def currentLatest: Int =
@@ -7103,8 +7283,16 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter],
     val s = start.asInstanceOf[GdxOffset].version
     val e = end.asInstanceOf[GdxOffset].version
     if (e <= s) return Array.empty
-    val seen = entriesAt(s).map(_.name).toSet
-    val added = entriesAt(e).filterNot(en => seen(en.name))
+    // distributed metadata planning serves the stream too: the END
+    // snapshot parses with the static prune pushed in (survivors
+    // only collect), the START side needs every NAME for the diff so
+    // it parses unpruned (still distributed above the threshold).
+    // Pruning the end side before the name-diff is exact: the diff is
+    // by NAME, and the prune is a per-entry predicate — an entry
+    // carried from `s` is excluded by the seen-set either way.
+    val seen = entriesAt(s, Nil).map(_.name).toSet
+    val added = entriesAt(e, pushed.toSeq ++ pruneOnly)
+      .filterNot(en => seen(en.name))
     // a delete commit adds no file names ⇒ contributes an EMPTY batch
     // (the changefeed is append-flavored; deletes surface to consumers
     // via fresh snapshot reads, not retractions); a file added in this
@@ -7118,7 +7306,8 @@ class GdxMicroBatchStream(path: String, pushed: Array[Filter],
       .sortBy(_.name)
       .map(en => GdxFilePartition(
         GdxSource.entryPath(path, en.name).toString,
-        en.dv.map(d => GdxSource.entryPath(path, d).toString)): InputPartition)
+        en.dv.map(d => GdxSource.entryPath(path, d).toString),
+        esc = en.escaped): InputPartition)
       .toArray
   }
 
@@ -7159,15 +7348,15 @@ class GdxReaderFactory(pushed: Array[Filter], limit: Int,
             InternalRow.fromSeq(cur.map(_.map(Long.box).orNull))
           override def close(): Unit = ()
         }
-      case GdxFilePartition(file, dv, _, _) =>
+      case GdxFilePartition(file, dv, _, _, esc) =>
         aggOps match {
           // the agg fold consumes lastK off the UNPRUNED base — its own
           // output schema is the aggregate row, not `required`
           case Some(ops) => new GdxAggReader(
             new GdxFileReader(file, pushed, limit, conf,
-              tableSchema, tableSchema, dv), ops)
+              tableSchema, tableSchema, dv, esc), ops)
           case None => new GdxFileReader(file, pushed, limit, conf,
-            required, tableSchema, dv)
+            required, tableSchema, dv, esc)
         }
     }
 }
@@ -7186,7 +7375,8 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
                     conf: SerializableHadoopConf,
                     required: StructType = GdxSource.schema,
                     tableSchema: StructType = GdxSource.schema,
-                    dv: Option[String] = None)
+                    dv: Option[String] = None,
+                    esc: Boolean = false)
     extends PartitionReader[InternalRow] {
   private val p = new Path(file)
   private val fs = p.getFileSystem(conf.conf)
@@ -7232,7 +7422,8 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
       vals(i) =
         if (fi >= fields.length) slotDefaults(i)
         else if (fields(fi) == GdxSource.NullMarker) null
-        else GdxSource.parseInternalCellPruned(dt, stored, fields(fi))
+        else GdxSource.parseInternalCellPruned(dt, stored, fields(fi),
+          esc)
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
@@ -7244,7 +7435,12 @@ class GdxFileReader(file: String, pushed: Array[Filter], limit: Int,
     case GreaterThanOrEqual("k", b: Number) => k >= b.longValue
     case LessThan("k", b: Number)           => k < b.longValue
     case LessThanOrEqual("k", b: Number)    => k <= b.longValue
-    case EqualTo("v", want: String)         => v == want
+    // pushed string equality compares VALUES: an escape-era cell must
+    // decode first (the raw \N marker is NULL — never equal)
+    case EqualTo("v", want: String)         =>
+      if (esc) v != GdxSource.NullMarker &&
+        GdxSource.unescapeCell(v) == want
+      else v == want
     case org.apache.spark.sql.sources.In("k", vs) => // runtime key set
       vs.exists { case w: Number => k == w.longValue; case _ => true }
     // pushed filters are TRUSTED by Spark (never re-checked post-scan),
@@ -7898,9 +8094,9 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
       se += 1
     }
     // fields joined by tab in physical-slot order; NULL as the reserved
-    // \N marker. The line format has no escaping: a separator/
-    // terminator (or a literal \N) inside a string would corrupt the
-    // row on read — reject at write time, loudly.
+    // \N marker. String content escape-encodes ([[GdxSource.escapeCell]])
+    // so separators/terminators inside values never reach the line raw;
+    // the committed entry's `e:` overlay records the era.
     val sb = new java.lang.StringBuilder
     var pSlot = 0
     while (pSlot < layout.length) {

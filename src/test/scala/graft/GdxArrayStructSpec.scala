@@ -217,29 +217,24 @@ class GdxArrayStructSpec extends SparkSuite {
         col("m.content").startsWith("a")).count() === 10L)
   }
 
-  test("loud refusals: NULL elements, element strings carrying the " +
-      "positional vocabulary, struct fields of array type stay refused") {
+  test("NULL elements stay refused; element strings with commas/" +
+      "parens/newlines round-trip under the escape era") {
     val dir = freshDir("refuse")
-    def fails(rows: Seq[Row]): Unit = {
-      val e = intercept[Exception] {
-        df(rows).write.format(fmt).option("path", dir)
-          .mode("overwrite").save()
-      }
-      assert(Iterator.iterate(e: Throwable)(_.getCause)
-        .takeWhile(_ != null).take(8)
-        .exists(t => t.getMessage != null &&
-          t.getMessage.contains("must not")), e.getMessage)
+    val e = intercept[Exception] {
+      df(Seq(Row(1L, "a", Seq(Row("user", "hi"), null))))
+        .write.format(fmt).option("path", dir)
+        .mode("overwrite").save()
     }
-    fails(Seq(Row(1L, "a", Seq(Row("user", "hi"), null))))
-    fails(Seq(Row(1L, "a", Seq(Row("user", "a,b")))))
-    fails(Seq(Row(1L, "a", Seq(Row("user", "a(b")))))
-    // a STRUCT FIELD of array type is still outside the vocabulary
-    // (arrays nest structs, not the reverse — the comma encodings
-    // would be ambiguous)
-    intercept[Exception] {
-      GdxSource.typeNameOf(StructType(Seq(
-        StructField("x", ArrayType(LongType)))))
-    }
-    ()
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .exists(t => t.getMessage != null &&
+        t.getMessage.contains("must not")), e.getMessage)
+    // REAL chat content — commas, parens, '=' and newlines — lives in
+    // element struct leaves now (the escape layer encodes them)
+    val msg = "Hi, how are you? (thanks)\nx = y"
+    df(Seq(Row(1L, "a", Seq(Row("user", msg)))))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    assert(read(dir).select(explode(col("messages")).as("m"))
+      .select(col("m.content")).head.getString(0) === msg)
   }
 }

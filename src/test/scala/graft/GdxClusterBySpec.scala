@@ -283,6 +283,59 @@ class GdxClusterBySpec extends SparkSuite {
       entry("f2", ("5", "9"), Some(("0", "900")))), by).isEmpty)
   }
 
+  test("generation provenance is scoped to its cluster spec: after " +
+      "ALTER ... CLUSTER BY changes the columns, same-gen files " +
+      "re-enter the closure and OPTIMIZE actually re-clusters") {
+    // unit level: one generation tag proven under spec "a" exempts
+    // only under byC = a — under byC = b the same cluster co-rewrites
+    def entry(name: String, a: (String, String), b: (String, String),
+              gen: Option[String]): GdxFileEntry =
+      GdxFileEntry(name, Some(GdxFileStats(10L, 0L, 9L,
+        Map("a" -> a, "b" -> b))), None, gen)
+    val tag = "deadbeef0000@" + GdxSource.genClusterSpec(Seq("a"))
+    val onA = Seq(
+      entry("f1", ("1", "5"), ("0", "900"), Some(tag)),
+      entry("f2", ("5", "9"), ("0", "900"), Some(tag)))
+    // proven under the SAME spec → exempt (head-straddle tolerated)
+    assert(GdxSource.clusterOverlapClosure(onA, Seq("a")).isEmpty)
+    // the DECLARED columns changed → the proof no longer applies
+    assert(GdxSource.clusterOverlapClosure(onA, Seq("b"))
+      .map(_.name).sorted === Seq("f1", "f2"))
+    // legacy tags (no spec suffix) prove nothing
+    val legacy = onA.map(_.copy(gen = Some("cafecafe0000")))
+    assert(GdxSource.clusterOverlapClosure(legacy, Seq("a"))
+      .map(_.name).sorted === Seq("f1", "f2"))
+
+    // end to end: recluster on w, re-declare on w2, and the second
+    // OPTIMIZE must rewrite (not silently no-op on stale provenance).
+    // Both columns are LOW-SELECTIVITY mod residues, so files proven
+    // disjoint on one provably interleave on the other.
+    val dir = freshDir("respec")
+    spark.range(4000L).select(col("id").as("k"),
+        ((col("id") * 7919L) % 1000L).cast("double").as("w"),
+        ((col("id") * 31L) % 97L).cast("double").as("w2"))
+      .repartition(8)
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    GdxSource.setClusterBy(dir, Seq("w"))
+    GdxSource.optimizeClustered(spark, dir, Seq("w"), 4)
+    val afterW = GdxSource.committedEntries(dir, conf).map(_.name).toSet
+    // same spec: converged — a second pass is a no-op
+    val (b2, a2) = GdxSource.optimizeClustered(spark, dir, Seq("w"), 4)
+    assert(b2 == a2 &&
+      GdxSource.committedEntries(dir, conf).map(_.name).toSet == afterW)
+    // new spec: the w-proven generation may interleave on w2 freely —
+    // OPTIMIZE must see through the stale tag and rewrite
+    GdxSource.setClusterBy(dir, Seq("w2"))
+    GdxSource.optimizeClustered(spark, dir, Seq("w2"), 4)
+    assert(GdxSource.committedEntries(dir, conf).map(_.name).toSet
+      != afterW, "re-clustering on the new columns must rewrite")
+    // and the w2-pass converges under its own provenance
+    val afterW2 = GdxSource.committedEntries(dir, conf).map(_.name).toSet
+    val (b3, a3) = GdxSource.optimizeClustered(spark, dir, Seq("w2"), 4)
+    assert(b3 == a3 &&
+      GdxSource.committedEntries(dir, conf).map(_.name).toSet == afterW2)
+  }
+
   test("zero-row files are planned away unconditionally") {
     val dir = freshDir("zero")
     Seq((1L, "a")).toDF("k", "v").coalesce(1)

@@ -48,22 +48,27 @@ class GdxMapColumnSpec extends SparkSuite {
         .flatMap(f => scala.io.Source.fromFile(f).getLines().toList)
         .find(_.startsWith("1\t")).get
     assert(cellText(dir).split('\t')(1) === cellText(dir2).split('\t')(1))
-    assert(cellText(dir).split('\t')(1) === "a=x=y,b=2")
+    // escape-era canonical bytes: the value's '=' is escape-encoded so
+    // the entry separator stays the only raw '='
+    assert(cellText(dir).split('\t')(1) === "a=x\\ey,b=2")
   }
 
-  test("loud refusals: ',' or '=' in keys, ',' in values, NULL keys " +
-      "or values") {
+  test("escape era: ','/'='/parens in keys and values round-trip; " +
+      "NULL keys or values still refuse loudly") {
     val dir = freshDir("bad")
-    def tryWrite(m: Map[String, String]): Throwable =
-      intercept[Exception] {
-        Seq((1L, m)).toDF("k", "meta").coalesce(1)
-          .write.format(fmt).option("path", dir)
-          .mode("overwrite").save()
-      }
-    assert(tryWrite(Map("a,b" -> "1")).getMessage != null)
-    assert(tryWrite(Map("a=b" -> "1")).getMessage != null)
-    assert(tryWrite(Map("a" -> "1,2")).getMessage != null)
-    assert(tryWrite(Map("a" -> null)).getMessage != null)
+    // the old vocabulary refusals are gone — structural characters in
+    // keys/values escape-encode and round-trip exactly
+    val m = Map("a,b" -> "1", "a=b" -> "2", "p(q)" -> "x,y=z")
+    Seq((1L, m)).toDF("k", "meta").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    assert(read(dir).select(col("meta")).head
+      .getMap[String, String](0).toMap === m)
+    // NULL entries keep refusing (the k=v encoding has no entry-null)
+    intercept[Exception] {
+      Seq((1L, Map("a" -> null))).toDF("k", "meta").coalesce(1)
+        .write.format(fmt).option("path", dir)
+        .mode("overwrite").save()
+    }
   }
 
   test("DML over map cells: UPDATE map_concat adds an entry, DELETE " +

@@ -56,4 +56,54 @@ class GdxPlanMetaSpec extends SparkSuite {
     assert(plannedAt("1", v = 2) === plannedAt(Long.MaxValue.toString,
       v = 2))
   }
+
+  test("a production DSv2 read engages the distributed planner above " +
+      "the threshold, plans the identical file set, and answers " +
+      "identically") {
+    val dir = freshDir("scan")
+    // range layout: per-file k-ranges are disjoint, so the band prune
+    // provably keeps a strict subset
+    (0L until 3000L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    (3000L until 3500L).map(k => (k, s"d$k")).toDF("k", "v").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    GdxSource.delete(spark, dir, col("k") % 50 === 3)
+    val expected =
+      (0L until 3500L).filter(k => k >= 2900L && k % 50 != 3)
+    // baseline answer through the classic driver loop
+    val sBig = Sessions.pinned(spark,
+      "spark.gdx.plan.distributedMinBytes" -> Long.MaxValue.toString)
+    val viaDriver = Sessions.withActive(sBig) {
+      sBig.read.format(fmt).option("path", dir).load()
+        .filter(col("k") >= 2900L).select("k")
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq
+    }
+    // distributed path: threshold 1 byte forces the Spark-job planner
+    val sJob = Sessions.pinned(spark,
+      "spark.gdx.plan.distributedMinBytes" -> "1")
+    val before = GdxSource.distributedPlanCount.get()
+    val viaJob = Sessions.withActive(sJob) {
+      sJob.read.format(fmt).option("path", dir).load()
+        .filter(col("k") >= 2900L).select("k")
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq
+    }
+    assert(GdxSource.distributedPlanCount.get() > before,
+      "the DSv2 scan must resolve entries through the distributed " +
+        "planner above the threshold")
+    assert(viaJob === viaDriver && viaJob === expected)
+    // identical FILE SET: the planner's survivors equal the driver
+    // loop's prune of the full snapshot
+    val band = Seq(org.apache.spark.sql.sources
+      .GreaterThanOrEqual("k", 2900L: Any))
+    val jobSet = Sessions.withActive(sJob)(
+      GdxSource.plannedEntries(dir, conf, -1, band))
+    val drvSet = GdxSource.pruneByStats(
+      GdxSource.committedEntries(dir, conf), band)
+    assert(jobSet === drvSet)
+    assert(jobSet.nonEmpty &&
+      jobSet.size < GdxSource.committedEntries(dir, conf).size)
+  }
 }

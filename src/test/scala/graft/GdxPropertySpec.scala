@@ -7,9 +7,9 @@ import org.scalacheck.rng.Seed
 /** Property tests for the GDX line format: round-trip fidelity across
   * arbitrary valid payloads, null patterns, and schema evolution. The
   * format's contract is exact value preservation for long/string/double
-  * plus \N-marked NULLs; the generators range over everything the write
-  * path accepts (strings sans tab/newline/\N — the writer rejects those
-  * loudly, which write-rejection cases pin). */
+  * plus \N-marked NULLs; since the escape era ([[GdxSource.escapeCell]])
+  * string content is ARBITRARY Unicode — tabs, newlines, commas,
+  * parens, backslashes and the literal "\N" all round-trip. */
 class GdxPropertySpec extends SparkSuite {
 
   /** scalatestplus isn't in the offline cache: drive Gen directly with
@@ -227,21 +227,111 @@ class GdxPropertySpec extends SparkSuite {
           w.getMap[String, Row](1), s"struct map ${w.getLong(0)}") }
   }
 
-  test("write rejects line-format-breaking strings loudly") {
-    for (bad <- Seq("a\tb", "a\nb", "a\rb", "\\N")) {
+  // arbitrary VALID Unicode (the file is UTF-8: lone surrogates are
+  // not representable, everything else is): code points across the
+  // whole plane range, surrogate block excluded
+  private val unicodeGen: Gen[String] = Gen.listOf(
+    Gen.frequency(
+      6 -> Gen.chooseNum(0x20, 0x7E),
+      2 -> Gen.oneOf('\t'.toInt, '\n'.toInt, '\r'.toInt, ','.toInt,
+        '('.toInt, ')'.toInt, '='.toInt, '\\'.toInt, ';'.toInt,
+        '.'.toInt),
+      1 -> Gen.chooseNum(0x0, 0xD7FF),
+      1 -> Gen.chooseNum(0xE000, 0x10FFFF)))
+    .map(_.flatMap(Character.toChars(_).toSeq).mkString)
+
+  test("property: escapeCell/unescapeCell invert over arbitrary " +
+      "Unicode, canonical bytes hold, and escaped text is " +
+      "structurally inert") {
+    val strs = samples(unicodeGen, 2000)
+    assert(strs.exists(_.exists(c => c == ',' || c == '\n')))
+    for (s <- strs) {
+      val e = sources.GdxSource.escapeCell(s)
+      assert(sources.GdxSource.unescapeCell(e) === s)
+      // no raw structural character survives escaping
+      assert(!e.exists(c => c == '\t' || c == '\n' || c == '\r' ||
+        c == ',' || c == '(' || c == ')' || c == '='))
+      // the raw NULL marker is unreachable from any VALUE
+      assert(e != sources.GdxSource.NullMarker)
+    }
+    // injectivity on a dense sample = canonical bytes (equal values
+    // always produce equal cell text; distinct values distinct text)
+    assert(strs.distinct.map(sources.GdxSource.escapeCell)
+      .distinct.size === strs.distinct.size)
+  }
+
+  test("property: arbitrary Unicode round-trips through BOTH decode " +
+      "surfaces — the DSv2 scan (internal) and the changefeed " +
+      "(external)") {
+    for (vs <- samples(Gen.listOfN(25, unicodeGen), 3)) {
+      val dir = freshDir("uni")
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      rows.toDF("k", "v").repartition(2)
+        .write.format(fmt).option("path", dir).mode("append").save()
+      // internal surface: the DSv2 PartitionReader
+      val got = spark.read.format(fmt).option("path", dir).load()
+        .as[(Long, String)].collect().toSet
+      assert(got === rows.toSet)
+      // external surface: tableChanges parses the same lines through
+      // parseExternalCell
+      val cdf = sources.GdxSource.tableChanges(spark, dir, 0, 1)
+        .select("k", "v").as[(Long, String)].collect().toSet
+      assert(cdf === rows.toSet)
+    }
+  }
+
+  test("era mixing: legacy (unescaped) files keep decoding raw — a " +
+      "backslash-bearing legacy cell is NOT unescaped") {
+    val dir = freshDir("legacy")
+    // a modern commit first, to obtain a real manifest to rewrite
+    Seq((1L, "modern, escaped (v2)"), (2L, "legacy\\cell"))
+      .toDF("k", "v").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val conf = sources.GdxSource.driverConf()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf)
+    // forge a LEGACY era: rewrite the data file with RAW (unescaped)
+    // bytes and strip the manifest's e: overlay — exactly what a
+    // pre-escape writer produced
+    val entries = sources.GdxSource.committedEntries(dir, conf)
+    assert(entries.forall(_.escaped))
+    val name = entries.head.name
+    val dataPath = new org.apache.hadoop.fs.Path(dir, name)
+    val legacyLines = Seq("1\tmodern raw", "2\tlegacy\\cell")
+    val out = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(
+        fs.create(dataPath, true), "UTF-8"))
+    legacyLines.foreach(out.println); out.close()
+    val mf = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("_manifest-"))
+      .maxBy(_.getName)
+    val mLines = scala.io.Source.fromInputStream(fs.open(mf), "UTF-8")
+      .getLines().toList
+    val stripped = mLines.map(l =>
+      if (l.startsWith("#")) l
+      else l.split('\t').filterNot(_.startsWith("e:")).mkString("\t"))
+    val mo = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(fs.create(mf, true), "UTF-8"))
+    stripped.foreach(mo.println); mo.close()
+    // the backslash is CONTENT in the legacy era, not an escape
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, String)].collect().toMap
+    assert(got(2L) === "legacy\\cell")
+    assert(got(1L) === "modern raw")
+  }
+
+  test("line-format-breaking strings round-trip under the escape era") {
+    // the pre-escape writer refused these loudly; they now encode and
+    // read back exactly (tab/newline/CR, a literal \N, lone and
+    // doubled backslashes, and every structural character at once)
+    for (v <- Seq("a\tb", "a\nb", "a\rb", "\\N", "a\\", "a\\\\b",
+        "x,=()\\\t\r\n\\N(end")) {
       val dir = freshDir("rej")
-      val e = intercept[Exception] {
-        Seq((1L, bad)).toDF("k", "v")
-          .write.format(fmt).option("path", dir).mode("append").save()
-      }
-      def causes(t: Throwable): Seq[Throwable] =
-        t +: Option(t.getCause).toSeq.flatMap(causes)
-      assert(causes(e).exists(c => Option(c.getMessage)
-        .exists(m => m.contains("must not contain") ||
-          m.contains("marker"))), s"for ${bad.replace("\t", "<TAB>")}: $e")
-      // the failed write must not have published a manifest
-      assert(sources.GdxSource.listVersions(dir,
-        sources.GdxSource.driverConf()).isEmpty)
+      Seq((1L, v)).toDF("k", "v")
+        .write.format(fmt).option("path", dir).mode("append").save()
+      val got = spark.read.format(fmt).option("path", dir).load()
+        .head.getString(1)
+      assert(got === v, s"round-trip of ${v.replace("\t", "<TAB>")}")
     }
   }
 }

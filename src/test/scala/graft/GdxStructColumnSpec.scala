@@ -468,22 +468,25 @@ class GdxStructColumnSpec extends SparkSuite {
     assert(e.getMessage.contains("pos"), e.getMessage)
   }
 
-  test("loud refusals: array/map leaves, ','/parens in string leaves, " +
-      "DEFAULT on a struct, empty struct") {
-    intercept[IllegalArgumentException](GdxSource.typeNameOf(
-      StructType(Seq(StructField("a", ArrayType(LongType))))))
+  test("escape era: ','/parens/'\\N' in string leaves round-trip; " +
+      "DEFAULT on a struct and empty struct still refuse") {
     intercept[IllegalArgumentException](GdxSource.typeNameOf(
       StructType(Seq.empty)))
     intercept[IllegalArgumentException](GdxSource.typeNameOf(
       StructType(Seq(StructField("a:b", LongType)))))
     val dir = freshDir("bad")
-    def tryWrite(s: String): Unit = intercept[Exception] {
+    // the old positional-vocabulary refusals are gone: structural
+    // characters (and a literal "\N") escape-encode and round-trip
+    def roundTrip(s: String): Unit = {
       df(Seq(Row(1L, "a", Row(0.1, Row(s, "d"), 1L)))).coalesce(1)
         .write.format(fmt).option("path", dir).mode("overwrite").save()
+      assert(read(dir).select(col("meta.src.url")).head
+        .getString(0) === s)
     }
-    tryWrite("has,comma")
-    tryWrite("has(paren")
-    tryWrite("\\N")
+    roundTrip("has,comma")
+    roundTrip("has(paren) and = sign")
+    roundTrip("\\N")
+    roundTrip("multi\nline\ttabbed")
     intercept[IllegalArgumentException] {
       GdxSource.withDefaultCell(StructField("m", meta), "x")
     }

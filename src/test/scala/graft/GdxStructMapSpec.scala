@@ -109,38 +109,34 @@ class GdxStructMapSpec extends SparkSuite {
       .write.format(fmt).option("path", dir).mode("overwrite").save()
     val m = read(dir).head.getMap[String, String](1)
     assert(m("a") === "x(y" && m("b") === "z)w" && m("c") === "plain")
-    // and a paren-bearing KEY in a STRUCT-valued map is refused
-    // loudly (its entries split by paren depth)
-    intercept[Exception] {
-      df(Seq(Row(1L, Map("a(b" -> Row(0.1, 1L)))))
-        .write.format(fmt).option("path", dir).mode("overwrite").save()
-    }
-    ()
+    // a paren-bearing KEY in a STRUCT-valued map escape-encodes (the
+    // depth splitter never sees a raw paren) and round-trips
+    df(Seq(Row(1L, Map("a(b" -> Row(0.1, 1L)))))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    assert(read(dir).head.getMap[String, Row](1).keys.toSeq ===
+      Seq("a(b"))
   }
 
-  test("loud refusals: NULL values, key vocabulary, value leaf " +
-      "vocabulary") {
+  test("NULL values stay refused; structural characters in keys and " +
+      "value leaves round-trip under the escape era") {
     val dir = freshDir("refuse")
-    def fails(rows: Seq[Row]): Unit = {
-      intercept[Exception] {
-        df(rows).write.format(fmt).option("path", dir)
-          .mode("overwrite").save()
-      }
-      ()
-    }
-    fails(Seq(Row(1L, Map("a" -> null))))
-    fails(Seq(Row(1L, Map("a,b" -> Row(0.1, 1L)))))
-    fails(Seq(Row(1L, Map("a=b" -> Row(0.1, 1L)))))
-    // a string leaf inside the value struct keeps the struct
-    // vocabulary (no commas/parens)
-    val sv = StructType(Seq(StructField("s", StringType)))
     intercept[Exception] {
-      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
-        Row(1L, Map("a" -> Row("x,y")))), 1),
-        StructType(Seq(StructField("k", LongType),
-          StructField("m", MapType(StringType, sv)))))
-        .write.format(fmt).option("path", dir).mode("overwrite").save()
+      df(Seq(Row(1L, Map("a" -> null))))
+        .write.format(fmt).option("path", dir)
+        .mode("overwrite").save()
     }
-    ()
+    // keys carrying ','/'=' and leaves carrying commas escape-encode
+    df(Seq(Row(1L, Map("a,b" -> Row(0.1, 1L), "a=b" -> Row(0.2, 2L)))))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    assert(read(dir).head.getMap[String, Row](1).keys.toSet ===
+      Set("a,b", "a=b"))
+    val sv = StructType(Seq(StructField("s", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Map("a" -> Row("x,y")))), 1),
+      StructType(Seq(StructField("k", LongType),
+        StructField("m", MapType(StringType, sv)))))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    assert(read(dir).head.getMap[String, Row](1)
+      .apply("a").getString(0) === "x,y")
   }
 }

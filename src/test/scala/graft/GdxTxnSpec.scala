@@ -284,6 +284,75 @@ class GdxTxnSpec extends SparkSuite {
       (3L, "new", "seen")))
   }
 
+  test("staged UPDATE validates SET targets at stage time: a typo " +
+      "column fails the statement, stages nothing, and COMMIT's rows " +
+      "are labeled with the CATALOG table name for DML-first tables") {
+    val cat = "gdx_txnu2"
+    val (s, _) = txnSession(cat)
+    s.sql(s"CREATE NAMESPACE $cat.lab")
+    s.sql(s"CREATE TABLE $cat.lab.t (k BIGINT, a STRING)")
+    s.sql(s"INSERT INTO $cat.lab.t VALUES (1, 'x'), (2, 'y')")
+    s.sql("BEGIN TRANSACTION")
+    val e = intercept[Exception] {
+      s.sql(s"UPDATE $cat.lab.t SET typo_col = 'z' WHERE k = 1")
+    }
+    assert(e.getMessage.contains("typo_col"), e.getMessage)
+    // nothing staged: the table's FIRST staged statement is now a
+    // valid DML — COMMIT must label its row with the table name, not
+    // the filesystem path (the DML-first labeling fix)
+    s.sql(s"UPDATE $cat.lab.t SET a = 'z' WHERE k = 1")
+    val commits = s.sql("COMMIT").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(commits.map(_._1) === Seq(s"$cat.lab.t"),
+      s"COMMIT rows must carry the catalog name, got $commits")
+    assert(s.table(s"$cat.lab.t").filter("a = 'z'").count() === 1L)
+  }
+
+  test("SAVEPOINT / ROLLBACK TO discards exactly the staged suffix; " +
+      "RELEASE forgets it; the general WHEN-matrix MERGE stages and " +
+      "commits atomically with the rest") {
+    val cat = "gdx_txnsp"
+    val (s, _) = txnSession(cat)
+    s.sql(s"CREATE NAMESPACE $cat.lab")
+    s.sql(s"CREATE TABLE $cat.lab.t (k BIGINT, v STRING)")
+    s.sql(s"INSERT INTO $cat.lab.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    s.sql("BEGIN TRANSACTION")
+    s.sql(s"INSERT INTO $cat.lab.t VALUES (10, 'keep')")
+    s.sql("SAVEPOINT sp1")
+    // general matrix: conditional DELETE + UPDATE + INSERT
+    s.sql(s"""MERGE INTO $cat.lab.t t
+      USING (SELECT * FROM VALUES (2L, 'B'), (3L, 'C'), (4L, 'D')
+             AS src(k, v)) s
+      ON t.k = s.k
+      WHEN MATCHED AND t.k = 3 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = upper(s.v)
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 'n_' || s.v)""")
+    s.sql("SAVEPOINT sp2")
+    s.sql(s"UPDATE $cat.lab.t SET v = 'POISON' WHERE k >= 0")
+    // the poison goes; sp1's suffix (the merge) survives
+    s.sql("ROLLBACK TO SAVEPOINT sp2")
+    // sp2 survives a rollback to itself; RELEASE then forgets it
+    s.sql("RELEASE SAVEPOINT sp2")
+    intercept[Exception](s.sql("ROLLBACK TO SAVEPOINT sp2"))
+    s.sql("COMMIT")
+    val rows = s.table(s"$cat.lab.t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (2L, "B"), (4L, "n_D"),
+      (10L, "keep")))
+
+    // a rollback PAST the merge discards it but keeps the prefix
+    s.sql("BEGIN TRANSACTION")
+    s.sql(s"INSERT INTO $cat.lab.t VALUES (20, 'pre')")
+    s.sql("SAVEPOINT sp3")
+    s.sql(s"DELETE FROM $cat.lab.t WHERE k = 1")
+    s.sql("ROLLBACK TO sp3")
+    s.sql("COMMIT")
+    assert(s.table(s"$cat.lab.t").filter("k = 1").count() === 1L,
+      "the rolled-back DELETE must not commit")
+    assert(s.table(s"$cat.lab.t").filter("k = 20").count() === 1L,
+      "the pre-savepoint INSERT must commit")
+  }
+
   /** A session wired to a fresh GDX catalog; returns (session,
     * warehouse dir) — table `cat.lab.t` lives at `<wh>/lab/t`. */
   private def txnSession(cat: String) = {
