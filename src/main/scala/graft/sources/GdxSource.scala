@@ -468,9 +468,13 @@ object GdxSource {
     // as `(sub,sub,...)` — parenthesized so a NULL sub-field (`\N`)
     // never collides with a NULL cell, positional like the top-level
     // line so ADD-a-trailing-field evolution null-fills old cells for
-    // free. Leaves are the scalar vocabulary (or a nested struct);
-    // array/map leaves are refused — their comma encodings would be
-    // ambiguous inside the struct's. nullable flags are deliberately
+    // free. Sub-fields may be scalars, nested structs, or COLLECTIONS
+    // (arrays/maps — the tool-call-trace shape `messages:
+    // array<struct<role, content, tool_calls: array<struct<...>>>>`):
+    // a collection sub-cell wraps its ordinary top-level text in ONE
+    // extra paren pair, which keeps the parent's comma-depth tracker
+    // exact at any nesting depth (string leaves escape their own
+    // parens, so depth never lies). nullable flags are deliberately
     // NOT part of the name: everything reads back permissive.
     case st: StructType =>
       require(st.fields.nonEmpty, "gdx: empty STRUCT is not supported")
@@ -481,13 +485,6 @@ object GdxSource {
             ch == '\t' || ch == '\n' || ch == '\r'),
           s"gdx: illegal struct field name '${sf.name}' " +
             "(':,<>()=.' and whitespace delimit the schema encoding)")
-        sf.dataType match {
-          case ArrayType(_, _) | _: org.apache.spark.sql.types.MapType =>
-            throw new IllegalArgumentException(
-              s"gdx: struct field ${sf.name} must be a scalar or a " +
-                s"nested struct, not ${sf.dataType.catalogString}")
-          case _ => ()
-        }
         s"${sf.name}:${typeNameOf(sf.dataType)}"
       }.mkString(",") + ">"
     case other => throw new IllegalArgumentException(
@@ -933,6 +930,13 @@ object GdxSource {
         else (f.dataType, stored.fields(si).dataType) match {
           case (rq: StructType, sv: StructType) =>
             parseStructInternal(sv, rq, parts(si), esc)
+          case (rq @ (ArrayType(_, _) |
+                _: org.apache.spark.sql.types.MapType), sv) =>
+            // collection sub-cells wrap their top-level text in one
+            // paren pair; the pruned decode handles a narrowed
+            // element/value struct exactly like a top-level column
+            parseInternalCellPruned(rq, sv,
+              stripCollectionWrap(parts(si)), esc)
           case (dt, _) => parseInternalCell(dt, parts(si), esc)
         }
       i += 1
@@ -1000,10 +1004,26 @@ object GdxSource {
         org.apache.spark.sql.Row.fromSeq(
           st.fields.zipWithIndex.map { case (f, i) =>
             if (i >= parts.length || parts(i) == NullMarker) null
-            else parseExternalCell(f.dataType, parts(i), esc)
+            else f.dataType match {
+              case ArrayType(_, _) |
+                   _: org.apache.spark.sql.types.MapType =>
+                parseExternalCell(f.dataType,
+                  stripCollectionWrap(parts(i)), esc)
+              case dt => parseExternalCell(dt, parts(i), esc)
+            }
           }.toSeq)
       case _              => decodeText(s, esc)
     }
+
+  /** Strip the ONE paren pair a collection-typed struct sub-cell
+    * wraps its top-level text in. */
+  private def stripCollectionWrap(s: String): String = {
+    require(s.length >= 2 && s.charAt(0) == '(' &&
+      s.charAt(s.length - 1) == ')',
+      s"gdx: malformed collection sub-cell '$s' (expected a " +
+        "parenthesized wrap)")
+    s.substring(1, s.length - 1)
+  }
 
   /** Render one INTERNAL-form cell (non-null) onto the line being
     * written. `ctx` names the writing surface in the unescapable-
@@ -1090,11 +1110,12 @@ object GdxSource {
   }
 
   /** Render one struct value as its canonical `(sub,sub,...)` cell.
-    * Scalar leaves reuse the normal cell forms (none can carry ','),
-    * string leaves get the struct-tightened vocabulary (additionally
-    * no ','/'('/')' — those delimit the positional encoding), nested
-    * structs recurse, NULL sub-fields write the `\N` marker (parens
-    * keep it unambiguous with a NULL cell). */
+    * Scalar leaves reuse the normal cell forms (none can carry a raw
+    * ','), string leaves escape-encode ([[escapeCell]]), nested
+    * structs recurse, COLLECTION sub-fields wrap their ordinary
+    * top-level cell text in one extra paren pair (depth-exact for the
+    * splitters at any nesting), NULL sub-fields write the `\N` marker
+    * (parens keep it unambiguous with a NULL cell). */
   private def appendStructCellInternal(sb: java.lang.StringBuilder,
       st: StructType,
       sr: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
@@ -1113,6 +1134,10 @@ object GdxSource {
         case StringType =>
           appendStructLeafString(sb, sr.getUTF8String(j).toString,
             ctx, fname)
+        case ArrayType(_, _) | _: org.apache.spark.sql.types.MapType =>
+          sb.append('(')
+          appendInternalCell(sb, dt, sr, j, ctx, fname)
+          sb.append(')')
         case _ => appendInternalCell(sb, dt, sr, j, ctx, fname)
       }
       j += 1
@@ -1248,6 +1273,10 @@ object GdxSource {
             ctx, fname)
         case StringType =>
           appendStructLeafString(sb, sr.getString(j), ctx, fname)
+        case ArrayType(_, _) | _: org.apache.spark.sql.types.MapType =>
+          sb.append('(')
+          appendExternalCell(sb, dt, sr, j, ctx, fname)
+          sb.append(')')
         case _ => appendExternalCell(sb, dt, sr, j, ctx, fname)
       }
       j += 1
@@ -1257,13 +1286,77 @@ object GdxSource {
 
   /** Extended-stats lane of a column: 0 = long repr (LONG, DATE,
     * TIMESTAMP, BOOLEAN — min/max tracked as longs), 1 = double,
-    * 2 = exact decimal; -1 = no stats (strings). */
+    * 2 = exact decimal, 3 = string (TRUNCATED bounds — see
+    * [[truncLowerBound]]/[[truncUpperBound]]); -1 = no stats. */
   private[graft] def extStatKind(dt: DataType): Int = dt match {
     case LongType | DateType | TimestampType | BooleanType => 0
     case DoubleType     => 1
     case _: DecimalType => 2
+    case StringType     => 3
     case _              => -1
   }
+
+  /** Max UTF-16 code units a published string bound keeps — the
+    * Iceberg truncate(16) default: long content contributes a 16-char
+    * prefix window, which is what makes `lang = 'uk'` / domain-prefix
+    * predicates prune files while a 100 KB document costs 32 bytes of
+    * manifest. */
+  private[graft] val StatStringPrefix = 16
+
+  /** How much of each string the accumulator RETAINS while streaming
+    * rows (memory bound for content columns): longer than the
+    * published prefix + 1, so the final truncation is exact. */
+  private[graft] val StatStringTrack = 64
+
+  /** LOWER bound of every string sharing `s`'s prefix window:
+    * truncation only ever shortens, and a prefix sorts ≤ all its
+    * extensions. A split surrogate pair at the cut shortens one more
+    * unit (bounds must stay valid UTF-8-encodable text). */
+  private[graft] def truncLowerBound(s: String): String =
+    if (s.length <= StatStringPrefix) s
+    else {
+      val cut = if (Character.isHighSurrogate(
+          s.charAt(StatStringPrefix - 1))) StatStringPrefix - 1
+        else StatStringPrefix
+      s.substring(0, cut)
+    }
+
+  /** STRICT UPPER bound of every string sharing `s`'s prefix window:
+    * truncate, then increment the last incrementable UTF-16 unit
+    * (skipping increments that would land in — or strand — the
+    * surrogate block, so the bound stays valid encodable text; the
+    * order is Java's code-unit compareTo, the same order the
+    * accumulator and the prune comparisons use). None = every unit is
+    * U+FFFF — unbounded, publish nothing. Short strings are exact
+    * (inclusive). */
+  private[graft] def truncUpperBound(s: String): Option[String] = {
+    if (s.length <= StatStringPrefix) return Some(s)
+    val cut = if (Character.isHighSurrogate(
+        s.charAt(StatStringPrefix - 1))) StatStringPrefix - 1
+      else StatStringPrefix
+    var j = cut - 1
+    while (j >= 0) {
+      val c = s.charAt(j)
+      if (c == '\uFFFF' || c == '\uDFFF') j -= 1 // move left
+      else if (Character.isHighSurrogate(c))
+        // dropping the pair's low half would strand c; U+E000 sorts
+        // above every surrogate and stands alone
+        return Some(s.substring(0, j) + '\uE000')
+      else {
+        var next = (c + 1).toChar
+        if (next >= '\uD800' && next <= '\uDFFF' &&
+            !Character.isLowSurrogate(c)) next = '\uE000'
+        return Some(s.substring(0, j) + next)
+      }
+    }
+    None
+  }
+
+  /** Escape a string BOUND for the manifest's `x:c=min..max;…` field:
+    * [[escapeCell]]'s set plus the overlay's own delimiters ('.' and
+    * ';'); [[unescapeCell]] inverts both. */
+  private[graft] def escapeStatText(s: String): String =
+    escapeCell(s).replace(".", "\\d").replace(";", "\\m")
 
   /** One extended-stats lane: a top-level orderable column (empty
     * `steps`) or a statable LEAF of a struct column, addressed by the
@@ -1327,6 +1420,7 @@ object GdxSource {
     if (live) lane.kind match {
       case 0 => acc.addL(e, longReprInternal(lane.leafDt, g, idx))
       case 1 => acc.addD(e, g.getDouble(idx))
+      case 3 => acc.addS(e, g.getUTF8String(idx).toString)
       case _ =>
         val d = lane.leafDt.asInstanceOf[DecimalType]
         acc.addB(e,
@@ -1350,6 +1444,7 @@ object GdxSource {
     if (live) lane.kind match {
       case 0 => acc.addL(e, longReprExternal(g.get(idx)))
       case 1 => acc.addD(e, g.getDouble(idx))
+      case 3 => acc.addS(e, g.getString(idx))
       case _ => acc.addB(e, g.getDecimal(idx))
     }
   }
@@ -1413,6 +1508,8 @@ object GdxSource {
     private val maxD = Array.fill(n)(Double.MinValue)
     private val minB = new Array[java.math.BigDecimal](n)
     private val maxB = new Array[java.math.BigDecimal](n)
+    private val minS = new Array[String](n)
+    private val maxS = new Array[String](n)
     def addL(e: Int, v: Long): Unit = {
       seen(e) = true
       if (v < minL(e)) minL(e) = v
@@ -1431,13 +1528,36 @@ object GdxSource {
       if (minB(e) == null || v.compareTo(minB(e)) < 0) minB(e) = v
       if (maxB(e) == null || v.compareTo(maxB(e)) > 0) maxB(e) = v
     }
+    def addS(e: Int, v: String): Unit = {
+      seen(e) = true
+      // retain a bounded window per row (memory cap for content
+      // columns): the published bounds only consult the first
+      // StatStringPrefix+1 units, and min/max over tracked prefixes
+      // stay valid lower/upper sources (a prefix sorts ≤ its
+      // extensions, and the upper bound construction dominates every
+      // string sharing the max's prefix window)
+      val t = if (v.length <= GdxSource.StatStringTrack) v
+        else v.substring(0, GdxSource.StatStringTrack)
+      if (minS(e) == null || t.compareTo(minS(e)) < 0) minS(e) = t
+      if (maxS(e) == null || t.compareTo(maxS(e)) > 0) maxS(e) = t
+    }
     def result(name: Int => String): Map[String, (String, String)] =
-      (0 until n).iterator.filter(e => seen(e) && !nan(e)).map { e =>
-        name(e) -> (kinds(e) match {
-          case 0 => (minL(e).toString, maxL(e).toString)
-          case 1 => (minD(e).toString, maxD(e).toString)
-          case _ => (minB(e).toPlainString, maxB(e).toPlainString)
-        })
+      (0 until n).iterator.filter(e => seen(e) && !nan(e)).flatMap { e =>
+        kinds(e) match {
+          case 0 => Some(name(e) -> (minL(e).toString, maxL(e).toString))
+          case 1 => Some(name(e) -> (minD(e).toString, maxD(e).toString))
+          case 3 =>
+            // string bounds publish TRUNCATED + escaped (the overlay's
+            // own delimiters must never appear raw); an unboundable
+            // max (all U+FFFF) publishes nothing — absence = keep
+            GdxSource.truncUpperBound(maxS(e)).map { up =>
+              name(e) -> (GdxSource.escapeStatText(
+                GdxSource.truncLowerBound(minS(e))),
+                GdxSource.escapeStatText(up))
+            }
+          case _ =>
+            Some(name(e) -> (minB(e).toPlainString, maxB(e).toPlainString))
+        }
       }.toMap
   }
 
@@ -3024,6 +3144,19 @@ object GdxSource {
             case (Some((mn, mx)), Some(v)) => !miss(mn, mx, v)
             case _ => true
           }
+        // STRING bounds (kind-3 lanes): `mn` is a valid lower bound
+        // (truncation shortens) and `mx` a valid upper bound (strict
+        // when truncated — see [[truncUpperBound]]); comparisons are
+        // Java code-unit order, the exact order the bounds were
+        // accumulated and constructed in. A string literal identifies
+        // the column as a string lane (predicates never mix types).
+        def strKeep(c: String)(miss: (String, String) => Boolean)
+            : Boolean =
+          st.cols.get(c) match {
+            case Some((mn, mx)) =>
+              !miss(unescapeCell(mn), unescapeCell(mx))
+            case None => true
+          }
         pushed.forall {
           case EqualTo("k", w: Number) =>
             st.minK <= w.longValue && w.longValue <= st.maxK
@@ -3036,12 +3169,37 @@ object GdxSource {
               case w: Number => st.minK <= w.longValue && w.longValue <= st.maxK
               case _         => true
             }
+          case EqualTo(c, w: String)    => strKeep(c)((mn, mx) =>
+            w < mn || w > mx)
+          case GreaterThan(c, w: String) =>
+            strKeep(c)((_, mx) => mx <= w)
+          case GreaterThanOrEqual(c, w: String) =>
+            strKeep(c)((_, mx) => mx < w)
+          case LessThan(c, w: String)   =>
+            strKeep(c)((mn, _) => mn >= w)
+          case LessThanOrEqual(c, w: String) =>
+            strKeep(c)((mn, _) => mn > w)
+          case org.apache.spark.sql.sources.StringStartsWith(c, p) =>
+            // p-prefixed values form the interval [p, p·∞): miss when
+            // the file sits entirely below p, or entirely at/above the
+            // first non-p-prefixed string after p (mn > p and mn not
+            // itself p-prefixed)
+            strKeep(c)((mn, mx) =>
+              mx < p || (mn > p && !mn.startsWith(p)))
           case EqualTo(c, w)            => cmp(c, w)((mn, mx, v) =>
             v < mn || v > mx)
           case GreaterThan(c, w)        => cmp(c, w)((_, mx, v) => mx <= v)
           case GreaterThanOrEqual(c, w) => cmp(c, w)((_, mx, v) => mx < v)
           case LessThan(c, w)           => cmp(c, w)((mn, _, v) => mn >= v)
           case LessThanOrEqual(c, w)    => cmp(c, w)((mn, _, v) => mn > v)
+          case org.apache.spark.sql.sources.In(c, vs)
+              if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+            st.cols.get(c) match {
+              case Some((mnE, mxE)) =>
+                val mn = unescapeCell(mnE); val mx = unescapeCell(mxE)
+                vs.exists { case w: String => w >= mn && w <= mx }
+              case None => true
+            }
           case org.apache.spark.sql.sources.In(c, vs) =>
             extRange(c) match {
               case Some((mn, mx)) => vs.exists(w =>
@@ -3458,7 +3616,12 @@ object GdxSource {
       st.fields.find(_.name.equalsIgnoreCase(parts(depth))).flatMap {
         f =>
           if (depth == parts.length - 1)
-            if (extStatKind(f.dataType) >= 0)
+            // NUMERIC-ordered lanes only: string bounds are truncated
+            // (the overlap closure's decimal interval math cannot
+            // prove lex-disjointness on them), so clustering on a
+            // string column would never converge
+            if (extStatKind(f.dataType) >= 0 &&
+                extStatKind(f.dataType) != 3)
               Some((f.name :: acc).reverse.mkString("."))
             else None
           else f.dataType match {

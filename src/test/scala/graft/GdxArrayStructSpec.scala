@@ -217,6 +217,68 @@ class GdxArrayStructSpec extends SparkSuite {
         col("m.content").startsWith("a")).count() === 10L)
   }
 
+  test("tool-call traces: collections nest inside element structs — " +
+      "array<struct<role, content, tool_calls: array<struct<name, " +
+      "args>>>> round-trips, prunes, and takes element-predicate DML") {
+    val dir = freshDir("toolcalls")
+    val callT = StructType(Seq(
+      StructField("name", StringType),
+      StructField("args", StringType)))
+    val turnT = StructType(Seq(
+      StructField("role", StringType),
+      StructField("content", StringType),
+      StructField("tool_calls", ArrayType(callT))))
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("lang", StringType),
+      StructField("messages", ArrayType(turnT))))
+    def row(k: Long, calls: Seq[Row]) = Row(k, "en", Seq(
+      Row("user", s"find docs, please (k=$k)", Seq.empty[Row]),
+      Row("assistant", "on it; calling tools", calls)))
+    val rows = Seq(
+      row(1L, Seq(Row("search", """{"q": "spark, sql"}"""),
+        Row("fetch", "url=(http://x)"))),
+      row(2L, Seq.empty),
+      row(3L, Seq(Row("search", "plain"))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val back = read(dir)
+    // full round-trip, punctuation in the INNER args included
+    val m1 = back.filter(col("k") === 1)
+      .select(explode(col("messages")).as("m"))
+      .filter(col("m.role") === "assistant")
+      .select(explode(col("m.tool_calls")).as("c"))
+      .orderBy("c.name").collect()
+      .map(r => (r.getStruct(0).getString(0), r.getStruct(0).getString(1)))
+    assert(m1.toSeq === Seq(
+      ("fetch", "url=(http://x)"),
+      ("search", """{"q": "spark, sql"}""")))
+    // empty inner array vs present
+    assert(back.filter(col("k") === 2)
+      .select(explode(col("messages")).as("m"))
+      .filter(col("m.role") === "assistant")
+      .select(size(col("m.tool_calls"))).head.getInt(0) === 0)
+    // nested pruning: selecting only the inner name decodes by the
+    // stored layout and projects
+    assert(back.select(explode(col("messages")).as("m"))
+      .select(explode(col("m.tool_calls")).as("c"))
+      .select(col("c.name")).collect().map(_.getString(0)).sorted
+      === Array("fetch", "search", "search"))
+    // element-predicate DML on the INNER array: drop conversations
+    // that ever called `fetch`
+    GdxSource.delete(spark, dir, expr(
+      "exists(messages, m -> exists(m.tool_calls, c -> c.name = 'fetch'))"))
+    assert(read(dir).select("k").collect().map(_.getLong(0)).sorted
+      === Array(2L, 3L))
+    // changefeed (external decode surface) carries the nested shape
+    val cdf = GdxSource.tableChanges(spark, dir, 0, 1)
+      .filter(col("k") === 3)
+      .select(explode(col("messages")).as("m"))
+      .filter(col("m.role") === "assistant")
+      .select(explode(col("m.tool_calls")).as("c"))
+      .select("c.args").head.getString(0)
+    assert(cdf === "plain")
+  }
+
   test("NULL elements stay refused; element strings with commas/" +
       "parens/newlines round-trip under the escape era") {
     val dir = freshDir("refuse")

@@ -320,6 +320,43 @@ class GdxPropertySpec extends SparkSuite {
     assert(got(1L) === "modern raw")
   }
 
+  test("property: truncated string bounds are real bounds — lower ≤ " +
+      "value, upper dominates every prefix-sharing extension, and " +
+      "the stat escape round-trips") {
+    val gdx = sources.GdxSource
+    val strs = samples(unicodeGen, 1500) ++ Seq(
+      "", "exactly16chars!!", "x" * 17, "￿" * 20,
+      "a" * 15 + "😀" + "tail", // pair straddles the cut
+      "a" * 14 + "😀" + "tail", // pair ends at the cut
+      "prefix.with;dots" + "y" * 30)
+    for (s <- strs) {
+      val lo = gdx.truncLowerBound(s)
+      assert(lo.compareTo(s) <= 0, s"lower bound above the value: $s")
+      gdx.truncUpperBound(s).foreach { up =>
+        assert(s.compareTo(up) <= 0 &&
+          (s.length <= 16 || s.compareTo(up) < 0),
+          s"upper bound below the value")
+        // every extension sharing the value's window stays below a
+        // TRUNCATED upper bound (exact short bounds are inclusive)
+        if (s.length > 16)
+          for (suffix <- Seq("", "a", "￿￿", " z"))
+            assert((s + suffix).compareTo(up) < 0,
+              s"extension escapes the bound")
+        // bounds must store as valid encodable text (no stranded
+        // surrogate halves)
+        assert(new String(up.getBytes("UTF-8"), "UTF-8") == up)
+      }
+      // the stat escape inverts through the shared unescape and emits
+      // none of the overlay's delimiters
+      val esc = gdx.escapeStatText(s)
+      assert(gdx.unescapeCell(esc) === s)
+      assert(!esc.exists(c => c == '.' || c == ';' || c == '\t' ||
+        c == '=' || c == '\n'))
+    }
+    // all-U+FFFF windows are unboundable: publish nothing
+    assert(gdx.truncUpperBound("￿" * 20).isEmpty)
+  }
+
   test("line-format-breaking strings round-trip under the escape era") {
     // the pre-escape writer refused these loudly; they now encode and
     // read back exactly (tab/newline/CR, a literal \N, lone and

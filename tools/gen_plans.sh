@@ -52,7 +52,10 @@ c34_gdx_typed_columns c35_gdx_branch_wap s41_gdx_temporal_transforms \
 c36_gdx_multi_table_txn stream_gdx_catalog_feed c37_gdx_embedding_column \
 c38_gdx_cbo_stats c39_gdx_map_column c40_gdx_histogram_stats \
 c41_gdx_default_values stream_gdx_wap s42_gdx_cluster_by \
-s43_gdx_describe_detail"
+s43_gdx_describe_detail c42_gdx_struct_column c43_gdx_txn_sql \
+c44_gdx_struct_governance c45_gdx_conversation_column c46_gdx_txn_dml \
+c47_gdx_struct_map_column t_chat_template c48_gdx_real_text \
+c49_gdx_tool_calls s44_gdx_string_skipping"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
   echo
