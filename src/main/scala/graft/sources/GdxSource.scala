@@ -1605,7 +1605,7 @@ object GdxSource {
                             version: Int = -1): Option[String] = {
     val fs = new Path(path).getFileSystem(conf)
     targetManifest(path, conf, version)
-      .flatMap(readManifest(fs, _).partitionCol)
+      .flatMap(readManifestHeaders(fs, _).partitionCol)
   }
 
   /** Parsed view of [[committedPartitionCol]]. */
@@ -2295,11 +2295,12 @@ object GdxSource {
                                     v: Int): Boolean = {
     val fs = new Path(path).getFileSystem(conf)
     val m = manifestFor(path, v)
-    fs.exists(m) && readManifest(fs, m).isDelta
+    fs.exists(m) && readManifestHeaders(fs, m).isDelta
   }
 
-  private def readManifest(fs: FileSystem, m: Path): ManifestData =
-    try readManifestOnce(fs, m)
+  private def readManifest(fs: FileSystem, m: Path,
+                           headersOnly: Boolean = false): ManifestData =
+    try readManifestOnce(fs, m, headersOnly)
     catch {
       // self-heal a directory poisoned before the crc-hygiene fix: a
       // manifest rewritten through the NIO fast path under a stale
@@ -2308,15 +2309,43 @@ object GdxSource {
       // accessor routes through here, so they all share the heal.
       case _: org.apache.hadoop.fs.ChecksumException =>
         dropStaleCrc(m)
-        readManifestOnce(fs, m)
+        readManifestOnce(fs, m, headersOnly)
     }
 
-  private def readManifestOnce(fs: FileSystem, m: Path): ManifestData = {
+  /** HEADER-ONLY manifest read: parses the leading `#` block and stops
+    * at the first entry line — O(headers), not O(entries). Every
+    * `committed*` header accessor uses this; at the 100M-file regime a
+    * schema/colmap/constraint lookup must never pay a full manifest
+    * parse (it was the planning path's hidden O(entries) driver cost
+    * after entry resolution itself went distributed). `entries` is
+    * EMPTY in the returned data — header callers never touch it. */
+  private def readManifestHeaders(fs: FileSystem, m: Path): ManifestData =
+    readManifest(fs, m, headersOnly = true)
+
+  private def readManifestOnce(fs: FileSystem, m: Path,
+                               headersOnly: Boolean = false)
+      : ManifestData = {
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(m), "UTF-8"))
     try {
-      var lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .filter(_.nonEmpty).toList
+      var lines =
+        if (!headersOnly)
+          Iterator.continually(in.readLine()).takeWhile(_ != null)
+            .filter(_.nonEmpty).toList
+        else {
+          // headers LEAD the file by construction (headerLines): stop
+          // at the first entry line
+          val buf = List.newBuilder[String]
+          var l = in.readLine()
+          var go = true
+          while (go && l != null) {
+            if (l.nonEmpty) {
+              if (l.startsWith("#")) buf += l else go = false
+            }
+            if (go) l = in.readLine()
+          }
+          buf.result()
+        }
       // transaction-claim resolution (scaladoc at [[TxnHeader]]): a
       // committed claim READS THROUGH to its staged manifest; an
       // aborted one falls through below and parses as the empty delta
@@ -2344,7 +2373,7 @@ object GdxSource {
         decision match {
           case Some("commit") =>
             val stage = new Path(m.getParent, parts(2))
-            try return readManifest(fs, stage)
+            try return readManifest(fs, stage, headersOnly)
             catch { case _: java.io.FileNotFoundException =>
               reparse(s"references missing stage ${parts(2)}") }
           case Some(_) => () // aborted: the empty delta stands
@@ -2422,7 +2451,8 @@ object GdxSource {
   def committedColmap(path: String, conf: Configuration,
                       version: Int = -1): Option[Colmap] = {
     val fs = new Path(path).getFileSystem(conf)
-    targetManifest(path, conf, version).flatMap(readManifest(fs, _).colmap)
+    targetManifest(path, conf, version)
+      .flatMap(readManifestHeaders(fs, _).colmap)
   }
 
   /** The `(name, expr SQL)` CHECK constraints the chosen snapshot
@@ -2431,7 +2461,7 @@ object GdxSource {
                            version: Int = -1): Seq[(String, String)] = {
     val fs = new Path(path).getFileSystem(conf)
     targetManifest(path, conf, version).toSeq
-      .flatMap(readManifest(fs, _).checks)
+      .flatMap(readManifestHeaders(fs, _).checks)
   }
 
   /** The header block every manifest writes: schema, column mapping
@@ -2455,7 +2485,7 @@ object GdxSource {
                       version: Int = -1): StructType = {
     val fs = new Path(path).getFileSystem(conf)
     targetManifest(path, conf, version)
-      .flatMap(readManifest(fs, _).schema).getOrElse(schema)
+      .flatMap(readManifestHeaders(fs, _).schema).getOrElse(schema)
   }
 
   /** Manifest entries (file name + optional zone-map stats) the chosen
@@ -3972,6 +4002,51 @@ object GdxSource {
           keySets.forall(_.exists(GdxBloom.mightContain(bits, _)))
       }
     }
+  }
+
+  /** Greedy bin-packing of per-file partitions into task-sized
+    * groups, mirroring Spark's FilePartition packing: the split
+    * target is `min(spark.sql.files.maxPartitionBytes,
+    * max(spark.sql.files.openCostInBytes, totalCost/parallelism))`
+    * where each file costs its manifest-carried size (`b:`; an
+    * unknown size counts as the max split — it gets its own
+    * partition) plus the open cost. Small tables therefore keep one
+    * file per task (the per-core cap undercuts any file, preserving
+    * full parallelism); the regime this exists for is 100M surviving
+    * small files, where per-file partitions would mean 100M tasks and
+    * driver-side partition objects — groups bound both by BYTES, not
+    * file count. Files pack in name order (the manifest's canonical
+    * order), so a group's rows stream file-after-file with no reorder. */
+  private[graft] def packFilePartitions(
+      files: Seq[(GdxFilePartition, Option[Long])])
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val maxBytes = conf.filesMaxPartitionBytes
+    val openCost = conf.filesOpenCostInBytes
+    val parallelism =
+      try SparkSession.active.sparkContext.defaultParallelism
+      catch { case _: Exception => 1 }
+    val totalCost = files.map { case (_, sz) =>
+      sz.getOrElse(maxBytes) + openCost }.sum
+    val target = math.min(maxBytes,
+      math.max(openCost, totalCost / math.max(parallelism, 1)))
+    val out = Array.newBuilder[
+      org.apache.spark.sql.connector.read.InputPartition]
+    val cur = Seq.newBuilder[GdxFilePartition]
+    var curN = 0
+    var curBytes = 0L
+    def flush(): Unit = if (curN > 0) {
+      val fs = cur.result()
+      out += (if (fs.length == 1) fs.head else GdxFileGroupPartition(fs))
+      cur.clear(); curN = 0; curBytes = 0L
+    }
+    files.foreach { case (p, sz) =>
+      val len = sz.getOrElse(maxBytes)
+      if (curN > 0 && curBytes + len > target) flush()
+      cur += p; curN += 1; curBytes += len + openCost
+    }
+    flush()
+    out.result()
   }
 
   /** Manifest-plus-sidecar count of the files a scan with `filters`
@@ -6807,6 +6882,12 @@ class GdxScanBuilder(path: String, version: Int,
   * joins group on. [[HasPartitionKey]] is only consulted when the scan
   * reports [[KeyGroupedPartitioning]], which [[GdxScan.outputPartitioning]]
   * does only if EVERY planned file carries a key. */
+/** Several data files read by ONE task, in order — the bin-packed
+  * scan partition ([[GdxSource.packFilePartitions]]). Never carries a
+  * partition key: keyed (SPJ) scans stay per-file. */
+case class GdxFileGroupPartition(files: Seq[GdxFilePartition])
+    extends InputPartition
+
 case class GdxFilePartition(file: String, dv: Option[String] = None,
                             partKey: Option[Option[Long]] = None,
                             bucketed: Boolean = false,
@@ -7195,13 +7276,39 @@ class GdxScan(path: String, version: Int, pushed: Array[Filter], limit: Int,
       val keyed = spjActive
       val bucketed = partitionSpec
         .exists(_.isInstanceOf[GdxSource.GdxBucketPart])
-      kept.map(e => GdxFilePartition(
+      val perFile = kept.map(e => GdxFilePartition(
         GdxSource.entryPath(path, e.name).toString,
         e.dv.map(d => GdxSource.entryPath(path, d).toString),
         if (keyed) partKeyOf(partitionSpec.get.render, e.name) else None,
         bucketed = keyed && bucketed,
-        esc = e.escaped)
-        : InputPartition).toArray
+        esc = e.escaped))
+      // BIN-PACK files into scan partitions (Spark's own FilePartition
+      // formula: maxSplit = min(maxPartitionBytes, max(openCost,
+      // totalBytes/parallelism)), sizes from the manifest's `b:`
+      // overlay) — one InputPartition per file is the hidden
+      // scheduling bottleneck at the 100M-file regime (a million
+      // surviving small files would otherwise mean a million tasks).
+      // Small tables keep full parallelism (the per-core cap shrinks
+      // the split target below any file), keyed SPJ scans must keep
+      // their per-file partition keys, and the partial-aggregate
+      // reader folds per PARTITION, so groups are fine there too —
+      // but it reports through `required = table schema`, so keep its
+      // historical per-file shape for plan-audit stability.
+      // packing engages only past a FILE-COUNT threshold (4 waves of
+      // tasks, floor 64): below it the historical one-file-per-task
+      // shape keeps small tables at full parallelism and keeps task
+      // boundaries aligned with file boundaries for plan audits; the
+      // regime packing exists for — hundreds of thousands of
+      // surviving small files — is far past it
+      val packPast = math.max(
+        4 * (try SparkSession.active.sparkContext.defaultParallelism
+             catch { case _: Exception => 1 }), 64)
+      if (keyed || aggOps.isDefined || perFile.length <= packPast)
+        perFile.map(p => p: InputPartition).toArray
+      else {
+        val sizes = kept.map(_.stats.flatMap(_.bytes))
+        GdxSource.packFilePartitions(perFile.zip(sizes))
+      }
     }
 
   // slot-positioned view of the logical schema: readers resolve
@@ -7520,6 +7627,32 @@ class GdxReaderFactory(pushed: Array[Filter], limit: Int,
               tableSchema, tableSchema, dv, esc), ops)
           case None => new GdxFileReader(file, pushed, limit, conf,
             required, tableSchema, dv, esc)
+        }
+      // a bin-packed group: chain the per-file readers in order; a
+      // pushed LIMIT is enforced across the WHOLE chain (each file's
+      // reader gets the remainder)
+      case GdxFileGroupPartition(files) =>
+        new PartitionReader[InternalRow] {
+          private val it = files.iterator
+          private var cur: GdxFileReader = _
+          private var emitted = 0L
+          override def next(): Boolean = {
+            if (limit >= 0 && emitted >= limit) return false
+            while (true) {
+              if (cur == null) {
+                if (!it.hasNext) return false
+                val p = it.next()
+                cur = new GdxFileReader(p.file, pushed,
+                  if (limit < 0) -1 else (limit - emitted).toInt,
+                  conf, required, tableSchema, p.dv, p.esc)
+              }
+              if (cur.next()) { emitted += 1; return true }
+              cur.close(); cur = null
+            }
+            false // unreachable
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
         }
     }
 }

@@ -233,6 +233,51 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     assert(names() === Seq("a", "b", "legacy"))
   }
 
+  test("scan partitions BIN-PACK many small files per task (Spark's " +
+      "FilePartition formula); small tables keep one file per task " +
+      "and results are identical either way") {
+    val dir = freshDir("binpack")
+    val conf = graft.sources.GdxSource.driverConf()
+    val thr = math.max(4 * spark.sparkContext.defaultParallelism, 64)
+    // AQE's partition coalescing would merge the tiny write shuffles
+    // and undershoot the intended file count — pin it off for the
+    // fixture writes (a clone: never the shared session)
+    val w = Sessions.pinned(spark,
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType,
+      StructField, StructType}
+    def write(lo: Long, hi: Long, parts: Int): Unit =
+      w.createDataFrame(
+        w.sparkContext.parallelize(
+          (lo to hi).map(i => Row(i, s"r$i")), parts),
+        StructType(Seq(StructField("k", LongType),
+          StructField("v", StringType))))
+        .write.format("graft.sources.GdxSource")
+        .option("path", dir).mode("append").save()
+    // AT the threshold: one file per task (the historical shape every
+    // other spec pins — small tables keep full parallelism)
+    write(1L, thr.toLong, thr)
+    assert(graft.sources.GdxSource
+      .committedEntries(dir, conf).size === thr)
+    assert(read(dir).rdd.getNumPartitions === thr)
+    // PAST it: files bin-pack by bytes (Spark's FilePartition
+    // formula), and a task reads several files through one chained
+    // reader with identical answers
+    val n = thr + 16
+    write(thr.toLong + 1, n.toLong, 16)
+    val grouped = read(dir)
+    val nGrouped = grouped.rdd.getNumPartitions
+    assert(nGrouped < n && nGrouped > 0,
+      s"expected grouped partitions, got $nGrouped of $n files")
+    assert(grouped.as[(Long, String)].collect().toSet ===
+      (1L to n.toLong).map(i => (i, s"r$i")).toSet)
+    // pushed limit is honored across a group's file chain
+    assert(grouped.limit(10).collect().length === 10)
+    // zone-map pruning composes: a point read still plans one file
+    assert(read(dir).filter(col("k") === 7).rdd.getNumPartitions === 1)
+  }
+
   test("zone maps prune files the pushed k-range cannot touch") {
     val dir = freshDir("zm")
     (1L to 1000L).map(i => (i, "x")).toDF("k", "v")
