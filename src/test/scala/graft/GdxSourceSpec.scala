@@ -278,6 +278,40 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     assert(read(dir).filter(col("k") === 7).rdd.getNumPartitions === 1)
   }
 
+  test("packFilePartitions: unknown sizes get their own partition, " +
+      "big files stay singletons, tiny files fill bins by bytes") {
+    import graft.sources.{GdxFilePartition, GdxFileGroupPartition,
+      GdxSource}
+    def p(n: Int) = GdxFilePartition(s"f$n")
+    def filesOf(ip: org.apache.spark.sql.connector.read.InputPartition)
+        : Seq[String] = ip match {
+      case GdxFileGroupPartition(fs) => fs.map(_.file)
+      case f: GdxFilePartition      => Seq(f.file)
+    }
+    val s = Sessions.pinned(spark,
+      "spark.sql.files.maxPartitionBytes" -> (100L * 1024 * 1024).toString,
+      "spark.sql.files.openCostInBytes" -> (4L * 1024 * 1024).toString)
+    Sessions.withActive(s) {
+      // 64 × 1 MB files on 4-cores-worth of budget: bins fill to the
+      // per-core byte share, never past maxPartitionBytes
+      val tiny = (1 to 64).map(i => (p(i), Some(1L * 1024 * 1024)))
+      val bins = GdxSource.packFilePartitions(tiny)
+      assert(bins.length < 64 && bins.length > 1)
+      assert(bins.flatMap(filesOf).toSeq === tiny.map(_._1.file),
+        "packing preserves manifest name order")
+      // an UNKNOWN size counts as the max split — forced singleton
+      val mixed = Seq((p(1), Some(1024L)), (p(2), None),
+        (p(3), Some(1024L)))
+      val mixedBins = GdxSource.packFilePartitions(mixed)
+      assert(mixedBins.exists(ip => filesOf(ip) == Seq("f2")),
+        s"unknown-size file must sit alone, got " +
+          mixedBins.map(filesOf).toSeq)
+      // files at/above the split target stay singletons
+      val big = (1 to 4).map(i => (p(i), Some(200L * 1024 * 1024)))
+      assert(GdxSource.packFilePartitions(big).length === 4)
+    }
+  }
+
   test("zone maps prune files the pushed k-range cannot touch") {
     val dir = freshDir("zm")
     (1L to 1000L).map(i => (i, "x")).toDF("k", "v")
