@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // materialized-view auto-rewrite: aggregates over a registered base
     // table are transparently answered from its summary (plans/MvRewrite)
     e.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
+    // variant shredding: variant_get over a GDX table's declared shred
+    // path rewrites onto the stored shadow column, so the predicate
+    // plans (zone maps, pushdown) like a plain column filter
+    e.injectOptimizerRule(_ => graft.plans.GdxShredRewrite)
     // SQL DML front door for GDX tables: DELETE FROM / UPDATE /
     // MERGE INTO route to the format's transactional row-level ops
     // (plans/GdxDml) — post-hoc so the statements arrive fully resolved

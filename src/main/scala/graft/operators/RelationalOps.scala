@@ -4411,6 +4411,118 @@ object RelationalOps extends QueryModule {
         .orderBy("lang", "name")
     }),
 
+    // C50 — VARIANT COLUMNS: the semi-structured escape hatch (the
+    // SQL:2023 JSON / Parquet VARIANT role). Ragged per-document
+    // metadata — nested objects, optional keys, arrays — lands in ONE
+    // `variant` column with no declared shape: cells store the
+    // value's canonical JSON escape-encoded (arbitrary content is
+    // inert to the line format), decode through Spark's own variant
+    // parser, and `variant_get` paths ($.src.n, optional keys → NULL)
+    // read it back typed. Row-level DML predicates evaluate on the
+    // DECODED variant (a DV commit), and time travel still serves the
+    // pre-delete corpus. At 100 TB this is where trace/annotation
+    // shapes too ragged for the typed matrix live without a schema
+    // migration per experiment.
+    "c50_gdx_variant_column" -> ((s, d) => {
+      val dir = graft.Scratch.tablePath("graft_gdxvariant_")
+      val gdx = graft.sources.GdxSource
+      val fmt = "graft.sources.GdxSource"
+      val rows = Tables.documents(s, d).select(
+        col("doc_id").as("k"),
+        parse_json(to_json(struct(
+          col("lang"),
+          struct(col("source").as("name"), col("n_chars").as("n"))
+            .as("src"),
+          substring(col("text"), 1, 24).as("t"),
+          // present only on every third doc — to_json drops null
+          // fields, so the key is ABSENT, not null (variant_get → NULL)
+          when(col("doc_id") % 3 === 0, col("doc_id") % 7)
+            .otherwise(lit(null)).as("opt")))).as("meta"))
+      rows.write.format(fmt).option("path", dir)
+        .mode("overwrite").save()
+      val total = s.read.format(fmt).option("path", dir).load().count()
+      // curation by a NESTED variant path — decoded row-level, DV commit
+      gdx.delete(s, dir, expr(
+        "variant_get(meta, '$.src.n', 'long') % 5 = 0") &&
+        col("k") % 2 === 0)
+      val ttOk = s.read.format(fmt).option("path", dir)
+        .option("version", "1").load().count() == total
+      s.read.format(fmt).option("path", dir).load()
+        .groupBy(variant_get(col("meta"), "$.lang", "string").as("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(variant_get(col("meta"), "$.src.n", "long")).as("sum_n"),
+          countDistinct(variant_get(col("meta"), "$.t", "string"))
+            .as("d_t"),
+          count(variant_get(col("meta"), "$.opt", "long")).as("n_opt"))
+        .withColumn("tt_ok", lit(ttOk))
+        .orderBy("lang")
+    }),
+
+    // S45 — VARIANT SHREDDING: a declared shadow column
+    // (`gdx.shred.meta_lang = 'meta:lang'`) derives at EVERY write
+    // (generated-always — it can never drift), stores as an ordinary
+    // typed column with truncated string bounds in the zone maps, and
+    // the optimizer rewrite (plans/GdxShredRewrite) plans
+    // `variant_get(meta, '$.lang', 'string') = 'de'` onto it — so the
+    // semi-structured predicate PUSHES and PRUNES FILES like a plain
+    // column filter. The Parquet variant-shredding contract
+    // re-expressed for this format: a corpus slice by a JSON field
+    // reads proportionally to the slice at 100 TB, never a full parse
+    // of every document's metadata.
+    "s45_gdx_variant_shred" -> ((s, d) => {
+      val wh = graft.Scratch.tablePath("graft_gdxshred_")
+      val cat = "gdx_s45"
+      val gdx = graft.sources.GdxSource
+      val c = graft.Sessions.pinned(s,
+        s"spark.sql.catalog.$cat" -> "graft.sources.GdxCatalog",
+        s"spark.sql.catalog.$cat.warehouse" -> wh)
+      c.sql(s"CREATE NAMESPACE $cat.lab")
+      c.sql(s"""CREATE TABLE $cat.lab.corpus
+        (k BIGINT, meta VARIANT, meta_lang STRING, meta_q DOUBLE)
+        TBLPROPERTIES ('gdx.shred.meta_lang' = 'meta:lang',
+                       'gdx.shred.meta_q'    = 'meta:quality')""")
+      // quality in exact quarters: float-exact across engines
+      val rows = Tables.documents(c, d).select(
+        col("doc_id").as("k"),
+        parse_json(to_json(struct(
+          col("lang"),
+          ((col("n_chars") % 16).cast("double") / 4.0).as("quality"),
+          col("source").as("src")))).as("meta"))
+        .withColumn("meta_lang", lit(null).cast("string"))
+        .withColumn("meta_q", lit(null).cast("double"))
+      // range layout on the (derived) lang → narrow per-file windows,
+      // so the equality slice provably skips files
+      graft.Sessions.insertInto(c, rows.repartitionByRange(8,
+        expr("variant_get(meta, '$.lang', 'string')"), col("k")),
+        s"$cat.lab.corpus")
+      val dir = s"$wh/lab/corpus"
+      import org.apache.spark.sql.sources.EqualTo
+      val (kept, all) = gdx.plannedFiles(dir,
+        Seq(EqualTo("meta_lang", "de")))
+      val pruneEq = kept > 0 && kept < all
+      val q = c.sql(s"""SELECT
+          variant_get(meta, '$$.lang', 'string') AS lang,
+          count(*) AS n,
+          sum(variant_get(meta, '$$.quality', 'double')) AS sum_q,
+          count(DISTINCT variant_get(meta, '$$.src', 'string')) AS n_src
+        FROM $cat.lab.corpus
+        WHERE variant_get(meta, '$$.lang', 'string') = 'de'
+        GROUP BY 1 ORDER BY 1""")
+      // the optimizer rewrote the PREDICATE onto its shadow — no
+      // Filter in the optimized plan evaluates a variant_get ($.src
+      // has no shadow and legitimately stays one in the projection)
+      val rewriteOk = q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists {
+            case _: org.apache.spark.sql.catalyst.expressions.variant
+                .VariantGet => true
+            case _ => false
+          }
+      }.forall(_ == false)
+      q.withColumn("prune_eq", lit(pruneEq))
+        .withColumn("rewrite_ok", lit(rewriteOk))
+    }),
+
     "c45_gdx_conversation_column" -> ((s, d) => {
       val wh = graft.Scratch.tablePath("graft_gdxconv_")
       val cat = "gdx_c45"
@@ -5892,6 +6004,33 @@ object RelationalOps extends QueryModule {
         |  count(DISTINCT args) AS d_args, TRUE AS tt_ok
         |FROM calls GROUP BY lang, name
         |ORDER BY lang, name""".stripMargin,
+
+    // the variant corpus recomputed relationally: the JSON fields map
+    // straight back to the source columns, the optional key to its
+    // CASE, the nested-path delete to its residue filter; the
+    // time-travel claim pinned TRUE
+    "c50_gdx_variant_column" ->
+      """WITH live AS (SELECT * FROM documents
+        |  WHERE NOT (n_chars % 5 = 0 AND doc_id % 2 = 0))
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n,
+        |  count(DISTINCT substr(text, 1, 24)) AS d_t,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_opt,
+        |  TRUE AS tt_ok
+        |FROM live GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the shredded slice recomputed relationally (quality is exact
+    // quarters, so the float sum is order-independent); both planning
+    // claims pinned TRUE
+    "s45_gdx_variant_shred" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(CAST(n_chars % 16 AS DOUBLE) / 4.0) AS DOUBLE)
+        |    AS sum_q,
+        |  count(DISTINCT source) AS n_src,
+        |  TRUE AS prune_eq, TRUE AS rewrite_ok
+        |FROM documents WHERE lang = 'de'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "c45_gdx_conversation_column" ->
       """WITH live AS (SELECT doc_id AS k, lang FROM documents

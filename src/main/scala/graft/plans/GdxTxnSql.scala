@@ -441,7 +441,7 @@ object GdxSqlTxn {
   def refuseIfOpen(s: SparkSession, stmt: String): Unit =
     require(!isOpen(s),
       s"gdx txn: $stmt is not transactional - only INSERT INTO, " +
-        "DELETE FROM, UPDATE and LWW MERGE stage inside " +
+        "DELETE FROM, UPDATE and MERGE stage inside " +
         "BEGIN TRANSACTION; COMMIT or ROLLBACK first")
 }
 

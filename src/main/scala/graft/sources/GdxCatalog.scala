@@ -226,6 +226,42 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
       }
     })
 
+  /** Apply `gdx.shred.<col> = <variantCol>:<key>` TBLPROPERTIES: the
+    * SQL declaration door for shredded columns (DDL cannot attach
+    * field metadata directly). The column itself is declared normally
+    * in the column list; the property marks it GENERATED from the
+    * variant source's top-level key. Cross-field validation (source
+    * exists and is a variant) runs in [[GdxSource.schemaSpec]] at
+    * commit. */
+  private def applyShredProps(schema: StructType,
+      properties: util.Map[String, String]): StructType = {
+    val prefix = "gdx.shred."
+    import scala.jdk.CollectionConverters._
+    val shreds = properties.asScala.collect {
+      case (k, v) if k.startsWith(prefix) => k.drop(prefix.length) -> v
+    }
+    if (shreds.isEmpty) schema
+    else {
+      shreds.keys.foreach { c =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"gdx catalog: gdx.shred.$c names no declared column")
+      }
+      StructType(schema.fields.map { f =>
+        shreds.collectFirst {
+          case (c, v) if c.equalsIgnoreCase(f.name) => v
+        } match {
+          case None => f
+          case Some(v) =>
+            val i = v.indexOf(':')
+            require(i > 0 && i < v.length - 1,
+              s"gdx catalog: gdx.shred.${f.name} must be " +
+                s"'<variantCol>:<key>' (got '$v')")
+            GdxSource.withShred(f, v.substring(0, i), v.substring(i + 1))
+        }
+      })
+    }
+  }
+
   /** DDL commits its own visible snapshot (or deletes one) — none of
     * it can honor an open SQL transaction's all-or-nothing contract,
     * so every mutating catalog entry point refuses loudly while one
@@ -240,7 +276,7 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
     refuseDdlInTxn("CREATE TABLE")
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
-    val schema = normalizeDefaults(schema0)
+    val schema = applyShredProps(normalizeDefaults(schema0), properties)
     val spec = validateDeclaration(schema, partitions)
     // v1 is an EMPTY truncate commit CAS-pinned to base 0: it records
     // the declared schema and layout in the manifest header, a

@@ -421,6 +421,22 @@ object GdxSource {
     case TimestampType  => "timestamp"
     case BooleanType    => "boolean"
     case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    // VARIANT — the semi-structured escape hatch for shapes the typed
+    // matrix doesn't declare (arbitrary-depth traces, ragged metadata;
+    // the role SQL:2023 JSON / Parquet VARIANT plays). Cells store the
+    // value's canonical JSON rendering, escape-encoded like any string
+    // ([[escapeCell]] — arbitrary content is inert to the splitters),
+    // and decode through Spark's own parser back to a VariantVal, so
+    // `variant_get`/`try_variant_get` work directly over the scan.
+    // Fidelity contract is the JSON type system: a variant built by
+    // parse_json round-trips exactly (the builder is deterministic);
+    // one CAST from a native type normalizes through its JSON
+    // rendering (timestamps → strings), the same contract to_json has.
+    // Equal stored values always render equal cell bytes — the
+    // canonical-bytes property restatements rely on. JSON `null` is a
+    // variant-null VALUE; SQL NULL keeps the \N marker — distinct and
+    // both representable.
+    case org.apache.spark.sql.types.VariantType => "variant"
     // numeric ARRAYS — the embedding / token-id column shapes: cells
     // encode as comma-joined element text ("" = the empty array);
     // NULL elements are refused at write time (the encoding has no
@@ -482,9 +498,9 @@ object GdxSource {
         require(sf.name.nonEmpty && !sf.name.exists(ch =>
             ch == ':' || ch == ',' || ch == '<' || ch == '>' ||
             ch == '(' || ch == ')' || ch == '=' || ch == '.' ||
-            ch == '\t' || ch == '\n' || ch == '\r'),
+            ch == '^' || ch == '\t' || ch == '\n' || ch == '\r'),
           s"gdx: illegal struct field name '${sf.name}' " +
-            "(':,<>()=.' and whitespace delimit the schema encoding)")
+            "(':,<>()=.^' and whitespace delimit the schema encoding)")
         s"${sf.name}:${typeNameOf(sf.dataType)}"
       }.mkString(",") + ">"
     case other => throw new IllegalArgumentException(
@@ -498,6 +514,7 @@ object GdxSource {
     case "date"      => DateType
     case "timestamp" => TimestampType
     case "boolean"   => BooleanType
+    case "variant"   => org.apache.spark.sql.types.VariantType
     case "array<float>"  => ArrayType(FloatType)
     case "array<double>" => ArrayType(DoubleType)
     case "array<bigint>" => ArrayType(LongType)
@@ -559,6 +576,96 @@ object GdxSource {
       Some(f.metadata.getString(DefaultCellKey))
     else None
 
+  // --------------------------------------------------- variant shredding
+  // A SHREDDED column is a real, stored, stats-bearing column whose
+  // value is GENERATED AT WRITE from a top-level key of a sibling
+  // VARIANT column (`try_variant_get(v, '$.key', type)` semantics —
+  // NULL when the key is absent or uncastable). It is the Parquet
+  // variant-shredding idea re-expressed for this format: the typed
+  // leaf rides every existing lane (cells, zone maps incl. the
+  // truncated string bounds, pruning, SPJ) with ZERO new read-side
+  // machinery, and [[graft.plans.GdxShredRewrite]] rewrites
+  // variant_get calls over the table onto it, so a `variant_get(v,
+  // '$.lang', 'string') = 'uk'` predicate PLANS like a plain column
+  // filter — a corpus slice by a semi-structured field reads
+  // proportionally to the slice at 100 TB. Writers OVERWRITE any
+  // user-supplied value (generated-always), so the shadow can never
+  // drift from its source.
+  private[graft] val ShredOfKey  = "gdxShredOf"
+  private[graft] val ShredKeyKey = "gdxShredKey"
+
+  /** (source variant column, top-level key) of a shredded field. */
+  private[graft] def shredOf(f: StructField): Option[(String, String)] =
+    if (f.metadata.contains(ShredOfKey))
+      Some((f.metadata.getString(ShredOfKey),
+        f.metadata.getString(ShredKeyKey)))
+    else None
+
+  /** Declare `f` as shredded from `of`'s top-level `key`. v1 scope:
+    * string/long/double targets and a single top-level object key —
+    * the lang/source/quality slice shapes; deeper paths stay behind
+    * variant_get. The field also gets NULL CURRENT/EXISTS defaults so
+    * INSERTs may omit it (the analyzer fills NULL, the writer
+    * overwrites with the derived value). */
+  private[graft] def withShred(f: StructField, of: String,
+                               key: String): StructField = {
+    require(f.dataType == StringType || f.dataType == LongType ||
+        f.dataType == DoubleType,
+      s"gdx: shredded column ${f.name} must be string, long or " +
+        s"double (got ${f.dataType.catalogString})")
+    require(key.nonEmpty && key.forall(c => c.isLetterOrDigit || c == '_'),
+      s"gdx: shred key '$key' must be a simple top-level object key " +
+        "([A-Za-z0-9_]+)")
+    require(of.nonEmpty && !of.exists(c => c == '^' || c == '.' ||
+        c == ':' || c == ',' || c == '=' || c == '\t' || c == '\n'),
+      s"gdx: illegal shred source column name '$of'")
+    require(!f.metadata.contains(DefaultCellKey),
+      s"gdx: shredded column ${f.name} is generated - DEFAULT is " +
+        "meaningless on it")
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putString(ShredOfKey, of)
+      .putString(ShredKeyKey, key)
+      .putString("CURRENT_DEFAULT", "NULL")
+      .putString("EXISTS_DEFAULT", "NULL")
+      .build())
+  }
+
+  /** Overlay the TABLE's shred annotations onto a write schema: Spark
+    * hands the write builder the input FRAME's schema, which carries
+    * no field metadata — without the overlay a path-based append
+    * would silently skip the generated-always derive. */
+  private[graft] def overlayShreds(write: StructType,
+                                   table: StructType): StructType =
+    if (!table.fields.exists(f => shredOf(f).isDefined)) write
+    else StructType(write.fields.map { f =>
+      table.fields.find(_.name.equalsIgnoreCase(f.name))
+        .flatMap(shredOf) match {
+        case Some((of, key)) if !f.metadata.contains(ShredOfKey) =>
+          withShred(f, of, key)
+        case _ => f
+      }
+    })
+
+  /** Re-derive every shredded column of `schema` present in `rows`
+    * from its variant source (generated-always: user-supplied values
+    * are overwritten, so the shadow can never drift). A no-op on
+    * schemas with no shredded fields. */
+  private[graft] def deriveShreds(rows: org.apache.spark.sql.DataFrame,
+      schema: StructType): org.apache.spark.sql.DataFrame = {
+    val shreds = schema.fields.filter(f => shredOf(f).isDefined)
+    if (shreds.isEmpty) rows
+    else shreds.foldLeft(rows) { (df, f) =>
+      if (!df.columns.exists(_.equalsIgnoreCase(f.name))) df
+      else {
+        val (of, key) = shredOf(f).get
+        df.withColumn(f.name, org.apache.spark.sql.functions
+          .try_variant_get(org.apache.spark.sql.functions.col(of),
+            "$." + key, f.dataType.sql))
+      }
+    }
+  }
+
   /** Attach a validated default to a field: the text must be a
     * parseable cell of the field's type and must stay out of the
     * schema-line vocabulary (no tab/newline/',' — the field separator
@@ -570,9 +677,12 @@ object GdxSource {
         c == ',') && text != NullMarker && text.nonEmpty,
       s"gdx: default for ${f.name} must be non-empty and free of " +
         "tab/newline/',' (schema-line encoding)")
+    require(!f.metadata.contains(ShredOfKey),
+      s"gdx: shredded column ${f.name} is generated - DEFAULT is " +
+        "meaningless on it")
     f.dataType match {
       case _: org.apache.spark.sql.types.MapType | ArrayType(_, _) |
-           _: StructType =>
+           _: StructType | org.apache.spark.sql.types.VariantType =>
         throw new IllegalArgumentException(
           s"gdx: DEFAULT is not supported for ${f.dataType.catalogString}")
       case dt =>
@@ -602,7 +712,7 @@ object GdxSource {
       case d: DecimalType =>
         v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString
       case _: org.apache.spark.sql.types.MapType | ArrayType(_, _) |
-           _: StructType =>
+           _: StructType | org.apache.spark.sql.types.VariantType =>
         throw new IllegalArgumentException(
           s"gdx: no cell-text literal for ${dt.catalogString}")
       case _ => v.toString // long/double/boolean/date-int/ts-micros/utf8
@@ -632,9 +742,22 @@ object GdxSource {
           throw new IllegalArgumentException(
             s"gdx: unsupported column type ${f.dataType} for ${f.name}")
       }
-      require(!f.name.contains('='),
-        s"gdx: illegal column name '${f.name}' ('=' delimits defaults)")
-      s"${f.name}:$tn" + defaultCellOf(f).map("=" + _).getOrElse("")
+      require(!f.name.contains('=') && !f.name.contains('^'),
+        s"gdx: illegal column name '${f.name}' ('=' delimits defaults," +
+          " '^' delimits shred annotations)")
+      // a shredded field rides the schema line as a `^source.key`
+      // suffix on its type — the annotation is correctness-bearing
+      // (the writer derives from it), so it must travel with the
+      // schema through EVERY commit path, not in a sidecar
+      val shred = shredOf(f).map { case (of, key) =>
+        val si = st.fieldNames.indexWhere(_.equalsIgnoreCase(of))
+        require(si >= 0 &&
+            st.fields(si).dataType == org.apache.spark.sql.types.VariantType,
+          s"gdx: shredded column ${f.name} references '$of', which is " +
+            "not a variant column of this table")
+        s"^$of.$key"
+      }.getOrElse("")
+      s"${f.name}:$tn$shred" + defaultCellOf(f).map("=" + _).getOrElse("")
     }.mkString(",")
 
   private[graft] def parseSchemaSpec(s: String): StructType = {
@@ -663,14 +786,25 @@ object GdxSource {
     StructType(fields.result().map { fld =>
       val j = fld.indexOf(':')
       require(j > 0, s"gdx: unparseable schema field '$fld'")
+      val name = fld.substring(0, j)
       val rest = fld.substring(j + 1)
+      // within the type part, a '^' opens the shred annotation
+      // (`type^source.key`) — '^' is banned in every name surface, so
+      // the first one is always the delimiter
+      def typed(t: String): StructField = t.indexOf('^') match {
+        case -1 => StructField(name, namedType(t))
+        case c  =>
+          val ann = t.substring(c + 1)
+          val dot = ann.indexOf('.')
+          require(dot > 0, s"gdx: unparseable shred annotation '$ann'")
+          withShred(StructField(name, namedType(t.substring(0, c))),
+            ann.substring(0, dot), ann.substring(dot + 1))
+      }
       // the FIRST '=' delimits an optional default cell (type names
       // never contain '='; the default may — strings keep their '='s)
       rest.indexOf('=') match {
-        case -1 => StructField(fld.substring(0, j), namedType(rest))
-        case k  => withDefaultCell(
-          StructField(fld.substring(0, j),
-            namedType(rest.substring(0, k))),
+        case -1 => typed(rest)
+        case k  => withDefaultCell(typed(rest.substring(0, k)),
           rest.substring(k + 1))
       }
     })
@@ -824,6 +958,14 @@ object GdxSource {
             entries.map(e => UTF8String.fromString(
               decodeText(e._2, esc)): Any)))
       case st: StructType => parseStructInternal(st, st, s, esc)
+      case org.apache.spark.sql.types.VariantType =>
+        // the stored cell is the value's canonical JSON text; Spark's
+        // own parser rebuilds the VariantVal (deterministic builder —
+        // re-rendering an unchanged value reproduces the same bytes)
+        org.apache.spark.sql.catalyst.expressions.variant
+          .VariantExpressionEvalUtils.parseJson(
+            UTF8String.fromString(decodeText(s, esc)),
+            allowDuplicateKeys = false, failOnError = true)
       case _              => UTF8String.fromString(decodeText(s, esc))
     }
 
@@ -1012,6 +1154,12 @@ object GdxSource {
               case dt => parseExternalCell(dt, parts(i), esc)
             }
           }.toSeq)
+      case org.apache.spark.sql.types.VariantType =>
+        // external form of VariantType IS VariantVal (no Row wrapper)
+        org.apache.spark.sql.catalyst.expressions.variant
+          .VariantExpressionEvalUtils.parseJson(
+            UTF8String.fromString(decodeText(s, esc)),
+            allowDuplicateKeys = false, failOnError = true)
       case _              => decodeText(s, esc)
     }
 
@@ -1102,6 +1250,11 @@ object GdxSource {
     case st: StructType =>
       appendStructCellInternal(sb, st, r.getStruct(i, st.length),
         ctx, field)
+    case org.apache.spark.sql.types.VariantType =>
+      // canonical JSON rendering, escape-encoded like any string —
+      // arbitrary nested content is inert to the positional splitters
+      sb.append(escapeCell(
+        r.getVariant(i).toJson(java.time.ZoneOffset.UTC))); ()
     case _ =>
       // escape-era write: arbitrary Unicode round-trips ([[escapeCell]]
       // removes every structural character; a literal "\N" escapes its
@@ -1251,6 +1404,9 @@ object GdxSource {
       appendMapEntries(sb, entries, ctx, field)
     case st: StructType =>
       appendStructCellExternal(sb, st, r.getStruct(i), ctx, field)
+    case org.apache.spark.sql.types.VariantType =>
+      sb.append(escapeCell(r.getAs[org.apache.spark.unsafe.types
+        .VariantVal](i).toJson(java.time.ZoneOffset.UTC))); ()
     case _ =>
       // escape-era write (see the internal twin)
       sb.append(escapeCell(r.getString(i))); ()
@@ -4614,6 +4770,9 @@ object GdxSource {
                              namePrefix: String = "")
       : Seq[GdxFileEntry] = {
     val types = tblSchema.fields.map(_.dataType)
+    // shredded columns re-derive from their variant source before the
+    // rows render (generated-always — a rewrite can never drift them)
+    val rows2 = deriveShreds(rows, tblSchema)
     // physical slot -> logical field (-1 = dead slot, written \N)
     val layout = writeLayout(tblSchema, colmap)
     // extended stats like the main writer (numeric non-key columns,
@@ -4622,7 +4781,7 @@ object GdxSource {
     // v..v range on these stats is what keeps updated rows PRUNABLE —
     // without them every p = x query would plan every upd file forever
     val lanes: Array[StatLane] = statLanes(tblSchema)
-    rows.rdd.mapPartitions { it =>
+    rows2.rdd.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
         // a `col=key/` prefix keeps a partitioned rewrite INSIDE its
@@ -6601,7 +6760,14 @@ class GdxTable(path: String, tableSchema: StructType = GdxSource.schema,
     new GdxWriteBuilder(path,
       Option(info.options.get("expectedBaseVersion")).map(_.toInt)
         .getOrElse(-1),
-      info.schema(),
+      // the input frame's schema carries no field metadata — fold the
+      // table's shred annotations back in so every write door derives
+      // (a path-based getTable receives the FRAME schema as
+      // tableSchema, so the committed schema is the authority; it
+      // falls back to the default on a first write)
+      GdxSource.overlayShreds(
+        GdxSource.overlayShreds(info.schema(), tableSchema),
+        GdxSource.committedSchema(path, GdxSource.driverConf())),
       // the table-side declaration is manifest-sourced (loadTable) and
       // may carry an evolution-history tail — the write declares the
       // HEAD; user options keep their raw text (build() refuses `;`)
@@ -8264,6 +8430,37 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
   private val layout: Array[Int] =
     if (layoutIn == null) schema.indices.toArray else layoutIn
 
+  // shredded columns re-derive from their variant source per row
+  // (generated-always: whatever the writing frame supplied is
+  // overwritten, so the shadow can never drift) — one SafeProjection
+  // over the full row, built only when the schema declares shreds,
+  // consumed synchronously below (the projection reuses its buffer)
+  private val shredProj: org.apache.spark.sql.catalyst.expressions
+      .Projection =
+    if (!schema.fields.exists(f => GdxSource.shredOf(f).isDefined)) null
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{
+        BoundReference, Literal}
+      val exprs = schema.fields.zipWithIndex.map { case (f, i) =>
+        GdxSource.shredOf(f) match {
+          case Some((of, key)) =>
+            val si = schema.fieldNames.indexWhere(_.equalsIgnoreCase(of))
+            new org.apache.spark.sql.catalyst.expressions.variant
+              .VariantGet(
+                BoundReference(si,
+                  org.apache.spark.sql.types.VariantType,
+                  nullable = true),
+                Literal(org.apache.spark.unsafe.types.UTF8String
+                  .fromString("$." + key), StringType),
+                f.dataType, false, Some("UTC"))
+              : org.apache.spark.sql.catalyst.expressions.Expression
+          case None => BoundReference(i, f.dataType, nullable = true)
+        }
+      }
+      org.apache.spark.sql.catalyst.expressions.SafeProjection
+        .create(exprs.toIndexedSeq)
+    }
+
   /** One output file: line sink + its zone map, extended stats, and
     * bloom sidecar. `subdir` is "" (unpartitioned) or "<col>=<v>/". */
   private final class Sink(subdir: String) {
@@ -8354,7 +8551,8 @@ class GdxDataWriter(path: String, partitionId: Int, taskId: Long,
     s
   }
 
-  override def write(r: InternalRow): Unit = {
+  override def write(r0: InternalRow): Unit = {
+    val r = if (shredProj == null) r0 else shredProj(r0)
     require(!r.isNullAt(0), "gdx write: k (the key) must not be null")
     // CHECK constraints, SQL semantics (NULL passes): a violation
     // fails the task — the job aborts and nothing commits

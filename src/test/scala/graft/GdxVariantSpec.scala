@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.GdxSource
+
+/** VARIANT columns + shredding: the semi-structured escape hatch.
+  * Cells store the value's canonical JSON (escape-encoded), decode
+  * through Spark's own parser, and a declared SHREDDED shadow column
+  * derives at every write, carries ordinary zone-map stats, and
+  * answers variant_get calls via the optimizer rewrite. */
+class GdxVariantSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val s = org.apache.spark.sql.graft.ColumnBridge
+    .sessionWithExtensions(spark, new GraftExtensions())
+
+  private val fmt = "graft.sources.GdxSource"
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"gdxvar_$tag").toString + "/t"
+
+  test("variant round-trip: nested JSON with structural characters, " +
+      "JSON null vs SQL NULL, cell text is escaped canonical JSON") {
+    val dir = freshDir("rt")
+    val df = Seq(
+      (1L, """{"lang": "uk", "note": "hi, (ok)=\nnext", "q": 0.5,
+              "tags": ["a", "b"], "deep": {"x": [1, 2, {"y": true}]}}"""),
+      (2L, "null"), // variant NULL value — not a SQL NULL
+      (3L, null: String))
+      .toDF("k", "j")
+      .select(col("k"), when(col("j").isNotNull,
+        parse_json(col("j"))).otherwise(lit(null)).as("v"))
+    df.write.format(fmt).option("path", dir).mode("overwrite").save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+    assert(back.schema("v").dataType === VariantType)
+    val got = back.orderBy("k")
+      .select(col("k"),
+        variant_get(col("v"), "$.lang", "string").as("lang"),
+        variant_get(col("v"), "$.note", "string").as("note"),
+        variant_get(col("v"), "$.deep.x[2].y", "boolean").as("y"),
+        col("v").isNull.as("sqlnull"),
+        is_variant_null(col("v")).as("vnull"))
+      .collect()
+    assert(got(0).getString(1) === "uk")
+    assert(got(0).getString(2) === "hi, (ok)=\nnext")
+    assert(got(0).getBoolean(3) === true)
+    assert(!got(0).getBoolean(4) && !got(0).getBoolean(5))
+    assert(!got(1).getBoolean(4) && got(1).getBoolean(5)) // JSON null
+    assert(got(2).getBoolean(4))                          // SQL NULL
+    // the stored cell is escaped JSON — no raw structural characters
+    val lines = new java.io.File(dir).listFiles().toSeq
+      .filter(_.getName.endsWith(".gdx"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toList)
+    val c1 = lines.find(_.startsWith("1\t")).get.split("\t", -1)(1)
+    assert(c1.contains("\\c") && c1.contains("\\p") && c1.contains("\\n"))
+    assert(!c1.contains("(") && !c1.contains(","))
+    assert(GdxSource.schemaSpec(
+      GdxSource.committedSchema(dir, GdxSource.driverConf())) ===
+      "k:long,v:variant")
+  }
+
+  test("variant DML: DELETE by variant_get predicate (DV commit); " +
+      "restatement re-renders unchanged variants byte-identically") {
+    val dir = freshDir("dml")
+    Seq((1L, """{"lang":"uk","n":1}"""), (2L, """{"lang":"de","n":2}"""),
+        (3L, """{"lang":"uk","n":3}"""))
+      .toDF("k", "j").select(col("k"), parse_json(col("j")).as("v"))
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val (_, n) = GdxSource.delete(s, dir,
+      expr("variant_get(v, '$.lang', 'string') = 'de'"))
+    assert(n === 1)
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .select(col("k"), variant_get(col("v"), "$.n", "long").as("n"))
+      .orderBy("k").collect()
+    assert(back.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 1L), (3L, 3L)))
+  }
+
+  test("shredded column: derived at write (generated-always), " +
+      "schema-line round-trip, INSERT may omit it") {
+    val wh = java.nio.file.Files.createTempDirectory("gdxvar_wh").toString
+    s.conf.set("spark.sql.catalog.gdxvs", "graft.sources.GdxCatalog")
+    s.conf.set("spark.sql.catalog.gdxvs.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gdxvs.ns")
+    s.sql("""CREATE TABLE gdxvs.ns.docs
+      (k BIGINT, meta VARIANT, meta_lang STRING, meta_q DOUBLE)
+      TBLPROPERTIES ('gdx.shred.meta_lang' = 'meta:lang',
+                     'gdx.shred.meta_q'    = 'meta:quality')""")
+    // INSERT omits the shreds entirely — analyzer fills NULL, the
+    // writer overwrites with the derived values
+    s.sql("""INSERT INTO gdxvs.ns.docs (k, meta) VALUES
+      (1, parse_json('{"lang": "uk", "quality": 0.9}')),
+      (2, parse_json('{"lang": "de", "quality": 0.2}')),
+      (3, parse_json('{"quality": "bad"}'))""")
+    // and user-SUPPLIED shred values are overwritten (generated-always)
+    s.sql("""INSERT INTO gdxvs.ns.docs VALUES
+      (4, parse_json('{"lang": "fr"}'), 'WRONG', 9.9)""")
+    val got = s.sql("""SELECT k, meta_lang, meta_q
+      FROM gdxvs.ns.docs ORDER BY k""").collect()
+    assert(got(0).getString(1) === "uk" && got(0).getDouble(2) === 0.9)
+    assert(got(1).getString(1) === "de" && got(1).getDouble(2) === 0.2)
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2)) // absent/uncastable
+    assert(got(3).getString(1) === "fr" && got(3).isNullAt(2))
+    // the annotation rides the schema line through commits
+    val dir = s"$wh/ns/docs"
+    val spec = GdxSource.schemaSpec(
+      GdxSource.committedSchema(dir, GdxSource.driverConf()))
+    assert(spec ===
+      "k:long,meta:variant,meta_lang:string^meta.lang," +
+        "meta_q:double^meta.quality")
+  }
+
+  test("shred rewrite: variant_get plans onto the shadow column and " +
+      "the predicate PRUNES files by the shadow's string bounds") {
+    val dir = freshDir("prune")
+    // range layout on the shredded value → narrow per-file lang windows
+    val langs = Seq("de", "en", "fr", "uk", "zh")
+    val rows = (0L until 400L).map { i =>
+      (i, s"""{"lang": "${langs((i % 5).toInt)}", "n": $i}""")
+    }.toDF("k", "j").select(col("k"), parse_json(col("j")).as("v"))
+      .withColumn("v_lang", lit(null).cast("string"))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", VariantType),
+      GdxSource.withShred(StructField("v_lang", StringType), "v", "lang")))
+    // declare via createTable-equivalent: write the empty table first
+    GdxSource.commitFiles(dir, GdxSource.driverConf(), replace = true,
+      Seq.empty, expectedBase = 0, writeSchema = schema)
+    rows.repartitionByRange(8, col("k"))
+      .write.format(fmt).option("path", dir).mode("append").save()
+    // derived at write despite the null placeholder
+    val q = s.read.format(fmt).option("path", dir).load()
+      .filter(expr("variant_get(v, '$.lang', 'string') = 'uk'"))
+    assert(q.count() === 80L)
+    // the optimizer rewrote variant_get onto the shadow
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("variant_get"),
+      s"variant_get survived the rewrite:\n$opt")
+    // and the shadow's zone maps prune: a value beyond every bound
+    // plans zero files, a real value plans a subset... here every file
+    // carries all 5 langs (k-ranged layout), so re-lay by lang instead
+    val dir2 = freshDir("prune2")
+    GdxSource.commitFiles(dir2, GdxSource.driverConf(), replace = true,
+      Seq.empty, expectedBase = 0, writeSchema = schema)
+    rows.withColumn("lv",
+        expr("variant_get(v, '$.lang', 'string')"))
+      .repartitionByRange(5, col("lv")).drop("lv")
+      .write.format(fmt).option("path", dir2).mode("append").save()
+    import org.apache.spark.sql.sources.EqualTo
+    val (kept, all) = GdxSource.plannedFiles(dir2,
+      Seq(EqualTo("v_lang", "uk")))
+    assert(kept > 0 && kept < all, s"no pruning: kept=$kept all=$all")
+    val cnt = s.read.format(fmt).option("path", dir2).load()
+      .filter(expr("try_variant_get(v, '$.lang', 'string') = 'uk'"))
+      .count()
+    assert(cnt === 80L)
+  }
+
+  test("shred declaration refusals: non-variant source, bad key, " +
+      "bad target type, DEFAULT on a shredded column") {
+    val f = StructField("x", StringType)
+    intercept[IllegalArgumentException] {
+      GdxSource.schemaSpec(StructType(Seq(StructField("k", LongType),
+        GdxSource.withShred(f, "k", "lang")))) // k is not variant
+    }
+    intercept[IllegalArgumentException] {
+      GdxSource.withShred(f, "v", "a.b") // not a simple key
+    }
+    intercept[IllegalArgumentException] {
+      GdxSource.withShred(StructField("x", BooleanType), "v", "lang")
+    }
+    intercept[IllegalArgumentException] {
+      GdxSource.withDefaultCell(
+        GdxSource.withShred(f, "v", "lang"), "dflt")
+    }
+  }
+}
