@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Spark's variant library decodes strings with the PLATFORM charset
+  // (charset-less `new String(bytes, pos, len)` in
+  // org.apache.spark.types.variant.VariantUtil) — on a C-locale JVM
+  // (file.encoding=ANSI_X3.4-1968, the default here under Java 17)
+  // every non-ASCII variant string reads as U+FFFD runs. Pin UTF-8 in
+  // every JVM we launch; Java 18+ (JEP 400) makes this the default.
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

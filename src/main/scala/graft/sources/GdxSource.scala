@@ -435,7 +435,13 @@ object GdxSource {
     // Equal stored values always render equal cell bytes — the
     // canonical-bytes property restatements rely on. JSON `null` is a
     // variant-null VALUE; SQL NULL keeps the \N marker — distinct and
-    // both representable.
+    // both representable. Platform note: Spark's variant library
+    // decodes strings with the DEFAULT charset (charset-less
+    // `new String(bytes, pos, len)` in variant.VariantUtil), so a
+    // C-locale Java 17 JVM mangles non-ASCII variant content in ANY
+    // storage format — every launcher this repo owns pins
+    // -Dfile.encoding=UTF-8 (build.sbt, tools/*.sh); Java 18+
+    // defaults to it (JEP 400).
     case org.apache.spark.sql.types.VariantType => "variant"
     // numeric ARRAYS — the embedding / token-id column shapes: cells
     // encode as comma-joined element text ("" = the empty array);
@@ -3212,8 +3218,18 @@ object GdxSource {
         val headers = headerLines(
           if (replace) writeSchema
           else {
-            val cur = committedSchema(path, conf)
-            if (cur.length >= writeSchema.length) cur else writeSchema
+            // the table's schema wins only when the table EXISTS — on
+            // a fresh-directory append committedSchema's legacy (k,v)
+            // fallback must not shadow the write's declared types (a
+            // first `variant`/`double` append would otherwise commit a
+            // string schema line and corrupt every later read)
+            val cur = targetManifest(path, conf, -1)
+              .flatMap(m => readManifestHeaders(
+                new Path(path).getFileSystem(conf), m).schema)
+            cur match {
+              case Some(c) if c.length >= writeSchema.length => c
+              case _ => writeSchema
+            }
           },
           liveChecks,
           if (replace) None else committedColmap(path, conf),

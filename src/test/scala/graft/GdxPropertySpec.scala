@@ -280,6 +280,45 @@ class GdxPropertySpec extends SparkSuite {
     }
   }
 
+  test("property: VARIANT cells round-trip arbitrary Unicode field " +
+      "values through the JSON + escape layers (both decode surfaces)") {
+    val fieldGen = for {
+      s <- unicodeGen
+      n <- Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)
+      b <- Gen.oneOf(true, false)
+      present <- Gen.oneOf(true, false)
+    } yield (s, n, b, present)
+    for (vs <- samples(Gen.listOfN(20, fieldGen), 3)) {
+      val dir = freshDir("var")
+      val rows = vs.zipWithIndex.map { case ((s, n, b, p), i) =>
+        (i.toLong, s, n, b, p) }
+      // the JSON is built by Spark's own encoder (to_json escapes the
+      // content), the cell by the escape codec — the property is that
+      // the COMPOSITION inverts exactly, optional key included
+      rows.toDF("k", "s", "n", "b", "p")
+        .select(col("k"), parse_json(to_json(struct(col("s"), col("n"),
+          col("b"),
+          when(col("p"), col("k")).otherwise(lit(null)).as("opt"))))
+          .as("v"))
+        .write.format(fmt).option("path", dir).mode("append").save()
+      val got = spark.read.format(fmt).option("path", dir).load()
+        .select(col("k"),
+          variant_get(col("v"), "$.s", "string").as("s"),
+          variant_get(col("v"), "$.n", "long").as("n"),
+          variant_get(col("v"), "$.b", "boolean").as("b"),
+          variant_get(col("v"), "$.opt", "long").isNotNull.as("p"))
+        .as[(Long, String, Long, Boolean, Boolean)].collect().toSet
+      assert(got === rows.toSet)
+      // external surface: the changefeed decodes the same cells through
+      // parseExternalCell into VariantVal rows
+      val cdf = sources.GdxSource.tableChanges(spark, dir, 0, 1)
+        .select(col("k"),
+          variant_get(col("v"), "$.s", "string").as("s"))
+        .as[(Long, String)].collect().toSet
+      assert(cdf === rows.map(r => (r._1, r._2)).toSet)
+    }
+  }
+
   test("era mixing: legacy (unescaped) files keep decoding raw — a " +
       "backslash-bearing legacy cell is NOT unescaped") {
     val dir = freshDir("legacy")

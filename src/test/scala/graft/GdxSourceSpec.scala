@@ -1149,4 +1149,21 @@ class GdxSourceSpec extends SparkSuite with PruneAuditHelper {
     assert(df.as[(Long, String)].collect().map(_._1).sorted.toSeq ===
       Seq(10L, 12L, 14L, 16L, 18L))
   }
+
+  test("a FRESH-directory append records the write's declared types — " +
+      "never the legacy (k,v) fallback schema") {
+    // regression: committedSchema's default fallback used to win the
+    // append's schema race on a never-committed path whenever the
+    // arities tied, committing `w:string` for a double column and
+    // corrupting every later read
+    val dir = freshDir("freshappend")
+    Seq((1L, 0.25), (2L, 0.5)).toDF("k", "w")
+      .write.format("graft.sources.GdxSource").option("path", dir)
+      .mode("append").save()
+    assert(sources.GdxSource.schemaSpec(sources.GdxSource
+      .committedSchema(dir, sources.GdxSource.driverConf())) ===
+      "k:long,w:double")
+    assert(read(dir).as[(Long, Double)].collect().toSet ===
+      Set((1L, 0.25), (2L, 0.5)))
+  }
 }

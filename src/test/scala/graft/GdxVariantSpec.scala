@@ -155,6 +155,61 @@ class GdxVariantSpec extends SparkSuite {
     assert(cnt === 80L)
   }
 
+  test("UPDATE on the variant source re-derives the shadow " +
+      "(generated-always through the DML restatement path)") {
+    val dir = freshDir("upd")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", VariantType),
+      GdxSource.withShred(StructField("v_lang", StringType), "v", "lang")))
+    GdxSource.commitFiles(dir, GdxSource.driverConf(), replace = true,
+      Seq.empty, expectedBase = 0, writeSchema = schema)
+    Seq((1L, """{"lang":"uk"}"""), (2L, """{"lang":"de"}"""))
+      .toDF("k", "j")
+      .select(col("k"), parse_json(col("j")).as("v"),
+        lit(null).cast("string").as("v_lang"))
+      .write.format(fmt).option("path", dir).mode("append").save()
+    GdxSource.update(s, dir, col("k") === 1L,
+      Map("v" -> parse_json(lit("""{"lang":"fr"}"""))))
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .select(col("k"), col("v_lang")).orderBy("k").collect()
+    assert(got(0).getString(1) === "fr") // re-derived, not stale 'uk'
+    assert(got(1).getString(1) === "de")
+    // and the changefeed decodes the variant through the external
+    // surface (the UPDATE's inserted row carries the new lang)
+    val cdf = GdxSource.tableChanges(s, dir, 2, 3)
+      .filter(col("change_type") === "insert")
+      .select(expr("variant_get(v, '$.lang', 'string')")).collect()
+    assert(cdf.map(_.getString(0)).toSeq === Seq("fr"))
+  }
+
+  test("renaming or dropping a shred SOURCE refuses loudly at the " +
+      "DDL commit (the schema-line cross-check)") {
+    val wh = java.nio.file.Files.createTempDirectory("gdxvar_wh2").toString
+    s.conf.set("spark.sql.catalog.gdxvs2", "graft.sources.GdxCatalog")
+    s.conf.set("spark.sql.catalog.gdxvs2.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gdxvs2.ns")
+    // meta sits PAST the protected core slots (0/1), so the refusal
+    // under test is the shred cross-check, not the core-column guard
+    s.sql("""CREATE TABLE gdxvs2.ns.t (k BIGINT, v STRING, meta VARIANT,
+      meta_lang STRING)
+      TBLPROPERTIES ('gdx.shred.meta_lang' = 'meta:lang')""")
+    val rn = intercept[Exception] {
+      s.sql("ALTER TABLE gdxvs2.ns.t RENAME COLUMN meta TO meta2")
+    }
+    assert(rn.getMessage.contains("not a variant column") ||
+      rn.getMessage.toLowerCase.contains("shred"))
+    val dr = intercept[Exception] {
+      s.sql("ALTER TABLE gdxvs2.ns.t DROP COLUMN meta")
+    }
+    assert(dr.getMessage.contains("not a variant column") ||
+      dr.getMessage.toLowerCase.contains("shred"))
+    // dropping the SHADOW itself is fine (the annotation leaves with it)
+    s.sql("ALTER TABLE gdxvs2.ns.t DROP COLUMN meta_lang")
+    assert(GdxSource.schemaSpec(GdxSource.committedSchema(
+      s"$wh/ns/t", GdxSource.driverConf())) ===
+      "k:long,v:string,meta:variant")
+  }
+
   test("shred declaration refusals: non-variant source, bad key, " +
       "bad target type, DEFAULT on a shredded column") {
     val f = StructField("x", StringType)

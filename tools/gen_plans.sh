@@ -65,7 +65,7 @@ s45_gdx_variant_shred"
   echo "Regenerate: \`tools/gen_plans.sh\`."
   for q in $QUERIES; do
     echo; echo "## $q"; echo '```'
-    java $ADD_OPENS -Xmx8g \
+    java $ADD_OPENS -Dfile.encoding=UTF-8 -Xmx8g \
       -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
       graft.Smoke "$q" "$SF" 2>/dev/null \
       | grep -E '^\([0-9]+\) |PushedFilters|PartitionFilters|ReadSchema' \
