@@ -338,7 +338,11 @@ class GdxCatalog extends TableCatalog with SupportsNamespaces
                     info: org.apache.spark.sql.connector.catalog.TableInfo,
                     preExisting: Boolean,
                     casBase: Int = -1): GdxStagedTable = {
-    val schema = normalizeDefaults(info.schema())
+    // CTAS/RTAS honor shred declarations too: the staged write's
+    // schema carries the annotations, so its tasks derive the shadows
+    // and the single publish commits the annotated schema line
+    val schema = applyShredProps(normalizeDefaults(info.schema()),
+      info.properties())
     val spec = validateDeclaration(schema, info.partitions())
     new GdxStagedTable(dir.toString, schema, spec, preExisting,
       casBase)

@@ -210,6 +210,52 @@ class GdxVariantSpec extends SparkSuite {
       "k:long,v:string,meta:variant")
   }
 
+  test("CTAS honors shred declarations: the staged write derives the " +
+      "shadows and the one publish commits the annotated schema line") {
+    val wh = java.nio.file.Files.createTempDirectory("gdxvar_wh3").toString
+    s.conf.set("spark.sql.catalog.gdxvs3", "graft.sources.GdxCatalog")
+    s.conf.set("spark.sql.catalog.gdxvs3.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gdxvs3.ns")
+    s.sql("""CREATE TABLE gdxvs3.ns.ctas
+      TBLPROPERTIES ('gdx.shred.meta_lang' = 'meta:lang')
+      AS SELECT id AS k,
+        parse_json('{"lang": "l' || CAST(id % 3 AS STRING) || '"}')
+          AS meta,
+        CAST(NULL AS STRING) AS meta_lang
+      FROM range(30)""")
+    val got = s.sql("""SELECT meta_lang, count(*) AS n
+      FROM gdxvs3.ns.ctas GROUP BY 1 ORDER BY 1""").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("l0", 10L), ("l1", 10L), ("l2", 10L)))
+    assert(GdxSource.schemaSpec(GdxSource.committedSchema(
+      s"$wh/ns/ctas", GdxSource.driverConf())) ===
+      "k:long,meta:variant,meta_lang:string^meta.lang")
+  }
+
+  test("variant nests inside struct cells (a variant leaf of a typed " +
+      "record) and round-trips through the positional codec") {
+    val dir = freshDir("nest")
+    val df = Seq(
+      (1L, "a", """{"x": 1, "tags": ["p, q", "(r)"]}"""),
+      (2L, "b", null: String))
+      .toDF("k", "name", "j")
+      .select(col("k"), struct(col("name"),
+        when(col("j").isNotNull, parse_json(col("j")))
+          .otherwise(lit(null)).as("meta")).as("rec"))
+    df.write.format(fmt).option("path", dir).mode("overwrite").save()
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .select(col("k"), col("rec.name"),
+        variant_get(col("rec.meta"), "$.x", "long").as("x"),
+        variant_get(col("rec.meta"), "$.tags[0]", "string").as("t0"))
+      .orderBy("k").collect()
+    assert(got(0).getString(1) === "a" && got(0).getLong(2) === 1L &&
+      got(0).getString(3) === "p, q")
+    assert(got(1).getString(1) === "b" && got(1).isNullAt(2))
+    assert(GdxSource.schemaSpec(GdxSource.committedSchema(dir,
+      GdxSource.driverConf())) ===
+      "k:long,rec:struct<name:string,meta:variant>")
+  }
+
   test("shred declaration refusals: non-variant source, bad key, " +
       "bad target type, DEFAULT on a shredded column") {
     val f = StructField("x", StringType)
