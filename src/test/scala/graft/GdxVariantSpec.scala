@@ -256,6 +256,57 @@ class GdxVariantSpec extends SparkSuite {
       "k:long,rec:struct<name:string,meta:variant>")
   }
 
+  test("staged txn INSERT derives shreds at COMMIT (omitted column " +
+      "fills NULL at stage, the claim write derives)") {
+    val wh = java.nio.file.Files.createTempDirectory("gdxvar_wh4").toString
+    s.conf.set("spark.sql.catalog.gdxvs4", "graft.sources.GdxCatalog")
+    s.conf.set("spark.sql.catalog.gdxvs4.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gdxvs4.ns")
+    s.sql("""CREATE TABLE gdxvs4.ns.t (k BIGINT, meta VARIANT,
+      meta_lang STRING)
+      TBLPROPERTIES ('gdx.shred.meta_lang' = 'meta:lang')""")
+    s.sql("BEGIN TRANSACTION")
+    s.sql("""INSERT INTO gdxvs4.ns.t (k, meta) VALUES
+      (1, parse_json('{"lang": "uk"}'))""")
+    s.sql("""INSERT INTO gdxvs4.ns.t (k, meta) VALUES
+      (2, parse_json('{"lang": "de"}'))""")
+    s.sql("COMMIT")
+    val got = s.sql("SELECT k, meta_lang FROM gdxvs4.ns.t ORDER BY k")
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "uk"), (2L, "de")))
+  }
+
+  test("the streaming sink derives shreds too (same per-row " +
+      "projection as the batch writer) and variants ride micro-batches") {
+    val dir = freshDir("stream")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", VariantType),
+      GdxSource.withShred(StructField("v_lang", StringType), "v", "lang")))
+    GdxSource.commitFiles(dir, GdxSource.driverConf(), replace = true,
+      Seq.empty, expectedBase = 0, writeSchema = schema)
+    val src = java.nio.file.Files
+      .createTempDirectory("gdxvar_src").toString + "/j"
+    (1L to 20L).map(i => (i, s"l${i % 4}")).toDF("k", "lang")
+      .write.json(src)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gdxvar_ckpt").toString
+    val stream = spark.readStream
+      .schema("k BIGINT, lang STRING").json(src)
+      .select(col("k"),
+        parse_json(to_json(struct(col("lang")))).as("v"),
+        lit(null).cast("string").as("v_lang"))
+      .writeStream.format(fmt).option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    stream.awaitTermination(60000)
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .groupBy("v_lang").count().orderBy("v_lang").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("l0", 5L), ("l1", 5L), ("l2", 5L), ("l3", 5L)))
+  }
+
   test("shred declaration refusals: non-variant source, bad key, " +
       "bad target type, DEFAULT on a shredded column") {
     val f = StructField("x", StringType)
