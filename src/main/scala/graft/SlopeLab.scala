@@ -72,6 +72,8 @@ object SlopeLab {
         args.lift(1).getOrElse("/tmp/graft_slope_recluster"))
       case "planmeta" => planMeta(spark,
         args.lift(1).getOrElse("/tmp/graft_slope_planmeta"))
+      case "shred" => shredLane(spark,
+        args.lift(1).getOrElse("/tmp/graft_slope_shred"))
       case other => sys.error(s"unknown SlopeLab mode: $other")
     }
     spark.stop()
@@ -328,6 +330,76 @@ object SlopeLab {
       val (ck, ca) = gdx.plannedFiles(cdir, band)
       val (uk, ua) = gdx.plannedFiles(udir, band)
       println(f"""{"cluster_rows":$n,"clustered_sec":$tc%.3f,"scattered_sec":$tu%.3f,"clustered_files":"$ck/$ca","scattered_files":"$uk/$ua","clustered_write_sec":$wc%.2f,"scattered_write_sec":$wu%.2f}""")
+    }
+  }
+
+  /** Variant-shredding lane: the same JSON corpus stored twice — once
+    * with a declared shadow (`meta_lang` shredded from `$.lang`, range
+    * layout on the derived value) and once as a bare variant column in
+    * the identical layout. The slice query arrives as
+    * `variant_get(meta, '$.lang', 'string') = <v>` on BOTH tables; on
+    * the shredded one the optimizer rewrite + the shadow's truncated
+    * string bounds turn it into a pruned column filter, so its cost
+    * must track the SLICE (near-flat across a 10× corpus scale-up),
+    * while the bare table must scan and JSON-parse every row and
+    * scales with the corpus. plannedFiles(kept/all) is the witness
+    * that the win is file-skipping, not caching. */
+  def shredLane(spark: SparkSession, work: String): Unit = {
+    val fmt = "graft.sources.GdxSource"
+    val gdx = graft.sources.GdxSource
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType, VariantType}
+    for (n <- Seq(300000L, 3000000L)) {
+      val sdir = s"$work/sh_n$n"; val bdir = s"$work/bare_n$n"
+      Seq(sdir, bdir).foreach(d => rm(new java.io.File(d)))
+      // realistic document weight: a ~300-char text field makes the
+      // bare table's full-corpus JSON parse the dominant cost, which
+      // is exactly what shredding exists to avoid
+      def rows = spark.range(0, n).select(col("id").as("k"),
+        parse_json(to_json(struct(
+          concat(lit("l"), lpad((col("id") % 1024).cast("string"),
+            4, "0")).as("lang"),
+          (col("id") % 97).as("n"),
+          concat(lit("body "), lpad(col("id").cast("string"), 290, "x"))
+            .as("text")))).as("meta"))
+      val shredded = StructType(Seq(StructField("k", LongType),
+        StructField("meta", VariantType),
+        gdx.withShred(StructField("meta_lang", StringType),
+          "meta", "lang")))
+      gdx.commitFiles(sdir, gdx.driverConf(), replace = true, Seq.empty,
+        expectedBase = 0, writeSchema = shredded)
+      val langOf = expr("variant_get(meta, '$.lang', 'string')")
+      rows.withColumn("meta_lang", lit(null).cast("string"))
+        .repartitionByRange(32, langOf, col("k"))
+        .write.format(fmt).option("path", sdir).mode("append").save()
+      rows.repartitionByRange(32, langOf, col("k"))
+        .write.format(fmt).option("path", bdir).mode("overwrite").save()
+      def frame(dir: String, v: String) =
+        spark.read.format(fmt).option("path", dir).load()
+          .filter(expr(
+            s"variant_get(meta, '$$.lang', 'string') = '$v'"))
+          .agg(count(lit(1)),
+            sum(expr("variant_get(meta, '$.n', 'long')")))
+      def q(dir: String, v: String): Double = {
+        val t0 = System.nanoTime()
+        frame(dir, v).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // witness that the optimizer rewrote the PREDICATE onto the
+      // shadow (the projection's $.n variant_get legitimately stays)
+      val rewrote = !frame(sdir, "l0011").queryExecution.optimizedPlan
+        .collect { case f: org.apache.spark.sql.catalyst.plans.logical
+            .Filter => f }
+        .exists(_.condition.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.variant
+              .VariantGet => true
+          case _ => false
+        })
+      q(sdir, "l0007"); q(bdir, "l0007") // warm codegen off the column
+      val (ts, tb) = (q(sdir, "l0011"), q(bdir, "l0011"))
+      val (sk, sa) = gdx.plannedFiles(sdir, Seq(
+        org.apache.spark.sql.sources.EqualTo("meta_lang", "l0011")))
+      println(f"""{"shred_rows":$n,"shredded_sec":$ts%.3f,"bare_sec":$tb%.3f,"shredded_files":"$sk/$sa","rewrote":$rewrote}""")
     }
   }
 

@@ -6847,13 +6847,20 @@ class GdxScanBuilder(path: String, version: Int,
     // residual set, so Spark still evaluates them row-level — the
     // parquet/Delta stats-pruning contract: skipping is an overlay,
     // never the correctness boundary.
-    def hint(w: Any): Boolean = GdxSource.statLiteral(w).isDefined
+    // string literals hint too: the s44 truncated bounds give every
+    // string column (shredded variant shadows included) a real per-file
+    // window, so `lang = 'uk'` / LIKE-prefix file-skips in the EXECUTED
+    // query, not just in planning probes
+    def hint(w: Any): Boolean =
+      GdxSource.statLiteral(w).isDefined || w.isInstanceOf[String]
     pruneOnly = residual.filter {
       case EqualTo(c, w) if c != "k" && hint(w)            => true
       case GreaterThan(c, w) if c != "k" && hint(w)        => true
       case GreaterThanOrEqual(c, w) if c != "k" && hint(w) => true
       case LessThan(c, w) if c != "k" && hint(w)           => true
       case LessThanOrEqual(c, w) if c != "k" && hint(w)    => true
+      case org.apache.spark.sql.sources.StringStartsWith(c, _)
+          if c != "k"                                      => true
       case org.apache.spark.sql.sources.In(c, vs) if c != "k" =>
         vs.forall(hint)
       case _                                               => false
