@@ -4523,6 +4523,32 @@ object RelationalOps extends QueryModule {
         .withColumn("rewrite_ok", lit(rewriteOk))
     }),
 
+    // T — VARIANT CORPUS PROFILING: schema inference over a RAGGED
+    // semi-structured corpus in ONE scan — `variant_explode` (lateral
+    // TVF) fans each document's top-level keys out, `schema_of_variant`
+    // types each value, and the aggregate yields the key × type × count
+    // profile a data engineer asks of an unknown crawl before writing
+    // extraction rules. Plans as scan → generate → partial/final agg —
+    // no shuffle wider than (keys × types), so 100 TB profiles at
+    // aggregate cost.
+    "t_variant_profile" -> ((s, d) => {
+      Tables.documents(s, d).selectExpr("doc_id AS k",
+        """parse_json(CASE doc_id % 3
+             WHEN 0 THEN to_json(named_struct('lang', lang,
+               'n', n_chars))
+             WHEN 1 THEN to_json(named_struct('lang', lang,
+               'tags', array(source)))
+             ELSE to_json(named_struct('lang', lang,
+               'meta', named_struct('src', source)))
+           END) AS doc""")
+        .createOrReplaceTempView("graft_variant_profile_src")
+      s.sql("""SELECT v.key AS key, schema_of_variant(v.value) AS t,
+          count(*) AS n, count(DISTINCT k) AS n_docs
+        FROM graft_variant_profile_src,
+          LATERAL variant_explode(doc) AS v
+        GROUP BY 1, 2 ORDER BY 1, 2""")
+    }),
+
     "c45_gdx_conversation_column" -> ((s, d) => {
       val wh = graft.Scratch.tablePath("graft_gdxconv_")
       val cat = "gdx_c45"
@@ -6004,6 +6030,24 @@ object RelationalOps extends QueryModule {
         |  count(DISTINCT args) AS d_args, TRUE AS tt_ok
         |FROM calls GROUP BY lang, name
         |ORDER BY lang, name""".stripMargin,
+
+    // the ragged corpus's key × type profile recomputed relationally:
+    // each residue class contributes its known keys with Spark's
+    // variant type names as literals
+    "t_variant_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'lang' AS key, 'STRING' AS t,
+        |    count(*) AS n, count(*) AS n_docs FROM documents
+        |  UNION ALL
+        |  SELECT 'meta', 'OBJECT<src: STRING>', count(*), count(*)
+        |  FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT 'n', 'BIGINT', count(*), count(*)
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'tags', 'ARRAY<STRING>', count(*), count(*)
+        |  FROM documents WHERE doc_id % 3 = 1
+        |) ORDER BY key, t""".stripMargin,
 
     // the variant corpus recomputed relationally: the JSON fields map
     // straight back to the source columns, the optional key to its

@@ -307,6 +307,29 @@ class GdxVariantSpec extends SparkSuite {
       Seq(("l0", 5L), ("l1", 5L), ("l2", 5L), ("l3", 5L)))
   }
 
+  test("schema evolution: ALTER TABLE ADD a variant column — era rows " +
+      "read NULL, new rows carry variants, time travel era-correct") {
+    val dir = freshDir("evo")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    GdxSource.addColumn(dir, "meta",
+      org.apache.spark.sql.types.VariantType)
+    Seq((3L, "c", """{"tag": "new"}"""))
+      .toDF("k", "v", "j")
+      .select(col("k"), col("v"), parse_json(col("j")).as("meta"))
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .select(col("k"),
+        variant_get(col("meta"), "$.tag", "string").as("tag"))
+      .orderBy("k").collect()
+    assert(got(0).isNullAt(1) && got(1).isNullAt(1)) // era null-fill
+    assert(got(2).getString(1) === "new")
+    // the pre-evolution snapshot keeps its own era's schema
+    val v1 = spark.read.format(fmt).option("path", dir)
+      .option("version", "1").load()
+    assert(!v1.columns.contains("meta"))
+  }
+
   test("shred declaration refusals: non-variant source, bad key, " +
       "bad target type, DEFAULT on a shredded column") {
     val f = StructField("x", StringType)

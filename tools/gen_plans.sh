@@ -56,6 +56,7 @@ s43_gdx_describe_detail c42_gdx_struct_column c43_gdx_txn_sql \
 c44_gdx_struct_governance c45_gdx_conversation_column c46_gdx_txn_dml \
 c47_gdx_struct_map_column t_chat_template c48_gdx_real_text \
 c49_gdx_tool_calls s44_gdx_string_skipping c50_gdx_variant_column \
+t_variant_profile \
 s45_gdx_variant_shred"
 {
   echo "# PLANS — physical-plan audit of headline queries ($SF)"
