@@ -330,6 +330,25 @@ class GdxVariantSpec extends SparkSuite {
     assert(!v1.columns.contains("meta"))
   }
 
+  test("post-hoc shred declaration refuses: ALTER TABLE SET " +
+      "TBLPROPERTIES is not a shred door (era rows would read a NULL " +
+      "shadow the rewrite would then serve as answers)") {
+    val wh = java.nio.file.Files.createTempDirectory("gdxvar_wh5").toString
+    s.conf.set("spark.sql.catalog.gdxvs5", "graft.sources.GdxCatalog")
+    s.conf.set("spark.sql.catalog.gdxvs5.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gdxvs5.ns")
+    s.sql("CREATE TABLE gdxvs5.ns.t (k BIGINT, meta VARIANT, x STRING)")
+    val e = intercept[Exception] {
+      s.sql("""ALTER TABLE gdxvs5.ns.t
+        SET TBLPROPERTIES ('gdx.shred.x' = 'meta:lang')""")
+    }
+    assert(e.getMessage.toLowerCase.contains("unsupported"))
+    // and the schema line stayed annotation-free
+    assert(GdxSource.schemaSpec(GdxSource.committedSchema(
+      s"$wh/ns/t", GdxSource.driverConf())) ===
+      "k:long,meta:variant,x:string")
+  }
+
   test("shred declaration refusals: non-variant source, bad key, " +
       "bad target type, DEFAULT on a shredded column") {
     val f = StructField("x", StringType)
