@@ -188,4 +188,11 @@ object GraftSession {
       // foreign sessions), but an engine-built session carries it
       // before any query plans, so no plan can ever observe it flip
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // file:// with an in-process chmod: without libhadoop, stock
+      // RawLocalFileSystem FORKS a chmod per created file/dir (~4-5 ms
+      // each — seconds per multi-file write); the subclass issues the
+      // same permission bits through NIO. No-op where the native lib
+      // exists; non-local schemes untouched (sources/FastLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.FastLocalFileSystem")
 }
