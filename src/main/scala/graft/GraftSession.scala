@@ -195,4 +195,9 @@ object GraftSession {
       // exists; non-local schemes untouched (sources/FastLocalFileSystem)
       .config("spark.hadoop.fs.file.impl",
         "graft.sources.FastLocalFileSystem")
+      // the FileContext plane (streaming checkpoint managers) binds
+      // file:// separately — without this, state-store/offset-log
+      // writes and renames kept the fork (sources/FastLocalFileSystem)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.sources.FastLocalFs")
 }

@@ -38,6 +38,20 @@ import org.apache.hadoop.fs.permission.FsPermission
   */
 class FastRawLocalFileSystem
     extends org.apache.hadoop.fs.RawLocalFileSystem {
+  /** `FileSystem.rename(src, dst, options)` — the FileContext path every
+    * streaming checkpoint commit rides — calls `getFileLinkStatus(src)`
+    * first, and the stock implementation resolves link-ness by FORKING
+    * (`FileUtil.readLink` runs `readlink`, or the `Stat` helper runs
+    * `stat`) — one child process per checkpoint-file rename. A
+    * non-symlink (every file this engine touches) answers through the
+    * ordinary status instead; true symlinks keep the stock path. */
+  override def getFileLinkStatus(f: Path)
+      : org.apache.hadoop.fs.FileStatus = {
+    val nio = pathToFile(f).toPath
+    if (java.nio.file.Files.isSymbolicLink(nio)) super.getFileLinkStatus(f)
+    else getFileStatus(f)
+  }
+
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     val m: Int = permission.toShort
     // sticky/setuid/setgid bits have no PosixFilePermission — let the
@@ -70,3 +84,30 @@ class FastRawLocalFileSystem
 class FastLocalFileSystem
     extends org.apache.hadoop.fs.LocalFileSystem(
       new FastRawLocalFileSystem)
+
+/** The AbstractFileSystem (FileContext) face of the same fix.
+  *
+  * Structured Streaming's checkpoint managers
+  * (`FileContextBasedCheckpointFileManager`) resolve `file:` through
+  * `fs.AbstractFileSystem.file.impl`, NOT `fs.file.impl` — the stock
+  * binding (`o.a.h.fs.local.LocalFs`) constructs its own
+  * `RawLocalFileSystem`, so without this class every offset/commit/
+  * state-store file create kept forking a `chmod`, and every
+  * checkpoint rename forked a `readlink`/`stat` through
+  * `getFileLinkStatus` (driver stack samples showed both). Mirrors
+  * `LocalFs`/`RawLocalFs` exactly, with [[FastRawLocalFileSystem]] as
+  * the delegate; wired via `fs.AbstractFileSystem.file.impl` in
+  * [[graft.GraftSession]]. */
+class FastRawLocalFs(uri: java.net.URI,
+                     conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.DelegateToFileSystem(
+      uri, new FastRawLocalFileSystem, conf, "file", false) {
+  // the three overrides org.apache.hadoop.fs.local.RawLocalFs carries
+  override def getUriDefaultPort: Int = -1
+  override def isValidName(src: String): Boolean = true
+}
+
+/** See [[FastRawLocalFs]]. */
+class FastLocalFs(uri: java.net.URI,
+                  conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.ChecksumFs(new FastRawLocalFs(uri, conf))
