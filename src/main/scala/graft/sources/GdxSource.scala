@@ -167,17 +167,55 @@ class GdxSource extends TableProvider {
 
 /** Hadoop Configuration is not Serializable; ship it to executors via
   * its own wire format (the standard Spark-internal trick, re-done here
-  * in public API only). */
+  * in public API only).
+  *
+  * The wire form is computed once per Configuration INSTANCE and
+  * reused: `Configuration.write` walks and encodes every property
+  * (~34 KB / ~2 ms for a session conf), and a lifecycle query's dozens
+  * of stages each re-serialized the same immutable session conf —
+  * driver stack samples showed the Deflater inside it as a recurring
+  * hot frame. The cache is weak-keyed (a conf lives as long as its
+  * session) and guarded by the property count, so a caller that ADDS
+  * keys after first use (the spec pattern) gets a fresh encoding;
+  * in-place overwrites of an existing key between serializations of
+  * the same conf object are not supported — snapshot semantics, the
+  * same contract construction-time capture would give. */
 class SerializableHadoopConf(@transient var conf: Configuration)
     extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()
-    conf.write(out)
+    val bytes = SerializableHadoopConf.wireForm(conf)
+    out.writeInt(bytes.length)
+    out.write(bytes)
   }
   private def readObject(in: java.io.ObjectInputStream): Unit = {
     in.defaultReadObject()
+    val n = in.readInt()
+    val bytes = new Array[Byte](n)
+    in.readFully(bytes)
     conf = new Configuration(false)
-    conf.readFields(in)
+    conf.readFields(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+  }
+}
+
+object SerializableHadoopConf {
+  private val wireCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Configuration, (Int, Array[Byte])]())
+
+  private def wireForm(conf: Configuration): Array[Byte] = {
+    val sz = conf.size()
+    val hit = wireCache.get(conf)
+    if (hit != null && hit._1 == sz) hit._2
+    else {
+      val bos = new java.io.ByteArrayOutputStream(64 * 1024)
+      val dos = new java.io.DataOutputStream(bos)
+      conf.write(dos)
+      dos.flush()
+      val bytes = bos.toByteArray
+      wireCache.put(conf, (sz, bytes))
+      bytes
+    }
   }
 }
 
