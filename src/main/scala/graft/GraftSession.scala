@@ -200,4 +200,10 @@ object GraftSession {
       // writes and renames kept the fork (sources/FastLocalFileSystem)
       .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
         "graft.sources.FastLocalFs")
+      // a many-query session compiles far more than 100 distinct
+      // codegen units; at the default cache size janino recompiles
+      // previously-seen plans all session long (driver stack samples:
+      // ~12% in doCompile on repeat runs). Scale-neutral: the cache is
+      // per-JVM and bounded.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
 }

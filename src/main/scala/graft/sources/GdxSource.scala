@@ -184,37 +184,75 @@ class SerializableHadoopConf(@transient var conf: Configuration)
     extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()
-    val bytes = SerializableHadoopConf.wireForm(conf)
+    val (token, bytes) = SerializableHadoopConf.wireForm(conf)
+    out.writeUTF(SerializableHadoopConf.jvmId)
+    out.writeLong(token)
     out.writeInt(bytes.length)
     out.write(bytes)
   }
   private def readObject(in: java.io.ObjectInputStream): Unit = {
     in.defaultReadObject()
+    val srcJvm = in.readUTF()
+    val token = in.readLong()
     val n = in.readInt()
-    val bytes = new Array[Byte](n)
-    in.readFully(bytes)
-    conf = new Configuration(false)
-    conf.readFields(new java.io.DataInputStream(
-      new java.io.ByteArrayInputStream(bytes)))
+    // same-JVM shortcut (local mode / driver-side replans): the live
+    // conf object is still registered — skip the 34 KB inflate+parse
+    // and SHARE it, exactly as Spark's own broadcast Hadoop conf is
+    // shared read-only across an executor's tasks. Cross-JVM readers
+    // (a real cluster) take the wire bytes.
+    val local =
+      if (srcJvm == SerializableHadoopConf.jvmId)
+        SerializableHadoopConf.localConf(token)
+      else null
+    if (local != null) {
+      var skipped = 0
+      while (skipped < n) {
+        val s = in.skipBytes(n - skipped)
+        if (s <= 0) throw new java.io.EOFException(
+          "gdx conf wire form truncated")
+        skipped += s
+      }
+      conf = local
+    } else {
+      val bytes = new Array[Byte](n)
+      in.readFully(bytes)
+      conf = new Configuration(false)
+      conf.readFields(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+    }
   }
 }
 
 object SerializableHadoopConf {
+  private val jvmId = java.util.UUID.randomUUID().toString
+  private val nextToken = new java.util.concurrent.atomic.AtomicLong()
+  // token -> conf for the same-JVM shortcut; weak VALUES so the
+  // registry never pins a session's conf after the session is gone
+  // (tokens of collected confs simply miss and fall back to bytes)
+  private val live = new java.util.concurrent.ConcurrentHashMap[
+    java.lang.Long, java.lang.ref.WeakReference[Configuration]]()
+  private def localConf(token: Long): Configuration = {
+    val ref = live.get(Long.box(token))
+    if (ref == null) null else ref.get()
+  }
   private val wireCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[Configuration, (Int, Array[Byte])]())
+    new java.util.WeakHashMap[Configuration, (Long, Int, Array[Byte])]())
 
-  private def wireForm(conf: Configuration): Array[Byte] = {
+  private def wireForm(conf: Configuration): (Long, Array[Byte]) = {
     val sz = conf.size()
     val hit = wireCache.get(conf)
-    if (hit != null && hit._1 == sz) hit._2
+    if (hit != null && hit._2 == sz) (hit._1, hit._3)
     else {
       val bos = new java.io.ByteArrayOutputStream(64 * 1024)
       val dos = new java.io.DataOutputStream(bos)
       conf.write(dos)
       dos.flush()
       val bytes = bos.toByteArray
-      wireCache.put(conf, (sz, bytes))
-      bytes
+      val token = nextToken.incrementAndGet()
+      live.put(Long.box(token),
+        new java.lang.ref.WeakReference(conf))
+      wireCache.put(conf, (token, sz, bytes))
+      (token, bytes)
     }
   }
 }
