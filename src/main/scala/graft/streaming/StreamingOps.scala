@@ -33,8 +33,7 @@ object StreamingOps extends QueryModule {
     * the batch path (Tables.normalizeTs), so batch and stream agree. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsStored = spark.read.parquet(s"$dir/events.parquet")
-      .schema("ts").dataType
+    val tsStored = graft.Tables.schemaOf(spark, dir, "events")("ts").dataType
     val rawSchema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", tsStored),
@@ -683,7 +682,7 @@ object StreamingOps extends QueryModule {
         "graft_dedup_ingest_").toFile
       root.deleteOnExit()
       val out = new java.io.File(root, "out").getPath
-      val docSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val docSchema = graft.Tables.schemaOf(s, d, "documents")
       s.readStream.schema(docSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
         .filter(col("doc_id") >= b)
@@ -749,7 +748,7 @@ object StreamingOps extends QueryModule {
       val delta = new java.io.File(root, "delta").getPath
       Similarity.writeLshLayoutOnce(e.filter(col("vec_id") < b), base,
         tag = s"$d:base<$b")
-      val embSchema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val embSchema = graft.Tables.schemaOf(s, d, "embeddings")
       s.readStream.schema(embSchema)
         .option("pathGlobFilter", "embeddings.parquet").parquet(d)
         .filter(col("vec_id") >= b)
