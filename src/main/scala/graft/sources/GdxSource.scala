@@ -4445,7 +4445,14 @@ object GdxSource {
         if (readV > 0) readV else -1)
       val live = liveFrame(spark, dirStr, entries, tblSchema, sconf,
         tblColmap)
-      val matched = live.filter(condition).localCheckpoint()
+      // DELETE consumes the matched frame exactly once (the DV write),
+      // so checkpointing it first is a full-width extra job per
+      // statement; UPDATE's matched rows feed three consumers (DV
+      // write, constraint probe, rewrite), where one materialization
+      // still wins and keeps the consumers consistent under retries.
+      val matched =
+        if (rewrite.isEmpty) live.filter(condition)
+        else live.filter(condition).localCheckpoint()
       val newDvs = writeDvSidecars(matched.select("_file", "_pos"),
         dirStr, dvByName, sconf)
       if (newDvs.isEmpty) return (readV, 0L)
