@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rewrite that plans the QUALIFY-style rank-limit window idiom onto
     // it automatically when the rank column is dropped
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // V1 file writes: rewrap the job conf so tasks don't re-inflate
+    // the full Hadoop property set each (plans/FastWriteConf)
+    e.injectPlannerStrategy(_ => graft.plans.FastWriteFilesStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     // materialized-view auto-rewrite: aggregates over a registered base
     // table are transparently answered from its summary (plans/MvRewrite)

@@ -224,21 +224,21 @@ class SerializableHadoopConf(@transient var conf: Configuration)
 }
 
 object SerializableHadoopConf {
-  private val jvmId = java.util.UUID.randomUUID().toString
+  private[graft] val jvmId = java.util.UUID.randomUUID().toString
   private val nextToken = new java.util.concurrent.atomic.AtomicLong()
   // token -> conf for the same-JVM shortcut; weak VALUES so the
   // registry never pins a session's conf after the session is gone
   // (tokens of collected confs simply miss and fall back to bytes)
   private val live = new java.util.concurrent.ConcurrentHashMap[
     java.lang.Long, java.lang.ref.WeakReference[Configuration]]()
-  private def localConf(token: Long): Configuration = {
+  private[graft] def localConf(token: Long): Configuration = {
     val ref = live.get(Long.box(token))
     if (ref == null) null else ref.get()
   }
   private val wireCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[Configuration, (Long, Int, Array[Byte])]())
 
-  private def wireForm(conf: Configuration): (Long, Array[Byte]) = {
+  private[graft] def wireForm(conf: Configuration): (Long, Array[Byte]) = {
     val sz = conf.size()
     val hit = wireCache.get(conf)
     if (hit != null && hit._2 == sz) (hit._1, hit._3)
