@@ -38,6 +38,51 @@ import org.apache.hadoop.fs.permission.FsPermission
   */
 class FastRawLocalFileSystem
     extends org.apache.hadoop.fs.RawLocalFileSystem {
+  /** Status reads without the `ls` fork.
+    *
+    * The stock status object (`DeprecatedRawLocalFileStatus`) defers
+    * permission/owner/group to `loadPermissionInfo`, which without
+    * libhadoop FORKS an `ls -ld` child process per file — and
+    * `LocatedFileStatus`'s constructor reads `getPermission` eagerly,
+    * so every `listStatus`/`listLocatedStatus` of an N-file directory
+    * (Spark's InMemoryFileIndex bulk listing, commit-protocol merges,
+    * maintenance file counts) paid N forks (~15 ms each; a 64-file
+    * listing = ~1 s, measured as the driver gap after c12's write).
+    * One NIO `readAttributes("unix:*")` call — a single stat(2) —
+    * yields mode, owner, group, size and times; sticky bit included
+    * (mask 0x3ff, the same bits the native-IO path keeps). Any
+    * NIO failure falls back to the stock (forking) status. */
+  override def getFileStatus(f: Path)
+      : org.apache.hadoop.fs.FileStatus = {
+    val file = pathToFile(f)
+    try {
+      val m = java.nio.file.Files.readAttributes(file.toPath,
+        "unix:mode,size,isDirectory,lastModifiedTime,lastAccessTime," +
+          "owner,group")
+      val mode = m.get("mode").asInstanceOf[java.lang.Integer].intValue()
+      new org.apache.hadoop.fs.FileStatus(
+        m.get("size").asInstanceOf[java.lang.Long].longValue(),
+        m.get("isDirectory").asInstanceOf[java.lang.Boolean].booleanValue(),
+        1,
+        getDefaultBlockSize(f),
+        m.get("lastModifiedTime")
+          .asInstanceOf[java.nio.file.attribute.FileTime].toMillis,
+        m.get("lastAccessTime")
+          .asInstanceOf[java.nio.file.attribute.FileTime].toMillis,
+        new FsPermission((mode & 0x3ff).toShort),
+        m.get("owner")
+          .asInstanceOf[java.nio.file.attribute.UserPrincipal].getName,
+        m.get("group")
+          .asInstanceOf[java.nio.file.attribute.GroupPrincipal].getName,
+        new Path(f.toString)
+          .makeQualified(getUri, getWorkingDirectory))
+    } catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new java.io.FileNotFoundException(
+          s"File $f does not exist")
+      case _: Exception => super.getFileStatus(f)
+    }
+  }
   /** `FileSystem.rename(src, dst, options)` — the FileContext path every
     * streaming checkpoint commit rides — calls `getFileLinkStatus(src)`
     * first, and the stock implementation resolves link-ness by FORKING
@@ -50,6 +95,15 @@ class FastRawLocalFileSystem
     val nio = pathToFile(f).toPath
     if (java.nio.file.Files.isSymbolicLink(nio)) super.getFileLinkStatus(f)
     else getFileStatus(f)
+  }
+
+  /** Directory listings route each child through the virtual
+    * `getFileStatus` (fork-free above); the stock FILE branch builds
+    * the deferring status directly, so cover it here too. */
+  override def listStatus(f: Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    val file = pathToFile(f)
+    if (file.isFile) Array(getFileStatus(f)) else super.listStatus(f)
   }
 
   override def setPermission(p: Path, permission: FsPermission): Unit = {
