@@ -504,9 +504,19 @@ object Dedup extends QueryModule {
         .filter(col("jaccard") >= 0.8)
         .select("doc_a", "doc_b")
         .localCheckpoint()
-      val nTrue = truePairs.count()
-      val caught = truePairs
-        .join(simPairs, Seq("doc_a", "doc_b"), "left_semi").count()
+      // nTrue and the caught count in ONE action: a left join against
+      // the (distinct by construction) candidate pairs marks hits, one
+      // aggregate counts both. Equivalent to the former count() +
+      // left_semi count() pair — simPairs carries no duplicate
+      // (doc_a, doc_b) rows (cappedSelfJoin ends in distinct() and the
+      // projection drops only functionally dependent payload columns),
+      // so the left join is row-preserving on truePairs.
+      val counts = truePairs
+        .join(simPairs.withColumn("_hit", lit(1L)),
+          Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n"), count("_hit").as("c"))
+        .head()
+      val (nTrue, caught) = (counts.getLong(0), counts.getLong(1))
       val recallOk = nTrue == 0L || caught.toDouble / nTrue >= 0.75
       val perDoc = truePairs.select(col("doc_a").as("doc_id"))
         .unionAll(truePairs.select(col("doc_b").as("doc_id")))
