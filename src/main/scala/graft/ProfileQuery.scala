@@ -56,6 +56,9 @@ object ProfileQuery {
     // gap sampler: while NO job is running, sample every thread at 5 ms
     // and aggregate the first "interesting" frame — attributes the
     // driver-gap time that job spans cannot explain
+    // track ids, not a counter: a JobEnd for a job started BEFORE this
+    // listener registered must not underflow the gauge
+    val runningIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val running = new java.util.concurrent.atomic.AtomicInteger(0)
     val sampling = new java.util.concurrent.atomic.AtomicBoolean(false)
     val gapFrames = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
@@ -96,10 +99,12 @@ object ProfileQuery {
       }
     }, "gap-sampler")
     val gapListener = new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit =
-        running.incrementAndGet()
-      override def onJobEnd(e: SparkListenerJobEnd): Unit =
-        running.decrementAndGet()
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        runningIds.add(e.jobId); running.set(runningIds.size)
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        runningIds.remove(e.jobId); running.set(runningIds.size)
+      }
     }
     spark.sparkContext.addSparkListener(gapListener)
     sampling.set(true); sampler.setDaemon(true); sampler.start()
